@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators — one definition each for the patterns the
+  * reference hand-rolls inside mapper/reducer classes (SURVEY.md §2):
+  * K1 top-k-per-group eviction map, A5 arg-max rows per group, A4 string
+  * aggregation, A3 longest consecutive run. Each is a pure
+  * DataFrame/Column transform so Catalyst can push filters through them and
+  * fuse them into whole-stage codegen.
+  */
+object Relational {
+
+  /** K1 (reference: Homework2.scala:92-126 — per-venue eviction map, correct
+    * only with one reducer, SURVEY.md Q2). Genuinely distributed here: one
+    * hash exchange on `groupCols`, per-partition sort, row_number, filter —
+    * no global sort, no driver materialization.
+    *
+    * `order` must be a total order within a group (add a tiebreak column)
+    * for deterministic output.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rk", row_number().over(Window.partitionBy(groupCols: _*).orderBy(order: _*)))
+      .filter(col("rk") <= k)
+      .drop("rk")
+
+  /** A5 (reference: Homework2.scala:321-366 — arg-max kept per *mapper split*,
+    * never reconciled globally, SURVEY.md Q5). This is the intended global
+    * semantics: rank()==1 keeps all rows tied for the group max.
+    */
+  def argMaxPerGroup(df: DataFrame, groupCols: Seq[Column], order: Column): DataFrame =
+    df.withColumn("rk", rank().over(Window.partitionBy(groupCols: _*).orderBy(order.desc)))
+      .filter(col("rk") === 1)
+      .drop("rk")
+
+  /** A4 (reference: Homework2.scala:272-276 — '|'-prefixed concat in reducer).
+    * Deterministic variant: elements sorted before joining (the reference's
+    * order is shuffle-arrival order, not reproducible). No leading separator
+    * (documented deviation).
+    */
+  def sortedStringAgg(values: Column, sep: String): Column =
+    concat_ws(sep, array_sort(collect_list(values)))
+
+  /** A3 (reference: yearsOfLongestContinuum, Homework2.scala:206-227).
+    * Longest run of consecutive ints in an array column. Duplicates are
+    * deduped first — the *intended* semantics; the reference's repeated year
+    * resets a streak (SURVEY.md Q3). Set `strictReference=true` to replicate
+    * that bug bit-for-bit.
+    *
+    * Pure higher-order functions over the array — stays inside codegen, no
+    * UDF, no driver round-trip.
+    */
+  def longestConsecutiveRun(values: Column, strictReference: Boolean = false): Column = {
+    val sorted =
+      if (strictReference) array_sort(values)
+      else array_sort(array_distinct(values))
+    aggregate(
+      sorted,
+      struct(lit(0).as("best"), lit(0).as("cur"), lit(Int.MinValue).as("prev")),
+      (acc, y) => {
+        val cur = when(y === acc.getField("prev") + 1, acc.getField("cur") + 1).otherwise(lit(1))
+        struct(
+          greatest(acc.getField("best"), cur).as("best"),
+          cur.as("cur"),
+          y.as("prev"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** A3 at scale: longest consecutive run per key *without* materializing a
+    * per-key array (a 100 TB-safe formulation — state per row is O(1)).
+    * Gaps-and-islands: island-id = value − row_number() per key ordered by
+    * value; island length = count; answer = max island length per key.
+    * Output: (k, longest_run).
+    */
+  def longestRunPerKey(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val distinctKV = df.select(key.as("k"), value.as("v")).distinct()
+    distinctKV
+      .withColumn("island", col("v") - row_number().over(Window.partitionBy("k").orderBy("v")))
+      .groupBy("k", "island").agg(count(lit(1)).as("len"))
+      .groupBy("k").agg(max("len").as("longest_run"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver star schema (TESTDATA.md) plus the derived
+  * "publication" analog relations (FIXTURES.md §2): each `orders` row is a
+  * publication; its "authors" are the distinct suppliers of its lineitems
+  * (reference: author list of a record, Homework2.scala:53-57); its "venue"
+  * is the customer's nation (reference venue CASE, Homework2.scala:42-51);
+  * its "year" is year(o_orderdate).
+  *
+  * Scale notes:
+  *  - `nation`/`region` are constant-size dimensions (25/5 rows at any SF) —
+  *    always broadcast, so venue derivation never shuffles the fact side.
+  *  - `customer`/`supplier` scale with SF; joins against them stay plain
+  *    equi-joins and AQE picks broadcast vs shuffle at runtime.
+  *  - `distinct` on (pub_key, author) is a single hash exchange keyed on the
+  *    pair — the same key the downstream per-author aggregations reuse.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** One row per publication: (pub_key, venue, yr, title). */
+  def pubs(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    val c = customer(spark, dir)
+    val n = nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(
+        o("o_orderkey").as("pub_key"),
+        n("n_name").as("venue"),
+        year(o("o_orderdate")).as("yr"),
+        o("o_orderkey").cast("string").as("title"))
+  }
+
+  /** One row per (publication, author): distinct (l_orderkey, s_name). */
+  def pubAuthors(spark: SparkSession, dir: String): DataFrame = {
+    val l = lineitem(spark, dir)
+    val s = supplier(spark, dir)
+    l.join(s, l("l_suppkey") === s("s_suppkey"))
+      .select(l("l_orderkey").as("pub_key"), s("s_name").as("author"))
+      .distinct()
+  }
+
+  /** Author-list size per publication: (pub_key, na). */
+  def pubAuthorCounts(spark: SparkSession, dir: String): DataFrame =
+    pubAuthors(spark, dir).groupBy("pub_key").agg(count(lit(1)).as("na"))
+}

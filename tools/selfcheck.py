@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle SQL and compare (sorted rows, sorted columns,
+1e-9 tolerance on floats). Usage: selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        rr = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            rr.append(v)
+        out.append(tuple(rr))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            ores = con.execute(sql)
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        try:
+            sres = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
+            scols = [d[0] for d in sres.description]
+            srows = sres.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
+            n_fail += 1
+            continue
+        a, b = norm(srows, scols), norm(orows, ocols)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (x, y) in enumerate(zip(a, b)):
+            if x != y:
+                ok = len(x) == len(y) and all(
+                    (isinstance(u, float) and isinstance(v, float)
+                     and math.isclose(u, v, rel_tol=1e-9, abs_tol=1e-9))
+                    or u == v
+                    for u, v in zip(x, y))
+                if not ok:
+                    bad = (i, x, y)
+                    break
+        if bad:
+            print(f"FAIL {name}: first diff at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
