@@ -1,0 +1,79 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DBLP data model — the reference's input format re-expressed as a Spark
+  * source (reference: dblpXMLparser.scala whole-DOM preprocessor + per-record
+  * `XML.loadString` in every mapper, Homework2.scala:39,155,236,293,374,455).
+  *
+  * Here the line-per-record file is read with `spark.read.text` (Spark's
+  * FileSourceScanExec does the splitting the reference hand-rolls with an
+  * 8-thread pool over 800 slices, dblpXMLparser.scala:37-59) and parsed ONCE
+  * with `from_xml` — a single codegen-friendly expression instead of a DOM
+  * load per record per job.
+  */
+object Dblp {
+
+  /** Parsed-record schema (FIXTURES.md §1; dblp.dtd:33-47). Repeatable fields
+    * are arrays; `year` keeps its arity for the P3 validity guard
+    * (Homework2.scala:163-166: valid iff exactly one <year>). `_key` is the
+    * required key attribute (dblp.dtd:40-41; attributePrefix "_"). */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("_key", StringType),
+    StructField("author", ArrayType(StringType)),
+    StructField("editor", ArrayType(StringType)),
+    StructField("title", StringType),
+    StructField("journal", StringType),
+    StructField("booktitle", StringType),
+    StructField("publisher", StringType),
+    StructField("school", StringType),
+    StructField("year", ArrayType(IntegerType))))
+
+  private def nonEmpty(c: Column): Column = nullif(c, lit(""))
+
+  /** P1 — venue CASE expression (Homework2.scala:42-51; duplicated verbatim at
+    * :239-248 and :296-305 in the reference — defined exactly once here):
+    * article → journal (fallback booktitle); inproceedings|incollection →
+    * booktitle; book|proceedings → publisher (fallback booktitle);
+    * phdthesis|mastersthesis → school; www → first 3 '/'-segments of @key. */
+  def venueOf(recordType: Column, key: Column, journal: Column, booktitle: Column,
+              publisher: Column, school: Column): Column =
+    when(recordType === "article", coalesce(nonEmpty(journal), nonEmpty(booktitle)))
+      .when(recordType.isin("inproceedings", "incollection"), nonEmpty(booktitle))
+      .when(recordType.isin("book", "proceedings"), coalesce(nonEmpty(publisher), nonEmpty(booktitle)))
+      .when(recordType.isin("phdthesis", "mastersthesis"), nonEmpty(school))
+      .when(recordType === "www", concat_ws("/", slice(split(key, "/"), 1, 3)))
+      .otherwise(lit("No venue available"))
+
+  /** P2 — author list with editor fallback (Homework2.scala:53-57, repeated in
+    * five other mappers). Never null: empty array when both are absent. */
+  def authorsOrEditors(authors: Column, editors: Column): Column =
+    when(authors.isNull || size(authors) === 0, coalesce(editors, array()))
+      .otherwise(authors)
+
+  /** Normalize a DataFrame of line-XML strings (column `value`) into the
+    * publication relation: (key, recordType, venue, authors, title, years).
+    * The record type is the top-level element's *label* (dblp.dtd:33-34) —
+    * extracted by regex since `from_xml` only sees the element body.
+    * Year-arity (P3) and garbage (P5) filters are applied per-query, not
+    * here, matching the reference's per-task placement. */
+  def normalize(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("recordType", regexp_extract(col("value"), "^<([a-zA-Z]+)", 1))
+      .withColumn("rec", from_xml(col("value"), recordSchema))
+      .select(
+        col("rec._key").as("key"),
+        col("recordType"),
+        venueOf(col("recordType"), col("rec._key"), col("rec.journal"),
+          col("rec.booktitle"), col("rec.publisher"), col("rec.school")).as("venue"),
+        authorsOrEditors(col("rec.author"), col("rec.editor")).as("authors"),
+        col("rec.title").as("title"),
+        col("rec.year").as("years"))
+
+  /** Read a line-per-record DBLP file (the parser module's output format,
+    * dblpXMLparser.scala:96) into the normalized publication relation. */
+  def readLineXml(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.read.text(path).toDF("value"))
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+class RelationalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- topKPerGroup (K1) ----------------------------------------------------
+
+  test("topKPerGroup keeps k rows per group with deterministic tiebreak") {
+    val df = Seq(
+      ("g1", "a", 5L), ("g1", "b", 5L), ("g1", "c", 4L), ("g1", "d", 3L),
+      ("g2", "x", 1L)
+    ).toDF("g", "name", "cnt")
+    val top2 = Relational.topKPerGroup(
+      df, Seq(col("g")), Seq(col("cnt").desc, col("name").asc), 2)
+    rows(top2.orderBy("g", "name")) shouldBe Seq(
+      Seq("g1", "a", 5L), Seq("g1", "b", 5L), Seq("g2", "x", 1L))
+  }
+
+  // --- argMaxPerGroup (A5, Q5 fixed) ---------------------------------------
+
+  test("argMaxPerGroup keeps all rows tied for the group max") {
+    val df = Seq(
+      ("v1", "t1", 3), ("v1", "t2", 3), ("v1", "t3", 2),
+      ("v2", "t4", 1)
+    ).toDF("v", "t", "n")
+    val r = Relational.argMaxPerGroup(df, Seq(col("v")), col("n"))
+    rows(r.orderBy("v", "t")) shouldBe Seq(
+      Seq("v1", "t1", 3), Seq("v1", "t2", 3), Seq("v2", "t4", 1))
+  }
+
+  // --- sortedStringAgg (A4) -------------------------------------------------
+
+  test("sortedStringAgg is order-deterministic") {
+    val df = Seq(("v", "b"), ("v", "a"), ("v", "c")).toDF("v", "t")
+    rows(df.groupBy("v").agg(Relational.sortedStringAgg(col("t"), "|"))) shouldBe
+      Seq(Seq("v", "a|b|c"))
+  }
+
+  // --- longestConsecutiveRun (A3, Q3) --------------------------------------
+
+  private def runOf(xs: Seq[Int], strict: Boolean = false): Int =
+    Seq(Tuple1(xs)).toDF("ys")
+      .select(Relational.longestConsecutiveRun(col("ys"), strict).as("r"))
+      .collect()(0).getInt(0)
+
+  test("longestConsecutiveRun: duplicates deduped (intended Q3 semantics)") {
+    runOf(Seq(2000, 2001, 2001, 2002)) shouldBe 3
+  }
+
+  test("longestConsecutiveRun: strict mode replicates reference's dup-reset bug") {
+    runOf(Seq(2000, 2001, 2001, 2002), strict = true) shouldBe 2
+  }
+
+  test("longestConsecutiveRun edge cases") {
+    runOf(Seq.empty) shouldBe 0
+    runOf(Seq(7)) shouldBe 1
+    runOf(Seq(1, 3, 5)) shouldBe 1
+    runOf(Seq(10, 11, 12, 14, 15)) shouldBe 3
+  }
+
+  test("longestConsecutiveRun properties: permutation-invariant, bounded by span, exact on ranges") {
+    // Property check batched into one Spark job: 60 random year-lists, each
+    // paired with a shuffled copy and (for ranges) a perfect [a, a+n) range.
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 60).map { _ =>
+      val ys = List.fill(1 + rnd.nextInt(12))(1990 + rnd.nextInt(16))
+      val n = 1 + rnd.nextInt(15)
+      (ys, rnd.shuffle(ys), ys.max - ys.min + 1, (100 until 100 + n).toList, n)
+    }
+    val df = cases.toDF("ys", "shuffled", "span", "range", "n")
+      .select(
+        Relational.longestConsecutiveRun(col("ys")).as("r1"),
+        Relational.longestConsecutiveRun(col("shuffled")).as("r2"),
+        col("span"),
+        Relational.longestConsecutiveRun(col("range")).as("rr"),
+        col("n"))
+    df.collect().foreach { row =>
+      val (r1, r2, span, rr, n) =
+        (row.getInt(0), row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4))
+      r1 shouldBe r2          // permutation invariance
+      r1 should be <= span    // bounded by value span
+      r1 should be >= 1
+      rr shouldBe n           // exact on a perfect range
+    }
+  }
+
+  test("longestRunPerKey agrees with the array-based formulation") {
+    val data = Seq(
+      ("a", 2000), ("a", 2001), ("a", 2001), ("a", 2003), ("a", 2004), ("a", 2005),
+      ("b", 1999), ("c", 1990), ("c", 1992), ("c", 1993))
+    val df = data.toDF("k", "v")
+    val viaIslands = Relational.longestRunPerKey(df, col("k"), col("v"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val viaArray = df.groupBy("k")
+      .agg(Relational.longestConsecutiveRun(collect_list(col("v"))).as("r"))
+      .orderBy("k").as[(String, Int)].collect().toSeq.map { case (k, r) => (k, r.toLong) }
+    viaIslands shouldBe viaArray
+    viaIslands shouldBe Seq(("a", 3L), ("b", 1L), ("c", 2L))
+  }
+}

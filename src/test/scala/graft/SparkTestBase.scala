@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Shared local SparkSession for specs (one JVM-wide session; forked test
+  * JVM gets the JDK17 --add-opens from build.sbt). */
+trait SparkTestBase extends AnyFunSuite with Matchers {
+  lazy val spark: SparkSession = SparkTestBase.session
+  import org.apache.spark.sql.{DataFrame, Row}
+
+  /** Rows of a small result, fully collected and listed for assertion. */
+  def rows(df: DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
