@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.DblpAnalog
+import graft.extensions.{Dedup, Events, Similarity, TextAnalysis}
+import graft.queries.{DblpAnalog, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +19,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     DblpAnalog.t1TopAuthorsPerVenue(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 + extensions. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    DblpAnalog.queries
+    DblpAnalog.queries ++ Tpch.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    DblpAnalog.oracle
+    DblpAnalog.oracle ++ Tpch.oracle ++ TextAnalysis.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ Events.oracle
 }

@@ -1,0 +1,184 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * exact, n-gram-Jaccard, MinHash+LSH banding, and embedding-cosine near-dup.
+  * All pure DataFrame dataflow with portable hashing, each with an exact
+  * DuckDB oracle generated from the SAME constants (single source of truth).
+  *
+  * Scale shapes:
+  *  - exact: one hash aggregation on md5(text) — the canonical 100 TB dedup.
+  *  - ngram-Jaccard: shingle-inverted-index self-join; exact but quadratic in
+  *    per-shingle frequency. The scale path is minhash_lsh below, which
+  *    bounds candidate generation by band-bucket size.
+  *  - minhash_lsh: signatures via one crossJoin with a 32-row parameter
+  *    table (broadcast), banding via (doc, band) aggregation, candidates via
+  *    bucket self-join — every stage is a bounded hash shuffle.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; keep_id = min doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("keep_id")
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Portable.shingles3(Portable.tokens(col("text")))).as("s"))
+
+  /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8 (threshold chosen to
+    * isolate the planted near-duplicates; rounded before thresholding). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na.n") + col("nb.n") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // MinHash parameters — k hashes in b bands of r rows. The (a_i, b_i) affine
+  // coefficients are fixed by seed so the DuckDB oracle embeds identical
+  // literals (generated below from the same arrays).
+  val K = 32; val Bands = 8; val R = 4
+  private val (minhashA, minhashB) = {
+    val rnd = new scala.util.Random(7)
+    def draw() = Array.fill(K)(1L + (rnd.nextLong().abs % (Portable.P31 - 1)))
+    (draw(), draw())
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing any full band of the 32-hash
+    * signature. Candidate generation only (verify with dedupNgramJaccard on
+    * candidates in a real pipeline). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val params = (0 until K).map(i => (i, minhashA(i), minhashB(i))).toDF("i", "a", "b")
+    val hs = docShingles(spark, dir)
+      .select(col("doc_id"), Portable.hash31(col("s")).as("h"))
+    val sig = hs.crossJoin(broadcast(params))
+      .groupBy("doc_id", "i")
+      .agg(min((col("a") * col("h") + col("b")) % Portable.P31).as("mh"))
+    val buckets = sig
+      .withColumn("band", expr("i div 4"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          p => p.getField("mh").cast("string"))).as("bkt"))
+    buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs (τ = 0.45, rounded before threshold).
+    * Brute-force pairs here; the LSH-bucketed scale path lives in
+    * [[Similarity]]. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), Portable.asDouble(col("embedding")).as("v"))
+    val n = e.select(col("vec_id"), col("v"), Portable.l2norm(col("v")).as("nrm"))
+    n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        Portable.cosine6(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  // --- DuckDB oracles -------------------------------------------------------
+
+  private val shinglesSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(
+      |    CASE WHEN len(toks) < 3 THEN []
+      |         ELSE list_distinct(list_transform(generate_series(1, len(toks) - 2),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END) AS s
+      |  FROM t
+      |)""".stripMargin
+
+  private val paramsValues = (0 until K)
+    .map(i => s"(${i}, ${minhashA(i)}, ${minhashB(i)})").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""$shinglesSql
+         |, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN sz na ON doc_a = na.doc_id
+         |JOIN sz nb ON doc_b = nb.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$shinglesSql
+         |, hs AS (
+         |  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT) % 2147483647 AS h FROM sh
+         |), params(i, a, b) AS (VALUES $paramsValues),
+         |sig AS (
+         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+         |  FROM hs CROSS JOIN params GROUP BY doc_id, i
+         |), buckets AS (
+         |  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkt
+         |  FROM sig GROUP BY doc_id, i // 4
+         |)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM buckets x JOIN buckets y
+         |  ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH pos AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM pos GROUP BY vec_id
+        |), d AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+        |  FROM pos a JOIN pos b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id
+        |)
+        |SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+        |FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+        |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
+    "dedup_embedding"     -> (dedupEmbedding _),
+  )
+}

@@ -1,0 +1,86 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Event-stream analytics over the `events` table — batch formulations whose
+  * streaming twins (watermarked tumbling windows, mapGroupsWithState
+  * sessions) live in [[graft.streaming.StreamingOps]]. Value sums go
+  * through DECIMAL for exact, order-independent cross-engine totals.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event type: count + exact value sum. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(28, 10))), 2).cast("double").as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization with a 30-minute inactivity gap (gaps-and-islands over a
+    * per-user window; total order ts, event_id). Output per user: session
+    * count, largest session (events), total events. */
+  def eventsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n"))
+    sessions.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n")).as("max_session_events"),
+        sum(col("n")).as("n_events"))
+      .select(col("user_id"), col("n_sessions"), col("max_session_events"),
+        col("n_events").cast("long").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "events_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id,
+        |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged
+        |), per_session AS (
+        |  SELECT user_id, sess_id, count(*) AS n FROM numbered GROUP BY user_id, sess_id
+        |)
+        |SELECT user_id,
+        |       count(*) AS n_sessions,
+        |       max(n) AS max_session_events,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly"   -> (eventsHourly _),
+    "events_sessions" -> (eventsSessions _),
+  )
+}

@@ -1,0 +1,157 @@
+package graft.extensions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  *  - [[simTopkBruteforce]]: exact cosine top-k — the correctness baseline.
+  *    O(|Q|·|N|) dot products; fine when the query set is small/broadcast.
+  *  - [[simTopkLsh]]: random-hyperplane LSH — the scale path. Vectors get a
+  *    16-bit sign signature from pseudo-random hyperplanes (derived from the
+  *    portable hash, so the DuckDB oracle regenerates identical planes);
+  *    search touches only same-bucket candidates. Recall < 1 by design —
+  *    the oracle implements the SAME approximation, so results match
+  *    exactly.
+  */
+object Similarity {
+
+  val TopK = 5
+  val NumQueries = 10 // queries are vec_id < 10
+  val NumPlanes = 8
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Portable.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Portable.l2norm(col("v")))
+
+  /** Exact brute-force cosine top-k for each query vector (vec_id < 10),
+    * ranked on the ROUNDED similarity with vec_id tiebreak (cross-engine
+    * determinism). */
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val q = vs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(vs, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Portable.cosine6(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .orderBy(col("query_id").asc, col("cos_sim").desc, col("neighbor_id").asc)
+  }
+
+  /** Pseudo-random hyperplane component for (plane j, dim i) in [-1, 1):
+    * derived from the portable hash so both engines generate identical
+    * planes without shipping 8×64 literals. */
+  private def planeComponent(j: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+    (Portable.hash60(concat_ws("_", lit("plane"), j, i)) % 2001 - 1000).cast("double") / 1000.0
+
+  /** LSH-bucketed ANN: 8-bit sign signature; candidates share the bucket.
+    * Top-k per query by exact (rounded) cosine within the bucket. */
+  def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    // signature: explode (vec × plane × dim), sum component products, sign bit.
+    // posexplode is 0-based; +1 aligns with DuckDB's 1-based generate_subscripts.
+    val comp = vs
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+      .crossJoin(broadcast(spark.range(NumPlanes).select(col("id").cast("int").as("j"))))
+      .select(col("vec_id"), col("j"),
+        (col("x") * planeComponent(col("j"), col("i"))).as("p"))
+    val sigs = comp.groupBy("vec_id", "j")
+      .agg(sum("p").as("dotp"))
+      .groupBy("vec_id")
+      .agg(sum(when(round(col("dotp"), 9) >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("bucket"))
+    val withSig = vs.join(sigs, "vec_id")
+    val q = withSig.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val scored = broadcast(q)
+      .join(withSig, col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Portable.cosine6(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .orderBy(col("query_id").asc, col("cos_sim").desc, col("neighbor_id").asc)
+  }
+
+  // --- DuckDB oracles -------------------------------------------------------
+
+  private val posAndNorm =
+    """WITH pos AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+      |  FROM embeddings
+      |), nrm AS (
+      |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pos GROUP BY vec_id
+      |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk_bruteforce" ->
+      s"""$posAndNorm
+         |, d AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dot
+         |  FROM pos q JOIN pos c ON q.i = c.i AND q.vec_id < $NumQueries AND c.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, c.vec_id
+         |), scored AS (
+         |  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+         |  FROM d JOIN nrm nq ON query_id = nq.vec_id JOIN nrm nc ON neighbor_id = nc.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""$posAndNorm
+         |, planes AS (
+         |  SELECT j, i,
+         |         ((('0x' || substr(md5('plane' || '_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000))::DOUBLE / 1000.0 AS w
+         |  FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS j) js
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |), sig AS (
+         |  SELECT vec_id,
+         |         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM (
+         |    SELECT pos.vec_id, planes.j, round(sum(pos.x * planes.w), 9) AS s
+         |    FROM pos JOIN planes ON pos.i = planes.i
+         |    GROUP BY pos.vec_id, planes.j
+         |  ) sub
+         |  GROUP BY vec_id
+         |), d AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), dots AS (
+         |  SELECT d.query_id, d.neighbor_id, sum(a.x * b.x) AS dot
+         |  FROM d JOIN pos a ON a.vec_id = d.query_id JOIN pos b ON b.vec_id = d.neighbor_id AND a.i = b.i
+         |  GROUP BY d.query_id, d.neighbor_id
+         |), scored AS (
+         |  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+         |  FROM dots JOIN nrm nq ON query_id = nq.vec_id JOIN nrm nc ON neighbor_id = nc.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_topk_lsh"        -> (simTopkLsh _),
+  )
+}

@@ -1,0 +1,204 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting stages of a large-scale
+  * training-data pipeline. Pure DataFrame + higher-order functions (no UDFs)
+  * so everything stays in whole-stage codegen; each query has an exact
+  * DuckDB oracle.
+  */
+object TextAnalysis {
+
+  private val stopEn = Seq("the", "a", "of", "and", "is")
+  private val stopDe = Seq("der", "die", "das", "und", "ist")
+  private val stopFr = Seq("le", "la", "les", "et", "est")
+  private val stopEs = Seq("el", "los", "las", "y", "es")
+
+  private def sqlList(xs: Seq[String]) = xs.mkString("['", "', '", "']")
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** Token counting: whitespace tokens, distinct tokens, mean token length. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      when(size(toks) === 0, 0.0).otherwise(
+        round(aggregate(transform(toks, t => length(t)), lit(0), _ + _).cast("double") / size(toks), 6))
+        .as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: stopword ratio, punctuation ratio, composite score.
+    * Ratios are rounded to 6 decimals BEFORE entering the composite so both
+    * engines combine identical inputs. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.tokens(col("text"))
+    val n = size(toks)
+    val stopRatio = when(n === 0, 0.0)
+      .otherwise(round(markerCount(toks, stopEn).cast("double") / n, 6))
+    val punctRatio = when(length(col("text")) === 0, 0.0)
+      .otherwise(round(
+        (length(col("text")) - length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double") /
+          length(col("text")), 6))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"))
+      .withColumn("quality",
+        round(least(col("n_tokens") / 50.0, lit(1.0)) * 0.5 +
+          col("stop_ratio") * 0.3 + (lit(1.0) - col("punct_ratio")) * 0.2, 6))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by marker-word counts with a fixed tiebreak priority
+    * (zh via CJK codepoint presence). A real pipeline would use char-n-gram
+    * profiles; the synthetic corpus shares one vocabulary, so this
+    * demonstrates the dataflow, scored against the `lang` column. */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.tokens(col("text"))
+    val sEn = markerCount(toks, stopEn)
+    val sDe = markerCount(toks, stopDe)
+    val sFr = markerCount(toks, stopFr)
+    val sEs = markerCount(toks, stopEs)
+    val sZh = length(col("text")) - length(regexp_replace(col("text"), "[一-鿿]", ""))
+    val pred = when(sZh > 0, "zh")
+      .when(sEn >= greatest(sDe, sFr, sEs), "en")
+      .when(sDe >= greatest(sFr, sEs), "de")
+      .when(sFr >= sEs, "fr")
+      .otherwise("es")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pred.as("pred_lang"), col("lang").as("true_lang"))
+      .withColumn("correct", (col("pred_lang") === col("true_lang")).cast("int"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive content signature (the "bag of words" fingerprint). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Portable.tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** 60-bit SimHash over whitespace tokens (bit j set iff Σ±1 over token-hash
+    * bit j is ≥ 0). Distributed formulation: explode tokens × bits, two hash
+    * aggregations — per-row state is O(1), no per-doc arrays, so the plan
+    * survives arbitrarily large documents-per-partition. */
+  def textSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Portable.hash60(col("tok")).as("h"))
+    tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(59))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(when(expr("shiftright(h, j) & 1") === 1, 1).otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
+        .as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // --- DuckDB oracles -------------------------------------------------------
+
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+  private val withToks =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, lang,
+       |         CASE WHEN trim(text) = '' THEN [] ELSE $toksSql END AS toks
+       |  FROM documents
+       |)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""$withToks
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+         |  CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    round(CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE) / len(toks), 6)
+         |  END AS avg_token_len
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""$withToks
+         |, r AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      round(CAST(len(list_filter(toks, s -> list_contains(${sqlList(stopEn)}, s))) AS DOUBLE) / len(toks), 6)
+         |    END AS stop_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6)
+         |    END AS punct_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
+         |  round(least(n_tokens / 50.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""$withToks
+         |, s AS (
+         |  SELECT doc_id, lang,
+         |    len(list_filter(toks, x -> list_contains(${sqlList(stopEn)}, x))) AS s_en,
+         |    len(list_filter(toks, x -> list_contains(${sqlList(stopDe)}, x))) AS s_de,
+         |    len(list_filter(toks, x -> list_contains(${sqlList(stopFr)}, x))) AS s_fr,
+         |    len(list_filter(toks, x -> list_contains(${sqlList(stopEs)}, x))) AS s_es,
+         |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN s_zh > 0 THEN 'zh'
+         |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang,
+         |  lang AS true_lang,
+         |  CASE WHEN (CASE WHEN s_zh > 0 THEN 'zh'
+         |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END) = lang THEN 1 ELSE 0 END AS correct
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""$withToks
+         |SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_simhash" ->
+      s"""$withToks
+         |, th AS (
+         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+         |), bits AS (
+         |  SELECT doc_id, j,
+         |         CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+         |              THEN (1::BIGINT << j) ELSE 0 END AS bitval
+         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+         |  GROUP BY doc_id, j
+         |)
+         |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"       -> (textStats _),
+    "text_quality"     -> (textQuality _),
+    "text_langid"      -> (textLangId _),
+    "text_fingerprint" -> (textFingerprint _),
+    "text_simhash"     -> (textSimhash _),
+  )
+}

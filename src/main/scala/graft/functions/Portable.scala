@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column helpers shared by the extension queries, chosen for exact
+  * reproducibility in DuckDB (the driver's correctness oracle). Every
+  * primitive here has a value-identical DuckDB formulation, noted inline;
+  * the oracle SQL strings are generated from the same constants.
+  */
+object Portable {
+
+  /** 60-bit portable string hash: first 15 hex digits of md5 as BIGINT.
+    * DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT — verified identical. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 2^31-1. Reducing hashes mod this keeps a*h+b inside int64 for the
+    * MinHash affine family (a, b < 2^31, h < 2^31 → a*h+b < 2^62). */
+  val P31: Long = 2147483647L
+
+  def hash31(c: Column): Column = hash60(c) % P31
+
+  /** Whitespace tokenizer; empty text → empty array (bare split would yield
+    * [""]). DuckDB: string_split_regex(trim(text), '\s+') with same guard. */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
+
+  /** Distinct word 3-gram shingles of a token array (1-based element_at).
+    * DuckDB: list_distinct(list_transform(generate_series(1, len(t)-2),
+    * i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+
+  /** Cast a float vector to double so cross-engine arithmetic is exact. */
+  def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
+
+  /** Dot product of two double arrays — single codegen'd higher-order
+    * expression, no UDF, no shuffle. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity rounded to 6 decimals. Rounding BEFORE any ranking /
+    * thresholding is the cross-engine determinism contract: float-vector
+    * sums may differ in the last ulp between engines, never at 1e-6. */
+  def cosine6(a: Column, b: Column, na: Column, nb: Column): Column =
+    round(dot(a, b) / (na * nb), 6)
+}

@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Classic star-schema analytics over the driver tables — the multi-table
+  * join / aggregation / top-k surface the reference lacks entirely
+  * (SURVEY.md §2.5: no joins exist in the reference; Spark provides them at
+  * zero cost). Modeled on TPC-H Q1/Q3/Q5 shapes.
+  *
+  * Determinism contract with the DuckDB oracle: money aggregates are summed
+  * as DECIMAL (exact, order-independent), rounded, then cast to DOUBLE;
+  * averages divide the exact decimal sum by the count in double (IEEE-
+  * identical across engines); every result has a total ordering.
+  */
+object Tpch {
+
+  private def decSum2(c: org.apache.spark.sql.Column) =
+    round(sum(c.cast(DecimalType(28, 10))), 2).cast("double")
+
+  /** Q1 shape: scan-heavy single-table aggregation with filter pushdown.
+    * The shipdate predicate reaches the parquet scan (PushedFilters). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val disc  = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        decSum2(col("l_quantity")).as("sum_qty"),
+        decSum2(col("l_extendedprice")).as("sum_base_price"),
+        decSum2(disc).as("sum_disc_price"),
+        decSum2(charge).as("sum_charge"),
+        round(sum(col("l_quantity").cast(DecimalType(28, 10))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(col("l_discount").cast(DecimalType(28, 10))).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Q3 shape: 3-way join, grouped revenue, distributed top-k
+    * (TakeOrderedAndProject — no global sort materialization). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(decSum2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q5 shape: 6-way join with broadcast dimensions (region/nation) and a
+    * co-located supplier/customer nation constraint. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    broadcast(r).join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
+               col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(decSum2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"       -> (q1PricingSummary _),
+    "q3_shipping_priority"     -> (q3ShippingPriority _),
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+  )
+}
