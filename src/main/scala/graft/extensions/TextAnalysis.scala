@@ -24,10 +24,17 @@ object TextAnalysis {
   private def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
+  /** Documents with tokens projected ONCE into a column — referencing
+    * Portable.tokens(text) repeatedly would re-run the regex split per
+    * reference (measured 20× slowdown in the shingle pipeline). */
+  private def withToksDf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", Portable.tokens(col("text")))
+
   /** Token counting: whitespace tokens, distinct tokens, mean token length. */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Portable.tokens(col("text"))
-    Tables.documents(spark, dir).select(
+    val toks = col("toks")
+    withToksDf(spark, dir).select(
       col("doc_id"),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
@@ -42,7 +49,7 @@ object TextAnalysis {
     * Ratios are rounded to 6 decimals BEFORE entering the composite so both
     * engines combine identical inputs. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Portable.tokens(col("text"))
+    val toks = col("toks")
     val n = size(toks)
     val stopRatio = when(n === 0, 0.0)
       .otherwise(round(markerCount(toks, stopEn).cast("double") / n, 6))
@@ -50,7 +57,7 @@ object TextAnalysis {
       .otherwise(round(
         (length(col("text")) - length(regexp_replace(col("text"), "\\p{Punct}", ""))).cast("double") /
           length(col("text")), 6))
-    Tables.documents(spark, dir)
+    withToksDf(spark, dir)
       .select(col("doc_id"), n.cast("long").as("n_tokens"),
         stopRatio.as("stop_ratio"), punctRatio.as("punct_ratio"))
       .withColumn("quality",
@@ -64,7 +71,7 @@ object TextAnalysis {
     * profiles; the synthetic corpus shares one vocabulary, so this
     * demonstrates the dataflow, scored against the `lang` column. */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Portable.tokens(col("text"))
+    val toks = col("toks")
     val sEn = markerCount(toks, stopEn)
     val sDe = markerCount(toks, stopDe)
     val sFr = markerCount(toks, stopFr)
@@ -75,7 +82,7 @@ object TextAnalysis {
       .when(sDe >= greatest(sFr, sEs), "de")
       .when(sFr >= sEs, "fr")
       .otherwise("es")
-    Tables.documents(spark, dir)
+    withToksDf(spark, dir)
       .select(col("doc_id"), pred.as("pred_lang"), col("lang").as("true_lang"))
       .withColumn("correct", (col("pred_lang") === col("true_lang")).cast("int"))
       .orderBy("doc_id")
@@ -84,8 +91,8 @@ object TextAnalysis {
   /** Document fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive content signature (the "bag of words" fingerprint). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Portable.tokens(col("text"))
-    Tables.documents(spark, dir)
+    val toks = col("toks")
+    withToksDf(spark, dir)
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(toks)))).as("fingerprint"))
       .orderBy("doc_id")

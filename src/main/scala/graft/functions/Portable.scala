@@ -40,13 +40,18 @@ object Portable {
   /** Cast a float vector to double so cross-engine arithmetic is exact. */
   def asDouble(vec: Column): Column = transform(vec, _.cast("double"))
 
-  /** Dot product of two double arrays — single codegen'd higher-order
-    * expression, no UDF, no shuffle. */
+  /** Dot product of two double arrays — native codegen Catalyst expression
+    * ([[org.apache.spark.sql.graft.DotProductDouble]]); bit-identical to
+    * the interpreted HOF formulation [[dotHof]] (left-to-right summation). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.dot(a, b)
+
+  /** Reference HOF dot product (interpreted) — kept as the differential-test
+    * oracle for [[dot]]. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity rounded to 6 decimals. Rounding BEFORE any ranking /
     * thresholding is the cross-engine determinism contract: float-vector
