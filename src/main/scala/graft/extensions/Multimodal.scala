@@ -1,0 +1,129 @@
+package graft.extensions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** A media record: opaque binary payload + typed metadata. Real corpora
+  * carry image/audio/video bytes here; the demonstration source derives the
+  * payload from `documents.text` (UTF-8 bytes) so the DuckDB oracle can
+  * verify the plumbing end-to-end. */
+case class MediaRecord(media_id: Long, mime: String, payload: Array[Byte])
+
+/** Decoded features per media record. `feat` is the STUB decoder output. */
+case class MediaFeatures(media_id: Long, n_bytes: Long, content_hash: String,
+                         feat: Array[Float])
+
+/** Multimodal-column plumbing: binary payloads with typed metadata, a
+  * partition-batched feature extractor, and deterministic frame sampling.
+  *
+  * The DECODE step is a clearly-marked STUB (image/audio codecs are not in
+  * this container): [[stubDecode]] derives deterministic fake features from
+  * the bytes. Everything around it — the schema, the typed
+  * `mapPartitions` with explicit batching (the JVM analog of a Pandas-UDF
+  * `mapInPandas` batch shape), the per-record hashing, the frame explode —
+  * is real, tested, and oracle-checked.
+  */
+object Multimodal {
+
+  val BatchSize = 64
+  val FrameChars = 16
+
+  /** Demonstration media source: documents' text bytes as `binary` payload. */
+  def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("mime"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decoder ??? — replace with a real codec (JPEG/PNG/audio) when the
+    * native libs are present. Deterministic fake: 4 floats derived from the
+    * payload length and first bytes. */
+  private def stubDecode(payload: Array[Byte]): Array[Float] = {
+    val n = payload.length
+    Array(
+      n.toFloat,
+      (if (n > 0) payload(0) & 0xff else 0).toFloat,
+      (if (n > 1) payload(1) & 0xff else 0).toFloat,
+      (n % 255).toFloat)
+  }
+
+  private def md5hex(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** Feature extraction over partition-local batches: each executor thread
+    * pulls [[BatchSize]] records at a time (amortizing decoder init exactly
+    * like a Pandas-UDF batch), hashes the payload, and runs the (stub)
+    * decoder. Typed Dataset in/out — no driver round-trip, scales with
+    * partitions. */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        // decoder/codec init would happen once per batch here
+        batch.iterator.map { m =>
+          MediaFeatures(m.media_id, m.payload.length.toLong,
+            md5hex(m.payload), stubDecode(m.payload))
+        }
+      }
+    }
+  }
+
+  /** Deterministic frame sampling: fixed-size chunks of the payload (the
+    * video-frame / audio-window access pattern), one output row per frame.
+    * Chunking is on the text domain so the oracle can recompute it. */
+  def sampleFrames(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+      val nFrames = (s.length + FrameChars - 1) / FrameChars
+      (0 until nFrames).map { i =>
+        val chunk = s.substring(i * FrameChars, math.min((i + 1) * FrameChars, s.length))
+        (m.media_id, i, md5hex(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    }.toDF("media_id", "frame_idx", "frame_hash")
+  }
+
+  // --- oracle-gated query entry points -------------------------------------
+
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
+    extractFeatures(media)
+      .select(col("media_id"), col("n_bytes"), col("content_hash"))
+      .orderBy("media_id")
+  }
+
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
+    sampleFrames(media)
+      .select(col("media_id"), col("frame_idx").cast("int").as("frame_idx"), col("frame_hash"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       md5(text) AS content_hash
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "multimodal_frames" ->
+      s"""SELECT doc_id AS media_id, CAST(f.i AS INTEGER) AS frame_idx,
+         |       md5(substr(text, f.i * $FrameChars + 1, $FrameChars)) AS frame_hash
+         |FROM documents,
+         |     LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // $FrameChars)) AS i) f
+         |WHERE length(text) > 0
+         |ORDER BY media_id, frame_idx""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames"   -> (multimodalFrames _),
+  )
+}

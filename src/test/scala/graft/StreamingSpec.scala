@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{Event, StreamingOps}
+
+/** Drives the streaming operators through MemoryStream micro-batches,
+  * including watermark-driven session closure. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  test("hourlyByType aggregates tumbling windows per event type") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.hourlyByType(ms.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("update").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(20), 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .select("event_type", "n_events", "sum_value")
+        .orderBy("event_type").collect().toSeq.map(_.toSeq)
+      rows shouldBe Seq(Seq("click", 2L, 3.0), Seq("view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session on gap and on watermark timeout") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.sessionize(ms.toDS(), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // session 1: user 1, events at minute 0 and 10 (same session)
+      ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 1.0))
+      q.processAllAvailable()
+      // event far past the gap: closes session 1 in-function, starts session 2
+      ms.addData(Event(3, ts(120), 1, "click", 1.0))
+      q.processAllAvailable()
+      val closedByGap = spark.table("sessions").as[(Long, Long, Long, Int)].collect().toSeq
+      closedByGap should contain ((1L, ts(0).getTime, ts(10).getTime, 2))
+      // advance watermark far enough that session 2 times out
+      ms.addData(Event(4, ts(600), 2, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(5, ts(1200), 2, "click", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[(Long, Long, Long, Int)].collect().toSeq
+      all should contain ((1L, ts(120).getTime, ts(120).getTime, 1))
+    } finally q.stop()
+  }
+}
