@@ -79,7 +79,26 @@ object Tpch {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  /** ROLLUP grouping-sets aggregation (order year × priority with subtotal
+    * and grand-total rows) — the distinct/cube/rollup surface the reference
+    * lacks (SURVEY.md §2.3). NULL ordering pinned to NULLS FIRST on both
+    * engines. */
+  def qRollupOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .rollup(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast(DecimalType(28, 10))), 2).cast("double").as("sum_price"))
+      .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   val oracle: Map[String, String] = Map(
+    "q_rollup_orders" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+        |       count(*) AS n_orders,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+        |ORDER BY yr ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_qty,
@@ -128,5 +147,6 @@ object Tpch {
     "q1_pricing_summary"       -> (q1PricingSummary _),
     "q3_shipping_priority"     -> (q3ShippingPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q_rollup_orders"          -> (qRollupOrders _),
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Unit-level checks for the text/dedup primitives on hand-built fixtures
+  * (the oracle gate covers the full queries; these pin the building blocks). */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tokens: whitespace split with empty-text guard") {
+    val df = Seq("a  b\tc", "  ", "solo").toDF("text")
+      .select(Portable.tokens(col("text")).as("t"))
+    df.as[Seq[String]].collect().toSeq shouldBe
+      Seq(Seq("a", "b", "c"), Seq.empty, Seq("solo"))
+  }
+
+  test("shingles3: distinct sliding 3-grams, short docs yield none") {
+    val df = Seq("a b c d", "a b", "x x x x x").toDF("text")
+      .select(Portable.tokens(col("text")).as("tk"))
+      .select(Portable.shingles3(col("tk")).as("s"))
+    df.as[Seq[String]].collect().toSeq shouldBe Seq(
+      Seq("a b c", "b c d"), Seq.empty, Seq("x x x")) // distinct dedupes repeats
+  }
+
+  test("hash60 matches the DuckDB formulation on a known value") {
+    // duckdb: SELECT ('0x'||substr(md5('hello'),1,15))::BIGINT -> 419982666956583591
+    Seq("hello").toDF("s").select(Portable.hash60(col("s")))
+      .as[Long].collect()(0) shouldBe 419982666956583591L
+  }
+
+  test("cosine6 on orthogonal and identical vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0))
+    ).toDF("a", "b")
+      .select(Portable.cosine6(col("a"), col("b"),
+        Portable.l2norm(col("a")), Portable.l2norm(col("b"))).as("c"))
+    df.as[Double].collect().toSeq shouldBe Seq(0.0, 1.0)
+  }
+
+  test("batch sessionization groups events by 30-minute gaps") {
+    // Build a tiny events table through the same operator as the oracle query.
+    import graft.extensions.Events
+    val base = 1700000000000000L // epoch micros
+    val evs = Seq(
+      // user 1: events at 0, 10, 20 min (one session), then 120 min (second)
+      (1L, base, 1L), (2L, base + 10L * 60000000L, 1L),
+      (3L, base + 20L * 60000000L, 1L), (4L, base + 120L * 60000000L, 1L),
+      // user 2: single event
+      (5L, base, 2L))
+      .toDF("event_id", "us", "user_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-events").toString
+    // events table layout: ts arrives as int64 nanos (Tables.events divides
+    // back to micros); emulate by writing micros*1000 as a long column.
+    evs.select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.eventsSessions(spark, tmp)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq((1L, 2L, 3L, 4L), (2L, 1L, 1L, 1L))
+  }
+}
