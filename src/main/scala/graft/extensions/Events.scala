@@ -47,7 +47,35 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** 7-day moving aggregate per event type over daily pre-aggregates —
+    * frame-based window function surface (ROWS BETWEEN 6 PRECEDING AND
+    * CURRENT ROW over one row per (type, day)). */
+  def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    // to_date: DuckDB's date_trunc('day') yields DATE (not TIMESTAMP) — match it
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(round(sum(col("value").cast(DecimalType(28, 10))), 2).cast("double").as("daily_value"))
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .select(col("day"), col("event_type"), col("daily_value"),
+        round(sum("daily_value").over(w) / count(lit(1)).over(w), 6).as("avg_7d"))
+      .orderBy("event_type", "day")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type,
+        |         CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS daily_value
+        |  FROM events GROUP BY date_trunc('day', ts), event_type
+        |)
+        |SELECT day, event_type, daily_value,
+        |       round(sum(daily_value) OVER w / count(*) OVER w, 6) AS avg_7d
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n_events,
@@ -80,7 +108,8 @@ object Events {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_hourly"   -> (eventsHourly _),
-    "events_sessions" -> (eventsSessions _),
+    "events_hourly"     -> (eventsHourly _),
+    "events_sessions"   -> (eventsSessions _),
+    "events_moving_avg" -> (eventsMovingAvg _),
   )
 }

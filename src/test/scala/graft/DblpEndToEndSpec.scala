@@ -1,0 +1,43 @@
+package graft
+
+import graft.model.Dblp
+import graft.queries.DblpQueries
+import graft.sources.Sinks
+
+/** End-to-end: line-XML file → readLineXml → queries → CSV sink, the full
+  * reference pipeline shape (S2→S3→P*→A*→K*→S4) through the public API. */
+class DblpEndToEndSpec extends SparkTestBase {
+
+  private lazy val fixturePath =
+    getClass.getResource("/dblp_fixture.txt").getPath
+
+  test("readLineXml → t1 over the golden fixture") {
+    val pubs = Dblp.readLineXml(spark, fixturePath)
+    pubs.count() shouldBe 11L
+    val t1 = rows(DblpQueries.t1TopAuthorsPerVenue(pubs, k = 2))
+    t1 shouldBe Seq(
+      Seq("BadJ", "NoYear", 1L), // year filter is t2-only (reference parity)
+      Seq("Comm, ACM", "Smith, John", 1L), // Q1: comma names intact
+      Seq("MIT", "Heidi", 1L),
+      Seq("SIGMOD", "Bob", 1L), Seq("SIGMOD", "Carol", 1L), // k=2 eviction
+      Seq("Springer", "Grace", 1L),
+      Seq("TODS", "Alice", 3L), Seq("TODS", "Bob", 1L),
+      Seq("VLDB", "Frank", 1L),               // editor fallback
+      Seq("homepages/x/Alice", "Alice", 1L))  // www key-prefix venue
+  }
+
+  test("t2 finds Alice's 3-year streak; no-year record dropped") {
+    val pubs = Dblp.readLineXml(spark, fixturePath)
+    rows(DblpQueries.t2ConsecutiveYears(pubs, minStreak = 3)) shouldBe
+      Seq(Seq("Alice", 3L))
+  }
+
+  test("CSV sink round-trips with configurable separator (S4)") {
+    val pubs = Dblp.readLineXml(spark, fixturePath)
+    val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    Sinks.writeCsv(DblpQueries.t1TopAuthorsPerVenue(pubs, k = 2), s"$out/t1", sep = "|")
+    val back = spark.read.option("sep", "|").option("header", "true").csv(s"$out/t1")
+    back.count() shouldBe 10L
+    back.columns.toSeq shouldBe Seq("venue", "author", "cnt")
+  }
+}
