@@ -62,7 +62,40 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Event-time AS-OF join composed from window primitives (no custom
+    * operator needed): for each purchase, the most recent strictly-prior
+    * click by the same user. One shuffle on user_id; the running-max frame
+    * keeps O(1) state per row — the 100 TB-safe as-of formulation. */
+  def eventsAsofAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev
+      .withColumn("prev_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        timestamp_micros(col("prev_click_us")).as("prev_click_ts"))
+      .orderBy("event_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "events_asof_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events
+        |), w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |         max(CASE WHEN event_type = 'click' THEN us END)
+        |           OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us
+        |  FROM ev
+        |)
+        |SELECT event_id, user_id, ts, make_timestamp(prev_us) AS prev_click_ts
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
     "events_moving_avg" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, event_type,
@@ -108,8 +141,9 @@ object Events {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "events_hourly"     -> (eventsHourly _),
-    "events_sessions"   -> (eventsSessions _),
-    "events_moving_avg" -> (eventsMovingAvg _),
+    "events_hourly"           -> (eventsHourly _),
+    "events_sessions"         -> (eventsSessions _),
+    "events_moving_avg"       -> (eventsMovingAvg _),
+    "events_asof_attribution" -> (eventsAsofAttribution _),
   )
 }

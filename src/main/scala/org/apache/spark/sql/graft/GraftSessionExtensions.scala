@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer: registers the graft native expressions
+  * as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` and
+  * `expr("graft_dot(...)")` work in any session built with
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSessionExtensions")
+  * }}}
+  *
+  * (the canonical extension mechanism — no fork of the function registry,
+  * composes with other extension jars).
+  */
+class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductDouble].getName, null, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot takes exactly 2 arguments")
+        DotProductDouble(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+import graft.sources.Catalog
+
+/** The SQL layer, session-extension function registration, and skew
+  * helpers. */
+class SqlSurfaceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Catalog.sql runs arbitrary SQL over the registered tables") {
+    val r = Catalog.sql(spark, sf,
+      """SELECT n_name, count(*) AS n FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3""".stripMargin)
+    r.count() shouldBe 3L
+    r.columns.toSeq shouldBe Seq("n_name", "n")
+  }
+
+  test("graft_dot is callable from SQL via SparkSessionExtensions") {
+    // A fresh session over the SAME SparkContext with extensions installed
+    // (getOrCreate would hand back the default session and skip extension
+    // application, so clear and restore the default around it).
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // spark.sql.extensions is a static conf read from the SparkContext at
+      // its creation; with a pre-existing test context, install via the
+      // builder's withExtensions hook (same code path the conf triggers).
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new org.apache.spark.sql.graft.GraftSessionExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+        .collect()(0).getDouble(0)
+      r shouldBe 32.0
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  test("salted aggregation equals direct groupBy") {
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 37}", i.toDouble))
+      .toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum"))
+      .orderBy("k").collect().toSeq.map(_.toSeq)
+    val saltedC = Skew.saltedCount(df, Seq(col("k")), salt = 8).orderBy("k")
+      .collect().toSeq.map(_.toSeq)
+    val saltedS = Skew.saltedSum(df, Seq(col("k")), col("v"), salt = 8).orderBy("k")
+      .collect().toSeq.map(_.toSeq)
+    saltedC shouldBe direct.map(r => Seq(r(0), r(1)))
+    saltedS shouldBe direct.map(r => Seq(r(0), r(2)))
+  }
+}
