@@ -59,13 +59,19 @@ object Tables {
         o("o_orderkey").cast("string").as("title"))
   }
 
-  /** One row per (publication, author): distinct (l_orderkey, s_name). */
+  /** One row per (publication, author): distinct (l_orderkey, s_name).
+    * Deduped on the narrow (orderkey, suppkey) key pair BEFORE the name
+    * join — the distinct's shuffle moves two longs per row instead of
+    * long+string, and the join input shrinks to the deduped pairs
+    * (s_name is functionally dependent on s_suppkey, so the result set is
+    * identical). */
   def pubAuthors(spark: SparkSession, dir: String): DataFrame = {
-    val l = lineitem(spark, dir)
-    val s = supplier(spark, dir)
-    l.join(s, l("l_suppkey") === s("s_suppkey"))
-      .select(l("l_orderkey").as("pub_key"), s("s_name").as("author"))
+    val pairs = lineitem(spark, dir)
+      .select(col("l_orderkey").as("pub_key"), col("l_suppkey"))
       .distinct()
+    val s = supplier(spark, dir)
+    pairs.join(s, pairs("l_suppkey") === s("s_suppkey"))
+      .select(col("pub_key"), s("s_name").as("author"))
   }
 
   /** Author-list size per publication: (pub_key, na). */

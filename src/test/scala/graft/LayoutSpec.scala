@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sinks
+
+/** Physical-layout levers for 100 TB: bucketed co-located joins (no
+  * exchange on the join key) and hive-partitioned pruning (scan touches
+  * only matching directories). Asserted on the actual physical plans. */
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle exchange") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketing co-locates both sides: the join itself needs no exchange
+    // (the only exchange allowed is the final aggregation's, and even that
+    // is avoided since grouping matches the bucket key)
+    val joinSubtree = plan.split("HashAggregate").head
+    joinSubtree should not include "Exchange"
+    joined.count() shouldBe lineitem.select("l_orderkey").distinct().count()
+  }
+
+  test("partitioned parquet scans prune to the filtered partitions") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val events = graft.sources.Tables.events(spark, sf)
+      .withColumn("event_date", to_date(col("ts")))
+    Sinks.writeParquet(events, s"$out/events", partitionBy = Seq("event_type"))
+    val read = spark.read.parquet(s"$out/events")
+      .filter(col("event_type") === "click")
+    val scan = read.queryExecution.executedPlan.toString
+    scan should include ("PartitionFilters")
+    scan should include ("event_type")
+    read.select("event_type").distinct().as[String].collect().toSeq shouldBe Seq("click")
+  }
+}
