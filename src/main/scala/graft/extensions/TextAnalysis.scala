@@ -98,6 +98,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish subword tokenization by regex: runs of letters, runs of digits,
+    * or single non-space symbols — the pre-merge segmentation a BPE
+    * tokenizer starts from. Pattern is RE2/Java-identical. */
+  def textSubwordTokens(spark: SparkSession, dir: String): DataFrame =
+    withToksDf(spark, dir).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_words"),
+      size(expr("""regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)"""))
+        .cast("long").as("n_subwords"))
+      .orderBy("doc_id")
+
+  /** Winnowing-style rolling fingerprint: the 5 smallest 60-bit hashes over
+    * the document's character 8-grams, comma-joined. Shared prefixes/suffixes
+    * between near-dups keep fingerprint elements stable — the classic
+    * MOSS/winnowing selection, with global-min-k instead of per-window min
+    * (deterministic and SQL-expressible on both engines). */
+  def textWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"),
+        Portable.hash60(expr("substring(text, i, 8)")).as("h"))
+      .distinct()
+    grams.groupBy("doc_id")
+      .agg(concat_ws(",",
+        transform(slice(array_sort(collect_list(col("h"))), 1, 5), _.cast("string")))
+        .as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit SimHash over whitespace tokens (bit j set iff Σ±1 over token-hash
     * bit j is ≥ 0). Distributed formulation: explode tokens × bits, two hash
     * aggregations — per-row state is O(1), no per-doc arrays, so the plan
@@ -185,6 +216,25 @@ object TextAnalysis {
          |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    "text_subword_tokens" ->
+      s"""$withToks
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_subwords
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id,
+        |         ('0x' || substr(md5(substring(text, i, 8)), 1, 15))::BIGINT AS h
+        |  FROM documents,
+        |       LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS i) gs
+        |  WHERE length(text) >= 8
+        |)
+        |SELECT doc_id,
+        |       array_to_string(list_transform(list_sort(list(h))[1:5], x -> x::VARCHAR), ',') AS fingerprint
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_simhash" ->
       s"""$withToks
          |, th AS (
@@ -202,10 +252,12 @@ object TextAnalysis {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_stats"       -> (textStats _),
-    "text_quality"     -> (textQuality _),
-    "text_langid"      -> (textLangId _),
-    "text_fingerprint" -> (textFingerprint _),
-    "text_simhash"     -> (textSimhash _),
+    "text_stats"              -> (textStats _),
+    "text_quality"            -> (textQuality _),
+    "text_langid"             -> (textLangId _),
+    "text_fingerprint"        -> (textFingerprint _),
+    "text_simhash"            -> (textSimhash _),
+    "text_subword_tokens"     -> (textSubwordTokens _),
+    "text_winnow_fingerprint" -> (textWinnowFingerprint _),
   )
 }

@@ -1,8 +1,18 @@
 package graft.model
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+/** Typed publication record — the case-class facade over the normalized
+  * relation (SURVEY.md §1.5). `years` keeps its arity for the P3 guard. */
+case class Publication(
+    key: String,
+    recordType: String,
+    venue: String,
+    authors: Seq[String],
+    title: String,
+    years: Seq[Int])
 
 /** DBLP data model — the reference's input format re-expressed as a Spark
   * source (reference: dblpXMLparser.scala whole-DOM preprocessor + per-record
@@ -76,4 +86,16 @@ object Dblp {
     * dblpXMLparser.scala:96) into the normalized publication relation. */
   def readLineXml(spark: SparkSession, path: String): DataFrame =
     normalize(spark.read.text(path).toDF("value"))
+
+  /** Typed view of the same relation (`Dataset[Publication]`) for callers
+    * who want compile-time field safety; nulls become empty values so the
+    * typed API never NPEs on absent fields. */
+  def readLineXmlTyped(spark: SparkSession, path: String): Dataset[Publication] = {
+    import spark.implicits._
+    readLineXml(spark, path)
+      .na.fill("", Seq("key", "recordType", "venue", "title"))
+      .withColumn("authors", coalesce(col("authors"), array()))
+      .withColumn("years", coalesce(col("years"), array().cast("array<int>")))
+      .as[Publication]
+  }
 }

@@ -32,6 +32,16 @@ class DblpEndToEndSpec extends SparkTestBase {
       Seq(Seq("Alice", 3L))
   }
 
+  test("typed Dataset facade exposes fields with compile-time safety") {
+    import spark.implicits._
+    val pubs = Dblp.readLineXmlTyped(spark, fixturePath)
+    val alice = pubs.filter(_.authors.contains("Alice")).map(_.key).collect().sorted
+    alice.toSeq shouldBe Seq("homepages/x/Alice/home", "journals/tods/A1",
+      "journals/tods/A2", "journals/tods/A3")
+    pubs.filter(_.years.isEmpty).map(_.key).collect().toSeq shouldBe
+      Seq("homepages/x/Alice/home", "journals/bad/N1")
+  }
+
   test("CSV sink round-trips with configurable separator (S4)") {
     val pubs = Dblp.readLineXml(spark, fixturePath)
     val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
