@@ -90,7 +90,72 @@ object Tpch {
         round(sum(col("o_totalprice").cast(DecimalType(28, 10))), 2).cast("double").as("sum_price"))
       .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Anti-join + semi-join surface: per nation, customers with no orders vs
+    * customers with at least one 'F' order. LeftAnti/LeftSemi plan shapes —
+    * no row multiplication, no wide shuffle of the probe side's payload. */
+  def qCustomerActivity(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val inactive = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_inactive"))
+    val fulfilled = c.join(
+        o.filter(col("o_orderstatus") === "F"),
+        c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_f_order"))
+    broadcast(n)
+      .join(inactive, n("n_nationkey") === inactive("c_nationkey"), "left")
+      .drop("c_nationkey")
+      .join(fulfilled, n("n_nationkey") === fulfilled("c_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_inactive"), lit(0L)).as("n_inactive"),
+        coalesce(col("n_with_f_order"), lit(0L)).as("n_with_f_order"))
+      .orderBy("n_name")
+  }
+
+  /** Distinct aggregation surface: exact count_distinct per order priority
+    * (the approx_count_distinct/HLL variant is the same call shape with
+    * bounded state — exposed via functions.approx_count_distinct). */
+  def qDistinctCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy("o_orderpriority")
+
   val oracle: Map[String, String] = Map(
+    "q_customer_activity" ->
+      """WITH inactive AS (
+        |  SELECT c_nationkey, count(*) AS n_inactive
+        |  FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  GROUP BY c_nationkey
+        |), fulfilled AS (
+        |  SELECT c_nationkey, count(*) AS n_with_f_order
+        |  FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |  GROUP BY c_nationkey
+        |)
+        |SELECT n_name,
+        |       coalesce(i.n_inactive, 0) AS n_inactive,
+        |       coalesce(f.n_with_f_order, 0) AS n_with_f_order
+        |FROM nation
+        |LEFT JOIN inactive i ON n_nationkey = i.c_nationkey
+        |LEFT JOIN fulfilled f ON n_nationkey = f.c_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q_distinct_counts" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_customers,
+        |       count(DISTINCT l_suppkey) AS n_suppliers,
+        |       count(*) AS n_lineitems
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_rollup_orders" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
         |       count(*) AS n_orders,
@@ -148,5 +213,7 @@ object Tpch {
     "q3_shipping_priority"     -> (q3ShippingPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q_rollup_orders"          -> (qRollupOrders _),
+    "q_customer_activity"      -> (qCustomerActivity _),
+    "q_distinct_counts"        -> (qDistinctCounts _),
   )
 }
