@@ -84,6 +84,15 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same id within the
+    * watermark horizon (state = one entry per id, expired by watermark —
+    * the bounded-state streaming twin of Dedup.dedupExact). */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(idCol, "ts")
+
   /** File-stream entry point: tail a parquet directory as an event stream
     * (schema pinned from a batch read so the stream starts without
     * inference). */

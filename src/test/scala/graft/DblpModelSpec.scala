@@ -66,6 +66,20 @@ class DblpModelSpec extends SparkTestBase {
     r shouldBe (("Comm, ACM", "Smith, John"))
   }
 
+  test("malformed XML lines survive as null-field rows (PERMISSIVE), filtered by garbage guards") {
+    val bad = Dblp.normalize(Seq(
+      "<article key=\"ok/1\"><author>A</author><title>T</title><journal>J</journal><year>2000</year></article>",
+      "not xml at all",
+      "<article key=\"broken/2\"><author>Unclosed").toDF("value"))
+    bad.count() shouldBe 3L // nothing thrown, nothing silently dropped
+    // non-XML gets venue "No venue available" (reference parity) but empty
+    // authors; the unclosed record parses to all-null fields — the combined
+    // venue+author garbage guards drop both junk rows
+    val clean = bad.filter($"venue".isNotNull && $"venue" =!= "" &&
+      org.apache.spark.sql.functions.size($"authors") > 0 && $"title".isNotNull)
+    clean.select("key").as[String].collect().toSeq shouldBe Seq("ok/1")
+  }
+
   test("year arity preserved for the P3 guard") {
     val arities = pubs
       .select($"key", when($"years".isNull, 0)

@@ -32,6 +32,20 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered ids within the watermark") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.dedupStream(ms.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 1.0))
+      q.processAllAvailable()
+      spark.table("dedup").count() shouldBe 2L
+    } finally q.stop()
+  }
+
   test("sessionize closes a session on gap and on watermark timeout") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
