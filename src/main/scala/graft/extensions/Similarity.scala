@@ -57,14 +57,18 @@ object Similarity {
     * Top-k per query by exact (rounded) cosine within the bucket. */
   def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
     val vs = vectors(spark, dir)
-    // signature: explode (vec × plane × dim), sum component products, sign bit.
+    // Plane weights depend only on (plane, dim) — materialize the 8×64
+    // table once and broadcast it, instead of re-deriving the md5-based
+    // weight per (vector × dim × plane) row.
+    val planes = spark.range(NumPlanes).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("i")))
+      .select(col("j"), col("i"), planeComponent(col("j"), col("i")).as("w"))
     // posexplode is 0-based; +1 aligns with DuckDB's 1-based generate_subscripts.
     val comp = vs
       .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
       .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
-      .crossJoin(broadcast(spark.range(NumPlanes).select(col("id").cast("int").as("j"))))
-      .select(col("vec_id"), col("j"),
-        (col("x") * planeComponent(col("j"), col("i"))).as("p"))
+      .join(broadcast(planes), "i")
+      .select(col("vec_id"), col("j"), (col("x") * col("w")).as("p"))
     val sigs = comp.groupBy("vec_id", "j")
       .agg(sum("p").as("dotp"))
       .groupBy("vec_id")
