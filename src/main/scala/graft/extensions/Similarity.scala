@@ -56,25 +56,7 @@ object Similarity {
   /** LSH-bucketed ANN: 8-bit sign signature; candidates share the bucket.
     * Top-k per query by exact (rounded) cosine within the bucket. */
   def simTopkLsh(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
-    // Plane weights depend only on (plane, dim) — materialize the 8×64
-    // table once and broadcast it, instead of re-deriving the md5-based
-    // weight per (vector × dim × plane) row.
-    val planes = spark.range(NumPlanes).select(col("id").cast("int").as("j"))
-      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("i")))
-      .select(col("j"), col("i"), planeComponent(col("j"), col("i")).as("w"))
-    // posexplode is 0-based; +1 aligns with DuckDB's 1-based generate_subscripts.
-    val comp = vs
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
-      .join(broadcast(planes), "i")
-      .select(col("vec_id"), col("j"), (col("x") * col("w")).as("p"))
-    val sigs = comp.groupBy("vec_id", "j")
-      .agg(sum("p").as("dotp"))
-      .groupBy("vec_id")
-      .agg(sum(when(round(col("dotp"), 9) >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("bucket"))
-    val withSig = vs.join(sigs, "vec_id")
+    val withSig = withBuckets(spark, dir)
     val q = withSig.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("qb"))
@@ -90,6 +72,40 @@ object Similarity {
       .orderBy(col("query_id").asc, col("cos_sim").desc, col("neighbor_id").asc)
   }
 
+  /** Shared: vectors with their LSH bucket (8-bit hyperplane signature). */
+  private def withBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val planes = spark.range(NumPlanes).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("i")))
+      .select(col("j"), col("i"), planeComponent(col("j"), col("i")).as("w"))
+    val comp = vs
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+      .join(broadcast(planes), "i")
+      .select(col("vec_id"), col("j"), (col("x") * col("w")).as("p"))
+    val sigs = comp.groupBy("vec_id", "j")
+      .agg(sum("p").as("dotp"))
+      .groupBy("vec_id")
+      .agg(sum(when(round(col("dotp"), 9) >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("bucket"))
+    vs.join(sigs, "vec_id")
+  }
+
+  /** Embedding near-dup at scale: candidate pairs only within an LSH bucket,
+    * then the exact (rounded) cosine threshold — the bucket self-join bounds
+    * pair generation by bucket size instead of O(n²). Recall < 1 by design;
+    * the oracle implements the same approximation. */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
+    val b = withBuckets(spark, dir)
+    b.as("x").join(b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        graft.functions.Portable.cosine6(col("x.v"), col("y.v"),
+          col("x.nrm"), col("y.nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val posAndNorm =
@@ -99,6 +115,24 @@ object Similarity {
       |), nrm AS (
       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pos GROUP BY vec_id
       |)""".stripMargin
+
+  /** Shared planes+signature SQL (mirrors [[withBuckets]]). */
+  private val sigSql =
+    s""", planes AS (
+       |  SELECT j, i,
+       |         ((('0x' || substr(md5('plane' || '_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000))::DOUBLE / 1000.0 AS w
+       |  FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS j) js
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+       |), sig AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT pos.vec_id, planes.j, round(sum(pos.x * planes.w), 9) AS s
+       |    FROM pos JOIN planes ON pos.i = planes.i
+       |    GROUP BY pos.vec_id, planes.j
+       |  ) sub
+       |  GROUP BY vec_id
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "sim_topk_bruteforce" ->
@@ -119,22 +153,8 @@ object Similarity {
          |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
 
     "sim_topk_lsh" ->
-      s"""$posAndNorm
-         |, planes AS (
-         |  SELECT j, i,
-         |         ((('0x' || substr(md5('plane' || '_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000))::DOUBLE / 1000.0 AS w
-         |  FROM (SELECT unnest(generate_series(0, ${NumPlanes - 1})) AS j) js
-         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
-         |), sig AS (
-         |  SELECT vec_id,
-         |         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM (
-         |    SELECT pos.vec_id, planes.j, round(sum(pos.x * planes.w), 9) AS s
-         |    FROM pos JOIN planes ON pos.i = planes.i
-         |    GROUP BY pos.vec_id, planes.j
-         |  ) sub
-         |  GROUP BY vec_id
-         |), d AS (
+      s"""$posAndNorm$sigSql
+         |, d AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
          |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id < $NumQueries
@@ -152,10 +172,28 @@ object Similarity {
          |)
          |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
          |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""$posAndNorm$sigSql
+         |, cand AS (
+         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |), dots AS (
+         |  SELECT cand.vec_a, cand.vec_b, sum(p.x * q.x) AS dot
+         |  FROM cand
+         |  JOIN pos p ON p.vec_id = cand.vec_a
+         |  JOIN pos q ON q.vec_id = cand.vec_b AND p.i = q.i
+         |  GROUP BY cand.vec_a, cand.vec_b
+         |)
+         |SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+         |FROM dots JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id
+         |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_lsh"        -> (simTopkLsh _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
   )
 }
