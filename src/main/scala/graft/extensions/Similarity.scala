@@ -106,6 +106,42 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Every CentStride-th vector serves as an IVF centroid (deterministic
+    * "training"; a real pipeline would k-means — the partition/probe
+    * dataflow is identical). */
+  val CentStride = 40
+
+  /** IVF-style ANN: vectors are assigned to their nearest centroid
+    * (inverted lists); a query probes only its own centroid's list
+    * (nprobe=1). Assignment cost O(n·k) with the centroid set broadcast;
+    * search cost bounded by list size. Recall < 1 by design; the oracle
+    * implements the same approximation. */
+  def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val cents = vs.filter(col("vec_id") % CentStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assign = vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        Portable.cosine6(col("v"), col("cv"), col("nrm"), col("cn")).as("cc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id").asc)))
+      .filter(col("rk") === 1)
+      .select("vec_id", "cent_id")
+    val members = vs.join(assign, "vec_id")
+    val q = members.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cent_id").as("qc"))
+    broadcast(q)
+      .join(members, col("cent_id") === col("qc") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Portable.cosine6(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rk") <= TopK)
+      .select("query_id", "neighbor_id", "cos_sim")
+      .orderBy(col("query_id").asc, col("cos_sim").desc, col("neighbor_id").asc)
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val posAndNorm =
@@ -173,6 +209,42 @@ object Similarity {
          |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
          |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
 
+    "sim_topk_ivf" ->
+      s"""$posAndNorm
+         |, cdots AS (
+         |  SELECT a.vec_id, b.vec_id AS cent_id, sum(a.x * b.x) AS dot
+         |  FROM pos a JOIN pos b ON a.i = b.i AND b.vec_id % $CentStride = 0
+         |  GROUP BY a.vec_id, b.vec_id
+         |), assign AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT c.vec_id, c.cent_id,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |             ORDER BY round(c.dot / (na.nrm * nc.nrm), 6) DESC, c.cent_id ASC) AS rk
+         |    FROM cdots c
+         |    JOIN nrm na ON c.vec_id = na.vec_id
+         |    JOIN nrm nc ON c.cent_id = nc.vec_id
+         |  ) WHERE rk = 1
+         |), cand AS (
+         |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id
+         |  FROM assign q JOIN assign m ON q.cent_id = m.cent_id AND m.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NumQueries
+         |), dots AS (
+         |  SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
+         |  FROM cand
+         |  JOIN pos a ON a.vec_id = cand.query_id
+         |  JOIN pos b ON b.vec_id = cand.neighbor_id AND a.i = b.i
+         |  GROUP BY cand.query_id, cand.neighbor_id
+         |), scored AS (
+         |  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+         |  FROM dots JOIN nrm nq ON query_id = nq.vec_id JOIN nrm nc ON neighbor_id = nc.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+
     "dedup_embedding_lsh" ->
       s"""$posAndNorm$sigSql
          |, cand AS (
@@ -195,5 +267,6 @@ object Similarity {
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_lsh"        -> (simTopkLsh _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "sim_topk_ivf"        -> (simTopkIvf _),
   )
 }
