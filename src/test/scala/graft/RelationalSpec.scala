@@ -88,6 +88,22 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("topKPerGroup is the k-prefix of the per-group full sort (property)") {
+    val rnd = new scala.util.Random(5)
+    val data = (1 to 400).map { i =>
+      (s"g${rnd.nextInt(6)}", s"n$i", rnd.nextInt(20).toLong)
+    }
+    val df = data.toDF("g", "name", "cnt")
+    val k = 3
+    val got = Relational
+      .topKPerGroup(df, Seq(col("g")), Seq(col("cnt").desc, col("name").asc), k)
+      .as[(String, String, Long)].collect().toSet
+    val expected = data.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._2)).take(k)
+    }.toSet
+    got shouldBe expected
+  }
+
   test("longestRunPerKey agrees with the array-based formulation") {
     val data = Seq(
       ("a", 2000), ("a", 2001), ("a", 2001), ("a", 2003), ("a", 2004), ("a", 2005),
