@@ -105,9 +105,7 @@ object Dedup {
     * Brute-force pairs here; the LSH-bucketed scale path lives in
     * [[Similarity]]. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(
-      col("vec_id"), Portable.asDouble(col("embedding")).as("v"))
-    val n = e.select(col("vec_id"), col("v"), Portable.l2norm(col("v")).as("nrm"))
+    val n = Similarity.vectors(spark, dir)
     n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         Portable.cosine6(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")).as("cos_sim"))

@@ -75,14 +75,20 @@ object Multimodal {
 
   /** Deterministic frame sampling: fixed-size chunks of the payload (the
     * video-frame / audio-window access pattern), one output row per frame.
-    * Chunking is on the text domain so the oracle can recompute it. */
+    * Chunking is on the text domain so the oracle can recompute it —
+    * counted in CODEPOINTS, not UTF-16 units, because DuckDB's
+    * length/substr are codepoint-based and a surrogate pair must never be
+    * split across a frame boundary. */
   def sampleFrames(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-      val nFrames = (s.length + FrameChars - 1) / FrameChars
+      val cps = s.codePoints().toArray
+      val nFrames = (cps.length + FrameChars - 1) / FrameChars
       (0 until nFrames).map { i =>
-        val chunk = s.substring(i * FrameChars, math.min((i + 1) * FrameChars, s.length))
+        val from = i * FrameChars
+        val len = math.min(FrameChars, cps.length - from)
+        val chunk = new String(cps, from, len)
         (m.media_id, i, md5hex(chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       }
     }.toDF("media_id", "frame_idx", "frame_hash")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
+import graft.ops.Relational
 import graft.sources.Tables
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
@@ -24,7 +25,8 @@ object Similarity {
   val NumQueries = 10 // queries are vec_id < 10
   val NumPlanes = 8
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  /** Shared vector projection (doubles + norm); also used by Dedup. */
+  private[extensions] def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), Portable.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Portable.l2norm(col("v")))
@@ -39,12 +41,7 @@ object Similarity {
     val scored = broadcast(q).join(vs, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Portable.cosine6(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rk") <= TopK)
-      .select("query_id", "neighbor_id", "cos_sim")
-      .orderBy(col("query_id").asc, col("cos_sim").desc, col("neighbor_id").asc)
+    topK(scored)
   }
 
   /** Pseudo-random hyperplane component for (plane j, dim i) in [-1, 1):
@@ -64,13 +61,16 @@ object Similarity {
       .join(withSig, col("bucket") === col("qb") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Portable.cosine6(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rk") <= TopK)
+    topK(scored)
+  }
+
+  /** Per-query top-k on the rounded cosine (shared K1 operator). */
+  private def topK(scored: DataFrame): DataFrame =
+    Relational
+      .topKPerGroup(scored, Seq(col("query_id")),
+        Seq(col("cos_sim").desc, col("neighbor_id").asc), TopK)
       .select("query_id", "neighbor_id", "cos_sim")
       .orderBy(col("query_id").asc, col("cos_sim").desc, col("neighbor_id").asc)
-  }
 
   /** Shared: vectors with their LSH bucket (8-bit hyperplane signature). */
   private def withBuckets(spark: SparkSession, dir: String): DataFrame = {
@@ -135,11 +135,7 @@ object Similarity {
       .join(members, col("cent_id") === col("qc") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Portable.cosine6(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rk") <= TopK)
-      .select("query_id", "neighbor_id", "cos_sim")
-      .orderBy(col("query_id").asc, col("cos_sim").desc, col("neighbor_id").asc)
+      .transform(topK)
   }
 
   // --- DuckDB oracles -------------------------------------------------------

@@ -42,12 +42,16 @@ object Portable {
 
   /** Dot product of two double arrays — native codegen Catalyst expression
     * ([[org.apache.spark.sql.graft.DotProductDouble]]); bit-identical to
-    * the interpreted HOF formulation [[dotHof]] (left-to-right summation). */
+    * the interpreted HOF formulation [[dotHof]] on equal-length inputs
+    * (same left-to-right summation). On unequal lengths the native
+    * expression bounds the loop by the shorter array, while zip_with pads
+    * with nulls and the HOF sum goes NULL — equal dims is the engine-wide
+    * vector contract. */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.GraftExpressions.dot(a, b)
 
   /** Reference HOF dot product (interpreted) — kept as the differential-test
-    * oracle for [[dot]]. */
+    * oracle for [[dot]] on equal-length vectors. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 

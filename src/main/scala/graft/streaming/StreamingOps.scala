@@ -31,14 +31,16 @@ object StreamingOps {
 
   /** Tumbling 1-hour windows per event type with a watermark — the streaming
     * twin of Events.eventsHourly. Append-safe: windows finalize when the
-    * watermark passes their end. */
+    * watermark passes their end. Values sum through DECIMAL like the batch
+    * twin, so totals are exact and independent of micro-batch merge order. */
   def hourlyByType(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("sum_dec"))
       .select(col("w").getField("start").as("hour"), col("event_type"),
-        col("n_events"), col("sum_value"))
+        col("n_events"), round(col("sum_dec"), 2).cast("double").as("sum_value"))
 
   /** Session windows with a 30-minute inactivity gap via
     * flatMapGroupsWithState + event-time timeout — the streaming twin of
@@ -77,7 +79,12 @@ object StreamingOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // setTimeoutTimestamp rejects values at or before the current
+              // watermark — a sufficiently late (replayed/backfilled) event
+              // could have lastMs + gapMs behind it; clamp so the query
+              // survives instead of dying on IllegalArgumentException.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
             }
             closed.iterator
           }
@@ -86,18 +93,26 @@ object StreamingOps {
 
   /** Streaming exact dedup: drop re-deliveries of the same id within the
     * watermark horizon (state = one entry per id, expired by watermark —
-    * the bounded-state streaming twin of Dedup.dedupExact). */
+    * the bounded-state streaming twin of Dedup.dedupExact). Dedup is on the
+    * id ALONE: a re-delivery with jittered event time is still a duplicate
+    * (dropDuplicatesWithinWatermark keys state on the id and uses the
+    * event-time column only for expiry). */
   def dedupStream(events: DataFrame, idCol: String = "event_id",
                   watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
-  /** File-stream entry point: tail a parquet directory as an event stream
-    * (schema pinned from a batch read so the stream starts without
-    * inference). */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.sources.Tables.events(spark, dir).schema
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+  /** File-stream entry point: tail a DIRECTORY of event parquet files (file
+    * sources monitor directories — new part files become new micro-batches).
+    * The schema is pinned from a RAW batch read (ts arrives as INT64 nanos
+    * under nanosAsLong) and the same nanos→micros repair Tables.events
+    * applies is re-applied here — pinning the post-transform schema would
+    * make the parquet reader reject the nanos column at the first batch. */
+  def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(eventsDir).schema
+    spark.readStream.schema(rawSchema).parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }

@@ -32,6 +32,27 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
+    // file streams tail a directory; stage the single driver file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("part-000.parquet"))
+    val q = StreamingOps.hourlyByType(
+        StreamingOps.readEventsStream(spark, dir.toString))
+      .writeStream.format("memory").queryName("filestream").outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val agg = spark.table("filestream")
+      agg.count() should be > 0L
+      // repaired domain: driver events are all in Jan 2024
+      import org.apache.spark.sql.functions.{min, max, year}
+      val yrs = agg.select(year(min("hour")), year(max("hour"))).collect()(0)
+      yrs.getInt(0) shouldBe 2024
+      yrs.getInt(1) shouldBe 2024
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-delivered ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
@@ -40,7 +61,8 @@ class StreamingSpec extends SparkTestBase {
     try {
       ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0))
       q.processAllAvailable()
-      ms.addData(Event(1, ts(0), 1, "click", 1.0), Event(2, ts(1), 1, "click", 1.0))
+      // re-delivery with jittered event time is still the same id
+      ms.addData(Event(1, ts(1), 1, "click", 1.0), Event(2, ts(1), 1, "click", 1.0))
       q.processAllAvailable()
       spark.table("dedup").count() shouldBe 2L
     } finally q.stop()
