@@ -126,7 +126,25 @@ object Tpch {
         count(lit(1)).as("n_lineitems"))
       .orderBy("o_orderpriority")
 
+  /** Pivot surface: order counts per year pivoted on status. The explicit
+    * value list keeps the plan single-pass (no distinct-collect job) and the
+    * output schema static — required at scale and for oracle parity. */
+  def qPivotStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("yr")
+
   val oracle: Map[String, String] = Map(
+    "q_pivot_status" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+
     "q_customer_activity" ->
       """WITH inactive AS (
         |  SELECT c_nationkey, count(*) AS n_inactive
@@ -215,5 +233,6 @@ object Tpch {
     "q_rollup_orders"          -> (qRollupOrders _),
     "q_customer_activity"      -> (qCustomerActivity _),
     "q_distinct_counts"        -> (qDistinctCounts _),
+    "q_pivot_status"           -> (qPivotStatus _),
   )
 }

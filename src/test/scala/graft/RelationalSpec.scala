@@ -104,6 +104,21 @@ class RelationalSpec extends SparkTestBase {
     got shouldBe expected
   }
 
+  test("LongestRunAggregator UDAF agrees with both formulations, incl. from SQL") {
+    spark.udf.register("longest_run", udaf(graft.ops.LongestRunAggregator))
+    val data = Seq(("a", 2000), ("a", 2001), ("a", 2001), ("a", 2003),
+      ("b", 1999), ("c", 1990), ("c", 1991), ("c", 1992))
+    data.toDF("k", "v").createOrReplaceTempView("runs_in")
+    val viaUdaf = spark.sql(
+      "SELECT k, longest_run(v) AS r FROM runs_in GROUP BY k ORDER BY k")
+      .as[(String, Int)].collect().toSeq
+    viaUdaf shouldBe Seq(("a", 2), ("b", 1), ("c", 3))
+    val viaIslands = Relational
+      .longestRunPerKey(data.toDF("k", "v"), col("k"), col("v"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    viaIslands shouldBe viaUdaf.map { case (k, r) => (k, r.toLong) }
+  }
+
   test("longestRunPerKey agrees with the array-based formulation") {
     val data = Seq(
       ("a", 2000), ("a", 2001), ("a", 2001), ("a", 2003), ("a", 2004), ("a", 2005),
