@@ -137,7 +137,26 @@ object Tpch {
       .na.fill(0L, Seq("F", "O", "P"))
       .orderBy("yr")
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition;
+    * rounded to 4 decimals for cross-engine float stability). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   val oracle: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT o_orderpriority,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_pivot_status" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
@@ -234,5 +253,6 @@ object Tpch {
     "q_customer_activity"      -> (qCustomerActivity _),
     "q_distinct_counts"        -> (qDistinctCounts _),
     "q_pivot_status"           -> (qPivotStatus _),
+    "q_percentiles"            -> (qPercentiles _),
   )
 }
