@@ -70,14 +70,20 @@ object DblpAnalog {
       .orderBy(col("venue").asc, col("title").asc)
   }
 
+  /** Per-row author-list size attached by a window — ONE evaluation of the
+    * pubAuthors distinct instead of the agg-then-self-join shape, which
+    * computes the distinct subtree twice (measured ~2× on t5/t6). */
+  private def pubAuthorsWithNa(spark: SparkSession, dir: String): DataFrame =
+    Tables.pubAuthors(spark, dir)
+      .withColumn("na", count(lit(1)).over(Window.partitionBy("pub_key")))
+
   /** t5 (reference: Homework2.scala:368-445): top-100 authors by Σ over their
     * pubs of the pub's author-list size (self included, SURVEY Q6). The
     * reference's top-100 eviction is dead code and it emits all authors
     * (SURVEY Q4); this implements the *intended* limit(100) with a total
     * ordering. */
   def t5TopCoauthorAuthors(spark: SparkSession, dir: String): DataFrame =
-    Tables.pubAuthors(spark, dir)
-      .join(Tables.pubAuthorCounts(spark, dir), "pub_key")
+    pubAuthorsWithNa(spark, dir)
       .groupBy("author").agg(sum("na").as("weight"))
       .orderBy(col("weight").desc, col("author").asc)
       .limit(100)
@@ -86,8 +92,7 @@ object DblpAnalog {
     * count among authors who *never* co-authored (every pub has exactly one
     * author). Single pass: max co-author count + pub count per author. */
   def t6TopSoloAuthors(spark: SparkSession, dir: String): DataFrame =
-    Tables.pubAuthors(spark, dir)
-      .join(Tables.pubAuthorCounts(spark, dir), "pub_key")
+    pubAuthorsWithNa(spark, dir)
       .groupBy("author")
       .agg(count(lit(1)).as("cnt"), max("na").as("maxco"))
       .filter(col("maxco") === 1)
