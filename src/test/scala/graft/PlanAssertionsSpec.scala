@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.{DblpAnalog, Tpch}
+
+/** Locks the physical-plan properties the engine's scale story depends on —
+  * pushdown, pruned scans, distributed top-k, broadcast dimensions — so a
+  * regression in plan shape fails CI, not a cluster run. */
+class PlanAssertionsSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate predicate reaches the parquet scan; schema pruned") {
+    val p = planOf(Tpch.q1PricingSummary(spark, sf))
+    p should include ("PushedFilters")
+    p should include regex "LessThanOrEqual\\(l_shipdate"
+    // only the 7 needed columns are read, not the 11-column table
+    p should not include "l_orderkey"
+  }
+
+  test("q3: global top-10 is TakeOrderedAndProject, not sort+limit") {
+    val p = planOf(Tpch.q3ShippingPriority(spark, sf))
+    p should include ("TakeOrderedAndProject")
+  }
+
+  test("q5: constant-size dimensions broadcast") {
+    val p = planOf(Tpch.q5LocalSupplierVolume(spark, sf))
+    p should include ("BroadcastHashJoin")
+  }
+
+  test("t1: per-group top-k limit is pushed below the window (WindowGroupLimit)") {
+    // Spark plans partial+final WindowGroupLimit: each map task keeps only
+    // its local top-10 per venue BEFORE the exchange — the eviction-map
+    // optimization the reference hand-rolled, applied distributedly.
+    val p = planOf(DblpAnalog.t1TopAuthorsPerVenue(spark, sf))
+    p should include ("WindowGroupLimit")
+  }
+
+  test("t2: gaps-and-islands plan carries no array aggregation state") {
+    val p = planOf(DblpAnalog.t2ConsecutiveYears(spark, sf))
+    p should not include "collect_list"
+    p should not include "collect_set"
+  }
+}
