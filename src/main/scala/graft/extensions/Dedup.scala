@@ -123,6 +123,20 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Fuzzy name matching: distinct part names within edit distance 2
+    * (dedup-by-typo). The distinct-names relation is tiny relative to the
+    * fact table at any SF (bounded vocabulary), so the pair join is cheap;
+    * at open-vocabulary scale the blocker would be a shingle/phonetic key
+    * (same machinery as dedupNgramJaccard). */
+  def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir).select(col("p_name")).distinct()
+    names.as("x").join(names.as("y"), col("x.p_name") < col("y.p_name"))
+      .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"),
+        levenshtein(col("x.p_name"), col("y.p_name")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy("name_a", "name_b")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val shinglesSql =
@@ -142,6 +156,14 @@ object Dedup {
     .map(i => s"(${i}, ${minhashA(i)}, ${minhashB(i)})").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "dedup_fuzzy_names" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part)
+        |SELECT x.p_name AS name_a, y.p_name AS name_b,
+        |       CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS dist
+        |FROM names x JOIN names y ON x.p_name < y.p_name
+        |WHERE levenshtein(x.p_name, y.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -203,5 +225,6 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_embedding"     -> (dedupEmbedding _),
+    "dedup_fuzzy_names"   -> (dedupFuzzyNames _),
   )
 }

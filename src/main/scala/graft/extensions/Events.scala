@@ -82,7 +82,26 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** JSON-column analytics: extract the typed payload from the free-form
+    * `props` JSON string per row (codegen'd path expression, no UDF) and
+    * aggregate — the semi-structured surface of the function library. */
+  def eventsJsonStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   val oracle: Map[String, String] = Map(
+    "events_json_stats" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "events_asof_attribution" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events
@@ -145,5 +164,6 @@ object Events {
     "events_sessions"         -> (eventsSessions _),
     "events_moving_avg"       -> (eventsMovingAvg _),
     "events_asof_attribution" -> (eventsAsofAttribution _),
+    "events_json_stats"       -> (eventsJsonStats _),
   )
 }
