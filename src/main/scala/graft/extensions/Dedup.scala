@@ -16,9 +16,9 @@ import graft.sources.Tables
   *  - ngram-Jaccard: shingle-inverted-index self-join; exact but quadratic in
   *    per-shingle frequency. The scale path is minhash_lsh below, which
   *    bounds candidate generation by band-bucket size.
-  *  - minhash_lsh: signatures via one crossJoin with a 32-row parameter
-  *    table (broadcast), banding via (doc, band) aggregation, candidates via
-  *    bucket self-join — every stage is a bounded hash shuffle.
+  *  - minhash_lsh: signatures via ONE hash aggregation with 32 min()
+  *    buffers, banding via an in-row band explode, candidates via bucket
+  *    self-join — every stage is a bounded hash shuffle.
   */
 object Dedup {
 
