@@ -116,10 +116,15 @@ object Dedup {
     * [[Similarity]]. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val n = Similarity.vectors(spark, dir)
-    n.as("x").join(n.as("y"), col("x.vec_id") < col("y.vec_id"))
+    // Both predicates written INTO the join condition, cheap leg first:
+    // a post-join filter gets pushed in FRONT of the inequality, making the
+    // nested-loop evaluate the 64-dim dot for all n² ordered pairs instead
+    // of n²/2 (measured 2×).
+    val cos = Portable.cosine6(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm"))
+    n.as("x")
+      .join(n.as("y"), col("x.vec_id") < col("y.vec_id") && cos >= 0.45)
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        Portable.cosine6(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.45)
+        cos.as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
