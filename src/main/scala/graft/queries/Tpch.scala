@@ -149,7 +149,33 @@ object Tpch {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Set-operation surface (INTERSECT / EXCEPT): customer-retention
+    * segments between 1996 and 1997 order cohorts. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    def cohort(yr: Int) = Tables.orders(spark, dir)
+      .filter(year(col("o_orderdate")) === yr)
+      .select("o_custkey").distinct()
+    val c96 = cohort(1996)
+    val c97 = cohort(1997)
+    def seg(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_customers")).select(lit(name).as("segment"), col("n_customers"))
+    seg("both", c96.intersect(c97))
+      .unionAll(seg("only_1996", c96.except(c97)))
+      .unionAll(seg("only_1997", c97.except(c96)))
+      .orderBy("segment")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_set_ops" ->
+      """WITH c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |     c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        |SELECT 'both' AS segment, count(*) AS n_customers FROM (SELECT * FROM c96 INTERSECT SELECT * FROM c97)
+        |UNION ALL
+        |SELECT 'only_1996', count(*) FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c97)
+        |UNION ALL
+        |SELECT 'only_1997', count(*) FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c96)
+        |ORDER BY segment""".stripMargin,
+
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
@@ -254,5 +280,6 @@ object Tpch {
     "q_distinct_counts"        -> (qDistinctCounts _),
     "q_pivot_status"           -> (qPivotStatus _),
     "q_percentiles"            -> (qPercentiles _),
+    "q_set_ops"                -> (qSetOps _),
   )
 }
