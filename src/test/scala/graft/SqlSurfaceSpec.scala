@@ -48,6 +48,23 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("approximate sketches stay within bound of exact answers") {
+    // The bounded-state aggregates for 100 TB cardinality/quantile work:
+    // HLL++ count-distinct and approx_percentile. Accuracy asserted against
+    // the exact forms on real data.
+    val o = graft.sources.Tables.orders(spark, sf)
+    val row = o.agg(
+      countDistinct(col("o_custkey")).as("exact_cd"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("approx_cd"),
+      expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+      expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"))
+      .collect()(0)
+    val (exactCd, approxCd) = (row.getLong(0).toDouble, row.getLong(1).toDouble)
+    math.abs(approxCd - exactCd) / exactCd should be < 0.05
+    val (exactP, approxP) = (row.getDouble(2), row.getDouble(3))
+    math.abs(approxP - exactP) / exactP should be < 0.05
+  }
+
   test("salted aggregation equals direct groupBy") {
     val df = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 37}", i.toDouble))
       .toDF("k", "v")
