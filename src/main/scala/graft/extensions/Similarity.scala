@@ -12,18 +12,29 @@ import graft.sources.Tables
   *
   *  - [[simTopkBruteforce]]: exact cosine top-k — the correctness baseline.
   *    O(|Q|·|N|) dot products; fine when the query set is small/broadcast.
-  *  - [[simTopkLsh]]: random-hyperplane LSH — the scale path. Vectors get a
-  *    16-bit sign signature from pseudo-random hyperplanes (derived from the
+  *  - [[simTopkLsh]]: random-hyperplane LSH — the scale path. Vectors get an
+  *    8-bit sign signature from pseudo-random hyperplanes (derived from the
   *    portable hash, so the DuckDB oracle regenerates identical planes);
   *    search touches only same-bucket candidates. Recall < 1 by design —
   *    the oracle implements the SAME approximation, so results match
   *    exactly.
+  *  - [[dedupEmbeddingLsh]]: BANDED hyperplane LSH (OR-amplification, same
+  *    banding idea as MinHash-LSH): b independent bands of r planes each;
+  *    a pair is a candidate if it agrees on ALL r bits of ANY band. Recall
+  *    for a pair at cosine c: p = 1 − acos(c)/π per plane, so
+  *    1 − (1 − p^r)^b overall; random-pair candidate rate ≈ b/2^r.
   */
 object Similarity {
 
   val TopK = 5
   val NumQueries = 10 // queries are vec_id < 10
   val NumPlanes = 8
+
+  /** Banded-LSH shape for [[dedupEmbeddingLsh]]: 16 bands × 8 planes.
+    * r=8 keeps the random-pair candidate rate ≈ 16/2⁸ ≈ 6% (scale-safe);
+    * b=16 buys recall ≈ 0.995 at a realistic near-dup cosine of 0.9
+    * (and a measured 10/14 at this fixture's weak τ=0.45). */
+  val DedupBands = 16; val DedupPlanesPerBand = 8
 
   /** Shared vector projection (doubles + norm); also used by Dedup. */
   private[extensions] def vectors(spark: SparkSession, dir: String): DataFrame =
@@ -83,6 +94,13 @@ object Similarity {
       .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
       .join(broadcast(planes), "i")
       .select(col("vec_id"), col("j"), (col("x") * col("w")).as("p"))
+    // Sign-bit residual risk (both here and in bandSignatures): the bit is
+    // the sign of round(Σ xᵢwᵢ, 9). A projection truly within ~5e-10 of a
+    // rounding boundary could round differently across engines (FP sum order
+    // is nondeterministic), flipping a bucket. Rounding narrows the exposed
+    // window to |Σ − boundary| ≲ 1e-15 (cross-engine FP noise), and both
+    // sides use the identical rounded comparison — accepted residual risk,
+    // since ANY threshold on a continuous projection has such a boundary.
     val sigs = comp.groupBy("vec_id", "j")
       .agg(sum("p").as("dotp"))
       .groupBy("vec_id")
@@ -91,17 +109,50 @@ object Similarity {
     vs.join(sigs, "vec_id")
   }
 
-  /** Embedding near-dup at scale: candidate pairs only within an LSH bucket,
-    * then the exact (rounded) cosine threshold — the bucket self-join bounds
-    * pair generation by bucket size instead of O(n²). Recall < 1 by design;
-    * the oracle implements the same approximation. */
+  /** Per-vector banded signatures: (vec_id, band, bkt) with one r-bit bucket
+    * per band, planes shared with [[simTopkLsh]] (band 0 = its 8 planes).
+    *
+    * Shuffle shape: the explode keeps a vector's rows task-local, so the
+    * (vec_id, j) aggregation partial-aggregates map-side — the exchange
+    * carries n×(b·r) tiny rows, then n×b; nothing scales with dim×planes. */
+  private def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val nPlanes = DedupBands * DedupPlanesPerBand
+    val planes = spark.range(nPlanes).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("i")))
+      .select(col("j"), col("i"), planeComponent(col("j"), col("i")).as("w"))
+    vectors(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
+      .join(broadcast(planes), "i")
+      .select(col("vec_id"), col("j"), (col("x") * col("w")).as("p"))
+      .groupBy("vec_id", "j")
+      .agg(sum("p").as("dotp"))
+      .groupBy(col("vec_id"), expr(s"j div $DedupPlanesPerBand").as("band"))
+      .agg(sum(when(round(col("dotp"), 9) >= 0,
+        expr(s"shiftleft(CAST(1 AS BIGINT), j % $DedupPlanesPerBand)"))
+        .otherwise(0L)).as("bkt"))
+  }
+
+  /** Embedding near-dup at scale: banded-LSH candidate pairs (same-bucket in
+    * ANY of the [[DedupBands]] bands — OR-amplification), then the exact
+    * (rounded) cosine threshold. Band-bucket self-joins bound pair
+    * generation by bucket size instead of O(n²); the distinct collapses a
+    * pair that collides in several bands to one verification. Recall < 1 by
+    * design; the oracle implements the same approximation. */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    val b = withBuckets(spark, dir)
-    b.as("x").join(b.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        graft.functions.Portable.cosine6(col("x.v"), col("y.v"),
-          col("x.nrm"), col("y.nrm")).as("cos_sim"))
+    val vs = vectors(spark, dir)
+    val sig = bandSignatures(spark, dir)
+    val cand = sig.as("x")
+      .join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(vs.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(vs.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        Portable.cosine6(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.45)
       .orderBy("vec_a", "vec_b")
   }
@@ -164,6 +215,24 @@ object Similarity {
        |    GROUP BY pos.vec_id, planes.j
        |  ) sub
        |  GROUP BY vec_id
+       |)""".stripMargin
+
+  /** Banded planes+signature SQL (mirrors [[bandSignatures]]). */
+  private val bandSigSql =
+    s""", planes AS (
+       |  SELECT j, i,
+       |         ((('0x' || substr(md5('plane' || '_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000))::DOUBLE / 1000.0 AS w
+       |  FROM (SELECT unnest(generate_series(0, ${DedupBands * DedupPlanesPerBand - 1})) AS j) js
+       |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+       |), sig AS (
+       |  SELECT vec_id, j // $DedupPlanesPerBand AS band,
+       |         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << (j % $DedupPlanesPerBand)) ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM (
+       |    SELECT pos.vec_id, planes.j, round(sum(pos.x * planes.w), 9) AS s
+       |    FROM pos JOIN planes ON pos.i = planes.i
+       |    GROUP BY pos.vec_id, planes.j
+       |  ) sub
+       |  GROUP BY vec_id, j // $DedupPlanesPerBand
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
@@ -242,10 +311,10 @@ object Similarity {
          |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
 
     "dedup_embedding_lsh" ->
-      s"""$posAndNorm$sigSql
+      s"""$posAndNorm$bandSigSql
          |, cand AS (
-         |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM sig x JOIN sig y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM sig x JOIN sig y ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id
          |), dots AS (
          |  SELECT cand.vec_a, cand.vec_b, sum(p.x * q.x) AS dot
          |  FROM cand

@@ -13,6 +13,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def sort_key_cell(x):
+    # Floats sort on a key rounded MORE COARSELY than the 1e-9 comparison
+    # tolerance, so sub-tolerance float noise cannot reorder rows differently
+    # on the Spark vs oracle side (which would misalign the positional zip).
+    if isinstance(x, float):
+        return (x is None, 1, "", round(x, 6))
+    return (x is None, 0, str(x), 0.0)
+
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -24,7 +33,7 @@ def norm(rows, cols):
                 v = round(v, 9)
             rr.append(v)
         out.append(tuple(rr))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    out.sort(key=lambda t: tuple(sort_key_cell(x) for x in t))
     return out
 
 
