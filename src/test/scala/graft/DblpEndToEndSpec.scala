@@ -42,6 +42,22 @@ class DblpEndToEndSpec extends SparkTestBase {
       Seq("homepages/x/Alice/home", "journals/bad/N1")
   }
 
+  test("whole-file dblp.xml (native rowTag source) ≡ line-per-record path") {
+    val wholePath = getClass.getResource("/dblp_fixture.xml").getPath
+    val whole = rows(Dblp.readWholeXml(spark, wholePath)
+      .orderBy("key", "recordType"))
+    val line = rows(Dblp.readLineXml(spark, fixturePath)
+      .orderBy("key", "recordType"))
+    whole should have size 11
+    whole shouldBe line
+  }
+
+  test("whole-file path feeds the same t1 result as the line path") {
+    val wholePath = getClass.getResource("/dblp_fixture.xml").getPath
+    rows(DblpQueries.t1TopAuthorsPerVenue(Dblp.readWholeXml(spark, wholePath), k = 2)) shouldBe
+      rows(DblpQueries.t1TopAuthorsPerVenue(Dblp.readLineXml(spark, fixturePath), k = 2))
+  }
+
   test("CSV sink round-trips with configurable separator (S4)") {
     val pubs = Dblp.readLineXml(spark, fixturePath)
     val out = java.nio.file.Files.createTempDirectory("graft-csv").toString
