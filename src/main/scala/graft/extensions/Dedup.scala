@@ -38,21 +38,38 @@ object Dedup {
       .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(Portable.shingles3(col("toks"))).as("s"))
 
+  /** Document-frequency cap for the Jaccard shingle space: shingles present
+    * in more than this many documents (boilerplate headers, license blurbs)
+    * are excluded from BOTH the intersection and the per-doc set size, so
+    * the score stays an exact Jaccard — over the capped feature set. Bounds
+    * the inverted-index pair expansion at ≤ cap²/2 per shingle. No shingle
+    * reaches the cap at the test SFs (max df = 7 at sf0.01), so results
+    * equal the uncapped semantics there. */
+  val MaxShingleDf = 50
+
   /** Near-dup pairs by exact word-3-gram Jaccard ≥ 0.8 (threshold chosen to
-    * isolate the planted near-duplicates; rounded before thresholding).
+    * isolate the planted near-duplicates; rounded before thresholding),
+    * computed over the df-capped shingle space ([[MaxShingleDf]]).
     * Shingles are joined on their 60-bit hash, not the string — an 8-byte
     * shuffle key instead of ~20-char strings; the oracle hashes identically,
     * so even a collision (P ≈ n²/2^61) yields the same result both sides. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(spark, dir)
       .select(col("doc_id"), Portable.hash60(col("s")).as("s"))
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // The heavy-shingle relation is tiny by construction (only boilerplate
+    // exceeds the cap), so the anti-join is a broadcast — the cap costs one
+    // small count aggregation, never a shuffle of the shingle set.
+    val heavy = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select("s")
+    val shc = sh.join(broadcast(heavy), Seq("s"), "left_anti")
+    val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Inverted-index pair expansion: group the posting list per shingle and
     // expand ordered pairs in-task — ONE shuffle of the shingle set, versus
-    // the self-join's two sorted sides (~35% faster measured). Skew note: a
-    // shingle shared by k docs expands k²/2 pairs in one task; boilerplate
-    // shingles should be frequency-capped before this at real scale.
-    val inter = sh.groupBy("s")
+    // the self-join's two sorted sides (~35% faster measured). The df cap
+    // above bounds a posting list to MaxShingleDf docs, so the in-task
+    // expansion is ≤ cap²/2 pairs — no skew bomb from boilerplate shingles.
+    val inter = shc.groupBy("s")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
@@ -129,13 +146,23 @@ object Dedup {
   }
 
   /** Fuzzy name matching: distinct part names within edit distance 2
-    * (dedup-by-typo). The distinct-names relation is tiny relative to the
-    * fact table at any SF (bounded vocabulary), so the pair join is cheap;
-    * at open-vocabulary scale the blocker would be a shingle/phonetic key
-    * (same machinery as dedupNgramJaccard). */
+    * (dedup-by-typo), blocked on a SOUND length-band key: |len(a)−len(b)| ≤ 2
+    * is necessary for edit distance ≤ 2, so recall is exactly 1 (a first-char
+    * blocker would drop every planted pair here — the typos hit the first
+    * word). Each name gets keys len..len+2; requiring the matched key to
+    * equal max(len_a, len_b) makes every eligible pair collide on EXACTLY
+    * one key, so the join needs no post-dedup. The plan is an equi-join on
+    * the band key (hash exchange) — no cross product. At open-vocabulary
+    * scale the next refinement is q-gram prefix filtering on top of the same
+    * inverted-index machinery as [[dedupNgramJaccard]]. */
   def dedupFuzzyNames(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(spark, dir).select(col("p_name")).distinct()
-    names.as("x").join(names.as("y"), col("x.p_name") < col("y.p_name"))
+    val keyed = names.select(col("p_name"),
+      explode(sequence(length(col("p_name")), length(col("p_name")) + 2)).as("blk"))
+    keyed.as("x")
+      .join(keyed.as("y"),
+        col("x.blk") === col("y.blk") && col("x.p_name") < col("y.p_name") &&
+          col("x.blk") === greatest(length(col("x.p_name")), length(col("y.p_name"))))
       .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"),
         levenshtein(col("x.p_name"), col("y.p_name")).as("dist"))
       .filter(col("dist") <= 2)
@@ -162,10 +189,16 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_fuzzy_names" ->
-      """WITH names AS (SELECT DISTINCT p_name FROM part)
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |keyed AS (
+        |  SELECT p_name, unnest(generate_series(length(p_name), length(p_name) + 2)) AS blk
+        |  FROM names
+        |)
         |SELECT x.p_name AS name_a, y.p_name AS name_b,
         |       CAST(levenshtein(x.p_name, y.p_name) AS INTEGER) AS dist
-        |FROM names x JOIN names y ON x.p_name < y.p_name
+        |FROM keyed x JOIN keyed y
+        |  ON x.blk = y.blk AND x.p_name < y.p_name
+        | AND x.blk = greatest(length(x.p_name), length(y.p_name))
         |WHERE levenshtein(x.p_name, y.p_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
 
@@ -175,8 +208,12 @@ object Dedup {
 
     "dedup_ngram_jaccard" ->
       s"""$shinglesSql
-         |, shh AS (
+         |, shh0 AS (
          |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
+         |), heavy AS (
+         |  SELECT s FROM shh0 GROUP BY s HAVING count(*) > $MaxShingleDf
+         |), shh AS (
+         |  SELECT * FROM shh0 WHERE s NOT IN (SELECT s FROM heavy)
          |), sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
          |inter AS (
          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c

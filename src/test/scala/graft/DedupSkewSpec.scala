@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+import graft.extensions.Dedup
+
+/** Skew/blocking guarantees of the dedup operators on planted corpora:
+  * a boilerplate shingle shared by 60 docs (> MaxShingleDf = 50) must not
+  * expand 60²/2 pairs — the df cap drops it from the Jaccard feature space;
+  * and the fuzzy-name join must plan as an equi-join on the length-band key,
+  * never a cross product.
+  */
+class DedupSkewSpec extends SparkTestBase {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dedup-skew").toString
+    val boiler = (1 to 11).map(i => s"b$i").mkString(" ") // 9 shared shingles
+    // Docs 1..60: 9 boilerplate shingles + 1 unique → pairwise J = 9/11 ≥ 0.8
+    // UNCAPPED (1770 pairs!); the df cap (df=60 > 50) removes all of them.
+    val spam = (1L to 60L).map(i => (i, s"$boiler u$i"))
+    // Docs 100/101: identical low-df text → true near-dup pair, J = 1.0.
+    val real = Seq(100L, 101L).map(i => (i, (1 to 20).map(j => s"t$j").mkString(" ")))
+    (spam ++ real).map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("df cap kills the boilerplate pair bomb, keeps the true near-dup") {
+    rows(Dedup.dedupNgramJaccard(spark, dir)) shouldBe
+      Seq(Seq(100L, 101L, 1.0))
+  }
+
+  test("fuzzy-name dedup plans as an equi-join, not a cross product") {
+    import spark.implicits._
+    Seq("alpha beta", "alpha betb", "gamma").toDF("p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val df = Dedup.dedupFuzzyNames(spark, dir)
+    rows(df) shouldBe Seq(Seq("alpha beta", "alpha betb", 1))
+    val plan = df.queryExecution.executedPlan
+    plan.collect { case j: CartesianProductExec => j } shouldBe empty
+    plan.collect { case j: BroadcastNestedLoopJoinExec => j } shouldBe empty
+  }
+}
