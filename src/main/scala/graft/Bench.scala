@@ -8,15 +8,20 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSessionExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query isn't charged session
     // bring-up (JIT, codegen compiler, shuffle machinery).
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
+    // Time FULL materialization via the noop sink: under a bare count(),
+    // EliminateSorts legally drops every final orderBy, under-charging any
+    // query whose cost includes the output sort.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -36,12 +36,13 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
     * its microsecond TimestampType. Read nanos as BIGINT and floor-divide to
-    * micros — exactly DuckDB's ns→µs truncation, so oracle parity holds. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * micros — exactly DuckDB's ns→µs truncation, so oracle parity holds.
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` at session build
+    * (set by the Verify/Bench/Run mains and SparkTestBase) — a reader helper
+    * must not mutate session-global conf as a side effect. */
+  def events(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
