@@ -82,4 +82,24 @@ object Relational {
       .groupBy("k", "island").agg(count(lit(1)).as("len"))
       .groupBy("k").agg(max("len").as("longest_run"))
   }
+
+  /** Strict-reference twin of [[longestRunPerKey]]: replays the reference's
+    * Q3 quirk (Homework2.scala:206-227) where a DUPLICATE year resets the
+    * streak — so `[2000, 2000, 2001]` scores 2, not a deduped 2-run.
+    * The `v − row_number` island id is wrong under duplicates (two separate
+    * runs can collide on one id, e.g. [1,2,4,4,5] → a phantom 4-run), so
+    * this uses the lag-boundary form: mark rows where v ≠ prev+1, running-sum
+    * the marks into run ids, count per run. Still O(1) state per row —
+    * bit-parity with the reference bug WITHOUT its per-author array. */
+  def longestRunPerKeyStrict(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("v", "rn")
+    df.select(key.as("k"), value.as("v"))
+      .withColumn("rn", row_number().over(Window.partitionBy("k").orderBy("v")))
+      .withColumn("boundary",
+        when(col("v") === lag("v", 1).over(w) + 1, 0).otherwise(1))
+      .withColumn("run_id", sum("boundary").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("k", "run_id").agg(count(lit(1)).as("len"))
+      .groupBy("k").agg(max("len").as("longest_run"))
+  }
 }

@@ -34,13 +34,19 @@ object DblpQueries {
   /** t2 (Homework2.scala:146-228): authors whose longest consecutive-year run
     * ≥ minStreak (reference threshold 10). P3 year-arity guard applied here,
     * as in the reference's task-2 mapper. Duplicate years deduped (Q3
-    * intended semantics). */
-  def t2ConsecutiveYears(pubs: DataFrame, minStreak: Int = 10): DataFrame = {
+    * intended semantics); `strictReference = true` replays the reference's
+    * duplicate-resets-the-streak quirk bit-for-bit from this same path
+    * (two same-year pubs by one author then break a streak). */
+  def t2ConsecutiveYears(pubs: DataFrame, minStreak: Int = 10,
+                         strictReference: Boolean = false): DataFrame = {
     val ay = pubs
       .filter(size(col("years")) === 1) // P3: exactly one <year>
       .select(explode(col("authors")).as("author"), element_at(col("years"), 1).as("yr"))
       .filter(clean("author"))
-    Relational.longestRunPerKey(ay, col("author"), col("yr"))
+    val runs =
+      if (strictReference) Relational.longestRunPerKeyStrict(ay, col("author"), col("yr"))
+      else Relational.longestRunPerKey(ay, col("author"), col("yr"))
+    runs
       .toDF("author", "streak")
       .filter(col("streak") >= minStreak)
       .orderBy(col("streak").desc, col("author").asc)

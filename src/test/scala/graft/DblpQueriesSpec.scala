@@ -45,6 +45,11 @@ class DblpQueriesSpec extends SparkTestBase {
     ))
     rows(DblpQueries.t2ConsecutiveYears(ps, minStreak = 3)) shouldBe Seq(
       Seq("alice", 3L)) // bob's valid years {2000, 2003} -> streak 1
+    // Strict reference mode from the SAME query path: alice's duplicate 2001
+    // resets the walk (2000,2001 | 2001,2002), so her best streak is 2 — the
+    // reference's Q3 quirk, bit-for-bit.
+    rows(DblpQueries.t2ConsecutiveYears(ps, minStreak = 2, strictReference = true)) shouldBe
+      Seq(Seq("alice", 2L))
   }
 
   test("t3: solo titles sorted and '|'-joined per venue") {

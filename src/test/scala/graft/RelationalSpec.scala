@@ -132,4 +132,34 @@ class RelationalSpec extends SparkTestBase {
     viaIslands shouldBe viaArray
     viaIslands shouldBe Seq(("a", 3L), ("b", 1L), ("c", 2L))
   }
+
+  test("longestRunPerKeyStrict ≡ strict array walk on random duplicate-heavy data") {
+    // 60 keys × up to 12 values from a narrow range → plenty of duplicates
+    // AND phantom-island shapes like [1,2,4,4,5] (where a naive v−row_number
+    // island id would fuse two runs across a duplicate).
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 60).flatMap { k =>
+      (0 to rnd.nextInt(12)).map(_ => (s"k$k", 2000 + rnd.nextInt(8)))
+    }
+    val df = data.toDF("k", "v")
+    val viaWindows = Relational.longestRunPerKeyStrict(df, col("k"), col("v"))
+      .orderBy("k").as[(String, Long)].collect().toSeq
+    val viaArray = df.groupBy("k")
+      .agg(Relational.longestConsecutiveRun(collect_list(col("v")),
+        strictReference = true).as("r"))
+      .orderBy("k").as[(String, Int)].collect().toSeq.map { case (k, r) => (k, r.toLong) }
+    viaWindows shouldBe viaArray
+  }
+
+  test("strict vs intended differ exactly on duplicate-broken streaks") {
+    val df = Seq(("a", 2000), ("a", 2000), ("a", 2001), // dup resets: strict 2... intended 2
+      ("d", 2000), ("d", 2001), ("d", 2001), ("d", 2002)) // strict 2, intended 3
+      .toDF("k", "v")
+    Relational.longestRunPerKeyStrict(df, col("k"), col("v"))
+      .orderBy("k").as[(String, Long)].collect().toSeq shouldBe
+      Seq(("a", 2L), ("d", 2L))
+    Relational.longestRunPerKey(df, col("k"), col("v"))
+      .orderBy("k").as[(String, Long)].collect().toSeq shouldBe
+      Seq(("a", 2L), ("d", 3L))
+  }
 }
