@@ -72,10 +72,15 @@ object DblpAnalog {
 
   /** Per-row author-list size attached by a window — ONE evaluation of the
     * pubAuthors distinct instead of the agg-then-self-join shape, which
-    * computes the distinct subtree twice (measured ~2× on t5/t6). */
+    * computes the distinct subtree twice (measured ~2× on t5/t6). When fed
+    * the `pub_key`-bucketed materialization (Tables.materializePubAuthors),
+    * the window's required distribution is already satisfied by the scan —
+    * no exchange (plan-asserted in LayoutSpec). */
+  private def withNa(pubAuthors: DataFrame): DataFrame =
+    pubAuthors.withColumn("na", count(lit(1)).over(Window.partitionBy("pub_key")))
+
   private def pubAuthorsWithNa(spark: SparkSession, dir: String): DataFrame =
-    Tables.pubAuthors(spark, dir)
-      .withColumn("na", count(lit(1)).over(Window.partitionBy("pub_key")))
+    withNa(Tables.pubAuthors(spark, dir))
 
   /** t5 (reference: Homework2.scala:368-445): top-100 authors by Σ over their
     * pubs of the pub's author-list size (self included, SURVEY Q6). The
@@ -83,7 +88,12 @@ object DblpAnalog {
     * (SURVEY Q4); this implements the *intended* limit(100) with a total
     * ordering. */
   def t5TopCoauthorAuthors(spark: SparkSession, dir: String): DataFrame =
-    pubAuthorsWithNa(spark, dir)
+    t5TopCoauthorAuthorsFrom(Tables.pubAuthors(spark, dir))
+
+  /** t5 over a caller-supplied (pub_key, author) relation — pass the
+    * bucketed materialization to skip the fact-relation exchange. */
+  def t5TopCoauthorAuthorsFrom(pubAuthors: DataFrame): DataFrame =
+    withNa(pubAuthors)
       .groupBy("author").agg(sum("na").as("weight"))
       .orderBy(col("weight").desc, col("author").asc)
       .limit(100)
@@ -98,7 +108,11 @@ object DblpAnalog {
     * real rows. The strict reference predicate lives in
     * [[t6StrictNeverCoauthored]], unit-tested on a planted fixture. */
   def t6TopSoloAuthors(spark: SparkSession, dir: String): DataFrame =
-    pubAuthorsWithNa(spark, dir)
+    t6TopSoloAuthorsFrom(Tables.pubAuthors(spark, dir))
+
+  /** t6 over a caller-supplied (pub_key, author) relation (see t5 twin). */
+  def t6TopSoloAuthorsFrom(pubAuthors: DataFrame): DataFrame =
+    withNa(pubAuthors)
       .groupBy("author")
       .agg(sum(when(col("na") === 1, 1L).otherwise(0L)).as("solo_cnt"))
       .filter(col("solo_cnt") >= 1)

@@ -23,4 +23,17 @@ object Sinks {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed (and per-bucket sorted) managed table — the layout that makes
+    * every downstream join/window/aggregation ON the bucket key exchange-free:
+    * the scan's output partitioning already satisfies the required hash
+    * distribution, so Catalyst plans no shuffle. The 100 TB lever for
+    * relations re-queried on a stable key (see Tables.materializePubAuthors). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }

@@ -31,6 +31,20 @@ class LayoutSpec extends SparkTestBase {
     joined.count() shouldBe lineitem.select("l_orderkey").distinct().count()
   }
 
+  test("pre-bucketed pubAuthors runs t5's window with no exchange below it") {
+    val pa = graft.sources.Tables.materializePubAuthors(spark, sf,
+      table = "pub_authors_b_test", buckets = 8)
+    val t5 = graft.queries.DblpAnalog.t5TopCoauthorAuthorsFrom(pa)
+    val plan = t5.queryExecution.executedPlan.toString
+    // Printed parent-first: everything after the Window line is its subtree;
+    // the bucketed scan must satisfy the window's pub_key distribution
+    // directly (only the author-aggregation above it may exchange).
+    plan should include ("Window")
+    plan.substring(plan.lastIndexOf("Window")) should not include "Exchange"
+    // and the bucketed path must be RESULT-identical to the per-query path
+    rows(t5) shouldBe rows(graft.queries.DblpAnalog.t5TopCoauthorAuthors(spark, sf))
+  }
+
   test("partitioned parquet scans prune to the filtered partitions") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     val events = graft.sources.Tables.events(spark, sf)
