@@ -157,32 +157,63 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** Every CentStride-th vector serves as an IVF centroid (deterministic
-    * "training"; a real pipeline would k-means — the partition/probe
-    * dataflow is identical). */
+  /** Every CentStride-th vector seeds an IVF centroid; one Lloyd refinement
+    * step then replaces each seed by the (rounded) mean of its assigned
+    * vectors. Deterministic "training": fixed seeds, fixed iteration count,
+    * means rounded to 6 decimals so cross-engine (and cross-shuffle-order)
+    * FP sum noise cannot leak into assignments. */
   val CentStride = 40
 
-  /** IVF-style ANN: vectors are assigned to their nearest centroid
-    * (inverted lists); a query probes only its own centroid's list
-    * (nprobe=1). Assignment cost O(n·k) with the centroid set broadcast;
-    * search cost bounded by list size. Recall < 1 by design; the oracle
-    * implements the same approximation. */
-  def simTopkIvf(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
-    val cents = vs.filter(col("vec_id") % CentStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val assign = vs.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cent_id"),
+  /** Queries probe their NProbe nearest centroids' inverted lists (lists are
+    * disjoint, so probed candidates need no dedup). */
+  val NProbe = 2
+
+  /** Rank vectors' centroids by rounded cosine: (vec_id, cent_id, rk). */
+  private def rankCentroids(vs: DataFrame, cents: DataFrame): DataFrame =
+    vs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"),
         Portable.cosine6(col("v"), col("cv"), col("nrm"), col("cn")).as("cc"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cent_id").asc)))
+
+  /** One Lloyd step: per-dimension mean of each centroid's assigned vectors,
+    * rounded, with recomputed norms. All DataFrame aggregations — the
+    * assignment is a broadcast nested product over k centroids (O(n·k)), the
+    * mean one exchange of n×dim (cent_id, i, x) triples with map-side
+    * partial avg. A seed that attracts no vectors vanishes (both engines). */
+  private def refineCentroids(vs: DataFrame, seeds: DataFrame): DataFrame =
+    rankCentroids(vs, seeds)
       .filter(col("rk") === 1)
-      .select("vec_id", "cent_id")
-    val members = vs.join(assign, "vec_id")
-    val q = members.filter(col("vec_id") < NumQueries)
+      .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cent_id", "i").agg(round(avg("x"), 6).as("cx"))
+      .groupBy("cent_id")
+      .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
+      .withColumn("cn", Portable.l2norm(col("cv")))
+
+  /** IVF ANN with k-means-refined lists and multi-probe search: vectors are
+    * assigned to their nearest refined centroid (inverted lists); a query
+    * probes its NProbe nearest lists. Assignment cost O(n·k) with the
+    * centroid set broadcast; search cost bounded by the probed list sizes.
+    * Recall < 1 by design; the oracle implements the same approximation,
+    * and SimilaritySpec bounds recall@k against brute force from below. */
+  def simTopkIvf(spark: SparkSession, dir: String): DataFrame =
+    simTopkIvfProbe(spark, dir, NProbe)
+
+  /** [[simTopkIvf]] with an explicit probe width — more probes search a
+    * superset of lists, so recall is monotone in `nprobe` (spec-asserted). */
+  private[graft] def simTopkIvfProbe(spark: SparkSession, dir: String,
+                                     nprobe: Int): DataFrame = {
+    val vs = vectors(spark, dir)
+    val seeds = vs.filter(col("vec_id") % CentStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val cents = refineCentroids(vs, seeds)
+    val ranked = rankCentroids(vs, cents)
+    val members = ranked.filter(col("rk") === 1)
+      .select("vec_id", "cent_id", "v", "nrm")
+    val probes = ranked.filter(col("rk") <= nprobe && col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("qc"))
-    broadcast(q)
+    broadcast(probes)
       .join(members, col("cent_id") === col("qc") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Portable.cosine6(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
@@ -280,7 +311,7 @@ object Similarity {
          |  SELECT a.vec_id, b.vec_id AS cent_id, sum(a.x * b.x) AS dot
          |  FROM pos a JOIN pos b ON a.i = b.i AND b.vec_id % $CentStride = 0
          |  GROUP BY a.vec_id, b.vec_id
-         |), assign AS (
+         |), assign0 AS (
          |  SELECT vec_id, cent_id FROM (
          |    SELECT c.vec_id, c.cent_id,
          |           row_number() OVER (PARTITION BY c.vec_id
@@ -289,10 +320,28 @@ object Similarity {
          |    JOIN nrm na ON c.vec_id = na.vec_id
          |    JOIN nrm nc ON c.cent_id = nc.vec_id
          |  ) WHERE rk = 1
+         |), cent1 AS (
+         |  SELECT a.cent_id, pos.i, round(avg(pos.x), 6) AS cx
+         |  FROM assign0 a JOIN pos ON pos.vec_id = a.vec_id
+         |  GROUP BY a.cent_id, pos.i
+         |), cn1 AS (
+         |  SELECT cent_id, sqrt(sum(cx * cx)) AS cn FROM cent1 GROUP BY cent_id
+         |), cdots1 AS (
+         |  SELECT pos.vec_id, cent1.cent_id, sum(pos.x * cent1.cx) AS dot
+         |  FROM pos JOIN cent1 ON pos.i = cent1.i
+         |  GROUP BY pos.vec_id, cent1.cent_id
+         |), ranked1 AS (
+         |  SELECT c.vec_id, c.cent_id,
+         |         row_number() OVER (PARTITION BY c.vec_id
+         |           ORDER BY round(c.dot / (na.nrm * cn1.cn), 6) DESC, c.cent_id ASC) AS rk
+         |  FROM cdots1 c
+         |  JOIN nrm na ON c.vec_id = na.vec_id
+         |  JOIN cn1 ON c.cent_id = cn1.cent_id
          |), cand AS (
          |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id
-         |  FROM assign q JOIN assign m ON q.cent_id = m.cent_id AND m.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NumQueries
+         |  FROM ranked1 q JOIN ranked1 m
+         |    ON q.cent_id = m.cent_id AND m.rk = 1 AND m.vec_id <> q.vec_id
+         |  WHERE q.rk <= $NProbe AND q.vec_id < $NumQueries
          |), dots AS (
          |  SELECT cand.query_id, cand.neighbor_id, sum(a.x * b.x) AS dot
          |  FROM cand

@@ -1,0 +1,27 @@
+package graft
+
+import graft.extensions.Similarity
+
+/** Recall contracts of the approximate ANN paths against the exact
+  * brute-force baseline at sf0.01 (500 × 64-dim vectors, near-random — a
+  * deliberately hard recall regime; clustered corpora only do better). */
+class SimilaritySpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("IVF (1 Lloyd step, nprobe=2) recall@5 ≥ 0.4; monotone in nprobe") {
+    val exact = pairs(Similarity.simTopkBruteforce(spark, sf))
+    val ivf2 = pairs(Similarity.simTopkIvfProbe(spark, sf, 2))
+    val ivf1 = pairs(Similarity.simTopkIvfProbe(spark, sf, 1))
+    val r2 = (exact & ivf2).size.toDouble / exact.size
+    val r1 = (exact & ivf1).size.toDouble / exact.size
+    withClue(s"recall nprobe=2: $r2, nprobe=1: $r1: ") {
+      r2 should be >= 0.4
+      r2 should be >= r1 // probing more lists never loses candidates
+    }
+  }
+}
