@@ -13,6 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** A helper-column name guaranteed absent from `df` — these are public
+    * generic operators, so a caller's own "rk" column must survive intact. */
+  private def freshName(df: DataFrame, base: String): String =
+    if (!df.columns.contains(base)) base
+    else Iterator.from(1).map(i => s"${base}_$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** K1 (reference: Homework2.scala:92-126 — per-venue eviction map, correct
     * only with one reducer, SURVEY.md Q2). Genuinely distributed here: one
     * hash exchange on `groupCols`, per-partition sort, row_number, filter —
@@ -21,19 +28,23 @@ object Relational {
     * `order` must be a total order within a group (add a tiebreak column)
     * for deterministic output.
     */
-  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame =
-    df.withColumn("rk", row_number().over(Window.partitionBy(groupCols: _*).orderBy(order: _*)))
-      .filter(col("rk") <= k)
-      .drop("rk")
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val rk = freshName(df, "rk")
+    df.withColumn(rk, row_number().over(Window.partitionBy(groupCols: _*).orderBy(order: _*)))
+      .filter(col(rk) <= k)
+      .drop(rk)
+  }
 
   /** A5 (reference: Homework2.scala:321-366 — arg-max kept per *mapper split*,
     * never reconciled globally, SURVEY.md Q5). This is the intended global
     * semantics: rank()==1 keeps all rows tied for the group max.
     */
-  def argMaxPerGroup(df: DataFrame, groupCols: Seq[Column], order: Column): DataFrame =
-    df.withColumn("rk", rank().over(Window.partitionBy(groupCols: _*).orderBy(order.desc)))
-      .filter(col("rk") === 1)
-      .drop("rk")
+  def argMaxPerGroup(df: DataFrame, groupCols: Seq[Column], order: Column): DataFrame = {
+    val rk = freshName(df, "rk")
+    df.withColumn(rk, rank().over(Window.partitionBy(groupCols: _*).orderBy(order.desc)))
+      .filter(col(rk) === 1)
+      .drop(rk)
+  }
 
   /** A4 (reference: Homework2.scala:272-276 — '|'-prefixed concat in reducer).
     * Deterministic variant: elements sorted before joining (the reference's

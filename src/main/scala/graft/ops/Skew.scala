@@ -12,30 +12,40 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Salted count: groupBy(keys × salt) partial counts → groupBy(keys) sum.
-    * Equivalent to df.groupBy(keys).count() for any data; the win appears
-    * when one key dominates a partition. The salt column derives from a
-    * stable row hash, not rand(), so the result is retry-deterministic. */
-  def saltedCount(df: DataFrame, keys: Seq[Column], salt: Int = 16,
-                  out: String = "cnt"): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(keys :+ monotonically_increasing_id(): _*), lit(salt)))
-    salted
-      .groupBy(keys :+ col("__salt"): _*)
-      .agg(count(lit(1)).as("__partial"))
+  /** Helper-column names guaranteed absent from `df` (public operators must
+    * not clobber caller columns). */
+  private def freshName(df: DataFrame, base: String): String =
+    if (!df.columns.contains(base)) base
+    else Iterator.from(1).map(i => s"${base}_$i")
+      .find(n => !df.columns.contains(n)).get
+
+  /** Two-stage salted aggregation: groupBy(keys × salt) partials →
+    * groupBy(keys) merge. The salt derives from a row hash over the keys and
+    * `monotonically_increasing_id()` — the aggregate RESULT is equivalent to
+    * the unsalted aggregation under any salt assignment (counts/sums are
+    * associative), but the per-shard split itself is partition-layout-
+    * dependent, so intermediate shard sizes may differ across retries. */
+  private def salted(df: DataFrame, keys: Seq[Column], salt: Int,
+                     partial: Column => Column, merge: String => Column,
+                     out: String): DataFrame = {
+    val saltCol = freshName(df, "__salt")
+    val partialCol = freshName(df, "__partial")
+    df.withColumn(saltCol,
+        pmod(hash(keys :+ monotonically_increasing_id(): _*), lit(salt)))
+      .groupBy(keys :+ col(saltCol): _*)
+      .agg(partial(col(saltCol)).as(partialCol))
       .groupBy(keys: _*)
-      .agg(sum("__partial").as(out))
+      .agg(merge(partialCol).as(out))
   }
+
+  /** Salted count: equivalent to df.groupBy(keys).count() for any data; the
+    * win appears when one key dominates a partition. */
+  def saltedCount(df: DataFrame, keys: Seq[Column], salt: Int = 16,
+                  out: String = "cnt"): DataFrame =
+    salted(df, keys, salt, _ => count(lit(1)), sum(_), out)
 
   /** Salted sum over a numeric column, same two-stage shape. */
   def saltedSum(df: DataFrame, keys: Seq[Column], value: Column, salt: Int = 16,
-                out: String = "sum"): DataFrame = {
-    val salted = df.withColumn("__salt",
-      pmod(hash(keys :+ monotonically_increasing_id(): _*), lit(salt)))
-    salted
-      .groupBy(keys :+ col("__salt"): _*)
-      .agg(sum(value).as("__partial"))
-      .groupBy(keys: _*)
-      .agg(sum("__partial").as(out))
-  }
+                out: String = "sum"): DataFrame =
+    salted(df, keys, salt, _ => sum(value), sum(_), out)
 }

@@ -165,7 +165,56 @@ object Tpch {
       .orderBy("segment")
   }
 
+  /** Correlated scalar subquery (TPC-H Q2's shape on the tables we have):
+    * each customer's cheapest order(s). ONE SQL string is both the Spark
+    * query and the DuckDB oracle — Catalyst decorrelates the subquery into
+    * an aggregate + join (no per-row re-execution), which is exactly the
+    * rewrite you want at scale. */
+  private val correlatedSql =
+    """SELECT o.o_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS min_price
+      |FROM orders o
+      |WHERE o.o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
+      |                        WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_custkey, o.o_orderkey""".stripMargin
+
+  def qCorrelatedCheapestOrder(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(correlatedSql)
+  }
+
+  /** Oracle-gated SKETCH contracts: HLL count-distinct and approximate
+    * median are not cross-engine hash-comparable, but their ERROR BOUNDS
+    * are. The query emits exact values plus booleans asserting the sketch
+    * landed within its documented bound (HLL rsd 0.02 → 5%;
+    * percentile_approx accuracy 10000 → ~n/10⁴ rank error → 1% on price);
+    * the oracle emits the exacts and literal TRUEs, so a sketch regression
+    * fails the hard gate. */
+  def qSketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    val exactD = countDistinct(col("o_custkey"))
+    val hll = approx_count_distinct(col("o_custkey"), 0.02)
+    val p50e = expr("percentile(o_totalprice, 0.5)")
+    val p50a = expr("percentile_approx(o_totalprice, 0.5, 10000)")
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        exactD.as("n_cust"),
+        (abs(hll - exactD) <= exactD * 0.05).as("hll_within_5pct"),
+        round(p50e, 4).as("p50_exact"),
+        (abs(p50a - p50e) <= p50e * 0.01).as("p50_approx_within_1pct"))
+      .orderBy("o_orderpriority")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_correlated_cheapest_order" -> correlatedSql,
+
+    "q_sketch_bounds" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_cust,
+        |       TRUE AS hll_within_5pct,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        |       TRUE AS p50_approx_within_1pct
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_set_ops" ->
       """WITH c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
         |     c97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
@@ -281,5 +330,7 @@ object Tpch {
     "q_pivot_status"           -> (qPivotStatus _),
     "q_percentiles"            -> (qPercentiles _),
     "q_set_ops"                -> (qSetOps _),
+    "q_correlated_cheapest_order" -> (qCorrelatedCheapestOrder _),
+    "q_sketch_bounds"          -> (qSketchBounds _),
   )
 }

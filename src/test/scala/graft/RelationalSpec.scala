@@ -151,6 +151,18 @@ class RelationalSpec extends SparkTestBase {
     viaWindows shouldBe viaArray
   }
 
+  test("topKPerGroup/argMaxPerGroup preserve a caller's own 'rk' column") {
+    val df = Seq(("g", "caller-data", 3L), ("g", "other", 1L))
+      .toDF("k", "rk", "cnt") // 'rk' is USER data, not ours to clobber
+    val top = Relational.topKPerGroup(df, Seq(col("k")),
+      Seq(col("cnt").desc, col("rk").asc), 1)
+    top.columns.toSeq shouldBe Seq("k", "rk", "cnt")
+    rows(top) shouldBe Seq(Seq("g", "caller-data", 3L))
+    val am = Relational.argMaxPerGroup(df, Seq(col("k")), col("cnt"))
+    am.columns.toSeq shouldBe Seq("k", "rk", "cnt")
+    rows(am) shouldBe Seq(Seq("g", "caller-data", 3L))
+  }
+
   test("strict vs intended differ exactly on duplicate-broken streaks") {
     val df = Seq(("a", 2000), ("a", 2000), ("a", 2001), // dup resets: strict 2... intended 2
       ("d", 2000), ("d", 2001), ("d", 2001), ("d", 2002)) // strict 2, intended 3
