@@ -128,6 +128,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** SimHash near-dup banding: 60-bit band split for hamming-≤-3 search. */
+  val SimhashBands = 4; val SimhashBandBits = 15
+  private val SimhashBandMask = (1 << SimhashBandBits) - 1
+
+  /** SimHash near-dup pairs: hamming distance ≤ 3 over the 60-bit token
+    * SimHash ([[TextAnalysis.textSimhash]]). Candidate generation is the
+    * classic pigeonhole band split (Manku/Jain/Sarma, WWW'07 §3): with the
+    * signature cut into 4 disjoint 15-bit bands, any pair within hamming 3
+    * agrees EXACTLY on at least one band, so the band-bucket equi-join has
+    * recall 1 — this is an exact algorithm with the all-pairs cross product
+    * replaced by a bounded hash join. Verify = bit_count(xor) on candidates.
+    * At 100 TB every stage is a hash shuffle bounded by bucket size; the
+    * 15-bit bands give 32768 buckets per band (widen bands as the corpus
+    * grows to keep buckets small). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val banded = TextAnalysis.simhashSigs(spark, dir)
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band"),
+        expr(s"shiftright(simhash, band * $SimhashBandBits) & $SimhashBandMask").as("bkt"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("CAST(bit_count(x.simhash ^ y.simhash) AS INT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct() // a pair may agree on more than one band
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-dup pairs (τ = 0.45, rounded before threshold).
     * Brute-force pairs here; the LSH-bucketed scale path lives in
     * [[Similarity]]. */
@@ -245,6 +276,21 @@ object Dedup {
          |  ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_simhash" ->
+      s"""${TextAnalysis.simhashCtes}
+         |, banded AS (
+         |  SELECT doc_id, simhash, band,
+         |         (simhash >> (band * $SimhashBandBits)) & $SimhashBandMask AS bkt
+         |  FROM sims CROSS JOIN
+         |       (SELECT unnest(generate_series(0, ${SimhashBands - 1})) AS band) bs
+         |)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_embedding" ->
       """WITH pos AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
@@ -266,6 +312,7 @@ object Dedup {
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
+    "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_fuzzy_names"   -> (dedupFuzzyNames _),
   )

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
+import graft.ops.Relational
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table — the language-ID /
@@ -122,9 +123,17 @@ object TextAnalysis {
       .select(col("doc_id"),
         Portable.hash60(expr("substring(text, i, 8)")).as("h"))
       .distinct()
-    grams.groupBy("doc_id")
+    // Bottom-5 per doc via the window-limit operator, NOT
+    // collect_list-then-slice: the window plans as partial+final
+    // WindowGroupLimit (each task keeps ≤5 rows/doc before the exchange),
+    // while collect_list holds EVERY distinct gram of a doc in one
+    // aggregation buffer — ~10⁶ hashes for a 1 MB doc, the classic
+    // big-document OOM at scale. The final collect_list sees ≤5 rows.
+    Relational
+      .topKPerGroup(grams, Seq(col("doc_id")), Seq(col("h").asc), 5)
+      .groupBy("doc_id")
       .agg(concat_ws(",",
-        transform(slice(array_sort(collect_list(col("h"))), 1, 5), _.cast("string")))
+        transform(array_sort(collect_list(col("h"))), _.cast("string")))
         .as("fingerprint"))
       .orderBy("doc_id")
   }
@@ -133,7 +142,12 @@ object TextAnalysis {
     * bit j is ≥ 0). Distributed formulation: explode tokens × bits, two hash
     * aggregations — per-row state is O(1), no per-doc arrays, so the plan
     * survives arbitrarily large documents-per-partition. */
-  def textSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def textSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSigs(spark, dir).orderBy("doc_id")
+
+  /** Unordered (doc_id, simhash) signatures — shared with
+    * [[Dedup.dedupSimhash]], which banding-joins them. */
+  private[extensions] def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Portable.hash60(col("tok")).as("h"))
@@ -144,8 +158,22 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0L))
         .as("simhash"))
-      .orderBy("doc_id")
   }
+
+  /** Repetition / diversity quality signals (the Gopher-rule family):
+    * distinct-token ratio and the share of the single most frequent token.
+    * Two hash aggregations — per-(doc, token) counts, then per-doc rollup —
+    * O(1) row state throughout; empty documents have no tokens and drop out
+    * identically on both engines. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    withToksDf(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum("c"), 6).as("distinct_ratio"),
+        round(max("c").cast("double") / sum("c"), 6).as("top_token_share"))
+      .orderBy("doc_id")
 
   // --- DuckDB oracles -------------------------------------------------------
 
@@ -236,20 +264,40 @@ object TextAnalysis {
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_simhash" ->
+      s"""$simhashCtes
+         |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
       s"""$withToks
-         |, th AS (
-         |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+         |, tc AS (
+         |  SELECT doc_id, tok, count(*) AS c
          |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
-         |), bits AS (
-         |  SELECT doc_id, j,
-         |         CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
-         |              THEN (1::BIGINT << j) ELSE 0 END AS bitval
-         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
-         |  GROUP BY doc_id, j
+         |  GROUP BY doc_id, tok
          |)
-         |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_distinct,
+         |       round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
+         |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_share
+         |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
+
+  /** CTE chain ending in `sims(doc_id, simhash)` — the oracle twin of
+    * [[simhashSigs]], shared with [[Dedup]]'s simhash near-dup oracle. */
+  private[extensions] lazy val simhashCtes: String =
+    s"""$withToks
+       |, th AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |         CASE WHEN sum(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) >= 0
+       |              THEN (1::BIGINT << j) ELSE 0 END AS bitval
+       |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+       |  GROUP BY doc_id, j
+       |), sims AS (
+       |  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id
+       |)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"              -> (textStats _),
@@ -259,5 +307,6 @@ object TextAnalysis {
     "text_simhash"            -> (textSimhash _),
     "text_subword_tokens"     -> (textSubwordTokens _),
     "text_winnow_fingerprint" -> (textWinnowFingerprint _),
+    "text_repetition"         -> (textRepetition _),
   )
 }
