@@ -75,6 +75,38 @@ object Similarity {
     topK(scored)
   }
 
+  /** Int8-quantized cosine top-k: every vector is scaled so max|x| → 127 and
+    * rounded to int8 codes; scoring runs on the INTEGER dot product (exact
+    * on both engines — no FP summation-order hazard at all) over the
+    * reconstructed-norm cosine. The 100 TB point: the candidate-scoring
+    * payload drops 4× vs float32 (8× vs this pipeline's doubles) — the
+    * classic memory-bandwidth move for billion-vector ANN — and the codes
+    * compose with the IVF/LSH candidate generators above (quantized verify
+    * over their buckets). Approximate by design (quantization error ~1/254
+    * per dim); the oracle implements the SAME quantization, so results
+    * match exactly. */
+  def simTopkQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val qd = vectors(spark, dir)
+      .select(col("vec_id"), col("v"),
+        expr("array_max(transform(v, x -> abs(x)))").as("m"))
+      // x * 127.0 / m written with the oracle's exact association: every
+      // step is a single IEEE op on identical inputs, so the rounded code
+      // is bit-identical cross-engine (no sum ordering involved).
+      .select(col("vec_id"), expr(
+        "transform(v, x -> CASE WHEN m = 0.0 THEN 0 ELSE CAST(round(x * 127.0 / m) AS INT) END)")
+        .as("qv"))
+      .withColumn("qnrm",
+        sqrt(expr("aggregate(qv, 0L, (acc, q) -> acc + CAST(q AS BIGINT) * q)").cast("double")))
+    val q = qd.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("qnrm").as("qn"))
+    val scored = broadcast(q).join(qd, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(
+          expr("aggregate(zip_with(qq, qv, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, p) -> acc + p)")
+            .cast("double") / (col("qn") * col("qnrm")), 6).as("cos_sim"))
+    topK(scored)
+  }
+
   /** Per-query top-k on the rounded cosine (shared K1 operator). */
   private def topK(scored: DataFrame): DataFrame =
     Relational
@@ -267,6 +299,34 @@ object Similarity {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_topk_quantized" ->
+      s"""WITH pos AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings
+         |), mx AS (
+         |  SELECT vec_id, max(abs(x)) AS m FROM pos GROUP BY vec_id
+         |), qv AS (
+         |  SELECT pos.vec_id, i,
+         |         CASE WHEN m = 0.0 THEN 0 ELSE CAST(round(x * 127.0 / m) AS INTEGER) END AS qx
+         |  FROM pos JOIN mx ON pos.vec_id = mx.vec_id
+         |), qn AS (
+         |  SELECT vec_id, sqrt(sum(CAST(qx AS DOUBLE) * qx)) AS nrm FROM qv GROUP BY vec_id
+         |), d AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         CAST(sum(CAST(q.qx AS BIGINT) * c.qx) AS DOUBLE) AS dot
+         |  FROM qv q JOIN qv c ON q.i = c.i AND q.vec_id < $NumQueries AND c.vec_id <> q.vec_id
+         |  GROUP BY q.vec_id, c.vec_id
+         |), scored AS (
+         |  SELECT query_id, neighbor_id, round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+         |  FROM d JOIN qn nq ON query_id = nq.vec_id JOIN qn nc ON neighbor_id = nc.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+
     "sim_topk_bruteforce" ->
       s"""$posAndNorm
          |, d AS (
@@ -382,5 +442,6 @@ object Similarity {
     "sim_topk_lsh"        -> (simTopkLsh _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "sim_topk_ivf"        -> (simTopkIvf _),
+    "sim_topk_quantized"  -> (simTopkQuantized _),
   )
 }

@@ -212,8 +212,68 @@ object Tpch {
       .orderBy("o_orderpriority")
   }
 
+  /** Tier boundaries for [[qRangeJoinPriceTiers]] — single source of truth
+    * for the Spark dim and the oracle's VALUES literal. */
+  private val priceTiers = Seq(
+    ("budget", 0.0, 100000.0),
+    ("standard", 100000.0, 250000.0),
+    ("premium", 250000.0, 1000000000.0))
+
+  /** Non-equi range join: orders banded into irregular literal price tiers.
+    * The tier dim is tiny and the predicate is interval containment, so the
+    * right 100 TB plan is a BroadcastNestedLoopJoin — every fact row probes
+    * the 3 broadcast intervals with NO shuffle of the fact side (an
+    * equi-join rewrite exists only for equal-width bands; irregular
+    * intervals are the general case). */
+  def qRangeJoinPriceTiers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = priceTiers.toDF("tier", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"), decSum2(col("o_totalprice")).as("revenue"))
+      .orderBy("tier")
+  }
+
+  /** GROUPING SETS over the orders→customer→nation join: per-(nation,
+    * priority) detail, per-nation subtotal, and grand total in ONE pass
+    * (Catalyst's Expand — each input row fans to its 3 grouping sets before
+    * a single hash aggregation; no re-scan per level). One SQL string is
+    * both the Spark query and the oracle; NULLS FIRST is spelled explicitly
+    * because the engines' defaults differ (Spark: nulls first; DuckDB:
+    * nulls last). */
+  private val groupingSetsSql =
+    """SELECT n.n_name, o.o_orderpriority,
+      |       count(*) AS n_orders,
+      |       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY GROUPING SETS ((n.n_name, o.o_orderpriority), (n.n_name), ())
+      |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("nation")
+    spark.sql(groupingSetsSql)
+  }
+
+  private val tiersValues = priceTiers
+    .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
     "q_correlated_cheapest_order" -> correlatedSql,
+
+    "q_grouping_sets" -> groupingSetsSql,
+
+    "q_range_join_price_tiers" ->
+      s"""WITH tiers(tier, lo, hi) AS (VALUES $tiersValues)
+         |SELECT tier, count(*) AS n_orders,
+         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+         |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY tier ORDER BY tier""".stripMargin,
 
     "q_sketch_bounds" ->
       """SELECT o_orderpriority,
@@ -340,5 +400,7 @@ object Tpch {
     "q_set_ops"                -> (qSetOps _),
     "q_correlated_cheapest_order" -> (qCorrelatedCheapestOrder _),
     "q_sketch_bounds"          -> (qSketchBounds _),
+    "q_range_join_price_tiers" -> (qRangeJoinPriceTiers _),
+    "q_grouping_sets"          -> (qGroupingSets _),
   )
 }

@@ -43,4 +43,21 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "collect_list"
     p should not include "collect_set"
   }
+
+  test("range join: tiny interval dim broadcasts; fact side never shuffles for the join") {
+    val p = planOf(Tpch.qRangeJoinPriceTiers(spark, sf))
+    p should include ("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
+  test("grouping sets: one Expand pass, no per-level re-aggregation unions") {
+    val p = planOf(Tpch.qGroupingSets(spark, sf))
+    "Expand".r.findAllIn(p).size shouldBe 1
+    p should not include "Union"
+  }
+
+  test("winnow fingerprint: bottom-5 per doc is a WindowGroupLimit, no wide arrays") {
+    val p = planOf(graft.extensions.TextAnalysis.textWinnowFingerprint(spark, sf))
+    p should include ("WindowGroupLimit")
+  }
 }
