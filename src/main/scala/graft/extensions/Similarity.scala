@@ -58,8 +58,39 @@ object Similarity {
   /** Pseudo-random hyperplane component for (plane j, dim i) in [-1, 1):
     * derived from the portable hash so both engines generate identical
     * planes without shipping 8×64 literals. */
-  private def planeComponent(j: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+  private[graft] def planeComponent(j: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
     (Portable.hash60(concat_ws("_", lit("plane"), j, i)) % 2001 - 1000).cast("double") / 1000.0
+
+  /** JVM twin of [[planeComponent]] (md5 hex → first 15 digits → BIGINT →
+    * affine map to [-1, 1)): materializes the plane matrix on the driver so
+    * signature computation is a map-side projection. Differentially tested
+    * against the SQL formulation in SimilaritySpec. */
+  private[graft] def planeComponentScala(j: Int, i: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane_${j}_${i}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % 2001 - 1000).toDouble / 1000.0
+  }
+
+  /** The (nPlanes × 64) hyperplane matrix as a typed literal — a CONSTANT in
+    * the plan. Signatures become one narrow projection per vector (native
+    * codegen dot per plane): no dim-explode, no plane join, no exchange at
+    * all — the previous formulation shuffled n×(planes) partial-sum rows
+    * through two aggregations. At 1000 executors this turns the signature
+    * stage from a shuffle into pure map work. */
+  private def planesLit(nPlanes: Int) =
+    typedLit((0 until nPlanes).map(j => (1 to 64).map(i => planeComponentScala(j, i))))
+
+  /** bits(k) for k in [0, nPlanes): 1L iff round(v · plane_k, 9) ≥ 0 —
+    * the same rounded sign contract as the oracle (risk note below). */
+  private def signBits(v: org.apache.spark.sql.Column, nPlanes: Int) =
+    transform(sequence(lit(0), lit(nPlanes - 1)), j =>
+      when(round(Portable.dot(v, get(planesLit(nPlanes), j)), 9) >= 0, 1L).otherwise(0L))
+
+  /** Packs a 0/1-bit array into a BIGINT, bit k = bits(k) << k
+    * (fold MSB-first: acc·2 + bit — exact integer arithmetic). */
+  private def packBits(bits: org.apache.spark.sql.Column) =
+    aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
 
   /** LSH-bucketed ANN: 8-bit sign signature; candidates share the bucket.
     * Top-k per query by exact (rounded) cosine within the bucket. */
@@ -115,54 +146,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim")
       .orderBy(col("query_id").asc, col("cos_sim").desc, col("neighbor_id").asc)
 
-  /** Shared: vectors with their LSH bucket (8-bit hyperplane signature). */
-  private def withBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
-    val planes = spark.range(NumPlanes).select(col("id").cast("int").as("j"))
-      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("i")))
-      .select(col("j"), col("i"), planeComponent(col("j"), col("i")).as("w"))
-    val comp = vs
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
-      .join(broadcast(planes), "i")
-      .select(col("vec_id"), col("j"), (col("x") * col("w")).as("p"))
-    // Sign-bit residual risk (both here and in bandSignatures): the bit is
-    // the sign of round(Σ xᵢwᵢ, 9). A projection truly within ~5e-10 of a
-    // rounding boundary could round differently across engines (FP sum order
-    // is nondeterministic), flipping a bucket. Rounding narrows the exposed
-    // window to |Σ − boundary| ≲ 1e-15 (cross-engine FP noise), and both
-    // sides use the identical rounded comparison — accepted residual risk,
-    // since ANY threshold on a continuous projection has such a boundary.
-    val sigs = comp.groupBy("vec_id", "j")
-      .agg(sum("p").as("dotp"))
-      .groupBy("vec_id")
-      .agg(sum(when(round(col("dotp"), 9) >= 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
-        .otherwise(0L)).as("bucket"))
-    vs.join(sigs, "vec_id")
-  }
+  /** Shared: vectors with their LSH bucket (8-bit hyperplane signature),
+    * computed map-side against the [[planesLit]] constant.
+    *
+    * Sign-bit residual risk (both here and in bandSignatures): the bit is
+    * the sign of round(Σ xᵢwᵢ, 9). A projection truly within ~5e-10 of a
+    * rounding boundary could round differently across engines (FP sum order
+    * differs: native dot is left-to-right, DuckDB's sum is
+    * arrival-ordered), flipping a bucket. Rounding narrows the exposed
+    * window to |Σ − boundary| ≲ 1e-15 (cross-engine FP noise), and both
+    * sides use the identical rounded comparison — accepted residual risk,
+    * since ANY threshold on a continuous projection has such a boundary. */
+  private def withBuckets(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .withColumn("bucket", packBits(signBits(col("v"), NumPlanes)))
 
   /** Per-vector banded signatures: (vec_id, band, bkt) with one r-bit bucket
     * per band, planes shared with [[simTopkLsh]] (band 0 = its 8 planes).
     *
-    * Shuffle shape: the explode keeps a vector's rows task-local, so the
-    * (vec_id, j) aggregation partial-aggregates map-side — the exchange
-    * carries n×(b·r) tiny rows, then n×b; nothing scales with dim×planes. */
+    * All 128 sign bits are computed in ONE map-side projection against the
+    * [[planesLit]] constant, then sliced into per-band buckets — the band
+    * explode is the only row expansion (n×b tiny rows), and nothing
+    * shuffles until the bucket self-join. */
   private def bandSignatures(spark: SparkSession, dir: String): DataFrame = {
     val nPlanes = DedupBands * DedupPlanesPerBand
-    val planes = spark.range(nPlanes).select(col("id").cast("int").as("j"))
-      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("i")))
-      .select(col("j"), col("i"), planeComponent(col("j"), col("i")).as("w"))
     vectors(spark, dir)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"), col("x"))
-      .join(broadcast(planes), "i")
-      .select(col("vec_id"), col("j"), (col("x") * col("w")).as("p"))
-      .groupBy("vec_id", "j")
-      .agg(sum("p").as("dotp"))
-      .groupBy(col("vec_id"), expr(s"j div $DedupPlanesPerBand").as("band"))
-      .agg(sum(when(round(col("dotp"), 9) >= 0,
-        expr(s"shiftleft(CAST(1 AS BIGINT), j % $DedupPlanesPerBand)"))
-        .otherwise(0L)).as("bkt"))
+      .withColumn("bits", signBits(col("v"), nPlanes))
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(DedupBands - 1)), b =>
+          struct(b.as("band"),
+            packBits(slice(col("bits"), b * DedupPlanesPerBand + 1, lit(DedupPlanesPerBand)))
+              .as("bkt")))).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
   }
 
   /** Embedding near-dup at scale: banded-LSH candidate pairs (same-bucket in

@@ -13,6 +13,17 @@ class SimilaritySpec extends SparkTestBase {
     df.select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("driver-side plane matrix is bit-identical to the SQL md5 derivation") {
+    import org.apache.spark.sql.functions._
+    val sqlPlanes = spark.range(128).select(col("id").cast("int").as("j"))
+      .crossJoin(spark.range(1, 65).select(col("id").cast("int").as("i")))
+      .select(col("j"), col("i"), Similarity.planeComponent(col("j"), col("i")).as("w"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    for (j <- 0 until 128; i <- 1 to 64)
+      assert(Similarity.planeComponentScala(j, i) == sqlPlanes((j, i)),
+        s"plane ($j,$i) diverges")
+  }
+
   test("IVF (1 Lloyd step, nprobe=2) recall@5 ≥ 0.4; monotone in nprobe") {
     val exact = pairs(Similarity.simTopkBruteforce(spark, sf))
     val ivf2 = pairs(Similarity.simTopkIvfProbe(spark, sf, 2))
