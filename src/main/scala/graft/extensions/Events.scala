@@ -62,6 +62,27 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** RANGE (value-interval) window frame — the per-event sliding "last
+    * hour": count and exact-decimal value sum over same-type events within
+    * the preceding 3600 s, inclusive. ROWS frames slide by position; RANGE
+    * frames slide by ORDER-key distance (epoch microseconds here), which is
+    * what time-based analytics mean by "last hour" when events arrive
+    * irregularly. Peers (equal timestamps) enter the frame identically on
+    * both engines by definition of RANGE. One shuffle on event_type; O(1)
+    * frame state per row. */
+  def eventsRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("t_us")
+      .rangeBetween(-3599999999L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"), col("value"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_last_hour"),
+        round(sum(col("value").cast(DecimalType(28, 10))).over(w), 2)
+          .cast("double").as("sum_last_hour"))
+      .orderBy("event_id")
+  }
+
   /** Event-time AS-OF join composed from window primitives (no custom
     * operator needed): for each purchase, the most recent strictly-prior
     * click by the same user. One shuffle on user_id; the running-max frame
@@ -115,6 +136,18 @@ object Events {
         |SELECT event_id, user_id, ts, make_timestamp(prev_us) AS prev_click_ts
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    "events_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS t_us, value FROM events
+        |)
+        |SELECT event_id, event_type,
+        |       count(*) OVER w AS n_last_hour,
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))) OVER w, 2) AS DOUBLE) AS sum_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t_us
+        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "events_moving_avg" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, event_type,
@@ -164,6 +197,7 @@ object Events {
     "events_sessions"         -> (eventsSessions _),
     "events_moving_avg"       -> (eventsMovingAvg _),
     "events_asof_attribution" -> (eventsAsofAttribution _),
+    "events_range_frame"      -> (eventsRangeFrame _),
     "events_json_stats"       -> (eventsJsonStats _),
   )
 }
