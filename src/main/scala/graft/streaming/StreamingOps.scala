@@ -42,6 +42,15 @@ object StreamingOps {
       .select(col("w").getField("start").as("hour"), col("event_type"),
         col("n_events"), round(col("sum_dec"), 2).cast("double").as("sum_value"))
 
+  /** Stream-static enrichment join: the streaming fact against a static
+    * (batch) dimension, broadcast so the stream side never shuffles —
+    * stateless, no watermark needed, and each micro-batch sees the
+    * dimension's current snapshot. The canonical "attach user/customer
+    * attributes at ingest" stage in front of the stateful operators below. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Session windows with a 30-minute inactivity gap via
     * flatMapGroupsWithState + event-time timeout — the streaming twin of
     * Events.eventsSessions. Emits a SessionOut when a gap closes a session

@@ -53,6 +53,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch from the dimension") {
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "segment")
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.enrichWithDim(ms.toDF(), dim, "user_id")
+      .select("event_id", "segment")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(10, ts(0), 1, "click", 1.0),
+        Event(11, ts(1), 2, "view", 2.0),
+        Event(12, ts(2), 99, "view", 3.0)) // no dim row -> left join keeps it
+      q.processAllAvailable()
+      val rows = spark.table("enriched").orderBy("event_id").collect()
+        .toSeq.map(_.toSeq)
+      rows shouldBe Seq(Seq(10L, "gold"), Seq(11L, "basic"), Seq(12L, null))
+    } finally q.stop()
+  }
+
   test("dedupStream drops re-delivered ids within the watermark") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
