@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ops.Skew
 import graft.sources.Tables
 
 /** Event-stream analytics over the `events` table — batch formulations whose
@@ -60,6 +61,24 @@ object Events {
       .select(col("day"), col("event_type"), col("daily_value"),
         round(sum("daily_value").over(w) / count(lit(1)).over(w), 6).as("avg_7d"))
       .orderBy("event_type", "day")
+  }
+
+  /** Skew-mitigated aggregation, oracle-gated: event_type has only 5 hot
+    * keys — the canonical single-key aggregation-skew regime where one
+    * reducer would own 1/5 of 100 TB. The salted two-stage count/sum
+    * ([[Skew]]) shards each hot key 16 ways, partially aggregates per
+    * shard, and merges; counts and decimal sums are associative, so the
+    * result equals the plain GROUP BY bit-for-bit — which is exactly what
+    * the oracle checks. */
+  def eventsSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val cnt = Skew.saltedCount(e, Seq(col("event_type")), out = "n_events")
+    val sm = Skew.saltedSum(e, Seq(col("event_type")),
+      col("value").cast(DecimalType(28, 10)), out = "sum_dec")
+    cnt.join(sm, "event_type")
+      .select(col("event_type"), col("n_events"),
+        round(col("sum_dec"), 2).cast("double").as("sum_value"))
+      .orderBy("event_type")
   }
 
   /** RANGE (value-interval) window frame — the per-event sliding "last
@@ -136,6 +155,11 @@ object Events {
         |SELECT event_id, user_id, ts, make_timestamp(prev_us) AS prev_click_ts
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    "events_skew_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "events_range_frame" ->
       """WITH e AS (
         |  SELECT event_id, event_type, epoch_us(ts) AS t_us, value FROM events
@@ -198,6 +222,7 @@ object Events {
     "events_moving_avg"       -> (eventsMovingAvg _),
     "events_asof_attribution" -> (eventsAsofAttribution _),
     "events_range_frame"      -> (eventsRangeFrame _),
+    "events_skew_salted"      -> (eventsSkewSalted _),
     "events_json_stats"       -> (eventsJsonStats _),
   )
 }
