@@ -87,6 +87,34 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark prefix for [[dedupContamination]]: doc_id < this stands in
+    * for the held-out eval corpus a real pipeline decontaminates against. */
+  val ContaminationBenchDocs = 50
+  private val ContaminationTau = 0.8
+
+  /** Benchmark decontamination (the GPT-3/Llama-style training-data hygiene
+    * pass): for every corpus document, the fraction of its distinct word-
+    * 3-gram shingles that appear ANYWHERE in the benchmark set, flagged at
+    * ≥ 0.8 overlap. Scale shape: the benchmark shingle set is built once
+    * and is small relative to the corpus (eval suites vs 100 TB), so the
+    * membership probe is a broadcast left join on 60-bit shingle hashes;
+    * corpus-side work is one map-side counted aggregation per doc — nothing
+    * quadratic, nothing keyed on the (skewed) shingle. */
+  def dedupContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+      .select(col("doc_id"), Portable.hash60(col("s")).as("s"))
+    val bench = sh.filter(col("doc_id") < ContaminationBenchDocs)
+      .select(col("s"), lit(1).as("hit")).distinct()
+    sh.filter(col("doc_id") >= ContaminationBenchDocs)
+      .join(broadcast(bench), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6).as("contamination"))
+      .withColumn("flagged", col("contamination") >= ContaminationTau)
+      .orderBy("doc_id")
+  }
+
   // MinHash parameters — k hashes in b bands of r rows. The (a_i, b_i) affine
   // coefficients are fixed by seed so the DuckDB oracle embeds identical
   // literals (generated below from the same arrays).
@@ -276,6 +304,23 @@ object Dedup {
          |  ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_contamination" ->
+      s"""$shinglesSql
+         |, shh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
+         |), bench AS (
+         |  SELECT DISTINCT s FROM shh WHERE doc_id < $ContaminationBenchDocs
+         |), ov AS (
+         |  SELECT c.doc_id, count(*) AS n_shingles, count(b.s) AS n_overlap
+         |  FROM shh c LEFT JOIN bench b ON c.s = b.s
+         |  WHERE c.doc_id >= $ContaminationBenchDocs
+         |  GROUP BY c.doc_id
+         |)
+         |SELECT doc_id, n_shingles, n_overlap,
+         |       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS contamination,
+         |       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) >= $ContaminationTau AS flagged
+         |FROM ov ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""${TextAnalysis.simhashCtes}
          |, banded AS (
@@ -313,6 +358,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_contamination" -> (dedupContamination _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_fuzzy_names"   -> (dedupFuzzyNames _),
   )
