@@ -175,6 +175,38 @@ object TextAnalysis {
         round(max("c").cast("double") / sum("c"), 6).as("top_token_share"))
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test assignment: 60-bit md5 hash of the doc id
+    * mod 100 → 90/5/5. No RNG, no `sampleBy` — the split is a pure function
+    * of the id, so it is reproducible across runs, engines, partition
+    * layouts, and corpus growth (a new doc never reshuffles old
+    * assignments). Pure map work at any scale. */
+  def textSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (Portable.hash60(col("doc_id").cast("string")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .orderBy("doc_id")
+
+  /** Greedy sequence packing into 2048-token contexts, per source shard:
+    * running token total in doc_id order within each source; a document's
+    * bin is the context its first token lands in. partitionBy(source) keeps
+    * the prefix sum distributed — one shard per task, the real pipeline's
+    * layout; a GLOBAL ordered cumsum would serialize into a single
+    * partition at 100 TB. */
+  def textPackBins(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withToksDf(spark, dir)
+      .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("long"))
+      .orderBy("source", "doc_id")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -267,6 +299,28 @@ object TextAnalysis {
       s"""$simhashCtes
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
 
+    "text_split_assign" ->
+      """SELECT doc_id,
+        |       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+        |       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+        |            WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(sum(len(toks)) OVER w AS BIGINT) AS cum_tokens,
+        |       CAST(floor((sum(len(toks)) OVER w - len(toks)) / 2048) AS BIGINT) AS bin
+        |FROM t
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY source, doc_id""".stripMargin,
+
     "text_repetition" ->
       s"""$withToks
          |, tc AS (
@@ -308,5 +362,7 @@ object TextAnalysis {
     "text_subword_tokens"     -> (textSubwordTokens _),
     "text_winnow_fingerprint" -> (textWinnowFingerprint _),
     "text_repetition"         -> (textRepetition _),
+    "text_split_assign"       -> (textSplitAssign _),
+    "text_pack_bins"          -> (textPackBins _),
   )
 }
