@@ -112,7 +112,37 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** Cross-media frame dedup (the video-dedup move): frames hashing equal
+    * across DIFFERENT media are repeated content — intros, watermarks,
+    * shared b-roll. One hash aggregation over the frame table; at 100 TB
+    * this is the same scale shape as exact text dedup, keyed on the frame
+    * hash. */
+  def multimodalFrameDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
+    sampleFrames(media)
+      .groupBy("frame_hash")
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_frames"),
+        min(col("media_id")).as("first_media"))
+      .filter(col("n_media") > 1)
+      .orderBy("frame_hash")
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_frame_dedup" ->
+      s"""WITH frames AS (
+         |  SELECT doc_id AS media_id,
+         |         md5(substr(text, f.i * $FrameChars + 1, $FrameChars)) AS frame_hash
+         |  FROM documents,
+         |       LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // $FrameChars)) AS i) f
+         |  WHERE length(text) > 0
+         |)
+         |SELECT frame_hash, count(DISTINCT media_id) AS n_media,
+         |       count(*) AS n_frames, min(media_id) AS first_media
+         |FROM frames GROUP BY frame_hash HAVING count(DISTINCT media_id) > 1
+         |ORDER BY frame_hash""".stripMargin,
+
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -129,7 +159,8 @@ object Multimodal {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames"   -> (multimodalFrames _),
+    "multimodal_features"    -> (multimodalFeatures _),
+    "multimodal_frames"      -> (multimodalFrames _),
+    "multimodal_frame_dedup" -> (multimodalFrameDedup _),
   )
 }
