@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.Skew
+import graft.ops.{Relational, Skew}
 import graft.sources.Tables
 
 /** Event-stream analytics over the `events` table — batch formulations whose
@@ -62,6 +62,17 @@ object Events {
         round(sum("daily_value").over(w) / count(lit(1)).over(w), 6).as("avg_7d"))
       .orderBy("event_type", "day")
   }
+
+  /** CDC compaction: the latest event per user ([[Relational.latestByKey]])
+    * — the "current snapshot" materialization every change-capture pipeline
+    * runs. One exchange on user_id; WindowGroupLimit bounds per-task state
+    * to one candidate row per key. */
+  def eventsLatestPerUser(spark: SparkSession, dir: String): DataFrame =
+    Relational.latestByKey(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type")),
+      Seq(col("user_id")), Seq(col("ts").desc, col("event_id").desc))
+      .orderBy("user_id")
 
   /** Skew-mitigated aggregation, oracle-gated: event_type has only 5 hot
     * keys — the canonical single-key aggregation-skew regime where one
@@ -155,6 +166,16 @@ object Events {
         |SELECT event_id, user_id, ts, make_timestamp(prev_us) AS prev_click_ts
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    "events_latest_per_user" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events
+        |)
+        |SELECT user_id, event_id, ts, event_type
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
     "events_skew_salted" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
@@ -223,6 +244,7 @@ object Events {
     "events_asof_attribution" -> (eventsAsofAttribution _),
     "events_range_frame"      -> (eventsRangeFrame _),
     "events_skew_salted"      -> (eventsSkewSalted _),
+    "events_latest_per_user"  -> (eventsLatestPerUser _),
     "events_json_stats"       -> (eventsJsonStats _),
   )
 }

@@ -46,6 +46,21 @@ object Relational {
       .drop(rk)
   }
 
+  /** SCD-1 upsert (the MERGE shape without a table format): update rows win
+    * on key collision, unmatched target rows pass through, new keys insert.
+    * Both sides hash-shuffle once on the key for the anti-join — the same
+    * dataflow a Delta/Iceberg MERGE lowers to, minus the file rewrite.
+    * `updates` must carry the target's schema (unionByName). */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** CDC compaction / latest-snapshot: the single newest row per key under
+    * `order` (add tiebreaks for a total order). One exchange on the key;
+    * partial+final WindowGroupLimit keeps a task's candidate set at one row
+    * per key before the shuffle. */
+  def latestByKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    topKPerGroup(df, keys, order, 1)
+
   /** A4 (reference: Homework2.scala:272-276 — '|'-prefixed concat in reducer).
     * Deterministic variant: elements sorted before joining (the reference's
     * order is shuffle-arrival order, not reproducible). No leading separator

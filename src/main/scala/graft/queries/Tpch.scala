@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.ops.Relational
 import graft.sources.Tables
 
 /** Classic star-schema analytics over the driver tables — the multi-table
@@ -212,6 +213,20 @@ object Tpch {
       .orderBy("o_orderpriority")
   }
 
+  /** MERGE/upsert surface ([[Relational.upsert]]) through the hard gate:
+    * a synthetic update set (every 100th order re-prioritized) merged
+    * SCD-1 style into orders, then aggregated — the oracle states the same
+    * result as one CASE expression, so a wrong anti-join/union would
+    * miscount immediately. */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val updates = o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderpriority", lit("0-UPDATED"))
+    Relational.upsert(o, updates, Seq("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Tier boundaries for [[qRangeJoinPriceTiers]] — single source of truth
     * for the Spark dim and the oracle's VALUES literal. */
   private val priceTiers = Seq(
@@ -267,6 +282,12 @@ object Tpch {
     "q_correlated_cheapest_order" -> correlatedSql,
 
     "q_grouping_sets" -> groupingSetsSql,
+
+    "q_merge_upsert" ->
+      """SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_range_join_price_tiers" ->
       s"""WITH tiers(tier, lo, hi) AS (VALUES $tiersValues)
@@ -402,5 +423,6 @@ object Tpch {
     "q_sketch_bounds"          -> (qSketchBounds _),
     "q_range_join_price_tiers" -> (qRangeJoinPriceTiers _),
     "q_grouping_sets"          -> (qGroupingSets _),
+    "q_merge_upsert"           -> (qMergeUpsert _),
   )
 }

@@ -20,6 +20,23 @@ class RelationalSpec extends SparkTestBase {
       Seq("g1", "a", 5L), Seq("g1", "b", 5L), Seq("g2", "x", 1L))
   }
 
+  // --- upsert / latestByKey -------------------------------------------------
+
+  test("upsert: updates win on collision, unmatched pass through, new keys insert") {
+    val target = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 99), (4L, "d", 40)).toDF("k", "name", "v")
+    rows(Relational.upsert(target, updates, Seq("k")).orderBy("k")) shouldBe Seq(
+      Seq(1L, "a", 10), Seq(2L, "b2", 99), Seq(3L, "c", 30), Seq(4L, "d", 40))
+  }
+
+  test("latestByKey keeps the single newest row per key") {
+    val df = Seq((1L, 5L, "old"), (1L, 9L, "new"), (2L, 3L, "only"))
+      .toDF("k", "t", "tag")
+    rows(Relational.latestByKey(df, Seq(col("k")),
+      Seq(col("t").desc)).orderBy("k")) shouldBe Seq(
+      Seq(1L, 9L, "new"), Seq(2L, 3L, "only"))
+  }
+
   // --- argMaxPerGroup (A5, Q5 fixed) ---------------------------------------
 
   test("argMaxPerGroup keeps all rows tied for the group max") {
