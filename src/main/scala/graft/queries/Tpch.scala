@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -213,6 +214,26 @@ object Tpch {
       .orderBy("o_orderpriority")
   }
 
+  /** Ranking-function breadth through the hard gate: dense_rank,
+    * percent_rank, cume_dist, ntile, and lag in one pass over a single
+    * window definition (thinned to every 50th order to keep the gate
+    * artifact small). The order key includes the unique o_orderkey, so
+    * every function is total-order deterministic; the rational-valued
+    * ranks round to 6 decimals before comparison. */
+  def qWindowFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        dense_rank().over(w).cast("long").as("drk"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2).as("delta_prev"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** MERGE/upsert surface ([[Relational.upsert]]) through the hard gate:
     * a synthetic update set (every 100th order re-prioritized) merged
     * SCD-1 style into orders, then aggregated — the oracle states the same
@@ -282,6 +303,19 @@ object Tpch {
     "q_correlated_cheapest_order" -> correlatedSql,
 
     "q_grouping_sets" -> groupingSetsSql,
+
+    "q_window_functions" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 50 = 0)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(o_totalprice - lag(o_totalprice, 1) OVER w, 2) AS delta_prev
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_merge_upsert" ->
       """SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
@@ -424,5 +458,6 @@ object Tpch {
     "q_range_join_price_tiers" -> (qRangeJoinPriceTiers _),
     "q_grouping_sets"          -> (qGroupingSets _),
     "q_merge_upsert"           -> (qMergeUpsert _),
+    "q_window_functions"       -> (qWindowFunctions _),
   )
 }
