@@ -175,6 +175,29 @@ object TextAnalysis {
         round(max("c").cast("double") / sum("c"), 6).as("top_token_share"))
       .orderBy("doc_id")
 
+  /** Filter-funnel observability: per source shard, how many documents
+    * survive each stage of the chained cleaning filter (length → lexical
+    * diversity → stopword signal), stages cumulative — the retention
+    * dashboard every corpus-cleaning pipeline reports next to its outputs.
+    * The stage predicates are INTEGER comparisons (nd·2 ≥ n instead of a
+    * float ratio ≥ 0.5), so there is no cross-engine float boundary at all.
+    * One aggregation pass, map-side combinable. */
+  def textFilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val toks = col("toks")
+    val n = size(toks); val nd = size(array_distinct(toks))
+    val stops = markerCount(toks, stopEn)
+    val lenOk = n >= 10
+    val divOk = lenOk && nd * 2 >= n
+    val stopOk = divOk && stops >= 1
+    withToksDf(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(lenOk, 1L).otherwise(0L)).as("pass_len"),
+        sum(when(divOk, 1L).otherwise(0L)).as("pass_diversity"),
+        sum(when(stopOk, 1L).otherwise(0L)).as("pass_stopword"))
+      .orderBy("source")
+  }
+
   /** Deterministic train/val/test assignment: 60-bit md5 hash of the doc id
     * mod 100 → 90/5/5. No RNG, no `sampleBy` — the split is a pure function
     * of the id, so it is reproducible across runs, engines, partition
@@ -299,6 +322,22 @@ object TextAnalysis {
       s"""$simhashCtes
          |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin,
 
+    "text_filter_funnel" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |         CASE WHEN trim(text) = '' THEN [] ELSE $toksSql END AS toks
+         |  FROM documents
+         |), f AS (
+         |  SELECT source, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         |         len(list_filter(toks, s -> list_contains(${sqlList(stopEn)}, s))) AS stops
+         |  FROM t
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS pass_len,
+         |       CAST(sum(CASE WHEN n >= 10 AND nd * 2 >= n THEN 1 ELSE 0 END) AS BIGINT) AS pass_diversity,
+         |       CAST(sum(CASE WHEN n >= 10 AND nd * 2 >= n AND stops >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
     "text_split_assign" ->
       """SELECT doc_id,
         |       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
@@ -364,5 +403,6 @@ object TextAnalysis {
     "text_repetition"         -> (textRepetition _),
     "text_split_assign"       -> (textSplitAssign _),
     "text_pack_bins"          -> (textPackBins _),
+    "text_filter_funnel"      -> (textFilterFunnel _),
   )
 }
