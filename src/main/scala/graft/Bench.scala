@@ -17,13 +17,19 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id % 7)").collect()
     // Time FULL materialization via the noop sink: under a bare count(),
     // EliminateSorts legally drops every final orderBy, under-charging any
-    // query whose cost includes the output sort.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // query whose cost includes the output sort. Two passes, min per query:
+    // the first pass pays codegen compilation and page-cache warmup, the
+    // min is the steady-state cost — stable across rounds, so regressions
+    // are signal, not scheduler noise.
+    def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+      (System.nanoTime() - t0) / 1e9
+    }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
+    val results = ordered.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -44,6 +44,19 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "collect_set"
   }
 
+  test("q1 and text_stats run inside whole-stage codegen") {
+    // AQE shows codegen only in the FINAL plan, as "*(id)" stage markers —
+    // execute, then require the hot operators inside a codegen stage.
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect(); df.queryExecution.executedPlan.toString
+    }
+    val q1 = finalPlan(Tpch.q1PricingSummary(spark, sf))
+    q1 should include regex """\*\(\d+\) HashAggregate"""
+    q1 should include regex """\*\(\d+\) Filter"""
+    finalPlan(graft.extensions.TextAnalysis.textStats(spark, sf)) should
+      include regex """\*\(\d+\) Project"""
+  }
+
   test("range join: tiny interval dim broadcasts; fact side never shuffles for the join") {
     val p = planOf(Tpch.qRangeJoinPriceTiers(spark, sf))
     p should include ("BroadcastNestedLoopJoin")
