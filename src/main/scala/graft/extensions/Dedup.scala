@@ -29,14 +29,19 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
-  /** Tokens are projected into a column BEFORE the shingle lambda touches
+  /** (doc_id, 60-bit shingle hash) — shared by the Jaccard, MinHash, and
+    * contamination paths, which all key their shuffles on this hash.
+    * Tokens are projected into a column BEFORE the shingle lambda touches
     * them: composing shingles3(tokens(text)) directly would re-inline the
     * regex split into every element_at inside the lambda (~3× per shingle —
-    * measured 20× slower). */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    * measured 20× slower). The hash is taken INSIDE the array lambda, so
+    * the explode emits 8-byte longs instead of ~20-char shingle strings
+    * (and the md5 runs once per element while the row is array-shaped). */
+  private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(Portable.shingles3(col("toks"))).as("s"))
+      .select(col("doc_id"),
+        explode(transform(Portable.shingles3(col("toks")), s => Portable.hash60(s))).as("h"))
 
   /** Document-frequency cap for the Jaccard shingle space: shingles present
     * in more than this many documents (boilerplate headers, license blurbs)
@@ -54,8 +59,8 @@ object Dedup {
     * shuffle key instead of ~20-char strings; the oracle hashes identically,
     * so even a collision (P ≈ n²/2^61) yields the same result both sides. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-      .select(col("doc_id"), Portable.hash60(col("s")).as("s"))
+    val sh = docShingleHashes(spark, dir)
+      .select(col("doc_id"), col("h").as("s"))
     // The heavy-shingle relation is tiny by construction (only boilerplate
     // exceeds the cap), so the anti-join is a broadcast — the cap costs one
     // small count aggregation, never a shuffle of the shingle set.
@@ -101,8 +106,8 @@ object Dedup {
     * corpus-side work is one map-side counted aggregation per doc — nothing
     * quadratic, nothing keyed on the (skewed) shingle. */
   def dedupContamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir)
-      .select(col("doc_id"), Portable.hash60(col("s")).as("s"))
+    val sh = docShingleHashes(spark, dir)
+      .select(col("doc_id"), col("h").as("s"))
     val bench = sh.filter(col("doc_id") < ContaminationBenchDocs)
       .select(col("s"), lit(1).as("hit")).distinct()
     sh.filter(col("doc_id") >= ContaminationBenchDocs)
@@ -134,8 +139,8 @@ object Dedup {
     * crossJoin with the parameter table — the shuffled volume is
     * O(docs × 32), independent of shingle count. */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val hs = docShingles(spark, dir)
-      .select(col("doc_id"), Portable.hash31(col("s")).as("h"))
+    val hs = docShingleHashes(spark, dir)
+      .select(col("doc_id"), (col("h") % Portable.P31).as("h"))
     val minCols = (0 until K).map { i =>
       min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % Portable.P31).as(s"mh$i")
     }
