@@ -29,14 +29,15 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
-  /** (doc_id, 60-bit shingle hash) — shared by the Jaccard, MinHash, and
-    * contamination paths, which all key their shuffles on this hash.
-    * Tokens are projected into a column BEFORE the shingle lambda touches
-    * them: composing shingles3(tokens(text)) directly would re-inline the
-    * regex split into every element_at inside the lambda (~3× per shingle —
-    * measured 20× slower). The hash is taken INSIDE the array lambda, so
-    * the explode emits 8-byte longs instead of ~20-char shingle strings
-    * (and the md5 runs once per element while the row is array-shaped). */
+  /** (doc_id, 60-bit shingle hash) — the one shingle source, shared by the
+    * Jaccard, MinHash, and contamination paths, which all key their
+    * shuffles on this 8-byte hash (never the shingle string). Tokens are
+    * projected into a column BEFORE the shingle lambda touches them:
+    * composing shingles3(tokens(text)) directly would re-inline the regex
+    * split into every element_at inside the lambda (~3× per shingle —
+    * measured 20× slower). Hashing inside the lambda vs after the explode
+    * is plan-equivalent (column pruning drops the string before any
+    * exchange either way); the lambda form just keeps one definition. */
   private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))

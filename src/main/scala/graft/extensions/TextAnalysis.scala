@@ -116,16 +116,12 @@ object TextAnalysis {
     * MOSS/winnowing selection, with global-min-k instead of per-window min
     * (deterministic and SQL-expressible on both engines). */
   def textWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    // Hash the 8-grams INSIDE a transform lambda and explode only the 60-bit
-    // hashes: exploding positions first would copy the full document text
-    // into every one of its ~|text| output rows (measured 2× on this query —
-    // the explode carries all projected columns through the Unsafe row).
     val grams = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, length(text) - 7),
-          |          i -> CAST(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) AS BIGINT))""".stripMargin))
-        .as("h"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
+      .select(col("doc_id"),
+        Portable.hash60(expr("substring(text, i, 8)")).as("h"))
       .distinct()
     // Bottom-5 per doc via the window-limit operator, NOT
     // collect_list-then-slice: the window plans as partial+final
