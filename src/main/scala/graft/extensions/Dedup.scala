@@ -193,6 +193,29 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The production near-dup PIPELINE as one query: MinHash-LSH candidate
+    * generation ([[dedupMinhashLsh]]) followed by exact Jaccard
+    * verification on the candidates only — sketch recall, exact precision.
+    * At 100 TB the verify join touches |candidates| × |shingles-per-doc|
+    * rows (bounded by band-bucket sizes), never the corpus cross product;
+    * this is the composition SCALING.md names as the default dedup path. */
+  def dedupMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
+    val cand = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val sh = docShingleHashes(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na.n") + col("nb.n") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Embedding-cosine near-dup pairs (τ = 0.45, rounded before threshold).
     * Brute-force pairs here; the LSH-bucketed scale path lives in
     * [[Similarity]]. */
@@ -252,6 +275,22 @@ object Dedup {
   private val paramsValues = (0 until K)
     .map(i => s"(${i}, ${minhashA(i)}, ${minhashB(i)})").mkString(", ")
 
+  /** CTE chain ending in `buckets(doc_id, band, bkt)` — the oracle twin of
+    * the MinHash signature/banding pipeline, shared by the candidate and
+    * candidate+verify queries. */
+  private val minhashBucketsCtes =
+    s"""$shinglesSql
+       |, hs AS (
+       |  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT) % 2147483647 AS h FROM sh
+       |), params(i, a, b) AS (VALUES $paramsValues),
+       |sig AS (
+       |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
+       |  FROM hs CROSS JOIN params GROUP BY doc_id, i
+       |), buckets AS (
+       |  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkt
+       |  FROM sig GROUP BY doc_id, i // 4
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_fuzzy_names" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
@@ -294,20 +333,34 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_lsh" ->
-      s"""$shinglesSql
-         |, hs AS (
-         |  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::BIGINT) % 2147483647 AS h FROM sh
-         |), params(i, a, b) AS (VALUES $paramsValues),
-         |sig AS (
-         |  SELECT doc_id, i, min((a * h + b) % 2147483647) AS mh
-         |  FROM hs CROSS JOIN params GROUP BY doc_id, i
-         |), buckets AS (
-         |  SELECT doc_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkt
-         |  FROM sig GROUP BY doc_id, i // 4
-         |)
+      s"""$minhashBucketsCtes
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          |FROM buckets x JOIN buckets y
          |  ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_verified" ->
+      s"""$minhashBucketsCtes
+         |, cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+         |), shh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
+         |), sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN shh a ON a.doc_id = c.doc_a
+         |  JOIN shh b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY c.doc_a, c.doc_b
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN sz na ON doc_a = na.doc_id
+         |JOIN sz nb ON doc_b = nb.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_contamination" ->
@@ -363,6 +416,7 @@ object Dedup {
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
+    "dedup_minhash_verified" -> (dedupMinhashVerified _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_contamination" -> (dedupContamination _),
     "dedup_embedding"     -> (dedupEmbedding _),
