@@ -33,6 +33,28 @@ class DedupSkewSpec extends SparkTestBase {
       Seq(Seq(100L, 101L, 1.0))
   }
 
+  test("minhash-verified pairs are a subset of exact Jaccard pairs (sketch recall, exact precision)") {
+    // Same τ = 0.8 and feature space (df cap is inert at this size), so the
+    // sketch-then-verify pipeline may MISS pairs (recall < 1) but must never
+    // emit one the exact operator would not — and on real testdata it
+    // actually finds all of them.
+    val dir = "/root/testdata/sf0.001"
+    val exact = rows(Dedup.dedupNgramJaccard(spark, dir)).map(_.take(2)).toSet
+    val verified = rows(Dedup.dedupMinhashVerified(spark, dir)).map(_.take(2)).toSet
+    verified should not be empty
+    verified.subsetOf(exact) shouldBe true
+  }
+
+  test("upsert is idempotent for a fixed update set") {
+    import spark.implicits._
+    import graft.ops.Relational
+    val t = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val u = Seq((2L, "b2"), (3L, "c")).toDF("k", "v")
+    val once = Relational.upsert(t, u, Seq("k"))
+    val twice = Relational.upsert(once, u, Seq("k"))
+    rows(twice.orderBy("k")) shouldBe rows(once.orderBy("k"))
+  }
+
   test("fuzzy-name dedup plans as an equi-join, not a cross product") {
     import spark.implicits._
     Seq("alpha beta", "alpha betb", "gamma").toDF("p_name")
