@@ -112,6 +112,21 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** foreachBatch bridge to any BATCH writer with replay-safe semantics:
+    * each micro-batch lands in an epoch-stamped directory, so a replayed
+    * epoch (restart between sink write and offset commit) OVERWRITES its
+    * own previous attempt instead of duplicating rows — idempotent output,
+    * the standard exactly-once recipe for sinks without transactions. */
+  def writeEpochPartitioned(df: DataFrame, outDir: String,
+                            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+      }
+      .start()
+
   /** File-stream entry point: tail a DIRECTORY of event parquet files (file
     * sources monitor directories — new part files become new micro-batches).
     * The schema is pinned from a RAW batch read (ts arrives as INT64 nanos
