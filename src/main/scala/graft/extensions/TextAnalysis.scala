@@ -122,19 +122,16 @@ object TextAnalysis {
         explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
       .select(col("doc_id"),
         Portable.hash60(expr("substring(text, i, 8)")).as("h"))
-      .distinct()
-    // Bottom-5 per doc via the window-limit operator, NOT
-    // collect_list-then-slice: the window plans as partial+final
-    // WindowGroupLimit (each task keeps ≤5 rows/doc before the exchange),
-    // while collect_list holds EVERY distinct gram of a doc in one
-    // aggregation buffer — ~10⁶ hashes for a 1 MB doc, the classic
-    // big-document OOM at scale. The final collect_list sees ≤5 rows.
-    Relational
-      .topKPerGroup(grams, Seq(col("doc_id")), Seq(col("h").asc), 5)
-      .groupBy("doc_id")
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(col("h"))), _.cast("string")))
-        .as("fingerprint"))
+    // Bottom-5 distinct hashes per doc in ONE aggregation with an O(k)
+    // buffer (MinKDistinctAggregator): a distinct-then-limit plan shuffles
+    // every distinct gram before the limit can bite, and collect_list holds
+    // the whole doc in one buffer (~10⁶ hashes for a 1 MB doc). Here each
+    // map task sends at most 5 values per doc to the exchange.
+    val minK = udaf(new graft.ops.MinKDistinctAggregator(5))
+    grams.groupBy("doc_id")
+      .agg(minK(col("h")).as("hs"))
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("hs"), _.cast("string"))).as("fingerprint"))
       .orderBy("doc_id")
   }
 

@@ -69,8 +69,12 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "Union"
   }
 
-  test("winnow fingerprint: bottom-5 per doc is a WindowGroupLimit, no wide arrays") {
+  test("winnow fingerprint: bottom-5 per doc is one bounded aggregation, no wide arrays") {
     val p = planOf(graft.extensions.TextAnalysis.textWinnowFingerprint(spark, sf))
-    p should include ("WindowGroupLimit")
+    // typed min-k aggregator → ObjectHashAggregate with partial merge;
+    // no collect_list buffers, no distinct-then-window double exchange
+    p should include ("ObjectHashAggregate")
+    p should not include "collect_list"
+    "Exchange".r.findAllIn(p).size shouldBe 2 // agg + final orderBy only
   }
 }

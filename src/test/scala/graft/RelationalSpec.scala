@@ -20,6 +20,17 @@ class RelationalSpec extends SparkTestBase {
       Seq("g1", "a", 5L), Seq("g1", "b", 5L), Seq("g2", "x", 1L))
   }
 
+  // --- MinKDistinctAggregator ----------------------------------------------
+
+  test("minKDistinct keeps the k smallest distinct values with O(k) state") {
+    val minK = udaf(new graft.ops.MinKDistinctAggregator(3))
+    val df = Seq(("g", 5L), ("g", 1L), ("g", 5L), ("g", 9L), ("g", 2L),
+      ("g", 1L), ("g", 7L), ("h", 4L)).toDF("g", "v")
+    val out = df.groupBy("g").agg(minK(col("v")).as("mins")).orderBy("g")
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1).toList)).toList
+    out shouldBe List(("g", List(1L, 2L, 5L)), ("h", List(4L)))
+  }
+
   // --- upsert / latestByKey -------------------------------------------------
 
   test("upsert: updates win on collision, unmatched pass through, new keys insert") {
