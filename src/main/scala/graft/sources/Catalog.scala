@@ -15,9 +15,20 @@ object Catalog {
       df.createOrReplaceTempView(name)
     }
 
+  /** Register the engine's typed UDAFs for SQL use — longest_run (A3) and
+    * min_k_distinct(v, k-bound at registration) — alongside the codegen
+    * graft_dot injected by GraftSessionExtensions. Idempotent. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    spark.udf.register("longest_run",
+      org.apache.spark.sql.functions.udaf(graft.ops.LongestRunAggregator))
+    spark.udf.register("min5_distinct",
+      org.apache.spark.sql.functions.udaf(new graft.ops.MinKDistinctAggregator(5)))
+  }
+
   /** Run SQL text against the registered tables of a scale dir. */
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
     registerAll(spark, dir)
+    registerFunctions(spark)
     spark.sql(query)
   }
 }

@@ -22,6 +22,18 @@ class SqlSurfaceSpec extends SparkTestBase {
     r.columns.toSeq shouldBe Seq("n_name", "n")
   }
 
+  test("typed UDAFs are callable from SQL after Catalog.registerFunctions") {
+    val r = Catalog.sql(spark, sf,
+      """SELECT o_orderpriority,
+        |       min5_distinct(o_orderkey) AS smallest,
+        |       longest_run(CAST(year(o_orderdate) AS INT)) AS yr_run
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 1""".stripMargin)
+    val row = r.collect()(0)
+    row.getSeq[Long](1).length should be <= 5
+    row.getSeq[Long](1) shouldBe row.getSeq[Long](1).sorted
+    row.getInt(2) should be >= 1
+  }
+
   test("graft_dot is callable from SQL via SparkSessionExtensions") {
     // A fresh session over the SAME SparkContext with extensions installed
     // (getOrCreate would hand back the default session and skip extension
