@@ -61,22 +61,22 @@ object Dedup {
     * so even a collision (P ≈ n²/2^61) yields the same result both sides. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShingleHashes(spark, dir)
-      .select(col("doc_id"), col("h").as("s"))
-    // The heavy-shingle relation is tiny by construction (only boilerplate
-    // exceeds the cap), so the anti-join is a broadcast — the cap costs one
-    // small count aggregation, never a shuffle of the shingle set.
-    val heavy = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf)
-      .select("s")
-    val shc = sh.join(broadcast(heavy), Seq("s"), "left_anti")
-    val sz = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Inverted-index pair expansion: group the posting list per shingle and
-    // expand ordered pairs in-task — ONE shuffle of the shingle set, versus
-    // the self-join's two sorted sides (~35% faster measured). The df cap
-    // above bounds a posting list to MaxShingleDf docs, so the in-task
-    // expansion is ≤ cap²/2 pairs — no skew bomb from boilerplate shingles.
-    val inter = shc.groupBy("s")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    // Capped posting lists in ONE bounded aggregation: minK(cap+1) keeps at
+    // most cap+1 sorted doc_ids per shingle — length cap+1 ⟺ df > cap, so
+    // the filter IS the document-frequency cap, exactly, and a boilerplate
+    // shingle's aggregation state never exceeds cap+1 entries (the previous
+    // formulation needed a df-count pass + broadcast anti-join + re-group,
+    // evaluating the shingle scan three times). Surviving lists are the
+    // FULL posting lists, already sorted; sizes and pairs both derive from
+    // this one small relation with no further scan of the corpus.
+    val minCap = udaf(new graft.ops.MinKDistinctAggregator(MaxShingleDf + 1))
+    val posting = sh.groupBy("h").agg(minCap(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) <= MaxShingleDf)
+    val sz = posting.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // Inverted-index pair expansion: ordered pairs in-task from the sorted
+    // list — ≤ cap²/2 pairs per shingle, no skew bomb from boilerplate.
+    val inter = posting
       .filter(size(col("ds")) > 1)
       .select(explode(expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"))
