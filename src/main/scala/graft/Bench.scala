@@ -21,19 +21,33 @@ object Bench {
     // the first pass pays codegen compilation and page-cache warmup, the
     // min is the steady-state cost — stable across rounds, so regressions
     // are signal, not scheduler noise.
+    // A query that crashes must NOT read as a fast success: record a -1.0
+    // sentinel and an errors-map entry instead of swallowing the Throwable.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def once(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          errors(name) = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
+            .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+          -1.0
+      }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
-    val results = ordered.map { case (n, f) => n -> math.min(pass1(n), once(n, f)) }.toMap
+    val results = ordered.map { case (n, f) =>
+      val a = pass1(n)
+      n -> (if (a < 0) -1.0 else { val b = once(n, f); if (b < 0) -1.0 else math.min(a, b) })
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ >= 0).sum
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -101,12 +101,24 @@ object Dblp {
     * driver DOM, no entityExpansionLimit, bounded memory per task. The cost
     * of the DTD's heterogeneous element names is |recordTypes| = 8 passes
     * over the bytes; a one-pass alternative is the line-per-record layout
-    * ([[readLineXml]]) this method's output is tested to be identical to. */
-  def readWholeXml(spark: SparkSession, path: String): DataFrame =
+    * ([[readLineXml]]) this method's output is tested to be identical to.
+    *
+    * `charset` defaults to ISO-8859-1 because that is what the real
+    * `dblp.xml` prolog declares (the Spark XML source defaults to UTF-8, so
+    * without the option every non-ASCII author name — Jürgen, Müller… —
+    * decodes to replacement garbage). Known limitation: DTD-DEFINED entity
+    * references (`&uuml;` etc., dblpXMLparser/dblp.dtd) are NOT resolved —
+    * the source parses without the DTD, so records using entities rather
+    * than raw 8-bit bytes need an upstream `sed`-style entity expansion
+    * pass (the reference sidesteps this via `XML.loadFile`'s DTD handling,
+    * dblpXMLparser.scala:14,24). */
+  def readWholeXml(spark: SparkSession, path: String,
+                   charset: String = "ISO-8859-1"): DataFrame =
     recordTypes.map { t =>
       project(spark.read.format("xml")
         .option("rowTag", t)
         .option("attributePrefix", "_")
+        .option("charset", charset)
         .schema(recordSchema)
         .load(path)
         .select(lit(t).as("recordType"), struct(col("*")).as("rec")))

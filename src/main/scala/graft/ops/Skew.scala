@@ -26,26 +26,26 @@ object Skew {
     * associative), but the per-shard split itself is partition-layout-
     * dependent, so intermediate shard sizes may differ across retries. */
   private def salted(df: DataFrame, keys: Seq[Column], salt: Int,
-                     partial: Column => Column, merge: String => Column,
+                     partial: Column, merge: Column => Column,
                      out: String): DataFrame = {
     val saltCol = freshName(df, "__salt")
     val partialCol = freshName(df, "__partial")
     df.withColumn(saltCol,
         pmod(hash(keys :+ monotonically_increasing_id(): _*), lit(salt)))
       .groupBy(keys :+ col(saltCol): _*)
-      .agg(partial(col(saltCol)).as(partialCol))
+      .agg(partial.as(partialCol))
       .groupBy(keys: _*)
-      .agg(merge(partialCol).as(out))
+      .agg(merge(col(partialCol)).as(out))
   }
 
   /** Salted count: equivalent to df.groupBy(keys).count() for any data; the
     * win appears when one key dominates a partition. */
   def saltedCount(df: DataFrame, keys: Seq[Column], salt: Int = 16,
                   out: String = "cnt"): DataFrame =
-    salted(df, keys, salt, _ => count(lit(1)), sum(_), out)
+    salted(df, keys, salt, count(lit(1)), sum, out)
 
   /** Salted sum over a numeric column, same two-stage shape. */
   def saltedSum(df: DataFrame, keys: Seq[Column], value: Column, salt: Int = 16,
                 out: String = "sum"): DataFrame =
-    salted(df, keys, salt, _ => sum(value), sum(_), out)
+    salted(df, keys, salt, sum(value), sum, out)
 }

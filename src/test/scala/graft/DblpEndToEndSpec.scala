@@ -13,7 +13,7 @@ class DblpEndToEndSpec extends SparkTestBase {
 
   test("readLineXml → t1 over the golden fixture") {
     val pubs = Dblp.readLineXml(spark, fixturePath)
-    pubs.count() shouldBe 11L
+    pubs.count() shouldBe 12L
     val t1 = rows(DblpQueries.t1TopAuthorsPerVenue(pubs, k = 2))
     t1 shouldBe Seq(
       Seq("BadJ", "NoYear", 1L), // year filter is t2-only (reference parity)
@@ -48,8 +48,19 @@ class DblpEndToEndSpec extends SparkTestBase {
       .orderBy("key", "recordType"))
     val line = rows(Dblp.readLineXml(spark, fixturePath)
       .orderBy("key", "recordType"))
-    whole should have size 11
+    whole should have size 12
     whole shouldBe line
+  }
+
+  test("ISO-8859-1 charset: non-ASCII authors survive the whole-file path") {
+    // dblp_fixture.xml is ISO-8859-1 on disk (ü = 0xFC, as in real dblp.xml);
+    // without the charset option the XML source would decode it as UTF-8 and
+    // mangle every non-ASCII name.
+    val wholePath = getClass.getResource("/dblp_fixture.xml").getPath
+    val authors = Dblp.readWholeXml(spark, wholePath)
+      .where("key = 'journals/tods/U1'")
+      .selectExpr("authors[0]", "title").collect().map(r => (r.getString(0), r.getString(1)))
+    authors.toSeq shouldBe Seq(("Jürgen Müller", "Über Études"))
   }
 
   test("whole-file path feeds the same t1 result as the line path") {

@@ -71,17 +71,34 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}")
             n_fail += 1
             continue
+        # Compare run-by-run over equal sort keys: the key is rounded more
+        # coarsely (6 dp) than the 1e-9 tolerance, so two genuinely different
+        # rows can share a key — within such a run the engines may order rows
+        # differently (stable-sort arrival order), so match the run as a
+        # MULTISET with the tolerance check instead of strictly positionally.
+        def row_close(x, y):
+            return len(x) == len(y) and all(
+                (isinstance(u, float) and isinstance(v, float)
+                 and math.isclose(u, v, rel_tol=1e-9, abs_tol=1e-9))
+                or u == v
+                for u, v in zip(x, y))
+
+        ka = [tuple(sort_key_cell(c) for c in r) for r in a]
         bad = None
-        for i, (x, y) in enumerate(zip(a, b)):
-            if x != y:
-                ok = len(x) == len(y) and all(
-                    (isinstance(u, float) and isinstance(v, float)
-                     and math.isclose(u, v, rel_tol=1e-9, abs_tol=1e-9))
-                    or u == v
-                    for u, v in zip(x, y))
-                if not ok:
-                    bad = (i, x, y)
+        i = 0
+        while i < len(a) and bad is None:
+            j = i
+            while j < len(a) and ka[j] == ka[i]:
+                j += 1
+            remaining = list(b[i:j])
+            for x in a[i:j]:
+                m = next((t for t, y in enumerate(remaining)
+                          if row_close(x, y)), None)
+                if m is None:
+                    bad = (i, x, remaining[0] if remaining else None)
                     break
+                remaining.pop(m)
+            i = j
         if bad:
             print(f"FAIL {name}: first diff at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
             n_fail += 1
