@@ -216,6 +216,23 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Duplicate-CLUSTER assignment — the step that turns near-dup PAIRS into
+    * deduplicated output. Pair detectors (MinHash, SimHash, embedding LSH)
+    * emit edges; transitively-connected docs form one duplicate cluster, and
+    * the pipeline keeps one canonical member per cluster. Connected
+    * components over the verified pair graph ([[dedupMinhashVerified]]) via
+    * distributed hash-min label propagation ([[graft.ops.Graph]]), then
+    * every corpus doc gets (cluster_id = component min, cluster_size,
+    * is_canonical). Unpaired docs are their own singleton cluster, so the
+    * result is a total partition of the corpus — `WHERE is_canonical` IS the
+    * deduplicated view. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhashVerified(spark, dir).select("doc_a", "doc_b")
+    graft.ops.Graph.clusterAssign(
+        Tables.documents(spark, dir), "doc_id", pairs, "doc_a", "doc_b")
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs (τ = 0.45, rounded before threshold).
     * Brute-force pairs here; the LSH-bucketed scale path lives in
     * [[Similarity]]. */
@@ -291,6 +308,33 @@ object Dedup {
        |  FROM sig GROUP BY doc_id, i // 4
        |)""".stripMargin
 
+  /** CTE chain ending in `vpairs(doc_a, doc_b, jaccard)` — the verified
+    * near-dup pairs (MinHash-LSH candidates × exact Jaccard ≥ 0.8), shared
+    * by the pair query and the cluster query built on top of it. */
+  private val verifiedPairsCtes =
+    s"""$minhashBucketsCtes
+       |, cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+       |), vshh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
+       |), vsz AS (SELECT doc_id, count(*) AS n FROM vshh GROUP BY doc_id),
+       |vinter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS c
+       |  FROM cand c
+       |  JOIN vshh a ON a.doc_id = c.doc_a
+       |  JOIN vshh b ON b.doc_id = c.doc_b AND b.s = a.s
+       |  GROUP BY c.doc_a, c.doc_b
+       |), vpairs AS (
+       |  SELECT doc_a, doc_b,
+       |         round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+       |  FROM vinter
+       |  JOIN vsz na ON doc_a = na.doc_id
+       |  JOIN vsz nb ON doc_b = nb.doc_id
+       |  WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.8
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_fuzzy_names" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
@@ -340,28 +384,33 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_verified" ->
-      s"""$minhashBucketsCtes
-         |, cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM buckets x JOIN buckets y
-         |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
-         |), shh AS (
-         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
-         |), sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS c
-         |  FROM cand c
-         |  JOIN shh a ON a.doc_id = c.doc_a
-         |  JOIN shh b ON b.doc_id = c.doc_b AND b.s = a.s
-         |  GROUP BY c.doc_a, c.doc_b
-         |)
-         |SELECT doc_a, doc_b,
-         |       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
-         |FROM inter
-         |JOIN sz na ON doc_a = na.doc_id
-         |JOIN sz nb ON doc_b = nb.doc_id
-         |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.8
+      s"""$verifiedPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM vpairs
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Connected components as a recursive CTE: `reach` is the transitive
+    // closure of the symmetrized pair graph carrying candidate labels;
+    // min(lbl) per node = the component's min doc_id — the same fixpoint the
+    // Spark side reaches by distributed label propagation.
+    "dedup_clusters" ->
+      s"""${verifiedPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")}
+         |, gedges AS (
+         |  SELECT doc_a AS n, doc_b AS m FROM vpairs
+         |  UNION SELECT doc_b, doc_a FROM vpairs
+         |), reach AS (
+         |  SELECT n AS node, n AS lbl FROM gedges
+         |  UNION
+         |  SELECT e.m AS node, r.lbl FROM reach r JOIN gedges e ON e.n = r.node
+         |), comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+         |assigned AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+         |)
+         |SELECT doc_id, cluster_id,
+         |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |       doc_id = cluster_id AS is_canonical
+         |FROM assigned
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_contamination" ->
       s"""$shinglesSql
@@ -417,6 +466,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_minhash_verified" -> (dedupMinhashVerified _),
+    "dedup_clusters"      -> (dedupClusters _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_contamination" -> (dedupContamination _),
     "dedup_embedding"     -> (dedupEmbedding _),

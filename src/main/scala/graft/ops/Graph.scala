@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed graph operators needed by the dedup pipeline. A near-dup
+  * detector (MinHash/SimHash/embedding LSH) emits PAIRS; turning pairs into
+  * deduplicated output requires grouping them into clusters and electing one
+  * canonical document per cluster — i.e. connected components over the pair
+  * graph. The reference has nothing like this (single-relation MapReduce);
+  * this is part of the north-star training-data surface.
+  */
+object Graph {
+
+  /** Connected components by iterative hash-min label propagation: every
+    * node starts labeled with itself; each round every node takes the min
+    * label across itself and its neighbors; at the fixpoint each node holds
+    * the min node id of its component.
+    *
+    * Scale shape: each round is one equi-join (edges ⋈ labels, hash
+    * exchange on the node id) plus one min-aggregation — no driver-side
+    * graph state, no collect. Rounds needed = graph diameter; near-dup
+    * clusters are band-bucket cliques with tiny diameter, so 2–3 rounds
+    * close in practice (`maxIter` bounds the adversarial case; for
+    * planet-scale graphs with long chains the alternating large-star/
+    * small-star scheme of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond" (SoCC'14), converges in O(log² n) rounds over
+    * the same join/agg primitives). Convergence is detected from the SUM of
+    * labels: propagation is monotone non-increasing per node, so an
+    * unchanged sum ⟺ fixpoint — one scalar aggregate per round instead of
+    * a change-detection join. `localCheckpoint` truncates the lineage each
+    * round so the plan does not grow with the iteration count.
+    *
+    * @param edges undirected edge list; each row one edge.
+    * @return (`node`, `component`) — component = min node id reachable.
+    */
+  def connectedComponents(edges: DataFrame, src: String = "src",
+                          dst: String = "dst", maxIter: Int = 20): DataFrame = {
+    val a = col(src).as("n"); val b = col(dst).as("m")
+    val sym = edges.select(a, b).union(edges.select(col(dst).as("n"), col(src).as("m")))
+      .filter(col("n") =!= col("m")).distinct().localCheckpoint()
+    var labels = sym.select(col("n").as("node")).distinct()
+      .withColumn("component", col("node")).localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v // empty graph
+    }
+    var prev = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val prop = sym.join(labels, sym("n") === labels("node"))
+        .select(col("m").as("node"), col("component"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("component").as("component"))
+        .localCheckpoint()
+      val cur = labelSum(next)
+      converged = cur.compareTo(prev) == 0
+      prev = cur
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment over a universe of items: every item gets the
+    * component id of its pair-graph component (itself when unpaired), the
+    * component size, and a canonical flag (the min-id member). One left
+    * join + one size aggregation on top of [[connectedComponents]].
+    *
+    * @param items one row per item; `id` names its key column.
+    * @param pairs duplicate pairs over those ids (columns `srcCol`,`dstCol`).
+    */
+  def clusterAssign(items: DataFrame, id: String, pairs: DataFrame,
+                    srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+    val assigned = items.select(col(id))
+      .join(comp.withColumnRenamed("node", id), Seq(id), "left")
+      .select(col(id), coalesce(col("component"), col(id)).as("cluster_id"))
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(sizes, "cluster_id")
+      .select(col(id), col("cluster_id"), col("cluster_size"),
+        (col(id) === col("cluster_id")).as("is_canonical"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.Graph
+
+/** Connected components / cluster assignment (graft.ops.Graph). */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("path graph needs multiple propagation rounds and still converges") {
+    // 1-2-3-4-5 has diameter 4: min label must walk the whole chain.
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L)).toDF("src", "dst")
+    val comp = Graph.connectedComponents(edges).as[(Long, Long)].collect().sorted
+    comp.toSeq shouldBe Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L)
+  }
+
+  test("two components keep distinct min labels") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("src", "dst")
+    val comp = Graph.connectedComponents(edges).as[(Long, Long)].collect().sorted
+    comp.toSeq shouldBe Seq(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+  }
+
+  test("clusterAssign: unpaired items are singleton canonical clusters") {
+    val items = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("a", "b")
+    val out = Graph.clusterAssign(items, "id", pairs, "a", "b")
+      .orderBy("id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    out shouldBe Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false), (6L, 6L, 1L, true))
+  }
+
+  test("clusterAssign with no pairs: every item its own cluster") {
+    val items = Seq(7L, 8L).toDF("id")
+    val pairs = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    val out = Graph.clusterAssign(items, "id", pairs, "a", "b")
+      .orderBy("id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    out shouldBe Seq((7L, 7L, 1L, true), (8L, 8L, 1L, true))
+  }
+
+  test("property: components equal a local union-find on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 8) {
+      val n = 2 + rnd.nextInt(11)
+      val es = Seq.fill(1 + rnd.nextInt(18))(
+        (rnd.nextInt(n + 1).toLong, rnd.nextInt(n + 1).toLong))
+        .filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(k => k -> find(k)).toMap
+        val got = Graph.connectedComponents(es.toDF("src", "dst"))
+          .as[(Long, Long)].collect().toMap
+        got shouldBe expected
+      }
+    }
+  }
+}
