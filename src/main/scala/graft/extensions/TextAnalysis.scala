@@ -227,6 +227,63 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** BM25 parameters (Robertson/Spärck Jones; the Okapi defaults) and the
+    * fixed keyword query the ranking demo scores against. */
+  val Bm25K1 = 1.2; val Bm25B = 0.75
+  val QueryTerms = Seq("spark", "vector", "hash")
+
+  /** BM25 keyword ranking: top-20 documents for [[QueryTerms]]. Classic
+    * search-index dataflow as pure aggregations: doc length + corpus stats
+    * (N, avgdl — a two-value broadcast), per-(doc,term) tf and per-term df
+    * computed AFTER the query-term filter, so the heavy explode is pruned
+    * to the query vocabulary before any shuffle. Scores are rounded to 6
+    * decimals before the ordered limit and tie-broken by doc_id — the
+    * cross-engine determinism contract. At 100 TB: everything keys on
+    * doc_id or term; the only all-corpus work is the doc-length count. */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val tok = withToksDf(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val qt = tok.filter(col("term").isin(QueryTerms: _*))
+    val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfq = qt.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (Bm25K1 + 1)) /
+          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .as("s"))
+      .groupBy("doc_id").agg(round(sum("s"), 6).as("bm25"))
+      .orderBy(desc("bm25"), col("doc_id"))
+      .limit(20)
+  }
+
+  /** TF-IDF keyword extraction: top-3 terms per document by tf·idf
+    * (idf = ln(N/df)), rank window ordered on the 6-decimal-rounded score
+    * with term-asc tiebreak. The per-doc window follows a (doc,term)
+    * aggregation, so state per task is bounded by per-doc vocabulary; the
+    * df side is one term-keyed aggregation joined back in. */
+  def textTfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = withToksDf(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfc = tok.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+    val nd = tok.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
+    tf.join(dfc, "term")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -357,6 +414,39 @@ object TextAnalysis {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY source, doc_id""".stripMargin,
 
+    "text_bm25" ->
+      s"""$withToks
+         |, tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |qt AS (SELECT * FROM tok WHERE term IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY doc_id, term),
+         |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term)
+         |SELECT doc_id,
+         |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         |                 * (tf * ${Bm25K1 + 1})
+         |                 / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))), 6) AS bm25
+         |FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    "text_tfidf_keywords" ->
+      s"""$withToks
+         |, tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+         |scored AS (
+         |  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
+         |  FROM tf JOIN dfc USING (term) CROSS JOIN nd
+         |)
+         |SELECT doc_id, term, tfidf,
+         |       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rk
+         |FROM scored
+         |QUALIFY rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
     "text_repetition" ->
       s"""$withToks
          |, tc AS (
@@ -401,5 +491,7 @@ object TextAnalysis {
     "text_split_assign"       -> (textSplitAssign _),
     "text_pack_bins"          -> (textPackBins _),
     "text_filter_funnel"      -> (textFilterFunnel _),
+    "text_bm25"               -> (textBm25 _),
+    "text_tfidf_keywords"     -> (textTfidfKeywords _),
   )
 }
