@@ -1,0 +1,128 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** PII scrubbing and URL/domain analytics — the privacy-hygiene and
+  * provenance stages of a web-scale training-data pipeline (detect + redact
+  * emails/phones/IPs before training; aggregate quality signals per source
+  * domain for crawl curation).
+  *
+  * The driver testdata carries no PII- or URL-shaped columns, so each query
+  * derives a deterministic raw log line / URL from the `events` row INSIDE
+  * the query — both engines build the identical string, and the oracle gate
+  * then verifies the actual deliverable: that the regex detect / redact /
+  * parse semantics agree cross-engine on every row. The regex constants are
+  * shared between the Spark plan and the generated DuckDB SQL (single
+  * source of truth), and are written in the common Java-regex/RE2 subset.
+  *
+  * Scale shape: both queries are stateless map work over the fact table
+  * (codegen'd string expressions, no UDF) followed by — for the domain
+  * rollup — one hash aggregation keyed on the domain; nothing shuffles the
+  * raw text.
+  */
+object Privacy {
+
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe = """\+1-\d{3}-\d{4}"""
+  val IpRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+
+  /** The synthetic raw log line (Spark side; the oracle builds the same). */
+  private def rawLine: Column = concat(
+    lit("user "), col("user_id").cast("string"),
+    lit(" <u"), col("user_id").cast("string"),
+    lit("@example.com> phone +1-555-"),
+    lpad((col("user_id") * 7 % 10000).cast("string"), 4, "0"),
+    lit(" ip 10."), (col("user_id") % 256).cast("string"),
+    lit(".0."), (col("event_id") % 256).cast("string"),
+    lit(" type "), col("event_type"))
+
+  /** PII detect + redact per event row: counts of email/phone/IP matches and
+    * the scrubbed line (email → <EMAIL>, then phone → <PHONE>, then
+    * IP → <IP> — fixed order, so the oracle replays it exactly). */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), rawLine.as("raw"))
+      .select(
+        col("event_id"),
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("raw"), lit(IpRe), lit(0))).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>").as("scrubbed"))
+      .orderBy("event_id")
+
+  /** Host-extraction regex for [[urlDomains]] (group 1 = host). */
+  val HostRe = """^https://([^/]+)/"""
+  /** Registrable-domain suffix: last two dot-labels of the host. */
+  val RegDomainRe = """([^.]+\.[^.]+)$"""
+
+  /** Per-domain crawl rollup: derive a deterministic URL per event, parse
+    * out host and registrable domain with shared regexes, aggregate events /
+    * distinct users / mean value per host. The domain key is low-cardinality
+    * relative to the events (the web-crawl reality), so the rollup is one
+    * partial+final hash aggregation. */
+  def urlDomains(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      lit("https://shard"), (col("user_id") % 20).cast("string"),
+      lit(".s"), (col("user_id") % 5).cast("string"),
+      lit(".example.com/p/"), col("event_id").cast("string"),
+      lit("?u="), col("user_id").cast("string"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"), url.as("url"))
+      .withColumn("host", regexp_extract(col("url"), HostRe, 1))
+      .withColumn("reg_domain", regexp_extract(col("host"), RegDomainRe, 1))
+      .groupBy("host", "reg_domain")
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("host")
+  }
+
+  // --- DuckDB oracles -------------------------------------------------------
+
+  private val rawSql =
+    """'user ' || user_id || ' <u' || user_id || '@example.com> phone +1-555-' ||
+      | lpad((user_id * 7 % 10000)::VARCHAR, 4, '0') ||
+      | ' ip 10.' || (user_id % 256) || '.0.' || (event_id % 256) ||
+      | ' type ' || event_type""".stripMargin.replace("\n", "")
+
+  val oracle: Map[String, String] = Map(
+    "pii_scrub" ->
+      s"""WITH r AS (SELECT event_id, $rawSql AS raw FROM events)
+         |SELECT event_id,
+         |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |  CAST(len(regexp_extract_all(raw, '$IpRe')) AS INTEGER) AS n_ips,
+         |  regexp_replace(regexp_replace(regexp_replace(raw,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g') AS scrubbed
+         |FROM r ORDER BY event_id""".stripMargin,
+
+    "url_domains" ->
+      s"""WITH u AS (
+         |  SELECT event_id, user_id, value,
+         |         'https://shard' || (user_id % 20) || '.s' || (user_id % 5) ||
+         |         '.example.com/p/' || event_id || '?u=' || user_id AS url
+         |  FROM events
+         |), h AS (
+         |  SELECT *, regexp_extract(url, '$HostRe', 1) AS host FROM u
+         |)
+         |SELECT host, regexp_extract(host, '$RegDomainRe', 1) AS reg_domain,
+         |       count(*) AS n_events,
+         |       count(DISTINCT user_id) AS n_users,
+         |       round(avg(value), 6) AS avg_value
+         |FROM h
+         |GROUP BY host, regexp_extract(host, '$RegDomainRe', 1)
+         |ORDER BY host""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_scrub"   -> (piiScrub _),
+    "url_domains" -> (urlDomains _),
+  )
+}

@@ -227,6 +227,27 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Deterministic stratified sampling: per-source keep rates (per mille),
+    * decided by a SALTED hash of the doc id — "sample:" domain-separates the
+    * sampling decision from [[textSplitAssign]]'s split hash, so the two are
+    * independent; same hash-not-RNG properties (reproducible across runs,
+    * engines, partition layouts; corpus growth never resamples old docs).
+    * Pure map work + filter at any scale — this is how a 100 TB pipeline
+    * downsamples over-represented sources (crawl dumps) while keeping
+    * scarce ones. */
+  def textStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (Portable.hash60(concat(lit("sample:"), col("doc_id").cast("string"))) % 1000)
+          .as("bucket"))
+      .withColumn("rate_mille",
+        when(col("source") === "src0", 500)
+          .when(col("source") === "src1", 200)
+          .otherwise(100))
+      .filter(col("bucket") < col("rate_mille"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy("doc_id")
+
   /** BM25 parameters (Robertson/Spärck Jones; the Okapi defaults) and the
     * fixed keyword query the ranking demo scores against. */
   val Bm25K1 = 1.2; val Bm25B = 0.75
@@ -414,6 +435,18 @@ object TextAnalysis {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY source, doc_id""".stripMargin,
 
+    "text_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 1000 AS bucket,
+        |         CASE WHEN source = 'src0' THEN 500
+        |              WHEN source = 'src1' THEN 200 ELSE 100 END AS rate_mille
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, bucket FROM s
+        |WHERE bucket < rate_mille
+        |ORDER BY doc_id""".stripMargin,
+
     "text_bm25" ->
       s"""$withToks
          |, tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
@@ -493,5 +526,6 @@ object TextAnalysis {
     "text_filter_funnel"      -> (textFilterFunnel _),
     "text_bm25"               -> (textBm25 _),
     "text_tfidf_keywords"     -> (textTfidfKeywords _),
+    "text_stratified_sample"  -> (textStratifiedSample _),
   )
 }
