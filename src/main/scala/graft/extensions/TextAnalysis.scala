@@ -253,47 +253,61 @@ object TextAnalysis {
   val Bm25K1 = 1.2; val Bm25B = 0.75
   val QueryTerms = Seq("spark", "vector", "hash")
 
-  /** BM25 keyword ranking: top-20 documents for [[QueryTerms]]. Classic
-    * search-index dataflow as pure aggregations: doc length + corpus stats
-    * (N, avgdl — a two-value broadcast), per-(doc,term) tf and per-term df
-    * computed AFTER the query-term filter, so the heavy explode is pruned
-    * to the query vocabulary before any shuffle. Scores are rounded to 6
-    * decimals before the ordered limit and tie-broken by doc_id — the
-    * cross-engine determinism contract. At 100 TB: everything keys on
-    * doc_id or term; the only all-corpus work is the doc-length count. */
+  /** BM25 keyword ranking: top-20 documents for [[QueryTerms]]. The whole
+    * index is ONE per-doc aggregation over the exploded tokens producing
+    * (dl, tf per query term) as pivoted columns, materialized once; corpus
+    * stats (N, avgdl, per-term df) are one scalar aggregation OF that
+    * relation, broadcast back as a single row — at 100 TB the naive
+    * formulation (separate tf / df / dl / stats subtrees) re-scans the
+    * corpus four times for what is one pass + a scalar broadcast here.
+    * Scores are a fixed left-to-right sum over the query terms, rounded to
+    * 6 decimals before the ordered limit with doc_id tiebreak — the
+    * cross-engine determinism contract. */
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
-    val tok = withToksDf(spark, dir)
+    val tfCols = QueryTerms.map(t => count(when(col("term") === t, 1)).as(s"tf_$t"))
+    // Materialized once (localCheckpoint): the per-doc index relation is
+    // docs-sized (tiny next to the token stream) and has two consumers —
+    // without it Spark re-evaluates the whole explode+aggregate pipeline,
+    // i.e. re-reads the corpus, for the stats broadcast. A deployment keeps
+    // this as the cached/bucketed index table.
+    val perdoc = withToksDf(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("term"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val qt = tok.filter(col("term").isin(QueryTerms: _*))
-    val tf = qt.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfq = qt.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
-    tf.join(broadcast(dfq), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          (col("tf") * (Bm25K1 + 1)) /
-          (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
-          .as("s"))
-      .groupBy("doc_id").agg(round(sum("s"), 6).as("bm25"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+      .localCheckpoint()
+    val statAggs = Seq(count(lit(1)).as("n_docs"), avg("dl").as("avgdl")) ++
+      QueryTerms.map(t => count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
+    val stats = perdoc.agg(statAggs.head, statAggs.tail: _*)
+    val score = QueryTerms.map { t =>
+      val tf = col(s"tf_$t"); val dfT = col(s"df_$t")
+      log((col("n_docs") - dfT + 0.5) / (dfT + 0.5) + 1.0) *
+        (tf * (Bm25K1 + 1)) /
+        (tf + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    perdoc.crossJoin(broadcast(stats))
+      .filter(QueryTerms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
       .orderBy(desc("bm25"), col("doc_id"))
       .limit(20)
   }
 
   /** TF-IDF keyword extraction: top-3 terms per document by tf·idf
     * (idf = ln(N/df)), rank window ordered on the 6-decimal-rounded score
-    * with term-asc tiebreak. The per-doc window follows a (doc,term)
-    * aggregation, so state per task is bounded by per-doc vocabulary; the
-    * df side is one term-keyed aggregation joined back in. */
+    * with term-asc tiebreak. The (doc,term) tf aggregation is the ONLY
+    * consumer of the exploded corpus; df and N both derive from it (a term
+    * appears once per containing doc there), so the corpus is read once.
+    * Per-doc window state is bounded by per-doc vocabulary. */
   def textTfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tok = withToksDf(spark, dir)
+    // Materialized once (localCheckpoint) for the same reason as in
+    // [[textBm25]]: three consumers (score join, df, N) would otherwise
+    // each re-read the corpus through the explode pipeline.
+    val tf = withToksDf(spark, dir)
       .select(col("doc_id"), explode(col("toks")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfc = tok.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
-    val nd = tok.agg(count_distinct(col("doc_id")).as("n_docs"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = tf.agg(count_distinct(col("doc_id")).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("term"))
     tf.join(dfc, "term")
       .crossJoin(broadcast(nd))
@@ -450,17 +464,21 @@ object TextAnalysis {
     "text_bm25" ->
       s"""$withToks
          |, tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-         |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |qt AS (SELECT * FROM tok WHERE term IN (${QueryTerms.map("'" + _ + "'").mkString(", ")})),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY doc_id, term),
-         |idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM qt GROUP BY term)
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS dl,
+         |${QueryTerms.map(t => s"         count(*) FILTER (WHERE term = '$t') AS tf_$t").mkString(",\n")}
+         |  FROM tok GROUP BY doc_id
+         |), stats AS (
+         |  SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+         |${QueryTerms.map(t => s"         count(*) FILTER (WHERE tf_$t > 0) AS df_$t").mkString(",\n")}
+         |  FROM perdoc
+         |)
          |SELECT doc_id,
-         |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-         |                 * (tf * ${Bm25K1 + 1})
-         |                 / (tf + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))), 6) AS bm25
-         |FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-         |GROUP BY doc_id
+         |       round(${QueryTerms.map(t =>
+                  s"ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0) * (tf_$t * ${Bm25K1 + 1}) / (tf_$t + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl / avgdl))")
+                  .mkString("\n             + ")}, 6) AS bm25
+         |FROM perdoc CROSS JOIN stats
+         |WHERE ${QueryTerms.map(t => s"tf_$t > 0").mkString(" OR ")}
          |ORDER BY bm25 DESC, doc_id
          |LIMIT 20""".stripMargin,
 
@@ -468,8 +486,8 @@ object TextAnalysis {
       s"""$withToks
          |, tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-         |dfc AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
-         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+         |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
          |scored AS (
          |  SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf
          |  FROM tf JOIN dfc USING (term) CROSS JOIN nd
