@@ -131,15 +131,12 @@ object Dedup {
     (draw(), draw())
   }
 
-  /** MinHash-LSH candidate pairs: docs sharing any full band of the 32-hash
-    * signature. Candidate generation only (verify with dedupNgramJaccard on
-    * candidates in a real pipeline).
-    *
-    * The whole signature is ONE hash aggregation with 32 min() buffers over
-    * the shingle hashes (map-side partial min → tiny shuffle), not a
-    * crossJoin with the parameter table — the shuffled volume is
-    * O(docs × 32), independent of shingle count. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, band, bkt) MinHash-LSH banding relation. The whole signature
+    * is ONE hash aggregation with 32 min() buffers over the shingle hashes
+    * (map-side partial min → tiny shuffle), not a crossJoin with the
+    * parameter table — the shuffled volume is O(docs × 32), independent of
+    * shingle count. Shared by the pair, verified, and incremental paths. */
+  private def minhashBuckets(spark: SparkSession, dir: String): DataFrame = {
     val hs = docShingleHashes(spark, dir)
       .select(col("doc_id"), (col("h") % Portable.P31).as("h"))
     val minCols = (0 until K).map { i =>
@@ -150,9 +147,33 @@ object Dedup {
       struct(lit(b).as("band"),
         concat_ws(",", (0 until R).map(r => col(s"mh${b * R + r}").cast("string")): _*).as("bkt"))
     }
-    val buckets = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+  }
+
+  /** Exact Jaccard (df-uncapped shingle space) on a candidate-pair relation:
+    * |candidates| × |shingles-per-doc| work, never a corpus cross product. */
+  private def jaccardOnCandidates(spark: SparkSession, dir: String,
+                                  cand: DataFrame): DataFrame = {
+    val sh = docShingleHashes(spark, dir)
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "h"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na.n") + col("nb.n") - col("c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing any full band of the 32-hash
+    * signature. Candidate generation only (verify with dedupNgramJaccard on
+    * candidates in a real pipeline). */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = minhashBuckets(spark, dir)
     buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
@@ -199,21 +220,41 @@ object Dedup {
     * At 100 TB the verify join touches |candidates| × |shingles-per-doc|
     * rows (bounded by band-bucket sizes), never the corpus cross product;
     * this is the composition SCALING.md names as the default dedup path. */
-  def dedupMinhashVerified(spark: SparkSession, dir: String): DataFrame = {
-    val cand = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val sh = docShingleHashes(spark, dir)
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "h"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("c").cast("double") / (col("na.n") + col("nb.n") - col("c")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.8)
+  def dedupMinhashVerified(spark: SparkSession, dir: String): DataFrame =
+    jaccardOnCandidates(spark, dir,
+        dedupMinhashLsh(spark, dir).select("doc_a", "doc_b"))
       .orderBy("doc_a", "doc_b")
+
+  /** Batch boundary for [[dedupIncremental]]: doc_id < this is the already-
+    * deduplicated corpus; the rest is the incoming batch. */
+  val IncrementalSplit = 200
+
+  /** INCREMENTAL dedup — the steady-state pipeline op: an incoming batch is
+    * screened against the existing corpus, and a batch doc is dropped when
+    * it is a verified near-dup (LSH band-bucket candidate + exact Jaccard
+    * ≥ 0.8) of any existing doc. Output is one row per batch doc with the
+    * canonical existing doc it duplicates (min id), or kept = true.
+    * Intra-batch duplicates are NOT dropped here — that is the batch-level
+    * clustering pass ([[dedupClusters]]); splitting the two keeps the
+    * incremental screen a pure existing⋈batch join, which at 100 TB probes
+    * only the batch's band-buckets against the corpus index instead of
+    * re-pairing the whole corpus. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val b = minhashBuckets(spark, dir)
+    val ex = b.filter(col("doc_id") < IncrementalSplit).as("e")
+    val nw = b.filter(col("doc_id") >= IncrementalSplit).as("n")
+    val cand = ex.join(nw,
+        col("e.band") === col("n.band") && col("e.bkt") === col("n.bkt"))
+      .select(col("e.doc_id").as("doc_a"), col("n.doc_id").as("doc_b"))
+      .distinct()
+    val verified = jaccardOnCandidates(spark, dir, cand)
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") >= IncrementalSplit)
+      .select(col("doc_id"))
+      .join(verified.select(col("doc_b").as("doc_id"), col("doc_a")), Seq("doc_id"), "left")
+      .groupBy("doc_id").agg(min(col("doc_a")).as("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+      .orderBy("doc_id")
   }
 
   /** Duplicate-CLUSTER assignment — the step that turns near-dup PAIRS into
@@ -308,15 +349,14 @@ object Dedup {
        |  FROM sig GROUP BY doc_id, i // 4
        |)""".stripMargin
 
-  /** CTE chain ending in `vpairs(doc_a, doc_b, jaccard)` — the verified
-    * near-dup pairs (MinHash-LSH candidates × exact Jaccard ≥ 0.8), shared
-    * by the pair query and the cluster query built on top of it. */
-  private val verifiedPairsCtes =
+  /** CTE chain `minhashBucketsCtes + cand(candSql) + exact-Jaccard verify`,
+    * ending in `vpairs(doc_a, doc_b, jaccard)` — parametrized by the
+    * candidate-generation SQL so the all-pairs and incremental
+    * (existing⋈batch) paths share the verification oracle. */
+  private def verifiedCtesFor(candSql: String) =
     s"""$minhashBucketsCtes
        |, cand AS (
-       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM buckets x JOIN buckets y
-       |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id
+       |$candSql
        |), vshh AS (
        |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
        |), vsz AS (SELECT doc_id, count(*) AS n FROM vshh GROUP BY doc_id),
@@ -335,7 +375,27 @@ object Dedup {
        |  WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.8
        |)""".stripMargin
 
+  private val allPairsCandSql =
+    """  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM buckets x JOIN buckets y
+      |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id""".stripMargin
+
+  private val verifiedPairsCtes = verifiedCtesFor(allPairsCandSql)
+
+  private val incrementalCandSql =
+    s"""  SELECT DISTINCT e.doc_id AS doc_a, n.doc_id AS doc_b
+       |  FROM buckets e JOIN buckets n ON e.band = n.band AND e.bkt = n.bkt
+       |  WHERE e.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" ->
+      s"""${verifiedCtesFor(incrementalCandSql)}
+         |SELECT d.doc_id, min(v.doc_a) AS dup_of,
+         |       min(v.doc_a) IS NULL AS kept
+         |FROM documents d LEFT JOIN vpairs v ON v.doc_b = d.doc_id
+         |WHERE d.doc_id >= $IncrementalSplit
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dedup_fuzzy_names" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
         |keyed AS (
@@ -467,6 +527,7 @@ object Dedup {
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_minhash_verified" -> (dedupMinhashVerified _),
     "dedup_clusters"      -> (dedupClusters _),
+    "dedup_incremental"   -> (dedupIncremental _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_contamination" -> (dedupContamination _),
     "dedup_embedding"     -> (dedupEmbedding _),
