@@ -77,4 +77,27 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "collect_list"
     "Exchange".r.findAllIn(p).size shouldBe 2 // agg + final orderBy only
   }
+
+  test("pii_scrub: stateless map work — no join, no aggregation, pruned scan") {
+    val p = planOf(graft.extensions.Privacy.piiScrub(spark, sf))
+    p should not include "Join"
+    p should not include "HashAggregate"
+    p should not include "props" // unused JSON column never read
+  }
+
+  test("url_domains: one partial+final aggregation pair on the domain key") {
+    val p = planOf(graft.extensions.Privacy.urlDomains(spark, sf))
+    p should not include "Join"
+    p should include ("HashAggregate")
+  }
+
+  test("bm25/tfidf: final plan reads the materialized index, not the corpus again") {
+    // the per-doc index relation is built in one pass and materialized;
+    // a parquet scan in the FINAL plan would mean the corpus is re-read
+    // per consumer (the 4-scan shape the one-pass rewrite removed)
+    planOf(graft.extensions.TextAnalysis.textBm25(spark, sf)) should
+      not include "Scan parquet"
+    planOf(graft.extensions.TextAnalysis.textTfidfKeywords(spark, sf)) should
+      not include "Scan parquet"
+  }
 }
