@@ -237,6 +237,21 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
       .withColumn("cn", Portable.l2norm(col("cv")))
 
+  /** Per-label centroids as a vector AGGREGATION: posexplode to
+    * (label, dim, component), mean per (label, dim), long-format output
+    * (1-based dim for DuckDB subscript parity, mean rounded to 6 — double
+    * summation order differs across engines only in the last ulp). This is
+    * the k-means/class-prototype building block; state per group is one
+    * (sum, count) pair per dimension — never a collected vector list, so a
+    * label with a billion members costs the same memory as one with ten. */
+  def simLabelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(Portable.asDouble(col("embedding"))))
+      .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("x"))
+      .groupBy("label", "dim")
+      .agg(round(avg("x"), 6).as("centroid"), count(lit(1)).as("n_vectors"))
+      .orderBy("label", "dim")
+
   /** IVF ANN with k-means-refined lists and multi-probe search: vectors are
     * assigned to their nearest refined centroid (inverted lists); a query
     * probes its NProbe nearest lists. Assignment cost O(n·k) with the
@@ -314,6 +329,15 @@ object Similarity {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_label_centroids" ->
+      """SELECT label, CAST(i AS INTEGER) AS dim, round(avg(x), 6) AS centroid, count(*) AS n_vectors
+        |FROM (
+        |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |)
+        |GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin,
+
     "sim_topk_quantized" ->
       s"""WITH pos AS (
          |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
@@ -458,5 +482,6 @@ object Similarity {
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "sim_topk_ivf"        -> (simTopkIvf _),
     "sim_topk_quantized"  -> (simTopkQuantized _),
+    "sim_label_centroids" -> (simLabelCentroids _),
   )
 }

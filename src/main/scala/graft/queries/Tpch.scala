@@ -139,6 +139,40 @@ object Tpch {
       .na.fill(0L, Seq("F", "O", "P"))
       .orderBy("yr")
 
+  /** UNPIVOT (melt) — the inverse of [[qPivotStatus]]: the wide per-year
+    * status counts back to (yr, status, n_orders) rows via the native
+    * `Dataset.unpivot` (plans as one Expand pass — no per-column union). */
+  def qUnpivotStatus(spark: SparkSession, dir: String): DataFrame =
+    qPivotStatus(spark, dir)
+      .unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+        "status", "n_orders")
+      .orderBy("yr", "status")
+
+  /** FULL OUTER join reconciliation — the two-source audit dataflow: the
+    * early-buyer order rollup (orders before 1996) vs the high-balance
+    * customer list, keeping rows present on either side with a presence
+    * tag (all three classes are non-empty at sf0.01: 954/220/275). Both
+    * sides pre-aggregate / pre-filter before the join, so the full-outer
+    * exchange carries keys, not facts; money sums are exact decimals
+    * ([[decSum2]]). */
+  def qFullOuterReconcile(spark: SparkSession, dir: String): DataFrame = {
+    val oc = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), decSum2(col("o_totalprice")).as("spend"))
+    val rich = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 1000)
+      .select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+    oc.join(rich, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_orders"), col("spend"), col("acctbal"),
+        when(col("o_custkey").isNotNull && col("c_custkey").isNotNull, "both")
+          .when(col("o_custkey").isNotNull, "orders_only")
+          .otherwise("rich_only").as("presence"))
+      .orderBy("custkey")
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition;
     * rounded to 4 decimals for cross-engine float stability). */
@@ -362,6 +396,34 @@ object Tpch {
         |       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
 
+    "q_unpivot_status" ->
+      """WITH w AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |         count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |         count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |         count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |  FROM orders GROUP BY yr
+        |)
+        |SELECT yr, status, n_orders
+        |FROM (UNPIVOT w ON "F", "O", "P" INTO NAME status VALUE n_orders)
+        |ORDER BY yr, status""".stripMargin,
+
+    "q_full_outer_reconcile" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS spend
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY o_custkey
+        |), rich AS (
+        |  SELECT c_custkey, c_acctbal AS acctbal FROM customer WHERE c_acctbal > 1000
+        |)
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey, n_orders, spend, acctbal,
+        |       CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NOT NULL THEN 'both'
+        |            WHEN o_custkey IS NOT NULL THEN 'orders_only'
+        |            ELSE 'rich_only' END AS presence
+        |FROM oc FULL OUTER JOIN rich ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
+
     "q_customer_activity" ->
       """WITH inactive AS (
         |  SELECT c_nationkey, count(*) AS n_inactive
@@ -451,6 +513,8 @@ object Tpch {
     "q_customer_activity"      -> (qCustomerActivity _),
     "q_distinct_counts"        -> (qDistinctCounts _),
     "q_pivot_status"           -> (qPivotStatus _),
+    "q_unpivot_status"         -> (qUnpivotStatus _),
+    "q_full_outer_reconcile"   -> (qFullOuterReconcile _),
     "q_percentiles"            -> (qPercentiles _),
     "q_set_ops"                -> (qSetOps _),
     "q_correlated_cheapest_order" -> (qCorrelatedCheapestOrder _),
