@@ -112,6 +112,35 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-STREAM interval join — click-to-view attribution with both
+    * sides unbounded: every click pairs with that user's views from the
+    * preceding hour. Both inputs carry watermarks and the join condition
+    * bounds view_ts to [click_ts − 1h, click_ts], so Spark derives state
+    * watermarks for BOTH sides and evicts matched/expired rows — state is
+    * bounded by (watermark + interval), never the full history. The batch
+    * as-of twin (Events.eventsAsofAttribution) keeps only the LATEST
+    * qualifying view; streaming emits all qualifying pairs append-mode (a
+    * downstream per-click max aggregation recovers the as-of row — kept
+    * separate so the join stays append-only and stateless past the
+    * watermark horizon). Feeding both branches from ONE input stream is a
+    * streaming self-join — supported, each branch filters its event type. */
+  def clickViewAttribution(events: DataFrame,
+                           watermark: String = "2 hours"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", watermark)
+    clicks.join(views,
+        col("click_user") === col("user_id") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("view_id"), col("view_ts"))
+  }
+
   /** foreachBatch bridge to any BATCH writer with replay-safe semantics:
     * each micro-batch lands in an epoch-stamped directory, so a replayed
     * epoch (restart between sink write and offset commit) OVERWRITES its

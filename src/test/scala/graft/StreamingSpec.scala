@@ -106,6 +106,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with prior views across batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.clickViewAttribution(ms.toDF())
+      .writeStream.format("memory").queryName("attrib").outputMode("append").start()
+    try {
+      // batch 1: two views for user 1, one stale view (2h before the click)
+      ms.addData(
+        Event(10, ts(0), 1, "view", 1.0),
+        Event(11, ts(30), 1, "view", 1.0),
+        Event(12, ts(-120), 1, "view", 1.0),
+        Event(13, ts(20), 2, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: the click arrives later — the join state must still hold
+      // the earlier views (cross-micro-batch match)
+      ms.addData(Event(20, ts(45), 1, "click", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("attrib")
+        .select("user_id", "click_id", "view_id").collect().toSeq.map(_.toSeq)
+      // user 1's click joins views 10 and 11 (within the hour); the stale
+      // view 12 and user 2's view 13 do not qualify
+      got.toSet shouldBe Set(Seq(1L, 20L, 10L), Seq(1L, 20L, 11L))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session on gap and on watermark timeout") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
