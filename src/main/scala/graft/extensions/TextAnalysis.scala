@@ -227,6 +227,11 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Column profile of the documents table ([[graft.ops.Profile]]) — the
+    * dataset-card stats pass, oracle-gated. */
+  def textProfile(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.tableStats(Tables.documents(spark, dir))
+
   /** Deterministic stratified sampling: per-source keep rates (per mille),
     * decided by a SALTED hash of the doc id — "sample:" domain-separates the
     * sampling decision from [[textSplitAssign]]'s split hash, so the two are
@@ -449,6 +454,18 @@ object TextAnalysis {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY source, doc_id""".stripMargin,
 
+    "text_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name,
+           |       count(*) - count($c) AS n_nulls,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS VARCHAR) AS min_value,
+           |       CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+    },
+
     "text_stratified_sample" ->
       """WITH s AS (
         |  SELECT doc_id, source,
@@ -545,5 +562,6 @@ object TextAnalysis {
     "text_bm25"               -> (textBm25 _),
     "text_tfidf_keywords"     -> (textTfidfKeywords _),
     "text_stratified_sample"  -> (textStratifiedSample _),
+    "text_profile"            -> (textProfile _),
   )
 }

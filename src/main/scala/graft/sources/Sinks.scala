@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Sink helpers — S4 parity (reference: TextOutputFormat with configurable
   * separator, Homework2.scala:548,553; separators per task :565-:670).
@@ -22,6 +22,23 @@ object Sinks {
                    partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** Small-files compaction — the table-maintenance pass every streaming /
+    * incremental sink eventually needs: rewrite a parquet directory into
+    * ceil(totalBytes / targetBytes) evenly-sized files. `repartition` (not
+    * `coalesce`): the round-robin exchange costs one shuffle but yields
+    * uniform file sizes; coalesce concatenates input partitions and
+    * preserves their skew. Returns the output file count. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(path).getLength
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n)
+      .write.mode("overwrite").parquet(outDir)
+    n
   }
 
   /** Bucketed (and per-bucket sorted) managed table — the layout that makes

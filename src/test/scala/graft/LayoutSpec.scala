@@ -57,4 +57,20 @@ class LayoutSpec extends SparkTestBase {
     scan should include ("event_type")
     read.select("event_type").distinct().as[String].collect().toSeq shouldBe Seq("click")
   }
+
+  test("compact rewrites a many-file directory into evenly-sized few files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    graft.sources.Tables.documents(spark, sf).repartition(20)
+      .write.parquet(s"$base/in")
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    parts(s"$base/in") shouldBe 20
+    val n = Sinks.compact(spark, s"$base/in", s"$base/out",
+      targetBytes = 512L * 1024)
+    parts(s"$base/out") shouldBe n
+    n should be < 20
+    // content-identical after the rewrite
+    spark.read.parquet(s"$base/out").orderBy("doc_id").collect() shouldBe
+      spark.read.parquet(s"$base/in").orderBy("doc_id").collect()
+  }
 }
