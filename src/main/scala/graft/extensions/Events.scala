@@ -145,7 +145,68 @@ object Events {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Conversion funnel view → ORDERED click → ORDERED purchase per user,
+    * computed with three STACKED cumulative windows over ONE (user_id,
+    * ts, event_id) sort: first_view is the running min of view times;
+    * first_click qualifies only at rows whose running first_view is
+    * already set (click strictly after-or-at a view); first_purchase
+    * likewise gates on first_click. One exchange + one sort for the whole
+    * staging — the match_recognize-style sequential pattern without joins
+    * or per-user collected state. Scoped to the first two days of the
+    * event stream so the cohort is mid-conversion and all four stages are
+    * populated (purchase/click/view/none = 21/20/51/58 at sf0.01). */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("ts") < lit("2024-01-03").cast("timestamp"))
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("first_click",
+        min(when(col("event_type") === "click" && col("first_view").isNotNull,
+          col("ts"))).over(w))
+      .withColumn("first_purchase",
+        min(when(col("event_type") === "purchase" && col("first_click").isNotNull,
+          col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(min("first_view").as("first_view"),
+        min("first_click").as("first_click"),
+        min("first_purchase").as("first_purchase"))
+      .withColumn("stage",
+        when(col("first_purchase").isNotNull, "purchase")
+          .when(col("first_click").isNotNull, "click")
+          .when(col("first_view").isNotNull, "view")
+          .otherwise("none"))
+      .orderBy("user_id")
+  }
+
+  private val funnelWindowSql =
+    """OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "events_funnel" ->
+      s"""WITH s1 AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |         min(CASE WHEN event_type = 'view' THEN ts END)
+         |         $funnelWindowSql AS first_view
+         |  FROM events WHERE ts < TIMESTAMP '2024-01-03'
+         |), s2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'click' AND first_view IS NOT NULL THEN ts END)
+         |         $funnelWindowSql AS first_click
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND first_click IS NOT NULL THEN ts END)
+         |         $funnelWindowSql AS first_purchase
+         |  FROM s2
+         |)
+         |SELECT user_id, min(first_view) AS first_view, min(first_click) AS first_click,
+         |       min(first_purchase) AS first_purchase,
+         |       CASE WHEN min(first_purchase) IS NOT NULL THEN 'purchase'
+         |            WHEN min(first_click) IS NOT NULL THEN 'click'
+         |            WHEN min(first_view) IS NOT NULL THEN 'view'
+         |            ELSE 'none' END AS stage
+         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_json_stats" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -246,5 +307,6 @@ object Events {
     "events_skew_salted"      -> (eventsSkewSalted _),
     "events_latest_per_user"  -> (eventsLatestPerUser _),
     "events_json_stats"       -> (eventsJsonStats _),
+    "events_funnel"           -> (eventsFunnel _),
   )
 }
