@@ -237,6 +237,27 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
       .withColumn("cn", Portable.l2norm(col("cv")))
 
+  /** Spherical k-means, the general multi-iteration form of the IVF list
+    * refinement: deterministic stride seeds, `iters` Lloyd steps (assign to
+    * max-cosine centroid → per-dimension mean), final assignment returned
+    * as (vec_id, cent_id, cc). Deterministic: fixed seeds and iteration
+    * count, means rounded to 6 before re-use. Each step is one broadcast
+    * assignment (O(n·k)) + one (cent,dim) mean exchange; localCheckpoint
+    * truncates lineage so the plan stays iteration-count-independent —
+    * the [[graft.ops.Graph]] iteration discipline. Spec-bound (objective
+    * monotonicity + determinism) rather than oracle-gated: the fixpoint
+    * is float-iterative, not SQL-expressible. */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String,
+                                  iters: Int = 3): DataFrame = {
+    val vs = vectors(spark, dir)
+    var cents = vs.filter(col("vec_id") % CentStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 1 to iters)
+      cents = refineCentroids(vs, cents).localCheckpoint()
+    rankCentroids(vs, cents).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"), col("cc"))
+  }
+
   /** Per-label centroids as a vector AGGREGATION: posexplode to
     * (label, dim, component), mean per (label, dim), long-format output
     * (1-based dim for DuckDB subscript parity, mean rounded to 6 — double

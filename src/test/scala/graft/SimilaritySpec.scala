@@ -24,6 +24,20 @@ class SimilaritySpec extends SparkTestBase {
         s"plane ($j,$i) diverges")
   }
 
+  test("k-means: objective improves with iterations and runs are deterministic") {
+    import org.apache.spark.sql.functions.avg
+    def objective(iters: Int): Double =
+      Similarity.kmeansAssign(spark, sf, iters)
+        .agg(avg("cc")).head.getDouble(0)
+    // spherical k-means objective (mean assignment cosine) must not get
+    // worse with more Lloyd steps (tiny epsilon for the rounded means)
+    objective(3) should be >= objective(1) - 1e-6
+    // fixed seeds + fixed iteration count → identical assignments
+    val a = Similarity.kmeansAssign(spark, sf, 2).collect().map(_.toSeq).toSet
+    val b = Similarity.kmeansAssign(spark, sf, 2).collect().map(_.toSeq).toSet
+    a shouldBe b
+  }
+
   test("IVF (1 Lloyd step, nprobe=2) recall@5 ≥ 0.4; monotone in nprobe") {
     val exact = pairs(Similarity.simTopkBruteforce(spark, sf))
     val ivf2 = pairs(Similarity.simTopkIvfProbe(spark, sf, 2))
