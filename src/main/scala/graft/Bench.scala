@@ -32,7 +32,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           errors(name) = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
-            .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+            .replaceAll("""[\\"\p{Cntrl}]""", " ").take(200)
           -1.0
       }
     }
@@ -44,7 +44,11 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    // Any crashed query poisons the headline total to -1: summing only the
+    // successes would make a crash of an expensive query read as a SPEEDUP
+    // to a consumer comparing "value" against baseline.
+    val total =
+      if (errors.nonEmpty) -1.0 else results.values.sum
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")

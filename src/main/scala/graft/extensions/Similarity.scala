@@ -250,13 +250,19 @@ object Similarity {
   private[graft] def kmeansAssign(spark: SparkSession, dir: String,
                                   iters: Int = 3): DataFrame = {
     val vs = vectors(spark, dir)
-    var cents = vs.filter(col("vec_id") % CentStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    var cents = strideSeeds(vs)
     for (_ <- 1 to iters)
       cents = refineCentroids(vs, cents).localCheckpoint()
     rankCentroids(vs, cents).filter(col("rk") === 1)
       .select(col("vec_id"), col("cent_id"), col("cc"))
   }
+
+  /** Deterministic stride seeds — the shared centroid initialization for
+    * IVF and k-means (one definition: diverging seeding schemes would train
+    * the two from different centroids). */
+  private def strideSeeds(vs: DataFrame): DataFrame =
+    vs.filter(col("vec_id") % CentStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
 
   /** Per-label centroids as a vector AGGREGATION: posexplode to
     * (label, dim, component), mean per (label, dim), long-format output
@@ -287,9 +293,7 @@ object Similarity {
   private[graft] def simTopkIvfProbe(spark: SparkSession, dir: String,
                                      nprobe: Int): DataFrame = {
     val vs = vectors(spark, dir)
-    val seeds = vs.filter(col("vec_id") % CentStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
-    val cents = refineCentroids(vs, seeds)
+    val cents = refineCentroids(vs, strideSeeds(vs))
     val ranked = rankCentroids(vs, cents)
     val members = ranked.filter(col("rk") === 1)
       .select("vec_id", "cent_id", "v", "nrm")

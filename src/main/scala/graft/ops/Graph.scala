@@ -60,6 +60,13 @@ object Graph {
       labels = next
       it += 1
     }
+    // Mid-propagation labels are WRONG (one true component reads as
+    // several) and the recursive-CTE oracle computes the exact closure, so
+    // capped output must never be returned silently.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — graph " +
+        "diameter exceeds the bound; raise maxIter or switch to the " +
+        "large-star/small-star scheme (O(log² n) rounds) for long chains")
     labels
   }
 

@@ -95,12 +95,19 @@ def main(sf_dir, out_dir):
                 m = next((t for t, y in enumerate(remaining)
                           if row_close(x, y)), None)
                 if m is None:
-                    bad = (i, x, remaining[0] if remaining else None)
+                    bad = (i, x, remaining)
                     break
                 remaining.pop(m)
             i = j
         if bad:
-            print(f"FAIL {name}: first diff at sorted-row {bad[0]}:\n  spark={bad[1]}\n  duck ={bad[2]}")
+            # bad[2] holds the still-unmatched oracle rows sharing this
+            # spark row's sort key — none matched within tolerance (an
+            # empty list means the oracle's equal-key run was shorter)
+            cands = "\n".join(f"  duck?={r}" for r in bad[2][:3]) or \
+                "  (no oracle rows left under this sort key)"
+            print(f"FAIL {name}: spark row at sorted position {bad[0]} has no "
+                  f"tolerant match among {len(bad[2])} same-key oracle rows:\n"
+                  f"  spark={bad[1]}\n{cands}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(a)} rows)")
