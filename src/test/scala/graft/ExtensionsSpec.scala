@@ -61,4 +61,31 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSeq
     out shouldBe Seq((1L, 2L, 3L, 4L), (2L, 1L, 1L, 1L))
   }
+
+  test("funnel stages require the view→click→purchase ORDER, not mere presence") {
+    import graft.extensions.Events
+    val base = 1700000000000000L // epoch micros (before the funnel's cutoff)
+    def m(min: Long) = base + min * 60000000L
+    val evs = Seq(
+      // user 1: click BEFORE any view must not count; the later click does
+      (1L, m(0), 1L, "click"), (2L, m(10), 1L, "view"),
+      (3L, m(20), 1L, "click"), (4L, m(30), 1L, "purchase"),
+      // user 2: purchase precedes the view → no ordered click/purchase
+      (5L, m(0), 2L, "purchase"), (6L, m(10), 2L, "view"),
+      // user 3: never views
+      (7L, m(0), 3L, "error"))
+      .toDF("event_id", "us", "user_id", "event_type")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    evs.select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+        col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.eventsFunnel(spark, tmp)
+      .select("user_id", "stage").as[(Long, String)].collect().toSeq
+    out shouldBe Seq((1L, "purchase"), (2L, "view"), (3L, "none"))
+    // and the ordered first_click is the click AFTER the view, not the first
+    val fc = Events.eventsFunnel(spark, tmp)
+      .where("user_id = 1").select("first_click")
+      .collect()(0).getTimestamp(0).getTime
+    fc shouldBe m(20) / 1000L
+  }
 }

@@ -37,6 +37,16 @@ class GraphSpec extends SparkTestBase {
     out shouldBe Seq((7L, 7L, 1L, true), (8L, 8L, 1L, true))
   }
 
+  test("refuses to return unconverged labels when maxIter is too small") {
+    // path 1-2-3-4-5 needs more than one round; maxIter = 1 must throw,
+    // never silently emit mid-propagation labels
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(edges, maxIter = 1).collect()
+    }
+    e.getMessage should include ("did not converge")
+  }
+
   test("property: components equal a local union-find on random graphs") {
     val rnd = new scala.util.Random(11)
     for (_ <- 1 to 8) {
