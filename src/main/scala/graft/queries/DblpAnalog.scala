@@ -152,7 +152,67 @@ object DblpAnalog {
       |  SELECT pub_key, count(*) AS na FROM pub_author GROUP BY pub_key
       |)""".stripMargin
 
+  /** PageRank iterations for [[coauthorPagerank]] — fixed count, so the
+    * oracle unrolls the same number of CTE stages. */
+  val PagerankIters = 3
+
+  /** Co-author PageRank — iterative graph analytics with EXACT cross-engine
+    * parity: importance over the co-author graph (suppliers sharing an
+    * order), damping 0.85, uniform 1.0 start, [[PagerankIters]] fixed
+    * iterations. Determinism contract: every iteration's rank is rounded
+    * to 9 decimals before it feeds the next (double summation order
+    * differs across engines only in the last ulps; rounding stops the
+    * drift from compounding), final output rounded to 6. Scale shape: one
+    * contribution join + one dst-keyed sum per iteration — the same
+    * join/agg loop as [[graft.ops.Graph]], bounded by |edges|, no
+    * driver-side graph state. Dangling authors hold the 0.15 base. */
+  def coauthorPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
+    val sym = pa.as("x").join(pa.as("y"),
+        col("x.pub") === col("y.pub") && col("x.a") =!= col("y.a"))
+      .select(col("x.a").as("s"), col("y.a").as("d")).distinct()
+    val deg = sym.groupBy("s").agg(count(lit(1)).as("deg"))
+    val nodes = pa.select(col("a").as("v")).distinct()
+    var pr = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 1 to PagerankIters) {
+      val contrib = sym.join(pr, col("s") === col("v")).join(deg, "s")
+        .select(col("d"), (col("pr") / col("deg")).as("c"))
+        .groupBy("d").agg(sum("c").as("in"))
+      pr = nodes.join(contrib, nodes("v") === contrib("d"), "left")
+        .select(col("v"),
+          round(lit(0.15) + lit(0.85) * coalesce(col("in"), lit(0.0)), 9).as("pr"))
+    }
+    pr.select(col("v").as("s_suppkey"), round(col("pr"), 6).as("pagerank"))
+      .orderBy("s_suppkey")
+  }
+
+  private def pagerankOracle: String = {
+    val iters = (1 to PagerankIters).map { k =>
+      s"""p$k AS (
+         |  SELECT n.v, round(0.15 + 0.85 * coalesce(sum(p.pr / dg.deg), 0), 9) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN pairs e ON e.d = n.v
+         |  LEFT JOIN p${k - 1} p ON p.v = e.s
+         |  LEFT JOIN deg dg ON dg.s = e.s
+         |  GROUP BY n.v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pa AS (SELECT DISTINCT l_orderkey AS pub, l_suppkey AS a FROM lineitem),
+       |pairs AS (
+       |  SELECT DISTINCT x.a AS s, y.a AS d
+       |  FROM pa x JOIN pa y ON x.pub = y.pub AND x.a <> y.a
+       |),
+       |deg AS (SELECT s, count(*) AS deg FROM pairs GROUP BY s),
+       |nodes AS (SELECT DISTINCT a AS v FROM pa),
+       |p0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM nodes),
+       |$iters
+       |SELECT v AS s_suppkey, round(pr, 6) AS pagerank
+       |FROM p$PagerankIters ORDER BY s_suppkey""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "coauthor_pagerank" -> pagerankOracle,
     "t1_top10_authors_per_venue" ->
       s"""$base
          |, va AS (
@@ -228,5 +288,6 @@ object DblpAnalog {
     "t4_max_author_pubs_per_venue" -> (t4MaxAuthorPubsPerVenue _),
     "t5_top_coauthor_authors"      -> (t5TopCoauthorAuthors _),
     "t6_top100_solo_authors"       -> (t6TopSoloAuthors _),
+    "coauthor_pagerank"            -> (coauthorPagerank _),
   )
 }
