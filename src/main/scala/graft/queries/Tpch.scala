@@ -173,6 +173,40 @@ object Tpch {
       .orderBy("custkey")
   }
 
+  /** Data-quality audit — the expectations/consistency report a pipeline
+    * runs after every load: named checks with violation counts in one
+    * relation. Referential checks are anti-joins (no payload moves from the
+    * probe side), domain checks are filter-counts; non-violated checks
+    * report an explicit 0 (the check ran and passed — absence would be
+    * silence). Two checks are non-zero on the driver data (orders with no
+    * lineitems, post-2001 order dates), so the gate verifies real
+    * violation counting, not just zeros. */
+  def qIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    Seq(
+      cnt("customers_without_orders",
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")),
+      cnt("lineitem_discount_range",
+        l.filter(col("l_discount") < 0 || col("l_discount") > 0.3)),
+      cnt("lineitem_nonpositive_price",
+        l.filter(col("l_extendedprice") <= 0 || col("l_quantity") <= 0)),
+      cnt("lineitem_orphans",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")),
+      cnt("orders_future_dates",
+        o.filter(col("o_orderdate") > lit("2001-01-01").cast("timestamp"))),
+      cnt("orders_no_lineitems",
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_anti")),
+      cnt("orders_orphan_customer",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
+
   /** Exact interpolated percentiles per group (Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition;
     * rounded to 4 decimals for cross-engine float stability). */
@@ -396,6 +430,31 @@ object Tpch {
         |       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
 
+    "q_integrity_audit" ->
+      """SELECT * FROM (
+        |  SELECT 'customers_without_orders' AS check_name, count(*) AS n_violations
+        |  FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_range', count(*)
+        |  FROM lineitem WHERE l_discount < 0 OR l_discount > 0.3
+        |  UNION ALL
+        |  SELECT 'lineitem_nonpositive_price', count(*)
+        |  FROM lineitem WHERE l_extendedprice <= 0 OR l_quantity <= 0
+        |  UNION ALL
+        |  SELECT 'lineitem_orphans', count(*)
+        |  FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_future_dates', count(*)
+        |  FROM orders WHERE o_orderdate > TIMESTAMP '2001-01-01'
+        |  UNION ALL
+        |  SELECT 'orders_no_lineitems', count(*)
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |  UNION ALL
+        |  SELECT 'orders_orphan_customer', count(*)
+        |  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |)
+        |ORDER BY check_name""".stripMargin,
+
     "q_unpivot_status" ->
       """WITH w AS (
         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
@@ -514,6 +573,7 @@ object Tpch {
     "q_distinct_counts"        -> (qDistinctCounts _),
     "q_pivot_status"           -> (qPivotStatus _),
     "q_unpivot_status"         -> (qUnpivotStatus _),
+    "q_integrity_audit"        -> (qIntegrityAudit _),
     "q_full_outer_reconcile"   -> (qFullOuterReconcile _),
     "q_percentiles"            -> (qPercentiles _),
     "q_set_ops"                -> (qSetOps _),
