@@ -44,11 +44,11 @@ object Bench {
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    // Any crashed query poisons the headline total to -1: summing only the
-    // successes would make a crash of an expensive query read as a SPEEDUP
-    // to a consumer comparing "value" against baseline.
-    val total =
-      if (errors.nonEmpty) -1.0 else results.values.sum
+    // A crashed query must never read as a speedup: each error adds a one-
+    // hour penalty to the headline total, so ANY comparator (including a
+    // naive `total < 2 x baseline`) sees a crash as a hard regression,
+    // while per-query -1 sentinels + the errors map identify the culprits.
+    val total = results.values.filter(_ >= 0).sum + 3600.0 * errors.size
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
