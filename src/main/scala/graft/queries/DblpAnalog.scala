@@ -169,19 +169,26 @@ object DblpAnalog {
   def coauthorPagerank(spark: SparkSession, dir: String): DataFrame = {
     val pa = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
-    // The graph relations are static across iterations — materialize ONCE
-    // (localCheckpoint, the Graph.scala iteration discipline): lazily each
-    // iteration's plan would re-run the lineitem scan + pair self-join +
-    // distinct per reference (measured 3x the query cost at sf0.1).
-    val sym = pa.as("x").join(pa.as("y"),
-        col("x.pub") === col("y.pub") && col("x.a") =!= col("y.a"))
-      .select(col("x.a").as("s"), col("y.a").as("d")).distinct()
+    // Edge construction: per-pub author list collected once (bounded by
+    // authors-per-pub, a handful), ordered pairs expanded IN-ROW — one
+    // aggregation instead of the pa⋈pa self-join's second shuffle. The
+    // graph relations are static across iterations, so they materialize
+    // ONCE (localCheckpoint, the Graph.scala iteration discipline): lazily
+    // each iteration's plan would re-run the whole edge construction per
+    // reference (measured 3x the query cost at sf0.1). Each edge carries
+    // its source degree, saving a join per iteration.
+    val sym = pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
+      .select(explode(expr(
+        "flatten(transform(as_, x -> transform(filter(as_, y -> y != x), y -> struct(x AS s, y AS d))))"))
+        .as("p"))
+      .select(col("p.s").as("s"), col("p.d").as("d")).distinct()
+    val symDeg = sym.join(
+        sym.groupBy("s").agg(count(lit(1)).as("deg")), "s")
       .localCheckpoint()
-    val deg = sym.groupBy("s").agg(count(lit(1)).as("deg")).localCheckpoint()
     val nodes = pa.select(col("a").as("v")).distinct().localCheckpoint()
     var pr = nodes.withColumn("pr", lit(1.0))
     for (_ <- 1 to PagerankIters) {
-      val contrib = sym.join(pr, col("s") === col("v")).join(deg, "s")
+      val contrib = symDeg.join(pr, col("s") === col("v"))
         .select(col("d"), (col("pr") / col("deg")).as("c"))
         .groupBy("d").agg(sum("c").as("in"))
       pr = nodes.join(contrib, nodes("v") === contrib("d"), "left")
