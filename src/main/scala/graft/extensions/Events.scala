@@ -180,11 +180,37 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Forward-fill (gap-fill) — the time-series repair op: per user in event
+    * order, a missing reading takes the most recent non-null one
+    * (`last(..., ignoreNulls)` over a cumulative frame; leading nulls stay
+    * null). Readings are deterministically nulled (event_id % 7) on both
+    * engines since the driver data has no gaps. One exchange on user_id,
+    * O(1) state per row — same scale shape as the other sequence ops. */
+  def eventsForwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("reading",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("reading"), col("filled"))
+      .orderBy("event_id")
+  }
+
   private val funnelWindowSql =
     """OVER (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_forward_fill" ->
+      """SELECT event_id, user_id,
+        |       CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS reading,
+        |       last_value(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+
     "events_funnel" ->
       s"""WITH s1 AS (
          |  SELECT user_id, ts, event_id, event_type,
@@ -308,5 +334,6 @@ object Events {
     "events_latest_per_user"  -> (eventsLatestPerUser _),
     "events_json_stats"       -> (eventsJsonStats _),
     "events_funnel"           -> (eventsFunnel _),
+    "events_forward_fill"     -> (eventsForwardFill _),
   )
 }
