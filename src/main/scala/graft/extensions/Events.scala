@@ -180,6 +180,23 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Z-score outlier detection per event type — the numeric data-cleaning
+    * staple: per-type mean and sample stddev (one aggregation, broadcast
+    * back), flag |z| ≥ 3 on the ROUNDED score (round-before-threshold, the
+    * cross-engine float contract; Spark and DuckDB stddev_samp differ only
+    * in the last ulps). Emits the flagged rows with their scores. */
+  def eventsZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("m")) / col("sd"), 6))
+      .filter(abs(col("z")) >= 3)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy("event_id")
+  }
+
   /** Forward-fill (gap-fill) — the time-series repair op: per user in event
     * order, a missing reading takes the most recent non-null one
     * (`last(..., ignoreNulls)` over a cumulative frame; leading nulls stay
@@ -202,6 +219,17 @@ object Events {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type, value,
+        |       round((value - m) / sd, 6) AS z
+        |FROM events e JOIN s ON e.event_type = s.event_type
+        |WHERE abs(round((value - m) / sd, 6)) >= 3
+        |ORDER BY event_id""".stripMargin,
+
     "events_forward_fill" ->
       """SELECT event_id, user_id,
         |       CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS reading,
@@ -335,5 +363,6 @@ object Events {
     "events_json_stats"       -> (eventsJsonStats _),
     "events_funnel"           -> (eventsFunnel _),
     "events_forward_fill"     -> (eventsForwardFill _),
+    "events_zscore_outliers"  -> (eventsZscoreOutliers _),
   )
 }

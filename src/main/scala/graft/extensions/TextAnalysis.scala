@@ -227,6 +227,40 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Document-frequency floor for [[textPmi]] — at open-vocabulary scale
+    * the per-doc pair expansion is k² in the doc's distinct KEPT tokens, so
+    * production first prunes to a bounded vocabulary (the same df-cap
+    * discipline as the Jaccard shingle path). Non-restrictive on the
+    * driver's closed vocabulary; the discipline is what's encoded. */
+  val MinPmiDf = 50
+
+  /** Token co-occurrence PMI — corpus statistics for collocation mining:
+    * pmi(x,y) = ln(n_xy·N / (n_x·n_y)) over document-level co-occurrence,
+    * top-50 pairs. Doc-distinct tokens, df-floored vocabulary, per-doc
+    * sorted in-row pair expansion (one aggregation + explode, no corpus
+    * self-join), rounded before the ordered limit. */
+  def textPmi(spark: SparkSession, dir: String): DataFrame = {
+    val dt = withToksDf(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+    val dfc = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = dt.agg(count_distinct(col("doc_id")).as("n_docs"))
+    val pairs = dt.join(dfc.filter(col("df") >= MinPmiDf).select("term"), "term")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("term"))).as("ts"))
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts)), y -> struct(x AS ta, y AS tb))))"))
+        .as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("n_xy"))
+    pairs
+      .join(dfc.select(col("term").as("ta"), col("df").as("n_x")), "ta")
+      .join(dfc.select(col("term").as("tb"), col("df").as("n_y")), "tb")
+      .crossJoin(broadcast(nd))
+      .select(col("ta"), col("tb"), col("n_xy"),
+        round(log(col("n_xy") * col("n_docs") / (col("n_x") * col("n_y"))), 6).as("pmi"))
+      .orderBy(desc("pmi"), col("ta"), col("tb"))
+      .limit(50)
+  }
+
   /** Column profile of the documents table ([[graft.ops.Profile]]) — the
     * dataset-card stats pass, oracle-gated. */
   def textProfile(spark: SparkSession, dir: String): DataFrame =
@@ -454,6 +488,28 @@ object TextAnalysis {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY source, doc_id""".stripMargin,
 
+    "text_pmi" ->
+      s"""$withToks
+         |, dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t),
+         |dfc AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+         |pairs AS (
+         |  SELECT a.term AS ta, b.term AS tb, count(*) AS n_xy
+         |  FROM dt a
+         |  JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  JOIN dfc da ON da.term = a.term AND da.df >= $MinPmiDf
+         |  JOIN dfc db ON db.term = b.term AND db.df >= $MinPmiDf
+         |  GROUP BY a.term, b.term
+         |)
+         |SELECT ta, tb, n_xy,
+         |       round(ln(n_xy * n_docs / (n_x * n_y)), 6) AS pmi
+         |FROM pairs
+         |JOIN (SELECT term AS ta, df AS n_x FROM dfc) xa USING (ta)
+         |JOIN (SELECT term AS tb, df AS n_y FROM dfc) xb USING (tb)
+         |CROSS JOIN nd
+         |ORDER BY pmi DESC, ta, tb
+         |LIMIT 50""".stripMargin,
+
     "text_profile" -> {
       val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
       cols.map { c =>
@@ -563,5 +619,6 @@ object TextAnalysis {
     "text_tfidf_keywords"     -> (textTfidfKeywords _),
     "text_stratified_sample"  -> (textStratifiedSample _),
     "text_profile"            -> (textProfile _),
+    "text_pmi"                -> (textPmi _),
   )
 }
