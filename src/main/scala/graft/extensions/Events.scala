@@ -180,6 +180,28 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Winsorization — robust-stats cleaning: clamp values to the per-type
+    * [p05, p95] band (exact interpolated percentiles, one aggregation
+    * broadcast back) and report raw vs winsorized means and clamp counts.
+    * The percentile pass shuffles |groups| quantile states, not rows. */
+  def eventsWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val qs = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.05)).as("p05"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+    Tables.events(spark, dir)
+      .join(broadcast(qs), "event_type")
+      .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type")
+      .agg(
+        round(avg("value"), 6).as("mean_raw"),
+        round(avg("w"), 6).as("mean_winsorized"),
+        count(when(col("value") < col("p05") || col("value") > col("p95"), 1)).as("n_clamped"),
+        round(min("p05"), 6).as("p05"),
+        round(min("p95"), 6).as("p95"))
+      .orderBy("event_type")
+  }
+
   /** Z-score outlier detection per event type — the numeric data-cleaning
     * staple: per-type mean and sample stddev (one aggregation, broadcast
     * back), flag |z| ≥ 3 on the ROUNDED score (round-before-threshold, the
@@ -219,6 +241,23 @@ object Events {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_winsorized" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.05) AS p05,
+        |         quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_type,
+        |       round(avg(value), 6) AS mean_raw,
+        |       round(avg(least(greatest(value, p05), p95)), 6) AS mean_winsorized,
+        |       count(*) FILTER (WHERE value < p05 OR value > p95) AS n_clamped,
+        |       round(min(p05), 6) AS p05,
+        |       round(min(p95), 6) AS p95
+        |FROM events e JOIN q USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+
     "events_zscore_outliers" ->
       """WITH s AS (
         |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
@@ -364,5 +403,6 @@ object Events {
     "events_funnel"           -> (eventsFunnel _),
     "events_forward_fill"     -> (eventsForwardFill _),
     "events_zscore_outliers"  -> (eventsZscoreOutliers _),
+    "events_winsorized"       -> (eventsWinsorized _),
   )
 }

@@ -261,6 +261,24 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Deterministic per-source inspection sample: 3 docs per source chosen
+    * by salted hash rank — the reproducible "show me a few examples from
+    * every shard" debugging op (a LIMIT would be partition-layout-
+    * dependent; this is stable across runs, engines, and layouts, like
+    * [[textSplitAssign]] / [[textStratifiedSample]]). One window exchange
+    * with WindowGroupLimit bounding per-task state. */
+  def textSamplePerSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy(
+      Portable.hash60(concat(lit("inspect:"), col("doc_id").cast("string"))),
+      col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
   /** Column profile of the documents table ([[graft.ops.Profile]]) — the
     * dataset-card stats pass, oracle-gated. */
   def textProfile(spark: SparkSession, dir: String): DataFrame =
@@ -488,6 +506,18 @@ object TextAnalysis {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY source, doc_id""".stripMargin,
 
+    "text_sample_per_source" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY source
+        |           ORDER BY ('0x' || substr(md5('inspect:' || doc_id), 1, 15))::BIGINT, doc_id
+        |         ) AS INTEGER) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 3
+        |ORDER BY source, rk""".stripMargin,
+
     "text_pmi" ->
       s"""$withToks
          |, dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t),
@@ -620,5 +650,6 @@ object TextAnalysis {
     "text_stratified_sample"  -> (textStratifiedSample _),
     "text_profile"            -> (textProfile _),
     "text_pmi"                -> (textPmi _),
+    "text_sample_per_source"  -> (textSamplePerSource _),
   )
 }
