@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
 object Portable {
 
   /** 60-bit portable string hash: first 15 hex digits of md5 as BIGINT.
-    * DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT — verified identical. */
+    * DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT — verified identical.
+    * Native codegen expression ([[org.apache.spark.sql.graft.Md5Hash60]]):
+    * reads the value straight from the digest bytes instead of
+    * materializing the 32-char hex string, substring-copying, and
+    * re-parsing hex per row ([[hash60Composed]], kept as the differential
+    * oracle). This is the engine-wide shuffle key — every shingle, MinHash
+    * input, split/sample assignment, and fingerprint hashes through it. */
   def hash60(c: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.hash60(c)
+
+  /** Reference composed-Catalyst formulation of [[hash60]] — the
+    * differential-test oracle for the native expression. */
+  def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** 2^31-1. Reducing hashes mod this keeps a*h+b inside int64 for the

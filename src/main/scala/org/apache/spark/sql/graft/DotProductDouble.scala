@@ -69,4 +69,7 @@ object GraftExpressions {
   def dot(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProductDouble(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hash60(s: Column): Column =
+    ExpressionUtils.column(Md5Hash60(ExpressionUtils.expression(s)))
 }

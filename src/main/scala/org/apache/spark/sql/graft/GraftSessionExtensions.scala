@@ -25,5 +25,12 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProductDouble(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash60"),
+      new ExpressionInfo(classOf[Md5Hash60].getName, null, "graft_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hash60 takes exactly 1 argument")
+        Md5Hash60(children.head)
+      }))
   }
 }

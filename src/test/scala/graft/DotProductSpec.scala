@@ -49,6 +49,33 @@ class DotProductSpec extends SparkTestBase {
     df.select(Portable.l2norm(col("v"))).collect()(0).getDouble(0) shouldBe 5.0
   }
 
+  test("native hash60 matches the composed md5/conv formulation exactly") {
+    // the engine-wide shuffle key: native digest-byte read vs the composed
+    // hex-string chain must agree on ASCII, unicode, empty, and long inputs
+    val strs = Seq("", "a", "the quick brown fox", "Jürgen Müller Über Études",
+      "x" * 10000, "tab\tand\nnewline", "0", "∑∫√ unicode ≠ ascii") ++
+      (1 to 200).map(i => s"doc-$i shingle ${i * 7}")
+    val df = strs.toDF("s")
+    val diff = df.select(
+        Portable.hash60(col("s")).as("native"),
+        Portable.hash60Composed(col("s")).as("composed"))
+      .filter(col("native") =!= col("composed") || col("native").isNull)
+    diff.count() shouldBe 0L
+    // null propagates
+    Seq[Option[String]](None).toDF("s")
+      .select(Portable.hash60(col("s"))).collect()(0).isNullAt(0) shouldBe true
+  }
+
+  test("hash60 interpreted eval path matches too") {
+    withSqlConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val df = Seq("a", "Jürgen", "x" * 500).toDF("s")
+      df.select(Portable.hash60(col("s")).as("n"),
+          Portable.hash60Composed(col("s")).as("c"))
+        .filter(col("n") =!= col("c")).count() shouldBe 0L
+    }
+  }
+
   private def withSqlConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
