@@ -121,6 +121,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[dedupContamination]] with a Bloom-filter semi-join prefilter — the
+    * scale path for when the reference set is itself large (decontaminating
+    * against an existing corpus rather than a small eval suite, where a raw
+    * broadcast hash relation would be multi-GB). The benchmark shingle set
+    * is aggregated into ONE Bloom filter (distributed partial merge, OR is
+    * commutative so the bit array is partitioning-independent); the ~256 KB
+    * bit array ships as a literal and corpus shingles are probed in-scan, so
+    * only survivors (true hits + fpp × corpus) reach the exact confirm join
+    * — shuffle volume stops scaling with the corpus. Bloom filters have no
+    * false negatives and the confirm join removes false positives, so the
+    * result is bit-identical to [[dedupContamination]] (same oracle SQL).
+    * This is Spark's own `InjectRuntimeFilter` pattern, staged explicitly
+    * via [[org.apache.spark.sql.graft.GraftBloom]]. */
+  def dedupContaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.GraftBloom
+    val sh = docShingleHashes(spark, dir).select(col("doc_id"), col("h").as("s"))
+    val bench = sh.filter(col("doc_id") < ContaminationBenchDocs)
+      .select(col("s")).distinct()
+    // Stage 1 — distributed Bloom build; only the bit array reaches the
+    // driver. Fixed geometry (estItems, numBits) keeps the false-positive
+    // set deterministic across partitionings.
+    val bloomBytes = bench
+      .agg(GraftBloom.bloomAgg(col("s"), 100000L, 1L << 21).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val corpus = sh.filter(col("doc_id") >= ContaminationBenchDocs)
+    val totals = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // Stage 2 — in-scan probe, then exact confirmation of survivors only.
+    val hits = corpus
+      .filter(GraftBloom.mightContain(lit(bloomBytes), col("s")))
+      .join(bench, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contamination",
+        round(col("n_overlap").cast("double") / col("n_shingles"), 6))
+      .withColumn("flagged", col("contamination") >= ContaminationTau)
+      .orderBy("doc_id")
+  }
+
   // MinHash parameters — k hashes in b bands of r rows. The (a_i, b_i) affine
   // coefficients are fixed by seed so the DuckDB oracle embeds identical
   // literals (generated below from the same arrays).
@@ -387,6 +427,23 @@ object Dedup {
        |  FROM buckets e JOIN buckets n ON e.band = n.band AND e.bkt = n.bkt
        |  WHERE e.doc_id < $IncrementalSplit AND n.doc_id >= $IncrementalSplit""".stripMargin
 
+  private val contaminationSql =
+    s"""$shinglesSql
+       |, shh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
+       |), bench AS (
+       |  SELECT DISTINCT s FROM shh WHERE doc_id < $ContaminationBenchDocs
+       |), ov AS (
+       |  SELECT c.doc_id, count(*) AS n_shingles, count(b.s) AS n_overlap
+       |  FROM shh c LEFT JOIN bench b ON c.s = b.s
+       |  WHERE c.doc_id >= $ContaminationBenchDocs
+       |  GROUP BY c.doc_id
+       |)
+       |SELECT doc_id, n_shingles, n_overlap,
+       |       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS contamination,
+       |       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) >= $ContaminationTau AS flagged
+       |FROM ov ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_incremental" ->
       s"""${verifiedCtesFor(incrementalCandSql)}
@@ -472,22 +529,11 @@ object Dedup {
          |FROM assigned
          |ORDER BY doc_id""".stripMargin,
 
-    "dedup_contamination" ->
-      s"""$shinglesSql
-         |, shh AS (
-         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
-         |), bench AS (
-         |  SELECT DISTINCT s FROM shh WHERE doc_id < $ContaminationBenchDocs
-         |), ov AS (
-         |  SELECT c.doc_id, count(*) AS n_shingles, count(b.s) AS n_overlap
-         |  FROM shh c LEFT JOIN bench b ON c.s = b.s
-         |  WHERE c.doc_id >= $ContaminationBenchDocs
-         |  GROUP BY c.doc_id
-         |)
-         |SELECT doc_id, n_shingles, n_overlap,
-         |       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) AS contamination,
-         |       round(CAST(n_overlap AS DOUBLE) / n_shingles, 6) >= $ContaminationTau AS flagged
-         |FROM ov ORDER BY doc_id""".stripMargin,
+    "dedup_contamination" -> contaminationSql,
+
+    // The Bloom prefilter is exact-result-preserving (no false negatives +
+    // confirm join), so the bloom variant shares the plain oracle verbatim.
+    "dedup_contamination_bloom" -> contaminationSql,
 
     "dedup_simhash" ->
       s"""${TextAnalysis.simhashCtes}
@@ -530,6 +576,7 @@ object Dedup {
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_contamination" -> (dedupContamination _),
+    "dedup_contamination_bloom" -> (dedupContaminationBloom _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_fuzzy_names"   -> (dedupFuzzyNames _),
   )

@@ -32,5 +32,30 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_hash60 takes exactly 1 argument")
         Md5Hash60(children.head)
       }))
+    // Spark's runtime-filter Bloom expressions, exposed for explicit staged
+    // semi-join prefilters (see GraftBloom): bloom build as an aggregate,
+    // membership probe as a predicate (filter side must be foldable or a
+    // scalar subquery — same contract as InjectRuntimeFilter).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_bloom_agg takes (key, estItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_might_contain takes (bloom, key)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
   }
 }
