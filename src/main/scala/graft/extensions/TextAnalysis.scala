@@ -633,8 +633,28 @@ object TextAnalysis {
        |  FROM bits GROUP BY doc_id
        |)""".stripMargin
 
+  /** Compression-ratio quality signal: deflate(utf8(text)) length over raw
+    * UTF-8 byte length via the native
+    * [[org.apache.spark.sql.graft.DeflateLength]] expression — repetitive /
+    * boilerplate documents score low, prose ~0.4–0.7, noise ~1. Stateless
+    * map work (the 100 TB shape). DEFLATE is not expressible in DuckDB SQL,
+    * so this query has NO oracle entry and takes the driver's rows-only
+    * check; n_chars/n_bytes are cross-engine-checked via text_stats. */
+  def textCompressionRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        org.apache.spark.sql.graft.GraftExpressions.deflateLen(col("text"))
+          .cast("long").as("n_deflate"))
+      .withColumn("compression_ratio",
+        when(col("n_bytes") === 0, 1.0)
+          .otherwise(round(col("n_deflate").cast("double") / col("n_bytes"), 6)))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"              -> (textStats _),
+    "text_compression_ratio"  -> (textCompressionRatio _),
     "text_quality"            -> (textQuality _),
     "text_langid"             -> (textLangId _),
     "text_fingerprint"        -> (textFingerprint _),

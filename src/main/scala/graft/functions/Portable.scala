@@ -26,6 +26,13 @@ object Portable {
   def hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** DEFLATE-compressed byte length of the UTF-8 text (native codegen
+    * expression [[org.apache.spark.sql.graft.DeflateLength]]) — the
+    * compression-ratio quality signal. NOT DuckDB-expressible: queries using
+    * it take the driver's rows-only check, unlike everything else here. */
+  def deflateLen(c: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.deflateLen(c)
+
   /** 2^31-1. Reducing hashes mod this keeps a*h+b inside int64 for the
     * MinHash affine family (a, b < 2^31, h < 2^31 → a*h+b < 2^62). */
   val P31: Long = 2147483647L

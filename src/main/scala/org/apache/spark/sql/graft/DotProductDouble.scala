@@ -72,4 +72,7 @@ object GraftExpressions {
 
   def hash60(s: Column): Column =
     ExpressionUtils.column(Md5Hash60(ExpressionUtils.expression(s)))
+
+  def deflateLen(s: Column): Column =
+    ExpressionUtils.column(DeflateLength(ExpressionUtils.expression(s)))
 }

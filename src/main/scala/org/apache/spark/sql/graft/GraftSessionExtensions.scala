@@ -32,6 +32,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_hash60 takes exactly 1 argument")
         Md5Hash60(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, null, "graft_deflate_len"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_deflate_len takes exactly 1 argument")
+        DeflateLength(children.head)
+      }))
     // Spark's runtime-filter Bloom expressions, exposed for explicit staged
     // semi-join prefilters (see GraftBloom): bloom build as an aggregate,
     // membership probe as a predicate (filter side must be foldable or a

@@ -76,6 +76,36 @@ class DotProductSpec extends SparkTestBase {
     }
   }
 
+  test("deflate length separates repetitive from high-entropy text") {
+    val rnd = new scala.util.Random(11)
+    val noisy = Seq.fill(2000)(rnd.nextPrintableChar()).mkString
+    val boiler = "lorem ipsum dolor sit amet " * 74 // ~2000 chars
+    val df = Seq(("noise", noisy), ("boiler", boiler)).toDF("k", "s")
+      .select(col("k"), Portable.deflateLen(col("s")).as("n"),
+        octet_length(col("s")).as("raw"))
+    val m = df.collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // boilerplate compresses to a small fraction; noise stays near raw size
+    m("boiler")._1.toDouble / m("boiler")._2 should be < 0.1
+    m("noise")._1.toDouble / m("noise")._2 should be > 0.5
+    // deterministic across evaluations
+    val again = Seq(("noise", noisy)).toDF("k", "s")
+      .select(Portable.deflateLen(col("s"))).collect()(0).getInt(0)
+    again shouldBe m("noise")._1
+    // null propagates; empty input is a tiny fixed stream
+    Seq[Option[String]](None).toDF("s")
+      .select(Portable.deflateLen(col("s"))).collect()(0).isNullAt(0) shouldBe true
+  }
+
+  test("deflate length interpreted eval path matches codegen") {
+    val strs = Seq("", "aaaa", "the quick brown fox", "Jürgen Über", "z" * 5000)
+    val cg = strs.toDF("s").select(Portable.deflateLen(col("s"))).collect().map(_.getInt(0)).toSeq
+    withSqlConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = strs.toDF("s").select(Portable.deflateLen(col("s"))).collect().map(_.getInt(0)).toSeq
+      interp shouldBe cg
+    }
+  }
+
   private def withSqlConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
