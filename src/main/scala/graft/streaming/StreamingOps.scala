@@ -141,6 +141,36 @@ object StreamingOps {
         col("view_id"), col("view_ts"))
   }
 
+  /** Streaming decontamination SCREEN — the ingest-time twin of
+    * `Dedup.dedupContaminationBloom`. Each arriving document's word-3-gram
+    * shingle hashes are computed IN-ROW (higher-order functions, no explode)
+    * and probed against the benchmark Bloom filter literal; the flag
+    * thresholds the maybe-contaminated fraction. Completely STATELESS — no
+    * state store, no watermark, works in append mode at any rate.
+    *
+    * Bloom semantics make this a sound screen: no false negatives means a
+    * contaminated document can never pass unflagged; false positives only
+    * inflate the fraction by ≤ fpp, so flagged docs are a SUPERSET of the
+    * batch path's — route them to the exact batch confirm join, which is
+    * cheap because the screen already discarded the clean bulk. */
+  def contaminationScreen(docs: DataFrame, bloomBytes: Array[Byte],
+                          tau: Double = 0.8): DataFrame = {
+    import graft.functions.Portable
+    import org.apache.spark.sql.graft.GraftBloom
+    docs
+      .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(Portable.shingles3(col("toks")), s => Portable.hash60(s)).as("hs"))
+      .select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
+        size(filter(col("hs"),
+          h => GraftBloom.mightContain(lit(bloomBytes), h))).cast("long").as("n_maybe"))
+      .filter(col("n_shingles") > 0)
+      .withColumn("maybe_fraction",
+        round(col("n_maybe").cast("double") / col("n_shingles"), 6))
+      .withColumn("flagged", col("maybe_fraction") >= tau)
+  }
+
   /** foreachBatch bridge to any BATCH writer with replay-safe semantics:
     * each micro-batch lands in an epoch-stamped directory, so a replayed
     * epoch (restart between sink write and offset commit) OVERWRITES its

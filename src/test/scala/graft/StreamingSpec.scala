@@ -7,6 +7,9 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.{Event, StreamingOps}
 
+/** Minimal document row for the streaming contamination screen. */
+case class StreamDoc(doc_id: Long, text: String)
+
 /** Drives the streaming operators through MemoryStream micro-batches,
   * including watermark-driven session closure. */
 class StreamingSpec extends SparkTestBase {
@@ -152,6 +155,49 @@ class StreamingSpec extends SparkTestBase {
       q.processAllAvailable()
       val all = spark.table("sessions").as[(Long, Long, Long, Int)].collect().toSeq
       all should contain ((1L, ts(120).getTime, ts(120).getTime, 1))
+    } finally q.stop()
+  }
+
+  test("contaminationScreen is a sound superset of the exact batch contamination") {
+    implicit val ctx = spark.sqlContext
+    import graft.extensions.Dedup
+    import graft.functions.Portable
+    import graft.sources.Tables
+    import org.apache.spark.sql.graft.GraftBloom
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+    // benchmark Bloom built the same way as the batch bloom path
+    val bloomBytes = docs.filter(col("doc_id") < Dedup.ContaminationBenchDocs)
+      .select(Portable.tokens(col("text")).as("toks"))
+      .select(explode(transform(Portable.shingles3(col("toks")),
+        s => Portable.hash60(s))).as("s"))
+      .distinct()
+      .agg(GraftBloom.bloomAgg(col("s"), 100000L, 1L << 21))
+      .head().getAs[Array[Byte]](0)
+    val corpus = docs.filter(col("doc_id") >= Dedup.ContaminationBenchDocs)
+      .select("doc_id", "text").as[StreamDoc].collect()
+    val ms = MemoryStream[StreamDoc]
+    val q = StreamingOps.contaminationScreen(ms.toDF(), bloomBytes)
+      .writeStream.format("memory").queryName("contam").outputMode("append").start()
+    try {
+      // two micro-batches — the screen is stateless, so split arrival is fine
+      ms.addData(corpus.take(20).toIndexedSeq)
+      q.processAllAvailable()
+      ms.addData(corpus.drop(20).toIndexedSeq)
+      q.processAllAvailable()
+      val screened = spark.table("contam")
+        .select("doc_id", "n_shingles", "n_maybe", "flagged")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      val batch = Dedup.dedupContamination(spark, dir)
+        .select("doc_id", "n_shingles", "n_overlap", "flagged")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      screened.keySet shouldBe batch.keySet
+      batch.foreach { case (id, (nSh, nOv, flag)) =>
+        val (sSh, sMaybe, sFlag) = screened(id)
+        sSh shouldBe nSh              // same in-row shingle space
+        sMaybe should be >= nOv       // no false negatives, ever
+        if (flag) sFlag shouldBe true // a contaminated doc cannot pass unflagged
+      }
     } finally q.stop()
   }
 }
