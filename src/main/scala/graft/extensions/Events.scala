@@ -48,6 +48,26 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Sessionization via the NATIVE `session_window` operator — the same
+    * merging-session machinery Structured Streaming's session windows use,
+    * available in batch: ONE shuffle on the grouping key with sessions
+    * merged inside the aggregation, vs the two window passes (lag + running
+    * sum) of [[eventsSessions]]. Emits one row per session with its
+    * session bounds (end = last event + gap). Boundary semantics verified
+    * by spec: a gap of EXACTLY the 30-minute threshold still MERGES
+    * (sessions merge while next_ts <= current end), so the oracle's break
+    * flag uses `>` — the same boundary as events_sessions' lag form. */
+  def eventsSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(28, 10))), 2).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
   /** 7-day moving aggregate per event type over daily pre-aggregates —
     * frame-based window function surface (ROWS BETWEEN 6 PRECEDING AND
     * CURRENT ROW over one row per (type, day)). */
@@ -389,11 +409,37 @@ object Events {
         |       max(n) AS max_session_events,
         |       CAST(sum(n) AS BIGINT) AS n_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // session_window semantics: break at gap > threshold (an exact-gap
+    // event still merges — spec-verified); session bounds rebuilt from
+    // epoch micros so timestamp precision matches Spark's µs output.
+    "events_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, ts, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |       make_timestamp(min(epoch_us(ts))) AS session_start,
+        |       make_timestamp(max(epoch_us(ts)) + 1800 * 1000000) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly"           -> (eventsHourly _),
     "events_sessions"         -> (eventsSessions _),
+    "events_session_window"   -> (eventsSessionWindow _),
     "events_moving_avg"       -> (eventsMovingAvg _),
     "events_asof_attribution" -> (eventsAsofAttribution _),
     "events_range_frame"      -> (eventsRangeFrame _),

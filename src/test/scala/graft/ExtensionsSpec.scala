@@ -62,6 +62,33 @@ class ExtensionsSpec extends SparkTestBase {
     out shouldBe Seq((1L, 2L, 3L, 4L), (2L, 1L, 1L, 1L))
   }
 
+  test("native session_window: per-session rows; exact-gap merges, over-gap splits") {
+    import graft.extensions.Events
+    val base = 1700000000000000L // epoch micros
+    val min = 60000000L
+    val evs = Seq(
+      // user 1: 0, +10 min, then EXACTLY 30 min after the last event —
+      // sessions merge while next_ts <= window end, so this still MERGES;
+      // then +31 min after that, which splits.
+      (1L, base, 1L), (2L, base + 10 * min, 1L), (3L, base + 40 * min, 1L),
+      (6L, base + 71 * min, 1L),
+      // user 2: 29-minute gap stays one session
+      (4L, base, 2L), (5L, base + 29 * min, 2L))
+      .toDF("event_id", "us", "user_id")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sesswin").toString
+    evs.select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+        lit("click").as("event_type"), lit(2.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.eventsSessionWindow(spark, tmp)
+      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
+        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      (1L, base, base + 70 * min, 3L),                     // exact-gap merged
+      (1L, base + 71 * min, base + 101 * min, 1L),         // 31-min gap split
+      (2L, base, base + 59 * min, 2L))                     // 29-min gap merged
+  }
+
   test("funnel stages require the view→click→purchase ORDER, not mere presence") {
     import graft.extensions.Events
     val base = 1700000000000000L // epoch micros (before the funnel's cutoff)
