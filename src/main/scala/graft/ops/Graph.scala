@@ -89,4 +89,39 @@ object Graph {
       .select(col(id), col("cluster_id"), col("cluster_size"),
         (col(id) === col("cluster_id")).as("is_canonical"))
   }
+
+  /** Per-node triangle count by DEGREE-ORIENTED enumeration — the trick
+    * that makes triangle counting feasible at scale: every undirected edge
+    * is oriented from its lower-(degree, id) endpoint to the higher one, so
+    * wedge expansion per node is bounded by OUT-degree — O(√m) on any graph
+    * (arboricity bound) — instead of the degree² blowup a hub suffers under
+    * naive wedge counting. Each triangle u<v<w (in (deg,id) order) is found
+    * exactly once as wedge (u→v, u→w) closed by edge v→w. Three hash joins,
+    * no driver state.
+    *
+    * @param und undirected edges, one row per edge, columns `a` < `b`,
+    *            no duplicates. Nodes outside any triangle are absent from
+    *            the result.
+    */
+  def trianglesPerNode(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dst_dg"))
+      .localCheckpoint() // evaluated three times below; edges are static
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2"); val e3 = oriented.as("e3")
+    val tri = e1.join(e2, col("e1.src") === col("e2.src") &&
+        (col("e1.dst_dg") < col("e2.dst_dg") ||
+          (col("e1.dst_dg") === col("e2.dst_dg") && col("e1.dst") < col("e2.dst"))))
+      .join(e3, col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
 }

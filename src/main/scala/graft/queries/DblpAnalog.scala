@@ -199,6 +199,54 @@ object DblpAnalog {
       .orderBy("s_suppkey")
   }
 
+  /** Per-author triangle count over the co-author graph — cohesion
+    * analytics via [[graft.ops.Graph.trianglesPerNode]]'s degree-oriented
+    * enumeration (wedge work bounded by out-degree ≤ O(√m), never a hub's
+    * degree²). Undirected a<b edges come from the same in-row pair
+    * expansion as [[coauthorPagerank]] (one aggregation, no pa⋈pa self-join
+    * shuffle); the oracle replays the identical orientation and joins. */
+  def coauthorTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
+    val und = pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
+      .select(explode(expr(
+        "flatten(transform(as_, x -> transform(filter(as_, y -> y > x), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+    graft.ops.Graph.trianglesPerNode(und)
+      .select(col("node").as("s_suppkey"), col("n_triangles"))
+      .orderBy("s_suppkey")
+  }
+
+  private val trianglesOracle: String =
+    """WITH pa AS (SELECT DISTINCT l_orderkey AS pub, l_suppkey AS a FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT x.a AS a, y.a AS b
+      |  FROM pa x JOIN pa y ON x.pub = y.pub AND x.a < y.a
+      |),
+      |deg AS (
+      |  SELECT n, count(*) AS dg
+      |  FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+      |  GROUP BY n
+      |),
+      |o AS (
+      |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN a ELSE b END AS src,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN b ELSE a END AS dst,
+      |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b) THEN db.dg ELSE da.dg END AS dst_dg
+      |  FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n
+      |),
+      |tri AS (
+      |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+      |  FROM o e1
+      |  JOIN o e2 ON e1.src = e2.src
+      |   AND (e1.dst_dg < e2.dst_dg OR (e1.dst_dg = e2.dst_dg AND e1.dst < e2.dst))
+      |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+      |)
+      |SELECT n AS s_suppkey, count(*) AS n_triangles
+      |FROM (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri
+      |      UNION ALL SELECT w AS n FROM tri)
+      |GROUP BY n ORDER BY s_suppkey""".stripMargin
+
   private def pagerankOracle: String = {
     val iters = (1 to PagerankIters).map { k =>
       s"""p$k AS (
@@ -225,6 +273,7 @@ object DblpAnalog {
 
   val oracle: Map[String, String] = Map(
     "coauthor_pagerank" -> pagerankOracle,
+    "coauthor_triangles" -> trianglesOracle,
     "t1_top10_authors_per_venue" ->
       s"""$base
          |, va AS (
@@ -301,5 +350,6 @@ object DblpAnalog {
     "t5_top_coauthor_authors"      -> (t5TopCoauthorAuthors _),
     "t6_top100_solo_authors"       -> (t6TopSoloAuthors _),
     "coauthor_pagerank"            -> (coauthorPagerank _),
+    "coauthor_triangles"           -> (coauthorTriangles _),
   )
 }

@@ -71,4 +71,35 @@ class GraphSpec extends SparkTestBase {
       }
     }
   }
+
+  test("triangles: K4 gives every node 3; square + diagonal gives the split") {
+    // K4: 4 triangles, each node in exactly 3
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("a", "b")
+    Graph.trianglesPerNode(k4).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // square 1-2-3-4 plus diagonal 1-3: two triangles sharing edge 1-3
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L)).toDF("a", "b")
+    Graph.trianglesPerNode(sq).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L)
+  }
+
+  test("property: triangle counts equal brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 1 to 6) {
+      val n = 4 + rnd.nextInt(8)
+      val es = (for (a <- 1L to n; b <- (a + 1) to n if rnd.nextBoolean())
+        yield (a, b)).distinct
+      if (es.nonEmpty) {
+        val eset = es.toSet
+        val brute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for (u <- 1L to n; v <- (u + 1) to n; w <- (v + 1) to n
+             if eset((u, v)) && eset((v, w)) && eset((u, w))) {
+          brute(u) += 1; brute(v) += 1; brute(w) += 1
+        }
+        val got = Graph.trianglesPerNode(es.toDF("a", "b"))
+          .as[(Long, Long)].collect().toMap
+        got shouldBe brute.toMap
+      }
+    }
+  }
 }
