@@ -279,6 +279,30 @@ object TextAnalysis {
       .orderBy("source", "rk")
   }
 
+  /** How many docs [[textWeightedSample]] draws. */
+  val WeightedSampleK = 50
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res),
+    * derandomized: each doc draws u ∈ (0, 1] from the salted 60-bit hash of
+    * its id and scores key = ln(u) / weight (the log-domain form of
+    * u^(1/w)); the top-[[WeightedSampleK]] keys ARE the weighted sample.
+    * Weight here is n_chars — longer docs proportionally likelier, the
+    * "sample by contribution" draw a token-budgeted inspection pass wants.
+    * Hash-not-RNG: reproducible across runs/engines/partition layouts, and
+    * corpus growth never redraws old docs. One map pass + one global top-k
+    * (TakeOrderedAndProject) — no shuffle of the corpus at any scale. Keys
+    * are rounded to 9 decimals before ranking so sub-ulp libm differences
+    * (Java vs DuckDB ln) cannot flip the selection; ties break on doc_id. */
+  def textWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (Portable.hash60(concat(lit("wsample:"), col("doc_id").cast("string"))) + 1)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        round(log(u) / greatest(col("n_chars"), lit(1)), 9).as("sample_key"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(WeightedSampleK)
+  }
+
   /** Column profile of the documents table ([[graft.ops.Profile]]) — the
     * dataset-card stats pass, oracle-gated. */
   def textProfile(spark: SparkSession, dir: String): DataFrame =
@@ -506,6 +530,16 @@ object TextAnalysis {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY source, doc_id""".stripMargin,
 
+    "text_weighted_sample" ->
+      s"""SELECT doc_id, n_chars,
+         |       round(ln(
+         |         (('0x' || substr(md5('wsample:' || doc_id), 1, 15))::BIGINT + 1)
+         |           / 1152921504606846976.0)
+         |         / greatest(n_chars, 1), 9) AS sample_key
+         |FROM documents
+         |ORDER BY sample_key DESC, doc_id
+         |LIMIT $WeightedSampleK""".stripMargin,
+
     "text_sample_per_source" ->
       """WITH r AS (
         |  SELECT doc_id, source,
@@ -671,5 +705,6 @@ object TextAnalysis {
     "text_profile"            -> (textProfile _),
     "text_pmi"                -> (textPmi _),
     "text_sample_per_source"  -> (textSamplePerSource _),
+    "text_weighted_sample"    -> (textWeightedSample _),
   )
 }
