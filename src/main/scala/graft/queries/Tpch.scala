@@ -340,6 +340,37 @@ object Tpch {
       .orderBy("tier")
   }
 
+  /** [[qRangeJoinPriceTiers]] re-planned for a LARGE interval dimension —
+    * the generic scale path for interval joins: decompose each [lo, hi)
+    * interval into fixed-width bins (the open-ended catch-all tier is
+    * clamped to the observed fact max before binning, so a sentinel bound
+    * cannot explode the bin count), equi-join fact rows on their single bin
+    * id, keep the containment residual. Per-row probe cost drops from
+    * O(|intervals|) under the BroadcastNestedLoopJoin to one hash lookup —
+    * and with an interval table too big to broadcast, the same plan runs as
+    * an ordinary shuffled equi-join, which a nested-loop join can never do.
+    * Bins cover each interval exactly and every fact row has exactly one
+    * bin, so the result is bit-identical to the BNL formulation and shares
+    * its oracle SQL. */
+  def qRangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val binW = 50000.0
+    val orders = Tables.orders(spark, dir)
+    val maxPrice = orders.agg(max(col("o_totalprice"))).head().getDouble(0)
+    val bins = priceTiers.toDF("tier", "lo", "hi")
+      .withColumn("hic", least(col("hi"), lit(maxPrice + 1.0)))
+      .select(col("tier"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / binW).cast("long"),
+          floor((col("hic") - 1e-9) / binW).cast("long"))).as("bin"))
+    orders
+      .withColumn("bin", floor(col("o_totalprice") / binW).cast("long"))
+      .join(broadcast(bins), Seq("bin"))
+      .filter(col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_orders"), decSum2(col("o_totalprice")).as("revenue"))
+      .orderBy("tier")
+  }
+
   /** GROUPING SETS over the orders→customer→nation join: per-(nation,
     * priority) detail, per-nation subtotal, and grand total in ONE pass
     * (Catalyst's Expand — each input row fans to its 3 grouping sets before
@@ -392,6 +423,15 @@ object Tpch {
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_range_join_price_tiers" ->
+      s"""WITH tiers(tier, lo, hi) AS (VALUES $tiersValues)
+         |SELECT tier, count(*) AS n_orders,
+         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+         |FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+         |GROUP BY tier ORDER BY tier""".stripMargin,
+
+    // The binned decomposition is result-identical to the containment join
+    // (bins tile each interval; one bin per fact row) — shared oracle.
+    "q_range_join_binned" ->
       s"""WITH tiers(tier, lo, hi) AS (VALUES $tiersValues)
          |SELECT tier, count(*) AS n_orders,
          |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
@@ -580,6 +620,7 @@ object Tpch {
     "q_correlated_cheapest_order" -> (qCorrelatedCheapestOrder _),
     "q_sketch_bounds"          -> (qSketchBounds _),
     "q_range_join_price_tiers" -> (qRangeJoinPriceTiers _),
+    "q_range_join_binned"      -> (qRangeJoinBinned _),
     "q_grouping_sets"          -> (qGroupingSets _),
     "q_merge_upsert"           -> (qMergeUpsert _),
     "q_window_functions"       -> (qWindowFunctions _),
