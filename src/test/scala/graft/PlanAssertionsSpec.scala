@@ -100,4 +100,25 @@ class PlanAssertionsSpec extends SparkTestBase {
     planOf(graft.extensions.TextAnalysis.textTfidfKeywords(spark, sf)) should
       not include "Scan parquet"
   }
+
+  test("binned range join: hash equi-join on the bin id, never a nested loop") {
+    val p = planOf(Tpch.qRangeJoinBinned(spark, sf))
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include ("BroadcastHashJoin") // bins dim broadcast, keyed join
+  }
+
+  test("triangles: all three joins are hash joins over the checkpointed edges") {
+    val p = planOf(DblpAnalog.coauthorTriangles(spark, sf))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    // oriented edges materialize once (localCheckpoint), not re-derived 3x
+    p should include ("Scan ExistingRDD")
+  }
+
+  test("weighted sample: global top-k plans as TakeOrderedAndProject") {
+    val p = planOf(graft.extensions.TextAnalysis.textWeightedSample(spark, sf))
+    p should include ("TakeOrderedAndProject")
+    p should not include "Join"
+  }
 }
