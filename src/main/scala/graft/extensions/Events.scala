@@ -68,6 +68,29 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Type-2 slowly-changing-dimension build from a change log — the
+    * warehouse dimension-history pass: collapse each user's event stream to
+    * its VALUE CHANGES (consecutive repeats of the same event_type open no
+    * new version), then stamp each version with [valid_from, valid_to)
+    * from the next change's timestamp; the open version has NULL valid_to
+    * and is_current = true. Scale shape: ONE shuffle on user_id feeds both
+    * window passes (lag to detect changes, lead to close intervals) — the
+    * second window reuses the first's partitioning, no extra exchange. */
+  def eventsScd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    val byUserChange = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUserChange))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
   /** 7-day moving aggregate per event type over daily pre-aggregates —
     * frame-based window function surface (ROWS BETWEEN 6 PRECEDING AND
     * CURRENT ROW over one row per (type, day)). */
@@ -434,12 +457,31 @@ object Events {
         |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "events_scd2" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM marked
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type,
+        |       ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       lead(ts) OVER w IS NULL AS is_current
+        |FROM changes
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY user_id, valid_from""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly"           -> (eventsHourly _),
     "events_sessions"         -> (eventsSessions _),
     "events_session_window"   -> (eventsSessionWindow _),
+    "events_scd2"             -> (eventsScd2 _),
     "events_moving_avg"       -> (eventsMovingAvg _),
     "events_asof_attribution" -> (eventsAsofAttribution _),
     "events_range_frame"      -> (eventsRangeFrame _),

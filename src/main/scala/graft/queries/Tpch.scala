@@ -219,6 +219,35 @@ object Tpch {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Exact equi-depth histogram (quartile bins) of order prices — the
+    * column-statistics pass a cost-based layer needs. Deliberately NOT
+    * `ntile()`: a global ntile window is a single-task total sort at scale.
+    * Instead the three quartile boundaries come from ONE distributed
+    * exact-percentile aggregation (cross-engine interpolation parity is
+    * already gated by q_percentiles), land as plan literals, and bin
+    * assignment is a stateless comparison map feeding a 4-group
+    * aggregation — no global sort anywhere. Boundaries are rounded to 4
+    * decimals on both engines before the comparisons so last-ulp
+    * interpolation drift cannot flip a bin at the edge. */
+  def qHistogramEquidepth(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val b = orders.agg(
+      round(expr("percentile(o_totalprice, 0.25)"), 4).as("b1"),
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("b2"),
+      round(expr("percentile(o_totalprice, 0.75)"), 4).as("b3")).head()
+    val (b1, b2, b3) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+    orders
+      .withColumn("bin", (lit(1) +
+        (col("o_totalprice") > b1).cast("int") +
+        (col("o_totalprice") > b2).cast("int") +
+        (col("o_totalprice") > b3).cast("int")))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bin")
+  }
+
   /** Set-operation surface (INTERSECT / EXCEPT): customer-retention
     * segments between 1996 and 1997 order cohorts. */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
@@ -456,6 +485,21 @@ object Tpch {
         |SELECT 'only_1997', count(*) FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c96)
         |ORDER BY segment""".stripMargin,
 
+    "q_histogram_equidepth" ->
+      """WITH b AS (
+        |  SELECT round(quantile_cont(o_totalprice, 0.25), 4) AS b1,
+        |         round(quantile_cont(o_totalprice, 0.5), 4) AS b2,
+        |         round(quantile_cont(o_totalprice, 0.75), 4) AS b3
+        |  FROM orders
+        |)
+        |SELECT 1 + (o_totalprice > b1)::INTEGER + (o_totalprice > b2)::INTEGER
+        |         + (o_totalprice > b3)::INTEGER AS bin,
+        |       count(*) AS n_orders,
+        |       min(o_totalprice) AS min_price,
+        |       max(o_totalprice) AS max_price
+        |FROM orders CROSS JOIN b
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
+
     "q_percentiles" ->
       """SELECT o_orderpriority,
         |       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
@@ -621,6 +665,7 @@ object Tpch {
     "q_sketch_bounds"          -> (qSketchBounds _),
     "q_range_join_price_tiers" -> (qRangeJoinPriceTiers _),
     "q_range_join_binned"      -> (qRangeJoinBinned _),
+    "q_histogram_equidepth"    -> (qHistogramEquidepth _),
     "q_grouping_sets"          -> (qGroupingSets _),
     "q_merge_upsert"           -> (qMergeUpsert _),
     "q_window_functions"       -> (qWindowFunctions _),
