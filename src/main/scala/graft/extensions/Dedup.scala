@@ -59,7 +59,10 @@ object Dedup {
     * Shingles are joined on their 60-bit hash, not the string — an 8-byte
     * shuffle key instead of ~20-char strings; the oracle hashes identically,
     * so even a collision (P ≈ n²/2^61) yields the same result both sides. */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared core of the exact shingle-overlap detectors: (per-doc capped
+    * set sizes `sz(doc_id, n)`, pair intersection counts
+    * `inter(doc_a, doc_b, c)`) over the df-capped shingle space. */
+  private def cappedPairCounts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sh = docShingleHashes(spark, dir)
     // Capped posting lists in ONE bounded aggregation: minK(cap+1) keeps at
     // most cap+1 sorted doc_ids per shingle — length cap+1 ⟺ df > cap, so
@@ -84,12 +87,37 @@ object Dedup {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("c"))
+    (sz, inter)
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (sz, inter) = cappedPairCounts(spark, dir)
     inter
       .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
       .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         round(col("c").cast("double") / (col("na.n") + col("nb.n") - col("c")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Containment flag threshold for [[dedupContainment]]. */
+  val ContainmentTau = 0.9
+
+  /** Asymmetric n-gram CONTAINMENT near-dup: C = |A∩B| / min(|A|, |B|) —
+    * the smaller document's fraction inside the larger. Jaccard misses
+    * subset copies (a quote or excerpt inside a much longer doc scores
+    * |A∩B|/|A∪B| ≈ |A|/|B| → low); containment is the standard complement
+    * that catches them. Same df-capped posting relation as
+    * [[dedupNgramJaccard]] — one extra division, zero extra scans. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val (sz, inter) = cappedPairCounts(spark, dir)
+    inter
+      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / least(col("na.n"), col("nb.n")), 6).as("containment"))
+      .filter(col("containment") >= ContainmentTau)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -493,6 +521,28 @@ object Dedup {
          |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_containment" ->
+      s"""$shinglesSql
+         |, shh0 AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS s FROM sh
+         |), heavy AS (
+         |  SELECT s FROM shh0 GROUP BY s HAVING count(*) > $MaxShingleDf
+         |), shh AS (
+         |  SELECT * FROM shh0 WHERE s NOT IN (SELECT s FROM heavy)
+         |), sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS c
+         |  FROM shh x JOIN shh y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY x.doc_id, y.doc_id
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(CAST(c AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+         |FROM inter
+         |JOIN sz na ON doc_a = na.doc_id
+         |JOIN sz nb ON doc_b = nb.doc_id
+         |WHERE round(CAST(c AS DOUBLE) / least(na.n, nb.n), 6) >= $ContainmentTau
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""$minhashBucketsCtes
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -570,6 +620,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment"   -> (dedupContainment _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_minhash_verified" -> (dedupMinhashVerified _),
     "dedup_clusters"      -> (dedupClusters _),

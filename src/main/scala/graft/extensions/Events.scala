@@ -262,6 +262,29 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Robust outlier flags via MAD (median absolute deviation) — the
+    * [[eventsZscoreOutliers]] twin that survives heavy tails, where one
+    * extreme value inflates the stddev enough to hide every other outlier:
+    * per type, med = exact median, mad = median(|v − med|), and the
+    * modified z-score 0.6745·(v − med)/mad flags at |mz| ≥ 3.5 (the
+    * Iglewicz–Hoaglin rule). Exact medians come from two distributed
+    * percentile aggregations (cross-engine interpolation parity gated by
+    * q_percentiles); the per-type stats broadcast — the corpus never
+    * shuffles. mz is rounded before thresholding so both engines flag the
+    * identical row set. */
+  def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("m"))
+    val withM = ev.join(broadcast(med), "event_type")
+    val mad = withM.groupBy("event_type")
+      .agg(expr("percentile(abs(value - m), 0.5)").as("mad"))
+    withM.join(broadcast(mad), "event_type")
+      .withColumn("mz", round(lit(0.6745) * (col("value") - col("m")) / col("mad"), 6))
+      .filter(abs(col("mz")) >= 3.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("mz"))
+      .orderBy("event_id")
+  }
+
   /** Forward-fill (gap-fill) — the time-series repair op: per user in event
     * order, a missing reading takes the most recent non-null one
     * (`last(..., ignoreNulls)` over a cumulative frame; leading nulls stay
@@ -310,6 +333,23 @@ object Events {
         |       round((value - m) / sd, 6) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
         |WHERE abs(round((value - m) / sd, 6)) >= 3
+        |ORDER BY event_id""".stripMargin,
+
+    "events_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY event_type
+        |), wm AS (
+        |  SELECT e.event_id, e.event_type, e.value, med.m
+        |  FROM events e JOIN med ON e.event_type = med.event_type
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(abs(value - m), 0.5) AS mad
+        |  FROM wm GROUP BY event_type
+        |)
+        |SELECT event_id, wm.event_type, value,
+        |       round(0.6745 * (value - m) / mad, 6) AS mz
+        |FROM wm JOIN mad ON wm.event_type = mad.event_type
+        |WHERE abs(round(0.6745 * (value - m) / mad, 6)) >= 3.5
         |ORDER BY event_id""".stripMargin,
 
     "events_forward_fill" ->
@@ -491,6 +531,7 @@ object Events {
     "events_funnel"           -> (eventsFunnel _),
     "events_forward_fill"     -> (eventsForwardFill _),
     "events_zscore_outliers"  -> (eventsZscoreOutliers _),
+    "events_mad_outliers"     -> (eventsMadOutliers _),
     "events_winsorized"       -> (eventsWinsorized _),
   )
 }
