@@ -199,12 +199,25 @@ object DblpAnalog {
       .orderBy("s_suppkey")
   }
 
-  /** Per-author triangle count over the co-author graph — cohesion
+  /** Minimum co-publication count for an edge to enter the triangle
+    * backbone. Exact triangle enumeration is Θ(n³) on a dense graph no
+    * matter how cleverly oriented — on TPC-H-shaped co-occurrence data the
+    * raw supplier graph approaches a clique, so cohesion analytics run on
+    * the STRONG-collaboration backbone (pairs co-publishing ≥ this many
+    * times), the standard weight-threshold backboning move. Density now
+    * tracks genuine repeated collaboration, not one-off co-occurrence; for
+    * corpora where even the backbone stays dense, the documented fallback
+    * is DOULION-style edge sparsification (Tsourakakis et al., KDD'09):
+    * keep each edge w.p. p, count exactly on the sample, scale by 1/p³. */
+  private val TriangleMinWeight = 5
+
+  /** Per-author triangle count over the strong co-author graph — cohesion
     * analytics via [[graft.ops.Graph.trianglesPerNode]]'s degree-oriented
     * enumeration (wedge work bounded by out-degree ≤ O(√m), never a hub's
     * degree²). Undirected a<b edges come from the same in-row pair
     * expansion as [[coauthorPagerank]] (one aggregation, no pa⋈pa self-join
-    * shuffle); the oracle replays the identical orientation and joins. */
+    * shuffle), weight-thresholded per [[TriangleMinWeight]]; the oracle
+    * replays the identical backbone, orientation, and joins. */
   def coauthorTriangles(spark: SparkSession, dir: String): DataFrame = {
     val pa = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
@@ -212,17 +225,21 @@ object DblpAnalog {
       .select(explode(expr(
         "flatten(transform(as_, x -> transform(filter(as_, y -> y > x), y -> struct(x AS a, y AS b))))"))
         .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= TriangleMinWeight)
+      .select(col("a"), col("b"))
     graft.ops.Graph.trianglesPerNode(und)
       .select(col("node").as("s_suppkey"), col("n_triangles"))
       .orderBy("s_suppkey")
   }
 
   private val trianglesOracle: String =
-    """WITH pa AS (SELECT DISTINCT l_orderkey AS pub, l_suppkey AS a FROM lineitem),
+    s"""WITH pa AS (SELECT DISTINCT l_orderkey AS pub, l_suppkey AS a FROM lineitem),
       |und AS (
-      |  SELECT DISTINCT x.a AS a, y.a AS b
+      |  SELECT x.a AS a, y.a AS b
       |  FROM pa x JOIN pa y ON x.pub = y.pub AND x.a < y.a
+      |  GROUP BY x.a, y.a HAVING count(*) >= $TriangleMinWeight
       |),
       |deg AS (
       |  SELECT n, count(*) AS dg
