@@ -249,13 +249,16 @@ object Events {
     * staple: per-type mean and sample stddev (one aggregation, broadcast
     * back), flag |z| ≥ 3 on the ROUNDED score (round-before-threshold, the
     * cross-engine float contract; Spark and DuckDB stddev_samp differ only
-    * in the last ulps). Emits the flagged rows with their scores. */
+    * in the last ulps). Emits the flagged rows with their scores. A
+    * degenerate group (all values equal → sd = 0) emits no rows instead of
+    * NaN/Inf scores — the sd > 0 guard is mirrored in the oracle. */
   def eventsZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
     val stats = Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
     Tables.events(spark, dir)
       .join(broadcast(stats), "event_type")
+      .filter(col("sd") > 0)
       .withColumn("z", round((col("value") - col("m")) / col("sd"), 6))
       .filter(abs(col("z")) >= 3)
       .select(col("event_id"), col("event_type"), col("value"), col("z"))
@@ -271,7 +274,10 @@ object Events {
     * percentile aggregations (cross-engine interpolation parity gated by
     * q_percentiles); the per-type stats broadcast — the corpus never
     * shuffles. mz is rounded before thresholding so both engines flag the
-    * identical row set. */
+    * identical row set. MAD is exactly 0 whenever >50% of a group's values
+    * equal the median (common on integer-ish data); such degenerate groups
+    * emit no rows instead of NaN/Inf — the mad > 0 guard is mirrored in the
+    * oracle. */
   def eventsMadOutliers(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val med = ev.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("m"))
@@ -279,6 +285,7 @@ object Events {
     val mad = withM.groupBy("event_type")
       .agg(expr("percentile(abs(value - m), 0.5)").as("mad"))
     withM.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0)
       .withColumn("mz", round(lit(0.6745) * (col("value") - col("m")) / col("mad"), 6))
       .filter(abs(col("mz")) >= 3.5)
       .select(col("event_id"), col("event_type"), col("value"), col("mz"))
@@ -332,7 +339,7 @@ object Events {
         |SELECT event_id, e.event_type, value,
         |       round((value - m) / sd, 6) AS z
         |FROM events e JOIN s ON e.event_type = s.event_type
-        |WHERE abs(round((value - m) / sd, 6)) >= 3
+        |WHERE sd > 0 AND abs(round((value - m) / sd, 6)) >= 3
         |ORDER BY event_id""".stripMargin,
 
     "events_mad_outliers" ->
@@ -349,7 +356,7 @@ object Events {
         |SELECT event_id, wm.event_type, value,
         |       round(0.6745 * (value - m) / mad, 6) AS mz
         |FROM wm JOIN mad ON wm.event_type = mad.event_type
-        |WHERE abs(round(0.6745 * (value - m) / mad, 6)) >= 3.5
+        |WHERE mad > 0 AND abs(round(0.6745 * (value - m) / mad, 6)) >= 3.5
         |ORDER BY event_id""".stripMargin,
 
     "events_forward_fill" ->

@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   * count_distinct for approx_count_distinct (HLL++) — same one-pass shape,
   * bounded state; the exact form is kept here because the DuckDB gate
   * hash-compares values.
+  *
+  * Collation contract for string min/max: Spark compares strings as raw
+  * UTF-8 bytes (UTF8String binary ordering); DuckDB's default VARCHAR
+  * collation is also binary byte-wise, so the two agree on any UTF-8 input
+  * — but ONLY while DuckDB runs without an ICU/locale collation. If the
+  * oracle side ever sets a non-binary collation (e.g. `PRAGMA
+  * default_collation='nocase'` or an ICU locale), string min/max on
+  * non-ASCII text can legitimately diverge; pin the oracle to binary
+  * collation or restrict min/max profiling to non-string columns then.
   */
 object Profile {
 

@@ -386,11 +386,18 @@ object Tpch {
     val binW = 50000.0
     val orders = Tables.orders(spark, dir)
     val maxPrice = orders.agg(max(col("o_totalprice"))).head().getDouble(0)
+    // Tiers entirely above max(o_totalprice)+1 produce hic < lo; drop them
+    // before the explode — sequence(hi_bin < lo_bin) would otherwise run
+    // DESCENDING and inflate the broadcast side with spurious bins (the
+    // residual filter keeps results correct, but the bins are pure waste).
+    // The upper bound is also clamped to >= lo so a tier that merely
+    // straddles the cutoff never inverts.
     val bins = priceTiers.toDF("tier", "lo", "hi")
       .withColumn("hic", least(col("hi"), lit(maxPrice + 1.0)))
+      .filter(col("hic") > col("lo"))
       .select(col("tier"), col("lo"), col("hi"),
         explode(sequence(floor(col("lo") / binW).cast("long"),
-          floor((col("hic") - 1e-9) / binW).cast("long"))).as("bin"))
+          floor(greatest(col("lo"), col("hic") - 1e-9) / binW).cast("long"))).as("bin"))
     orders
       .withColumn("bin", floor(col("o_totalprice") / binW).cast("long"))
       .join(broadcast(bins), Seq("bin"))

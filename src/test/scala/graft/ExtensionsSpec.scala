@@ -115,4 +115,30 @@ class ExtensionsSpec extends SparkTestBase {
       .collect()(0).getTimestamp(0).getTime
     fc shouldBe m(20) / 1000L
   }
+
+  test("outlier detectors: degenerate groups (sd=0 / mad=0) emit no rows, not NaN/Inf") {
+    import graft.extensions.Events
+    val base = 1700000000000000L
+    // 'flat': all values identical → sd = 0 AND mad = 0.
+    // 'halfflat': >50% of values equal the median → mad = 0 but sd > 0.
+    // 'varied': normal group with one extreme value.
+    val rows =
+      (1L to 6L).map(i => (i, "flat", 5.0)) ++
+      (11L to 16L).map(i => (i, "halfflat", if (i <= 14) 10.0 else 10.0 + i)) ++
+      (21L to 28L).map(i => (i, "varied", if (i == 28) 1e6 else i.toDouble))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-outliers").toString
+    rows.toDF("event_id", "event_type", "value")
+      .select(col("event_id"), (lit(base) * 1000).as("ts"), lit(1L).as("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val mad = Events.eventsMadOutliers(spark, tmp)
+      .select("event_type", "mz").as[(String, Double)].collect().toSeq
+    mad.map(_._1).toSet should not contain "flat"
+    mad.map(_._1).toSet should not contain "halfflat" // mad=0 despite sd>0
+    all(mad.map(_._2)) should (not be Double.NaN and not be Double.PositiveInfinity)
+    val z = Events.eventsZscoreOutliers(spark, tmp)
+      .select("event_type", "z").as[(String, Double)].collect().toSeq
+    z.map(_._1).toSet should not contain "flat"
+    all(z.map(_._2)) should (not be Double.NaN and not be Double.PositiveInfinity)
+  }
 }
