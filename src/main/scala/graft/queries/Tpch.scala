@@ -431,6 +431,88 @@ object Tpch {
     spark.sql(groupingSetsSql)
   }
 
+  /** TPC-H Q4 shape — EXISTS decorrelated to a LEFT SEMI join: orders in a
+    * quarter that have at least one returned lineitem, counted per priority
+    * (the slimmed schema has no commitdate/receiptdate, so "late delivery"
+    * becomes "has a returned line" — same dataflow). Semi join never
+    * multiplies rows and moves no lineitem payload past the join; the date
+    * filter is pushed to the orders scan, the returnflag filter to the
+    * lineitem scan, so both exchanges carry pre-filtered keys only. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1995-04-01").cast("timestamp"))
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey")
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13 shape — customer order-count distribution over a LEFT OUTER
+    * join with a join-side predicate (the non-urgent constraint lives in
+    * the ON clause, so customers with only urgent orders still appear with
+    * count 0). Both join inputs are projected to keys before the exchange;
+    * the second aggregation's input is one row per customer — tiny. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: the IN-subquery-with-HAVING
+    * form (orderkeys whose total quantity exceeds 250) built as a
+    * pre-aggregation joined back to the fact. The HAVING set is orders of
+    * magnitude smaller than lineitem, so the join back is effectively a
+    * semi-join on a reduced key set; the quantity total rides along from
+    * the same aggregation (no second lineitem pass) and the global top-100
+    * plans as TakeOrderedAndProject. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum(col("l_quantity").cast(DecimalType(28, 10))), 2)
+        .cast("double").as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape — lapsed high-balance customers: a scalar AVG
+    * subquery (broadcast as a 1-row cross join — never a shuffle) gates
+    * the balance filter, and a LEFT ANTI join against recent orders finds
+    * customers with no order since 2000-01-01 (the slimmed schema has no
+    * phone column, so Q22's country-code prefix becomes the nation key).
+    * The anti join probes with pre-filtered keys only; per-nation counts
+    * and exact decimal balance totals come out of one final aggregation. */
+  def q22LapsedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), decSum2(col("c_acctbal")).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
   private val tiersValues = priceTiers
     .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
 
@@ -639,6 +721,56 @@ object Tpch {
         |ORDER BY revenue DESC, o_orderkey ASC
         |LIMIT 10""".stripMargin,
 
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1995-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o
+        |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) counts
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) > 250.0
+        |)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q22_lapsed_customers" ->
+      """WITH avg_bal AS (
+        |  SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+        |)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |       CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_bal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > a
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
     "q5_local_supplier_volume" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
@@ -658,7 +790,11 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"       -> (q1PricingSummary _),
     "q3_shipping_priority"     -> (q3ShippingPriority _),
+    "q4_order_priority"        -> (q4OrderPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q13_order_distribution"   -> (q13OrderDistribution _),
+    "q18_large_orders"         -> (q18LargeOrders _),
+    "q22_lapsed_customers"     -> (q22LapsedCustomers _),
     "q_rollup_orders"          -> (qRollupOrders _),
     "q_customer_activity"      -> (qCustomerActivity _),
     "q_distinct_counts"        -> (qDistinctCounts _),

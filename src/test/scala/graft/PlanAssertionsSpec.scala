@@ -121,4 +121,23 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should include ("TakeOrderedAndProject")
     p should not include "Join"
   }
+
+  test("q4: EXISTS plans as a semi join — no row multiplication") {
+    val p = planOf(Tpch.q4OrderPriority(spark, sf))
+    p should include ("LeftSemi")
+    // returnflag filter reaches the lineitem scan, not the join
+    p should include regex "PushedFilters.*l_returnflag"
+  }
+
+  test("q18: HAVING set joins back without a second lineitem pass") {
+    val p = planOf(Tpch.q18LargeOrders(spark, sf))
+    "Scan parquet.*lineitem".r.findAllIn(p).size shouldBe 1
+    p should include ("TakeOrderedAndProject")
+  }
+
+  test("q22: scalar avg broadcasts; recent-order screen is an anti join") {
+    val p = planOf(Tpch.q22LapsedCustomers(spark, sf))
+    p should include ("LeftAnti")
+    p should include ("BroadcastExchange") // 1-row scalar side
+  }
 }
