@@ -62,8 +62,13 @@ object Dedup {
   /** Shared core of the exact shingle-overlap detectors: (per-doc capped
     * set sizes `sz(doc_id, n)`, pair intersection counts
     * `inter(doc_a, doc_b, c)`) over the df-capped shingle space. */
-  private def cappedPairCounts(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sh = docShingleHashes(spark, dir)
+  private def cappedPairCounts(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    cappedPairCountsFrom(docShingleHashes(spark, dir), MaxShingleDf)
+
+  /** Same machinery over ANY (doc_id, h) feature relation — shared by the
+    * word-shingle detectors above and the character-window substring
+    * detector below. */
+  private def cappedPairCountsFrom(sh: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     // Capped posting lists in ONE bounded aggregation: minK(cap+1) keeps at
     // most cap+1 sorted doc_ids per shingle — length cap+1 ⟺ df > cap, so
     // the filter IS the document-frequency cap, exactly, and a boilerplate
@@ -72,9 +77,9 @@ object Dedup {
     // evaluating the shingle scan three times). Surviving lists are the
     // FULL posting lists, already sorted; sizes and pairs both derive from
     // this one small relation with no further scan of the corpus.
-    val minCap = udaf(new graft.ops.MinKDistinctAggregator(MaxShingleDf + 1))
+    val minCap = udaf(new graft.ops.MinKDistinctAggregator(cap + 1))
     val posting = sh.groupBy("h").agg(minCap(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) <= MaxShingleDf)
+      .filter(size(col("ds")) <= cap)
     val sz = posting.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Inverted-index pair expansion: ordered pairs in-task from the sorted
@@ -118,6 +123,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("c").cast("double") / least(col("na.n"), col("nb.n")), 6).as("containment"))
       .filter(col("containment") >= ContainmentTau)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Character-window length for [[dedupSubstring]] — pairs are flagged
+    * when they share any exact run of this many characters. */
+  val SubstringWindow = 40
+
+  /** EXACT substring duplication (the "deduplicating training data"
+    * substring-match pass, Lee et al. 2021, arXiv:2107.06499 — there via
+    * suffix arrays): doc pairs sharing at least one exact
+    * [[SubstringWindow]]-char run, with the count of distinct shared
+    * windows. Every-position character windows guarantee any shared
+    * substring of length ≥ window is found (recall 1 at the window
+    * length); windows are hashed to 60 bits before any shuffle and pair
+    * expansion runs over df-capped posting lists ([[cappedPairCountsFrom]])
+    * so boilerplate runs cannot go quadratic.
+    *
+    * Scale shape: the feature relation is O(total chars) rows — linear,
+    * like tokenization, but with a bigger constant. At 100 TB run the
+    * winnowed fingerprint ([[graft.extensions.TextAnalysis]] winnow) as
+    * the sublinear candidate screen first and this operator as the exact
+    * verifier over candidate pairs only; the windows-at-every-position
+    * relation here is what makes that verification exact. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val k = SubstringWindow
+    val wins = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), length(col("text")) - (k - 1)),
+          i => Portable.hash60(col("text").substr(i, lit(k)))))).as("h"))
+    val (_, inter) = cappedPairCountsFrom(wins, MaxShingleDf)
+    inter
+      .select(col("doc_a"), col("doc_b"), col("c").as("n_shared_windows"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -521,6 +560,23 @@ object Dedup {
          |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_substring" ->
+      s"""WITH w AS (
+         |  SELECT DISTINCT doc_id,
+         |         ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), $SubstringWindow)), 1, 15))::BIGINT AS h
+         |  FROM documents,
+         |       LATERAL unnest(range(1, CAST(length(text) - ${SubstringWindow - 1} AS BIGINT) + 1)) AS t(i)
+         |  WHERE length(text) >= $SubstringWindow
+         |), heavy AS (
+         |  SELECT h FROM w GROUP BY h HAVING count(*) > $MaxShingleDf
+         |), wc AS (
+         |  SELECT * FROM w WHERE h NOT IN (SELECT h FROM heavy)
+         |)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_shared_windows
+         |FROM wc x JOIN wc y ON x.h = y.h AND x.doc_id < y.doc_id
+         |GROUP BY x.doc_id, y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_containment" ->
       s"""$shinglesSql
          |, shh0 AS (
@@ -621,6 +677,7 @@ object Dedup {
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment"   -> (dedupContainment _),
+    "dedup_substring"     -> (dedupSubstring _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_minhash_verified" -> (dedupMinhashVerified _),
     "dedup_clusters"      -> (dedupClusters _),

@@ -279,6 +279,40 @@ object Similarity {
       .agg(round(avg("x"), 6).as("centroid"), count(lit(1)).as("n_vectors"))
       .orderBy("label", "dim")
 
+  /** Cosine threshold above which two same-cluster vectors are semantic
+    * duplicates ([[dedupSemantic]]). */
+  val SemDedupTau = 0.45
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then compare
+    * pairs only WITHIN each cluster and drop every vector that lies within
+    * cosine ≥ τ of a lower-id cluster-mate (the kept representative is the
+    * lowest id of each semantic group — deterministic, no training-order
+    * dependence). Output: one row per dropped vector with its cluster and
+    * its max similarity to a kept/lower neighbor.
+    *
+    * Scale shape: clustering makes the pair work n²/k instead of n² — the
+    * published algorithm's core trick — and each cluster's pairs expand
+    * inside one task after a shuffle on cent_id. Cluster size bounds the
+    * quadratic term; at 100 TB raise k (more stride seeds) so lists stay
+    * task-sized, exactly like the IVF search lists. Reuses the SAME
+    * deterministic centroid pipeline as [[simTopkIvf]] (stride seeds + one
+    * rounded Lloyd step), so the oracle replays it in SQL verbatim. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val cents = refineCentroids(vs, strideSeeds(vs))
+    val members = rankCentroids(vs, cents).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+    members.as("a").join(members.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.cent_id").as("cluster_id"), col("b.vec_id").as("drop_id"),
+        Portable.cosine6(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+      .groupBy("cluster_id", "drop_id")
+      .agg(max(col("cos")).as("dup_score"))
+      .filter(col("dup_score") >= SemDedupTau)
+      .orderBy("drop_id")
+  }
+
   /** IVF ANN with k-means-refined lists and multi-probe search: vectors are
     * assigned to their nearest refined centroid (inverted lists); a query
     * probes its NProbe nearest lists. Assignment cost O(n·k) with the
@@ -316,6 +350,44 @@ object Similarity {
       |), nrm AS (
       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pos GROUP BY vec_id
       |)""".stripMargin
+
+  /** Shared IVF centroid-assignment SQL (mirrors [[strideSeeds]] +
+    * [[refineCentroids]] + [[rankCentroids]]): stride seeds → one rounded
+    * Lloyd step → `ranked1(vec_id, cent_id, rk)`, the per-vector centroid
+    * ranking both sim_topk_ivf and dedup_semantic consume. */
+  private val ivfAssignSql =
+    s"""$posAndNorm
+       |, cdots AS (
+       |  SELECT a.vec_id, b.vec_id AS cent_id, sum(a.x * b.x) AS dot
+       |  FROM pos a JOIN pos b ON a.i = b.i AND b.vec_id % $CentStride = 0
+       |  GROUP BY a.vec_id, b.vec_id
+       |), assign0 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT c.vec_id, c.cent_id,
+       |           row_number() OVER (PARTITION BY c.vec_id
+       |             ORDER BY round(c.dot / (na.nrm * nc.nrm), 6) DESC, c.cent_id ASC) AS rk
+       |    FROM cdots c
+       |    JOIN nrm na ON c.vec_id = na.vec_id
+       |    JOIN nrm nc ON c.cent_id = nc.vec_id
+       |  ) WHERE rk = 1
+       |), cent1 AS (
+       |  SELECT a.cent_id, pos.i, round(avg(pos.x), 6) AS cx
+       |  FROM assign0 a JOIN pos ON pos.vec_id = a.vec_id
+       |  GROUP BY a.cent_id, pos.i
+       |), cn1 AS (
+       |  SELECT cent_id, sqrt(sum(cx * cx)) AS cn FROM cent1 GROUP BY cent_id
+       |), cdots1 AS (
+       |  SELECT pos.vec_id, cent1.cent_id, sum(pos.x * cent1.cx) AS dot
+       |  FROM pos JOIN cent1 ON pos.i = cent1.i
+       |  GROUP BY pos.vec_id, cent1.cent_id
+       |), ranked1 AS (
+       |  SELECT c.vec_id, c.cent_id,
+       |         row_number() OVER (PARTITION BY c.vec_id
+       |           ORDER BY round(c.dot / (na.nrm * cn1.cn), 6) DESC, c.cent_id ASC) AS rk
+       |  FROM cdots1 c
+       |  JOIN nrm na ON c.vec_id = na.vec_id
+       |  JOIN cn1 ON c.cent_id = cn1.cent_id
+       |)""".stripMargin
 
   /** Shared planes+signature SQL (mirrors [[withBuckets]]). */
   private val sigSql =
@@ -430,38 +502,8 @@ object Similarity {
          |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
 
     "sim_topk_ivf" ->
-      s"""$posAndNorm
-         |, cdots AS (
-         |  SELECT a.vec_id, b.vec_id AS cent_id, sum(a.x * b.x) AS dot
-         |  FROM pos a JOIN pos b ON a.i = b.i AND b.vec_id % $CentStride = 0
-         |  GROUP BY a.vec_id, b.vec_id
-         |), assign0 AS (
-         |  SELECT vec_id, cent_id FROM (
-         |    SELECT c.vec_id, c.cent_id,
-         |           row_number() OVER (PARTITION BY c.vec_id
-         |             ORDER BY round(c.dot / (na.nrm * nc.nrm), 6) DESC, c.cent_id ASC) AS rk
-         |    FROM cdots c
-         |    JOIN nrm na ON c.vec_id = na.vec_id
-         |    JOIN nrm nc ON c.cent_id = nc.vec_id
-         |  ) WHERE rk = 1
-         |), cent1 AS (
-         |  SELECT a.cent_id, pos.i, round(avg(pos.x), 6) AS cx
-         |  FROM assign0 a JOIN pos ON pos.vec_id = a.vec_id
-         |  GROUP BY a.cent_id, pos.i
-         |), cn1 AS (
-         |  SELECT cent_id, sqrt(sum(cx * cx)) AS cn FROM cent1 GROUP BY cent_id
-         |), cdots1 AS (
-         |  SELECT pos.vec_id, cent1.cent_id, sum(pos.x * cent1.cx) AS dot
-         |  FROM pos JOIN cent1 ON pos.i = cent1.i
-         |  GROUP BY pos.vec_id, cent1.cent_id
-         |), ranked1 AS (
-         |  SELECT c.vec_id, c.cent_id,
-         |         row_number() OVER (PARTITION BY c.vec_id
-         |           ORDER BY round(c.dot / (na.nrm * cn1.cn), 6) DESC, c.cent_id ASC) AS rk
-         |  FROM cdots1 c
-         |  JOIN nrm na ON c.vec_id = na.vec_id
-         |  JOIN cn1 ON c.cent_id = cn1.cent_id
-         |), cand AS (
+      s"""$ivfAssignSql
+         |, cand AS (
          |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id
          |  FROM ranked1 q JOIN ranked1 m
          |    ON q.cent_id = m.cent_id AND m.rk = 1 AND m.vec_id <> q.vec_id
@@ -482,6 +524,31 @@ object Similarity {
          |)
          |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
          |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""$ivfAssignSql
+         |, members AS (
+         |  SELECT vec_id, cent_id FROM ranked1 WHERE rk = 1
+         |), pairs AS (
+         |  SELECT a.cent_id AS cluster_id, a.vec_id AS va, b.vec_id AS vb
+         |  FROM members a JOIN members b
+         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |), dots AS (
+         |  SELECT pairs.cluster_id, pairs.va, pairs.vb, sum(p.x * q.x) AS dot
+         |  FROM pairs
+         |  JOIN pos p ON p.vec_id = pairs.va
+         |  JOIN pos q ON q.vec_id = pairs.vb AND p.i = q.i
+         |  GROUP BY pairs.cluster_id, pairs.va, pairs.vb
+         |), scored AS (
+         |  SELECT cluster_id, vb AS drop_id,
+         |         round(dot / (na.nrm * nb.nrm), 6) AS cos
+         |  FROM dots JOIN nrm na ON va = na.vec_id JOIN nrm nb ON vb = nb.vec_id
+         |)
+         |SELECT cluster_id, drop_id, max(cos) AS dup_score
+         |FROM scored
+         |GROUP BY cluster_id, drop_id
+         |HAVING max(cos) >= $SemDedupTau
+         |ORDER BY drop_id""".stripMargin,
 
     "dedup_embedding_lsh" ->
       s"""$posAndNorm$bandSigSql
@@ -506,6 +573,7 @@ object Similarity {
     "sim_topk_lsh"        -> (simTopkLsh _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "sim_topk_ivf"        -> (simTopkIvf _),
+    "dedup_semantic"      -> (dedupSemantic _),
     "sim_topk_quantized"  -> (simTopkQuantized _),
     "sim_label_centroids" -> (simLabelCentroids _),
   )

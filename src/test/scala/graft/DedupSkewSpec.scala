@@ -55,6 +55,28 @@ class DedupSkewSpec extends SparkTestBase {
     rows(twice.orderBy("k")) shouldBe rows(once.orderBy("k"))
   }
 
+  test("substring dedup: exact 40-char run matches, 39-char run does not") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("dedup-substr").toString
+    // doc 1 & 2 share an exact 40-char run embedded in different contexts;
+    // doc 3 & 4 share only 39 consecutive chars (one char short of the
+    // window) and must NOT pair; doc 5 is unrelated.
+    val shared40 = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 40 chars
+    val shared39 = shared40.take(39)
+    // chars immediately adjacent to each run differ per doc, so the SHARED
+    // run is exactly 40 (docs 1,2) / exactly 39 (docs 3,4) chars long
+    Seq(
+      (1L, s"prefixone.P$shared40%Qsuffixone"),
+      (2L, s"twostart..R$shared40&Stwoending"),
+      (3L, s"aaaaaaaaaaT$shared39#Ubbbbbbbbb"),
+      (4L, s"ccccccccccV$shared39!Wddddddddd"),
+      (5L, "entirely different content with no shared runs at all plus padding to forty"))
+      .map { case (id, t) => (id, t, "en", "test", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    rows(Dedup.dedupSubstring(spark, d)).map(_.take(2)) shouldBe Seq(Seq(1L, 2L))
+  }
+
   test("fuzzy-name dedup plans as an equi-join, not a cross product") {
     import spark.implicits._
     Seq("alpha beta", "alpha betb", "gamma").toDF("p_name")
