@@ -227,6 +227,67 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Document-frequency fraction above which a token is boilerplate
+    * vocabulary for [[textBoilerplateStrip]]. */
+  val BoilerplateDfFrac = 0.79
+
+  /** Corpus-driven boilerplate stripping — the cleaning pass that removes
+    * ubiquitous tokens (site chrome, license blurbs, stopword-like fill)
+    * whose document frequency exceeds [[BoilerplateDfFrac]] of the corpus,
+    * preserving the order of everything kept. The boilerplate vocabulary is
+    * DERIVED from the corpus (one df aggregation), not a fixed list — the
+    * same statistic CCNet/Gopher-style pipelines threshold on.
+    *
+    * Scale shape: high-df tokens are by definition few, so the vocabulary
+    * collapses to ONE small sorted array broadcast to every task; the strip
+    * itself is a map-side higher-order filter — no shuffle touches the
+    * corpus, and re-running on 100 TB costs one df aggregation plus one
+    * map pass. */
+  def textBoilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val dt = withToksDf(spark, dir)
+    val docTerms = dt.select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val stopVocab = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") > col("n_docs") * BoilerplateDfFrac)
+      .agg(sort_array(collect_list(col("term"))).as("stopv"))
+    dt.crossJoin(broadcast(stopVocab))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        expr("filter(toks, t -> NOT array_contains(stopv, t))").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source token budget for [[textTokenBudgetMix]]. */
+  val MixTokenBudget = 600L
+
+  /** Token-budget mixture sampling — the data-mixing pass that fills a
+    * per-source token quota (mixture weight × total training budget;
+    * uniform here): docs are ranked by a salted deterministic hash
+    * (domain-separated from the split/sample hashes) and taken greedily
+    * while the source's budget is unexhausted — a doc is included iff it
+    * STARTS below the budget, so quotas overshoot by at most one doc and
+    * selection is reproducible across runs, engines, and layouts.
+    *
+    * Scale shape: one window cumsum per source shard (the same
+    * distributed-prefix-sum discipline as [[textPackBins]] — never a
+    * global single-partition cumsum); everything else is map work. */
+  def textTokenBudgetMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = Portable.hash60(concat(lit("mix:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(col("pick_key").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withToksDf(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"), key.as("pick_key"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < MixTokenBudget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
+  }
+
   /** Document-frequency floor for [[textPmi]] — at open-vocabulary scale
     * the per-doc pair expansion is k² in the doc's distinct KEPT tokens, so
     * production first prunes to a bounded vocabulary (the same df-cap
@@ -516,6 +577,47 @@ object TextAnalysis {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_boilerplate_strip" ->
+      s"""$withToks
+         |, dt AS (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t
+         |), nd AS (
+         |  SELECT count(*) AS n_docs FROM documents
+         |), dfs AS (
+         |  SELECT term, count(*) AS df FROM dt GROUP BY term
+         |), vocab AS (
+         |  SELECT coalesce(list(term ORDER BY term), []) AS stopv
+         |  FROM dfs, nd WHERE df > n_docs * $BoilerplateDfFrac
+         |)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+         |FROM (
+         |  SELECT doc_id, toks,
+         |         list_filter(toks, x -> NOT list_contains(stopv, x)) AS kept
+         |  FROM t, vocab
+         |) q
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pick_key
+         |  FROM t
+         |), c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pick_key, doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM keyed
+         |)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < $MixTokenBudget
+         |ORDER BY source, doc_id""".stripMargin,
+
     "text_pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id, source,
@@ -698,6 +800,8 @@ object TextAnalysis {
     "text_repetition"         -> (textRepetition _),
     "text_split_assign"       -> (textSplitAssign _),
     "text_pack_bins"          -> (textPackBins _),
+    "text_boilerplate_strip"  -> (textBoilerplateStrip _),
+    "text_token_budget_mix"   -> (textTokenBudgetMix _),
     "text_filter_funnel"      -> (textFilterFunnel _),
     "text_bm25"               -> (textBm25 _),
     "text_tfidf_keywords"     -> (textTfidfKeywords _),
