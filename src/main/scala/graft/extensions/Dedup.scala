@@ -148,12 +148,17 @@ object Dedup {
     * relation here is what makes that verification exact. */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val k = SubstringWindow
+    // No per-doc distinct here: posting lists deduplicate doc_ids anyway
+    // (MinKDistinctAggregator keeps distinct values), and shared-window
+    // counts read the h-level posting lists, so within-doc repeats of a
+    // window cannot affect any output — they only add rare extra rows
+    // cheaper than a per-doc hash-set pass over every 260-element array.
     val wins = Tables.documents(spark, dir)
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
-        explode(array_distinct(transform(
+        explode(transform(
           sequence(lit(1), length(col("text")) - (k - 1)),
-          i => Portable.hash60(col("text").substr(i, lit(k)))))).as("h"))
+          i => Portable.hash60(col("text").substr(i, lit(k))))).as("h"))
     val (_, inter) = cappedPairCountsFrom(wins, MaxShingleDf)
     inter
       .select(col("doc_a"), col("doc_b"), col("c").as("n_shared_windows"))
