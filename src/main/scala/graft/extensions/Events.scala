@@ -223,6 +223,55 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Weekly cohort retention on the purchase stream — the product-analytics
+    * staple: cohort = the week of a user's FIRST purchase, and each
+    * (cohort_week, week_offset) cell counts the cohort's users who
+    * purchased again that many weeks later (offset 0 is the cohort size by
+    * construction). Integer-only output — no cross-engine float hazard.
+    * Scale shape: the stream collapses to distinct (user, week) pairs
+    * before anything else (purchases per user per week dedupe map-side),
+    * the first-week aggregation is one shuffle on user_id, and the cell
+    * counts shuffle |users × weeks| pre-aggregated pairs, never events. */
+  def eventsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val pw = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("w"))
+      .distinct()
+    val cohort = pw.groupBy("user_id").agg(min(col("w")).as("cohort_week"))
+    pw.join(cohort, "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Daily OHLC (open/high/low/close) per event type — the time-series
+    * compaction every metrics store runs: first/last values by event time
+    * (row_number both directions over ONE exchange on (type, day); the
+    * descending pass reuses the partitioning, adding only a sort) plus
+    * min/max/count and the exact-decimal volume. */
+  def eventsDailyOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val asc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val desc = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy("event_type", "day")
+      .agg(
+        min(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        min(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(28, 10))), 2).cast("double").as("volume"))
+      .orderBy("event_type", "day")
+  }
+
   /** Winsorization — robust-stats cleaning: clamp values to the per-type
     * [p05, p95] band (exact interpolated percentiles, one aggregation
     * broadcast back) and report raw vs winsorized means and clamp counts.
@@ -358,6 +407,41 @@ object Events {
         |FROM wm JOIN mad ON wm.event_type = mad.event_type
         |WHERE mad > 0 AND abs(round(0.6745 * (value - m) / mad, 6)) >= 3.5
         |ORDER BY event_id""".stripMargin,
+
+    "events_cohort_retention" ->
+      """WITH pw AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |  FROM events WHERE event_type = 'purchase'
+        |), cohort AS (
+        |  SELECT user_id, min(w) AS cohort_week FROM pw GROUP BY user_id
+        |)
+        |SELECT cohort_week,
+        |       CAST(datediff('week', cohort_week, w) AS INTEGER) AS week_offset,
+        |       count(DISTINCT pw.user_id) AS n_users
+        |FROM pw JOIN cohort USING (user_id)
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "events_daily_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         ts, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+        |         row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+        |                            ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events
+        |)
+        |SELECT event_type, day,
+        |       min(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       min(CASE WHEN rn_d = 1 THEN value END) AS close,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS volume
+        |FROM e
+        |GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
 
     "events_forward_fill" ->
       """SELECT event_id, user_id,
@@ -537,6 +621,8 @@ object Events {
     "events_json_stats"       -> (eventsJsonStats _),
     "events_funnel"           -> (eventsFunnel _),
     "events_forward_fill"     -> (eventsForwardFill _),
+    "events_cohort_retention" -> (eventsCohortRetention _),
+    "events_daily_ohlc"       -> (eventsDailyOhlc _),
     "events_zscore_outliers"  -> (eventsZscoreOutliers _),
     "events_mad_outliers"     -> (eventsMadOutliers _),
     "events_winsorized"       -> (eventsWinsorized _),

@@ -288,6 +288,79 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Misra–Gries capacity for [[textHeavyHitters]]: guarantees every token
+    * with frequency > N/(k+1) is in the sketch. */
+  val HeavyHitterK = 32
+
+  /** Frequent-token mining with a Misra–Gries screen: the sketch
+    * ([[graft.ops.MisraGriesAggregator]], O(k) state per task, mergeable
+    * under partial aggregation) nominates candidate heavy tokens in ONE
+    * pass without shuffling the vocabulary; candidates then get EXACT
+    * counts and the output keeps tokens with count > N/k. The sketch's
+    * guarantee (no token above N/(k+1) is ever missed) makes the screened
+    * result equal the exact HAVING-query the oracle runs — the same
+    * sketch-recall / exact-precision discipline as minhash_verified.
+    * At 100 TB the win is that only |candidates| ≤ k terms reach the
+    * exact-count aggregation's final stage with any skew concern; the
+    * candidate screen itself never shuffles more than k counters per
+    * task. */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withToksDf(spark, dir).select(explode(col("toks")).as("term"))
+    val mg = udaf(new graft.ops.MisraGriesAggregator(HeavyHitterK))
+    val screen = toks.agg(mg(col("term")).as("sketch"), count(lit(1)).as("total"))
+      .select(map_keys(col("sketch")).as("cands"), col("total"))
+    toks.crossJoin(broadcast(screen))
+      .filter(array_contains(col("cands"), col("term")))
+      .groupBy("term").agg(count(lit(1)).as("n"), min("total").as("total"))
+      .filter(col("n") > col("total") / lit(HeavyHitterK))
+      .select(col("term"), col("n"))
+      .orderBy(col("n").desc, col("term").asc)
+  }
+
+  /** Corpus-unigram language-model quality score — the CCNet/KenLM-style
+    * perplexity proxy with the corpus itself as the LM: p(t) = count(t)/N
+    * over all corpus tokens, and each doc scores the mean log-probability
+    * of its tokens (higher = more typical; spam/garbled docs sit in the
+    * left tail). Per-token log-probs are rounded to 9 decimals before the
+    * mean (cross-engine libm parity — the PageRank discipline), the mean
+    * to 6. The unigram table is df-bounded vocabulary in practice and
+    * broadcasts; the corpus never shuffles. */
+  def textUnigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val dt = withToksDf(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    val cnt = dt.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = dt.agg(count(lit(1)).as("total"))
+    dt.join(broadcast(cnt), "term")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("c").cast("double") / col("total")), 9).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(avg("lp"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-distribution entropy per doc (nats) — the cheap garbled-text
+    * / binary-spill detector: H = −Σ p(c)·ln p(c) over the doc's character
+    * frequencies. Natural text sits in a narrow band; base64 blobs score
+    * high, repeated-char spam low. Per-term products round at 9 before the
+    * sum (libm parity), the total at 6. The (doc, char) relation is
+    * |text| rows pre-aggregation but collapses to ≤ |alphabet| rows per
+    * doc in the partial phase — shuffle volume is docs × alphabet. */
+  def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val counts = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+    counts
+      .select(col("doc_id"), col("n"),
+        round((col("c") / col("n")) * log(col("c") / col("n")), 9).as("term"))
+      .groupBy("doc_id")
+      .agg(min("n").cast("long").as("n_chars_counted"),
+        round(-sum("term"), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Document-frequency floor for [[textPmi]] — at open-vocabulary scale
     * the per-doc pair expansion is k² in the doc's distinct KEPT tokens, so
     * production first prunes to a bounded vocabulary (the same df-cap
@@ -577,6 +650,46 @@ object TextAnalysis {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "text_heavy_hitters" ->
+      s"""$withToks
+         |, tok AS (
+         |  SELECT unnest(toks) AS term FROM t
+         |), n AS (SELECT count(*) AS total FROM tok)
+         |SELECT term, count(*) AS n
+         |FROM tok, n
+         |GROUP BY term, total
+         |HAVING count(*) > total / $HeavyHitterK
+         |ORDER BY n DESC, term ASC""".stripMargin,
+
+    "text_unigram_logprob" ->
+      s"""$withToks
+         |, dt AS (
+         |  SELECT doc_id, unnest(toks) AS term FROM t
+         |), cnt AS (
+         |  SELECT term, count(*) AS c FROM dt GROUP BY term
+         |), tot AS (SELECT count(*) AS total FROM dt)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       round(avg(round(ln(CAST(c AS DOUBLE) / total), 9)), 6) AS avg_logprob
+         |FROM dt JOIN cnt USING (term), tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        |), f AS (
+        |  SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+        |), wn AS (
+        |  SELECT doc_id, c,
+        |         sum(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM f
+        |)
+        |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars_counted,
+        |       round(-sum(round((c / n) * ln(c / n), 9)), 6) AS entropy
+        |FROM wn
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "text_boilerplate_strip" ->
       s"""$withToks
          |, dt AS (
@@ -802,6 +915,9 @@ object TextAnalysis {
     "text_pack_bins"          -> (textPackBins _),
     "text_boilerplate_strip"  -> (textBoilerplateStrip _),
     "text_token_budget_mix"   -> (textTokenBudgetMix _),
+    "text_heavy_hitters"      -> (textHeavyHitters _),
+    "text_unigram_logprob"    -> (textUnigramLogprob _),
+    "text_char_entropy"       -> (textCharEntropy _),
     "text_filter_funnel"      -> (textFilterFunnel _),
     "text_bm25"               -> (textBm25 _),
     "text_tfidf_keywords"     -> (textTfidfKeywords _),

@@ -31,6 +31,39 @@ class RelationalSpec extends SparkTestBase {
     out shouldBe List(("g", List(1L, 2L, 5L)), ("h", List(4L)))
   }
 
+  test("misra-gries: items above N/(k+1) always survive the sketch, state stays <= k") {
+    val agg = new graft.ops.MisraGriesAggregator(3)
+    // Adversarial stream: 'hot' has 40 of 100 items (> 100/4 = 25), the
+    // rest is 60 distinct singletons that constantly evict counters.
+    val stream = scala.util.Random.shuffle(
+      (Seq.fill(40)("hot") ++ (1 to 60).map(i => s"cold$i")).toList)
+    val buf = stream.foldLeft(agg.zero)(agg.reduce)
+    buf.size should be <= 3
+    buf.keySet should contain ("hot")
+    // estimate undercounts by at most N/(k+1)
+    buf("hot") should be >= 40L - 25L
+    // mergeable form preserves the guarantee across partial aggregation
+    val (l, r) = stream.splitAt(stream.length / 2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+      r.foldLeft(agg.zero)(agg.reduce))
+    merged.size should be <= 3
+    merged.keySet should contain ("hot")
+  }
+
+  test("heavy-hitters query equals the exact HAVING aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val screened = rows(graft.extensions.TextAnalysis.textHeavyHitters(spark, dir))
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("term"))
+    val total = toks.count()
+    val exact = rows(
+      toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .filter(col("n") > total.toDouble / graft.extensions.TextAnalysis.HeavyHitterK)
+        .orderBy(col("n").desc, col("term").asc))
+    screened shouldBe exact
+    screened should not be empty
+  }
+
   // --- upsert / latestByKey -------------------------------------------------
 
   test("upsert: updates win on collision, unmatched pass through, new keys insert") {
