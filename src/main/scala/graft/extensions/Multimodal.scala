@@ -129,7 +129,53 @@ object Multimodal {
       .orderBy("frame_hash")
   }
 
+  /** Modality routing — the dispatch stage of a mixed-media pipeline: sniff
+    * each payload's type (real corpora read magic bytes; here the first
+    * payload byte mod 3, deterministic on both engines via ascii()), send
+    * each row down its modality's branch (image → pixel estimate, audio →
+    * duration estimate, text → token count), and union the branch outputs
+    * back into one typed relation. The branches are independent narrow
+    * pipelines over a shared scan — Catalyst collapses the three filters
+    * into one pass per branch with no shuffle until the final sort; at
+    * scale each branch would carry its own decoder (the [[extractFeatures]]
+    * batched shape) without ever touching the other modalities' rows. */
+  def multimodalRoute(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"),
+        (ascii(substring(col("text"), 1, 1)) % 3).as("route"))
+    val img = m.filter(col("route") === 0).select(
+      col("media_id"), lit("image").as("modality"), lit("n_pixels").as("metric"),
+      (octet_length(col("text").cast("binary")) * 3).cast("long").as("value"))
+    val aud = m.filter(col("route") === 1).select(
+      col("media_id"), lit("audio").as("modality"), lit("duration_ms").as("metric"),
+      (octet_length(col("text").cast("binary")) * 8).cast("long").as("value"))
+    val txt = m.filter(col("route") === 2).select(
+      col("media_id"), lit("text").as("modality"), lit("n_tokens").as("metric"),
+      size(graft.functions.Portable.tokens(col("text"))).cast("long").as("value"))
+    img.unionByName(aud).unionByName(txt).orderBy("media_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_route" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text,
+        |         ascii(substr(text, 1, 1)) % 3 AS route
+        |  FROM documents
+        |)
+        |SELECT media_id, 'image' AS modality, 'n_pixels' AS metric,
+        |       CAST(octet_length(encode(text)) * 3 AS BIGINT) AS value
+        |FROM m WHERE route = 0
+        |UNION ALL
+        |SELECT media_id, 'audio', 'duration_ms',
+        |       CAST(octet_length(encode(text)) * 8 AS BIGINT)
+        |FROM m WHERE route = 1
+        |UNION ALL
+        |SELECT media_id, 'text', 'n_tokens',
+        |       CAST(CASE WHEN trim(text) = '' THEN 0
+        |            ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+        |FROM m WHERE route = 2
+        |ORDER BY media_id""".stripMargin,
+
     "multimodal_frame_dedup" ->
       s"""WITH frames AS (
          |  SELECT doc_id AS media_id,
@@ -162,5 +208,6 @@ object Multimodal {
     "multimodal_features"    -> (multimodalFeatures _),
     "multimodal_frames"      -> (multimodalFrames _),
     "multimodal_frame_dedup" -> (multimodalFrameDedup _),
+    "multimodal_route"       -> (multimodalRoute _),
   )
 }

@@ -218,10 +218,13 @@ object DblpAnalog {
     * expansion as [[coauthorPagerank]] (one aggregation, no pa⋈pa self-join
     * shuffle), weight-thresholded per [[TriangleMinWeight]]; the oracle
     * replays the identical backbone, orientation, and joins. */
-  def coauthorTriangles(spark: SparkSession, dir: String): DataFrame = {
+  /** Strong co-author undirected edges (a < b, weight-thresholded) — the
+    * shared backbone of triangles and clustering coefficient: in-row pair
+    * expansion from one aggregation, never a pa⋈pa self-join shuffle. */
+  private def strongCoauthorEdges(spark: SparkSession, dir: String): DataFrame = {
     val pa = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
-    val und = pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
+    pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
       .select(explode(expr(
         "flatten(transform(as_, x -> transform(filter(as_, y -> y > x), y -> struct(x AS a, y AS b))))"))
         .as("p"))
@@ -229,12 +232,40 @@ object DblpAnalog {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= TriangleMinWeight)
       .select(col("a"), col("b"))
-    graft.ops.Graph.trianglesPerNode(und)
+  }
+
+  def coauthorTriangles(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.trianglesPerNode(strongCoauthorEdges(spark, dir))
       .select(col("node").as("s_suppkey"), col("n_triangles"))
+      .orderBy("s_suppkey")
+
+  /** Local clustering coefficient per author: cc = 2T / (d·(d−1)) over the
+    * strong co-author graph — how close each author's collaborators are to
+    * a clique (the cohesion signal community detection thresholds on).
+    * Triangle counts come from the degree-oriented enumeration
+    * ([[graft.ops.Graph.trianglesPerNode]]); the edge list materializes
+    * ONCE (localCheckpoint) and feeds both the degree aggregation and the
+    * triangle joins. Nodes without triangles report cc = 0 via the left
+    * join (absence would silently drop them); degree-1 nodes have no
+    * defined coefficient and report 0 by convention on both engines. */
+  def coauthorClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val und = strongCoauthorEdges(spark, dir).localCheckpoint()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+    val tri = graft.ops.Graph.trianglesPerNode(und)
+    deg.join(tri, deg("n") === tri("node"), "left")
+      .select(col("n").as("s_suppkey"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering_coeff",
+        when(col("degree") >= 2,
+          round(col("n_triangles") * 2.0 / (col("degree") * (col("degree") - 1)), 6))
+          .otherwise(0.0))
       .orderBy("s_suppkey")
   }
 
-  private val trianglesOracle: String =
+  /** Shared triangle-enumeration SQL (pa → und → deg → oriented → tri) —
+    * consumed by both the triangles and clustering-coefficient oracles. */
+  private val coauthorGraphSql: String =
     s"""WITH pa AS (SELECT DISTINCT l_orderkey AS pub, l_suppkey AS a FROM lineitem),
       |und AS (
       |  SELECT x.a AS a, y.a AS b
@@ -258,11 +289,30 @@ object DblpAnalog {
       |  JOIN o e2 ON e1.src = e2.src
       |   AND (e1.dst_dg < e2.dst_dg OR (e1.dst_dg = e2.dst_dg AND e1.dst < e2.dst))
       |  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
-      |)
+      |)""".stripMargin
+
+  private val trianglesOracle: String =
+    s"""$coauthorGraphSql
       |SELECT n AS s_suppkey, count(*) AS n_triangles
       |FROM (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri
       |      UNION ALL SELECT w AS n FROM tri)
       |GROUP BY n ORDER BY s_suppkey""".stripMargin
+
+  private val clusteringCoeffOracle: String =
+    s"""$coauthorGraphSql
+      |, tcnt AS (
+      |  SELECT n, count(*) AS c
+      |  FROM (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri
+      |        UNION ALL SELECT w AS n FROM tri)
+      |  GROUP BY n
+      |)
+      |SELECT deg.n AS s_suppkey, deg.dg AS degree,
+      |       coalesce(tcnt.c, 0) AS n_triangles,
+      |       CASE WHEN deg.dg >= 2
+      |            THEN round(coalesce(tcnt.c, 0) * 2.0 / (deg.dg * (deg.dg - 1)), 6)
+      |            ELSE 0.0 END AS clustering_coeff
+      |FROM deg LEFT JOIN tcnt ON deg.n = tcnt.n
+      |ORDER BY s_suppkey""".stripMargin
 
   private def pagerankOracle: String = {
     val iters = (1 to PagerankIters).map { k =>
@@ -291,6 +341,7 @@ object DblpAnalog {
   val oracle: Map[String, String] = Map(
     "coauthor_pagerank" -> pagerankOracle,
     "coauthor_triangles" -> trianglesOracle,
+    "coauthor_clustering_coeff" -> clusteringCoeffOracle,
     "t1_top10_authors_per_venue" ->
       s"""$base
          |, va AS (
@@ -368,5 +419,6 @@ object DblpAnalog {
     "t6_top100_solo_authors"       -> (t6TopSoloAuthors _),
     "coauthor_pagerank"            -> (coauthorPagerank _),
     "coauthor_triangles"           -> (coauthorTriangles _),
+    "coauthor_clustering_coeff"    -> (coauthorClusteringCoeff _),
   )
 }

@@ -42,6 +42,28 @@ object StreamingOps {
       .select(col("w").getField("start").as("hour"), col("event_type"),
         col("n_events"), round(col("sum_dec"), 2).cast("double").as("sum_value"))
 
+  /** Daily OHLC per event type with a watermark — the streaming twin of
+    * Events.eventsDailyOhlc. Open/close come from min_by/max_by on the
+    * (ts, event_id) event-time order — DECLARATIVE aggregates, so the
+    * state per (day, type) group is one candidate row each, merged
+    * correctly across micro-batches in any arrival order (a row_number
+    * formulation would need the whole window buffered). Windows finalize
+    * once the watermark passes their end. */
+  def dailyOhlc(events: DataFrame, watermark: String = "25 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 10))).as("sum_dec"))
+      .select(col("w").getField("start").cast("date").as("day"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), round(col("sum_dec"), 2).cast("double").as("volume"))
+
   /** Stream-static enrichment join: the streaming fact against a static
     * (batch) dimension, broadcast so the stream side never shuffles —
     * stateless, no watermark needed, and each micro-batch sees the

@@ -140,4 +140,30 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should include ("LeftAnti")
     p should include ("BroadcastExchange") // 1-row scalar side
   }
+
+  test("heavy hitters: sketch is a bounded object agg, screen broadcasts, no vocab join") {
+    val p = planOf(graft.extensions.TextAnalysis.textHeavyHitters(spark, sf))
+    p should include ("ObjectHashAggregate") // Misra-Gries typed aggregator
+    p should include ("BroadcastExchange")   // 1-row candidate/total screen
+    p should not include "SortMergeJoin"     // candidates never shuffle-join
+  }
+
+  test("daily OHLC: both window directions and the final agg share one exchange") {
+    val p = planOf(graft.extensions.Events.eventsDailyOhlc(spark, sf))
+    // hash exchange on (type, day) + the final presentation sort — nothing else
+    "Exchange".r.findAllIn(p).size shouldBe 2
+  }
+
+  test("cohort retention: stream collapses to distinct pairs before any join") {
+    val p = planOf(graft.extensions.Events.eventsCohortRetention(spark, sf))
+    // the purchase filter reaches the scan; no events-wide join appears
+    p should include regex "PushedFilters.*event_type"
+  }
+
+  test("clustering coefficient: no cartesian work; edges materialize once") {
+    val p = planOf(graft.queries.DblpAnalog.coauthorClusteringCoeff(spark, sf))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include ("Scan ExistingRDD") // localCheckpoint'd edge list
+  }
 }

@@ -35,6 +35,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dailyOhlc: open/close follow event time even when batches arrive out of order") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    // complete mode: the memory table always holds the CURRENT full state
+    // (update mode would retain superseded per-batch rows in the sink)
+    val q = StreamingOps.dailyOhlc(ms.toDF())
+      .writeStream.format("memory").queryName("ohlc").outputMode("complete").start()
+    try {
+      // second micro-batch carries the EARLIEST event (the true open) and
+      // the latest (the true close) — min_by/max_by state must reconcile;
+      // minutes stay < 60 so the fixture never crosses a day boundary
+      ms.addData(Event(2, ts(10), 1, "click", 7.0), Event(3, ts(20), 1, "click", 2.0))
+      q.processAllAvailable()
+      ms.addData(Event(1, ts(0), 1, "click", 4.0), Event(4, ts(30), 1, "click", 9.0))
+      q.processAllAvailable()
+      val r = spark.table("ohlc")
+        .select("open", "high", "low", "close", "n_events", "volume")
+        .collect().map(_.toSeq).toSeq
+      r shouldBe Seq(Seq(4.0, 9.0, 2.0, 9.0, 4L, 22.0))
+    } finally q.stop()
+  }
+
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
     // file streams tail a directory; stage the single driver file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
