@@ -176,6 +176,33 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** [[eventsAsofAttribution]] through the NATIVE as-of join operator
+    * ([[org.apache.spark.sql.graft.AsOfJoinExec]] — logical node + planner
+    * strategy + physical merge, injected via GraftSessionExtensions)
+    * instead of the window composition: clicks and purchases shuffle on
+    * user_id separately (two smaller sorts instead of one union-wide
+    * sort), then a two-pointer per-partition merge carries ONE payload
+    * value of state. Bit-identical result by construction — it shares
+    * events_asof_attribution's oracle, and AsOfJoinSpec differentials the
+    * two plans row-for-row. */
+  def eventsAsofCustom(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.AsOf
+    AsOf.install(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id"))
+    AsOf.joinAsOf(purchases, clicks,
+        key = "user_id", time = "us", tiebreak = "event_id",
+        payload = "us", asofCol = "prev_click_us")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        timestamp_micros(col("prev_click_us")).as("prev_click_ts"))
+      .orderBy("event_id")
+  }
+
   /** JSON-column analytics: extract the typed payload from the free-form
     * `props` JSON string per row (codegen'd path expression, no UDF) and
     * aggregate — the semi-structured surface of the function library. */
@@ -358,6 +385,19 @@ object Events {
       .orderBy("event_id")
   }
 
+  private val asofOracleSql =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events
+      |), w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |         max(CASE WHEN event_type = 'click' THEN us END)
+      |           OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us
+      |  FROM ev
+      |)
+      |SELECT event_id, user_id, ts, make_timestamp(prev_us) AS prev_click_ts
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   private val funnelWindowSql =
     """OVER (PARTITION BY user_id ORDER BY ts, event_id
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
@@ -481,18 +521,9 @@ object Events {
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "events_asof_attribution" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events
-        |), w AS (
-        |  SELECT event_id, user_id, ts, event_type,
-        |         max(CASE WHEN event_type = 'click' THEN us END)
-        |           OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
-        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us
-        |  FROM ev
-        |)
-        |SELECT event_id, user_id, ts, make_timestamp(prev_us) AS prev_click_ts
-        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "events_asof_attribution" -> asofOracleSql,
+    // the native-operator twin is gated against the IDENTICAL oracle
+    "events_asof_custom" -> asofOracleSql,
 
     "events_latest_per_user" ->
       """WITH r AS (
@@ -615,6 +646,7 @@ object Events {
     "events_scd2"             -> (eventsScd2 _),
     "events_moving_avg"       -> (eventsMovingAvg _),
     "events_asof_attribution" -> (eventsAsofAttribution _),
+    "events_asof_custom"      -> (eventsAsofCustom _),
     "events_range_frame"      -> (eventsRangeFrame _),
     "events_skew_salted"      -> (eventsSkewSalted _),
     "events_latest_per_user"  -> (eventsLatestPerUser _),
