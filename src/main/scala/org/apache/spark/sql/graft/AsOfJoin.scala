@@ -76,6 +76,9 @@ object AsOf {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!s.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
   }
 }
 
@@ -95,6 +98,36 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
+}
+
+/** Optimizer rule completing the extension tier: Catalyst's own
+  * PushDownPredicates cannot see through an unknown node, so a Filter
+  * sitting above [[AsOfJoinPlan]] would keep the join processing rows the
+  * query immediately discards. This rule moves any conjunct that
+  * references ONLY left-side attributes below the join (left rows map 1:1
+  * to output rows, so left-only predicates commute with the join);
+  * conjuncts touching the as-of payload stay above. Injected via
+  * `injectOptimizerRule` in [[GraftSessionExtensions]]. */
+object PushFilterThroughAsOfJoin
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression => CExpr}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  private def conjuncts(e: CExpr): Seq[CExpr] = e match {
+    case And(a, b) => conjuncts(a) ++ conjuncts(b)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, kept) =
+        conjuncts(cond).partition(c => c.references.subsetOf(AttributeSet(j.left.output)))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
 }
 
 /** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. */

@@ -19,8 +19,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Whole-operator extension tier: the native AS-OF join's planner
-    // strategy (logical node AsOfJoinPlan → physical AsOfJoinExec).
+    // strategy (logical node AsOfJoinPlan → physical AsOfJoinExec) and the
+    // optimizer rule restoring predicate pushdown through the custom node.
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductDouble].getName, null, "graft_dot"),

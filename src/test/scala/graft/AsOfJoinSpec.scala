@@ -29,6 +29,26 @@ class AsOfJoinSpec extends SparkTestBase {
     p should include regex "Exchange hashpartitioning\\(user_id"
   }
 
+  test("left-only filters push below the custom node; payload filters stay above") {
+    AsOf.install(spark)
+    val left = Seq((1L, 100L, 1L), (2L, 50L, 2L)).toDF("k", "t", "id")
+    val right = Seq((1L, 90L, 0L, 111L)).toDF("k", "t", "id", "v")
+    val joined = AsOf.joinAsOf(left, right,
+      key = "k", time = "t", tiebreak = "id", payload = "v", asofCol = "prev_v")
+    val pushed = joined.filter(col("k") === 1 && col("prev_v").isNotNull)
+    val opt = pushed.queryExecution.optimizedPlan
+    val node = opt.collectFirst {
+      case j: org.apache.spark.sql.graft.AsOfJoinPlan => j }.get
+    // the k-predicate sits INSIDE the join's left input...
+    node.left.toString should include ("= 1")
+    // ...while the payload predicate stays above the join
+    opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.exists(_.name == "prev_v") => f
+    } should not be empty
+    rows(pushed.select("k", "t", "id", "prev_v")) shouldBe Seq(Seq(1L, 100L, 1L, 111L))
+  }
+
   test("strictly-prior semantics: equal timestamps break on the tiebreak") {
     AsOf.install(spark)
     // right rows at the SAME time as the left probe: only the one with a
