@@ -68,6 +68,44 @@ object Privacy {
       .orderBy("event_id")
   }
 
+  /** Canonical-URL dedup — the CommonCrawl-style URL normalization pass:
+    * raw crawl URLs differ in case, `www.` prefixes, tracking params,
+    * fragments, and trailing slashes while naming the same resource.
+    * Canonicalize (strip query/fragment, strip one trailing slash,
+    * lowercase the host, drop `www.` — path case is PRESERVED, paths are
+    * case-sensitive) and collapse: per canonical URL, the event count,
+    * the number of distinct raw spellings, and the kept (min) event id.
+    * Only multi-spelling groups are emitted — the dedup report.
+    *
+    * The messy raw URL is derived deterministically from the events row
+    * (4 spelling variants by event_id) so both engines see identical
+    * input; the regex constants are shared Java/RE2-subset. One hash
+    * aggregation on the canonical key — exact-dedup scale shape. */
+  def urlCanonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val host = concat(lit("shard"), (col("user_id") % 20).cast("string"),
+      lit(".example.com"))
+    val path = concat(lit("/p/"), (col("event_id") % 997).cast("string"))
+    val raw = when(col("event_id") % 4 === 0, concat(lit("https://"), host, path))
+      .when(col("event_id") % 4 === 1, concat(lit("https://www."), host, path))
+      .when(col("event_id") % 4 === 2, concat(lit("https://"), upper(host), path, lit("/")))
+      .otherwise(concat(lit("https://"), host, path, lit("?utm_source=x#frag")))
+    val noQuery = regexp_replace(col("url"), "[?#].*$", "")
+    val noSlash = regexp_replace(noQuery, "/$", "")
+    val hostPart = regexp_extract(noSlash, "^https://([^/]+)", 1)
+    val pathPart = regexp_replace(noSlash, "^https://[^/]+", "")
+    Tables.events(spark, dir)
+      .select(col("event_id"), raw.as("url"))
+      .withColumn("canonical_url",
+        concat(lit("https://"),
+          regexp_replace(lower(hostPart), "^www\\.", ""), pathPart))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("url")).as("n_spellings"),
+        min(col("event_id")).as("keep_id"))
+      .filter(col("n_spellings") > 1)
+      .orderBy("canonical_url")
+  }
+
   /** Host-extraction regex for [[urlDomains]] (group 1 = host). */
   val HostRe = """^https://([^/]+)/"""
   /** Registrable-domain suffix: last two dot-labels of the host. */
@@ -114,6 +152,35 @@ object Privacy {
          |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g') AS scrubbed
          |FROM r ORDER BY event_id""".stripMargin,
 
+    "url_canonical_dedup" ->
+      """WITH raw AS (
+        |  SELECT event_id,
+        |         CASE event_id % 4
+        |           WHEN 0 THEN 'https://shard' || (user_id % 20) || '.example.com/p/' || (event_id % 997)
+        |           WHEN 1 THEN 'https://www.shard' || (user_id % 20) || '.example.com/p/' || (event_id % 997)
+        |           WHEN 2 THEN 'https://' || upper('shard' || (user_id % 20) || '.example.com') || '/p/' || (event_id % 997) || '/'
+        |           ELSE 'https://shard' || (user_id % 20) || '.example.com/p/' || (event_id % 997) || '?utm_source=x#frag'
+        |         END AS url
+        |  FROM events
+        |), c AS (
+        |  SELECT event_id, url,
+        |         regexp_replace(regexp_replace(url, '[?#].*$', ''), '/$', '') AS base
+        |  FROM raw
+        |), canon AS (
+        |  SELECT event_id, url,
+        |         'https://' ||
+        |         regexp_replace(lower(regexp_extract(base, '^https://([^/]+)', 1)), '^www\.', '') ||
+        |         regexp_replace(base, '^https://[^/]+', '') AS canonical_url
+        |  FROM c
+        |)
+        |SELECT canonical_url, count(*) AS n_events,
+        |       count(DISTINCT url) AS n_spellings,
+        |       min(event_id) AS keep_id
+        |FROM canon
+        |GROUP BY canonical_url
+        |HAVING count(DISTINCT url) > 1
+        |ORDER BY canonical_url""".stripMargin,
+
     "url_domains" ->
       s"""WITH u AS (
          |  SELECT event_id, user_id, value,
@@ -135,5 +202,6 @@ object Privacy {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pii_scrub"   -> (piiScrub _),
     "url_domains" -> (urlDomains _),
+    "url_canonical_dedup" -> (urlCanonicalDedup _),
   )
 }

@@ -288,6 +288,40 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** Docs kept per quality stratum in [[textQualityStrataSample]]. */
+  val StrataSampleK = 5
+
+  /** Quality-stratified sampling — the curation move that balances a
+    * training mix across quality bands instead of truncating at a single
+    * threshold: quartile boundaries of the [[textQuality]] composite come
+    * from ONE exact percentile aggregation (rounded to 4 before the
+    * comparisons — the discrete stratum decision needs coarser rounding
+    * than the 6-dp score grid so cross-engine interpolation ulps cannot
+    * flip a doc's band), each doc maps to its quartile stratum, and a
+    * per-stratum deterministic top-k by salted hash (domain-separated
+    * from the split/sample/mix hashes) picks the inspection sample.
+    * Scale: the stats row broadcasts; per-stratum WindowGroupLimit bounds
+    * state to k rows per task. */
+  def textQualityStrataSample(spark: SparkSession, dir: String): DataFrame = {
+    val q = textQuality(spark, dir).select(col("doc_id"), col("quality"))
+    val cuts = q.agg(
+      round(percentile(col("quality"), lit(0.25)), 4).as("p25"),
+      round(percentile(col("quality"), lit(0.50)), 4).as("p50"),
+      round(percentile(col("quality"), lit(0.75)), 4).as("p75"))
+    val strat = q.crossJoin(broadcast(cuts))
+      .withColumn("stratum",
+        when(col("quality") < col("p25"), "q1")
+          .when(col("quality") < col("p50"), "q2")
+          .when(col("quality") < col("p75"), "q3")
+          .otherwise("q4"))
+      .withColumn("pick_key",
+        Portable.hash60(concat(lit("strata:"), col("doc_id").cast("string"))))
+    Relational.topKPerGroup(strat, Seq(col("stratum")),
+        Seq(col("pick_key").asc, col("doc_id").asc), StrataSampleK)
+      .select(col("stratum"), col("doc_id"), col("quality"))
+      .orderBy("stratum", "doc_id")
+  }
+
   /** Misra–Gries capacity for [[textHeavyHitters]]: guarantees every token
     * with frequency > N/(k+1) is in the sketch. */
   val HeavyHitterK = 32
@@ -571,6 +605,43 @@ object TextAnalysis {
          |SELECT doc_id, n_tokens, stop_ratio, punct_ratio,
          |  round(least(n_tokens / 50.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_quality_strata_sample" ->
+      s"""$withToks
+         |, r AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      round(CAST(len(list_filter(toks, s -> list_contains(${sqlList(stopEn)}, s))) AS DOUBLE) / len(toks), 6)
+         |    END AS stop_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6)
+         |    END AS punct_ratio
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id,
+         |    round(least(n_tokens / 50.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality
+         |  FROM r
+         |), cuts AS (
+         |  SELECT round(quantile_cont(quality, 0.25), 4) AS p25,
+         |         round(quantile_cont(quality, 0.50), 4) AS p50,
+         |         round(quantile_cont(quality, 0.75), 4) AS p75
+         |  FROM q
+         |), strat AS (
+         |  SELECT doc_id, quality,
+         |         CASE WHEN quality < p25 THEN 'q1'
+         |              WHEN quality < p50 THEN 'q2'
+         |              WHEN quality < p75 THEN 'q3'
+         |              ELSE 'q4' END AS stratum,
+         |         ('0x' || substr(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS pick_key
+         |  FROM q, cuts
+         |), rk AS (
+         |  SELECT stratum, doc_id, quality,
+         |         row_number() OVER (PARTITION BY stratum
+         |                            ORDER BY pick_key ASC, doc_id ASC) AS rn
+         |  FROM strat
+         |)
+         |SELECT stratum, doc_id, quality FROM rk WHERE rn <= $StrataSampleK
+         |ORDER BY stratum, doc_id""".stripMargin,
 
     "text_langid" ->
       s"""$withToks
@@ -918,6 +989,7 @@ object TextAnalysis {
     "text_heavy_hitters"      -> (textHeavyHitters _),
     "text_unigram_logprob"    -> (textUnigramLogprob _),
     "text_char_entropy"       -> (textCharEntropy _),
+    "text_quality_strata_sample" -> (textQualityStrataSample _),
     "text_filter_funnel"      -> (textFilterFunnel _),
     "text_bm25"               -> (textBm25 _),
     "text_tfidf_keywords"     -> (textTfidfKeywords _),
