@@ -49,6 +49,33 @@ class AsOfJoinSpec extends SparkTestBase {
     rows(pushed.select("k", "t", "id", "prev_v")) shouldBe Seq(Seq(1L, 100L, 1L, 111L))
   }
 
+  test("property: native as-of ≡ per-key linear scan on random duplicate-heavy data") {
+    AsOf.install(spark)
+    val rnd = new scala.util.Random(42)
+    // small key/time domains force duplicate timestamps and empty keys
+    val left = Seq.tabulate(200)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(20).toLong, i.toLong))
+      .toDF("k", "t", "id")
+    val right = Seq.tabulate(300)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(20).toLong, (1000 + i).toLong, rnd.nextInt(100).toLong))
+    val rightDf = right.toDF("k", "t", "id", "v")
+    val out = AsOf.joinAsOf(left.toDF("k", "t", "id"), rightDf,
+        key = "k", time = "t", tiebreak = "id", payload = "v", asofCol = "prev_v")
+      .select("k", "t", "id", "prev_v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // reference model: driver-side linear scan
+    val expected = left.collect().map { lr =>
+      val (k, t, id) = (lr.getLong(0), lr.getLong(1), lr.getLong(2))
+      val prior = right.filter { case (rk, rt, rid, _) =>
+        rk == k && (rt < t || (rt == t && rid < id)) }
+      val v = if (prior.isEmpty) None
+        else Some(prior.maxBy { case (_, rt, rid, _) => (rt, rid) }._4)
+      (k, t, id, v)
+    }.toSet
+    out shouldBe expected
+  }
+
   test("strictly-prior semantics: equal timestamps break on the tiebreak") {
     AsOf.install(spark)
     // right rows at the SAME time as the left probe: only the one with a
