@@ -94,6 +94,35 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_hash")
   }
 
+  /** Thumbnail size (codepoints kept) for [[resizeMedia]]. */
+  val ThumbSize = 32
+
+  /** Deterministic STUB resize — the downsampling stage of an image/video
+    * pipeline (a real codec would decode, scale, re-encode; the container
+    * has no codecs, so the "resize" keeps every stride-th codepoint up to
+    * [[ThumbSize]] — same batched typed-Dataset shape as
+    * [[extractFeatures]], and the oracle recomputes the identical
+    * sampling). Output: original size, thumbnail size, thumbnail hash —
+    * the metadata a curation pass actually joins on. Codepoint-domain
+    * sampling for the same surrogate-safety reason as [[sampleFrames]]. */
+  def resizeMedia(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+          val cps = s.codePoints().toArray
+          val stride = math.max(1, cps.length / ThumbSize)
+          val kept = cps.indices.collect {
+            case i if i % stride == 0 && i / stride < ThumbSize => cps(i) }
+          val thumb = new String(kept.toArray, 0, kept.length)
+          (m.media_id, cps.length.toLong, kept.length.toLong,
+            md5hex(thumb.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
+    }.toDF("media_id", "orig_cps", "thumb_cps", "thumb_hash")
+  }
+
   // --- oracle-gated query entry points -------------------------------------
 
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -155,7 +184,31 @@ object Multimodal {
     img.unionByName(aud).unionByName(txt).orderBy("media_id")
   }
 
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    resizeMedia(mediaFromDocuments(spark, dir).as[MediaRecord])
+      .orderBy("media_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_resize" ->
+      s"""WITH p AS (
+         |  SELECT doc_id AS media_id, text, length(text) AS n,
+         |         greatest(1, length(text) // $ThumbSize) AS stride
+         |  FROM documents
+         |), k AS (
+         |  SELECT media_id, text, n, stride,
+         |         least($ThumbSize, (n + stride - 1) // stride) AS n_keep
+         |  FROM p
+         |)
+         |SELECT media_id, CAST(n AS BIGINT) AS orig_cps,
+         |       CAST(n_keep AS BIGINT) AS thumb_cps,
+         |       md5(list_aggregate(
+         |         list_transform(range(0, n_keep),
+         |           i -> substr(text, CAST(1 + i * stride AS INTEGER), 1)),
+         |         'string_agg', '')) AS thumb_hash
+         |FROM k ORDER BY media_id""".stripMargin,
+
     "multimodal_route" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text,
@@ -209,5 +262,6 @@ object Multimodal {
     "multimodal_frames"      -> (multimodalFrames _),
     "multimodal_frame_dedup" -> (multimodalFrameDedup _),
     "multimodal_route"       -> (multimodalRoute _),
+    "multimodal_resize"      -> (multimodalResize _),
   )
 }
