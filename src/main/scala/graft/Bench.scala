@@ -42,16 +42,40 @@ object Bench {
       val a = pass1(n)
       n -> (if (a < 0) -1.0 else { val b = once(n, f); if (b < 0) -1.0 else math.min(a, b) })
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     // A crashed query must never read as a speedup: each error adds a one-
     // hour penalty to the headline total, so ANY comparator (including a
     // naive `total < 2 x baseline`) sees a crash as a hard regression,
     // while per-query -1 sentinels + the errors map identify the culprits.
     val total = results.values.filter(_ >= 0).sum + 3600.0 * errors.size
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // The harness that runs this keeps only the LAST ~2000 chars of output,
+    // and the query surface has grown past 100 entries — a full-precision
+    // all-queries map (~4.5 KB) no longer fits, which truncates the line
+    // mid-JSON and loses the round's numbers entirely (this happened).
+    // So: the complete per-query map goes to BENCH_FULL.json next to the
+    // build, and the ONE stdout line stays under ~1700 chars by carrying
+    // the total, counts, and the slowest queries that fit (slowest-first —
+    // those are the ones a performance read actually needs).
+    val fullQs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val budget = 1300 // chars available for the stdout per-query subset
+    val bySlow = results.toSeq.sortBy { case (k, v) => (-v, k) }
+    val shown = scala.collection.mutable.ListBuffer[String]()
+    var used = 0
+    bySlow.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
+    }
+    val errShown = errors.take(2)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_shown":${shown.size},"n_errors":${errors.size},"full":"BENCH_FULL.json","queries":${shown.mkString("{", ",", "}")},"errors":$errShown,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
