@@ -513,6 +513,113 @@ object Tpch {
       .orderBy("c_nationkey")
   }
 
+  /** TPC-H Q7 shape — bi-directional nation-pair trade volume. The two
+    * nation lookups are pre-filtered to the pair BEFORE joining (so the
+    * disjunctive pair predicate never gates the fact scan — each broadcast
+    * side carries only 2 rows and the residual OR filters the 2×2 cross of
+    * surviving pairs), and revenue is grouped by (supplier nation, customer
+    * nation, ship year). lineitem is the only large input; it flows through
+    * two broadcast joins (supplier, its nation) and one shuffled join to
+    * orders→customer. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_1", "NATION_2")
+    val pairNations = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(na, nb))
+    val suppN = pairNations
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custN = pairNations
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+    l.join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppN), col("s_nationkey") === col("sn_key"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custN), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+              (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(decSum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q14 shape — promo revenue share by month: conditional aggregation
+    * (CASE inside SUM) over a lineitem⋈part equi-join; part is projected to
+    * (key, type) and broadcast, so the fact side never shuffles before the
+    * monthly rollup. The ratio divides the two already-rounded decimal
+    * sums in double so both engines evaluate bit-identical arithmetic. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(
+        decSum2(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))).as("promo_rev"),
+        decSum2(disc).as("total_rev"))
+      .withColumn("promo_pct", round(lit(100.0) * col("promo_rev") / col("total_rev"), 6))
+      .orderBy("ship_month")
+  }
+
+  /** TPC-H Q19 shape — disjunctive mixed-side join predicates: three
+    * (brand, size range, quantity range) branches OR-ed together inside the
+    * join condition. Catalyst's extra-predicate extraction pushes the
+    * per-side disjunctions below the join (part keeps only the three
+    * brands, lineitem only the union quantity range), so neither scan
+    * carries rows no branch can accept; the full OR remains as the join
+    * residual. */
+  def q19DisjunctiveBranches(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val branches =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 15)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 40))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey") && branches)
+      .groupBy("p_brand")
+      .agg(
+        decSum2(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q21 shape — suppliers who were the ONLY late shipper on a
+    * multi-supplier order (the slimmed schema has no receipt/commit dates,
+    * so "late" is shipping > 90 days after the order date). The textbook
+    * form is EXISTS (another supplier) AND NOT EXISTS (another late
+    * supplier) — the oracle keeps that form verbatim, while the Spark side
+    * computes it in ONE pass: per-(order, supplier) late flags, then
+    * order-wide supplier/late-supplier counts via a window, so the
+    * double-correlated subqueries collapse to a single extra exchange
+    * instead of two additional self-joins of the fact. */
+  def q21OnlyLateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val flags = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1).otherwise(0)).as("late"))
+    val w = Window.partitionBy("l_orderkey")
+    val qualifying = flags
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("n_supp") > 1 && col("n_late") === 1)
+    qualifying
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(100)
+  }
+
   private val tiersValues = priceTiers
     .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
 
@@ -771,6 +878,70 @@ object Tpch {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
 
+    "q7_nation_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') OR
+        |       (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+        |    CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE) AS promo_rev,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY ship_month
+        |)
+        |SELECT ship_month, promo_rev, total_rev,
+        |       round(100.0 * promo_rev / total_rev, 6) AS promo_pct
+        |FROM m ORDER BY ship_month""".stripMargin,
+
+    "q19_disjunctive_branches" ->
+      """SELECT p_brand,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q21_only_late_supplier" ->
+      """WITH flags AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |             THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey, l_suppkey
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM flags a
+        |JOIN supplier ON a.l_suppkey = s_suppkey
+        |WHERE a.late = 1
+        |  AND EXISTS (SELECT 1 FROM flags b
+        |              WHERE b.l_orderkey = a.l_orderkey
+        |                AND b.l_suppkey <> a.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM flags c
+        |                  WHERE c.l_orderkey = a.l_orderkey
+        |                    AND c.l_suppkey <> a.l_suppkey
+        |                    AND c.late = 1)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 100""".stripMargin,
+
     "q5_local_supplier_volume" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
@@ -792,6 +963,10 @@ object Tpch {
     "q3_shipping_priority"     -> (q3ShippingPriority _),
     "q4_order_priority"        -> (q4OrderPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q7_nation_volume"         -> (q7NationVolume _),
+    "q14_promo_revenue"        -> (q14PromoRevenue _),
+    "q19_disjunctive_branches" -> (q19DisjunctiveBranches _),
+    "q21_only_late_supplier"   -> (q21OnlyLateSupplier _),
     "q13_order_distribution"   -> (q13OrderDistribution _),
     "q18_large_orders"         -> (q18LargeOrders _),
     "q22_lapsed_customers"     -> (q22LapsedCustomers _),
