@@ -77,9 +77,16 @@ object Dedup {
     // evaluating the shingle scan three times). Surviving lists are the
     // FULL posting lists, already sorted; sizes and pairs both derive from
     // this one small relation with no further scan of the corpus.
+    // The posting relation feeds THREE consumers downstream (pair expansion
+    // plus both sides of the size join) — left lazy, each consumer replays
+    // the full corpus scan + aggregation (the UDAF's ObjectHashAggregate
+    // defeats ReuseExchange, measured 3 scans in the plan), so it
+    // materializes once here. It is the df-capped index: bounded rows,
+    // orders of magnitude smaller than the corpus it indexes.
     val minCap = udaf(new graft.ops.MinKDistinctAggregator(cap + 1))
     val posting = sh.groupBy("h").agg(minCap(col("doc_id")).as("ds"))
       .filter(size(col("ds")) <= cap)
+      .localCheckpoint()
     val sz = posting.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     // Inverted-index pair expansion: ordered pairs in-task from the sorted

@@ -103,7 +103,11 @@ object Graph {
     *            no duplicates. Nodes outside any triangle are absent from
     *            the result.
     */
-  def trianglesPerNode(und: DataFrame): DataFrame = {
+  def trianglesPerNode(undLazy: DataFrame): DataFrame = {
+    // The edge relation feeds the degree union (twice) and the orientation
+    // join below — materialize it once so a caller handing us a whole
+    // edge-construction pipeline doesn't have it replayed three times.
+    val und = undLazy.localCheckpoint()
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))

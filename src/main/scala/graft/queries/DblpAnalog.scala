@@ -167,8 +167,12 @@ object DblpAnalog {
     * join/agg loop as [[graft.ops.Graph]], bounded by |edges|, no
     * driver-side graph state. Dangling authors hold the 0.15 base. */
   def coauthorPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // No pre-distinct on (pub, author): collect_set dedupes within the
+    // same aggregation that builds the per-pub author list, saving a full
+    // shuffle of the fact relation (edge identity, not multiplicity, is
+    // what PageRank consumes — the pair expansion is distinct'd anyway).
     val pa = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
+      .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a"))
     // Edge construction: per-pub author list collected once (bounded by
     // authors-per-pub, a handful), ordered pairs expanded IN-ROW — one
     // aggregation instead of the pa⋈pa self-join's second shuffle. The
@@ -177,21 +181,31 @@ object DblpAnalog {
     // each iteration's plan would re-run the whole edge construction per
     // reference (measured 3x the query cost at sf0.1). Each edge carries
     // its source degree, saving a join per iteration.
-    val sym = pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
+    // sym materializes BEFORE the degree join: left lazy, the symDeg plan
+    // evaluates the whole edge construction twice (edge side + degree agg
+    // side — measured as two full lineitem scans in the executed plan).
+    val sym = pa.groupBy("pub").agg(collect_set(col("a")).as("as_"))
       .select(explode(expr(
         "flatten(transform(as_, x -> transform(filter(as_, y -> y != x), y -> struct(x AS s, y AS d))))"))
         .as("p"))
       .select(col("p.s").as("s"), col("p.d").as("d")).distinct()
+      .localCheckpoint()
     val symDeg = sym.join(
         sym.groupBy("s").agg(count(lit(1)).as("deg")), "s")
       .localCheckpoint()
     val nodes = pa.select(col("a").as("v")).distinct().localCheckpoint()
     var pr = nodes.withColumn("pr", lit(1.0))
+    // Rank state is |nodes| rows against |edges| ≫ |nodes| for a
+    // co-occurrence graph, so each iteration broadcasts the rank vector
+    // into the edge relation (map-side join, partial agg to |nodes| keys)
+    // — the edge list is never shuffled per iteration. For graphs whose
+    // node state outgrows broadcast, drop the hints and pre-partition
+    // edges and ranks on the source key instead.
     for (_ <- 1 to PagerankIters) {
-      val contrib = symDeg.join(pr, col("s") === col("v"))
+      val contrib = symDeg.join(broadcast(pr), col("s") === col("v"))
         .select(col("d"), (col("pr") / col("deg")).as("c"))
         .groupBy("d").agg(sum("c").as("in"))
-      pr = nodes.join(contrib, nodes("v") === contrib("d"), "left")
+      pr = nodes.join(broadcast(contrib), nodes("v") === contrib("d"), "left")
         .select(col("v"),
           round(lit(0.15) + lit(0.85) * coalesce(col("in"), lit(0.0)), 9).as("pr"))
     }
