@@ -39,7 +39,7 @@ object Dedup {
     * is plan-equivalent (column pruning drops the string before any
     * exchange either way); the lambda form just keeps one definition. */
   private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text"))
       .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(transform(Portable.shingles3(col("toks")), s => Portable.hash60(s))).as("h"))
@@ -160,8 +160,9 @@ object Dedup {
     // counts read the h-level posting lists, so within-doc repeats of a
     // window cannot affect any output — they only add rare extra rows
     // cheaper than a per-doc hash-set pass over every 260-element array.
-    val wins = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= k)
+    val wins = Tables.fanOut(Tables.documents(spark, dir)
+        .filter(length(col("text")) >= k)
+        .select("doc_id", "text"))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), length(col("text")) - (k - 1)),
@@ -274,7 +275,8 @@ object Dedup {
     * |candidates| × |shingles-per-doc| work, never a corpus cross product. */
   private def jaccardOnCandidates(spark: SparkSession, dir: String,
                                   cand: DataFrame): DataFrame = {
-    val sh = docShingleHashes(spark, dir)
+    // Three consumers (size agg + both join probes) — materialize once.
+    val sh = docShingleHashes(spark, dir).localCheckpoint()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -292,7 +294,9 @@ object Dedup {
     * signature. Candidate generation only (verify with dedupNgramJaccard on
     * candidates in a real pipeline). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val buckets = minhashBuckets(spark, dir)
+    // Materialized once: the self-join below would otherwise run the whole
+    // signature computation (shingle scan + 32-way min agg) per side.
+    val buckets = minhashBuckets(spark, dir).localCheckpoint()
     buckets.as("x")
       .join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
@@ -317,11 +321,14 @@ object Dedup {
     * 15-bit bands give 32768 buckets per band (widen bands as the corpus
     * grows to keep buckets small). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // Materialized once: the self-join below would otherwise run the whole
+    // SimHash computation (token explode + two aggregations) per side.
     val banded = TextAnalysis.simhashSigs(spark, dir)
       .select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimhashBands - 1))).as("band"))
       .select(col("doc_id"), col("simhash"), col("band"),
         expr(s"shiftright(simhash, band * $SimhashBandBits) & $SimhashBandMask").as("bkt"))
+      .localCheckpoint()
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&

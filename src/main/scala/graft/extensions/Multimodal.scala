@@ -34,10 +34,10 @@ object Multimodal {
 
   /** Demonstration media source: documents' text bytes as `binary` payload. */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(
+    Tables.fanOut(Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
       lit("text/plain").as("mime"),
-      col("text").cast("binary").as("payload"))
+      col("text").cast("binary").as("payload")))
 
   /** STUB decoder ??? — replace with a real codec (JPEG/PNG/audio) when the
     * native libs are present. Deterministic fake: 4 floats derived from the

@@ -54,8 +54,8 @@ object Privacy {
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     def markers(s: Column, m: String) =
       ((length(s) - length(replace(s, lit(m), lit("")))) / m.length).cast("int")
-    Tables.events(spark, dir)
-      .select(col("event_id"), rawLine.as("raw"))
+    Tables.fanOut(Tables.events(spark, dir)
+        .select(col("event_id"), rawLine.as("raw")))
       .withColumn("s1", regexp_replace(col("raw"), EmailRe, "<EMAIL>"))
       .withColumn("s2", regexp_replace(col("s1"), PhoneRe, "<PHONE>"))
       .withColumn("s3", regexp_replace(col("s2"), IpRe, "<IP>"))

@@ -38,7 +38,7 @@ object Similarity {
 
   /** Shared vector projection (doubles + norm); also used by Dedup. */
   private[extensions] def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
+    Tables.fanOut(Tables.embeddings(spark, dir))
       .select(col("vec_id"), Portable.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", Portable.l2norm(col("v")))
 
@@ -187,8 +187,10 @@ object Similarity {
     * pair that collides in several bands to one verification. Recall < 1 by
     * design; the oracle implements the same approximation. */
   def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
-    val sig = bandSignatures(spark, dir)
+    // Both materialized once: the bucket self-join would re-project all
+    // 128 sign bits per side, and the verify join reads the vectors twice.
+    val vs = vectors(spark, dir).localCheckpoint()
+    val sig = bandSignatures(spark, dir).localCheckpoint()
     val cand = sig.as("x")
       .join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&

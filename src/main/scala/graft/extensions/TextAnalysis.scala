@@ -29,7 +29,7 @@ object TextAnalysis {
     * Portable.tokens(text) repeatedly would re-run the regex split per
     * reference (measured 20× slowdown in the shingle pipeline). */
   private def withToksDf(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .withColumn("toks", Portable.tokens(col("text")))
 
   /** Token counting: whitespace tokens, distinct tokens, mean token length. */
@@ -116,8 +116,9 @@ object TextAnalysis {
     * MOSS/winnowing selection, with global-min-k instead of per-window min
     * (deterministic and SQL-expressible on both engines). */
   def textWinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
-      .filter(length(col("text")) >= 8)
+    val grams = Tables.fanOut(Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 8)
+        .select("doc_id", "text"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")) - 7)).as("i"))
       .select(col("doc_id"),
@@ -145,7 +146,7 @@ object TextAnalysis {
   /** Unordered (doc_id, simhash) signatures — shared with
     * [[Dedup.dedupSimhash]], which banding-joins them. */
   private[extensions] def simhashSigs(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    val tok = Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text"))
       .select(col("doc_id"), explode(Portable.tokens(col("text"))).as("tok"))
       .select(col("doc_id"), Portable.hash60(col("tok")).as("h"))
     tok
@@ -381,7 +382,7 @@ object TextAnalysis {
     * doc in the partial phase — shuffle volume is docs × alphabet. */
   def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ch = Tables.documents(spark, dir)
+    val ch = Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text"))
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .filter(col("ch") =!= "")
     val counts = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
@@ -408,8 +409,11 @@ object TextAnalysis {
     * sorted in-row pair expansion (one aggregation + explode, no corpus
     * self-join), rounded before the ordered limit. */
   def textPmi(spark: SparkSession, dir: String): DataFrame = {
+    // Four consumers below (df counts, corpus size, pair expansion, and
+    // the df join-backs) — materialize the tokenized relation once.
     val dt = withToksDf(spark, dir)
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+      .localCheckpoint()
     val dfc = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val nd = dt.agg(count_distinct(col("doc_id")).as("n_docs"))
     val pairs = dt.join(dfc.filter(col("df") >= MinPmiDf).select("term"), "term")
@@ -961,7 +965,7 @@ object TextAnalysis {
     * so this query has NO oracle entry and takes the driver's rows-only
     * check; n_chars/n_bytes are cross-engine-checked via text_stats. */
   def textCompressionRatio(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         octet_length(col("text")).cast("long").as("n_bytes"),

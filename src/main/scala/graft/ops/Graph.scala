@@ -36,8 +36,10 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, src: String = "src",
                           dst: String = "dst", maxIter: Int = 20): DataFrame = {
-    val a = col(src).as("n"); val b = col(dst).as("m")
-    val sym = edges.select(a, b).union(edges.select(col(dst).as("n"), col(src).as("m")))
+    // Materialize the (possibly expensive) edge pipeline before the
+    // both-directions union reads it twice.
+    val e0 = edges.select(col(src).as("n"), col(dst).as("m")).localCheckpoint()
+    val sym = e0.union(e0.select(col("m").as("n"), col("n").as("m")))
       .filter(col("n") =!= col("m")).distinct().localCheckpoint()
     var labels = sym.select(col("n").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()

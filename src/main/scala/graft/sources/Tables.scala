@@ -27,6 +27,19 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Round-robin fan-out to full parallelism — placed between a narrow
+    * source projection and CPU-heavy per-row work (regex chains, window
+    * hashing, signature loops). Scan parallelism is bounded by parquet
+    * row groups, and Spark fuses per-row expressions into the scan stage:
+    * over few/monolithic row groups (the driver testdata is ONE group per
+    * table) the expensive map otherwise runs on as many cores as there
+    * are groups, not as many as the machine has. The shuffled payload is
+    * the projected input (small), never the expanded features. On a real
+    * many-file corpus the scan is already wide and this exchange is pure
+    * overhead — so call sites opt in only where per-row cost dominates. */
+  def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")

@@ -75,7 +75,9 @@ class PlanAssertionsSpec extends SparkTestBase {
     // no collect_list buffers, no distinct-then-window double exchange
     p should include ("ObjectHashAggregate")
     p should not include "collect_list"
-    "Exchange".r.findAllIn(p).size shouldBe 2 // agg + final orderBy only
+    // fan-out repartition + agg + final orderBy; the fan-out exchange
+    // carries the narrow (doc_id, text) projection, never the grams
+    "Exchange".r.findAllIn(p).size shouldBe 3
   }
 
   test("pii_scrub: stateless map work — no join, no aggregation, pruned scan") {
