@@ -364,12 +364,21 @@ object TextAnalysis {
     val dt = withToksDf(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
     val cnt = dt.groupBy("term").agg(count(lit(1)).as("c"))
     val tot = dt.agg(count(lit(1)).as("total"))
-    dt.join(broadcast(cnt), "term")
+    // Sequential fold in term order (same rationale as textCharEntropy: a
+    // parallel AVG is summation-order-dependent in the last ulp, which can
+    // flip the 6-dp rounding on either engine between runs). Per-doc terms
+    // collapse to (term, in-doc count) first, so the fold is vocabulary-
+    // bounded and each term contributes k·lp in one exact IEEE product.
+    val perTerm = dt.groupBy("doc_id", "term").agg(count(lit(1)).as("k"))
+    perTerm.join(broadcast(cnt), "term")
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("term"), col("k"),
         round(log(col("c").cast("double") / col("total")), 9).as("lp"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), round(avg("lp"), 6).as("avg_logprob"))
+      .agg(sum("k").cast("long").as("n_tokens"),
+        round(expr(
+          "aggregate(transform(sort_array(collect_list(struct(term, k, lp))), x -> x.k * x.lp), 0.0D, (acc, t) -> acc + t)")
+          / sum("k"), 6).as("avg_logprob"))
       .orderBy("doc_id")
   }
 
@@ -387,12 +396,20 @@ object TextAnalysis {
       .filter(col("ch") =!= "")
     val counts = ch.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
       .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+    // The per-char terms are summed by a SEQUENTIAL fold in char order on
+    // both engines — a parallel SUM() is order-dependent in the last ulp,
+    // and a document whose entropy lands within that ulp of a .5e-6
+    // rounding boundary then flips between runs on whichever engine
+    // parallelizes the sum (observed: DuckDB multi-threaded aggregation
+    // failing the gate 3 runs out of 8). Alphabet-sized per-doc state.
     counts
-      .select(col("doc_id"), col("n"),
+      .select(col("doc_id"), col("n"), col("ch"),
         round((col("c") / col("n")) * log(col("c") / col("n")), 9).as("term"))
       .groupBy("doc_id")
       .agg(min("n").cast("long").as("n_chars_counted"),
-        round(-sum("term"), 6).as("entropy"))
+        round(-expr(
+          "aggregate(transform(sort_array(collect_list(struct(ch, term))), x -> x.term), 0.0D, (acc, t) -> acc + t)"),
+          6).as("entropy"))
       .orderBy("doc_id")
   }
 
@@ -572,6 +589,67 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Greedy merge rounds for [[textBpeMerges]] — fixed count, so the oracle
+    * unrolls the same number of CTE stages. */
+  val BpeMergeRounds = 3
+
+  /** The inner loop of BPE tokenizer training (Sennrich et al. 2016,
+    * arXiv:1508.07909), distributed the way production trainers shape it:
+    * the CORPUS is touched exactly once (the word-frequency aggregation);
+    * every merge round then works on the distinct-WORD relation weighted by
+    * frequency — vocabulary-sized, orders of magnitude smaller than the
+    * corpus, so 100 TB of text costs one shuffle plus rounds over a
+    * dictionary. Each round counts adjacent symbol pairs (weighted by word
+    * freq), picks the max (tiebreak: lexicographic (a, b) — ASCII-only
+    * symbols, so Spark/DuckDB orderings agree), and rewrites the symbol
+    * strings. The chosen pair per round is a scalar driver decision, like a
+    * Lloyd step — not a per-row collect.
+    *
+    * Boundary-exact merge application: symbol sequences are encoded as
+    * `<sym><sym>…` so `replace(s, '<a><b>', '<ab>')` can never match inside
+    * a multi-character symbol or across a false boundary, and both engines
+    * share identical left-to-right non-overlapping replace semantics.
+    * Symbols stay `[a-z0-9]+` by the word filter, so the wrapper characters
+    * cannot occur inside a symbol. Output: the merge table (round, pair,
+    * weighted frequency). */
+  def textBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(Tables.documents(spark, dir).select("text"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    bpeMergesFromWords(words, BpeMergeRounds)
+  }
+
+  /** Core merge loop over a (word, freq) vocabulary relation. */
+  private[graft] def bpeMergesFromWords(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var syms = words.select(
+        concat(lit("<"), array_join(split(col("word"), ""), "><"), lit(">")).as("s"),
+        col("freq"))
+      .localCheckpoint() // re-read every round; the corpus is never re-scanned
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val best = syms
+        .select(expr("split(substring(s, 2, length(s) - 2), '><')").as("sp"), col("freq"))
+        .filter(size(col("sp")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(sp) - 2), i -> struct(sp[i] AS a, sp[i + 1] AS b))")).as("p"),
+          col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("f"))
+        .orderBy(col("f").desc, col("a"), col("b"))
+        .limit(1).collect()
+      require(best.nonEmpty, "BPE merge round found no adjacent pairs — corpus too small")
+      val (a, b, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((r, a, b, f))
+      syms = syms.select(
+          expr(s"replace(s, '<$a><$b>', '<$a$b>')").as("s"), col("freq"))
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "pair_a", "pair_b", "freq").orderBy("round")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -582,7 +660,38 @@ object TextAnalysis {
        |  FROM documents
        |)""".stripMargin
 
+  /** One BPE pair-count + merge-selection stage over symbol strings in
+    * relation `prev` (columns s, freq) — unrolled [[BpeMergeRounds]] times. */
+  private def bpeStageSql(prev: String, pairs: String, mrg: String, next: String) =
+    s"""$pairs AS (
+       |  SELECT sp[i] AS a, sp[i+1] AS b, sum(freq)::BIGINT AS f
+       |  FROM (SELECT string_split(substr(s, 2, length(s)-2), '><') AS sp, freq FROM $prev),
+       |       unnest(range(1, len(sp))) AS t(i)
+       |  GROUP BY 1, 2
+       |),
+       |$mrg AS (SELECT a, b, f FROM $pairs ORDER BY f DESC, a, b LIMIT 1),
+       |$next AS (SELECT replace(s, '<'||a||'><'||b||'>', '<'||a||b||'>') AS s, freq
+       |          FROM $prev, $mrg)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_bpe_merges" ->
+      s"""WITH words AS (
+         |  SELECT w AS word, count(*)::BIGINT AS freq
+         |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w
+         |),
+         |s0 AS (
+         |  SELECT '<' || array_to_string(string_split(word, ''), '><') || '>' AS s, freq
+         |  FROM words
+         |),
+         |${bpeStageSql("s0", "p1", "m1", "s1")},
+         |${bpeStageSql("s1", "p2", "m2", "s2")},
+         |${bpeStageSql("s2", "p3", "m3", "s3")}
+         |SELECT 1 AS round, a AS pair_a, b AS pair_b, f AS freq FROM m1
+         |UNION ALL SELECT 2, a, b, f FROM m2
+         |UNION ALL SELECT 3, a, b, f FROM m3
+         |ORDER BY round""".stripMargin,
+
     "text_stats" ->
       s"""$withToks
          |SELECT doc_id,
@@ -742,10 +851,15 @@ object TextAnalysis {
          |  SELECT doc_id, unnest(toks) AS term FROM t
          |), cnt AS (
          |  SELECT term, count(*) AS c FROM dt GROUP BY term
-         |), tot AS (SELECT count(*) AS total FROM dt)
-         |SELECT doc_id, count(*) AS n_tokens,
-         |       round(avg(round(ln(CAST(c AS DOUBLE) / total), 9)), 6) AS avg_logprob
-         |FROM dt JOIN cnt USING (term), tot
+         |), tot AS (SELECT count(*) AS total FROM dt),
+         |pt AS (
+         |  SELECT doc_id, term, count(*) AS k FROM dt GROUP BY doc_id, term
+         |)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+         |       round(list_reduce(
+         |         list(k * round(ln(CAST(c AS DOUBLE) / total), 9) ORDER BY term),
+         |         (x, y) -> x + y) / sum(k), 6) AS avg_logprob
+         |FROM pt JOIN cnt USING (term), tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
@@ -755,12 +869,14 @@ object TextAnalysis {
         |), f AS (
         |  SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch <> '' GROUP BY doc_id, ch
         |), wn AS (
-        |  SELECT doc_id, c,
+        |  SELECT doc_id, ch, c,
         |         sum(c) OVER (PARTITION BY doc_id) AS n
         |  FROM f
         |)
         |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars_counted,
-        |       round(-sum(round((c / n) * ln(c / n), 9)), 6) AS entropy
+        |       round(-list_reduce(
+        |         list(round((c / n) * ln(c / n), 9) ORDER BY ch),
+        |         (x, y) -> x + y), 6) AS entropy
         |FROM wn
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
@@ -1000,6 +1116,7 @@ object TextAnalysis {
     "text_stratified_sample"  -> (textStratifiedSample _),
     "text_profile"            -> (textProfile _),
     "text_pmi"                -> (textPmi _),
+    "text_bpe_merges"         -> (textBpeMerges _),
     "text_sample_per_source"  -> (textSamplePerSource _),
     "text_weighted_sample"    -> (textWeightedSample _),
   )

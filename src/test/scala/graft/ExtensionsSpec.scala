@@ -141,4 +141,17 @@ class ExtensionsSpec extends SparkTestBase {
     z.map(_._1).toSet should not contain "flat"
     all(z.map(_._2)) should (not be Double.NaN and not be Double.PositiveInfinity)
   }
+
+  test("BPE merges: hand-computed fixture, boundary-exact multi-char merging") {
+    // vocab: abab x2, ab x3, ba x1
+    // round 1 pairs: (a,b) = 2*2 + 3 = 7, (b,a) = 2 + 1 = 3 -> merge (a,b,7)
+    //   abab -> <ab><ab>, ab -> <ab>, ba stays <b><a>
+    // round 2 pairs: (ab,ab) = 2, (b,a) = 1 -> merge (ab,ab,2)
+    //   NOTE a naive space-separated encoding would also corrupt "ba" here;
+    //   the <sym> wrapping keeps (b,a) intact and un-merged.
+    val words = Seq(("abab", 2L), ("ab", 3L), ("ba", 1L)).toDF("word", "freq")
+    val m = graft.extensions.TextAnalysis.bpeMergesFromWords(words, 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    m shouldBe Seq((1, "a", "b", 7L), (2, "ab", "ab", 2L))
+  }
 }
