@@ -308,13 +308,18 @@ object Events {
       .groupBy("event_type")
       .agg(percentile(col("value"), lit(0.05)).as("p05"),
         percentile(col("value"), lit(0.95)).as("p95"))
+    // Means via exact DECIMAL sums (order-independent) divided in double:
+    // a parallel float AVG is summation-order-dependent in its last ulp,
+    // which can flip the 6-dp rounding between runs on either engine.
+    def decMean(c: org.apache.spark.sql.Column) =
+      round(sum(c.cast(DecimalType(38, 18))).cast("double") / count(lit(1)), 6)
     Tables.events(spark, dir)
       .join(broadcast(qs), "event_type")
       .withColumn("w", least(greatest(col("value"), col("p05")), col("p95")))
       .groupBy("event_type")
       .agg(
-        round(avg("value"), 6).as("mean_raw"),
-        round(avg("w"), 6).as("mean_winsorized"),
+        decMean(col("value")).as("mean_raw"),
+        decMean(col("w")).as("mean_winsorized"),
         count(when(col("value") < col("p05") || col("value") > col("p95"), 1)).as("n_clamped"),
         round(min("p05"), 6).as("p05"),
         round(min("p95"), 6).as("p95"))
@@ -329,9 +334,21 @@ object Events {
     * degenerate group (all values equal → sd = 0) emits no rows instead of
     * NaN/Inf scores — the sd > 0 guard is mirrored in the oracle. */
   def eventsZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    // Mean and stddev derive from exact DECIMAL sums of v and v·v (the
+    // v·v product is one deterministic IEEE op per row), then ONE shared
+    // double expression tree — order-independent aggregation, so the 6-dp
+    // rounded z cannot flip between runs on either engine. The two-pass
+    // textbook stddev is avoided on purpose: Welford/parallel-merge
+    // variance is combine-order-dependent.
     val stats = Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(avg("value").as("m"), stddev_samp(col("value")).as("sd"))
+      .agg(
+        sum(col("value").cast(DecimalType(38, 18))).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 15))).cast("double").as("s2"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"), (col("s1") / col("cnt")).as("m"),
+        sqrt(greatest(lit(0.0),
+          (col("s2") - col("s1") * col("s1") / col("cnt")) / (col("cnt") - 1))).as("sd"))
     Tables.events(spark, dir)
       .join(broadcast(stats), "event_type")
       .filter(col("sd") > 0)
@@ -411,8 +428,8 @@ object Events {
         |  FROM events GROUP BY event_type
         |)
         |SELECT e.event_type,
-        |       round(avg(value), 6) AS mean_raw,
-        |       round(avg(least(greatest(value, p05), p95)), 6) AS mean_winsorized,
+        |       round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_raw,
+        |       round(CAST(sum(CAST(least(greatest(value, p05), p95) AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_winsorized,
         |       count(*) FILTER (WHERE value < p05 OR value > p95) AS n_clamped,
         |       round(min(p05), 6) AS p05,
         |       round(min(p95), 6) AS p95
@@ -421,9 +438,16 @@ object Events {
         |ORDER BY e.event_type""".stripMargin,
 
     "events_zscore_outliers" ->
-      """WITH s AS (
-        |  SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+      """WITH s0 AS (
+        |  SELECT event_type,
+        |         CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) AS s1,
+        |         CAST(sum(CAST(value * value AS DECIMAL(38,15))) AS DOUBLE) AS s2,
+        |         count(*) AS cnt
         |  FROM events GROUP BY event_type
+        |), s AS (
+        |  SELECT event_type, s1 / cnt AS m,
+        |         sqrt(greatest(0.0, (s2 - s1 * s1 / cnt) / (cnt - 1))) AS sd
+        |  FROM s0
         |)
         |SELECT event_id, e.event_type, value,
         |       round((value - m) / sd, 6) AS z

@@ -129,7 +129,8 @@ object Privacy {
       .groupBy("host", "reg_domain")
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"),
-        round(avg("value"), 6).as("avg_value"))
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(lit(1)), 6).as("avg_value"))
       .orderBy("host")
   }
 
@@ -193,7 +194,7 @@ object Privacy {
          |SELECT host, regexp_extract(host, '$RegDomainRe', 1) AS reg_domain,
          |       count(*) AS n_events,
          |       count(DISTINCT user_id) AS n_users,
-         |       round(avg(value), 6) AS avg_value
+         |       round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS avg_value
          |FROM h
          |GROUP BY host, regexp_extract(host, '$RegDomainRe', 1)
          |ORDER BY host""".stripMargin,

@@ -234,7 +234,12 @@ object Similarity {
     rankCentroids(vs, seeds)
       .filter(col("rk") === 1)
       .select(col("cent_id"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("cent_id", "i").agg(round(avg("x"), 6).as("cx"))
+      // exact decimal sum / double divide: an order-dependent float AVG
+      // could flip the 6-dp rounding — and a flipped centroid coordinate
+      // cascades into every downstream assignment
+      .groupBy("cent_id", "i").agg(
+        round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(lit(1)), 6).as("cx"))
       .groupBy("cent_id")
       .agg(expr("transform(array_sort(collect_list(struct(i, cx))), s -> s.cx)").as("cv"))
       .withColumn("cn", Portable.l2norm(col("cv")))
@@ -278,7 +283,10 @@ object Similarity {
       .select(col("label"), posexplode(Portable.asDouble(col("embedding"))))
       .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("x"))
       .groupBy("label", "dim")
-      .agg(round(avg("x"), 6).as("centroid"), count(lit(1)).as("n_vectors"))
+      .agg(
+        round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(lit(1)), 6).as("centroid"),
+        count(lit(1)).as("n_vectors"))
       .orderBy("label", "dim")
 
   /** Cosine threshold above which two same-cluster vectors are semantic
@@ -373,7 +381,8 @@ object Similarity {
        |    JOIN nrm nc ON c.cent_id = nc.vec_id
        |  ) WHERE rk = 1
        |), cent1 AS (
-       |  SELECT a.cent_id, pos.i, round(avg(pos.x), 6) AS cx
+       |  SELECT a.cent_id, pos.i,
+       |         round(CAST(sum(CAST(pos.x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS cx
        |  FROM assign0 a JOIN pos ON pos.vec_id = a.vec_id
        |  GROUP BY a.cent_id, pos.i
        |), cn1 AS (
@@ -402,7 +411,9 @@ object Similarity {
        |  SELECT vec_id,
        |         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM (
-       |    SELECT pos.vec_id, planes.j, round(sum(pos.x * planes.w), 9) AS s
+       |    SELECT pos.vec_id, planes.j,
+       |           round(list_reduce(list(pos.x * planes.w ORDER BY pos.i),
+       |                             (x, y) -> x + y), 9) AS s
        |    FROM pos JOIN planes ON pos.i = planes.i
        |    GROUP BY pos.vec_id, planes.j
        |  ) sub
@@ -420,7 +431,9 @@ object Similarity {
        |  SELECT vec_id, j // $DedupPlanesPerBand AS band,
        |         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << (j % $DedupPlanesPerBand)) ELSE 0 END) AS BIGINT) AS bkt
        |  FROM (
-       |    SELECT pos.vec_id, planes.j, round(sum(pos.x * planes.w), 9) AS s
+       |    SELECT pos.vec_id, planes.j,
+       |           round(list_reduce(list(pos.x * planes.w ORDER BY pos.i),
+       |                             (x, y) -> x + y), 9) AS s
        |    FROM pos JOIN planes ON pos.i = planes.i
        |    GROUP BY pos.vec_id, planes.j
        |  ) sub
@@ -429,7 +442,9 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "sim_label_centroids" ->
-      """SELECT label, CAST(i AS INTEGER) AS dim, round(avg(x), 6) AS centroid, count(*) AS n_vectors
+      """SELECT label, CAST(i AS INTEGER) AS dim,
+        |       round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS centroid,
+        |       count(*) AS n_vectors
         |FROM (
         |  SELECT label, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS x
         |  FROM embeddings

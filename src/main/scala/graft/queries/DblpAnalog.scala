@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.ops.Relational
 import graft.sources.Tables
@@ -201,10 +202,20 @@ object DblpAnalog {
     // — the edge list is never shuffled per iteration. For graphs whose
     // node state outgrows broadcast, drop the hints and pre-partition
     // edges and ranks on the source key instead.
+    // In-contributions sum as DECIMAL(38,18), not a double SUM: each
+    // iteration rounds at 9 dp, and with a parallel float sum a node whose
+    // contribution total sits within a last-ulp of a rounding boundary
+    // flips between runs on whichever engine parallelizes the aggregation —
+    // and a pagerank flip cascades through the remaining iterations. The
+    // decimal cast of a double is deterministic and engine-identical (a
+    // binary rational can never be exactly half-way at a decimal scale),
+    // and the decimal sum is exact, hence order-independent — O(1) state,
+    // hub-safe, unlike an ordered fold. Same discipline as money sums.
     for (_ <- 1 to PagerankIters) {
       val contrib = symDeg.join(broadcast(pr), col("s") === col("v"))
-        .select(col("d"), (col("pr") / col("deg")).as("c"))
-        .groupBy("d").agg(sum("c").as("in"))
+        .select(col("d"),
+          (col("pr") / col("deg")).cast(DecimalType(38, 18)).as("c"))
+        .groupBy("d").agg(sum("c").cast("double").as("in"))
       pr = nodes.join(broadcast(contrib), nodes("v") === contrib("d"), "left")
         .select(col("v"),
           round(lit(0.15) + lit(0.85) * coalesce(col("in"), lit(0.0)), 9).as("pr"))
@@ -331,7 +342,8 @@ object DblpAnalog {
   private def pagerankOracle: String = {
     val iters = (1 to PagerankIters).map { k =>
       s"""p$k AS (
-         |  SELECT n.v, round(0.15 + 0.85 * coalesce(sum(p.pr / dg.deg), 0), 9) AS pr
+         |  SELECT n.v, round(0.15 + 0.85 * coalesce(CAST(
+         |           sum(CAST(p.pr / dg.deg AS DECIMAL(38,18))) AS DOUBLE), 0), 9) AS pr
          |  FROM nodes n
          |  LEFT JOIN pairs e ON e.d = n.v
          |  LEFT JOIN p${k - 1} p ON p.v = e.s
