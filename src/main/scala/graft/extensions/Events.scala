@@ -402,6 +402,96 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Markov transition mining over per-user event sequences: consecutive
+    * (from → to) event-type bigrams from ONE lag window, counted globally —
+    * the product-analytics "behavior flow" matrix. Scale shape: the lag
+    * pass shuffles once on user_id; the bigram count's keyspace is
+    * |types|² (tiny), so its aggregation is map-side dominated. */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("n_transitions").desc, col("from_type").asc, col("to_type").asc)
+  }
+
+  /** Hourly top-k heavy users — windowed heavy-hitter reporting (who
+    * dominated each hour): per-(hour, user) counts, then row_number ≤ 3 per
+    * hour. The rank window runs over the PRE-AGGREGATED hourly relation
+    * (one row per user-hour, not per event), and plans with the
+    * WindowGroupLimit map-side eviction — per-task state is 3 rows per
+    * hour regardless of user cardinality. */
+  def eventsHourlyTopk(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("hour").orderBy(col("n_events").desc, col("user_id").asc)
+    hourly.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("hour").asc, col("rk").asc)
+  }
+
+  /** EWMA weights 1, α, α², … α⁷ (α = 0.5): all exact binary fractions, so
+    * weighted products introduce no decimal-representation skew. */
+  private val ewmaWeights: Seq[(Int, Double)] =
+    (0 to 7).map(j => j -> math.pow(0.5, j))
+
+  /** Exponentially-weighted moving average per user with a BOUNDED 8-term
+    * memory. The textbook EWMA recurrence is inherently sequential (every
+    * value depends on the whole prefix — a chain no engine parallelizes);
+    * truncating at 8 terms keeps 1 − 2⁻⁸ ≈ 99.6% of the weight mass at
+    * α = 0.5 and turns the recurrence into a fixed window expression:
+    * O(1) per-row state, one user_id exchange, embarrassingly parallel.
+    * All 8 lags share ONE window; the weighted terms are summed in a fixed
+    * left-to-right order, so both engines run identical IEEE arithmetic.
+    * Warm-up rows renormalize by the sum of PRESENT weights (no bias at
+    * the sequence head). */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val lagged = ewmaWeights.foldLeft(
+      Tables.events(spark, dir).select(col("user_id"), col("event_id"), col("ts"), col("value"))) {
+      case (df, (j, _)) =>
+        if (j == 0) df else df.withColumn(s"l$j", lag(col("value"), j).over(byUser))
+    }
+    def term(j: Int, w: Double) = {
+      val c = if (j == 0) col("value") else col(s"l$j")
+      (when(c.isNotNull, c * lit(w)).otherwise(lit(0.0)),
+       when(c.isNotNull, lit(w)).otherwise(lit(0.0)))
+    }
+    val (numers, denoms) = ewmaWeights.map { case (j, w) => term(j, w) }.unzip
+    lagged
+      .withColumn("ewma", round(numers.reduce(_ + _) / denoms.reduce(_ + _), 6))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("ewma"))
+      .orderBy("event_id")
+  }
+
+  /** Oracle twin of [[eventsEwma]] generated from the same weight list, so
+    * the term order and weight constants can never drift apart. */
+  private val ewmaOracleSql: String = {
+    val lagDefs = ewmaWeights.collect { case (j, _) if j > 0 =>
+      s"lag(value, $j) OVER uw AS l$j" }.mkString(",\n      |         ")
+    val numer = ewmaWeights.map { case (j, w) =>
+      val c = if (j == 0) "value" else s"l$j"
+      s"(CASE WHEN $c IS NOT NULL THEN $c * $w ELSE 0.0 END)"
+    }.mkString(" + ")
+    val denom = ewmaWeights.map { case (j, w) =>
+      val c = if (j == 0) "value" else s"l$j"
+      s"(CASE WHEN $c IS NOT NULL THEN $w ELSE 0.0 END)"
+    }.mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT event_id, user_id, ts, value,
+       |         $lagDefs
+       |  FROM events
+       |  WINDOW uw AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |)
+       |SELECT event_id, user_id, ts, value,
+       |       round(($numer) / ($denom), 6) AS ewma
+       |FROM w ORDER BY event_id""".stripMargin
+  }
+
   private val asofOracleSql =
     """WITH ev AS (
       |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events
@@ -420,6 +510,34 @@ object Events {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC) AS from_type
+        |  FROM events
+        |)
+        |SELECT from_type, event_type AS to_type, count(*) AS n_transitions
+        |FROM seq WHERE from_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY n_transitions DESC, from_type ASC, to_type ASC""".stripMargin,
+
+    "events_hourly_topk" ->
+      """WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, user_id,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY hour, user_id
+        |)
+        |SELECT hour, user_id, n_events,
+        |       CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY hour
+        |        ORDER BY n_events DESC, user_id ASC) AS rk
+        |      FROM hourly)
+        |WHERE rk <= 3
+        |ORDER BY hour ASC, rk ASC""".stripMargin,
+
+    "events_ewma" -> ewmaOracleSql,
+
     "events_winsorized" ->
       """WITH q AS (
         |  SELECT event_type,
@@ -682,5 +800,8 @@ object Events {
     "events_zscore_outliers"  -> (eventsZscoreOutliers _),
     "events_mad_outliers"     -> (eventsMadOutliers _),
     "events_winsorized"       -> (eventsWinsorized _),
+    "events_transitions"      -> (eventsTransitions _),
+    "events_hourly_topk"      -> (eventsHourlyTopk _),
+    "events_ewma"             -> (eventsEwma _),
   )
 }

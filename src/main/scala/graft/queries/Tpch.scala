@@ -620,6 +620,290 @@ object Tpch {
       .limit(100)
   }
 
+  /** partsupp analog — the slimmed schema has no partsupp table
+    * (TESTDATA.md), so the part-supplier relation is derived from lineitem:
+    * one row per distinct (l_partkey, l_suppkey) with the minimum observed
+    * unit price as the supply cost. Both engines evaluate the same IEEE
+    * double division on the same rows and min is order-independent, so the
+    * derived relation is bit-identical across Spark and the oracle WITHOUT
+    * any rounding — deliberately none here: a decimal round of the quotient
+    * can differ by 1 ulp between engines (Spark rounds the exact binary
+    * expansion, DuckDB rounds after a 10^k multiply), and downstream
+    * arithmetic (Q9's cost × quantity) would amplify that into the sums.
+    * One hash aggregation on the pair key; at scale this is the same
+    * shuffle any partsupp-keyed query pays. */
+  def partSupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("ps_supplycost"))
+
+  /** TPC-H Q2 shape — min-cost supplier per part: the classic correlated-MIN
+    * subquery, decorrelated to a per-part window MIN over the region-filtered
+    * candidate set (one evaluation of the candidate relation instead of the
+    * textbook's re-scan per row). part and the supplier⋈nation⋈region lookup
+    * are both broadcast; the only exchange is the window's per-part hash —
+    * on the already part-filtered candidates, not the full partsupp. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_size") === 48 && col("p_type") === "LARGE")
+      .select("p_partkey", "p_name")
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .join(Tables.region(spark, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val cand = partSupp(spark, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(eu), col("ps_suppkey") === col("s_suppkey"))
+    val w = Window.partitionBy("ps_partkey")
+    cand.withColumn("min_cost", min(col("ps_supplycost")).over(w))
+      .filter(col("ps_supplycost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("ps_supplycost").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q6 shape — the forecasting-revenue-change scan: single-table
+    * filter + two-column aggregate, no join, no shuffle beyond the 1-row
+    * partial-agg merge. All three predicates reach the parquet scan. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(decSum2(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8 shape — national market share: one nation's fraction of a
+    * region's part-type revenue per order year. The share is a conditional
+    * sum over the SAME joined relation (never a self-join); part, both
+    * nation lookups, and supplier are broadcast, so lineitem shuffles only
+    * for the orders join and the 2-row year rollup. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val asiaCust = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val suppN = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1998-01-01").cast("timestamp"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaCust), col("c_nationkey") === col("cnk"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppN), col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        decSum2(when(col("supp_nation") === "NATION_2", vol).otherwise(lit(0.0)))
+          .as("nation_rev"),
+        decSum2(vol).as("total_rev"))
+      .withColumn("mkt_share", round(col("nation_rev") / col("total_rev"), 6))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 shape — product-type profit by nation and year: profit =
+    * revenue − supply cost × quantity, with the cost looked up in the
+    * derived partsupp on the composite (part, supplier) key. The partsupp
+    * side is semi-join-pruned to the LIKE-matching parts BEFORE its shuffle,
+    * so the composite-key exchange moves only matching pairs. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("%widget%")).select("p_partkey")
+    val ps = partSupp(spark, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"), "left_semi")
+    val profit = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("ps_supplycost") * col("l_quantity")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(ps, col("l_partkey") === col("ps_partkey") &&
+                col("l_suppkey") === col("ps_suppkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(decSum2(profit).as("sum_profit"))
+      .orderBy(col("nation").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q10 shape — returned-item reporting: top-20 customers by revenue
+    * lost to returns in one quarter. Grouping keys carry the customer
+    * attributes through the aggregation (no post-agg join back), and the
+    * top-20 plans as TakeOrderedAndProject. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+    Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(decSum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** TPC-H Q11 shape — important-stock screen: per-part value restricted to
+    * one nation's suppliers, kept when above a fraction of the global total.
+    * The global total re-aggregates the per-part values (sum of DECIMAL over
+    * the already-rounded doubles — exact and order-independent) and joins
+    * back as a broadcast scalar, never a shuffle. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val n3 = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val v = partSupp(spark, dir)
+      .join(broadcast(n3), col("ps_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("ps_partkey")
+      .agg(decSum2(col("ps_supplycost")).as("part_value"))
+    val total = v.agg(
+      round(sum(col("part_value").cast(DecimalType(28, 10))), 2)
+        .cast("double").as("total_value"))
+    v.crossJoin(broadcast(total))
+      .filter(col("part_value") > lit(0.0005) * col("total_value"))
+      .select("ps_partkey", "part_value")
+      .orderBy(col("part_value").desc, col("ps_partkey").asc)
+  }
+
+  /** TPC-H Q12 shape — shipping-speed priority mix: the slimmed schema has
+    * no ship mode, so Q12's mode classes become ship-delay buckets (FAST /
+    * MEDIUM / SLOW on days between order and ship date); the high/low
+    * priority split is the same CASE-inside-SUM pair over one join. */
+  def q12ShipSpeed(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val speed = when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 180 DAYS"), "3-SLOW")
+      .when(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 90 DAYS"), "2-MEDIUM")
+      .otherwise("1-FAST")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(speed.as("ship_speed"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("ship_speed")
+  }
+
+  /** TPC-H Q15 shape — top supplier by quarterly revenue: the revenue view
+    * aggregated once, its global MAX taken as a 1-row broadcast scalar, and
+    * the equality filter applied back on the same view (ties all kept, as
+    * the spec requires). Revenue is rounded before the max/compare, so the
+    * equality is on bit-identical doubles on both engines. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(decSum2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("max_rev"))
+      .select("s_suppkey", "s_name", "total_rev")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 shape — supplier diversity per part class with a NOT-IN
+    * exclusion: count of distinct suppliers per (brand, type, size),
+    * excluding flagged (negative-balance) suppliers via LEFT ANTI — the
+    * null-free NOT IN plan. part and the exclusion set are broadcast; the
+    * only exchange is the distinct-count's. */
+  def q16SupplierDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val flagged = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    partSupp(spark, dir)
+      .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+      .join(broadcast(flagged), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc, col("p_type").asc,
+        col("p_size").asc)
+  }
+
+  /** TPC-H Q17 shape — small-quantity-order revenue: the correlated
+    * per-part AVG subquery decorrelated to ONE pre-aggregation joined back
+    * to the brand's lineitems. l_quantity is integer-valued, so the decimal
+    * sum ÷ count average is exact and engine-identical; the final division
+    * by 7 happens on the already-exact decimal sum. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#5").select("p_partkey")
+    val lb = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val halfAvg = lb.groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(col("l_quantity").cast(DecimalType(28, 10))).cast("double") /
+        count(lit(1)) * 0.5).as("half_avg"))
+    lb.join(halfAvg, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("half_avg"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(DecimalType(28, 10)))
+          .cast("double") / 7.0, 2).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q20 shape — excess shippers: suppliers whose one-year shipped
+    * quantity of the LIKE-matched parts exceeds a fraction of their
+    * all-time total for those parts. The nested aggregate runs once over
+    * the part-pruned lineitems (both year totals from the SAME pass via
+    * conditional sums), and feeds a LEFT SEMI against supplier. */
+  def q20ExcessShippers(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_name").like("small%")).select("p_partkey")
+    val hot = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1996, col("l_quantity"))
+          .otherwise(lit(0.0)).cast(DecimalType(28, 10))).cast("double").as("qty96"),
+        sum(col("l_quantity").cast(DecimalType(28, 10))).cast("double").as("qty_all"))
+      .filter(col("qty96") > lit(0.2) * col("qty_all"))
+      .select("l_suppkey")
+    Tables.supplier(spark, dir)
+      .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_name", "n_name")
+      .orderBy("s_name")
+  }
+
+  private val partSuppCte =
+    """partsupp AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS ps_supplycost
+      |  FROM lineitem GROUP BY 1, 2
+      |)""".stripMargin
+
   private val tiersValues = priceTiers
     .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
 
@@ -942,6 +1226,180 @@ object Tpch {
         |ORDER BY numwait DESC, s_name ASC
         |LIMIT 100""".stripMargin,
 
+    "q2_min_cost_supplier" ->
+      s"""WITH $partSuppCte,
+         |eu AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'EUROPE'
+         |),
+         |cand AS (
+         |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |         ps_partkey, ps_supplycost
+         |  FROM partsupp
+         |  JOIN part ON ps_partkey = p_partkey
+         |  JOIN eu ON ps_suppkey = s_suppkey
+         |  WHERE p_size = 48 AND p_type = 'LARGE'
+         |)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |       ps_supplycost AS cost
+         |FROM cand c
+         |WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM cand c2
+         |                       WHERE c2.ps_partkey = c.ps_partkey)
+         |ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+         |LIMIT 100""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(round(sum(CAST(CASE WHEN sn.n_name = 'NATION_2'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE) AS nation_rev,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev,
+        |  round(CAST(round(sum(CAST(CASE WHEN sn.n_name = 'NATION_2'
+        |          THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE)
+        |        / CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'STANDARD'
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""WITH $partSuppCte
+         |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+         |    - ps_supplycost * l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2
+         |ORDER BY nation ASC, o_year DESC""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+
+    "q11_important_parts" ->
+      s"""WITH $partSuppCte,
+         |v AS (
+         |  SELECT ps_partkey,
+         |         CAST(round(sum(CAST(ps_supplycost AS DECIMAL(28,10))), 2) AS DOUBLE) AS part_value
+         |  FROM partsupp
+         |  WHERE ps_suppkey IN (SELECT s_suppkey FROM supplier
+         |                       JOIN nation ON s_nationkey = n_nationkey
+         |                       WHERE n_name = 'NATION_3')
+         |  GROUP BY ps_partkey
+         |)
+         |SELECT ps_partkey, part_value
+         |FROM v,
+         |  (SELECT CAST(round(sum(CAST(part_value AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_value FROM v) t
+         |WHERE part_value > 0.0005 * total_value
+         |ORDER BY part_value DESC, ps_partkey ASC""".stripMargin,
+
+    "q12_ship_speed" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY THEN '3-SLOW'
+        |            WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN '2-MEDIUM'
+        |            ELSE '1-FAST' END AS ship_speed,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY ship_speed
+        |ORDER BY ship_speed""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_diversity" ->
+      s"""WITH $partSuppCte
+         |SELECT p_brand, p_type, p_size,
+         |       count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM partsupp JOIN part ON ps_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+         |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+         |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS a_partkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) / count(*) * 0.5 AS half_avg
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#5'
+        |  GROUP BY l_partkey
+        |)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON l_partkey = a_partkey
+        |WHERE p_brand = 'Brand#5' AND l_quantity < half_avg""".stripMargin,
+
+    "q20_excess_shippers" ->
+      """WITH hot AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity ELSE 0.0 END AS DECIMAL(28,10))) AS DOUBLE) AS qty96,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE) AS qty_all
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(sum(CAST(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity ELSE 0.0 END AS DECIMAL(28,10))) AS DOUBLE)
+        |         > 0.2 * CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+        |)
+        |SELECT s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM hot)
+        |ORDER BY s_name""".stripMargin,
+
     "q5_local_supplier_volume" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
@@ -960,6 +1418,17 @@ object Tpch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"       -> (q1PricingSummary _),
+    "q2_min_cost_supplier"     -> (q2MinCostSupplier _),
+    "q6_forecast_revenue"      -> (q6ForecastRevenue _),
+    "q8_market_share"          -> (q8MarketShare _),
+    "q9_product_profit"        -> (q9ProductProfit _),
+    "q10_returned_items"       -> (q10ReturnedItems _),
+    "q11_important_parts"      -> (q11ImportantParts _),
+    "q12_ship_speed"           -> (q12ShipSpeed _),
+    "q15_top_supplier"         -> (q15TopSupplier _),
+    "q16_supplier_diversity"   -> (q16SupplierDiversity _),
+    "q17_small_qty_revenue"    -> (q17SmallQtyRevenue _),
+    "q20_excess_shippers"      -> (q20ExcessShippers _),
     "q3_shipping_priority"     -> (q3ShippingPriority _),
     "q4_order_priority"        -> (q4OrderPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
