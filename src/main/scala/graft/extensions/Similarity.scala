@@ -323,6 +323,66 @@ object Similarity {
       .orderBy("drop_id")
   }
 
+  /** Product-quantization geometry: [[PqSubspaces]] subvectors of
+    * [[PqSubDim]] dims each (64 = 4 × 16); the per-subspace codebook is the
+    * [[CentStride]]-seeded subvector set (16 codewords at sf0.01) — the
+    * same deterministic seeding as IVF, so no trained state ships
+    * cross-engine. */
+  val PqSubspaces = 4
+  val PqSubDim = 16
+
+  /** Product-quantized ANN (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search", TPAMI 2011): each vector is encoded as M=4 codebook
+    * ids (one per subspace, nearest codeword by rounded L2); queries score
+    * EVERY code via the asymmetric-distance trick — a per-(query, subspace,
+    * codeword) partial-dot TABLE (|Q|·M·K entries, broadcast) joined to the
+    * codes, so scoring a vector is M table lookups instead of a 64-dim dot.
+    * The 100 TB point: the database payload shrinks to M small ints per
+    * vector (16× vs float32) and the scoring join moves codes, not vectors;
+    * ranking is on the reconstructed-vector cosine. Approximate by design —
+    * the oracle implements the SAME quantization, so results match exactly.
+    * Every intra-subspace fold is an ordered in-row reduce and every
+    * cross-subspace sum goes through DECIMAL, so no FP-order hazard. */
+  def simTopkPq(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val subs = vs.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqSubspaces - 1}), m -> slice(v, m * $PqSubDim + 1, $PqSubDim))")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sub"))
+    val cents = subs.filter(col("vec_id") % CentStride === 0)
+      .select(col("vec_id").as("cent_id"), col("m").as("cm"), col("sub").as("csub"))
+      .withColumn("cn2",
+        expr("aggregate(csub, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+    val d2 = subs.join(broadcast(cents), col("m") === col("cm"))
+      .select(col("vec_id"), col("m"), col("cent_id"), col("cn2"),
+        round(expr("aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 6)
+          .as("d2"))
+    val codes = d2.withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cent_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id").as("code"), col("cn2"))
+    val rnorm = codes.groupBy("vec_id")
+      .agg(sqrt(sum(col("cn2").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double")).as("rn"))
+    val qtab = subs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("m").as("qm"), col("sub").as("qsub"))
+      .join(broadcast(cents), col("qm") === col("cm"))
+      .select(col("query_id"), col("qm").as("m"), col("cent_id").as("code"),
+        round(expr("aggregate(zip_with(qsub, csub, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 9)
+          .as("pdot"))
+    val qn = vs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("nrm").as("qn"))
+    val scored = codes.join(broadcast(qtab), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("pdot").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        .cast("double").as("dot"))
+      .join(rnorm, "vec_id")
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("dot") / (col("qn") * col("rn")), 6).as("cos_sim"))
+    topK(scored)
+  }
+
   /** IVF ANN with k-means-refined lists and multi-probe search: vectors are
     * assigned to their nearest refined centroid (inverted lists); a query
     * probes its NProbe nearest lists. Assignment cost O(n·k) with the
@@ -567,6 +627,64 @@ object Similarity {
          |HAVING max(cos) >= $SemDedupTau
          |ORDER BY drop_id""".stripMargin,
 
+    "sim_topk_pq" ->
+      s"""$posAndNorm
+         |, sub AS (
+         |  SELECT vec_id, (i - 1) // $PqSubDim AS m,
+         |         i - ((i - 1) // $PqSubDim) * $PqSubDim AS il, x
+         |  FROM pos
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, m, il, x AS cx
+         |  FROM sub WHERE vec_id % $CentStride = 0
+         |), cn2 AS (
+         |  SELECT cent_id, m,
+         |         list_reduce(list(cx * cx ORDER BY il), (a, b) -> a + b) AS cn2
+         |  FROM cents GROUP BY cent_id, m
+         |), d2 AS (
+         |  SELECT s.vec_id, s.m, c.cent_id,
+         |         round(list_reduce(list((s.x - c.cx) * (s.x - c.cx) ORDER BY s.il),
+         |                           (a, b) -> a + b), 6) AS d2
+         |  FROM sub s JOIN cents c ON s.m = c.m AND s.il = c.il
+         |  GROUP BY s.vec_id, s.m, c.cent_id
+         |), codes AS (
+         |  SELECT vec_id, m, cent_id AS code FROM (
+         |    SELECT vec_id, m, cent_id,
+         |           row_number() OVER (PARTITION BY vec_id, m
+         |             ORDER BY d2 ASC, cent_id ASC) AS rk
+         |    FROM d2
+         |  ) WHERE rk = 1
+         |), rnorm AS (
+         |  SELECT codes.vec_id,
+         |         sqrt(CAST(sum(CAST(cn2.cn2 AS DECIMAL(38,18))) AS DOUBLE)) AS rn
+         |  FROM codes JOIN cn2 ON codes.m = cn2.m AND codes.code = cn2.cent_id
+         |  GROUP BY codes.vec_id
+         |), qtab AS (
+         |  SELECT s.vec_id AS query_id, s.m, c.cent_id AS code,
+         |         round(list_reduce(list(s.x * c.cx ORDER BY s.il),
+         |                           (a, b) -> a + b), 9) AS pdot
+         |  FROM sub s JOIN cents c ON s.m = c.m AND s.il = c.il
+         |  WHERE s.vec_id < $NumQueries
+         |  GROUP BY s.vec_id, s.m, c.cent_id
+         |), scored AS (
+         |  SELECT q.query_id, codes.vec_id AS neighbor_id,
+         |         CAST(sum(CAST(q.pdot AS DECIMAL(38,18))) AS DOUBLE) AS dot
+         |  FROM codes JOIN qtab q ON codes.m = q.m AND codes.code = q.code
+         |  WHERE codes.vec_id <> q.query_id
+         |  GROUP BY q.query_id, codes.vec_id
+         |), cossim AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(dot / (nq.nrm * rnorm.rn), 6) AS cos_sim
+         |  FROM scored
+         |  JOIN nrm nq ON query_id = nq.vec_id
+         |  JOIN rnorm ON neighbor_id = rnorm.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM cossim
+         |)
+         |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+
     "dedup_embedding_lsh" ->
       s"""$posAndNorm$bandSigSql
          |, cand AS (
@@ -592,6 +710,7 @@ object Similarity {
     "sim_topk_ivf"        -> (simTopkIvf _),
     "dedup_semantic"      -> (dedupSemantic _),
     "sim_topk_quantized"  -> (simTopkQuantized _),
+    "sim_topk_pq"         -> (simTopkPq _),
     "sim_label_centroids" -> (simLabelCentroids _),
   )
 }

@@ -650,6 +650,38 @@ object TextAnalysis {
     merges.toSeq.toDF("round", "pair_a", "pair_b", "freq").orderBy("round")
   }
 
+  /** BPE ENCODING — the apply side of [[textBpeMerges]]: train the merge
+    * table, then tokenize the corpus with it (tokens per doc after the
+    * learned merges — the number an LLM data pipeline budgets by). The
+    * corpus is touched twice total (word-freq aggregation + the final
+    * doc⋈vocab join); the merge replaces run over the vocabulary-sized
+    * distinct-word relation only, and the learned pairs are driver scalars
+    * (the same Lloyd-step discipline as training). Encoded length joins
+    * back to the token stream on the word key — at 100 TB that join
+    * shuffles (token stream × small vocab), and AQE picks broadcast when
+    * the vocab fits. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val words = tok.groupBy("word").agg(count(lit(1)).as("freq"))
+    val merges = bpeMergesFromWords(words, BpeMergeRounds).orderBy("round")
+      .select("pair_a", "pair_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    var vocab = words.select(col("word"),
+      concat(lit("<"), array_join(split(col("word"), ""), "><"), lit(">")).as("s"))
+    for ((a, b) <- merges)
+      vocab = vocab.withColumn("s", expr(s"replace(s, '<$a><$b>', '<$a$b>')"))
+    val enc = vocab.select(col("word"),
+      size(expr("split(substring(s, 2, length(s) - 2), '><')")).cast("long").as("n_syms"))
+    tok.join(enc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+      .withColumn("avg_syms_per_word",
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+      .orderBy("doc_id")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -691,6 +723,35 @@ object TextAnalysis {
          |UNION ALL SELECT 2, a, b, f FROM m2
          |UNION ALL SELECT 3, a, b, f FROM m3
          |ORDER BY round""".stripMargin,
+
+    "text_bpe_encode" ->
+      s"""WITH words AS (
+         |  SELECT w AS word, count(*)::BIGINT AS freq
+         |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$') GROUP BY w
+         |),
+         |s0 AS (
+         |  SELECT '<' || array_to_string(string_split(word, ''), '><') || '>' AS s, freq
+         |  FROM words
+         |),
+         |${bpeStageSql("s0", "p1", "m1", "s1")},
+         |${bpeStageSql("s1", "p2", "m2", "s2")},
+         |${bpeStageSql("s2", "p3", "m3", "s3")},
+         |vocab AS (
+         |  SELECT replace(replace(replace(s, '><', ''), '<', ''), '>', '') AS word,
+         |         CAST(len(string_split(substr(s, 2, length(s) - 2), '><')) AS BIGINT) AS n_syms
+         |  FROM s3
+         |),
+         |tok AS (
+         |  SELECT doc_id, w AS word
+         |  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
+         |  WHERE regexp_matches(w, '^[a-z0-9]+$$')
+         |)
+         |SELECT doc_id, count(*)::BIGINT AS n_words,
+         |       sum(n_syms)::BIGINT AS n_bpe_tokens,
+         |       round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS avg_syms_per_word
+         |FROM tok JOIN vocab USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       s"""$withToks
@@ -1117,6 +1178,7 @@ object TextAnalysis {
     "text_profile"            -> (textProfile _),
     "text_pmi"                -> (textPmi _),
     "text_bpe_merges"         -> (textBpeMerges _),
+    "text_bpe_encode"         -> (textBpeEncode _),
     "text_sample_per_source"  -> (textSamplePerSource _),
     "text_weighted_sample"    -> (textWeightedSample _),
   )

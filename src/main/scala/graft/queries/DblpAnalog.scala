@@ -288,6 +288,79 @@ object DblpAnalog {
       .orderBy("s_suppkey")
   }
 
+  /** k-core peel parameters: edges kept at weight ≥ [[KcoreMinWeight]]
+    * (calibrated so the sf0.01 co-author graph is sparse — the ≥5 backbone
+    * is complete at that SF, where peeling is vacuous), core threshold
+    * [[KcoreK]], and a FIXED [[KcoreRounds]] peel rounds — the same
+    * fixed-iteration discipline as [[PagerankIters]], so the oracle can
+    * unroll identical rounds instead of chasing a fixpoint it can't
+    * express. */
+  private val KcoreMinWeight = 32
+  private val KcoreK = 4
+  private val KcoreRounds = 3
+
+  /** k-core decomposition (bounded peel) over the co-author graph: each
+    * round removes every author with fewer than k surviving strong
+    * co-author links, together with their edges — the standard graph-mining
+    * "dense cohesive subgraph" screen (cores survive even after weak
+    * collaborators vanish). Scale shape per round: ONE degree aggregation +
+    * two LEFT SEMI joins of the edge list against the survivor set — no
+    * driver-side graph state; lineage is truncated per round
+    * (localCheckpoint) so the plan stays flat across rounds. Output: the
+    * authors still present after [[KcoreRounds]] rounds with their
+    * remaining degree. */
+  def coauthorKcore(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
+    var und = pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
+      .select(explode(expr(
+        "flatten(transform(as_, x -> transform(filter(as_, y -> y > x), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= KcoreMinWeight)
+      .select(col("a"), col("b"))
+      .localCheckpoint()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+    for (_ <- 1 to KcoreRounds) {
+      val keep = degrees(und).filter(col("dg") >= KcoreK).select("n")
+      und = und
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(und)
+      .select(col("n").as("s_suppkey"), col("dg").as("core_degree"))
+      .orderBy("s_suppkey")
+  }
+
+  private val kcoreOracle: String = {
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""d$r AS (
+         |  SELECT n, count(*) AS dg
+         |  FROM (SELECT a AS n FROM e${r - 1} UNION ALL SELECT b AS n FROM e${r - 1})
+         |  GROUP BY n
+         |),
+         |k$r AS (SELECT n FROM d$r WHERE dg >= $KcoreK),
+         |e$r AS (
+         |  SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT n FROM k$r) AND b IN (SELECT n FROM k$r)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pa AS (SELECT DISTINCT l_orderkey AS pub, l_suppkey AS a FROM lineitem),
+       |e0 AS (
+       |  SELECT x.a AS a, y.a AS b
+       |  FROM pa x JOIN pa y ON x.pub = y.pub AND x.a < y.a
+       |  GROUP BY x.a, y.a HAVING count(*) >= $KcoreMinWeight
+       |),
+       |$rounds
+       |SELECT n AS s_suppkey, count(*) AS core_degree
+       |FROM (SELECT a AS n FROM e$KcoreRounds UNION ALL SELECT b AS n FROM e$KcoreRounds)
+       |GROUP BY n ORDER BY s_suppkey""".stripMargin
+  }
+
   /** Shared triangle-enumeration SQL (pa → und → deg → oriented → tri) —
     * consumed by both the triangles and clustering-coefficient oracles. */
   private val coauthorGraphSql: String =
@@ -367,6 +440,7 @@ object DblpAnalog {
   val oracle: Map[String, String] = Map(
     "coauthor_pagerank" -> pagerankOracle,
     "coauthor_triangles" -> trianglesOracle,
+    "coauthor_kcore" -> kcoreOracle,
     "coauthor_clustering_coeff" -> clusteringCoeffOracle,
     "t1_top10_authors_per_venue" ->
       s"""$base
@@ -446,5 +520,6 @@ object DblpAnalog {
     "coauthor_pagerank"            -> (coauthorPagerank _),
     "coauthor_triangles"           -> (coauthorTriangles _),
     "coauthor_clustering_coeff"    -> (coauthorClusteringCoeff _),
+    "coauthor_kcore"               -> (coauthorKcore _),
   )
 }
