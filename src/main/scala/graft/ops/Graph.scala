@@ -92,6 +92,34 @@ object Graph {
         (col(id) === col("cluster_id")).as("is_canonical"))
   }
 
+  /** Bounded k-core peel: `rounds` iterations of "drop every node with
+    * fewer than k surviving neighbors, and its edges". A FIXED round count
+    * (not a fixpoint chase) keeps the computation oracle-unrollable and the
+    * cost predictable; callers needing the true core raise `rounds` until
+    * the result is stable (each round strictly shrinks the edge set or the
+    * process has converged). Scale shape per round: one degree aggregation
+    * + two LEFT SEMI joins of the edge list against the survivor set — no
+    * driver-side graph state; localCheckpoint keeps the plan flat across
+    * rounds.
+    *
+    * @param edges undirected edges, one row per edge, columns `a`, `b`.
+    * @return (`n`, `dg`) — surviving nodes with their remaining degree.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+    var und = edges.select(col("a"), col("b")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = degrees(und).filter(col("dg") >= k).select("n")
+      und = und
+        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    degrees(und)
+  }
+
   /** Per-node triangle count by DEGREE-ORIENTED enumeration — the trick
     * that makes triangle counting feasible at scale: every undirected edge
     * is oriented from its lower-(degree, id) endpoint to the higher one, so

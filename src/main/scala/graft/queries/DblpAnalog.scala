@@ -312,7 +312,7 @@ object DblpAnalog {
   def coauthorKcore(spark: SparkSession, dir: String): DataFrame = {
     val pa = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
-    var und = pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
+    val und = pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
       .select(explode(expr(
         "flatten(transform(as_, x -> transform(filter(as_, y -> y > x), y -> struct(x AS a, y AS b))))"))
         .as("p"))
@@ -320,18 +320,7 @@ object DblpAnalog {
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= KcoreMinWeight)
       .select(col("a"), col("b"))
-      .localCheckpoint()
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg"))
-    for (_ <- 1 to KcoreRounds) {
-      val keep = degrees(und).filter(col("dg") >= KcoreK).select("n")
-      und = und
-        .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
-    }
-    degrees(und)
+    graft.ops.Graph.kcorePeel(und, KcoreK, KcoreRounds)
       .select(col("n").as("s_suppkey"), col("dg").as("core_degree"))
       .orderBy("s_suppkey")
   }

@@ -62,6 +62,46 @@ class ExtensionsSpec extends SparkTestBase {
     out shouldBe Seq((1L, 2L, 3L, 4L), (2L, 1L, 1L, 1L))
   }
 
+  test("EWMA: constant series stays constant; warm-up renormalizes exactly") {
+    import graft.extensions.Events
+    val base = 1700000000000000L
+    val evs =
+      // user 1: values 1, 2, 4 a minute apart → hand-computed EWMA
+      Seq((1L, base, 1L, 1.0), (2L, base + 60000000L, 1L, 2.0),
+        (3L, base + 120000000L, 1L, 4.0)) ++
+      // user 2: constant 5.0 → EWMA must be exactly 5.0 at every row
+      (0 until 10).map(i => (10L + i, base + i * 60000000L, 2L, 5.0))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ewma").toString
+    evs.toDF("event_id", "us", "user_id", "value")
+      .select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+        lit("click").as("event_type"), col("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.eventsEwma(spark, tmp)
+      .select("event_id", "ewma").as[(Long, Double)].collect().toMap
+    out(1L) shouldBe 1.0
+    out(2L) shouldBe 1.666667 // (2 + 0.5·1) / 1.5
+    out(3L) shouldBe 3.0      // (4 + 0.5·2 + 0.25·1) / 1.75
+    for (i <- 0 until 10) out(10L + i) shouldBe 5.0
+  }
+
+  test("transitions: per-user consecutive bigrams, counted globally") {
+    import graft.extensions.Events
+    val base = 1700000000000000L
+    val evs = Seq(
+      (1L, base, 1L, "view"), (2L, base + 1L, 1L, "click"),
+      (3L, base + 2L, 1L, "purchase"), (4L, base + 3L, 1L, "click"),
+      (5L, base, 2L, "view"), (6L, base + 1L, 2L, "click"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trans").toString
+    evs.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+        col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.eventsTransitions(spark, tmp)
+      .as[(String, String, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("view", "click", 2L), ("click", "purchase", 1L), ("purchase", "click", 1L))
+  }
+
   test("native session_window: per-session rows; exact-gap merges, over-gap splits") {
     import graft.extensions.Events
     val base = 1700000000000000L // epoch micros

@@ -83,6 +83,41 @@ class GraphSpec extends SparkTestBase {
       Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L)
   }
 
+  test("kcorePeel: planted K4 core survives while the tendril peels") {
+    // K4 on {1,2,3,4} plus tail 4-5-6: at k=3 the tail (degrees 2 and 1)
+    // peels in round one; the K4 keeps every node at degree 3.
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((4L, 5L), (5L, 6L))).toDF("a", "b")
+    val out = Graph.kcorePeel(edges, k = 3, rounds = 2)
+      .as[(Long, Long)].collect().sorted.toSeq
+    out shouldBe Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+  }
+
+  test("property: bounded peel equals a local simulation with the same rounds") {
+    val rnd = new scala.util.Random(37)
+    for (_ <- 1 to 6) {
+      val n = 4 + rnd.nextInt(8)
+      val es = (for (a <- 1L to n; b <- (a + 1) to n if rnd.nextBoolean())
+        yield (a, b)).distinct
+      if (es.nonEmpty) {
+        val k = 2 + rnd.nextInt(2)
+        val rounds = 1 + rnd.nextInt(4)
+        var local = es
+        for (_ <- 1 to rounds) {
+          val dg = local.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+            .view.mapValues(_.size.toLong).toMap
+          val keep = dg.filter(_._2 >= k).keySet
+          local = local.filter(e => keep(e._1) && keep(e._2))
+        }
+        val expect = local.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val got = Graph.kcorePeel(es.toDF("a", "b"), k, rounds)
+          .as[(Long, Long)].collect().toMap
+        withClue(s"n=$n k=$k rounds=$rounds: ") { got shouldBe expect }
+      }
+    }
+  }
+
   test("property: triangle counts equal brute-force enumeration on random graphs") {
     val rnd = new scala.util.Random(23)
     for (_ <- 1 to 6) {

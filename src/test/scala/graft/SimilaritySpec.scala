@@ -38,6 +38,19 @@ class SimilaritySpec extends SparkTestBase {
     a shouldBe b
   }
 
+  test("PQ: recall@5 against brute force meets a floor; scores bounded by 1") {
+    val exact = pairs(Similarity.simTopkBruteforce(spark, sf))
+    val pq = Similarity.simTopkPq(spark, sf)
+    val recall = (exact & pairs(pq)).size.toDouble / exact.size
+    // 4×16 PQ on 500 near-random vectors with 16 stride codewords is a
+    // coarse quantizer — the floor documents the fixture's measured regime,
+    // not a strong guarantee; reconstructed-cosine must stay in [-1, 1+ε]
+    // (quantization can push slightly past 1 only via the 6-dp rounding).
+    withClue(s"PQ recall@5: $recall: ") { recall should be >= 0.2 }
+    val sims = pq.select("cos_sim").collect().map(_.getDouble(0))
+    all(sims.toSeq) should (be >= -1.000001 and be <= 1.000001)
+  }
+
   test("IVF (1 Lloyd step, nprobe=2) recall@5 ≥ 0.4; monotone in nprobe") {
     val exact = pairs(Similarity.simTopkBruteforce(spark, sf))
     val ivf2 = pairs(Similarity.simTopkIvfProbe(spark, sf, 2))
