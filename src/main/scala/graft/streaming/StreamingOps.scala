@@ -17,6 +17,14 @@ case class SessionState(startMs: Long, lastMs: Long, n: Int)
 /** Closed session emitted on gap expiry / event-time timeout. */
 case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
 
+/** Last-seen event per user carried across micro-batches (epoch millis +
+  * event id for the total order, plus the type the next bigram starts
+  * from). */
+case class TransState(lastMs: Long, lastId: Long, lastType: String)
+
+/** One consecutive (from → to) event-type bigram. */
+case class TransitionOut(user_id: Long, from_type: String, to_type: String)
+
 /** Structured Streaming twins of the batch event analytics
   * ([[graft.extensions.Events]]): watermarked tumbling windows and a
   * mapGroupsWithState sessionizer. The reference is pure batch (SURVEY.md
@@ -119,6 +127,45 @@ object StreamingOps {
             }
             closed.iterator
           }
+      }
+  }
+
+  /** Streaming behavior-flow bigrams — the streaming twin of
+    * Events.eventsTransitions: per user, every arriving event emits a
+    * (from → to) pair with the PREVIOUS event's type, with the previous
+    * event carried across micro-batches as O(1) state (one TransState per
+    * user — type + position, never a buffered history). Events inside a
+    * micro-batch are processed in (ts, event_id) order; an out-of-order
+    * arrival BEHIND the state's position is dropped (documented semantics:
+    * the operator is exact for feeds that respect the watermark's ordering
+    * guarantee, and a late straggler cannot retroactively split an
+    * already-emitted bigram). Downstream counting is a plain aggregation
+    * over the emitted pairs. */
+  def transitions(events: Dataset[Event],
+                  watermark: String = "2 hours"): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransitionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, evs, state) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            cur match {
+              case Some(s) if ms > s.lastMs || (ms == s.lastMs && e.event_id > s.lastId) =>
+                out += TransitionOut(user, s.lastType, e.event_type)
+                cur = Some(TransState(ms, e.event_id, e.event_type))
+              case Some(_) => // behind the state's position: late arrival, dropped
+              case None =>
+                cur = Some(TransState(ms, e.event_id, e.event_type))
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
       }
   }
 

@@ -35,6 +35,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transitions: bigrams span micro-batch boundaries via per-user state") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.transitions(ms.toDS())
+      .writeStream.format("memory").queryName("trans").outputMode("append").start()
+    try {
+      // batch 1: user 1 view→click; user 2 view (no bigram yet)
+      ms.addData(
+        Event(1, ts(0), 1, "view", 0), Event(2, ts(1), 1, "click", 0),
+        Event(3, ts(0), 2, "view", 0))
+      q.processAllAvailable()
+      // batch 2: user 1 click→purchase (from state), user 2 view→click;
+      // plus an out-of-order straggler behind user 1's state — dropped
+      ms.addData(
+        Event(4, ts(2), 1, "purchase", 0), Event(5, ts(1), 2, "click", 0),
+        Event(0, ts(0), 1, "stale", 0))
+      q.processAllAvailable()
+      val got = spark.table("trans")
+        .as[(Long, String, String)].collect().toSeq.sorted
+      got shouldBe Seq(
+        (1L, "click", "purchase"), (1L, "view", "click"), (2L, "view", "click"))
+      // and the pair counts equal the batch operator's on the same in-order
+      // event set (the straggler excluded — it never entered a bigram)
+      val counts = spark.table("trans").groupBy("from_type", "to_type").count()
+        .as[(String, String, Long)].collect().toSet
+      counts shouldBe Set(("view", "click", 2L), ("click", "purchase", 1L))
+    } finally q.stop()
+  }
+
   test("dailyOhlc: open/close follow event time even when batches arrive out of order") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
