@@ -36,7 +36,10 @@ object Bench {
           -1.0
       }
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args: query names — time just those (local profiling; the
+    // driver always invokes with no args, timing the full surface).
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = if (args.nonEmpty) ordered0.filter(q => args.contains(q._1)) else ordered0
     val pass1 = ordered.map { case (n, f) => n -> once(n, f) }.toMap
     val results = ordered.map { case (n, f) =>
       val a = pass1(n)
@@ -62,8 +65,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (args.isEmpty) // a filtered profiling run must not clobber the round's full dump
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val budget = 1300 // chars available for the stdout per-query subset
     val bySlow = results.toSeq.sortBy { case (k, v) => (-v, k) }
     val shown = scala.collection.mutable.ListBuffer[String]()

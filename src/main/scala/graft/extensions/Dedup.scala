@@ -29,6 +29,53 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** Segment length (tokens) for the line-level global dedup below — the
+    * "line"/paragraph unit of CCNet-style cross-corpus dedup. The synthetic
+    * corpus has no newlines, so fixed-width non-overlapping token segments
+    * stand in for lines; on real text, substitute `split(text, '\n')` for
+    * the segmenter and the rest of the dataflow is unchanged. */
+  val SegLen = 10
+
+  /** Line-level (segment-level) GLOBAL dedup — the CCNet/RefinedWeb stage
+    * that removes a line from every document but its first occurrence
+    * corpus-wide (killing boilerplate headers/footers that exact and
+    * near-dup doc-level passes both miss). Per doc: segments and tokens
+    * before/after the removal.
+    *
+    * Scale shape: segments are built IN-ROW (one pass, no shuffle), keyed
+    * by their 60-bit hash — the only shuffled payload is (hash, doc_id,
+    * seg_id, len). First-occurrence election is a hash aggregation
+    * (`min(struct(doc_id, seg_id))` — partial aggregation makes a
+    * billion-copy boilerplate segment a non-event, where a row_number
+    * window over the segment key would sort that key's entire partition),
+    * then one join back on the hash and a per-doc re-aggregation. Three
+    * bounded shuffles total, each on an 8-byte key. */
+  def dedupLinesGlobal(spark: SparkSession, dir: String): DataFrame = {
+    // Materialized once: consumed by the first-occurrence agg AND the
+    // join-back (lazily the segment build would run twice).
+    val segs = Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text"))
+      .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), floor((size(col("toks")) + SegLen - 1) / SegLen).cast("int") - 1),
+          i => slice(col("toks"), i * SegLen + 1, lit(SegLen)))))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_id"),
+        Portable.hash60(array_join(col("col"), " ")).as("seg_h"),
+        size(col("col")).cast("long").as("seg_n"))
+      .localCheckpoint()
+    val first = segs.groupBy("seg_h")
+      .agg(min(struct(col("doc_id"), col("seg_id"))).as("fo"))
+    segs.join(first, "seg_h")
+      .withColumn("kept",
+        col("doc_id") === col("fo.doc_id") && col("seg_id") === col("fo.seg_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_segs_kept"),
+        sum(col("seg_n")).as("n_tokens"),
+        sum(when(col("kept"), col("seg_n")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("doc_id")
+  }
+
   /** (doc_id, 60-bit shingle hash) — the one shingle source, shared by the
     * Jaccard, MinHash, and contamination paths, which all key their
     * shuffles on this 8-byte hash (never the shingle string). Tokens are
@@ -531,6 +578,27 @@ object Dedup {
        |FROM ov ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_lines_global" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CASE WHEN trim(text) = '' THEN [] ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents
+         |), segs AS (
+         |  SELECT doc_id, g AS seg_id,
+         |         ('0x' || substr(md5(array_to_string(toks[g*$SegLen+1 : g*$SegLen+$SegLen], ' ')), 1, 15))::BIGINT AS seg_h,
+         |         len(toks[g*$SegLen+1 : g*$SegLen+$SegLen]) AS seg_n
+         |  FROM t, (SELECT unnest(generate_series(0, CAST(ceil(len(toks) / $SegLen.0) AS BIGINT) - 1)) AS g) gs
+         |  WHERE len(toks) > 0
+         |), mk AS (
+         |  SELECT doc_id, seg_id, seg_n,
+         |         row_number() OVER (PARTITION BY seg_h ORDER BY doc_id, seg_id) AS rn
+         |  FROM segs
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_segs_kept,
+         |       CAST(sum(seg_n) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN rn = 1 THEN seg_n ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       s"""${verifiedCtesFor(incrementalCandSql)}
          |SELECT d.doc_id, min(v.doc_a) AS dup_of,
@@ -694,6 +762,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
+    "dedup_lines_global"  -> (dedupLinesGlobal _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment"   -> (dedupContainment _),
     "dedup_substring"     -> (dedupSubstring _),

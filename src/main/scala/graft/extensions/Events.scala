@@ -273,6 +273,36 @@ object Events {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Trailing-window width (days) for the sliding distinct-user count. */
+  val SlidingDauDays = 7
+
+  /** Sliding 7-day distinct active users (DAU/WAU-style) per day — the
+    * rolling engagement metric every analytics store reports. Distinct
+    * counts do NOT compose across window positions, so a window function
+    * cannot express this; the scale shape is: collapse events to distinct
+    * (user, day) pairs FIRST (the big reduction — event volume never
+    * reaches the window logic), then fan each user-day out to the
+    * [[SlidingDauDays]] window-end days it supports (bounded ×7 row
+    * expansion of the already-small pair relation) and count distinct per
+    * window end. For corpus scales where even user-days overwhelm the
+    * exact count, swap the final agg for approx_count_distinct (HLL) —
+    * same dataflow. The inner join back to per-day counts keeps exactly
+    * the window ends observed in the data. */
+  def eventsSlidingDau(spark: SparkSession, dir: String): DataFrame = {
+    // Three consumers (window fan-out, per-day counts, observed-day screen)
+    // — materialized once.
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint()
+    val win = ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), SlidingDauDays - 1))).as("wday"))
+      .groupBy("wday").agg(count_distinct(col("user_id")).as("dau_7d"))
+    ud.groupBy("day").agg(count_distinct(col("user_id")).as("dau_1d"))
+      .join(win, col("day") === col("wday"))
+      .select(col("day").as("window_end"), col("dau_1d"), col("dau_7d"))
+      .orderBy("window_end")
+  }
+
   /** Daily OHLC (open/high/low/close) per event type — the time-series
     * compaction every metrics store runs: first/last values by event time
     * (row_number both directions over ONE exchange on (type, day); the
@@ -604,6 +634,23 @@ object Events {
         |GROUP BY cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
+    "events_sliding_dau" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+         |  FROM events
+         |), win AS (
+         |  SELECT day + CAST(g AS INTEGER) AS wday, user_id
+         |  FROM ud, (SELECT unnest(generate_series(0, ${SlidingDauDays - 1})) AS g) gs
+         |), w AS (
+         |  SELECT wday, count(DISTINCT user_id) AS dau_7d FROM win GROUP BY wday
+         |), d AS (
+         |  SELECT day, count(DISTINCT user_id) AS dau_1d FROM ud GROUP BY day
+         |)
+         |SELECT d.day AS window_end, CAST(dau_1d AS BIGINT) AS dau_1d,
+         |       CAST(dau_7d AS BIGINT) AS dau_7d
+         |FROM d JOIN w ON d.day = w.wday
+         |ORDER BY window_end""".stripMargin,
+
     "events_daily_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -796,6 +843,7 @@ object Events {
     "events_funnel"           -> (eventsFunnel _),
     "events_forward_fill"     -> (eventsForwardFill _),
     "events_cohort_retention" -> (eventsCohortRetention _),
+    "events_sliding_dau"      -> (eventsSlidingDau _),
     "events_daily_ohlc"       -> (eventsDailyOhlc _),
     "events_zscore_outliers"  -> (eventsZscoreOutliers _),
     "events_mad_outliers"     -> (eventsMadOutliers _),

@@ -206,6 +206,45 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Neighbors kept per node in the kNN graph. */
+  val KnnK = 3
+
+  /** Approximate kNN GRAPH construction — top-[[KnnK]] cosine neighbors for
+    * EVERY corpus vector (not just a query set), neighbors drawn from the
+    * banded-LSH candidates of [[bandSignatures]]. The curation primitive
+    * behind SemDeDup-style clustering, graph-based diversity sampling, and
+    * label propagation over embedding space.
+    *
+    * Scale shape: candidate generation is the banded bucket self-join
+    * (pair work bounded by bucket size, never O(n²)); scoring joins
+    * candidates to vectors by id (8-byte keys); ranking is one window over
+    * the candidate relation partitioned by source — `WindowGroupLimit`
+    * evicts past rank [[KnnK]] map-side before the exchange. A node whose
+    * buckets are all singletons has no candidates and is absent — the
+    * documented recall<1 trade every LSH stage here makes; the oracle
+    * replays the identical approximation. */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    // Both materialized once: sig feeds both sides of the bucket self-join,
+    // vs both sides of the scoring join.
+    val vs = vectors(spark, dir).localCheckpoint()
+    val sig = bandSignatures(spark, dir).localCheckpoint()
+    val cand = sig.as("x")
+      .join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src_id"), col("y.vec_id").as("nbr_id"))
+      .distinct()
+    cand
+      .join(vs.as("a"), col("src_id") === col("a.vec_id"))
+      .join(vs.as("b"), col("nbr_id") === col("b.vec_id"))
+      .select(col("src_id"), col("nbr_id"),
+        Portable.cosine6(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src_id")).orderBy(col("cos_sim").desc, col("nbr_id").asc)))
+      .filter(col("rk") <= KnnK)
+      .orderBy("src_id", "rk")
+  }
+
   /** Every CentStride-th vector seeds an IVF centroid; one Lloyd refinement
     * step then replaces each seed by the (rounded) mean of its assigned
     * vectors. Deterministic "training": fixed seeds, fixed iteration count,
@@ -705,12 +744,39 @@ object Similarity {
          |FROM dots JOIN nrm na ON vec_a = na.vec_id JOIN nrm nb ON vec_b = nb.vec_id
          |WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_knn_graph" ->
+      s"""$posAndNorm$bandSigSql
+         |, cand AS (
+         |  SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS nbr_id
+         |  FROM sig x JOIN sig y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id <> y.vec_id
+         |), dots AS (
+         |  SELECT cand.src_id, cand.nbr_id, sum(p.x * q.x) AS dot
+         |  FROM cand
+         |  JOIN pos p ON p.vec_id = cand.src_id
+         |  JOIN pos q ON q.vec_id = cand.nbr_id AND p.i = q.i
+         |  GROUP BY cand.src_id, cand.nbr_id
+         |), scored AS (
+         |  SELECT src_id, nbr_id, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+         |  FROM dots
+         |  JOIN nrm na ON src_id = na.vec_id
+         |  JOIN nrm nb ON nbr_id = nb.vec_id
+         |), ranked AS (
+         |  SELECT src_id, nbr_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY src_id
+         |           ORDER BY cos_sim DESC, nbr_id ASC) AS INTEGER) AS rk
+         |  FROM scored
+         |)
+         |SELECT src_id, nbr_id, cos_sim, rk
+         |FROM ranked WHERE rk <= $KnnK ORDER BY src_id, rk""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_lsh"        -> (simTopkLsh _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "sim_knn_graph"       -> (simKnnGraph _),
     "sim_topk_ivf"        -> (simTopkIvf _),
     "dedup_semantic"      -> (dedupSemantic _),
     "sim_topk_quantized"  -> (simTopkQuantized _),

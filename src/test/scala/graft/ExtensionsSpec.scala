@@ -194,4 +194,29 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(Int, String, String, Long)].collect().toSeq
     m shouldBe Seq((1, "a", "b", 7L), (2, "ab", "ab", 2L))
   }
+
+  test("sliding DAU: 7-day trailing distinct users, hand-computed fixture") {
+    import graft.extensions.Events
+    def day(d: Int): Long = // midnight UTC of 2023-11-<d>, micros
+      java.time.LocalDate.of(2023, 11, d).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000L
+    // user 1 active on days 1 and 5 (twice on day 1 — distinct collapses);
+    // user 2 active on day 5; day 9 has user 1 again (day 1 falls out of
+    // the [3..9] trailing window, day 5 stays in).
+    val evs = Seq(
+      (1L, day(1), 1L), (2L, day(1) + 1L, 1L), (3L, day(5), 1L),
+      (4L, day(5), 2L), (5L, day(9), 1L))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dau").toString
+    evs.toDF("event_id", "us", "user_id")
+      .select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.eventsSlidingDau(spark, tmp)
+      .select(col("window_end").cast("string"), col("dau_1d"), col("dau_7d"))
+      .as[(String, Long, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("2023-11-01", 1L, 1L),  // window [Oct26..Nov1]: user 1
+      ("2023-11-05", 2L, 2L),  // window [Oct30..Nov5]: users 1, 2
+      ("2023-11-09", 1L, 2L))  // window [Nov3..Nov9]: day-5 pair still inside
+  }
 }

@@ -62,4 +62,34 @@ class SimilaritySpec extends SparkTestBase {
       r2 should be >= r1 // probing more lists never loses candidates
     }
   }
+
+  test("kNN graph: ≤ k ranked neighbors per node, no self edges, sound vs brute force") {
+    val g = Similarity.simKnnGraph(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    g should not be empty
+    g.foreach { case (s, n, _, _) => s should not be n }
+    val bySrc = g.groupBy(_._1)
+    bySrc.foreach { case (src, edges) =>
+      val sorted = edges.sortBy(_._4)
+      withClue(s"src $src: ") {
+        sorted.length should be <= Similarity.KnnK
+        sorted.map(_._4).toSeq shouldBe (1 to sorted.length) // consecutive ranks
+        // rank order must follow (cos desc, nbr asc)
+        sorted.map(e => (-e._3, e._2)).toSeq shouldBe
+          sorted.map(e => (-e._3, e._2)).sorted.toSeq
+      }
+    }
+    // Soundness on the strongest signal: any LSH near-dup pair at cos ≥ 0.9
+    // must appear in the graph as each side's rank-1 neighbor candidate set
+    // (identical-direction vectors collide in every band).
+    val strong = Similarity.dedupEmbeddingLsh(spark, sf)
+      .filter("cos_sim >= 0.9")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    strong.foreach { case (a, b) =>
+      withClue(s"strong pair ($a,$b): ") {
+        g.exists(e => e._1 == a && e._2 == b) shouldBe true
+        g.exists(e => e._1 == b && e._2 == a) shouldBe true
+      }
+    }
+  }
 }
