@@ -348,10 +348,14 @@ object Similarity {
     * deterministic centroid pipeline as [[simTopkIvf]] (stride seeds + one
     * rounded Lloyd step), so the oracle replays it in SQL verbatim. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
-    val cents = refineCentroids(vs, strideSeeds(vs))
+    // Same materialization discipline as simTopkIvfProbe; members is
+    // additionally checkpointed because the within-cluster pair join
+    // consumes it on BOTH sides (lazily the O(n·k) assignment ran twice).
+    val vs = vectors(spark, dir).localCheckpoint()
+    val cents = refineCentroids(vs, strideSeeds(vs)).localCheckpoint()
     val members = rankCentroids(vs, cents).filter(col("rk") === 1)
       .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
+      .localCheckpoint()
     members.as("a").join(members.as("b"),
         col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.cent_id").as("cluster_id"), col("b.vec_id").as("drop_id"),
@@ -439,12 +443,19 @@ object Similarity {
     * superset of lists, so recall is monotone in `nprobe` (spec-asserted). */
   private[graft] def simTopkIvfProbe(spark: SparkSession, dir: String,
                                      nprobe: Int): DataFrame = {
-    val vs = vectors(spark, dir)
-    val cents = refineCentroids(vs, strideSeeds(vs))
-    val ranked = rankCentroids(vs, cents)
-    val members = ranked.filter(col("rk") === 1)
+    // vs feeds seeds, the Lloyd step, AND both assignment passes; cents is
+    // k rows — checkpointing both makes the refine chain and the scan run
+    // ONCE (lazily the O(n·k) assignment cross executed twice and the
+    // refinement three times — measured ~0.7 s extra at sf0.1). The probe
+    // side re-ranks only the NumQueries query vectors against the k
+    // checkpointed centroids (O(|Q|·k)) instead of filtering the full n·k
+    // ranking a second time.
+    val vs = vectors(spark, dir).localCheckpoint()
+    val cents = refineCentroids(vs, strideSeeds(vs)).localCheckpoint()
+    val members = rankCentroids(vs, cents).filter(col("rk") === 1)
       .select("vec_id", "cent_id", "v", "nrm")
-    val probes = ranked.filter(col("rk") <= nprobe && col("vec_id") < NumQueries)
+    val probes = rankCentroids(vs.filter(col("vec_id") < NumQueries), cents)
+      .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("cent_id").as("qc"))
     broadcast(probes)

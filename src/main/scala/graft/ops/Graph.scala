@@ -47,7 +47,11 @@ object Graph {
       val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
       if (v == null) java.math.BigDecimal.ZERO else v // empty graph
     }
-    var prev = labelSum(labels)
+    // No initial-sum job: every component here has ≥ 2 nodes (sym drops
+    // self-loops, labels covers only edge endpoints), so round 1 always
+    // lowers some label — the first comparison that can detect a fixpoint
+    // is round 2 vs round 1, and None makes round 1 compare unequal.
+    var prev: Option[java.math.BigDecimal] = None
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -57,8 +61,8 @@ object Graph {
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint()
       val cur = labelSum(next)
-      converged = cur.compareTo(prev) == 0
-      prev = cur
+      converged = prev.exists(_.compareTo(cur) == 0)
+      prev = Some(cur)
       labels = next
       it += 1
     }

@@ -175,24 +175,28 @@ object DblpAnalog {
     val pa = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a"))
     // Edge construction: per-pub author list collected once (bounded by
-    // authors-per-pub, a handful), ordered pairs expanded IN-ROW — one
-    // aggregation instead of the pa⋈pa self-join's second shuffle. The
-    // graph relations are static across iterations, so they materialize
-    // ONCE (localCheckpoint, the Graph.scala iteration discipline): lazily
-    // each iteration's plan would re-run the whole edge construction per
-    // reference (measured 3x the query cost at sf0.1). Each edge carries
-    // its source degree, saving a join per iteration.
-    // sym materializes BEFORE the degree join: left lazy, the symDeg plan
-    // evaluates the whole edge construction twice (edge side + degree agg
-    // side — measured as two full lineitem scans in the executed plan).
-    val sym = pa.groupBy("pub").agg(collect_set(col("a")).as("as_"))
+    // authors-per-pub, a handful), UNDIRECTED pairs (y > x) expanded
+    // IN-ROW — one aggregation instead of the pa⋈pa self-join's second
+    // shuffle, and half the rows through the distinct that the full
+    // ordered-pair expansion would push. The symmetric closure is a narrow
+    // 2× explode AFTER the distinct, and each edge picks up its source
+    // degree from one count-window over the symmetric relation — so edges
+    // + degrees materialize in a SINGLE localCheckpoint job (the former
+    // sym-then-join-degrees shape paid a second checkpoint; measured
+    // ~0.5 s at sf0.1). The graph relations are static across iterations,
+    // so they materialize ONCE (the Graph.scala iteration discipline):
+    // lazily each iteration's plan would re-run the whole edge
+    // construction per reference (measured 3x the query cost at sf0.1).
+    val symDeg = pa.groupBy("pub").agg(collect_set(col("a")).as("as_"))
       .select(explode(expr(
-        "flatten(transform(as_, x -> transform(filter(as_, y -> y != x), y -> struct(x AS s, y AS d))))"))
+        "flatten(transform(as_, x -> transform(filter(as_, y -> y > x), y -> struct(x AS s, y AS d))))"))
         .as("p"))
       .select(col("p.s").as("s"), col("p.d").as("d")).distinct()
-      .localCheckpoint()
-    val symDeg = sym.join(
-        sym.groupBy("s").agg(count(lit(1)).as("deg")), "s")
+      .select(explode(array(
+          struct(col("s").as("x"), col("d").as("y")),
+          struct(col("d").as("x"), col("s").as("y")))).as("e"))
+      .select(col("e.x").as("s"), col("e.y").as("d"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("s")))
       .localCheckpoint()
     val nodes = pa.select(col("a").as("v")).distinct().localCheckpoint()
     var pr = nodes.withColumn("pr", lit(1.0))
