@@ -203,6 +203,39 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Staleness bound for [[eventsAsofTolerance]]: an as-of match older than
+    * this is discarded (1 hour in micros). */
+  val AsofToleranceUs = 3600000000L
+
+  /** As-of join WITH a match tolerance — the "max staleness" variant every
+    * feature-store lookup needs (a quote/feature older than the bound is
+    * as good as missing). Composes the NATIVE as-of operator with a
+    * residual freshness predicate: the merge finds the latest candidate in
+    * O(1) state per partition exactly as before, and the bound is a
+    * stateless post-map — no second pass, no window. A match can only be
+    * MORE stale than the latest one, so filtering after the merge is
+    * semantically exact, never a recall loss. */
+  def eventsAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.AsOf
+    AsOf.install(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "us")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id"))
+    AsOf.joinAsOf(purchases, clicks,
+        key = "user_id", time = "us", tiebreak = "event_id",
+        payload = "us", asofCol = "prev_click_us")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        timestamp_micros(when(col("us") - col("prev_click_us") <= AsofToleranceUs,
+          col("prev_click_us"))).as("prev_click_ts"),
+        (col("prev_click_us").isNotNull &&
+          col("us") - col("prev_click_us") <= AsofToleranceUs).as("fresh"))
+      .orderBy("event_id")
+  }
+
   /** JSON-column analytics: extract the typed payload from the free-form
     * `props` JSON string per row (codegen'd path expression, no UDF) and
     * aggregate — the semi-structured surface of the function library. */
@@ -540,6 +573,22 @@ object Events {
       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "events_asof_tolerance" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, ts, event_type, epoch_us(ts) AS us FROM events
+         |), w AS (
+         |  SELECT event_id, user_id, ts, event_type, us,
+         |         max(CASE WHEN event_type = 'click' THEN us END)
+         |           OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us
+         |  FROM ev
+         |)
+         |SELECT event_id, user_id, ts,
+         |       make_timestamp(CASE WHEN us - prev_us <= $AsofToleranceUs
+         |                           THEN prev_us END) AS prev_click_ts,
+         |       (prev_us IS NOT NULL AND us - prev_us <= $AsofToleranceUs) AS fresh
+         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
     "events_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
@@ -836,6 +885,7 @@ object Events {
     "events_moving_avg"       -> (eventsMovingAvg _),
     "events_asof_attribution" -> (eventsAsofAttribution _),
     "events_asof_custom"      -> (eventsAsofCustom _),
+    "events_asof_tolerance"   -> (eventsAsofTolerance _),
     "events_range_frame"      -> (eventsRangeFrame _),
     "events_skew_salted"      -> (eventsSkewSalted _),
     "events_latest_per_user"  -> (eventsLatestPerUser _),

@@ -67,6 +67,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Logistic quality classifier — the model-based filter stage
+    * (CCNet/fasttext-style) as a pure codegen map: a fixed linear model
+    * over the rounded hand features of [[textQuality]], sigmoid score,
+    * binary keep decision. The weights stand in for a trained model (no
+    * training data ships with the engine); swapping in learned weights
+    * changes ONE projection, not the dataflow. Stateless map work — at
+    * 100 TB the scan is the cost, exactly like every other scoring pass.
+    * Determinism: features are rounded before the dot product, the logit
+    * is rounded before exp, and the score before the 0.5 threshold — the
+    * sigmoid's libm output is the only cross-engine ulp exposure, closed
+    * by the same round-before-compare discipline as the unigram LM. */
+  def textQualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    textQuality(spark, dir)
+      .withColumn("logit", round(
+        lit(-1.0) + col("stop_ratio") * 3.0 - col("punct_ratio") * 4.0 +
+          least(col("n_tokens") / 100.0, lit(1.0)) * 2.0, 6))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .select(col("doc_id"), col("logit"), col("score"),
+        (col("score") >= 0.5).as("keep"))
+      .orderBy("doc_id")
+
+  /** Vocabulary sizes at which [[textVocabCoverage]] reports the coverage
+    * curve (clamped to the observed type count). */
+  val CoverageSizes = Seq(5, 10, 20, 50)
+
+  /** Tokenizer-design analytics: what fraction of corpus tokens a top-k
+    * frequency vocabulary covers, for each candidate k — the coverage
+    * curve that sizes vocabularies and OOV budgets. Scale shape: the
+    * corpus collapses to (type, count) in one hash aggregation (shuffle =
+    * |vocab|, not |tokens|); ranking and the cumulative sum run over the
+    * VOCABULARY relation — orders of magnitude smaller than the corpus,
+    * but still a global-order window: for open-domain corpora where even
+    * the vocabulary overwhelms one task, screen through the Misra–Gries
+    * heavy-hitter aggregator first ([[textHeavyHitters]]) — the curve
+    * above the screen's floor is unchanged. */
+  def textVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tc = withToksDf(spark, dir).select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val byFreq = Window.orderBy(col("c").desc, col("tok").asc)
+    val ranked = tc
+      .withColumn("rk", row_number().over(byFreq))
+      .withColumn("cum_c", sum(col("c")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = tc.agg(sum(col("c")).as("total"), count(lit(1)).as("n_types"))
+    CoverageSizes.toDF("vocab_size").crossJoin(broadcast(totals))
+      .withColumn("eff", least(col("vocab_size").cast("long"), col("n_types")))
+      .join(ranked, col("rk") === col("eff"))
+      .select(col("vocab_size").cast("int").as("vocab_size"),
+        col("eff").cast("long").as("effective_types"),
+        round(col("cum_c").cast("double") / col("total"), 6).as("token_coverage"))
+      .orderBy("vocab_size")
+  }
+
   /** Language-ID by marker-word counts with a fixed tiebreak priority
     * (zh via CJK codepoint presence). A real pipeline would use char-n-gram
     * profiles; the synthetic corpus shares one vocabulary, so this
@@ -780,6 +835,48 @@ object TextAnalysis {
          |  round(least(n_tokens / 50.0, 1.0) * 0.5 + stop_ratio * 0.3 + (1.0 - punct_ratio) * 0.2, 6) AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
 
+    "text_quality_classifier" ->
+      s"""$withToks
+         |, r AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      round(CAST(len(list_filter(toks, s -> list_contains(${sqlList(stopEn)}, s))) AS DOUBLE) / len(toks), 6)
+         |    END AS stop_ratio,
+         |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |      round(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text), 6)
+         |    END AS punct_ratio
+         |  FROM t
+         |), z AS (
+         |  SELECT doc_id,
+         |         round(-1.0 + stop_ratio * 3.0 - punct_ratio * 4.0 +
+         |               least(n_tokens / 100.0, 1.0) * 2.0, 6) AS logit
+         |  FROM r
+         |), s AS (
+         |  SELECT doc_id, logit, round(1.0 / (1.0 + exp(-logit)), 6) AS score FROM z
+         |)
+         |SELECT doc_id, logit, score, score >= 0.5 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_coverage" ->
+      s"""$withToks
+         |, tc AS (
+         |  SELECT tok, count(*) AS c
+         |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+         |), tot AS (
+         |  SELECT sum(c) AS total, count(*) AS n_types FROM tc
+         |), ranked AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rk,
+         |         sum(c) OVER (ORDER BY c DESC, tok ASC
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+         |  FROM tc
+         |), sizes(vocab_size) AS (VALUES ${CoverageSizes.map(s => s"($s)").mkString(", ")})
+         |SELECT CAST(vocab_size AS INTEGER) AS vocab_size,
+         |       CAST(least(vocab_size, n_types) AS BIGINT) AS effective_types,
+         |       round(CAST(cum_c AS DOUBLE) / total, 6) AS token_coverage
+         |FROM sizes CROSS JOIN tot
+         |JOIN ranked ON ranked.rk = least(vocab_size, n_types)
+         |ORDER BY vocab_size""".stripMargin,
+
     "text_quality_strata_sample" ->
       s"""$withToks
          |, r AS (
@@ -1157,6 +1254,8 @@ object TextAnalysis {
     "text_stats"              -> (textStats _),
     "text_compression_ratio"  -> (textCompressionRatio _),
     "text_quality"            -> (textQuality _),
+    "text_quality_classifier" -> (textQualityClassifier _),
+    "text_vocab_coverage"     -> (textVocabCoverage _),
     "text_langid"             -> (textLangId _),
     "text_fingerprint"        -> (textFingerprint _),
     "text_simhash"            -> (textSimhash _),

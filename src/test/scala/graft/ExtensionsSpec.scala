@@ -195,6 +195,58 @@ class ExtensionsSpec extends SparkTestBase {
     m shouldBe Seq((1, "a", "b", 7L), (2, "ab", "ab", 2L))
   }
 
+  test("as-of tolerance: boundary match kept, one-micro staler dropped") {
+    import graft.extensions.Events
+    val base = 1700000000000000L
+    val tol = Events.AsofToleranceUs
+    val evs = Seq(
+      // user 1: click exactly `tol` micros before the purchase → fresh
+      (1L, base, 1L, "click"), (2L, base + tol, 1L, "purchase"),
+      // user 2: click tol+1 micros before → match discarded as stale
+      (3L, base, 2L, "click"), (4L, base + tol + 1L, 2L, "purchase"),
+      // user 3: purchase with no click at all
+      (5L, base, 3L, "purchase"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asof-tol").toString
+    evs.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), (col("us") * 1000).as("ts"), col("user_id"),
+        col("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Events.eventsAsofTolerance(spark, tmp)
+      .select("event_id", "prev_click_ts", "fresh")
+      .collect().map(r => (r.getLong(0), r.get(1) == null, r.getBoolean(2))).toSeq
+    out shouldBe Seq((2L, false, true), (4L, true, false), (5L, true, false))
+  }
+
+  test("vocab coverage: partial top-k share, clamp at the full vocabulary") {
+    import graft.extensions.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cov").toString
+    Seq((0L, "a a a a b b c c d e f"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.textVocabCoverage(spark, tmp)
+      .as[(Int, Long, Double)].collect().toSeq
+    // counts a4 b2 c2 d1 e1 f1, total 11, 6 types: top-5 covers 10/11
+    out shouldBe Seq(
+      (5, 5L, 0.909091), (10, 6L, 1.0), (20, 6L, 1.0), (50, 6L, 1.0))
+  }
+
+  test("quality classifier: hand-computed logit, keep == rounded score >= 0.5") {
+    import graft.extensions.TextAnalysis
+    val tmp = java.nio.file.Files.createTempDirectory("graft-clf").toString
+    Seq((0L, "a a a a b b c c d e f"), (1L, "!!! ??? ..."))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.textQualityClassifier(spark, tmp)
+      .as[(Long, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+    // doc 0: stop_ratio 4/11, punct 0, 11 tokens
+    val logit0 = BigDecimal(-1.0 + 3.0 * 0.363636 + 2.0 * 0.11)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score0 = BigDecimal(1.0 / (1.0 + math.exp(-logit0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out(0) shouldBe ((0L, logit0, score0, score0 >= 0.5))
+    // doc 1: pure punctuation → punct_ratio ~0.818182, deeply negative logit
+    out(1)._4 shouldBe false
+    out.foreach { case (_, _, s, keep) => keep shouldBe (s >= 0.5) }
+  }
+
   test("sliding DAU: 7-day trailing distinct users, hand-computed fixture") {
     import graft.extensions.Events
     def day(d: Int): Long = // midnight UTC of 2023-11-<d>, micros
