@@ -236,6 +236,93 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Throttle window for [[eventsDedupWindow]] (1 day in micros): an event
+    * repeating its (user, type) within this gap of the PREVIOUS event of
+    * that key is a duplicate (retry storm / double-fire). */
+  val DedupWindowUs = 86400000000L
+
+  /** Telemetry de-duplication within a time window — the ingestion-edge
+    * cleanup every event pipeline runs before analytics: drop an event when
+    * the previous event of the same (user_id, event_type) lies within
+    * [[DedupWindowUs]]. Lag-based (gap measured to the previous RAW event,
+    * not the previous kept one), so it is ONE window pass over one exchange
+    * on the key — no sequential state, embarrassingly scalable; the
+    * kept-anchored variant is the streaming twin's territory
+    * (dropDuplicatesWithinWatermark keys state by first arrival). Output is
+    * the surviving stream plus the per-row gap that justified keeping it. */
+  def eventsDedupWindow(spark: SparkSession, dir: String): DataFrame = {
+    val byKey = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(byKey))
+      .filter(col("prev_us").isNull || col("us") - col("prev_us") > DedupWindowUs)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        (col("us") - col("prev_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** 3-step behavior paths: the top user journeys as (step1, step2, step3)
+    * trigram counts over each user's time-ordered stream — the path-analysis
+    * report product teams read next to the [[eventsTransitions]] matrix.
+    * Two stacked lags share ONE exchange + sort on user_id; the trigram
+    * keyspace is |types|³ (bounded), so the count aggregation is partial →
+    * final with near-zero shuffle. */
+  def eventsTrigramPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("step1", lag(col("event_type"), 2).over(byUser))
+      .withColumn("step2", lag(col("event_type"), 1).over(byUser))
+      .filter(col("step1").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("event_type").as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1").asc, col("step2").asc, col("step3").asc)
+      .limit(20)
+  }
+
+  /** Price-band cut points for the [[eventsPitJoin]] dimension (purchase
+    * value quartile-ish constants at the driver data's distribution). */
+  val PitBandMid = 25.0
+  val PitBandHigh = 60.0
+
+  /** Point-in-time (PIT) dimension lookup — the feature-store / warehouse
+    * pattern behind every "attribute as of event time" join: a slowly-
+    * changing dimension is derived from the purchase stream (each user's
+    * spend band, versions opened only when the band CHANGES — the SCD-2
+    * collapse of [[eventsScd2]]), and every click is enriched with the
+    * version in force at click time. The interval containment join
+    * degenerates to an as-of match on version starts because SCD-2
+    * intervals tile time contiguously — so the NATIVE as-of operator
+    * ([[org.apache.spark.sql.graft.AsOfJoinExec]]) does the lookup with
+    * O(1) merge state per partition instead of an interval range join;
+    * clicks before the first version report NULL band (fine — the feature
+    * is genuinely unknown then). */
+  def eventsPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.AsOf
+    AsOf.install(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("us"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+    val versions = ev.filter(col("event_type") === "purchase")
+      .withColumn("band",
+        when(col("value") < PitBandMid, "low")
+          .when(col("value") < PitBandHigh, "mid")
+          .otherwise("high"))
+      .withColumn("prev_band", lag(col("band"), 1).over(byUser))
+      .filter(col("prev_band").isNull || col("prev_band") =!= col("band"))
+      .select(col("user_id"), col("us"), col("event_id"), col("band"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "us")
+    AsOf.joinAsOf(clicks, versions,
+        key = "user_id", time = "us", tiebreak = "event_id",
+        payload = "band", asofCol = "band_at_click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("band_at_click"))
+      .orderBy("event_id")
+  }
+
   /** JSON-column analytics: extract the typed payload from the free-form
     * `props` JSON string per row (codegen'd path expression, no UDF) and
     * aggregate — the semi-structured surface of the function library. */
@@ -589,6 +676,65 @@ object Events {
          |       (prev_us IS NOT NULL AND us - prev_us <= $AsofToleranceUs) AS fresh
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
+    "events_dedup_window" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS us,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+         |           ORDER BY ts ASC, event_id ASC) AS prev_us
+         |  FROM events
+         |)
+         |SELECT event_id, user_id, event_type, ts, us - prev_us AS gap_us
+         |FROM e WHERE prev_us IS NULL OR us - prev_us > $DedupWindowUs
+         |ORDER BY event_id""".stripMargin,
+
+    "events_trigram_paths" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 2) OVER w AS step1,
+        |         lag(event_type, 1) OVER w AS step2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |)
+        |SELECT step1, step2, event_type AS step3, count(*) AS n_paths
+        |FROM seq WHERE step1 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n_paths DESC, step1 ASC, step2 ASC, step3 ASC
+        |LIMIT 20""".stripMargin,
+
+    // PIT lookup replay: SCD-2 version starts + strictly-prior last_value
+    // over the union — the same semantics the native as-of merge computes.
+    "events_pit_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, ts, event_type, value, epoch_us(ts) AS us
+         |  FROM events
+         |), p AS (
+         |  SELECT user_id, us, event_id,
+         |         CASE WHEN value < $PitBandMid THEN 'low'
+         |              WHEN value < $PitBandHigh THEN 'mid'
+         |              ELSE 'high' END AS band
+         |  FROM ev WHERE event_type = 'purchase'
+         |), v AS (
+         |  SELECT user_id, us, event_id, band
+         |  FROM (SELECT *, lag(band) OVER (PARTITION BY user_id
+         |          ORDER BY us ASC, event_id ASC) AS prev_band FROM p)
+         |  WHERE prev_band IS NULL OR prev_band <> band
+         |), u AS (
+         |  SELECT user_id, us, event_id, CAST(NULL AS VARCHAR) AS band,
+         |         ts, TRUE AS is_click
+         |  FROM ev WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, us, event_id, band, CAST(NULL AS TIMESTAMP), FALSE
+         |  FROM v
+         |), w AS (
+         |  SELECT *, last_value(band IGNORE NULLS)
+         |           OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS band_at_click
+         |  FROM u
+         |)
+         |SELECT event_id, user_id, ts, band_at_click
+         |FROM w WHERE is_click ORDER BY event_id""".stripMargin,
+
     "events_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,
@@ -901,5 +1047,8 @@ object Events {
     "events_transitions"      -> (eventsTransitions _),
     "events_hourly_topk"      -> (eventsHourlyTopk _),
     "events_ewma"             -> (eventsEwma _),
+    "events_dedup_window"     -> (eventsDedupWindow _),
+    "events_trigram_paths"    -> (eventsTrigramPaths _),
+    "events_pit_join"         -> (eventsPitJoin _),
   )
 }

@@ -162,4 +162,44 @@ object Graph {
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Per-EDGE triangle counts — the common-neighbor count of each edge's
+    * endpoints, the core signal of neighborhood-overlap link analysis
+    * (Jaccard/Adamic-Adar edge scores). Same degree-oriented enumeration as
+    * [[trianglesPerNode]] (each triangle found exactly once, wedge work
+    * bounded by out-degree); each triangle (u,v,w) then credits its three
+    * edges, re-canonicalized to id order (the orientation is by (degree,id),
+    * so u<v<w in that order need not be id-ordered). Edges in no triangle
+    * are absent — callers LEFT-join and coalesce to 0.
+    *
+    * @param und undirected edges, one row per edge, columns `a` < `b`.
+    * @return (`a`, `b`, `n_common`) with a < b.
+    */
+  def trianglesPerEdge(undLazy: DataFrame): DataFrame = {
+    val und = undLazy.localCheckpoint()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dst_dg"))
+      .localCheckpoint()
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2"); val e3 = oriented.as("e3")
+    val tri = e1.join(e2, col("e1.src") === col("e2.src") &&
+        (col("e1.dst_dg") < col("e2.dst_dg") ||
+          (col("e1.dst_dg") === col("e2.dst_dg") && col("e1.dst") < col("e2.dst"))))
+      .join(e3, col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
 }

@@ -250,7 +250,8 @@ object DblpAnalog {
   /** Strong co-author undirected edges (a < b, weight-thresholded) — the
     * shared backbone of triangles and clustering coefficient: in-row pair
     * expansion from one aggregation, never a pa⋈pa self-join shuffle. */
-  private def strongCoauthorEdges(spark: SparkSession, dir: String): DataFrame = {
+  private def strongCoauthorEdges(spark: SparkSession, dir: String,
+                                  minWeight: Int = TriangleMinWeight): DataFrame = {
     val pa = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("pub"), col("l_suppkey").as("a")).distinct()
     pa.groupBy("pub").agg(collect_list(col("a")).as("as_"))
@@ -259,7 +260,7 @@ object DblpAnalog {
         .as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= TriangleMinWeight)
+      .filter(col("w") >= minWeight)
       .select(col("a"), col("b"))
   }
 
@@ -329,6 +330,39 @@ object DblpAnalog {
       .orderBy("s_suppkey")
   }
 
+  /** Neighborhood-overlap (Jaccard) score per strong co-author edge — the
+    * classic link-prediction / tie-strength signal: for collaborators (a,b),
+    * |N(a)∩N(b)| / |N(a)∪N(b)| over the strong co-author graph. Common
+    * neighbors come from [[graft.ops.Graph.trianglesPerEdge]]'s
+    * degree-oriented enumeration (each triangle found once, wedge work
+    * bounded by out-degree — never a hub's degree² blowup), so the cost is
+    * the triangle count, not an adjacency self-join; degrees and the edge
+    * list share one materialized backbone. Edges with no common neighbor
+    * report 0 via the left join (absence would silently drop them).
+    * |N(a)∪N(b)| = d(a)+d(b)−cn because b∈N(a) and a∈N(b) are each in one
+    * set only, and cn is double-counted once.
+    *
+    * Backbone weight [[JaccardMinWeight]] is HIGHER than the triangle
+    * queries' [[TriangleMinWeight]]: at sf0.01 the ≥5 graph is complete
+    * (every edge scores the same 0.98 — a vacuous gate), the ≥30 graph is
+    * sparse with scores spread over [0, 0.32]. */
+  def coauthorNeighborJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val und = strongCoauthorEdges(spark, dir, JaccardMinWeight).localCheckpoint()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val cn = graft.ops.Graph.trianglesPerEdge(und)
+    und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .join(cn, Seq("a", "b"), "left")
+      .select(col("a").as("s1"), col("b").as("s2"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) /
+          (col("da") + col("db") - coalesce(col("n_common"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("s1", "s2")
+  }
+
   private val kcoreOracle: String = {
     val rounds = (1 to KcoreRounds).map { r =>
       s"""d$r AS (
@@ -354,14 +388,19 @@ object DblpAnalog {
        |GROUP BY n ORDER BY s_suppkey""".stripMargin
   }
 
+  /** Strong-edge backbone weight for [[coauthorNeighborJaccard]] — see its
+    * Scaladoc for why it differs from [[TriangleMinWeight]]. */
+  private val JaccardMinWeight = 30
+
   /** Shared triangle-enumeration SQL (pa → und → deg → oriented → tri) —
-    * consumed by both the triangles and clustering-coefficient oracles. */
-  private val coauthorGraphSql: String =
+    * consumed by the triangles, clustering-coefficient, and neighborhood-
+    * Jaccard oracles (the latter at a different backbone weight). */
+  private def coauthorGraphSqlAt(minWeight: Int): String =
     s"""WITH pa AS (SELECT DISTINCT l_orderkey AS pub, l_suppkey AS a FROM lineitem),
       |und AS (
       |  SELECT x.a AS a, y.a AS b
       |  FROM pa x JOIN pa y ON x.pub = y.pub AND x.a < y.a
-      |  GROUP BY x.a, y.a HAVING count(*) >= $TriangleMinWeight
+      |  GROUP BY x.a, y.a HAVING count(*) >= $minWeight
       |),
       |deg AS (
       |  SELECT n, count(*) AS dg
@@ -383,14 +422,14 @@ object DblpAnalog {
       |)""".stripMargin
 
   private val trianglesOracle: String =
-    s"""$coauthorGraphSql
+    s"""${coauthorGraphSqlAt(TriangleMinWeight)}
       |SELECT n AS s_suppkey, count(*) AS n_triangles
       |FROM (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri
       |      UNION ALL SELECT w AS n FROM tri)
       |GROUP BY n ORDER BY s_suppkey""".stripMargin
 
   private val clusteringCoeffOracle: String =
-    s"""$coauthorGraphSql
+    s"""${coauthorGraphSqlAt(TriangleMinWeight)}
       |, tcnt AS (
       |  SELECT n, count(*) AS c
       |  FROM (SELECT u AS n FROM tri UNION ALL SELECT v AS n FROM tri
@@ -404,6 +443,27 @@ object DblpAnalog {
       |            ELSE 0.0 END AS clustering_coeff
       |FROM deg LEFT JOIN tcnt ON deg.n = tcnt.n
       |ORDER BY s_suppkey""".stripMargin
+
+  private def neighborJaccardOracle: String =
+    s"""${coauthorGraphSqlAt(JaccardMinWeight)}
+      |, ecn AS (
+      |  SELECT least(x, y) AS a, greatest(x, y) AS b, count(*) AS n_common
+      |  FROM (
+      |    SELECT u AS x, v AS y FROM tri
+      |    UNION ALL SELECT u AS x, w AS y FROM tri
+      |    UNION ALL SELECT v AS x, w AS y FROM tri
+      |  )
+      |  GROUP BY least(x, y), greatest(x, y)
+      |)
+      |SELECT und.a AS s1, und.b AS s2,
+      |       coalesce(ecn.n_common, 0) AS n_common,
+      |       round(coalesce(ecn.n_common, 0) * 1.0 /
+      |             (da.dg + db.dg - coalesce(ecn.n_common, 0)), 6) AS jaccard
+      |FROM und
+      |JOIN deg da ON und.a = da.n
+      |JOIN deg db ON und.b = db.n
+      |LEFT JOIN ecn ON und.a = ecn.a AND und.b = ecn.b
+      |ORDER BY s1, s2""".stripMargin
 
   private def pagerankOracle: String = {
     val iters = (1 to PagerankIters).map { k =>
@@ -435,6 +495,7 @@ object DblpAnalog {
     "coauthor_triangles" -> trianglesOracle,
     "coauthor_kcore" -> kcoreOracle,
     "coauthor_clustering_coeff" -> clusteringCoeffOracle,
+    "coauthor_neighbor_jaccard" -> neighborJaccardOracle,
     "t1_top10_authors_per_venue" ->
       s"""$base
          |, va AS (
@@ -514,5 +575,6 @@ object DblpAnalog {
     "coauthor_triangles"           -> (coauthorTriangles _),
     "coauthor_clustering_coeff"    -> (coauthorClusteringCoeff _),
     "coauthor_kcore"               -> (coauthorKcore _),
+    "coauthor_neighbor_jaccard"    -> (coauthorNeighborJaccard _),
   )
 }
