@@ -553,7 +553,26 @@ object Dedup {
       |  FROM buckets x JOIN buckets y
       |    ON x.band = y.band AND x.bkt = y.bkt AND x.doc_id < y.doc_id""".stripMargin
 
-  private val verifiedPairsCtes = verifiedCtesFor(allPairsCandSql)
+  /** Shared with TextAnalysis' cluster-split oracle. */
+  private[extensions] val verifiedPairsCtes = verifiedCtesFor(allPairsCandSql)
+
+  /** Connected components as a recursive CTE over the verified pair graph +
+    * total cluster assignment (`assigned`: every doc, its component min) —
+    * shared by the dedup_clusters and text_cluster_split oracles. */
+  private[extensions] val clusterAssignCtes: String =
+    s"""${verifiedPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")}
+       |, gedges AS (
+       |  SELECT doc_a AS n, doc_b AS m FROM vpairs
+       |  UNION SELECT doc_b, doc_a FROM vpairs
+       |), reach AS (
+       |  SELECT n AS node, n AS lbl FROM gedges
+       |  UNION
+       |  SELECT e.m AS node, r.lbl FROM reach r JOIN gedges e ON e.n = r.node
+       |), comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
+       |assigned AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+       |)""".stripMargin
 
   private val incrementalCandSql =
     s"""  SELECT DISTINCT e.doc_id AS doc_a, n.doc_id AS doc_b
@@ -703,19 +722,7 @@ object Dedup {
     // min(lbl) per node = the component's min doc_id — the same fixpoint the
     // Spark side reaches by distributed label propagation.
     "dedup_clusters" ->
-      s"""${verifiedPairsCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")}
-         |, gedges AS (
-         |  SELECT doc_a AS n, doc_b AS m FROM vpairs
-         |  UNION SELECT doc_b, doc_a FROM vpairs
-         |), reach AS (
-         |  SELECT n AS node, n AS lbl FROM gedges
-         |  UNION
-         |  SELECT e.m AS node, r.lbl FROM reach r JOIN gedges e ON e.n = r.node
-         |), comp AS (SELECT node, min(lbl) AS cluster_id FROM reach GROUP BY node),
-         |assigned AS (
-         |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-         |)
+      s"""$clusterAssignCtes
          |SELECT doc_id, cluster_id,
          |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
          |       doc_id = cluster_id AS is_canonical

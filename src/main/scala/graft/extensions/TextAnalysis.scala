@@ -737,6 +737,88 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Chunk geometry for [[textChunkOverlap]]: window of [[ChunkTokens]]
+    * tokens advancing by [[ChunkStride]] (overlap = 4 tokens) — sized to the
+    * driver corpus' ~54-token documents; a production RAG pipeline runs the
+    * same shape at 512/384. */
+  val ChunkTokens = 16
+  val ChunkStride = 12
+
+  /** Overlapping-window document chunking — the context-preparation stage of
+    * retrieval (RAG) and long-document training pipelines: each doc becomes
+    * ⌈n/stride⌉ windows of [[ChunkTokens]] tokens starting every
+    * [[ChunkStride]], the tail windows shorter. Stateless per-row explode of
+    * a bounded sequence — no shuffle at all until the output sort, and chunk
+    * ids are derived (doc_id, chunk_id), never a global counter (which would
+    * serialize at corpus scale). */
+  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame =
+    withToksDf(spark, dir)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((size(col("toks")) - 1) / ChunkStride).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * ChunkStride).cast("long").as("start_tok"),
+        slice(col("toks"), col("chunk_id") * ChunkStride + 1, lit(ChunkTokens)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("ctoks")).cast("long").as("n_tok"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Bigram language-model scoring with add-one smoothing — the step up from
+    * [[textUnigramLogprob]]'s perplexity proxy: per doc, the mean
+    * ln((c(w₁w₂)+1)/(c(w₁·)+V)) over its bigram instances, where c(w₁·)
+    * counts w₁ as a bigram CONTEXT (so the smoothed distribution sums to 1)
+    * and V is the corpus vocabulary size. Corpus model = two bounded
+    * aggregations (|bigram types|, |vocab|) broadcast to a stateless per-doc
+    * join; the per-doc mean is a SEQUENTIAL fold in (w1, w2) order over
+    * 9-dp-rounded terms — the same libm/summation-order parity discipline as
+    * the unigram and entropy queries. */
+  def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val bi = withToksDf(spark, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = withToksDf(spark, dir)
+      .select(explode(col("toks")).as("w")).agg(countDistinct("w").as("v"))
+    val perDoc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
+    perDoc
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("w1"), col("w2"), col("k"),
+        round(log((col("c2") + 1.0) / (col("c1") + col("v"))), 9).as("lp"))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("n_bigrams"),
+        round(expr(
+          "aggregate(transform(sort_array(collect_list(struct(w1, w2, k, lp))), x -> x.k * x.lp), 0.0D, (acc, t) -> acc + t)")
+          / sum("k"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Leakage-free train/val/test split — the assignment EVERY deduplicated
+    * corpus needs: hashing doc_id ([[textSplitAssign]]) puts near-duplicate
+    * documents in different splits, leaking eval content into training. The
+    * fix is to split by duplicate CLUSTER: connected components over the
+    * verified near-dup pair graph ([[Dedup.dedupClusters]]' machinery) give
+    * each doc a cluster id, and the split hash keys on the cluster's
+    * canonical id — every member of a cluster lands in the same split by
+    * construction (spec-asserted). Costs one extra join over the pair-graph
+    * components versus the naive split. */
+  def textClusterSplit(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"),
+        (Portable.hash60(col("cluster_id").cast("string")) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .select("doc_id", "cluster_id", "bucket", "split")
+      .orderBy("doc_id")
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -991,6 +1073,52 @@ object TextAnalysis {
         |            WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 95 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunk_overlap" ->
+      s"""$withToks
+         |, c AS (
+         |  SELECT doc_id, g AS chunk_id, g * $ChunkStride AS start_tok,
+         |         toks[g * $ChunkStride + 1 : g * $ChunkStride + $ChunkTokens] AS ctoks
+         |  FROM t, unnest(generate_series(0,
+         |         CAST(floor((len(toks) - 1) / $ChunkStride) AS BIGINT))) AS s(g)
+         |  WHERE len(toks) > 0
+         |)
+         |SELECT doc_id, chunk_id, start_tok,
+         |       CAST(len(ctoks) AS BIGINT) AS n_tok,
+         |       array_to_string(ctoks, ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "text_bigram_logprob" ->
+      s"""$withToks
+         |, bi AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+         |  FROM t, unnest(range(1, len(toks))) AS r(i)
+         |  WHERE len(toks) >= 2
+         |), c2 AS (
+         |  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+         |), c1 AS (
+         |  SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+         |), vv AS (
+         |  SELECT count(DISTINCT w) AS v FROM t, unnest(toks) AS u(w)
+         |), pt AS (
+         |  SELECT doc_id, w1, w2, count(*) AS k FROM bi GROUP BY doc_id, w1, w2
+         |)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         |       round(list_reduce(
+         |         list(k * round(ln((c2 + 1.0) / (c1 + v)), 9) ORDER BY w1, w2),
+         |         (x, y) -> x + y) / sum(k), 6) AS avg_logprob
+         |FROM pt JOIN c2 USING (w1, w2) JOIN c1 USING (w1), vv
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "text_cluster_split" ->
+      s"""${Dedup.clusterAssignCtes}
+         |SELECT doc_id, cluster_id,
+         |       ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+         |       CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+         |            WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM assigned ORDER BY doc_id""".stripMargin,
 
     "text_heavy_hitters" ->
       s"""$withToks
@@ -1268,6 +1396,9 @@ object TextAnalysis {
     "text_token_budget_mix"   -> (textTokenBudgetMix _),
     "text_heavy_hitters"      -> (textHeavyHitters _),
     "text_unigram_logprob"    -> (textUnigramLogprob _),
+    "text_bigram_logprob"     -> (textBigramLogprob _),
+    "text_chunk_overlap"      -> (textChunkOverlap _),
+    "text_cluster_split"      -> (textClusterSplit _),
     "text_char_entropy"       -> (textCharEntropy _),
     "text_quality_strata_sample" -> (textQualityStrataSample _),
     "text_filter_funnel"      -> (textFilterFunnel _),

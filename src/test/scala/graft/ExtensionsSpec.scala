@@ -271,4 +271,38 @@ class ExtensionsSpec extends SparkTestBase {
       ("2023-11-05", 2L, 2L),  // window [Oct30..Nov5]: users 1, 2
       ("2023-11-09", 1L, 2L))  // window [Nov3..Nov9]: day-5 pair still inside
   }
+
+  test("chunk overlap: window/stride geometry, short docs, empty docs dropped") {
+    import graft.extensions.TextAnalysis
+    val toks30 = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      (1L, toks30.mkString(" ")), // 30 toks -> starts 0,12,24; sizes 16,16,6
+      (2L, "only"),               // 1 tok  -> one chunk of 1
+      (3L, "   "))                // empty  -> no chunks
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("s").as("source"),
+        org.apache.spark.sql.functions.length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextAnalysis.textChunkOverlap(spark, tmp)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        col("chunk_text"))
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    out.map(r => (r._1, r._2, r._3, r._4)) shouldBe Seq(
+      (1L, 0L, 0L, 16L), (1L, 1L, 12L, 16L), (1L, 2L, 24L, 6L),
+      (2L, 0L, 0L, 1L))
+    out(1)._5 shouldBe toks30.slice(12, 28).mkString(" ") // overlap window 12..27
+    out(3)._5 shouldBe "only"
+  }
+
+  test("cluster split: every near-dup cluster lands whole in one split (no leakage)") {
+    import graft.extensions.TextAnalysis
+    val out = TextAnalysis.textClusterSplit(spark, "/root/testdata/sf0.001")
+    // at least one non-singleton cluster, else the property is vacuous
+    val multi = out.groupBy("cluster_id").count().filter(col("count") > 1).count()
+    assert(multi > 0, "fixture has no near-dup cluster; leakage property vacuous")
+    out.groupBy("cluster_id").agg(countDistinct("split").as("k"))
+      .filter(col("k") > 1).count() shouldBe 0L
+  }
 }
