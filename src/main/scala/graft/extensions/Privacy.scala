@@ -134,6 +134,38 @@ object Privacy {
       .orderBy("host")
   }
 
+  /** Right-to-erasure (GDPR art. 17) propagation — the compliance pass every
+    * user-data warehouse schedules: a deletion-request set (here a
+    * deterministic 1-in-20 hash sample of customers, standing in for the
+    * request table) cascades through the foreign-key chain
+    * customer → orders → lineitem, and the audit report states per entity
+    * how many rows the erasure removes vs keeps. The cascade is two LEFT
+    * SEMI joins (each a key-only shuffle — row payloads never move) and the
+    * report is three partial+final count aggregations; at 100 TB the request
+    * set is broadcast and the scan-side semi joins turn into Bloom/DPP
+    * filters. The kept tables themselves are the same relations minus the
+    * semi join — materializing them is [[graft.sources.Sinks]] territory;
+    * this query gates the SELECTION logic, where erasure bugs live. */
+  def privacyErasure(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey").as("k"))
+    val delC = c.filter(
+      graft.functions.Portable.hash60(col("k").cast("string")) % 20 === 0)
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val delO = o.join(delC, o("o_custkey") === delC("k"), "left_semi")
+      .select(col("o_orderkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val delL = l.join(delO, l("l_orderkey") === delO("o_orderkey"), "left_semi")
+    def stat(name: String, total: DataFrame, deleted: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(name).as("entity"), col("n_total"), col("n_deleted"),
+          (col("n_total") - col("n_deleted")).as("n_kept"))
+    stat("customer", c, delC)
+      .unionByName(stat("orders", o, delO))
+      .unionByName(stat("lineitem", l, delL))
+      .orderBy("entity")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val rawSql =
@@ -182,6 +214,30 @@ object Privacy {
         |HAVING count(DISTINCT url) > 1
         |ORDER BY canonical_url""".stripMargin,
 
+    "privacy_erasure" ->
+      """WITH delc AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE ('0x' || substr(md5(c_custkey::VARCHAR), 1, 15))::BIGINT % 20 = 0
+        |), delo AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM delc)
+        |), s AS (
+        |  SELECT 'customer' AS entity,
+        |         (SELECT count(*) FROM customer) AS n_total,
+        |         (SELECT count(*) FROM delc) AS n_deleted
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |         (SELECT count(*) FROM lineitem),
+        |         (SELECT count(*) FROM lineitem
+        |          WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+        |  UNION ALL
+        |  SELECT 'orders',
+        |         (SELECT count(*) FROM orders),
+        |         (SELECT count(*) FROM delo)
+        |)
+        |SELECT entity, n_total, n_deleted, n_total - n_deleted AS n_kept
+        |FROM s ORDER BY entity""".stripMargin,
+
     "url_domains" ->
       s"""WITH u AS (
          |  SELECT event_id, user_id, value,
@@ -204,5 +260,6 @@ object Privacy {
     "pii_scrub"   -> (piiScrub _),
     "url_domains" -> (urlDomains _),
     "url_canonical_dedup" -> (urlCanonicalDedup _),
+    "privacy_erasure" -> (privacyErasure _),
   )
 }

@@ -465,6 +465,58 @@ object Similarity {
       .transform(topK)
   }
 
+  /** STAGED retrieval — the production ANN architecture in one query:
+    * a cheap recall-oriented screen (the banded-LSH candidate generator of
+    * [[dedupEmbeddingLsh]], OR-amplified across [[DedupBands]] bands) feeds
+    * an exact cosine re-rank of the survivors. Compared to [[simTopkLsh]]'s
+    * single 8-bit bucket, the banded screen recovers neighbors that differ
+    * in any one sub-signature — recall rises from the AND-bucket's ~0.5 to
+    * ~0.99 at near-dup similarity — while the exact stage touches only
+    * screened candidates (never the corpus). This screen→verify split is
+    * the same two-tier discipline as dedup_minhash_verified, applied to
+    * retrieval; each tier's cost is independently bounded (bucket sizes /
+    * candidate count). */
+  def simRerank(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir).localCheckpoint()
+    val sig = bandSignatures(spark, dir).localCheckpoint()
+    val qsig = sig.filter(col("vec_id") < NumQueries)
+    val cand = qsig.as("x")
+      .join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("y.vec_id") =!= col("x.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    cand
+      .join(vs.as("a"), col("query_id") === col("a.vec_id"))
+      .join(vs.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Portable.cosine6(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos_sim"))
+      .transform(topK)
+  }
+
+  /** Output dimensionality of [[simRandomProjection]] (64 → 8). */
+  val ProjDims = 8
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss
+    * style): each 64-dim embedding is projected onto [[ProjDims]] fixed
+    * pseudo-random hyperplanes — the same plan-literal matrix the LSH
+    * signatures use, so the projection is ONE map-side expression per
+    * vector: no explode, no join, no shuffle (the output sort is the only
+    * exchange). The compaction step before sketching / coarse clustering /
+    * shipping vectors across the wire; sign-of-projection IS the LSH bit,
+    * so [[simTopkLsh]] is exactly "this, quantized to 1 bit/dim". Long-form
+    * output (vec_id, dim, proj) keeps the oracle's array-free hash compare
+    * exact. */
+  def simRandomProjection(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(col("vec_id"),
+        explode(transform(sequence(lit(0), lit(ProjDims - 1)), j =>
+          struct(j.cast("int").as("dim"),
+            round(Portable.dot(col("v"), get(planesLit(ProjDims), j)), 6).as("proj"))))
+          .as("p"))
+      .select(col("vec_id"), col("p.dim").as("dim"), col("p.proj").as("proj"))
+      .orderBy("vec_id", "dim")
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val posAndNorm =
@@ -555,6 +607,48 @@ object Similarity {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_rerank" ->
+      s"""$posAndNorm
+         |$bandSigSql
+         |, cand AS (
+         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+         |  FROM sig x JOIN sig y ON x.band = y.band AND x.bkt = y.bkt
+         |  WHERE x.vec_id < $NumQueries AND y.vec_id <> x.vec_id
+         |), d AS (
+         |  SELECT c.query_id, c.neighbor_id, sum(a.x * b.x) AS dot
+         |  FROM cand c
+         |  JOIN pos a ON a.vec_id = c.query_id
+         |  JOIN pos b ON b.vec_id = c.neighbor_id AND a.i = b.i
+         |  GROUP BY c.query_id, c.neighbor_id
+         |), scored AS (
+         |  SELECT query_id, neighbor_id, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+         |  FROM d
+         |  JOIN nrm na ON query_id = na.vec_id
+         |  JOIN nrm nb ON neighbor_id = nb.vec_id
+         |), ranked AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos_sim FROM ranked WHERE rk <= $TopK
+         |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+
+    "sim_random_projection" ->
+      s"""$posAndNorm
+         |, planes AS (
+         |  SELECT j, i,
+         |         ((('0x' || substr(md5('plane' || '_' || j || '_' || i), 1, 15))::BIGINT % 2001 - 1000))::DOUBLE / 1000.0 AS w
+         |  FROM (SELECT unnest(generate_series(0, ${ProjDims - 1})) AS j) js
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+         |)
+         |SELECT pos.vec_id, CAST(planes.j AS INTEGER) AS dim,
+         |       round(list_reduce(list(pos.x * planes.w ORDER BY pos.i),
+         |                         (x, y) -> x + y), 6) AS proj
+         |FROM pos JOIN planes ON pos.i = planes.i
+         |GROUP BY pos.vec_id, planes.j
+         |ORDER BY vec_id, dim""".stripMargin,
+
     "sim_label_centroids" ->
       """SELECT label, CAST(i AS INTEGER) AS dim,
         |       round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS centroid,
@@ -793,5 +887,7 @@ object Similarity {
     "sim_topk_quantized"  -> (simTopkQuantized _),
     "sim_topk_pq"         -> (simTopkPq _),
     "sim_label_centroids" -> (simLabelCentroids _),
+    "sim_rerank"          -> (simRerank _),
+    "sim_random_projection" -> (simRandomProjection _),
   )
 }
