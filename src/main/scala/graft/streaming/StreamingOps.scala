@@ -181,6 +181,21 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming (user, type) THROTTLE — the kept-anchored twin of the batch
+    * lag-based `Events.eventsDedupWindow`: the FIRST arrival of each
+    * (user_id, event_type) is emitted and every re-fire of that key is
+    * dropped while its state entry lives; watermark expiry re-admits the
+    * key afterwards. State is one entry per distinct live key (bounded by
+    * key cardinality × horizon, never the stream length). Batch/stream
+    * semantic difference is inherent and documented: the batch form
+    * measures the gap to the previous RAW event, this form to the previous
+    * KEPT one — at ingestion the kept-anchored rule is the implementable
+    * one, because earlier drops are no longer observable. */
+  def throttleStream(events: DataFrame, watermark: String = "25 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
   /** Stream-STREAM interval join — click-to-view attribution with both
     * sides unbounded: every click pairs with that user's views from the
     * preceding hour. Both inputs carry watermarks and the join condition

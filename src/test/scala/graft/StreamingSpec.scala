@@ -86,6 +86,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("throttleStream keeps the first (user, type) arrival and drops re-fires") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingOps.throttleStream(ms.toDF())
+      .writeStream.format("memory").queryName("throttle").outputMode("append").start()
+    try {
+      ms.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),   // re-fire of (1, click) — dropped
+        Event(3, ts(6), 1, "view", 3.0),    // new type — kept
+        Event(4, ts(7), 2, "click", 4.0))   // new user — kept
+      q.processAllAvailable()
+      // cross-batch: state persists, so a later micro-batch re-fire drops too
+      ms.addData(Event(5, ts(9), 1, "click", 5.0))
+      q.processAllAvailable()
+      spark.table("throttle").select("event_id")
+        .as[Long].collect().toSeq.sorted shouldBe Seq(1L, 3L, 4L)
+    } finally q.stop()
+  }
+
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
     // file streams tail a directory; stage the single driver file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
