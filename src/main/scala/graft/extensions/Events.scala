@@ -323,6 +323,71 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** CUSUM drift detection per event type — the change-point screen data
+    * pipelines run on metric streams: daily means, each day's deviation
+    * from the type's overall daily-mean level, and the cumulative deviation
+    * sum whose extreme |value| marks the most likely level-shift point
+    * (flagged per type). The cumulative sum runs in DECIMAL: a float
+    * running sum is association-dependent (Spark accumulates left-to-right,
+    * DuckDB's window aggregation uses a segment tree), and the exact
+    * decimal sum is order-independent on both. Scale: one daily pre-agg,
+    * then windows over the small (type × day) relation. */
+  def eventsCusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value").cast(DecimalType(38, 18))).cast("double")
+        / count(lit(1)), 6).as("dmean"))
+    val tm = daily.groupBy("event_type")
+      .agg(round(sum(col("dmean").cast(DecimalType(38, 18))).cast("double")
+        / count(lit(1)), 6).as("m"))
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCusum = daily.join(broadcast(tm), "event_type")
+      .withColumn("cusum",
+        round(sum(round(col("dmean") - col("m"), 6).cast(DecimalType(38, 18)))
+          .over(byDay).cast("double"), 6))
+    withCusum
+      .withColumn("is_peak",
+        abs(col("cusum")) === max(abs(col("cusum")))
+          .over(Window.partitionBy("event_type")))
+      .select("event_type", "day", "dmean", "cusum", "is_peak")
+      .orderBy("event_type", "day")
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation over the
+    * purchase stream — the classic lifecycle-marketing cut: per user, days
+    * since last purchase (vs the stream's last purchase day), purchase
+    * count, and exact spend; each dimension is scored into quintiles by
+    * `ntile(5)` over a TOTAL order (user_id tiebreak — ntile is
+    * deterministic only under one) and the three digits concatenate into
+    * the segment label. One aggregation to per-user rows, then three
+    * windows over the small user relation; the reference-date scalar is a
+    * broadcast. R quintile 1 = most recent, F/M quintile 1 = heaviest. */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir).filter(col("event_type") === "purchase")
+    val ref = p.agg(max(to_date(col("ts"))).as("ref_day"))
+    val perUser = p.groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value").cast(DecimalType(28, 10))), 2).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        datediff(col("ref_day"), col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary"))
+    perUser
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency_days").asc, col("user_id").asc)))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("frequency").desc, col("user_id").asc)))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("monetary").desc, col("user_id").asc)))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"),
+        concat(col("r"), col("f"), col("m")).as("segment"))
+      .orderBy("user_id")
+  }
+
   /** JSON-column analytics: extract the typed payload from the free-form
     * `props` JSON string per row (codegen'd path expression, no UDF) and
     * aggregate — the semi-structured surface of the function library. */
@@ -675,6 +740,49 @@ object Events {
          |                           THEN prev_us END) AS prev_click_ts,
          |       (prev_us IS NOT NULL AND us - prev_us <= $AsofToleranceUs) AS fresh
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "events_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS dmean
+        |  FROM events GROUP BY event_type, day
+        |), tm AS (
+        |  SELECT event_type,
+        |         round(CAST(sum(CAST(dmean AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS m
+        |  FROM daily GROUP BY event_type
+        |), c AS (
+        |  SELECT daily.event_type, day, dmean,
+        |         round(CAST(sum(CAST(round(dmean - m, 6) AS DECIMAL(38,18)))
+        |             OVER (PARTITION BY daily.event_type ORDER BY day
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS cusum
+        |  FROM daily JOIN tm USING (event_type)
+        |)
+        |SELECT event_type, day, dmean, cusum,
+        |       abs(cusum) = max(abs(cusum)) OVER (PARTITION BY event_type) AS is_peak
+        |FROM c ORDER BY event_type, day""".stripMargin,
+
+    "events_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value
+        |  FROM events WHERE event_type = 'purchase'
+        |), ref AS (SELECT max(day) AS ref_day FROM p),
+        |u AS (
+        |  SELECT user_id,
+        |         date_diff('day', max(day), (SELECT ref_day FROM ref)) AS recency_days,
+        |         count(*) AS frequency,
+        |         CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS monetary
+        |  FROM p GROUP BY user_id
+        |), s AS (
+        |  SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
+        |         frequency, monetary,
+        |         ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
+        |         ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
+        |         ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+        |  FROM u
+        |)
+        |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+        |       r || f || m AS segment
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "events_dedup_window" ->
       s"""WITH e AS (
@@ -1050,5 +1158,7 @@ object Events {
     "events_dedup_window"     -> (eventsDedupWindow _),
     "events_trigram_paths"    -> (eventsTrigramPaths _),
     "events_pit_join"         -> (eventsPitJoin _),
+    "events_cusum_drift"      -> (eventsCusumDrift _),
+    "events_rfm"              -> (eventsRfm _),
   )
 }

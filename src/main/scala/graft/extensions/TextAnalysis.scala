@@ -819,6 +819,72 @@ object TextAnalysis {
       .select("doc_id", "cluster_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** Chi-square independence cells for the lang × source contingency table —
+    * the distribution-drift / sampling-bias check a corpus QA pass runs
+    * (are sources language-balanced, did a crawl snapshot skew?). Emits
+    * EVERY cell of the (lang × source) universe — including zero-observed
+    * combinations, which a bare groupBy would silently drop and which carry
+    * the strongest dependence signal — with observed count, expected count
+    * under independence, and the cell's χ² contribution. Marginals and the
+    * total are three bounded aggregations broadcast into a cell-universe
+    * cross join; no float accumulations at all (expected = exact integer
+    * product / one division; contribution = three IEEE ops), so the only
+    * rounding is for display. */
+  def textChi2(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select("lang", "source")
+    val cell = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rl = d.groupBy("lang").agg(count(lit(1)).as("rl"))
+    val cs = d.groupBy("source").agg(count(lit(1)).as("cs"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val e = (col("rl") * col("cs")).cast("double") / col("n")
+    broadcast(rl).crossJoin(broadcast(cs)).crossJoin(broadcast(n))
+      .join(cell, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"),
+        coalesce(col("o"), lit(0L)).as("observed"),
+        round(e, 6).as("expected"),
+        round((coalesce(col("o"), lit(0L)) - e) * (coalesce(col("o"), lit(0L)) - e) / e, 9)
+          .as("chi2_contrib"))
+      .orderBy("lang", "source")
+  }
+
+  /** Terms entering the Zipf rank-frequency fit. */
+  val ZipfTopN = 500
+
+  /** Zipf-law slope of the corpus rank-frequency curve — natural text fits
+    * ln(freq) ≈ intercept + slope·ln(rank) with slope ≈ −1; generated or
+    * heavily-duplicated corpora bend away, making the fitted slope a cheap
+    * corpus-health signal. Closed-form least squares over the top-
+    * [[ZipfTopN]] terms: per-term x/y/xy/x² are single libm/IEEE ops
+    * rounded at 9, their sums run in DECIMAL (exact, order-independent —
+    * the same discipline as every float accumulation here), and the final
+    * slope/intercept are a fixed chain of scalar IEEE ops. The ranking
+    * window is global but over the vocabulary-sized frequency relation
+    * (WindowGroupLimit analog: top-N by count, term tiebreak). */
+  def textZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = withToksDf(spark, dir)
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = freq
+      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+      .filter(col("rk") <= ZipfTopN)
+    val terms = ranked.select(
+        round(log(col("rk")), 9).as("x"), round(log(col("c")), 9).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("y"), 9).as("xy"), round(col("x") * col("x"), 9).as("xx"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val s = terms.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum(col("xy").cast(dec)).cast("double").as("sxy"),
+      sum(col("xx").cast(dec)).cast("double").as("sxx"))
+    val slope = round(
+      (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+    s.select(col("n").as("n_terms"), slope.as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val toksSql = """string_split_regex(trim(text), '\s+')"""
@@ -1120,6 +1186,48 @@ object TextAnalysis {
          |            ELSE 'test' END AS split
          |FROM assigned ORDER BY doc_id""".stripMargin,
 
+    "text_chi2" ->
+      """WITH cell AS (
+        |  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+        |), rl AS (SELECT lang, count(*) AS rl FROM documents GROUP BY lang),
+        |cs AS (SELECT source, count(*) AS cs FROM documents GROUP BY source),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |u AS (
+        |  SELECT rl.lang, cs.source, rl.rl, cs.cs, n.n,
+        |         coalesce(cell.o, 0) AS o,
+        |         CAST(rl.rl * cs.cs AS DOUBLE) / n.n AS e
+        |  FROM rl CROSS JOIN cs CROSS JOIN n
+        |  LEFT JOIN cell ON cell.lang = rl.lang AND cell.source = cs.source
+        |)
+        |SELECT lang, source, o AS observed,
+        |       round(e, 6) AS expected,
+        |       round((o - e) * (o - e) / e, 9) AS chi2_contrib
+        |FROM u ORDER BY lang, source""".stripMargin,
+
+    "text_zipf_slope" ->
+      s"""$withToks
+         |, f AS (
+         |  SELECT w, count(*) AS c FROM t, unnest(toks) AS u(w) GROUP BY w
+         |), r AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM f
+         |  QUALIFY rk <= $ZipfTopN
+         |), t2 AS (
+         |  SELECT round(ln(rk), 9) AS x, round(ln(c), 9) AS y FROM r
+         |), t3 AS (
+         |  SELECT x, y, round(x * y, 9) AS xy, round(x * x, 9) AS xx FROM t2
+         |), s AS (
+         |  SELECT count(*) AS n,
+         |         CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+         |         CAST(sum(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+         |         CAST(sum(CAST(xy AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+         |         CAST(sum(CAST(xx AS DECIMAL(38,18))) AS DOUBLE) AS sxx
+         |  FROM t3
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_terms,
+         |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+         |       round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) * sx) / n, 6) AS intercept
+         |FROM s""".stripMargin,
+
     "text_heavy_hitters" ->
       s"""$withToks
          |, tok AS (
@@ -1399,6 +1507,8 @@ object TextAnalysis {
     "text_bigram_logprob"     -> (textBigramLogprob _),
     "text_chunk_overlap"      -> (textChunkOverlap _),
     "text_cluster_split"      -> (textClusterSplit _),
+    "text_chi2"               -> (textChi2 _),
+    "text_zipf_slope"         -> (textZipfSlope _),
     "text_char_entropy"       -> (textCharEntropy _),
     "text_quality_strata_sample" -> (textQualityStrataSample _),
     "text_filter_funnel"      -> (textFilterFunnel _),

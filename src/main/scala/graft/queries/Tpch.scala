@@ -897,6 +897,42 @@ object Tpch {
       .orderBy("s_name")
   }
 
+  /** Pair-support floor for [[qMarketBasket]] — the Apriori support prune:
+    * below it, co-occurrence is one-off noise AND the pair relation explodes
+    * (at sf0.01: 112 284 support-1 pairs vs 63 at ≥ 3). */
+  val BasketMinSupport = 3
+
+  /** Market-basket association rules bounded to item PAIRS — frequent-
+    * itemset mining's workhorse tier (support / confidence both ways /
+    * lift). Scale shape: baskets collapse to per-order item sets in ONE
+    * aggregation and pairs expand IN-ROW (the co-author edge discipline —
+    * never a basket⋈basket self-join); the support floor prunes before the
+    * statistics joins, and item supports broadcast. Basket width bounds the
+    * per-row expansion (k² in items-per-order, ~4 here); wide baskets at
+    * 100 TB get the same df-cap treatment as the shingle pipelines. */
+  def qMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val ba = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val nb = ba.agg(countDistinct(col("o")).as("n"))
+    val item = ba.distinct().groupBy("p").agg(count(lit(1)).as("cp"))
+    val pairs = ba.groupBy("o").agg(collect_set(col("p")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y > x), y -> struct(x AS a, y AS b))))"))
+        .as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= BasketMinSupport)
+    pairs
+      .join(broadcast(item.select(col("p").as("a"), col("cp").as("ca"))), "a")
+      .join(broadcast(item.select(col("p").as("b"), col("cp").as("cb"))), "b")
+      .crossJoin(broadcast(nb))
+      .select(col("a"), col("b"), col("c").as("support"),
+        round(col("c").cast("double") / col("ca"), 6).as("conf_a_to_b"),
+        round(col("c").cast("double") / col("cb"), 6).as("conf_b_to_a"),
+        round((col("c") * col("n")).cast("double") / (col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+  }
+
   private val partSuppCte =
     """partsupp AS (
       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -908,6 +944,22 @@ object Tpch {
     .map { case (t, lo, hi) => s"('$t', $lo, $hi)" }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "q_market_basket" ->
+      s"""WITH ba AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |nb AS (SELECT count(DISTINCT o) AS n FROM ba),
+         |item AS (SELECT p, count(*) AS cp FROM ba GROUP BY p),
+         |pairs AS (
+         |  SELECT x.p AS a, y.p AS b, count(*) AS c
+         |  FROM ba x JOIN ba y ON x.o = y.o AND x.p < y.p
+         |  GROUP BY x.p, y.p HAVING count(*) >= $BasketMinSupport
+         |)
+         |SELECT a, b, c AS support,
+         |       round(CAST(c AS DOUBLE) / ia.cp, 6) AS conf_a_to_b,
+         |       round(CAST(c AS DOUBLE) / ib.cp, 6) AS conf_b_to_a,
+         |       round(CAST(c * n AS DOUBLE) / (ia.cp * ib.cp), 6) AS lift
+         |FROM pairs JOIN item ia ON a = ia.p JOIN item ib ON b = ib.p, nb
+         |ORDER BY lift DESC, a ASC, b ASC""".stripMargin,
+
     "q_correlated_cheapest_order" -> correlatedSql,
 
     "q_grouping_sets" -> groupingSetsSql,
@@ -1436,6 +1488,7 @@ object Tpch {
     "q14_promo_revenue"        -> (q14PromoRevenue _),
     "q19_disjunctive_branches" -> (q19DisjunctiveBranches _),
     "q21_only_late_supplier"   -> (q21OnlyLateSupplier _),
+    "q_market_basket"          -> (qMarketBasket _),
     "q13_order_distribution"   -> (q13OrderDistribution _),
     "q18_large_orders"         -> (q18LargeOrders _),
     "q22_lapsed_customers"     -> (q22LapsedCustomers _),
