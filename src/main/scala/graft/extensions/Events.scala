@@ -388,6 +388,42 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Batch boundary for [[eventsIncrementalAgg]]: event_id < this is the
+    * already-aggregated base; the rest is the arriving delta. */
+  val IncAggSplit = 8000L
+
+  /** Incremental aggregate maintenance — the materialized-view refresh
+    * pattern: a standing per-type summary (count / exact sum / latest id)
+    * is updated by COMBINING it with the delta batch's partial aggregate,
+    * never by re-scanning the base. Works because the state is a
+    * commutative monoid (counts and DECIMAL sums add, max merges) — the
+    * same mergeability contract Spark's partial aggregation and streaming
+    * update mode rely on. The oracle recomputes from scratch over ALL
+    * events; equality of the merged result with the full recompute IS the
+    * gate. Scale: refresh cost is O(delta) + O(|groups|), independent of
+    * base size; rounding happens once at the edge (state stays exact —
+    * rounding inside the state would drift across refreshes). */
+  def eventsIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 10))).as("sv"),
+        max(col("event_id")).as("max_event_id"))
+    val base = partial(ev.filter(col("event_id") < IncAggSplit))
+    val delta = partial(ev.filter(col("event_id") >= IncAggSplit))
+    base.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum(col("n_events")).cast("long").as("n_events"),
+        sum(col("sv")).as("sv"),
+        max(col("max_event_id")).as("max_event_id"))
+      .select(col("event_type"), col("n_events"),
+        round(col("sv"), 2).cast("double").as("sum_value"),
+        col("max_event_id"))
+      .orderBy("event_type")
+  }
+
   /** JSON-column analytics: extract the typed payload from the free-form
     * `props` JSON string per row (codegen'd path expression, no UDF) and
     * aggregate — the semi-structured surface of the function library. */
@@ -740,6 +776,13 @@ object Events {
          |                           THEN prev_us END) AS prev_click_ts,
          |       (prev_us IS NOT NULL AND us - prev_us <= $AsofToleranceUs) AS fresh
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // Full recompute — the incremental merge must equal it exactly.
+    "events_incremental_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
+        |       max(event_id) AS max_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_cusum_drift" ->
       """WITH daily AS (
@@ -1160,5 +1203,6 @@ object Events {
     "events_pit_join"         -> (eventsPitJoin _),
     "events_cusum_drift"      -> (eventsCusumDrift _),
     "events_rfm"              -> (eventsRfm _),
+    "events_incremental_agg"  -> (eventsIncrementalAgg _),
   )
 }

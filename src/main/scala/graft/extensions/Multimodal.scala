@@ -190,7 +190,39 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Media-ingest integrity audit — the manifest check a multimodal lake
+    * runs before anything decodes: per source shard, record count, empty
+    * payloads, byte totals/extremes, exact-duplicate payloads (rows minus
+    * distinct content hashes — the pre-dedup signal), and declared-vs-
+    * actual metadata mismatches (the `n_chars` column against the payload's
+    * real length — a corrupt-transfer detector). One hash aggregation per
+    * shard; every metric is integer-exact. */
+  def multimodalIntegrity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("text"), col("n_chars"),
+        octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        md5(col("text").cast("binary")).as("h"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_payloads"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+          .as("n_meta_mismatch"))
+      .orderBy("source")
+
   val oracle: Map[String, String] = Map(
+    "multimodal_integrity" ->
+      """SELECT source, count(*) AS n_media,
+        |       CAST(count(*) FILTER (WHERE length(trim(text)) = 0) AS BIGINT) AS n_empty,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+        |       CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_payloads,
+        |       CAST(count(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT) AS n_meta_mismatch
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
     "multimodal_resize" ->
       s"""WITH p AS (
          |  SELECT doc_id AS media_id, text, length(text) AS n,
@@ -263,5 +295,6 @@ object Multimodal {
     "multimodal_frame_dedup" -> (multimodalFrameDedup _),
     "multimodal_route"       -> (multimodalRoute _),
     "multimodal_resize"      -> (multimodalResize _),
+    "multimodal_integrity"   -> (multimodalIntegrity _),
   )
 }

@@ -837,8 +837,8 @@ object TextAnalysis {
     val cs = d.groupBy("source").agg(count(lit(1)).as("cs"))
     val n = d.agg(count(lit(1)).as("n"))
     val e = (col("rl") * col("cs")).cast("double") / col("n")
-    broadcast(rl).crossJoin(broadcast(cs)).crossJoin(broadcast(n))
-      .join(cell, Seq("lang", "source"), "left")
+    rl.crossJoin(broadcast(cs)).crossJoin(broadcast(n))
+      .join(broadcast(cell), Seq("lang", "source"), "left")
       .select(col("lang"), col("source"),
         coalesce(col("o"), lit(0L)).as("observed"),
         round(e, 6).as("expected"),
