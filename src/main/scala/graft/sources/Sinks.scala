@@ -24,6 +24,16 @@ object Sinks {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC — the second columnar format Spark ships natively; interop surface
+    * for Hive-era lakes. Same pushdown/pruning contract as parquet (the
+    * reader reports PushedFilters the same way), verified by LayoutSpec's
+    * roundtrip. */
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Small-files compaction — the table-maintenance pass every streaming /
     * incremental sink eventually needs: rewrite a parquet directory into
     * ceil(totalBytes / targetBytes) evenly-sized files. `repartition` (not

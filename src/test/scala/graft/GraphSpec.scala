@@ -137,4 +137,25 @@ class GraphSpec extends SparkTestBase {
       }
     }
   }
+
+  test("property: per-edge common neighbors equal brute force on random graphs") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 6) {
+      val n = 4 + rnd.nextInt(8)
+      val es = (for (a <- 1L to n; b <- (a + 1) to n if rnd.nextBoolean())
+        yield (a, b)).distinct
+      if (es.nonEmpty) {
+        val eset = es.toSet
+        def adj(x: Long): Set[Long] =
+          es.collect { case (a, b) if a == x => b; case (a, b) if b == x => a }.toSet
+        val brute = es.map { case (a, b) => (a, b) -> (adj(a) & adj(b)).size.toLong }
+          .filter(_._2 > 0).toMap
+        val got = Graph.trianglesPerEdge(es.toDF("a", "b"))
+          .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+        got shouldBe brute
+        // and every edge key it emits is a real edge, canonically ordered
+        got.keys.foreach { case (a, b) => assert(a < b && eset((a, b))) }
+      }
+    }
+  }
 }

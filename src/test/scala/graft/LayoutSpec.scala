@@ -73,4 +73,17 @@ class LayoutSpec extends SparkTestBase {
     spark.read.parquet(s"$base/out").orderBy("doc_id").collect() shouldBe
       spark.read.parquet(s"$base/in").orderBy("doc_id").collect()
   }
+
+  test("ORC roundtrip preserves content and pushes filters to the scan") {
+    val base = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    Sinks.writeOrc(docs, s"$base/docs")
+    val back = spark.read.orc(s"$base/docs")
+    back.orderBy("doc_id").collect() shouldBe docs.orderBy("doc_id").collect()
+    // same pushdown contract as parquet
+    val plan = back.filter(col("doc_id") === 7)
+      .queryExecution.executedPlan.toString
+    plan should include ("PushedFilters")
+    plan should include regex "EqualTo\\(doc_id"
+  }
 }

@@ -168,4 +168,48 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "BroadcastNestedLoopJoin"
     p should include ("Scan ExistingRDD") // localCheckpoint'd edge list
   }
+
+  test("PIT lookup plans through the native as-of operator") {
+    val p = planOf(graft.extensions.Events.eventsPitJoin(spark, sf))
+    p should include ("AsOfJoin")
+  }
+
+  test("market basket: pairs expand in-row — no basket-level self-join") {
+    val p = planOf(Tpch.qMarketBasket(spark, sf))
+    p should include ("Generate") // the in-row pair explode
+    p should not include "CartesianProduct"
+    // statistics sides are broadcast, never shuffled joins of the pair rel
+    p should include ("BroadcastHashJoin")
+    // the only nested-loop is the 1-row total-baskets scalar cross join
+    "BroadcastNestedLoopJoin".r.findAllIn(p).size should be <= 1
+  }
+
+  test("chunking is shuffle-free map work until the output sort") {
+    val p = planOf(graft.extensions.TextAnalysis.textChunkOverlap(spark, sf))
+    p should not include "HashAggregate"
+    p should not include "Join"
+    // exchanges: the opt-in fanOut round-robin + the final range sort only
+    "hashpartitioning".r.findAllIn(p).size shouldBe 0
+  }
+
+  test("random projection: no join, no aggregation — matrix is a plan literal") {
+    val p = planOf(graft.extensions.Similarity.simRandomProjection(spark, sf))
+    p should not include "Join"
+    p should not include "HashAggregate"
+  }
+
+  test("neighborhood Jaccard: hash joins only over checkpointed backbone") {
+    val p = planOf(graft.queries.DblpAnalog.coauthorNeighborJaccard(spark, sf))
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+    p should include ("Scan ExistingRDD")
+  }
+
+  test("erasure cascade: key-only semi joins, no row payload movement") {
+    val p = planOf(graft.extensions.Privacy.privacyErasure(spark, sf))
+    p should include ("LeftSemi")
+    // no wide columns cross an exchange: scans read only the key columns
+    p should not include "o_totalprice"
+    p should not include "l_extendedprice"
+  }
 }
