@@ -283,6 +283,46 @@ object TextAnalysis {
       .orderBy("source", "doc_id")
   }
 
+  /** The WHOLE curation pipeline as ONE composed query — clean → dedup →
+    * leakage-free split → sequence-pack, the four stages every training-
+    * corpus build runs, each reusing an already-gated operator's exact
+    * semantics: the [[textFilterFunnel]] cleaning predicates, the
+    * [[Dedup.dedupClusters]] near-dup components (canonical-among-SURVIVORS
+    * per cluster: components come from the full corpus — dedup identity
+    * doesn't depend on what cleaning kept — and the kept member is the
+    * min-id survivor), the [[textClusterSplit]] cluster-keyed split hash,
+    * and the [[textPackBins]] per-(split, source) prefix-sum packing.
+    * One output row per doc that survives to packing, with its full
+    * lineage: cluster, split, bin. The composition itself is the thing
+    * under test — stage interfaces are plain relations, so the pipeline
+    * inherits every stage's scale shape with no new wide operations. */
+  def pipelineCorpusBuild(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = col("toks"); val n = size(toks); val nd = size(array_distinct(toks))
+    val cleanOk = n >= 10 && nd * 2 >= n && markerCount(toks, stopEn) >= 1
+    val docs = withToksDf(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tokens"), cleanOk.as("clean_ok"))
+    val clusters = Dedup.dedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val kept = docs.filter(col("clean_ok")).join(clusters, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .withColumn("bucket",
+        Portable.hash60(col("cluster_id").cast("string")) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+    val w = Window.partitionBy("split", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kept
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("cluster_id"), col("source"), col("split"),
+        col("n_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("long").as("bin"))
+      .orderBy("doc_id")
+  }
+
   /** Document-frequency fraction above which a token is boilerplate
     * vocabulary for [[textBoilerplateStrip]]. */
   val BoilerplateDfFrac = 0.79
@@ -1186,6 +1226,39 @@ object TextAnalysis {
          |            ELSE 'test' END AS split
          |FROM assigned ORDER BY doc_id""".stripMargin,
 
+    "pipeline_corpus_build" ->
+      s"""${Dedup.clusterAssignCtes}
+         |, tk AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN trim(text) = '' THEN [] ELSE $toksSql END AS toks
+         |  FROM documents
+         |), cl AS (
+         |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         (len(toks) >= 10 AND len(list_distinct(toks)) * 2 >= len(toks)
+         |          AND len(list_filter(toks, s -> list_contains(${sqlList(stopEn)}, s))) >= 1)
+         |           AS clean_ok
+         |  FROM tk
+         |), surv AS (
+         |  SELECT c.doc_id, c.source, c.n_tokens, a.cluster_id
+         |  FROM cl c JOIN assigned a ON c.doc_id = a.doc_id
+         |  WHERE c.clean_ok
+         |), keep AS (
+         |  SELECT doc_id, cluster_id, source, n_tokens,
+         |         row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS rk
+         |  FROM surv QUALIFY rk = 1
+         |), sp AS (
+         |  SELECT doc_id, cluster_id, source, n_tokens,
+         |         CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM (SELECT *, ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 100 AS b
+         |        FROM keep)
+         |)
+         |SELECT doc_id, cluster_id, source, split, n_tokens,
+         |       CAST(floor((sum(n_tokens) OVER (PARTITION BY split, source
+         |              ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |            - n_tokens) / 2048) AS BIGINT) AS bin
+         |FROM sp ORDER BY doc_id""".stripMargin,
+
     "text_chi2" ->
       """WITH cell AS (
         |  SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
@@ -1509,6 +1582,7 @@ object TextAnalysis {
     "text_cluster_split"      -> (textClusterSplit _),
     "text_chi2"               -> (textChi2 _),
     "text_zipf_slope"         -> (textZipfSlope _),
+    "pipeline_corpus_build"   -> (pipelineCorpusBuild _),
     "text_char_entropy"       -> (textCharEntropy _),
     "text_quality_strata_sample" -> (textQualityStrataSample _),
     "text_filter_funnel"      -> (textFilterFunnel _),
