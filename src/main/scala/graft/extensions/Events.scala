@@ -424,6 +424,40 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Time-to-convert distribution — the funnel-latency report next to
+    * [[eventsFunnel]]'s counts: per user, the lag from FIRST view to the
+    * first purchase AFTER it; over converted users, exact interpolated
+    * percentiles of the lag (seconds) plus conversion counts. One
+    * aggregation collapses the stream to per-user firsts (conditional
+    * min's — no window needed), percentiles run on the user-cardinality
+    * relation (the q_percentiles cross-engine interpolation contract).
+    * Users whose only purchases precede their first view count as
+    * unconverted — the funnel is ordered. */
+  def eventsTimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val perUser = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("us"))).as("first_view"))
+    val firstPurchaseAfter = ev.filter(col("event_type") === "purchase")
+      .join(perUser, "user_id")
+      .filter(col("first_view").isNotNull && col("us") >= col("first_view"))
+      .groupBy("user_id")
+      .agg(min(col("us")).as("first_purch"), min(col("first_view")).as("fv"))
+      .select(col("user_id"),
+        ((col("first_purch") - col("fv")) / 1000000L).cast("double").as("lag_s"))
+    val viewers = perUser.filter(col("first_view").isNotNull)
+      .agg(count(lit(1)).as("n_viewers"))
+    firstPurchaseAfter
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_s, 0.5)"), 4).as("p50_s"),
+        round(expr("percentile(lag_s, 0.9)"), 4).as("p90_s"))
+      .crossJoin(broadcast(viewers))
+      .select(col("n_viewers"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_viewers"), 6)
+          .as("conversion_rate"),
+        col("p50_s"), col("p90_s"))
+  }
+
   /** JSON-column analytics: extract the typed payload from the free-form
     * `props` JSON string per row (codegen'd path expression, no UDF) and
     * aggregate — the semi-structured surface of the function library. */
@@ -778,6 +812,27 @@ object Events {
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Full recompute — the incremental merge must equal it exactly.
+    "events_time_to_convert" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), pu AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN us END) AS first_view
+        |  FROM ev GROUP BY user_id
+        |), fp AS (
+        |  SELECT e.user_id,
+        |         (min(e.us) - min(pu.first_view)) / 1000000 AS lag_s
+        |  FROM ev e JOIN pu ON e.user_id = pu.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND pu.first_view IS NOT NULL AND e.us >= pu.first_view
+        |  GROUP BY e.user_id
+        |), v AS (SELECT count(*) AS n_viewers FROM pu WHERE first_view IS NOT NULL)
+        |SELECT n_viewers, count(*) AS n_converted,
+        |       round(CAST(count(*) AS DOUBLE) / n_viewers, 6) AS conversion_rate,
+        |       round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
+        |       round(quantile_cont(lag_s, 0.9), 4) AS p90_s
+        |FROM fp, v GROUP BY n_viewers""".stripMargin,
+
     "events_incremental_agg" ->
       """SELECT event_type, count(*) AS n_events,
         |       CAST(round(sum(CAST(value AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_value,
@@ -1204,5 +1259,6 @@ object Events {
     "events_cusum_drift"      -> (eventsCusumDrift _),
     "events_rfm"              -> (eventsRfm _),
     "events_incremental_agg"  -> (eventsIncrementalAgg _),
+    "events_time_to_convert"  -> (eventsTimeToConvert _),
   )
 }
