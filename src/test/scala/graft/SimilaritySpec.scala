@@ -63,6 +63,20 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("ensemble rerank: recall beats each generator alone (superset screen)") {
+    val exact = pairs(Similarity.simTopkBruteforce(spark, sf))
+    val ens = pairs(Similarity.simRerank(spark, sf))
+    val ivf = pairs(Similarity.simTopkIvfProbe(spark, sf, 2))
+    val lsh = pairs(Similarity.simTopkLsh(spark, sf))
+    def r(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    withClue(s"ensemble: ${r(ens)}, ivf: ${r(ivf)}, lsh: ${r(lsh)}: ") {
+      // exact re-rank over a candidate SUPERSET is monotone in recall
+      r(ens) should be >= r(ivf)
+      r(ens) should be >= r(lsh)
+      r(ens) should be >= 0.5 // measured 0.56 at sf0.01
+    }
+  }
+
   test("kNN graph: ≤ k ranked neighbors per node, no self edges, sound vs brute force") {
     val g = Similarity.simKnnGraph(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
