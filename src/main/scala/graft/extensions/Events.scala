@@ -68,6 +68,28 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
+  /** Purchase-session attribution — which sessions convert: the native
+    * `session_window` aggregation ([[eventsSessionWindow]]'s one-shuffle
+    * merge) carrying CONDITIONAL aggregates per session (purchase count,
+    * purchase revenue, events-before-anything-else) and emitting only the
+    * sessions that contain a purchase. The filter on a session-level
+    * aggregate runs AFTER the merge — a per-event filter would change
+    * session boundaries (a purchase-only stream sessionizes differently);
+    * same scale shape as the plain session window. */
+  def eventsPurchaseSessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        round(sum(when(col("event_type") === "purchase",
+          col("value")).otherwise(lit(0.0)).cast(DecimalType(28, 10))), 2)
+          .cast("double").as("purchase_value"))
+      .filter(col("n_purchases") >= 1)
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("n_purchases"), col("purchase_value"))
+      .orderBy("user_id", "session_start")
+
   /** Type-2 slowly-changing-dimension build from a change log — the
     * warehouse dimension-history pass: collapse each user's event stream to
     * its VALUE CHANGES (consecutive repeats of the same event_type open no
@@ -812,6 +834,32 @@ object Events {
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Full recompute — the incremental merge must equal it exactly.
+    "events_purchase_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |), numbered AS (
+        |  SELECT user_id, ts, event_type, value,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |       make_timestamp(min(epoch_us(ts))) AS session_start,
+        |       count(*) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_purchases,
+        |       CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+        |                           ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE)
+        |         AS purchase_value
+        |FROM numbered GROUP BY user_id, sid
+        |HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 1
+        |ORDER BY user_id, session_start""".stripMargin,
+
     "events_time_to_convert" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
@@ -1260,5 +1308,6 @@ object Events {
     "events_rfm"              -> (eventsRfm _),
     "events_incremental_agg"  -> (eventsIncrementalAgg _),
     "events_time_to_convert"  -> (eventsTimeToConvert _),
+    "events_purchase_sessions" -> (eventsPurchaseSessions _),
   )
 }

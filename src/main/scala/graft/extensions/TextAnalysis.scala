@@ -144,6 +144,21 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix — the label-agreement QA over
+    * [[textLangId]]'s per-doc predictions: per (declared, predicted) pair,
+    * the count and its share of the declared language's row (the recall
+    * diagonal and the specific confusions off it). Per-doc scoring is the
+    * stateless langid map; the matrix is one |langs|²-bounded aggregation
+    * plus a window over that tiny relation. */
+  def textLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    textLangId(spark, dir)
+      .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("row_share", round(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("true_lang")), 6))
+      .orderBy("true_lang", "pred_lang")
+  }
+
   /** Document fingerprint: md5 over the sorted distinct token set — an
     * order-insensitive content signature (the "bag of words" fingerprint). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
@@ -948,6 +963,29 @@ object TextAnalysis {
        |$next AS (SELECT replace(s, '<'||a||'><'||b||'>', '<'||a||b||'>') AS s, freq
        |          FROM $prev, $mrg)""".stripMargin
 
+  /** Shared langid CTEs: per-doc predicted vs declared language — consumed
+    * by the text_langid and text_langid_confusion oracles. */
+  private def langidPredCtes: String =
+    s"""$withToks
+       |, s AS (
+       |  SELECT doc_id, lang,
+       |    len(list_filter(toks, x -> list_contains(${sqlList(stopEn)}, x))) AS s_en,
+       |    len(list_filter(toks, x -> list_contains(${sqlList(stopDe)}, x))) AS s_de,
+       |    len(list_filter(toks, x -> list_contains(${sqlList(stopFr)}, x))) AS s_fr,
+       |    len(list_filter(toks, x -> list_contains(${sqlList(stopEs)}, x))) AS s_es,
+       |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
+       |  FROM t
+       |), pred AS (
+       |  SELECT doc_id,
+       |    CASE WHEN s_zh > 0 THEN 'zh'
+       |         WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+       |         WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+       |         WHEN s_fr >= s_es THEN 'fr'
+       |         ELSE 'es' END AS pred_lang,
+       |    lang AS true_lang
+       |  FROM s
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_bpe_merges" ->
       s"""WITH words AS (
@@ -1103,29 +1141,19 @@ object TextAnalysis {
          |ORDER BY stratum, doc_id""".stripMargin,
 
     "text_langid" ->
-      s"""$withToks
-         |, s AS (
-         |  SELECT doc_id, lang,
-         |    len(list_filter(toks, x -> list_contains(${sqlList(stopEn)}, x))) AS s_en,
-         |    len(list_filter(toks, x -> list_contains(${sqlList(stopDe)}, x))) AS s_de,
-         |    len(list_filter(toks, x -> list_contains(${sqlList(stopFr)}, x))) AS s_fr,
-         |    len(list_filter(toks, x -> list_contains(${sqlList(stopEs)}, x))) AS s_es,
-         |    length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS s_zh
-         |  FROM t
-         |)
-         |SELECT doc_id,
-         |  CASE WHEN s_zh > 0 THEN 'zh'
-         |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
-         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
-         |       WHEN s_fr >= s_es THEN 'fr'
-         |       ELSE 'es' END AS pred_lang,
-         |  lang AS true_lang,
-         |  CASE WHEN (CASE WHEN s_zh > 0 THEN 'zh'
-         |       WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
-         |       WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
-         |       WHEN s_fr >= s_es THEN 'fr'
-         |       ELSE 'es' END) = lang THEN 1 ELSE 0 END AS correct
-         |FROM s ORDER BY doc_id""".stripMargin,
+      s"""$langidPredCtes
+         |SELECT doc_id, pred_lang, true_lang,
+         |  CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END AS correct
+         |FROM pred ORDER BY doc_id""".stripMargin,
+
+    "text_langid_confusion" ->
+      s"""$langidPredCtes
+         |SELECT true_lang, pred_lang, count(*) AS n,
+         |       round(count(*) * 1.0 /
+         |             sum(count(*)) OVER (PARTITION BY true_lang), 6) AS row_share
+         |FROM pred GROUP BY true_lang, pred_lang
+         |ORDER BY true_lang, pred_lang""".stripMargin,
+
 
     "text_fingerprint" ->
       s"""$withToks
@@ -1566,6 +1594,7 @@ object TextAnalysis {
     "text_quality_classifier" -> (textQualityClassifier _),
     "text_vocab_coverage"     -> (textVocabCoverage _),
     "text_langid"             -> (textLangId _),
+    "text_langid_confusion"   -> (textLangidConfusion _),
     "text_fingerprint"        -> (textFingerprint _),
     "text_simhash"            -> (textSimhash _),
     "text_subword_tokens"     -> (textSubwordTokens _),

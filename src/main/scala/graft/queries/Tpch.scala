@@ -933,6 +933,31 @@ object Tpch {
       .orderBy(col("lift").desc, col("a").asc, col("b").asc)
   }
 
+  /** Join-key skew diagnosis — the report that decides WHICH mitigation a
+    * join gets (plain hash / AQE skew split / salting, [[graft.ops.Skew]]):
+    * per candidate key column of the fact table, cardinality, the hottest
+    * key's row count, and its share of the table. One pass: the key
+    * columns stack into (col_name, key) pairs map-side, then two
+    * aggregations — per-key counts (partial+final, the same shuffle a join
+    * on that key would pay) and per-column rollups. At 100 TB this runs on
+    * a sample partition first; the exact form here IS the oracle-gateable
+    * semantics. */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    val stacked = l.select(explode(map(
+        lit("l_orderkey"), col("l_orderkey"),
+        lit("l_partkey"), col("l_partkey"),
+        lit("l_suppkey"), col("l_suppkey"))).as(Seq("col_name", "key")))
+    val perKey = stacked.groupBy("col_name", "key").agg(count(lit(1)).as("c"))
+    perKey.groupBy("col_name")
+      .agg(sum(col("c")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_key_rows"))
+      .select(col("col_name"), col("n_rows"), col("n_distinct"), col("max_key_rows"),
+        round(col("max_key_rows").cast("double") / col("n_rows"), 6).as("top_share"))
+      .orderBy("col_name")
+  }
+
   private val partSuppCte =
     """partsupp AS (
       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -959,6 +984,19 @@ object Tpch {
          |       round(CAST(c * n AS DOUBLE) / (ia.cp * ib.cp), 6) AS lift
          |FROM pairs JOIN item ia ON a = ia.p JOIN item ib ON b = ib.p, nb
          |ORDER BY lift DESC, a ASC, b ASC""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH stacked AS (
+        |  SELECT 'l_orderkey' AS col_name, l_orderkey AS key FROM lineitem
+        |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem
+        |), perkey AS (
+        |  SELECT col_name, key, count(*) AS c FROM stacked GROUP BY col_name, key
+        |)
+        |SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+        |       count(*) AS n_distinct, max(c) AS max_key_rows,
+        |       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
+        |FROM perkey GROUP BY col_name ORDER BY col_name""".stripMargin,
 
     "q_correlated_cheapest_order" -> correlatedSql,
 
@@ -1489,6 +1527,7 @@ object Tpch {
     "q19_disjunctive_branches" -> (q19DisjunctiveBranches _),
     "q21_only_late_supplier"   -> (q21OnlyLateSupplier _),
     "q_market_basket"          -> (qMarketBasket _),
+    "q_skew_report"            -> (qSkewReport _),
     "q13_order_distribution"   -> (q13OrderDistribution _),
     "q18_large_orders"         -> (q18LargeOrders _),
     "q22_lapsed_customers"     -> (q22LapsedCustomers _),
