@@ -51,6 +51,28 @@ object Sinks {
     n
   }
 
+  /** Key-clustered compaction — compaction PLUS data clustering: rows are
+    * range-repartitioned on the key before the rewrite, so each output
+    * file covers a DISJOINT key range and the format's min/max column
+    * statistics (parquet row-group stats / ORC stripe stats) turn key
+    * predicates into file-level skips. The single-column version of what
+    * Z-ordering does for multi-column predicates; LayoutSpec asserts the
+    * disjointness that data skipping rests on. Same shuffle cost as
+    * [[compact]] (range instead of round-robin exchange). */
+  def compactSorted(spark: SparkSession, inDir: String, outDir: String,
+                    sortCol: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    import org.apache.spark.sql.functions.col
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.getContentSummary(path).getLength
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartitionByRange(n, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Bucketed (and per-bucket sorted) managed table — the layout that makes
     * every downstream join/window/aggregation ON the bucket key exchange-free:
     * the scan's output partitioning already satisfies the required hash

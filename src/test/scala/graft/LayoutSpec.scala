@@ -74,6 +74,57 @@ class LayoutSpec extends SparkTestBase {
       spark.read.parquet(s"$base/in").orderBy("doc_id").collect()
   }
 
+  test("compactSorted clusters keys: output files cover disjoint ranges") {
+    val base = java.nio.file.Files.createTempDirectory("graft-csort").toString
+    graft.sources.Tables.documents(spark, sf).repartition(10)
+      .write.parquet(s"$base/in")
+    Sinks.compactSorted(spark, s"$base/in", s"$base/out", "doc_id",
+      targetBytes = 16L * 1024)
+    // per-file [min, max] of the cluster key must not overlap — the
+    // property file-level min/max skipping rests on
+    val files = new java.io.File(s"$base/out").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    files.length should be > 1
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("doc_id"), max("doc_id")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => hi should be < lo2
+      case _ =>
+    }
+    // content identical
+    spark.read.parquet(s"$base/out").orderBy("doc_id").collect() shouldBe
+      spark.read.parquet(s"$base/in").orderBy("doc_id").collect()
+  }
+
+  test("AQE re-plans a sort-merge join to broadcast from runtime statistics") {
+    // static planning must NOT see the small size (threshold off), the
+    // adaptive re-optimization must (adaptive threshold on): the filtered
+    // dimension's true size is only known at runtime — exactly the 100 TB
+    // case of a selective dim filter the optimizer can't estimate.
+    val prev = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" ->
+        spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold").getOrElse(""))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "8m")
+      val c = spark.read.parquet(s"$sf/customer.parquet")
+        .filter(col("c_custkey") % 50 === 0) // tiny at runtime, opaque statically
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      val j = o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      j.collect() // run, so AQE finalizes
+      val finalPlan = j.queryExecution.executedPlan.toString
+      finalPlan should include ("BroadcastHashJoin")
+    } finally prev.foreach { case (k, v) =>
+      if (v.nonEmpty) spark.conf.set(k, v) else spark.conf.unset(k)
+    }
+  }
+
   test("ORC roundtrip preserves content and pushes filters to the scan") {
     val base = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val docs = graft.sources.Tables.documents(spark, sf)
