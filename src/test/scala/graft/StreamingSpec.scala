@@ -106,6 +106,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("checkpoint recovery: per-user state survives a query restart") {
+    implicit val ctx = spark.sqlContext
+    // the memory sink refuses checkpoint recovery; the FILE sink is the
+    // recovery-capable production shape (exactly-once via the file log)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-recover-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-recover-out").toString
+    val ms = MemoryStream[Event]
+    def start() = StreamingOps.transitions(ms.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try {
+      ms.addData(Event(1, ts(0), 1, "view", 0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart from the SAME checkpoint: user 1's TransState (last = view)
+    // must be restored, so the next event forms the cross-restart bigram
+    val q2 = start()
+    try {
+      ms.addData(Event(2, ts(1), 1, "click", 0))
+      q2.processAllAvailable()
+      spark.read.parquet(out).as[(Long, String, String)].collect().toSet shouldBe
+        Set((1L, "view", "click"))
+    } finally q2.stop()
+  }
+
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
     // file streams tail a directory; stage the single driver file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
