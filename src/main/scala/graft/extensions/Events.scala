@@ -90,6 +90,41 @@ object Events {
         col("n_events"), col("n_purchases"), col("purchase_value"))
       .orderBy("user_id", "session_start")
 
+  /** Calendar-gap audit — the data-completeness check a freshness monitor
+    * runs per entity: densify each user's purchase span to a daily
+    * calendar (bounded `sequence` explode per user — never a global
+    * calendar cross join), anti-join the observed days, and measure both
+    * total missing days and the LONGEST consecutive outage via
+    * gaps-and-islands on the missing days (day-index minus row_number —
+    * O(1)/row state, same discipline as t2's streaks). One exchange on
+    * user_id drives the window; spans are user-bounded so the explode is
+    * O(active span), not O(global calendar). */
+  def eventsCalendarGaps(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val span = p.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"), count(lit(1)).as("active"))
+    val cal = span.select(col("user_id"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val gaps = cal.join(p, Seq("user_id", "day"), "left_anti")
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val longest = gaps
+      .withColumn("grp",
+        datediff(col("day"), lit("1995-01-01").cast("date"))
+          - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("c"))
+      .groupBy("user_id").agg(max("c").as("longest"))
+    span.join(longest, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (datediff(col("d1"), col("d0")) + 1).cast("long").as("span_days"),
+        col("active").cast("long").as("active_days"),
+        (datediff(col("d1"), col("d0")) + 1 - col("active")).cast("long")
+          .as("gap_days"),
+        coalesce(col("longest"), lit(0L)).cast("long").as("longest_gap_days"))
+      .orderBy("user_id")
+  }
+
   /** Type-2 slowly-changing-dimension build from a change log — the
     * warehouse dimension-history pass: collapse each user's event stream to
     * its VALUE CHANGES (consecutive repeats of the same event_type open no
@@ -834,6 +869,38 @@ object Events {
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Full recompute — the incremental merge must equal it exactly.
+    "events_calendar_gaps" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1, count(*) AS active
+        |  FROM p GROUP BY user_id
+        |), cal AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |), gaps AS (
+        |  SELECT c.user_id, c.day
+        |  FROM cal c LEFT JOIN p ON c.user_id = p.user_id AND c.day = p.day
+        |  WHERE p.day IS NULL
+        |), runs AS (
+        |  SELECT user_id,
+        |         date_diff('day', DATE '1995-01-01', day)
+        |           - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM gaps
+        |), lg AS (
+        |  SELECT user_id, max(c) AS longest
+        |  FROM (SELECT user_id, grp, count(*) AS c FROM runs GROUP BY user_id, grp)
+        |  GROUP BY user_id
+        |)
+        |SELECT s.user_id,
+        |       CAST(date_diff('day', d0, d1) + 1 AS BIGINT) AS span_days,
+        |       CAST(active AS BIGINT) AS active_days,
+        |       CAST(date_diff('day', d0, d1) + 1 - active AS BIGINT) AS gap_days,
+        |       CAST(coalesce(lg.longest, 0) AS BIGINT) AS longest_gap_days
+        |FROM span s LEFT JOIN lg ON s.user_id = lg.user_id
+        |ORDER BY s.user_id""".stripMargin,
+
     "events_purchase_sessions" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, event_type, value,
@@ -1309,5 +1376,6 @@ object Events {
     "events_incremental_agg"  -> (eventsIncrementalAgg _),
     "events_time_to_convert"  -> (eventsTimeToConvert _),
     "events_purchase_sessions" -> (eventsPurchaseSessions _),
+    "events_calendar_gaps"    -> (eventsCalendarGaps _),
   )
 }
