@@ -213,7 +213,56 @@ object Multimodal {
           .as("n_meta_mismatch"))
       .orderBy("source")
 
+  /** Cross-modal fusion — the join that pairs a document's TEXT signals
+    * with its VECTOR representation (vec_id = doc_id in the driver
+    * corpus): per source shard, document count, mean text-quality proxy
+    * (distinct-token ratio, rounded before aggregation), and the per-
+    * dimension embedding centroid of that shard's documents. The modality
+    * join is an 8-byte-key equi-join; centroids are (sum, count) decimal
+    * state per (source, dim) — the same exact-mean discipline as
+    * sim_label_centroids, now keyed by a TEXT-side attribute. Long-form
+    * (source, dim) output keeps the gate array-free. */
+  def multimodalFusionCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Portable.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        when(size(col("toks")) === 0, 0.0)
+          .otherwise(round(size(array_distinct(col("toks"))).cast("double")
+            / size(col("toks")), 6)).as("diversity"))
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"),
+        posexplode(graft.functions.Portable.asDouble(col("embedding")))
+          .as(Seq("i", "x")))
+    q.join(vecs, "doc_id")
+      .groupBy(col("source"), (col("i") + 1).cast("int").as("dim"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("diversity")), 6).as("min_diversity"),
+        round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+          .cast("double") / count(lit(1)), 6).as("centroid"))
+      .orderBy("source", "dim")
+  }
+
   val oracle: Map[String, String] = Map(
+    "multimodal_fusion_centroids" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN trim(text) = '' THEN 0.0
+         |              ELSE round(CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+         |                   / len(string_split_regex(trim(text), '\\s+')), 6) END AS diversity
+         |  FROM documents
+         |), v AS (
+         |  SELECT vec_id AS doc_id, generate_subscripts(embedding, 1) AS dim,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings
+         |)
+         |SELECT source, CAST(dim AS INTEGER) AS dim, count(*) AS n_docs,
+         |       round(min(diversity), 6) AS min_diversity,
+         |       round(CAST(sum(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS centroid
+         |FROM q JOIN v USING (doc_id)
+         |GROUP BY source, dim
+         |ORDER BY source, dim""".stripMargin,
+
     "multimodal_integrity" ->
       """SELECT source, count(*) AS n_media,
         |       CAST(count(*) FILTER (WHERE length(trim(text)) = 0) AS BIGINT) AS n_empty,
@@ -296,5 +345,6 @@ object Multimodal {
     "multimodal_route"       -> (multimodalRoute _),
     "multimodal_resize"      -> (multimodalResize _),
     "multimodal_integrity"   -> (multimodalIntegrity _),
+    "multimodal_fusion_centroids" -> (multimodalFusionCentroids _),
   )
 }
