@@ -29,6 +29,32 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy("keep_id")
 
+  /** Prefix length (codepoints) for [[dedupVerbatimPrefix]]. */
+  val PrefixLen = 80
+
+  /** Truncation-duplicate detection — the dedup stage exact hashing misses:
+    * a document cut off mid-crawl (or re-scraped with a longer tail) hashes
+    * differently yet shares a long verbatim PREFIX with its source. Hash
+    * the first [[PrefixLen]] codepoints, group, and report groups whose
+    * members differ in full length (identical-length groups are plain
+    * exact dups, already handled). Same one-hash-aggregation scale shape as
+    * exact dedup; prefix hashing is stateless map work. Only docs at least
+    * [[PrefixLen]] long participate — a short doc equal to another's
+    * prefix is containment's job ([[dedupContainment]]), not truncation's. */
+  def dedupVerbatimPrefix(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= PrefixLen)
+      .select(col("doc_id"), md5(substring(col("text"), 1, PrefixLen)).as("prefix_hash"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .groupBy("prefix_hash")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("n_chars_actual")).as("n_lengths"),
+        min(col("doc_id")).as("keep_id"),
+        max(col("n_chars_actual")).as("longest"),
+        min(col("n_chars_actual")).as("shortest"))
+      .filter(col("n_docs") > 1)
+      .orderBy("keep_id")
+
   /** Segment length (tokens) for the line-level global dedup below — the
     * "line"/paragraph unit of CCNet-style cross-corpus dedup. The synthetic
     * corpus has no newlines, so fixed-width non-overlapping token segments
@@ -90,6 +116,28 @@ object Dedup {
       .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(transform(Portable.shingles3(col("toks")), s => Portable.hash60(s))).as("h"))
+
+  /** Corpus novelty curve — the redundancy-growth diagnostic a corpus
+    * builder watches while ingesting: per document (in doc_id ingestion
+    * order), the fraction of its distinct word-3-gram shingles never seen
+    * in any EARLIER document. A healthy growing corpus holds novelty high;
+    * decay toward 0 means new data is re-crawling what's already there
+    * (the signal for stopping or re-weighting a source). First occurrence
+    * is one min-aggregation on the 8-byte shingle hash (skew-safe — a
+    * boilerplate shingle collapses map-side, same shape as
+    * dedup_lines_global's election), joined back to the shingle relation;
+    * no pair expansion anywhere. */
+  def dedupNoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingleHashes(spark, dir).localCheckpoint()
+    val first = sh.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
 
   /** Document-frequency cap for the Jaccard shingle space: shingles present
     * in more than this many documents (boilerplate headers, license blurbs)
@@ -644,6 +692,35 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
+    "dedup_novelty_curve" ->
+      s"""$shinglesSql
+         |, hs AS (
+         |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh
+         |), first AS (
+         |  SELECT h, min(doc_id) AS first_doc FROM hs GROUP BY h
+         |)
+         |SELECT hs.doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN hs.doc_id = first.first_doc THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_novel,
+         |       round(CAST(sum(CASE WHEN hs.doc_id = first.first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / count(*), 6) AS novelty
+         |FROM hs JOIN first ON hs.h = first.h
+         |GROUP BY hs.doc_id ORDER BY hs.doc_id""".stripMargin,
+
+    "dedup_verbatim_prefix" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, md5(substr(text, 1, $PrefixLen)) AS prefix_hash,
+         |         CAST(length(text) AS BIGINT) AS n_chars_actual
+         |  FROM documents WHERE length(text) >= $PrefixLen
+         |)
+         |SELECT prefix_hash, count(*) AS n_docs,
+         |       count(DISTINCT n_chars_actual) AS n_lengths,
+         |       min(doc_id) AS keep_id,
+         |       max(n_chars_actual) AS longest,
+         |       min(n_chars_actual) AS shortest
+         |FROM p GROUP BY prefix_hash HAVING count(*) > 1
+         |ORDER BY keep_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       s"""$shinglesSql
          |, shh0 AS (
@@ -769,6 +846,8 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
+    "dedup_verbatim_prefix" -> (dedupVerbatimPrefix _),
+    "dedup_novelty_curve" -> (dedupNoveltyCurve _),
     "dedup_lines_global"  -> (dedupLinesGlobal _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment"   -> (dedupContainment _),
