@@ -958,6 +958,45 @@ object Tpch {
       .orderBy("col_name")
   }
 
+  /** Bootstrap replicate count for [[qBootstrapCi]]. */
+  val BootstrapReps = 32
+
+  /** Bootstrap confidence interval for the mean order price — resampling-
+    * based uncertainty quantification, derandomized so both engines build
+    * the SAME replicates: replicate b weights each order by
+    * hash60(key‖b) mod 3 ∈ {0,1,2} (mean-1 integer weights — the
+    * m-out-of-n multinomial bootstrap shape), replicate means are exact
+    * decimal ratios, and the 95% interval is the exact interpolated
+    * [2.5, 97.5] percentile over the [[BootstrapReps]] means. Scale shape:
+    * the ×B explode feeds ONE partial+final aggregation keyed by b (B
+    * bounded, so the final agg is tiny); at fleet scale the weights are
+    * computed in the same scan as the sum — no per-replicate pass over the
+    * data, which is the whole point of weight-based bootstrap on clusters
+    * (vs B shuffled resamples). */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val rep = o
+      .select(col("o_orderkey"), col("o_totalprice"),
+        explode(sequence(lit(0), lit(BootstrapReps - 1))).as("b"))
+      .select(col("b"), col("o_totalprice"),
+        (graft.functions.Portable.hash60(
+          concat(col("o_orderkey").cast("string"), lit("_"), col("b").cast("string")))
+          % 3).as("w"))
+    val means = rep.groupBy("b")
+      .agg(round(
+        sum((col("o_totalprice") * col("w")).cast(DecimalType(38, 10))).cast("double")
+          / sum(col("w")), 6).as("m"))
+    val full = o.agg(round(
+      sum(col("o_totalprice").cast(DecimalType(38, 10))).cast("double")
+        / count(lit(1)), 6).as("full_mean"))
+    means
+      .agg(count(lit(1)).as("n_reps"),
+        round(expr("percentile(m, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(m, 0.975)"), 4).as("ci_hi"))
+      .crossJoin(broadcast(full))
+      .select("n_reps", "full_mean", "ci_lo", "ci_hi")
+  }
+
   private val partSuppCte =
     """partsupp AS (
       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -984,6 +1023,27 @@ object Tpch {
          |       round(CAST(c * n AS DOUBLE) / (ia.cp * ib.cp), 6) AS lift
          |FROM pairs JOIN item ia ON a = ia.p JOIN item ib ON b = ib.p, nb
          |ORDER BY lift DESC, a ASC, b ASC""".stripMargin,
+
+    "q_bootstrap_ci" ->
+      s"""WITH rep AS (
+         |  SELECT b, o_totalprice,
+         |         ('0x' || substr(md5(o_orderkey::VARCHAR || '_' || b), 1, 15))::BIGINT % 3 AS w
+         |  FROM orders,
+         |       (SELECT unnest(generate_series(0, ${BootstrapReps - 1})) AS b) bs
+         |), means AS (
+         |  SELECT b,
+         |         round(CAST(sum(CAST(o_totalprice * w AS DECIMAL(38,10))) AS DOUBLE)
+         |               / sum(w), 6) AS m
+         |  FROM rep GROUP BY b
+         |), fm AS (
+         |  SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
+         |               / count(*), 6) AS full_mean
+         |  FROM orders
+         |)
+         |SELECT count(*) AS n_reps, full_mean,
+         |       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+         |       round(quantile_cont(m, 0.975), 4) AS ci_hi
+         |FROM means, fm GROUP BY full_mean""".stripMargin,
 
     "q_skew_report" ->
       """WITH stacked AS (
@@ -1528,6 +1588,7 @@ object Tpch {
     "q21_only_late_supplier"   -> (q21OnlyLateSupplier _),
     "q_market_basket"          -> (qMarketBasket _),
     "q_skew_report"            -> (qSkewReport _),
+    "q_bootstrap_ci"           -> (qBootstrapCi _),
     "q13_order_distribution"   -> (q13OrderDistribution _),
     "q18_large_orders"         -> (q18LargeOrders _),
     "q22_lapsed_customers"     -> (q22LapsedCustomers _),
