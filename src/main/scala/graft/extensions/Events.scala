@@ -460,7 +460,15 @@ object Events {
     * gate. Scale: refresh cost is O(delta) + O(|groups|), independent of
     * base size; rounding happens once at the edge (state stays exact —
     * rounding inside the state would drift across refreshes). */
-  def eventsIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+  def eventsIncrementalAgg(spark: SparkSession, dir: String): DataFrame =
+    eventsIncrementalAggAt(spark, dir, IncAggSplit)
+
+  /** [[eventsIncrementalAgg]] with an explicit split point — the merge must
+    * equal the full recompute for EVERY split (monoid law), which the spec
+    * asserts across several splits including the all-base and all-delta
+    * degenerate ones. */
+  private[graft] def eventsIncrementalAggAt(spark: SparkSession, dir: String,
+                                            split: Long): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     def partial(df: DataFrame): DataFrame =
@@ -468,8 +476,8 @@ object Events {
         count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(28, 10))).as("sv"),
         max(col("event_id")).as("max_event_id"))
-    val base = partial(ev.filter(col("event_id") < IncAggSplit))
-    val delta = partial(ev.filter(col("event_id") >= IncAggSplit))
+    val base = partial(ev.filter(col("event_id") < split))
+    val delta = partial(ev.filter(col("event_id") >= split))
     base.unionByName(delta)
       .groupBy("event_type")
       .agg(sum(col("n_events")).cast("long").as("n_events"),

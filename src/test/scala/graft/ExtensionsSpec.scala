@@ -296,6 +296,37 @@ class ExtensionsSpec extends SparkTestBase {
     out(3)._5 shouldBe "only"
   }
 
+  test("incremental agg: merge equals full recompute at every split point (monoid law)") {
+    import graft.extensions.Events
+    val dir = "/root/testdata/sf0.001"
+    val full = Events.eventsIncrementalAggAt(spark, dir, Long.MaxValue)
+      .collect().map(_.toSeq).toSeq // all-base degenerate = plain recompute
+    for (split <- Seq(0L, 1L, 500L, 999999L))
+      Events.eventsIncrementalAggAt(spark, dir, split)
+        .collect().map(_.toSeq).toSeq shouldBe full
+  }
+
+  test("bootstrap CI is ordered and brackets the full mean") {
+    val r = graft.queries.Tpch.qBootstrapCi(spark, "/root/testdata/sf0.001")
+      .collect()(0)
+    val (fullMean, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    lo should be <= hi
+    fullMean should (be >= lo and be <= hi)
+  }
+
+  test("corpus build: kept docs are unique per cluster; bins contiguous from 0") {
+    import graft.extensions.TextAnalysis
+    val out = TextAnalysis.pipelineCorpusBuild(spark, "/root/testdata/sf0.001")
+      .collect()
+    // dedup stage: at most one survivor per cluster
+    out.groupBy(_.getLong(1)).values.foreach(_.length shouldBe 1)
+    // packing stage: within each (split, source), bins start at 0 with no holes
+    out.groupBy(r => (r.getString(3), r.getString(2))).values.foreach { g =>
+      val bins = g.map(_.getLong(5)).distinct.sorted
+      bins shouldBe (0L to bins.max)
+    }
+  }
+
   test("cluster split: every near-dup cluster lands whole in one split (no leakage)") {
     import graft.extensions.TextAnalysis
     val out = TextAnalysis.textClusterSplit(spark, "/root/testdata/sf0.001")
