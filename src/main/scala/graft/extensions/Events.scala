@@ -90,6 +90,32 @@ object Events {
         col("n_events"), col("n_purchases"), col("purchase_value"))
       .orderBy("user_id", "session_start")
 
+  /** Weekday seasonality profile — the day-of-week effect report behind
+    * staffing/capacity/anomaly baselines: per (event_type, ISO weekday),
+    * event share and mean value, plus the deviation of that weekday's mean
+    * from the type's overall mean. Two bounded aggregations (types × 7
+    * cells); all means are exact-decimal ratios. */
+  def eventsWeekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        dayofweek(col("ts")).as("dow")) // 1=Sunday..7=Saturday (both engines differ; see oracle)
+    val cell = ev.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(38, 18))).cast("double")
+          / count(lit(1)), 6).as("mean_value"))
+    val tot = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        round(sum(col("value").cast(DecimalType(38, 18))).cast("double")
+          / count(lit(1)), 6).as("mean_total"))
+    cell.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("n_events"),
+        round(col("n_events").cast("double") / col("n_total"), 6).as("share"),
+        col("mean_value"),
+        round(col("mean_value") - col("mean_total"), 6).as("mean_dev"))
+      .orderBy("event_type", "dow")
+  }
+
   /** Calendar-gap audit — the data-completeness check a freshness monitor
     * runs per entity: densify each user's purchase span to a daily
     * calendar (bounded `sequence` explode per user — never a global
@@ -877,6 +903,27 @@ object Events {
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Full recompute — the incremental merge must equal it exactly.
+    // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6 — shift +1.
+    "events_weekday_seasonality" ->
+      """WITH ev AS (
+        |  SELECT event_type, value, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow
+        |  FROM events
+        |), cell AS (
+        |  SELECT event_type, dow, count(*) AS n_events,
+        |         round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_value
+        |  FROM ev GROUP BY event_type, dow
+        |), tot AS (
+        |  SELECT event_type, count(*) AS n_total,
+        |         round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS mean_total
+        |  FROM ev GROUP BY event_type
+        |)
+        |SELECT cell.event_type, dow, n_events,
+        |       round(CAST(n_events AS DOUBLE) / n_total, 6) AS share,
+        |       mean_value,
+        |       round(mean_value - mean_total, 6) AS mean_dev
+        |FROM cell JOIN tot ON cell.event_type = tot.event_type
+        |ORDER BY cell.event_type, dow""".stripMargin,
+
     "events_calendar_gaps" ->
       """WITH p AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -1385,5 +1432,6 @@ object Events {
     "events_time_to_convert"  -> (eventsTimeToConvert _),
     "events_purchase_sessions" -> (eventsPurchaseSessions _),
     "events_calendar_gaps"    -> (eventsCalendarGaps _),
+    "events_weekday_seasonality" -> (eventsWeekdaySeasonality _),
   )
 }

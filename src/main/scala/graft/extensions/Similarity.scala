@@ -526,6 +526,32 @@ object Similarity {
       .select(col("vec_id"), col("p.dim").as("dim"), col("p.proj").as("proj"))
       .orderBy("vec_id", "dim")
 
+  /** Vector-lake integrity audit — the embedding-side twin of the media
+    * manifest check: per label shard, vector count, dimensionality
+    * violations (every vector must be 64-dim), zero vectors (un-normalizable
+    * — they poison cosine math downstream), norm extremes, and exact
+    * duplicate vectors (distinct hashes of the 6-dp-rounded vector vs
+    * rows). One pass, one hash aggregation; all metrics integer- or
+    * single-op-exact. */
+  def simVectorIntegrity(spark: SparkSession, dir: String): DataFrame =
+    vectors(spark, dir)
+      .join(Tables.embeddings(spark, dir).select(col("vec_id"), col("label")), "vec_id")
+      .select(col("label"), col("vec_id"), col("nrm"),
+        size(col("v")).as("dim"),
+        // portable content hash: micro-scaled INTEGER codes joined by ','
+        // (double→string formatting differs across engines; i64 doesn't)
+        md5(concat_ws(",", transform(col("v"),
+          x => round(x * 1000000.0).cast("long").cast("string"))).cast("binary"))
+          .as("vh"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("dim") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        round(min("nrm"), 6).as("min_norm"),
+        round(max("nrm"), 6).as("max_norm"),
+        (count(lit(1)) - countDistinct(col("vh"))).as("n_dup_vectors"))
+      .orderBy("label")
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val posAndNorm =
@@ -616,6 +642,23 @@ object Similarity {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sim_vector_integrity" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         len(embedding) AS dim,
+        |         sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x), (a, b) -> a + b)) AS nrm,
+        |         md5(array_to_string(list_transform(embedding,
+        |               x -> CAST(round(x::DOUBLE * 1000000.0) AS BIGINT)), ',')) AS vh
+        |  FROM embeddings
+        |)
+        |SELECT label, count(*) AS n_vectors,
+        |       CAST(count(*) FILTER (WHERE dim <> 64) AS BIGINT) AS n_bad_dim,
+        |       CAST(count(*) FILTER (WHERE nrm = 0.0) AS BIGINT) AS n_zero,
+        |       round(min(nrm), 6) AS min_norm,
+        |       round(max(nrm), 6) AS max_norm,
+        |       CAST(count(*) - count(DISTINCT vh) AS BIGINT) AS n_dup_vectors
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
     "sim_rerank" ->
       s"""$ivfAssignSql
          |$bandSigSql
@@ -907,5 +950,6 @@ object Similarity {
     "sim_label_centroids" -> (simLabelCentroids _),
     "sim_rerank"          -> (simRerank _),
     "sim_random_projection" -> (simRandomProjection _),
+    "sim_vector_integrity" -> (simVectorIntegrity _),
   )
 }

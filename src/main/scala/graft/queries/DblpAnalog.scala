@@ -363,6 +363,46 @@ object DblpAnalog {
       .orderBy("s1", "s2")
   }
 
+  /** Local bridges — Granovetter's weak ties: strong co-author edges whose
+    * endpoints share NO other collaborator (zero common neighbors ⇔ the
+    * edge lies in no triangle ⇔ removing it lengthens the endpoint
+    * distance beyond 2). The structurally critical links information
+    * actually flows across; reuses [[graft.ops.Graph.trianglesPerEdge]] as
+    * an ANTI join (edges absent from the per-edge triangle counts), so the
+    * cost is the triangle enumeration already bounded by out-degree.
+    * Runs on the sparse [[JaccardMinWeight]] backbone — on the complete
+    * weight-5 graph every edge closes a triangle and the result is empty. */
+  def coauthorLocalBridges(spark: SparkSession, dir: String): DataFrame = {
+    val und = strongCoauthorEdges(spark, dir, JaccardMinWeight).localCheckpoint()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val cn = graft.ops.Graph.trianglesPerEdge(und)
+    und.join(cn, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("n").as("a"), col("dg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("deg_b")), "b")
+      .select(col("a").as("s1"), col("b").as("s2"), col("deg_a"), col("deg_b"))
+      .orderBy("s1", "s2")
+  }
+
+  private def localBridgesOracle: String =
+    s"""${coauthorGraphSqlAt(JaccardMinWeight)}
+      |, ecn AS (
+      |  SELECT least(x, y) AS a, greatest(x, y) AS b
+      |  FROM (
+      |    SELECT u AS x, v AS y FROM tri
+      |    UNION ALL SELECT u AS x, w AS y FROM tri
+      |    UNION ALL SELECT v AS x, w AS y FROM tri
+      |  )
+      |  GROUP BY least(x, y), greatest(x, y)
+      |)
+      |SELECT und.a AS s1, und.b AS s2, da.dg AS deg_a, db.dg AS deg_b
+      |FROM und
+      |JOIN deg da ON und.a = da.n
+      |JOIN deg db ON und.b = db.n
+      |LEFT JOIN ecn ON und.a = ecn.a AND und.b = ecn.b
+      |WHERE ecn.a IS NULL
+      |ORDER BY s1, s2""".stripMargin
+
   private val kcoreOracle: String = {
     val rounds = (1 to KcoreRounds).map { r =>
       s"""d$r AS (
@@ -496,6 +536,7 @@ object DblpAnalog {
     "coauthor_kcore" -> kcoreOracle,
     "coauthor_clustering_coeff" -> clusteringCoeffOracle,
     "coauthor_neighbor_jaccard" -> neighborJaccardOracle,
+    "coauthor_local_bridges" -> localBridgesOracle,
     "t1_top10_authors_per_venue" ->
       s"""$base
          |, va AS (
@@ -576,5 +617,6 @@ object DblpAnalog {
     "coauthor_clustering_coeff"    -> (coauthorClusteringCoeff _),
     "coauthor_kcore"               -> (coauthorKcore _),
     "coauthor_neighbor_jaccard"    -> (coauthorNeighborJaccard _),
+    "coauthor_local_bridges"       -> (coauthorLocalBridges _),
   )
 }
