@@ -495,6 +495,24 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix — which sources copy which: verified
+    * near-dup pairs ([[dedupMinhashVerified]]) joined to each endpoint's
+    * source, aggregated per (canonically ordered) source pair. The
+    * curation report that re-weights or drops a source whose content is
+    * largely mirrored elsewhere; intra-source cells measure internal
+    * redundancy. Two id-keyed joins over the (small) verified pair set —
+    * the expensive part is the already-bounded LSH+verify pipeline. */
+  def dedupSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    dedupMinhashVerified(spark, dir).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_x", "source_y")
+  }
+
   /** Embedding-cosine near-dup pairs (τ = 0.45, rounded before threshold).
     * Brute-force pairs here; the LSH-bucketed scale path lives in
     * [[Similarity]]. */
@@ -692,6 +710,18 @@ object Dedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
 
+    "dedup_source_overlap" ->
+      s"""$verifiedPairsCtes
+         |, ds AS (SELECT doc_id, source FROM documents)
+         |SELECT least(sa.source, sb.source) AS source_x,
+         |       greatest(sa.source, sb.source) AS source_y,
+         |       count(*) AS n_pairs
+         |FROM vpairs
+         |JOIN ds sa ON vpairs.doc_a = sa.doc_id
+         |JOIN ds sb ON vpairs.doc_b = sb.doc_id
+         |GROUP BY least(sa.source, sb.source), greatest(sa.source, sb.source)
+         |ORDER BY source_x, source_y""".stripMargin,
+
     "dedup_novelty_curve" ->
       s"""$shinglesSql
          |, hs AS (
@@ -848,6 +878,7 @@ object Dedup {
     "dedup_exact"         -> (dedupExact _),
     "dedup_verbatim_prefix" -> (dedupVerbatimPrefix _),
     "dedup_novelty_curve" -> (dedupNoveltyCurve _),
+    "dedup_source_overlap" -> (dedupSourceOverlap _),
     "dedup_lines_global"  -> (dedupLinesGlobal _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_containment"   -> (dedupContainment _),
