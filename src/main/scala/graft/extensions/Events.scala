@@ -90,6 +90,40 @@ object Events {
         col("n_events"), col("n_purchases"), col("purchase_value"))
       .orderBy("user_id", "session_start")
 
+  /** A/B experiment readout — deterministic assignment + lift: users hash
+    * into two arms (the [[graft.extensions.TextAnalysis.textSplitAssign]]
+    * discipline — assignment is a pure function of the id, reproducible
+    * across runs/engines/layouts), and the readout reports per arm the
+    * user count, converting-user share, and mean per-user purchase spend,
+    * plus the treatment−control lift on both metrics. Everything reduces
+    * to one per-user aggregation then a 2-row arm rollup; means are exact
+    * decimal ratios, the lift two single IEEE subtractions on already-
+    * rounded values. (Interval estimates for the lift are
+    * [[graft.queries.Tpch.qBootstrapCi]]'s weight-bootstrap applied
+    * per-arm — same machinery, kept separate so each gate stays small.) */
+  def eventsAbLift(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"),
+        sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))
+          .cast(DecimalType(28, 10))).as("spend"))
+      .withColumn("arm",
+        when(graft.functions.Portable.hash60(col("user_id").cast("string")) % 2 === 0,
+          "control").otherwise("treatment"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        round(sum(when(col("n_purch") > 0, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("conv_rate"),
+        round(sum(col("spend")).cast("double") / count(lit(1)), 6).as("mean_spend"))
+    val c = arms.filter(col("arm") === "control")
+      .select(col("conv_rate").as("cc"), col("mean_spend").as("cs"))
+    arms.crossJoin(broadcast(c))
+      .select(col("arm"), col("n_users"), col("conv_rate"), col("mean_spend"),
+        round(col("conv_rate") - col("cc"), 6).as("conv_lift"),
+        round(col("mean_spend") - col("cs"), 6).as("spend_lift"))
+      .orderBy("arm")
+  }
+
   /** Weekday seasonality profile — the day-of-week effect report behind
     * staffing/capacity/anomaly baselines: per (event_type, ISO weekday),
     * event share and mean value, plus the deviation of that weekday's mean
@@ -903,6 +937,26 @@ object Events {
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Full recompute — the incremental merge must equal it exactly.
+    "events_ab_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch,
+        |         sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+        |             AS DECIMAL(28,10))) AS spend,
+        |         CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 = 0
+        |              THEN 'control' ELSE 'treatment' END AS arm
+        |  FROM events GROUP BY user_id
+        |), arms AS (
+        |  SELECT arm, count(*) AS n_users,
+        |         round(CAST(count(*) FILTER (WHERE n_purch > 0) AS DOUBLE) / count(*), 6) AS conv_rate,
+        |         round(CAST(sum(spend) AS DOUBLE) / count(*), 6) AS mean_spend
+        |  FROM pu GROUP BY arm
+        |), c AS (SELECT conv_rate AS cc, mean_spend AS cs FROM arms WHERE arm = 'control')
+        |SELECT arm, n_users, conv_rate, mean_spend,
+        |       round(conv_rate - cc, 6) AS conv_lift,
+        |       round(mean_spend - cs, 6) AS spend_lift
+        |FROM arms, c ORDER BY arm""".stripMargin,
+
     // Spark dayofweek is 1=Sunday..7; DuckDB's is 0=Sunday..6 — shift +1.
     "events_weekday_seasonality" ->
       """WITH ev AS (
@@ -1433,5 +1487,6 @@ object Events {
     "events_purchase_sessions" -> (eventsPurchaseSessions _),
     "events_calendar_gaps"    -> (eventsCalendarGaps _),
     "events_weekday_seasonality" -> (eventsWeekdaySeasonality _),
+    "events_ab_lift"          -> (eventsAbLift _),
   )
 }

@@ -384,6 +384,46 @@ object DblpAnalog {
       .orderBy("s1", "s2")
   }
 
+  /** Collaboration communities — connected components over the SPARSE
+    * strong-collaboration backbone ([[JaccardMinWeight]]): each author maps
+    * to their community (component min id) with its size. The distributed
+    * hash-min propagation of [[graft.ops.Graph.connectedComponents]] (one
+    * join + one min-agg per round, label-sum convergence); the same
+    * operator family as dedup clustering, applied as GRAPH analytics —
+    * "who forms a collaboration circle" rather than "which docs are one
+    * document". Authors outside any strong edge are absent (they have no
+    * community under this backbone). */
+  /** Backbone weight for [[coauthorCommunities]]: at 30 the sf0.01 backbone
+    * is one giant component (a vacuous single-label gate); 35 fragments it
+    * into 9 communities of varied size — the regime the operator exists
+    * for. */
+  private val CommunityMinWeight = 35
+
+  def coauthorCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val und = strongCoauthorEdges(spark, dir, CommunityMinWeight)
+    val comp = graft.ops.Graph.connectedComponents(und, "a", "b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("community_size"))
+    comp.join(sizes, "component")
+      .select(col("node").as("s_suppkey"), col("component").as("community_id"),
+        col("community_size"))
+      .orderBy("s_suppkey")
+  }
+
+  private def communitiesOracle: String =
+    s"""${coauthorGraphSqlAt(CommunityMinWeight).replaceFirst("^WITH ", "WITH RECURSIVE ")}
+      |, gedges AS (
+      |  SELECT a AS n, b AS m FROM und
+      |  UNION SELECT b, a FROM und
+      |), reach AS (
+      |  SELECT n AS node, n AS lbl FROM gedges
+      |  UNION
+      |  SELECT e.m AS node, r.lbl FROM reach r JOIN gedges e ON e.n = r.node
+      |), comp AS (SELECT node, min(lbl) AS community_id FROM reach GROUP BY node),
+      |sizes AS (SELECT community_id, count(*) AS community_size FROM comp GROUP BY community_id)
+      |SELECT node AS s_suppkey, comp.community_id, community_size
+      |FROM comp JOIN sizes ON comp.community_id = sizes.community_id
+      |ORDER BY s_suppkey""".stripMargin
+
   private def localBridgesOracle: String =
     s"""${coauthorGraphSqlAt(JaccardMinWeight)}
       |, ecn AS (
@@ -537,6 +577,7 @@ object DblpAnalog {
     "coauthor_clustering_coeff" -> clusteringCoeffOracle,
     "coauthor_neighbor_jaccard" -> neighborJaccardOracle,
     "coauthor_local_bridges" -> localBridgesOracle,
+    "coauthor_communities" -> communitiesOracle,
     "t1_top10_authors_per_venue" ->
       s"""$base
          |, va AS (
@@ -618,5 +659,6 @@ object DblpAnalog {
     "coauthor_kcore"               -> (coauthorKcore _),
     "coauthor_neighbor_jaccard"    -> (coauthorNeighborJaccard _),
     "coauthor_local_bridges"       -> (coauthorLocalBridges _),
+    "coauthor_communities"         -> (coauthorCommunities _),
   )
 }
