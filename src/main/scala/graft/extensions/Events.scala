@@ -124,6 +124,38 @@ object Events {
       .orderBy("arm")
   }
 
+  /** Metric trend detection — per type, the least-squares slope of the
+    * daily mean value over the day index: the direction-and-rate signal a
+    * drift monitor pairs with [[eventsCusumDrift]]'s change-point. Same
+    * closed-form discipline as the Zipf fit: per-day x/y/xy/x² are single
+    * IEEE ops on 6-dp-rounded daily means, the four moments sum in DECIMAL
+    * (exact, order-independent), and slope/intercept are a fixed scalar
+    * chain — no iterative fitting, no float accumulation. The moment
+    * aggregation is bounded by types × days. */
+  def eventsTrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value").cast(DecimalType(38, 18))).cast("double")
+        / count(lit(1)), 6).as("dmean"))
+    val t0 = lit("1995-01-01").cast("date")
+    val terms = daily.select(col("event_type"),
+        datediff(col("day"), t0).cast("double").as("x"), col("dmean").as("y"))
+      .select(col("event_type"), col("x"), col("y"),
+        round(col("x") * col("y"), 9).as("xy"), round(col("x") * col("x"), 9).as("xx"))
+    val dec = DecimalType(38, 12)
+    val s = terms.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum(col("y").cast(dec)).cast("double").as("sy"),
+      sum(col("xy").cast(dec)).cast("double").as("sxy"),
+      sum(col("xx").cast(dec)).cast("double").as("sxx"))
+    val slope = round(
+      (col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+    s.select(col("event_type"), col("n").as("n_days"), slope.as("slope_per_day"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** Weekday seasonality profile — the day-of-week effect report behind
     * staffing/capacity/anomaly baselines: per (event_type, ISO weekday),
     * event share and mean value, plus the deviation of that weekday's mean
@@ -937,6 +969,34 @@ object Events {
          |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // Full recompute — the incremental merge must equal it exactly.
+    "events_trend_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS dmean
+        |  FROM events GROUP BY event_type, day
+        |), t AS (
+        |  SELECT event_type,
+        |         CAST(date_diff('day', DATE '1995-01-01', day) AS DOUBLE) AS x,
+        |         dmean AS y
+        |  FROM daily
+        |), t2 AS (
+        |  SELECT event_type, x, y,
+        |         round(x * y, 9) AS xy, round(x * x, 9) AS xx
+        |  FROM t
+        |), s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(xy AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+        |         CAST(sum(CAST(xx AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+        |  FROM t2 GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
+        |       round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) * sx) / n, 6)
+        |         AS intercept
+        |FROM s ORDER BY event_type""".stripMargin,
+
     "events_ab_lift" ->
       """WITH pu AS (
         |  SELECT user_id,
@@ -1488,5 +1548,6 @@ object Events {
     "events_calendar_gaps"    -> (eventsCalendarGaps _),
     "events_weekday_seasonality" -> (eventsWeekdaySeasonality _),
     "events_ab_lift"          -> (eventsAbLift _),
+    "events_trend_slope"      -> (eventsTrendSlope _),
   )
 }
