@@ -50,7 +50,10 @@ object Bench {
     // run-to-run swings of ±40% on them while the other 140+ queries sat
     // stable. A third pass over just the top decile tightens the min
     // toward steady state for ~20 s, making cross-round totals comparable.
-    val slowest = pass2.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    // Tiebreak equal times by name so the decile SET is deterministic
+    // across runs (an unstable sort could rotate borderline queries in
+    // and out of the third pass, shifting totals for no real reason).
+    val slowest = pass2.toSeq.filter(_._2 >= 0).sortBy { case (k, v) => (-v, k) }
       .take(math.max(1, ordered.size / 10)).map(_._1).toSet
     val results = ordered.map { case (n, f) =>
       val v = pass2(n)
@@ -75,8 +78,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
+    // methodology: bumped whenever the timing protocol changes, so totals
+    // are only compared within the same protocol. v1 = min-of-2 noop-sink;
+    // v2 = v1 + third pass over the slowest decile (deterministic set).
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min2-noop-decile3-v2","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the round's full dump
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -91,7 +97,7 @@ object Bench {
     val errShown = errors.take(2)
       .map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_shown":${shown.size},"n_errors":${errors.size},"full":"BENCH_FULL.json","queries":${shown.mkString("{", ",", "}")},"errors":$errShown,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min2-noop-decile3-v2","n_queries":${results.size},"n_shown":${shown.size},"n_errors":${errors.size},"full":"BENCH_FULL.json","queries":${shown.mkString("{", ",", "}")},"errors":$errShown,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

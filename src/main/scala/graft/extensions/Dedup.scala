@@ -35,9 +35,11 @@ object Dedup {
   /** Truncation-duplicate detection — the dedup stage exact hashing misses:
     * a document cut off mid-crawl (or re-scraped with a longer tail) hashes
     * differently yet shares a long verbatim PREFIX with its source. Hash
-    * the first [[PrefixLen]] codepoints, group, and report groups whose
-    * members differ in full length (identical-length groups are plain
-    * exact dups, already handled). Same one-hash-aggregation scale shape as
+    * the first [[PrefixLen]] codepoints, group, and report every group
+    * with more than one member; the `n_lengths` column distinguishes true
+    * truncation groups (n_lengths > 1) from same-length groups, which are
+    * plain exact-prefix dups (already handled by [[dedupExact]] when the
+    * whole text matches). Same one-hash-aggregation scale shape as
     * exact dedup; prefix hashing is stateless map work. Only docs at least
     * [[PrefixLen]] long participate — a short doc equal to another's
     * prefix is containment's job ([[dedupContainment]]), not truncation's. */

@@ -151,13 +151,18 @@ object Events {
     val slope = round(
       (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx")), 6)
-    s.select(col("event_type"), col("n").as("n_days"), slope.as("slope_per_day"),
+    // n >= 2 guard (mirrored in the oracle): a single-day type makes the
+    // denominator exactly 0, where Spark's non-ANSI double division yields
+    // NULL but DuckDB may yield inf — keep the degenerate row out of both.
+    s.filter(col("n") >= 2)
+      .select(col("event_type"), col("n").as("n_days"), slope.as("slope_per_day"),
         round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
       .orderBy("event_type")
   }
 
   /** Weekday seasonality profile — the day-of-week effect report behind
-    * staffing/capacity/anomaly baselines: per (event_type, ISO weekday),
+    * staffing/capacity/anomaly baselines: per (event_type, Spark
+    * `dayofweek` 1=Sunday..7=Saturday — not ISO),
     * event share and mean value, plus the deviation of that weekday's mean
     * from the type's overall mean. Two bounded aggregations (types × 7
     * cells); all means are exact-decimal ratios. */
@@ -995,7 +1000,7 @@ object Events {
         |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_per_day,
         |       round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) * sx) / n, 6)
         |         AS intercept
-        |FROM s ORDER BY event_type""".stripMargin,
+        |FROM s WHERE n >= 2 ORDER BY event_type""".stripMargin,
 
     "events_ab_lift" ->
       """WITH pu AS (
@@ -1110,12 +1115,20 @@ object Events {
         |  WHERE e.event_type = 'purchase'
         |    AND pu.first_view IS NOT NULL AND e.us >= pu.first_view
         |  GROUP BY e.user_id
-        |), v AS (SELECT count(*) AS n_viewers FROM pu WHERE first_view IS NOT NULL)
-        |SELECT n_viewers, count(*) AS n_converted,
-        |       round(CAST(count(*) AS DOUBLE) / n_viewers, 6) AS conversion_rate,
-        |       round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
-        |       round(quantile_cont(lag_s, 0.9), 4) AS p90_s
-        |FROM fp, v GROUP BY n_viewers""".stripMargin,
+        |), v AS (SELECT count(*) AS n_viewers FROM pu WHERE first_view IS NOT NULL),
+        |f AS (
+        |  -- global (group-less) aggregate so the zero-converted case still
+        |  -- yields one row (count 0, NULL percentiles), matching Spark's
+        |  -- global agg instead of GROUP BY's empty result
+        |  SELECT count(*) AS n_converted,
+        |         round(quantile_cont(lag_s, 0.5), 4) AS p50_s,
+        |         round(quantile_cont(lag_s, 0.9), 4) AS p90_s
+        |  FROM fp
+        |)
+        |SELECT v.n_viewers, f.n_converted,
+        |       round(CAST(f.n_converted AS DOUBLE) / v.n_viewers, 6) AS conversion_rate,
+        |       f.p50_s, f.p90_s
+        |FROM f, v""".stripMargin,
 
     "events_incremental_agg" ->
       """SELECT event_type, count(*) AS n_events,
@@ -1157,9 +1170,9 @@ object Events {
         |), s AS (
         |  SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
         |         frequency, monetary,
-        |         ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS r,
-        |         ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
-        |         ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+        |         CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INTEGER) AS r,
+        |         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INTEGER) AS f,
+        |         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INTEGER) AS m
         |  FROM u
         |)
         |SELECT user_id, recency_days, frequency, monetary, r, f, m,

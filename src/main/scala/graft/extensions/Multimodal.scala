@@ -13,61 +13,142 @@ import graft.sources.Tables
   * verify the plumbing end-to-end. */
 case class MediaRecord(media_id: Long, mime: String, payload: Array[Byte])
 
-/** Decoded features per media record. `feat` is the STUB decoder output. */
+/** Decoded features per media record: payload size, content hash, and a
+  * modality-dependent feature vector from the real decoder dispatch
+  * (image: w, h, channel means; audio: n, rate, peak, mean |s|; other
+  * payloads: length-derived fallback so unknown media still flows). */
 case class MediaFeatures(media_id: Long, n_bytes: Long, content_hash: String,
                          feat: Array[Float])
 
+/** Typed decode manifest per media record (gate row of
+  * [[Multimodal.multimodalFeatures]]). */
+case class MediaMeta(media_id: Long, mime: String, n_bytes: Long, n_values: Long)
+
+/** Real decoded-image statistics — exact integer channel sums. */
+case class ImageStats(media_id: Long, width: Int, height: Int, n_pixels: Long,
+                      sum_r: Long, sum_g: Long, sum_b: Long)
+
+/** Real decoded-audio statistics — exact integer peak / energy. */
+case class AudioStats(media_id: Long, n_samples: Long, sample_rate: Int,
+                      peak: Long, energy: Long)
+
+/** Decode → resize → re-encode → decode round-trip statistics. */
+case class ResizeStats(media_id: Long, width: Int, height: Int,
+                       thumb_w: Int, thumb_h: Int,
+                       thumb_sum_r: Long, thumb_sum_g: Long, thumb_sum_b: Long)
+
 /** Multimodal-column plumbing: binary payloads with typed metadata, a
-  * partition-batched feature extractor, and deterministic frame sampling.
+  * partition-batched feature extractor over REAL pure-JVM codecs
+  * ([[Codecs]]: 24-bit BMP, PCM-16 WAV), and deterministic frame sampling.
   *
-  * The DECODE step is a clearly-marked STUB (image/audio codecs are not in
-  * this container): [[stubDecode]] derives deterministic fake features from
-  * the bytes. Everything around it — the schema, the typed
-  * `mapPartitions` with explicit batching (the JVM analog of a Pandas-UDF
-  * `mapInPandas` batch shape), the per-record hashing, the frame explode —
-  * is real, tested, and oracle-checked.
+  * The media lake is synthesized (this container ships no image/audio
+  * files): each document row becomes a real BMP or WAV whose pixel/sample
+  * values are a closed-form function of `doc_id` alone — so the DuckDB
+  * oracle can recompute every decoded statistic WITHOUT a codec, and any
+  * header/padding/row-order bug in the decoder breaks the gate instead of
+  * hiding. The `mapPartitions` batching (the JVM analog of a Pandas-UDF
+  * `mapInPandas` batch shape), per-record hashing, and frame explode are
+  * the production dataflow shapes.
   */
 object Multimodal {
 
   val BatchSize = 64
   val FrameChars = 16
+  val SampleRate = 8000
 
-  /** Demonstration media source: documents' text bytes as `binary` payload. */
+  /** Demonstration media source: documents' text bytes as `binary` payload
+    * (the frame-sampling / integrity queries run on the text domain so
+    * their oracles can recompute chunk hashes). */
   def mediaFromDocuments(spark: SparkSession, dir: String): DataFrame =
     Tables.fanOut(Tables.documents(spark, dir).select(
       col("doc_id").as("media_id"),
       lit("text/plain").as("mime"),
       col("text").cast("binary").as("payload")))
 
-  /** STUB decoder ??? — replace with a real codec (JPEG/PNG/audio) when the
-    * native libs are present. Deterministic fake: 4 floats derived from the
-    * payload length and first bytes. */
-  private def stubDecode(payload: Array[Byte]): Array[Float] = {
-    val n = payload.length
-    Array(
-      n.toFloat,
-      (if (n > 0) payload(0) & 0xff else 0).toFloat,
-      (if (n > 1) payload(1) & 0xff else 0).toFloat,
-      (n % 255).toFloat)
+  /** Synthetic-image spec for doc `d`: width varies 5..16 so the BMP row
+    * padding (rows pad to 4 bytes) exercises every phase; pixel byte `j`
+    * (top-down row-major R,G,B) is `(d*31 + j*7) mod 256`. */
+  def imageSpec(d: Long): BmpImage = {
+    val w = 5 + (d % 12).toInt
+    val h = 3 + (d % 7).toInt
+    BmpImage(w, h, Array.tabulate(w * h * 3)(j => ((d * 31 + j.toLong * 7) % 256).toInt))
+  }
+
+  /** Synthetic-audio spec for doc `d`: `16 + d mod 50` mono samples,
+    * sample `k` = `(d*13 + k*29) mod 4096 - 2048`. */
+  def audioSpec(d: Long): WavAudio = {
+    val n = 16 + (d % 50).toInt
+    WavAudio(SampleRate,
+      Array.tabulate(n)(k => (((d * 13 + k.toLong * 29) % 4096) - 2048).toShort))
+  }
+
+  /** The binary media lake: every even doc becomes a real encoded BMP,
+    * every odd doc a real encoded WAV. Encoding is stateless map work in
+    * the standard batch shape. */
+  def mediaLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { d =>
+            if (d % 2 == 0)
+              MediaRecord(d, "image/bmp", Codecs.bmpEncode(imageSpec(d)))
+            else
+              MediaRecord(d, "audio/wav", Codecs.wavEncode(audioSpec(d)))
+          }
+        }
+      }
   }
 
   private def md5hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
 
+  private def isBmp(p: Array[Byte]) =
+    p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+  private def isWav(p: Array[Byte]) =
+    p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == 'F'.toByte
+
   /** Feature extraction over partition-local batches: each executor thread
     * pulls [[BatchSize]] records at a time (amortizing decoder init exactly
-    * like a Pandas-UDF batch), hashes the payload, and runs the (stub)
-    * decoder. Typed Dataset in/out — no driver round-trip, scales with
-    * partitions. */
+    * like a Pandas-UDF batch), hashes the payload, sniffs the container
+    * magic, and runs the REAL decoder for the matched modality. Typed
+    * Dataset in/out — no driver round-trip, scales with partitions. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // decoder/codec init would happen once per batch here
         batch.iterator.map { m =>
-          MediaFeatures(m.media_id, m.payload.length.toLong,
-            md5hex(m.payload), stubDecode(m.payload))
+          val feat =
+            if (isBmp(m.payload)) {
+              val img = Codecs.bmpDecode(m.payload)
+              val n = (img.width * img.height).toFloat
+              def mean(c: Int) = {
+                var s = 0L; var p = c
+                while (p < img.rgb.length) { s += img.rgb(p); p += 3 }
+                s / n
+              }
+              Array(img.width.toFloat, img.height.toFloat, mean(0), mean(1), mean(2))
+            } else if (isWav(m.payload)) {
+              val a = Codecs.wavDecode(m.payload)
+              var peak = 0L; var absSum = 0L
+              a.samples.foreach { s =>
+                val v = math.abs(s.toLong); if (v > peak) peak = v; absSum += v
+              }
+              Array(a.samples.length.toFloat, a.sampleRate.toFloat,
+                peak.toFloat, absSum.toFloat / math.max(1, a.samples.length))
+            } else {
+              // unknown container: length-derived fallback keeps the row flowing
+              val n = m.payload.length
+              Array(n.toFloat,
+                (if (n > 0) m.payload(0) & 0xff else 0).toFloat,
+                (if (n > 1) m.payload(1) & 0xff else 0).toFloat,
+                (n % 255).toFloat)
+            }
+          MediaFeatures(m.media_id, m.payload.length.toLong, md5hex(m.payload), feat)
         }
       }
     }
@@ -94,42 +175,126 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "frame_hash")
   }
 
-  /** Thumbnail size (codepoints kept) for [[resizeMedia]]. */
-  val ThumbSize = 32
-
-  /** Deterministic STUB resize — the downsampling stage of an image/video
-    * pipeline (a real codec would decode, scale, re-encode; the container
-    * has no codecs, so the "resize" keeps every stride-th codepoint up to
-    * [[ThumbSize]] — same batched typed-Dataset shape as
-    * [[extractFeatures]], and the oracle recomputes the identical
-    * sampling). Output: original size, thumbnail size, thumbnail hash —
-    * the metadata a curation pass actually joins on. Codepoint-domain
-    * sampling for the same surrogate-safety reason as [[sampleFrames]]. */
+  /** REAL image resize — the downsampling stage of an image/video
+    * pipeline: decode the BMP, nearest-neighbor half-scale (thumb pixel
+    * (x,y) = source pixel (2x,2y)), RE-ENCODE the thumbnail as a fresh
+    * BMP, decode THAT, and report the final thumbnail's exact channel
+    * sums. The double round trip exercises both codec directions at a
+    * second geometry (odd thumb widths hit different row padding than
+    * their sources). Same batched typed-Dataset shape as
+    * [[extractFeatures]]. */
   def resizeMedia(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         batch.iterator.map { m =>
-          val s = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-          val cps = s.codePoints().toArray
-          val stride = math.max(1, cps.length / ThumbSize)
-          val kept = cps.indices.collect {
-            case i if i % stride == 0 && i / stride < ThumbSize => cps(i) }
-          val thumb = new String(kept.toArray, 0, kept.length)
-          (m.media_id, cps.length.toLong, kept.length.toLong,
-            md5hex(thumb.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val img = Codecs.bmpDecode(m.payload)
+          val tw = (img.width + 1) / 2
+          val th = (img.height + 1) / 2
+          val rgb = new Array[Int](tw * th * 3)
+          var y = 0
+          while (y < th) {
+            var x = 0
+            while (x < tw) {
+              val src = ((2 * y) * img.width + 2 * x) * 3
+              val dst = (y * tw + x) * 3
+              rgb(dst) = img.rgb(src)
+              rgb(dst + 1) = img.rgb(src + 1)
+              rgb(dst + 2) = img.rgb(src + 2)
+              x += 1
+            }
+            y += 1
+          }
+          val thumb = Codecs.bmpDecode(Codecs.bmpEncode(BmpImage(tw, th, rgb)))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var p = 0
+          while (p < thumb.rgb.length) {
+            sr += thumb.rgb(p); sg += thumb.rgb(p + 1); sb += thumb.rgb(p + 2)
+            p += 3
+          }
+          ResizeStats(m.media_id, img.width, img.height,
+            thumb.width, thumb.height, sr, sg, sb)
         }
       }
-    }.toDF("media_id", "orig_cps", "thumb_cps", "thumb_hash")
+    }.toDF()
   }
 
   // --- oracle-gated query entry points -------------------------------------
 
+  /** Decode manifest over the binary lake: per record, the mime the REAL
+    * decoder dispatch confirmed, the container's on-disk size, and the
+    * decoded value count (pixels / samples). Every number passes through
+    * the actual encode→decode round trip, and the oracle recomputes each
+    * from the doc_id closed form — a header-layout bug anywhere in
+    * [[Codecs]] shifts these and reddens the gate. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = mediaFromDocuments(spark, dir).as[MediaRecord]
-    extractFeatures(media)
-      .select(col("media_id"), col("n_bytes"), col("content_hash"))
+    mediaLake(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { m =>
+            val nValues =
+              if (isBmp(m.payload)) {
+                val img = Codecs.bmpDecode(m.payload)
+                img.width.toLong * img.height
+              } else Codecs.wavDecode(m.payload).samples.length.toLong
+            MediaMeta(m.media_id, m.mime, m.payload.length.toLong, nValues)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Real image decode: per BMP, dimensions and EXACT per-channel pixel
+    * sums from the decoded top-down RGB array. Integer-exact end to end —
+    * no float tolerance hides a decoder defect. Stateless batched map
+    * (scales with partitions); the only shuffle is the output sort. */
+  def multimodalDecodeImage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaLake(spark, dir)
+      .filter(col("mime") === "image/bmp").as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { m =>
+            val img = Codecs.bmpDecode(m.payload)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < img.rgb.length) {
+              sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
+              p += 3
+            }
+            ImageStats(m.media_id, img.width, img.height,
+              img.width.toLong * img.height, sr, sg, sb)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Real audio decode: per WAV, sample count, rate from the parsed `fmt `
+    * chunk, peak |sample|, and exact energy (sum of squares). */
+  def multimodalDecodeAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaLake(spark, dir)
+      .filter(col("mime") === "audio/wav").as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { m =>
+            val a = Codecs.wavDecode(m.payload)
+            var peak = 0L; var energy = 0L
+            a.samples.foreach { s =>
+              val v = s.toLong
+              if (math.abs(v) > peak) peak = math.abs(v)
+              energy += v * v
+            }
+            AudioStats(m.media_id, a.samples.length.toLong, a.sampleRate,
+              peak, energy)
+          }
+        }
+      }
+      .toDF()
       .orderBy("media_id")
   }
 
@@ -186,7 +351,8 @@ object Multimodal {
 
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    resizeMedia(mediaFromDocuments(spark, dir).as[MediaRecord])
+    resizeMedia(mediaLake(spark, dir).filter(col("mime") === "image/bmp")
+        .as[MediaRecord])
       .orderBy("media_id")
   }
 
@@ -272,23 +438,55 @@ object Multimodal {
         |       CAST(count(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT) AS n_meta_mismatch
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
+    // The decode oracles know NOTHING about BMP/WAV layout: they recompute
+    // the synthetic pixel/sample closed forms ([[imageSpec]]/[[audioSpec]])
+    // directly from doc_id. Agreement therefore proves the Spark side's
+    // encode→decode round trip reconstructed the exact value sequence.
     "multimodal_resize" ->
-      s"""WITH p AS (
-         |  SELECT doc_id AS media_id, text, length(text) AS n,
-         |         greatest(1, length(text) // $ThumbSize) AS stride
-         |  FROM documents
-         |), k AS (
-         |  SELECT media_id, text, n, stride,
-         |         least($ThumbSize, (n + stride - 1) // stride) AS n_keep
-         |  FROM p
-         |)
-         |SELECT media_id, CAST(n AS BIGINT) AS orig_cps,
-         |       CAST(n_keep AS BIGINT) AS thumb_cps,
-         |       md5(list_aggregate(
-         |         list_transform(range(0, n_keep),
-         |           i -> substr(text, CAST(1 + i * stride AS INTEGER), 1)),
-         |         'string_agg', '')) AS thumb_hash
-         |FROM k ORDER BY media_id""".stripMargin,
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, 5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), t AS (
+        |  SELECT media_id, w, h, (w + 1) // 2 AS tw, (h + 1) // 2 AS th FROM img
+        |)
+        |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(tw AS INTEGER) AS thumb_w, CAST(th AS INTEGER) AS thumb_h,
+        |       CAST(sum((media_id * 31 + (3 * (2 * y.i * w + 2 * x.i)) * 7) % 256) AS BIGINT) AS thumb_sum_r,
+        |       CAST(sum((media_id * 31 + (3 * (2 * y.i * w + 2 * x.i) + 1) * 7) % 256) AS BIGINT) AS thumb_sum_g,
+        |       CAST(sum((media_id * 31 + (3 * (2 * y.i * w + 2 * x.i) + 2) * 7) % 256) AS BIGINT) AS thumb_sum_b
+        |FROM t,
+        |     LATERAL (SELECT unnest(generate_series(0, th - 1)) AS i) y,
+        |     LATERAL (SELECT unnest(generate_series(0, tw - 1)) AS i) x
+        |GROUP BY media_id, w, h, tw, th
+        |ORDER BY media_id""".stripMargin,
+
+    "multimodal_decode_image" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, 5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 2 = 0
+        |)
+        |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum((media_id * 31 + (3 * p.i) * 7) % 256) AS BIGINT) AS sum_r,
+        |       CAST(sum((media_id * 31 + (3 * p.i + 1) * 7) % 256) AS BIGINT) AS sum_g,
+        |       CAST(sum((media_id * 31 + (3 * p.i + 2) * 7) % 256) AS BIGINT) AS sum_b
+        |FROM img, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) p
+        |GROUP BY media_id, w, h
+        |ORDER BY media_id""".stripMargin,
+
+    "multimodal_decode_audio" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS media_id, 16 + doc_id % 50 AS n
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), s AS (
+        |  SELECT media_id, n, (media_id * 13 + k.i * 29) % 4096 - 2048 AS v
+        |  FROM aud, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) k
+        |)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(max(abs(v)) AS BIGINT) AS peak,
+        |       CAST(sum(v * v) AS BIGINT) AS energy
+        |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
 
     "multimodal_route" ->
       """WITH m AS (
@@ -325,8 +523,13 @@ object Multimodal {
 
     "multimodal_features" ->
       """SELECT doc_id AS media_id,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       md5(text) AS content_hash
+        |       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN 54 + (((5 + doc_id % 12) * 3 + 3) // 4 * 4) * (3 + doc_id % 7)
+        |            ELSE 44 + 2 * (16 + doc_id % 50) END AS BIGINT) AS n_bytes,
+        |       CAST(CASE WHEN doc_id % 2 = 0
+        |            THEN (5 + doc_id % 12) * (3 + doc_id % 7)
+        |            ELSE 16 + doc_id % 50 END AS BIGINT) AS n_values
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
@@ -339,7 +542,9 @@ object Multimodal {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features"    -> (multimodalFeatures _),
+    "multimodal_features"     -> (multimodalFeatures _),
+    "multimodal_decode_image" -> (multimodalDecodeImage _),
+    "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),
     "multimodal_frame_dedup" -> (multimodalFrameDedup _),
     "multimodal_route"       -> (multimodalRoute _),

@@ -936,8 +936,12 @@ object TextAnalysis {
     val slope = round(
       (col("n") * col("sxy") - col("sx") * col("sy")) /
         (col("n") * col("sxx") - col("sx") * col("sx")), 6)
-    s.select(col("n").as("n_terms"), slope.as("slope"),
-      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+    // n >= 2 guard (mirrored in the oracle): with fewer than two ranked
+    // terms the fit denominator is exactly 0 — Spark's non-ANSI double
+    // division yields NULL, DuckDB may yield inf; emit no row instead.
+    s.filter(col("n") >= 2)
+      .select(col("n").as("n_terms"), slope.as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
   }
 
   // --- DuckDB oracles -------------------------------------------------------
@@ -1327,7 +1331,7 @@ object TextAnalysis {
          |SELECT CAST(n AS BIGINT) AS n_terms,
          |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
          |       round((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) * sx) / n, 6) AS intercept
-         |FROM s""".stripMargin,
+         |FROM s WHERE n >= 2""".stripMargin,
 
     "text_heavy_hitters" ->
       s"""$withToks

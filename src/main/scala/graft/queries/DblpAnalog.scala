@@ -384,21 +384,22 @@ object DblpAnalog {
       .orderBy("s1", "s2")
   }
 
-  /** Collaboration communities — connected components over the SPARSE
-    * strong-collaboration backbone ([[JaccardMinWeight]]): each author maps
-    * to their community (component min id) with its size. The distributed
-    * hash-min propagation of [[graft.ops.Graph.connectedComponents]] (one
-    * join + one min-agg per round, label-sum convergence); the same
-    * operator family as dedup clustering, applied as GRAPH analytics —
-    * "who forms a collaboration circle" rather than "which docs are one
-    * document". Authors outside any strong edge are absent (they have no
-    * community under this backbone). */
   /** Backbone weight for [[coauthorCommunities]]: at 30 the sf0.01 backbone
     * is one giant component (a vacuous single-label gate); 35 fragments it
     * into 9 communities of varied size — the regime the operator exists
     * for. */
   private val CommunityMinWeight = 35
 
+  /** Collaboration communities — connected components over the SPARSE
+    * strong-collaboration backbone ([[CommunityMinWeight]]): each author
+    * maps to their community (component min id) with its size. The
+    * distributed hash-min propagation of
+    * [[graft.ops.Graph.connectedComponents]] (one join + one min-agg per
+    * round, label-sum convergence); the same operator family as dedup
+    * clustering, applied as GRAPH analytics — "who forms a collaboration
+    * circle" rather than "which docs are one document". Authors outside
+    * any strong edge are absent (they have no community under this
+    * backbone). */
   def coauthorCommunities(spark: SparkSession, dir: String): DataFrame = {
     val und = strongCoauthorEdges(spark, dir, CommunityMinWeight)
     val comp = graft.ops.Graph.connectedComponents(und, "a", "b")

@@ -1314,7 +1314,7 @@ object Tpch {
 
     "q7_nation_volume" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-        |  year(l_shipdate) AS l_year,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -1411,7 +1411,7 @@ object Tpch {
         |  AND l_quantity < 24""".stripMargin,
 
     "q8_market_share" ->
-      """SELECT year(o_orderdate) AS o_year,
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(round(sum(CAST(CASE WHEN sn.n_name = 'NATION_2'
         |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(28,10))), 2) AS DOUBLE) AS nation_rev,
         |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))), 2) AS DOUBLE) AS total_rev,
@@ -1435,7 +1435,7 @@ object Tpch {
 
     "q9_product_profit" ->
       s"""WITH $partSuppCte
-         |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
          |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
          |    - ps_supplycost * l_quantity AS DECIMAL(28,10))), 2) AS DOUBLE) AS sum_profit
          |FROM lineitem
@@ -1483,10 +1483,10 @@ object Tpch {
       """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY THEN '3-SLOW'
         |            WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN '2-MEDIUM'
         |            ELSE '1-FAST' END AS ship_speed,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 1 ELSE 0 END) AS high_line_count,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |           THEN 0 ELSE 1 END) AS low_line_count
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate <  TIMESTAMP '1998-01-01'

@@ -66,6 +66,22 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols spark={sorted(scols)} oracle={sorted(ocols)}")
             n_fail += 1
             continue
+        # Type-strict gate: the driver hashes TYPED values, so a DuckDB
+        # HUGEINT oracle vs a Spark BIGINT parquet column fails remotely
+        # even when every value compares equal (round-4 q12). Compare the
+        # DuckDB-described column types of both sides before the value pass.
+        otypes = dict(r[:2] for r in con.execute(f"DESCRIBE {sql}").fetchall())
+        stypes = dict(r[:2] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        ).fetchall())
+        tbad = [(c, stypes[c], otypes[c]) for c in sorted(otypes)
+                if stypes.get(c) != otypes[c]]
+        if tbad:
+            detail = ", ".join(f"{c}: spark={st} oracle={ot}"
+                               for c, st, ot in tbad)
+            print(f"FAIL {name}: column type mismatch ({detail})")
+            n_fail += 1
+            continue
         a, b = norm(srows, scols), norm(orows, ocols)
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} oracle={len(b)}")
