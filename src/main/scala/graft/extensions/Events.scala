@@ -720,6 +720,37 @@ object Events {
       .orderBy("window_end")
   }
 
+  /** The CORPUS-SCALE twin of [[eventsSlidingDau]]: same collapse-then-
+    * fan-out dataflow, but the per-window distinct count is ALSO computed
+    * with `approx_count_distinct` (HLL++, rsd 2%) and gated through the
+    * within-bounds pattern of [[graft.queries.Tpch.qSketchBounds]] — the
+    * oracle recomputes the exact count and asserts the emitted boolean,
+    * so the sketch's 5% envelope is part of the correctness gate, not a
+    * claim. At 100 TB the exact column is what you drop: HLL state is
+    * O(1) per window and merges map-side, so the ×7 fan-out shuffles
+    * fixed-size sketch buffers instead of user-id sets. Exact and sketch
+    * aggregations run as separate single-pass aggs joined on the 1-per-day
+    * key — mixing count(DISTINCT) with the HLL buffer would route the
+    * sketch through the distinct Expand for nothing. */
+  def eventsSlidingDauApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint()
+    val win = ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), SlidingDauDays - 1))).as("wday"))
+      .localCheckpoint() // two aggregation consumers below
+    val exact = win.groupBy("wday").agg(count_distinct(col("user_id")).as("dau_7d"))
+    val sketch = win.groupBy("wday")
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("dau_7d_hll"))
+    ud.select(col("day")).distinct()
+      .join(exact, col("day") === exact("wday")).drop("wday")
+      .join(sketch, col("day") === sketch("wday")).drop("wday")
+      .select(col("day").as("window_end"), col("dau_7d"),
+        (abs(col("dau_7d_hll") - col("dau_7d")) <= col("dau_7d") * 0.05)
+          .as("hll_within_5pct"))
+      .orderBy("window_end")
+  }
+
   /** Daily OHLC (open/high/low/close) per event type — the time-series
     * compaction every metrics store runs: first/last values by event time
     * (row_number both directions over ONE exchange on (type, day); the
@@ -1349,6 +1380,21 @@ object Events {
          |FROM d JOIN w ON d.day = w.wday
          |ORDER BY window_end""".stripMargin,
 
+    "events_sliding_dau_approx" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+         |  FROM events
+         |), win AS (
+         |  SELECT day + CAST(g AS INTEGER) AS wday, user_id
+         |  FROM ud, (SELECT unnest(generate_series(0, ${SlidingDauDays - 1})) AS g) gs
+         |), w AS (
+         |  SELECT wday, count(DISTINCT user_id) AS dau_7d FROM win GROUP BY wday
+         |), d AS (SELECT DISTINCT day FROM ud)
+         |SELECT d.day AS window_end, CAST(dau_7d AS BIGINT) AS dau_7d,
+         |       TRUE AS hll_within_5pct
+         |FROM d JOIN w ON d.day = w.wday
+         |ORDER BY window_end""".stripMargin,
+
     "events_daily_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -1543,6 +1589,7 @@ object Events {
     "events_forward_fill"     -> (eventsForwardFill _),
     "events_cohort_retention" -> (eventsCohortRetention _),
     "events_sliding_dau"      -> (eventsSlidingDau _),
+    "events_sliding_dau_approx" -> (eventsSlidingDauApprox _),
     "events_daily_ohlc"       -> (eventsDailyOhlc _),
     "events_zscore_outliers"  -> (eventsZscoreOutliers _),
     "events_mad_outliers"     -> (eventsMadOutliers _),

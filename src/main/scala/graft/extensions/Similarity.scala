@@ -332,6 +332,32 @@ object Similarity {
     * duplicates ([[dedupSemantic]]). */
   val SemDedupTau = 0.45
 
+  /** Per-member pair budget for [[dedupSemantic]]: each vector is compared
+    * to at most this many lower-id cluster-mates (the df-cap discipline of
+    * the n-gram posting lists, applied to clusters). Clusters no larger
+    * than the window behave exactly like unbounded all-pairs; a
+    * pathological giant cluster costs m·window pairs instead of m²/2. */
+  val SemDedupPairWindow = 256
+
+  /** The BOUNDED within-cluster pair relation: members ranked by vec_id
+    * inside their cluster, each probing its up-to-`window` immediate
+    * predecessors through a pure (cent_id, rank) EQUI-join — the m² pairs
+    * of a naive `a.cent < b.cent` self-join are never even enumerated.
+    * Output columns: cluster_id, va/(v,nrm of a), vb/(v,nrm of b). */
+  private[graft] def semanticPairs(members: DataFrame, window: Int): DataFrame = {
+    val rked = members.withColumn("srk", row_number().over(
+      Window.partitionBy("cent_id").orderBy("vec_id")))
+    val probes = rked.filter(col("srk") >= 2)
+      .select(col("cent_id"), col("vec_id").as("vb"), col("v").as("bv"),
+        col("nrm").as("bn"),
+        explode(expr(s"sequence(greatest(1, srk - $window), srk - 1)")).as("ark"))
+    probes.join(rked.select(col("cent_id"), col("srk").as("ark"),
+        col("vec_id").as("va"), col("v").as("av"), col("nrm").as("an")),
+      Seq("cent_id", "ark"))
+      .select(col("cent_id").as("cluster_id"), col("va"), col("av"), col("an"),
+        col("vb"), col("bv"), col("bn"))
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-cluster the embedding space, then compare
     * pairs only WITHIN each cluster and drop every vector that lies within
@@ -341,10 +367,16 @@ object Similarity {
     * its max similarity to a kept/lower neighbor.
     *
     * Scale shape: clustering makes the pair work n²/k instead of n² — the
-    * published algorithm's core trick — and each cluster's pairs expand
-    * inside one task after a shuffle on cent_id. Cluster size bounds the
-    * quadratic term; at 100 TB raise k (more stride seeds) so lists stay
-    * task-sized, exactly like the IVF search lists. Reuses the SAME
+    * published algorithm's core trick — and because the stride seeding
+    * grows k WITH n, mean cluster size is a constant. Skew is the residual
+    * risk (one attractor centroid swallowing a corpus share), so the pair
+    * expansion itself is bounded: [[semanticPairs]] compares each member
+    * to at most [[SemDedupPairWindow]] immediate lower-id cluster-mates
+    * via a (cent_id, rank) equi-join — worst-case m·window pairs per
+    * cluster, enforced by construction (`DedupSkewSpec` plants a one-giant-
+    * cluster fixture and counts). Clusters within the window are bit-
+    * identical to unbounded all-pairs, and the oracle applies the SAME
+    * window, so both engines agree on any input. Reuses the SAME
     * deterministic centroid pipeline as [[simTopkIvf]] (stride seeds + one
     * rounded Lloyd step), so the oracle replays it in SQL verbatim. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
@@ -356,10 +388,9 @@ object Similarity {
     val members = rankCentroids(vs, cents).filter(col("rk") === 1)
       .select(col("vec_id"), col("cent_id"), col("v"), col("nrm"))
       .localCheckpoint()
-    members.as("a").join(members.as("b"),
-        col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("b.cent_id").as("cluster_id"), col("b.vec_id").as("drop_id"),
-        Portable.cosine6(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")).as("cos"))
+    semanticPairs(members, SemDedupPairWindow)
+      .select(col("cluster_id"), col("vb").as("drop_id"),
+        Portable.cosine6(col("av"), col("bv"), col("an"), col("bn")).as("cos"))
       .groupBy("cluster_id", "drop_id")
       .agg(max(col("cos")).as("dup_score"))
       .filter(col("dup_score") >= SemDedupTau)
@@ -814,11 +845,16 @@ object Similarity {
     "dedup_semantic" ->
       s"""$ivfAssignSql
          |, members AS (
-         |  SELECT vec_id, cent_id FROM ranked1 WHERE rk = 1
+         |  SELECT vec_id, cent_id,
+         |         row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS srk
+         |  FROM ranked1 WHERE rk = 1
          |), pairs AS (
+         |  -- same bounded pair window as the Spark side: each member vs its
+         |  -- up-to-$SemDedupPairWindow immediate lower-id cluster-mates
          |  SELECT a.cent_id AS cluster_id, a.vec_id AS va, b.vec_id AS vb
          |  FROM members a JOIN members b
-         |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |    ON a.cent_id = b.cent_id AND a.srk < b.srk
+         |   AND a.srk >= b.srk - $SemDedupPairWindow
          |), dots AS (
          |  SELECT pairs.cluster_id, pairs.va, pairs.vb, sum(p.x * q.x) AS dot
          |  FROM pairs

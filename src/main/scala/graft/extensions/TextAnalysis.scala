@@ -730,7 +730,19 @@ object TextAnalysis {
     bpeMergesFromWords(words, BpeMergeRounds)
   }
 
-  /** Core merge loop over a (word, freq) vocabulary relation. */
+  /** Core merge loop over a (word, freq) vocabulary relation.
+    *
+    * Each round is one Spark job over the vocabulary — fine at the gated
+    * round count, but a production 32k-merge train would be 32k sequential
+    * jobs. The scale path (deliberately NOT taken here, to keep the gated
+    * loop exactly oracle-unrollable): after the corpus-touching word-freq
+    * aggregation, the weighted vocabulary is dictionary-sized (tens of MB
+    * even for 100 TB corpora) — `collect()` it once and run the remaining
+    * merge rounds driver-local (or batch non-overlapping merges per round:
+    * pairs whose symbols are disjoint can merge in the same pass, cutting
+    * rounds by ~5× like modern trainers do). The distributed rounds below
+    * are the shape you keep only when the vocabulary itself cannot fit —
+    * byte-level BPE over raw unicode at extreme vocab sizes. */
   private[graft] def bpeMergesFromWords(words: DataFrame, rounds: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
@@ -769,7 +781,14 @@ object TextAnalysis {
     * (the same Lloyd-step discipline as training). Encoded length joins
     * back to the token stream on the word key — at 100 TB that join
     * shuffles (token stream × small vocab), and AQE picks broadcast when
-    * the vocab fits. */
+    * the vocab fits.
+    *
+    * Merge APPLICATION is a single `aggregate()` fold over the learned
+    * merge table as one array literal — ONE expression node whose depth is
+    * O(1) in merge count (a per-merge `replace` chain would nest a
+    * 32k-deep expression tree at production merge counts, blowing plan
+    * size and codegen limits; the fold evaluates the same left-to-right
+    * sequence iteratively). */
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text"))
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
@@ -778,10 +797,13 @@ object TextAnalysis {
     val merges = bpeMergesFromWords(words, BpeMergeRounds).orderBy("round")
       .select("pair_a", "pair_b").collect()
       .map(r => (r.getString(0), r.getString(1)))
-    var vocab = words.select(col("word"),
-      concat(lit("<"), array_join(split(col("word"), ""), "><"), lit(">")).as("s"))
-    for ((a, b) <- merges)
-      vocab = vocab.withColumn("s", expr(s"replace(s, '<$a><$b>', '<$a$b>')"))
+    val mergeArr = array(merges.map { case (a, b) =>
+      struct(lit(s"<$a><$b>").as("f"), lit(s"<$a$b>").as("t"))
+    }.toSeq: _*)
+    val vocab = words.select(col("word"),
+      aggregate(mergeArr,
+        concat(lit("<"), array_join(split(col("word"), ""), "><"), lit(">")),
+        (acc, m) => replace(acc, m.getField("f"), m.getField("t"))).as("s"))
     val enc = vocab.select(col("word"),
       size(expr("split(substring(s, 2, length(s) - 2), '><')")).cast("long").as("n_syms"))
     tok.join(enc, "word")

@@ -77,6 +77,26 @@ class DedupSkewSpec extends SparkTestBase {
     rows(Dedup.dedupSubstring(spark, d)).map(_.take(2)) shouldBe Seq(Seq(1L, 2L))
   }
 
+  test("semantic-dedup pair expansion is bounded on a one-giant-cluster corpus") {
+    import org.apache.spark.sql.functions.{array, lit}
+    import graft.extensions.Similarity
+    import spark.implicits._
+    // Every member lands in ONE cluster: unbounded all-pairs would expand
+    // m(m-1)/2 = 1225 pairs; the rank-window equi-join must produce exactly
+    // window*(window+1)/2 + (m-window-1)*window and never enumerate more.
+    val m = 50
+    val w = 8
+    val members = (1L to m.toLong).toDF("vec_id")
+      .withColumn("cent_id", lit(0L))
+      .withColumn("v", array(lit(1.0d)))
+      .withColumn("nrm", lit(1.0d))
+    val pairs = Similarity.semanticPairs(members, w)
+    pairs.count() shouldBe (w * (w + 1) / 2 + (m - w - 1) * w)
+    // and each member probes at most `w` predecessors
+    pairs.groupBy("vb").count().agg(org.apache.spark.sql.functions.max("count"))
+      .head().getLong(0) should be <= w.toLong
+  }
+
   test("fuzzy-name dedup plans as an equi-join, not a cross product") {
     import spark.implicits._
     Seq("alpha beta", "alpha betb", "gamma").toDF("p_name")
