@@ -109,20 +109,91 @@ object Graph {
     * @param edges undirected edges, one row per edge, columns `a`, `b`.
     * @return (`n`, `dg`) — surviving nodes with their remaining degree.
     */
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    kcorePeelCounted(edges, k, rounds)._1
+
+  /** [[kcorePeel]] with the executed round count, for convergence specs.
+    * Early exit: a round can only REMOVE edges, so an unchanged edge count
+    * means an unchanged edge SET (subset + equal cardinality), every node
+    * already has k surviving neighbors, and all remaining rounds are
+    * idempotent — the result is identical to running the full unroll (the
+    * oracle's fixed CTE stages), minus the wasted jobs. The per-round
+    * driver check is one count() on the already-checkpointed edge list. */
+  private[graft] def kcorePeelCounted(edges: DataFrame, k: Int,
+                                      rounds: Int): (DataFrame, Int) = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
     var und = edges.select(col("a"), col("b")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var prevEdges = und.count()
+    var it = 0
+    var converged = false
+    while (it < rounds && !converged) {
       val keep = degrees(und).filter(col("dg") >= k).select("n")
-      und = und
+      val next = und
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .localCheckpoint()
+      val cur = next.count()
+      converged = cur == prevEdges
+      prevEdges = cur
+      und = next
+      it += 1
     }
-    degrees(und)
+    (degrees(und), it)
   }
+
+  /** Damped PageRank over a prepared symmetric edge list — the iteration
+    * engine behind `coauthor_pagerank`, with driver-checked convergence:
+    * after each round, one short-circuit count compares the ROUNDED (9 dp)
+    * rank vector to the previous round's; zero changed rows means the
+    * iteration hit a fixpoint of the rounded map, every further round is
+    * idempotent, and the loop exits with results identical to the full
+    * `maxIters` unroll (what the oracle computes). Rounding BEFORE the
+    * comparison keeps the exit decision deterministic and engine-portable
+    * — no float last-ulp flapping in the convergence test itself.
+    *
+    * Scale shape per round: rank state is |nodes| rows against |edges| ≫
+    * |nodes|, so the rank vector broadcasts into the static edge relation
+    * (map-side join + partial agg) — edges never re-shuffle. In-sums
+    * accumulate as DECIMAL(38,18) (exact, order-independent) before the
+    * 9 dp round; see `coauthor_pagerank` for why. For graphs whose node
+    * state outgrows broadcast, drop the hints and pre-partition edges and
+    * ranks on the source key.
+    *
+    * @param nodes  (`v`) node universe, materialized.
+    * @param symDeg (`s`, `d`, `deg`) symmetric edges with source degree,
+    *               materialized.
+    * @return ((`v`, `pr`), roundsExecuted)
+    */
+  private[graft] def pagerankCounted(nodes: DataFrame, symDeg: DataFrame,
+                                     maxIters: Int): (DataFrame, Int) = {
+    import org.apache.spark.sql.types.DecimalType
+    var pr = nodes.withColumn("pr", lit(1.0)).localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
+      val contrib = symDeg.join(broadcast(pr), col("s") === col("v"))
+        .select(col("d"),
+          (col("pr") / col("deg")).cast(DecimalType(38, 18)).as("c"))
+        .groupBy("d").agg(sum("c").cast("double").as("in"))
+      val next = nodes.join(broadcast(contrib), nodes("v") === contrib("d"), "left")
+        .select(col("v"),
+          round(lit(0.15) + lit(0.85) * coalesce(col("in"), lit(0.0)), 9).as("pr"))
+        .localCheckpoint()
+      val changed = next
+        .join(pr.withColumnRenamed("pr", "prev"), "v")
+        .filter(col("pr") =!= col("prev"))
+        .limit(1).count() // short-circuits at the first changed row
+      converged = changed == 0L
+      pr = next
+      it += 1
+    }
+    (pr, it)
+  }
+
+  def pagerank(nodes: DataFrame, symDeg: DataFrame, maxIters: Int): DataFrame =
+    pagerankCounted(nodes, symDeg, maxIters)._1
 
   /** Per-node triangle count by DEGREE-ORIENTED enumeration — the trick
     * that makes triangle counting feasible at scale: every undirected edge

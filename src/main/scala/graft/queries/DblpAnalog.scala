@@ -199,32 +199,13 @@ object DblpAnalog {
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("s")))
       .localCheckpoint()
     val nodes = pa.select(col("a").as("v")).distinct().localCheckpoint()
-    var pr = nodes.withColumn("pr", lit(1.0))
-    // Rank state is |nodes| rows against |edges| ≫ |nodes| for a
-    // co-occurrence graph, so each iteration broadcasts the rank vector
-    // into the edge relation (map-side join, partial agg to |nodes| keys)
-    // — the edge list is never shuffled per iteration. For graphs whose
-    // node state outgrows broadcast, drop the hints and pre-partition
-    // edges and ranks on the source key instead.
-    // In-contributions sum as DECIMAL(38,18), not a double SUM: each
-    // iteration rounds at 9 dp, and with a parallel float sum a node whose
-    // contribution total sits within a last-ulp of a rounding boundary
-    // flips between runs on whichever engine parallelizes the aggregation —
-    // and a pagerank flip cascades through the remaining iterations. The
-    // decimal cast of a double is deterministic and engine-identical (a
-    // binary rational can never be exactly half-way at a decimal scale),
-    // and the decimal sum is exact, hence order-independent — O(1) state,
-    // hub-safe, unlike an ordered fold. Same discipline as money sums.
-    for (_ <- 1 to PagerankIters) {
-      val contrib = symDeg.join(broadcast(pr), col("s") === col("v"))
-        .select(col("d"),
-          (col("pr") / col("deg")).cast(DecimalType(38, 18)).as("c"))
-        .groupBy("d").agg(sum("c").cast("double").as("in"))
-      pr = nodes.join(broadcast(contrib), nodes("v") === contrib("d"), "left")
-        .select(col("v"),
-          round(lit(0.15) + lit(0.85) * coalesce(col("in"), lit(0.0)), 9).as("pr"))
-    }
-    pr.select(col("v").as("s_suppkey"), round(col("pr"), 6).as("pagerank"))
+    // Iteration engine (broadcast rank vector, DECIMAL in-sums, 9 dp
+    // per-round rounding, driver-checked rounded-delta convergence with
+    // the PagerankIters bound) lives in [[graft.ops.Graph.pagerankCounted]]
+    // — a pre-converged graph exits after one confirming round with output
+    // identical to the oracle's full unroll.
+    graft.ops.Graph.pagerank(nodes, symDeg, PagerankIters)
+      .select(col("v").as("s_suppkey"), round(col("pr"), 6).as("pagerank"))
       .orderBy("s_suppkey")
   }
 

@@ -93,6 +93,32 @@ class GraphSpec extends SparkTestBase {
     out shouldBe Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
   }
 
+  test("pre-converged k-core exits after one confirming round") {
+    // A triangle IS its own 2-core: round 1 removes nothing, so the loop
+    // must stop there instead of burning the full budget.
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val (res, rounds) = Graph.kcorePeelCounted(tri, 2, 10)
+    rounds shouldBe 1
+    res.as[(Long, Long)].collect().sorted.toSeq shouldBe
+      Seq(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
+  test("pre-converged pagerank exits early; asymmetric graph uses the bound") {
+    // d-regular graph: every node keeps pr = 1.0 exactly, so round 1
+    // already reproduces the previous vector and the loop exits at 1.
+    val nodes = Seq(1L, 2L, 3L).toDF("v")
+    val symDeg = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("s", "d").withColumn("deg", org.apache.spark.sql.functions.lit(2L))
+    val (pr, rounds) = Graph.pagerankCounted(nodes, symDeg, 5)
+    rounds shouldBe 1
+    pr.as[(Long, Double)].collect().foreach(_._2 shouldBe 1.0)
+    // A path graph keeps moving mass: all 5 budgeted rounds run.
+    val pNodes = Seq(1L, 2L, 3L).toDF("v")
+    val pSym = Seq((1L, 2L, 1L), (2L, 1L, 2L), (2L, 3L, 2L), (3L, 2L, 1L))
+      .toDF("s", "d", "deg")
+    Graph.pagerankCounted(pNodes, pSym, 5)._2 shouldBe 5
+  }
+
   test("property: bounded peel equals a local simulation with the same rounds") {
     val rnd = new scala.util.Random(37)
     for (_ <- 1 to 6) {
