@@ -751,6 +751,36 @@ object Events {
       .orderBy("window_end")
   }
 
+  /** Trailing window (days, inclusive of the current day) for
+    * [[eventsRollingMedian]]. */
+  val RollingMedianDays = 7
+
+  /** Rolling EXACT median of the daily mean value per event type — the
+    * robust smoother a metrics monitor pairs with [[eventsMovingAvg]]
+    * (a median shrugs off the single-day spike that drags a mean): an
+    * ordered-set aggregate (`percentile`, linear interpolation — the
+    * q_percentiles cross-engine contract) evaluated OVER a RANGE frame
+    * keyed on the integer day index, so calendar gaps shorten the window
+    * correctly (a ROWS frame would silently stretch across them). Daily
+    * means reduce event volume to types × days BEFORE the window, so the
+    * frame holds ≤ [[RollingMedianDays]] 6-dp-rounded scalars per row —
+    * O(1) state at any corpus scale; one exchange on event_type for the
+    * window. */
+  def eventsRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value").cast(DecimalType(38, 18))).cast("double")
+        / count(lit(1)), 6).as("dmean"))
+      .withColumn("x", datediff(col("day"), lit("1995-01-01").cast("date")))
+    daily.select(col("event_type"), col("day"), col("dmean"),
+        round(expr(
+          s"""percentile(dmean, 0.5) OVER (
+             |  PARTITION BY event_type ORDER BY x
+             |  RANGE BETWEEN ${RollingMedianDays - 1} PRECEDING AND CURRENT ROW)"""
+            .stripMargin), 6).as("rolling_median"))
+      .orderBy("event_type", "day")
+  }
+
   /** Daily OHLC (open/high/low/close) per event type — the time-series
     * compaction every metrics store runs: first/last values by event time
     * (row_number both directions over ONE exchange on (type, day); the
@@ -1395,6 +1425,20 @@ object Events {
          |FROM d JOIN w ON d.day = w.wday
          |ORDER BY window_end""".stripMargin,
 
+    "events_rolling_median" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS dmean,
+         |         date_diff('day', DATE '1995-01-01', CAST(date_trunc('day', ts) AS DATE)) AS x
+         |  FROM events GROUP BY event_type, day
+         |)
+         |SELECT event_type, day, dmean,
+         |       round(quantile_cont(dmean, 0.5) OVER (
+         |         PARTITION BY event_type ORDER BY x
+         |         RANGE BETWEEN ${RollingMedianDays - 1} PRECEDING AND CURRENT ROW), 6)
+         |         AS rolling_median
+         |FROM daily ORDER BY event_type, day""".stripMargin,
+
     "events_daily_ohlc" ->
       """WITH e AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -1590,6 +1634,7 @@ object Events {
     "events_cohort_retention" -> (eventsCohortRetention _),
     "events_sliding_dau"      -> (eventsSlidingDau _),
     "events_sliding_dau_approx" -> (eventsSlidingDauApprox _),
+    "events_rolling_median"   -> (eventsRollingMedian _),
     "events_daily_ohlc"       -> (eventsDailyOhlc _),
     "events_zscore_outliers"  -> (eventsZscoreOutliers _),
     "events_mad_outliers"     -> (eventsMadOutliers _),

@@ -195,6 +195,51 @@ object Graph {
   def pagerank(nodes: DataFrame, symDeg: DataFrame, maxIters: Int): DataFrame =
     pagerankCounted(nodes, symDeg, maxIters)._1
 
+  /** Multi-source BOUNDED BFS — min-hop distance from a seed set (the
+    * "collaboration distance" / contamination-blast-radius query): level-
+    * synchronous frontier expansion, each round one equi-join of the
+    * CURRENT FRONTIER (not the whole distance table) against the static
+    * symmetric edge list plus one anti-join to drop already-visited nodes.
+    * Work per round is O(frontier × degree) — the textbook distributed BFS
+    * shape — and the loop exits EARLY the first time a frontier comes back
+    * empty (every reachable node within the bound is final; further rounds
+    * are no-ops), with `maxHops` bounding the adversarial long-chain case.
+    * The oracle is a recursive CTE with UNION (set) semantics, which
+    * collapses walk multiplicity exactly like the `distinct` here.
+    *
+    * @param und   undirected edges (`a`, `b`).
+    * @param seeds (`n`) seed nodes, hop 0.
+    * @return (`n`, `hops`) — min hops from any seed, hops ≤ maxHops.
+    */
+  def bfsHops(und: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame =
+    bfsHopsCounted(und, seeds, maxHops)._1
+
+  /** [[bfsHops]] with the executed round count, for convergence specs. */
+  private[graft] def bfsHopsCounted(und: DataFrame, seeds: DataFrame,
+                                    maxHops: Int): (DataFrame, Int) = {
+    val e0 = und.select(col("a").as("s"), col("b").as("d")).localCheckpoint()
+    val sym = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint()
+    var dist = seeds.select(col("n"), lit(0).as("hops")).localCheckpoint()
+    var frontier = dist.select("n")
+    var hop = 0
+    var done = false
+    while (hop < maxHops && !done) {
+      hop += 1
+      val next = frontier.join(sym, frontier("n") === sym("s"))
+        .select(col("d").as("n")).distinct()
+        .join(dist, Seq("n"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint()
+      if (next.isEmpty) done = true
+      else {
+        dist = dist.unionByName(next).localCheckpoint()
+        frontier = next.select("n")
+      }
+    }
+    (dist, hop)
+  }
+
   /** Per-node triangle count by DEGREE-ORIENTED enumeration — the trick
     * that makes triangle counting feasible at scale: every undirected edge
     * is oriented from its lower-(degree, id) endpoint to the higher one, so

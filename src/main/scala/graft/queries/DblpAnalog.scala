@@ -391,6 +391,43 @@ object DblpAnalog {
       .orderBy("s_suppkey")
   }
 
+  /** Hop bound / deterministic seed rule for [[coauthorBfsHops]]. */
+  private val BfsMaxHops = 4
+  private val BfsSeedMod = 25
+
+  /** Collaboration distance — multi-source bounded BFS over the strong
+    * backbone ([[JaccardMinWeight]]): every author's min hop count from
+    * the seed set (authors with id ≡ 0 mod [[BfsSeedMod]] — the
+    * deterministic stand-in for "known-contaminated sources" /
+    * "anchor authors"). The [[graft.ops.Graph.bfsHops]] level-synchronous
+    * frontier expansion: per round one frontier⋈edges equi-join + one
+    * visited anti-join, early exit on an empty frontier, [[BfsMaxHops]]
+    * as the bound the recursive-CTE oracle unrolls to. Unreached authors
+    * are absent (distance ∞). */
+  def coauthorBfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val und = strongCoauthorEdges(spark, dir, JaccardMinWeight).localCheckpoint()
+    val nodes = und.select(col("a").as("n"))
+      .unionAll(und.select(col("b").as("n"))).distinct()
+    val seeds = nodes.filter(col("n") % BfsSeedMod === 0)
+    graft.ops.Graph.bfsHops(und, seeds, BfsMaxHops)
+      .select(col("n").as("s_suppkey"), col("hops").cast("int").as("hops"))
+      .orderBy("s_suppkey")
+  }
+
+  private def bfsHopsOracle: String =
+    s"""${coauthorGraphSqlAt(JaccardMinWeight).replaceFirst("^WITH ", "WITH RECURSIVE ")}
+      |, sym AS (SELECT a AS s, b AS d FROM und UNION ALL SELECT b AS s, a AS d FROM und),
+      |seeds AS (SELECT DISTINCT n FROM deg WHERE n % $BfsSeedMod = 0),
+      |r AS (
+      |  SELECT n, 0 AS hops FROM seeds
+      |  UNION
+      |  SELECT sym.d AS n, r.hops + 1 AS hops
+      |  FROM r JOIN sym ON sym.s = r.n
+      |  WHERE r.hops < $BfsMaxHops
+      |)
+      |SELECT n AS s_suppkey, CAST(min(hops) AS INTEGER) AS hops
+      |FROM r GROUP BY n ORDER BY s_suppkey""".stripMargin
+
   private def communitiesOracle: String =
     s"""${coauthorGraphSqlAt(CommunityMinWeight).replaceFirst("^WITH ", "WITH RECURSIVE ")}
       |, gedges AS (
@@ -560,6 +597,7 @@ object DblpAnalog {
     "coauthor_neighbor_jaccard" -> neighborJaccardOracle,
     "coauthor_local_bridges" -> localBridgesOracle,
     "coauthor_communities" -> communitiesOracle,
+    "coauthor_bfs_hops" -> bfsHopsOracle,
     "t1_top10_authors_per_venue" ->
       s"""$base
          |, va AS (
@@ -642,5 +680,6 @@ object DblpAnalog {
     "coauthor_neighbor_jaccard"    -> (coauthorNeighborJaccard _),
     "coauthor_local_bridges"       -> (coauthorLocalBridges _),
     "coauthor_communities"         -> (coauthorCommunities _),
+    "coauthor_bfs_hops"            -> (coauthorBfsHops _),
   )
 }

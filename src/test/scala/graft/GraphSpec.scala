@@ -119,6 +119,21 @@ class GraphSpec extends SparkTestBase {
     Graph.pagerankCounted(pNodes, pSym, 5)._2 shouldBe 5
   }
 
+  test("bfs: min-hop levels, bound respected, empty frontier exits early") {
+    // path 1-2-3-4-5-6 seeded at 1: hops = position; bound 3 cuts the tail
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val seeds = Seq(1L).toDF("n")
+    val (d, _) = Graph.bfsHopsCounted(path, seeds, 3)
+    d.as[(Long, Int)].collect().sorted.toSeq shouldBe
+      Seq(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)
+    // seeds covering a whole component: round 1 finds nothing new → exit
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val all = Seq(1L, 2L, 3L).toDF("n")
+    val (d2, rounds) = Graph.bfsHopsCounted(tri, all, 10)
+    rounds shouldBe 1
+    d2.as[(Long, Int)].collect().foreach(_._2 shouldBe 0)
+  }
+
   test("property: bounded peel equals a local simulation with the same rounds") {
     val rnd = new scala.util.Random(37)
     for (_ <- 1 to 6) {
