@@ -751,6 +751,56 @@ object Events {
       .orderBy("window_end")
   }
 
+  /** |z| threshold for [[eventsWeekdayAnomaly]]. */
+  val WeekdayAnomalyZ = 1.0
+
+  /** SEASONALITY-AWARE anomaly detection — the report [[eventsZscoreOutliers]]
+    * cannot produce: a quiet Sunday is normal, the same volume on a Tuesday
+    * is an incident. Per (event_type, weekday) cell, mean and sample
+    * stddev of the 6-dp daily means; each day is then scored against ITS
+    * WEEKDAY's baseline and days with |z| ≥ [[WeekdayAnomalyZ]] are
+    * flagged. Determinism discipline: deviations are single IEEE ops on
+    * already-rounded values, squares round at 9 dp before the exact
+    * DECIMAL sum, and sqrt is IEEE-correctly-rounded (not libm-ULP like
+    * ln/exp), so both engines agree bit-exactly. Cells with one day or
+    * zero variance are excluded on both sides (no z is defined there).
+    * Two bounded aggregations (types × 7 cells) over the types × days
+    * daily relation — event volume never reaches the stats. */
+  def eventsWeekdayAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 18)
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(round(sum(col("value").cast(dec)).cast("double")
+        / count(lit(1)), 6).as("dmean"))
+      .withColumn("dow", dayofweek(col("day")))
+      .localCheckpoint() // feeds the baseline agg, the sd join, and the scoring join
+    // The baseline mean is rounded in EXACT INTEGER arithmetic: the 6-dp
+    // daily means scale to exact micro-units (BIGINT), and half-up
+    // rounding of sum/n is a floor-division + remainder test — no
+    // double-rounding tie (sum/4, sum/5 land exactly on .5e-6 boundaries,
+    // where Spark's and DuckDB's double round() legitimately disagree).
+    val mu = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"),
+        sum(round(col("dmean") * 1000000).cast("long")).as("s6"))
+      .withColumn("mu6",
+        expr("s6 div n_days") +
+          when((col("s6") % col("n_days")) * 2 >= col("n_days"), 1L).otherwise(0L))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        (col("mu6").cast("double") / 1000000.0).as("mu"))
+    val sd = daily.join(mu, Seq("event_type", "dow"))
+      .select(col("event_type"), col("dow"), col("n_days"), col("mu"),
+        round((col("dmean") - col("mu")) * (col("dmean") - col("mu")), 9).as("sq"))
+      .groupBy("event_type", "dow", "n_days", "mu")
+      .agg(round(sqrt(sum(col("sq").cast(dec)).cast("double")
+        / (col("n_days") - 1)), 6).as("sd"))
+      .filter(col("n_days") >= 2 && col("sd") > 0)
+    daily.join(sd, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dmean"), col("mu"), col("sd"),
+        round((col("dmean") - col("mu")) / col("sd"), 6).as("z"))
+      .filter(abs(col("z")) >= WeekdayAnomalyZ)
+      .orderBy("event_type", "day")
+  }
+
   /** Trailing window (days, inclusive of the current day) for
     * [[eventsRollingMedian]]. */
   val RollingMedianDays = 7
@@ -1425,6 +1475,36 @@ object Events {
          |FROM d JOIN w ON d.day = w.wday
          |ORDER BY window_end""".stripMargin,
 
+    "events_weekday_anomaly" ->
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         |         round(CAST(sum(CAST(value AS DECIMAL(38,18))) AS DOUBLE) / count(*), 6) AS dmean,
+         |         CAST(dayofweek(CAST(date_trunc('day', ts) AS DATE)) + 1 AS INTEGER) AS dow
+         |  FROM events GROUP BY event_type, day
+         |), mu0 AS (
+         |  -- exact integer half-up rounding of the baseline mean (see Spark side)
+         |  SELECT event_type, dow, count(*) AS n_days,
+         |         CAST(sum(CAST(round(dmean * 1000000) AS BIGINT)) AS BIGINT) AS s6
+         |  FROM daily GROUP BY event_type, dow
+         |), mu AS (
+         |  SELECT event_type, dow, n_days,
+         |         CAST(s6 // n_days + CASE WHEN 2 * (s6 % n_days) >= n_days
+         |              THEN 1 ELSE 0 END AS DOUBLE) / 1000000.0 AS mu
+         |  FROM mu0
+         |), sd AS (
+         |  SELECT d.event_type, d.dow, mu.n_days, mu.mu,
+         |         round(sqrt(CAST(sum(CAST(round((d.dmean - mu.mu) * (d.dmean - mu.mu), 9)
+         |               AS DECIMAL(38,18))) AS DOUBLE) / (mu.n_days - 1)), 6) AS sd
+         |  FROM daily d JOIN mu ON d.event_type = mu.event_type AND d.dow = mu.dow
+         |  GROUP BY d.event_type, d.dow, mu.n_days, mu.mu
+         |  HAVING mu.n_days >= 2
+         |)
+         |SELECT d.event_type, d.day, d.dmean, s.mu, s.sd,
+         |       round((d.dmean - s.mu) / s.sd, 6) AS z
+         |FROM daily d JOIN sd s ON d.event_type = s.event_type AND d.dow = s.dow
+         |WHERE s.sd > 0 AND abs(round((d.dmean - s.mu) / s.sd, 6)) >= $WeekdayAnomalyZ
+         |ORDER BY d.event_type, d.day""".stripMargin,
+
     "events_rolling_median" ->
       s"""WITH daily AS (
          |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -1635,6 +1715,7 @@ object Events {
     "events_sliding_dau"      -> (eventsSlidingDau _),
     "events_sliding_dau_approx" -> (eventsSlidingDauApprox _),
     "events_rolling_median"   -> (eventsRollingMedian _),
+    "events_weekday_anomaly"  -> (eventsWeekdayAnomaly _),
     "events_daily_ohlc"       -> (eventsDailyOhlc _),
     "events_zscore_outliers"  -> (eventsZscoreOutliers _),
     "events_mad_outliers"     -> (eventsMadOutliers _),
