@@ -134,11 +134,13 @@ object Graph {
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
         .localCheckpoint()
-      val cur = next.count()
-      converged = cur == prevEdges
-      prevEdges = cur
-      und = next
       it += 1
+      if (it < rounds) { // final round's fixpoint answer is never consumed
+        val cur = next.count()
+        converged = cur == prevEdges
+        prevEdges = cur
+      }
+      und = next
     }
     (degrees(und), it)
   }
@@ -181,13 +183,17 @@ object Graph {
         .select(col("v"),
           round(lit(0.15) + lit(0.85) * coalesce(col("in"), lit(0.0)), 9).as("pr"))
         .localCheckpoint()
-      val changed = next
-        .join(pr.withColumnRenamed("pr", "prev"), "v")
-        .filter(col("pr") =!= col("prev"))
-        .limit(1).count() // short-circuits at the first changed row
-      converged = changed == 0L
-      pr = next
       it += 1
+      // The delta check exists only to SKIP later rounds — on the final
+      // budgeted round its answer changes nothing, so don't pay the job.
+      if (it < maxIters) {
+        val changed = next
+          .join(pr.withColumnRenamed("pr", "prev"), "v")
+          .filter(col("pr") =!= col("prev"))
+          .limit(1).count() // short-circuits at the first changed row
+        converged = changed == 0L
+      }
+      pr = next
     }
     (pr, it)
   }
