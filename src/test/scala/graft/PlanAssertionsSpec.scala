@@ -212,4 +212,34 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "o_totalprice"
     p should not include "l_extendedprice"
   }
+
+  test("media decode: stateless map work — no join, no agg, sort is the only exchange") {
+    for (df <- Seq(graft.extensions.Multimodal.multimodalDecodeImage(spark, sf),
+      graft.extensions.Multimodal.multimodalDecodeAudio(spark, sf))) {
+      val p = planOf(df)
+      p should not include "Join"
+      p should not include "HashAggregate"
+      // exactly the fan-out round-robin (parallelism decoupling) and the
+      // output sort's range exchange — never a hash shuffle
+      "Exchange".r.findAllIn(p).size shouldBe 2
+      p should include ("rangepartitioning")
+      p should not include "hashpartitioning"
+    }
+  }
+
+  test("rolling median: window runs over the reduced daily relation, not raw events") {
+    val df = graft.extensions.Events.eventsRollingMedian(spark, sf)
+    val p = planOf(df)
+    p should include ("Window")
+    // the daily aggregation (partial+final) sits BELOW the window — the
+    // window's input is types × days, never the event stream. Plans print
+    // top-down, so the upstream aggregate appears AFTER the window node.
+    p.indexOf("Window") should be < p.indexOf("HashAggregate")
+  }
+
+  test("bootstrap CI: replicate buffers aggregate in one pass — no explode, one orders scan") {
+    val p = planOf(Tpch.qBootstrapCi(spark, sf))
+    p should not include "Explode"
+    "Scan parquet".r.findAllIn(p).size shouldBe 2 // replicate agg + full mean
+  }
 }
