@@ -515,11 +515,22 @@ object Dedup {
       .orderBy("source_x", "source_y")
   }
 
+  /** Input fence for [[dedupEmbedding]]: the brute-force pair join runs
+    * over at most this many vectors (deterministic `vec_id` prefix),
+    * bounding its pair work at Cap²/2 REGARDLESS of corpus size. */
+  val DedupEmbeddingBaselineCap = 2048
+
   /** Embedding-cosine near-dup pairs (τ = 0.45, rounded before threshold).
-    * Brute-force pairs here; the LSH-bucketed scale path lives in
-    * [[Similarity]]. */
+    * This is the DIFFERENTIAL BASELINE for the bucketed twins
+    * ([[Similarity.dedupEmbeddingLsh]] / semantic dedup) — intentionally
+    * exact and quadratic, and therefore FENCED IN CODE: only the first
+    * [[DedupEmbeddingBaselineCap]] vec_ids enter the self-join (the oracle
+    * applies the same predicate), so no input scale can make this query
+    * plan an unbounded O(n²) join. Production near-dup at corpus scale is
+    * the LSH path; this exists to measure its recall on a fixed slice. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val n = Similarity.vectors(spark, dir)
+      .filter(col("vec_id") < DedupEmbeddingBaselineCap)
     // Both predicates written INTO the join condition, cheap leg first:
     // a post-join filter gets pushed in FRONT of the inequality, making the
     // nested-loop evaluate the 64-dim dot for all n² ordered pairs instead
@@ -860,9 +871,10 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_embedding" ->
-      """WITH pos AS (
+      s"""WITH pos AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i, unnest(embedding)::DOUBLE AS v
         |  FROM embeddings
+        |  WHERE vec_id < $DedupEmbeddingBaselineCap  -- same code-enforced fence as the Spark side
         |), n AS (
         |  SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM pos GROUP BY vec_id
         |), d AS (

@@ -776,15 +776,20 @@ object Events {
       .localCheckpoint() // feeds the baseline agg, the sd join, and the scoring join
     // The baseline mean is rounded in EXACT INTEGER arithmetic: the 6-dp
     // daily means scale to exact micro-units (BIGINT), and half-up
-    // rounding of sum/n is a floor-division + remainder test — no
+    // rounding of sum/n is an integer-division + remainder test — no
     // double-rounding tie (sum/4, sum/5 land exactly on .5e-6 boundaries,
     // where Spark's and DuckDB's double round() legitimately disagree).
+    // Sign safety: Spark's `div` truncates toward zero while DuckDB's `//`
+    // floors, so they diverge on NEGATIVE sums — both sides therefore
+    // round |s6| half-up and reapply the sign (round half away from zero),
+    // touching div/% only on non-negative operands where every engine
+    // agrees. Holds for any sign of `value`, not just this corpus'.
+    val mag = expr("abs(s6) div n_days") +
+      when((abs(col("s6")) % col("n_days")) * 2 >= col("n_days"), 1L).otherwise(0L)
     val mu = daily.groupBy("event_type", "dow")
       .agg(count(lit(1)).as("n_days"),
         sum(round(col("dmean") * 1000000).cast("long")).as("s6"))
-      .withColumn("mu6",
-        expr("s6 div n_days") +
-          when((col("s6") % col("n_days")) * 2 >= col("n_days"), 1L).otherwise(0L))
+      .withColumn("mu6", when(col("s6") >= 0, mag).otherwise(-mag))
       .select(col("event_type"), col("dow"), col("n_days"),
         (col("mu6").cast("double") / 1000000.0).as("mu"))
     val sd = daily.join(mu, Seq("event_type", "dow"))
@@ -1487,9 +1492,12 @@ object Events {
          |         CAST(sum(CAST(round(dmean * 1000000) AS BIGINT)) AS BIGINT) AS s6
          |  FROM daily GROUP BY event_type, dow
          |), mu AS (
+         |  -- round half AWAY FROM ZERO on |s6| (matches the Spark side;
+         |  -- div/% touch only non-negative operands, where // and div agree)
          |  SELECT event_type, dow, n_days,
-         |         CAST(s6 // n_days + CASE WHEN 2 * (s6 % n_days) >= n_days
-         |              THEN 1 ELSE 0 END AS DOUBLE) / 1000000.0 AS mu
+         |         CAST(CASE WHEN s6 >= 0 THEN 1 ELSE -1 END *
+         |              (abs(s6) // n_days + CASE WHEN 2 * (abs(s6) % n_days) >= n_days
+         |               THEN 1 ELSE 0 END) AS DOUBLE) / 1000000.0 AS mu
          |  FROM mu0
          |), sd AS (
          |  SELECT d.event_type, d.dow, mu.n_days, mu.mu,

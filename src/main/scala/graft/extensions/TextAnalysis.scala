@@ -708,8 +708,9 @@ object TextAnalysis {
     * the CORPUS is touched exactly once (the word-frequency aggregation);
     * every merge round then works on the distinct-WORD relation weighted by
     * frequency — vocabulary-sized, orders of magnitude smaller than the
-    * corpus, so 100 TB of text costs one shuffle plus rounds over a
-    * dictionary. Each round counts adjacent symbol pairs (weighted by word
+    * corpus, so 100 TB of text costs ONE shuffle total: the collected
+    * dictionary trains driver-local ([[bpeMergesFromWords]]), O(1) Spark
+    * jobs at any merge count. Each round counts adjacent symbol pairs (weighted by word
     * freq), picks the max (tiebreak: lexicographic (a, b) — ASCII-only
     * symbols, so Spark/DuckDB orderings agree), and rewrites the symbol
     * strings. The chosen pair per round is a scalar driver decision, like a
@@ -730,20 +731,94 @@ object TextAnalysis {
     bpeMergesFromWords(words, BpeMergeRounds)
   }
 
-  /** Core merge loop over a (word, freq) vocabulary relation.
+  /** Core merge loop over a (word, freq) vocabulary relation — the SCALE
+    * path of BPE training: the cluster's job is the one corpus-touching
+    * word-frequency aggregation upstream; the weighted VOCABULARY is
+    * dictionary-sized (tens of MB even for 100 TB corpora — Heaps' law),
+    * so it is collected ONCE and every merge round runs driver-local over
+    * the in-memory symbol arrays. Spark job count is O(1) in the merge
+    * count — a 32k-merge production train costs the same ONE collect as
+    * the 3-round gated query (asserted by `BpeTrainSpec`), where the
+    * previous one-job-per-round shape cost 32k sequential jobs. This is a
+    * Lloyd-step-style driver decision sequence, not a per-row collect: the
+    * collected relation is the MODEL (vocabulary), never the data.
     *
-    * Each round is one Spark job over the vocabulary — fine at the gated
-    * round count, but a production 32k-merge train would be 32k sequential
-    * jobs. The scale path (deliberately NOT taken here, to keep the gated
-    * loop exactly oracle-unrollable): after the corpus-touching word-freq
-    * aggregation, the weighted vocabulary is dictionary-sized (tens of MB
-    * even for 100 TB corpora) — `collect()` it once and run the remaining
-    * merge rounds driver-local (or batch non-overlapping merges per round:
-    * pairs whose symbols are disjoint can merge in the same pass, cutting
-    * rounds by ~5× like modern trainers do). The distributed rounds below
-    * are the shape you keep only when the vocabulary itself cannot fit —
-    * byte-level BPE over raw unicode at extreme vocab sizes. */
+    * Round semantics are identical to the distributed fallback (and the
+    * oracle's unrolled CTE stages): count adjacent symbol pairs weighted
+    * by word frequency — overlapping occurrences each count, matching the
+    * `transform(sequence(...))` enumeration — pick the max with
+    * lexicographic (a, b) tiebreak (ASCII-only symbols, so Java, Spark and
+    * DuckDB orderings agree), then rewrite every word left-to-right
+    * non-overlapping, exactly the `replace('<a><b>','<ab>')` scan order.
+    *
+    * [[bpeMergesFromWordsDistributed]] keeps the one-job-per-round shape
+    * for the one case the collect cannot serve: byte-level BPE over raw
+    * unicode at vocabulary sizes that genuinely exceed driver memory. */
   private[graft] def bpeMergesFromWords(words: DataFrame, rounds: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    // THE one Spark job: the vocabulary-sized (word, freq) relation.
+    val collected = words.select("word", "freq").collect()
+    val syms: Array[Array[String]] =
+      collected.map(r => r.getString(0).split("").filter(_.nonEmpty))
+    val freqs: Array[Long] = collected.map(_.getLong(1))
+    val merges = scala.collection.mutable.ListBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i < syms.length) {
+        val s = syms(i); val f = freqs(i)
+        var j = 0
+        while (j < s.length - 1) {
+          val k = (s(j), s(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          j += 1
+        }
+        i += 1
+      }
+      require(counts.nonEmpty, "BPE merge round found no adjacent pairs — corpus too small")
+      // max by (freq desc, a asc, b asc) — the distributed orderBy's contract
+      var bestA = ""; var bestB = ""; var bestF = Long.MinValue
+      counts.foreach { case ((a, b), f) =>
+        if (f > bestF || (f == bestF &&
+            (a < bestA || (a == bestA && b < bestB)))) {
+          bestA = a; bestB = b; bestF = f
+        }
+      }
+      merges += ((r, bestA, bestB, bestF))
+      i = 0
+      while (i < syms.length) {
+        val s = syms(i)
+        var j = 0
+        var hit = false
+        while (!hit && j < s.length - 1) { // cheap pre-scan: most words untouched
+          hit = s(j) == bestA && s(j + 1) == bestB; j += 1
+        }
+        if (hit) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          j = 0
+          while (j < s.length) {
+            // left-to-right, non-overlapping: after a merge the scan resumes
+            // PAST the merged symbol — the string replace() scan order
+            if (j < s.length - 1 && s(j) == bestA && s(j + 1) == bestB) {
+              out += bestA + bestB; j += 2
+            } else { out += s(j); j += 1 }
+          }
+          syms(i) = out.toArray
+        }
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("round", "pair_a", "pair_b", "freq").orderBy("round")
+  }
+
+  /** One-Spark-job-per-merge-round fallback of [[bpeMergesFromWords]] —
+    * identical round semantics over the same boundary-exact `<sym>`
+    * encoding, kept for vocabularies too large to collect (byte-level BPE
+    * over raw unicode at extreme vocab sizes). `BpeTrainSpec` runs both
+    * paths differentially to pin the semantics together. */
+  private[graft] def bpeMergesFromWordsDistributed(words: DataFrame,
+                                                   rounds: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     var syms = words.select(

@@ -237,9 +237,23 @@ class PlanAssertionsSpec extends SparkTestBase {
     p.indexOf("Window") should be < p.indexOf("HashAggregate")
   }
 
-  test("bootstrap CI: replicate buffers aggregate in one pass — no explode, one orders scan") {
+  test("bootstrap CI: replicate buffers aggregate in one pass — no replicate fan-out") {
     val p = planOf(Tpch.qBootstrapCi(spark, sf))
-    p should not include "Explode"
+    // The retired implementation fanned each order row out ×B via
+    // explode(sequence(0, B-1)) BEFORE aggregating; the fixed plan's only
+    // generator is the B-wide explode over the single 1-row aggregate
+    // result. Plans print generators lowercase, so assert on the exact
+    // generator expression, not the node name.
+    p should not include "explode(sequence("
+    // ... and the single-group aggregate really carries all 2B replicate
+    // buffers. Plan STRINGS elide long field lists ("... N more fields"),
+    // so count aggregate expressions on the plan tree itself.
+    // (sparkPlan, not executedPlan: the AQE wrapper is a leaf to collect())
+    val aggWidths = Tpch.qBootstrapCi(spark, sf).queryExecution.sparkPlan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.aggregateExpressions.size
+    }
+    aggWidths.max should be >= 2 * Tpch.BootstrapReps
     "Scan parquet".r.findAllIn(p).size shouldBe 2 // replicate agg + full mean
   }
 }
