@@ -67,13 +67,85 @@ object Graph {
       it += 1
     }
     // Mid-propagation labels are WRONG (one true component reads as
-    // several) and the recursive-CTE oracle computes the exact closure, so
-    // capped output must never be returned silently.
+    // several), so capped output is never returned: when the graph's
+    // diameter exceeds the hash-min budget (long chains), fall back to the
+    // diameter-INDEPENDENT alternating-star scheme and return ITS exact
+    // fixpoint instead.
+    if (!converged) connectedComponentsStars(sym) else labels
+  }
+
+  /** Round budget for [[connectedComponentsStars]]. The alternating
+    * algorithm provably converges in O(log² n) rounds and empirically in
+    * O(log n); 100 covers any graph that fits on hardware (log₂²(10¹²) has
+    * already collapsed every real topology far earlier). */
+  private val StarMaxRounds = 100
+
+  /** Connected components by the ALTERNATING LARGE-STAR / SMALL-STAR scheme
+    * of Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC'14) — the diameter-independent fallback [[connectedComponents]]
+    * switches to when hash-min exhausts `maxIter`: propagation rounds scale
+    * with O(log² n), not graph diameter, so a 10⁹-node chain converges in
+    * tens of rounds where hash-min needs 10⁹.
+    *
+    * Each round is two star operations over the evolving edge set, built
+    * from the same join/agg primitives as the rest of the engine (one
+    * neighbor aggregation + one equi-join each — no driver-side graph
+    * state):
+    *  - LARGE-STAR at every node u: link each strictly-larger neighbor to
+    *    m = min(Γ(u) ∪ {u});
+    *  - SMALL-STAR at every node u: link u and each smaller neighbor to
+    *    the minimum of the smaller neighborhood.
+    * Both preserve connectivity and never raise a node's reachable min; the
+    * fixpoint is one star per component centered at its minimum node, read
+    * off directly as the label map. Convergence is detected exactly (count
+    * + anti-join emptiness of the canonical edge set — set semantics, no
+    * hash-collision risk); a non-converged exit still throws rather than
+    * returning partial labels.
+    *
+    * @param sym symmetric edge list (`n`, `m`), self-loops removed.
+    * @return (`node`, `component`) for every node incident to an edge.
+    */
+  private[graft] def connectedComponentsStars(sym: DataFrame): DataFrame = {
+    def neighborhoods(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+    // large-star: m = min(Γ(u) ∪ {u}) ≤ u < v, so output stays canonical a<b
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = neighborhoods(e)
+      val mins = nb.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nb.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+    }
+    // small-star: center u links its smaller neighborhood (and itself) to
+    // that neighborhood's min; m < every emitted partner, canonical again
+    def smallStar(e: DataFrame): DataFrame = {
+      val small = neighborhoods(e).filter(col("v") < col("u"))
+      val mins = small.groupBy("u").agg(min("v").as("m"))
+      small.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(mins.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+    }
+    var e = sym.filter(col("n") < col("m"))
+      .select(col("n").as("a"), col("m").as("b")).distinct().localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < StarMaxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // exact set equality: equal cardinality + empty difference
+      converged = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      it += 1
+    }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIter rounds — graph " +
-        "diameter exceeds the bound; raise maxIter or switch to the " +
-        "large-star/small-star scheme (O(log² n) rounds) for long chains")
-    labels
+      s"alternating-star connected components did not converge within " +
+        s"$StarMaxRounds rounds — this exceeds the O(log² n) bound and " +
+        "indicates a non-graph input (e.g. unstable ids)")
+    // fixpoint: one star per component, centered at the component minimum
+    e.select(col("b").as("node"), col("a").as("component"))
+      .union(e.select(col("a").as("node"), col("a").as("component")).distinct())
   }
 
   /** Cluster assignment over a universe of items: every item gets the

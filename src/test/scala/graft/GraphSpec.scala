@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.Graph
 
 /** Connected components / cluster assignment (graft.ops.Graph). */
@@ -37,14 +39,50 @@ class GraphSpec extends SparkTestBase {
     out shouldBe Seq((7L, 7L, 1L, true), (8L, 8L, 1L, true))
   }
 
-  test("refuses to return unconverged labels when maxIter is too small") {
-    // path 1-2-3-4-5 needs more than one round; maxIter = 1 must throw,
-    // never silently emit mid-propagation labels
-    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
-    val e = intercept[IllegalStateException] {
-      Graph.connectedComponents(edges, maxIter = 1).collect()
+  test("diameter past the hash-min budget falls back to stars and still solves") {
+    // A 40-node chain has diameter 39: hash-min with maxIter = 3 CANNOT
+    // close it (it used to throw); the alternating-star fallback is
+    // diameter-independent and must return the exact labels instead.
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Graph.connectedComponents(edges, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    comp shouldBe (0L to 39L).map(_ -> 0L).toMap
+  }
+
+  test("alternating stars: chain + separate clique converge to per-component minima") {
+    val chain = (100L until 119L).map(i => (i, i + 1))
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val sym0 = (chain ++ clique).toDF("n", "m")
+    val sym = sym0.union(sym0.select(col("m").as("n"), col("n").as("m")))
+    val got = Graph.connectedComponentsStars(sym).as[(Long, Long)].collect()
+    got.length shouldBe got.map(_._1).distinct.length // one label per node
+    got.toMap shouldBe ((100L to 119L).map(_ -> 100L) ++ (1L to 4L).map(_ -> 1L)).toMap
+  }
+
+  test("property: star-scheme components equal a local union-find on random graphs") {
+    val rnd = new scala.util.Random(29)
+    for (_ <- 1 to 8) {
+      val n = 2 + rnd.nextInt(11)
+      val es = Seq.fill(1 + rnd.nextInt(18))(
+        (rnd.nextInt(n + 1).toLong, rnd.nextInt(n + 1).toLong))
+        .filter { case (a, b) => a != b }
+      if (es.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(k => k -> find(k)).toMap
+        val sym0 = es.toDF("n", "m")
+        val sym = sym0.union(sym0.select(col("m").as("n"), col("n").as("m")))
+        val got = Graph.connectedComponentsStars(sym).as[(Long, Long)].collect().toMap
+        got shouldBe expected
+      }
     }
-    e.getMessage should include ("did not converge")
   }
 
   test("property: components equal a local union-find on random graphs") {
