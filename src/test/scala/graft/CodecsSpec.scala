@@ -71,6 +71,159 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     an[IllegalArgumentException] should be thrownBy Codecs.wavDecode(nonPcm)
   }
 
+  test("PNG round-trips all five filter types across geometries") {
+    // the encoder assigns scanline r filter type r % 5, so any h >= 5
+    // exercises None/Sub/Up/Average/Paeth on real IDAT bytes; w = 1 covers
+    // the left-sample-is-zero boundary of Sub/Average/Paeth.
+    for (w <- Seq(1, 2, 5, 16); h <- Seq(1, 5, 7)) {
+      val rgb = Array.tabulate(w * h * 3)(j => (j * 29 + w * 3 + h * 11) % 256)
+      val out = Codecs.pngDecode(Codecs.pngEncode(BmpImage(w, h, rgb)))
+      out.width shouldBe w
+      out.height shouldBe h
+      out.rgb.toSeq shouldBe rgb.toSeq
+    }
+  }
+
+  test("PNG size is the stored-block closed form h*(1+3w) + 68") {
+    for (w <- Seq(1, 6, 16); h <- Seq(1, 4, 9)) {
+      val png = Codecs.pngEncode(BmpImage(w, h, Array.fill(w * h * 3)(3)))
+      png.length shouldBe h * (1 + 3 * w) + 68
+    }
+  }
+
+  test("PNG decoder verifies CRCs and rejects what it cannot decode") {
+    val ok = Codecs.pngEncode(BmpImage(4, 4, Array.tabulate(48)(_ % 256)))
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.pngDecode("not a png at all".getBytes("UTF-8"))
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.pngDecode(ok.take(ok.length - 6)) // truncated IEND
+    val badCrc = ok.clone(); badCrc(20) = (badCrc(20) ^ 0x55).toByte // inside IHDR
+    an[IllegalArgumentException] should be thrownBy Codecs.pngDecode(badCrc)
+    // interlace flag flipped (and CRC fixed up) must still be rejected
+    val interlaced = ok.clone()
+    interlaced(8 + 8 + 12) = 1 // IHDR data byte 12
+    val ihdrData = interlaced.slice(16, 29)
+    val c = new java.util.zip.CRC32
+    c.update("IHDR".getBytes("US-ASCII")); c.update(ihdrData)
+    java.nio.ByteBuffer.wrap(interlaced).putInt(29, c.getValue.toInt)
+    val e = intercept[IllegalArgumentException](Codecs.pngDecode(interlaced))
+    e.getMessage should include ("interlaced")
+  }
+
+  test("PNG decoder inflates REAL deflate streams, not only stored blocks") {
+    val img = BmpImage(7, 6, Array.tabulate(126)(j => (j * 13) % 256))
+    val stored = Codecs.pngEncode(img)
+    // re-pack the IDAT with an actually-compressed zlib stream
+    val raw = {
+      val lenIhdr = 25
+      val idatLen = java.nio.ByteBuffer.wrap(stored).getInt(8 + lenIhdr)
+      val z = stored.slice(8 + lenIhdr + 8, 8 + lenIhdr + 8 + idatLen)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(z)
+      val out = new Array[Byte](6 * (1 + 3 * 7))
+      inf.inflate(out) shouldBe out.length
+      inf.end(); out
+    }
+    val deflater = new java.util.zip.Deflater(9)
+    deflater.setInput(raw); deflater.finish()
+    val comp = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(comp)
+    deflater.end()
+    val repacked = new java.io.ByteArrayOutputStream()
+    repacked.write(stored, 0, 8 + 25) // signature + IHDR
+    val body = comp.take(n)
+    val hdr = java.nio.ByteBuffer.allocate(8)
+    hdr.putInt(body.length).put("IDAT".getBytes("US-ASCII"))
+    repacked.write(hdr.array())
+    repacked.write(body)
+    val crc = new java.util.zip.CRC32
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(body)
+    repacked.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    repacked.write(stored, stored.length - 12, 12) // IEND
+    Codecs.pngDecode(repacked.toByteArray).rgb.toSeq shouldBe img.rgb.toSeq
+  }
+
+  test("RLE8 BMP round-trips; non-repeating data hits the size closed form") {
+    // no two adjacent pixels equal -> every run is length 1
+    val w = 6; val h = 4
+    val gray = Array.tabulate(w * h)(j => (j * 11 + 5) % 256)
+    val bytes = Codecs.bmpEncodeRle8(w, h, gray)
+    bytes.length shouldBe 54 + 1024 + 2 * w * h + 2 * h
+    val img = Codecs.bmpDecodeRle8(bytes)
+    img.width shouldBe w; img.height shouldBe h
+    img.rgb.toSeq shouldBe gray.toSeq.flatMap(g => Seq(g, g, g))
+    // flat image: maximal runs, much smaller than 2 bytes/pixel
+    val flat = Codecs.bmpEncodeRle8(100, 3, Array.fill(300)(42))
+    flat.length shouldBe 54 + 1024 + 3 * 2 + 2 * 3
+    Codecs.bmpDecodeRle8(flat).rgb.toSeq shouldBe Seq.fill(300)(Seq(42, 42, 42)).flatten
+  }
+
+  test("RLE8 decoder handles absolute mode and delta escapes") {
+    // hand-built stream for a 5x2 image (rows bottom-up):
+    // bottom row: absolute run of 3 (10,20,30) + padding byte, run 2x40, EOL
+    // top row: run 1x7, delta +2 right (skipped pixels stay palette 0),
+    //          run 2x9, EOL, EOB
+    val base = Codecs.bmpEncodeRle8(5, 2, Array.fill(10)(0))
+    val header = base.take(54 + 1024)
+    val stream = Array[Byte](
+      0, 3, 10, 20, 30, 0, // absolute mode, 3 literals + even pad
+      2, 40,               // encoded run
+      0, 0,                // EOL
+      1, 7,                // run
+      0, 2, 2, 0,          // delta: dx=2, dy=0
+      2, 9,                // run
+      0, 0, 0, 1)          // EOL, EOB
+    val bytes = header ++ stream
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(2, bytes.length)      // file size
+    buf.putInt(34, stream.length)    // biSizeImage
+    val img = Codecs.bmpDecodeRle8(bytes)
+    def gray(r: Seq[Int]) = r.flatMap(g => Seq(g, g, g))
+    // top-down output: top row first
+    img.rgb.toSeq shouldBe gray(Seq(7, 0, 0, 9, 9)) ++ gray(Seq(10, 20, 30, 40, 40))
+  }
+
+  test("imageDecode dispatches by container and rejects real unsupported variants") {
+    val rgb = Array.tabulate(4 * 3 * 3)(j => (j * 7) % 256)
+    val img = BmpImage(4, 3, rgb)
+    Codecs.imageDecode(Codecs.bmpEncode(img)).rgb.toSeq shouldBe rgb.toSeq
+    Codecs.imageDecode(Codecs.pngEncode(img)).rgb.toSeq shouldBe rgb.toSeq
+    val gray = Array.tabulate(12)(j => (j * 31) % 256)
+    Codecs.imageDecode(Codecs.bmpEncodeRle8(4, 3, gray))
+      .rgb.toSeq shouldBe gray.toSeq.flatMap(g => Seq(g, g, g))
+    // well-formed 32bpp BMP: sniffs as BMP, decoder rejects the variant
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.imageDecode(Codecs.bmpEncode32(img))
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.imageDecode("garbage".getBytes("UTF-8"))
+  }
+
+  test("stereo WAV round-trips interleaved samples and channel count") {
+    val inter = Array[Short](100, -100, 2000, -2000, 32767, -32768)
+    val out = Codecs.wavDecode(Codecs.wavEncode(WavAudio(22050, inter, 2)))
+    out.channels shouldBe 2
+    out.sampleRate shouldBe 22050
+    out.samples.toSeq shouldBe inter.toSeq
+  }
+
+  test("8-bit WAV round-trips lattice samples; odd data size gets RIFF pad") {
+    val samples = Array[Short](0, 256, -256, 32512, -32768, 2560)
+    val out = Codecs.wavDecode(Codecs.wavEncode8(WavAudio(8000, samples)))
+    out.samples.toSeq shouldBe samples.toSeq
+    val odd = Codecs.wavEncode8(WavAudio(8000, Array[Short](0, 256, 512)))
+    odd.length shouldBe 44 + 3 + 1 // data chunk padded to even length
+    Codecs.wavDecode(odd).samples.toSeq shouldBe Seq[Short](0, 256, 512)
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.wavEncode8(WavAudio(8000, Array[Short](100))) // off-lattice
+  }
+
+  test("24-bit WAV is a real file the decoder rejects (reject->fallback fixture)") {
+    val bytes = Codecs.wavEncode24(WavAudio(8000, Array[Short](1, -2, 3)))
+    bytes.length shouldBe 44 + 9 + 1
+    val e = intercept[IllegalArgumentException](Codecs.wavDecode(bytes))
+    e.getMessage should include ("unsupported bits")
+  }
+
   test("synthetic media specs match their closed forms") {
     val img = Multimodal.imageSpec(6L)
     img.width shouldBe (5 + 6 % 12)
