@@ -21,16 +21,20 @@ case class MediaFeatures(media_id: Long, n_bytes: Long, content_hash: String,
                          feat: Array[Float])
 
 /** Typed decode manifest per media record (gate row of
-  * [[Multimodal.multimodalFeatures]]). */
-case class MediaMeta(media_id: Long, mime: String, n_bytes: Long, n_values: Long)
+  * [[Multimodal.multimodalFeatures]]): `decode_ok` is false — and
+  * `n_values` 0 — for REAL-but-unsupported container variants that the
+  * decoder rejected and the pipeline routed to the fallback lane. */
+case class MediaMeta(media_id: Long, mime: String, n_bytes: Long,
+                     decode_ok: Boolean, n_values: Long)
 
 /** Real decoded-image statistics — exact integer channel sums. */
 case class ImageStats(media_id: Long, width: Int, height: Int, n_pixels: Long,
                       sum_r: Long, sum_g: Long, sum_b: Long)
 
-/** Real decoded-audio statistics — exact integer peak / energy. */
+/** Real decoded-audio statistics — exact integer peak / energy; stereo
+  * counts interleaved values in `n_samples`. */
 case class AudioStats(media_id: Long, n_samples: Long, sample_rate: Int,
-                      peak: Long, energy: Long)
+                      channels: Int, peak: Long, energy: Long)
 
 /** Decode → resize → re-encode → decode round-trip statistics. */
 case class ResizeStats(media_id: Long, width: Int, height: Int,
@@ -39,16 +43,18 @@ case class ResizeStats(media_id: Long, width: Int, height: Int,
 
 /** Multimodal-column plumbing: binary payloads with typed metadata, a
   * partition-batched feature extractor over REAL pure-JVM codecs
-  * ([[Codecs]]: 24-bit BMP, PCM-16 WAV), and deterministic frame sampling.
+  * ([[Codecs]]: 24-bit + RLE8 BMP, 8-bit RGB PNG, mono/stereo 8/16-bit
+  * PCM WAV), reject→fallback routing for well-formed variants outside the
+  * decoders' envelope, and deterministic frame sampling.
   *
   * The media lake is synthesized (this container ships no image/audio
-  * files): each document row becomes a real BMP or WAV whose pixel/sample
+  * files): each document row becomes a real BMP/PNG/WAV whose pixel/sample
   * values are a closed-form function of `doc_id` alone — so the DuckDB
   * oracle can recompute every decoded statistic WITHOUT a codec, and any
-  * header/padding/row-order bug in the decoder breaks the gate instead of
-  * hiding. The `mapPartitions` batching (the JVM analog of a Pandas-UDF
-  * `mapInPandas` batch shape), per-record hashing, and frame explode are
-  * the production dataflow shapes.
+  * header/padding/row-order/filter-reconstruction bug in a codec breaks
+  * the gate instead of hiding. The `mapPartitions` batching (the JVM
+  * analog of a Pandas-UDF `mapInPandas` batch shape), per-record hashing,
+  * and frame explode are the production dataflow shapes.
   */
 object Multimodal {
 
@@ -82,9 +88,52 @@ object Multimodal {
       Array.tabulate(n)(k => (((d * 13 + k.toLong * 29) % 4096) - 2048).toShort))
   }
 
-  /** The binary media lake: every even doc becomes a real encoded BMP,
-    * every odd doc a real encoded WAV. Encoding is stateless map work in
-    * the standard batch shape. */
+  /** 8-bit lattice variant of [[audioSpec]] (samples are ×256 so the
+    * unsigned-8-bit container round-trips exactly):
+    * sample `k` = `((d*13 + k*29) mod 256 - 128) * 256`. */
+  def audioSpec8(d: Long): WavAudio = {
+    val n = 16 + (d % 50).toInt
+    WavAudio(SampleRate,
+      Array.tabulate(n)(k => ((((d * 13 + k.toLong * 29) % 256) - 128) * 256).toShort))
+  }
+
+  /** Stereo variant of [[audioSpec]]: `2·(16 + d mod 50)` interleaved
+    * values, value `j` following the same mono closed form. */
+  def audioSpecStereo(d: Long): WavAudio = {
+    val n = 2 * (16 + (d % 50).toInt)
+    WavAudio(SampleRate,
+      Array.tabulate(n)(j => (((d * 13 + j.toLong * 29) % 4096) - 2048).toShort),
+      channels = 2)
+  }
+
+  /** Grayscale spec for the RLE8 image: same geometry as [[imageSpec]],
+    * gray value `j` = `(d*17 + j*11) mod 256` — adjacent pixels always
+    * differ, so the RLE8 size stays closed-form. */
+  def graySpec(d: Long): (Int, Int, Array[Int]) = {
+    val w = 5 + (d % 12).toInt
+    val h = 3 + (d % 7).toInt
+    (w, h, Array.tabulate(w * h)(j => ((d * 17 + j.toLong * 11) % 256).toInt))
+  }
+
+  /** The binary media lake — even docs are images, odd docs audio, with
+    * the CONTAINER VARIANT keyed by `doc_id mod 12` the way a real lake
+    * mixes formats:
+    *
+    * | d mod 12 | container           | decoder      |
+    * |----------|---------------------|--------------|
+    * | 0, 6     | BMP 24-bit          | supported    |
+    * | 2, 8     | PNG 8-bit RGB       | supported    |
+    * | 4        | BMP RLE8 palette    | supported    |
+    * | 10       | BMP 32bpp           | REJECTED → fallback lane |
+    * | 1, 7     | WAV PCM-16 mono     | supported    |
+    * | 3, 9     | WAV PCM-8 mono      | supported    |
+    * | 5        | WAV PCM-16 stereo   | supported    |
+    * | 11       | WAV PCM-24 mono     | REJECTED → fallback lane |
+    *
+    * The two rejected variants are WELL-FORMED files (real 32bpp BMP /
+    * 24-bit WAV encoders), so the reject→fallback path downstream is
+    * exercised by authentic payloads, not garbage bytes. Encoding is
+    * stateless map work in the standard batch shape. */
   def mediaLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
@@ -92,10 +141,18 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.map { d =>
-            if (d % 2 == 0)
-              MediaRecord(d, "image/bmp", Codecs.bmpEncode(imageSpec(d)))
-            else
-              MediaRecord(d, "audio/wav", Codecs.wavEncode(audioSpec(d)))
+            (d % 12) match {
+              case 0 | 6 => MediaRecord(d, "image/bmp", Codecs.bmpEncode(imageSpec(d)))
+              case 2 | 8 => MediaRecord(d, "image/png", Codecs.pngEncode(imageSpec(d)))
+              case 4 =>
+                val (w, h, g) = graySpec(d)
+                MediaRecord(d, "image/bmp", Codecs.bmpEncodeRle8(w, h, g))
+              case 10 => MediaRecord(d, "image/bmp", Codecs.bmpEncode32(imageSpec(d)))
+              case 1 | 7 => MediaRecord(d, "audio/wav", Codecs.wavEncode(audioSpec(d)))
+              case 3 | 9 => MediaRecord(d, "audio/wav", Codecs.wavEncode8(audioSpec8(d)))
+              case 5 => MediaRecord(d, "audio/wav", Codecs.wavEncode(audioSpecStereo(d)))
+              case _ => MediaRecord(d, "audio/wav", Codecs.wavEncode24(audioSpec(d)))
+            }
           }
         }
       }
@@ -107,6 +164,10 @@ object Multimodal {
 
   private def isBmp(p: Array[Byte]) =
     p.length >= 2 && p(0) == 'B'.toByte && p(1) == 'M'.toByte
+  private def isPng(p: Array[Byte]) =
+    p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
+      p(2) == 'N'.toByte && p(3) == 'G'.toByte
+  private def isImage(p: Array[Byte]) = isBmp(p) || isPng(p)
   private def isWav(p: Array[Byte]) =
     p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
       p(2) == 'F'.toByte && p(3) == 'F'.toByte
@@ -114,40 +175,46 @@ object Multimodal {
   /** Feature extraction over partition-local batches: each executor thread
     * pulls [[BatchSize]] records at a time (amortizing decoder init exactly
     * like a Pandas-UDF batch), hashes the payload, sniffs the container
-    * magic, and runs the REAL decoder for the matched modality. Typed
-    * Dataset in/out — no driver round-trip, scales with partitions. */
+    * magic, and runs the REAL decoder for the matched modality. A sniff
+    * that matches but a decode that REJECTS (well-formed 32bpp BMP, 24-bit
+    * WAV — variants outside the decoders' envelope) falls back to
+    * length-derived features: unsupported media must degrade, never kill
+    * the pipeline. Typed Dataset in/out — no driver round-trip, scales
+    * with partitions. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
         // decoder/codec init would happen once per batch here
         batch.iterator.map { m =>
+          def fallback = { // unknown/rejected container: row keeps flowing
+            val n = m.payload.length
+            Array(n.toFloat,
+              (if (n > 0) m.payload(0) & 0xff else 0).toFloat,
+              (if (n > 1) m.payload(1) & 0xff else 0).toFloat,
+              (n % 255).toFloat)
+          }
           val feat =
-            if (isBmp(m.payload)) {
-              val img = Codecs.bmpDecode(m.payload)
-              val n = (img.width * img.height).toFloat
-              def mean(c: Int) = {
-                var s = 0L; var p = c
-                while (p < img.rgb.length) { s += img.rgb(p); p += 3 }
-                s / n
-              }
-              Array(img.width.toFloat, img.height.toFloat, mean(0), mean(1), mean(2))
-            } else if (isWav(m.payload)) {
-              val a = Codecs.wavDecode(m.payload)
-              var peak = 0L; var absSum = 0L
-              a.samples.foreach { s =>
-                val v = math.abs(s.toLong); if (v > peak) peak = v; absSum += v
-              }
-              Array(a.samples.length.toFloat, a.sampleRate.toFloat,
-                peak.toFloat, absSum.toFloat / math.max(1, a.samples.length))
-            } else {
-              // unknown container: length-derived fallback keeps the row flowing
-              val n = m.payload.length
-              Array(n.toFloat,
-                (if (n > 0) m.payload(0) & 0xff else 0).toFloat,
-                (if (n > 1) m.payload(1) & 0xff else 0).toFloat,
-                (n % 255).toFloat)
-            }
+            try {
+              if (isImage(m.payload)) {
+                val img = Codecs.imageDecode(m.payload)
+                val n = (img.width * img.height).toFloat
+                def mean(c: Int) = {
+                  var s = 0L; var p = c
+                  while (p < img.rgb.length) { s += img.rgb(p); p += 3 }
+                  s / n
+                }
+                Array(img.width.toFloat, img.height.toFloat, mean(0), mean(1), mean(2))
+              } else if (isWav(m.payload)) {
+                val a = Codecs.wavDecode(m.payload)
+                var peak = 0L; var absSum = 0L
+                a.samples.foreach { s =>
+                  val v = math.abs(s.toLong); if (v > peak) peak = v; absSum += v
+                }
+                Array(a.samples.length.toFloat, a.sampleRate.toFloat,
+                  peak.toFloat, absSum.toFloat / math.max(1, a.samples.length))
+              } else fallback
+            } catch { case _: IllegalArgumentException => fallback }
           MediaFeatures(m.media_id, m.payload.length.toLong, md5hex(m.payload), feat)
         }
       }
@@ -176,44 +243,52 @@ object Multimodal {
   }
 
   /** REAL image resize — the downsampling stage of an image/video
-    * pipeline: decode the BMP, nearest-neighbor half-scale (thumb pixel
-    * (x,y) = source pixel (2x,2y)), RE-ENCODE the thumbnail as a fresh
-    * BMP, decode THAT, and report the final thumbnail's exact channel
-    * sums. The double round trip exercises both codec directions at a
-    * second geometry (odd thumb widths hit different row padding than
-    * their sources). Same batched typed-Dataset shape as
+    * pipeline: decode (any supported container), nearest-neighbor
+    * half-scale (thumb pixel (x,y) = source pixel (2x,2y)), RE-ENCODE the
+    * thumbnail in the SOURCE's container family (PNG→PNG, BMP→24-bit BMP;
+    * RLE8 palette sources promote to 24-bit RGB like real thumbnailers),
+    * decode THAT, and report the final thumbnail's exact channel sums. The
+    * double round trip exercises both codec directions at a second
+    * geometry (odd thumb widths hit different row padding / filter
+    * phases than their sources). Rejected variants drop, as in
+    * [[multimodalDecodeImage]]. Same batched typed-Dataset shape as
     * [[extractFeatures]]. */
   def resizeMedia(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(BatchSize).flatMap { batch =>
-        batch.iterator.map { m =>
-          val img = Codecs.bmpDecode(m.payload)
-          val tw = (img.width + 1) / 2
-          val th = (img.height + 1) / 2
-          val rgb = new Array[Int](tw * th * 3)
-          var y = 0
-          while (y < th) {
-            var x = 0
-            while (x < tw) {
-              val src = ((2 * y) * img.width + 2 * x) * 3
-              val dst = (y * tw + x) * 3
-              rgb(dst) = img.rgb(src)
-              rgb(dst + 1) = img.rgb(src + 1)
-              rgb(dst + 2) = img.rgb(src + 2)
-              x += 1
+        batch.iterator.flatMap { m =>
+          try {
+            val img = Codecs.imageDecode(m.payload)
+            val tw = (img.width + 1) / 2
+            val th = (img.height + 1) / 2
+            val rgb = new Array[Int](tw * th * 3)
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) {
+                val src = ((2 * y) * img.width + 2 * x) * 3
+                val dst = (y * tw + x) * 3
+                rgb(dst) = img.rgb(src)
+                rgb(dst + 1) = img.rgb(src + 1)
+                rgb(dst + 2) = img.rgb(src + 2)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          val thumb = Codecs.bmpDecode(Codecs.bmpEncode(BmpImage(tw, th, rgb)))
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var p = 0
-          while (p < thumb.rgb.length) {
-            sr += thumb.rgb(p); sg += thumb.rgb(p + 1); sb += thumb.rgb(p + 2)
-            p += 3
-          }
-          ResizeStats(m.media_id, img.width, img.height,
-            thumb.width, thumb.height, sr, sg, sb)
+            val enc =
+              if (isPng(m.payload)) Codecs.pngEncode(BmpImage(tw, th, rgb))
+              else Codecs.bmpEncode(BmpImage(tw, th, rgb))
+            val thumb = Codecs.imageDecode(enc)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < thumb.rgb.length) {
+              sr += thumb.rgb(p); sg += thumb.rgb(p + 1); sb += thumb.rgb(p + 2)
+              p += 3
+            }
+            Some(ResizeStats(m.media_id, img.width, img.height,
+              thumb.width, thumb.height, sr, sg, sb))
+          } catch { case _: IllegalArgumentException => None }
         }
       }
     }.toDF()
@@ -221,12 +296,13 @@ object Multimodal {
 
   // --- oracle-gated query entry points -------------------------------------
 
-  /** Decode manifest over the binary lake: per record, the mime the REAL
-    * decoder dispatch confirmed, the container's on-disk size, and the
-    * decoded value count (pixels / samples). Every number passes through
-    * the actual encode→decode round trip, and the oracle recomputes each
-    * from the doc_id closed form — a header-layout bug anywhere in
-    * [[Codecs]] shifts these and reddens the gate. */
+  /** Decode manifest over the binary lake: per record, mime, on-disk size,
+    * whether the REAL decoder dispatch accepted the container, and the
+    * decoded value count (pixels / interleaved samples; 0 on the fallback
+    * lane). Every number passes through the actual encode→decode round
+    * trip, and the oracle recomputes each from the doc_id closed form
+    * (including the two variants that MUST reject) — a header-layout bug
+    * anywhere in [[Codecs]] shifts these and reddens the gate. */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaLake(spark, dir)
@@ -234,11 +310,14 @@ object Multimodal {
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.map { m =>
             val nValues =
-              if (isBmp(m.payload)) {
-                val img = Codecs.bmpDecode(m.payload)
-                img.width.toLong * img.height
-              } else Codecs.wavDecode(m.payload).samples.length.toLong
-            MediaMeta(m.media_id, m.mime, m.payload.length.toLong, nValues)
+              try {
+                if (isImage(m.payload)) {
+                  val img = Codecs.imageDecode(m.payload)
+                  Some(img.width.toLong * img.height)
+                } else Some(Codecs.wavDecode(m.payload).samples.length.toLong)
+              } catch { case _: IllegalArgumentException => None }
+            MediaMeta(m.media_id, m.mime, m.payload.length.toLong,
+              nValues.isDefined, nValues.getOrElse(0L))
           }
         }
       }
@@ -246,26 +325,34 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Real image decode: per BMP, dimensions and EXACT per-channel pixel
-    * sums from the decoded top-down RGB array. Integer-exact end to end —
-    * no float tolerance hides a decoder defect. Stateless batched map
-    * (scales with partitions); the only shuffle is the output sort. */
+  /** Real image decode across ALL supported containers (24-bit BMP, RLE8
+    * BMP, PNG — the PNG rows' sums come from genuine IDAT inflation and
+    * filter reconstruction): dimensions and EXACT per-channel pixel sums
+    * from the decoded top-down RGB array. Integer-exact end to end — no
+    * float tolerance hides a decoder defect. Records whose REAL container
+    * variant the decoder rejects (32bpp BMP) are dropped here — they carry
+    * no pixels to report; [[multimodalFeatures]]' manifest accounts for
+    * them (`decode_ok = false`), and the oracle excludes the same
+    * closed-form id set. Stateless batched map (scales with partitions);
+    * the only shuffle is the output sort. */
   def multimodalDecodeImage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaLake(spark, dir)
-      .filter(col("mime") === "image/bmp").as[MediaRecord]
+      .filter(col("mime").startsWith("image/")).as[MediaRecord]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
-          batch.iterator.map { m =>
-            val img = Codecs.bmpDecode(m.payload)
-            var sr = 0L; var sg = 0L; var sb = 0L
-            var p = 0
-            while (p < img.rgb.length) {
-              sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
-              p += 3
-            }
-            ImageStats(m.media_id, img.width, img.height,
-              img.width.toLong * img.height, sr, sg, sb)
+          batch.iterator.flatMap { m =>
+            try {
+              val img = Codecs.imageDecode(m.payload)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              while (p < img.rgb.length) {
+                sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
+                p += 3
+              }
+              Some(ImageStats(m.media_id, img.width, img.height,
+                img.width.toLong * img.height, sr, sg, sb))
+            } catch { case _: IllegalArgumentException => None }
           }
         }
       }
@@ -273,24 +360,29 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Real audio decode: per WAV, sample count, rate from the parsed `fmt `
-    * chunk, peak |sample|, and exact energy (sum of squares). */
+  /** Real audio decode across the supported PCM variants (16-bit mono,
+    * 8-bit mono on the ×256 lattice, 16-bit stereo): sample count
+    * (interleaved for stereo), rate and channel count from the parsed
+    * `fmt ` chunk, peak |sample|, and exact energy (sum of squares).
+    * 24-bit records reject → dropped here, manifested upstream. */
   def multimodalDecodeAudio(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaLake(spark, dir)
       .filter(col("mime") === "audio/wav").as[MediaRecord]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
-          batch.iterator.map { m =>
-            val a = Codecs.wavDecode(m.payload)
-            var peak = 0L; var energy = 0L
-            a.samples.foreach { s =>
-              val v = s.toLong
-              if (math.abs(v) > peak) peak = math.abs(v)
-              energy += v * v
-            }
-            AudioStats(m.media_id, a.samples.length.toLong, a.sampleRate,
-              peak, energy)
+          batch.iterator.flatMap { m =>
+            try {
+              val a = Codecs.wavDecode(m.payload)
+              var peak = 0L; var energy = 0L
+              a.samples.foreach { s =>
+                val v = s.toLong
+                if (math.abs(v) > peak) peak = math.abs(v)
+                energy += v * v
+              }
+              Some(AudioStats(m.media_id, a.samples.length.toLong, a.sampleRate,
+                a.channels, peak, energy))
+            } catch { case _: IllegalArgumentException => None }
           }
         }
       }
@@ -351,7 +443,7 @@ object Multimodal {
 
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    resizeMedia(mediaLake(spark, dir).filter(col("mime") === "image/bmp")
+    resizeMedia(mediaLake(spark, dir).filter(col("mime").startsWith("image/"))
         .as[MediaRecord])
       .orderBy("media_id")
   }
@@ -442,51 +534,69 @@ object Multimodal {
     // the synthetic pixel/sample closed forms ([[imageSpec]]/[[audioSpec]])
     // directly from doc_id. Agreement therefore proves the Spark side's
     // encode→decode round trip reconstructed the exact value sequence.
+    // Variant key v = doc_id % 12 (see [[mediaLake]]'s table). The oracles
+    // know NOTHING about the containers: they recompute the pixel/sample
+    // closed forms per variant and EXCLUDE the two ids the decoders must
+    // reject — so a decoder that silently accepts (or a fallback that
+    // leaks into the decode lane) breaks row counts, not just values.
     "multimodal_resize" ->
       """WITH img AS (
-        |  SELECT doc_id AS media_id, 5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
-        |  FROM documents WHERE doc_id % 2 = 0
+        |  SELECT doc_id AS media_id, doc_id % 12 AS v,
+        |         5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 12 <> 10
         |), t AS (
-        |  SELECT media_id, w, h, (w + 1) // 2 AS tw, (h + 1) // 2 AS th FROM img
+        |  SELECT media_id, v, w, h, (w + 1) // 2 AS tw, (h + 1) // 2 AS th FROM img
         |)
         |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |       CAST(tw AS INTEGER) AS thumb_w, CAST(th AS INTEGER) AS thumb_h,
-        |       CAST(sum((media_id * 31 + (3 * (2 * y.i * w + 2 * x.i)) * 7) % 256) AS BIGINT) AS thumb_sum_r,
-        |       CAST(sum((media_id * 31 + (3 * (2 * y.i * w + 2 * x.i) + 1) * 7) % 256) AS BIGINT) AS thumb_sum_g,
-        |       CAST(sum((media_id * 31 + (3 * (2 * y.i * w + 2 * x.i) + 2) * 7) % 256) AS BIGINT) AS thumb_sum_b
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + (2 * y.i * w + 2 * x.i) * 11) % 256
+        |                ELSE (media_id * 31 + (3 * (2 * y.i * w + 2 * x.i)) * 7) % 256 END) AS BIGINT) AS thumb_sum_r,
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + (2 * y.i * w + 2 * x.i) * 11) % 256
+        |                ELSE (media_id * 31 + (3 * (2 * y.i * w + 2 * x.i) + 1) * 7) % 256 END) AS BIGINT) AS thumb_sum_g,
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + (2 * y.i * w + 2 * x.i) * 11) % 256
+        |                ELSE (media_id * 31 + (3 * (2 * y.i * w + 2 * x.i) + 2) * 7) % 256 END) AS BIGINT) AS thumb_sum_b
         |FROM t,
         |     LATERAL (SELECT unnest(generate_series(0, th - 1)) AS i) y,
         |     LATERAL (SELECT unnest(generate_series(0, tw - 1)) AS i) x
-        |GROUP BY media_id, w, h, tw, th
+        |GROUP BY media_id, v, w, h, tw, th
         |ORDER BY media_id""".stripMargin,
 
     "multimodal_decode_image" ->
       """WITH img AS (
-        |  SELECT doc_id AS media_id, 5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
-        |  FROM documents WHERE doc_id % 2 = 0
+        |  SELECT doc_id AS media_id, doc_id % 12 AS v,
+        |         5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 12 <> 10
         |)
         |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
         |       CAST(w * h AS BIGINT) AS n_pixels,
-        |       CAST(sum((media_id * 31 + (3 * p.i) * 7) % 256) AS BIGINT) AS sum_r,
-        |       CAST(sum((media_id * 31 + (3 * p.i + 1) * 7) % 256) AS BIGINT) AS sum_g,
-        |       CAST(sum((media_id * 31 + (3 * p.i + 2) * 7) % 256) AS BIGINT) AS sum_b
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + p.i * 11) % 256
+        |                ELSE (media_id * 31 + (3 * p.i) * 7) % 256 END) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + p.i * 11) % 256
+        |                ELSE (media_id * 31 + (3 * p.i + 1) * 7) % 256 END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + p.i * 11) % 256
+        |                ELSE (media_id * 31 + (3 * p.i + 2) * 7) % 256 END) AS BIGINT) AS sum_b
         |FROM img, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) p
-        |GROUP BY media_id, w, h
+        |GROUP BY media_id, v, w, h
         |ORDER BY media_id""".stripMargin,
 
     "multimodal_decode_audio" ->
       """WITH aud AS (
-        |  SELECT doc_id AS media_id, 16 + doc_id % 50 AS n
-        |  FROM documents WHERE doc_id % 2 = 1
+        |  SELECT doc_id AS media_id, doc_id % 12 AS v, 16 + doc_id % 50 AS n
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 12 <> 11
         |), s AS (
-        |  SELECT media_id, n, (media_id * 13 + k.i * 29) % 4096 - 2048 AS v
-        |  FROM aud, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) k
+        |  SELECT media_id, v, CASE WHEN v = 5 THEN 2 * n ELSE n END AS ns,
+        |         CASE WHEN v IN (3, 9)
+        |              THEN ((media_id * 13 + k.i * 29) % 256 - 128) * 256
+        |              ELSE (media_id * 13 + k.i * 29) % 4096 - 2048 END AS val
+        |  FROM aud, LATERAL (SELECT unnest(generate_series(0,
+        |       (CASE WHEN v = 5 THEN 2 * n ELSE n END) - 1)) AS i) k
         |)
-        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |SELECT media_id, CAST(ns AS BIGINT) AS n_samples,
         |       CAST(8000 AS INTEGER) AS sample_rate,
-        |       CAST(max(abs(v)) AS BIGINT) AS peak,
-        |       CAST(sum(v * v) AS BIGINT) AS energy
-        |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+        |       CAST(CASE WHEN v = 5 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+        |       CAST(max(abs(val)) AS BIGINT) AS peak,
+        |       CAST(sum(val * val) AS BIGINT) AS energy
+        |FROM s GROUP BY media_id, v, ns ORDER BY media_id""".stripMargin,
 
     "multimodal_route" ->
       """WITH m AS (
@@ -521,16 +631,37 @@ object Multimodal {
          |FROM frames GROUP BY frame_hash HAVING count(DISTINCT media_id) > 1
          |ORDER BY frame_hash""".stripMargin,
 
+    // Per-variant container sizes are closed forms of the geometry alone:
+    // BMP24 = 54 + paddedrow*h; PNG = h*(1+3w) + 68 (stored-block zlib);
+    // RLE8 = 54 + 1024-byte palette + 2wh + 2h (repeat-free runs);
+    // BMP32 = 54 + 4wh; WAV = 44 + bytes(+RIFF pad). A one-byte drift in
+    // any encoder header/padding path reddens this row set.
     "multimodal_features" ->
-      """SELECT doc_id AS media_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
-        |       CAST(CASE WHEN doc_id % 2 = 0
-        |            THEN 54 + (((5 + doc_id % 12) * 3 + 3) // 4 * 4) * (3 + doc_id % 7)
-        |            ELSE 44 + 2 * (16 + doc_id % 50) END AS BIGINT) AS n_bytes,
-        |       CAST(CASE WHEN doc_id % 2 = 0
-        |            THEN (5 + doc_id % 12) * (3 + doc_id % 7)
-        |            ELSE 16 + doc_id % 50 END AS BIGINT) AS n_values
-        |FROM documents ORDER BY media_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, doc_id % 12 AS v, 5 + doc_id % 12 AS w,
+        |         3 + doc_id % 7 AS h, 16 + doc_id % 50 AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id AS media_id,
+        |       CASE WHEN v IN (2, 8) THEN 'image/png'
+        |            WHEN doc_id % 2 = 0 THEN 'image/bmp'
+        |            ELSE 'audio/wav' END AS mime,
+        |       CAST(CASE
+        |            WHEN v IN (0, 6) THEN 54 + ((3 * w + 3) // 4 * 4) * h
+        |            WHEN v IN (2, 8) THEN h * (1 + 3 * w) + 68
+        |            WHEN v = 4 THEN 54 + 1024 + 2 * w * h + 2 * h
+        |            WHEN v = 10 THEN 54 + 4 * w * h
+        |            WHEN v IN (1, 7) THEN 44 + 2 * n
+        |            WHEN v IN (3, 9) THEN 44 + n + n % 2
+        |            WHEN v = 5 THEN 44 + 4 * n
+        |            ELSE 44 + 3 * n + (3 * n) % 2 END AS BIGINT) AS n_bytes,
+        |       v NOT IN (10, 11) AS decode_ok,
+        |       CAST(CASE
+        |            WHEN v IN (10, 11) THEN 0
+        |            WHEN doc_id % 2 = 0 THEN w * h
+        |            WHEN v = 5 THEN 2 * n
+        |            ELSE n END AS BIGINT) AS n_values
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
       s"""SELECT doc_id AS media_id, CAST(f.i AS INTEGER) AS frame_idx,

@@ -35,6 +35,67 @@ class MultimodalSpec extends SparkTestBase {
     feats(1).feat.toSeq shouldBe Seq(3.0f, 8000.0f, 300.0f, 200.0f)
   }
 
+  test("extractFeatures: REAL-but-unsupported variants fall back, not fail") {
+    import graft.extensions.{BmpImage, Codecs, WavAudio}
+    val img = BmpImage(2, 1, Array(10, 20, 30, 40, 60, 80))
+    val bmp32 = Codecs.bmpEncode32(img)          // sniffs as BMP, decoder rejects
+    val wav24 = Codecs.wavEncode24(WavAudio(8000, Array[Short](5, -5)))
+    val feats = Multimodal.extractFeatures(Seq(
+        MediaRecord(1L, "image/bmp", bmp32),
+        MediaRecord(2L, "audio/wav", wav24),
+        MediaRecord(3L, "image/png", Codecs.pngEncode(img))).toDS())
+      .collect().sortBy(_.media_id)
+    // fallback shape: (len, byte0, byte1, len % 255) — never a crash
+    feats(0).feat.toSeq shouldBe Seq(bmp32.length.toFloat, 'B'.toFloat, 'M'.toFloat,
+      (bmp32.length % 255).toFloat)
+    feats(1).feat.toSeq shouldBe Seq(wav24.length.toFloat, 'R'.toFloat, 'I'.toFloat,
+      (wav24.length % 255).toFloat)
+    // PNG goes down the real image branch
+    feats(2).feat.toSeq shouldBe Seq(2.0f, 1.0f, 25.0f, 40.0f, 55.0f)
+  }
+
+  test("variant lake: decode lanes drop EXACTLY the rejected ids, manifest flags them") {
+    val sf = "/root/testdata/sf0.001"
+    val ids = Multimodal.mediaLake(spark, sf).collect().map(_.media_id)
+    val expectReject = ids.filter(d => d % 12 == 10 || d % 12 == 11).toSet
+    expectReject should not be empty // the lake really contains both variants
+    val manifest = Multimodal.multimodalFeatures(spark, sf)
+      .select("media_id", "decode_ok").as[(Long, Boolean)].collect().toMap
+    manifest.filterNot(_._2).keySet shouldBe expectReject
+    val imgIds = Multimodal.multimodalDecodeImage(spark, sf)
+      .select("media_id").as[Long].collect().toSet
+    imgIds shouldBe ids.filter(d => d % 2 == 0 && d % 12 != 10).toSet
+    val audIds = Multimodal.multimodalDecodeAudio(spark, sf)
+      .select("media_id").as[Long].collect().toSet
+    audIds shouldBe ids.filter(d => d % 2 == 1 && d % 12 != 11).toSet
+  }
+
+  test("variant lake: every container variant is present and decodes per spec") {
+    import graft.extensions.Codecs
+    val sf = "/root/testdata/sf0.001"
+    val lake = Multimodal.mediaLake(spark, sf).collect()
+    lake.groupBy(_.media_id % 12).keySet shouldBe (0L to 11L).toSet
+    for (m <- lake.filter(x => x.media_id % 12 == 2 || x.media_id % 12 == 8)) {
+      val spec = Multimodal.imageSpec(m.media_id)
+      Codecs.pngDecode(m.payload).rgb.toSeq shouldBe spec.rgb.toSeq
+    }
+    for (m <- lake.filter(_.media_id % 12 == 4)) {
+      val (w, h, g) = Multimodal.graySpec(m.media_id)
+      val img = Codecs.bmpDecodeRle8(m.payload)
+      (img.width, img.height) shouldBe ((w, h))
+      img.rgb.toSeq shouldBe g.toSeq.flatMap(x => Seq(x, x, x))
+    }
+    for (m <- lake.filter(_.media_id % 12 == 5)) {
+      val a = Codecs.wavDecode(m.payload)
+      a.channels shouldBe 2
+      a.samples.toSeq shouldBe Multimodal.audioSpecStereo(m.media_id).samples.toSeq
+    }
+    for (m <- lake.filter(_.media_id % 12 == 3)) {
+      Codecs.wavDecode(m.payload).samples.toSeq shouldBe
+        Multimodal.audioSpec8(m.media_id).samples.toSeq
+    }
+  }
+
   test("sampleFrames chunks payloads into fixed-size frames") {
     val frames = Multimodal.sampleFrames(media.toDS())
       .groupBy("media_id").agg(count(lit(1)).as("n"))
