@@ -766,24 +766,32 @@ object Events {
     * zero variance are excluded on both sides (no z is defined there).
     * Two bounded aggregations (types × 7 cells) over the types × days
     * daily relation — event volume never reaches the stats. */
-  def eventsWeekdayAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val dec = DecimalType(38, 18)
-    val daily = Tables.events(spark, dir)
+  /** The (event_type, day, dmean, dow) daily-mean relation the weekday
+    * family scores over — shared by the batch query and the streaming
+    * screen's replayed-days parity spec. */
+  private[graft] def weekdayDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(round(sum(col("value").cast(dec)).cast("double")
+      .agg(round(sum(col("value").cast(DecimalType(38, 18))).cast("double")
         / count(lit(1)), 6).as("dmean"))
       .withColumn("dow", dayofweek(col("day")))
-      .localCheckpoint() // feeds the baseline agg, the sd join, and the scoring join
-    // The baseline mean is rounded in EXACT INTEGER arithmetic: the 6-dp
-    // daily means scale to exact micro-units (BIGINT), and half-up
-    // rounding of sum/n is an integer-division + remainder test — no
-    // double-rounding tie (sum/4, sum/5 land exactly on .5e-6 boundaries,
-    // where Spark's and DuckDB's double round() legitimately disagree).
-    // Sign safety: Spark's `div` truncates toward zero while DuckDB's `//`
-    // floors, so they diverge on NEGATIVE sums — both sides therefore
-    // round |s6| half-up and reapply the sign (round half away from zero),
-    // touching div/% only on non-negative operands where every engine
-    // agrees. Holds for any sign of `value`, not just this corpus'.
+
+  /** Per-(event_type, weekday) baseline (`mu`, `sd`, `n_days`) over a daily
+    * relation — extracted so the STREAMING anomaly screen can broadcast
+    * the same batch-built stats ([[graft.streaming.StreamingOps.weekdayAnomalyScreen]]).
+    *
+    * The baseline mean is rounded in EXACT INTEGER arithmetic: the 6-dp
+    * daily means scale to exact micro-units (BIGINT), and half-up
+    * rounding of sum/n is an integer-division + remainder test — no
+    * double-rounding tie (sum/4, sum/5 land exactly on .5e-6 boundaries,
+    * where Spark's and DuckDB's double round() legitimately disagree).
+    * Sign safety: Spark's `div` truncates toward zero while DuckDB's `//`
+    * floors, so they diverge on NEGATIVE sums — both sides therefore
+    * round |s6| half-up and reapply the sign (round half away from zero),
+    * touching div/% only on non-negative operands where every engine
+    * agrees. Holds for any sign of `value`, not just this corpus'. */
+  private[graft] def weekdayBaseline(daily: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 18)
     val mag = expr("abs(s6) div n_days") +
       when((abs(col("s6")) % col("n_days")) * 2 >= col("n_days"), 1L).otherwise(0L)
     val mu = daily.groupBy("event_type", "dow")
@@ -792,14 +800,19 @@ object Events {
       .withColumn("mu6", when(col("s6") >= 0, mag).otherwise(-mag))
       .select(col("event_type"), col("dow"), col("n_days"),
         (col("mu6").cast("double") / 1000000.0).as("mu"))
-    val sd = daily.join(mu, Seq("event_type", "dow"))
+    daily.join(mu, Seq("event_type", "dow"))
       .select(col("event_type"), col("dow"), col("n_days"), col("mu"),
         round((col("dmean") - col("mu")) * (col("dmean") - col("mu")), 9).as("sq"))
       .groupBy("event_type", "dow", "n_days", "mu")
       .agg(round(sqrt(sum(col("sq").cast(dec)).cast("double")
         / (col("n_days") - 1)), 6).as("sd"))
       .filter(col("n_days") >= 2 && col("sd") > 0)
-    daily.join(sd, Seq("event_type", "dow"))
+  }
+
+  def eventsWeekdayAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = weekdayDaily(spark, dir)
+      .localCheckpoint() // feeds the baseline agg, the sd join, and the scoring join
+    daily.join(weekdayBaseline(daily), Seq("event_type", "dow"))
       .select(col("event_type"), col("day"), col("dmean"), col("mu"), col("sd"),
         round((col("dmean") - col("mu")) / col("sd"), 6).as("z"))
       .filter(abs(col("z")) >= WeekdayAnomalyZ)

@@ -255,6 +255,33 @@ object StreamingOps {
       .withColumn("flagged", col("maybe_fraction") >= tau)
   }
 
+  /** Streaming WEEKDAY-ANOMALY screen — the monitor-side twin of
+    * `Events.eventsWeekdayAnomaly`, completing the anomaly family's
+    * batch-train / stream-score story: the per-(event_type, weekday)
+    * baseline (`mu`, `sd`) is built in BATCH over history
+    * (`Events.weekdayBaseline`) and BROADCAST into the arriving stream of
+    * closed daily rollups (event_type, day, dmean) — e.g. [[dailyOhlc]]'s
+    * finalized windows; each arriving day is scored statelessly against
+    * ITS weekday's baseline with the identical rounded z-score and
+    * threshold as the batch query. Same shape as [[contaminationScreen]]:
+    * no state store, no watermark, append-safe at any rate — the stream
+    * side never shuffles (broadcast join + per-row arithmetic).
+    *
+    * The deliberate split — train on history, score on arrivals — is how
+    * production monitors run: the baseline refreshes on a batch cadence
+    * (each micro-batch reads the CURRENT snapshot), while scoring latency
+    * stays per-row. `StreamingSpec` proves day-replay parity with the
+    * batch query. */
+  def weekdayAnomalyScreen(dailyStream: DataFrame, baseline: DataFrame,
+                           zThreshold: Double = graft.extensions.Events.WeekdayAnomalyZ): DataFrame =
+    dailyStream
+      .withColumn("dow", dayofweek(col("day")))
+      .join(broadcast(baseline.select("event_type", "dow", "mu", "sd")),
+        Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dmean"), col("mu"), col("sd"),
+        round((col("dmean") - col("mu")) / col("sd"), 6).as("z"))
+      .filter(abs(col("z")) >= zThreshold)
+
   /** foreachBatch bridge to any BATCH writer with replay-safe semantics:
     * each micro-batch lands in an epoch-stamped directory, so a replayed
     * epoch (restart between sink write and offset commit) OVERWRITES its

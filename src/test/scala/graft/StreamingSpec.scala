@@ -35,6 +35,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("weekdayAnomalyScreen: replayed days match the batch anomaly query") {
+    implicit val ctx = spark.sqlContext
+    import graft.extensions.Events
+    val sf = "/root/testdata/sf0.001"
+    val daily = Events.weekdayDaily(spark, sf).localCheckpoint()
+    val ms = MemoryStream[(String, java.sql.Date, Double)]
+    val q = StreamingOps.weekdayAnomalyScreen(
+        ms.toDF().toDF("event_type", "day", "dmean"), Events.weekdayBaseline(daily))
+      .writeStream.format("memory").queryName("wkanom").outputMode("append").start()
+    try {
+      val rows = daily.select("event_type", "day", "dmean")
+        .as[(String, java.sql.Date, Double)].collect()
+      // replay across a micro-batch boundary: scoring is stateless per row,
+      // so the split must not change the output set
+      val (a, b) = rows.splitAt(rows.length / 2)
+      ms.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      val got = spark.table("wkanom")
+        .select("event_type", "day", "dmean", "mu", "sd", "z")
+        .as[(String, java.sql.Date, Double, Double, Double, Double)].collect().toSet
+      val want = Events.eventsWeekdayAnomaly(spark, sf)
+        .as[(String, java.sql.Date, Double, Double, Double, Double)].collect().toSet
+      want should not be empty
+      got shouldBe want
+    } finally q.stop()
+  }
+
   test("transitions: bigrams span micro-batch boundaries via per-user state") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
