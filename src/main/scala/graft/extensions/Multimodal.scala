@@ -41,6 +41,9 @@ case class ResizeStats(media_id: Long, width: Int, height: Int,
                        thumb_w: Int, thumb_h: Int,
                        thumb_sum_r: Long, thumb_sum_g: Long, thumb_sum_b: Long)
 
+/** Average-hash perceptual fingerprint of a decoded image. */
+case class AhashRow(media_id: Long, n_pixels: Long, ahash: Long, n_ones: Int)
+
 /** Multimodal-column plumbing: binary payloads with typed metadata, a
   * partition-batched feature extractor over REAL pure-JVM codecs
   * ([[Codecs]]: 24-bit + RLE8 BMP, 8-bit RGB PNG, mono/stereo 8/16-bit
@@ -441,6 +444,93 @@ object Multimodal {
     img.unionByName(aud).unionByName(txt).orderBy("media_id")
   }
 
+  /** aHash geometry: up to [[AhashBits]] above-mean bits, banded
+    * [[AhashBands]] × [[AhashBandBits]] for the near-dup bucket join —
+    * 60 bits keeps every hash positive, so `>>` shift semantics agree
+    * across engines (the dedup_simhash discipline). */
+  val AhashBits = 60
+  val AhashBands = 4
+  val AhashBandBits = 15
+  val AhashBandMask = (1L << AhashBandBits) - 1
+  val AhashMaxHamming = 3
+
+  /** Per-image AVERAGE-HASH (aHash) perceptual fingerprint over the REAL
+    * decoded pixels: gray = (r+g+b)/3 per pixel (integer floor), bit j set
+    * iff pixel j's gray exceeds the image's floor-mean gray, first
+    * [[AhashBits]] pixels. Brightness shifts preserve the above-mean
+    * pattern (until wraparound), which is exactly the invariance that
+    * makes average-hashing the standard first screen for image near-dup —
+    * byte-level hashing sees re-encoded or brightness-shifted copies as
+    * distinct. Decode + hash is the usual batched stateless map; rejected
+    * variants drop as in [[multimodalDecodeImage]]. */
+  /** The hash kernel: gray per pixel (integer floor of the channel mean),
+    * floor-mean over the whole image, above-mean bit per pixel for the
+    * first [[AhashBits]] pixels. */
+  private[graft] def ahashOf(img: BmpImage): Long = {
+    val n = img.width * img.height
+    val gray = new Array[Int](n)
+    var j = 0; var sum = 0L
+    while (j < n) {
+      val g = (img.rgb(3 * j) + img.rgb(3 * j + 1) + img.rgb(3 * j + 2)) / 3
+      gray(j) = g; sum += g; j += 1
+    }
+    val mean = sum / n
+    var bits = 0L
+    j = 0
+    while (j < math.min(AhashBits, n)) {
+      if (gray(j) > mean) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
+  private def imageAhash(spark: SparkSession, dir: String): Dataset[AhashRow] = {
+    import spark.implicits._
+    mediaLake(spark, dir)
+      .filter(col("mime").startsWith("image/")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val img = Codecs.imageDecode(m.payload)
+              val bits = ahashOf(img)
+              Some(AhashRow(m.media_id, img.width.toLong * img.height, bits,
+                java.lang.Long.bitCount(bits)))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+  }
+
+  def multimodalAhash(spark: SparkSession, dir: String): DataFrame =
+    imageAhash(spark, dir).toDF().orderBy("media_id")
+
+  /** IMAGE near-duplicate pairs by banded aHash — the image-domain twin of
+    * `dedup_simhash`: fingerprints band into [[AhashBands]] ×
+    * [[AhashBandBits]]-bit buckets, candidates collide on ≥1 band
+    * (pigeonhole: hamming ≤ [[AhashMaxHamming]] < [[AhashBands]] forces a
+    * clean band — recall 1, no all-pairs join), then exact
+    * `bit_count(xor)` verifies. Scale shape: the pair join is an
+    * EQUI-join on (band, bucket) — hash exchange, work bounded by bucket
+    * occupancy, the same contract every text near-dup query in the engine
+    * honors. */
+  def multimodalImageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = imageAhash(spark, dir).toDF().localCheckpoint() // both join sides
+    val banded = h.select(col("media_id"), col("ahash"),
+        explode(expr(s"sequence(0, ${AhashBands - 1})")).as("band"))
+      .withColumn("bkt",
+        expr(s"shiftright(ahash, band * $AhashBandBits) & $AhashBandMask"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("hamming"))
+      .filter(col("hamming") <= AhashMaxHamming)
+      .distinct()
+      .orderBy("media_a", "media_b")
+  }
+
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     resizeMedia(mediaLake(spark, dir).filter(col("mime").startsWith("image/"))
@@ -500,6 +590,29 @@ object Multimodal {
           .cast("double") / count(lit(1)), 6).as("centroid"))
       .orderBy("source", "dim")
   }
+
+  /** Shared oracle CTE chain ending in `bits(media_id, n, ahash)` — the
+    * codec-free closed-form twin of [[imageAhash]]. */
+  private val ahashCtes =
+    s"""WITH img AS (
+       |  SELECT doc_id AS media_id, doc_id % 12 AS v,
+       |         5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 12 <> 10
+       |), g AS (
+       |  SELECT media_id, w * h AS n, p.i AS j,
+       |         CASE WHEN v = 4 THEN (media_id * 17 + p.i * 11) % 256
+       |              ELSE ((media_id * 31 + (3 * p.i) * 7) % 256
+       |                  + (media_id * 31 + (3 * p.i + 1) * 7) % 256
+       |                  + (media_id * 31 + (3 * p.i + 2) * 7) % 256) // 3 END AS gray
+       |  FROM img, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) p
+       |), m AS (
+       |  SELECT media_id, n, sum(gray) // n AS mean FROM g GROUP BY media_id, n
+       |), bits AS (
+       |  SELECT g.media_id, m.n,
+       |         CAST(coalesce(sum(CASE WHEN g.gray > m.mean AND g.j < $AhashBits
+       |              THEN 1::BIGINT << g.j ELSE 0 END), 0) AS BIGINT) AS ahash
+       |  FROM g JOIN m USING (media_id) GROUP BY g.media_id, m.n
+       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "multimodal_fusion_centroids" ->
@@ -618,6 +731,30 @@ object Multimodal {
         |FROM m WHERE route = 2
         |ORDER BY media_id""".stripMargin,
 
+    // Codec-free aHash twin: gray/mean/bit closed forms per variant. The
+    // shared CTE chain ends at per-image (media_id, n, ahash).
+    "multimodal_ahash" ->
+      s"""$ahashCtes
+         |SELECT media_id, CAST(n AS BIGINT) AS n_pixels,
+         |       CAST(ahash AS BIGINT) AS ahash,
+         |       CAST(bit_count(ahash) AS INTEGER) AS n_ones
+         |FROM bits ORDER BY media_id""".stripMargin,
+
+    "multimodal_image_neardup" ->
+      s"""$ahashCtes
+         |, banded AS (
+         |  SELECT media_id, ahash, band,
+         |         (ahash >> (band * $AhashBandBits)) & $AhashBandMask AS bkt
+         |  FROM bits CROSS JOIN
+         |       (SELECT unnest(generate_series(0, ${AhashBands - 1})) AS band) bs
+         |)
+         |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+         |       CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bkt = y.bkt AND x.media_id < y.media_id
+         |WHERE bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming
+         |ORDER BY media_a, media_b""".stripMargin,
+
     "multimodal_frame_dedup" ->
       s"""WITH frames AS (
          |  SELECT doc_id AS media_id,
@@ -680,6 +817,8 @@ object Multimodal {
     "multimodal_frame_dedup" -> (multimodalFrameDedup _),
     "multimodal_route"       -> (multimodalRoute _),
     "multimodal_resize"      -> (multimodalResize _),
+    "multimodal_ahash"       -> (multimodalAhash _),
+    "multimodal_image_neardup" -> (multimodalImageNeardup _),
     "multimodal_integrity"   -> (multimodalIntegrity _),
     "multimodal_fusion_centroids" -> (multimodalFusionCentroids _),
   )

@@ -96,6 +96,24 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("aHash: brightness-shifted re-encode collides; content change does not") {
+    import graft.extensions.{BmpImage, Codecs}
+    val rnd = new scala.util.Random(7)
+    val rgb = Array.fill(10 * 6 * 3)(20 + rnd.nextInt(200)) // headroom for +15
+    val base = BmpImage(10, 6, rgb)
+    val brighter = BmpImage(10, 6, rgb.map(_ + 15)) // no wraparound
+    // the perceptual property: a global brightness shift preserves every
+    // above-mean bit, so the fingerprints are EQUAL even though the bytes
+    // (and any exact content hash) differ — including across containers
+    Multimodal.ahashOf(brighter) shouldBe Multimodal.ahashOf(base)
+    Multimodal.ahashOf(Codecs.pngDecode(Codecs.pngEncode(brighter))) shouldBe
+      Multimodal.ahashOf(base)
+    // a real content change flips bits
+    val edited = rgb.clone()
+    for (j <- 0 until 30) edited(j) = 255 - edited(j)
+    Multimodal.ahashOf(BmpImage(10, 6, edited)) should not be Multimodal.ahashOf(base)
+  }
+
   test("sampleFrames chunks payloads into fixed-size frames") {
     val frames = Multimodal.sampleFrames(media.toDS())
       .groupBy("media_id").agg(count(lit(1)).as("n"))

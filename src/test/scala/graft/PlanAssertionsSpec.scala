@@ -237,6 +237,12 @@ class PlanAssertionsSpec extends SparkTestBase {
     p.indexOf("Window") should be < p.indexOf("HashAggregate")
   }
 
+  test("image near-dup: banded pair generation is an equi-join, never all-pairs") {
+    val p = planOf(graft.extensions.Multimodal.multimodalImageNeardup(spark, sf))
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+  }
+
   test("bootstrap CI: replicate buffers aggregate in one pass — no replicate fan-out") {
     val p = planOf(Tpch.qBootstrapCi(spark, sf))
     // The retired implementation fanned each order row out ×B via
