@@ -44,6 +44,9 @@ case class ResizeStats(media_id: Long, width: Int, height: Int,
 /** Average-hash perceptual fingerprint of a decoded image. */
 case class AhashRow(media_id: Long, n_pixels: Long, ahash: Long, n_ones: Int)
 
+/** Energy-envelope fingerprint of a decoded audio clip. */
+case class AudioFpRow(media_id: Long, n_windows: Int, afp: Long, n_ones: Int)
+
 /** Multimodal-column plumbing: binary payloads with typed metadata, a
   * partition-batched feature extractor over REAL pure-JVM codecs
   * ([[Codecs]]: 24-bit + RLE8 BMP, 8-bit RGB PNG, mono/stereo 8/16-bit
@@ -531,6 +534,86 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** Audio-fingerprint geometry: [[AfpWindow]]-sample energy windows over
+    * the first [[AfpMaxSamples]] samples, one above-mean bit per window
+    * (≤ [[AhashBits]] bits, same positive-value shift discipline). */
+  val AfpWindow = 4
+  val AfpMaxSamples = 240
+
+  /** The audio hash kernel: |sample| energy per [[AfpWindow]]-wide window
+    * over the first [[AfpMaxSamples]] samples (whole windows only), bit k
+    * set iff window k's energy exceeds the clip mean. The comparison is
+    * the INTEGER cross-multiplication `ws·m > total·W` — no division, so
+    * both engines agree exactly. Loudness scaling preserves the
+    * above-mean pattern (the aHash brightness property in the audio
+    * domain). Stereo fingerprints the interleaved stream as-is — the
+    * envelope is channel-agnostic at this granularity. */
+  private[graft] def audioFpOf(samples: Array[Short]): (Int, Long) = {
+    val capped = math.min(AfpMaxSamples, samples.length)
+    val m = capped - capped % AfpWindow
+    val nw = m / AfpWindow
+    var total = 0L
+    var j = 0
+    while (j < m) { total += math.abs(samples(j).toLong); j += 1 }
+    var bits = 0L
+    var k = 0
+    while (k < math.min(AhashBits, nw)) {
+      var ws = 0L
+      var i = 0
+      while (i < AfpWindow) { ws += math.abs(samples(k * AfpWindow + i).toLong); i += 1 }
+      if (ws * m > total * AfpWindow) bits |= (1L << k)
+      k += 1
+    }
+    (nw, bits)
+  }
+
+  private def audioFingerprint(spark: SparkSession, dir: String): Dataset[AudioFpRow] = {
+    import spark.implicits._
+    mediaLake(spark, dir)
+      .filter(col("mime") === "audio/wav").as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val a = Codecs.wavDecode(m.payload)
+              val (nw, bits) = audioFpOf(a.samples)
+              Some(AudioFpRow(m.media_id, nw, bits, java.lang.Long.bitCount(bits)))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+  }
+
+  def multimodalAudioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprint(spark, dir).toDF().orderBy("media_id")
+
+  /** AUDIO near-duplicate pairs by banded energy-envelope fingerprints —
+    * the audio-domain member of the near-dup family (text simhash, image
+    * aHash, this). Short clips cannot fill all bands (few windows ⇒ high
+    * bands identically zero), so the WINDOW COUNT joins the bucket key:
+    * zero-band collisions between unrelated lengths never become
+    * candidates, and near-dup semantics tighten to same-duration clips —
+    * which is what an aligned envelope comparison means anyway. Candidate
+    * generation stays an equi-join on (band, bucket, n_windows); exact
+    * `bit_count(xor)` verifies at hamming ≤ [[AhashMaxHamming]]. */
+  def multimodalAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = audioFingerprint(spark, dir).toDF().localCheckpoint() // both join sides
+    val banded = h.select(col("media_id"), col("afp"), col("n_windows"),
+        explode(expr(s"sequence(0, ${AhashBands - 1})")).as("band"))
+      .withColumn("bkt",
+        expr(s"shiftright(afp, band * $AhashBandBits) & $AhashBandMask"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.n_windows") === col("y.n_windows") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.afp").bitwiseXOR(col("y.afp"))).as("hamming"))
+      .filter(col("hamming") <= AhashMaxHamming)
+      .distinct()
+      .orderBy("media_a", "media_b")
+  }
+
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     resizeMedia(mediaLake(spark, dir).filter(col("mime").startsWith("image/"))
@@ -614,7 +697,62 @@ object Multimodal {
        |  FROM g JOIN m USING (media_id) GROUP BY g.media_id, m.n
        |)""".stripMargin
 
+  /** Shared oracle CTE chain ending in `abits(media_id, nw, afp)` — the
+    * codec-free closed-form twin of [[audioFpOf]]: per-variant |sample|
+    * closed forms, whole [[AfpWindow]]-sample windows over the first
+    * [[AfpMaxSamples]], integer cross-multiplied above-mean bits. */
+  private val audioFpCtes =
+    s"""WITH aud AS (
+       |  SELECT doc_id AS media_id, doc_id % 12 AS v,
+       |         CASE WHEN doc_id % 12 = 5 THEN 2 * (16 + doc_id % 50)
+       |              ELSE 16 + doc_id % 50 END AS len
+       |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 12 <> 11
+       |), geo AS (
+       |  SELECT media_id, v,
+       |         least(len, $AfpMaxSamples) - least(len, $AfpMaxSamples) % $AfpWindow AS m
+       |  FROM aud
+       |), s AS (
+       |  SELECT media_id, m, k.i // $AfpWindow AS k,
+       |         abs(CASE WHEN v IN (3, 9)
+       |              THEN ((media_id * 13 + k.i * 29) % 256 - 128) * 256
+       |              ELSE (media_id * 13 + k.i * 29) % 4096 - 2048 END) AS av
+       |  FROM geo, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) k
+       |), tot AS (
+       |  SELECT media_id, m, sum(av) AS total FROM s GROUP BY media_id, m
+       |), win AS (
+       |  SELECT media_id, m, k, sum(av) AS ws FROM s GROUP BY media_id, m, k
+       |), abits AS (
+       |  SELECT w.media_id, w.m // $AfpWindow AS nw,
+       |         CAST(coalesce(sum(CASE WHEN w.k < $AhashBits AND w.ws * w.m > t.total * $AfpWindow
+       |              THEN 1::BIGINT << w.k ELSE 0 END), 0) AS BIGINT) AS afp
+       |  FROM win w JOIN tot t USING (media_id, m)
+       |  GROUP BY w.media_id, w.m
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "multimodal_audio_fingerprint" ->
+      s"""$audioFpCtes
+         |SELECT media_id, CAST(nw AS INTEGER) AS n_windows,
+         |       CAST(afp AS BIGINT) AS afp,
+         |       CAST(bit_count(afp) AS INTEGER) AS n_ones
+         |FROM abits ORDER BY media_id""".stripMargin,
+
+    "multimodal_audio_neardup" ->
+      s"""$audioFpCtes
+         |, banded AS (
+         |  SELECT media_id, afp, nw, band,
+         |         (afp >> (band * $AhashBandBits)) & $AhashBandMask AS bkt
+         |  FROM abits CROSS JOIN
+         |       (SELECT unnest(generate_series(0, ${AhashBands - 1})) AS band) bs
+         |)
+         |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+         |       CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bkt = y.bkt AND x.nw = y.nw
+         |     AND x.media_id < y.media_id
+         |WHERE bit_count(xor(x.afp, y.afp)) <= $AhashMaxHamming
+         |ORDER BY media_a, media_b""".stripMargin,
+
     "multimodal_fusion_centroids" ->
       s"""WITH q AS (
          |  SELECT doc_id, source,
@@ -819,6 +957,8 @@ object Multimodal {
     "multimodal_resize"      -> (multimodalResize _),
     "multimodal_ahash"       -> (multimodalAhash _),
     "multimodal_image_neardup" -> (multimodalImageNeardup _),
+    "multimodal_audio_fingerprint" -> (multimodalAudioFingerprint _),
+    "multimodal_audio_neardup" -> (multimodalAudioNeardup _),
     "multimodal_integrity"   -> (multimodalIntegrity _),
     "multimodal_fusion_centroids" -> (multimodalFusionCentroids _),
   )

@@ -114,6 +114,22 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.ahashOf(BmpImage(10, 6, edited)) should not be Multimodal.ahashOf(base)
   }
 
+  test("audio fingerprint: loudness-scaled copy collides; content change does not") {
+    val rnd = new scala.util.Random(13)
+    val samples = Array.fill(64)((rnd.nextInt(8000) - 4000).toShort)
+    val (nw, bits) = Multimodal.audioFpOf(samples)
+    nw shouldBe 16
+    // doubling every sample doubles both sides of the integer
+    // cross-multiplication — the envelope pattern is volume-invariant
+    Multimodal.audioFpOf(samples.map(s => (s * 2).toShort)) shouldBe ((nw, bits))
+    // zeroing a loud stretch flips bits
+    val edited = samples.clone()
+    for (j <- 0 until 8) edited(j) = 0
+    Multimodal.audioFpOf(edited)._2 should not be bits
+    // window-count guards: a 7-sample tail is ignored (whole windows only)
+    Multimodal.audioFpOf(samples ++ Array[Short](9, 9, 9))._1 shouldBe 16
+  }
+
   test("sampleFrames chunks payloads into fixed-size frames") {
     val frames = Multimodal.sampleFrames(media.toDS())
       .groupBy("media_id").agg(count(lit(1)).as("n"))
