@@ -348,25 +348,33 @@ object Dedup {
     (draw(), draw())
   }
 
-  /** (doc_id, band, bkt) MinHash-LSH banding relation. The whole signature
-    * is ONE hash aggregation with 32 min() buffers over the shingle hashes
-    * (map-side partial min → tiny shuffle), not a crossJoin with the
-    * parameter table — the shuffled volume is O(docs × 32), independent of
-    * shingle count. Shared by the pair, verified, and incremental paths. */
-  private def minhashBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val hs = docShingleHashes(spark, dir)
-      .select(col("doc_id"), (col("h") % Portable.P31).as("h"))
+  /** Generic (id, band, bkt) MinHash-LSH banding over any (id, `h`)
+    * element relation (`h` already reduced mod P31). The whole signature
+    * is ONE hash aggregation with 32 min() buffers over the element
+    * hashes (map-side partial min → tiny shuffle), not a crossJoin with
+    * the parameter table — the shuffled volume is O(ids × 32),
+    * independent of element count. Shared by the text shingle paths here
+    * and the frame-set (video) path in [[Multimodal]]. */
+  private[extensions] def minhashBandBuckets(hs: DataFrame, id: String): DataFrame = {
     val minCols = (0 until K).map { i =>
       min((lit(minhashA(i)) * col("h") + lit(minhashB(i))) % Portable.P31).as(s"mh$i")
     }
-    val sig = hs.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val sig = hs.groupBy(id).agg(minCols.head, minCols.tail: _*)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until R).map(r => col(s"mh${b * R + r}").cast("string")): _*).as("bkt"))
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+    sig.select(col(id), explode(array(bandCols: _*)).as("bb"))
+      .select(col(id), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
   }
+
+  /** (doc_id, band, bkt) over the document shingle hashes — the relation
+    * shared by the pair, verified, and incremental paths. */
+  private def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    minhashBandBuckets(
+      docShingleHashes(spark, dir)
+        .select(col("doc_id"), (col("h") % Portable.P31).as("h")),
+      "doc_id")
 
   /** Exact Jaccard (df-uncapped shingle space) on a candidate-pair relation:
     * |candidates| × |shingles-per-doc| work, never a corpus cross product. */
@@ -582,7 +590,7 @@ object Dedup {
       |  FROM t
       |)""".stripMargin
 
-  private val paramsValues = (0 until K)
+  private[extensions] val paramsValues = (0 until K)
     .map(i => s"(${i}, ${minhashA(i)}, ${minhashB(i)})").mkString(", ")
 
   /** CTE chain ending in `buckets(doc_id, band, bkt)` — the oracle twin of

@@ -614,6 +614,57 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** Exact frame-set Jaccard threshold for [[multimodalVideoNeardup]]. */
+  val VideoJaccardTau = 0.5
+
+  /** VIDEO-style near-duplicate media by MinHash over FRAME-HASH SETS —
+    * the content-level video dedup move: two media whose sampled frame
+    * sets largely overlap (re-encodes, trims, shared b-roll) are near-dups
+    * even when no single byte sequence matches. Composes two gated
+    * machines: the deterministic frame sampler ([[sampleFrames]]) supplies
+    * each medium's frame-hash set, and [[Dedup.minhashBandBuckets]] (the
+    * text pipeline's 32-hash / 8-band signature, same fixed coefficients)
+    * generates candidate pairs from band-bucket collisions; exact set
+    * Jaccard on candidates only verifies at τ = [[VideoJaccardTau]].
+    * Scale shape identical to text MinHash dedup: one 32-buffer min
+    * aggregation per medium (shuffle O(media × 32), independent of frame
+    * count), bucket-bounded candidate equi-join, |candidates| ×
+    * |frames-per-medium| verify — never media × media. */
+  def multimodalVideoNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    val media = {
+      import spark.implicits._
+      mediaFromDocuments(spark, dir).as[MediaRecord]
+    }
+    // distinct AFTER the mod-P31 reduction, so Spark and the oracle agree
+    // on set sizes even if two 60-bit hashes collide in the reduced space
+    val fh = sampleFrames(media)
+      .select(col("media_id"),
+        (Portable.hash60(col("frame_hash")) % Portable.P31).as("h"))
+      .distinct()
+      .localCheckpoint() // feeds the signature agg and both verify probes
+    val buckets = Dedup.minhashBandBuckets(fh, "media_id").localCheckpoint()
+    val cand = buckets.as("x")
+      .join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .distinct()
+    val sz = fh.groupBy("media_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(fh.withColumnRenamed("media_id", "media_a"), "media_a")
+      .join(fh.withColumnRenamed("media_id", "media_b"), Seq("media_b", "h"))
+      .groupBy("media_a", "media_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.as("na"), col("media_a") === col("na.media_id"))
+      .join(sz.as("nb"), col("media_b") === col("nb.media_id"))
+      .select(col("media_a"), col("media_b"),
+        round(col("c").cast("double") / (col("na.n") + col("nb.n") - col("c")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= VideoJaccardTau)
+      .orderBy("media_a", "media_b")
+  }
+
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     resizeMedia(mediaLake(spark, dir).filter(col("mime").startsWith("image/"))
@@ -730,6 +781,47 @@ object Multimodal {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Frame hashes are text-domain (md5 of codepoint chunks), so the
+    // oracle recomputes the whole MinHash/verify pipeline with the SAME
+    // fixed (a, b) coefficients the text dedup oracles embed.
+    "multimodal_video_neardup" ->
+      s"""WITH fr AS (
+         |  SELECT doc_id AS media_id,
+         |         ('0x' || substr(md5(md5(substr(text, f.i * $FrameChars + 1, $FrameChars))), 1, 15))::BIGINT
+         |           % 2147483647 AS h
+         |  FROM documents,
+         |       LATERAL (SELECT unnest(generate_series(0, (length(text) - 1) // $FrameChars)) AS i) f
+         |  WHERE length(text) > 0
+         |), fh AS (
+         |  SELECT DISTINCT media_id, h FROM fr
+         |), params(i, a, b) AS (VALUES ${Dedup.paramsValues}),
+         |sig AS (
+         |  SELECT media_id, i, min((a * h + b) % 2147483647) AS mh
+         |  FROM fh CROSS JOIN params GROUP BY media_id, i
+         |), buckets AS (
+         |  SELECT media_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkt
+         |  FROM sig GROUP BY media_id, i // 4
+         |), cand AS (
+         |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.media_id < y.media_id
+         |), sz AS (
+         |  SELECT media_id, count(*) AS n FROM fh GROUP BY media_id
+         |), inter AS (
+         |  SELECT c.media_a, c.media_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN fh a ON a.media_id = c.media_a
+         |  JOIN fh b ON b.media_id = c.media_b AND b.h = a.h
+         |  GROUP BY c.media_a, c.media_b
+         |)
+         |SELECT media_a, media_b,
+         |       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN sz na ON media_a = na.media_id
+         |JOIN sz nb ON media_b = nb.media_id
+         |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= $VideoJaccardTau
+         |ORDER BY media_a, media_b""".stripMargin,
+
     "multimodal_audio_fingerprint" ->
       s"""$audioFpCtes
          |SELECT media_id, CAST(nw AS INTEGER) AS n_windows,
@@ -959,6 +1051,7 @@ object Multimodal {
     "multimodal_image_neardup" -> (multimodalImageNeardup _),
     "multimodal_audio_fingerprint" -> (multimodalAudioFingerprint _),
     "multimodal_audio_neardup" -> (multimodalAudioNeardup _),
+    "multimodal_video_neardup" -> (multimodalVideoNeardup _),
     "multimodal_integrity"   -> (multimodalIntegrity _),
     "multimodal_fusion_centroids" -> (multimodalFusionCentroids _),
   )
