@@ -487,6 +487,18 @@ object Multimodal {
     bits
   }
 
+  /** One-payload perceptual fingerprint for ingest screens: sniff the
+    * container, decode, and hash (images → [[ahashOf]], audio →
+    * [[audioFpOf]]); None when nothing decodes — the caller's fallback
+    * lane. Used by the STREAMING known-content screen
+    * ([[graft.streaming.StreamingOps.mediaFingerprintScreen]]). */
+  def mediaFingerprint(payload: Array[Byte]): Option[Long] =
+    try {
+      if (isImage(payload)) Some(ahashOf(Codecs.imageDecode(payload)))
+      else if (isWav(payload)) Some(audioFpOf(Codecs.wavDecode(payload).samples)._2)
+      else None
+    } catch { case _: IllegalArgumentException => None }
+
   private def imageAhash(spark: SparkSession, dir: String): Dataset[AhashRow] = {
     import spark.implicits._
     mediaLake(spark, dir)

@@ -166,6 +166,33 @@ object Privacy {
       .orderBy("entity")
   }
 
+  /** Minimum group size for [[privacyKAnonymity]]. */
+  val KAnonymity = 10
+
+  /** K-ANONYMITY audit over the quasi-identifier tuple (market segment,
+    * nation) — the pre-release re-identification check a governed dataset
+    * runs: every equivalence class of quasi-identifier values, its
+    * population, its share of the segment, and its risk class (`unique` =
+    * one individual, `below_k` = smaller than [[KAnonymity]], `ok`).
+    * Suppression/generalization would act on the non-`ok` classes; this
+    * relation IS the work list. Scale shape: one hash aggregation over the
+    * entity table (classes ≤ |segments|×|nations|, never row-bounded) plus
+    * one window over the class relation for the segment share. */
+  def privacyKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("share_of_segment",
+        round(col("n_customers").cast("double") /
+          sum("n_customers").over(Window.partitionBy("c_mktsegment")), 6))
+      .withColumn("risk",
+        when(col("n_customers") === 1, "unique")
+          .when(col("n_customers") < KAnonymity, "below_k")
+          .otherwise("ok"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val rawSql =
@@ -238,6 +265,17 @@ object Privacy {
         |SELECT entity, n_total, n_deleted, n_total - n_deleted AS n_kept
         |FROM s ORDER BY entity""".stripMargin,
 
+    "privacy_k_anonymity" ->
+      s"""SELECT c_mktsegment, c_nationkey, count(*) AS n_customers,
+         |       round(CAST(count(*) AS DOUBLE) /
+         |             sum(count(*)) OVER (PARTITION BY c_mktsegment), 6) AS share_of_segment,
+         |       CASE WHEN count(*) = 1 THEN 'unique'
+         |            WHEN count(*) < $KAnonymity THEN 'below_k'
+         |            ELSE 'ok' END AS risk
+         |FROM customer
+         |GROUP BY c_mktsegment, c_nationkey
+         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
     "url_domains" ->
       s"""WITH u AS (
          |  SELECT event_id, user_id, value,
@@ -261,5 +299,6 @@ object Privacy {
     "url_domains" -> (urlDomains _),
     "url_canonical_dedup" -> (urlCanonicalDedup _),
     "privacy_erasure" -> (privacyErasure _),
+    "privacy_k_anonymity" -> (privacyKAnonymity _),
   )
 }

@@ -282,6 +282,33 @@ object StreamingOps {
         round((col("dmean") - col("mu")) / col("sd"), 6).as("z"))
       .filter(abs(col("z")) >= zThreshold)
 
+  /** Streaming KNOWN-CONTENT media screen — the multimodal member of the
+    * stateless-screen family ([[contaminationScreen]] for text,
+    * [[weekdayAnomalyScreen]] for metrics): every arriving media record is
+    * PERCEPTUALLY fingerprinted in-row (image aHash / audio envelope —
+    * `Multimodal.mediaFingerprint`, the same kernels the batch near-dup
+    * queries gate) and probed against a broadcast set of known-content
+    * fingerprints (licensing block lists, already-ingested corpora,
+    * policy-removed items). Perceptual matching is the point: a
+    * brightness-shifted PNG re-encode of a known BMP still flags, where
+    * byte hashing would wave it through (`StreamingSpec` pins exactly that
+    * case). Stateless, no watermark, stream side never shuffles
+    * (broadcast join + per-row decode); undecodable payloads flow
+    * unflagged with a null fingerprint — the manifest lane, never a
+    * query-killing exception. */
+  def mediaFingerprintScreen(media: Dataset[graft.extensions.MediaRecord],
+                             knownFps: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    val fps = media.mapPartitions { it =>
+      it.map { m =>
+        (m.media_id, m.mime, graft.extensions.Multimodal.mediaFingerprint(m.payload))
+      }
+    }.toDF("media_id", "mime", "fp")
+    fps.join(broadcast(knownFps.select(col("fp"), lit(true).as("hit"))), Seq("fp"), "left")
+      .select(col("media_id"), col("mime"), col("fp"),
+        coalesce(col("hit"), lit(false)).as("flagged"))
+  }
+
   /** foreachBatch bridge to any BATCH writer with replay-safe semantics:
     * each micro-batch lands in an epoch-stamped directory, so a replayed
     * epoch (restart between sink write and offset commit) OVERWRITES its

@@ -62,6 +62,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("mediaFingerprintScreen flags perceptual matches of known content") {
+    implicit val ctx = spark.sqlContext
+    import graft.extensions.{BmpImage, Codecs, MediaRecord, Multimodal}
+    // known content: a BMP with +15 brightness headroom everywhere
+    val base = BmpImage(6, 5, Array.tabulate(90)(j => 20 + (j * 2) % 200))
+    val known = Seq(Multimodal.mediaFingerprint(Codecs.bmpEncode(base)).get).toDF("fp")
+    val ms = MemoryStream[MediaRecord]
+    val q = StreamingOps.mediaFingerprintScreen(ms.toDS(), known)
+      .writeStream.format("memory").queryName("mediascreen").outputMode("append").start()
+    try {
+      // a brightness-shifted PNG RE-ENCODE: zero bytes in common with the
+      // known BMP, but the perceptual fingerprint matches
+      val shifted = Codecs.pngEncode(BmpImage(6, 5, base.rgb.map(_ + 15)))
+      val other = Codecs.bmpEncode(BmpImage(4, 4,
+        Array.tabulate(48)(j => (j * 53 + 7) % 256)))
+      ms.addData(
+        MediaRecord(1L, "image/png", shifted),
+        MediaRecord(2L, "image/bmp", other),
+        MediaRecord(3L, "text/plain", "no container here".getBytes("UTF-8")))
+      q.processAllAvailable()
+      val rows = spark.table("mediascreen")
+        .select("media_id", "flagged").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      rows shouldBe Map(1L -> true, 2L -> false, 3L -> false)
+    } finally q.stop()
+  }
+
   test("transitions: bigrams span micro-batch boundaries via per-user state") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
