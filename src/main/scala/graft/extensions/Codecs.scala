@@ -53,6 +53,14 @@ object Codecs {
     * then bounds the pixel allocation by the (≤ 2 GiB) payload itself. */
   private val MaxDim = 1 << 16
 
+  /** Pixel-COUNT cap for the compressed containers (PNG, RLE8): their
+    * payload size does not bound the decoded size the way uncompressed
+    * BMP's does (a 100-byte file can declare a huge geometry), so the
+    * product is capped explicitly before any allocation — w·h beyond this
+    * rejects with the documented IllegalArgumentException instead of
+    * wrapping Int into a negative allocation. */
+  private val MaxPixels = 1 << 24
+
   private def le(n: Int): ByteBuffer =
     ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
 
@@ -250,9 +258,12 @@ object Codecs {
         s"bad CRC in $chunkType")
       chunkType match {
         case "IHDR" =>
+          // length check BEFORE any data() index: a crafted short IHDR
+          // with a valid CRC must reject, not die on array bounds
+          require(len == 13, s"bad IHDR length $len")
           w = buf.getInt(pos + 8); h = buf.getInt(pos + 12)
-          require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim,
-            s"unsupported dimensions ${w}x$h")
+          require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
+            w.toLong * h <= MaxPixels, s"unsupported dimensions ${w}x$h")
           require(data(8) == 8, s"unsupported bit depth ${data(8)}")
           require(data(9) == 2, s"unsupported color type ${data(9)}")
           require(data(10) == 0 && data(11) == 0, "unsupported compression/filter method")
@@ -361,7 +372,8 @@ object Codecs {
     val compression = buf.getInt(30)
     val clrUsed = buf.getInt(46)
     require(bpp == 8 && compression == 1, s"not RLE8 (bpp=$bpp compression=$compression)")
-    require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim, s"unsupported dimensions ${w}x$h")
+    require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
+      w.toLong * h <= MaxPixels, s"unsupported dimensions ${w}x$h")
     val nColors = if (clrUsed == 0) 256 else clrUsed
     require(nColors > 0 && nColors <= 256, s"bad palette size $nColors")
     val palOff = 14 + headerSize

@@ -224,6 +224,74 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     e.getMessage should include ("unsupported bits")
   }
 
+  test("decoders reject crafted geometry bombs as IAE, never a wild allocation") {
+    // PNG claiming 65536x65536 with a FIXED-UP CRC: the product overflows
+    // a naive w*h*3 Int, so the reject must come from the pixel-count cap,
+    // not from NegativeArraySizeException downstream.
+    val ok = Codecs.pngEncode(BmpImage(4, 4, Array.fill(48)(9)))
+    val bomb = ok.clone()
+    val bb = java.nio.ByteBuffer.wrap(bomb)
+    bb.putInt(16, 65536).putInt(20, 65536) // IHDR w, h
+    val c = new java.util.zip.CRC32
+    c.update("IHDR".getBytes("US-ASCII")); c.update(bomb, 16, 13)
+    bb.putInt(29, c.getValue.toInt)
+    val e1 = intercept[IllegalArgumentException](Codecs.pngDecode(bomb))
+    e1.getMessage should include ("unsupported dimensions")
+    // short IHDR with a valid CRC must reject on length, not index past it
+    val short = new java.io.ByteArrayOutputStream()
+    short.write(ok, 0, 8)
+    val ihdr5 = Array[Byte](0, 0, 0, 5) ++ "IHDR".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5)
+    val c2 = new java.util.zip.CRC32
+    c2.update("IHDR".getBytes("US-ASCII")); c2.update(Array[Byte](1, 2, 3, 4, 5))
+    short.write(ihdr5)
+    short.write(java.nio.ByteBuffer.allocate(4).putInt(c2.getValue.toInt).array())
+    short.write(ok, 33, ok.length - 33) // original IDAT + IEND
+    val e2 = intercept[IllegalArgumentException](Codecs.pngDecode(short.toByteArray))
+    e2.getMessage should include ("bad IHDR length")
+    // RLE8 with a bomb geometry (no CRC to fix in BMP headers)
+    val rle = Codecs.bmpEncodeRle8(4, 3, Array.fill(12)(1))
+    val rbomb = rle.clone()
+    java.nio.ByteBuffer.wrap(rbomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 65536).putInt(22, 65536)
+    val e3 = intercept[IllegalArgumentException](Codecs.bmpDecodeRle8(rbomb))
+    e3.getMessage should include ("unsupported dimensions")
+  }
+
+  test("mutation fuzz: corrupt containers reject cleanly, never crash wild") {
+    // The decoder fence contract: ANY byte corruption either still decodes
+    // or throws the documented IllegalArgumentException — no index/alloc/
+    // arithmetic crashes leak from header-controlled values.
+    val rnd = new scala.util.Random(97)
+    val img = BmpImage(7, 5, Array.tabulate(105)(j => (j * 19) % 256))
+    val fixtures: Seq[Array[Byte]] = Seq(
+      Codecs.bmpEncode(img),
+      Codecs.pngEncode(img),
+      Codecs.bmpEncodeRle8(7, 5, Array.tabulate(35)(j => (j * 13) % 256)),
+      Codecs.bmpEncode32(img),
+      Codecs.wavEncode(WavAudio(8000, Array.tabulate(40)(k => (k * 321 - 6000).toShort))),
+      Codecs.wavEncode(WavAudio(8000, Array.tabulate(40)(k => (k * 321 - 6000).toShort), 2)),
+      Codecs.wavEncode8(WavAudio(8000, Array.tabulate(39)(k => ((k % 200 - 100) * 256).toShort))),
+      Codecs.wavEncode24(WavAudio(8000, Array.tabulate(21)(k => (k * 777 - 8000).toShort))))
+    for (base <- fixtures; _ <- 1 to 150) {
+      val mutated = base.clone()
+      for (_ <- 0 to rnd.nextInt(4)) // 1..4 byte flips, headers included
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try {
+        Codecs.imageDecode(mutated); ()
+      } catch { case _: IllegalArgumentException => () } // the ONLY legal throw
+      try {
+        Codecs.wavDecode(mutated); ()
+      } catch { case _: IllegalArgumentException => () }
+    }
+    // truncations at every prefix length of a small file, same contract
+    val png = Codecs.pngEncode(BmpImage(3, 2, Array.fill(18)(5)))
+    for (n <- 0 until png.length) {
+      try { Codecs.imageDecode(png.take(n)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("synthetic media specs match their closed forms") {
     val img = Multimodal.imageSpec(6L)
     img.width shouldBe (5 + 6 % 12)
