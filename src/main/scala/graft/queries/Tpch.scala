@@ -969,13 +969,14 @@ object Tpch {
     * decimal ratios, and the 95% interval is the exact interpolated
     * [2.5, 97.5] percentile over the [[BootstrapReps]] means. Scale shape:
     * every replicate's (weighted sum, weight count) is a PAIR OF AGGREGATE
-    * BUFFERS in one single-group aggregation — 2B buffers over one scan,
-    * NO ×B row explode (measured 4.2 s → explode removed at sf0.1: the
-    * explode materialized rows×B through the partial aggregate for no
-    * information the 2B buffers don't carry). At fleet scale the weights
-    * are computed in the same scan as the sum — no per-replicate pass
-    * over the data, which is the whole point of weight-based bootstrap on
-    * clusters (vs B shuffled resamples). */
+    * BUFFERS in one single-group aggregation — 2B+2 buffers over ONE scan
+    * (the full-population sum/count ride the same aggregation, so orders
+    * is read exactly once), NO ×B row explode (measured 4.2 s → explode
+    * removed at sf0.1: the explode materialized rows×B through the
+    * partial aggregate for no information the buffers don't carry). At
+    * fleet scale the weights are computed in the same scan as the sum —
+    * no per-replicate pass over the data, which is the whole point of
+    * weight-based bootstrap on clusters (vs B shuffled resamples). */
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
     def w(b: Int) = graft.functions.Portable.hash60(
@@ -983,18 +984,21 @@ object Tpch {
     val buffers = (0 until BootstrapReps).flatMap { b =>
       Seq(sum((col("o_totalprice") * w(b)).cast(DecimalType(38, 10))).as(s"s$b"),
         sum(w(b)).as(s"c$b"))
-    }
+    } ++ Seq(
+      sum(col("o_totalprice").cast(DecimalType(38, 10))).as("s_full"),
+      count(lit(1)).as("c_full"))
     val reps = o.agg(buffers.head, buffers.tail: _*)
-    val means = reps.select(explode(array((0 until BootstrapReps).map(b =>
-        round(col(s"s$b").cast("double") / col(s"c$b"), 6)): _*)).as("m"))
-    val full = o.agg(round(
-      sum(col("o_totalprice").cast(DecimalType(38, 10))).cast("double")
-        / count(lit(1)), 6).as("full_mean"))
+    // full_mean fans out with the 32 replicate rows (every copy equal, so
+    // the max() below is deterministic) — no second relation, no rescan
+    val means = reps.select(
+      explode(array((0 until BootstrapReps).map(b =>
+        round(col(s"s$b").cast("double") / col(s"c$b"), 6)): _*)).as("m"),
+      round(col("s_full").cast("double") / col("c_full"), 6).as("full_mean"))
     means
       .agg(count(lit(1)).as("n_reps"),
+        max(col("full_mean")).as("full_mean"),
         round(expr("percentile(m, 0.025)"), 4).as("ci_lo"),
         round(expr("percentile(m, 0.975)"), 4).as("ci_hi"))
-      .crossJoin(broadcast(full))
       .select("n_reps", "full_mean", "ci_lo", "ci_hi")
   }
 

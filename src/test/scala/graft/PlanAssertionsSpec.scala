@@ -259,7 +259,7 @@ class PlanAssertionsSpec extends SparkTestBase {
       case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
         a.aggregateExpressions.size
     }
-    aggWidths.max should be >= 2 * Tpch.BootstrapReps
-    "Scan parquet".r.findAllIn(p).size shouldBe 2 // replicate agg + full mean
+    aggWidths.max should be >= 2 * Tpch.BootstrapReps + 2 // + full sum/count
+    "Scan parquet".r.findAllIn(p).size shouldBe 1 // ONE orders scan, total
   }
 }
