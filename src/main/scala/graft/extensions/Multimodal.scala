@@ -423,28 +423,28 @@ object Multimodal {
 
   /** Modality routing — the dispatch stage of a mixed-media pipeline: sniff
     * each payload's type (real corpora read magic bytes; here the first
-    * payload byte mod 3, deterministic on both engines via ascii()), send
-    * each row down its modality's branch (image → pixel estimate, audio →
-    * duration estimate, text → token count), and union the branch outputs
-    * back into one typed relation. The branches are independent narrow
-    * pipelines over a shared scan — Catalyst collapses the three filters
-    * into one pass per branch with no shuffle until the final sort; at
-    * scale each branch would carry its own decoder (the [[extractFeatures]]
-    * batched shape) without ever touching the other modalities' rows. */
+    * payload byte mod 3, deterministic on both engines via ascii()) and
+    * send each row down its modality's branch (image → pixel estimate,
+    * audio → duration estimate, text → token count). Every row lands in
+    * exactly one branch, so the dispatch is ONE projection with per-route
+    * CASE arms over ONE scan — the filter-per-branch-then-union form read
+    * the corpus three times for the same rows (plan-dump observed). At
+    * scale each arm would carry its own decoder (the [[extractFeatures]]
+    * batched shape) without ever touching the other modalities' rows; the
+    * only shuffle is the output sort. */
   def multimodalRoute(spark: SparkSession, dir: String): DataFrame = {
-    val m = Tables.documents(spark, dir)
-      .select(col("doc_id").as("media_id"), col("text"),
-        (ascii(substring(col("text"), 1, 1)) % 3).as("route"))
-    val img = m.filter(col("route") === 0).select(
-      col("media_id"), lit("image").as("modality"), lit("n_pixels").as("metric"),
-      (octet_length(col("text").cast("binary")) * 3).cast("long").as("value"))
-    val aud = m.filter(col("route") === 1).select(
-      col("media_id"), lit("audio").as("modality"), lit("duration_ms").as("metric"),
-      (octet_length(col("text").cast("binary")) * 8).cast("long").as("value"))
-    val txt = m.filter(col("route") === 2).select(
-      col("media_id"), lit("text").as("modality"), lit("n_tokens").as("metric"),
-      size(graft.functions.Portable.tokens(col("text"))).cast("long").as("value"))
-    img.unionByName(aud).unionByName(txt).orderBy("media_id")
+    val route = ascii(substring(col("text"), 1, 1)) % 3
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        when(route === 0, "image").when(route === 1, "audio")
+          .otherwise("text").as("modality"),
+        when(route === 0, "n_pixels").when(route === 1, "duration_ms")
+          .otherwise("n_tokens").as("metric"),
+        when(route === 0, (octet_length(col("text").cast("binary")) * 3).cast("long"))
+          .when(route === 1, (octet_length(col("text").cast("binary")) * 8).cast("long"))
+          .otherwise(size(graft.functions.Portable.tokens(col("text"))).cast("long"))
+          .as("value"))
+      .orderBy("media_id")
   }
 
   /** aHash geometry: up to [[AhashBits]] above-mean bits, banded

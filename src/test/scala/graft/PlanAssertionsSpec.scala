@@ -237,6 +237,19 @@ class PlanAssertionsSpec extends SparkTestBase {
     p.indexOf("Window") should be < p.indexOf("HashAggregate")
   }
 
+  test("integrity audit: one lineitem/customer scan, two slim orders scans") {
+    val p = planOf(Tpch.qIntegrityAudit(spark, sf))
+    "lineitem.parquet".r.findAllIn(p).size shouldBe 1
+    "customer.parquet".r.findAllIn(p).size shouldBe 1
+    "orders.parquet".r.findAllIn(p).size shouldBe 2 // key-only projections
+  }
+
+  test("modality routing: one documents scan, no union fan-out") {
+    val p = planOf(graft.extensions.Multimodal.multimodalRoute(spark, sf))
+    "documents.parquet".r.findAllIn(p).size shouldBe 1
+    p should not include "Union"
+  }
+
   test("image near-dup: banded pair generation is an equi-join, never all-pairs") {
     val p = planOf(graft.extensions.Multimodal.multimodalImageNeardup(spark, sf))
     p should not include "NestedLoop"
