@@ -434,10 +434,13 @@ object Similarity {
       .select(col("vec_id"), col("m"), col("cent_id"), col("cn2"),
         round(expr("aggregate(zip_with(sub, csub, (a, b) -> (a - b) * (a - b)), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 6)
           .as("d2"))
+    // the O(n·k·m) assignment + window runs ONCE for its two consumers
+    // (reconstructed norms + ADC scoring) — n×m slim rows to hold
     val codes = d2.withColumn("rk", row_number().over(
         Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("cent_id").asc)))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("m"), col("cent_id").as("code"), col("cn2"))
+      .localCheckpoint()
     val rnorm = codes.groupBy("vec_id")
       .agg(sqrt(sum(col("cn2").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
         .cast("double")).as("rn"))
