@@ -159,6 +159,10 @@ object Graph {
   def clusterAssign(items: DataFrame, id: String, pairs: DataFrame,
                     srcCol: String, dstCol: String): DataFrame = {
     val comp = connectedComponents(pairs, srcCol, dstCol)
+    // two lazy consumers (size agg + the final join) — deliberately NOT
+    // checkpointed: the size agg groups on the join's own output key, so
+    // ReuseExchange serves both consumers from one computation, and an
+    // eager checkpoint here measured ~25% SLOWER at sf0.1
     val assigned = items.select(col(id))
       .join(comp.withColumnRenamed("node", id), Seq(id), "left")
       .select(col(id), coalesce(col("component"), col(id)).as("cluster_id"))
