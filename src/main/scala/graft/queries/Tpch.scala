@@ -985,11 +985,28 @@ object Tpch {
   /** Bootstrap replicate count for [[qBootstrapCi]]. */
   val BootstrapReps = 32
 
+  // Fixed affine coefficients deriving every replicate's weight from ONE
+  // base hash per order (seeded, so the oracle embeds identical literals)
+  // — the MinHash-signature trick applied to bootstrap weights.
+  private val (bootA, bootB) = {
+    val rnd = new scala.util.Random(23)
+    def draw() = Array.fill(BootstrapReps)(
+      1L + (rnd.nextLong().abs % (graft.functions.Portable.P31 - 1)))
+    (draw(), draw())
+  }
+  private val bootParamsValues = (0 until BootstrapReps)
+    .map(i => s"(${i}, ${bootA(i)}, ${bootB(i)})").mkString(", ")
+
   /** Bootstrap confidence interval for the mean order price — resampling-
     * based uncertainty quantification, derandomized so both engines build
-    * the SAME replicates: replicate b weights each order by
-    * hash60(key‖b) mod 3 ∈ {0,1,2} (mean-1 integer weights — the
-    * m-out-of-n multinomial bootstrap shape), replicate means are exact
+    * the SAME replicates: each order is hashed ONCE (60-bit md5 reduced
+    * mod P31) and replicate b's weight is an affine map of that hash,
+    * ((a_b·h + c_b) mod P31) mod 3 ∈ {0,1,2} — the MinHash K-signature
+    * derivation applied to bootstrap weights, replacing 32 md5
+    * evaluations per row with one md5 plus 32 multiplies (the md5 chain
+    * WAS the hot loop: the whole query is one scan). Weights stay mean-1
+    * integers (the m-out-of-n multinomial bootstrap shape) and pairwise
+    * independent across replicates; replicate means are exact
     * decimal ratios, and the 95% interval is the exact interpolated
     * [2.5, 97.5] percentile over the [[BootstrapReps]] means. Scale shape:
     * every replicate's (weighted sum, weight count) is a PAIR OF AGGREGATE
@@ -1002,9 +1019,12 @@ object Tpch {
     * no per-replicate pass over the data, which is the whole point of
     * weight-based bootstrap on clusters (vs B shuffled resamples). */
   def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
-    def w(b: Int) = graft.functions.Portable.hash60(
-      concat(col("o_orderkey").cast("string"), lit("_" + b))) % 3
+    val o = Tables.orders(spark, dir).select(col("o_totalprice"),
+      (graft.functions.Portable.hash60(col("o_orderkey").cast("string"))
+        % graft.functions.Portable.P31).as("h"))
+    def w(b: Int) =
+      ((lit(bootA(b)) * col("h") + lit(bootB(b)))
+        % graft.functions.Portable.P31) % 3
     val buffers = (0 until BootstrapReps).flatMap { b =>
       Seq(sum((col("o_totalprice") * w(b)).cast(DecimalType(38, 10))).as(s"s$b"),
         sum(w(b)).as(s"c$b"))
@@ -1054,11 +1074,14 @@ object Tpch {
          |ORDER BY lift DESC, a ASC, b ASC""".stripMargin,
 
     "q_bootstrap_ci" ->
-      s"""WITH rep AS (
-         |  SELECT b, o_totalprice,
-         |         ('0x' || substr(md5(o_orderkey::VARCHAR || '_' || b), 1, 15))::BIGINT % 3 AS w
-         |  FROM orders,
-         |       (SELECT unnest(generate_series(0, ${BootstrapReps - 1})) AS b) bs
+      s"""WITH o AS (
+         |  SELECT o_totalprice,
+         |         ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT % 2147483647 AS h
+         |  FROM orders
+         |), params(b, pa, pc) AS (VALUES $bootParamsValues),
+         |rep AS (
+         |  SELECT b, o_totalprice, ((pa * h + pc) % 2147483647) % 3 AS w
+         |  FROM o CROSS JOIN params
          |), means AS (
          |  SELECT b,
          |         round(CAST(sum(CAST(o_totalprice * w AS DECIMAL(38,10))) AS DOUBLE)
@@ -1067,7 +1090,7 @@ object Tpch {
          |), fm AS (
          |  SELECT round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE)
          |               / count(*), 6) AS full_mean
-         |  FROM orders
+         |  FROM o
          |)
          |SELECT count(*) AS n_reps, full_mean,
          |       round(quantile_cont(m, 0.025), 4) AS ci_lo,
