@@ -279,11 +279,17 @@ object Codecs {
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
-    val got = try inf.inflate(raw) catch {
+    val (got, ended) = try {
+      val n = inf.inflate(raw)
+      (n, inf.finished())
+    } catch {
       case e: java.util.zip.DataFormatException =>
         throw new IllegalArgumentException(s"corrupt IDAT: ${e.getMessage}")
     } finally inf.end()
     require(got == raw.length, s"IDAT inflated to $got bytes, want ${raw.length}")
+    // the stream must END at the declared geometry — surplus rows in the
+    // zlib stream are a geometry mismatch, not data to silently drop
+    require(ended, "IDAT stream continues past the declared geometry")
     val rgb = new Array[Int](w * h * 3)
     var y = 0
     while (y < h) {
@@ -366,6 +372,10 @@ object Codecs {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val offset = buf.getInt(10)
     val headerSize = buf.getInt(14)
+    // header-controlled: a negative/huge biSize would swing palOff below
+    // zero past the Long checks further down — reject before arithmetic
+    // (40 = BITMAPINFOHEADER; 124 = BITMAPV5HEADER; 1024 headroom)
+    require(headerSize >= 40 && headerSize <= 1024, s"bad header size $headerSize")
     val w = buf.getInt(18)
     val h = buf.getInt(22)
     val bpp = buf.getShort(28)
@@ -553,7 +563,11 @@ object Codecs {
     while (pos + 8 <= bytes.length && (rate < 0 || dataPos < 0)) {
       val id = new String(bytes, pos, 4, "US-ASCII")
       val size = buf.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length, s"truncated chunk $id")
+      // Long bound: a size near Int.MaxValue wraps an Int sum negative,
+      // slips past the check, and turns into a ~2 GiB allocation instead
+      // of the documented reject (the bmpDecode overflow fix, here too)
+      require(size >= 0 && pos + 8 + size.toLong <= bytes.length,
+        s"truncated chunk $id")
       id match {
         case "fmt " =>
           require(buf.getShort(pos + 8) == 1, "not PCM")
@@ -572,7 +586,11 @@ object Codecs {
     require(rate > 0, "missing fmt chunk")
     require(dataPos >= 0, "missing data chunk")
     // fmt is required BEFORE data by the spec, and we only read data here,
-    // so bits/channels are known by now
+    // so bits/channels are known by now. Decode symmetry with the
+    // encoder's ragged-interleave reject: the data chunk must hold whole
+    // frames (the RIFF pad byte lives OUTSIDE the declared size).
+    require(dataSize % (channels * (bits / 8)) == 0,
+      s"ragged data chunk ($dataSize bytes, $channels ch × $bits bit)")
     val out =
       if (bits == 16) {
         val n = dataSize / 2

@@ -490,13 +490,19 @@ object Multimodal {
   /** One-payload perceptual fingerprint for ingest screens: sniff the
     * container, decode, and hash (images → [[ahashOf]], audio →
     * [[audioFpOf]]); None when nothing decodes — the caller's fallback
-    * lane. Used by the STREAMING known-content screen
+    * lane. An all-zero fingerprint (flat image, silent/too-short clip) is
+    * ALSO None: it carries no perceptual information, and matching on it
+    * would flag every degenerate payload against any degenerate known
+    * item — a systematic false-positive class a screen must not have.
+    * Used by the STREAMING known-content screen
     * ([[graft.streaming.StreamingOps.mediaFingerprintScreen]]). */
   def mediaFingerprint(payload: Array[Byte]): Option[Long] =
     try {
-      if (isImage(payload)) Some(ahashOf(Codecs.imageDecode(payload)))
-      else if (isWav(payload)) Some(audioFpOf(Codecs.wavDecode(payload).samples)._2)
-      else None
+      val fp =
+        if (isImage(payload)) Some(ahashOf(Codecs.imageDecode(payload)))
+        else if (isWav(payload)) Some(audioFpOf(Codecs.wavDecode(payload).samples)._2)
+        else None
+      fp.filter(_ != 0L)
     } catch { case _: IllegalArgumentException => None }
 
   private def imageAhash(spark: SparkSession, dir: String): Dataset[AhashRow] = {
@@ -523,21 +529,32 @@ object Multimodal {
   /** IMAGE near-duplicate pairs by banded aHash — the image-domain twin of
     * `dedup_simhash`: fingerprints band into [[AhashBands]] ×
     * [[AhashBandBits]]-bit buckets, candidates collide on ≥1 band
-    * (pigeonhole: hamming ≤ [[AhashMaxHamming]] < [[AhashBands]] forces a
-    * clean band — recall 1, no all-pairs join), then exact
-    * `bit_count(xor)` verifies. Scale shape: the pair join is an
-    * EQUI-join on (band, bucket) — hash exchange, work bounded by bucket
-    * occupancy, the same contract every text near-dup query in the engine
-    * honors. */
+    * (pigeonhole among same-bit-length fingerprints: hamming ≤
+    * [[AhashMaxHamming]] < [[AhashBands]] forces a clean band — recall 1,
+    * no all-pairs join), then exact `bit_count(xor)` verifies.
+    *
+    * The fingerprint's BIT LENGTH (min(60, n_pixels)) joins the bucket
+    * key, for the same reason the audio twin carries its window count:
+    * small images cannot populate the high bands, so without the length
+    * every small image collides with every other on an all-zero band and
+    * candidate generation degenerates toward all-pairs over the small-
+    * image population (measured at sf0.01: 8166 → 890 candidate pairs,
+    * max bucket 105 → 12). Semantics tighten to same-bit-length pairs —
+    * an aligned comparison, which is what a positional hamming distance
+    * means anyway. Scale shape: the pair join is an EQUI-join on (band,
+    * bucket, bits) — hash exchange, work bounded by bucket occupancy, the
+    * same contract every text near-dup query in the engine honors. */
   def multimodalImageNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val h = imageAhash(spark, dir).toDF().localCheckpoint() // both join sides
     val banded = h.select(col("media_id"), col("ahash"),
+        least(col("n_pixels"), lit(AhashBits.toLong)).as("bits"),
         explode(expr(s"sequence(0, ${AhashBands - 1})")).as("band"))
       .withColumn("bkt",
         expr(s"shiftright(ahash, band * $AhashBandBits) & $AhashBandMask"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.bits") === col("y.bits") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
         bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("hamming"))
@@ -985,7 +1002,7 @@ object Multimodal {
     "multimodal_image_neardup" ->
       s"""$ahashCtes
          |, banded AS (
-         |  SELECT media_id, ahash, band,
+         |  SELECT media_id, ahash, least(n, $AhashBits) AS nb, band,
          |         (ahash >> (band * $AhashBandBits)) & $AhashBandMask AS bkt
          |  FROM bits CROSS JOIN
          |       (SELECT unnest(generate_series(0, ${AhashBands - 1})) AS band) bs
@@ -993,7 +1010,8 @@ object Multimodal {
          |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
          |       CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming
          |FROM banded x JOIN banded y
-         |  ON x.band = y.band AND x.bkt = y.bkt AND x.media_id < y.media_id
+         |  ON x.band = y.band AND x.bkt = y.bkt AND x.nb = y.nb
+         |     AND x.media_id < y.media_id
          |WHERE bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming
          |ORDER BY media_a, media_b""".stripMargin,
 

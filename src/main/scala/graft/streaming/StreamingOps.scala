@@ -304,7 +304,11 @@ object StreamingOps {
         (m.media_id, m.mime, graft.extensions.Multimodal.mediaFingerprint(m.payload))
       }
     }.toDF("media_id", "mime", "fp")
-    fps.join(broadcast(knownFps.select(col("fp"), lit(true).as("hit"))), Seq("fp"), "left")
+    // distinct: a real block list repeats fingerprints across near-dup
+    // known items; without it each arriving match fans out one row per
+    // duplicate known entry
+    fps.join(broadcast(knownFps.select("fp").distinct().withColumn("hit", lit(true))),
+        Seq("fp"), "left")
       .select(col("media_id"), col("mime"), col("fp"),
         coalesce(col("hit"), lit(false)).as("flagged"))
   }

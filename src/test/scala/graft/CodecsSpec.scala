@@ -258,6 +258,40 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     e3.getMessage should include ("unsupported dimensions")
   }
 
+  test("review findings: header arithmetic cannot escape the IAE contract") {
+    // negative biSize: palOff would go negative past the Long checks
+    val rle = Codecs.bmpEncodeRle8(4, 3, Array.tabulate(12)(_ * 9 % 256))
+    val negHdr = rle.clone()
+    java.nio.ByteBuffer.wrap(negHdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(14, 0x88000000)
+    val e1 = intercept[IllegalArgumentException](Codecs.bmpDecodeRle8(negHdr))
+    e1.getMessage should include ("bad header size")
+    // WAV data chunk declaring ~Int.MaxValue: Int sum wraps negative and
+    // previously slipped past the bound into a ~2 GiB allocation
+    val wav = Codecs.wavEncode(WavAudio(8000, Array[Short](1, 2, 3, 4)))
+    val huge = wav.clone()
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0x7ffffff0)
+    val e2 = intercept[IllegalArgumentException](Codecs.wavDecode(huge))
+    e2.getMessage should include ("truncated chunk")
+    // ragged 16-bit data (3 bytes) must reject like the encoder would
+    val ragged = wav.clone()
+    java.nio.ByteBuffer.wrap(ragged).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 3)
+    val e3 = intercept[IllegalArgumentException](Codecs.wavDecode(ragged))
+    e3.getMessage should include ("ragged")
+    // PNG whose zlib stream holds MORE rows than IHDR declares: the
+    // surplus is a geometry mismatch, not data to silently drop
+    val threeRows = Codecs.pngEncode(BmpImage(3, 3, Array.tabulate(27)(_ * 7 % 256)))
+    val shrunk = threeRows.clone()
+    java.nio.ByteBuffer.wrap(shrunk).putInt(20, 2) // IHDR h: 3 -> 2
+    val c = new java.util.zip.CRC32
+    c.update("IHDR".getBytes("US-ASCII")); c.update(shrunk, 16, 13)
+    java.nio.ByteBuffer.wrap(shrunk).putInt(29, c.getValue.toInt)
+    val e4 = intercept[IllegalArgumentException](Codecs.pngDecode(shrunk))
+    e4.getMessage should include ("past the declared geometry")
+  }
+
   test("mutation fuzz: corrupt containers reject cleanly, never crash wild") {
     // The decoder fence contract: ANY byte corruption either still decodes
     // or throws the documented IllegalArgumentException — no index/alloc/

@@ -130,6 +130,19 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.audioFpOf(samples ++ Array[Short](9, 9, 9))._1 shouldBe 16
   }
 
+  test("mediaFingerprint: zero-information payloads return None, not Some(0)") {
+    import graft.extensions.{BmpImage, Codecs, WavAudio}
+    // flat image and silent clip both hash to 0 — matching on 0 would flag
+    // every degenerate payload against any degenerate known item
+    Multimodal.mediaFingerprint(
+      Codecs.bmpEncode(BmpImage(4, 4, Array.fill(48)(77)))) shouldBe None
+    Multimodal.mediaFingerprint(
+      Codecs.wavEncode(WavAudio(8000, Array.fill(16)(0.toShort)))) shouldBe None
+    // a structured payload still fingerprints
+    Multimodal.mediaFingerprint(Codecs.bmpEncode(
+      BmpImage(4, 4, Array.tabulate(48)(j => (j * 31) % 256)))) should not be None
+  }
+
   test("sampleFrames chunks payloads into fixed-size frames") {
     val frames = Multimodal.sampleFrames(media.toDS())
       .groupBy("media_id").agg(count(lit(1)).as("n"))
