@@ -643,6 +643,24 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** END-TO-END media curation — the multimodal twin of
+    * `pipeline_corpus_build`: the decodable-image universe flows through
+    * perceptual fingerprinting ([[multimodalAhash]]'s kernel), banded
+    * near-dup pair generation ([[multimodalImageNeardup]]'s exact
+    * semantics), and duplicate-cluster election
+    * ([[graft.ops.Graph.clusterAssign]] — hash-min components with the
+    * alternating-star fallback), producing per-image lineage: cluster id,
+    * cluster size, and the canonical flag — `WHERE is_canonical` IS the
+    * deduplicated media set. Every stage reuses a gated operator's exact
+    * semantics; the oracle replays fingerprint → banding → verify →
+    * recursive-CTE components end to end. */
+  def multimodalMediaCuration(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = multimodalImageNeardup(spark, dir).select("media_a", "media_b")
+    val images = imageAhash(spark, dir).toDF().select("media_id")
+    graft.ops.Graph.clusterAssign(images, "media_id", pairs, "media_a", "media_b")
+      .orderBy("media_id")
+  }
+
   /** Exact frame-set Jaccard threshold for [[multimodalVideoNeardup]]. */
   val VideoJaccardTau = 0.5
 
@@ -850,6 +868,39 @@ object Multimodal {
          |JOIN sz nb ON media_b = nb.media_id
          |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= $VideoJaccardTau
          |ORDER BY media_a, media_b""".stripMargin,
+
+    "multimodal_media_curation" ->
+      s"""${ahashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")}
+         |, banded AS (
+         |  SELECT media_id, ahash, least(n, $AhashBits) AS nb, band,
+         |         (ahash >> (band * $AhashBandBits)) & $AhashBandMask AS bkt
+         |  FROM bits CROSS JOIN
+         |       (SELECT unnest(generate_series(0, ${AhashBands - 1})) AS band) bs
+         |), vpairs AS (
+         |  SELECT DISTINCT x.media_id AS a, y.media_id AS b
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.nb = y.nb
+         |       AND x.media_id < y.media_id
+         |  WHERE bit_count(xor(x.ahash, y.ahash)) <= $AhashMaxHamming
+         |), gedges AS (
+         |  SELECT a AS n, b AS m FROM vpairs
+         |  UNION SELECT b, a FROM vpairs
+         |), reach AS (
+         |  SELECT n AS node, n AS lbl FROM gedges
+         |  UNION
+         |  SELECT e.m AS node, r.lbl FROM reach r JOIN gedges e ON e.n = r.node
+         |), comp AS (
+         |  SELECT node, min(lbl) AS component FROM reach GROUP BY node
+         |), assigned AS (
+         |  SELECT b2.media_id, coalesce(c.component, b2.media_id) AS cluster_id
+         |  FROM bits b2 LEFT JOIN comp c ON b2.media_id = c.node
+         |), sizes AS (
+         |  SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY cluster_id
+         |)
+         |SELECT a.media_id, a.cluster_id, s.cluster_size,
+         |       a.media_id = a.cluster_id AS is_canonical
+         |FROM assigned a JOIN sizes s USING (cluster_id)
+         |ORDER BY a.media_id""".stripMargin,
 
     "multimodal_audio_fingerprint" ->
       s"""$audioFpCtes
@@ -1082,6 +1133,7 @@ object Multimodal {
     "multimodal_audio_fingerprint" -> (multimodalAudioFingerprint _),
     "multimodal_audio_neardup" -> (multimodalAudioNeardup _),
     "multimodal_video_neardup" -> (multimodalVideoNeardup _),
+    "multimodal_media_curation" -> (multimodalMediaCuration _),
     "multimodal_integrity"   -> (multimodalIntegrity _),
     "multimodal_fusion_centroids" -> (multimodalFusionCentroids _),
   )
