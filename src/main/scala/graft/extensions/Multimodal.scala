@@ -544,9 +544,15 @@ object Multimodal {
     * means anyway. Scale shape: the pair join is an EQUI-join on (band,
     * bucket, bits) — hash exchange, work bounded by bucket occupancy, the
     * same contract every text near-dup query in the engine honors. */
-  def multimodalImageNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val h = imageAhash(spark, dir).toDF().localCheckpoint() // both join sides
+  def multimodalImageNeardup(spark: SparkSession, dir: String): DataFrame =
+    imageNeardupPairs(imageAhash(spark, dir).toDF().localCheckpoint())
+      .orderBy("media_a", "media_b")
+
+  /** The banded pair join over an already-materialized fingerprint
+    * relation — split out so the curation pipeline can feed ONE
+    * fingerprint pass to both the pair generation and the cluster
+    * universe. `h` must be materialized (both join sides read it). */
+  private def imageNeardupPairs(h: DataFrame): DataFrame = {
     val banded = h.select(col("media_id"), col("ahash"),
         least(col("n_pixels"), lit(AhashBits.toLong)).as("bits"),
         explode(expr(s"sequence(0, ${AhashBands - 1})")).as("band"))
@@ -560,7 +566,6 @@ object Multimodal {
         bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).as("hamming"))
       .filter(col("hamming") <= AhashMaxHamming)
       .distinct()
-      .orderBy("media_a", "media_b")
   }
 
   /** Audio-fingerprint geometry: [[AfpWindow]]-sample energy windows over
@@ -655,9 +660,16 @@ object Multimodal {
     * semantics; the oracle replays fingerprint → banding → verify →
     * recursive-CTE components end to end. */
   def multimodalMediaCuration(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = multimodalImageNeardup(spark, dir).select("media_a", "media_b")
-    val images = imageAhash(spark, dir).toDF().select("media_id")
-    graft.ops.Graph.clusterAssign(images, "media_id", pairs, "media_a", "media_b")
+    // ONE decode+fingerprint pass feeds both the pair join and the
+    // cluster universe
+    val h = imageAhash(spark, dir).toDF().localCheckpoint()
+    val pairs = imageNeardupPairs(h).select("media_a", "media_b")
+    // starsFirst: brightness-shift siblings CHAIN (d ~ d+84 ~ d+168 ...),
+    // so this pair graph has long diameters — hash-min would burn its
+    // whole round budget and fall back to stars anyway (measured 9.6 s
+    // hash-min-then-fallback vs 5.6 s stars-first at sf0.1)
+    graft.ops.Graph.clusterAssign(h.select("media_id"), "media_id",
+        pairs, "media_a", "media_b", starsFirst = true)
       .orderBy("media_id")
   }
 

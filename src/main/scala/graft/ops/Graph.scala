@@ -34,13 +34,18 @@ object Graph {
     * @param edges undirected edge list; each row one edge.
     * @return (`node`, `component`) — component = min node id reachable.
     */
-  def connectedComponents(edges: DataFrame, src: String = "src",
-                          dst: String = "dst", maxIter: Int = 20): DataFrame = {
+  /** Symmetric, self-loop-free, materialized edge relation (`n`, `m`). */
+  private def symmetrize(edges: DataFrame, src: String, dst: String): DataFrame = {
     // Materialize the (possibly expensive) edge pipeline before the
     // both-directions union reads it twice.
     val e0 = edges.select(col(src).as("n"), col(dst).as("m")).localCheckpoint()
-    val sym = e0.union(e0.select(col("m").as("n"), col("n").as("m")))
+    e0.union(e0.select(col("m").as("n"), col("n").as("m")))
       .filter(col("n") =!= col("m")).distinct().localCheckpoint()
+  }
+
+  def connectedComponents(edges: DataFrame, src: String = "src",
+                          dst: String = "dst", maxIter: Int = 20): DataFrame = {
+    val sym = symmetrize(edges, src, dst)
     var labels = sym.select(col("n").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -156,9 +161,17 @@ object Graph {
     * @param items one row per item; `id` names its key column.
     * @param pairs duplicate pairs over those ids (columns `srcCol`,`dstCol`).
     */
+  /** @param starsFirst skip hash-min and run the alternating-star scheme
+    *                    directly — the right call when the pair graph is
+    *                    KNOWN to carry long chains (e.g. perceptual-hash
+    *                    shift chains), where hash-min burns its full
+    *                    diameter budget before falling back anyway. */
   def clusterAssign(items: DataFrame, id: String, pairs: DataFrame,
-                    srcCol: String, dstCol: String): DataFrame = {
-    val comp = connectedComponents(pairs, srcCol, dstCol)
+                    srcCol: String, dstCol: String,
+                    starsFirst: Boolean = false): DataFrame = {
+    val comp =
+      if (starsFirst) connectedComponentsStars(symmetrize(pairs, srcCol, dstCol))
+      else connectedComponents(pairs, srcCol, dstCol)
     // two lazy consumers (size agg + the final join) — deliberately NOT
     // checkpointed: the size agg groups on the join's own output key, so
     // ReuseExchange serves both consumers from one computation, and an
