@@ -280,7 +280,15 @@ object Codecs {
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     val (got, ended) = try {
-      val n = inf.inflate(raw)
+      // inflate() may return partial output per call (JDK contract) —
+      // drain until the stream finishes or stops making progress
+      var n = 0
+      var progressing = true
+      while (progressing && !inf.finished() && n < raw.length) {
+        val k = inf.inflate(raw, n, raw.length - n)
+        if (k == 0 && (inf.finished() || inf.needsInput())) progressing = false
+        n += k
+      }
       (n, inf.finished())
     } catch {
       case e: java.util.zip.DataFormatException =>
@@ -409,6 +417,9 @@ object Codecs {
         case 2 =>                 // delta: skip right/up, pixels stay 0
           require(pos + 2 <= bytes.length, "truncated delta")
           x += bytes(pos) & 0xff; row += bytes(pos + 1) & 0xff; pos += 2
+          // unbounded deltas could wrap row*w+x past Int range, turning
+          // the write guards into ArrayIndexOutOfBounds — reject here
+          require(x <= w && row <= h, "RLE delta past raster")
         case cnt =>               // absolute mode: cnt literal indices, even-padded
           require(pos + cnt + (cnt & 1) <= bytes.length, "truncated absolute run")
           var k = 0

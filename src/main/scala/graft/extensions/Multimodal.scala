@@ -552,8 +552,13 @@ object Multimodal {
     * relation — split out so the curation pipeline can feed ONE
     * fingerprint pass to both the pair generation and the cluster
     * universe. `h` must be materialized (both join sides read it). */
-  private def imageNeardupPairs(h: DataFrame): DataFrame = {
-    val banded = h.select(col("media_id"), col("ahash"),
+  private[graft] def imageNeardupPairs(h: DataFrame): DataFrame = {
+    // all-zero fingerprints (flat images) carry no perceptual signal and
+    // would pair every degenerate image with every other of the same bit
+    // length — the same false-positive class the streaming screen drops
+    // (mediaFingerprint) — so they never enter pair generation
+    val banded = h.filter(col("ahash") =!= 0L)
+      .select(col("media_id"), col("ahash"),
         least(col("n_pixels"), lit(AhashBits.toLong)).as("bits"),
         explode(expr(s"sequence(0, ${AhashBands - 1})")).as("band"))
       .withColumn("bkt",
@@ -633,7 +638,11 @@ object Multimodal {
   def multimodalAudioNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val h = audioFingerprint(spark, dir).toDF().localCheckpoint() // both join sides
-    val banded = h.select(col("media_id"), col("afp"), col("n_windows"),
+    // silent/flat clips hash to all-zero envelopes — no perceptual
+    // signal, so (like the image twin and the streaming screen) they are
+    // excluded from pair generation rather than paired with each other
+    val banded = h.filter(col("afp") =!= 0L)
+      .select(col("media_id"), col("afp"), col("n_windows"),
         explode(expr(s"sequence(0, ${AhashBands - 1})")).as("band"))
       .withColumn("bkt",
         expr(s"shiftright(afp, band * $AhashBandBits) & $AhashBandMask"))
@@ -888,6 +897,7 @@ object Multimodal {
          |         (ahash >> (band * $AhashBandBits)) & $AhashBandMask AS bkt
          |  FROM bits CROSS JOIN
          |       (SELECT unnest(generate_series(0, ${AhashBands - 1})) AS band) bs
+         |  WHERE ahash <> 0
          |), vpairs AS (
          |  SELECT DISTINCT x.media_id AS a, y.media_id AS b
          |  FROM banded x JOIN banded y
@@ -928,6 +938,7 @@ object Multimodal {
          |         (afp >> (band * $AhashBandBits)) & $AhashBandMask AS bkt
          |  FROM abits CROSS JOIN
          |       (SELECT unnest(generate_series(0, ${AhashBands - 1})) AS band) bs
+         |  WHERE afp <> 0
          |)
          |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
          |       CAST(bit_count(xor(x.afp, y.afp)) AS INTEGER) AS hamming
@@ -1069,6 +1080,7 @@ object Multimodal {
          |         (ahash >> (band * $AhashBandBits)) & $AhashBandMask AS bkt
          |  FROM bits CROSS JOIN
          |       (SELECT unnest(generate_series(0, ${AhashBands - 1})) AS band) bs
+         |  WHERE ahash <> 0
          |)
          |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
          |       CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming

@@ -183,6 +183,30 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     img.rgb.toSeq shouldBe gray(Seq(7, 0, 0, 9, 9)) ++ gray(Seq(10, 20, 30, 40, 40))
   }
 
+  test("RLE8 decoder rejects deltas that leave the raster") {
+    // a delta past the raster must reject with the documented
+    // IllegalArgumentException (the fallback-lane contract), never
+    // accumulate toward an out-of-bounds write
+    val base = Codecs.bmpEncodeRle8(5, 2, Array.fill(10)(0))
+    val header = base.take(54 + 1024)
+    def withStream(stream: Array[Byte]): Array[Byte] = {
+      val bytes = header ++ stream
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(2, bytes.length)
+      buf.putInt(34, stream.length)
+      bytes
+    }
+    // dx=200 on a 5-wide raster
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.bmpDecodeRle8(withStream(Array[Byte](0, 2, 200.toByte, 0, 0, 0, 1)))
+    // dy=200 on a 2-tall raster
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.bmpDecodeRle8(withStream(Array[Byte](0, 2, 0, 200.toByte, 0, 0, 1)))
+    // a delta to exactly the raster edge (x == w) stays legal
+    Codecs.bmpDecodeRle8(withStream(Array[Byte](0, 2, 5, 0, 0, 0, 2, 9, 0, 0, 0, 1)))
+      .rgb.take(6).toSeq shouldBe Seq(9, 9, 9, 9, 9, 9)
+  }
+
   test("imageDecode dispatches by container and rejects real unsupported variants") {
     val rgb = Array.tabulate(4 * 3 * 3)(j => (j * 7) % 256)
     val img = BmpImage(4, 3, rgb)

@@ -130,6 +130,18 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.audioFpOf(samples ++ Array[Short](9, 9, 9))._1 shouldBe 16
   }
 
+  test("batch near-dup banding excludes zero fingerprints, like the streaming screen") {
+    import graft.extensions.AhashRow
+    // two flat images (ahash 0, same bit length) must NOT pair with each
+    // other; a genuine near-dup pair in the same relation still surfaces
+    val rows = Seq(
+      AhashRow(1L, 60L, 0L, 0), AhashRow(2L, 60L, 0L, 0),
+      AhashRow(3L, 60L, 0x5aL, 4), AhashRow(4L, 60L, 0x5bL, 5))
+    val pairs = Multimodal.imageNeardupPairs(rows.toDF())
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    pairs shouldBe Set((3L, 4L))
+  }
+
   test("mediaFingerprint: zero-information payloads return None, not Some(0)") {
     import graft.extensions.{BmpImage, Codecs, WavAudio}
     // flat image and silent clip both hash to 0 — matching on 0 would flag
