@@ -491,6 +491,9 @@ object Codecs {
     if (bytes.length >= PngSignature.length &&
         PngSignature.indices.forall(i => bytes(i) == PngSignature(i)))
       pngDecode(bytes)
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xFF &&
+        (bytes(1) & 0xff) == 0xD8 && (bytes(2) & 0xff) == 0xFF)
+      jpegDecode(bytes)
     else if (bytes.length >= BmpHeaderSize &&
         bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -618,5 +621,590 @@ object Codecs {
         a
       }
     WavAudio(rate, out, channels)
+  }
+
+  // --- JPEG: baseline JFIF (SOF0), pure JVM --------------------------------
+  //
+  // The full baseline pipeline from the public JPEG spec (ITU T.81) and
+  // JFIF container note: canonical Huffman entropy coding with the Annex K
+  // table specs, zigzag coefficient order, dequantization, separate-table
+  // luma/chroma quantization, 8x8 inverse DCT in doubles, 4:2:0 / 4:4:4 /
+  // grayscale component layouts with the general MCU interleave, restart
+  // markers (DRI/RSTn), and FF00 byte stuffing. Non-baseline frames
+  // (progressive SOF2, arithmetic coding, 12-bit precision, >2x sampling
+  // factors) reject with IllegalArgumentException — the fallback-lane
+  // contract every other codec here honors.
+
+  /** JPEG encode modes: grayscale (one component), 4:4:4 (three components,
+    * no subsampling), 4:2:0 (chroma subsampled 2x2, 16x16 MCUs). */
+  val JpegGray = 0
+  val JpegColor444 = 1
+  val JpegColor420 = 2
+
+  // Annex K Huffman table specs: (count of codes per length 1..16, symbols).
+  private val DcLumaSpec = (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+  private val DcChromaSpec = (Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    (0 to 11).toArray)
+  private val AcLumaSpec = (Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d),
+    Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+      0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+      0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+      0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+      0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+      0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+      0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+      0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+      0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+      0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+      0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+  private val AcChromaSpec = (Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+      0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+      0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+      0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+      0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+      0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+      0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+      0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+      0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+      0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+      0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+      0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+      0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+
+  /** Zigzag scan: position `k` in transmission order → natural (row-major)
+    * coefficient index. */
+  private val Zigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Canonical Huffman table: codes assigned in increasing length order per
+    * T.81 C.2 — one structure serves the encoder (symbol → code) and the
+    * decoder (per-length min/max code + value pointer). */
+  private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
+    require(counts.length == 16 && counts.sum == symbols.length, "bad Huffman spec")
+    val codeOf = new Array[Int](256)
+    val sizeOf = new Array[Int](256)
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17) // -1 = no codes of this length
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var len = 1
+      while (len <= 16) {
+        minCode(len) = code
+        valPtr(len) = k
+        var i = 0
+        while (i < counts(len - 1)) {
+          val sym = symbols(k)
+          codeOf(sym) = code
+          sizeOf(sym) = len
+          code += 1; k += 1; i += 1
+        }
+        maxCode(len) = if (counts(len - 1) == 0) -1 else code - 1
+        require(code <= (1 << len), "Huffman spec overflows code space")
+        code <<= 1
+        len += 1
+      }
+    }
+    def value(len: Int, code: Int): Int = symbols(valPtr(len) + code - minCode(len))
+  }
+  private lazy val DcLuma = new HuffTable(DcLumaSpec._1, DcLumaSpec._2)
+  private lazy val DcChroma = new HuffTable(DcChromaSpec._1, DcChromaSpec._2)
+  private lazy val AcLuma = new HuffTable(AcLumaSpec._1, AcLumaSpec._2)
+  private lazy val AcChroma = new HuffTable(AcChromaSpec._1, AcChromaSpec._2)
+
+  // DCT basis, shared by FDCT and IDCT: JCos(x)(u) = cos((2x+1)uπ/16),
+  // JC(u) = 1/√2 for u=0 else 1.
+  private val JCos = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val JC = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Forward DCT of a level-shifted 8x8 block (natural order), quantized by
+    * `quant` (natural order), output in natural order. */
+  private def fdctQuant(f: Array[Int], quant: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { s += f(y * 8 + x) * JCos(x)(u) * JCos(y)(v); x += 1 }
+          y += 1
+        }
+        val coeff = 0.25 * JC(u) * JC(v) * s
+        out(v * 8 + u) = math.round(coeff / quant(v * 8 + u)).toInt
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Dequantize + inverse DCT: quantized coefficients (natural order) →
+    * level-shifted spatial samples, rounded to nearest int (NOT yet +128). */
+  private def idctDequant(coef: Array[Int], quant: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0) s += JC(u) * JC(v) * c * quant(v * 8 + u) * JCos(x)(u) * JCos(y)(v)
+            u += 1
+          }
+          v += 1
+        }
+        out(y * 8 + x) = math.round(0.25 * s).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Entropy-coded-segment bit writer: MSB-first, FF bytes stuffed with 00
+    * per T.81 B.1.1.5; flush pads the final partial byte with 1-bits. */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(bits: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  private def bitCategory(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** Encode an image as baseline JFIF. `mode` is [[JpegGray]] /
+    * [[JpegColor444]] / [[JpegColor420]]; `quant` fills both quantization
+    * tables uniformly (1 = near-lossless: only DCT rounding); a positive
+    * `restartInterval` emits DRI + RSTn markers every that many MCUs. */
+  def jpegEncode(img: BmpImage, mode: Int = JpegColor444, quant: Int = 1,
+                 restartInterval: Int = 0): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(img.rgb.length == w * h * 3, "rgb length mismatch")
+    require(quant >= 1 && quant <= 255, s"bad quant $quant")
+    require(mode >= JpegGray && mode <= JpegColor420, s"bad mode $mode")
+    val qtab = Array.fill(64)(quant)
+    // integer YCbCr planes (BT.601 full-range, the JFIF convention)
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](w * h)
+    val crP = new Array[Int](w * h)
+    var j = 0
+    while (j < w * h) {
+      val r = img.rgb(3 * j); val g = img.rgb(3 * j + 1); val b = img.rgb(3 * j + 2)
+      yP(j) = math.round(0.299 * r + 0.587 * g + 0.114 * b).toInt.max(0).min(255)
+      cbP(j) = math.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b).toInt.max(0).min(255)
+      crP(j) = math.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b).toInt.max(0).min(255)
+      j += 1
+    }
+    val nComp = if (mode == JpegGray) 1 else 3
+    val maxH = if (mode == JpegColor420) 2 else 1
+    val maxV = maxH
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    // per-plane sample fetch with edge replication
+    def sample(p: Array[Int], px: Int, py: Int, pw: Int, ph: Int): Int =
+      p(math.min(py, ph - 1) * pw + math.min(px, pw - 1))
+    // chroma planes subsampled for 4:2:0 (2x2 box average, round half up)
+    val (cw, ch) = if (mode == JpegColor420) ((w + 1) / 2, (h + 1) / 2) else (w, h)
+    def subsampled(p: Array[Int]): Array[Int] =
+      if (mode != JpegColor420) p
+      else Array.tabulate(cw * ch) { i =>
+        val cx = i % cw; val cy = i / cw
+        val s = sample(p, 2 * cx, 2 * cy, w, h) + sample(p, 2 * cx + 1, 2 * cy, w, h) +
+          sample(p, 2 * cx, 2 * cy + 1, w, h) + sample(p, 2 * cx + 1, 2 * cy + 1, w, h)
+        (s + 2) / 4
+      }
+    val cbS = if (nComp == 3) subsampled(cbP) else null
+    val crS = if (nComp == 3) subsampled(crP) else null
+
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Int]): Unit = {
+      marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      body.foreach(out.write)
+    }
+    marker(0xd8) // SOI
+    seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(quant))                    // DQT luma
+    if (nComp == 3) seg(0xdb, Array(0x01) ++ Array.fill(64)(quant))    // DQT chroma
+    val compSpec = // (id, hSamp, vSamp, quantId)
+      if (nComp == 1) Seq((1, 1, 1, 0))
+      else Seq((1, maxH, maxV, 0), (2, 1, 1, 1), (3, 1, 1, 1))
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nComp) ++
+      compSpec.flatMap { case (id, sh, sv, q) => Seq(id, (sh << 4) | sv, q) }) // SOF0
+    def dhtBody(cls: Int, id: Int, spec: (Array[Int], Array[Int])): Array[Int] =
+      Array((cls << 4) | id) ++ spec._1 ++ spec._2
+    seg(0xc4, dhtBody(0, 0, DcLumaSpec) ++ dhtBody(1, 0, AcLumaSpec) ++
+      (if (nComp == 3) dhtBody(0, 1, DcChromaSpec) ++ dhtBody(1, 1, AcChromaSpec)
+       else Array.empty[Int]))
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
+    seg(0xda, Array(nComp) ++
+      compSpec.flatMap { case (id, _, _, q) => Seq(id, (q << 4) | q) } ++
+      Seq(0, 63, 0)) // SOS: tables 0/0 for luma, 1/1 for chroma
+
+    val bw = new BitWriter(out)
+    def encodeBlock(block: Array[Int], pred: Int, dc: HuffTable, ac: HuffTable): Int = {
+      val coef = fdctQuant(block, qtab)
+      val diff = coef(0) - pred
+      val s = if (diff == 0) 0 else bitCategory(diff)
+      bw.put(dc.codeOf(s), dc.sizeOf(s))
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+      var k = 1
+      var run = 0
+      while (k < 64) {
+        val v = coef(Zigzag(k))
+        if (v == 0) run += 1
+        else {
+          while (run > 15) { bw.put(ac.codeOf(0xf0), ac.sizeOf(0xf0)); run -= 16 } // ZRL
+          val vs = bitCategory(v)
+          val rs = (run << 4) | vs
+          bw.put(ac.codeOf(rs), ac.sizeOf(rs))
+          bw.put(if (v < 0) v + (1 << vs) - 1 else v, vs)
+          run = 0
+        }
+        k += 1
+      }
+      if (run > 0) bw.put(ac.codeOf(0x00), ac.sizeOf(0x00)) // EOB
+      coef(0)
+    }
+    def blockAt(p: Array[Int], pw: Int, ph: Int, ox: Int, oy: Int): Array[Int] =
+      Array.tabulate(64)(i => sample(p, ox + i % 8, oy + i / 8, pw, ph) - 128)
+    val pred = new Array[Int](3)
+    var rst = 0
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          marker(0xd0 + rst % 8); rst += 1
+          pred(0) = 0; pred(1) = 0; pred(2) = 0
+        }
+        // component 0 (luma): maxH x maxV blocks per MCU
+        var by = 0
+        while (by < maxV) {
+          var bx = 0
+          while (bx < maxH) {
+            pred(0) = encodeBlock(
+              blockAt(yP, w, h, (mx * maxH + bx) * 8, (my * maxV + by) * 8),
+              pred(0), DcLuma, AcLuma)
+            bx += 1
+          }
+          by += 1
+        }
+        if (nComp == 3) {
+          pred(1) = encodeBlock(blockAt(cbS, cw, ch, mx * 8, my * 8),
+            pred(1), DcChroma, AcChroma)
+          pred(2) = encodeBlock(blockAt(crS, cw, ch, mx * 8, my * 8),
+            pred(2), DcChroma, AcChroma)
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Entropy-coded-segment bit reader: MSB-first, FF00 stuffing removed,
+    * restart markers consumed only at [[restart]] calls. Any other marker
+    * inside entropy data rejects. */
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "truncated entropy data")
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < bytes.length, "truncated entropy data")
+          val m = bytes(pos) & 0xff; pos += 1
+          require(m == 0x00, f"unexpected marker FF$m%02X in entropy data")
+          b = 0xff
+        }
+        acc = b; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < len) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def restart(idx: Int): Unit = {
+      n = 0 // discard pad bits
+      require(pos + 2 <= bytes.length, "truncated at restart")
+      require((bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == 0xd0 + idx % 8,
+        "missing restart marker")
+      pos += 2
+    }
+    /** Byte-align; the scan is over (caller then expects EOI). */
+    def finish(): Int = { n = 0; pos }
+  }
+
+  private def huffDecode(t: HuffTable, br: BitReader): Int = {
+    var code = 0
+    var len = 0
+    while (len < 16) {
+      code = (code << 1) | br.readBit()
+      len += 1
+      if (t.maxCode(len) >= 0 && code <= t.maxCode(len) && code >= t.minCode(len))
+        return t.value(len, code)
+    }
+    throw new IllegalArgumentException("invalid Huffman code")
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Decode a baseline JFIF/JPEG stream to top-down RGB. Grayscale decodes
+    * with R=G=B=Y. Throws IllegalArgumentException on non-baseline frames
+    * (progressive, arithmetic, 12-bit), unsupported sampling factors,
+    * geometry bombs, bad markers, or truncated entropy data. */
+  def jpegDecode(bytes: Array[Byte]): BmpImage = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "not a JPEG")
+    var pos = 2
+    def u8(p: Int): Int = { require(p < bytes.length, "truncated JPEG"); bytes(p) & 0xff }
+    def u16(p: Int): Int = (u8(p) << 8) | u8(p + 1)
+    val quantTabs = new Array[Array[Int]](4) // zigzag order, as transmitted
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var w = -1; var h = -1
+    var nComp = 0
+    var compId: Array[Int] = null
+    var compH: Array[Int] = null
+    var compV: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var sosPos = -1
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
+    while (sosPos < 0) {
+      require(u8(pos) == 0xff, f"expected marker, got ${u8(pos)}%02X")
+      val m = u8(pos + 1)
+      pos += 2
+      // standalone markers (no length field) are all illegal before the scan
+      if (m == 0xd8) throw new IllegalArgumentException("unexpected SOI")
+      if (m == 0xd9) throw new IllegalArgumentException("EOI before scan data")
+      if (m >= 0xd0 && m <= 0xd7)
+        throw new IllegalArgumentException("restart marker outside entropy data")
+      if (m == 0x01) throw new IllegalArgumentException("unexpected TEM marker")
+      val len = u16(pos)
+      require(len >= 2 && pos + len <= bytes.length, "truncated segment")
+      m match {
+        case 0xdb => // DQT: one or more tables
+          var p = pos + 2
+          while (p < pos + len) {
+            val pq = u8(p) >> 4; val tq = u8(p) & 15
+            require(pq == 0, "16-bit quantization tables unsupported")
+            require(tq < 4, s"bad quant table id $tq")
+            require(p + 65 <= pos + len, "truncated DQT")
+            quantTabs(tq) = Array.tabulate(64)(i => u8(p + 1 + i))
+            require(quantTabs(tq).forall(_ >= 1), "zero quantizer")
+            p += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var p = pos + 2
+          while (p < pos + len) {
+            val cls = u8(p) >> 4; val id = u8(p) & 15
+            require(cls <= 1 && id < 4, s"bad Huffman table class/id $cls/$id")
+            val counts = Array.tabulate(16)(i => u8(p + 1 + i))
+            val total = counts.sum
+            require(total <= 256 && p + 17 + total <= pos + len, "truncated DHT")
+            val syms = Array.tabulate(total)(i => u8(p + 17 + i))
+            val t = new HuffTable(counts, syms)
+            if (cls == 0) dcTabs(id) = t else acTabs(id) = t
+            p += 17 + total
+          }
+        case 0xc0 => // SOF0: baseline
+          require(u8(pos + 2) == 8, "only 8-bit precision supported")
+          h = u16(pos + 3); w = u16(pos + 5)
+          require(w > 0 && h > 0 && w <= MaxDim && h <= MaxDim &&
+            w.toLong * h <= MaxPixels, s"unsupported dimensions ${w}x$h")
+          nComp = u8(pos + 7)
+          require(nComp == 1 || nComp == 3, s"unsupported component count $nComp")
+          require(len == 8 + 3 * nComp, "bad SOF0 length")
+          compId = new Array[Int](nComp); compH = new Array[Int](nComp)
+          compV = new Array[Int](nComp); compQ = new Array[Int](nComp)
+          var c = 0
+          while (c < nComp) {
+            compId(c) = u8(pos + 8 + 3 * c)
+            val hv = u8(pos + 9 + 3 * c)
+            compH(c) = hv >> 4; compV(c) = hv & 15
+            require(compH(c) >= 1 && compH(c) <= 2 && compV(c) >= 1 && compV(c) <= 2,
+              s"unsupported sampling ${compH(c)}x${compV(c)}")
+            compQ(c) = u8(pos + 10 + 3 * c)
+            require(compQ(c) < 4, "bad quant table ref")
+            c += 1
+          }
+        case 0xc2 => throw new IllegalArgumentException("progressive JPEG unsupported")
+        case sof if (sof >= 0xc1 && sof <= 0xcf) && sof != 0xc4 && sof != 0xc8 =>
+          throw new IllegalArgumentException(f"non-baseline frame SOF${sof - 0xc0}%d unsupported")
+        case 0xdd => // DRI
+          require(len == 4, "bad DRI length")
+          restartInterval = u16(pos + 2)
+        case 0xda => // SOS
+          require(w > 0, "SOS before SOF")
+          val ns = u8(pos + 2)
+          require(ns == nComp, "partial scans unsupported")
+          require(len == 6 + 2 * ns, "bad SOS length")
+          compDc = new Array[Int](nComp); compAc = new Array[Int](nComp)
+          var c = 0
+          while (c < ns) {
+            val id = u8(pos + 3 + 2 * c)
+            val ci = compId.indexOf(id)
+            require(ci >= 0, s"scan references unknown component $id")
+            compDc(ci) = u8(pos + 4 + 2 * c) >> 4
+            compAc(ci) = u8(pos + 4 + 2 * c) & 15
+            require(compDc(ci) < 4 && compAc(ci) < 4,
+              s"bad entropy table ref ${compDc(ci)}/${compAc(ci)}")
+            c += 1
+          }
+          require(u8(pos + 3 + 2 * ns) == 0 && u8(pos + 4 + 2 * ns) == 63 &&
+            u8(pos + 5 + 2 * ns) == 0, "non-baseline scan parameters")
+          sosPos = pos + len
+        case _ => // APPn / COM / other ancillary: skip
+      }
+      if (sosPos < 0) pos += len
+    }
+    val maxH = compH.max; val maxV = compV.max
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    val planeW = Array.tabulate(nComp)(c => mcusX * 8 * compH(c))
+    val planeH = Array.tabulate(nComp)(c => mcusY * 8 * compV(c))
+    val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
+    for (c <- 0 until nComp) {
+      require(dcTabs(compDc(c)) != null, s"missing DC table ${compDc(c)}")
+      require(acTabs(compAc(c)) != null, s"missing AC table ${compAc(c)}")
+      require(quantTabs(compQ(c)) != null, s"missing quant table ${compQ(c)}")
+    }
+    val br = new BitReader(bytes, sosPos)
+    val pred = new Array[Int](nComp)
+    val coef = new Array[Int](64)
+    val unitQuant = Array.fill(64)(1) // dequant happens at coefficient read
+    var rst = 0
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart(rst); rst += 1
+          var c = 0
+          while (c < nComp) { pred(c) = 0; c += 1 }
+        }
+        var c = 0
+        while (c < nComp) {
+          val qz = quantTabs(compQ(c))
+          var by = 0
+          while (by < compV(c)) {
+            var bx = 0
+            while (bx < compH(c)) {
+              java.util.Arrays.fill(coef, 0)
+              val s = huffDecode(dcTabs(compDc(c)), br)
+              require(s <= 11, "DC category out of range")
+              pred(c) += extend(br.receive(s), s)
+              coef(0) = pred(c) * qz(0)
+              var k = 1
+              var done = false
+              while (k < 64 && !done) {
+                val rs = huffDecode(acTabs(compAc(c)), br)
+                val run = rs >> 4; val sz = rs & 15
+                if (sz == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else done = true       // EOB
+                } else {
+                  k += run
+                  require(k < 64, "AC coefficient index overflow")
+                  coef(Zigzag(k)) = extend(br.receive(sz), sz) * qz(k)
+                  k += 1
+                }
+              }
+              val px = idctDequant(coef, unitQuant)
+              val ox = (mx * compH(c) + bx) * 8
+              val oy = (my * compV(c) + by) * 8
+              var i = 0
+              while (i < 64) {
+                planes(c)((oy + i / 8) * planeW(c) + ox + i % 8) =
+                  (px(i) + 128).max(0).min(255)
+                i += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          c += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    var tail = br.finish()
+    // optional fill bytes, then EOI
+    while (tail + 1 < bytes.length && (bytes(tail) & 0xff) == 0xff &&
+           (bytes(tail + 1) & 0xff) == 0xff) tail += 1
+    require(tail + 2 <= bytes.length && (bytes(tail) & 0xff) == 0xff &&
+      (bytes(tail + 1) & 0xff) == 0xd9, "missing EOI after scan")
+    // upsample + color convert
+    val rgb = new Array[Int](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        val yy = planes(0)((y * compV(0) / maxV) * planeW(0) + x * compH(0) / maxH)
+        if (nComp == 1) {
+          rgb(o) = yy; rgb(o + 1) = yy; rgb(o + 2) = yy
+        } else {
+          val cb = planes(1)((y * compV(1) / maxV) * planeW(1) + x * compH(1) / maxH) - 128
+          val cr = planes(2)((y * compV(2) / maxV) * planeW(2) + x * compH(2) / maxH) - 128
+          rgb(o) = math.round(yy + 1.402 * cr).toInt.max(0).min(255)
+          rgb(o + 1) = math.round(yy - 0.344136 * cb - 0.714136 * cr).toInt.max(0).min(255)
+          rgb(o + 2) = math.round(yy + 1.772 * cb).toInt.max(0).min(255)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    BmpImage(w, h, rgb)
   }
 }

@@ -121,6 +121,53 @@ object Multimodal {
     (w, h, Array.tabulate(w * h)(j => ((d * 17 + j.toLong * 11) % 256).toInt))
   }
 
+  /** Synthetic-JPEG spec for doc `d`: geometry crosses both the 8-pixel
+    * block and 16-pixel MCU boundaries (w 13..24, h 9..15 — partial edge
+    * blocks in every combination), and every 8x8 block is FLAT with value
+    * `(d*23 + 31*bx + 41*by) mod 256` on all three channels (bx, by = the
+    * block coordinates). Flat blocks are the one family the LOSSY pipeline
+    * reproduces bit-exactly — only the DC coefficient is nonzero, which
+    * unit quantization and the float IDCT round-trip exactly, and equal
+    * R=G=B puts chroma at neutral 128 — so the decoded pixels equal this
+    * closed form and the DuckDB oracle can predict REAL entropy-decode +
+    * IDCT output. (The AC / quantized path is differentially unit-tested
+    * against the JDK's independent ImageIO decoder in CodecsSpec.) */
+  def jpegSpec(d: Long): BmpImage = {
+    val w = 13 + (d % 12).toInt
+    val h = 9 + (d % 7).toInt
+    BmpImage(w, h, Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      val bx = (p % w) / 8; val by = (p / w) / 8
+      ((d * 23 + 31 * bx + 41 * by) % 256).toInt
+    })
+  }
+
+  /** The JPEG lake: every doc as a baseline JFIF of [[jpegSpec]], container
+    * variant keyed `doc_id mod 3` — 4:4:4, 4:2:0 with restart markers
+    * every 2 MCUs, and single-component grayscale. All three variants
+    * decode to the SAME closed-form pixels, so the oracle is variant-blind:
+    * agreement proves all three encode/decode paths (subsampling +
+    * upsampling, DRI/RSTn resync, single-component scan) reconstruct
+    * identical content. */
+  def jpegLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { d =>
+            val payload = (d % 3) match {
+              case 0 => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegColor444)
+              case 1 => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegColor420,
+                restartInterval = 2)
+              case _ => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegGray)
+            }
+            MediaRecord(d, "image/jpeg", payload)
+          }
+        }
+      }
+  }
+
   /** The binary media lake — even docs are images, odd docs audio, with
     * the CONTAINER VARIANT keyed by `doc_id mod 12` the way a real lake
     * mixes formats:
@@ -173,7 +220,10 @@ object Multimodal {
   private def isPng(p: Array[Byte]) =
     p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P'.toByte &&
       p(2) == 'N'.toByte && p(3) == 'G'.toByte
-  private def isImage(p: Array[Byte]) = isBmp(p) || isPng(p)
+  private def isJpeg(p: Array[Byte]) =
+    p.length >= 3 && (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8 &&
+      (p(2) & 0xff) == 0xFF
+  private def isImage(p: Array[Byte]) = isBmp(p) || isPng(p) || isJpeg(p)
   private def isWav(p: Array[Byte]) =
     p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
       p(2) == 'F'.toByte && p(3) == 'F'.toByte
@@ -345,6 +395,39 @@ object Multimodal {
     import spark.implicits._
     mediaLake(spark, dir)
       .filter(col("mime").startsWith("image/")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val img = Codecs.imageDecode(m.payload)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              while (p < img.rgb.length) {
+                sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
+                p += 3
+              }
+              Some(ImageStats(m.media_id, img.width, img.height,
+                img.width.toLong * img.height, sr, sg, sb))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Real JPEG decode over the [[jpegLake]]: dimensions and EXACT
+    * per-channel pixel sums from the decoded top-down RGB, same shape as
+    * [[multimodalDecodeImage]]. Every row passes through the full baseline
+    * pipeline — marker walk, Annex-K Huffman entropy decode, dequant,
+    * zigzag, 8x8 IDCT, chroma upsampling (4:2:0 rows), restart-marker
+    * resync, YCbCr→RGB — and the oracle predicts the sums from the
+    * [[jpegSpec]] closed form with no knowledge of the container, so a
+    * defect anywhere in the codec reddens the gate. Stateless batched map;
+    * the only shuffle is the output sort. */
+  def multimodalDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    jpegLake(spark, dir)
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.flatMap { m =>
@@ -1025,6 +1108,30 @@ object Multimodal {
         |GROUP BY media_id, v, w, h
         |ORDER BY media_id""".stripMargin,
 
+    // Variant-BLIND JPEG oracle: pure [[jpegSpec]] closed form (per-block
+    // flat value × covered-pixel count), no container knowledge at all —
+    // the three encode variants (4:4:4 / 4:2:0+DRI / grayscale) must all
+    // reconstruct identical content through real entropy decode + IDCT.
+    "multimodal_decode_jpeg" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, 13 + doc_id % 12 AS w, 9 + doc_id % 7 AS h
+        |  FROM documents
+        |), blk AS (
+        |  SELECT media_id, w, h,
+        |         (media_id * 23 + 31 * bx.i + 41 * by.i) % 256 AS v,
+        |         least(8, w - 8 * bx.i) AS nx, least(8, h - 8 * by.i) AS ny
+        |  FROM img,
+        |       LATERAL (SELECT unnest(generate_series(0, (w - 1) // 8)) AS i) bx,
+        |       LATERAL (SELECT unnest(generate_series(0, (h - 1) // 8)) AS i) by
+        |)
+        |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(v * nx * ny) AS BIGINT) AS sum_r,
+        |       CAST(sum(v * nx * ny) AS BIGINT) AS sum_g,
+        |       CAST(sum(v * nx * ny) AS BIGINT) AS sum_b
+        |FROM blk GROUP BY media_id, w, h
+        |ORDER BY media_id""".stripMargin,
+
     "multimodal_decode_audio" ->
       """WITH aud AS (
         |  SELECT doc_id AS media_id, doc_id % 12 AS v, 16 + doc_id % 50 AS n
@@ -1147,6 +1254,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features"     -> (multimodalFeatures _),
     "multimodal_decode_image" -> (multimodalDecodeImage _),
+    "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
     "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),
     "multimodal_frame_dedup" -> (multimodalFrameDedup _),

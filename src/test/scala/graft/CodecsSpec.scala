@@ -330,7 +330,10 @@ class CodecsSpec extends AnyFunSuite with Matchers {
       Codecs.wavEncode(WavAudio(8000, Array.tabulate(40)(k => (k * 321 - 6000).toShort))),
       Codecs.wavEncode(WavAudio(8000, Array.tabulate(40)(k => (k * 321 - 6000).toShort), 2)),
       Codecs.wavEncode8(WavAudio(8000, Array.tabulate(39)(k => ((k % 200 - 100) * 256).toShort))),
-      Codecs.wavEncode24(WavAudio(8000, Array.tabulate(21)(k => (k * 777 - 8000).toShort))))
+      Codecs.wavEncode24(WavAudio(8000, Array.tabulate(21)(k => (k * 777 - 8000).toShort))),
+      Codecs.jpegEncode(img, Codecs.JpegColor444),
+      Codecs.jpegEncode(img, Codecs.JpegColor420, restartInterval = 1),
+      Codecs.jpegEncode(img, Codecs.JpegGray))
     for (base <- fixtures; _ <- 1 to 150) {
       val mutated = base.clone()
       for (_ <- 0 to rnd.nextInt(4)) // 1..4 byte flips, headers included
@@ -358,5 +361,126 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     val aud = Multimodal.audioSpec(7L)
     aud.samples.length shouldBe (16 + 7 % 50)
     aud.samples(3) shouldBe (((7 * 13 + 3 * 29) % 4096) - 2048).toShort
+  }
+
+  // --- JPEG ---------------------------------------------------------------
+
+  /** Decode via the JDK's independent ImageIO JPEG reader (its own Huffman
+    * + IDCT + color conversion, nothing shared with [[Codecs]]) for
+    * differential testing. */
+  private def imageIoDecode(bytes: Array[Byte]): BmpImage = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(bi != null, "ImageIO could not decode")
+    // raw raster samples, NOT getRGB: getRGB on TYPE_BYTE_GRAY runs the
+    // linear-gray→sRGB color-management transform (a gamma curve), which
+    // is not part of JPEG decoding
+    val raster = bi.getRaster
+    val nb = raster.getNumBands
+    val rgb = new Array[Int](bi.getWidth * bi.getHeight * 3)
+    for (y <- 0 until bi.getHeight; x <- 0 until bi.getWidth) {
+      val o = (y * bi.getWidth + x) * 3
+      if (nb == 1) {
+        val v = raster.getSample(x, y, 0)
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+      } else {
+        rgb(o) = raster.getSample(x, y, 0)
+        rgb(o + 1) = raster.getSample(x, y, 1)
+        rgb(o + 2) = raster.getSample(x, y, 2)
+      }
+    }
+    BmpImage(bi.getWidth, bi.getHeight, rgb)
+  }
+
+  private def maxChannelDiff(a: BmpImage, b: BmpImage): Int = {
+    a.width shouldBe b.width
+    a.height shouldBe b.height
+    a.rgb.indices.map(i => math.abs(a.rgb(i) - b.rgb(i))).max
+  }
+
+  test("JPEG: flat-block spec images round-trip EXACTLY in all three modes") {
+    // Flat 8x8 blocks put all signal in the DC coefficient, which unit
+    // quantization and the float IDCT reproduce bit-exactly, and equal
+    // R=G=B pins chroma at neutral 128 — the property the variant-blind
+    // lake oracle rests on. Geometries cross block AND MCU boundaries.
+    for (d <- Seq(0L, 1L, 2L, 5L, 17L, 40L, 83L)) {
+      val spec = Multimodal.jpegSpec(d)
+      for ((mode, ri) <- Seq((Codecs.JpegColor444, 0), (Codecs.JpegColor420, 2),
+                             (Codecs.JpegGray, 0))) {
+        val bytes = Codecs.jpegEncode(spec, mode, restartInterval = ri)
+        val out = Codecs.jpegDecode(bytes)
+        (out.width, out.height) shouldBe ((spec.width, spec.height))
+        withClue(s"d=$d mode=$mode: ") { out.rgb.toSeq shouldBe spec.rgb.toSeq }
+        // the JDK's independent decoder agrees exactly on DC-only blocks
+        withClue(s"d=$d mode=$mode ImageIO: ") {
+          imageIoDecode(bytes).rgb.toSeq shouldBe spec.rgb.toSeq
+        }
+      }
+    }
+  }
+
+  test("JPEG: general images (nonzero AC) round-trip within DCT rounding") {
+    val rnd = new scala.util.Random(31)
+    val img = BmpImage(21, 13, Array.fill(21 * 13 * 3)(rnd.nextInt(256)))
+    // quant=1: the only loss is coefficient rounding (±0.5 each) plus the
+    // integer YCbCr round trip
+    val d444 = Codecs.jpegDecode(Codecs.jpegEncode(img, Codecs.JpegColor444))
+    maxChannelDiff(d444, img) should be <= 8
+    val gray = BmpImage(21, 13, Array.tabulate(21 * 13 * 3)(i => (i / 3 * 37) % 256))
+    val dGray = Codecs.jpegDecode(Codecs.jpegEncode(gray, Codecs.JpegGray))
+    maxChannelDiff(dGray, gray) should be <= 2
+    // coarser quantization loses more but stays bounded by quant * basis sum
+    val q8 = Codecs.jpegDecode(Codecs.jpegEncode(img, Codecs.JpegColor444, quant = 8))
+    maxChannelDiff(q8, img) should be <= 40
+  }
+
+  test("JPEG: differential vs the JDK decoder on AC-heavy images") {
+    // Same FILE, two independent decoders (my float IDCT vs the JDK's
+    // libjpeg-style integer IDCT): per-sample agreement within the JPEG
+    // conformance-style tolerance, on all modes incl. restart markers.
+    val rnd = new scala.util.Random(57)
+    val img = BmpImage(24, 16, Array.fill(24 * 16 * 3)(rnd.nextInt(256)))
+    // neutral-chroma content for the 4:2:0 case: with varying chroma the
+    // JDK's triangular chroma upsampling legitimately diverges from this
+    // decoder's replication (both are spec-conformant); flat chroma makes
+    // every upsampler agree while the luma path stays AC-heavy
+    val lumaOnly = BmpImage(24, 16, Array.tabulate(24 * 16)(_ => rnd.nextInt(256))
+      .flatMap(v => Array(v, v, v)))
+    for ((label, bytes) <- Seq(
+        "444" -> Codecs.jpegEncode(img, Codecs.JpegColor444),
+        "444q4" -> Codecs.jpegEncode(img, Codecs.JpegColor444, quant = 4),
+        "420rst" -> Codecs.jpegEncode(lumaOnly, Codecs.JpegColor420, restartInterval = 1),
+        "gray" -> Codecs.jpegEncode(img, Codecs.JpegGray))) {
+      withClue(s"$label: ") {
+        maxChannelDiff(Codecs.jpegDecode(bytes), imageIoDecode(bytes)) should be <= 3
+      }
+    }
+  }
+
+  test("JPEG: non-baseline and bomb variants reject with the documented throw") {
+    val img = Multimodal.jpegSpec(7L)
+    val base = Codecs.jpegEncode(img, Codecs.JpegColor444)
+    def findMarker(bytes: Array[Byte], m: Int): Int = {
+      val i = bytes.indices.dropRight(1)
+        .find(i => (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == m)
+      i.getOrElse(fail(s"marker $m not found"))
+    }
+    // SOF0 -> SOF2: well-formed-looking progressive tag must reject by NAME
+    val prog = base.clone()
+    prog(findMarker(prog, 0xc0) + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](Codecs.jpegDecode(prog))
+    e.getMessage should include("progressive")
+    // geometry bomb: huge declared dims reject before any allocation
+    val bomb = base.clone()
+    val sof = findMarker(bomb, 0xc0)
+    bomb(sof + 5) = 0xff.toByte; bomb(sof + 6) = 0xff.toByte // height 65535
+    bomb(sof + 7) = 0xff.toByte; bomb(sof + 8) = 0xff.toByte // width 65535
+    an[IllegalArgumentException] should be thrownBy Codecs.jpegDecode(bomb)
+    // every truncation prefix rejects cleanly
+    for (n <- 0 until base.length) {
+      try { Codecs.jpegDecode(base.take(n)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // imageDecode routes JPEG magic to the real decoder
+    Codecs.imageDecode(base).rgb.toSeq shouldBe img.rgb.toSeq
   }
 }

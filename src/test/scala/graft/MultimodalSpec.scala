@@ -96,6 +96,23 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("JPEG lake: every variant present; each payload decodes to its spec exactly") {
+    import graft.extensions.Codecs
+    val sf = "/root/testdata/sf0.001"
+    val lake = Multimodal.jpegLake(spark, sf).collect()
+    lake.groupBy(_.media_id % 3).keySet shouldBe (0L to 2L).toSet
+    for (m <- lake) {
+      val spec = Multimodal.jpegSpec(m.media_id)
+      val img = Codecs.jpegDecode(m.payload)
+      (img.width, img.height) shouldBe ((spec.width, spec.height))
+      withClue(s"media ${m.media_id} (variant ${m.media_id % 3}): ") {
+        img.rgb.toSeq shouldBe spec.rgb.toSeq
+      }
+    }
+    // the decode query reports one row per lake record — nothing rejects
+    Multimodal.multimodalDecodeJpeg(spark, sf).count() shouldBe lake.length.toLong
+  }
+
   test("aHash: brightness-shifted re-encode collides; content change does not") {
     import graft.extensions.{BmpImage, Codecs}
     val rnd = new scala.util.Random(7)
