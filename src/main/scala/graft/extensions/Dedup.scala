@@ -165,7 +165,7 @@ object Dedup {
   /** Same machinery over ANY (doc_id, h) feature relation — shared by the
     * word-shingle detectors above and the character-window substring
     * detector below. */
-  private def cappedPairCountsFrom(sh: DataFrame, cap: Int): (DataFrame, DataFrame) = {
+  private[graft] def cappedPairCountsFrom(sh: DataFrame, cap: Int): (DataFrame, DataFrame) = {
     // Capped posting lists in ONE bounded aggregation: minK(cap+1) keeps at
     // most cap+1 sorted doc_ids per shingle — length cap+1 ⟺ df > cap, so
     // the filter IS the document-frequency cap, exactly, and a boilerplate

@@ -635,17 +635,22 @@ object Multimodal {
     * relation — split out so the curation pipeline can feed ONE
     * fingerprint pass to both the pair generation and the cluster
     * universe. `h` must be materialized (both join sides read it). */
-  private[graft] def imageNeardupPairs(h: DataFrame): DataFrame = {
-    // all-zero fingerprints (flat images) carry no perceptual signal and
-    // would pair every degenerate image with every other of the same bit
-    // length — the same false-positive class the streaming screen drops
-    // (mediaFingerprint) — so they never enter pair generation
-    val banded = h.filter(col("ahash") =!= 0L)
+  /** Banded-bucket relation for an aHash fingerprint relation `h` —
+    * (media_id, ahash, bits, band, bkt). All-zero fingerprints (flat
+    * images) carry no perceptual signal and would pair every degenerate
+    * image with every other of the same bit length — the same
+    * false-positive class the streaming screen drops (mediaFingerprint) —
+    * so they never enter the banding. */
+  private def ahashBanded(h: DataFrame): DataFrame =
+    h.filter(col("ahash") =!= 0L)
       .select(col("media_id"), col("ahash"),
         least(col("n_pixels"), lit(AhashBits.toLong)).as("bits"),
         explode(expr(s"sequence(0, ${AhashBands - 1})")).as("band"))
       .withColumn("bkt",
         expr(s"shiftright(ahash, band * $AhashBandBits) & $AhashBandMask"))
+
+  private[graft] def imageNeardupPairs(h: DataFrame): DataFrame = {
+    val banded = ahashBanded(h)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.bits") === col("y.bits") &&
@@ -762,6 +767,145 @@ object Multimodal {
     // hash-min-then-fallback vs 5.6 s stars-first at sf0.1)
     graft.ops.Graph.clusterAssign(h.select("media_id"), "media_id",
         pairs, "media_a", "media_b", starsFirst = true)
+      .orderBy("media_id")
+  }
+
+  /** Shingled audio-fingerprint geometry: [[AudioShingleLen]] consecutive
+    * window LEVELS per shingle, levels quantized 0..[[AudioLevelScale]]
+    * against the clip's PEAK window energy (integer floor division — exact
+    * under loudness scaling, since c·e·S div c·max ≡ e·S div max). */
+  val AudioShingleLen = 4
+  val AudioLevelScale = 8
+  /** Leading-silence prefix for the shifted-twin lake: two whole
+    * [[AfpWindow]]-sample windows. */
+  val AudioPadValues = 8
+  val AudioPadOffset = 1000000L
+  val AudioShingleTau = 0.8
+  /** Clips with fewer shingles than this are below the fingerprint's
+    * resolution (a single shared 4-gram would read as containment 1). */
+  val AudioMinShingles = 4
+
+  /** Per-clip level sequence for the SHINGLED fingerprint: window energies
+    * over the full interleaved stream (whole [[AfpWindow]]-wide windows),
+    * each quantized against the clip's peak window energy. All-silent
+    * clips (peak 0) return no levels — the zero-information discipline.
+    * Two exact invariances, both unit-pinned:
+    *  - loudness: scaling every sample by c scales e_k and max together,
+    *    and floor((c·e·S)/(c·max)) = floor((e·S)/max) exactly;
+    *  - whole-window silence trims: zero windows quantize to level 0 and
+    *    do not move the peak, so surviving windows keep their levels. */
+  private[graft] def audioLevelsOf(samples: Array[Short]): Array[Int] = {
+    val m = samples.length - samples.length % AfpWindow
+    val nw = m / AfpWindow
+    val e = new Array[Long](nw)
+    var k = 0
+    while (k < nw) {
+      var ws = 0L
+      var i = 0
+      while (i < AfpWindow) { ws += math.abs(samples(k * AfpWindow + i).toLong); i += 1 }
+      e(k) = ws
+      k += 1
+    }
+    val maxE = if (nw == 0) 0L else e.max
+    if (maxE == 0L) Array.empty
+    else e.map(x => (x * AudioLevelScale / maxE).toInt)
+  }
+
+  /** SHIFT-ROBUST audio near-dup by shingled window levels — closing the
+    * alignment hole in [[multimodalAudioNeardup]]'s envelope fingerprint:
+    * that hash compares windows POSITIONALLY, so a leading-silence trim
+    * shifts every window and misses, where video near-dup survives trims
+    * via set semantics. This operator applies the same set move to audio
+    * (the winnowing idea): the fingerprint is the SET of hashed
+    * [[AudioShingleLen]]-grams of quantized window levels, and a clip pair
+    * matches when the smaller fingerprint is ≥ [[AudioShingleTau]]
+    * contained in the larger. A whole-window silence pad shifts gram
+    * POSITIONS but not gram CONTENTS, so every original shingle survives
+    * in the padded twin — containment 1 — while the positional hash loses
+    * every bit past the shift.
+    *
+    * The lake pairs each decodable clip with a silence-prefixed twin
+    * (media_id + [[AudioPadOffset]]) so the property is exercised by
+    * construction; the oracle replays levels → shingles → df-capped
+    * posting lists → containment in closed form and predicts both the
+    * planted twins and any natural matches. Scale shape: identical to the
+    * text containment query — hashed shingles, [[Dedup.MaxShingleDf]]-
+    * capped posting lists (never all-pairs), pair counts from in-task
+    * list expansion. */
+  def multimodalAudioShingleNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = mediaLake(spark, dir)
+      .filter(col("mime") === "audio/wav").as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val a = Codecs.wavDecode(m.payload)
+              def grams(id: Long, samples: Array[Short]): Seq[(Long, String)] = {
+                val lv = audioLevelsOf(samples)
+                (0 to lv.length - AudioShingleLen).map(i =>
+                  (id, lv.slice(i, i + AudioShingleLen).mkString(",")))
+              }
+              grams(m.media_id, a.samples) ++
+                grams(m.media_id + AudioPadOffset,
+                  Array.fill[Short](AudioPadValues)(0) ++ a.samples)
+            } catch { case _: IllegalArgumentException => Nil }
+          }
+        }
+      }
+      .toDF("doc_id", "s")
+      .select(col("doc_id"), graft.functions.Portable.hash60(col("s")).as("h"))
+      .distinct() // the fingerprint is a SET of shingle hashes
+    val (sz, inter) = Dedup.cappedPairCountsFrom(sh, Dedup.MaxShingleDf)
+    inter
+      .join(sz.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sz.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .filter(least(col("na.n"), col("nb.n")) >= AudioMinShingles)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        round(col("c").cast("double") / least(col("na.n"), col("nb.n")), 6)
+          .as("containment"))
+      .filter(col("containment") >= AudioShingleTau)
+      .orderBy("media_a", "media_b")
+  }
+
+  /** Batch boundary for [[multimodalCurationIncremental]] — media below
+    * are the EXISTING corpus (the fingerprint index), at and above are the
+    * arriving batch. Same split discipline as the text side's
+    * `Dedup.IncrementalSplit`. */
+  val MediaIncrementalSplit = 200L
+
+  /** INCREMENTAL media curation — the steady-state twin of
+    * [[multimodalMediaCuration]], mirroring the text side's
+    * `dedup_incremental`: an arriving media batch PROBES the existing
+    * corpus's banded fingerprint index instead of re-clustering the lake.
+    * Candidates come from the existing⋈batch band-bucket equi-join only —
+    * the corpus is never re-paired against itself — then exact
+    * `bit_count(xor)` verifies at hamming ≤ [[AhashMaxHamming]], and each
+    * batch image reports the canonical existing image it duplicates (min
+    * id) or `kept = true`. Intra-batch duplicates are the full clustering
+    * pass's job, exactly as on the text side.
+    *
+    * Scale shape: at 100 TB the corpus side is a PRECOMPUTED banded index
+    * (media × bands rows, written once); per batch the work is one
+    * decode+fingerprint pass over the batch, one equi-join probe into the
+    * index, and bucket-bounded verification — batch-sized, not
+    * corpus-sized. Here both sides derive from one fingerprint pass so the
+    * oracle can replay the whole derivation. */
+  def multimodalCurationIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val h = imageAhash(spark, dir).toDF().localCheckpoint()
+    val banded = ahashBanded(h)
+    val ex = banded.filter(col("media_id") < MediaIncrementalSplit).as("e")
+    val nw = banded.filter(col("media_id") >= MediaIncrementalSplit).as("n")
+    val verified = ex.join(nw,
+        col("e.band") === col("n.band") && col("e.bkt") === col("n.bkt") &&
+          col("e.bits") === col("n.bits"))
+      .filter(bit_count(col("e.ahash").bitwiseXOR(col("n.ahash"))) <= AhashMaxHamming)
+      .select(col("e.media_id").as("dup_src"), col("n.media_id").as("media_id"))
+      .distinct()
+    h.filter(col("media_id") >= MediaIncrementalSplit).select("media_id")
+      .join(verified, Seq("media_id"), "left")
+      .groupBy("media_id").agg(min(col("dup_src")).as("dup_of"))
+      .select(col("media_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
       .orderBy("media_id")
   }
 
@@ -1006,6 +1150,94 @@ object Multimodal {
          |       a.media_id = a.cluster_id AS is_canonical
          |FROM assigned a JOIN sizes s USING (cluster_id)
          |ORDER BY a.media_id""".stripMargin,
+
+    // Replays the whole shingled-fingerprint derivation in closed form:
+    // |sample| stream → whole-window energies (originals ∪ the +2-window
+    // silence-padded twins) → peak-quantized levels → 4-gram shingle
+    // hashes (the hash60 convention) → df-capped posting lists →
+    // containment. Predicts BOTH the planted shifted twins and any
+    // natural matches.
+    "multimodal_audio_shingle_neardup" ->
+      s"""WITH aud AS (
+         |  SELECT doc_id AS media_id, doc_id % 12 AS v,
+         |         CASE WHEN doc_id % 12 = 5 THEN 2 * (16 + doc_id % 50)
+         |              ELSE 16 + doc_id % 50 END AS len
+         |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 12 <> 11
+         |), s AS (
+         |  SELECT media_id, len, k.i AS i,
+         |         abs(CASE WHEN v IN (3, 9)
+         |              THEN ((media_id * 13 + k.i * 29) % 256 - 128) * 256
+         |              ELSE (media_id * 13 + k.i * 29) % 4096 - 2048 END) AS av
+         |  FROM aud, LATERAL (SELECT unnest(generate_series(0, len - 1)) AS i) k
+         |), w0 AS (
+         |  SELECT media_id, i // $AfpWindow AS k, sum(av) AS ws
+         |  FROM s WHERE i < len - len % $AfpWindow
+         |  GROUP BY media_id, i // $AfpWindow
+         |), allw AS (
+         |  SELECT media_id, k, ws FROM w0
+         |  UNION ALL
+         |  SELECT media_id + $AudioPadOffset, k + ${AudioPadValues / AfpWindow}, ws FROM w0
+         |  UNION ALL
+         |  SELECT DISTINCT media_id + $AudioPadOffset, p.i, 0 FROM w0,
+         |       LATERAL (SELECT unnest(generate_series(0, ${AudioPadValues / AfpWindow - 1})) AS i) p
+         |), lvl AS (
+         |  SELECT media_id, k, ws, max(ws) OVER (PARTITION BY media_id) AS mx
+         |  FROM allw
+         |), lv AS (
+         |  SELECT media_id, k, (ws * $AudioLevelScale) // mx AS l
+         |  FROM lvl WHERE mx > 0
+         |), sh AS (
+         |  SELECT DISTINCT a.media_id,
+         |         ('0x' || substr(md5(a.l::VARCHAR || ',' || b.l::VARCHAR || ','
+         |            || c.l::VARCHAR || ',' || d.l::VARCHAR), 1, 15))::BIGINT AS h
+         |  FROM lv a
+         |  JOIN lv b ON b.media_id = a.media_id AND b.k = a.k + 1
+         |  JOIN lv c ON c.media_id = a.media_id AND c.k = a.k + 2
+         |  JOIN lv d ON d.media_id = a.media_id AND d.k = a.k + 3
+         |), post AS (
+         |  SELECT h, list_sort(list(DISTINCT media_id)) AS ds FROM sh GROUP BY h
+         |  HAVING count(DISTINCT media_id) <= ${Dedup.MaxShingleDf}
+         |), szs AS (
+         |  SELECT u.m AS media_id, count(*) AS n
+         |  FROM post, LATERAL (SELECT unnest(ds) AS m) u GROUP BY u.m
+         |), pr AS (
+         |  SELECT x.m AS media_a, y.m AS media_b, count(*) AS c
+         |  FROM post, LATERAL (SELECT unnest(ds) AS m) x,
+         |       LATERAL (SELECT unnest(ds) AS m) y
+         |  WHERE x.m < y.m
+         |  GROUP BY x.m, y.m
+         |)
+         |SELECT media_a, media_b,
+         |       round(CAST(c AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+         |FROM pr
+         |JOIN szs na ON media_a = na.media_id
+         |JOIN szs nb ON media_b = nb.media_id
+         |WHERE least(na.n, nb.n) >= $AudioMinShingles
+         |  AND round(CAST(c AS DOUBLE) / least(na.n, nb.n), 6) >= $AudioShingleTau
+         |ORDER BY media_a, media_b""".stripMargin,
+
+    "multimodal_curation_incremental" ->
+      s"""$ahashCtes
+         |, banded AS (
+         |  SELECT media_id, ahash, least(n, $AhashBits) AS nb, band,
+         |         (ahash >> (band * $AhashBandBits)) & $AhashBandMask AS bkt
+         |  FROM bits CROSS JOIN
+         |       (SELECT unnest(generate_series(0, ${AhashBands - 1})) AS band) bs
+         |  WHERE ahash <> 0
+         |), vpairs AS (
+         |  SELECT DISTINCT e.media_id AS dup_src, n.media_id AS media_id
+         |  FROM banded e JOIN banded n
+         |    ON e.band = n.band AND e.bkt = n.bkt AND e.nb = n.nb
+         |  WHERE e.media_id < $MediaIncrementalSplit
+         |    AND n.media_id >= $MediaIncrementalSplit
+         |    AND bit_count(xor(e.ahash, n.ahash)) <= $AhashMaxHamming
+         |)
+         |SELECT b.media_id, min(v.dup_src) AS dup_of,
+         |       min(v.dup_src) IS NULL AS kept
+         |FROM bits b LEFT JOIN vpairs v ON b.media_id = v.media_id
+         |WHERE b.media_id >= $MediaIncrementalSplit
+         |GROUP BY b.media_id
+         |ORDER BY b.media_id""".stripMargin,
 
     "multimodal_audio_fingerprint" ->
       s"""$audioFpCtes
@@ -1264,8 +1496,10 @@ object Multimodal {
     "multimodal_image_neardup" -> (multimodalImageNeardup _),
     "multimodal_audio_fingerprint" -> (multimodalAudioFingerprint _),
     "multimodal_audio_neardup" -> (multimodalAudioNeardup _),
+    "multimodal_audio_shingle_neardup" -> (multimodalAudioShingleNeardup _),
     "multimodal_video_neardup" -> (multimodalVideoNeardup _),
     "multimodal_media_curation" -> (multimodalMediaCuration _),
+    "multimodal_curation_incremental" -> (multimodalCurationIncremental _),
     "multimodal_integrity"   -> (multimodalIntegrity _),
     "multimodal_fusion_centroids" -> (multimodalFusionCentroids _),
   )

@@ -44,39 +44,71 @@ object Graph {
   }
 
   def connectedComponents(edges: DataFrame, src: String = "src",
-                          dst: String = "dst", maxIter: Int = 20): DataFrame = {
+                          dst: String = "dst", maxIter: Int = 20): DataFrame =
+    connectedComponentsWithStrategy(edges, src, dst, maxIter)._1
+
+  /** Hash-min rounds before the frontier probe may fire. */
+  private val StarSwitchWarmup = 3
+  /** A round whose changed-label count shrinks by less than this factor is
+    * a STALLED round — the signature of a chain-shaped graph, where the
+    * min label crawls one hop per round and the frontier stays flat
+    * instead of collapsing geometrically. */
+  private val StarSwitchRatio = 0.7
+  /** Consecutive stalled rounds before cutting over to the stars scheme. */
+  private val StarSwitchPatience = 2
+
+  /** [[connectedComponents]] plus WHICH strategy produced the labels —
+    * `"hashmin"`, `"stars-adaptive"` (the frontier probe fired), or
+    * `"stars-budget"` (maxIter exhausted first). The probe makes the
+    * hash-min→stars cutover ADAPTIVE, removing the topology judgment call
+    * from callers: each round counts how many labels improved (an exact
+    * fixpoint test — zero changed IS convergence), and when that frontier
+    * stops shrinking geometrically for [[StarSwitchPatience]] consecutive
+    * post-warmup rounds, the graph is diameter-bound and the
+    * diameter-independent alternating-star scheme takes over immediately
+    * instead of burning the remaining budget one hop at a time.
+    * `starsFirst` on [[clusterAssign]] survives as an explicit override
+    * for KNOWN chain topologies, skipping even the probe rounds.
+    * Mid-propagation labels are WRONG (one true component reads as
+    * several), so a non-converged label map is never returned — both
+    * fallback paths rerun from the symmetric edge set and return the
+    * stars fixpoint. */
+  private[graft] def connectedComponentsWithStrategy(
+      edges: DataFrame, src: String = "src", dst: String = "dst",
+      maxIter: Int = 20): (DataFrame, String) = {
     val sym = symmetrize(edges, src, dst)
     var labels = sym.select(col("n").as("node")).distinct()
       .withColumn("component", col("node")).localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v // empty graph
-    }
-    // No initial-sum job: every component here has ≥ 2 nodes (sym drops
-    // self-loops, labels covers only edge endpoints), so round 1 always
-    // lowers some label — the first comparison that can detect a fixpoint
-    // is round 2 vs round 1, and None makes round 1 compare unequal.
-    var prev: Option[java.math.BigDecimal] = None
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
+    var bail = false
+    var stall = 0
+    var prevChanged = -1L
+    while (!converged && !bail && it < maxIter) {
       val prop = sym.join(labels, sym("n") === labels("node"))
         .select(col("m").as("node"), col("component"))
       val next = labels.unionByName(prop)
         .groupBy("node").agg(min("component").as("component"))
         .localCheckpoint()
-      val cur = labelSum(next)
-      converged = prev.exists(_.compareTo(cur) == 0)
-      prev = Some(cur)
+      // exact frontier: labels only ever decrease, so "improved this
+      // round" counts the active frontier and 0 IS the fixpoint
+      val changed = next
+        .join(labels.select(col("node"), col("component").as("prev")), "node")
+        .filter(col("component") < col("prev")).count()
+      converged = changed == 0
+      if (!converged) {
+        if (prevChanged > 0 && changed.toDouble > StarSwitchRatio * prevChanged)
+          stall += 1
+        else stall = 0
+        bail = it + 1 >= StarSwitchWarmup && stall >= StarSwitchPatience
+      }
+      prevChanged = changed
       labels = next
       it += 1
     }
-    // Mid-propagation labels are WRONG (one true component reads as
-    // several), so capped output is never returned: when the graph's
-    // diameter exceeds the hash-min budget (long chains), fall back to the
-    // diameter-INDEPENDENT alternating-star scheme and return ITS exact
-    // fixpoint instead.
-    if (!converged) connectedComponentsStars(sym) else labels
+    if (converged) (labels, "hashmin")
+    else (connectedComponentsStars(sym),
+      if (bail) "stars-adaptive" else "stars-budget")
   }
 
   /** Round budget for [[connectedComponentsStars]]. The alternating

@@ -49,6 +49,23 @@ class GraphSpec extends SparkTestBase {
     comp shouldBe (0L to 39L).map(_ -> 0L).toMap
   }
 
+  test("adaptive cutover: a chain fires the frontier probe BEFORE the budget") {
+    // 40-node chain, default budget 20: the changed-label frontier shrinks
+    // by ~1 per round (never geometrically), so the stall probe must cut
+    // over to stars after ~warmup+patience rounds instead of burning all
+    // 20 one hop at a time — and the labels are still exact.
+    val edges = (0L until 39L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, strategy) = Graph.connectedComponentsWithStrategy(edges)
+    strategy shouldBe "stars-adaptive"
+    labels.as[(Long, Long)].collect().toMap shouldBe (0L to 39L).map(_ -> 0L).toMap
+    // a blobby graph (star topology) collapses geometrically: hash-min
+    // finishes on its own and the probe must NOT fire
+    val star = (1L to 30L).map(i => (0L, i)).toDF("src", "dst")
+    val (sl, ss) = Graph.connectedComponentsWithStrategy(star)
+    ss shouldBe "hashmin"
+    sl.as[(Long, Long)].collect().toMap shouldBe (0L to 30L).map(_ -> 0L).toMap
+  }
+
   test("alternating stars: chain + separate clique converge to per-component minima") {
     val chain = (100L until 119L).map(i => (i, i + 1))
     val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)

@@ -159,6 +159,100 @@ class MultimodalSpec extends SparkTestBase {
     pairs shouldBe Set((3L, 4L))
   }
 
+  test("audio shingle levels: loudness- and whole-window-trim-invariant") {
+    val rnd = new scala.util.Random(19)
+    val samples = Array.fill(48)((rnd.nextInt(8000) - 4000).toShort)
+    val lv = Multimodal.audioLevelsOf(samples)
+    lv.length shouldBe 12
+    lv.forall(l => l >= 0 && l <= Multimodal.AudioLevelScale) shouldBe true
+    // loudness: double every sample (no clipping) — identical levels
+    Multimodal.audioLevelsOf(samples.map(s => (s * 2).toShort)).toSeq shouldBe lv.toSeq
+    // whole-window silence pad: original gram CONTENTS survive shifted
+    val padded = Multimodal.audioLevelsOf(
+      Array.fill[Short](Multimodal.AudioPadValues)(0) ++ samples)
+    padded.length shouldBe 14
+    padded.take(2).toSeq shouldBe Seq(0, 0)
+    padded.drop(2).toSeq shouldBe lv.toSeq
+    // silence returns NO levels, not all-zero levels
+    Multimodal.audioLevelsOf(Array.fill[Short](32)(0)) shouldBe empty
+  }
+
+  test("shingled audio near-dup finds every planted silence-shifted twin") {
+    val sf = "/root/testdata/sf0.001"
+    val pairs = Multimodal.multimodalAudioShingleNeardup(spark, sf)
+      .select("media_a", "media_b").as[(Long, Long)].collect().toSet
+    // sequential reference: per-clip shingle sets (originals + padded
+    // twins), the global df-cap, sizes, containment — recomputed in plain
+    // Scala. Every planted twin the capped fingerprint can resolve must
+    // surface at containment 1 (A ⊆ B survives any shared-shingle drop).
+    val shingleSets: Map[Long, Set[String]] = Multimodal.mediaLake(spark, sf)
+      .collect()
+      .filter(m => m.mime == "audio/wav" && m.media_id % 12 != 11)
+      .flatMap { m =>
+        val s0 = graft.extensions.Codecs.wavDecode(m.payload).samples
+        def grams(samples: Array[Short]): Set[String] = {
+          val lv = Multimodal.audioLevelsOf(samples)
+          (0 to lv.length - Multimodal.AudioShingleLen)
+            .map(i => lv.slice(i, i + Multimodal.AudioShingleLen).mkString(","))
+            .toSet
+        }
+        Seq(m.media_id -> grams(s0),
+          (m.media_id + Multimodal.AudioPadOffset) ->
+            grams(Array.fill[Short](Multimodal.AudioPadValues)(0) ++ s0))
+      }.toMap
+    val df = shingleSets.values.toSeq.flatMap(_.toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val capped = shingleSets.view
+      .mapValues(_.filter(s => df(s) <= graft.extensions.Dedup.MaxShingleDf)).toMap
+    val expected = capped.keys
+      .filter(d => d < Multimodal.AudioPadOffset)
+      .filter { d =>
+        val a = capped(d); val b = capped(d + Multimodal.AudioPadOffset)
+        math.min(a.size, b.size) >= Multimodal.AudioMinShingles &&
+          (a & b).size >= Multimodal.AudioShingleTau * math.min(a.size, b.size)
+      }.toSet
+    expected should not be empty
+    for (d <- expected)
+      withClue(s"clip $d vs its padded twin: ") {
+        pairs should contain((d, d + Multimodal.AudioPadOffset))
+      }
+    // the POSITIONAL envelope fingerprint misses the same twins: the pad
+    // shifts every window, so this is exactly the recall the shingle set
+    // adds (spot-check one clip's hashes differ)
+    val one = Multimodal.mediaLake(spark, sf).collect()
+      .find(m => expected.contains(m.media_id)).get
+    val s0 = graft.extensions.Codecs.wavDecode(one.payload).samples
+    val shifted = Array.fill[Short](Multimodal.AudioPadValues)(0) ++ s0
+    Multimodal.audioFpOf(shifted)._2 should not be Multimodal.audioFpOf(s0)._2
+  }
+
+  test("incremental curation: batch probes the index, corpus never re-paired") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Multimodal.multimodalCurationIncremental(spark, sf)
+      .select("media_id", "dup_of", "kept")
+      .as[(Long, Option[Long], Boolean)].collect()
+    // one row per decodable batch image, none below the split
+    out.map(_._1).forall(_ >= Multimodal.MediaIncrementalSplit) shouldBe true
+    out should not be empty
+    // dup_of, when present, is an EXISTING image (below the split), and
+    // kept is exactly dup_of's absence
+    for ((_, dupOf, kept) <- out) {
+      kept shouldBe dupOf.isEmpty
+      dupOf.foreach(_ should be < Multimodal.MediaIncrementalSplit)
+    }
+    // cross-check against the full pair relation: a batch image is dropped
+    // iff the full near-dup query pairs it with some existing image
+    val full = Multimodal.multimodalImageNeardup(spark, sf)
+      .select("media_a", "media_b").as[(Long, Long)].collect()
+    val expectDropped = full.collect {
+      case (a, b) if a < Multimodal.MediaIncrementalSplit &&
+        b >= Multimodal.MediaIncrementalSplit => b
+      case (a, b) if b < Multimodal.MediaIncrementalSplit &&
+        a >= Multimodal.MediaIncrementalSplit => a
+    }.toSet
+    out.filterNot(_._3).map(_._1).toSet shouldBe expectDropped
+  }
+
   test("mediaFingerprint: zero-information payloads return None, not Some(0)") {
     import graft.extensions.{BmpImage, Codecs, WavAudio}
     // flat image and silent clip both hash to 0 — matching on 0 would flag
