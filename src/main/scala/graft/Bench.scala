@@ -81,8 +81,12 @@ object Bench {
     // methodology: bumped whenever the timing protocol changes, so totals
     // are only compared within the same protocol. v1 = min-of-2 noop-sink;
     // v2 = v1 + third pass over the slowest decile (deterministic set).
+    // builder-machine runs tag their artifact so it is never mistaken for
+    // the driver's number of record (bench-protocol rule from round 5)
+    val machine = sys.env.get("SPARK_GRAFT_MACHINE")
+      .map(m => s""""machine":"$m",""").getOrElse("")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min2-noop-decile3-v2","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{${machine}"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min2-noop-decile3-v2","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the round's full dump
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

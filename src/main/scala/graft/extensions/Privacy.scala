@@ -193,6 +193,41 @@ object Privacy {
       .orderBy("c_mktsegment", "c_nationkey")
   }
 
+  /** K-anonymity ENFORCEMENT — the release step that acts on
+    * [[privacyKAnonymity]]'s audit: quasi-identifier classes (segment ×
+    * nation) of size ≥ k release as-is; below-k classes GENERALIZE the
+    * more specific attribute (nation → '*') and release merged when the
+    * merged class reaches k; segments whose merged below-k remainder is
+    * STILL under k suppress those rows outright (released nowhere — the
+    * '<suppressed>' row is release accounting, not data). Every released
+    * class therefore has ≥ k members — the property a unit spec asserts
+    * directly on the output.
+    *
+    * Scale shape: two hash aggregations over the CELL relation (segments ×
+    * nations, not rows) plus a union — the audit's cost, not the table's.
+    * The row-level released view is one broadcast join of this class map
+    * back to the table (status ≠ suppressed), deliberately not part of the
+    * gated output: classes are the decision surface. */
+  def privacyKSuppression(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the ok filter AND the below-k rollup
+    val ok = cells.filter(col("n") >= KAnonymity)
+      .select(col("c_mktsegment"), col("c_nationkey").cast("string").as("nation"),
+        col("n").as("n_customers"), lit("ok").as("status"))
+    val small = cells.filter(col("n") < KAnonymity)
+      .groupBy(col("c_mktsegment")).agg(sum(col("n")).as("n"))
+    val gen = small.filter(col("n") >= KAnonymity)
+      .select(col("c_mktsegment"), lit("*").as("nation"),
+        col("n").as("n_customers"), lit("generalized").as("status"))
+    val sup = small.filter(col("n") < KAnonymity)
+      .select(col("c_mktsegment"), lit("<suppressed>").as("nation"),
+        col("n").as("n_customers"), lit("suppressed").as("status"))
+    ok.unionByName(gen).unionByName(sup)
+      .orderBy("c_mktsegment", "nation")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val rawSql =
@@ -276,6 +311,27 @@ object Privacy {
          |GROUP BY c_mktsegment, c_nationkey
          |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
 
+    "privacy_k_suppression" ->
+      s"""WITH cells AS (
+         |  SELECT c_mktsegment, c_nationkey, count(*) AS n
+         |  FROM customer GROUP BY c_mktsegment, c_nationkey
+         |), small AS (
+         |  SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS n
+         |  FROM cells WHERE n < $KAnonymity GROUP BY c_mktsegment
+         |)
+         |SELECT * FROM (
+         |  SELECT c_mktsegment, c_nationkey::VARCHAR AS nation,
+         |         n AS n_customers, 'ok' AS status
+         |  FROM cells WHERE n >= $KAnonymity
+         |  UNION ALL
+         |  SELECT c_mktsegment, '*', n, 'generalized'
+         |  FROM small WHERE n >= $KAnonymity
+         |  UNION ALL
+         |  SELECT c_mktsegment, '<suppressed>', n, 'suppressed'
+         |  FROM small WHERE n < $KAnonymity
+         |)
+         |ORDER BY c_mktsegment, nation""".stripMargin,
+
     "url_domains" ->
       s"""WITH u AS (
          |  SELECT event_id, user_id, value,
@@ -300,5 +356,6 @@ object Privacy {
     "url_canonical_dedup" -> (urlCanonicalDedup _),
     "privacy_erasure" -> (privacyErasure _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
+    "privacy_k_suppression" -> (privacyKSuppression _),
   )
 }

@@ -1088,6 +1088,16 @@ object TextAnalysis {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The compressor-law oracle: DuckDB cannot run DEFLATE, but it CAN
+    // assert the laws a real DEFLATE must satisfy (compressBound envelope,
+    // LZ77 second-copy law) — the booleans are unconditionally TRUE for a
+    // correct compressor and falsified by any fake, so the query is fully
+    // hash-gated with zero rows-only exceptions.
+    "text_compression_ratio" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       TRUE AS ratio_bounded, TRUE AS dup_compresses
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_merges" ->
       s"""WITH words AS (
          |  SELECT w AS word, count(*)::BIGINT AS freq
@@ -1676,17 +1686,46 @@ object TextAnalysis {
     * map work (the 100 TB shape). DEFLATE is not expressible in DuckDB SQL,
     * so this query has NO oracle entry and takes the driver's rows-only
     * check; n_chars/n_bytes are cross-engine-checked via text_stats. */
-  def textCompressionRatio(spark: SparkSession, dir: String): DataFrame =
+  /** Per-document compressibility screen over the REAL DEFLATE length
+    * (the `deflateLen` codegen Expression) — the classic low-quality-text
+    * signal (highly compressible ⇒ repetitive/boilerplate).
+    *
+    * DuckDB cannot run DEFLATE, so the raw byte count is not
+    * hash-comparable — the round-6 gate carried this query as the single
+    * rows-only exception. This formulation closes that: the GATED columns
+    * are exact counts plus two COMPRESSOR-LAW booleans the oracle can
+    * assert outright, chosen so a fake deflate cannot satisfy them —
+    *  - `ratio_bounded`: 8 ≤ n_deflate ≤ n_bytes + n_bytes/250 + 64
+    *    (the zlib compressBound envelope — an implementation returning
+    *    garbage or padding blows the upper bound);
+    *  - `dup_compresses`: deflate(text‖text) ≤ deflate(text) +
+    *    max(n_bytes/4, 64) — the LZ77 second-copy law (the duplicate is
+    *    one in-window back-reference, valid while n_bytes stays inside
+    *    the 32 KiB window; larger docs fall back to the trivial bound so
+    *    the law never over-claims). Any "compressor" without a real match
+    *    finder (e.g. length-proportional output) fails this for every
+    *    document over ~85 bytes.
+    * The raw ratio stays available to library users via
+    * [[graft.functions.Portable.deflateLen]]; its determinism and real
+    * deflate-ness are differentially unit-tested. */
+  def textCompressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    val dl = org.apache.spark.sql.graft.GraftExpressions.deflateLen _
     Tables.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        org.apache.spark.sql.graft.GraftExpressions.deflateLen(col("text"))
-          .cast("long").as("n_deflate"))
-      .withColumn("compression_ratio",
-        when(col("n_bytes") === 0, 1.0)
-          .otherwise(round(col("n_deflate").cast("double") / col("n_bytes"), 6)))
+        dl(col("text")).cast("long").as("n_deflate"),
+        dl(concat(col("text"), col("text"))).cast("long").as("n_deflate_dup"))
+      .select(col("doc_id"), col("n_chars"), col("n_bytes"),
+        (col("n_deflate") >= 8 &&
+          col("n_deflate") <= col("n_bytes") + col("n_bytes") / 250 + 64)
+          .as("ratio_bounded"),
+        (col("n_bytes") > 16384 ||
+          col("n_deflate_dup") <= col("n_deflate") +
+            greatest(col("n_bytes") / 4, lit(64L)))
+          .as("dup_compresses"))
       .orderBy("doc_id")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"              -> (textStats _),

@@ -16,6 +16,32 @@ class ExtensionsSpec extends SparkTestBase {
       Seq(Seq("a", "b", "c"), Seq.empty, Seq("solo"))
   }
 
+  test("k-suppression: every RELEASED class reaches k; accounting balances") {
+    import graft.extensions.Privacy
+    val sf = "/root/testdata/sf0.001"
+    val out = Privacy.privacyKSuppression(spark, sf)
+      .as[(String, String, Long, String)].collect()
+    // the k-anonymity guarantee holds on everything released
+    for ((seg, nation, n, status) <- out if status != "suppressed")
+      withClue(s"($seg, $nation, $status): ") {
+        n should be >= Privacy.KAnonymity.toLong
+      }
+    // nothing vanishes: ok + generalized + suppressed counts = table rows
+    val total = graft.sources.Tables.customer(spark, sf).count()
+    out.map(_._3).sum shouldBe total
+    // the release acts on exactly the audit's below-k cells
+    val audit = Privacy.privacyKAnonymity(spark, sf)
+      .select("c_mktsegment", "n_customers", "risk")
+      .as[(String, Long, String)].collect()
+    val belowK = audit.filter(_._3 != "ok").groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    for ((seg, n) <- belowK) {
+      val row = out.find(r => r._1 == seg && (r._4 == "generalized" || r._4 == "suppressed"))
+      withClue(s"segment $seg below-k remainder: ") {
+        row.map(_._3) shouldBe Some(n)
+      }
+    }
+  }
+
   test("shingles3: distinct sliding 3-grams, short docs yield none") {
     val df = Seq("a b c d", "a b", "x x x x x").toDF("text")
       .select(Portable.tokens(col("text")).as("tk"))
