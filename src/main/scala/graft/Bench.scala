@@ -84,7 +84,8 @@ object Bench {
     // builder-machine runs tag their artifact so it is never mistaken for
     // the driver's number of record (bench-protocol rule from round 5)
     val machine = sys.env.get("SPARK_GRAFT_MACHINE")
-      .map(m => s""""machine":"$m",""").getOrElse("")
+      .map(m => s""""machine":"${m.replaceAll("[^A-Za-z0-9_.-]", "_")}",""")
+      .getOrElse("")
     val fullLine =
       s"""{${machine}"metric":"total","value":${fmt(total)},"unit":"sec","methodology":"min2-noop-decile3-v2","n_queries":${results.size},"queries":$fullQs,"errors":$errJson,"sf":"$sfDir"}"""
     if (args.isEmpty) // a filtered profiling run must not clobber the round's full dump

@@ -42,6 +42,10 @@ object ScaleAudit {
     val sfs = Seq(("t_001", 0.001, "/root/testdata/sf0.001"),
                   ("t_01",  0.01,  "/root/testdata/sf0.01"),
                   ("t_1",   0.1,   "/root/testdata/sf0.1"))
+    // a typoed query name must fail loudly, not write a silently-thin
+    // artifact — this audit exists to falsify claims, not mask gaps
+    val unknown = names -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => names.isEmpty || names(q._1))
 
@@ -51,7 +55,9 @@ object ScaleAudit {
       try {
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      } catch { // fatal JVM errors must propagate, not read as a benign -1
+        case scala.util.control.NonFatal(_) => -1.0
+      }
     }
 
     // ascending sf: the cheap decades first, page cache warm by the big one

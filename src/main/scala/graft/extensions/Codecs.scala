@@ -281,12 +281,14 @@ object Codecs {
     inf.setInput(idat.toByteArray)
     val (got, ended) = try {
       // inflate() may return partial output per call (JDK contract) —
-      // drain until the stream finishes or stops making progress
+      // drain until the stream finishes or stops making progress. ANY
+      // zero-byte call exits (finished, needs more input, or needs a
+      // preset dictionary — FDICT streams must reject via the length
+      // check below, never spin here)
       var n = 0
-      var progressing = true
-      while (progressing && !inf.finished() && n < raw.length) {
-        val k = inf.inflate(raw, n, raw.length - n)
-        if (k == 0 && (inf.finished() || inf.needsInput())) progressing = false
+      var k = -1
+      while (k != 0 && !inf.finished() && n < raw.length) {
+        k = inf.inflate(raw, n, raw.length - n)
         n += k
       }
       (n, inf.finished())
@@ -811,6 +813,10 @@ object Codecs {
                  restartInterval: Int = 0): Array[Byte] = {
     val w = img.width; val h = img.height
     require(img.rgb.length == w * h * 3, "rgb length mismatch")
+    // SOF0 stores dimensions as two bytes each — reject instead of
+    // silently truncating into a corrupt-but-plausible header
+    require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
+      s"JPEG dimensions out of range: ${w}x$h")
     require(quant >= 1 && quant <= 255, s"bad quant $quant")
     require(mode >= JpegGray && mode <= JpegColor420, s"bad mode $mode")
     val qtab = Array.fill(64)(quant)
@@ -1019,6 +1025,9 @@ object Codecs {
     var compAc: Array[Int] = null
     while (sosPos < 0) {
       require(u8(pos) == 0xff, f"expected marker, got ${u8(pos)}%02X")
+      // T.81 B.1.1.2: markers may be preceded by any number of FF fill
+      // bytes — skip to the marker code proper
+      while (u8(pos + 1) == 0xff) pos += 1
       val m = u8(pos + 1)
       pos += 2
       // standalone markers (no length field) are all illegal before the scan

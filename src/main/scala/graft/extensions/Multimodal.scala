@@ -834,8 +834,12 @@ object Multimodal {
     * list expansion. */
   def multimodalAudioShingleNeardup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // the twin id space starts at AudioPadOffset, so clips at or above it
+    // are FENCED OUT rather than silently aliased with their own twins —
+    // the DedupEmbeddingBaselineCap discipline (oracle mirrors the fence)
     val sh = mediaLake(spark, dir)
-      .filter(col("mime") === "audio/wav").as[MediaRecord]
+      .filter(col("mime") === "audio/wav" && col("media_id") < AudioPadOffset)
+      .as[MediaRecord]
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.flatMap { m =>
@@ -1047,21 +1051,33 @@ object Multimodal {
     * codec-free closed-form twin of [[audioFpOf]]: per-variant |sample|
     * closed forms, whole [[AfpWindow]]-sample windows over the first
     * [[AfpMaxSamples]], integer cross-multiplied above-mean bits. */
-  private val audioFpCtes =
-    s"""WITH aud AS (
+  /** Shared audio-lake CTE: one row per decodable WAV clip with variant
+    * key and interleaved value count — the ONE place the lake's variant
+    * map lives in oracle SQL (a lake revision edits it once). `extraWhere`
+    * appends predicates (the shingle query's pad-offset fence). */
+  private def audCte(extraWhere: String = ""): String =
+    s"""aud AS (
        |  SELECT doc_id AS media_id, doc_id % 12 AS v,
        |         CASE WHEN doc_id % 12 = 5 THEN 2 * (16 + doc_id % 50)
        |              ELSE 16 + doc_id % 50 END AS len
-       |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 12 <> 11
-       |), geo AS (
+       |  FROM documents
+       |  WHERE doc_id % 2 = 1 AND doc_id % 12 <> 11$extraWhere
+       |)""".stripMargin
+
+  /** Shared |sample| closed form (per variant, at value index `k.i`). */
+  private def audioAbsSampleExpr: String =
+    """abs(CASE WHEN v IN (3, 9)
+      |              THEN ((media_id * 13 + k.i * 29) % 256 - 128) * 256
+      |              ELSE (media_id * 13 + k.i * 29) % 4096 - 2048 END)""".stripMargin
+
+  private val audioFpCtes =
+    s"""WITH ${audCte()}, geo AS (
        |  SELECT media_id, v,
        |         least(len, $AfpMaxSamples) - least(len, $AfpMaxSamples) % $AfpWindow AS m
        |  FROM aud
        |), s AS (
        |  SELECT media_id, m, k.i // $AfpWindow AS k,
-       |         abs(CASE WHEN v IN (3, 9)
-       |              THEN ((media_id * 13 + k.i * 29) % 256 - 128) * 256
-       |              ELSE (media_id * 13 + k.i * 29) % 4096 - 2048 END) AS av
+       |         $audioAbsSampleExpr AS av
        |  FROM geo, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS i) k
        |), tot AS (
        |  SELECT media_id, m, sum(av) AS total FROM s GROUP BY media_id, m
@@ -1158,16 +1174,9 @@ object Multimodal {
     // containment. Predicts BOTH the planted shifted twins and any
     // natural matches.
     "multimodal_audio_shingle_neardup" ->
-      s"""WITH aud AS (
-         |  SELECT doc_id AS media_id, doc_id % 12 AS v,
-         |         CASE WHEN doc_id % 12 = 5 THEN 2 * (16 + doc_id % 50)
-         |              ELSE 16 + doc_id % 50 END AS len
-         |  FROM documents WHERE doc_id % 2 = 1 AND doc_id % 12 <> 11
-         |), s AS (
+      s"""WITH ${audCte(s" AND doc_id < $AudioPadOffset")}, s AS (
          |  SELECT media_id, len, k.i AS i,
-         |         abs(CASE WHEN v IN (3, 9)
-         |              THEN ((media_id * 13 + k.i * 29) % 256 - 128) * 256
-         |              ELSE (media_id * 13 + k.i * 29) % 4096 - 2048 END) AS av
+         |         $audioAbsSampleExpr AS av
          |  FROM aud, LATERAL (SELECT unnest(generate_series(0, len - 1)) AS i) k
          |), w0 AS (
          |  SELECT media_id, i // $AfpWindow AS k, sum(av) AS ws

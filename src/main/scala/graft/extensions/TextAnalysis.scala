@@ -1695,9 +1695,12 @@ object TextAnalysis {
     * rows-only exception. This formulation closes that: the GATED columns
     * are exact counts plus two COMPRESSOR-LAW booleans the oracle can
     * assert outright, chosen so a fake deflate cannot satisfy them —
-    *  - `ratio_bounded`: 8 ≤ n_deflate ≤ n_bytes + n_bytes/250 + 64
-    *    (the zlib compressBound envelope — an implementation returning
-    *    garbage or padding blows the upper bound);
+    *  - `ratio_bounded`: 2 ≤ n_deflate ≤ n_bytes + n_bytes/250 + 64
+    *    (the compressBound-style envelope for the RAW deflate stream
+    *    `deflateLen` measures — nowrap, so the floor is the ~2-byte
+    *    fixed-Huffman EOB, not zlib's 8-byte wrapper minimum; an
+    *    implementation returning garbage or padding blows the upper
+    *    bound);
     *  - `dup_compresses`: deflate(text‖text) ≤ deflate(text) +
     *    max(n_bytes/4, 64) — the LZ77 second-copy law (the duplicate is
     *    one in-window back-reference, valid while n_bytes stays inside
@@ -1717,7 +1720,7 @@ object TextAnalysis {
         dl(col("text")).cast("long").as("n_deflate"),
         dl(concat(col("text"), col("text"))).cast("long").as("n_deflate_dup"))
       .select(col("doc_id"), col("n_chars"), col("n_bytes"),
-        (col("n_deflate") >= 8 &&
+        (col("n_deflate") >= 2 &&
           col("n_deflate") <= col("n_bytes") + col("n_bytes") / 250 + 64)
           .as("ratio_bounded"),
         (col("n_bytes") > 16384 ||

@@ -143,6 +143,29 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     Codecs.pngDecode(repacked.toByteArray).rgb.toSeq shouldBe img.rgb.toSeq
   }
 
+  test("PNG decoder rejects FDICT zlib streams instead of hanging") {
+    // A preset-dictionary stream makes inflate() return 0 with neither
+    // finished() nor needsInput() — the drain loop must exit and reject
+    // via the length check, never spin (review finding, round 7)
+    val img = BmpImage(3, 2, Array.fill(18)(9))
+    val stored = Codecs.pngEncode(img)
+    // zlib header 0x78 0x20: CMF=deflate/32K, FLG has FDICT set and
+    // (0x7820 % 31 == 0) so the header checks pass; then a DICTID
+    val body = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0, 0, 0, 0)
+    val repacked = new java.io.ByteArrayOutputStream()
+    repacked.write(stored, 0, 8 + 25) // signature + IHDR
+    val hdr = java.nio.ByteBuffer.allocate(8)
+    hdr.putInt(body.length).put("IDAT".getBytes("US-ASCII"))
+    repacked.write(hdr.array())
+    repacked.write(body)
+    val crc = new java.util.zip.CRC32
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(body)
+    repacked.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    repacked.write(stored, stored.length - 12, 12) // IEND
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.pngDecode(repacked.toByteArray)
+  }
+
   test("RLE8 BMP round-trips; non-repeating data hits the size closed form") {
     // no two adjacent pixels equal -> every run is length 1
     val w = 6; val h = 4
@@ -454,6 +477,16 @@ class CodecsSpec extends AnyFunSuite with Matchers {
         maxChannelDiff(Codecs.jpegDecode(bytes), imageIoDecode(bytes)) should be <= 3
       }
     }
+  }
+
+  test("JPEG: FF fill bytes before markers are legal and skipped (T.81 B.1.1.2)") {
+    val img = Multimodal.jpegSpec(11L)
+    val base = Codecs.jpegEncode(img, Codecs.JpegColor444)
+    // insert two fill bytes before SOF0's marker
+    val sof = base.indices.dropRight(1)
+      .find(i => (base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) == 0xc0).get
+    val padded = base.take(sof) ++ Array[Byte](0xff.toByte, 0xff.toByte) ++ base.drop(sof)
+    Codecs.jpegDecode(padded).rgb.toSeq shouldBe img.rgb.toSeq
   }
 
   test("JPEG: non-baseline and bomb variants reject with the documented throw") {

@@ -253,6 +253,22 @@ class MultimodalSpec extends SparkTestBase {
     out.filterNot(_._3).map(_._1).toSet shouldBe expectDropped
   }
 
+  test("perceptual fingerprint is container-invariant: BMP ≡ PNG ≡ all three JPEGs") {
+    import graft.extensions.Codecs
+    // flat-block content decodes bit-exactly from every container — so the
+    // SAME image carried as BMP, PNG, or any JPEG variant must fingerprint
+    // identically, which is what lets the streaming known-content screen
+    // flag a JPEG re-encode of known BMP content
+    val spec = Multimodal.jpegSpec(17L)
+    val viaBmp = Multimodal.mediaFingerprint(Codecs.bmpEncode(spec))
+    viaBmp should not be None
+    Multimodal.mediaFingerprint(Codecs.pngEncode(spec)) shouldBe viaBmp
+    Multimodal.mediaFingerprint(Codecs.jpegEncode(spec, Codecs.JpegColor444)) shouldBe viaBmp
+    Multimodal.mediaFingerprint(
+      Codecs.jpegEncode(spec, Codecs.JpegColor420, restartInterval = 2)) shouldBe viaBmp
+    Multimodal.mediaFingerprint(Codecs.jpegEncode(spec, Codecs.JpegGray)) shouldBe viaBmp
+  }
+
   test("mediaFingerprint: zero-information payloads return None, not Some(0)") {
     import graft.extensions.{BmpImage, Codecs, WavAudio}
     // flat image and silent clip both hash to 0 — matching on 0 would flag

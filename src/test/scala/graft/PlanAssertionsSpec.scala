@@ -256,6 +256,36 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "CartesianProduct"
   }
 
+  test("incremental curation: one index probe join, never corpus×corpus") {
+    // the steady-state contract: candidates come from ONE existing⋈batch
+    // equi-join (hash exchange), with no nested-loop/cartesian anywhere
+    val p = planOf(graft.extensions.Multimodal.multimodalCurationIncremental(spark, sf))
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+    "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).size should be >= 1
+  }
+
+  test("audio shingle near-dup: pair work is posting-list expansion, no pair join at all") {
+    // pairs come from in-task expansion of df-capped posting lists — no
+    // join of the shingle relation against itself anywhere (the quadratic
+    // shape this design avoids). The capped ObjectHashAggregate itself is
+    // not visible here: the posting relation localCheckpoints (it feeds
+    // three consumers), so the final plan reads the materialized index.
+    val p = planOf(graft.extensions.Multimodal.multimodalAudioShingleNeardup(spark, sf))
+    p should not include "NestedLoop"
+    p should not include "CartesianProduct"
+    p should not include "Scan parquet" // everything flows from the checkpointed index
+  }
+
+  test("jpeg decode: stateless map lane — no shuffle before the output sort") {
+    val p = planOf(graft.extensions.Multimodal.multimodalDecodeJpeg(spark, sf))
+    // one exchange total: the final range partitioning for the sort (the
+    // fan-out repartition is round-robin inside the same count)
+    "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "SortMergeJoin"
+    p should not include "HashAggregate"
+  }
+
   test("bootstrap CI: replicate buffers aggregate in one pass — no replicate fan-out") {
     val p = planOf(Tpch.qBootstrapCi(spark, sf))
     // The retired implementation fanned each order row out ×B via
