@@ -681,6 +681,30 @@ object Codecs {
       0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
       0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
 
+  /** Annex K example quantization tables (NATURAL row-major order) — the
+    * de-facto "quality 50" tables real encoders scale. The lake keeps
+    * uniform quant=1 (flat-block exactness needs it); these exist so the
+    * encoder can also produce realistically-quantized files, which the
+    * ImageIO differential spec decodes with both decoders. */
+  val JpegStdLumaQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+  val JpegStdChromaQuant: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
   /** Zigzag scan: position `k` in transmission order → natural (row-major)
     * coefficient index. */
   private val Zigzag = Array(
@@ -807,10 +831,14 @@ object Codecs {
 
   /** Encode an image as baseline JFIF. `mode` is [[JpegGray]] /
     * [[JpegColor444]] / [[JpegColor420]]; `quant` fills both quantization
-    * tables uniformly (1 = near-lossless: only DCT rounding); a positive
-    * `restartInterval` emits DRI + RSTn markers every that many MCUs. */
+    * tables uniformly (1 = near-lossless: only DCT rounding) unless
+    * explicit NATURAL-order `lumaQuant`/`chromaQuant` tables override it
+    * (pass [[JpegStdLumaQuant]]/[[JpegStdChromaQuant]] for the realistic
+    * Annex-K quantization); a positive `restartInterval` emits DRI + RSTn
+    * markers every that many MCUs. */
   def jpegEncode(img: BmpImage, mode: Int = JpegColor444, quant: Int = 1,
-                 restartInterval: Int = 0): Array[Byte] = {
+                 restartInterval: Int = 0, lumaQuant: Array[Int] = null,
+                 chromaQuant: Array[Int] = null): Array[Byte] = {
     val w = img.width; val h = img.height
     require(img.rgb.length == w * h * 3, "rgb length mismatch")
     // SOF0 stores dimensions as two bytes each — reject instead of
@@ -819,7 +847,11 @@ object Codecs {
       s"JPEG dimensions out of range: ${w}x$h")
     require(quant >= 1 && quant <= 255, s"bad quant $quant")
     require(mode >= JpegGray && mode <= JpegColor420, s"bad mode $mode")
-    val qtab = Array.fill(64)(quant)
+    val qLuma = if (lumaQuant != null) lumaQuant else Array.fill(64)(quant)
+    val qChroma = if (chromaQuant != null) chromaQuant else qLuma
+    require(qLuma.length == 64 && qChroma.length == 64 &&
+      qLuma.forall(v => v >= 1 && v <= 255) &&
+      qChroma.forall(v => v >= 1 && v <= 255), "bad quantization table")
     // integer YCbCr planes (BT.601 full-range, the JFIF convention)
     val yP = new Array[Int](w * h)
     val cbP = new Array[Int](w * h)
@@ -861,8 +893,10 @@ object Codecs {
     }
     marker(0xd8) // SOI
     seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)) // APP0
-    seg(0xdb, Array(0x00) ++ Array.fill(64)(quant))                    // DQT luma
-    if (nComp == 3) seg(0xdb, Array(0x01) ++ Array.fill(64)(quant))    // DQT chroma
+    // DQT bytes are transmitted in zigzag order (tables held natural)
+    seg(0xdb, Array(0x00) ++ Array.tabulate(64)(k => qLuma(Zigzag(k))))   // luma
+    if (nComp == 3)
+      seg(0xdb, Array(0x01) ++ Array.tabulate(64)(k => qChroma(Zigzag(k))))
     val compSpec = // (id, hSamp, vSamp, quantId)
       if (nComp == 1) Seq((1, 1, 1, 0))
       else Seq((1, maxH, maxV, 0), (2, 1, 1, 1), (3, 1, 1, 1))
@@ -880,7 +914,8 @@ object Codecs {
       Seq(0, 63, 0)) // SOS: tables 0/0 for luma, 1/1 for chroma
 
     val bw = new BitWriter(out)
-    def encodeBlock(block: Array[Int], pred: Int, dc: HuffTable, ac: HuffTable): Int = {
+    def encodeBlock(block: Array[Int], pred: Int, dc: HuffTable, ac: HuffTable,
+                    qtab: Array[Int]): Int = {
       val coef = fdctQuant(block, qtab)
       val diff = coef(0) - pred
       val s = if (diff == 0) 0 else bitCategory(diff)
@@ -925,16 +960,16 @@ object Codecs {
           while (bx < maxH) {
             pred(0) = encodeBlock(
               blockAt(yP, w, h, (mx * maxH + bx) * 8, (my * maxV + by) * 8),
-              pred(0), DcLuma, AcLuma)
+              pred(0), DcLuma, AcLuma, qLuma)
             bx += 1
           }
           by += 1
         }
         if (nComp == 3) {
           pred(1) = encodeBlock(blockAt(cbS, cw, ch, mx * 8, my * 8),
-            pred(1), DcChroma, AcChroma)
+            pred(1), DcChroma, AcChroma, qChroma)
           pred(2) = encodeBlock(blockAt(crS, cw, ch, mx * 8, my * 8),
-            pred(2), DcChroma, AcChroma)
+            pred(2), DcChroma, AcChroma, qChroma)
         }
         mcu += 1
         mx += 1

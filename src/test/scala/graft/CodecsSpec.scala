@@ -477,6 +477,16 @@ class CodecsSpec extends AnyFunSuite with Matchers {
         maxChannelDiff(Codecs.jpegDecode(bytes), imageIoDecode(bytes)) should be <= 3
       }
     }
+    // realistic Annex-K quantization (separate luma/chroma tables, zigzag
+    // DQT transmission): same file, both decoders, tight agreement — and
+    // the coarse tables must actually shrink the file vs near-lossless
+    val std = Codecs.jpegEncode(img, Codecs.JpegColor444,
+      lumaQuant = Codecs.JpegStdLumaQuant, chromaQuant = Codecs.JpegStdChromaQuant)
+    maxChannelDiff(Codecs.jpegDecode(std), imageIoDecode(std)) should be <= 4
+    std.length should be < Codecs.jpegEncode(img, Codecs.JpegColor444).length
+    val stdGray = Codecs.jpegEncode(img, Codecs.JpegGray,
+      lumaQuant = Codecs.JpegStdLumaQuant)
+    maxChannelDiff(Codecs.jpegDecode(stdGray), imageIoDecode(stdGray)) should be <= 4
   }
 
   test("JPEG: FF fill bytes before markers are legal and skipped (T.81 B.1.1.2)") {

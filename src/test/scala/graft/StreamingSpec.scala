@@ -77,15 +77,20 @@ class StreamingSpec extends SparkTestBase {
       val shifted = Codecs.pngEncode(BmpImage(6, 5, base.rgb.map(_ + 15)))
       val other = Codecs.bmpEncode(BmpImage(4, 4,
         Array.tabulate(48)(j => (j * 53 + 7) % 256)))
+      // a JPEG re-encode of the SAME known content (flat-chroma pixels
+      // survive the lossy round trip within the above-mean pattern):
+      // third container, still flags
+      val asJpeg = Codecs.jpegEncode(base, Codecs.JpegColor444)
       ms.addData(
         MediaRecord(1L, "image/png", shifted),
         MediaRecord(2L, "image/bmp", other),
-        MediaRecord(3L, "text/plain", "no container here".getBytes("UTF-8")))
+        MediaRecord(3L, "text/plain", "no container here".getBytes("UTF-8")),
+        MediaRecord(4L, "image/jpeg", asJpeg))
       q.processAllAvailable()
       val rows = spark.table("mediascreen")
         .select("media_id", "flagged").collect()
         .map(r => (r.getLong(0), r.getBoolean(1))).toMap
-      rows shouldBe Map(1L -> true, 2L -> false, 3L -> false)
+      rows shouldBe Map(1L -> true, 2L -> false, 3L -> false, 4L -> true)
     } finally q.stop()
   }
 
