@@ -638,10 +638,13 @@ object Codecs {
   // contract every other codec here honors.
 
   /** JPEG encode modes: grayscale (one component), 4:4:4 (three components,
-    * no subsampling), 4:2:0 (chroma subsampled 2x2, 16x16 MCUs). */
+    * no subsampling), 4:2:0 (chroma subsampled 2x2, 16x16 MCUs), 4:2:2
+    * (chroma subsampled horizontally only, 16x8 MCUs — the (2,1) sampling
+    * shape). */
   val JpegGray = 0
   val JpegColor444 = 1
   val JpegColor420 = 2
+  val JpegColor422 = 3
 
   // Annex K Huffman table specs: (count of codes per length 1..16, symbols).
   private val DcLumaSpec = (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
@@ -846,7 +849,7 @@ object Codecs {
     require(w >= 1 && h >= 1 && w <= 65535 && h <= 65535,
       s"JPEG dimensions out of range: ${w}x$h")
     require(quant >= 1 && quant <= 255, s"bad quant $quant")
-    require(mode >= JpegGray && mode <= JpegColor420, s"bad mode $mode")
+    require(mode >= JpegGray && mode <= JpegColor422, s"bad mode $mode")
     val qLuma = if (lumaQuant != null) lumaQuant else Array.fill(64)(quant)
     val qChroma = if (chromaQuant != null) chromaQuant else qLuma
     require(qLuma.length == 64 && qChroma.length == 64 &&
@@ -865,22 +868,31 @@ object Codecs {
       j += 1
     }
     val nComp = if (mode == JpegGray) 1 else 3
-    val maxH = if (mode == JpegColor420) 2 else 1
-    val maxV = maxH
+    // luma sampling factors: (2,2) for 4:2:0, (2,1) for 4:2:2, else (1,1)
+    val maxH = if (mode == JpegColor420 || mode == JpegColor422) 2 else 1
+    val maxV = if (mode == JpegColor420) 2 else 1
     val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
     val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
     // per-plane sample fetch with edge replication
     def sample(p: Array[Int], px: Int, py: Int, pw: Int, ph: Int): Int =
       p(math.min(py, ph - 1) * pw + math.min(px, pw - 1))
-    // chroma planes subsampled for 4:2:0 (2x2 box average, round half up)
-    val (cw, ch) = if (mode == JpegColor420) ((w + 1) / 2, (h + 1) / 2) else (w, h)
+    // chroma planes subsampled by the luma factors (box average, half up)
+    val (cw, ch) = ((w + maxH - 1) / maxH, (h + maxV - 1) / maxV)
     def subsampled(p: Array[Int]): Array[Int] =
-      if (mode != JpegColor420) p
+      if (maxH == 1 && maxV == 1) p
       else Array.tabulate(cw * ch) { i =>
         val cx = i % cw; val cy = i / cw
-        val s = sample(p, 2 * cx, 2 * cy, w, h) + sample(p, 2 * cx + 1, 2 * cy, w, h) +
-          sample(p, 2 * cx, 2 * cy + 1, w, h) + sample(p, 2 * cx + 1, 2 * cy + 1, w, h)
-        (s + 2) / 4
+        var s = 0
+        var dy = 0
+        while (dy < maxV) {
+          var dx = 0
+          while (dx < maxH) {
+            s += sample(p, maxH * cx + dx, maxV * cy + dy, w, h)
+            dx += 1
+          }
+          dy += 1
+        }
+        (s + maxH * maxV / 2) / (maxH * maxV)
       }
     val cbS = if (nComp == 3) subsampled(cbP) else null
     val crS = if (nComp == 3) subsampled(crP) else null

@@ -143,12 +143,12 @@ object Multimodal {
   }
 
   /** The JPEG lake: every doc as a baseline JFIF of [[jpegSpec]], container
-    * variant keyed `doc_id mod 3` — 4:4:4, 4:2:0 with restart markers
-    * every 2 MCUs, and single-component grayscale. All three variants
-    * decode to the SAME closed-form pixels, so the oracle is variant-blind:
-    * agreement proves all three encode/decode paths (subsampling +
-    * upsampling, DRI/RSTn resync, single-component scan) reconstruct
-    * identical content. */
+    * variant keyed `doc_id mod 4` — 4:4:4, 4:2:0 with restart markers
+    * every 2 MCUs, single-component grayscale, and 4:2:2 (the (2,1)
+    * sampling shape). All variants decode to the SAME closed-form pixels,
+    * so the oracle is variant-blind: agreement proves every encode/decode
+    * path (both subsampling geometries + upsampling, DRI/RSTn resync,
+    * single-component scan) reconstructs identical content. */
   def jpegLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
@@ -156,11 +156,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.map { d =>
-            val payload = (d % 3) match {
+            val payload = (d % 4) match {
               case 0 => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegColor444)
               case 1 => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegColor420,
                 restartInterval = 2)
-              case _ => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegGray)
+              case 2 => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegGray)
+              case _ => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegColor422)
             }
             MediaRecord(d, "image/jpeg", payload)
           }

@@ -356,6 +356,7 @@ class CodecsSpec extends AnyFunSuite with Matchers {
       Codecs.wavEncode24(WavAudio(8000, Array.tabulate(21)(k => (k * 777 - 8000).toShort))),
       Codecs.jpegEncode(img, Codecs.JpegColor444),
       Codecs.jpegEncode(img, Codecs.JpegColor420, restartInterval = 1),
+      Codecs.jpegEncode(img, Codecs.JpegColor422),
       Codecs.jpegEncode(img, Codecs.JpegGray))
     for (base <- fixtures; _ <- 1 to 150) {
       val mutated = base.clone()
@@ -428,7 +429,7 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     for (d <- Seq(0L, 1L, 2L, 5L, 17L, 40L, 83L)) {
       val spec = Multimodal.jpegSpec(d)
       for ((mode, ri) <- Seq((Codecs.JpegColor444, 0), (Codecs.JpegColor420, 2),
-                             (Codecs.JpegGray, 0))) {
+                             (Codecs.JpegGray, 0), (Codecs.JpegColor422, 0))) {
         val bytes = Codecs.jpegEncode(spec, mode, restartInterval = ri)
         val out = Codecs.jpegDecode(bytes)
         (out.width, out.height) shouldBe ((spec.width, spec.height))
@@ -472,6 +473,7 @@ class CodecsSpec extends AnyFunSuite with Matchers {
         "444" -> Codecs.jpegEncode(img, Codecs.JpegColor444),
         "444q4" -> Codecs.jpegEncode(img, Codecs.JpegColor444, quant = 4),
         "420rst" -> Codecs.jpegEncode(lumaOnly, Codecs.JpegColor420, restartInterval = 1),
+        "422" -> Codecs.jpegEncode(lumaOnly, Codecs.JpegColor422),
         "gray" -> Codecs.jpegEncode(img, Codecs.JpegGray))) {
       withClue(s"$label: ") {
         maxChannelDiff(Codecs.jpegDecode(bytes), imageIoDecode(bytes)) should be <= 3

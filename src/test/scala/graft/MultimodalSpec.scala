@@ -100,7 +100,7 @@ class MultimodalSpec extends SparkTestBase {
     import graft.extensions.Codecs
     val sf = "/root/testdata/sf0.001"
     val lake = Multimodal.jpegLake(spark, sf).collect()
-    lake.groupBy(_.media_id % 3).keySet shouldBe (0L to 2L).toSet
+    lake.groupBy(_.media_id % 4).keySet shouldBe (0L to 3L).toSet
     for (m <- lake) {
       val spec = Multimodal.jpegSpec(m.media_id)
       val img = Codecs.jpegDecode(m.payload)
@@ -267,6 +267,7 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.mediaFingerprint(
       Codecs.jpegEncode(spec, Codecs.JpegColor420, restartInterval = 2)) shouldBe viaBmp
     Multimodal.mediaFingerprint(Codecs.jpegEncode(spec, Codecs.JpegGray)) shouldBe viaBmp
+    Multimodal.mediaFingerprint(Codecs.jpegEncode(spec, Codecs.JpegColor422)) shouldBe viaBmp
   }
 
   test("mediaFingerprint: zero-information payloads return None, not Some(0)") {
