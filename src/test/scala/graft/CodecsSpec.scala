@@ -457,6 +457,25 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     maxChannelDiff(q8, img) should be <= 40
   }
 
+  test("JPEG: degenerate geometries round-trip in every mode") {
+    // 1x1 (all padding), sub-block, exact-block, just-over-block, and a
+    // wide-flat strip — each through all four component layouts. Equal
+    // channels keep chroma neutral so subsampling is exact and the only
+    // loss is luma DCT rounding.
+    val rnd = new scala.util.Random(71)
+    for ((w, h) <- Seq((1, 1), (7, 5), (8, 8), (9, 9), (16, 3));
+         mode <- Seq(Codecs.JpegGray, Codecs.JpegColor444,
+                     Codecs.JpegColor420, Codecs.JpegColor422)) {
+      val img = BmpImage(w, h,
+        Array.tabulate(w * h)(_ => rnd.nextInt(256)).flatMap(v => Array(v, v, v)))
+      val out = Codecs.jpegDecode(Codecs.jpegEncode(img, mode))
+      (out.width, out.height) shouldBe ((w, h))
+      withClue(s"${w}x$h mode=$mode: ") {
+        maxChannelDiff(out, img) should be <= 8
+      }
+    }
+  }
+
   test("JPEG: differential vs the JDK decoder on AC-heavy images") {
     // Same FILE, two independent decoders (my float IDCT vs the JDK's
     // libjpeg-style integer IDCT): per-sample agreement within the JPEG
