@@ -35,6 +35,28 @@ class MultimodalSpec extends SparkTestBase {
     feats(1).feat.toSeq shouldBe Seq(3.0f, 8000.0f, 300.0f, 200.0f)
   }
 
+  test("extractFeatures runs the real JPEG decoder, all four variants") {
+    import graft.extensions.Codecs
+    val spec = Multimodal.jpegSpec(29L) // flat-block: decodes bit-exactly
+    val n = spec.width * spec.height
+    val mean = (0 until n).map { p =>
+      val bx = (p % spec.width) / 8; val by = (p / spec.width) / 8
+      ((29L * 23 + 31 * bx + 41 * by) % 256).toInt
+    }.sum.toFloat / n
+    val records = Seq(
+      MediaRecord(1L, "image/jpeg", Codecs.jpegEncode(spec, Codecs.JpegColor444)),
+      MediaRecord(2L, "image/jpeg",
+        Codecs.jpegEncode(spec, Codecs.JpegColor420, restartInterval = 2)),
+      MediaRecord(3L, "image/jpeg", Codecs.jpegEncode(spec, Codecs.JpegGray)),
+      MediaRecord(4L, "image/jpeg", Codecs.jpegEncode(spec, Codecs.JpegColor422)))
+    val feats = Multimodal.extractFeatures(records.toDS()).collect().sortBy(_.media_id)
+    for (f <- feats) withClue(s"media ${f.media_id}: ") {
+      // real image branch: (w, h, mean_r, mean_g, mean_b) — equal channels
+      f.feat.toSeq shouldBe Seq(spec.width.toFloat, spec.height.toFloat,
+        mean, mean, mean)
+    }
+  }
+
   test("extractFeatures: REAL-but-unsupported variants fall back, not fail") {
     import graft.extensions.{BmpImage, Codecs, WavAudio}
     val img = BmpImage(2, 1, Array(10, 20, 30, 40, 60, 80))
