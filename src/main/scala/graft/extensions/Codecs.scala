@@ -850,8 +850,11 @@ object Codecs {
       s"JPEG dimensions out of range: ${w}x$h")
     require(quant >= 1 && quant <= 255, s"bad quant $quant")
     require(mode >= JpegGray && mode <= JpegColor422, s"bad mode $mode")
-    val qLuma = if (lumaQuant != null) lumaQuant else Array.fill(64)(quant)
-    val qChroma = if (chromaQuant != null) chromaQuant else qLuma
+    // defensive copies: the std tables are shared vals, and a caller
+    // mutating its own array after the range check must not corrupt the
+    // in-flight (or any later) encode
+    val qLuma = if (lumaQuant != null) lumaQuant.clone() else Array.fill(64)(quant)
+    val qChroma = if (chromaQuant != null) chromaQuant.clone() else qLuma
     require(qLuma.length == 64 && qChroma.length == 64 &&
       qLuma.forall(v => v >= 1 && v <= 255) &&
       qChroma.forall(v => v >= 1 && v <= 255), "bad quantization table")

@@ -1352,7 +1352,7 @@ object Multimodal {
 
     // Variant-BLIND JPEG oracle: pure [[jpegSpec]] closed form (per-block
     // flat value × covered-pixel count), no container knowledge at all —
-    // the three encode variants (4:4:4 / 4:2:0+DRI / grayscale) must all
+    // the four encode variants (4:4:4 / 4:2:0+DRI / grayscale / 4:2:2) must all
     // reconstruct identical content through real entropy decode + IDCT.
     "multimodal_decode_jpeg" ->
       """WITH img AS (
