@@ -13,6 +13,12 @@ case class BmpImage(width: Int, height: Int, rgb: Array[Int])
   * scale, ×256). */
 case class WavAudio(sampleRate: Int, samples: Array[Short], channels: Int = 1)
 
+/** Decoded motion-JPEG video: header geometry + frame period (µs) plus
+  * every frame fully decoded to top-down RGB. All frames share the
+  * container-declared `width`×`height` (the decoder enforces it). */
+case class AviVideo(width: Int, height: Int, usPerFrame: Int,
+                    frames: Vector[BmpImage])
+
 /** Pure-JVM media codecs for the multimodal pipeline — no native libraries.
   *
   * Real container formats fully specified by public file-format docs,
@@ -1265,5 +1271,317 @@ object Codecs {
       y += 1
     }
     BmpImage(w, h, rgb)
+  }
+
+  // ======================= AVI (RIFF) container =======================
+  //
+  // Motion-JPEG AVI per the public RIFF/AVI layout (the same chunk
+  // discipline as WAV, which shares the RIFF container):
+  //
+  //   RIFF <size> 'AVI '
+  //     LIST 'hdrl'
+  //       avih <56>                    main header: µs/frame, total frames,
+  //                                    stream count, width, height
+  //       LIST 'strl'
+  //         strh <56>                  stream header: 'vids' + handler fourcc
+  //         strf <40>                  BITMAPINFOHEADER (biCompression fourcc)
+  //     LIST 'movi'
+  //       00dc <n> <JFIF bytes>        one compressed video chunk per frame
+  //       ...                          (chunks pad to even length, RIFF rule)
+  //     idx1 <16·frames>               frame index (ckid, flags, offset, size)
+  //
+  // The MJPEG decoder is a real container parser: it walks the chunk tree,
+  // validates the video stream's declared codec, runs the full baseline
+  // JPEG decoder on every frame chunk, and cross-checks each decoded
+  // frame's geometry and the frame COUNT against the headers. The DIB
+  // (uncompressed) encoder produces well-formed files the decoder rejects,
+  // so reject→fallback routing is exercised by authentic video payloads.
+
+  /** Frame-count sanity cap: header-declared totals beyond this reject
+    * before any allocation (the MaxPixels discipline, per-container). */
+  private val MaxAviFrames = 1 << 12
+
+  private final class RiffWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def tag(s: String): Unit = { var i = 0; while (i < 4) { out.write(s.charAt(i) & 0xff); i += 1 } }
+    def bytes(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    def result(): Array[Byte] = out.toByteArray
+  }
+
+  /** `id` + LE size + body, padded to even length (RIFF rule). */
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val w = new RiffWriter
+    w.tag(id); w.u32(body.length); w.bytes(body)
+    if (body.length % 2 == 1) w.out.write(0)
+    w.result()
+  }
+
+  private def riffList(listType: String, body: Array[Byte]): Array[Byte] = {
+    val w = new RiffWriter
+    w.tag("LIST"); w.u32(body.length + 4); w.tag(listType); w.bytes(body)
+    w.result()
+  }
+
+  private def aviHeaders(width: Int, height: Int, usPerFrame: Int,
+                         nFrames: Int, maxFrameBytes: Int,
+                         handler: String, biCompression: String): Array[Byte] = {
+    val avih = new RiffWriter
+    avih.u32(usPerFrame); avih.u32(0); avih.u32(0); avih.u32(0) // µs/frame, maxBps, padding, flags
+    avih.u32(nFrames); avih.u32(0); avih.u32(1)                 // total frames, initial, streams
+    avih.u32(maxFrameBytes); avih.u32(width); avih.u32(height)  // buffer, w, h
+    avih.u32(0); avih.u32(0); avih.u32(0); avih.u32(0)          // reserved[4]
+    val strh = new RiffWriter
+    strh.tag("vids"); strh.tag(handler)
+    strh.u32(0); strh.u32(0); strh.u32(0)            // flags, prio+lang, initial
+    strh.u32(usPerFrame); strh.u32(1000000)          // scale, rate: fps = rate/scale
+    strh.u32(0); strh.u32(nFrames)                   // start, length (frames)
+    strh.u32(maxFrameBytes); strh.u32(-1); strh.u32(0) // buffer, quality, sampleSize
+    strh.u16(0); strh.u16(0); strh.u16(width); strh.u16(height) // rcFrame
+    val strf = new RiffWriter // BITMAPINFOHEADER
+    strf.u32(40); strf.u32(width); strf.u32(height)
+    strf.u16(1); strf.u16(24)
+    if (biCompression.isEmpty) strf.u32(0) else strf.tag(biCompression)
+    strf.u32(width * height * 3); strf.u32(2835); strf.u32(2835)
+    strf.u32(0); strf.u32(0)
+    riffList("hdrl", riffChunk("avih", avih.result()) ++
+      riffList("strl", riffChunk("strh", strh.result()) ++
+        riffChunk("strf", strf.result())))
+  }
+
+  private def aviAssemble(headers: Array[Byte], frameChunkId: String,
+                          framePayloads: Seq[Array[Byte]]): Array[Byte] = {
+    val movi = new RiffWriter
+    movi.tag("movi")
+    // idx1 offsets are measured from the 'movi' fourcc (the common
+    // convention): the first chunk sits at offset 4
+    val idx = new RiffWriter
+    var off = 4
+    framePayloads.foreach { p =>
+      val chunk = riffChunk(frameChunkId, p)
+      movi.bytes(chunk)
+      idx.tag(frameChunkId); idx.u32(0x10); idx.u32(off); idx.u32(p.length)
+      off += chunk.length
+    }
+    val moviList = {
+      val w = new RiffWriter
+      w.tag("LIST"); w.u32(movi.out.size()); w.bytes(movi.result())
+      w.result()
+    }
+    val body = headers ++ moviList ++ riffChunk("idx1", idx.result())
+    val riff = new RiffWriter
+    riff.tag("RIFF"); riff.u32(body.length + 4); riff.tag("AVI ")
+    riff.bytes(body)
+    riff.result()
+  }
+
+  /** Assemble already-JFIF-encoded frames into a motion-JPEG AVI. Every
+    * frame must be a baseline JPEG of the SAME `width`×`height` (the
+    * decoder enforces the header cross-check; the encoder only sanity-
+    * checks the SOI magic so a mis-assembled lake fails loudly here). */
+  def aviEncodeMjpeg(width: Int, height: Int, usPerFrame: Int,
+                     jpegFrames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= MaxDim && height <= MaxDim,
+      s"bad AVI geometry ${width}x$height")
+    require(usPerFrame >= 1, s"bad frame period $usPerFrame")
+    require(jpegFrames.nonEmpty && jpegFrames.length <= MaxAviFrames,
+      s"bad frame count ${jpegFrames.length}")
+    jpegFrames.foreach { f =>
+      require(f.length >= 2 && (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8,
+        "frame is not a JPEG")
+    }
+    val maxBytes = jpegFrames.map(_.length).max
+    aviAssemble(aviHeaders(width, height, usPerFrame, jpegFrames.length,
+      maxBytes, "MJPG", "MJPG"), "00dc", jpegFrames)
+  }
+
+  /** Uncompressed (DIB) AVI: frames stored as raw bottom-up BGR rows padded
+    * to 4 bytes — the BMP pixel-array layout — in `00db` chunks. Well-formed
+    * per the AVI spec, OUTSIDE the MJPEG decoder's envelope: [[aviDecode]]
+    * rejects it into the fallback lane (the bmpEncode32/wavEncode24 move
+    * in the video domain). */
+  def aviEncodeDib(usPerFrame: Int, frames: Seq[BmpImage]): Array[Byte] = {
+    require(frames.nonEmpty && frames.length <= MaxAviFrames,
+      s"bad frame count ${frames.length}")
+    val w = frames.head.width; val h = frames.head.height
+    require(frames.forall(f => f.width == w && f.height == h),
+      "DIB frames must share one geometry")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val payloads = frames.map { f =>
+      val b = le(rowSize * h)
+      var row = h - 1
+      while (row >= 0) { // bottom-up, BGR — the BMP pixel-array layout
+        var x = 0
+        while (x < w) {
+          val p = (row * w + x) * 3
+          b.put(f.rgb(p + 2).toByte).put(f.rgb(p + 1).toByte).put(f.rgb(p).toByte)
+          x += 1
+        }
+        var pad = rowSize - w * 3
+        while (pad > 0) { b.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+      b.array()
+    }
+    aviAssemble(aviHeaders(w, h, usPerFrame, frames.length, rowSize * h,
+      "DIB ", ""), "00db", payloads)
+  }
+
+  /** Decode a motion-JPEG AVI: full RIFF chunk walk, header validation,
+    * baseline JPEG decode per frame chunk, geometry + frame-count
+    * cross-checks. Throws IllegalArgumentException on anything that is not
+    * a single-video-stream MJPEG AVI inside the sanity caps — uncompressed
+    * (DIB) or otherwise-coded files are well-formed rejects for the
+    * pipeline's fallback lane. */
+  def aviDecode(bytes: Array[Byte]): AviVideo = {
+    def tagAt(p: Int): String = {
+      require(p >= 0 && p + 4 <= bytes.length, "truncated AVI")
+      new String(Array(bytes(p), bytes(p + 1), bytes(p + 2), bytes(p + 3)),
+        java.nio.charset.StandardCharsets.US_ASCII)
+    }
+    def u32(p: Int): Int = {
+      require(p >= 0 && p + 4 <= bytes.length, "truncated AVI")
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
+        ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+    }
+    // chunk sizes are attacker-controlled u32s: validate non-negative and
+    // bound in LONG before any pointer moves, or a crafted size wraps the
+    // walk pointer negative/past the buffer
+    def chunkSize(p: Int, end: Int, id: String): Int = {
+      val sz = u32(p + 4)
+      require(sz >= 0 && p + 8L + sz <= end, s"truncated $id chunk")
+      sz
+    }
+    require(bytes.length >= 12 && tagAt(0) == "RIFF" && tagAt(8) == "AVI ",
+      "not an AVI")
+    val riffEnd = {
+      val sz = u32(4)
+      require(sz >= 4 && 8L + sz <= bytes.length, "truncated RIFF payload")
+      8 + sz
+    }
+    var width = -1; var height = -1; var usPerFrame = -1
+    var totalFrames = -1; var streams = -1
+    var strhFrames = -1
+    var handler: String = null; var biCompression: String = null
+    var sawHdrl = false
+    val framePayloads = Vector.newBuilder[Array[Byte]]
+    var nFrameChunks = 0
+    var idxEntries = -1
+
+    // one stream-header pair (strh/strf) inside LIST strl
+    def parseStrl(from: Int, end: Int): Unit = {
+      var p = from
+      while (p + 8 <= end) {
+        val id = tagAt(p); val sz = chunkSize(p, end, id)
+        id match {
+          case "strh" =>
+            require(sz >= 56, "short strh")
+            val fccType = tagAt(p + 8)
+            // only the video stream's header matters; ignore others here
+            // (the stream-count check rejects multi-stream files anyway)
+            if (fccType == "vids") {
+              require(handler == null, "duplicate video stream header")
+              handler = tagAt(p + 12)
+              strhFrames = u32(p + 8 + 32)
+            }
+          case "strf" =>
+            if (handler != null && biCompression == null) {
+              require(sz >= 40, "short strf")
+              val comp = u32(p + 8 + 16)
+              biCompression =
+                if (comp == 0) "" else tagAt(p + 8 + 16)
+            }
+          case _ => () // JUNK etc.
+        }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+    def parseHdrl(from: Int, end: Int): Unit = {
+      var p = from
+      while (p + 8 <= end) {
+        val id = tagAt(p); val sz = chunkSize(p, end, id)
+        if (id == "avih") {
+          require(sz >= 56, "short avih")
+          usPerFrame = u32(p + 8)
+          totalFrames = u32(p + 8 + 16)
+          streams = u32(p + 8 + 24)
+          width = u32(p + 8 + 32)
+          height = u32(p + 8 + 36)
+        } else if (id == "LIST" && tagAt(p + 8) == "strl") {
+          parseStrl(p + 12, p + 8 + sz)
+        }
+        p += 8 + sz + (sz & 1)
+      }
+      sawHdrl = true
+    }
+    def parseMovi(from: Int, end: Int): Unit = {
+      require(sawHdrl, "movi before hdrl")
+      // the declared codec gates the frame walk: a non-MJPEG stream must
+      // reject AS an unsupported codec (the fallback-lane contract), not
+      // as a malformed frame chunk
+      require(handler != null, "no video stream")
+      require(handler == "MJPG" && biCompression == "MJPG",
+        s"unsupported AVI codec ${if (handler == "MJPG") biCompression else handler}")
+      var p = from
+      while (p + 8 <= end) {
+        val id = tagAt(p); val sz = chunkSize(p, end, id)
+        if (id == "00dc" || id == "00db") {
+          require(id == "00dc", "uncompressed frame chunk in MJPG stream")
+          nFrameChunks += 1
+          require(nFrameChunks <= MaxAviFrames, "too many frame chunks")
+          framePayloads += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
+        }
+        p += 8 + sz + (sz & 1)
+      }
+    }
+
+    var p = 12
+    while (p + 8 <= riffEnd) {
+      val id = tagAt(p); val sz = chunkSize(p, riffEnd, id)
+      if (id == "LIST") {
+        tagAt(p + 8) match {
+          case "hdrl" => parseHdrl(p + 12, p + 8 + sz)
+          case "movi" => parseMovi(p + 12, p + 8 + sz)
+          case _      => () // INFO etc. — skip
+        }
+      } else if (id == "idx1") {
+        require(sz % 16 == 0, "bad idx1 size")
+        idxEntries = sz / 16
+      }
+      p += 8 + sz + (sz & 1)
+    }
+
+    require(sawHdrl, "missing hdrl")
+    require(streams == 1, s"unsupported stream count $streams")
+    require(handler != null, "no video stream")
+    require(handler == "MJPG" && biCompression == "MJPG",
+      s"unsupported AVI codec ${if (handler == "MJPG") biCompression else handler}")
+    require(width >= 1 && height >= 1 && width <= MaxDim && height <= MaxDim,
+      s"bad AVI geometry ${width}x$height")
+    require(usPerFrame >= 1, s"bad frame period $usPerFrame")
+    require(totalFrames >= 1 && totalFrames <= MaxAviFrames,
+      s"bad declared frame count $totalFrames")
+    // header-declared decode volume capped BEFORE any frame decode
+    require(totalFrames.toLong * width * height <= MaxPixels,
+      "AVI decode volume over cap")
+    val payloads = framePayloads.result()
+    require(payloads.length == totalFrames,
+      s"frame chunks ${payloads.length} != declared $totalFrames")
+    require(strhFrames == totalFrames,
+      s"stream length $strhFrames != declared $totalFrames")
+    if (idxEntries >= 0)
+      require(idxEntries == totalFrames,
+        s"idx1 entries $idxEntries != declared $totalFrames")
+    val frames = payloads.map { fp =>
+      val img = jpegDecode(fp)
+      require(img.width == width && img.height == height,
+        s"frame geometry ${img.width}x${img.height} != header ${width}x$height")
+      img
+    }
+    AviVideo(width, height, usPerFrame, frames)
   }
 }

@@ -47,6 +47,12 @@ case class AhashRow(media_id: Long, n_pixels: Long, ahash: Long, n_ones: Int)
 /** Energy-envelope fingerprint of a decoded audio clip. */
 case class AudioFpRow(media_id: Long, n_windows: Int, afp: Long, n_ones: Int)
 
+/** Real decoded-video statistics — exact integer channel sums across all
+  * frames; `n_pixels` counts pixels across frames. */
+case class VideoStats(media_id: Long, width: Int, height: Int, n_frames: Int,
+                      us_per_frame: Int, n_pixels: Long,
+                      sum_r: Long, sum_g: Long, sum_b: Long)
+
 /** Multimodal-column plumbing: binary payloads with typed metadata, a
   * partition-batched feature extractor over REAL pure-JVM codecs
   * ([[Codecs]]: 24-bit + RLE8 BMP, 8-bit RGB PNG, mono/stereo 8/16-bit
@@ -164,6 +170,87 @@ object Multimodal {
               case _ => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegColor422)
             }
             MediaRecord(d, "image/jpeg", payload)
+          }
+        }
+      }
+  }
+
+  /** Video frame period: 25 fps. */
+  val VideoUsPerFrame = 40000
+
+  /** Frame `f` of video family `g` (optionally brightness-`shift`ed): the
+    * [[jpegSpec]] flat-block discipline at the family's geometry — every
+    * 8×8 block flat at
+    * `(g·23 + (31 + 16·(g mod 11))·bx + (41 + 32·(g mod 5))·by + 97·f
+    *   + shift) mod 256`
+    * on all three channels. Flat blocks survive the LOSSY encode→decode
+    * bit-exactly (only DC nonzero, chroma neutral), so decoded frames
+    * equal this closed form and the DuckDB oracle can predict real
+    * container-walk + entropy-decode + IDCT output per (family, frame,
+    * block).
+    *
+    * The block GRADIENT (the bx/by coefficients) is family-keyed, not just
+    * the offset: an additive-only family difference would make every
+    * same-geometry family a brightness clone of ~60% of the others, and a
+    * brightness-INVARIANT perceptual hash would then correctly pair them
+    * all — quadratic TRUE near-dup growth planted by the generator
+    * (measured: 364k pairs at sf0.1 before the gradient key, ~7k after).
+    * Sibling classes are meant to be planted per family (re-encode /
+    * brightness / trim variants), not across the whole lake. */
+  def videoFrameSpec(g: Long, f: Int, shift: Int = 0): BmpImage = {
+    val w = 13 + (g % 12).toInt
+    val h = 9 + (g % 7).toInt
+    val cx = 31 + 16 * (g % 11); val cy = 41 + 32 * (g % 5)
+    BmpImage(w, h, Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      val bx = (p % w) / 8; val by = (p / w) / 8
+      ((g * 23 + cx * bx + cy * by + 97 * f + shift) % 256).toInt
+    })
+  }
+
+  /** The video lake: consecutive docs form FAMILIES of four variants of one
+    * underlying clip (family `g = doc_id / 4`, `3 + g mod 3` frames,
+    * variant `v = doc_id mod 4`):
+    *
+    * | v | container                          | relation to v=0      |
+    * |---|------------------------------------|----------------------|
+    * | 0 | MJPEG AVI, 4:4:4 frames            | the original         |
+    * | 1 | MJPEG AVI, 4:2:0 + DRI frames      | re-encode (same content) |
+    * | 1 | (families with g mod 7 = 5) DIB AVI| REJECTED → fallback  |
+    * | 2 | MJPEG AVI, grayscale, +8 brightness| brightness-shifted   |
+    * | 3 | MJPEG AVI, 4:4:4, frame 0 dropped  | trimmed              |
+    *
+    * The family structure plants exactly the sibling classes a video
+    * near-dup stage must catch (re-encodes, brightness shifts, trims) —
+    * all deterministic functions of `doc_id`, so oracles replay them. The
+    * DIB members are WELL-FORMED uncompressed AVIs outside the MJPEG
+    * decoder's envelope: authentic reject→fallback payloads. */
+  def videoLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { d =>
+            val g = d / 4
+            val nf = 3 + (g % 3).toInt
+            val geo = videoFrameSpec(g, 0)
+            def mjpeg(frames: Seq[BmpImage], mode: Int, dri: Int = 0) =
+              Codecs.aviEncodeMjpeg(geo.width, geo.height, VideoUsPerFrame,
+                frames.map(Codecs.jpegEncode(_, mode, restartInterval = dri)))
+            val payload = (d % 4) match {
+              case 0 => mjpeg((0 until nf).map(videoFrameSpec(g, _)), Codecs.JpegColor444)
+              case 1 =>
+                if (g % 7 == 5)
+                  Codecs.aviEncodeDib(VideoUsPerFrame,
+                    (0 until nf).map(videoFrameSpec(g, _)))
+                else mjpeg((0 until nf).map(videoFrameSpec(g, _)),
+                  Codecs.JpegColor420, dri = 2)
+              case 2 => mjpeg((0 until nf).map(videoFrameSpec(g, _, shift = 8)),
+                Codecs.JpegGray)
+              case _ => mjpeg((1 until nf).map(videoFrameSpec(g, _)), Codecs.JpegColor444)
+            }
+            MediaRecord(d, "video/avi", payload)
           }
         }
       }
@@ -442,6 +529,42 @@ object Multimodal {
               }
               Some(ImageStats(m.media_id, img.width, img.height,
                 img.width.toLong * img.height, sr, sg, sb))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Real VIDEO decode over the [[videoLake]]: full RIFF/AVI container
+    * walk + baseline JPEG entropy decode per frame. Geometry, frame
+    * count, frame period, and EXACT channel sums across all frames — the
+    * decode manifest of a video ingest stage. The DIB (uncompressed)
+    * variants reject inside [[Codecs.aviDecode]] and drop from this lane
+    * (the oracle excludes exactly those ids, so a decoder that silently
+    * accepts them — or a lost MJPEG member — breaks the row count). Same
+    * batched stateless-map shape as every decode query: per-record CPU
+    * work, scales with partitions, no shuffle before the output sort. */
+  def multimodalDecodeVideo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoLake(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val v = Codecs.aviDecode(m.payload)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              v.frames.foreach { img =>
+                var p = 0
+                while (p < img.rgb.length) {
+                  sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
+                  p += 3
+                }
+              }
+              Some(VideoStats(m.media_id, v.width, v.height, v.frames.length,
+                v.usPerFrame,
+                v.width.toLong * v.height * v.frames.length, sr, sg, sb))
             } catch { case _: IllegalArgumentException => None }
           }
         }
@@ -942,7 +1065,17 @@ object Multimodal {
       .select(col("media_id"),
         (Portable.hash60(col("frame_hash")) % Portable.P31).as("h"))
       .distinct()
-      .localCheckpoint() // feeds the signature agg and both verify probes
+    frameSetNeardupPairs(fh).orderBy("media_a", "media_b")
+  }
+
+  /** MinHash-banded near-dup pairs over a (media_id, h) DISTINCT
+    * frame-hash-set relation — the tail shared by the text-frame and
+    * REAL-decoded-frame video near-dup queries: 32-hash/8-band signatures
+    * ([[Dedup.minhashBandBuckets]], the text pipeline's coefficients),
+    * bucket-collision candidates, exact set Jaccard ≥ [[VideoJaccardTau]]
+    * on candidates only. */
+  private def frameSetNeardupPairs(fhIn: DataFrame): DataFrame = {
+    val fh = fhIn.localCheckpoint() // feeds the signature agg and both verify probes
     val buckets = Dedup.minhashBandBuckets(fh, "media_id").localCheckpoint()
     val cand = buckets.as("x")
       .join(buckets.as("y"),
@@ -962,7 +1095,34 @@ object Multimodal {
         round(col("c").cast("double") / (col("na.n") + col("nb.n") - col("c")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= VideoJaccardTau)
-      .orderBy("media_a", "media_b")
+  }
+
+  /** REAL-video near-dup: AVI container walk + JPEG entropy decode per
+    * frame, per-frame [[ahashOf]] perceptual fingerprint, then the same
+    * frame-SET MinHash discipline as [[multimodalVideoNeardup]] — set
+    * semantics catch re-encodes (identical decoded frames), trims (subset
+    * frame sets) and non-wrapping brightness shifts (aHash invariance),
+    * exactly the sibling classes the [[videoLake]] families plant. DIB
+    * members reject during decode and never enter the pair space. Scale
+    * shape: decode+hash is stateless map work; everything after is the
+    * bounded bucket join — never media × media. */
+  def multimodalVideoNeardupReal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    import spark.implicits._
+    val fh = videoLake(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val v = Codecs.aviDecode(m.payload)
+              v.frames.map(f => (m.media_id, ahashOf(f) % Portable.P31))
+            } catch { case _: IllegalArgumentException => Nil }
+          }
+        }
+      }
+      .toDF("media_id", "h")
+      .distinct() // frame SET semantics, after the mod-P31 reduction
+    frameSetNeardupPairs(fh).orderBy("media_a", "media_b")
   }
 
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
@@ -1106,6 +1266,75 @@ object Multimodal {
          |  WHERE length(text) > 0
          |), fh AS (
          |  SELECT DISTINCT media_id, h FROM fr
+         |), params(i, a, b) AS (VALUES ${Dedup.paramsValues}),
+         |sig AS (
+         |  SELECT media_id, i, min((a * h + b) % 2147483647) AS mh
+         |  FROM fh CROSS JOIN params GROUP BY media_id, i
+         |), buckets AS (
+         |  SELECT media_id, i // 4 AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS bkt
+         |  FROM sig GROUP BY media_id, i // 4
+         |), cand AS (
+         |  SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bkt = y.bkt AND x.media_id < y.media_id
+         |), sz AS (
+         |  SELECT media_id, count(*) AS n FROM fh GROUP BY media_id
+         |), inter AS (
+         |  SELECT c.media_a, c.media_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN fh a ON a.media_id = c.media_a
+         |  JOIN fh b ON b.media_id = c.media_b AND b.h = a.h
+         |  GROUP BY c.media_a, c.media_b
+         |)
+         |SELECT media_a, media_b,
+         |       round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+         |FROM inter
+         |JOIN sz na ON media_a = na.media_id
+         |JOIN sz nb ON media_b = nb.media_id
+         |WHERE round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) >= $VideoJaccardTau
+         |ORDER BY media_a, media_b""".stripMargin,
+
+    // REAL-video near-dup oracle: the whole pipeline replayed codec-free —
+    // per-frame aHash from the [[videoFrameSpec]] closed form (flat blocks
+    // → gray = block value; floor-mean over the full frame; above-mean bit
+    // per pixel, first 60), then the SAME MinHash/band/verify chain as the
+    // text-frame video oracle with the same fixed coefficients.
+    "multimodal_video_neardup_real" ->
+      s"""WITH vid AS (
+         |  SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS v,
+         |         13 + (doc_id // 4) % 12 AS w, 9 + (doc_id // 4) % 7 AS h,
+         |         3 + (doc_id // 4) % 3 AS nf
+         |  FROM documents
+         |  WHERE NOT (doc_id % 4 = 1 AND (doc_id // 4) % 7 = 5)
+         |), fr AS (
+         |  SELECT media_id, g, v, w, h, f.i AS f,
+         |         CASE WHEN v = 2 THEN 8 ELSE 0 END AS sh
+         |  FROM vid, LATERAL (SELECT unnest(generate_series(
+         |       CASE WHEN v = 3 THEN 1 ELSE 0 END, nf - 1)) AS i) f
+         |), tot AS (
+         |  SELECT media_id, f, w, h,
+         |         sum(((g * 23 + (31 + 16 * (g % 11)) * bx.i
+         |               + (41 + 32 * (g % 5)) * by.i + 97 * f + sh) % 256)
+         |             * least(8, w - 8 * bx.i) * least(8, h - 8 * by.i)) AS total
+         |  FROM fr,
+         |       LATERAL (SELECT unnest(generate_series(0, (w - 1) // 8)) AS i) bx,
+         |       LATERAL (SELECT unnest(generate_series(0, (h - 1) // 8)) AS i) by
+         |  GROUP BY media_id, f, w, h
+         |), pix AS (
+         |  SELECT media_id, f, j.i AS j,
+         |         (g * 23 + (31 + 16 * (g % 11)) * ((j.i % w) // 8)
+         |          + (41 + 32 * (g % 5)) * ((j.i // w) // 8)
+         |          + 97 * f + sh) % 256 AS pv
+         |  FROM fr, LATERAL (SELECT unnest(generate_series(0,
+         |       least($AhashBits, w * h) - 1)) AS i) j
+         |), ah AS (
+         |  SELECT p.media_id, p.f,
+         |         sum(CASE WHEN p.pv > t.total // (t.w * t.h)
+         |             THEN 1::BIGINT << p.j ELSE 0::BIGINT END) AS ahash
+         |  FROM pix p JOIN tot t ON p.media_id = t.media_id AND p.f = t.f
+         |  GROUP BY p.media_id, p.f
+         |), fh AS (
+         |  SELECT DISTINCT media_id, ahash % 2147483647 AS h FROM ah
          |), params(i, a, b) AS (VALUES ${Dedup.paramsValues}),
          |sig AS (
          |  SELECT media_id, i, min((a * h + b) % 2147483647) AS mh
@@ -1374,6 +1603,44 @@ object Multimodal {
         |FROM blk GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
 
+    // Variant-blind VIDEO oracle: the [[videoFrameSpec]] closed form per
+    // (family, frame, block) — no container knowledge. The three MJPEG
+    // variants (4:4:4 / 4:2:0+DRI re-encode / grayscale brightness-shift)
+    // must reconstruct their declared frame content through the real
+    // RIFF walk + entropy decode; trimmed members drop frame 0; the DIB
+    // families are EXCLUDED (the decoder must reject them), so a decoder
+    // that accepts uncompressed frames — or loses an MJPEG member —
+    // breaks the row count, not just sums.
+    "multimodal_decode_video" ->
+      s"""WITH vid AS (
+         |  SELECT doc_id AS media_id, doc_id // 4 AS g, doc_id % 4 AS v,
+         |         13 + (doc_id // 4) % 12 AS w, 9 + (doc_id // 4) % 7 AS h,
+         |         3 + (doc_id // 4) % 3 AS nf
+         |  FROM documents
+         |  WHERE NOT (doc_id % 4 = 1 AND (doc_id // 4) % 7 = 5)
+         |), fr AS (
+         |  SELECT media_id, g, v, w, h, nf, f.i AS f
+         |  FROM vid, LATERAL (SELECT unnest(generate_series(
+         |       CASE WHEN v = 3 THEN 1 ELSE 0 END, nf - 1)) AS i) f
+         |), blk AS (
+         |  SELECT media_id, w, h, nf, v,
+         |         (g * 23 + (31 + 16 * (g % 11)) * bx.i + (41 + 32 * (g % 5)) * by.i
+         |          + 97 * f + CASE WHEN v = 2 THEN 8 ELSE 0 END) % 256 AS val,
+         |         least(8, w - 8 * bx.i) AS nx, least(8, h - 8 * by.i) AS ny
+         |  FROM fr,
+         |       LATERAL (SELECT unnest(generate_series(0, (w - 1) // 8)) AS i) bx,
+         |       LATERAL (SELECT unnest(generate_series(0, (h - 1) // 8)) AS i) by
+         |)
+         |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |       CAST(CASE WHEN v = 3 THEN nf - 1 ELSE nf END AS INTEGER) AS n_frames,
+         |       CAST($VideoUsPerFrame AS INTEGER) AS us_per_frame,
+         |       CAST(w * h * (CASE WHEN v = 3 THEN nf - 1 ELSE nf END) AS BIGINT) AS n_pixels,
+         |       CAST(sum(val * nx * ny) AS BIGINT) AS sum_r,
+         |       CAST(sum(val * nx * ny) AS BIGINT) AS sum_g,
+         |       CAST(sum(val * nx * ny) AS BIGINT) AS sum_b
+         |FROM blk GROUP BY media_id, w, h, nf, v
+         |ORDER BY media_id""".stripMargin,
+
     "multimodal_decode_audio" ->
       """WITH aud AS (
         |  SELECT doc_id AS media_id, doc_id % 12 AS v, 16 + doc_id % 50 AS n
@@ -1497,6 +1764,7 @@ object Multimodal {
     "multimodal_features"     -> (multimodalFeatures _),
     "multimodal_decode_image" -> (multimodalDecodeImage _),
     "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
+    "multimodal_decode_video" -> (multimodalDecodeVideo _),
     "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),
     "multimodal_frame_dedup" -> (multimodalFrameDedup _),
@@ -1508,6 +1776,7 @@ object Multimodal {
     "multimodal_audio_neardup" -> (multimodalAudioNeardup _),
     "multimodal_audio_shingle_neardup" -> (multimodalAudioShingleNeardup _),
     "multimodal_video_neardup" -> (multimodalVideoNeardup _),
+    "multimodal_video_neardup_real" -> (multimodalVideoNeardupReal _),
     "multimodal_media_curation" -> (multimodalMediaCuration _),
     "multimodal_curation_incremental" -> (multimodalCurationIncremental _),
     "multimodal_integrity"   -> (multimodalIntegrity _),

@@ -547,4 +547,101 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     // imageDecode routes JPEG magic to the real decoder
     Codecs.imageDecode(base).rgb.toSeq shouldBe img.rgb.toSeq
   }
+
+  // ---- AVI (motion-JPEG) container ----
+
+  /** Flat-block frames (the family the lossy JPEG path reproduces
+    * bit-exactly), one per index so frames are distinguishable. */
+  private def aviFrames(d: Long, n: Int): Seq[BmpImage] =
+    (0 until n).map(f => Multimodal.videoFrameSpec(d, f))
+
+  test("AVI: MJPEG round-trips frames exactly across JPEG modes") {
+    for (d <- Seq(0L, 5L, 11L)) {
+      val frames = aviFrames(d, 3)
+      val w = frames.head.width; val h = frames.head.height
+      for (mode <- Seq(Codecs.JpegColor444, Codecs.JpegColor420, Codecs.JpegGray)) {
+        val payloads = frames.map(Codecs.jpegEncode(_, mode))
+        val avi = Codecs.aviEncodeMjpeg(w, h, 40000, payloads)
+        val out = Codecs.aviDecode(avi)
+        out.width shouldBe w
+        out.height shouldBe h
+        out.usPerFrame shouldBe 40000
+        out.frames.length shouldBe 3
+        out.frames.zip(frames).foreach { case (got, want) =>
+          got.rgb.toSeq shouldBe want.rgb.toSeq
+        }
+      }
+    }
+  }
+
+  test("AVI: odd-length frame chunks get the RIFF even pad and still parse") {
+    // hunt a frame whose JFIF payload has odd length — entropy size varies
+    val odd = (0L until 64L).flatMap { d =>
+      val f = Multimodal.videoFrameSpec(d, 1)
+      val p = Codecs.jpegEncode(f, Codecs.JpegColor444)
+      if (p.length % 2 == 1) Some((f, p)) else None
+    }
+    odd should not be empty
+    val (img, payload) = odd.head
+    val avi = Codecs.aviEncodeMjpeg(img.width, img.height, 33333, Seq(payload, payload))
+    val out = Codecs.aviDecode(avi)
+    out.frames.length shouldBe 2
+    out.frames.foreach(_.rgb.toSeq shouldBe img.rgb.toSeq)
+  }
+
+  test("AVI: DIB variant is a well-formed file the decoder rejects") {
+    val frames = aviFrames(3L, 2)
+    val avi = Codecs.aviEncodeDib(40000, frames)
+    // well-formed RIFF: starts RIFF/AVI , sizes consistent
+    new String(avi.take(4), "US-ASCII") shouldBe "RIFF"
+    new String(avi.slice(8, 12), "US-ASCII") shouldBe "AVI "
+    val e = intercept[IllegalArgumentException](Codecs.aviDecode(avi))
+    e.getMessage should include("unsupported AVI codec")
+  }
+
+  test("AVI: header cross-checks reject mismatched frame counts") {
+    val frames = aviFrames(7L, 3)
+    val w = frames.head.width; val h = frames.head.height
+    val avi = Codecs.aviEncodeMjpeg(w, h, 40000,
+      frames.map(Codecs.jpegEncode(_, Codecs.JpegColor444)))
+    // avih body starts at offset 32 (RIFF 12 + LIST hdr 12 + chunk hdr 8);
+    // dwTotalFrames is byte 16 of the body
+    val patched = avi.clone()
+    patched(48) = (frames.length + 1).toByte
+    val e = intercept[IllegalArgumentException](Codecs.aviDecode(patched))
+    e.getMessage should include("frame chunks")
+  }
+
+  test("AVI: geometry/frame-count bombs reject before allocation") {
+    val frames = aviFrames(1L, 2)
+    val w = frames.head.width; val h = frames.head.height
+    val avi = Codecs.aviEncodeMjpeg(w, h, 40000,
+      frames.map(Codecs.jpegEncode(_, Codecs.JpegColor444)))
+    // huge dwTotalFrames (avih body+16 → abs 48..51)
+    val bomb = avi.clone()
+    bomb(48) = 0xff.toByte; bomb(49) = 0xff.toByte
+    bomb(50) = 0xff.toByte; bomb(51) = 0x0f.toByte
+    an[IllegalArgumentException] should be thrownBy Codecs.aviDecode(bomb)
+    // every truncation prefix rejects cleanly (never a wild exception)
+    for (n <- 0 until avi.length) {
+      try { Codecs.aviDecode(avi.take(n)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("AVI: mutation fuzz rejects cleanly or decodes, never crashes wild") {
+    val frames = aviFrames(9L, 2)
+    val w = frames.head.width; val h = frames.head.height
+    val avi = Codecs.aviEncodeMjpeg(w, h, 40000,
+      frames.map(Codecs.jpegEncode(_, Codecs.JpegColor420)))
+    // deterministic single-byte corruptions across the whole file
+    var i = 0
+    while (i < avi.length) {
+      val m = avi.clone()
+      m(i) = (m(i) ^ ((i * 37 + 11) & 0xff)).toByte
+      try { Codecs.aviDecode(m); () }
+      catch { case _: IllegalArgumentException => () }
+      i += math.max(1, avi.length / 331)
+    }
+  }
 }

@@ -135,6 +135,38 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.multimodalDecodeJpeg(spark, sf).count() shouldBe lake.length.toLong
   }
 
+  test("video lake: every family variant decodes per spec; DIB members reject") {
+    import graft.extensions.Codecs
+    val sf = "/root/testdata/sf0.001"
+    val lake = Multimodal.videoLake(spark, sf).collect()
+    lake.groupBy(_.media_id % 4).keySet shouldBe (0L to 3L).toSet
+    val dib = lake.filter(m => m.media_id % 4 == 1 && (m.media_id / 4) % 7 == 5)
+    dib should not be empty
+    for (m <- dib) {
+      // well-formed uncompressed AVI the MJPEG decoder must reject by name
+      val e = intercept[IllegalArgumentException](Codecs.aviDecode(m.payload))
+      e.getMessage should include("unsupported AVI codec")
+    }
+    for (m <- lake.filterNot(dib.contains)) {
+      val g = m.media_id / 4
+      val nf = 3 + (g % 3).toInt
+      val v = Codecs.aviDecode(m.payload)
+      val shift = if (m.media_id % 4 == 2) 8 else 0
+      val from = if (m.media_id % 4 == 3) 1 else 0
+      v.usPerFrame shouldBe Multimodal.VideoUsPerFrame
+      v.frames.length shouldBe nf - from
+      withClue(s"media ${m.media_id} (variant ${m.media_id % 4}): ") {
+        v.frames.zipWithIndex.foreach { case (img, i) =>
+          img.rgb.toSeq shouldBe
+            Multimodal.videoFrameSpec(g, from + i, shift).rgb.toSeq
+        }
+      }
+    }
+    // decode manifest: one row per NON-rejected lake record
+    Multimodal.multimodalDecodeVideo(spark, sf).count() shouldBe
+      (lake.length - dib.length).toLong
+  }
+
   test("aHash: brightness-shifted re-encode collides; content change does not") {
     import graft.extensions.{BmpImage, Codecs}
     val rnd = new scala.util.Random(7)
