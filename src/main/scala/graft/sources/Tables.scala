@@ -47,15 +47,33 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to map to
-    * its microsecond TimestampType. Read nanos as BIGINT and floor-divide to
-    * micros — exactly DuckDB's ns→µs truncation, so oracle parity holds.
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` at session build
-    * (set by the Verify/Bench/Run mains and SparkTestBase) — a reader helper
-    * must not mutate session-global conf as a side effect. */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  /** `events.ts` has shipped in two parquet encodings across driver data
+    * generations, so the reader adapts to what the file declares:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 refuses to map it to microsecond
+    *    TimestampType; under `spark.sql.legacy.parquet.nanosAsLong=true`
+    *    (set by the Verify/Bench/Run mains and SparkTestBase) it arrives
+    *    as BIGINT nanos and floor-divides to micros — exactly DuckDB's
+    *    ns→µs truncation, so oracle parity holds.
+    *  - TIMESTAMP(MICROS) without timezone (current generation): Spark
+    *    reads TIMESTAMP_NTZ; cast to session-zoned TimestampType — the
+    *    sessions run UTC, so the instants are bit-identical to DuckDB's
+    *    naive reading of the same file.
+    *
+    * Either way downstream sees the same micros-precision TimestampType
+    * column. A reader helper must not mutate session-global conf as a
+    * side effect, so the nanos legacy flag stays a builder concern. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df // already session-zoned micros TimestampType
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 

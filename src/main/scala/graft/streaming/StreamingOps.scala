@@ -330,14 +330,23 @@ object StreamingOps {
 
   /** File-stream entry point: tail a DIRECTORY of event parquet files (file
     * sources monitor directories — new part files become new micro-batches).
-    * The schema is pinned from a RAW batch read (ts arrives as INT64 nanos
-    * under nanosAsLong) and the same nanos→micros repair Tables.events
-    * applies is re-applied here — pinning the post-transform schema would
-    * make the parquet reader reject the nanos column at the first batch. */
+    * The schema is pinned from a RAW batch read and the same ts repair
+    * Tables.events applies is re-applied here, branched on what the files
+    * declare (INT64 nanos under nanosAsLong for the older TIMESTAMP(NANOS)
+    * generation; TIMESTAMP_NTZ for the current TIMESTAMP(MICROS) one) —
+    * pinning the post-transform schema would make the parquet reader
+    * reject the on-disk column at the first batch. */
   def readEventsStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(eventsDir).schema
-    spark.readStream.schema(rawSchema).parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(rawSchema).parquet(eventsDir)
+    rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -108,10 +108,16 @@ class LayoutSpec extends SparkTestBase {
       "spark.sql.autoBroadcastJoinThreshold" ->
         spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
       "spark.sql.adaptive.autoBroadcastJoinThreshold" ->
-        spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold").getOrElse(""))
+        spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold").getOrElse(""),
+      "spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin" ->
+        spark.conf.getOption("spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin").getOrElse(""))
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "8m")
+      // a HANDFUL of rows spread over 32 shuffle partitions trips AQE's
+      // empty-partition demotion heuristic and keeps the SMJ; this test
+      // asserts the SIZE-based conversion, so pin the ratio gate open
+      spark.conf.set("spark.sql.adaptive.nonEmptyPartitionRatioForBroadcastJoin", "0")
       val c = spark.read.parquet(s"$sf/customer.parquet")
         .filter(col("c_custkey") % 50 === 0) // tiny at runtime, opaque statically
       val o = spark.read.parquet(s"$sf/orders.parquet")
