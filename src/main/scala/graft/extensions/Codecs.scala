@@ -38,6 +38,10 @@ case class AviVideo(width: Int, height: Int, usPerFrame: Int,
   *  - WAV, PCM: RIFF container walked chunk-by-chunk (chunks pad to even
   *    length per the RIFF spec), `fmt ` validated; mono/stereo, 16-bit and
   *    unsigned 8-bit variants decode, everything else rejects.
+  *  - GIF, 87a/89a single-frame: logical-screen + color-table parse,
+  *    extension-block walk, REAL LZW decompression (variable 3..12-bit
+  *    codes, KwKwK, deferred clear), four-pass de-interlace; animated
+  *    (multi-image) files are well-formed rejects, like the 32bpp BMPs.
   *
   * Real-but-UNSUPPORTED variants ([[bmpEncode32]], [[wavEncode24]]) exist
   * as encoders only: they produce well-formed files the decoders reject,
@@ -492,9 +496,10 @@ object Codecs {
 
   /** Container-agnostic image decode: sniff the magic bytes and dispatch to
     * the matching decoder. Supported: 24-bit uncompressed BMP, RLE8 BMP,
-    * 8-bit RGB PNG. Real-but-unsupported variants (32bpp BMP, interlaced
-    * PNG, ...) throw the decoder's IllegalArgumentException — callers that
-    * must keep rows flowing catch it and fall back. */
+    * 8-bit RGB PNG, baseline JFIF JPEG, single-frame GIF. Real-but-
+    * unsupported variants (32bpp BMP, interlaced PNG, animated GIF, ...)
+    * throw the decoder's IllegalArgumentException — callers that must keep
+    * rows flowing catch it and fall back. */
   def imageDecode(bytes: Array[Byte]): BmpImage =
     if (bytes.length >= PngSignature.length &&
         PngSignature.indices.forall(i => bytes(i) == PngSignature(i)))
@@ -502,6 +507,10 @@ object Codecs {
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xFF &&
         (bytes(1) & 0xff) == 0xD8 && (bytes(2) & 0xff) == 0xFF)
       jpegDecode(bytes)
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
+      gifDecode(bytes)
     else if (bytes.length >= BmpHeaderSize &&
         bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) {
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -1583,5 +1592,330 @@ object Codecs {
       img
     }
     AviVideo(width, height, usPerFrame, frames)
+  }
+
+  // --- GIF (LZW) -----------------------------------------------------------
+
+  /** GIF four-pass interlace: (first row, row step) per pass. */
+  private val GifInterlacePasses = Array((0, 8), (4, 8), (2, 4), (1, 2))
+
+  /** The raster-row storage order of a GIF: identity when progressive,
+    * the four-pass interleave when interlaced. */
+  private def gifRowOrder(h: Int, interlaced: Boolean): Array[Int] =
+    if (!interlaced) Array.range(0, h)
+    else GifInterlacePasses.flatMap { case (start, step) =>
+      Iterator.range(start, h, step)
+    }
+
+  /** GIF-LZW compress palette `indices` (0..255) at min code size 8: real
+    * dictionary compression — 9-bit codes growing to 12 as the table
+    * fills, CLEAR + reset when it reaches 4096 entries (the mainstream
+    * encoder discipline), closed by END-OF-INFORMATION, packed LSB-first
+    * (GIF89a specification, appendix F). */
+  private def gifLzwCompress(indices: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val Clear = 256; val Eoi = 257
+    var codeWidth = 9
+    var nextCode = 258
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var bitBuf = 0L; var nBits = 0
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits; nBits += codeWidth
+      while (nBits >= 8) {
+        out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBits -= 8
+      }
+    }
+    emit(Clear)
+    var prefix = -1
+    var i = 0
+    while (i < indices.length) {
+      val s = indices(i)
+      require(s >= 0 && s < 256, s"palette index $s out of range")
+      if (prefix < 0) prefix = s
+      else {
+        val key = Integer.valueOf((prefix << 8) | s)
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue
+        else {
+          emit(prefix)
+          if (nextCode == 4096) { // table full: reset, decoders defer-clear
+            emit(Clear)
+            dict.clear(); codeWidth = 9; nextCode = 258
+          } else {
+            dict.put(key, Integer.valueOf(nextCode))
+            // the just-assigned code must fit the width of later emits
+            if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+            nextCode += 1
+          }
+          prefix = s
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(Eoi)
+    if (nBits > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-LZW decompress the concatenated sub-block payload into exactly
+    * `n` palette indices. Real decoder: honors any min code size 2..8 (so
+    * third-party writers' small-palette streams decode), grows code width
+    * with the table, handles the KwKwK self-reference, defers clearing
+    * when the table fills, and bounds output at `n` — every corrupt shape
+    * rejects with IllegalArgumentException before any wild write. */
+  private def gifLzwDecompress(data: Array[Byte], minCodeSize: Int,
+                               n: Int): Array[Int] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8,
+      s"bad LZW min code size $minCodeSize")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new Array[Int](n)
+    var outPos = 0
+    val prefixOf = new Array[Int](4096)
+    val suffixOf = new Array[Int](4096)
+    val stack = new Array[Int](4096)
+    var codeWidth = minCodeSize + 1
+    var nextCode = eoi + 1
+    var prev = -1
+    var acc = 0; var accBits = 0; var pos = 0
+    def readCode(): Int = {
+      while (accBits < codeWidth) {
+        require(pos < data.length, "truncated LZW stream")
+        acc |= (data(pos) & 0xff) << accBits
+        pos += 1; accBits += 8
+      }
+      val v = acc & ((1 << codeWidth) - 1)
+      acc >>>= codeWidth; accBits -= codeWidth
+      v
+    }
+    var code = readCode()
+    while (code != eoi) {
+      if (code == clear) {
+        codeWidth = minCodeSize + 1; nextCode = eoi + 1; prev = -1
+      } else if (prev < 0) {
+        require(code < clear, s"LZW stream starts with phrase code $code")
+        require(outPos < n, "LZW output past raster")
+        out(outPos) = code; outPos += 1
+        prev = code
+      } else {
+        val isKwK = code == nextCode && nextCode < 4096
+        require(isKwK || (code < nextCode && code != clear && code != eoi),
+          s"LZW code $code out of range")
+        // expand the phrase (for KwKwK: prev's phrase + its own first char)
+        var depth = 0
+        var c = if (isKwK) prev else code
+        while (c > eoi) { stack(depth) = suffixOf(c); depth += 1; c = prefixOf(c) }
+        require(c < clear, "corrupt LZW chain")
+        val first = c
+        val len = depth + 1 + (if (isKwK) 1 else 0)
+        require(outPos + len <= n, "LZW output past raster")
+        out(outPos) = first; outPos += 1
+        while (depth > 0) { depth -= 1; out(outPos) = stack(depth); outPos += 1 }
+        if (isKwK) { out(outPos) = first; outPos += 1 }
+        if (nextCode < 4096) { // table full → deferred clear: stop adding
+          prefixOf(nextCode) = prev; suffixOf(nextCode) = first
+          nextCode += 1
+          if (nextCode == (1 << codeWidth) && codeWidth < 12) codeWidth += 1
+        }
+        prev = code
+      }
+      code = readCode()
+    }
+    require(outPos == n, s"LZW decoded $outPos of $n pixels")
+    out
+  }
+
+  /** Encode a grayscale image (one 0..255 value per pixel) as a real
+    * single-frame GIF: 256-entry identity grayscale GLOBAL color table and
+    * real LZW compression. `interlaced` stores rows in the four-pass
+    * order; `gce` writes the GIF89a graphic-control extension most
+    * mainstream writers emit (and bumps the version string to 89a). */
+  def gifEncode(width: Int, height: Int, gray: Array[Int],
+                interlaced: Boolean = false, gce: Boolean = false): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 0xffff && height <= 0xffff,
+      s"unsupported dimensions ${width}x$height")
+    require(gray.length == width * height, "gray length mismatch")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write((if (gce) "GIF89a" else "GIF87a").getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xF7) // global color table, 8-bit resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // square pixel aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    if (gce) {
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0) // no disposal method, no transparency
+      u16(0)       // zero delay
+      out.write(0) // transparent index (unused)
+      out.write(0) // block terminator
+    }
+    gifWriteImage(out, width, height, gray, interlaced)
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Image descriptor + LZW data stream for one full-raster frame. */
+  private def gifWriteImage(out: java.io.ByteArrayOutputStream, width: Int,
+                            height: Int, gray: Array[Int],
+                            interlaced: Boolean): Unit = {
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    val rows = gifRowOrder(height, interlaced)
+    val seq = new Array[Int](width * height)
+    var o = 0
+    for (r <- rows) {
+      var x = 0
+      while (x < width) { seq(o) = gray(r * width + x); o += 1; x += 1 }
+    }
+    val lzw = gifLzwCompress(seq)
+    out.write(0x2C)
+    u16(0); u16(0); u16(width); u16(height)
+    out.write(if (interlaced) 0x40 else 0x00) // no local color table
+    out.write(8) // LZW min code size
+    var off = 0
+    while (off < lzw.length) {
+      val nb = math.min(255, lzw.length - off)
+      out.write(nb); out.write(lzw, off, nb); off += nb
+    }
+    out.write(0) // data sub-block terminator
+  }
+
+  /** Encode a multi-frame (animated) GIF89a — a REAL well-formed variant
+    * the still-image decoder deliberately rejects (the [[bmpEncode32]] /
+    * [[wavEncode24]] discipline): NETSCAPE2.0 looping application
+    * extension, then a graphic-control block + image descriptor + LZW
+    * stream per frame. */
+  def gifEncodeAnimated(width: Int, height: Int,
+                        frames: Seq[Array[Int]]): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= 0xffff && height <= 0xffff,
+      s"unsupported dimensions ${width}x$height")
+    require(frames.nonEmpty, "no frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    u16(width); u16(height)
+    out.write(0xF7); out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x21); out.write(0xFF); out.write(11) // application extension
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); u16(0) // loop forever
+    out.write(0)
+    for (f <- frames) {
+      require(f.length == width * height, "gray length mismatch")
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); u16(4); out.write(0); out.write(0) // 40 ms delay
+      gifWriteImage(out, width, height, f, interlaced = false)
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  /** Decode a single-frame GIF87a/89a: logical-screen parse, global or
+    * local color table, extension-block walk (skipped, as a still-image
+    * pipeline does), LZW decompression, four-pass de-interlace, palette →
+    * top-down RGB. Geometry caps apply BEFORE any allocation. Animated
+    * (second image descriptor), sub-raster frames, and malformed streams
+    * reject with the documented IllegalArgumentException. */
+  def gifDecode(bytes: Array[Byte]): BmpImage = {
+    require(bytes.length >= 14, "truncated GIF header")
+    require(bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+      bytes(5) == 'a', "not a GIF")
+    def u16(p: Int): Int = {
+      require(p + 2 <= bytes.length, "truncated GIF")
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    }
+    val sw = u16(6); val sh = u16(8)
+    val packed = bytes(10) & 0xff
+    // dims are u16 so MaxDim holds by construction; pixel COUNT is the cap
+    // that matters before the index/rgb allocations (compressed container)
+    require(sw >= 1 && sh >= 1 && sw.toLong * sh <= MaxPixels,
+      s"unsupported dimensions ${sw}x$sh")
+    var pos = 13
+    var palOff = -1; var palSize = 0
+    if ((packed & 0x80) != 0) {
+      palSize = 2 << (packed & 7)
+      palOff = pos
+      pos += 3 * palSize
+      require(pos <= bytes.length, "truncated global color table")
+    }
+    var idx: Array[Int] = null
+    var interlaced = false
+    var framePalOff = palOff; var framePalSize = palSize
+    var done = false
+    while (!done) {
+      require(pos < bytes.length, "truncated GIF stream")
+      val block = bytes(pos) & 0xff; pos += 1
+      block match {
+        case 0x3B => done = true
+        case 0x21 => // extension: label byte, then length-prefixed sub-blocks
+          require(pos < bytes.length, "truncated extension")
+          pos += 1
+          var l = 0
+          while ({
+            require(pos < bytes.length, "truncated extension")
+            l = bytes(pos) & 0xff; pos += 1
+            l != 0
+          }) {
+            pos += l
+            require(pos <= bytes.length, "truncated extension")
+          }
+        case 0x2C =>
+          require(idx == null, "multi-image GIF unsupported")
+          val left = u16(pos); val top = u16(pos + 2)
+          val iw = u16(pos + 4); val ih = u16(pos + 6)
+          require(pos + 9 <= bytes.length, "truncated image descriptor")
+          val ip = bytes(pos + 8) & 0xff
+          pos += 9
+          require(left == 0 && top == 0 && iw == sw && ih == sh,
+            s"sub-raster frame ${iw}x$ih@$left,$top unsupported")
+          interlaced = (ip & 0x40) != 0
+          if ((ip & 0x80) != 0) { // local color table overrides global
+            framePalSize = 2 << (ip & 7)
+            framePalOff = pos
+            pos += 3 * framePalSize
+            require(pos <= bytes.length, "truncated local color table")
+          } else { framePalOff = palOff; framePalSize = palSize }
+          require(framePalOff >= 0, "GIF with no color table")
+          require(pos < bytes.length, "truncated LZW header")
+          val mcs = bytes(pos) & 0xff; pos += 1
+          val dataBuf = new java.io.ByteArrayOutputStream()
+          var l = 0
+          while ({
+            require(pos < bytes.length, "truncated image data")
+            l = bytes(pos) & 0xff; pos += 1
+            l != 0
+          }) {
+            require(pos + l <= bytes.length, "truncated image data")
+            dataBuf.write(bytes, pos, l); pos += l
+          }
+          idx = gifLzwDecompress(dataBuf.toByteArray, mcs, sw * sh)
+        case other =>
+          throw new IllegalArgumentException(s"unknown GIF block $other")
+      }
+    }
+    require(idx != null, "GIF with no image")
+    val order = gifRowOrder(sh, interlaced)
+    val rgb = new Array[Int](sw * sh * 3)
+    var r = 0
+    while (r < sh) {
+      val destRow = order(r)
+      var x = 0
+      while (x < sw) {
+        val pi = idx(r * sw + x)
+        require(pi < framePalSize, s"palette index $pi out of range")
+        val p = framePalOff + 3 * pi // GIF palettes are R,G,B
+        val o = (destRow * sw + x) * 3
+        rgb(o) = bytes(p) & 0xff
+        rgb(o + 1) = bytes(p + 1) & 0xff
+        rgb(o + 2) = bytes(p + 2) & 0xff
+        x += 1
+      }
+      r += 1
+    }
+    BmpImage(sw, sh, rgb)
   }
 }

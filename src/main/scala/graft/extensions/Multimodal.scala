@@ -127,6 +127,16 @@ object Multimodal {
     (w, h, Array.tabulate(w * h)(j => ((d * 17 + j.toLong * 11) % 256).toInt))
   }
 
+  /** Grayscale spec for the GIF image of doc `d`: geometry large enough
+    * (up to 32×19) that the LZW code table passes 512 entries on the
+    * bigger members — the 10-bit-code path runs inside the lake, not just
+    * in unit tests. Gray value `j` = `(d*29 + j*17) mod 256`. */
+  def gifSpec(d: Long): (Int, Int, Array[Int]) = {
+    val w = 17 + (d % 16).toInt
+    val h = 11 + (d % 9).toInt
+    (w, h, Array.tabulate(w * h)(j => ((d * 29 + j.toLong * 17) % 256).toInt))
+  }
+
   /** Synthetic-JPEG spec for doc `d`: geometry crosses both the 8-pixel
     * block and 16-pixel MCU boundaries (w 13..24, h 9..15 — partial edge
     * blocks in every combination), and every 8x8 block is FLAT with value
@@ -170,6 +180,36 @@ object Multimodal {
               case _ => Codecs.jpegEncode(jpegSpec(d), Codecs.JpegColor422)
             }
             MediaRecord(d, "image/jpeg", payload)
+          }
+        }
+      }
+  }
+
+  /** The GIF lake: every doc as a real single-frame GIF of [[gifSpec]],
+    * container variant keyed `doc_id mod 4` — plain 87a, 89a with a
+    * graphic-control extension (the block-skip path), 87a interlaced (the
+    * four-pass row shuffle), and an ANIMATED two-frame 89a that the
+    * still-image decoder must REJECT into the fallback lane (a well-formed
+    * file outside the envelope, like the 32bpp BMPs). GIF is lossless, so
+    * unlike JPEG the oracle needs no flat-block discipline — any pixel
+    * function replays exactly. */
+  def gifLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { d =>
+            val (w, h, gray) = gifSpec(d)
+            val payload = (d % 4) match {
+              case 0 => Codecs.gifEncode(w, h, gray)
+              case 1 => Codecs.gifEncode(w, h, gray, gce = true)
+              case 2 => Codecs.gifEncode(w, h, gray, interlaced = true)
+              case _ =>
+                val frame1 = gray.map(v => (v + 64) % 256)
+                Codecs.gifEncodeAnimated(w, h, Seq(gray, frame1))
+            }
+            MediaRecord(d, "image/gif", payload)
           }
         }
       }
@@ -516,6 +556,37 @@ object Multimodal {
   def multimodalDecodeJpeg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     jpegLake(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val img = Codecs.imageDecode(m.payload)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              while (p < img.rgb.length) {
+                sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
+                p += 3
+              }
+              Some(ImageStats(m.media_id, img.width, img.height,
+                img.width.toLong * img.height, sr, sg, sb))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Real GIF decode over the [[gifLake]]: LZW decompression, extension
+    * walk, de-interlace, palette mapping — exact channel sums per image.
+    * The animated members reject inside [[Codecs.gifDecode]] and drop
+    * from this lane (the oracle excludes exactly those ids, so a decoder
+    * that silently takes an animation's first frame — or loses one of the
+    * three still variants — breaks the row count). Batched stateless map,
+    * like every decode lane: no shuffle before the output sort. */
+  def multimodalDecodeGif(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    gifLake(spark, dir)
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.flatMap { m =>
@@ -1603,6 +1674,30 @@ object Multimodal {
         |FROM blk GROUP BY media_id, w, h
         |ORDER BY media_id""".stripMargin,
 
+    // Variant-blind GIF oracle: GIF is lossless, so the [[gifSpec]] gray
+    // closed form replays exactly for all three STILL variants (plain /
+    // GCE-extension / interlaced — agreement proves the LZW decode, the
+    // extension walk, and the de-interlace all reconstruct identical
+    // content); the animated members are EXCLUDED (the still decoder must
+    // reject them), so a decoder that takes an animation's first frame
+    // breaks the row count.
+    "multimodal_decode_gif" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, 17 + doc_id % 16 AS w, 11 + doc_id % 9 AS h
+        |  FROM documents WHERE doc_id % 4 <> 3
+        |), px AS (
+        |  SELECT media_id, w, h, (media_id * 29 + j.i * 17) % 256 AS v
+        |  FROM img,
+        |       LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) j
+        |)
+        |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(v) AS BIGINT) AS sum_r,
+        |       CAST(sum(v) AS BIGINT) AS sum_g,
+        |       CAST(sum(v) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id, w, h
+        |ORDER BY media_id""".stripMargin,
+
     // Variant-blind VIDEO oracle: the [[videoFrameSpec]] closed form per
     // (family, frame, block) — no container knowledge. The three MJPEG
     // variants (4:4:4 / 4:2:0+DRI re-encode / grayscale brightness-shift)
@@ -1764,6 +1859,7 @@ object Multimodal {
     "multimodal_features"     -> (multimodalFeatures _),
     "multimodal_decode_image" -> (multimodalDecodeImage _),
     "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
+    "multimodal_decode_gif" -> (multimodalDecodeGif _),
     "multimodal_decode_video" -> (multimodalDecodeVideo _),
     "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),

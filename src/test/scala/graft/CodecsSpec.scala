@@ -644,4 +644,119 @@ class CodecsSpec extends AnyFunSuite with Matchers {
       i += math.max(1, avi.length / 331)
     }
   }
+
+  // --- GIF ----------------------------------------------------------------
+
+  /** Decode via ImageIO's independent GIF reader. Indexed GIFs come back
+    * under an IndexColorModel, where getRGB is a direct palette lookup —
+    * none of the gray-to-sRGB color management that makes getRGB wrong on
+    * TYPE_BYTE_GRAY JPEG output. */
+  private def imageIoDecodeGif(bytes: Array[Byte]): BmpImage = {
+    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(bi != null, "ImageIO could not decode")
+    val rgb = new Array[Int](bi.getWidth * bi.getHeight * 3)
+    for (y <- 0 until bi.getHeight; x <- 0 until bi.getWidth) {
+      val argb = bi.getRGB(x, y)
+      val o = (y * bi.getWidth + x) * 3
+      rgb(o) = (argb >> 16) & 0xff
+      rgb(o + 1) = (argb >> 8) & 0xff
+      rgb(o + 2) = argb & 0xff
+    }
+    BmpImage(bi.getWidth, bi.getHeight, rgb)
+  }
+
+  test("GIF round-trips exactly across variants; big noise forces table-full resets") {
+    val rnd = new scala.util.Random(41)
+    // degenerate geometries + the lake's range + 24000 random pixels (noise
+    // drives the LZW table past 4096 → the CLEAR/reset path runs)
+    val geos = Seq((1, 1), (1, 7), (9, 1), (5, 3), (17, 11), (32, 19), (200, 120))
+    for ((w, h) <- geos; interlaced <- Seq(false, true); gce <- Seq(false, true)) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val bytes = Codecs.gifEncode(w, h, gray, interlaced, gce)
+      val out = Codecs.gifDecode(bytes)
+      (out.width, out.height) shouldBe ((w, h))
+      withClue(s"${w}x$h interlaced=$interlaced gce=$gce: ") {
+        out.rgb.toSeq shouldBe gray.flatMap(v => Seq(v, v, v)).toSeq
+      }
+    }
+    // the interlaced container really stores rows in a different order
+    val flat = Array.tabulate(6 * 9)(j => (j * 7) % 256)
+    Codecs.gifEncode(6, 9, flat, interlaced = true).toSeq should not be
+      Codecs.gifEncode(6, 9, flat).toSeq
+  }
+
+  test("GIF: the JDK's independent ImageIO reader agrees on our encodes") {
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((17, 11), (32, 19), (80, 40));
+         interlaced <- Seq(false, true)) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val bytes = Codecs.gifEncode(w, h, gray, interlaced)
+      withClue(s"${w}x$h interlaced=$interlaced: ") {
+        imageIoDecodeGif(bytes).rgb.toSeq shouldBe
+          gray.flatMap(v => Seq(v, v, v)).toSeq
+      }
+    }
+  }
+
+  test("GIF: ImageIO-WRITTEN files (independent LZW compressor) decode exactly") {
+    val rnd = new scala.util.Random(43)
+    for ((w, h) <- Seq((23, 9), (64, 48))) {
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val ids = Array.tabulate(256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, ids, ids, ids)
+      val bi = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      for (y <- 0 until h; x <- 0 until w)
+        bi.getRaster.setSample(x, y, 0, gray(y * w + x))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(bi, "gif", bos) shouldBe true
+      val out = Codecs.gifDecode(bos.toByteArray)
+      (out.width, out.height) shouldBe ((w, h))
+      withClue(s"${w}x$h: ") {
+        out.rgb.toSeq shouldBe gray.flatMap(v => Seq(v, v, v)).toSeq
+      }
+    }
+  }
+
+  test("GIF: animated files are well-formed (ImageIO reads them) but reject here") {
+    val (w, h, gray) = Multimodal.gifSpec(3L)
+    val bytes = Codecs.gifEncodeAnimated(w, h,
+      Seq(gray, gray.map(v => (v + 64) % 256)))
+    // a REAL animation per an independent reader...
+    imageIoDecodeGif(bytes).width shouldBe w
+    // ...that the still-image lane rejects into fallback, by routing too
+    val e = intercept[IllegalArgumentException](Codecs.imageDecode(bytes))
+    e.getMessage should include ("multi-image")
+  }
+
+  test("GIF: header geometry bomb rejects before any allocation") {
+    val header = "GIF87a".getBytes("US-ASCII") ++ Array[Byte](
+      0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, // 65535 x 65535
+      0x00, 0x00, 0x00, 0x3B)
+    val e = intercept[IllegalArgumentException](Codecs.gifDecode(header))
+    e.getMessage should include ("unsupported dimensions")
+  }
+
+  test("GIF: mutation fuzz rejects cleanly or decodes, never crashes wild") {
+    val rnd = new scala.util.Random(101)
+    val (w, h, gray) = Multimodal.gifSpec(7L)
+    val fixtures = Seq(
+      Codecs.gifEncode(w, h, gray),
+      Codecs.gifEncode(w, h, gray, interlaced = true),
+      Codecs.gifEncode(w, h, gray, gce = true),
+      Codecs.gifEncodeAnimated(w, h, Seq(gray, gray)))
+    for (base <- fixtures; _ <- 1 to 200) {
+      val mutated = base.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try { Codecs.imageDecode(mutated); () }
+      catch { case _: IllegalArgumentException => () } // the ONLY legal throw
+    }
+    // truncations at every prefix length, same contract
+    val gif = Codecs.gifEncode(5, 3, Array.tabulate(15)(j => (j * 31) % 256))
+    for (n <- 0 until gif.length) {
+      try { Codecs.gifDecode(gif.take(n)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
 }

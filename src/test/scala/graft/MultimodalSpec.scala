@@ -135,6 +135,31 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.multimodalDecodeJpeg(spark, sf).count() shouldBe lake.length.toLong
   }
 
+  test("GIF lake: still variants decode to spec; animated members reject") {
+    import graft.extensions.Codecs
+    val sf = "/root/testdata/sf0.001"
+    val lake = Multimodal.gifLake(spark, sf).collect()
+    lake.groupBy(_.media_id % 4).keySet shouldBe (0L to 3L).toSet
+    var rejected = 0
+    for (m <- lake) {
+      val (w, h, gray) = Multimodal.gifSpec(m.media_id)
+      if (m.media_id % 4 == 3) {
+        intercept[IllegalArgumentException](Codecs.imageDecode(m.payload))
+        rejected += 1
+      } else {
+        val img = Codecs.imageDecode(m.payload)
+        (img.width, img.height) shouldBe ((w, h))
+        withClue(s"media ${m.media_id} (variant ${m.media_id % 4}): ") {
+          img.rgb.toSeq shouldBe gray.flatMap(v => Seq(v, v, v)).toSeq
+        }
+      }
+    }
+    rejected should be > 0
+    // the decode lane reports exactly the still members
+    Multimodal.multimodalDecodeGif(spark, sf).count() shouldBe
+      (lake.length - rejected).toLong
+  }
+
   test("video lake: every family variant decodes per spec; DIB members reject") {
     import graft.extensions.Codecs
     val sf = "/root/testdata/sf0.001"
