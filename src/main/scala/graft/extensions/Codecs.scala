@@ -35,9 +35,10 @@ case class AviVideo(width: Int, height: Int, usPerFrame: Int,
   *    (encoded runs, absolute mode, end-of-line/bitmap, delta escapes).
   *  - PNG, 8-bit RGB: CRC-verified chunk walk, real `Inflater` zlib
   *    decompression, all five scanline filter types reconstructed.
-  *  - WAV, PCM: RIFF container walked chunk-by-chunk (chunks pad to even
-  *    length per the RIFF spec), `fmt ` validated; mono/stereo, 16-bit and
-  *    unsigned 8-bit variants decode, everything else rejects.
+  *  - WAV, PCM + G.711 µ-law: RIFF container walked chunk-by-chunk (chunks
+  *    pad to even length per the RIFF spec), `fmt ` validated; mono/stereo
+  *    16-bit and unsigned 8-bit PCM plus format-tag-7 µ-law (closed-form
+  *    CCITT expansion) decode, everything else rejects.
   *  - GIF, 87a/89a single-frame: logical-screen + color-table parse,
   *    extension-block walk, REAL LZW decompression (variable 3..12-bit
   *    codes, KwKwK, deferred clear), four-pass de-interlace; animated
@@ -589,6 +590,7 @@ object Codecs {
     var rate = -1
     var channels = -1
     var bits = -1
+    var fmtTag = -1
     var dataPos = -1
     var dataSize = -1
     while (pos + 8 <= bytes.length && (rate < 0 || dataPos < 0)) {
@@ -601,11 +603,14 @@ object Codecs {
         s"truncated chunk $id")
       id match {
         case "fmt " =>
-          require(buf.getShort(pos + 8) == 1, "not PCM")
+          fmtTag = buf.getShort(pos + 8)
+          require(fmtTag == 1 || fmtTag == 7,
+            s"unsupported format tag $fmtTag") // PCM or G.711 µ-law
           channels = buf.getShort(pos + 10)
           require(channels == 1 || channels == 2, s"unsupported channels $channels")
           bits = buf.getShort(pos + 22)
-          require(bits == 8 || bits == 16, s"unsupported bits $bits")
+          require(if (fmtTag == 7) bits == 8 else bits == 8 || bits == 16,
+            s"unsupported bits $bits (format $fmtTag)")
           rate = buf.getInt(pos + 12)
         case "data" =>
           dataPos = pos + 8
@@ -623,7 +628,12 @@ object Codecs {
     require(dataSize % (channels * (bits / 8)) == 0,
       s"ragged data chunk ($dataSize bytes, $channels ch × $bits bit)")
     val out =
-      if (bits == 16) {
+      if (fmtTag == 7) { // G.711 µ-law: one code byte per value, expand
+        val a = new Array[Short](dataSize)
+        var i = 0
+        while (i < dataSize) { a(i) = mulawExpand(bytes(dataPos + i)); i += 1 }
+        a
+      } else if (bits == 16) {
         val n = dataSize / 2
         val a = new Array[Short](n)
         var i = 0
@@ -638,6 +648,65 @@ object Codecs {
         a
       }
     WavAudio(rate, out, channels)
+  }
+
+  /** G.711 µ-law expansion of one stored (complemented) code byte to the
+    * 16-bit sample scale (±32124) — the CCITT closed form, no table. */
+  private[graft] def mulawExpand(b: Byte): Short = {
+    val u = ~b & 0xff
+    var t = ((u & 0x0f) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+  }
+
+  /** G.711 µ-law compression of a 16-bit sample to one code byte —
+    * segment search on the biased magnitude, complemented on the wire. */
+  private[graft] def mulawCompress(s: Short): Byte = {
+    val sign = if (s < 0) 0x80 else 0
+    val mag = math.min(if (s < 0) -s.toInt else s.toInt, 32635) + 0x84
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (mag & mask) == 0) { exp -= 1; mask >>= 1 }
+    val man = (mag >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | man)).toByte
+  }
+
+  /** Encode PCM audio as a G.711 µ-law WAV (format tag 7). */
+  def wavEncodeMulaw(audio: WavAudio): Array[Byte] =
+    wavEncodeMulawCodes(audio.sampleRate, audio.samples.map(mulawCompress),
+      audio.channels)
+
+  /** µ-law WAV from raw code bytes (already-compressed telephony data):
+    * 18-byte fmt chunk (format tag 7, cbSize 0) + the fact chunk non-PCM
+    * formats carry, one code byte per sample value, RIFF even-padding —
+    * the layout telephony tooling writes. */
+  def wavEncodeMulawCodes(sampleRate: Int, codes: Array[Byte],
+                          channels: Int = 1): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"unsupported channels $channels")
+    require(codes.length % channels == 0, "ragged channel interleave")
+    val n = codes.length
+    val pad = n & 1
+    val buf = le(12 + 26 + 12 + 8 + n + pad)
+    buf.put("RIFF".getBytes("US-ASCII"))
+    buf.putInt(4 + 26 + 12 + 8 + n + pad)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII"))
+    buf.putInt(18)
+    buf.putShort(7)                   // WAVE_FORMAT_MULAW
+    buf.putShort(channels.toShort)
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels) // byte rate: one byte per value
+    buf.putShort(channels.toShort)    // block align
+    buf.putShort(8)                   // bits per code
+    buf.putShort(0)                   // cbSize
+    buf.put("fact".getBytes("US-ASCII"))
+    buf.putInt(4)
+    buf.putInt(n / channels)          // sample frames
+    buf.put("data".getBytes("US-ASCII"))
+    buf.putInt(n)
+    buf.put(codes)
+    if (pad == 1) buf.put(0.toByte)
+    buf.array()
   }
 
   // --- JPEG: baseline JFIF (SOF0), pure JVM --------------------------------

@@ -185,6 +185,31 @@ object Multimodal {
       }
   }
 
+  /** µ-law code spec for doc `d`: `16 + d mod 50` stored code bytes, code
+    * `k` = `(d*7 + k*13) mod 256`. The codes are the on-the-wire bytes, so
+    * the decoded sample is the G.711 closed-form expansion of each — a
+    * pure integer function the DuckDB oracle replays without a codec. */
+  def mulawSpec(d: Long): Array[Byte] = {
+    val n = 16 + (d % 50).toInt
+    Array.tabulate(n)(k => ((d * 7 + k.toLong * 13) % 256).toByte)
+  }
+
+  /** The µ-law lake: every doc as a real G.711 WAV (format tag 7, fact
+    * chunk) of [[mulawSpec]] — the telephony-audio shape of the lake. */
+  def mulawLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { d =>
+            MediaRecord(d, "audio/basic",
+              Codecs.wavEncodeMulawCodes(SampleRate, mulawSpec(d)))
+          }
+        }
+      }
+  }
+
   /** The GIF lake: every doc as a real single-frame GIF of [[gifSpec]],
     * container variant keyed `doc_id mod 4` — plain 87a, 89a with a
     * graphic-control extension (the block-skip path), 87a interlaced (the
@@ -351,7 +376,12 @@ object Multimodal {
   private def isJpeg(p: Array[Byte]) =
     p.length >= 3 && (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xD8 &&
       (p(2) & 0xff) == 0xFF
-  private def isImage(p: Array[Byte]) = isBmp(p) || isPng(p) || isJpeg(p)
+  private def isGif(p: Array[Byte]) =
+    p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte && p(3) == '8'.toByte &&
+      (p(4) == '7'.toByte || p(4) == '9'.toByte) && p(5) == 'a'.toByte
+  private def isImage(p: Array[Byte]) =
+    isBmp(p) || isPng(p) || isJpeg(p) || isGif(p)
   private def isWav(p: Array[Byte]) =
     p.length >= 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
       p(2) == 'F'.toByte && p(3) == 'F'.toByte
@@ -653,6 +683,34 @@ object Multimodal {
     import spark.implicits._
     mediaLake(spark, dir)
       .filter(col("mime") === "audio/wav").as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val a = Codecs.wavDecode(m.payload)
+              var peak = 0L; var energy = 0L
+              a.samples.foreach { s =>
+                val v = s.toLong
+                if (math.abs(v) > peak) peak = math.abs(v)
+                energy += v * v
+              }
+              Some(AudioStats(m.media_id, a.samples.length.toLong, a.sampleRate,
+                a.channels, peak, energy))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Real G.711 decode over the [[mulawLake]]: full RIFF walk (18-byte
+    * fmt, fact chunk) + closed-form µ-law expansion per code byte — peak
+    * and exact integer energy per clip, the telephony-ingest manifest.
+    * Batched stateless map like every decode lane. */
+  def multimodalDecodeMulaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mulawLake(spark, dir)
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.flatMap { m =>
@@ -1755,6 +1813,32 @@ object Multimodal {
         |       CAST(sum(val * val) AS BIGINT) AS energy
         |FROM s GROUP BY media_id, v, ns ORDER BY media_id""".stripMargin,
 
+    // µ-law oracle: the stored code bytes are the closed form, so the
+    // decoded sample is the CCITT expansion u = 255 - b; t = ((u mod 16)*8
+    // + 132) << ((u div 16) mod 8); sample = ±(t - 132) — pure integer SQL.
+    // A decoder that mis-walks the 18-byte fmt / fact chunks, drops the
+    // complement, or mis-shifts a segment breaks peak AND energy.
+    "multimodal_decode_mulaw" ->
+      """WITH aud AS (
+        |  SELECT doc_id AS media_id, 16 + doc_id % 50 AS n FROM documents
+        |), c AS (
+        |  SELECT media_id, n, 255 - (media_id * 7 + k.i * 13) % 256 AS u
+        |  FROM aud, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) k
+        |), s AS (
+        |  SELECT media_id, n,
+        |         CASE WHEN u >= 128
+        |              THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+        |              ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+        |         END AS val
+        |  FROM c
+        |)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST(max(abs(val)) AS BIGINT) AS peak,
+        |       CAST(sum(val * val) AS BIGINT) AS energy
+        |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+
     "multimodal_route" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text,
@@ -1860,6 +1944,7 @@ object Multimodal {
     "multimodal_decode_image" -> (multimodalDecodeImage _),
     "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
     "multimodal_decode_gif" -> (multimodalDecodeGif _),
+    "multimodal_decode_mulaw" -> (multimodalDecodeMulaw _),
     "multimodal_decode_video" -> (multimodalDecodeVideo _),
     "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),

@@ -645,6 +645,71 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // --- G.711 µ-law ---------------------------------------------------------
+
+  test("µ-law: compress∘expand is the identity on every code (except -0)") {
+    // the classic involution: each of the 256 code bytes names one
+    // quantization level, and re-compressing its expansion returns the
+    // same byte — 0x7F is negative zero, which collapses onto +0 (0xFF)
+    for (b <- 0 until 256 if b != 0x7f) {
+      withClue(f"code 0x$b%02x: ") {
+        Codecs.mulawCompress(Codecs.mulawExpand(b.toByte)) shouldBe b.toByte
+      }
+    }
+    Codecs.mulawExpand(0x7f.toByte) shouldBe 0.toShort
+    Codecs.mulawExpand(0xff.toByte) shouldBe 0.toShort
+  }
+
+  test("µ-law: the JDK's independent ULAW converter agrees on all 256 codes") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val codes = Array.tabulate(256)(_.toByte)
+    val ulaw = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+    val pcm = new AudioFormat(8000f, 16, 1, true, false) // 16-bit LE signed
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes), ulaw, codes.length.toLong)
+    val conv = AudioSystem.getAudioInputStream(pcm, in)
+    val out = conv.readAllBytes()
+    out.length shouldBe 512
+    val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until 256) {
+      withClue(f"code 0x$i%02x: ") {
+        Codecs.mulawExpand(codes(i)) shouldBe bb.getShort(2 * i)
+      }
+    }
+  }
+
+  test("µ-law WAV round-trips: codes → container → expansion; PCM → quantized") {
+    // raw-code path (odd length exercises the RIFF pad byte)
+    val codes = Array.tabulate(33)(k => ((k * 13 + 5) % 256).toByte)
+    val wav = Codecs.wavEncodeMulawCodes(8000, codes)
+    val a = Codecs.wavDecode(wav)
+    a.sampleRate shouldBe 8000
+    a.channels shouldBe 1
+    a.samples.toSeq shouldBe codes.map(Codecs.mulawExpand).toSeq
+    // PCM path: decode(encode(x)) is exactly per-sample µ-law quantization
+    val pcmIn = WavAudio(8000, Array.tabulate(40)(k => (k * 777 - 12000).toShort))
+    val back = Codecs.wavDecode(Codecs.wavEncodeMulaw(pcmIn))
+    back.samples.toSeq shouldBe
+      pcmIn.samples.map(s => Codecs.mulawExpand(Codecs.mulawCompress(s))).toSeq
+  }
+
+  test("µ-law: mutation fuzz rejects cleanly or decodes, never crashes wild") {
+    val rnd = new scala.util.Random(103)
+    val base = Codecs.wavEncodeMulawCodes(8000,
+      Array.tabulate(40)(k => ((k * 29 + 3) % 256).toByte))
+    for (_ <- 1 to 300) {
+      val mutated = base.clone()
+      for (_ <- 0 to rnd.nextInt(4))
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      try { Codecs.wavDecode(mutated); () }
+      catch { case _: IllegalArgumentException => () } // the ONLY legal throw
+    }
+    for (n <- 0 until base.length) {
+      try { Codecs.wavDecode(base.take(n)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   // --- GIF ----------------------------------------------------------------
 
   /** Decode via ImageIO's independent GIF reader. Indexed GIFs come back

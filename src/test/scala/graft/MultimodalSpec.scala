@@ -57,6 +57,24 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("extractFeatures runs the real GIF decoder through the router") {
+    import graft.extensions.Codecs
+    val (w, h, gray) = Multimodal.gifSpec(29L)
+    val mean = gray.sum.toFloat / gray.length
+    val records = Seq(
+      MediaRecord(1L, "image/gif", Codecs.gifEncode(w, h, gray)),
+      MediaRecord(2L, "image/gif", Codecs.gifEncode(w, h, gray, interlaced = true)),
+      MediaRecord(3L, "image/gif", Codecs.gifEncode(w, h, gray, gce = true)),
+      // animated: well-formed but outside the still envelope → fallback lane
+      MediaRecord(4L, "image/gif", Codecs.gifEncodeAnimated(w, h, Seq(gray, gray))))
+    val feats = Multimodal.extractFeatures(records.toDS()).collect().sortBy(_.media_id)
+    for (f <- feats.take(3)) withClue(s"media ${f.media_id}: ") {
+      f.feat.toSeq shouldBe Seq(w.toFloat, h.toFloat, mean, mean, mean)
+    }
+    // the animated member must NOT decode as an image (length-derived fallback)
+    feats(3).feat.length should not be 5
+  }
+
   test("extractFeatures: REAL-but-unsupported variants fall back, not fail") {
     import graft.extensions.{BmpImage, Codecs, WavAudio}
     val img = BmpImage(2, 1, Array(10, 20, 30, 40, 60, 80))
@@ -133,6 +151,22 @@ class MultimodalSpec extends SparkTestBase {
     }
     // the decode query reports one row per lake record — nothing rejects
     Multimodal.multimodalDecodeJpeg(spark, sf).count() shouldBe lake.length.toLong
+  }
+
+  test("µ-law lake: every payload decodes to the closed-form expansion") {
+    import graft.extensions.Codecs
+    val sf = "/root/testdata/sf0.001"
+    val lake = Multimodal.mulawLake(spark, sf).collect()
+    for (m <- lake.take(20)) {
+      val a = Codecs.wavDecode(m.payload)
+      a.sampleRate shouldBe Multimodal.SampleRate
+      withClue(s"media ${m.media_id}: ") {
+        a.samples.toSeq shouldBe
+          Multimodal.mulawSpec(m.media_id).map(Codecs.mulawExpand).toSeq
+      }
+    }
+    // decode lane keeps every record: µ-law is a SUPPORTED format
+    Multimodal.multimodalDecodeMulaw(spark, sf).count() shouldBe lake.length.toLong
   }
 
   test("GIF lake: still variants decode to spec; animated members reject") {
