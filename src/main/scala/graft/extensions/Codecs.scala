@@ -19,6 +19,10 @@ case class WavAudio(sampleRate: Int, samples: Array[Short], channels: Int = 1)
 case class AviVideo(width: Int, height: Int, usPerFrame: Int,
                     frames: Vector[BmpImage])
 
+/** Fully-demuxed AVI: the video stream plus the interleaved audio track
+  * (expanded to PCM) when the container carries one. */
+case class AviMedia(video: AviVideo, audio: Option[WavAudio])
+
 /** Pure-JVM media codecs for the multimodal pipeline — no native libraries.
   *
   * Real container formats fully specified by public file-format docs,
@@ -1379,6 +1383,10 @@ object Codecs {
     * before any allocation (the MaxPixels discipline, per-container). */
   private val MaxAviFrames = 1 << 12
 
+  /** Audio-track byte cap: like [[MaxPixels]], bounds the decoded
+    * allocation before trusting header-declared sizes. */
+  private val MaxAviAudioBytes = 1 << 24
+
   private final class RiffWriter {
     val out = new java.io.ByteArrayOutputStream()
     def u32(v: Int): Unit = {
@@ -1407,10 +1415,11 @@ object Codecs {
 
   private def aviHeaders(width: Int, height: Int, usPerFrame: Int,
                          nFrames: Int, maxFrameBytes: Int,
-                         handler: String, biCompression: String): Array[Byte] = {
+                         handler: String, biCompression: String,
+                         audio: Option[(Int, Int, Int)] = None): Array[Byte] = {
     val avih = new RiffWriter
     avih.u32(usPerFrame); avih.u32(0); avih.u32(0); avih.u32(0) // µs/frame, maxBps, padding, flags
-    avih.u32(nFrames); avih.u32(0); avih.u32(1)                 // total frames, initial, streams
+    avih.u32(nFrames); avih.u32(0); avih.u32(1 + audio.size)    // total frames, initial, streams
     avih.u32(maxFrameBytes); avih.u32(width); avih.u32(height)  // buffer, w, h
     avih.u32(0); avih.u32(0); avih.u32(0); avih.u32(0)          // reserved[4]
     val strh = new RiffWriter
@@ -1426,23 +1435,41 @@ object Codecs {
     if (biCompression.isEmpty) strf.u32(0) else strf.tag(biCompression)
     strf.u32(width * height * 3); strf.u32(2835); strf.u32(2835)
     strf.u32(0); strf.u32(0)
+    val audioStrl: Array[Byte] = audio match {
+      case None => Array.emptyByteArray
+      case Some((sampleRate, nSamples, fmtTag)) =>
+        // one-byte-per-sample codings only (µ-law / PCM8): sampleSize 1
+        val ash = new RiffWriter
+        ash.tag("auds"); ash.u32(0)                    // fccType, no handler
+        ash.u32(0); ash.u32(0); ash.u32(0)             // flags, prio+lang, initial
+        ash.u32(1); ash.u32(sampleRate)                // scale, rate: samples/s
+        ash.u32(0); ash.u32(nSamples)                  // start, length (samples)
+        ash.u32(sampleRate); ash.u32(-1); ash.u32(1)   // buffer, quality, sampleSize
+        ash.u16(0); ash.u16(0); ash.u16(0); ash.u16(0) // rcFrame (unused)
+        val asf = new RiffWriter // WAVEFORMATEX
+        asf.u16(fmtTag); asf.u16(1)                    // format, mono
+        asf.u32(sampleRate); asf.u32(sampleRate)       // rate, byte rate
+        asf.u16(1); asf.u16(8); asf.u16(0)             // block align, bits, cbSize
+        riffList("strl", riffChunk("strh", ash.result()) ++
+          riffChunk("strf", asf.result()))
+    }
     riffList("hdrl", riffChunk("avih", avih.result()) ++
       riffList("strl", riffChunk("strh", strh.result()) ++
-        riffChunk("strf", strf.result())))
+        riffChunk("strf", strf.result())) ++ audioStrl)
   }
 
-  private def aviAssemble(headers: Array[Byte], frameChunkId: String,
-                          framePayloads: Seq[Array[Byte]]): Array[Byte] = {
+  private def aviAssemble(headers: Array[Byte],
+                          chunks: Seq[(String, Array[Byte])]): Array[Byte] = {
     val movi = new RiffWriter
     movi.tag("movi")
     // idx1 offsets are measured from the 'movi' fourcc (the common
     // convention): the first chunk sits at offset 4
     val idx = new RiffWriter
     var off = 4
-    framePayloads.foreach { p =>
-      val chunk = riffChunk(frameChunkId, p)
+    chunks.foreach { case (id, p) =>
+      val chunk = riffChunk(id, p)
       movi.bytes(chunk)
-      idx.tag(frameChunkId); idx.u32(0x10); idx.u32(off); idx.u32(p.length)
+      idx.tag(id); idx.u32(0x10); idx.u32(off); idx.u32(p.length)
       off += chunk.length
     }
     val moviList = {
@@ -1474,7 +1501,42 @@ object Codecs {
     }
     val maxBytes = jpegFrames.map(_.length).max
     aviAssemble(aviHeaders(width, height, usPerFrame, jpegFrames.length,
-      maxBytes, "MJPG", "MJPG"), "00dc", jpegFrames)
+      maxBytes, "MJPG", "MJPG"), jpegFrames.map(("00dc", _)))
+  }
+
+  /** Motion-JPEG AVI with an interleaved mono audio track: the µ-law (or,
+    * for the reject fixture, `fmtTag` 1 PCM8) code bytes are split into one
+    * `01wb` chunk after each frame's `00dc` — the standard muxer interleave,
+    * so a streaming demuxer never seeks. Frame `i` carries codes
+    * `[i·n/nf, (i+1)·n/nf)`. */
+  def aviEncodeMjpegAv(width: Int, height: Int, usPerFrame: Int,
+                       jpegFrames: Seq[Array[Byte]], sampleRate: Int,
+                       audioCodes: Array[Byte], fmtTag: Int = 7): Array[Byte] = {
+    require(width >= 1 && height >= 1 && width <= MaxDim && height <= MaxDim,
+      s"bad AVI geometry ${width}x$height")
+    require(usPerFrame >= 1, s"bad frame period $usPerFrame")
+    require(jpegFrames.nonEmpty && jpegFrames.length <= MaxAviFrames,
+      s"bad frame count ${jpegFrames.length}")
+    require(audioCodes.nonEmpty, "empty audio track")
+    jpegFrames.foreach { f =>
+      require(f.length >= 2 && (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8,
+        "frame is not a JPEG")
+    }
+    val nf = jpegFrames.length
+    val n = audioCodes.length
+    val chunks = Seq.newBuilder[(String, Array[Byte])]
+    var i = 0
+    while (i < nf) {
+      chunks += (("00dc", jpegFrames(i)))
+      val from = (i.toLong * n / nf).toInt
+      val until = ((i + 1).toLong * n / nf).toInt
+      if (until > from)
+        chunks += (("01wb", java.util.Arrays.copyOfRange(audioCodes, from, until)))
+      i += 1
+    }
+    val maxBytes = jpegFrames.map(_.length).max
+    aviAssemble(aviHeaders(width, height, usPerFrame, nf, maxBytes,
+      "MJPG", "MJPG", Some((sampleRate, n, fmtTag))), chunks.result())
   }
 
   /** Uncompressed (DIB) AVI: frames stored as raw bottom-up BGR rows padded
@@ -1506,16 +1568,22 @@ object Codecs {
       b.array()
     }
     aviAssemble(aviHeaders(w, h, usPerFrame, frames.length, rowSize * h,
-      "DIB ", ""), "00db", payloads)
+      "DIB ", ""), payloads.map(("00db", _)))
   }
 
-  /** Decode a motion-JPEG AVI: full RIFF chunk walk, header validation,
-    * baseline JPEG decode per frame chunk, geometry + frame-count
-    * cross-checks. Throws IllegalArgumentException on anything that is not
-    * a single-video-stream MJPEG AVI inside the sanity caps — uncompressed
-    * (DIB) or otherwise-coded files are well-formed rejects for the
-    * pipeline's fallback lane. */
-  def aviDecode(bytes: Array[Byte]): AviVideo = {
+  /** Video-only view of [[aviDecodeAv]]: A/V files decode and drop the
+    * audio track; the reject envelope is identical. */
+  def aviDecode(bytes: Array[Byte]): AviVideo = aviDecodeAv(bytes).video
+
+  /** Demux + decode an AVI: full RIFF chunk walk, header validation,
+    * baseline JPEG decode per `00dc` frame chunk, µ-law expansion of the
+    * interleaved `01wb` audio track when one is declared, geometry /
+    * frame-count / sample-count cross-checks. Throws
+    * IllegalArgumentException on anything that is not an MJPEG video
+    * stream plus at most one µ-law audio stream inside the sanity caps —
+    * uncompressed (DIB) video or PCM audio tracks are well-formed rejects
+    * for the pipeline's fallback lane. */
+  def aviDecodeAv(bytes: Array[Byte]): AviMedia = {
     def tagAt(p: Int): String = {
       require(p >= 0 && p + 4 <= bytes.length, "truncated AVI")
       new String(Array(bytes(p), bytes(p + 1), bytes(p + 2), bytes(p + 3)),
@@ -1525,6 +1593,10 @@ object Codecs {
       require(p >= 0 && p + 4 <= bytes.length, "truncated AVI")
       (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8) |
         ((bytes(p + 2) & 0xff) << 16) | ((bytes(p + 3) & 0xff) << 24)
+    }
+    def u16le(p: Int): Int = {
+      require(p >= 0 && p + 2 <= bytes.length, "truncated AVI")
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
     }
     // chunk sizes are attacker-controlled u32s: validate non-negative and
     // bound in LONG before any pointer moves, or a crafted size wraps the
@@ -1549,29 +1621,44 @@ object Codecs {
     val framePayloads = Vector.newBuilder[Array[Byte]]
     var nFrameChunks = 0
     var idxEntries = -1
+    var audFmtTag = -1; var audChannels = -1; var audRate = -1
+    var audSamples = -1; var audSampleSize = -1
+    var sawAudioStrh = false
+    val audioBytes = new java.io.ByteArrayOutputStream()
+    var nAudioChunks = 0
 
-    // one stream-header pair (strh/strf) inside LIST strl
+    // one stream-header pair (strh/strf) inside LIST strl — the strf is
+    // typed by ITS OWN strl's strh, never by another stream's
     def parseStrl(from: Int, end: Int): Unit = {
       var p = from
+      var curType: String = null
       while (p + 8 <= end) {
         val id = tagAt(p); val sz = chunkSize(p, end, id)
         id match {
           case "strh" =>
             require(sz >= 56, "short strh")
-            val fccType = tagAt(p + 8)
-            // only the video stream's header matters; ignore others here
-            // (the stream-count check rejects multi-stream files anyway)
-            if (fccType == "vids") {
+            curType = tagAt(p + 8)
+            if (curType == "vids") {
               require(handler == null, "duplicate video stream header")
               handler = tagAt(p + 12)
               strhFrames = u32(p + 8 + 32)
+            } else if (curType == "auds") {
+              require(!sawAudioStrh, "duplicate audio stream header")
+              sawAudioStrh = true
+              audSamples = u32(p + 8 + 32)
+              audSampleSize = u32(p + 8 + 44)
             }
           case "strf" =>
-            if (handler != null && biCompression == null) {
+            if (curType == "vids" && biCompression == null) {
               require(sz >= 40, "short strf")
               val comp = u32(p + 8 + 16)
               biCompression =
                 if (comp == 0) "" else tagAt(p + 8 + 16)
+            } else if (curType == "auds" && audFmtTag < 0) {
+              require(sz >= 16, "short audio strf") // WAVEFORMAT(EX)
+              audFmtTag = u16le(p + 8)
+              audChannels = u16le(p + 8 + 2)
+              audRate = u32(p + 8 + 4)
             }
           case _ => () // JUNK etc.
         }
@@ -1612,6 +1699,12 @@ object Codecs {
           nFrameChunks += 1
           require(nFrameChunks <= MaxAviFrames, "too many frame chunks")
           framePayloads += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz)
+        } else if (id == "01wb") {
+          require(sawAudioStrh, "audio chunk without audio stream")
+          nAudioChunks += 1
+          require(audioBytes.size + sz <= MaxAviAudioBytes,
+            "audio track over cap")
+          audioBytes.write(bytes, p + 8, sz)
         }
         p += 8 + sz + (sz & 1)
       }
@@ -1634,7 +1727,8 @@ object Codecs {
     }
 
     require(sawHdrl, "missing hdrl")
-    require(streams == 1, s"unsupported stream count $streams")
+    require(streams == 1 + (if (sawAudioStrh) 1 else 0),
+      s"stream count $streams does not match the streams present")
     require(handler != null, "no video stream")
     require(handler == "MJPG" && biCompression == "MJPG",
       s"unsupported AVI codec ${if (handler == "MJPG") biCompression else handler}")
@@ -1652,15 +1746,32 @@ object Codecs {
     require(strhFrames == totalFrames,
       s"stream length $strhFrames != declared $totalFrames")
     if (idxEntries >= 0)
-      require(idxEntries == totalFrames,
-        s"idx1 entries $idxEntries != declared $totalFrames")
+      require(idxEntries == totalFrames + nAudioChunks,
+        s"idx1 entries $idxEntries != chunks ${totalFrames + nAudioChunks}")
+    val audio =
+      if (!sawAudioStrh) None
+      else {
+        require(audFmtTag == 7, // the µ-law envelope; PCM tracks reject
+          s"unsupported AVI audio codec tag $audFmtTag")
+        require(audChannels == 1, s"unsupported audio channels $audChannels")
+        require(audSampleSize == 1,
+          s"unsupported audio sample size $audSampleSize")
+        require(audRate >= 1, s"bad audio rate $audRate")
+        val data = audioBytes.toByteArray
+        require(data.length == audSamples,
+          s"audio bytes ${data.length} != declared $audSamples")
+        val samples = new Array[Short](data.length)
+        var i = 0
+        while (i < data.length) { samples(i) = mulawExpand(data(i)); i += 1 }
+        Some(WavAudio(audRate, samples))
+      }
     val frames = payloads.map { fp =>
       val img = jpegDecode(fp)
       require(img.width == width && img.height == height,
         s"frame geometry ${img.width}x${img.height} != header ${width}x$height")
       img
     }
-    AviVideo(width, height, usPerFrame, frames)
+    AviMedia(AviVideo(width, height, usPerFrame, frames), audio)
   }
 
   // --- GIF (LZW) -----------------------------------------------------------

@@ -53,6 +53,13 @@ case class VideoStats(media_id: Long, width: Int, height: Int, n_frames: Int,
                       us_per_frame: Int, n_pixels: Long,
                       sum_r: Long, sum_g: Long, sum_b: Long)
 
+/** Joint A/V demux manifest: geometry + exact channel sums for the video
+  * stream, sample count + peak + exact integer energy for the audio
+  * track of the same container. */
+case class AvStats(media_id: Long, width: Int, height: Int, n_frames: Int,
+                   n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+                   n_samples: Long, sample_rate: Int, peak: Long, energy: Long)
+
 /** Multimodal-column plumbing: binary payloads with typed metadata, a
   * partition-batched feature extractor over REAL pure-JVM codecs
   * ([[Codecs]]: 24-bit + RLE8 BMP, 8-bit RGB PNG, mono/stereo 8/16-bit
@@ -314,6 +321,41 @@ object Multimodal {
               case 2 => mjpeg((0 until nf).map(videoFrameSpec(g, _, shift = 8)),
                 Codecs.JpegGray)
               case _ => mjpeg((1 until nf).map(videoFrameSpec(g, _)), Codecs.JpegColor444)
+            }
+            MediaRecord(d, "video/avi", payload)
+          }
+        }
+      }
+  }
+
+  /** The A/V lake: every doc as ONE AVI carrying both an MJPEG video
+    * stream (`2 + d mod 2` flat-block frames of [[videoFrameSpec]] at
+    * family `d`) and an interleaved mono audio track of the [[mulawSpec]]
+    * code bytes — the real multimedia-container demux shape. Variants
+    * keyed `d mod 3`: 4:4:4 frames + µ-law audio; 4:2:0+DRI re-encode +
+    * µ-law audio (same decoded content, so the oracle is variant-blind);
+    * and a PCM8 audio track the demuxer REJECTS into the fallback lane
+    * (well-formed per the AVI spec, outside the audio envelope). */
+  def avLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { d =>
+            val nf = 2 + (d % 2).toInt
+            val geo = videoFrameSpec(d, 0)
+            val codes = mulawSpec(d)
+            def enc(mode: Int, dri: Int, fmtTag: Int) =
+              Codecs.aviEncodeMjpegAv(geo.width, geo.height, VideoUsPerFrame,
+                (0 until nf).map(f =>
+                  Codecs.jpegEncode(videoFrameSpec(d, f), mode,
+                    restartInterval = dri)),
+                SampleRate, codes, fmtTag)
+            val payload = (d % 3) match {
+              case 0 => enc(Codecs.JpegColor444, 0, 7)
+              case 1 => enc(Codecs.JpegColor420, 2, 7)
+              case _ => enc(Codecs.JpegColor444, 0, 1) // PCM8 track: reject
             }
             MediaRecord(d, "video/avi", payload)
           }
@@ -724,6 +766,47 @@ object Multimodal {
               }
               Some(AudioStats(m.media_id, a.samples.length.toLong, a.sampleRate,
                 a.channels, peak, energy))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Real A/V DEMUX over the [[avLake]]: one container walk yields both
+    * the MJPEG frame decode (exact channel sums) and the µ-law audio
+    * expansion (peak + exact energy) — the manifest a multimedia ingest
+    * stage emits. PCM-track members reject inside [[Codecs.aviDecodeAv]]
+    * and drop from the lane (the oracle excludes exactly those ids).
+    * Batched stateless map; no shuffle before the output sort. */
+  def multimodalDecodeAv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    avLake(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val av = Codecs.aviDecodeAv(m.payload)
+              val a = av.audio.get // the lake always declares a track
+              var sr = 0L; var sg = 0L; var sb = 0L
+              av.video.frames.foreach { img =>
+                var p = 0
+                while (p < img.rgb.length) {
+                  sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
+                  p += 3
+                }
+              }
+              var peak = 0L; var energy = 0L
+              a.samples.foreach { s =>
+                val v = s.toLong
+                if (math.abs(v) > peak) peak = math.abs(v)
+                energy += v * v
+              }
+              Some(AvStats(m.media_id, av.video.width, av.video.height,
+                av.video.frames.length,
+                av.video.width.toLong * av.video.height * av.video.frames.length,
+                sr, sg, sb, a.samples.length.toLong, a.sampleRate, peak, energy))
             } catch { case _: IllegalArgumentException => None }
           }
         }
@@ -1839,6 +1922,54 @@ object Multimodal {
         |       CAST(sum(val * val) AS BIGINT) AS energy
         |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
 
+    // Variant-blind A/V oracle: the video side is the [[videoFrameSpec]]
+    // flat-block closed form at family = media_id (both MJPEG variants
+    // must reconstruct it through the container walk + entropy decode);
+    // the audio side is the µ-law expansion closed form over the same
+    // container's interleaved track. PCM-track members are EXCLUDED — a
+    // demuxer that accepts them (or loses a µ-law member) breaks the row
+    // count, and any interleave mistake breaks sample count or energy.
+    "multimodal_decode_av" ->
+      """WITH av AS (
+        |  SELECT doc_id AS media_id,
+        |         13 + doc_id % 12 AS w, 9 + doc_id % 7 AS h,
+        |         2 + doc_id % 2 AS nf, 16 + doc_id % 50 AS n
+        |  FROM documents WHERE doc_id % 3 <> 2
+        |), blk AS (
+        |  SELECT media_id, w, h, nf,
+        |         (media_id * 23 + (31 + 16 * (media_id % 11)) * bx.i
+        |          + (41 + 32 * (media_id % 5)) * by.i + 97 * f.i) % 256 AS val,
+        |         least(8, w - 8 * bx.i) AS nx, least(8, h - 8 * by.i) AS ny
+        |  FROM av,
+        |       LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS i) f,
+        |       LATERAL (SELECT unnest(generate_series(0, (w - 1) // 8)) AS i) bx,
+        |       LATERAL (SELECT unnest(generate_series(0, (h - 1) // 8)) AS i) by
+        |), vid AS (
+        |  SELECT media_id, sum(val * nx * ny) AS s FROM blk GROUP BY media_id
+        |), smp AS (
+        |  SELECT media_id,
+        |         CASE WHEN u >= 128
+        |              THEN 132 - (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)))
+        |              ELSE (((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))) - 132
+        |         END AS val
+        |  FROM (SELECT media_id, 255 - (media_id * 7 + k.i * 13) % 256 AS u
+        |        FROM av, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) k)
+        |), aud AS (
+        |  SELECT media_id, max(abs(val)) AS peak, sum(val * val) AS energy
+        |  FROM smp GROUP BY media_id
+        |)
+        |SELECT av.media_id, CAST(w AS INTEGER) AS width,
+        |       CAST(h AS INTEGER) AS height, CAST(nf AS INTEGER) AS n_frames,
+        |       CAST(w * h * nf AS BIGINT) AS n_pixels,
+        |       CAST(vid.s AS BIGINT) AS sum_r, CAST(vid.s AS BIGINT) AS sum_g,
+        |       CAST(vid.s AS BIGINT) AS sum_b,
+        |       CAST(av.n AS BIGINT) AS n_samples,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       CAST(aud.peak AS BIGINT) AS peak,
+        |       CAST(aud.energy AS BIGINT) AS energy
+        |FROM av JOIN vid USING (media_id) JOIN aud USING (media_id)
+        |ORDER BY media_id""".stripMargin,
+
     "multimodal_route" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text,
@@ -1945,6 +2076,7 @@ object Multimodal {
     "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
     "multimodal_decode_gif" -> (multimodalDecodeGif _),
     "multimodal_decode_mulaw" -> (multimodalDecodeMulaw _),
+    "multimodal_decode_av" -> (multimodalDecodeAv _),
     "multimodal_decode_video" -> (multimodalDecodeVideo _),
     "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),

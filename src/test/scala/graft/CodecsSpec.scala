@@ -645,6 +645,57 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // --- AVI A/V demux -------------------------------------------------------
+
+  test("AVI A/V: interleaved µ-law track demuxes exactly; video unchanged") {
+    val frames = (0 until 3).map(f => Multimodal.videoFrameSpec(5L, f))
+    val w = frames.head.width; val h = frames.head.height
+    val codes = Array.tabulate(41)(k => ((k * 13 + 9) % 256).toByte)
+    val avi = Codecs.aviEncodeMjpegAv(w, h, 40000,
+      frames.map(Codecs.jpegEncode(_, Codecs.JpegColor444)), 8000, codes)
+    val av = Codecs.aviDecodeAv(avi)
+    av.video.frames.length shouldBe 3
+    for ((img, f) <- av.video.frames.zipWithIndex)
+      withClue(s"frame $f: ") { img.rgb.toSeq shouldBe frames(f).rgb.toSeq }
+    val audio = av.audio.get
+    audio.sampleRate shouldBe 8000
+    audio.samples.toSeq shouldBe codes.map(Codecs.mulawExpand).toSeq
+    // the video-only view drops the track but decodes identically
+    Codecs.aviDecode(avi).frames.length shouldBe 3
+    // audio-less files still return None
+    val plain = Codecs.aviEncodeMjpeg(w, h, 40000,
+      frames.map(Codecs.jpegEncode(_, Codecs.JpegColor444)))
+    Codecs.aviDecodeAv(plain).audio shouldBe None
+  }
+
+  test("AVI A/V: PCM8 audio track is a well-formed reject") {
+    val frames = (0 until 2).map(f => Multimodal.videoFrameSpec(8L, f))
+    val w = frames.head.width; val h = frames.head.height
+    val codes = Array.tabulate(20)(k => ((k * 7) % 256).toByte)
+    val avi = Codecs.aviEncodeMjpegAv(w, h, 40000,
+      frames.map(Codecs.jpegEncode(_, Codecs.JpegColor444)), 8000, codes,
+      fmtTag = 1)
+    val e = intercept[IllegalArgumentException](Codecs.aviDecodeAv(avi))
+    e.getMessage should include ("unsupported AVI audio codec")
+  }
+
+  test("AVI A/V: mutation fuzz rejects cleanly or decodes, never crashes wild") {
+    val frames = (0 until 2).map(f => Multimodal.videoFrameSpec(11L, f))
+    val w = frames.head.width; val h = frames.head.height
+    val codes = Array.tabulate(30)(k => ((k * 19 + 1) % 256).toByte)
+    val avi = Codecs.aviEncodeMjpegAv(w, h, 40000,
+      frames.map(Codecs.jpegEncode(_, Codecs.JpegColor420, restartInterval = 2)),
+      8000, codes)
+    var i = 0
+    while (i < avi.length) {
+      val m = avi.clone()
+      m(i) = (m(i) ^ ((i * 41 + 7) & 0xff)).toByte
+      try { Codecs.aviDecodeAv(m); () }
+      catch { case _: IllegalArgumentException => () }
+      i += math.max(1, avi.length / 331)
+    }
+  }
+
   // --- G.711 µ-law ---------------------------------------------------------
 
   test("µ-law: compress∘expand is the identity on every code (except -0)") {

@@ -153,6 +153,34 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.multimodalDecodeJpeg(spark, sf).count() shouldBe lake.length.toLong
   }
 
+  test("A/V lake: both MJPEG variants demux to spec; PCM-track members reject") {
+    import graft.extensions.Codecs
+    val sf = "/root/testdata/sf0.001"
+    val lake = Multimodal.avLake(spark, sf).collect()
+    lake.groupBy(_.media_id % 3).keySet shouldBe (0L to 2L).toSet
+    var rejected = 0
+    for (m <- lake) {
+      if (m.media_id % 3 == 2) {
+        intercept[IllegalArgumentException](Codecs.aviDecodeAv(m.payload))
+        rejected += 1
+      } else {
+        val av = Codecs.aviDecodeAv(m.payload)
+        val nf = 2 + (m.media_id % 2).toInt
+        av.video.frames.length shouldBe nf
+        for ((img, f) <- av.video.frames.zipWithIndex)
+          withClue(s"media ${m.media_id} frame $f: ") {
+            img.rgb.toSeq shouldBe
+              Multimodal.videoFrameSpec(m.media_id, f).rgb.toSeq
+          }
+        av.audio.get.samples.toSeq shouldBe
+          Multimodal.mulawSpec(m.media_id).map(Codecs.mulawExpand).toSeq
+      }
+    }
+    rejected should be > 0
+    Multimodal.multimodalDecodeAv(spark, sf).count() shouldBe
+      (lake.length - rejected).toLong
+  }
+
   test("µ-law lake: every payload decodes to the closed-form expansion") {
     import graft.extensions.Codecs
     val sf = "/root/testdata/sf0.001"
