@@ -409,6 +409,16 @@ class MultimodalSpec extends SparkTestBase {
       Codecs.jpegEncode(spec, Codecs.JpegColor420, restartInterval = 2)) shouldBe viaBmp
     Multimodal.mediaFingerprint(Codecs.jpegEncode(spec, Codecs.JpegGray)) shouldBe viaBmp
     Multimodal.mediaFingerprint(Codecs.jpegEncode(spec, Codecs.JpegColor422)) shouldBe viaBmp
+    // the content is grayscale (equal channels), so the SAME image as a
+    // palette GIF — plain or interlaced — must fingerprint identically too
+    val gray = Array.tabulate(spec.width * spec.height)(p => spec.rgb(3 * p))
+    Multimodal.mediaFingerprint(
+      Codecs.gifEncode(spec.width, spec.height, gray)) shouldBe viaBmp
+    Multimodal.mediaFingerprint(
+      Codecs.gifEncode(spec.width, spec.height, gray, interlaced = true)) shouldBe viaBmp
+    // µ-law WAVs flow through the audio kernel of the same screen
+    Multimodal.mediaFingerprint(
+      Codecs.wavEncodeMulawCodes(8000, Multimodal.mulawSpec(17L))) should not be None
   }
 
   test("mediaFingerprint: zero-information payloads return None, not Some(0)") {
