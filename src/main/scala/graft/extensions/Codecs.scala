@@ -38,7 +38,8 @@ case class AviMedia(video: AviVideo, audio: Option[WavAudio])
   *  - BMP, 8-bit RLE8-compressed: BGRA palette + run-length stream
   *    (encoded runs, absolute mode, end-of-line/bitmap, delta escapes).
   *  - PNG, 8-bit RGB: CRC-verified chunk walk, real `Inflater` zlib
-  *    decompression, all five scanline filter types reconstructed.
+  *    decompression, all five scanline filter types reconstructed,
+  *    progressive AND Adam7-interlaced rasters in both directions.
   *  - WAV, PCM + G.711 µ-law: RIFF container walked chunk-by-chunk (chunks
   *    pad to even length per the RIFF spec), `fmt ` validated; mono/stereo
   *    16-bit and unsigned 8-bit PCM plus format-tag-7 µ-law (closed-form
@@ -196,33 +197,57 @@ object Codecs {
     *    compressed size is a closed form of the geometry alone:
     *    `filesize = h·(1+3w) + 68` (8 signature + 25 IHDR + 12 IDAT
     *    framing + 2 zlib header + 5 stored-block header + raw + 4 adler
-    *    + 12 IEND), which the DuckDB oracle recomputes without a codec. */
-  def pngEncode(img: BmpImage): Array[Byte] = {
+    *    + 12 IEND), which the DuckDB oracle recomputes without a codec.
+    *
+    * `interlaced` stores the seven Adam7 sub-images instead (each
+    * independently filtered with the same `r % 5` cycle). */
+  def pngEncode(img: BmpImage, interlaced: Boolean = false): Array[Byte] = {
     val w = img.width; val h = img.height
     require(img.rgb.length == w * h * 3, s"rgb length ${img.rgb.length} != $w*$h*3")
-    val stride = 3 * w
-    val raw = new Array[Byte](h * (1 + stride)) // filter byte + filtered row
-    var y = 0
-    while (y < h) {
-      val t = y % 5
-      raw(y * (1 + stride)) = t.toByte
-      var i = 0
-      while (i < stride) {
-        val cur = img.rgb(y * stride + i)
-        val left = if (i >= 3) img.rgb(y * stride + i - 3) else 0
-        val up = if (y > 0) img.rgb((y - 1) * stride + i) else 0
-        val upLeft = if (y > 0 && i >= 3) img.rgb((y - 1) * stride + i - 3) else 0
-        val pred = t match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, upLeft)
+    val passes = pngPasses(w, h, interlaced)
+    val raw = new Array[Byte](passes.map { case (_, _, _, _, pw, ph) =>
+      ph * (1 + 3 * pw)
+    }.sum)
+    var off = 0
+    for ((xs, ys, dx, dy, pw, ph) <- passes) {
+      val pstride = 3 * pw
+      // gather the pass sub-image; filters predict from PASS neighbors
+      val prgb = new Array[Int](pw * ph * 3)
+      var j = 0
+      while (j < ph) {
+        var k = 0
+        while (k < pw) {
+          val src = ((ys + j * dy) * w + (xs + k * dx)) * 3
+          val dst = (j * pw + k) * 3
+          prgb(dst) = img.rgb(src); prgb(dst + 1) = img.rgb(src + 1)
+          prgb(dst + 2) = img.rgb(src + 2)
+          k += 1
         }
-        raw(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
-        i += 1
+        j += 1
       }
-      y += 1
+      var y = 0
+      while (y < ph) {
+        val t = y % 5 // cycle the filter types so all five get exercised
+        raw(off + y * (1 + pstride)) = t.toByte
+        var i = 0
+        while (i < pstride) {
+          val cur = prgb(y * pstride + i)
+          val left = if (i >= 3) prgb(y * pstride + i - 3) else 0
+          val up = if (y > 0) prgb((y - 1) * pstride + i) else 0
+          val upLeft = if (y > 0 && i >= 3) prgb((y - 1) * pstride + i - 3) else 0
+          val pred = t match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, upLeft)
+          }
+          raw(off + y * (1 + pstride) + 1 + i) = ((cur - pred) & 0xff).toByte
+          i += 1
+        }
+        y += 1
+      }
+      off += ph * (1 + pstride)
     }
     require(raw.length <= 0xffff,
       s"stored-block encoder caps at 65535 raw bytes, got ${raw.length}")
@@ -240,7 +265,8 @@ object Codecs {
     ihdr.putInt(w).putInt(h)
     ihdr.put(8.toByte)  // bit depth
     ihdr.put(2.toByte)  // color type: truecolor RGB
-    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+    ihdr.put(0.toByte).put(0.toByte) // deflate, adaptive filtering
+    ihdr.put(if (interlaced) 1.toByte else 0.toByte)
     val out = new java.io.ByteArrayOutputStream(raw.length + 68)
     out.write(PngSignature)
     pngChunk(out, "IHDR", ihdr.array())
@@ -252,15 +278,17 @@ object Codecs {
   /** Decode an 8-bit truecolor PNG: verify the signature and every chunk
     * CRC, walk the chunk list, INFLATE the concatenated IDAT stream (real
     * `java.util.zip.Inflater` — any conformant zlib, not just our stored
-    * blocks), and reconstruct all five filter types. Throws
-    * IllegalArgumentException on other bit depths / color types /
-    * interlacing, corrupt CRCs, or geometry mismatches. */
+    * blocks), and reconstruct all five filter types — per Adam7 pass when
+    * the header declares interlacing. Throws IllegalArgumentException on
+    * other bit depths / color types, corrupt CRCs, or geometry
+    * mismatches. */
   def pngDecode(bytes: Array[Byte]): BmpImage = {
     require(bytes.length >= PngSignature.length + 12 &&
       PngSignature.indices.forall(i => bytes(i) == PngSignature(i)), "not a PNG")
     val buf = ByteBuffer.wrap(bytes) // big-endian by default
     var pos = PngSignature.length
     var w = -1; var h = -1
+    var interlaced = false
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -282,7 +310,9 @@ object Codecs {
           require(data(8) == 8, s"unsupported bit depth ${data(8)}")
           require(data(9) == 2, s"unsupported color type ${data(9)}")
           require(data(10) == 0 && data(11) == 0, "unsupported compression/filter method")
-          require(data(12) == 0, "interlaced PNG unsupported")
+          require(data(12) == 0 || data(12) == 1,
+            s"unknown interlace method ${data(12)}")
+          interlaced = data(12) == 1
         case "IDAT" => idat.write(data)
         case "IEND" => done = true
         case _ => // ancillary chunk (tEXt, pHYs, ...): CRC-checked, skipped
@@ -290,8 +320,12 @@ object Codecs {
       pos += 12 + len
     }
     require(w > 0, "missing IHDR")
-    val stride = 3 * w
-    val raw = new Array[Byte](h * (1 + stride))
+    // one pass over the full raster, or the seven Adam7 sub-images (each
+    // independently filtered); empty passes carry no bytes at all
+    val passes = pngPasses(w, h, interlaced)
+    val raw = new Array[Byte](passes.map { case (_, _, _, _, pw, ph) =>
+      ph * (1 + 3 * pw)
+    }.sum)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     val (got, ended) = try {
@@ -316,30 +350,65 @@ object Codecs {
     // zlib stream are a geometry mismatch, not data to silently drop
     require(ended, "IDAT stream continues past the declared geometry")
     val rgb = new Array[Int](w * h * 3)
-    var y = 0
-    while (y < h) {
-      val t = raw(y * (1 + stride)) & 0xff
-      require(t <= 4, s"unknown filter type $t")
-      var i = 0
-      while (i < stride) {
-        val x = raw(y * (1 + stride) + 1 + i) & 0xff
-        val left = if (i >= 3) rgb(y * stride + i - 3) else 0
-        val up = if (y > 0) rgb((y - 1) * stride + i) else 0
-        val upLeft = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) else 0
-        val pred = t match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, upLeft)
+    var off = 0
+    for ((xs, ys, dx, dy, pw, ph) <- passes) {
+      val pstride = 3 * pw
+      val prgb = new Array[Int](pw * ph * 3) // filters see PASS neighbors
+      var y = 0
+      while (y < ph) {
+        val t = raw(off + y * (1 + pstride)) & 0xff
+        require(t <= 4, s"unknown filter type $t")
+        var i = 0
+        while (i < pstride) {
+          val x = raw(off + y * (1 + pstride) + 1 + i) & 0xff
+          val left = if (i >= 3) prgb(y * pstride + i - 3) else 0
+          val up = if (y > 0) prgb((y - 1) * pstride + i) else 0
+          val upLeft = if (y > 0 && i >= 3) prgb((y - 1) * pstride + i - 3) else 0
+          val pred = t match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 => paeth(left, up, upLeft)
+          }
+          prgb(y * pstride + i) = (x + pred) & 0xff
+          i += 1
         }
-        rgb(y * stride + i) = (x + pred) & 0xff
-        i += 1
+        y += 1
       }
-      y += 1
+      off += ph * (1 + pstride)
+      var j = 0 // scatter the pass into the raster at its lattice sites
+      while (j < ph) {
+        var k = 0
+        while (k < pw) {
+          val src = (j * pw + k) * 3
+          val dst = ((ys + j * dy) * w + (xs + k * dx)) * 3
+          rgb(dst) = prgb(src); rgb(dst + 1) = prgb(src + 1)
+          rgb(dst + 2) = prgb(src + 2)
+          k += 1
+        }
+        j += 1
+      }
     }
     BmpImage(w, h, rgb)
   }
+
+  /** Adam7 pass lattice: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** The filtered sub-images a PNG stream carries, as
+    * (xStart, yStart, xStep, yStep, passWidth, passHeight): one full-
+    * raster pass when progressive, the NON-EMPTY Adam7 passes when
+    * interlaced (a pass whose lattice misses the image entirely
+    * contributes no bytes, per the spec). */
+  private def pngPasses(w: Int, h: Int,
+                        interlaced: Boolean): Seq[(Int, Int, Int, Int, Int, Int)] =
+    if (!interlaced) Seq((0, 0, 1, 1, w, h))
+    else Adam7.toSeq.map { case (xs, ys, dx, dy) =>
+      (xs, ys, dx, dy, (w - xs + dx - 1) / dx, (h - ys + dy - 1) / dy)
+    }.filter { case (_, _, _, _, pw, ph) => pw > 0 && ph > 0 }
 
   // --- BMP variants: RLE8 (decoded) and 32bpp (reject fixture) -------------
 
@@ -501,10 +570,10 @@ object Codecs {
 
   /** Container-agnostic image decode: sniff the magic bytes and dispatch to
     * the matching decoder. Supported: 24-bit uncompressed BMP, RLE8 BMP,
-    * 8-bit RGB PNG, baseline JFIF JPEG, single-frame GIF. Real-but-
-    * unsupported variants (32bpp BMP, interlaced PNG, animated GIF, ...)
-    * throw the decoder's IllegalArgumentException — callers that must keep
-    * rows flowing catch it and fall back. */
+    * 8-bit RGB PNG (progressive or Adam7), baseline JFIF JPEG,
+    * single-frame GIF. Real-but-unsupported variants (32bpp BMP, animated
+    * GIF, paletted PNG, ...) throw the decoder's IllegalArgumentException
+    * — callers that must keep rows flowing catch it and fall back. */
   def imageDecode(bytes: Array[Byte]): BmpImage =
     if (bytes.length >= PngSignature.length &&
         PngSignature.indices.forall(i => bytes(i) == PngSignature(i)))

@@ -99,7 +99,9 @@ class CodecsSpec extends AnyFunSuite with Matchers {
       Codecs.pngDecode(ok.take(ok.length - 6)) // truncated IEND
     val badCrc = ok.clone(); badCrc(20) = (badCrc(20) ^ 0x55).toByte // inside IHDR
     an[IllegalArgumentException] should be thrownBy Codecs.pngDecode(badCrc)
-    // interlace flag flipped (and CRC fixed up) must still be rejected
+    // interlace flag flipped (CRC fixed up) now parses as Adam7 — and must
+    // still reject, because the progressive stream's byte count does not
+    // match the Adam7 pass geometry; it must never silently misrender
     val interlaced = ok.clone()
     interlaced(8 + 8 + 12) = 1 // IHDR data byte 12
     val ihdrData = interlaced.slice(16, 29)
@@ -107,7 +109,28 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     c.update("IHDR".getBytes("US-ASCII")); c.update(ihdrData)
     java.nio.ByteBuffer.wrap(interlaced).putInt(29, c.getValue.toInt)
     val e = intercept[IllegalArgumentException](Codecs.pngDecode(interlaced))
-    e.getMessage should include ("interlaced")
+    e.getMessage should include ("IDAT")
+  }
+
+  test("PNG Adam7 round-trips exactly; ImageIO's reader agrees; streams differ") {
+    val rnd = new scala.util.Random(59)
+    // geometries below, straddling, and above the 8-pixel pass lattice —
+    // small ones leave some of the seven passes EMPTY
+    for ((w, h) <- Seq((1, 1), (3, 2), (5, 9), (8, 8), (13, 11), (40, 23))) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val bytes = Codecs.pngEncode(BmpImage(w, h, rgb), interlaced = true)
+      val out = Codecs.pngDecode(bytes)
+      (out.width, out.height) shouldBe ((w, h))
+      withClue(s"${w}x$h: ") { out.rgb.toSeq shouldBe rgb.toSeq }
+      // the JDK's independent PNG reader reconstructs the same pixels
+      withClue(s"${w}x$h ImageIO: ") {
+        imageIoDecode(bytes).rgb.toSeq shouldBe rgb.toSeq
+      }
+    }
+    // the interlaced container genuinely stores a different byte stream
+    val flat = BmpImage(9, 9, Array.tabulate(243)(j => (j * 5) % 256))
+    Codecs.pngEncode(flat, interlaced = true).toSeq should not be
+      Codecs.pngEncode(flat).toSeq
   }
 
   test("PNG decoder inflates REAL deflate streams, not only stored blocks") {
