@@ -1843,6 +1843,126 @@ object Codecs {
     AviMedia(AviVideo(width, height, usPerFrame, frames), audio)
   }
 
+  // --- POSIX ustar ---------------------------------------------------------
+
+  /** Total-extracted-bytes cap for tar walks: header-declared sizes are
+    * attacker-controlled, so bound the sum before allocating members. */
+  private val MaxTarBytes = 1L << 26
+
+  /** POSIX ustar writer: one 512-byte header per member (octal size,
+    * checksum computed over a space-filled checksum field), data padded to
+    * the block size, two zero blocks closing the archive. mtime pinned to
+    * 0 so identical content archives identically (the determinism the
+    * oracle and dedup passes need). */
+  def tarEncode(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for ((name, data) <- entries) {
+      val nb = name.getBytes("US-ASCII")
+      require(nb.nonEmpty && nb.length <= 100, s"bad member name '$name'")
+      val hdr = new Array[Byte](512)
+      System.arraycopy(nb, 0, hdr, 0, nb.length)
+      def octal(v: Long, off: Int, len: Int): Unit = {
+        require(v >= 0, s"negative field $v")
+        val s = java.lang.Long.toOctalString(v)
+        require(s.length <= len - 1, s"field $v overflows $len octal bytes")
+        val padded = ("0" * (len - 1 - s.length)) + s
+        var i = 0
+        while (i < len - 1) { hdr(off + i) = padded.charAt(i).toByte; i += 1 }
+        hdr(off + len - 1) = 0 // NUL terminator
+      }
+      octal(420, 100, 8)                 // mode 0644
+      octal(0, 108, 8); octal(0, 116, 8) // uid, gid
+      octal(data.length.toLong, 124, 12) // size
+      octal(0, 136, 12)                  // mtime: pinned
+      hdr(156) = '0'                     // typeflag: regular file
+      System.arraycopy("ustar".getBytes("US-ASCII"), 0, hdr, 257, 5)
+      hdr(263) = '0'; hdr(264) = '0'     // version "00" (magic ends in NUL)
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+      var sum = 0
+      var i = 0
+      while (i < 512) { sum += hdr(i) & 0xff; i += 1 }
+      val cs = Integer.toOctalString(sum)
+      val csp = ("0" * (6 - cs.length)) + cs
+      i = 0
+      while (i < 6) { hdr(148 + i) = csp.charAt(i).toByte; i += 1 }
+      hdr(154) = 0; hdr(155) = ' '       // NUL + space, the ustar shape
+      out.write(hdr)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // end-of-archive marker
+    out.toByteArray
+  }
+
+  /** ustar reader: per-header magic + checksum verification, octal size
+    * parse, padded-block walk, total-size cap before member allocation.
+    * Regular-file members return; directories and other typeflags are
+    * walked past. Corrupt headers, bad checksums, and truncated data all
+    * reject with the documented IllegalArgumentException. */
+  def tarExtract(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var pos = 0
+    var total = 0L
+    var done = false
+    while (!done) {
+      if (pos + 512 > bytes.length) {
+        // a conformant archive ends with zero blocks, but tolerate a
+        // clean end exactly at the last member (common with | tools)
+        require(pos == bytes.length, "truncated tar header")
+        done = true
+      } else if ((0 until 512).forall(i => bytes(pos + i) == 0)) {
+        done = true // end-of-archive zero block
+      } else {
+        val magic = new String(bytes, pos + 257, 5, "US-ASCII")
+        require(magic == "ustar", s"bad tar magic '$magic'")
+        def octalAt(off: Int, len: Int): Long = {
+          var v = 0L
+          var i = 0
+          var seen = false
+          while (i < len) {
+            val c = bytes(pos + off + i)
+            if (c == 0 || c == ' ') { if (seen) i = len - 1 } // terminator
+            else {
+              require(c >= '0' && c <= '7', s"bad octal byte $c in tar header")
+              v = v * 8 + (c - '0'); seen = true
+              require(v <= MaxTarBytes, "tar field over cap")
+            }
+            i += 1
+          }
+          v
+        }
+        // checksum: header bytes with the checksum field read as spaces
+        val declared = octalAt(148, 8)
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(pos + i) & 0xff)
+          i += 1
+        }
+        require(sum == declared, s"tar checksum $sum != declared $declared")
+        val nameEnd = {
+          var e = 0
+          while (e < 100 && bytes(pos + e) != 0) e += 1
+          e
+        }
+        val name = new String(bytes, pos, nameEnd, "US-ASCII")
+        val size = octalAt(124, 12)
+        val typeflag = bytes(pos + 156)
+        val padded = (size + 511) / 512 * 512
+        require(pos + 512 + padded <= bytes.length, "truncated tar member")
+        if (typeflag == '0' || typeflag == 0) {
+          total += size
+          require(total <= MaxTarBytes, "tar archive over extraction cap")
+          out += ((name, java.util.Arrays.copyOfRange(
+            bytes, pos + 512, pos + 512 + size.toInt)))
+        }
+        pos += 512 + padded.toInt
+      }
+    }
+    out.result()
+  }
+
   // --- GIF (LZW) -----------------------------------------------------------
 
   /** GIF four-pass interlace: (first row, row step) per pass. */

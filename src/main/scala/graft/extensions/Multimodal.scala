@@ -328,6 +328,50 @@ object Multimodal {
       }
   }
 
+  /** Docs per tar in the archive lake. */
+  val TarGroup = 8
+
+  /** The archive lake: consecutive docs bundled [[TarGroup]]-per-tar
+    * (member `doc_<id>.txt` carries the UTF-8 text bytes) — the
+    * bundle-of-small-files shape large text corpora actually arrive in.
+    * Deterministic: members sorted by id, mtime pinned to 0, so the same
+    * corpus always produces byte-identical archives. */
+  def archiveLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / TarGroup)
+      .mapGroups { (g, it) =>
+        val members = it.toSeq.sortBy(_._1).map { case (id, text) =>
+          (s"doc_$id.txt", text.getBytes("UTF-8"))
+        }
+        MediaRecord(g, "application/x-tar", Codecs.tarEncode(members))
+      }
+  }
+
+  /** TAR ingest manifest: extract every member of every archive — name,
+    * size, content hash — the first stage of a bundled-corpus ingest.
+    * The oracle recomputes the same triples straight from the documents
+    * table (grouping and member naming are closed forms of doc_id), so a
+    * header-layout, checksum, octal-parse, or padding bug in the real
+    * ustar walk breaks hashes or row counts. Extraction is stateless
+    * per-archive map work; at scale the archives are the files on disk
+    * and this flatMap IS the scan. */
+  def multimodalArchiveIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    archiveLake(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          Codecs.tarExtract(m.payload).map { case (name, data) =>
+            (m.media_id, name, data.length.toLong, md5hex(data))
+          }
+        }
+      }
+      .toDF("archive_id", "member", "n_bytes", "content_hash")
+      .orderBy("archive_id", "member")
+  }
+
   /** The A/V lake: every doc as ONE AVI carrying both an MJPEG video
     * stream (`2 + d mod 2` flat-block frames of [[videoFrameSpec]] at
     * family `d`) and an interleaved mono audio track of the [[mulawSpec]]
@@ -1922,6 +1966,19 @@ object Multimodal {
         |       CAST(sum(val * val) AS BIGINT) AS energy
         |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
 
+    // TAR ingest oracle: grouping and member naming are closed forms of
+    // doc_id, and the member CONTENT is the document text itself — so
+    // size and md5 recompute straight off the table. Any ustar walk bug
+    // (checksum, octal size, 512-padding, name NUL-trim) breaks a hash
+    // or the row count.
+    "archive_tar_ingest" ->
+      s"""SELECT doc_id // ${TarGroup} AS archive_id,
+         |       'doc_' || doc_id || '.txt' AS member,
+         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |       md5(text) AS content_hash
+         |FROM documents
+         |ORDER BY archive_id, member""".stripMargin,
+
     // Variant-blind A/V oracle: the video side is the [[videoFrameSpec]]
     // flat-block closed form at family = media_id (both MJPEG variants
     // must reconstruct it through the container walk + entropy decode);
@@ -2077,6 +2134,7 @@ object Multimodal {
     "multimodal_decode_gif" -> (multimodalDecodeGif _),
     "multimodal_decode_mulaw" -> (multimodalDecodeMulaw _),
     "multimodal_decode_av" -> (multimodalDecodeAv _),
+    "archive_tar_ingest" -> (multimodalArchiveIngest _),
     "multimodal_decode_video" -> (multimodalDecodeVideo _),
     "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),

@@ -668,6 +668,71 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  // --- POSIX ustar ---------------------------------------------------------
+
+  test("tar round-trips members exactly; commons-compress agrees both ways") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveInputStream, TarArchiveOutputStream}
+    val rnd = new scala.util.Random(67)
+    val members = Seq(
+      ("a.txt", "hello tar".getBytes("UTF-8")),
+      ("empty.bin", Array.emptyByteArray),
+      ("block.bin", Array.fill(512)(rnd.nextInt(256).toByte)), // exact block
+      ("odd.bin", Array.fill(700)(rnd.nextInt(256).toByte)),
+      ("doc_99.txt", ("x" * 1300).getBytes("UTF-8")))
+    val tar = Codecs.tarEncode(members)
+    // our reader inverts our writer
+    val back = Codecs.tarExtract(tar)
+    back.map(_._1) shouldBe members.map(_._1)
+    for (((_, want), (_, got)) <- members.zip(back))
+      got.toSeq shouldBe want.toSeq
+    // commons-compress (independent implementation) reads our archives
+    val in = new TarArchiveInputStream(new java.io.ByteArrayInputStream(tar))
+    for ((name, want) <- members) {
+      val e = in.getNextEntry
+      e.getName shouldBe name
+      e.getSize shouldBe want.length.toLong
+      in.readAllBytes().toSeq shouldBe want.toSeq
+    }
+    in.getNextEntry shouldBe null
+    // ...and we read commons-compress's archives
+    val bos = new java.io.ByteArrayOutputStream()
+    val tos = new TarArchiveOutputStream(bos)
+    for ((name, data) <- members) {
+      val e = new TarArchiveEntry(name)
+      e.setSize(data.length.toLong)
+      tos.putArchiveEntry(e); tos.write(data); tos.closeArchiveEntry()
+    }
+    tos.close()
+    val theirs = Codecs.tarExtract(bos.toByteArray)
+    theirs.map(_._1) shouldBe members.map(_._1)
+    for (((_, want), (_, got)) <- members.zip(theirs))
+      got.toSeq shouldBe want.toSeq
+  }
+
+  test("tar: corrupt headers reject cleanly, never crash wild") {
+    val base = Codecs.tarEncode(Seq(
+      ("m1.txt", "payload one".getBytes("UTF-8")),
+      ("m2.txt", Array.tabulate(600)(i => (i % 251).toByte))))
+    // single-byte corruptions across the archive: either still extracts
+    // (data-byte flips don't break headers) or rejects as documented
+    var i = 0
+    while (i < base.length) {
+      val m = base.clone()
+      m(i) = (m(i) ^ ((i * 31 + 5) & 0xff)).toByte
+      try { Codecs.tarExtract(m); () }
+      catch { case _: IllegalArgumentException => () }
+      i += math.max(1, base.length / 257)
+    }
+    for (n <- 0 until base.length by 7) {
+      try { Codecs.tarExtract(base.take(n)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+    // a declared size past the archive must reject, not overread
+    val lying = base.clone()
+    lying(124) = '7' // blow up the first member's octal size
+    an[IllegalArgumentException] should be thrownBy Codecs.tarExtract(lying)
+  }
+
   // --- AVI A/V demux -------------------------------------------------------
 
   test("AVI A/V: interleaved µ-law track demuxes exactly; video unchanged") {

@@ -153,6 +153,27 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.multimodalDecodeJpeg(spark, sf).count() shouldBe lake.length.toLong
   }
 
+  test("archive lake: tars are deterministic and extract to the exact corpus") {
+    import graft.extensions.Codecs
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val lake = Multimodal.archiveLake(spark, sf).collect()
+    lake.length shouldBe (docs.size + Multimodal.TarGroup - 1) / Multimodal.TarGroup
+    var seen = 0
+    for (a <- lake; (name, data) <- Codecs.tarExtract(a.payload)) {
+      val id = name.stripPrefix("doc_").stripSuffix(".txt").toLong
+      id / Multimodal.TarGroup shouldBe a.media_id
+      new String(data, "UTF-8") shouldBe docs(id)
+      seen += 1
+    }
+    seen shouldBe docs.size
+    // determinism: rebuilding the lake produces byte-identical archives
+    val again = Multimodal.archiveLake(spark, sf).collect()
+      .map(m => m.media_id -> m.payload).toMap
+    for (a <- lake) again(a.media_id).toSeq shouldBe a.payload.toSeq
+  }
+
   test("A/V lake: both MJPEG variants demux to spec; PCM-track members reject") {
     import graft.extensions.Codecs
     val sf = "/root/testdata/sf0.001"
