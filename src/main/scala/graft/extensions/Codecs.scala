@@ -1895,6 +1895,38 @@ object Codecs {
     out.toByteArray
   }
 
+  /** gzip-wrap (RFC 1952) for archive members — deterministic for fixed
+    * input: pinned header (no name/mtime), default-level deflate. */
+  def gzipEncode(data: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  /** gunzip with the decoded-size cap the other compressed containers
+    * enforce; corrupt streams reject as IllegalArgumentException. */
+  def gzipDecode(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+      (bytes(1) & 0xff) == 0x8b, "not gzip")
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) {
+        require(out.size.toLong + n <= MaxTarBytes, "gzip output over cap")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(s"corrupt gzip: ${e.getMessage}")
+    }
+  }
+
   /** ustar reader: per-header magic + checksum verification, octal size
     * parse, padded-block walk, total-size cap before member allocation.
     * Regular-file members return; directories and other typeflags are

@@ -334,7 +334,9 @@ object Multimodal {
   /** The archive lake: consecutive docs bundled [[TarGroup]]-per-tar
     * (member `doc_<id>.txt` carries the UTF-8 text bytes) — the
     * bundle-of-small-files shape large text corpora actually arrive in.
-    * Deterministic: members sorted by id, mtime pinned to 0, so the same
+    * ODD archive ids ship gzip-compressed (`.tar.gz`), the way real
+    * corpora mix plain and compressed bundles. Deterministic: members
+    * sorted by id, mtime pinned to 0, pinned gzip header — the same
     * corpus always produces byte-identical archives. */
   def archiveLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -346,7 +348,10 @@ object Multimodal {
         val members = it.toSeq.sortBy(_._1).map { case (id, text) =>
           (s"doc_$id.txt", text.getBytes("UTF-8"))
         }
-        MediaRecord(g, "application/x-tar", Codecs.tarEncode(members))
+        val tar = Codecs.tarEncode(members)
+        if (g % 2 == 1)
+          MediaRecord(g, "application/gzip", Codecs.gzipEncode(tar))
+        else MediaRecord(g, "application/x-tar", tar)
       }
   }
 
@@ -363,7 +368,12 @@ object Multimodal {
     archiveLake(spark, dir)
       .mapPartitions { it =>
         it.flatMap { m =>
-          Codecs.tarExtract(m.payload).map { case (name, data) =>
+          // sniff, don't trust metadata: gzip magic → gunzip first
+          val tar =
+            if (m.payload.length >= 2 && (m.payload(0) & 0xff) == 0x1f &&
+                (m.payload(1) & 0xff) == 0x8b) Codecs.gzipDecode(m.payload)
+            else m.payload
+          Codecs.tarExtract(tar).map { case (name, data) =>
             (m.media_id, name, data.length.toLong, md5hex(data))
           }
         }

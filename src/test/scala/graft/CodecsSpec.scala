@@ -709,6 +709,25 @@ class CodecsSpec extends AnyFunSuite with Matchers {
       got.toSeq shouldBe want.toSeq
   }
 
+  test("gzip round-trips, is deterministic, and rejects corruption cleanly") {
+    val rnd = new scala.util.Random(71)
+    for (n <- Seq(0, 1, 100, 9000)) {
+      val data = Array.fill(n)(rnd.nextInt(256).toByte)
+      Codecs.gzipDecode(Codecs.gzipEncode(data)).toSeq shouldBe data.toSeq
+    }
+    val payload = "determinism check".getBytes("UTF-8")
+    Codecs.gzipEncode(payload).toSeq shouldBe Codecs.gzipEncode(payload).toSeq
+    val base = Codecs.gzipEncode(Array.tabulate(500)(i => (i % 251).toByte))
+    var i = 0
+    while (i < base.length) {
+      val m = base.clone()
+      m(i) = (m(i) ^ ((i * 29 + 3) & 0xff)).toByte
+      try { Codecs.gzipDecode(m); () }
+      catch { case _: IllegalArgumentException => () }
+      i += 1
+    }
+  }
+
   test("tar: corrupt headers reject cleanly, never crash wild") {
     val base = Codecs.tarEncode(Seq(
       ("m1.txt", "payload one".getBytes("UTF-8")),

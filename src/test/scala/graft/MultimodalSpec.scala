@@ -160,8 +160,16 @@ class MultimodalSpec extends SparkTestBase {
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
     val lake = Multimodal.archiveLake(spark, sf).collect()
     lake.length shouldBe (docs.size + Multimodal.TarGroup - 1) / Multimodal.TarGroup
+    // odd archive ids really are gzip containers; even ones plain tar
+    lake.count(_.mime == "application/gzip") should be > 0
+    for (a <- lake) {
+      val gz = (a.payload(0) & 0xff) == 0x1f && (a.payload(1) & 0xff) == 0x8b
+      gz shouldBe (a.media_id % 2 == 1)
+    }
     var seen = 0
-    for (a <- lake; (name, data) <- Codecs.tarExtract(a.payload)) {
+    for (a <- lake;
+         tar = if (a.media_id % 2 == 1) Codecs.gzipDecode(a.payload) else a.payload;
+         (name, data) <- Codecs.tarExtract(tar)) {
       val id = name.stripPrefix("doc_").stripSuffix(".txt").toLong
       id / Multimodal.TarGroup shouldBe a.media_id
       new String(data, "UTF-8") shouldBe docs(id)
