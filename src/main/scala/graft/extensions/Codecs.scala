@@ -1995,6 +1995,165 @@ object Codecs {
     out.result()
   }
 
+  // --- ZIP ------------------------------------------------------------------
+
+  /** ZIP writer (PKWARE APPNOTE layout): local file header + data per
+    * member, central directory, end-of-central-directory record. Members
+    * store (`method` 0) or raw-deflate (`method` 8, fixed level); CRC32
+    * and both sizes always in the local header (no data descriptors), DOS
+    * time pinned to 0 — deterministic for fixed input, like [[tarEncode]]. */
+  def zipEncode(entries: Seq[(String, Array[Byte])],
+                deflated: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val dir = new java.io.ByteArrayOutputStream()
+    def u16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def u32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt)
+      o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 24) & 0xff).toInt)
+    }
+    var count = 0
+    for ((name, data) <- entries) {
+      val nb = name.getBytes("US-ASCII")
+      require(nb.nonEmpty && nb.length <= 0xffff, s"bad member name '$name'")
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      val packed =
+        if (!deflated) data
+        else {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw deflate
+          d.setInput(data); d.finish()
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          while (!d.finished()) buf.write(tmp, 0, d.deflate(tmp))
+          d.end()
+          buf.toByteArray
+        }
+      val method = if (deflated) 8 else 0
+      val offset = out.size()
+      u32(out, 0x04034b50L)            // local file header signature
+      u16(out, 20); u16(out, 0)        // version needed, flags (no descriptor)
+      u16(out, method)
+      u16(out, 0); u16(out, 0)         // DOS time/date pinned
+      u32(out, crc.getValue)
+      u32(out, packed.length.toLong); u32(out, data.length.toLong)
+      u16(out, nb.length); u16(out, 0) // name len, extra len
+      out.write(nb); out.write(packed)
+      u32(dir, 0x02014b50L)            // central directory signature
+      u16(dir, 20); u16(dir, 20); u16(dir, 0)
+      u16(dir, method)
+      u16(dir, 0); u16(dir, 0)
+      u32(dir, crc.getValue)
+      u32(dir, packed.length.toLong); u32(dir, data.length.toLong)
+      u16(dir, nb.length); u16(dir, 0); u16(dir, 0) // name/extra/comment len
+      u16(dir, 0); u16(dir, 0)         // disk start, internal attrs
+      u32(dir, 0)                      // external attrs
+      u32(dir, offset.toLong)
+      dir.write(nb)
+      count += 1
+    }
+    val cdOff = out.size(); val cdBytes = dir.toByteArray
+    out.write(cdBytes)
+    u32(out, 0x06054b50L)              // end of central directory
+    u16(out, 0); u16(out, 0)           // disk numbers
+    u16(out, count); u16(out, count)
+    u32(out, cdBytes.length.toLong); u32(out, cdOff.toLong)
+    u16(out, 0)                        // comment length
+    out.toByteArray
+  }
+
+  /** ZIP reader: locate the end-of-central-directory record from the
+    * tail, walk the central directory (the authoritative index, per the
+    * spec), seek each member's local header, inflate method-8 entries
+    * (raw `Inflater`), and VERIFY every CRC32 against the directory —
+    * a member whose bytes do not match its declared checksum rejects,
+    * never flows corrupt. Total output capped like the tar walk. */
+  def zipExtract(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    def u16(p: Int): Int = {
+      require(p >= 0 && p + 2 <= bytes.length, "truncated ZIP")
+      (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    }
+    def u32(p: Int): Long = {
+      require(p >= 0 && p + 4 <= bytes.length, "truncated ZIP")
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    }
+    // EOCD: fixed 22 bytes + comment; scan back for the signature
+    var eocd = bytes.length - 22
+    while (eocd >= 0 && u32(eocd) != 0x06054b50L) eocd -= 1
+    require(eocd >= 0, "no ZIP end-of-central-directory")
+    val count = u16(eocd + 10)
+    val cdSize = u32(eocd + 12)
+    val cdOff = u32(eocd + 16)
+    require(cdOff + cdSize <= eocd, "central directory past EOCD")
+    val out = Seq.newBuilder[(String, Array[Byte])]
+    var p = cdOff.toInt
+    var total = 0L
+    var i = 0
+    while (i < count) {
+      require(u32(p) == 0x02014b50L, "bad central directory signature")
+      val method = u16(p + 10)
+      val crcWant = u32(p + 16)
+      val csize = u32(p + 20)
+      val usize = u32(p + 24)
+      val nameLen = u16(p + 28)
+      val extraLen = u16(p + 30)
+      val commentLen = u16(p + 32)
+      val lho = u32(p + 42)
+      require(p + 46 + nameLen <= bytes.length, "truncated directory entry")
+      val name = new String(bytes, p + 46, nameLen, "US-ASCII")
+      require(method == 0 || method == 8, s"unsupported ZIP method $method")
+      total += usize
+      require(total <= MaxTarBytes, "ZIP archive over extraction cap")
+      // local header: its own name/extra lengths govern the data offset
+      require(u32(lho.toInt) == 0x04034b50L, "bad local header signature")
+      val dataOff = lho + 30 + u16(lho.toInt + 26) + u16(lho.toInt + 28)
+      require(dataOff + csize <= bytes.length, "truncated member data")
+      val packed = java.util.Arrays.copyOfRange(
+        bytes, dataOff.toInt, (dataOff + csize).toInt)
+      val data =
+        if (method == 0) {
+          require(csize == usize, "stored entry size mismatch")
+          packed
+        } else {
+          val inf = new java.util.zip.Inflater(true) // raw deflate
+          inf.setInput(packed)
+          val outBuf = new Array[Byte](usize.toInt)
+          try {
+            var n = 0
+            var k = -1
+            while (k != 0 && !inf.finished() && n < outBuf.length) {
+              k = inf.inflate(outBuf, n, outBuf.length - n)
+              n += k
+            }
+            if (!inf.finished()) {
+              // consume the stream terminator (empty members hit this
+              // immediately); any byte beyond the declared size rejects
+              val scratch = new Array[Byte](1)
+              require(inf.inflate(scratch) == 0 && inf.finished(),
+                "deflate stream continues past the declared size")
+            }
+            require(n == outBuf.length,
+              s"deflate stream inflated to $n bytes, want ${outBuf.length}")
+          } catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(s"corrupt entry: ${e.getMessage}")
+          } finally inf.end()
+          outBuf
+        }
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      require(crc.getValue == crcWant,
+        s"ZIP CRC mismatch for '$name'")
+      if (!name.endsWith("/")) out += ((name, data)) // directories skipped
+      p += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    out.result()
+  }
+
   // --- GIF (LZW) -----------------------------------------------------------
 
   /** GIF four-pass interlace: (first row, row step) per pass. */

@@ -334,10 +334,11 @@ object Multimodal {
   /** The archive lake: consecutive docs bundled [[TarGroup]]-per-tar
     * (member `doc_<id>.txt` carries the UTF-8 text bytes) — the
     * bundle-of-small-files shape large text corpora actually arrive in.
-    * ODD archive ids ship gzip-compressed (`.tar.gz`), the way real
-    * corpora mix plain and compressed bundles. Deterministic: members
-    * sorted by id, mtime pinned to 0, pinned gzip header — the same
-    * corpus always produces byte-identical archives. */
+    * The CONTAINER form is keyed `archive_id mod 4` the way real corpora
+    * mix bundle formats — plain tar, tar.gz, ZIP with stored entries,
+    * ZIP with deflated entries. Deterministic: members sorted by id,
+    * times pinned to 0, pinned gzip/deflate settings — the same corpus
+    * always produces byte-identical archives. */
   def archiveLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -348,10 +349,14 @@ object Multimodal {
         val members = it.toSeq.sortBy(_._1).map { case (id, text) =>
           (s"doc_$id.txt", text.getBytes("UTF-8"))
         }
-        val tar = Codecs.tarEncode(members)
-        if (g % 2 == 1)
-          MediaRecord(g, "application/gzip", Codecs.gzipEncode(tar))
-        else MediaRecord(g, "application/x-tar", tar)
+        (g % 4) match {
+          case 0 => MediaRecord(g, "application/x-tar", Codecs.tarEncode(members))
+          case 1 => MediaRecord(g, "application/gzip",
+            Codecs.gzipEncode(Codecs.tarEncode(members)))
+          case 2 => MediaRecord(g, "application/zip", Codecs.zipEncode(members))
+          case _ => MediaRecord(g, "application/zip",
+            Codecs.zipEncode(members, deflated = true))
+        }
       }
   }
 
@@ -368,12 +373,16 @@ object Multimodal {
     archiveLake(spark, dir)
       .mapPartitions { it =>
         it.flatMap { m =>
-          // sniff, don't trust metadata: gzip magic → gunzip first
-          val tar =
-            if (m.payload.length >= 2 && (m.payload(0) & 0xff) == 0x1f &&
-                (m.payload(1) & 0xff) == 0x8b) Codecs.gzipDecode(m.payload)
-            else m.payload
-          Codecs.tarExtract(tar).map { case (name, data) =>
+          // sniff, don't trust metadata: gzip magic → gunzip to tar;
+          // PK magic → zip walk; anything else → ustar walk
+          val p = m.payload
+          val members =
+            if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+              Codecs.tarExtract(Codecs.gzipDecode(p))
+            else if (p.length >= 2 && p(0) == 'P' && p(1) == 'K')
+              Codecs.zipExtract(p)
+            else Codecs.tarExtract(p)
+          members.map { case (name, data) =>
             (m.media_id, name, data.length.toLong, md5hex(data))
           }
         }
@@ -1981,7 +1990,7 @@ object Multimodal {
     // size and md5 recompute straight off the table. Any ustar walk bug
     // (checksum, octal size, 512-padding, name NUL-trim) breaks a hash
     // or the row count.
-    "archive_tar_ingest" ->
+    "archive_ingest" ->
       s"""SELECT doc_id // ${TarGroup} AS archive_id,
          |       'doc_' || doc_id || '.txt' AS member,
          |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
@@ -2144,7 +2153,7 @@ object Multimodal {
     "multimodal_decode_gif" -> (multimodalDecodeGif _),
     "multimodal_decode_mulaw" -> (multimodalDecodeMulaw _),
     "multimodal_decode_av" -> (multimodalDecodeAv _),
-    "archive_tar_ingest" -> (multimodalArchiveIngest _),
+    "archive_ingest" -> (multimodalArchiveIngest _),
     "multimodal_decode_video" -> (multimodalDecodeVideo _),
     "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),

@@ -709,6 +709,68 @@ class CodecsSpec extends AnyFunSuite with Matchers {
       got.toSeq shouldBe want.toSeq
   }
 
+  test("ZIP round-trips stored and deflated; the JDK agrees both ways") {
+    import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+    val rnd = new scala.util.Random(73)
+    val members = Seq(
+      ("a.txt", "hello zip".getBytes("UTF-8")),
+      ("empty.bin", Array.emptyByteArray),
+      ("noise.bin", Array.fill(700)(rnd.nextInt(256).toByte)),
+      ("doc_7.txt", ("y" * 1800).getBytes("UTF-8")))
+    for (deflated <- Seq(false, true)) {
+      val zip = Codecs.zipEncode(members, deflated)
+      val back = Codecs.zipExtract(zip)
+      back.map(_._1) shouldBe members.map(_._1)
+      for (((_, want), (_, got)) <- members.zip(back))
+        got.toSeq shouldBe want.toSeq
+      // the JDK's independent reader accepts our archives
+      val in = new ZipInputStream(new java.io.ByteArrayInputStream(zip))
+      for ((name, want) <- members) {
+        val e = in.getNextEntry
+        e.getName shouldBe name
+        in.readAllBytes().toSeq shouldBe want.toSeq
+      }
+      in.getNextEntry shouldBe null
+    }
+    // ...and we read the JDK writer's archives (its own deflate stream)
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(bos)
+    for ((name, data) <- members) {
+      val e = new ZipEntry(name)
+      e.setTime(0L)
+      zos.putNextEntry(e); zos.write(data); zos.closeEntry()
+    }
+    zos.close()
+    val theirs = Codecs.zipExtract(bos.toByteArray)
+    theirs.map(_._1) shouldBe members.map(_._1)
+    for (((_, want), (_, got)) <- members.zip(theirs))
+      got.toSeq shouldBe want.toSeq
+  }
+
+  test("ZIP: corruption rejects cleanly — CRC catches silent data damage") {
+    val members = Seq(
+      ("m1.txt", "zip payload one".getBytes("UTF-8")),
+      ("m2.bin", Array.tabulate(900)(i => (i % 249).toByte)))
+    for (deflated <- Seq(false, true)) {
+      val base = Codecs.zipEncode(members, deflated)
+      var i = 0
+      while (i < base.length) {
+        val m = base.clone()
+        m(i) = (m(i) ^ ((i * 37 + 13) & 0xff)).toByte
+        try {
+          // if it extracts, the CRC gate guarantees intact content
+          for (((_, want), (_, got)) <- members.zip(Codecs.zipExtract(m)))
+            got.toSeq shouldBe want.toSeq
+        } catch { case _: IllegalArgumentException => () }
+        i += 1
+      }
+      for (n <- 0 until base.length by 5) {
+        try { Codecs.zipExtract(base.take(n)); () }
+        catch { case _: IllegalArgumentException => () }
+      }
+    }
+  }
+
   test("gzip round-trips, is deterministic, and rejects corruption cleanly") {
     val rnd = new scala.util.Random(71)
     for (n <- Seq(0, 1, 100, 9000)) {

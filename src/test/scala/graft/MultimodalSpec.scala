@@ -160,16 +160,22 @@ class MultimodalSpec extends SparkTestBase {
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
     val lake = Multimodal.archiveLake(spark, sf).collect()
     lake.length shouldBe (docs.size + Multimodal.TarGroup - 1) / Multimodal.TarGroup
-    // odd archive ids really are gzip containers; even ones plain tar
-    lake.count(_.mime == "application/gzip") should be > 0
+    // all four container forms are present and magic-consistent
+    lake.groupBy(_.media_id % 4).keySet shouldBe (0L to 3L).toSet
     for (a <- lake) {
       val gz = (a.payload(0) & 0xff) == 0x1f && (a.payload(1) & 0xff) == 0x8b
-      gz shouldBe (a.media_id % 2 == 1)
+      val pk = a.payload(0) == 'P' && a.payload(1) == 'K'
+      gz shouldBe (a.media_id % 4 == 1)
+      pk shouldBe (a.media_id % 4 >= 2)
     }
     var seen = 0
     for (a <- lake;
-         tar = if (a.media_id % 2 == 1) Codecs.gzipDecode(a.payload) else a.payload;
-         (name, data) <- Codecs.tarExtract(tar)) {
+         members = (a.media_id % 4) match {
+           case 1 => Codecs.tarExtract(Codecs.gzipDecode(a.payload))
+           case 2 | 3 => Codecs.zipExtract(a.payload)
+           case _ => Codecs.tarExtract(a.payload)
+         };
+         (name, data) <- members) {
       val id = name.stripPrefix("doc_").stripSuffix(".txt").toLong
       id / Multimodal.TarGroup shouldBe a.media_id
       new String(data, "UTF-8") shouldBe docs(id)
