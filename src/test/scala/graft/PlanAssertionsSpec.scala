@@ -286,6 +286,28 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "HashAggregate"
   }
 
+  test("gif/mulaw/av decode lanes: stateless map work — sort is the only exchange") {
+    for (df <- Seq(
+        graft.extensions.Multimodal.multimodalDecodeGif(spark, sf),
+        graft.extensions.Multimodal.multimodalDecodeMulaw(spark, sf),
+        graft.extensions.Multimodal.multimodalDecodeAv(spark, sf))) {
+      val p = planOf(df)
+      "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+      p should not include "SortMergeJoin"
+      p should not include "HashAggregate"
+    }
+  }
+
+  test("archive ingest: one bundling exchange, no join, no aggregation") {
+    val p = planOf(graft.extensions.Multimodal.multimodalArchiveIngest(spark, sf))
+    // the groupByKey that forms archives is the single hash exchange;
+    // extraction itself adds none (the output sort adds its range one)
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+    "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    p should not include "SortMergeJoin"
+    p should not include "HashAggregate"
+  }
+
   test("bootstrap CI: replicate buffers aggregate in one pass — no replicate fan-out") {
     val p = planOf(Tpch.qBootstrapCi(spark, sf))
     // The retired implementation fanned each order row out ×B via
