@@ -328,6 +328,48 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming ARCHIVE ingest — the bundle-arrival twin of the batch
+    * `archive_ingest` lane: tail a directory with the `binaryFile` source
+    * (new bundle files become micro-batches), sniff each payload's magic
+    * (gzip → gunzip to tar; PK → zip walk; else ustar), extract in-row,
+    * and emit the same member manifest the batch gate verifies. Stateless
+    * flatMap on the stream side — no watermark, no shuffle; extraction
+    * parallelism is arrival parallelism. A corrupt bundle becomes ONE
+    * quarantine row (`member` null, `n_bytes` -1) instead of killing the
+    * query — the decode-lane fallback discipline applied to streams. */
+  def archiveIngestStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.extensions.Codecs
+    import org.apache.spark.sql.types._
+    // the binaryFile source's schema is FIXED by the format; streaming
+    // sources still demand it be stated, so state exactly that
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType), StructField("modificationTime", TimestampType),
+      StructField("length", LongType), StructField("content", BinaryType)))
+    spark.readStream.format("binaryFile").schema(binarySchema).load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, p) =>
+        try {
+          val members =
+            if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+              Codecs.tarExtract(Codecs.gzipDecode(p))
+            else if (p.length >= 2 && p(0) == 'P' && p(1) == 'K')
+              Codecs.zipExtract(p)
+            else Codecs.tarExtract(p)
+          members.map { case (name, data) =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            (path, name, data.length.toLong,
+              md.digest(data).map("%02x".format(_)).mkString)
+          }
+        } catch {
+          case _: IllegalArgumentException =>
+            Seq((path, null: String, -1L, null: String))
+        }
+      }
+      .toDF("path", "member", "n_bytes", "content_hash")
+  }
+
   /** File-stream entry point: tail a DIRECTORY of event parquet files (file
     * sources monitor directories — new part files become new micro-batches).
     * The schema is pinned from a RAW batch read and the same ts repair

@@ -212,6 +212,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("archiveIngestStream extracts arriving bundles; corrupt ones quarantine") {
+    import graft.extensions.Codecs
+    val dir = java.nio.file.Files.createTempDirectory("graft-arcstream")
+    val m1 = Seq(("a.txt", "first doc".getBytes("UTF-8")),
+                 ("b.txt", "second doc".getBytes("UTF-8")))
+    val m2 = Seq(("c.txt", "third doc, zipped".getBytes("UTF-8")))
+    java.nio.file.Files.write(dir.resolve("b1.tar"), Codecs.tarEncode(m1))
+    java.nio.file.Files.write(dir.resolve("b2.zip"),
+      Codecs.zipEncode(m2, deflated = true))
+    java.nio.file.Files.write(dir.resolve("b3.tar.gz"),
+      Codecs.gzipEncode(Codecs.tarEncode(m2)))
+    java.nio.file.Files.write(dir.resolve("junk.tar"),
+      "this is not a tar at all".getBytes("UTF-8"))
+    val q = StreamingOps.archiveIngestStream(spark, dir.toString)
+      .writeStream.format("memory").queryName("arcstream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("arcstream").collect()
+        .map(r => (Option(r.getString(1)), r.getLong(2))).toSeq
+      // every member of every well-formed bundle, content-addressed
+      rows.count(_._1.isDefined) shouldBe m1.size + m2.size + m2.size
+      rows.collect { case (Some(n), len) => (n, len) }.sorted shouldBe
+        (m1 ++ m2 ++ m2).map { case (n, d) => (n, d.length.toLong) }.sorted
+      // the corrupt bundle is ONE quarantine row, not a dead query
+      rows.filter(_._1.isEmpty) shouldBe Seq((None, -1L))
+    } finally q.stop()
+  }
+
   test("foreachBatch epoch sink writes each micro-batch to its own overwritable dir") {
     implicit val ctx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
