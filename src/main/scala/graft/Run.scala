@@ -46,14 +46,11 @@ object Run {
         s"unknown query '$query' — run `graft.Run list`")
 
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tune(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSessionExtensions")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSessionExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1944,7 +1944,15 @@ object Codecs {
         require(pos == bytes.length, "truncated tar header")
         done = true
       } else if ((0 until 512).forall(i => bytes(pos + i) == 0)) {
-        done = true // end-of-archive zero block
+        // end-of-archive zero block: everything after it must be zero
+        // padding — trailing garbage (or a second concatenated archive)
+        // rejects rather than silently dropping
+        var t = pos + 512
+        while (t < bytes.length) {
+          require(bytes(t) == 0, "non-zero bytes after tar end-of-archive")
+          t += 1
+        }
+        done = true
       } else {
         val magic = new String(bytes, pos + 257, 5, "US-ASCII")
         require(magic == "ustar", s"bad tar magic '$magic'")
@@ -2080,9 +2088,13 @@ object Codecs {
       (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
         ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
     }
-    // EOCD: fixed 22 bytes + comment; scan back for the signature
+    // EOCD: fixed 22 bytes + comment; scan back for the signature. The
+    // comment length must account for every byte after the record — a
+    // signature embedded in a trailing comment otherwise parses from the
+    // wrong record (keep scanning backward past such false hits).
     var eocd = bytes.length - 22
-    while (eocd >= 0 && u32(eocd) != 0x06054b50L) eocd -= 1
+    while (eocd >= 0 && !(u32(eocd) == 0x06054b50L &&
+        eocd + 22 + u16(eocd + 20) == bytes.length)) eocd -= 1
     require(eocd >= 0, "no ZIP end-of-central-directory")
     val count = u16(eocd + 10)
     val cdSize = u32(eocd + 12)

@@ -851,25 +851,28 @@ object Multimodal {
           batch.iterator.flatMap { m =>
             try {
               val av = Codecs.aviDecodeAv(m.payload)
-              val a = av.audio.get // the lake always declares a track
-              var sr = 0L; var sg = 0L; var sb = 0L
-              av.video.frames.foreach { img =>
-                var p = 0
-                while (p < img.rgb.length) {
-                  sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
-                  p += 3
+              // audio-less AVIs drop to the fallback lane like any other
+              // reject — .get here would kill the task on a video-only file
+              av.audio.map { a =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                av.video.frames.foreach { img =>
+                  var p = 0
+                  while (p < img.rgb.length) {
+                    sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
+                    p += 3
+                  }
                 }
+                var peak = 0L; var energy = 0L
+                a.samples.foreach { s =>
+                  val v = s.toLong
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  energy += v * v
+                }
+                AvStats(m.media_id, av.video.width, av.video.height,
+                  av.video.frames.length,
+                  av.video.width.toLong * av.video.height * av.video.frames.length,
+                  sr, sg, sb, a.samples.length.toLong, a.sampleRate, peak, energy)
               }
-              var peak = 0L; var energy = 0L
-              a.samples.foreach { s =>
-                val v = s.toLong
-                if (math.abs(v) > peak) peak = math.abs(v)
-                energy += v * v
-              }
-              Some(AvStats(m.media_id, av.video.width, av.video.height,
-                av.video.frames.length,
-                av.video.width.toLong * av.video.height * av.video.frames.length,
-                sr, sg, sb, a.samples.length.toLong, a.sampleRate, peak, energy))
             } catch { case _: IllegalArgumentException => None }
           }
         }

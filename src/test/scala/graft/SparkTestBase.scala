@@ -17,15 +17,12 @@ trait SparkTestBase extends AnyFunSuite with Matchers {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val s = GraftSession.tune(SparkSession.builder()
       .master("local[2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
