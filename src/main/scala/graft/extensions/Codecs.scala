@@ -1849,6 +1849,18 @@ object Codecs {
     * attacker-controlled, so bound the sum before allocating members. */
   private val MaxTarBytes = 1L << 26
 
+  /** Cap violations get their own IllegalArgumentException subtype so the
+    * nested walk can tell "over budget — reject the whole bundle" (the
+    * zip-bomb shape, which must quarantine) from "this member is not
+    * really an archive — keep it opaque" (magic bytes occur in ordinary
+    * content). Subtyping keeps every existing corrupt-payload catch
+    * working unchanged. */
+  final class ArchiveBudgetException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  private def budgetCheck(ok: Boolean, msg: => String): Unit =
+    if (!ok) throw new ArchiveBudgetException(msg)
+
   /** POSIX ustar writer: one 512-byte header per member (octal size,
     * checksum computed over a space-filled checksum field), data padded to
     * the block size, two zero blocks closing the archive. mtime pinned to
@@ -1916,7 +1928,7 @@ object Codecs {
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) {
-        require(out.size.toLong + n <= MaxTarBytes, "gzip output over cap")
+        budgetCheck(out.size.toLong + n <= MaxTarBytes, "gzip output over cap")
         out.write(buf, 0, n)
         n = in.read(buf)
       }
@@ -1966,7 +1978,7 @@ object Codecs {
             else {
               require(c >= '0' && c <= '7', s"bad octal byte $c in tar header")
               v = v * 8 + (c - '0'); seen = true
-              require(v <= MaxTarBytes, "tar field over cap")
+              budgetCheck(v <= MaxTarBytes, "tar field over cap")
             }
             i += 1
           }
@@ -1993,7 +2005,7 @@ object Codecs {
         require(pos + 512 + padded <= bytes.length, "truncated tar member")
         if (typeflag == '0' || typeflag == 0) {
           total += size
-          require(total <= MaxTarBytes, "tar archive over extraction cap")
+          budgetCheck(total <= MaxTarBytes, "tar archive over extraction cap")
           out += ((name, java.util.Arrays.copyOfRange(
             bytes, pos + 512, pos + 512 + size.toInt)))
         }
@@ -2118,7 +2130,7 @@ object Codecs {
       val name = new String(bytes, p + 46, nameLen, "US-ASCII")
       require(method == 0 || method == 8, s"unsupported ZIP method $method")
       total += usize
-      require(total <= MaxTarBytes, "ZIP archive over extraction cap")
+      budgetCheck(total <= MaxTarBytes, "ZIP archive over extraction cap")
       // local header: its own name/extra lengths govern the data offset
       require(u32(lho.toInt) == 0x04034b50L, "bad local header signature")
       val dataOff = lho + 30 + u16(lho.toInt + 26) + u16(lho.toInt + 28)
@@ -2164,6 +2176,74 @@ object Codecs {
       i += 1
     }
     out.result()
+  }
+
+  // --- archive dispatch ----------------------------------------------------
+
+  /** Magic sniff over the container formats the ingest lanes speak:
+    * gzip (1f 8b), ZIP (PK\3\4 local header or PK\5\6 empty archive),
+    * POSIX ustar ("ustar" at offset 257). Metadata is never trusted —
+    * real corpora mislabel bundles constantly. */
+  def sniffArchive(p: Array[Byte]): Option[String] =
+    if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+      Some("gzip")
+    else if (p.length >= 4 && p(0) == 'P' && p(1) == 'K' &&
+      ((p(2) == 3 && p(3) == 4) || (p(2) == 5 && p(3) == 6)))
+      Some("zip")
+    else if (p.length >= 512 && new String(p, 257, 5, "US-ASCII") == "ustar")
+      Some("tar")
+    else None
+
+  /** Magic-sniffed single-level extraction — the dispatch the batch and
+    * streaming ingest lanes share: gzip → gunzip then ustar walk; PK →
+    * ZIP walk; ustar magic → ustar walk; anything else rejects. */
+  def archiveExtract(p: Array[Byte]): Seq[(String, Array[Byte])] =
+    sniffArchive(p) match {
+      case Some("gzip") => tarExtract(gzipDecode(p))
+      case Some("zip")  => zipExtract(p)
+      case Some("tar")  => tarExtract(p)
+      case _ => throw new IllegalArgumentException("unrecognized archive magic")
+    }
+
+  /** ONE-LEVEL nested extraction under one global byte budget — the real
+    * corpus shape where a tar bundles an inner zip of documents. Members
+    * that sniff as archives are extracted in place, their members named
+    * `<outer>!<inner>`; nesting never recurses past one level (an archive
+    * inside the inner archive stays an opaque member). The budget spans
+    * ALL extracted bytes across levels, checked as members are charged —
+    * a bundle whose recursive expansion exceeds it (the zip-bomb shape)
+    * rejects with [[ArchiveBudgetException]] rather than an OOM (each
+    * single walk additionally pre-checks DECLARED sizes against its own
+    * cap before allocating, so a lying header never allocates at all).
+    * A member that sniffs as an archive but fails to parse stays opaque
+    * — magic bytes occur in ordinary content — while budget violations
+    * reject the whole bundle. */
+  def archiveExtractNested(p: Array[Byte],
+                           budget: Long = MaxTarBytes): Seq[(String, Array[Byte])] = {
+    var used = 0L
+    def charge(n: Long): Unit = {
+      used += n
+      budgetCheck(used <= budget, s"nested extraction over $budget-byte budget")
+    }
+    val top = archiveExtract(p)
+    top.foreach { case (_, d) => charge(d.length.toLong) }
+    top.flatMap { case (name, data) =>
+      if (sniffArchive(data).isEmpty) Seq((name, data))
+      else {
+        val inner =
+          try Some(archiveExtract(data))
+          catch {
+            case b: ArchiveBudgetException => throw b
+            case _: IllegalArgumentException => None
+          }
+        inner match {
+          case None => Seq((name, data))
+          case Some(ms) =>
+            ms.foreach { case (_, d) => charge(d.length.toLong) }
+            ms.map { case (n2, d2) => (s"$name!$n2", d2) }
+        }
+      }
+    }
   }
 
   // --- GIF (LZW) -----------------------------------------------------------

@@ -360,6 +360,20 @@ object Multimodal {
       }
   }
 
+  /** Sniff-extract-or-quarantine, shared by the batch and streaming
+    * ingest lanes ([[multimodalArchiveIngest]], the nested twin, and
+    * `StreamingOps.archiveIngestStream`): manifest triples for every
+    * (possibly nested) member, or ONE quarantine triple (`member` null,
+    * `n_bytes` -1) when the bundle is corrupt or its recursive expansion
+    * blows the extraction budget — the decode-lane fallback discipline,
+    * identical in both execution modes. */
+  private[graft] def archiveManifestRows(payload: Array[Byte]): Seq[(String, Long, String)] =
+    try Codecs.archiveExtractNested(payload)
+      .map { case (n, d) => (n, d.length.toLong, md5hex(d)) }
+    catch {
+      case _: IllegalArgumentException => Seq((null, -1L, null))
+    }
+
   /** TAR ingest manifest: extract every member of every archive — name,
     * size, content hash — the first stage of a bundled-corpus ingest.
     * The oracle recomputes the same triples straight from the documents
@@ -373,17 +387,63 @@ object Multimodal {
     archiveLake(spark, dir)
       .mapPartitions { it =>
         it.flatMap { m =>
-          // sniff, don't trust metadata: gzip magic → gunzip to tar;
-          // PK magic → zip walk; anything else → ustar walk
-          val p = m.payload
-          val members =
-            if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
-              Codecs.tarExtract(Codecs.gzipDecode(p))
-            else if (p.length >= 2 && p(0) == 'P' && p(1) == 'K')
-              Codecs.zipExtract(p)
-            else Codecs.tarExtract(p)
-          members.map { case (name, data) =>
-            (m.media_id, name, data.length.toLong, md5hex(data))
+          archiveManifestRows(m.payload).map { case (name, n, h) =>
+            (m.media_id, name, n, h)
+          }
+        }
+      }
+      .toDF("archive_id", "member", "n_bytes", "content_hash")
+      .orderBy("archive_id", "member")
+  }
+
+  /** The NESTED archive lake — the zip-inside-tar shape real corpora
+    * bundle: each [[TarGroup]]-doc group becomes an outer tar whose first
+    * half of members are direct `doc_<id>.txt` files and whose second
+    * half ride inside ONE inner archive member (`inner_<g>.zip` deflated
+    * for even groups, `inner_<g>.tar.gz` for odd — both compressed forms
+    * exercise the budget accounting). Groups with `g % 9 == 5` are
+    * corrupt bundles (deterministic garbage that fails every magic
+    * sniff) — the quarantine-path fixture. */
+  def archiveNestedLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / TarGroup)
+      .mapGroups { (g, it) =>
+        if (g % 9 == 5)
+          MediaRecord(g, "application/octet-stream",
+            s"corrupt_bundle_$g".getBytes("US-ASCII"))
+        else {
+          val members = it.toSeq.sortBy(_._1)
+          val (direct, nested) = members.partition(_._1 % TarGroup < TarGroup / 2)
+          def entries(ms: Seq[(Long, String)]) =
+            ms.map { case (id, text) => (s"doc_$id.txt", text.getBytes("UTF-8")) }
+          val inner =
+            if (g % 2 == 0)
+              (s"inner_$g.zip", Codecs.zipEncode(entries(nested), deflated = true))
+            else
+              (s"inner_$g.tar.gz", Codecs.gzipEncode(Codecs.tarEncode(entries(nested))))
+          MediaRecord(g, "application/x-tar",
+            Codecs.tarEncode(entries(direct) :+ inner))
+        }
+      }
+  }
+
+  /** Nested-archive ingest manifest over [[archiveNestedLake]]: inner
+    * members surface as `inner_<g>.<ext>!doc_<id>.txt` rows (the
+    * container member itself is transparent — recursive ingest lists
+    * content, not packaging), corrupt bundles surface as ONE quarantine
+    * row each. Same stateless flatMap scale shape as the flat lane; the
+    * one-level recursion and the global byte budget live in
+    * [[Codecs.archiveExtractNested]]. */
+  def multimodalArchiveIngestNested(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    archiveNestedLake(spark, dir)
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          archiveManifestRows(m.payload).map { case (name, n, h) =>
+            (m.media_id, name, n, h)
           }
         }
       }
@@ -2001,6 +2061,31 @@ object Multimodal {
          |FROM documents
          |ORDER BY archive_id, member""".stripMargin,
 
+    // Nested-ingest oracle: grouping, the direct-vs-inner split, the
+    // inner container's name, AND the quarantine set are all closed
+    // forms of doc_id — a recursion bug (lost inner member, wrong
+    // composite name, corrupt bundle flowing through as data) breaks
+    // rows or hashes. Inner members carry the `<outer>!<inner>` name.
+    "archive_ingest_nested" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, doc_id // $TarGroup AS g,
+         |         doc_id % $TarGroup AS r
+         |  FROM documents
+         |)
+         |SELECT g AS archive_id,
+         |       CASE WHEN r < ${TarGroup / 2} THEN 'doc_' || doc_id || '.txt'
+         |            ELSE (CASE WHEN g % 2 = 0 THEN 'inner_' || g || '.zip'
+         |                       ELSE 'inner_' || g || '.tar.gz' END)
+         |                 || '!doc_' || doc_id || '.txt' END AS member,
+         |       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         |       md5(text) AS content_hash
+         |FROM d WHERE g % 9 <> 5
+         |UNION ALL
+         |SELECT DISTINCT g, CAST(NULL AS VARCHAR), CAST(-1 AS BIGINT),
+         |       CAST(NULL AS VARCHAR)
+         |FROM d WHERE g % 9 = 5
+         |ORDER BY archive_id, member""".stripMargin,
+
     // Variant-blind A/V oracle: the video side is the [[videoFrameSpec]]
     // flat-block closed form at family = media_id (both MJPEG variants
     // must reconstruct it through the container walk + entropy decode);
@@ -2157,6 +2242,7 @@ object Multimodal {
     "multimodal_decode_mulaw" -> (multimodalDecodeMulaw _),
     "multimodal_decode_av" -> (multimodalDecodeAv _),
     "archive_ingest" -> (multimodalArchiveIngest _),
+    "archive_ingest_nested" -> (multimodalArchiveIngestNested _),
     "multimodal_decode_video" -> (multimodalDecodeVideo _),
     "multimodal_decode_audio" -> (multimodalDecodeAudio _),
     "multimodal_frames"      -> (multimodalFrames _),

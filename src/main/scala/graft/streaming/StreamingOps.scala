@@ -339,7 +339,6 @@ object StreamingOps {
     * query — the decode-lane fallback discipline applied to streams. */
   def archiveIngestStream(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.extensions.Codecs
     import org.apache.spark.sql.types._
     // the binaryFile source's schema is FIXED by the format; streaming
     // sources still demand it be stated, so state exactly that
@@ -350,22 +349,10 @@ object StreamingOps {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (path, p) =>
-        try {
-          val members =
-            if (p.length >= 2 && (p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
-              Codecs.tarExtract(Codecs.gzipDecode(p))
-            else if (p.length >= 2 && p(0) == 'P' && p(1) == 'K')
-              Codecs.zipExtract(p)
-            else Codecs.tarExtract(p)
-          members.map { case (name, data) =>
-            val md = java.security.MessageDigest.getInstance("MD5")
-            (path, name, data.length.toLong,
-              md.digest(data).map("%02x".format(_)).mkString)
-          }
-        } catch {
-          case _: IllegalArgumentException =>
-            Seq((path, null: String, -1L, null: String))
-        }
+        // the same sniff-extract-quarantine helper the batch lanes use —
+        // one discipline (incl. nested members + budget) in both modes
+        graft.extensions.Multimodal.archiveManifestRows(p)
+          .map { case (name, n, h) => (path, name, n, h) }
       }
       .toDF("path", "member", "n_bytes", "content_hash")
   }

@@ -812,6 +812,82 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     val lying = base.clone()
     lying(124) = '7' // blow up the first member's octal size
     an[IllegalArgumentException] should be thrownBy Codecs.tarExtract(lying)
+    // trailing garbage after the end-of-archive zero block rejects (a
+    // second concatenated archive must not silently vanish); zero
+    // padding — what block-sized writers append — still passes
+    an[IllegalArgumentException] should be thrownBy
+      Codecs.tarExtract(base ++ Array[Byte](1, 2, 3))
+    Codecs.tarExtract(base ++ new Array[Byte](512)).map(_._1) shouldBe
+      Seq("m1.txt", "m2.txt")
+  }
+
+  test("ZIP: EOCD signature inside a trailing comment does not misparse") {
+    val members = Seq(("c.txt", "comment survivor".getBytes("UTF-8")))
+    val zip = Codecs.zipEncode(members)
+    // append a legitimate 26-byte comment whose first bytes ARE the EOCD
+    // signature: the locator must skip the embedded fake (its comment
+    // length is inconsistent with the file tail) and use the real record
+    val fake = Array[Byte]('P', 'K', 5, 6) ++ new Array[Byte](22)
+    val commented = zip.dropRight(2) ++ Array[Byte](26, 0) ++ fake
+    val back = Codecs.zipExtract(commented)
+    back.map(_._1) shouldBe Seq("c.txt")
+    new String(back.head._2, "UTF-8") shouldBe "comment survivor"
+  }
+
+  test("archive nesting: one level extracts composite names; depth 2 stays opaque") {
+    val innerZip = Codecs.zipEncode(Seq(("doc_3.txt", "gamma".getBytes("UTF-8"))),
+      deflated = true)
+    val innerTgz = Codecs.gzipEncode(
+      Codecs.tarEncode(Seq(("doc_4.txt", "delta".getBytes("UTF-8")))))
+    val deep = Codecs.tarEncode(Seq(("leaf.txt", "epsilon".getBytes("UTF-8"))))
+    val holder = Codecs.zipEncode(Seq(("deep.tar", deep)))
+    val outer = Codecs.tarEncode(Seq(
+      ("doc_1.txt", "alpha".getBytes("UTF-8")),
+      ("inner.zip", innerZip),
+      ("inner.tgz", innerTgz),
+      ("holder.zip", holder)))
+    val got = Codecs.archiveExtractNested(outer)
+    got.map(_._1) shouldBe Seq("doc_1.txt", "inner.zip!doc_3.txt",
+      "inner.tgz!doc_4.txt", "holder.zip!deep.tar")
+    new String(got(1)._2, "UTF-8") shouldBe "gamma"
+    new String(got(2)._2, "UTF-8") shouldBe "delta"
+    // depth 2: the tar inside the inner zip surfaces as OPAQUE bytes
+    got(3)._2.toSeq shouldBe deep.toSeq
+    // a member that merely LOOKS like an archive stays opaque too
+    val falseSniff = Codecs.tarEncode(Seq(
+      ("pk.bin", Array[Byte]('P', 'K', 3, 4) ++ "not a real zip".getBytes)))
+    Codecs.archiveExtractNested(falseSniff).map(_._1) shouldBe Seq("pk.bin")
+    // explicit budgets bind across levels
+    an[Codecs.ArchiveBudgetException] should be thrownBy
+      Codecs.archiveExtractNested(outer, budget = 4L)
+  }
+
+  test("zip bomb: lying declared size rejects at the cap BEFORE allocation") {
+    val zip = Codecs.zipEncode(Seq(("a.bin", Array.fill(100)(7.toByte))),
+      deflated = true)
+    // patch the central directory's uncompressed-size field to 1 GiB
+    def u32at(p: Int): Long =
+      (zip(p) & 0xffL) | ((zip(p + 1) & 0xffL) << 8) |
+        ((zip(p + 2) & 0xffL) << 16) | ((zip(p + 3) & 0xffL) << 24)
+    val cd = zip.indices.find(p => p + 4 <= zip.length &&
+      u32at(p) == 0x02014b50L).get
+    val bomb = zip.clone()
+    bomb(cd + 24) = 0; bomb(cd + 25) = 0; bomb(cd + 26) = 0; bomb(cd + 27) = 0x40
+    an[Codecs.ArchiveBudgetException] should be thrownBy Codecs.zipExtract(bomb)
+  }
+
+  test("gzip bomb: 80 MiB of zeros rejects at the cap and quarantines as a bundle") {
+    val bomb = Codecs.gzipEncode(new Array[Byte](80 << 20)) // ~80 KiB packed
+    an[Codecs.ArchiveBudgetException] should be thrownBy Codecs.gzipDecode(bomb)
+    // nested inside an otherwise-fine tar: the WHOLE bundle rejects (the
+    // budget discipline, not the opaque-member fallback) and the shared
+    // ingest helper turns it into ONE quarantine row, never an OOM
+    val bundle = Codecs.tarEncode(Seq(
+      ("ok.txt", "fine".getBytes("UTF-8")), ("bomb.gz", bomb)))
+    an[Codecs.ArchiveBudgetException] should be thrownBy
+      Codecs.archiveExtractNested(bundle)
+    graft.extensions.Multimodal.archiveManifestRows(bundle) shouldBe
+      Seq((null, -1L, null))
   }
 
   // --- AVI A/V demux -------------------------------------------------------

@@ -241,6 +241,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("archiveIngestStream: checkpoint restart loses no members, duplicates none") {
+    import graft.extensions.Codecs
+    // the restart contract for the bundle-ingest stream: bundles processed
+    // before the stop must NOT re-emit their members, bundles that arrived
+    // while the query was down must all surface — exactly-once at member
+    // granularity via the file-source offset log + parquet sink file log
+    val dir = java.nio.file.Files.createTempDirectory("graft-arcrestart")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-arcrestart-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-arcrestart-out").toString
+    def start() = StreamingOps.archiveIngestStream(spark, dir.toString)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    java.nio.file.Files.write(dir.resolve("b1.tar"), Codecs.tarEncode(Seq(
+      ("a.txt", "alpha".getBytes("UTF-8")), ("b.txt", "beta".getBytes("UTF-8")))))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // while the query is DOWN, a second bundle arrives — nested, so the
+    // composite-name path is also proven across a restart boundary
+    val inner = Codecs.zipEncode(Seq(("c.txt", "gamma".getBytes("UTF-8"))),
+      deflated = true)
+    java.nio.file.Files.write(dir.resolve("b2.tar"), Codecs.tarEncode(Seq(
+      ("d.txt", "delta".getBytes("UTF-8")), ("inner.zip", inner))))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      spark.read.parquet(out).collect().map(_.getString(1)).toSeq.sorted shouldBe
+        Seq("a.txt", "b.txt", "d.txt", "inner.zip!c.txt")
+    } finally q2.stop()
+  }
+
   test("foreachBatch epoch sink writes each micro-batch to its own overwritable dir") {
     implicit val ctx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-epoch").toString
