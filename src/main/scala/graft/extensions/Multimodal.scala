@@ -739,6 +739,76 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Stage the media lake to REAL files — one `media_<id>.<img|wav>` per
+    * record, written through the Hadoop FileSystem API from the executors
+    * (the same write path a cluster uses against HDFS/S3; at local[*] it
+    * lands on the local filesystem). Each call stages into a fresh
+    * directory: payloads are cheap to regenerate, and a stale staging
+    * from an older corpus generation must never be read. The directory
+    * must outlive query CONSTRUCTION (the binaryFile scan reads it at
+    * execution), so cleanup is left to the tmpdir lifecycle. */
+  private def stageMediaFiles(spark: SparkSession, dir: String): String = {
+    val staged = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"),
+      s"graft-media-files-${java.util.UUID.randomUUID().toString.take(8)}")
+    val fsConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val stagedStr = staged.toString
+    mediaLake(spark, dir).foreachPartition { (it: Iterator[MediaRecord]) =>
+      val fs = new org.apache.hadoop.fs.Path(stagedStr)
+        .getFileSystem(fsConf.value)
+      it.foreach { m =>
+        val ext = if (m.mime.startsWith("image/")) "img" else "wav"
+        val out = fs.create(new org.apache.hadoop.fs.Path(
+          stagedStr, f"media_${m.media_id}%08d.$ext"), true)
+        try out.write(m.payload) finally out.close()
+      }
+    }
+    stagedStr
+  }
+
+  /** Batch FILE-BASED media ingest — the files-on-disk twin of
+    * [[multimodalDecodeImage]]: the lake's image payloads staged as real
+    * files, read back with the `binaryFile` source, decoded through the
+    * SAME kernels, same output shape — so the decode_image oracle gates
+    * this lane's content equality against the in-row one end to end
+    * (`MultimodalSpec` additionally diffs the two DataFrames directly).
+    * The media id rides in the file name, the way real lakes key objects.
+    * Scale shape: the file scan IS the ingest (listing parallelized by
+    * the source, one task per file group), feeding the stateless decode
+    * map with no shuffle before the output sort — plan-asserted. The
+    * rejected 32bpp variant drops at decode exactly as in-row. */
+  def multimodalMediaIngestFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val staged = stageMediaFiles(spark, dir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img")
+      .load(staged)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (path, payload) =>
+            val base = path.substring(path.lastIndexOf('/') + 1)
+            val id = base.stripPrefix("media_").stripSuffix(".img").toLong
+            try {
+              val img = Codecs.imageDecode(payload)
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var p = 0
+              while (p < img.rgb.length) {
+                sr += img.rgb(p); sg += img.rgb(p + 1); sb += img.rgb(p + 2)
+                p += 3
+              }
+              Some(ImageStats(id, img.width, img.height,
+                img.width.toLong * img.height, sr, sg, sb))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Real JPEG decode over the [[jpegLake]]: dimensions and EXACT
     * per-channel pixel sums from the decoded top-down RGB, same shape as
     * [[multimodalDecodeImage]]. Every row passes through the full baseline
@@ -1917,6 +1987,28 @@ object Multimodal {
         |GROUP BY media_id, v, w, h
         |ORDER BY media_id""".stripMargin,
 
+    // File-ingest twin: staged to real files and read back via binaryFile,
+    // the lane must reproduce the in-row decode_image lane EXACTLY — same
+    // closed-form oracle, so a staging, listing, filename-keying, or
+    // file-content defect reddens this row independently.
+    "media_ingest_files" ->
+      """WITH img AS (
+        |  SELECT doc_id AS media_id, doc_id % 12 AS v,
+        |         5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 12 <> 10
+        |)
+        |SELECT media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |       CAST(w * h AS BIGINT) AS n_pixels,
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + p.i * 11) % 256
+        |                ELSE (media_id * 31 + (3 * p.i) * 7) % 256 END) AS BIGINT) AS sum_r,
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + p.i * 11) % 256
+        |                ELSE (media_id * 31 + (3 * p.i + 1) * 7) % 256 END) AS BIGINT) AS sum_g,
+        |       CAST(sum(CASE WHEN v = 4 THEN (media_id * 17 + p.i * 11) % 256
+        |                ELSE (media_id * 31 + (3 * p.i + 2) * 7) % 256 END) AS BIGINT) AS sum_b
+        |FROM img, LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS i) p
+        |GROUP BY media_id, v, w, h
+        |ORDER BY media_id""".stripMargin,
+
     // Variant-BLIND JPEG oracle: pure [[jpegSpec]] closed form (per-block
     // flat value × covered-pixel count), no container knowledge at all —
     // the four encode variants (4:4:4 / 4:2:0+DRI / grayscale / 4:2:2) must all
@@ -2237,6 +2329,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features"     -> (multimodalFeatures _),
     "multimodal_decode_image" -> (multimodalDecodeImage _),
+    "media_ingest_files" -> (multimodalMediaIngestFiles _),
     "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
     "multimodal_decode_gif" -> (multimodalDecodeGif _),
     "multimodal_decode_mulaw" -> (multimodalDecodeMulaw _),

@@ -289,6 +289,16 @@ class MultimodalSpec extends SparkTestBase {
       (lake.length - dib.length).toLong
   }
 
+  test("file-ingest lane: binaryFile read-back equals the in-row decode lane") {
+    // the files-on-disk realism gate: stage → list → read → decode must
+    // reproduce the in-row lane row for row (same ids, same pixel sums)
+    val sf = "/root/testdata/sf0.001"
+    val inRow = Multimodal.multimodalDecodeImage(spark, sf).collect().toSeq
+    val fromFiles = Multimodal.multimodalMediaIngestFiles(spark, sf).collect().toSeq
+    fromFiles should not be empty
+    fromFiles shouldBe inRow
+  }
+
   test("aHash: brightness-shifted re-encode collides; content change does not") {
     import graft.extensions.{BmpImage, Codecs}
     val rnd = new scala.util.Random(7)

@@ -298,6 +298,17 @@ class PlanAssertionsSpec extends SparkTestBase {
     }
   }
 
+  test("media file ingest: the binaryFile scan feeds the decode map; sort is the only exchange") {
+    val p = planOf(graft.extensions.Multimodal.multimodalMediaIngestFiles(spark, sf))
+    p should include ("binaryFile")
+    // file listing → stateless decode map with no shuffle in between;
+    // the output sort contributes the single range exchange
+    "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 0
+    p should not include "SortMergeJoin"
+    p should not include "HashAggregate"
+  }
+
   test("archive ingest: one bundling exchange, no join, no aggregation") {
     val p = planOf(graft.extensions.Multimodal.multimodalArchiveIngest(spark, sf))
     // the groupByKey that forms archives is the single hash exchange;
