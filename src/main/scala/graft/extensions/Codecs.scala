@@ -1652,7 +1652,21 @@ object Codecs {
     * stream plus at most one µ-law audio stream inside the sanity caps —
     * uncompressed (DIB) video or PCM audio tracks are well-formed rejects
     * for the pipeline's fallback lane. */
-  def aviDecodeAv(bytes: Array[Byte]): AviMedia = {
+  def aviDecodeAv(bytes: Array[Byte]): AviMedia = aviDemuxDecode(bytes, 1)
+
+  /** Stride-sampled decode: the FULL container walk and every header /
+    * chunk / count cross-check still run (the walk is the cheap part),
+    * but only frame chunks at stride-multiple CONTAINER indices pay the
+    * JPEG entropy decode — the k-fold cost cut video fingerprinting takes
+    * at scale, where decode bytes dominate the lane. Geometry checks
+    * apply to the decoded subset only (skipped frames are, by
+    * construction, never looked at). */
+  def aviDecodeSampled(bytes: Array[Byte], stride: Int): AviMedia = {
+    require(stride >= 1, s"bad frame stride $stride")
+    aviDemuxDecode(bytes, stride)
+  }
+
+  private def aviDemuxDecode(bytes: Array[Byte], frameStride: Int): AviMedia = {
     def tagAt(p: Int): String = {
       require(p >= 0 && p + 4 <= bytes.length, "truncated AVI")
       new String(Array(bytes(p), bytes(p + 1), bytes(p + 2), bytes(p + 3)),
@@ -1834,11 +1848,12 @@ object Codecs {
         while (i < data.length) { samples(i) = mulawExpand(data(i)); i += 1 }
         Some(WavAudio(audRate, samples))
       }
-    val frames = payloads.map { fp =>
-      val img = jpegDecode(fp)
-      require(img.width == width && img.height == height,
-        s"frame geometry ${img.width}x${img.height} != header ${width}x$height")
-      img
+    val frames = payloads.zipWithIndex.collect {
+      case (fp, j) if j % frameStride == 0 =>
+        val img = jpegDecode(fp)
+        require(img.width == width && img.height == height,
+          s"frame geometry ${img.width}x${img.height} != header ${width}x$height")
+        img
     }
     AviMedia(AviVideo(width, height, usPerFrame, frames), audio)
   }

@@ -1505,16 +1505,37 @@ object Multimodal {
       .filter(col("jaccard") >= VideoJaccardTau)
   }
 
-  /** REAL-video near-dup: AVI container walk + JPEG entropy decode per
-    * frame, per-frame [[ahashOf]] perceptual fingerprint, then the same
+  /** Frame-sampling stride for [[multimodalVideoNeardupReal]]: only every
+    * k-th container frame pays the JPEG entropy decode — the dominant
+    * cost of the lane (it was the registry's highest measured growth
+    * tail, and the ONLY lane that decoded every frame of every video).
+    * Position-stride sampling is exact for re-encodes and non-wrapping
+    * brightness shifts (identical per-index content ⇒ identical sampled
+    * sets) and DEGRADES for trims shorter than the stride — the accepted
+    * production tradeoff (1-fps-style sampling); `MultimodalSpec`
+    * measures exactly which planted sibling classes survive at this
+    * fixture's tiny frame counts. The oracle replays the same stride, so
+    * the gate stays exact. */
+  val VideoNeardupStride = 2
+
+  /** REAL-video near-dup: AVI container walk + JPEG entropy decode on
+    * every [[VideoNeardupStride]]-th frame ([[Codecs.aviDecodeSampled]]),
+    * per-frame [[ahashOf]] perceptual fingerprint, then the same
     * frame-SET MinHash discipline as [[multimodalVideoNeardup]] — set
-    * semantics catch re-encodes (identical decoded frames), trims (subset
-    * frame sets) and non-wrapping brightness shifts (aHash invariance),
-    * exactly the sibling classes the [[videoLake]] families plant. DIB
-    * members reject during decode and never enter the pair space. Scale
-    * shape: decode+hash is stateless map work; everything after is the
-    * bounded bucket join — never media × media. */
-  def multimodalVideoNeardupReal(spark: SparkSession, dir: String): DataFrame = {
+    * semantics catch re-encodes (identical decoded frames) and
+    * non-wrapping brightness shifts (aHash invariance) exactly, trims at
+    * stride-degraded recall, the sibling classes the [[videoLake]]
+    * families plant. DIB members reject during decode and never enter
+    * the pair space. Scale shape: decode+hash is stateless map work (cut
+    * ~stride-fold by sampling); everything after is the bounded bucket
+    * join — never media × media. */
+  def multimodalVideoNeardupReal(spark: SparkSession, dir: String): DataFrame =
+    multimodalVideoNeardupRealStride(spark, dir, VideoNeardupStride)
+
+  /** [[multimodalVideoNeardupReal]] with an explicit stride — stride 1 is
+    * the all-frames form, kept callable for the recall-pinning spec. */
+  private[graft] def multimodalVideoNeardupRealStride(
+      spark: SparkSession, dir: String, stride: Int): DataFrame = {
     import graft.functions.Portable
     import spark.implicits._
     val fh = videoLake(spark, dir)
@@ -1522,8 +1543,8 @@ object Multimodal {
         it.grouped(BatchSize).flatMap { batch =>
           batch.iterator.flatMap { m =>
             try {
-              val v = Codecs.aviDecode(m.payload)
-              v.frames.map(f => (m.media_id, ahashOf(f) % Portable.P31))
+              val v = Codecs.aviDecodeSampled(m.payload, stride)
+              v.video.frames.map(f => (m.media_id, ahashOf(f) % Portable.P31))
             } catch { case _: IllegalArgumentException => Nil }
           }
         }
@@ -1719,6 +1740,10 @@ object Multimodal {
          |         CASE WHEN v = 2 THEN 8 ELSE 0 END AS sh
          |  FROM vid, LATERAL (SELECT unnest(generate_series(
          |       CASE WHEN v = 3 THEN 1 ELSE 0 END, nf - 1)) AS i) f
+         |  -- stride sampling on the CONTAINER frame index (trim variants
+         |  -- start at spec frame 1 = container index 0), same stride as
+         |  -- the engine's sampled decode
+         |  WHERE (f.i - CASE WHEN v = 3 THEN 1 ELSE 0 END) % $VideoNeardupStride = 0
          |), tot AS (
          |  SELECT media_id, f, w, h,
          |         sum(((g * 23 + (31 + 16 * (g % 11)) * bx.i

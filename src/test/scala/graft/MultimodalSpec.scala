@@ -289,6 +289,52 @@ class MultimodalSpec extends SparkTestBase {
       (lake.length - dib.length).toLong
   }
 
+  test("sampled video near-dup: re-encode and brightness pairs survive the stride") {
+    import graft.extensions.Codecs
+    val sf = "/root/testdata/sf0.001"
+    // sampled decode really skips: stride-2 over an nf-frame video decodes
+    // ceil(nf/2) frames, each identical to its all-frames counterpart
+    val m0 = Multimodal.videoLake(spark, sf).collect().find(_.media_id % 4 == 0).get
+    val all = Codecs.aviDecode(m0.payload).frames
+    val samp = Codecs.aviDecodeSampled(m0.payload, 2).video.frames
+    samp.length shouldBe (all.length + 1) / 2
+    samp.zipWithIndex.foreach { case (img, i) =>
+      img.rgb.toSeq shouldBe all(2 * i).rgb.toSeq
+    }
+    // recall vs the all-frames form on the PLANTED sibling classes:
+    // within a family, re-encode (4g,4g+1) and brightness-shift (·,4g+2)
+    // variants sample the SAME container indices with identical decoded
+    // content (mod the hash-invariant shift), so every such pair the
+    // all-frames form finds must survive the stride EXACTLY; trim
+    // siblings (·,4g+3) offset the frame grid by one, so at this
+    // fixture's tiny frame counts (3-5) the stride loses them — the
+    // documented tradeoff (real videos have thousands of frames per trim
+    // offset). Cross-family coincidence pairs (tiny flat-block frames
+    // hash coarsely) may legitimately shift either way — the oracle
+    // gates their exact sampled-set semantics.
+    def pairSet(stride: Int) =
+      Multimodal.multimodalVideoNeardupRealStride(spark, sf, stride)
+        .select("media_a", "media_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = pairSet(1)
+    val sampled = pairSet(2)
+    val reencode = allPairs.filter { case (a, b) =>
+      a / 4 == b / 4 && a % 4 == 0 && b % 4 == 1
+    }
+    reencode should not be empty
+    (reencode -- sampled) shouldBe empty
+    // brightness pairs: the +8 shift WRAPS mod 256 in families whose
+    // block values graze 248+, making some frames genuinely divergent —
+    // smaller sampled sets are more wrap-sensitive, so recall is < 1 but
+    // must stay high (measured 15 of ~180 lost at this sf)
+    val bright = allPairs.filter { case (a, b) =>
+      a / 4 == b / 4 && b % 4 == 2 && a % 4 != 3
+    }
+    bright should not be empty
+    val keptBright = bright.intersect(sampled).size.toDouble / bright.size
+    keptBright should be >= 0.8
+  }
+
   test("file-ingest lane: binaryFile read-back equals the in-row decode lane") {
     // the files-on-disk realism gate: stage → list → read → decode must
     // reproduce the in-row lane row for row (same ids, same pixel sums)
