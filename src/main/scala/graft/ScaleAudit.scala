@@ -37,9 +37,13 @@ object ScaleAudit {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id % 7)").collect() // session warmup
 
+    // optional 4th decade: a builder-generated sf1 (tools/gen_sf.py) via
+    // GRAFT_SF1_DIR — the sub-sf0.1 points are fixed-overhead-dominated,
+    // so the top decades carry the real scale signal
     val sfs = Seq(("t_001", 0.001, "/root/testdata/sf0.001"),
                   ("t_01",  0.01,  "/root/testdata/sf0.01"),
-                  ("t_1",   0.1,   "/root/testdata/sf0.1"))
+                  ("t_1",   0.1,   "/root/testdata/sf0.1")) ++
+      sys.env.get("GRAFT_SF1_DIR").map(d => ("t_1x", 1.0, d)).toSeq
     // a typoed query name must fail loudly, not write a silently-thin
     // artifact — this audit exists to falsify claims, not mask gaps
     val unknown = names -- SparkEntry.queries.keySet
@@ -67,25 +71,31 @@ object ScaleAudit {
     }.toMap
 
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def slope(pts: Seq[(Double, Double)]): Double = {
+      val n = pts.size
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
     val rows = ordered.map { case (name, _) =>
       val t = sfs.map { case (key, sf, _) => (math.log10(sf), times(key)(name)) }
       val ok = t.forall(_._2 > 0)
-      val alpha = if (!ok) None else {
-        val pts = t.map { case (x, v) => (x, math.log10(v)) }
-        val n = pts.size
-        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
-        val sxx = pts.map(p => p._1 * p._1).sum
-        val sxy = pts.map(p => p._1 * p._2).sum
-        Some((n * sxy - sx * sy) / (n * sxx - sx * sx))
-      }
-      val tail = if (ok) Some(math.log10(t(2)._2 / t(1)._2)) else None
+      val logs = t.map { case (x, v) => (x, math.log10(v)) }
+      val alpha = if (ok) Some(slope(logs)) else None
+      // the top two decades alone: the sub-sf0.1 points sit on fixed job
+      // overhead, which biases the all-points fit LOW
+      val alphaTop = if (ok && t.size >= 4) Some(slope(logs.takeRight(3))) else None
+      val tail = if (ok) Some(math.log10(t.last._2 / t(t.size - 2)._2)) else None
       val fields = sfs.map { case (key, _, _) => s""""$key":${fmt(times(key)(name))}""" } ++
         Seq(s""""alpha":${alpha.map(a => f"$a%.3f").getOrElse("null")}""",
-            s""""alpha_tail":${tail.map(a => f"$a%.3f").getOrElse("null")}""")
+            s""""alpha_tail":${tail.map(a => f"$a%.3f").getOrElse("null")}""") ++
+        alphaTop.map(a => s""""alpha_top2":${f"$a%.3f"}""").toSeq
       s""""$name":{${fields.mkString(",")}}"""
     }
+    val dirsJson = sfs.map(s => "\"" + s._3.split('/').last + "\"").mkString(",")
     val json =
-      s"""{"machine":"builder","protocol":"min2-noop-3sf","n_queries":${rows.size},"sf_dirs":["sf0.001","sf0.01","sf0.1"],"queries":{${rows.mkString(",")}}}"""
+      s"""{"machine":"builder","protocol":"min2-noop-${sfs.size}sf","n_queries":${rows.size},"sf_dirs":[$dirsJson],"queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"wrote $outFile (${rows.size} queries)")
