@@ -295,8 +295,17 @@ object Events {
     * frames slide by ORDER-key distance (epoch microseconds here), which is
     * what time-based analytics mean by "last hour" when events arrive
     * irregularly. Peers (equal timestamps) enter the frame identically on
-    * both engines by definition of RANGE. One shuffle on event_type; O(1)
-    * frame state per row. */
+    * both engines by definition of RANGE.
+    *
+    * SCALE CAVEAT (measured on the builder sf1): Spark's sliding-frame
+    * `WindowExec` has no aggregate retraction — it RE-AGGREGATES the whole
+    * frame at every slide, so this form costs O(rows × rows-per-hour).
+    * Over a fixed-calendar corpus, 10× the events means 10× the frame
+    * density and ~100× the work (sf0.1→sf1 went 1.5 s → 38 s).
+    * [[eventsRangeFrameScalable]] is the same answer via an arrive/expire
+    * change-log whose only window is a GROWING frame (incremental in
+    * Spark) — linear, the form a 100 TB deployment must use. Both are
+    * gated against the identical oracle. */
   def eventsRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("t_us")
       .rangeBetween(-3599999999L, 0L)
@@ -307,6 +316,41 @@ object Events {
         count(lit(1)).over(w).as("n_last_hour"),
         round(sum(col("value").cast(DecimalType(28, 10))).over(w), 2)
           .cast("double").as("sum_last_hour"))
+      .orderBy("event_id")
+  }
+
+  /** The linear-cost twin of [[eventsRangeFrame]] — same answer, scalable
+    * plan. Each event becomes TWO change-log records: an ARRIVE at its
+    * own timestamp carrying (+1, +value) and an EXPIRE at
+    * `t + 3 600 000 000 µs` carrying (−1, −value) — exactly when the
+    * event leaves every later row's inclusive 1-hour frame (an event at
+    * u is in the frame of t iff t − 3 599 999 999 ≤ u ≤ t, i.e. until
+    * t = u + 3 599 999 999; the expiry lands one µs after). A cumulative
+    * sum over the change-log ordered by record time (RANGE unbounded
+    * preceding → current row, so timestamp peers — including an arrive
+    * and an expire at the same µs — all apply before any of them reads)
+    * IS the sliding aggregate at every arrive record. Spark's growing
+    * frame is incremental (`UnboundedPrecedingWindowFunctionFrame` adds
+    * each row once, never re-aggregates), so the cost is one shuffle +
+    * sort of 2n slim rows — O(n log n) against the sliding form's
+    * O(n × frame). DECIMAL deltas keep the sum exact under retraction. */
+  def eventsRangeFrameScalable(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        col("value").cast(DecimalType(28, 10)).as("dv"))
+    val arrive = e.select(col("event_id"), col("event_type"),
+      col("t_us").as("rt"), lit(1L).as("dn"), col("dv"))
+    val expire = e.select(lit(-1L).as("event_id"), col("event_type"),
+      (col("t_us") + 3600000000L).as("rt"), lit(-1L).as("dn"),
+      (-col("dv")).as("dv"))
+    val w = Window.partitionBy("event_type").orderBy("rt")
+      .rangeBetween(Window.unboundedPreceding, 0L)
+    arrive.unionByName(expire)
+      .select(col("event_id"), col("event_type"),
+        sum(col("dn")).over(w).as("n_last_hour"),
+        round(sum(col("dv")).over(w), 2).cast("double").as("sum_last_hour"))
+      .filter(col("event_id") >= 0) // expire records served their purpose
       .orderBy("event_id")
   }
 
@@ -1630,6 +1674,20 @@ object Events {
         |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
+    // the scalable change-log twin must produce the IDENTICAL relation,
+    // so it is gated against the same sliding-frame oracle
+    "events_range_frame_scalable" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_us(ts) AS t_us, value FROM events
+        |)
+        |SELECT event_id, event_type,
+        |       count(*) OVER w AS n_last_hour,
+        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))) OVER w, 2) AS DOUBLE) AS sum_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY event_type ORDER BY t_us
+        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "events_moving_avg" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, event_type,
@@ -1727,6 +1785,7 @@ object Events {
     "events_asof_custom"      -> (eventsAsofCustom _),
     "events_asof_tolerance"   -> (eventsAsofTolerance _),
     "events_range_frame"      -> (eventsRangeFrame _),
+    "events_range_frame_scalable" -> (eventsRangeFrameScalable _),
     "events_skew_salted"      -> (eventsSkewSalted _),
     "events_latest_per_user"  -> (eventsLatestPerUser _),
     "events_json_stats"       -> (eventsJsonStats _),

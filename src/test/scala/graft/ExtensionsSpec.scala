@@ -88,6 +88,18 @@ class ExtensionsSpec extends SparkTestBase {
     out shouldBe Seq((1L, 2L, 3L, 4L), (2L, 1L, 1L, 1L))
   }
 
+  test("range frame: the change-log form equals the sliding-frame form exactly") {
+    // same relation from two plans: the O(n x frame) sliding RANGE window
+    // and its linear arrive/expire change-log twin — including timestamp
+    // peers, which RANGE semantics admit as a group on both paths
+    import graft.extensions.Events
+    val sf = "/root/testdata/sf0.001"
+    val slide = Events.eventsRangeFrame(spark, sf).collect().toSeq
+    val chlog = Events.eventsRangeFrameScalable(spark, sf).collect().toSeq
+    chlog.size shouldBe slide.size
+    chlog shouldBe slide
+  }
+
   test("EWMA: constant series stays constant; warm-up renormalizes exactly") {
     import graft.extensions.Events
     val base = 1700000000000000L
