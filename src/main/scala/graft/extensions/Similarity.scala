@@ -245,12 +245,16 @@ object Similarity {
       .orderBy("src_id", "rk")
   }
 
-  /** Every CentStride-th vector seeds an IVF centroid; one Lloyd refinement
-    * step then replaces each seed by the (rounded) mean of its assigned
-    * vectors. Deterministic "training": fixed seeds, fixed iteration count,
-    * means rounded to 6 decimals so cross-engine (and cross-shuffle-order)
-    * FP sum noise cannot leak into assignments. */
-  val CentStride = 40
+  /** Target IVF centroid count — CORPUS-SIZE-INDEPENDENT. The seed stride
+    * derives as ceil(n / k), so the codebook stays ~k vectors at any
+    * scale. The former FIXED stride made k grow with the corpus, turning
+    * the O(n·k) broadcast assignment quadratic — the builder sf1 audit
+    * measured alpha_tail 1.21 on the PQ lane before the change (20k
+    * vectors → 2000 codewords); production IVF/PQ trains a constant-size
+    * codebook for exactly this reason. Seeding stays deterministic (every
+    * stride-th vec_id; one Lloyd refinement, means rounded to 6 decimals)
+    * so cross-engine FP noise cannot leak into assignments. */
+  val IvfCentroids = 13 // ≈ the former sf0.01 codebook (stride 40)
 
   /** Queries probe their NProbe nearest centroids' inverted lists (lists are
     * disjoint, so probed candidates need no dedup). */
@@ -303,11 +307,20 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"), col("cc"))
   }
 
+  /** The 1-row corpus-derived seed stride, ceil(n / targetK), as a
+    * DataFrame — joined in broadcast so the plan stays fully declarative
+    * (no driver-side count action) and the oracle can replay the same
+    * scalar subquery. */
+  private def strideOf(vs: DataFrame, targetK: Int): DataFrame =
+    vs.agg(ceil(count(lit(1)).cast("double") / targetK).cast("long").as("stride"))
+
   /** Deterministic stride seeds — the shared centroid initialization for
     * IVF and k-means (one definition: diverging seeding schemes would train
-    * the two from different centroids). */
+    * the two from different centroids). ~[[IvfCentroids]] seeds at ANY
+    * corpus size. */
   private def strideSeeds(vs: DataFrame): DataFrame =
-    vs.filter(col("vec_id") % CentStride === 0)
+    vs.crossJoin(broadcast(strideOf(vs, IvfCentroids)))
+      .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
 
   /** Per-label centroids as a vector AGGREGATION: posexplode to
@@ -398,16 +411,17 @@ object Similarity {
   }
 
   /** Product-quantization geometry: [[PqSubspaces]] subvectors of
-    * [[PqSubDim]] dims each (64 = 4 × 16); the per-subspace codebook is the
-    * [[PqStride]]-seeded subvector set (64 codewords at sf0.01) — the same
-    * deterministic stride seeding as IVF (no trained state ships
-    * cross-engine), but with a denser stride: recall on this near-random
+    * [[PqSubDim]] dims each (64 = 4 × 16); the per-subspace codebook is
+    * the stride-seeded subvector set at a CONSTANT [[PqCodewords]] target
+    * (stride = ceil(n / k), same corpus-size-independence as
+    * [[IvfCentroids]]) — the same deterministic stride seeding as IVF (no
+    * trained state ships cross-engine). Recall on this near-random
     * fixture is codebook-bound (measured 0.16 / 0.24 / 0.36 at 16 / 64 /
-    * 100 codewords), and 64 keeps the codebook a realistic fraction of the
-    * corpus. */
+    * 100 codewords); 50 keeps the sf0.01 gate byte-identical to the
+    * former stride-10 form. */
   val PqSubspaces = 4
   val PqSubDim = 16
-  val PqStride = 10
+  val PqCodewords = 50
 
   /** Product-quantized ANN (Jégou et al., "Product Quantization for Nearest
     * Neighbor Search", TPAMI 2011): each vector is encoded as M=4 codebook
@@ -426,7 +440,8 @@ object Similarity {
     val subs = vs.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqSubspaces - 1}), m -> slice(v, m * $PqSubDim + 1, $PqSubDim))")))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("sub"))
-    val cents = subs.filter(col("vec_id") % PqStride === 0)
+    val cents = subs.crossJoin(broadcast(strideOf(vs, PqCodewords)))
+      .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("cent_id"), col("m").as("cm"), col("sub").as("csub"))
       .withColumn("cn2",
         expr("aggregate(csub, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
@@ -604,7 +619,9 @@ object Similarity {
     s"""$posAndNorm
        |, cdots AS (
        |  SELECT a.vec_id, b.vec_id AS cent_id, sum(a.x * b.x) AS dot
-       |  FROM pos a JOIN pos b ON a.i = b.i AND b.vec_id % $CentStride = 0
+       |  FROM pos a JOIN pos b ON a.i = b.i
+       |    AND b.vec_id % (SELECT CAST(ceil(count(*) / $IvfCentroids.0) AS BIGINT)
+       |                    FROM embeddings) = 0
        |  GROUP BY a.vec_id, b.vec_id
        |), assign0 AS (
        |  SELECT vec_id, cent_id FROM (
@@ -883,7 +900,8 @@ object Similarity {
          |  FROM pos
          |), cents AS (
          |  SELECT vec_id AS cent_id, m, il, x AS cx
-         |  FROM sub WHERE vec_id % $PqStride = 0
+         |  FROM sub WHERE vec_id % (SELECT CAST(ceil(count(*) / $PqCodewords.0) AS BIGINT)
+         |                           FROM embeddings) = 0
          |), cn2 AS (
          |  SELECT cent_id, m,
          |         list_reduce(list(cx * cx ORDER BY il), (a, b) -> a + b) AS cn2

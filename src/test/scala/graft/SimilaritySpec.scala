@@ -73,7 +73,9 @@ class SimilaritySpec extends SparkTestBase {
       // exact re-rank over a candidate SUPERSET is monotone in recall
       r(ens) should be >= r(ivf)
       r(ens) should be >= r(lsh)
-      r(ens) should be >= 0.56 // the measured value at sf0.01 IS the floor
+      r(ens) should be >= 0.54 // the measured value at sf0.01 IS the floor
+      // (re-pinned when seeding went corpus-size-independent: stride 40 →
+      // ceil(n/13) picks 13 DIFFERENT seed vectors; 0.56 → 0.54)
     }
   }
 
@@ -81,11 +83,12 @@ class SimilaritySpec extends SparkTestBase {
     // The tuning surface future changes must not silently degrade: as
     // nprobe widens the candidate pool, recall@5 must be non-decreasing
     // (probing more lists never discards a candidate), and each point must
-    // hold its measured sf0.01 floor. Measured curve: 0.34 / 0.46 / 0.54 /
-    // 0.64 at nprobe 1..4 — a regression anywhere in the centroid pipeline,
-    // ranking, or probe logic shows up as a dropped point.
+    // hold its measured sf0.01 floor. Measured curve: 0.44 / 0.46 / 0.56 /
+    // 0.62 at nprobe 1..4 under the corpus-size-independent seeding — a
+    // regression anywhere in the centroid pipeline, ranking, or probe
+    // logic shows up as a dropped point.
     val exact = pairs(Similarity.simTopkBruteforce(spark, sf))
-    val floors = Map(1 -> 0.34, 2 -> 0.46, 3 -> 0.54, 4 -> 0.64)
+    val floors = Map(1 -> 0.44, 2 -> 0.46, 3 -> 0.56, 4 -> 0.62)
     val curve = (1 to 4).map { np =>
       np -> (exact & pairs(Similarity.simTopkIvfProbe(spark, sf, np))).size
         .toDouble / exact.size
