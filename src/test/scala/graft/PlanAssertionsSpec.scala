@@ -298,6 +298,17 @@ class PlanAssertionsSpec extends SparkTestBase {
     }
   }
 
+  test("scalable range frame: one window over the change-log, no sliding frame") {
+    // the linear form's contract: a single Window over the unioned
+    // arrive/expire relation with a GROWING frame (incremental in Spark);
+    // the sliding RANGE frame - the O(n x frame) shape - must not appear
+    val p = planOf(graft.extensions.Events.eventsRangeFrameScalable(spark, sf))
+    "Window \\[".r.findAllIn(p).size shouldBe 1
+    p should include ("unboundedpreceding")      // growing = incremental
+    p should not include "-3599999999"           // no sliding frame bound
+    "Exchange hashpartitioning".r.findAllIn(p).size shouldBe 1
+  }
+
   test("media file ingest: the binaryFile scan feeds the decode map; sort is the only exchange") {
     val p = planOf(graft.extensions.Multimodal.multimodalMediaIngestFiles(spark, sf))
     p should include ("binaryFile")
