@@ -298,6 +298,16 @@ class PlanAssertionsSpec extends SparkTestBase {
     }
   }
 
+  test("ivf: the corpus-derived seed stride joins as a ONE-row broadcast") {
+    // stride = ceil(n/k) rides in as a 1-row aggregate broadcast-joined to
+    // the vectors (the corpus-size-independent codebook seeding); it must
+    // plan as a broadcast of that single row, never a shuffle — the only
+    // nested-loop shape here is the deliberate 1-row scalar side
+    val p = planOf(graft.extensions.Similarity.simTopkIvf(spark, sf))
+    p should include ("BroadcastNestedLoopJoin")
+    p should not include "CartesianProduct"
+  }
+
   test("scalable range frame: one window over the change-log, no sliding frame") {
     // the linear form's contract: a single Window over the unioned
     // arrive/expire relation with a GROWING frame (incremental in Spark);
