@@ -304,8 +304,10 @@ object Events {
     * density and ~100× the work (sf0.1→sf1 went 1.5 s → 38 s).
     * [[eventsRangeFrameScalable]] is the same answer via an arrive/expire
     * change-log whose only window is a GROWING frame (incremental in
-    * Spark) — linear, the form a 100 TB deployment must use. Both are
-    * gated against the identical oracle. */
+    * Spark) — linear, the form a 100 TB deployment must use. The
+    * change-log form IS the registered `events_range_frame` lane; this
+    * sliding form exists only as its differential witness
+    * (`ExtensionsSpec`: both relations must be identical row-for-row). */
   def eventsRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("t_us")
       .rangeBetween(-3599999999L, 0L)
@@ -319,7 +321,9 @@ object Events {
       .orderBy("event_id")
   }
 
-  /** The linear-cost twin of [[eventsRangeFrame]] — same answer, scalable
+  /** The PRIMARY `events_range_frame` lane (round 9 — promoted over the
+    * quadratic sliding form, which remains only as a spec-level
+    * differential): same answer as [[eventsRangeFrame]], scalable
     * plan. Each event becomes TWO change-log records: an ARRIVE at its
     * own timestamp carrying (+1, +value) and an EXPIRE at
     * `t + 3 600 000 000 µs` carrying (−1, −value) — exactly when the
@@ -556,10 +560,13 @@ object Events {
     * purchase stream — the classic lifecycle-marketing cut: per user, days
     * since last purchase (vs the stream's last purchase day), purchase
     * count, and exact spend; each dimension is scored into quintiles by
-    * `ntile(5)` over a TOTAL order (user_id tiebreak — ntile is
+    * NTILE(5) over a TOTAL order (user_id tiebreak — ntile is
     * deterministic only under one) and the three digits concatenate into
-    * the segment label. One aggregation to per-user rows, then three
-    * windows over the small user relation; the reference-date scalar is a
+    * the segment label. One aggregation to per-user rows, then three exact
+    * distributed NTILE passes ([[graft.ops.Relational.withDistributedNtile]]
+    * — range exchange + partitioned rank + broadcast offsets; NO
+    * single-partition WindowExec, so the user dimension can grow 100×
+    * without a serialization point); the reference-date scalar is a
     * broadcast. R quintile 1 = most recent, F/M quintile 1 = heaviest. */
   def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.events(spark, dir).filter(col("event_type") === "purchase")
@@ -573,13 +580,19 @@ object Events {
       .select(col("user_id"),
         datediff(col("ref_day"), col("last_day")).as("recency_days"),
         col("frequency"), col("monetary"))
-    perUser
-      .withColumn("r", ntile(5).over(
-        Window.orderBy(col("recency_days").asc, col("user_id").asc)))
-      .withColumn("f", ntile(5).over(
-        Window.orderBy(col("frequency").desc, col("user_id").asc)))
-      .withColumn("m", ntile(5).over(
-        Window.orderBy(col("monetary").desc, col("user_id").asc)))
+    // Three exact-NTILE passes, each fully distributed (range exchange +
+    // partitioned ranking + broadcast offsets — Relational.withDistributedNtile)
+    // instead of `ntile(5).over(Window.orderBy(..))`, which would pull the
+    // whole user dimension into ONE task three times. Bit-identical buckets:
+    // user_id makes each ordering total, so ranks (hence NTILE's fixed
+    // rank→bucket formula) are unambiguous.
+    val withR = graft.ops.Relational.withDistributedNtile(perUser, 5, "r",
+      Seq(col("recency_days").asc, col("user_id").asc))
+    val withF = graft.ops.Relational.withDistributedNtile(withR, 5, "f",
+      Seq(col("frequency").desc, col("user_id").asc))
+    val withM = graft.ops.Relational.withDistributedNtile(withF, 5, "m",
+      Seq(col("monetary").desc, col("user_id").asc))
+    withM
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"), col("r"), col("f"), col("m"),
         concat(col("r"), col("f"), col("m")).as("segment"))
@@ -1674,20 +1687,6 @@ object Events {
         |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
-    // the scalable change-log twin must produce the IDENTICAL relation,
-    // so it is gated against the same sliding-frame oracle
-    "events_range_frame_scalable" ->
-      """WITH e AS (
-        |  SELECT event_id, event_type, epoch_us(ts) AS t_us, value FROM events
-        |)
-        |SELECT event_id, event_type,
-        |       count(*) OVER w AS n_last_hour,
-        |       CAST(round(sum(CAST(value AS DECIMAL(28,10))) OVER w, 2) AS DOUBLE) AS sum_last_hour
-        |FROM e
-        |WINDOW w AS (PARTITION BY event_type ORDER BY t_us
-        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
     "events_moving_avg" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', ts) AS day, event_type,
@@ -1784,8 +1783,11 @@ object Events {
     "events_asof_attribution" -> (eventsAsofAttribution _),
     "events_asof_custom"      -> (eventsAsofCustom _),
     "events_asof_tolerance"   -> (eventsAsofTolerance _),
-    "events_range_frame"      -> (eventsRangeFrame _),
-    "events_range_frame_scalable" -> (eventsRangeFrameScalable _),
+    // primary lane is the LINEAR change-log form (round-9 promotion: the
+    // sliding WindowExec twin is quadratic in frame density — alpha_tail
+    // 1.42 on the sf sweep — and survives only as the differential spec
+    // in ExtensionsSpec, never as a registered query)
+    "events_range_frame"      -> (eventsRangeFrameScalable _),
     "events_skew_salted"      -> (eventsSkewSalted _),
     "events_latest_per_user"  -> (eventsLatestPerUser _),
     "events_json_stats"       -> (eventsJsonStats _),

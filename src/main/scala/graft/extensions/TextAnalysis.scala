@@ -92,34 +92,131 @@ object TextAnalysis {
     * curve (clamped to the observed type count). */
   val CoverageSizes = Seq(5, 10, 20, 50)
 
+  /** Vocabulary-type-count threshold above which [[textVocabCoverage]] and
+    * [[textZipfSlope]] stop ranking the FULL vocabulary under a global
+    * window and engage the Misra–Gries screen ([[screenedTopTermCounts]]).
+    * Below it the windowed relation is at most this many rows — one task
+    * sorts it comfortably (these are the only two allowlisted global
+    * windows in `WindowPlanLintSpec`); above it, the window disappears
+    * entirely: the screen nominates ≤ [[VocabScreenK]] candidates, proves
+    * the top-N exact via the sketch's frequency floor, and the tail of the
+    * query runs over a CONSTANT-bounded driver-side relation. The driver
+    * testdata sits far below the threshold, so the DuckDB-gated lane
+    * exercises the unscreened path; `VocabScreenSpec` pins screened ≡
+    * unscreened and exercises the certificate. */
+  val VocabScreenThreshold = 100000L
+
+  /** Misra–Gries capacity for the vocabulary screen — sized so the
+    * exactness certificate in [[screenedTopTermCounts]] holds for
+    * Zipf-like corpora: a slope −1 corpus has rank-500 count ≈
+    * N/(500·ln V); k = 8192 puts the sketch floor N/(k+1) well below it,
+    * with head-room for flatter-than-Zipf tails. */
+  val VocabScreenK = 8192
+
+  /** EXACT top-`topN` (term, count) by (count desc, term asc) over a
+    * corpus whose vocabulary is too large to rank under one global window.
+    * One Misra–Gries pass ([[graft.ops.MisraGriesAggregator]], O(k) state
+    * per task, mergeable under partial aggregation) nominates ≤ k
+    * candidate terms without ever shuffling the vocabulary; the candidates
+    * then get exact counts (broadcast membership filter — only ≤ k terms
+    * reach the final aggregation), and the ranking is PROVEN exact by one
+    * of two certificates before anything is returned:
+    *
+    *  - frequency floor: every non-candidate's true count is ≤ N/(k+1)
+    *    (the sketch guarantee), so if the topN-th candidate's exact count
+    *    strictly exceeds that floor, no outside term can displace the
+    *    top N — and no boundary tie with an outside term is possible;
+    *  - full coverage: if the candidates' exact counts sum to N, the
+    *    candidate set IS the whole vocabulary (nothing was ever dropped).
+    *
+    * A corpus flat enough to break both certificates fails loudly with
+    * instructions to raise k, rather than returning silently-wrong ranks.
+    * Returns the ranked rows driver-side (≤ topN of them — bounded by a
+    * constant, the PQ-codebook pattern) plus the total token count.
+    */
+  private[graft] def screenedTopTermCounts(
+      spark: SparkSession, toks: DataFrame, topN: Int,
+      k: Int): (Seq[(String, Long)], Long) = {
+    val t = toks.select(col(toks.columns.head).as("term"))
+    val mg = udaf(new graft.ops.MisraGriesAggregator(k))
+    val screen = t.agg(mg(col("term")).as("sketch"), count(lit(1)).as("total"))
+      .select(map_keys(col("sketch")).as("cands"), col("total"))
+    val exact = t.crossJoin(broadcast(screen))
+      .filter(array_contains(col("cands"), col("term")))
+      .groupBy("term").agg(count(lit(1)).as("c"), min("total").as("total"),
+        max(size(col("cands"))).as("n_cands"))
+    val all = exact.orderBy(col("c").desc, col("term").asc)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = if (all.isEmpty) 0L else all.head._3
+    val candSum = all.iterator.map(_._2).sum
+    val top = all.take(topN)
+    val coversAll = candSum == total
+    val floorOk = top.length >= topN &&
+      top.last._2 * (k + 1L) > total // cutoff > N/(k+1), division-free
+    require(coversAll || floorOk,
+      s"Misra–Gries screen certificate failed (k=$k, topN=$topN, " +
+        s"candidates=${all.length}, total=$total): the corpus is too flat " +
+        "for this sketch capacity — raise k (VocabScreenK) so the topN-th " +
+        "candidate count exceeds the total/(k+1) floor")
+    (top.map(r => (r._1, r._2)).toSeq, total)
+  }
+
   /** Tokenizer-design analytics: what fraction of corpus tokens a top-k
     * frequency vocabulary covers, for each candidate k — the coverage
     * curve that sizes vocabularies and OOV budgets. Scale shape: the
     * corpus collapses to (type, count) in one hash aggregation (shuffle =
     * |vocab|, not |tokens|); ranking and the cumulative sum run over the
     * VOCABULARY relation — orders of magnitude smaller than the corpus,
-    * but still a global-order window: for open-domain corpora where even
-    * the vocabulary overwhelms one task, screen through the Misra–Gries
-    * heavy-hitter aggregator first ([[textHeavyHitters]]) — the curve
-    * above the screen's floor is unchanged. */
-  def textVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    * but still a global-order window. For open-domain corpora where even
+    * the vocabulary overwhelms one task, the query AUTOMATICALLY routes
+    * through the certified Misra–Gries screen once the type count exceeds
+    * [[VocabScreenThreshold]] ([[screenedTopTermCounts]]) — identical
+    * output, no global window at any scale. */
+  def textVocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    textVocabCoverageAt(spark, dir, VocabScreenThreshold)
+
+  /** [[textVocabCoverage]] with an explicit screen threshold (spec hook —
+    * `VocabScreenSpec` forces the screened path with 0 and pins it to the
+    * unscreened result). The type-count probe that picks the path is one
+    * vocabulary-sized aggregate action — the price of choosing a plan that
+    * cannot melt a task when the vocabulary outgrows one. */
+  private[graft] def textVocabCoverageAt(spark: SparkSession, dir: String,
+                                         screenAt: Long): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val tc = withToksDf(spark, dir).select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
-    val byFreq = Window.orderBy(col("c").desc, col("tok").asc)
-    val ranked = tc
-      .withColumn("rk", row_number().over(byFreq))
-      .withColumn("cum_c", sum(col("c")).over(
-        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = tc.agg(sum(col("c")).as("total"), count(lit(1)).as("n_types"))
-    CoverageSizes.toDF("vocab_size").crossJoin(broadcast(totals))
-      .withColumn("eff", least(col("vocab_size").cast("long"), col("n_types")))
-      .join(ranked, col("rk") === col("eff"))
-      .select(col("vocab_size").cast("int").as("vocab_size"),
-        col("eff").cast("long").as("effective_types"),
-        round(col("cum_c").cast("double") / col("total"), 6).as("token_coverage"))
-      .orderBy("vocab_size")
+    val toks = withToksDf(spark, dir).select(explode(col("toks")).as("tok"))
+    val tc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    if (tc.count() > screenAt) {
+      // Screened path: top-max(CoverageSizes) terms proven exact by the
+      // Misra–Gries certificate; the curve is then closed-form over ≤ 50
+      // driver-side rows. n_types > screenAt ≥ every CoverageSize, so the
+      // clamp `least(vocab_size, n_types)` is always vocab_size here.
+      val (top, total) = screenedTopTermCounts(spark, toks,
+        CoverageSizes.max, VocabScreenK)
+      val cums = top.scanLeft(0L)(_ + _._2).drop(1)
+      // same IEEE divide + round(…, 6) as the unscreened lane — the two
+      // paths must agree bit-for-bit, not just to tolerance
+      CoverageSizes.map { v =>
+        (v, v.toLong, cums(v - 1).toDouble / total.toDouble)
+      }.toDF("vocab_size", "effective_types", "cov")
+        .select(col("vocab_size"), col("effective_types"),
+          round(col("cov"), 6).as("token_coverage"))
+        .orderBy("vocab_size")
+    } else {
+      val byFreq = Window.orderBy(col("c").desc, col("tok").asc)
+      val ranked = tc
+        .withColumn("rk", row_number().over(byFreq))
+        .withColumn("cum_c", sum(col("c")).over(
+          byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val totals = tc.agg(sum(col("c")).as("total"), count(lit(1)).as("n_types"))
+      CoverageSizes.toDF("vocab_size").crossJoin(broadcast(totals))
+        .withColumn("eff", least(col("vocab_size").cast("long"), col("n_types")))
+        .join(ranked, col("rk") === col("eff"))
+        .select(col("vocab_size").cast("int").as("vocab_size"),
+          col("eff").cast("long").as("effective_types"),
+          round(col("cum_c").cast("double") / col("total"), 6).as("token_coverage"))
+        .orderBy("vocab_size")
+    }
   }
 
   /** Language-ID by marker-word counts with a fixed tiebreak priority
@@ -1011,15 +1108,38 @@ object TextAnalysis {
     * the same discipline as every float accumulation here), and the final
     * slope/intercept are a fixed chain of scalar IEEE ops. The ranking
     * window is global but over the vocabulary-sized frequency relation
-    * (WindowGroupLimit analog: top-N by count, term tiebreak). */
-  def textZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    * (WindowGroupLimit analog: top-N by count, term tiebreak); above
+    * [[VocabScreenThreshold]] types it routes through the certified
+    * Misra–Gries screen instead — see [[textZipfSlopeAt]]. */
+  def textZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    textZipfSlopeAt(spark, dir, VocabScreenThreshold)
+
+  /** [[textZipfSlope]] with an explicit screen threshold (spec hook, same
+    * contract as [[textVocabCoverageAt]]): above it the top-[[ZipfTopN]]
+    * terms come from the certified Misra–Gries screen and ranks are
+    * assigned driver-side over ≤ ZipfTopN rows — no global window at any
+    * vocabulary size; the fit expressions are shared verbatim with the
+    * unscreened lane so the two paths agree bit-for-bit. */
+  private[graft] def textZipfSlopeAt(spark: SparkSession, dir: String,
+                                     screenAt: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = withToksDf(spark, dir)
-      .select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
-    val ranked = freq
-      .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
-      .filter(col("rk") <= ZipfTopN)
+    import spark.implicits._
+    val toks = withToksDf(spark, dir).select(explode(col("toks")).as("w"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked =
+      if (freq.count() > screenAt) {
+        val (top, _) = screenedTopTermCounts(spark, toks, ZipfTopN, VocabScreenK)
+        top.zipWithIndex.map { case ((w, c), i) => (w, c, i + 1) }
+          .toDF("w", "c", "rk")
+      } else freq
+        .withColumn("rk", row_number().over(Window.orderBy(col("c").desc, col("w").asc)))
+        .filter(col("rk") <= ZipfTopN)
+    zipfFit(ranked)
+  }
+
+  /** Closed-form least-squares tail of [[textZipfSlope]] over a ranked
+    * (rk, c) relation — shared by the screened and unscreened lanes. */
+  private def zipfFit(ranked: DataFrame): DataFrame = {
     val terms = ranked.select(
         round(log(col("rk")), 9).as("x"), round(log(col("c")), 9).as("y"))
       .select(col("x"), col("y"),

@@ -109,6 +109,72 @@ object Relational {
       .groupBy("k").agg(max("len").as("longest_run"))
   }
 
+  /** Exact distributed NTILE — the scale-safe replacement for
+    * `ntile(b).over(Window.orderBy(...))`. Spark executes an un-partitioned
+    * window as a single-partition total sort ("Moving all data to a single
+    * partition"): one task holds the whole relation, so the lane melts at
+    * scale even though its per-row cost is linear. This produces the SAME
+    * buckets for any *total* `order` (include a unique tiebreak column):
+    *
+    *  1. range-exchange the rows on the sort key (`repartitionByRange`), so
+    *     partition p holds exactly the rows ranked between partitions p-1
+    *     and p+1 — no partition sees more than ~n/P rows;
+    *  2. rank locally under a PARTITIONED window (partition id captured as
+    *     a column before the window's hash exchange);
+    *  3. aggregate per-partition row counts (P rows, metadata-sized),
+    *     triangular-join them into per-partition rank offsets, and
+    *     broadcast the offsets back: global rank = offset + local rank;
+    *  4. apply NTILE's fixed formula of (rank, total): with n rows and b
+    *     buckets, the first n%b buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋.
+    *
+    * Everything is ONE plan (no driver collect between stages), so the
+    * range exchange is computed once and reused by Spark's exchange-reuse
+    * rule; RangePartitioner's boundary sampling is seeded per partition
+    * index, so even a recomputation reproduces identical partition ids.
+    * Bucket arithmetic goes through doubles — exact below 2^53 rows.
+    */
+  def withDistributedNtile(df: DataFrame, buckets: Int, outCol: String,
+                           order: Seq[Column]): DataFrame = {
+    require(buckets >= 1, s"ntile buckets must be >= 1, got $buckets")
+    val pid = freshName(df, "nt_pid")
+    val lrn = freshName(df, "nt_lrn")
+    val off = freshName(df, "nt_off")
+    val tot = freshName(df, "nt_tot")
+    val rk  = freshName(df, "nt_rank")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val cnt = freshName(df, "nt_cnt")
+    val pL  = freshName(df, "nt_p")
+    val pR  = freshName(df, "nt_q")
+    val cR  = freshName(df, "nt_d")
+    val local = df
+      .repartitionByRange(parts, order: _*)
+      .withColumn(pid, spark_partition_id())
+      .withColumn(lrn,
+        row_number().over(Window.partitionBy(col(pid)).orderBy(order: _*)))
+    val counts = local.groupBy(col(pid)).agg(count(lit(1)).as(cnt))
+    val offs = counts.select(col(pid).as(pL), col(cnt))
+      .join(broadcast(counts.select(col(pid).as(pR), col(cnt).as(cR))),
+        col(pR) < col(pL), "left")
+      .groupBy(col(pL))
+      .agg(coalesce(sum(col(cR)), lit(0L)).as(off))
+    val total = counts.agg(sum(col(cnt)).as(tot))
+    val ranked = local
+      .join(broadcast(offs), col(pid) === col(pL))
+      .crossJoin(broadcast(total))
+      .withColumn(rk, col(off) + col(lrn))
+    // NTILE formula: small = n/b rows per bucket, the first n%b buckets
+    // hold one extra row each.
+    val n = col(tot)
+    val small = floor(n / buckets)
+    val rem = n % buckets
+    val cut = rem * (small + 1) // rows covered by the big buckets
+    val bucket = when(col(rk) <= cut, floor((col(rk) - 1) / (small + 1)))
+      .otherwise(rem + floor((col(rk) - cut - 1) / greatest(small, lit(1L))))
+    ranked
+      .withColumn(outCol, (bucket + 1).cast("int"))
+      .drop(pid, lrn, off, tot, rk, pL)
+  }
+
   /** Strict-reference twin of [[longestRunPerKey]]: replays the reference's
     * Q3 quirk (Homework2.scala:206-227) where a DUPLICATE year resets the
     * streak — so `[2000, 2000, 2001]` scores 2, not a deduped 2-run.

@@ -20,6 +20,51 @@ class RelationalSpec extends SparkTestBase {
       Seq("g1", "a", 5L), Seq("g1", "b", 5L), Seq("g2", "x", 1L))
   }
 
+  // --- withDistributedNtile -------------------------------------------------
+
+  test("withDistributedNtile matches the global ntile window bit-for-bit") {
+    import org.apache.spark.sql.expressions.Window
+    // Sizes straddling the bucket-remainder cases: n % b = 0, 1, b-1, and
+    // n < b (each row its own bucket). Values deliberately collide so the
+    // id tiebreak is load-bearing.
+    for (n <- Seq(1, 3, 4, 5, 6, 23, 40, 101); b <- Seq(2, 5, 7)) {
+      val df = (0 until n)
+        .map(i => (i.toLong, (i * 37 % 11).toLong))
+        .toDF("id", "v")
+        .repartition(4)
+      val order = Seq(col("v").asc, col("id").asc)
+      val expected = df
+        .withColumn("t", ntile(b).over(Window.orderBy(order: _*)))
+        .orderBy("id").select("id", "t").collect().map(r => (r.getLong(0), r.getInt(1)))
+      val got = Relational.withDistributedNtile(df, b, "t", order)
+        .orderBy("id").select("id", "t").collect().map(r => (r.getLong(0), r.getInt(1)))
+      withClue(s"n=$n b=$b: ") { got.toSeq shouldBe expected.toSeq }
+    }
+  }
+
+  test("withDistributedNtile plan has no un-partitioned WindowExec") {
+    val df = (0 until 50).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+    val out = Relational.withDistributedNtile(df, 5, "t",
+      Seq(col("v").desc, col("id").asc))
+    val plan = out.queryExecution.executedPlan
+    val badWindows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    badWindows shouldBe empty
+  }
+
+  test("withDistributedNtile preserves caller columns named like helpers") {
+    // freshName must sidestep collisions with the helper column names.
+    val df = Seq((1L, 10L, "x"), (2L, 5L, "y"), (3L, 5L, "z"))
+      .toDF("id", "nt_rank", "nt_p")
+    val out = Relational.withDistributedNtile(df, 2, "bucket",
+      Seq(col("nt_rank").asc, col("id").asc))
+    out.columns.toSet shouldBe Set("id", "nt_rank", "nt_p", "bucket")
+    out.orderBy("id").select("bucket").collect().map(_.getInt(0)).toSeq shouldBe
+      Seq(2, 1, 1) // order by nt_rank asc,id: ids 2,3,1 → buckets 1,1,2
+  }
+
   // --- MinKDistinctAggregator ----------------------------------------------
 
   test("minKDistinct keeps the k smallest distinct values with O(k) state") {
