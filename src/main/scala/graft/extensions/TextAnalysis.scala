@@ -139,18 +139,21 @@ object TextAnalysis {
       k: Int): (Seq[(String, Long)], Long) = {
     val t = toks.select(col(toks.columns.head).as("term"))
     val mg = udaf(new graft.ops.MisraGriesAggregator(k))
-    val screen = t.agg(mg(col("term")).as("sketch"), count(lit(1)).as("total"))
-      .select(map_keys(col("sketch")).as("cands"), col("total"))
-    val exact = t.crossJoin(broadcast(screen))
-      .filter(array_contains(col("cands"), col("term")))
-      .groupBy("term").agg(count(lit(1)).as("c"), min("total").as("total"),
-        max(size(col("cands"))).as("n_cands"))
-    val all = exact.orderBy(col("c").desc, col("term").asc)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val total = if (all.isEmpty) 0L else all.head._3
-    val candSum = all.iterator.map(_._2).sum
+    // one sketch pass; the sketch itself is k-bounded, so it collects
+    val sc = t.agg(mg(col("term")).as("sketch"), count(lit(1)).as("total"))
+      .collect()(0)
+    val cands = sc.getAs[Map[String, Long]]("sketch").keys.toSeq
+    val total = sc.getAs[Long]("total")
+    // exact counts for the ≤ k candidates only (hash-set membership
+    // filter — the vocabulary tail never reaches this aggregation)
+    val all =
+      if (cands.isEmpty) Array.empty[(String, Long)]
+      else t.filter(col("term").isInCollection(cands))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term").asc)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
     val top = all.take(topN)
-    val coversAll = candSum == total
+    val coversAll = all.iterator.map(_._2).sum == total
     val floorOk = top.length >= topN &&
       top.last._2 * (k + 1L) > total // cutoff > N/(k+1), division-free
     require(coversAll || floorOk,
@@ -158,7 +161,7 @@ object TextAnalysis {
         s"candidates=${all.length}, total=$total): the corpus is too flat " +
         "for this sketch capacity — raise k (VocabScreenK) so the topN-th " +
         "candidate count exceeds the total/(k+1) floor")
-    (top.map(r => (r._1, r._2)).toSeq, total)
+    (top.toSeq, total)
   }
 
   /** Tokenizer-design analytics: what fraction of corpus tokens a top-k
@@ -186,18 +189,21 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = withToksDf(spark, dir).select(explode(col("toks")).as("tok"))
     val tc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    if (tc.count() > screenAt) {
+    val nTypes = tc.count()
+    if (nTypes > screenAt) {
       // Screened path: top-max(CoverageSizes) terms proven exact by the
       // Misra–Gries certificate; the curve is then closed-form over ≤ 50
-      // driver-side rows. n_types > screenAt ≥ every CoverageSize, so the
-      // clamp `least(vocab_size, n_types)` is always vocab_size here.
+      // driver-side rows. (The n_types clamp only bites when the spec
+      // forces the screen below the real threshold — in production
+      // n_types > screenAt ≥ every CoverageSize.)
       val (top, total) = screenedTopTermCounts(spark, toks,
         CoverageSizes.max, VocabScreenK)
       val cums = top.scanLeft(0L)(_ + _._2).drop(1)
       // same IEEE divide + round(…, 6) as the unscreened lane — the two
       // paths must agree bit-for-bit, not just to tolerance
       CoverageSizes.map { v =>
-        (v, v.toLong, cums(v - 1).toDouble / total.toDouble)
+        val eff = math.min(v.toLong, nTypes)
+        (v, eff, cums(eff.toInt - 1).toDouble / total.toDouble)
       }.toDF("vocab_size", "effective_types", "cov")
         .select(col("vocab_size"), col("effective_types"),
           round(col("cov"), 6).as("token_coverage"))
