@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DblpAnalog.queries ++ Tpch.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ Privacy.queries
+      Multimodal.queries ++ Privacy.queries ++ graft.sources.Lake.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     DblpAnalog.oracle ++ Tpch.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Events.oracle ++
-      Multimodal.oracle ++ Privacy.oracle
+      Multimodal.oracle ++ Privacy.oracle ++ graft.sources.Lake.oracle
 }

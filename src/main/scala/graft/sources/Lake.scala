@@ -1,0 +1,274 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.immutable.ListMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot/manifest lakehouse on plain parquet — the storage half of
+  * MERGE that [[graft.ops.Relational.upsert]] (the dataflow half) leaves
+  * open. The shape every open table format shares, built from public
+  * primitives only:
+  *
+  *  - DATA FILES are immutable parquet under `data/`, each clustered to a
+  *    disjoint merge-key range (`repartitionByRange` at write), with
+  *    per-file (rows, minKey, maxKey) stats in the manifest — so a MERGE
+  *    prunes to the files whose key range the updates actually touch,
+  *    exactly how Delta/Iceberg data skipping works;
+  *  - a MANIFEST per snapshot (`_manifests/v%05d.json`) lists the files
+  *    that ARE that version. Manifests are metadata-sized (one entry per
+  *    file), written to a dot-temp name and RENAMED into place: readers
+  *    never observe a partial manifest, and the rename refuses an
+  *    existing destination, which is the optimistic-concurrency commit —
+  *    two writers racing to version N+1 produce one winner and one clean
+  *    failure (HDFS rename is atomic; S3 deployments put a lock service
+  *    or conditional-put behind this same seam);
+  *  - MERGE is copy-on-write: unhit files carry over into the new
+  *    manifest BY REFERENCE (never copied, never touched — time travel to
+  *    the previous snapshot stays free), hit files are rewritten as
+  *    survivors (anti-join against updates) plus the update rows.
+  *
+  * Scale posture: the shuffled volume of a merge is |updates| + |rows in
+  * hit files| — for key-local updates that is a tiny slice of the table;
+  * the manifest list and file-stats join are metadata-sized and
+  * broadcast. Reads of a snapshot are a plain multi-file parquet scan, so
+  * all pushdown/pruning applies unchanged.
+  */
+object Lake {
+
+  /** One data file's manifest entry. minKey/maxKey are inclusive bounds of
+    * the (numeric) merge key — the pruning stats. */
+  case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+
+  /** Fresh lake root under the JVM tempdir, registered for recursive
+    * cleanup at JVM exit — every query invocation builds its own lake, so
+    * a regenerated corpus can never serve stale table state (the staged-
+    * media-cache lesson). */
+  private[graft] def freshRoot(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lake")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
+
+  /** Gated lane: storage-level COW MERGE whose post-merge relation must
+    * equal the in-memory upsert oracle. Build a lake from `orders`
+    * (8 key-range-clustered files), MERGE updates (every key ≡ 0 mod 100
+    * gets priority '0-UPDATED') plus inserts (the same rows re-keyed
+    * +100 000 000 as '9-INSERTED'), then aggregate the NEW snapshot by
+    * priority. The DuckDB oracle states the same relation over the raw
+    * table — if any COW step dropped, duplicated, or failed to replace a
+    * row, the counts diverge. Time travel, pruning, and commit atomicity
+    * are spec-gated (`LakeSpec` — a stream can't exercise them from SQL). */
+  def lakeMergeCow(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    val hits = o.filter(col("o_orderkey") % 100 === 0)
+    val updates = hits.withColumn("o_orderpriority", lit("0-UPDATED"))
+      .unionByName(hits
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderpriority", lit("9-INSERTED")))
+    t.merge(updates)
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_merge_cow" -> (lakeMergeCow _))
+
+  val oracle: Map[String, String] = Map(
+    "lake_merge_cow" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '9-INSERTED' FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** One snapshot. `operation` records provenance (create/merge) the way
+    * table formats keep a commit history. */
+  case class Manifest(version: Int, parentVersion: Int, operation: String,
+                      keyCol: String, files: Seq[FileEntry])
+
+  /** Result of a [[LakeTable.merge]] — what a COW commit did. */
+  case class MergeStats(version: Int, keptFiles: Int, rewrittenFiles: Int,
+                        addedFiles: Int, updateRows: Long)
+
+  private val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    m
+  }
+
+  /** Create version 0 from `df`, clustered on `keyCol` into `numFiles`
+    * disjoint-range files, and return the table handle. */
+  def create(spark: SparkSession, root: String, df: DataFrame, keyCol: String,
+             numFiles: Int): LakeTable = {
+    val t = new LakeTable(spark, root)
+    t.init(df, keyCol, numFiles)
+    t
+  }
+
+  private[graft] def toJson(m: Manifest): String =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ListMap(
+      "version" -> m.version, "parentVersion" -> m.parentVersion,
+      "operation" -> m.operation, "keyCol" -> m.keyCol,
+      "files" -> m.files.map(f => ListMap(
+        "path" -> f.path, "rows" -> f.rows,
+        "minKey" -> f.minKey, "maxKey" -> f.maxKey))))
+
+  private[graft] def fromJson(s: String): Manifest = {
+    val n = mapper.readTree(s)
+    import scala.jdk.CollectionConverters._
+    Manifest(
+      n.get("version").asInt(), n.get("parentVersion").asInt(),
+      n.get("operation").asText(), n.get("keyCol").asText(),
+      n.get("files").elements().asScala.map(f => FileEntry(
+        f.get("path").asText(), f.get("rows").asLong(),
+        f.get("minKey").asLong(), f.get("maxKey").asLong())).toSeq)
+  }
+}
+
+/** Handle to a [[Lake]] table rooted at `root`. See object doc for the
+  * format contract. */
+class LakeTable(spark: SparkSession, val root: String) {
+  import Lake._
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manifestDir = new Path(rootPath, "_manifests")
+  private def dataDir = new Path(rootPath, "data")
+
+  private def manifestPath(v: Int) = new Path(manifestDir, f"v$v%05d.json")
+
+  /** Highest committed snapshot version (manifests are rename-committed,
+    * so every listed file is complete). */
+  def latestVersion: Int = {
+    val st = fs.listStatus(manifestDir)
+    st.iterator.map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d{5}\\.json") => s.substring(1, 6).toInt }
+      .max
+  }
+
+  def manifest(version: Int): Manifest = {
+    val in = fs.open(manifestPath(version))
+    try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** Time travel: the relation AS OF `version` — a plain multi-file
+    * parquet scan over that manifest's files (COW keeps old files live
+    * until a retention vacuum, which this format leaves to the caller). */
+  def snapshot(version: Int): DataFrame = {
+    val m = manifest(version)
+    if (m.files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(m.files.map(f => new Path(rootPath, f.path).toString): _*)
+  }
+
+  /** Latest snapshot. */
+  def read(): DataFrame = snapshot(latestVersion)
+
+  /** The commit: write the manifest under a dot-temp name, then rename to
+    * `v%05d.json` — refusing an existing destination, so concurrent
+    * committers of the same version get one winner. */
+  private[graft] def commit(m: Manifest): Unit = {
+    fs.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
+    try out.write(toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = manifestPath(m.version)
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"lake commit lost the race for version ${m.version} at $dest")
+    }
+  }
+
+  /** Write `df` as fresh data files clustered on `keyCol` and return their
+    * manifest entries. Files land in a scratch dir first, are renamed into
+    * `data/` under fresh UUID names, and their (rows, min, max) stats come
+    * from ONE metadata-cheap scan of just the new files. */
+  private def writeDataFiles(df: DataFrame, keyCol: String,
+                             numFiles: Int): Seq[FileEntry] = {
+    val scratch = new Path(rootPath, s"_scratch-${UUID.randomUUID()}")
+    df.repartitionByRange(math.max(1, numFiles), col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(scratch.toString)
+    fs.mkdirs(dataDir)
+    val moved = fs.listStatus(scratch).toSeq
+      .filter(s => s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val dest = new Path(dataDir, s"part-${UUID.randomUUID()}.parquet")
+        require(fs.rename(s.getPath, dest), s"rename ${s.getPath} -> $dest failed")
+        dest
+      }
+    fs.delete(scratch, true)
+    if (moved.isEmpty) Seq.empty
+    else {
+      val stats = spark.read.parquet(moved.map(_.toString): _*)
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("rows"),
+          min(col(keyCol).cast("long")).as("mn"),
+          max(col(keyCol).cast("long")).as("mx"))
+        .collect()
+        .map(r => (new Path(r.getString(0)).getName,
+          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      moved.map { p =>
+        val (rows, mn, mx) = stats(p.getName)
+        FileEntry(s"data/${p.getName}", rows, mn, mx)
+      }
+    }
+  }
+
+  private[sources] def init(df: DataFrame, keyCol: String, numFiles: Int): Unit = {
+    val files = writeDataFiles(df, keyCol, numFiles)
+    commit(Manifest(0, -1, "create", keyCol, files))
+  }
+
+  /** Copy-on-write MERGE of `updates` (same schema as the table) on the
+    * table's key: rows matching an existing key replace it, new keys
+    * insert — [[graft.ops.Relational.upsert]] semantics at the storage
+    * level. Only files whose [min,max] key range intersects an update key
+    * are rewritten; everything else carries into the new snapshot by
+    * reference. The previous snapshot remains readable (time travel). */
+  def merge(updates: DataFrame, newFileCountHint: Int = 0): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val keyCol = m.keyCol
+    // file pruning: an update key hits a file iff it falls in the file's
+    // key range — ranges are metadata-sized and broadcast
+    val ranges = m.files.zipWithIndex.map { case (f, i) => (i, f.minKey, f.maxKey) }
+    val rangesDf = spark.createDataFrame(ranges).toDF("fidx", "mn", "mx")
+    val hitIdx = updates.select(col(keyCol).cast("long").as("k")).distinct()
+      .join(broadcast(rangesDf),
+        col("k") >= col("mn") && col("k") <= col("mx"))
+      .select("fidx").distinct().collect().map(_.getInt(0)).toSet
+    val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+    val updateRows = updates.count()
+    val rewritten =
+      if (hit.isEmpty) updates
+      else {
+        val hitDf = spark.read.parquet(
+          hit.map { case (f, _) => new Path(rootPath, f.path).toString }: _*)
+        hitDf.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      }
+    val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
+    val newFiles = writeDataFiles(rewritten, keyCol, hint)
+    commit(Manifest(v + 1, v, "merge", keyCol,
+      kept.map(_._1) ++ newFiles))
+    MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** The snapshot/manifest lakehouse (graft.sources.Lake): COW MERGE
+  * equivalence with the in-memory upsert, time travel to the pre-merge
+  * snapshot, file pruning by manifest key ranges, insert-only merges, and
+  * commit atomicity under a version race. */
+class LakeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def mkTable() = {
+    // 90 rows over keys 1..90, three disjoint-range files (1-30, 31-60, 61-90)
+    val df = (1L to 90L).map(k => (k, s"val$k", "A")).toDF("k", "payload", "status")
+    Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+  }
+
+  test("create → read roundtrip preserves the relation") {
+    val t = mkTable()
+    t.latestVersion shouldBe 0
+    t.read().count() shouldBe 90L
+    t.read().agg(min("k"), max("k")).collect()(0).toSeq shouldBe Seq(1L, 90L)
+    val m = t.manifest(0)
+    m.files should have size 3
+    // disjoint, fully-covering key ranges — the pruning contract
+    val ranges = m.files.map(f => (f.minKey, f.maxKey)).sortBy(_._1)
+    ranges.head._1 shouldBe 1L
+    ranges.last._2 shouldBe 90L
+    ranges.sliding(2).foreach { case Seq((_, hi), (lo, _)) => lo should be > hi }
+  }
+
+  test("COW merge equals the in-memory upsert; previous snapshot still readable") {
+    val t = mkTable()
+    val target = t.read()
+    val updates = Seq((5L, "NEW5", "U"), (42L, "NEW42", "U"), (200L, "INS200", "I"))
+      .toDF("k", "payload", "status")
+    val stats = t.merge(updates)
+    stats.version shouldBe 1
+    stats.updateRows shouldBe 3L
+    // storage result ≡ dataflow result
+    val expected = rows(graft.ops.Relational.upsert(target, updates, Seq("k")).orderBy("k"))
+    rows(t.read().orderBy("k")) shouldBe expected
+    // time travel: version 0 is untouched by the merge
+    rows(t.snapshot(0).orderBy("k")) shouldBe rows(target.orderBy("k"))
+    t.snapshot(0).count() shouldBe 90L
+    t.read().count() shouldBe 91L
+  }
+
+  test("manifest key ranges prune unhit files: only intersecting files rewrite") {
+    val t = mkTable()
+    val v0Files = t.manifest(0).files.map(_.path).toSet
+    // keys 5 and 7 live in the first file's range only
+    val updates = Seq((5L, "NEW5", "U"), (7L, "NEW7", "U")).toDF("k", "payload", "status")
+    val stats = t.merge(updates)
+    stats.rewrittenFiles shouldBe 1
+    stats.keptFiles shouldBe 2
+    val v1Files = t.manifest(1).files.map(_.path).toSet
+    // the two kept files carry over BY REFERENCE — same paths, never copied
+    (v0Files intersect v1Files) should have size 2
+    // and the rewritten v0 file still exists on disk for time travel
+    val fs = new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    v0Files.foreach { p => fs.exists(new Path(t.root, p)) shouldBe true }
+    rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "NEW5", "U"))
+    t.read().count() shouldBe 90L
+  }
+
+  test("insert-only merge rewrites nothing") {
+    val t = mkTable()
+    val stats = t.merge(Seq((1000L, "INS", "I")).toDF("k", "payload", "status"))
+    stats.rewrittenFiles shouldBe 0
+    stats.keptFiles shouldBe 3
+    t.read().count() shouldBe 91L
+  }
+
+  test("a second committer of the same version loses the race loudly") {
+    val t = mkTable()
+    // a racing writer lands version 1 first (a valid carry-over manifest)…
+    val fs = new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val racing = t.manifest(0).copy(version = 1, parentVersion = 0, operation = "merge")
+    val out = fs.create(new Path(t.root, "_manifests/v00001.json"), false)
+    out.write(Lake.toJson(racing).getBytes); out.close()
+    // …so OUR commit of version 1 (decided before the race was visible)
+    // must refuse rather than clobber the winner
+    intercept[java.util.ConcurrentModificationException] {
+      t.commit(t.manifest(0).copy(version = 1, parentVersion = 0,
+        operation = "merge"))
+    }
+    // the winner's version stays intact and readable
+    t.latestVersion shouldBe 1
+    t.read().count() shouldBe 90L
+  }
+
+  test("chained merges: each snapshot remains readable at its own version") {
+    val t = mkTable()
+    t.merge(Seq((1L, "A1", "U")).toDF("k", "payload", "status"))
+    t.merge(Seq((1L, "A2", "U")).toDF("k", "payload", "status"))
+    t.latestVersion shouldBe 2
+    rows(t.snapshot(0).filter(col("k") === 1L)) shouldBe Seq(Seq(1L, "val1", "A"))
+    rows(t.snapshot(1).filter(col("k") === 1L)) shouldBe Seq(Seq(1L, "A1", "U"))
+    rows(t.snapshot(2).filter(col("k") === 1L)) shouldBe Seq(Seq(1L, "A2", "U"))
+    t.manifest(2).parentVersion shouldBe 1
+    t.manifest(2).operation shouldBe "merge"
+  }
+}
