@@ -2585,4 +2585,551 @@ object Codecs {
     }
     BmpImage(sw, sh, rgb)
   }
+
+  // --- FLAC (RFC 9639 subset: 16-bit, CONSTANT/VERBATIM/FIXED, Rice) -------
+
+  /** Decoded-sample cap for FLAC: header-declared totals are attacker-
+    * controlled, so bound `totalSamples × channels` before any allocation
+    * (the MaxPixels discipline for audio). 2^23 samples = 16 MiB PCM. */
+  private val MaxFlacSamples = 1L << 23
+
+  /** CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — the FLAC frame-header
+    * checksum. Bitwise, MSB-first; headers are tens of bytes, so no table. */
+  private[graft] def flacCrc8(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x¹⁶+x¹⁵+x²+1 (0x8005), init 0 — the FLAC whole-
+    * frame checksum. */
+  private[graft] def flacCrc16(bytes: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) { crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff; b += 1 }
+      i += 1
+    }
+    crc
+  }
+
+  /** Plain MSB-first bit writer (no byte stuffing — FLAC is not JPEG). */
+  private final class FlacBitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def put(bits: Long, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((bits >> i) & 1L).toInt
+        n += 1
+        if (n == 8) { out.write(acc); acc = 0; n = 0 }
+        i -= 1
+      }
+    }
+    /** Unary per FLAC: q zero bits then a one bit. */
+    def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
+    def alignZero(): Unit = if (n > 0) put(0, 8 - n)
+    def bytes: Array[Byte] = { alignZero(); out.toByteArray }
+  }
+
+  /** Plain MSB-first bit reader with truncation checks. */
+  private final class FlacBitReader(bytes: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        require(pos < bytes.length, "truncated FLAC bitstream")
+        acc = bytes(pos) & 0xff; pos += 1; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def readBits(len: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < len) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(len: Int): Int = {
+      val v = readBits(len)
+      (if ((v & (1L << (len - 1))) != 0) v - (1L << len) else v).toInt
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) { q += 1; require(q <= (1 << 20), "runaway unary") }
+      q
+    }
+    def align(): Unit = n = 0
+  }
+
+  /** Stereo decorrelation modes for [[flacEncode]]. */
+  val FlacIndependent = 0
+  val FlacLeftSide = 1
+  val FlacRightSide = 2
+  val FlacMidSide = 3
+
+  /** Encode 16-bit PCM as a FLAC stream: STREAMINFO (with the PCM MD5) +
+    * fixed-blocksize frames. Per block and channel the encoder picks the
+    * cheapest of CONSTANT, FIXED order 0–2 (Rice-coded residuals,
+    * partition order 0, escape when raw is smaller), and VERBATIM — the
+    * honest subset of the public spec that a pure-JVM decoder can check
+    * end-to-end (CRC-8, CRC-16, MD5). `stereoMode` exercises the
+    * left/side / right/side / mid/side decorrelation paths (2ch only). */
+  def flacEncode(sampleRate: Int, samples: Array[Short], channels: Int = 1,
+                 blockSize: Int = 4096, stereoMode: Int = FlacIndependent): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"unsupported channels $channels")
+    require(samples.length % channels == 0, "ragged channel interleave")
+    require(blockSize >= 16 && blockSize <= 65535, s"bad blockSize $blockSize")
+    require(stereoMode == FlacIndependent || channels == 2,
+      "stereo decorrelation needs exactly 2 channels")
+    val nPerCh = samples.length / channels
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO: last-block flag set (no other metadata), type 0, len 34
+    val si = new FlacBitWriter
+    si.put(blockSize, 16); si.put(blockSize, 16) // min/max block size
+    si.put(0, 24); si.put(0, 24)                 // min/max frame size unknown
+    si.put(sampleRate, 20)
+    si.put(channels - 1, 3)
+    si.put(15, 5)                                // bits per sample − 1
+    si.put(nPerCh, 36)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    md5.update(pcm.array())
+    val siBytes = si.bytes ++ md5.digest()
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    out.write(siBytes, 0, siBytes.length)
+    var frame = 0
+    var off = 0
+    while (off < nPerCh) { // an empty stream has STREAMINFO and no frames
+      val bs = math.min(blockSize, nPerCh - off)
+      out.write(flacFrame(frame, bs, sampleRate, channels, stereoMode,
+        samples, off))
+      off += bs
+      frame += 1
+    }
+    out.toByteArray
+  }
+
+  /** One FLAC frame: header (explicit 16-bit blocksize, rate from
+    * STREAMINFO, CRC-8) + one subframe per channel + padding + CRC-16. */
+  private def flacFrame(frameIdx: Int, bs: Int, rate: Int, channels: Int,
+                        stereoMode: Int, samples: Array[Short], off: Int): Array[Byte] = {
+    val w = new FlacBitWriter
+    w.put(0x3ffe, 14) // sync
+    w.put(0, 1)       // reserved
+    w.put(0, 1)       // fixed-blocksize stream, frame number coded
+    w.put(7, 4)       // blocksize: 16-bit value − 1 follows header
+    w.put(0, 4)       // sample rate: from STREAMINFO
+    val chanAssign = stereoMode match {
+      case FlacIndependent => channels - 1
+      case FlacLeftSide => 8
+      case FlacRightSide => 9
+      case FlacMidSide => 10
+    }
+    w.put(chanAssign, 4)
+    w.put(4, 3)       // sample size: 16-bit
+    w.put(0, 1)       // reserved
+    // UTF-8-style coded frame number
+    flacPutCodedNumber(w, frameIdx.toLong)
+    w.put(bs - 1, 16)
+    val headBytes = w.bytes // aligned by construction
+    val w2 = new FlacBitWriter
+    w2.out.write(headBytes, 0, headBytes.length)
+    w2.put(flacCrc8(headBytes, 0, headBytes.length), 8)
+    // per-channel planes under the chosen decorrelation
+    val planes: Seq[(Array[Int], Int)] = stereoMode match {
+      case FlacIndependent =>
+        (0 until channels).map { c =>
+          (Array.tabulate(bs)(i => samples(off * channels + i * channels + c).toInt), 16)
+        }
+      case _ =>
+        val l = Array.tabulate(bs)(i => samples(off * 2 + i * 2).toInt)
+        val r = Array.tabulate(bs)(i => samples(off * 2 + i * 2 + 1).toInt)
+        val side = Array.tabulate(bs)(i => l(i) - r(i))
+        stereoMode match {
+          case FlacLeftSide  => Seq((l, 16), (side, 17))
+          case FlacRightSide => Seq((side, 17), (r, 16))
+          case FlacMidSide   =>
+            val mid = Array.tabulate(bs)(i => (l(i) + r(i)) >> 1)
+            Seq((mid, 16), (side, 17))
+        }
+    }
+    planes.foreach { case (plane, bps) => flacSubframe(w2, plane, bps) }
+    w2.alignZero()
+    val body = w2.out.toByteArray
+    val w3 = new java.io.ByteArrayOutputStream()
+    w3.write(body, 0, body.length)
+    val c16 = flacCrc16(body, 0, body.length)
+    w3.write((c16 >> 8) & 0xff); w3.write(c16 & 0xff)
+    w3.toByteArray
+  }
+
+  /** FLAC UTF-8-style coded number: ≤ 36-bit value in 1–7 bytes. */
+  private def flacPutCodedNumber(w: FlacBitWriter, v: Long): Unit = {
+    if (v < 0x80) { w.put(v, 8); return }
+    var nBytes = 2
+    while (nBytes < 7 && v >= (1L << (nBytes match {
+      case 2 => 11; case 3 => 16; case 4 => 21; case 5 => 26; case 6 => 31
+    }))) nBytes += 1
+    val payloadBitsFirst = 8 - nBytes - 1 // 0 when nBytes == 7
+    val contBits = 6 * (nBytes - 1)
+    // header byte: nBytes ones, a zero, top payload bits
+    w.put((0xff << (8 - nBytes)) & 0xff | ((v >> contBits) & ((1 << payloadBitsFirst) - 1)).toInt, 8)
+    var i = nBytes - 2
+    while (i >= 0) {
+      w.put(0x80L | ((v >> (6 * i)) & 0x3f), 8)
+      i -= 1
+    }
+  }
+
+  private def flacReadCodedNumber(br: FlacBitReader): Long = {
+    val first = br.readBits(8).toInt
+    if ((first & 0x80) == 0) return first.toLong
+    var nBytes = 0
+    var mask = 0x80
+    while (nBytes < 8 && (first & mask) != 0) { nBytes += 1; mask >>= 1 }
+    require(nBytes >= 2 && nBytes <= 7, f"bad coded-number lead byte $first%02x")
+    var v: Long = first & (0x7f >> nBytes)
+    var i = 1
+    while (i < nBytes) {
+      val c = br.readBits(8).toInt
+      require((c & 0xc0) == 0x80, f"bad coded-number continuation $c%02x")
+      v = (v << 6) | (c & 0x3f)
+      i += 1
+    }
+    v
+  }
+
+  /** Encode one subframe: cheapest of CONSTANT / FIXED 0–2 / VERBATIM. */
+  private def flacSubframe(w: FlacBitWriter, s: Array[Int], bps: Int): Unit = {
+    val bs = s.length
+    if (bs > 0 && s.forall(_ == s(0))) {
+      w.put(0, 1); w.put(0, 6); w.put(0, 1) // CONSTANT, no wasted bits
+      w.put(s(0).toLong & ((1L << bps) - 1), bps)
+      return
+    }
+    // candidate FIXED orders with their residuals and best Rice cost
+    case class Cand(order: Int, res: Array[Int], k: Int, bits: Long, escape: Int)
+    val cands = (0 to 2).filter(_ <= bs - 1).map { o =>
+      val res = flacFixedResidual(s, o)
+      val (k, esc, bits) = flacBestRice(res)
+      Cand(o, res, k, bits + o.toLong * bps, esc)
+    }
+    val best = cands.minBy(_.bits)
+    val verbatimBits = bs.toLong * bps
+    if (best.bits >= verbatimBits) {
+      w.put(0, 1); w.put(1, 6); w.put(0, 1) // VERBATIM
+      s.foreach(v => w.put(v.toLong & ((1L << bps) - 1), bps))
+    } else {
+      w.put(0, 1); w.put(8 | best.order, 6); w.put(0, 1) // FIXED order o
+      var i = 0
+      while (i < best.order) { w.put(s(i).toLong & ((1L << bps) - 1), bps); i += 1 }
+      w.put(0, 2) // residual method: 4-bit Rice
+      w.put(0, 4) // partition order 0
+      if (best.escape >= 0) {
+        w.put(0xf, 4)            // escape
+        w.put(best.escape, 5)    // raw bit width
+        best.res.foreach(v => w.put(v.toLong & ((1L << best.escape) - 1), best.escape))
+      } else {
+        w.put(best.k, 4)
+        best.res.foreach { v =>
+          val u = (v << 1) ^ (v >> 31)
+          w.putUnary(u >>> best.k)
+          if (best.k > 0) w.put(u.toLong & ((1L << best.k) - 1), best.k)
+        }
+      }
+    }
+  }
+
+  /** Residual of the order-o fixed predictor (o ∈ 0..4). */
+  private[graft] def flacFixedResidual(s: Array[Int], o: Int): Array[Int] = {
+    val n = s.length - o
+    val res = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val j = i + o
+      res(i) = o match {
+        case 0 => s(j)
+        case 1 => s(j) - s(j - 1)
+        case 2 => s(j) - 2 * s(j - 1) + s(j - 2)
+        case 3 => s(j) - 3 * s(j - 1) + 3 * s(j - 2) - s(j - 3)
+        case 4 => s(j) - 4 * s(j - 1) + 6 * s(j - 2) - 4 * s(j - 3) + s(j - 4)
+      }
+      i += 1
+    }
+    res
+  }
+
+  /** Best 4-bit Rice parameter (or raw escape) for a residual array:
+    * returns (k, escapeWidth or −1, totalBits). */
+  private def flacBestRice(res: Array[Int]): (Int, Int, Long) = {
+    var bestK = 0
+    var bestBits = Long.MaxValue
+    var k = 0
+    while (k <= 14) {
+      var bits = 0L
+      var i = 0
+      while (i < res.length) {
+        val u = (res(i) << 1) ^ (res(i) >> 31)
+        bits += (u >>> k) + 1 + k
+        i += 1
+      }
+      if (bits < bestBits) { bestBits = bits; bestK = k }
+      k += 1
+    }
+    // raw escape: enough bits for the widest residual, signed
+    var width = 1
+    res.foreach { v =>
+      val need = 33 - Integer.numberOfLeadingZeros(if (v < 0) ~v else v)
+      if (need > width) width = need
+    }
+    // the escape pays 5 extra header bits (raw width) over the Rice branch
+    val escBits = res.length.toLong * width + 5
+    if (escBits < bestBits) (0, width, escBits) else (bestK, -1, bestBits)
+  }
+
+  /** Decode a FLAC stream (the [[flacEncode]] subset plus general Rice
+    * partitions, wasted bits, and all four channel assignments for
+    * 16-bit streams). Verifies the frame-header CRC-8, the whole-frame
+    * CRC-16, the STREAMINFO sample total, and the PCM MD5 when set.
+    * Throws IllegalArgumentException on LPC subframes (outside the
+    * subset), geometry bombs (before allocation), bad sync, or any
+    * checksum mismatch. */
+  def flacDecode(bytes: Array[Byte]): WavAudio = {
+    require(bytes.length >= 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C', "not a FLAC stream")
+    var pos = 4
+    var sampleRate = 0
+    var channels = 0
+    var totalSamples = 0L
+    var md5Expected: Array[Byte] = null
+    var minBlock = 0
+    var sawStreamInfo = false
+    var last = false
+    while (!last) {
+      require(pos + 4 <= bytes.length, "truncated metadata header")
+      val h = bytes(pos) & 0xff
+      last = (h & 0x80) != 0
+      val btype = h & 0x7f
+      val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
+        (bytes(pos + 3) & 0xff)
+      pos += 4
+      require(pos + len <= bytes.length, "truncated metadata block")
+      if (btype == 0) {
+        require(!sawStreamInfo, "duplicate STREAMINFO")
+        require(len == 34, s"bad STREAMINFO length $len")
+        val br = new FlacBitReader(bytes, pos)
+        minBlock = br.readBits(16).toInt
+        br.readBits(16); br.readBits(24); br.readBits(24)
+        sampleRate = br.readBits(20).toInt
+        channels = br.readBits(3).toInt + 1
+        val bps = br.readBits(5).toInt + 1
+        require(bps == 16, s"unsupported bits-per-sample $bps (16-bit subset)")
+        totalSamples = br.readBits(36)
+        md5Expected = java.util.Arrays.copyOfRange(bytes, pos + 18, pos + 34)
+        sawStreamInfo = true
+      } else require(sawStreamInfo, "first metadata block must be STREAMINFO")
+      pos += len
+    }
+    require(sawStreamInfo, "missing STREAMINFO")
+    require(sampleRate > 0, "bad sample rate")
+    require(minBlock >= 16, s"bad block size $minBlock")
+    require(totalSamples * channels <= MaxFlacSamples,
+      s"unsupported stream: ${totalSamples}×$channels samples")
+    val out = new java.util.ArrayList[Array[Int]]()
+    var decoded = 0L
+    var expectFrame = 0L
+    while (pos < bytes.length && (totalSamples == 0 || decoded < totalSamples)) {
+      val frameStart = pos
+      val br = new FlacBitReader(bytes, pos)
+      require(br.readBits(14) == 0x3ffe, "bad frame sync")
+      require(br.readBits(1) == 0, "reserved bit set")
+      val variable = br.readBits(1) == 1
+      val bsCode = br.readBits(4).toInt
+      val srCode = br.readBits(4).toInt
+      val chanAssign = br.readBits(4).toInt
+      val ssCode = br.readBits(3).toInt
+      require(br.readBits(1) == 0, "reserved bit set")
+      require(ssCode == 0 || ssCode == 4, s"sample-size code $ssCode ≠ 16-bit")
+      val coded = flacReadCodedNumber(br)
+      if (variable) require(coded == decoded, s"sample number $coded ≠ $decoded")
+      else { require(coded == expectFrame, s"frame number $coded ≠ $expectFrame") }
+      val bs = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => br.readBits(8).toInt + 1
+        case 7 => br.readBits(16).toInt + 1
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => throw new IllegalArgumentException("reserved blocksize code")
+      }
+      srCode match {
+        case 0 => // from STREAMINFO
+        case c if c >= 1 && c <= 11 => // table rate; value irrelevant here
+        case 12 => br.readBits(8)
+        case 13 | 14 => br.readBits(16)
+        case _ => throw new IllegalArgumentException("invalid sample-rate code")
+      }
+      val headerEnd = br.pos // byte-aligned: all header fields are whole bytes
+      require(br.readBits(8).toInt == flacCrc8(bytes, frameStart, headerEnd),
+        "frame header CRC-8 mismatch")
+      require((decoded + bs) * channels <= MaxFlacSamples,
+        "stream overruns the decoded-sample cap")
+      val nCh = if (chanAssign <= 7) chanAssign + 1 else 2
+      require(nCh == channels, s"frame channels $nCh ≠ STREAMINFO $channels")
+      val planes = (0 until nCh).map { c =>
+        val bps = chanAssign match {
+          case 8 => if (c == 1) 17 else 16  // left/side
+          case 9 => if (c == 0) 17 else 16  // side/right
+          case 10 => if (c == 1) 17 else 16 // mid/side
+          case _ => 16
+        }
+        flacReadSubframe(br, bs, bps)
+      }
+      br.align()
+      val crcEnd = br.pos
+      require(crcEnd + 2 <= bytes.length, "truncated at frame CRC-16")
+      val c16 = ((bytes(crcEnd) & 0xff) << 8) | (bytes(crcEnd + 1) & 0xff)
+      require(c16 == flacCrc16(bytes, frameStart, crcEnd), "frame CRC-16 mismatch")
+      pos = crcEnd + 2
+      // undo stereo decorrelation
+      val chans: Seq[Array[Int]] = chanAssign match {
+        case 8 => // left, side → left, left − side
+          val l = planes(0); val s = planes(1)
+          Seq(l, Array.tabulate(bs)(i => l(i) - s(i)))
+        case 9 => // side, right → side + right, right
+          val s = planes(0); val r = planes(1)
+          Seq(Array.tabulate(bs)(i => s(i) + r(i)), r)
+        case 10 => // mid, side
+          val m = planes(0); val s = planes(1)
+          val l = Array.tabulate(bs) { i =>
+            val sum = (m(i) << 1) | (s(i) & 1)
+            (sum + s(i)) >> 1
+          }
+          Seq(l, Array.tabulate(bs)(i => l(i) - s(i)))
+        case _ => planes
+      }
+      val inter = new Array[Int](bs * channels)
+      var i = 0
+      while (i < bs) {
+        var c = 0
+        while (c < channels) {
+          val v = chans(c)(i)
+          require(v >= Short.MinValue && v <= Short.MaxValue, s"sample $v out of 16-bit range")
+          inter(i * channels + c) = v
+          c += 1
+        }
+        i += 1
+      }
+      out.add(inter)
+      decoded += bs
+      expectFrame += 1
+    }
+    require(totalSamples == 0 || decoded == totalSamples,
+      s"decoded $decoded of $totalSamples samples")
+    val all = new Array[Short]((decoded * channels).toInt)
+    var w = 0
+    out.forEach { fr => fr.foreach { v => all(w) = v.toShort; w += 1 } }
+    if (md5Expected != null && md5Expected.exists(_ != 0)) {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      val pcm = java.nio.ByteBuffer.allocate(all.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      all.foreach(pcm.putShort)
+      md5.update(pcm.array())
+      require(java.util.Arrays.equals(md5.digest(), md5Expected),
+        "PCM MD5 mismatch")
+    }
+    WavAudio(sampleRate, all, channels)
+  }
+
+  /** One subframe: CONSTANT / VERBATIM / FIXED 0–4 with general Rice
+    * partitions (methods 00/01, any partition order, escapes) and wasted
+    * bits. LPC rejects — outside the published subset. */
+  private def flacReadSubframe(br: FlacBitReader, bs: Int, bpsIn: Int): Array[Int] = {
+    require(br.readBits(1) == 0, "subframe pad bit set")
+    val t = br.readBits(6).toInt
+    var wasted = 0
+    if (br.readBits(1) == 1) {
+      wasted = 1
+      while (br.readBit() == 0) { wasted += 1; require(wasted < 32, "runaway wasted bits") }
+    }
+    val bps = bpsIn - wasted
+    require(bps >= 1, "wasted bits exceed sample size")
+    val s: Array[Int] =
+      if (t == 0) { val v = br.readSigned(bps); Array.fill(bs)(v) }
+      else if (t == 1) Array.fill(bs)(br.readSigned(bps))
+      else if ((t & 0x38) == 0x08 && (t & 0x07) <= 4) {
+        val order = t & 0x07
+        require(order <= bs, s"FIXED order $order > blocksize $bs")
+        val out = new Array[Int](bs)
+        var i = 0
+        while (i < order) { out(i) = br.readSigned(bps); i += 1 }
+        flacReadResidual(br, bs, order, out)
+        out
+      } else if ((t & 0x20) != 0)
+        throw new IllegalArgumentException("LPC subframe outside supported subset")
+      else throw new IllegalArgumentException(f"reserved subframe type $t%02x")
+    if (wasted > 0) { var i = 0; while (i < bs) { s(i) <<= wasted; i += 1 } }
+    s
+  }
+
+  /** Rice residual into out(order until bs), applying the fixed predictor. */
+  private def flacReadResidual(br: FlacBitReader, bs: Int, order: Int,
+                               out: Array[Int]): Unit = {
+    val method = br.readBits(2).toInt
+    require(method <= 1, s"reserved residual method $method")
+    val pBits = if (method == 0) 4 else 5
+    val escape = (1 << pBits) - 1
+    val pOrder = br.readBits(4).toInt
+    val parts = 1 << pOrder
+    require(bs % parts == 0 && bs / parts > order,
+      s"bad partition order $pOrder for blocksize $bs, predictor order $order")
+    var idx = order
+    var p = 0
+    while (p < parts) {
+      val cnt = (bs >> pOrder) - (if (p == 0) order else 0)
+      val param = br.readBits(pBits).toInt
+      if (param == escape) {
+        val width = br.readBits(5).toInt
+        var i = 0
+        while (i < cnt) {
+          out(idx) = if (width == 0) 0 else br.readSigned(width)
+          idx += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < cnt) {
+          val q = br.readUnary()
+          val u = (q.toLong << param) | br.readBits(param)
+          val v = ((u >>> 1) ^ -(u & 1L)).toInt
+          out(idx) = v
+          idx += 1; i += 1
+        }
+      }
+      p += 1
+    }
+    // reconstruct through the fixed predictor
+    var j = order
+    while (j < bs) {
+      out(j) = order match {
+        case 0 => out(j)
+        case 1 => out(j) + out(j - 1)
+        case 2 => out(j) + 2 * out(j - 1) - out(j - 2)
+        case 3 => out(j) + 3 * out(j - 1) - 3 * out(j - 2) + out(j - 3)
+        case 4 => out(j) + 4 * out(j - 1) - 6 * out(j - 2) + 4 * out(j - 3) - out(j - 4)
+      }
+      j += 1
+    }
+  }
 }

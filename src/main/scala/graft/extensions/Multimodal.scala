@@ -217,6 +217,42 @@ object Multimodal {
       }
   }
 
+  /** FLAC sample lattice for doc `d`: `64 + (d mod 5)·192` 16-bit samples
+    * in 128-sample blocks. Every third block (block mod 3 = 2) is CONSTANT
+    * at `d mod 100`; the rest follow `((d·31 + k·17) mod 4001) − 2000` —
+    * a pure integer closed form the DuckDB oracle replays sample-for-
+    * sample (FLAC is lossless, so decode ≡ lattice exactly). The mix
+    * forces the encoder through CONSTANT and FIXED subframes and a
+    * partial final frame on most docs. */
+  def flacSpec(d: Long): Array[Short] = {
+    val n = 64 + (d % 5).toInt * 192
+    Array.tabulate(n) { k =>
+      if ((k / FlacLakeBlock) % 3 == 2) (d % 100).toShort
+      else ((d * 31 + k.toLong * 17) % 4001 - 2000).toShort
+    }
+  }
+
+  /** Block size for [[flacLake]] — small enough that every doc spans
+    * multiple frames (frame-boundary coverage at lake scale). */
+  val FlacLakeBlock = 128
+
+  /** The FLAC lake: every doc as a real FLAC stream of [[flacSpec]] —
+    * Rice-coded lossless audio with CRC-8/CRC-16/MD5 integrity, the
+    * "modern lossless codec" lane next to the telephony µ-law one. */
+  def flacLake(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    Tables.fanOut(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.map { d =>
+            MediaRecord(d, "audio/flac",
+              Codecs.flacEncode(SampleRate, flacSpec(d), 1, FlacLakeBlock))
+          }
+        }
+      }
+  }
+
   /** The GIF lake: every doc as a real single-frame GIF of [[gifSpec]],
     * container variant keyed `doc_id mod 4` — plain 87a, 89a with a
     * graphic-control extension (the block-skip path), 87a interlaced (the
@@ -931,6 +967,37 @@ object Multimodal {
           batch.iterator.flatMap { m =>
             try {
               val a = Codecs.wavDecode(m.payload)
+              var peak = 0L; var energy = 0L
+              a.samples.foreach { s =>
+                val v = s.toLong
+                if (math.abs(v) > peak) peak = math.abs(v)
+                energy += v * v
+              }
+              Some(AudioStats(m.media_id, a.samples.length.toLong, a.sampleRate,
+                a.channels, peak, energy))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  /** Real FLAC decode over the [[flacLake]]: metadata walk, frame-header
+    * CRC-8, Rice/FIXED subframe reconstruction, frame CRC-16, and the
+    * STREAMINFO PCM MD5 — every clip fully integrity-checked before its
+    * stats count. FLAC is lossless, so the oracle replays the closed-form
+    * lattice exactly; any predictor, Rice, CRC, or block-boundary bug in
+    * either direction breaks peak AND energy. Batched stateless map like
+    * every decode lane — no shuffle before the output sort. */
+  def multimodalDecodeFlac(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    flacLake(spark, dir)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val a = Codecs.flacDecode(m.payload)
               var peak = 0L; var energy = 0L
               a.samples.foreach { s =>
                 val v = s.toLong
@@ -2147,6 +2214,27 @@ object Multimodal {
         |       CAST(sum(val * val) AS BIGINT) AS energy
         |FROM s GROUP BY media_id, v, ns ORDER BY media_id""".stripMargin,
 
+    // FLAC oracle: lossless codec, so the decoded samples ARE the closed-
+    // form lattice — the oracle regenerates it in pure integer SQL and
+    // aggregates. Any Rice/predictor/CRC/block-boundary bug on the encode
+    // OR decode side (or a clip silently dropped by an integrity check)
+    // breaks n_samples, peak, or energy.
+    "multimodal_decode_flac" ->
+      s"""WITH aud AS (
+         |  SELECT doc_id AS media_id, 64 + (doc_id % 5) * 192 AS n FROM documents
+         |), s AS (
+         |  SELECT media_id, n,
+         |         CASE WHEN ((k.i // ${FlacLakeBlock}) % 3) = 2 THEN media_id % 100
+         |              ELSE ((media_id * 31 + k.i * 17) % 4001) - 2000 END AS val
+         |  FROM aud, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) k
+         |)
+         |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+         |       CAST(8000 AS INTEGER) AS sample_rate,
+         |       CAST(1 AS INTEGER) AS channels,
+         |       CAST(max(abs(val)) AS BIGINT) AS peak,
+         |       CAST(sum(val * val) AS BIGINT) AS energy
+         |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+
     // µ-law oracle: the stored code bytes are the closed form, so the
     // decoded sample is the CCITT expansion u = 255 - b; t = ((u mod 16)*8
     // + 132) << ((u div 16) mod 8); sample = ±(t - 132) — pure integer SQL.
@@ -2366,6 +2454,7 @@ object Multimodal {
     "multimodal_decode_jpeg" -> (multimodalDecodeJpeg _),
     "multimodal_decode_gif" -> (multimodalDecodeGif _),
     "multimodal_decode_mulaw" -> (multimodalDecodeMulaw _),
+    "multimodal_decode_flac"  -> (multimodalDecodeFlac _),
     "multimodal_decode_av" -> (multimodalDecodeAv _),
     "archive_ingest" -> (multimodalArchiveIngest _),
     "archive_ingest_nested" -> (multimodalArchiveIngestNested _),

@@ -1120,4 +1120,143 @@ class CodecsSpec extends AnyFunSuite with Matchers {
       catch { case _: IllegalArgumentException => () }
     }
   }
+
+  // --- FLAC ----------------------------------------------------------------
+
+  private def flacRoundtrip(rate: Int, samples: Array[Short], channels: Int,
+                            blockSize: Int, mode: Int = Codecs.FlacIndependent): Unit = {
+    val enc = Codecs.flacEncode(rate, samples, channels, blockSize, mode)
+    val dec = Codecs.flacDecode(enc)
+    dec.sampleRate shouldBe rate
+    dec.channels shouldBe channels
+    dec.samples.toSeq shouldBe samples.toSeq
+  }
+
+  test("FLAC round-trips losslessly across block phases and signal shapes") {
+    val rnd = new scala.util.Random(41)
+    // lengths straddling block boundaries (multiple, off-by-one, tiny tail)
+    for (n <- Seq(1, 17, 256, 257, 511, 512, 513, 1300)) {
+      // smooth ramp (FIXED wins), noise (VERBATIM may win), mixed
+      val ramp = Array.tabulate(n)(i => (math.sin(i / 20.0) * 9000).toInt.toShort)
+      val noise = Array.fill(n)(rnd.nextInt(65536).toShort)
+      flacRoundtrip(8000, ramp, 1, 256)
+      flacRoundtrip(44100, noise, 1, 256)
+    }
+    // constant blocks (CONSTANT subframe) incl. an all-constant stream
+    flacRoundtrip(8000, Array.fill(1000)(1234.toShort), 1, 256)
+    flacRoundtrip(8000, Array.fill(1000)((-32768).toShort), 1, 512)
+    // empty stream: STREAMINFO only, no frames
+    flacRoundtrip(8000, Array.empty[Short], 1, 256)
+  }
+
+  test("FLAC: stereo round-trips under all four channel assignments") {
+    val rnd = new scala.util.Random(42)
+    val n = 700
+    val inter = new Array[Short](n * 2)
+    var i = 0
+    while (i < n) {
+      val l = (math.sin(i / 9.0) * 12000).toInt
+      val r = l + rnd.nextInt(9) - 4 // correlated channels: side is small
+      inter(2 * i) = l.toShort
+      inter(2 * i + 1) = r.toShort
+      i += 1
+    }
+    for (mode <- Seq(Codecs.FlacIndependent, Codecs.FlacLeftSide,
+      Codecs.FlacRightSide, Codecs.FlacMidSide))
+      flacRoundtrip(48000, inter, 2, 256, mode)
+    // extreme values through the side channel's 17-bit path
+    val ext = Array[Short](32767, -32768, -32768, 32767, 0, -1, 1, 0,
+      32767, 32767, -32768, -32768, 100, -100, 0, 0,
+      5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20)
+    for (mode <- Seq(Codecs.FlacLeftSide, Codecs.FlacRightSide, Codecs.FlacMidSide))
+      flacRoundtrip(8000, ext, 2, 16, mode)
+  }
+
+  test("FLAC: fixed-predictor residuals invert for every order") {
+    val rnd = new scala.util.Random(43)
+    val s = Array.tabulate(200)(i => (math.sin(i / 7.0) * 20000).toInt)
+    for (o <- 0 to 4) {
+      val res = Codecs.flacFixedResidual(s, o)
+      res.length shouldBe s.length - o
+      // re-predict forward and compare
+      val rec = s.take(o) ++ Array.fill(s.length - o)(0)
+      var j = o
+      while (j < s.length) {
+        rec(j) = res(j - o) + (o match {
+          case 0 => 0
+          case 1 => rec(j - 1)
+          case 2 => 2 * rec(j - 1) - rec(j - 2)
+          case 3 => 3 * rec(j - 1) - 3 * rec(j - 2) + rec(j - 3)
+          case 4 => 4 * rec(j - 1) - 6 * rec(j - 2) + 4 * rec(j - 3) - rec(j - 4)
+        })
+        j += 1
+      }
+      rec.toSeq shouldBe s.toSeq
+      rnd.nextInt() // keep the generator warm across orders
+    }
+  }
+
+  test("FLAC: compression actually happens on smooth signals") {
+    val n = 4000
+    val smooth = Array.tabulate(n)(i => (math.sin(i / 40.0) * 15000).toInt.toShort)
+    val enc = Codecs.flacEncode(8000, smooth, 1, 1024)
+    // raw PCM would be 8000 bytes; the FIXED+Rice path must beat it clearly
+    enc.length.toLong should be < (n * 2L * 3 / 4)
+    val const = Codecs.flacEncode(8000, Array.fill(n)(77.toShort), 1, 1024)
+    // CONSTANT subframes: a handful of bytes per frame
+    const.length.toLong should be < 200L
+  }
+
+  test("FLAC: header CRC-8, frame CRC-16, and MD5 all catch corruption") {
+    val samples = Array.tabulate(600)(i => (i * 37 % 4001 - 2000).toShort)
+    val enc = Codecs.flacEncode(8000, samples, 1, 256)
+    Codecs.flacDecode(enc).samples.toSeq shouldBe samples.toSeq
+    // find the first frame (after 4-byte magic + 4+34 byte STREAMINFO)
+    val frameStart = 42
+    ((enc(frameStart) & 0xff) == 0xff) shouldBe true
+    // corrupt a header byte (blocksize field) → CRC-8
+    val h = enc.clone(); h(frameStart + 5) = (h(frameStart + 5) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { Codecs.flacDecode(h) }
+    // corrupt a payload byte mid-frame → CRC-16 (or a structural reject)
+    val p = enc.clone(); p(frameStart + 20) = (p(frameStart + 20) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { Codecs.flacDecode(p) }
+    // corrupt the STREAMINFO MD5 → decodes frames fine, MD5 gate trips
+    val m = enc.clone(); m(30) = (m(30) ^ 0x01).toByte
+    val e = intercept[IllegalArgumentException] { Codecs.flacDecode(m) }
+    e.getMessage should include("MD5")
+  }
+
+  test("FLAC: geometry bomb in STREAMINFO rejects before allocation") {
+    val enc = Codecs.flacEncode(8000, Array.fill(100)(5.toShort), 1, 256)
+    // totalSamples lives in bits 4.. of STREAMINFO bytes 21(offset 8+13):
+    // easier: set the whole 36-bit field high by patching bytes 25..29
+    // (offset of streaminfo = 8; fields: 16+16+24+24+20+3+5 = 108 bits
+    // = 13.5 bytes, so total-samples occupies the low nibble of byte
+    // 8+13=21 through byte 25)
+    val b = enc.clone()
+    for (i <- 21 to 25) b(i) = 0xff.toByte
+    val e = intercept[IllegalArgumentException] { Codecs.flacDecode(b) }
+    e.getMessage should (include("cap") or include("unsupported stream"))
+  }
+
+  test("FLAC: truncation and garbage reject cleanly at every prefix") {
+    val samples = Array.tabulate(300)(i => (i * 91 % 2000 - 1000).toShort)
+    val enc = Codecs.flacEncode(8000, samples, 1, 128)
+    for (n <- 0 until enc.length by 7) {
+      intercept[IllegalArgumentException] { Codecs.flacDecode(enc.take(n)) }
+    }
+    intercept[IllegalArgumentException] { Codecs.flacDecode("OggS0000".getBytes) }
+  }
+
+  test("FLAC: mutation fuzz rejects cleanly or decodes, never crashes wild") {
+    val samples = Array.tabulate(500)(i => (math.sin(i / 11.0) * 3000).toInt.toShort)
+    val enc = Codecs.flacEncode(8000, samples, 1, 256)
+    val rnd = new scala.util.Random(44)
+    (1 to 300).foreach { _ =>
+      val b = enc.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      try { Codecs.flacDecode(b); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
 }
