@@ -775,25 +775,52 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** One staged directory per (JVM, corpus dir): within a JVM the corpus
-    * cannot change, so re-invocations (bench passes, verify reruns) reuse
-    * the first staging; a FRESH session always restages, so a stale
-    * staging from an older corpus generation can never be read. */
+  /** One staged directory per (JVM, corpus dir, corpus GENERATION): the
+    * cache key folds in the documents parquet's (mtime, length), so a
+    * corpus regenerated in place under a live JVM restages instead of
+    * serving files from the previous generation. Every staged dir is
+    * registered for recursive deletion at JVM exit. */
   private val stagedMediaDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** (mtime, length) of the corpus parquet the media lake derives from —
+    * the generation marker in the staging-cache key. */
+  private def corpusGeneration(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val st = p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p)
+    s"${st.getModificationTime}-${st.getLen}"
+  }
+
+  private def registerStagedCleanup(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(new java.net.URI(path).getPath)
+        if (java.nio.file.Files.exists(root))
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+
   /** Stage the media lake to REAL files — one `media_<id>.<img|wav>` per
-    * record, written through the Hadoop FileSystem API from the executors
-    * (the same write path a cluster uses against HDFS/S3; at local[*] it
-    * lands on the local filesystem). The directory must outlive query
-    * CONSTRUCTION (the binaryFile scan reads it at execution), so cleanup
-    * is left to the tmpdir lifecycle. */
+    * record, written through the Hadoop FileSystem API from the executors.
+    * The staging root defaults to the driver's tmpdir (correct at
+    * local[*]); a MULTI-NODE deployment must point
+    * `spark.graft.media.stagingDir` at a shared filesystem (an HDFS/S3
+    * URI) — executors resolve the path through the Hadoop FS API, so with
+    * a local default they would write to per-machine disks and the
+    * binaryFile read-back would miss files. The directory must outlive
+    * query CONSTRUCTION (the binaryFile scan reads it at execution);
+    * recursive cleanup runs at JVM exit. */
   private def stageMediaFiles(spark: SparkSession, dir: String): String =
-    stagedMediaDirs.computeIfAbsent(dir, _ => stageMediaFilesOnce(spark, dir))
+    stagedMediaDirs.computeIfAbsent(
+      s"$dir@${corpusGeneration(spark, dir)}",
+      _ => stageMediaFilesOnce(spark, dir))
 
   private def stageMediaFilesOnce(spark: SparkSession, dir: String): String = {
+    val stagingRoot = spark.conf.getOption("spark.graft.media.stagingDir")
+      .getOrElse(sys.props("java.io.tmpdir"))
     val staged = new org.apache.hadoop.fs.Path(
-      sys.props("java.io.tmpdir"),
+      stagingRoot,
       s"graft-media-files-${java.util.UUID.randomUUID().toString.take(8)}")
     val fsConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -808,6 +835,7 @@ object Multimodal {
         try out.write(m.payload) finally out.close()
       }
     }
+    registerStagedCleanup(stagedStr)
     stagedStr
   }
 
