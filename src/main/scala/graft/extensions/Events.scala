@@ -586,12 +586,13 @@ object Events {
     // whole user dimension into ONE task three times. Bit-identical buckets:
     // user_id makes each ordering total, so ranks (hence NTILE's fixed
     // rank→bucket formula) are unambiguous.
+    val nUsers = perUser.count() // one probe sizes all three passes
     val withR = graft.ops.Relational.withDistributedNtile(perUser, 5, "r",
-      Seq(col("recency_days").asc, col("user_id").asc))
+      Seq(col("recency_days").asc, col("user_id").asc), nUsers)
     val withF = graft.ops.Relational.withDistributedNtile(withR, 5, "f",
-      Seq(col("frequency").desc, col("user_id").asc))
+      Seq(col("frequency").desc, col("user_id").asc), nUsers)
     val withM = graft.ops.Relational.withDistributedNtile(withF, 5, "m",
-      Seq(col("monetary").desc, col("user_id").asc))
+      Seq(col("monetary").desc, col("user_id").asc), nUsers)
     withM
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"), col("r"), col("f"), col("m"),

@@ -119,60 +119,89 @@ object Relational {
     *  1. range-exchange the rows on the sort key (`repartitionByRange`), so
     *     partition p holds exactly the rows ranked between partitions p-1
     *     and p+1 — no partition sees more than ~n/P rows;
-    *  2. rank locally under a PARTITIONED window (partition id captured as
-    *     a column before the window's hash exchange);
+    *  2. sort within partitions and read (partition id, local rank)
+    *     straight out of `monotonically_increasing_id` — its documented
+    *     layout is partition id in the upper 31 bits, per-partition record
+    *     number in the lower 33, so after the in-partition sort it IS the
+    *     local ranking, with no WindowExec and no second exchange (AQE may
+    *     coalesce contiguous range partitions; contiguity keeps the
+    *     cross-partition order, and the sort runs after coalescing);
     *  3. aggregate per-partition row counts (P rows, metadata-sized),
     *     triangular-join them into per-partition rank offsets, and
     *     broadcast the offsets back: global rank = offset + local rank;
     *  4. apply NTILE's fixed formula of (rank, total): with n rows and b
     *     buckets, the first n%b buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋.
     *
-    * Everything is ONE plan (no driver collect between stages), so the
-    * range exchange is computed once and reused by Spark's exchange-reuse
-    * rule; RangePartitioner's boundary sampling is seeded per partition
-    * index, so even a recomputation reproduces identical partition ids.
-    * Bucket arithmetic goes through doubles — exact below 2^53 rows.
-    */
+    * The exchange width comes from a row-count probe (one aggregate-only
+    * pass, the same probe-before-plan move as the text vocabulary screen):
+    * ≤ [[NtileRowsPerTask]] rows plan a ONE-partition exchange — a single
+    * small sort, matching the old global window's work without its
+    * WindowExec — and larger inputs fan out so no task ever sorts more
+    * than ~[[NtileRowsPerTask]] rows. Either way the plan contains no
+    * un-partitioned window at ANY size, so the structural lint
+    * (`WindowPlanLintSpec`) holds without a data-size carve-out.
+    * RangePartitioner's boundary sampling is seeded per partition index,
+    * so recomputation reproduces identical partition ids. Bucket
+    * arithmetic goes through doubles — exact below 2^53 rows.
+    *
+    * `knownCount` skips the probe when the caller already counted the
+    * relation (e.g. three NTILE passes over the same rows count once). */
   def withDistributedNtile(df: DataFrame, buckets: Int, outCol: String,
-                           order: Seq[Column]): DataFrame = {
+                           order: Seq[Column], knownCount: Long = -1L): DataFrame =
+    withDistributedNtileSized(df, buckets, outCol, order, NtileRowsPerTask,
+      knownCount)
+
+  /** Rows a single task sorts comfortably (~40 B/row ⇒ ~160 MiB). */
+  val NtileRowsPerTask: Long = 4L << 20
+
+  /** [[withDistributedNtile]] with an explicit per-task row budget — the
+    * spec hook that forces the multi-partition offsets path on small data. */
+  private[graft] def withDistributedNtileSized(
+      df: DataFrame, buckets: Int, outCol: String, order: Seq[Column],
+      rowsPerTask: Long, knownCount: Long = -1L): DataFrame = {
     require(buckets >= 1, s"ntile buckets must be >= 1, got $buckets")
     val pid = freshName(df, "nt_pid")
     val lrn = freshName(df, "nt_lrn")
     val off = freshName(df, "nt_off")
-    val tot = freshName(df, "nt_tot")
     val rk  = freshName(df, "nt_rank")
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val cnt = freshName(df, "nt_cnt")
     val pL  = freshName(df, "nt_p")
     val pR  = freshName(df, "nt_q")
     val cR  = freshName(df, "nt_d")
+    val mid = freshName(df, "nt_mid")
+    val n = if (knownCount >= 0) knownCount else df.count()
+    val parts = math.max(1L,
+      math.min((n + rowsPerTask - 1) / rowsPerTask, 1L << 16)).toInt
     val local = df
       .repartitionByRange(parts, order: _*)
-      .withColumn(pid, spark_partition_id())
-      .withColumn(lrn,
-        row_number().over(Window.partitionBy(col(pid)).orderBy(order: _*)))
-    val counts = local.groupBy(col(pid)).agg(count(lit(1)).as(cnt))
-    val offs = counts.select(col(pid).as(pL), col(cnt))
-      .join(broadcast(counts.select(col(pid).as(pR), col(cnt).as(cR))),
-        col(pR) < col(pL), "left")
-      .groupBy(col(pL))
-      .agg(coalesce(sum(col(cR)), lit(0L)).as(off))
-    val total = counts.agg(sum(col(cnt)).as(tot))
-    val ranked = local
-      .join(broadcast(offs), col(pid) === col(pL))
-      .crossJoin(broadcast(total))
-      .withColumn(rk, col(off) + col(lrn))
-    // NTILE formula: small = n/b rows per bucket, the first n%b buckets
-    // hold one extra row each.
-    val n = col(tot)
-    val small = floor(n / buckets)
+      .sortWithinPartitions(order: _*)
+      .withColumn(mid, monotonically_increasing_id())
+      .withColumn(pid, shiftright(col(mid), 33))
+      .withColumn(lrn, col(mid).bitwiseAND(lit((1L << 33) - 1)) + 1L)
+      .drop(mid)
+    val ranked =
+      if (parts == 1) local.withColumn(rk, col(lrn)) // offset is always 0
+      else {
+        val counts = local.groupBy(col(pid)).agg(count(lit(1)).as(cnt))
+        val offs = counts.select(col(pid).as(pL), col(cnt))
+          .join(broadcast(counts.select(col(pid).as(pR), col(cnt).as(cR))),
+            col(pR) < col(pL), "left")
+          .groupBy(col(pL))
+          .agg(coalesce(sum(col(cR)), lit(0L)).as(off))
+        local.join(broadcast(offs), col(pid) === col(pL))
+          .withColumn(rk, col(off) + col(lrn))
+          .drop(off, pL)
+      }
+    // NTILE formula over the driver-known total: small = n/b rows per
+    // bucket, the first n%b buckets hold one extra row each.
+    val small = n / buckets
     val rem = n % buckets
     val cut = rem * (small + 1) // rows covered by the big buckets
     val bucket = when(col(rk) <= cut, floor((col(rk) - 1) / (small + 1)))
-      .otherwise(rem + floor((col(rk) - cut - 1) / greatest(small, lit(1L))))
+      .otherwise(lit(rem) + floor((col(rk) - cut - 1) / math.max(small, 1L)))
     ranked
       .withColumn(outCol, (bucket + 1).cast("int"))
-      .drop(pid, lrn, off, tot, rk, pL)
+      .drop(pid, lrn, rk)
   }
 
   /** Strict-reference twin of [[longestRunPerKey]]: replays the reference's

@@ -80,10 +80,30 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: storage-level COW DELETE (the erasure-cascade shape at
+    * the table layer — GDPR delete as a committed snapshot, not a view).
+    * Delete every key ≡ 0 mod 100 from an orders lake, then aggregate the
+    * post-delete snapshot; the oracle filters the raw table the same way.
+    * A file whose rows are all deleted must vanish from the manifest; a
+    * partially-hit file must rewrite to exactly its survivors. */
+  def lakeDeleteErasure(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.delete(o.filter(col("o_orderkey") % 100 === 0).select("o_orderkey"))
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake_merge_cow" -> (lakeMergeCow _))
+    "lake_merge_cow" -> (lakeMergeCow _),
+    "lake_delete_erasure" -> (lakeDeleteErasure _))
 
   val oracle: Map[String, String] = Map(
+    "lake_delete_erasure" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders WHERE o_orderkey % 100 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_merge_cow" ->
       """WITH merged AS (
         |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
@@ -225,9 +245,13 @@ class LakeTable(spark: SparkSession, val root: String) {
         .collect()
         .map(r => (new Path(r.getString(0)).getName,
           (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
-      moved.map { p =>
-        val (rows, mn, mx) = stats(p.getName)
-        FileEntry(s"data/${p.getName}", rows, mn, mx)
+      // a zero-row part file (e.g. a fully-erased rewrite) has no stats
+      // row: drop it from disk rather than manifest an empty file
+      moved.flatMap { p =>
+        stats.get(p.getName) match {
+          case Some((rows, mn, mx)) => Some(FileEntry(s"data/${p.getName}", rows, mn, mx))
+          case None => fs.delete(p, false); None
+        }
       }
     }
   }
@@ -243,18 +267,23 @@ class LakeTable(spark: SparkSession, val root: String) {
     * level. Only files whose [min,max] key range intersects an update key
     * are rewritten; everything else carries into the new snapshot by
     * reference. The previous snapshot remains readable (time travel). */
+  /** File pruning shared by MERGE and DELETE: a key hits a file iff it
+    * falls in the file's [min,max] — ranges are metadata-sized and
+    * broadcast, so the probe shuffles only the distinct key column. */
+  private def hitFileIndexes(m: Manifest, keys: DataFrame): Set[Int] = {
+    val ranges = m.files.zipWithIndex.map { case (f, i) => (i, f.minKey, f.maxKey) }
+    val rangesDf = spark.createDataFrame(ranges).toDF("fidx", "mn", "mx")
+    keys.select(col(keys.columns.head).cast("long").as("k")).distinct()
+      .join(broadcast(rangesDf),
+        col("k") >= col("mn") && col("k") <= col("mx"))
+      .select("fidx").distinct().collect().map(_.getInt(0)).toSet
+  }
+
   def merge(updates: DataFrame, newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
-    // file pruning: an update key hits a file iff it falls in the file's
-    // key range — ranges are metadata-sized and broadcast
-    val ranges = m.files.zipWithIndex.map { case (f, i) => (i, f.minKey, f.maxKey) }
-    val rangesDf = spark.createDataFrame(ranges).toDF("fidx", "mn", "mx")
-    val hitIdx = updates.select(col(keyCol).cast("long").as("k")).distinct()
-      .join(broadcast(rangesDf),
-        col("k") >= col("mn") && col("k") <= col("mx"))
-      .select("fidx").distinct().collect().map(_.getInt(0)).toSet
+    val hitIdx = hitFileIndexes(m, updates.select(col(keyCol)))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     val updateRows = updates.count()
     val rewritten =
@@ -270,5 +299,71 @@ class LakeTable(spark: SparkSession, val root: String) {
     commit(Manifest(v + 1, v, "merge", keyCol,
       kept.map(_._1) ++ newFiles))
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
+  }
+
+  /** Copy-on-write DELETE by key: files whose range intersects a delete
+    * key rewrite to their surviving rows (a fully-erased file simply
+    * leaves no successor); unhit files carry over by reference. The
+    * pre-delete snapshot stays readable until [[vacuum]] — the committed
+    * half of an erasure cascade. `keys` is a one-column relation of the
+    * table's merge key. */
+  def delete(keys: DataFrame): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val keyCol = m.keyCol
+    val hitIdx = hitFileIndexes(m, keys)
+    val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+    val newFiles =
+      if (hit.isEmpty) Seq.empty
+      else {
+        val hitDf = spark.read.parquet(
+          hit.map { case (f, _) => new Path(rootPath, f.path).toString }: _*)
+        val survivors = hitDf.join(
+          keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")
+        writeDataFiles(survivors, keyCol, math.max(1, hit.size))
+      }
+    commit(Manifest(v + 1, v, "delete", keyCol, kept.map(_._1) ++ newFiles))
+    MergeStats(v + 1, kept.size, hit.size, newFiles.size, 0L)
+  }
+
+  /** Table-maintenance compaction: rewrite the LATEST snapshot into
+    * `numFiles` key-range-clustered files as a new snapshot (operation
+    * "compact"). Pure COW — the fragmented version stays readable until
+    * [[vacuum]]. The small-files answer for a table fed by many
+    * incremental merges. */
+  def compact(numFiles: Int): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val newFiles = writeDataFiles(read(), m.keyCol, numFiles)
+    commit(Manifest(v + 1, v, "compact", m.keyCol, newFiles))
+    MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
+  }
+
+  /** Retention vacuum: drop all but the newest `retainVersions` manifests
+    * and physically delete every data file referenced ONLY by the dropped
+    * ones. Time travel beyond the horizon becomes a clean failure; the
+    * retained snapshots are untouched. Returns (manifests removed, data
+    * files removed). */
+  def vacuum(retainVersions: Int): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val latest = latestVersion
+    val horizon = math.max(0, latest - retainVersions + 1)
+    if (horizon == 0) return (0, 0)
+    val keepRefs = (horizon to latest).flatMap(v => manifest(v).files.map(_.path)).toSet
+    var droppedManifests = 0
+    var droppedFiles = 0
+    (0 until horizon).foreach { v =>
+      val mp = manifestPath(v)
+      if (fs.exists(mp)) {
+        manifest(v).files.foreach { f =>
+          if (!keepRefs.contains(f.path)) {
+            if (fs.delete(new Path(rootPath, f.path), false)) droppedFiles += 1
+          }
+        }
+        fs.delete(mp, false)
+        droppedManifests += 1
+      }
+    }
+    (droppedManifests, droppedFiles)
   }
 }

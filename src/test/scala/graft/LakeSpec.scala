@@ -93,6 +93,65 @@ class LakeSpec extends SparkTestBase {
     t.read().count() shouldBe 90L
   }
 
+  test("COW delete: partial files rewrite to survivors, full files vanish") {
+    val t = mkTable()
+    // erase keys 1-30 (the whole first file) plus 45 (mid-second-file)
+    val keys = ((1L to 30L) :+ 45L).toDF("k")
+    val stats = t.delete(keys)
+    stats.rewrittenFiles shouldBe 2
+    stats.keptFiles shouldBe 1
+    // the fully-erased file leaves no successor: survivors re-cluster
+    t.read().count() shouldBe 59L
+    t.read().filter(col("k") <= 30L || col("k") === 45L).count() shouldBe 0L
+    rows(t.read().agg(min("k"), max("k"))) shouldBe Seq(Seq(31L, 90L))
+    // pre-delete snapshot intact
+    t.snapshot(0).count() shouldBe 90L
+  }
+
+  test("delete of every row leaves a valid empty snapshot") {
+    val t = mkTable()
+    t.delete((1L to 90L).toDF("k"))
+    t.read().count() shouldBe 0L
+    t.manifest(t.latestVersion).files shouldBe empty
+    t.snapshot(0).count() shouldBe 90L
+  }
+
+  test("compact rewrites the snapshot into fewer clustered files, COW-safe") {
+    val t = mkTable()
+    t.merge(Seq((200L, "INS", "I"), (300L, "INS", "I")).toDF("k", "payload", "status"))
+    val before = t.manifest(t.latestVersion).files.size
+    val stats = t.compact(1)
+    stats.addedFiles shouldBe 1
+    val m = t.manifest(t.latestVersion)
+    m.operation shouldBe "compact"
+    m.files should have size 1
+    m.files.size should be < before
+    t.read().count() shouldBe 92L
+    t.snapshot(stats.version - 1).count() shouldBe 92L // pre-compact readable
+  }
+
+  test("vacuum drops expired snapshots and ONLY their unshared files") {
+    val t = mkTable()
+    t.merge(Seq((5L, "NEW5", "U")).toDF("k", "payload", "status")) // v1: 1 rewrite
+    t.merge(Seq((65L, "NEW65", "U")).toDF("k", "payload", "status")) // v2
+    val fs = new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v0Only = t.manifest(0).files.map(_.path).toSet --
+      t.manifest(1).files.map(_.path).toSet -- t.manifest(2).files.map(_.path).toSet
+    v0Only should not be empty
+    val (mans, files) = t.vacuum(2) // retain v1, v2
+    mans shouldBe 1
+    files shouldBe v0Only.size
+    v0Only.foreach(p => fs.exists(new Path(t.root, p)) shouldBe false)
+    // retained versions read intact
+    t.snapshot(1).count() shouldBe 90L
+    t.read().count() shouldBe 90L
+    rows(t.read().filter(col("k") === 65L)) shouldBe Seq(Seq(65L, "NEW65", "U"))
+    // time travel past the horizon fails cleanly
+    intercept[Exception] { t.snapshot(0).count() }
+    // idempotent
+    t.vacuum(2) shouldBe ((0, 0))
+  }
+
   test("chained merges: each snapshot remains readable at its own version") {
     val t = mkTable()
     t.merge(Seq((1L, "A1", "U")).toDF("k", "payload", "status"))

@@ -36,9 +36,14 @@ class RelationalSpec extends SparkTestBase {
       val expected = df
         .withColumn("t", ntile(b).over(Window.orderBy(order: _*)))
         .orderBy("id").select("id", "t").collect().map(r => (r.getLong(0), r.getInt(1)))
+      // default path (single-partition fast path at this size) AND the
+      // forced multi-partition offsets path must both match the window
       val got = Relational.withDistributedNtile(df, b, "t", order)
         .orderBy("id").select("id", "t").collect().map(r => (r.getLong(0), r.getInt(1)))
       withClue(s"n=$n b=$b: ") { got.toSeq shouldBe expected.toSeq }
+      val gotWide = Relational.withDistributedNtileSized(df, b, "t", order, 7L)
+        .orderBy("id").select("id", "t").collect().map(r => (r.getLong(0), r.getInt(1)))
+      withClue(s"n=$n b=$b (multi-partition): ") { gotWide.toSeq shouldBe expected.toSeq }
     }
   }
 
