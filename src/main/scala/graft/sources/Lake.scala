@@ -279,7 +279,11 @@ class LakeTable(spark: SparkSession, val root: String) {
       .select("fidx").distinct().collect().map(_.getInt(0)).toSet
   }
 
-  def merge(updates: DataFrame, newFileCountHint: Int = 0): MergeStats = {
+  def merge(updates: DataFrame, newFileCountHint: Int = 0): MergeStats =
+    mergeTagged(updates, "merge", newFileCountHint)
+
+  private def mergeTagged(updates: DataFrame, operation: String,
+                          newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
@@ -296,10 +300,30 @@ class LakeTable(spark: SparkSession, val root: String) {
       }
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
     val newFiles = writeDataFiles(rewritten, keyCol, hint)
-    commit(Manifest(v + 1, v, "merge", keyCol,
+    commit(Manifest(v + 1, v, operation, keyCol,
       kept.map(_._1) ++ newFiles))
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
+
+  /** True iff a streaming epoch already committed — the manifest chain IS
+    * the transaction log (the txnAppId/txnVersion idempotent-sink pattern:
+    * a replayed micro-batch finds its own commit and skips). The walk is
+    * over metadata-sized manifests; a production table would keep the
+    * last-committed epoch in the latest manifest alone — same seam, one
+    * read. */
+  def hasEpoch(epochId: Long): Boolean = {
+    val tag = s"merge-epoch-$epochId"
+    (0 to latestVersion).exists { v =>
+      fs.exists(manifestPath(v)) && manifest(v).operation == tag
+    }
+  }
+
+  /** [[merge]] tagged with a streaming epoch — committed at most once per
+    * epoch id; a replay after a restart-between-write-and-offset-commit
+    * becomes a no-op instead of a duplicate snapshot. */
+  def mergeEpoch(updates: DataFrame, epochId: Long): Option[MergeStats] =
+    if (hasEpoch(epochId)) None
+    else Some(mergeTagged(updates, s"merge-epoch-$epochId"))
 
   /** Copy-on-write DELETE by key: files whose range intersects a delete
     * key rewrite to their surviving rows (a fully-erased file simply

@@ -328,6 +328,27 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming MERGE into a [[graft.sources.LakeTable]] — the lakehouse
+    * sink: every micro-batch upserts by key as one COW snapshot, and the
+    * manifest chain doubles as the transaction log (each commit is tagged
+    * `merge-epoch-N`), so a batch REPLAYED after a restart between the
+    * table write and the offset commit finds its own epoch already
+    * committed and no-ops — exactly-once table content without a
+    * format-level transaction API. CDC-shaped input (several updates for
+    * one key inside a batch) should be compacted to latest-per-key
+    * upstream ([[graft.ops.Relational.latestByKey]]) — MERGE semantics
+    * are per-batch single-row-per-key, as in every table format. */
+  def mergeIntoLake(updates: DataFrame, table: graft.sources.LakeTable,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+        table.mergeEpoch(batch, epochId)
+        ()
+      }
+      .start()
+
   /** Streaming ARCHIVE ingest — the bundle-arrival twin of the batch
     * `archive_ingest` lane: tail a directory with the `binaryFile` source
     * (new bundle files become micro-batches), sniff each payload's magic

@@ -152,6 +152,23 @@ class LakeSpec extends SparkTestBase {
     t.vacuum(2) shouldBe ((0, 0))
   }
 
+  test("mergeEpoch commits at most once per epoch (replay is a no-op)") {
+    val t = mkTable()
+    val batch = Seq((5L, "E5", "U")).toDF("k", "payload", "status")
+    t.mergeEpoch(batch, 7L).isDefined shouldBe true
+    val vAfter = t.latestVersion
+    // a replayed epoch finds its own commit in the manifest chain
+    t.mergeEpoch(batch, 7L) shouldBe None
+    t.latestVersion shouldBe vAfter
+    t.hasEpoch(7L) shouldBe true
+    t.hasEpoch(8L) shouldBe false
+    // a later epoch commits normally
+    t.mergeEpoch(Seq((6L, "E6", "U")).toDF("k", "payload", "status"), 8L)
+      .isDefined shouldBe true
+    rows(t.read().filter(col("k").isin(5L, 6L)).orderBy("k")) shouldBe
+      Seq(Seq(5L, "E5", "U"), Seq(6L, "E6", "U"))
+  }
+
   test("chained merges: each snapshot remains readable at its own version") {
     val t = mkTable()
     t.merge(Seq((1L, "A1", "U")).toDF("k", "payload", "status"))

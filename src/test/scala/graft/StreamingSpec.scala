@@ -191,6 +191,37 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("mergeIntoLake: streamed upserts survive a checkpoint restart exactly once") {
+    implicit val ctx = spark.sqlContext
+    val base = Seq((1L, "v1", "A"), (2L, "v2", "A"), (3L, "v3", "A"))
+      .toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lakesink-ckpt").toString
+    val ms = MemoryStream[(Long, String, String)]
+    def start() = StreamingOps.mergeIntoLake(
+      ms.toDF().toDF("k", "payload", "status"), table, ckpt)
+    val q1 = start()
+    try {
+      ms.addData((2L, "UPD2", "U"), (9L, "INS9", "I"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    table.read().count() shouldBe 4L
+    // restart from the same checkpoint: committed epochs must not replay,
+    // new data must merge
+    val q2 = start()
+    try {
+      ms.addData((9L, "UPD9", "U"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    rows(table.read().orderBy("k")) shouldBe Seq(
+      Seq(1L, "v1", "A"), Seq(2L, "UPD2", "U"), Seq(3L, "v3", "A"),
+      Seq(9L, "UPD9", "U"))
+    // every committed epoch is visible in the transaction-log chain
+    (0 to table.latestVersion).map(table.manifest(_).operation)
+      .count(_.startsWith("merge-epoch-")) shouldBe 2
+  }
+
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
     // file streams tail a directory; stage the single driver file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
