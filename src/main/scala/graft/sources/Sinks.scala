@@ -73,6 +73,48 @@ object Sinks {
     n
   }
 
+  /** Z-order-clustered parquet — [[compactSorted]] generalized to TWO
+    * predicate columns: rows sort by the Morton interleave of both keys
+    * ([[org.apache.spark.sql.graft.ZValue]], a native codegen expression),
+    * so each output file covers a small RECTANGLE in (a, b) space and the
+    * format's per-file/row-group min/max statistics become selective for
+    * box predicates on EITHER column. Single-column clustering leaves the
+    * second column's stats spanning the whole domain — a predicate on it
+    * alone skips nothing; `ZOrderSpec` measures the difference
+    * quantitatively. Columns are cast to long (cluster on rank-compressed
+    * surrogates for wider/continuous domains — clustering needs order,
+    * not values). Same one-exchange cost as [[compactSorted]]. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val z = "__graft_z"
+    df.withColumn(z, org.apache.spark.sql.graft.ZValue.zvalue(
+        col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(files, col(z))
+      .sortWithinPartitions(z)
+      .drop(z)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-file (min, max) of the given long-castable columns — the
+    * file-skipping oracle `ZOrderSpec`/`LayoutSpec` assert against. Reads
+    * the data here for exactness; an engine consults the parquet footer
+    * statistics, which carry identical bounds. */
+  def fileRanges(spark: SparkSession, path: String,
+                 cols: Seq[String]): Map[String, Seq[(Long, Long)]] = {
+    import org.apache.spark.sql.functions._
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")).as(s"mn_$c"), max(col(c).cast("long")).as(s"mx_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        r.getString(0) -> cols.indices.map(i =>
+          (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i))).toSeq
+      }.toMap
+  }
+
   /** Bucketed (and per-bucket sorted) managed table — the layout that makes
     * every downstream join/window/aggregation ON the bucket key exchange-free:
     * the scan's output partitioning already satisfies the required hash

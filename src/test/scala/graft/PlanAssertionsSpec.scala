@@ -286,16 +286,27 @@ class PlanAssertionsSpec extends SparkTestBase {
     p should not include "HashAggregate"
   }
 
-  test("gif/mulaw/av decode lanes: stateless map work — sort is the only exchange") {
+  test("gif/mulaw/av/flac decode lanes: stateless map work — sort is the only exchange") {
     for (df <- Seq(
         graft.extensions.Multimodal.multimodalDecodeGif(spark, sf),
         graft.extensions.Multimodal.multimodalDecodeMulaw(spark, sf),
-        graft.extensions.Multimodal.multimodalDecodeAv(spark, sf))) {
+        graft.extensions.Multimodal.multimodalDecodeAv(spark, sf),
+        graft.extensions.Multimodal.multimodalDecodeFlac(spark, sf))) {
       val p = planOf(df)
       "Exchange rangepartitioning".r.findAllIn(p).size shouldBe 1
       p should not include "SortMergeJoin"
       p should not include "HashAggregate"
     }
+  }
+
+  test("rfm: three distributed NTILE passes plan ZERO window operators") {
+    // the round-9 contract: global quintiles never cross a WindowExec —
+    // ranking is the range-sorted exchange + monotonically_increasing_id,
+    // so there is no window to fall back to a single partition at ANY size
+    val p = planOf(graft.extensions.Events.eventsRfm(spark, sf))
+    "Window \\[".r.findAllIn(p).size shouldBe 0
+    p should not include "WindowGroupLimit"
+    p should include ("monotonically_increasing_id")
   }
 
   test("ivf: the corpus-derived seed stride joins as a ONE-row broadcast") {
