@@ -228,6 +228,84 @@ object Privacy {
       .orderBy("c_mktsegment", "nation")
   }
 
+  /** Minimum distinct sensitive values per equivalence class. */
+  val LDiversity = 3
+
+  /** Max total-variation distance between a class's sensitive distribution
+    * and the table's (categorical t-closeness). */
+  val TCloseness = 0.35
+
+  /** The sensitive attribute for the diversity/closeness audits: an
+    * account-balance band derived INSIDE the query (both engines build the
+    * identical value — the pii_scrub pattern, since the testdata carries
+    * no labeled sensitive column). */
+  private def acctBand(c: Column): Column =
+    when(c < 0, "debt").when(c < 4500, "low").otherwise("high")
+
+  /** L-DIVERSITY audit: k-anonymity protects against re-identification but
+    * not ATTRIBUTE disclosure — a class of 50 people who all share one
+    * sensitive value leaks it to anyone who can place a target in the
+    * class. Per quasi-identifier class (market segment, nation): size,
+    * number of distinct sensitive bands, the dominant band's share, and
+    * the risk flag (`homogeneous` = one value, `below_l` < [[LDiversity]]).
+    * Scale shape: one hash aggregation to (class, band) cells — bounded by
+    * |segments|×|nations|×|bands|, never row-bounded — then class-level
+    * rollups over that tiny relation. */
+  def privacyLDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        acctBand(col("c_acctbal")).as("band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    cells.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("l_distinct"),
+        round(max(col("n")).cast("double") / sum(col("n")), 6)
+          .as("dominant_share"))
+      .withColumn("risk",
+        when(col("l_distinct") === 1, "homogeneous")
+          .when(col("l_distinct") < LDiversity, "below_l")
+          .otherwise("ok"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
+  /** T-CLOSENESS audit (categorical total-variation distance): even a
+    * diverse class leaks when its sensitive DISTRIBUTION skews far from
+    * the table's — membership in the class shifts an attacker's posterior.
+    * Per class: tvd = ½·Σ_bands |p_class − p_global| over the FULL band
+    * domain (absent bands contribute their global mass, so the class
+    * relation is crossed with the 3-row band domain before the left
+    * join), flagged against [[TCloseness]]. Per-band terms round at 6 and
+    * sum in DECIMAL — the engine-wide order-independence discipline.
+    * Scale shape: everything after the one cells aggregation is
+    * bounded-cardinality relational algebra; the band domain and global
+    * shares are broadcast. */
+  def privacyTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val c = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        acctBand(col("c_acctbal")).as("band"))
+    val cells = c.groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val classes = cells.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(col("n")).as("n_rows"))
+    val global = c.groupBy(col("band")).agg(count(lit(1)).as("gn"))
+      .crossJoin(broadcast(c.agg(count(lit(1)).as("gt"))))
+      .select(col("band"), (col("gn").cast("double") / col("gt")).as("p_global"))
+    val terms = classes
+      .crossJoin(broadcast(global)) // class × full band domain
+      .join(cells, Seq("c_mktsegment", "c_nationkey", "band"), "left")
+      .select(col("c_mktsegment"), col("c_nationkey"), col("n_rows"),
+        round(abs(coalesce(col("n"), lit(0L)).cast("double") / col("n_rows")
+          - col("p_global")), 6).as("term"))
+    terms.groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(max(col("n_rows")).as("n_rows"),
+        round(sum(col("term").cast(DecimalType(38, 18))).cast("double") / 2, 6)
+          .as("tvd"))
+      .withColumn("flag", when(col("tvd") > TCloseness, "far").otherwise("ok"))
+      .orderBy("c_mktsegment", "c_nationkey")
+  }
+
   // --- DuckDB oracles -------------------------------------------------------
 
   private val rawSql =
@@ -332,6 +410,60 @@ object Privacy {
          |)
          |ORDER BY c_mktsegment, nation""".stripMargin,
 
+    "privacy_l_diversity" ->
+      s"""WITH b AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |         CASE WHEN c_acctbal < 0 THEN 'debt'
+         |              WHEN c_acctbal < 4500 THEN 'low' ELSE 'high' END AS band
+         |  FROM customer
+         |), cells AS (
+         |  SELECT c_mktsegment, c_nationkey, band, count(*) AS n
+         |  FROM b GROUP BY 1, 2, 3
+         |)
+         |SELECT c_mktsegment, c_nationkey,
+         |       CAST(sum(n) AS BIGINT) AS n_rows,
+         |       count(*) AS l_distinct,
+         |       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS dominant_share,
+         |       CASE WHEN count(*) = 1 THEN 'homogeneous'
+         |            WHEN count(*) < $LDiversity THEN 'below_l'
+         |            ELSE 'ok' END AS risk
+         |FROM cells GROUP BY 1, 2
+         |ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "privacy_t_closeness" ->
+      s"""WITH b AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |         CASE WHEN c_acctbal < 0 THEN 'debt'
+         |              WHEN c_acctbal < 4500 THEN 'low' ELSE 'high' END AS band
+         |  FROM customer
+         |), cells AS (
+         |  SELECT c_mktsegment, c_nationkey, band, count(*) AS n
+         |  FROM b GROUP BY 1, 2, 3
+         |), cls AS (
+         |  SELECT c_mktsegment, c_nationkey, CAST(sum(n) AS BIGINT) AS n_rows
+         |  FROM cells GROUP BY 1, 2
+         |), gd AS (
+         |  SELECT band,
+         |         CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM b) AS p_global
+         |  FROM b GROUP BY band
+         |), terms AS (
+         |  SELECT cls.c_mktsegment, cls.c_nationkey, cls.n_rows,
+         |         round(abs(CAST(coalesce(cells.n, 0) AS DOUBLE) / cls.n_rows
+         |               - gd.p_global), 6) AS term
+         |  FROM cls CROSS JOIN gd
+         |  LEFT JOIN cells ON cells.c_mktsegment = cls.c_mktsegment
+         |                 AND cells.c_nationkey = cls.c_nationkey
+         |                 AND cells.band = gd.band
+         |), agg AS (
+         |  SELECT c_mktsegment, c_nationkey,
+         |         CAST(max(n_rows) AS BIGINT) AS n_rows,
+         |         round(CAST(sum(CAST(term AS DECIMAL(38,18))) AS DOUBLE) / 2, 6) AS tvd
+         |  FROM terms GROUP BY 1, 2
+         |)
+         |SELECT c_mktsegment, c_nationkey, n_rows, tvd,
+         |       CASE WHEN tvd > $TCloseness THEN 'far' ELSE 'ok' END AS flag
+         |FROM agg ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
     "url_domains" ->
       s"""WITH u AS (
          |  SELECT event_id, user_id, value,
@@ -357,5 +489,7 @@ object Privacy {
     "privacy_erasure" -> (privacyErasure _),
     "privacy_k_anonymity" -> (privacyKAnonymity _),
     "privacy_k_suppression" -> (privacyKSuppression _),
+    "privacy_l_diversity" -> (privacyLDiversity _),
+    "privacy_t_closeness" -> (privacyTCloseness _),
   )
 }
