@@ -2679,11 +2679,13 @@ object Codecs {
 
   /** Encode 16-bit PCM as a FLAC stream: STREAMINFO (with the PCM MD5) +
     * fixed-blocksize frames. Per block and channel the encoder picks the
-    * cheapest of CONSTANT, FIXED order 0–2 (Rice-coded residuals,
-    * partition order 0, escape when raw is smaller), and VERBATIM — the
-    * honest subset of the public spec that a pure-JVM decoder can check
-    * end-to-end (CRC-8, CRC-16, MD5). `stereoMode` exercises the
-    * left/side / right/side / mid/side decorrelation paths (2ch only). */
+    * cheapest of CONSTANT, FIXED order 0–2, quantized LPC (orders 2/4/8
+    * fit by autocorrelation + Levinson–Durbin, [[flacLpcAnalyze]]) and
+    * VERBATIM, with Rice-coded residuals (partition order 0, raw escape
+    * when smaller) — a real working set of the public spec that a
+    * pure-JVM decoder can check end-to-end (CRC-8, CRC-16, MD5).
+    * `stereoMode` exercises the left/side / right/side / mid/side
+    * decorrelation paths (2ch only). */
   def flacEncode(sampleRate: Int, samples: Array[Short], channels: Int = 1,
                  blockSize: Int = 4096, stereoMode: Int = FlacIndependent): Array[Byte] = {
     require(channels >= 1 && channels <= 8, s"unsupported channels $channels")
@@ -2812,7 +2814,30 @@ object Codecs {
     v
   }
 
-  /** Encode one subframe: cheapest of CONSTANT / FIXED 0–2 / VERBATIM. */
+  /** Quantized-coefficient precision the encoder's LPC path uses. */
+  private val FlacLpcPrec = 12
+
+  /** Rice-or-escape residual body (method 00, partition order 0). */
+  private def flacWriteResidual(w: FlacBitWriter, res: Array[Int], k: Int,
+                                escape: Int): Unit = {
+    w.put(0, 2) // residual method: 4-bit Rice
+    w.put(0, 4) // partition order 0
+    if (escape >= 0) {
+      w.put(0xf, 4)       // escape
+      w.put(escape, 5)    // raw bit width
+      res.foreach(v => w.put(v.toLong & ((1L << escape) - 1), escape))
+    } else {
+      w.put(k, 4)
+      res.foreach { v =>
+        val u = (v << 1) ^ (v >> 31)
+        w.putUnary(u >>> k)
+        if (k > 0) w.put(u.toLong & ((1L << k) - 1), k)
+      }
+    }
+  }
+
+  /** Encode one subframe: cheapest of CONSTANT / FIXED 0–2 / LPC (orders
+    * 2, 4, 8 via Levinson–Durbin) / VERBATIM. */
   private def flacSubframe(w: FlacBitWriter, s: Array[Int], bps: Int): Unit = {
     val bs = s.length
     if (bs > 0 && s.forall(_ == s(0))) {
@@ -2820,36 +2845,44 @@ object Codecs {
       w.put(s(0).toLong & ((1L << bps) - 1), bps)
       return
     }
-    // candidate FIXED orders with their residuals and best Rice cost
-    case class Cand(order: Int, res: Array[Int], k: Int, bits: Long, escape: Int)
-    val cands = (0 to 2).filter(_ <= bs - 1).map { o =>
+    case class Cand(tpe: Int, order: Int, res: Array[Int], k: Int, bits: Long,
+                    escape: Int, coefs: Array[Int] = null, shift: Int = 0)
+    val fixed = (0 to 2).filter(_ <= bs - 1).map { o =>
       val res = flacFixedResidual(s, o)
       val (k, esc, bits) = flacBestRice(res)
-      Cand(o, res, k, bits + o.toLong * bps, esc)
+      Cand(0, o, res, k, bits + o.toLong * bps, esc)
     }
-    val best = cands.minBy(_.bits)
+    val lpc = if (bs < 32) Nil else Seq(2, 4, 8).filter(_ * 2 < bs).flatMap { o =>
+      flacLpcAnalyze(s, o, FlacLpcPrec).map { case (coefs, shift) =>
+        val res = new Array[Int](bs - o)
+        var i = o
+        while (i < bs) {
+          res(i - o) = (s(i).toLong - flacLpcPredict(s, i, coefs, shift)).toInt
+          i += 1
+        }
+        val (k, esc, bits) = flacBestRice(res)
+        Cand(1, o, res, k,
+          bits + o.toLong * bps + 4 + 5 + o.toLong * FlacLpcPrec, esc,
+          coefs, shift)
+      }
+    }
+    val best = (fixed ++ lpc).minBy(_.bits)
     val verbatimBits = bs.toLong * bps
     if (best.bits >= verbatimBits) {
       w.put(0, 1); w.put(1, 6); w.put(0, 1) // VERBATIM
       s.foreach(v => w.put(v.toLong & ((1L << bps) - 1), bps))
     } else {
-      w.put(0, 1); w.put(8 | best.order, 6); w.put(0, 1) // FIXED order o
+      val typeBits = if (best.tpe == 0) 8 | best.order else 0x20 | (best.order - 1)
+      w.put(0, 1); w.put(typeBits, 6); w.put(0, 1)
       var i = 0
       while (i < best.order) { w.put(s(i).toLong & ((1L << bps) - 1), bps); i += 1 }
-      w.put(0, 2) // residual method: 4-bit Rice
-      w.put(0, 4) // partition order 0
-      if (best.escape >= 0) {
-        w.put(0xf, 4)            // escape
-        w.put(best.escape, 5)    // raw bit width
-        best.res.foreach(v => w.put(v.toLong & ((1L << best.escape) - 1), best.escape))
-      } else {
-        w.put(best.k, 4)
-        best.res.foreach { v =>
-          val u = (v << 1) ^ (v >> 31)
-          w.putUnary(u >>> best.k)
-          if (best.k > 0) w.put(u.toLong & ((1L << best.k) - 1), best.k)
-        }
+      if (best.tpe == 1) {
+        w.put(FlacLpcPrec - 1, 4)
+        w.put(best.shift, 5)
+        best.coefs.foreach(c =>
+          w.put(c.toLong & ((1L << FlacLpcPrec) - 1), FlacLpcPrec))
       }
+      flacWriteResidual(w, best.res, best.k, best.escape)
     }
   }
 
@@ -2900,13 +2933,13 @@ object Codecs {
     if (escBits < bestBits) (0, width, escBits) else (bestK, -1, bestBits)
   }
 
-  /** Decode a FLAC stream (the [[flacEncode]] subset plus general Rice
-    * partitions, wasted bits, and all four channel assignments for
-    * 16-bit streams). Verifies the frame-header CRC-8, the whole-frame
-    * CRC-16, the STREAMINFO sample total, and the PCM MD5 when set.
-    * Throws IllegalArgumentException on LPC subframes (outside the
-    * subset), geometry bombs (before allocation), bad sync, or any
-    * checksum mismatch. */
+  /** Decode a FLAC stream: CONSTANT / VERBATIM / FIXED 0–4 / LPC (any
+    * order 1–32, any precision/shift) subframes, general Rice partitions
+    * (methods 00/01, escapes), wasted bits, and all four channel
+    * assignments for 16-bit streams. Verifies the frame-header CRC-8,
+    * the whole-frame CRC-16, the STREAMINFO sample total, and the PCM
+    * MD5 when set. Throws IllegalArgumentException on geometry bombs
+    * (before allocation), bad sync, or any checksum mismatch. */
   def flacDecode(bytes: Array[Byte]): WavAudio = {
     require(bytes.length >= 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
       bytes(2) == 'a' && bytes(3) == 'C', "not a FLAC stream")
@@ -3077,16 +3110,35 @@ object Codecs {
         while (i < order) { out(i) = br.readSigned(bps); i += 1 }
         flacReadResidual(br, bs, order, out)
         out
-      } else if ((t & 0x20) != 0)
-        throw new IllegalArgumentException("LPC subframe outside supported subset")
-      else throw new IllegalArgumentException(f"reserved subframe type $t%02x")
+      } else if ((t & 0x20) != 0) {
+        val order = (t & 0x1f) + 1
+        require(order <= bs, s"LPC order $order > blocksize $bs")
+        val out = new Array[Int](bs)
+        var i = 0
+        while (i < order) { out(i) = br.readSigned(bps); i += 1 }
+        val prec = br.readBits(4).toInt + 1
+        require(prec <= 15, "invalid LPC precision code (1111)")
+        val shift = br.readSigned(5)
+        require(shift >= 0, s"negative LPC shift $shift")
+        val coefs = Array.fill(order)(br.readSigned(prec))
+        flacReadResidualRaw(br, bs, order, out)
+        var j = order
+        while (j < bs) {
+          val v = out(j).toLong + flacLpcPredict(out, j, coefs, shift)
+          require(v >= Int.MinValue && v <= Int.MaxValue, "LPC reconstruction overflow")
+          out(j) = v.toInt
+          j += 1
+        }
+        out
+      } else throw new IllegalArgumentException(f"reserved subframe type $t%02x")
     if (wasted > 0) { var i = 0; while (i < bs) { s(i) <<= wasted; i += 1 } }
     s
   }
 
-  /** Rice residual into out(order until bs), applying the fixed predictor. */
-  private def flacReadResidual(br: FlacBitReader, bs: Int, order: Int,
-                               out: Array[Int]): Unit = {
+  /** Rice residuals into out(order until bs) — reconstruction is the
+    * caller's (fixed vs LPC predictor). */
+  private def flacReadResidualRaw(br: FlacBitReader, bs: Int, order: Int,
+                                  out: Array[Int]): Unit = {
     val method = br.readBits(2).toInt
     require(method <= 1, s"reserved residual method $method")
     val pBits = if (method == 0) 4 else 5
@@ -3119,7 +3171,12 @@ object Codecs {
       }
       p += 1
     }
-    // reconstruct through the fixed predictor
+  }
+
+  /** Residuals + fixed-predictor reconstruction for orders 0–4. */
+  private def flacReadResidual(br: FlacBitReader, bs: Int, order: Int,
+                               out: Array[Int]): Unit = {
+    flacReadResidualRaw(br, bs, order, out)
     var j = order
     while (j < bs) {
       out(j) = order match {
@@ -3131,5 +3188,59 @@ object Codecs {
       }
       j += 1
     }
+  }
+
+  /** Integer LPC prediction: (Σ coefs(j)·s(i−1−j)) >> shift, 64-bit sum. */
+  private def flacLpcPredict(s: Array[Int], i: Int, coefs: Array[Int],
+                             shift: Int): Long = {
+    var acc = 0L
+    var j = 0
+    while (j < coefs.length) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+    acc >> shift
+  }
+
+  /** Quantized-LPC coefficients for a block via autocorrelation +
+    * Levinson–Durbin, quantized to `prec`-bit signed at the largest shift
+    * ≤ 14 that fits. None when the signal carries no usable correlation
+    * structure (zero energy, unstable recursion, or all-zero quantized
+    * coefficients). Public-textbook DSP; the shape every FLAC encoder
+    * shares. */
+  private[graft] def flacLpcAnalyze(s: Array[Int], order: Int,
+                                    prec: Int): Option[(Array[Int], Int)] = {
+    val n = s.length
+    if (n < order * 2 || order < 1) return None
+    val r = new Array[Double](order + 1)
+    var lag = 0
+    while (lag <= order) {
+      var acc = 0.0
+      var i = lag
+      while (i < n) { acc += s(i).toDouble * s(i - lag); i += 1 }
+      r(lag) = acc
+      lag += 1
+    }
+    if (r(0) <= 0.0) return None
+    val a = new Array[Double](order)
+    var err = r(0)
+    var m = 0
+    while (m < order) {
+      var acc = r(m + 1)
+      var j = 0
+      while (j < m) { acc -= a(j) * r(m - j); j += 1 }
+      val k = acc / err
+      if (k.isNaN || math.abs(k) >= 1.0) return None // unstable
+      val old = a.clone()
+      a(m) = k
+      var i = 0
+      while (i < m) { a(i) = old(i) - k * old(m - 1 - i); i += 1 }
+      err *= (1 - k * k)
+      if (err <= 0.0) return None
+      m += 1
+    }
+    val cmax = a.map(math.abs).max
+    if (cmax == 0.0) return None
+    var shift = 14
+    while (shift > 0 && cmax * (1L << shift) >= (1L << (prec - 1)) - 1) shift -= 1
+    val q = a.map(c => math.round(c * (1L << shift)).toInt)
+    if (q.forall(_ == 0)) None else Some((q, shift))
   }
 }

@@ -1248,6 +1248,51 @@ class CodecsSpec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] { Codecs.flacDecode("OggS0000".getBytes) }
   }
 
+  test("FLAC: LPC models a resonant signal — chosen, smaller, and lossless") {
+    // an AR(2) resonance with small excitation: the order-2 LPC filter
+    // captures it almost exactly, while FIXED order 2 (2s1 − s2) leaves
+    // fat residuals — so the encoder must pick LPC and win on size
+    val n = 4096
+    val s = new Array[Short](n)
+    var a = 100.0; var b = 0.0
+    val rnd = new scala.util.Random(45)
+    for (i <- 0 until n) {
+      val next = 1.94 * a - 0.97 * b + (rnd.nextInt(9) - 4)
+      b = a; a = math.max(-30000, math.min(30000, next))
+      s(i) = a.toInt.toShort
+    }
+    val enc = Codecs.flacEncode(8000, s, 1, 1024)
+    Codecs.flacDecode(enc).samples.toSeq shouldBe s.toSeq
+    // first subframe header byte sits right after the 8-byte frame header
+    // (4 fixed + 1 coded frame number + 2 blocksize + 1 CRC-8) at offset
+    // 42 (magic + STREAMINFO); bits [6:1] are the subframe type
+    val subframeType = (enc(42 + 8) >> 1) & 0x3f
+    (subframeType & 0x20) should not be 0 // LPC chosen
+    enc.length.toLong should be < (n * 2L / 2) // beats half of raw PCM
+  }
+
+  test("FLAC: LPC analysis is sane and the integer filter inverts exactly") {
+    val s = Array.tabulate(512)(i => (math.sin(i / 5.0) * 8000).toInt)
+    val Some((coefs, shift)) = Codecs.flacLpcAnalyze(s, 4, 12)
+    coefs.length shouldBe 4
+    shift should be >= 0
+    shift should be <= 14
+    coefs.foreach(c => math.abs(c) should be < (1 << 11))
+    // residual→reconstruction roundtrip at the integer level
+    val res = (4 until s.length).map { i =>
+      var acc = 0L
+      for (j <- 0 until 4) acc += coefs(j).toLong * s(i - 1 - j)
+      s(i) - (acc >> shift)
+    }
+    val rec = s.take(4).toBuffer
+    for (i <- 4 until s.length) {
+      var acc = 0L
+      for (j <- 0 until 4) acc += coefs(j).toLong * rec(i - 1 - j)
+      rec += (res(i - 4) + (acc >> shift)).toInt
+    }
+    rec.toSeq shouldBe s.toSeq
+  }
+
   test("FLAC: mutation fuzz rejects cleanly or decodes, never crashes wild") {
     val samples = Array.tabulate(500)(i => (math.sin(i / 11.0) * 3000).toInt.toShort)
     val enc = Codecs.flacEncode(8000, samples, 1, 256)
