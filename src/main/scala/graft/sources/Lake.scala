@@ -199,6 +199,22 @@ class LakeTable(spark: SparkSession, val root: String) {
   /** Latest snapshot. */
   def read(): DataFrame = snapshot(latestVersion)
 
+  /** Manifest-pruned key-range read of the latest snapshot: only files
+    * whose [min,max] intersects [lo,hi] enter the scan AT PLANNING TIME
+    * (the others never appear in the relation — no I/O, no tasks), then
+    * the row-level predicate still applies inside the scan via ordinary
+    * parquet pushdown. This is the read half of the min/max stats the
+    * manifest keeps for MERGE/DELETE: a key-range query over a 100 TB
+    * table touches the files covering the range, not the table. */
+  def readRange(lo: Long, hi: Long): DataFrame = {
+    val m = manifest(latestVersion)
+    val hit = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
+    if (hit.isEmpty) read().filter(col(m.keyCol).isNull && col(m.keyCol).isNotNull)
+    else spark.read
+      .parquet(hit.map(f => new Path(rootPath, f.path).toString): _*)
+      .filter(col(m.keyCol).cast("long").between(lo, hi))
+  }
+
   /** The commit: write the manifest under a dot-temp name, then rename to
     * `v%05d.json` — refusing an existing destination, so concurrent
     * committers of the same version get one winner. */

@@ -152,6 +152,20 @@ class LakeSpec extends SparkTestBase {
     t.vacuum(2) shouldBe ((0, 0))
   }
 
+  test("readRange scans ONLY the manifest-pruned files, same answer as a filter") {
+    val t = mkTable()
+    val pruned = t.readRange(40L, 50L)
+    // answer equality with the unpruned filtered read
+    rows(pruned.orderBy("k")) shouldBe
+      rows(t.read().filter(col("k").between(40L, 50L)).orderBy("k"))
+    // and the scan relation really contains one file (keys 31-60), not three
+    val filesScanned = t.readRange(40L, 50L)
+      .select(input_file_name()).distinct().count()
+    filesScanned shouldBe 1L
+    // an empty range returns an empty (but well-typed) relation
+    t.readRange(5000L, 6000L).count() shouldBe 0L
+  }
+
   test("mergeEpoch commits at most once per epoch (replay is a no-op)") {
     val t = mkTable()
     val batch = Seq((5L, "E5", "U")).toDF("k", "payload", "status")
