@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.extensions.{Dedup, Events, Multimodal, Privacy, Similarity, TextAnalysis}
+import graft.extensions.{Dedup, Events, Multimodal, Privacy, Quality, Similarity, TextAnalysis}
 import graft.queries.{DblpAnalog, Tpch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DblpAnalog.queries ++ Tpch.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Events.queries ++
-      Multimodal.queries ++ Privacy.queries ++ graft.sources.Lake.queries
+      Multimodal.queries ++ Privacy.queries ++ Quality.queries ++
+      graft.sources.Lake.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     DblpAnalog.oracle ++ Tpch.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ Events.oracle ++
-      Multimodal.oracle ++ Privacy.oracle ++ graft.sources.Lake.oracle
+      Multimodal.oracle ++ Privacy.oracle ++ Quality.oracle ++
+      graft.sources.Lake.oracle
 }

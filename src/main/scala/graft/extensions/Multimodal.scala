@@ -44,6 +44,10 @@ case class ResizeStats(media_id: Long, width: Int, height: Int,
 /** Average-hash perceptual fingerprint of a decoded image. */
 case class AhashRow(media_id: Long, n_pixels: Long, ahash: Long, n_ones: Int)
 
+/** DCT perceptual-hash fingerprint of a decoded image. */
+case class PhashRow(media_id: Long, width: Int, height: Int, phash: Long,
+                    n_ones: Int)
+
 /** Energy-envelope fingerprint of a decoded audio clip. */
 case class AudioFpRow(media_id: Long, n_windows: Int, afp: Long, n_ones: Int)
 
@@ -1296,6 +1300,133 @@ object Multimodal {
       .distinct()
   }
 
+  /** pHash geometry: an 8×8 nearest-center gray resample, an 8-point
+    * INTEGER DCT-II in both dimensions, and the 60 lowest-frequency AC
+    * coefficients (row-major, DC excluded) thresholded at their own
+    * median — the classic DCT perceptual hash, integer-exact end to end.
+    * The cosine basis is a FIXED table `round(cos(π(2x+1)u/16)·2¹⁴)`
+    * computed once here and EMBEDDED as integer literals in the oracle
+    * SQL, so both engines run identical integer arithmetic — no libm
+    * last-ulp drift can flip a threshold bit (the codec-differential
+    * discipline applied to a transform). 60 bits keeps the hash
+    * positive (the aHash/simhash shift-semantics contract).
+    *
+    * What pHash buys over [[ahashOf]]: the fingerprint lives in the
+    * FREQUENCY domain of a fixed-size resample, so it is invariant to
+    * brightness shifts EXACTLY (a constant offset lands entirely in the
+    * discarded DC term) and to integer upscaling (a pixel-replicated
+    * enlargement resamples to the same 8×8 tile) — both spec-pinned. */
+  val PhashDctScale = 16384L
+  private[graft] lazy val phashDctTable: Array[Array[Long]] =
+    Array.tabulate(8, 8)((u, x) =>
+      Math.round(PhashDctScale * math.cos(math.Pi * (2 * x + 1) * u / 16.0)))
+  val PhashBands = 4
+  val PhashBandBits = 15
+  val PhashBandMask = (1L << PhashBandBits) - 1
+  val PhashMaxHamming = 3
+
+  /** The hash kernel. Resample: source pixel for grid (u,v) is the
+    * center-mapped nearest `x=(2u+1)w/16, y=(2v+1)h/16` (integer floor) —
+    * exact on any geometry ≥1×1, replicating pixels for images smaller
+    * than the tile. Terms bound: 255·2¹⁴·2¹⁴·64 < 2⁶³, all long. */
+  private[graft] def phashOf(img: BmpImage): Long = {
+    val w = img.width; val h = img.height
+    val g8 = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      val ys = (2 * v + 1) * h / 16
+      var u = 0
+      while (u < 8) {
+        val xs = (2 * u + 1) * w / 16
+        val j = ys * w + xs
+        g8(v * 8 + u) =
+          (img.rgb(3 * j) + img.rgb(3 * j + 1) + img.rgb(3 * j + 2)) / 3
+        u += 1
+      }
+      v += 1
+    }
+    val f = new Array[Long](64) // F(u,v) at idx v*8+u
+    var cv = 0
+    while (cv < 8) {
+      var cu = 0
+      while (cu < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += g8(y * 8 + x) * phashDctTable(cu)(x) * phashDctTable(cv)(y)
+            x += 1
+          }
+          y += 1
+        }
+        f(cv * 8 + cu) = s
+        cu += 1
+      }
+      cv += 1
+    }
+    val ac = Array.tabulate(60)(i => f(i + 1)) // row-major AC, DC dropped
+    val sorted = ac.sorted
+    val thr2 = sorted(29) + sorted(30) // 2× the lower-median midpoint
+    var bits = 0L
+    var i = 0
+    while (i < 60) {
+      if (2 * ac(i) > thr2) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  private def imagePhash(spark: SparkSession, dir: String): Dataset[PhashRow] = {
+    import spark.implicits._
+    mediaLake(spark, dir)
+      .filter(col("mime").startsWith("image/")).as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.iterator.flatMap { m =>
+            try {
+              val img = Codecs.imageDecode(m.payload)
+              val bits = phashOf(img)
+              Some(PhashRow(m.media_id, img.width, img.height, bits,
+                java.lang.Long.bitCount(bits)))
+            } catch { case _: IllegalArgumentException => None }
+          }
+        }
+      }
+  }
+
+  /** Gated lane: per-image DCT perceptual hash over the real decoded
+    * pixels — the same batched stateless decode map as every codec lane.
+    * The oracle re-derives the hash from the lake's closed-form pixel
+    * lattice with the SAME embedded integer cosine table. */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    imagePhash(spark, dir).toDF().orderBy("media_id")
+
+  /** Gated lane: image near-duplicate pairs by banded pHash — the
+    * frequency-domain twin of `multimodal_image_neardup`. Unlike aHash,
+    * every fingerprint is exactly 60 bits regardless of geometry (the
+    * resample normalizes), so the bucket key is just (band, bucket) —
+    * no bit-length column. All-zero hashes (flat images) carry no
+    * signal and are excluded, as everywhere. Pair join is an equi-join
+    * on band buckets; hamming ≤ [[PhashMaxHamming]] < [[PhashBands]]
+    * pigeonholes a clean band — recall 1, never all-pairs. */
+  def multimodalPhashNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val h = imagePhash(spark, dir).toDF().localCheckpoint()
+    val banded = h.filter(col("phash") =!= 0L)
+      .select(col("media_id"), col("phash"),
+        explode(expr(s"sequence(0, ${PhashBands - 1})")).as("band"))
+      .withColumn("bkt",
+        expr(s"shiftright(phash, band * $PhashBandBits) & $PhashBandMask"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct()
+      .orderBy("media_a", "media_b")
+  }
+
   /** Audio-fingerprint geometry: [[AfpWindow]]-sample energy windows over
     * the first [[AfpMaxSamples]] samples, one above-mean bit per window
     * (≤ [[AhashBits]] bits, same positive-value shift discipline). */
@@ -1739,6 +1870,63 @@ object Multimodal {
        |              THEN 1::BIGINT << g.j ELSE 0 END), 0) AS BIGINT) AS ahash
        |  FROM g JOIN m USING (media_id) GROUP BY g.media_id, m.n
        |)""".stripMargin
+
+  /** Shared oracle CTE chain ending in `pbits(media_id, phash)` — the
+    * codec-free closed-form twin of [[phashOf]]. The 8×8 integer cosine
+    * table is EMBEDDED as literals (same longs both engines), the 8×8
+    * resample indexes the gray lattice closed form directly, and the
+    * median threshold reproduces the sorted-rank midpoint in integers —
+    * the whole derivation is integer-exact on both sides. */
+  private lazy val phashCtes = {
+    val dctValues = (for (u <- 0 until 8; x <- 0 until 8)
+      yield s"($u, $x, ${phashDctTable(u)(x)})").mkString(", ")
+    s"""WITH img AS (
+       |  SELECT doc_id AS media_id, doc_id % 12 AS v,
+       |         5 + doc_id % 12 AS w, 3 + doc_id % 7 AS h
+       |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 12 <> 10
+       |), dct(cu, cx, c) AS (
+       |  SELECT * FROM (VALUES $dctValues)
+       |), px AS (
+       |  SELECT i.media_id, i.v, gv.g AS gv, gu.g AS gu,
+       |         ((2 * gv.g + 1) * i.h // 16) * i.w
+       |           + ((2 * gu.g + 1) * i.w // 16) AS j
+       |  FROM img i,
+       |       LATERAL (SELECT unnest(generate_series(0, 7)) AS g) gu,
+       |       LATERAL (SELECT unnest(generate_series(0, 7)) AS g) gv
+       |), pg AS (
+       |  SELECT media_id, gv, gu,
+       |         CASE WHEN v = 4 THEN (media_id * 17 + j * 11) % 256
+       |              ELSE ((media_id * 31 + (3 * j) * 7) % 256
+       |                  + (media_id * 31 + (3 * j + 1) * 7) % 256
+       |                  + (media_id * 31 + (3 * j + 2) * 7) % 256) // 3
+       |         END AS gray
+       |  FROM px
+       |), coef AS (
+       |  SELECT p.media_id, d2.cu AS fv, d1.cu AS fu,
+       |         sum(p.gray * d1.c * d2.c) AS f
+       |  FROM pg p
+       |  JOIN dct d1 ON d1.cx = p.gu
+       |  JOIN dct d2 ON d2.cx = p.gv
+       |  GROUP BY 1, 2, 3
+       |), ac AS (
+       |  SELECT media_id, fv * 8 + fu - 1 AS idx, f
+       |  FROM coef WHERE fv * 8 + fu BETWEEN 1 AND 60
+       |), ranked AS (
+       |  SELECT media_id, idx, f,
+       |         row_number() OVER (PARTITION BY media_id
+       |                            ORDER BY f, idx) AS r
+       |  FROM ac
+       |), thr AS (
+       |  SELECT media_id, sum(CASE WHEN r IN (30, 31) THEN f END) AS s2
+       |  FROM ranked GROUP BY media_id
+       |), pbits AS (
+       |  SELECT a.media_id,
+       |         CAST(coalesce(sum(CASE WHEN 2 * a.f > t.s2
+       |              THEN 1::BIGINT << CAST(a.idx AS INTEGER)
+       |              ELSE 0 END), 0) AS BIGINT) AS phash
+       |  FROM ac a JOIN thr t USING (media_id) GROUP BY a.media_id
+       |)""".stripMargin
+  }
 
   /** Shared oracle CTE chain ending in `abits(media_id, nw, afp)` — the
     * codec-free closed-form twin of [[audioFpOf]]: per-variant |sample|
@@ -2404,6 +2592,32 @@ object Multimodal {
          |       CAST(bit_count(ahash) AS INTEGER) AS n_ones
          |FROM bits ORDER BY media_id""".stripMargin,
 
+    // Codec-free pHash twin: integer DCT over the 8×8 lattice resample,
+    // with the SAME embedded cosine table the kernel uses.
+    "multimodal_phash" ->
+      s"""$phashCtes
+         |SELECT b.media_id, CAST(i.w AS INTEGER) AS width,
+         |       CAST(i.h AS INTEGER) AS height, b.phash,
+         |       CAST(bit_count(b.phash) AS INTEGER) AS n_ones
+         |FROM pbits b JOIN img i USING (media_id)
+         |ORDER BY media_id""".stripMargin,
+
+    "multimodal_phash_neardup" ->
+      s"""$phashCtes
+         |, banded AS (
+         |  SELECT media_id, phash, band,
+         |         (phash >> (band * $PhashBandBits)) & $PhashBandMask AS bkt
+         |  FROM pbits CROSS JOIN
+         |       (SELECT unnest(generate_series(0, ${PhashBands - 1})) AS band) bs
+         |  WHERE phash <> 0
+         |)
+         |SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b,
+         |       CAST(bit_count(xor(x.phash, y.phash)) AS INTEGER) AS hamming
+         |FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bkt = y.bkt AND x.media_id < y.media_id
+         |WHERE bit_count(xor(x.phash, y.phash)) <= $PhashMaxHamming
+         |ORDER BY media_a, media_b""".stripMargin,
+
     "multimodal_image_neardup" ->
       s"""$ahashCtes
          |, banded AS (
@@ -2493,6 +2707,8 @@ object Multimodal {
     "multimodal_route"       -> (multimodalRoute _),
     "multimodal_resize"      -> (multimodalResize _),
     "multimodal_ahash"       -> (multimodalAhash _),
+    "multimodal_phash"       -> (multimodalPhash _),
+    "multimodal_phash_neardup" -> (multimodalPhashNeardup _),
     "multimodal_image_neardup" -> (multimodalImageNeardup _),
     "multimodal_audio_fingerprint" -> (multimodalAudioFingerprint _),
     "multimodal_audio_neardup" -> (multimodalAudioNeardup _),

@@ -1,0 +1,200 @@
+package graft.extensions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Declarative data-quality verification — the "expectation suite" a
+  * training-data pipeline runs before a corpus snapshot is blessed
+  * (the Deequ/Great-Expectations shape, rebuilt on plain aggregates):
+  *
+  *  - [[audit]] verifies a list of table constraints (completeness,
+  *    uniqueness, row-level predicates) in ONE scan of the table: every
+  *    constraint contributes one aggregate to a single `agg(...)`, the
+  *    single stats row is unpivoted with `stack`, and pass/fail compares
+  *    exact counts (no float thresholds). Adding a constraint adds an
+  *    aggregate buffer, never a pass over the data — at 100 TB the audit
+  *    costs one column-pruned scan regardless of how many checks ride it.
+  *  - [[referential]] verifies foreign-key containment child.fk ⊆
+  *    parent.pk per relationship as a left join on the key (the parent
+  *    side reduced to distinct keys, broadcast by AQE when it fits) +
+  *    one count aggregate — the minimal shuffle for an FK check whose
+  *    parent is itself table-sized; no row data moves, only keys.
+  *
+  * Distinct from [[graft.ops.Profile]] (ANALYZE-style stats): Profile
+  * describes, Quality judges — named constraints with verdicts.
+  */
+object Quality {
+
+  /** One table constraint; `name` keys the audit-report row. */
+  sealed trait Constraint { def name: String }
+  /** Fraction of rows satisfying `pred` must be 1. */
+  final case class RowCheck(name: String, pred: Column) extends Constraint
+  /** Column must be fully non-null. */
+  final case class Complete(name: String, colName: String) extends Constraint
+  /** Column values must be globally unique. */
+  final case class Unique(name: String, colName: String) extends Constraint
+
+  /** Verify `constraints` over `df` in one scan. Output: one row per
+    * constraint — (check_name, metric ∈ [0,1] rounded to 6, pass). The
+    * pass verdict compares exact satisfied-vs-total counts, so a single
+    * violating row in 10^12 fails even though the rounded metric prints
+    * 1.0. Exact `count_distinct` backs Unique (the oracle hash-compares
+    * values); at 100 TB swap in approx_count_distinct + a follow-up
+    * exact recount of only the flagged columns. */
+  def audit(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "audit needs at least one constraint")
+    val aggs = constraints.zipWithIndex.map { case (c, i) =>
+      (c match {
+        case RowCheck(_, p) => count(when(p, lit(1)))
+        case Complete(_, cn) => count(col(cn))
+        case Unique(_, cn) => count_distinct(col(cn))
+      }).cast("double").as(s"m$i")
+    } :+ count(lit(1)).cast("double").as("n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = constraints.zipWithIndex
+      .map { case (c, i) => s"'${c.name}', m$i" }.mkString(", ")
+    row.selectExpr("n",
+        s"stack(${constraints.length}, $stackArgs) AS (check_name, m)")
+      .select(col("check_name"),
+        round(col("m") / col("n"), 6).as("metric"),
+        (col("m") >= col("n")).as("pass"))
+      .orderBy("check_name")
+  }
+
+  /** One FK-containment verdict: non-null `fk` values of `child` must
+    * all exist in `parent.pk`. Output row: (relationship, n_child,
+    * n_orphans, ref_ok). */
+  private def referentialRow(name: String, child: DataFrame, fk: String,
+                             parent: DataFrame, pk: String): DataFrame = {
+    val fkCol = child.select(col(fk).as("fk")).filter(col("fk").isNotNull)
+    fkCol.join(
+        parent.select(col(pk).as("fk")).distinct().withColumn("hit", lit(1)),
+        Seq("fk"), "left")
+      .agg(count(lit(1)).as("n_child"),
+        count(when(col("hit").isNull, lit(1))).as("n_orphans"))
+      .select(lit(name).as("relationship"), col("n_child"),
+        col("n_orphans"), (col("n_orphans") === 0L).as("ref_ok"))
+  }
+
+  /** Verify a set of FK relationships; one report row each. */
+  def referential(rels: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    rels.map { case (nm, ch, fk, par, pk) => referentialRow(nm, ch, fk, par, pk) }
+      .reduce(_ unionByName _).orderBy("relationship")
+
+  /** Gated lane: six constraints over `orders` — completeness,
+    * key uniqueness, a value range, a format regex, a categorical
+    * domain, and a date-window check — verified in one scan. */
+  def dqConstraintsOrders(spark: SparkSession, dir: String): DataFrame =
+    audit(Tables.orders(spark, dir), Seq(
+      Complete("completeness(o_custkey)", "o_custkey"),
+      Unique("uniqueness(o_orderkey)", "o_orderkey"),
+      RowCheck("range(o_totalprice>0)", col("o_totalprice") > 0),
+      RowCheck("pattern(o_orderpriority)",
+        col("o_orderpriority").rlike("^[1-5]-[A-Z ]+$")),
+      RowCheck("membership(o_orderstatus)",
+        col("o_orderstatus").isin("O", "F", "P")),
+      RowCheck("bounds(year(o_orderdate))",
+        year(col("o_orderdate")).between(1995, 2001))))
+
+  /** Gated lane: the star schema's six FK relationships audited
+    * child-by-child. The lineitem→orders/part/supplier checks shuffle
+    * keys only (both sides table-sized at scale); the dimension checks
+    * broadcast the parent key set. */
+  def dqReferential(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    referential(Seq(
+      ("customer.c_nationkey->nation.n_nationkey",
+        cust, "c_nationkey", Tables.nation(spark, dir), "n_nationkey"),
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        li, "l_orderkey", ords, "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey",
+        li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      ("lineitem.l_suppkey->supplier.s_suppkey",
+        li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey"),
+      ("nation.n_regionkey->region.r_regionkey",
+        Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      ("orders.o_custkey->customer.c_custkey",
+        ords, "o_custkey", cust, "c_custkey")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_constraints_orders" -> (dqConstraintsOrders _),
+    "dq_referential" -> (dqReferential _))
+
+  val oracle: Map[String, String] = Map(
+    "dq_constraints_orders" ->
+      """WITH a AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |         count(o_custkey)::DOUBLE AS m0,
+        |         count(DISTINCT o_orderkey)::DOUBLE AS m1,
+        |         count(CASE WHEN o_totalprice > 0 THEN 1 END)::DOUBLE AS m2,
+        |         count(CASE WHEN regexp_matches(o_orderpriority,
+        |                 '^[1-5]-[A-Z ]+$') THEN 1 END)::DOUBLE AS m3,
+        |         count(CASE WHEN o_orderstatus IN ('O','F','P')
+        |                 THEN 1 END)::DOUBLE AS m4,
+        |         count(CASE WHEN year(o_orderdate) BETWEEN 1995 AND 2001
+        |                 THEN 1 END)::DOUBLE AS m5
+        |  FROM orders),
+        |u AS (
+        |  SELECT 'completeness(o_custkey)' AS check_name, m0 AS m, n FROM a
+        |  UNION ALL SELECT 'uniqueness(o_orderkey)', m1, n FROM a
+        |  UNION ALL SELECT 'range(o_totalprice>0)', m2, n FROM a
+        |  UNION ALL SELECT 'pattern(o_orderpriority)', m3, n FROM a
+        |  UNION ALL SELECT 'membership(o_orderstatus)', m4, n FROM a
+        |  UNION ALL SELECT 'bounds(year(o_orderdate))', m5, n FROM a)
+        |SELECT check_name, round(m / n, 6) AS metric, m >= n AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
+
+    "dq_referential" ->
+      """WITH rel AS (
+        |  SELECT 'customer.c_nationkey->nation.n_nationkey' AS relationship,
+        |         count(*) AS n_child,
+        |         count(CASE WHEN p.k IS NULL THEN 1 END) AS n_orphans
+        |  FROM customer c LEFT JOIN
+        |       (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c.c_nationkey = p.k
+        |  WHERE c.c_nationkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey', count(*),
+        |         count(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN
+        |       (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON l.l_orderkey = p.k
+        |  WHERE l.l_orderkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey', count(*),
+        |         count(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN
+        |       (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON l.l_partkey = p.k
+        |  WHERE l.l_partkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier.s_suppkey', count(*),
+        |         count(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM lineitem l LEFT JOIN
+        |       (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON l.l_suppkey = p.k
+        |  WHERE l.l_suppkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'nation.n_regionkey->region.r_regionkey', count(*),
+        |         count(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM nation n LEFT JOIN
+        |       (SELECT DISTINCT r_regionkey AS k FROM region) p
+        |    ON n.n_regionkey = p.k
+        |  WHERE n.n_regionkey IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey', count(*),
+        |         count(CASE WHEN p.k IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN
+        |       (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON o.o_custkey = p.k
+        |  WHERE o.o_custkey IS NOT NULL)
+        |SELECT relationship, n_child, n_orphans, n_orphans = 0 AS ref_ok
+        |FROM rel ORDER BY relationship""".stripMargin)
+}

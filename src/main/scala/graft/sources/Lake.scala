@@ -94,11 +94,145 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** The shared MERGE-then-DELETE scenario of the CDC lanes: update every
+    * key ≡ 0 (mod 100) to priority '0-UPDATED', insert the same rows
+    * re-keyed +100 000 000 as '9-INSERTED', then erase every key ≡ 7
+    * (mod 100). Returns the table after both commits. */
+  private def mergedThenDeleted(spark: SparkSession, dir: String): LakeTable = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    val hits = o.filter(col("o_orderkey") % 100 === 0)
+    val updates = hits.withColumn("o_orderpriority", lit("0-UPDATED"))
+      .unionByName(hits
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderpriority", lit("9-INSERTED")))
+    t.merge(updates)
+    t.delete(o.filter(col("o_orderkey") % 100 === 7).select("o_orderkey"))
+    t
+  }
+
+  /** Gated lane: the change feed across a MERGE and a DELETE commit,
+    * summarized per (change type, priority). The oracle states the same
+    * feed from the raw table — updated keys contribute a preimage (their
+    * original priority) and a postimage ('0-UPDATED'), inserted keys an
+    * insert, erased keys a delete. Any row the manifest diff dropped,
+    * duplicated, or mis-classified diverges the counts; any
+    * rewritten-but-unchanged row leaking into the feed inflates them. */
+  def lakeCdcChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergedThenDeleted(spark, dir)
+    t.changes(0, t.latestVersion)
+      .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("change_type", "o_orderpriority")
+  }
+
+  /** Gated lane: incremental materialized-view maintenance from the
+    * change feed. The per-priority (count, revenue) MV built at snapshot
+    * 0 is advanced to the latest snapshot by FOLDING THE FEED — postimage
+    * and insert rows add, preimage and delete rows subtract — never
+    * rescanning the table. Money stays exact DECIMAL until the final
+    * round, so the incremental fold is bit-equal to a from-scratch
+    * aggregate (the oracle states the post-state aggregate directly).
+    * At 100 TB this is the difference between touching the changed files
+    * and re-aggregating the fact table per refresh. */
+  def lakeMvIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 10)
+    val t = mergedThenDeleted(spark, dir)
+    val mv0 = t.snapshot(0).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n0"),
+        sum(col("o_totalprice").cast(dec)).as("p0"))
+    val feed = t.changes(0, t.latestVersion)
+    val delta = feed
+      .withColumn("sgn",
+        when(col("_change_type").isin("insert", "update_postimage"), lit(1L))
+          .otherwise(lit(-1L)))
+      .groupBy("o_orderpriority")
+      .agg(sum(col("sgn")).as("dn"),
+        sum(when(col("sgn") === 1L, col("o_totalprice").cast(dec))
+          .otherwise(-col("o_totalprice").cast(dec))).as("dp"))
+    mv0.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("p0"), lit(0).cast(dec)) +
+          coalesce(col("dp"), lit(0).cast(dec))).as("p"))
+      .filter(col("n_orders") > 0L)
+      .select(col("o_orderpriority"), col("n_orders"),
+        round(col("p"), 2).cast("double").as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Gated lane: schema evolution through MERGE. The update batch carries
+    * a column the table never had (`o_channel`); the COW commit widens the
+    * schema — survivors of rewritten files and every carried-over file
+    * read back null through the merged-schema scan, update rows carry the
+    * backfill value. The aggregate distinguishes the two populations, so
+    * a dropped widening (or a null leak into updated rows) diverges. */
+  def lakeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    val updates = o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderpriority", lit("0-UPDATED"))
+      .withColumn("o_channel", lit("BACKFILL"))
+    t.merge(updates)
+    t.read()
+      .groupBy(coalesce(col("o_channel"), lit("LEGACY")).as("channel"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("channel", "o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_merge_cow" -> (lakeMergeCow _),
-    "lake_delete_erasure" -> (lakeDeleteErasure _))
+    "lake_delete_erasure" -> (lakeDeleteErasure _),
+    "lake_cdc_changes" -> (lakeCdcChanges _),
+    "lake_mv_incremental" -> (lakeMvIncremental _),
+    "lake_schema_evolution" -> (lakeSchemaEvolution _))
 
   val oracle: Map[String, String] = Map(
+    "lake_schema_evolution" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         CASE WHEN o_orderkey % 100 = 0 THEN 'BACKFILL'
+        |              ELSE 'LEGACY' END AS channel
+        |  FROM orders)
+        |SELECT channel, o_orderpriority, count(*) AS n_rows
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "lake_cdc_changes" ->
+      """WITH ch AS (
+        |  SELECT 'insert' AS change_type, '9-INSERTED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', '0-UPDATED'
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'delete', o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 7
+        |)
+        |SELECT change_type, o_orderpriority, count(*) AS n_rows
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "lake_mv_incremental" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_totalprice, o_orderkey
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '9-INSERTED', o_totalprice, o_orderkey + 100000000
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+        |            AS DOUBLE) AS sum_price
+        |FROM merged WHERE o_orderkey % 100 <> 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_delete_erasure" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders WHERE o_orderkey % 100 <> 0
@@ -189,11 +323,17 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   /** Time travel: the relation AS OF `version` — a plain multi-file
     * parquet scan over that manifest's files (COW keeps old files live
-    * until a retention vacuum, which this format leaves to the caller). */
+    * until a retention vacuum, which this format leaves to the caller).
+    * `mergeSchema` serves schema evolution: pre-evolution files read null
+    * for later-added columns. At 100 TB footer-merging every file is the
+    * wrong cost model — record the table schema in the manifest at commit
+    * and pass it to `read.schema(...)` instead; the manifest already
+    * carries per-file metadata, this is one more field. */
   def snapshot(version: Int): DataFrame = {
     val m = manifest(version)
     if (m.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.files.map(f => new Path(rootPath, f.path).toString): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => new Path(rootPath, f.path).toString): _*)
   }
 
   /** Latest snapshot. */
@@ -210,9 +350,78 @@ class LakeTable(spark: SparkSession, val root: String) {
     val m = manifest(latestVersion)
     val hit = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     if (hit.isEmpty) read().filter(col(m.keyCol).isNull && col(m.keyCol).isNotNull)
-    else spark.read
+    else spark.read.option("mergeSchema", "true")
       .parquet(hit.map(f => new Path(rootPath, f.path).toString): _*)
       .filter(col(m.keyCol).cast("long").between(lo, hi))
+  }
+
+  /** Change-data-feed between two committed snapshots: the net row-level
+    * delta from `fromVersion` to `toVersion`, derived from the MANIFEST
+    * diff. Only files added or removed across the interval are scanned —
+    * files carried between the endpoint manifests BY REFERENCE (the
+    * untouched bulk of a 100 TB table) never enter the plan, so the cost
+    * is proportional to what changed, not to the table. This is exactly
+    * how open table formats serve a change feed from their add/remove
+    * file actions.
+    *
+    * Output is the data schema plus `_change_type` ∈ {insert, delete,
+    * update_preimage, update_postimage} (the standard CDF vocabulary).
+    * COW rewrites whole files, so a rewritten-but-identical row is
+    * recognized (null-safe full-row compare per key) and emits nothing;
+    * likewise a key updated and then reverted inside the interval
+    * compares equal at the endpoints — the feed is the NET change.
+    *
+    * Scale shape: one shuffle, hash-partitioned on the merge key, over
+    * only the rows living in changed files; the manifest diff itself is
+    * metadata-sized driver work. */
+  def changes(fromVersion: Int, toVersion: Int): DataFrame = {
+    val mFrom = manifest(fromVersion)
+    val mTo = manifest(toVersion)
+    require(mFrom.keyCol == mTo.keyCol,
+      s"key column changed between snapshots: ${mFrom.keyCol} vs ${mTo.keyCol}")
+    val keyCol = mTo.keyCol
+    val fromPaths = mFrom.files.map(_.path).toSet
+    val toPaths = mTo.files.map(_.path).toSet
+    val removed = mFrom.files.filterNot(f => toPaths.contains(f.path))
+    val added = mTo.files.filterNot(f => fromPaths.contains(f.path))
+    // merged-schema template over the CHANGED files (planning-time footer
+    // reads only) — an interval that widened the schema feeds the widened
+    // shape, with pre-evolution rows null in the new columns
+    val templateFiles =
+      if (added.nonEmpty || removed.nonEmpty) added ++ removed
+      else mTo.files ++ mFrom.files
+    templateFiles.headOption match {
+      case None => // table never held data: empty, minimally-typed feed
+        spark.range(0).select(col("id").as(keyCol),
+          lit("").as("_change_type")).filter(lit(false))
+      case Some(_) =>
+        val schema = spark.read.option("mergeSchema", "true")
+          .parquet(templateFiles.map(f => new Path(rootPath, f.path).toString): _*)
+          .schema
+        def load(fsq: Seq[FileEntry]): DataFrame =
+          if (fsq.nonEmpty) spark.read.schema(schema).parquet(
+            fsq.map(f => new Path(rootPath, f.path).toString): _*)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val dataCols = schema.fieldNames.toSeq
+        val pre = load(removed).select(col(keyCol).as("_k"),
+          struct(dataCols.map(col): _*).as("_pre"))
+        val post = load(added).select(col(keyCol).as("_k"),
+          struct(dataCols.map(col): _*).as("_post"))
+        val j = pre.join(post, Seq("_k"), "full_outer")
+          // rewritten-but-identical rows are not changes
+          .filter(!(col("_pre") <=> col("_post")))
+        j.select(explode(
+            when(col("_pre").isNull,
+              array(struct(col("_post").as("row"), lit("insert").as("ct"))))
+            .when(col("_post").isNull,
+              array(struct(col("_pre").as("row"), lit("delete").as("ct"))))
+            .otherwise(array(
+              struct(col("_pre").as("row"), lit("update_preimage").as("ct")),
+              struct(col("_post").as("row"), lit("update_postimage").as("ct"))))
+          ).as("c"))
+          .select(col("c.row.*"), col("c.ct").as("_change_type"))
+    }
   }
 
   /** The commit: write the manifest under a dot-temp name, then rename to
@@ -309,10 +518,14 @@ class LakeTable(spark: SparkSession, val root: String) {
     val rewritten =
       if (hit.isEmpty) updates
       else {
-        val hitDf = spark.read.parquet(
+        // mergeSchema + allowMissingColumns: a merge may WIDEN the schema
+        // (schema evolution) — survivors of rewritten files carry null for
+        // columns only the updates have; carried-over files stay untouched
+        // and read back null through the merged-schema scan
+        val hitDf = spark.read.option("mergeSchema", "true").parquet(
           hit.map { case (f, _) => new Path(rootPath, f.path).toString }: _*)
         hitDf.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .unionByName(updates)
+          .unionByName(updates, allowMissingColumns = true)
       }
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
     val newFiles = writeDataFiles(rewritten, keyCol, hint)
@@ -356,7 +569,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val newFiles =
       if (hit.isEmpty) Seq.empty
       else {
-        val hitDf = spark.read.parquet(
+        val hitDf = spark.read.option("mergeSchema", "true").parquet(
           hit.map { case (f, _) => new Path(rootPath, f.path).toString }: _*)
         val survivors = hitDf.join(
           keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")

@@ -183,6 +183,100 @@ class LakeSpec extends SparkTestBase {
       Seq(Seq(5L, "E5", "U"), Seq(6L, "E6", "U"))
   }
 
+  test("change feed classifies insert/update/delete; identical rewrites emit nothing") {
+    val t = mkTable()
+    t.merge(Seq((5L, "NEW5", "U"), (42L, "NEW42", "U"), (200L, "INS200", "I"))
+      .toDF("k", "payload", "status"))
+    t.delete(Seq(7L).toDF("k"))
+    val feed = t.changes(0, t.latestVersion)
+    // note "update_postimage" < "update_preimage" lexicographically
+    rows(feed.orderBy("k", "_change_type")) shouldBe Seq(
+      Seq(5L, "NEW5", "U", "update_postimage"),
+      Seq(5L, "val5", "A", "update_preimage"),
+      Seq(7L, "val7", "A", "delete"),
+      Seq(42L, "NEW42", "U", "update_postimage"),
+      Seq(42L, "val42", "A", "update_preimage"),
+      Seq(200L, "INS200", "I", "insert"))
+    // rows that rode along in rewritten files (e.g. k=6, same file as 5/7)
+    // never appear — the feed is changes, not rewrites
+    feed.filter(col("k") === 6L).count() shouldBe 0L
+  }
+
+  test("change feed is NET: an update reverted inside the interval emits nothing") {
+    val t = mkTable()
+    t.merge(Seq((5L, "X", "U")).toDF("k", "payload", "status"))
+    t.merge(Seq((5L, "val5", "A")).toDF("k", "payload", "status")) // revert
+    t.changes(0, t.latestVersion).count() shouldBe 0L
+    // but each single hop still reports its own delta
+    t.changes(0, 1).filter(col("_change_type") === "update_postimage")
+      .select("payload").collect().map(_.getString(0)).toSeq shouldBe Seq("X")
+  }
+
+  test("change feed scans only files added or removed, never carried ones") {
+    val t = mkTable()
+    // key 5 lives in the first file only: one rewrite, two carries
+    t.merge(Seq((5L, "NEW5", "U")).toDF("k", "payload", "status"))
+    val carried = t.manifest(0).files.map(_.path).toSet
+      .intersect(t.manifest(1).files.map(_.path).toSet)
+    carried should have size 2
+    val feed = t.changes(0, 1)
+    val scans = feed.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val scanned = scans.flatMap(_.relation.location.inputFiles)
+      .map(p => new Path(p).getName).toSet
+    carried.map(p => new Path(p).getName)
+      .intersect(scanned) shouldBe empty
+    scanned should not be empty
+  }
+
+  test("incremental MV fold over the feed equals a from-scratch aggregate") {
+    val t = mkTable()
+    t.merge(Seq((5L, "NEW5", "U"), (42L, "NEW42", "U"), (200L, "INS200", "I"))
+      .toDF("k", "payload", "status"))
+    t.delete((1L to 10L).toDF("k"))
+    // MV: per-status (row count, sum of keys) built at v0, advanced by feed
+    val mv0 = t.snapshot(0).groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("k").as("s"))
+    val feed = t.changes(0, t.latestVersion)
+    val delta = feed.withColumn("sgn",
+        when(col("_change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L))
+      .groupBy("status")
+      .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("k")).as("ds"))
+    val folded = mv0.join(delta, Seq("status"), "full_outer")
+      .select(col("status"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+      .filter(col("n") > 0L)
+    val recomputed = t.read().groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("k").as("s"))
+    rows(folded.orderBy("status")) shouldBe rows(recomputed.orderBy("status"))
+  }
+
+  test("schema evolution: a widening merge backfills null everywhere else") {
+    val t = mkTable()
+    // key 5 lives in file 1 only: files 2-3 carry over with the OLD schema
+    val widened = Seq((5L, "NEW5", "U", "BACKFILL"))
+      .toDF("k", "payload", "status", "channel")
+    t.merge(widened)
+    val r = t.read()
+    r.columns should contain("channel")
+    rows(r.filter(col("k") === 5L).select("payload", "channel")) shouldBe
+      Seq(Seq("NEW5", "BACKFILL"))
+    // survivors of the rewritten file AND carried old-schema files: null
+    r.filter(col("channel").isNull).count() shouldBe 89L
+    rows(r.filter(col("k") === 45L).select("payload", "channel")) shouldBe
+      Seq(Seq("val45", null))
+    // the pre-evolution snapshot keeps its original narrow schema
+    t.snapshot(0).columns should not contain "channel"
+    // the change feed speaks the widened schema: preimage null, postimage set
+    val feed = t.changes(0, 1)
+    rows(feed.orderBy("_change_type").select("payload", "channel", "_change_type")) shouldBe
+      Seq(Seq("NEW5", "BACKFILL", "update_postimage"),
+        Seq("val5", null, "update_preimage"))
+  }
+
   test("chained merges: each snapshot remains readable at its own version") {
     val t = mkTable()
     t.merge(Seq((1L, "A1", "U")).toDF("k", "payload", "status"))

@@ -363,6 +363,33 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.ahashOf(BmpImage(10, 6, edited)) should not be Multimodal.ahashOf(base)
   }
 
+  test("pHash: EXACT invariance to brightness shift and pixel-replication upscale") {
+    import graft.extensions.{BmpImage, Codecs}
+    val rnd = new scala.util.Random(11)
+    val rgb = Array.fill(16 * 8 * 3)(20 + rnd.nextInt(200))
+    val base = BmpImage(16, 8, rgb)
+    val h0 = Multimodal.phashOf(base)
+    h0 should be >= 0L // 60-bit discipline
+    // brightness: a constant offset lands entirely in the discarded DC
+    // coefficient, so the hash is IDENTICAL (not just close) — stronger
+    // than aHash, whose mean-threshold only survives until rounding
+    Multimodal.phashOf(BmpImage(16, 8, rgb.map(_ + 15))) shouldBe h0
+    // 2× pixel replication resamples to the same 8×8 tile → same hash —
+    // the scale invariance aHash does not have at all
+    val up = new Array[Int](32 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 32; c <- 0 until 3)
+      up(3 * (y * 32 + x) + c) = rgb(3 * ((y / 2) * 16 + (x / 2)) + c)
+    Multimodal.phashOf(BmpImage(32, 16, up)) shouldBe h0
+    // survives a real codec round-trip
+    Multimodal.phashOf(Codecs.pngDecode(Codecs.pngEncode(base))) shouldBe h0
+    // a real content change flips bits
+    val edited = rgb.clone()
+    for (j <- 0 until 60) edited(j) = 255 - edited(j)
+    Multimodal.phashOf(BmpImage(16, 8, edited)) should not be h0
+    // a flat image has zero AC energy everywhere: degenerate hash is 0
+    Multimodal.phashOf(BmpImage(9, 5, Array.fill(9 * 5 * 3)(128))) shouldBe 0L
+  }
+
   test("audio fingerprint: loudness-scaled copy collides; content change does not") {
     val rnd = new scala.util.Random(13)
     val samples = Array.fill(64)((rnd.nextInt(8000) - 4000).toShort)
