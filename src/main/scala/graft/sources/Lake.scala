@@ -162,6 +162,19 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: time travel through the SQL gate. After a MERGE that
+    * rewrites priorities and a DELETE that erases keys, reading snapshot
+    * 0 must still aggregate exactly like the raw table — the COW
+    * contract (old files never touched, only de-referenced) stated as a
+    * query the oracle can falsify. Any merge/delete that mutated a
+    * version-0 file in place diverges the counts. */
+  def lakeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergedThenDeleted(spark, dir)
+    t.snapshot(0).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: schema evolution through MERGE. The update batch carries
     * a column the table never had (`o_channel`); the COW commit widens the
     * schema — survivors of rewritten files and every carried-over file
@@ -187,9 +200,14 @@ object Lake {
     "lake_delete_erasure" -> (lakeDeleteErasure _),
     "lake_cdc_changes" -> (lakeCdcChanges _),
     "lake_mv_incremental" -> (lakeMvIncremental _),
-    "lake_schema_evolution" -> (lakeSchemaEvolution _))
+    "lake_schema_evolution" -> (lakeSchemaEvolution _),
+    "lake_time_travel" -> (lakeTimeTravel _))
 
   val oracle: Map[String, String] = Map(
+    "lake_time_travel" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_schema_evolution" ->
       """WITH m AS (
         |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'

@@ -222,6 +222,66 @@ class StreamingSpec extends SparkTestBase {
       .count(_.startsWith("merge-epoch-")) shouldBe 2
   }
 
+  test("per-commit change feeds compose: a streamed MV consumer matches recompute") {
+    // Downstream incremental-view maintenance driven by the streaming
+    // MERGE sink: after each committed epoch, the consumer folds ONLY
+    // changes(v-1, v) into its MV — never rescanning the table — and the
+    // folded MV must equal a from-scratch aggregate of the final state,
+    // including across a checkpoint restart (the replayed epoch commits
+    // nothing, so the consumer sees no duplicate delta).
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.DataFrame
+    val base = Seq((1L, "v1", "A"), (2L, "v2", "A"), (3L, "v3", "B"))
+      .toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcmv-ckpt").toString
+    val ms = MemoryStream[(Long, String, String)]
+    def start() = StreamingOps.mergeIntoLake(
+      ms.toDF().toDF("k", "payload", "status"), table, ckpt)
+
+    def mvOf(df: DataFrame): DataFrame =
+      df.groupBy("status").agg(count(lit(1)).as("n"), sum("k").as("s"))
+    def fold(mv: DataFrame, feed: DataFrame): DataFrame = {
+      val delta = feed.withColumn("sgn",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("status")
+        .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("k")).as("ds"))
+      mv.join(delta, Seq("status"), "full_outer")
+        .select(col("status"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+        .filter(col("n") > 0L)
+    }
+    var mv = mvOf(table.snapshot(0)).localCheckpoint()
+    var seen = 0 // last version folded into mv
+
+    val q1 = start()
+    try {
+      ms.addData((2L, "UPD2", "B"), (9L, "INS9", "C"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // consumer catch-up: one fold per commit since the last seen version
+    (seen + 1 to table.latestVersion).foreach { v =>
+      mv = fold(mv, table.changes(v - 1, v)).localCheckpoint()
+    }
+    seen = table.latestVersion
+    // restart from the same checkpoint (replay) + one genuinely new epoch
+    val q2 = start()
+    try {
+      ms.addData((1L, "UPD1", "C"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    (seen + 1 to table.latestVersion).foreach { v =>
+      mv = fold(mv, table.changes(v - 1, v)).localCheckpoint()
+    }
+    rows(mv.orderBy("status")) shouldBe rows(mvOf(table.read()).orderBy("status"))
+    // and the composed fold equals the one-shot endpoint feed fold
+    rows(fold(mvOf(table.snapshot(0)), table.changes(0, table.latestVersion))
+      .orderBy("status")) shouldBe rows(mv.orderBy("status"))
+  }
+
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
     // file streams tail a directory; stage the single driver file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
