@@ -40,8 +40,16 @@ import org.apache.spark.sql.functions._
 object Lake {
 
   /** One data file's manifest entry. minKey/maxKey are inclusive bounds of
-    * the (numeric) merge key — the pruning stats. */
-  case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long)
+    * the (numeric) merge key — the pruning stats. `cols` optionally carries
+    * the same [min,max] bounds for EXTRA numeric columns (declared at
+    * [[create]]) — the Delta-style per-column file statistics that let
+    * [[LakeManifestPrune]] skip files on predicates over non-key columns.
+    * Whether a second column actually prunes depends on layout: a column
+    * correlated with the clustering key gets tight disjoint ranges; an
+    * uncorrelated one spans every file and prunes nothing (that interleaved
+    * case is what the Z-order lane exists for). */
+  case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
+                       cols: Map[String, (Long, Long)] = Map.empty)
 
   /** Fresh lake root under the JVM tempdir, registered for recursive
     * cleanup at JVM exit — every query invocation builds its own lake, so
@@ -175,6 +183,23 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: the key-range slice query every serving layer runs,
+    * through the AUTOMATIC pruning path — a plain `filter` over `read()`,
+    * no `readRange` cooperation; the injected [[LakeManifestPrune]] rule
+    * drops manifest-disjoint files at planning time (PlanAssertionsSpec
+    * pins the scan to fewer files than the table holds). The oracle
+    * states the same slice over the raw table. */
+  def lakeRangeSlice(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.read()
+      .filter(col("o_orderkey") >= 1000L && col("o_orderkey") <= 2000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: schema evolution through MERGE. The update batch carries
     * a column the table never had (`o_channel`); the COW commit widens the
     * schema — survivors of rewritten files and every carried-over file
@@ -201,9 +226,16 @@ object Lake {
     "lake_cdc_changes" -> (lakeCdcChanges _),
     "lake_mv_incremental" -> (lakeMvIncremental _),
     "lake_schema_evolution" -> (lakeSchemaEvolution _),
-    "lake_time_travel" -> (lakeTimeTravel _))
+    "lake_time_travel" -> (lakeTimeTravel _),
+    "lake_range_slice" -> (lakeRangeSlice _))
 
   val oracle: Map[String, String] = Map(
+    "lake_range_slice" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_time_travel" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -268,9 +300,12 @@ object Lake {
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** One snapshot. `operation` records provenance (create/merge) the way
-    * table formats keep a commit history. */
+    * table formats keep a commit history. `statsCols` lists the extra
+    * columns every file entry carries bounds for — fixed at [[create]],
+    * threaded through every rewrite. */
   case class Manifest(version: Int, parentVersion: Int, operation: String,
-                      keyCol: String, files: Seq[FileEntry])
+                      keyCol: String, files: Seq[FileEntry],
+                      statsCols: Seq[String] = Nil)
 
   /** Result of a [[LakeTable.merge]] — what a COW commit did. */
   case class MergeStats(version: Int, keptFiles: Int, rewrittenFiles: Int,
@@ -283,11 +318,14 @@ object Lake {
   }
 
   /** Create version 0 from `df`, clustered on `keyCol` into `numFiles`
-    * disjoint-range files, and return the table handle. */
+    * disjoint-range files, and return the table handle. `statsCols` names
+    * extra numeric columns to keep per-file [min,max] bounds for (beyond
+    * the key) — they ride every manifest from then on and feed
+    * [[LakeManifestPrune]]'s non-key data skipping. */
   def create(spark: SparkSession, root: String, df: DataFrame, keyCol: String,
-             numFiles: Int): LakeTable = {
+             numFiles: Int, statsCols: Seq[String] = Nil): LakeTable = {
     val t = new LakeTable(spark, root)
-    t.init(df, keyCol, numFiles)
+    t.init(df, keyCol, numFiles, statsCols)
     t
   }
 
@@ -295,19 +333,37 @@ object Lake {
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ListMap(
       "version" -> m.version, "parentVersion" -> m.parentVersion,
       "operation" -> m.operation, "keyCol" -> m.keyCol,
+      "statsCols" -> m.statsCols,
       "files" -> m.files.map(f => ListMap(
         "path" -> f.path, "rows" -> f.rows,
-        "minKey" -> f.minKey, "maxKey" -> f.maxKey))))
+        "minKey" -> f.minKey, "maxKey" -> f.maxKey,
+        "cols" -> m.statsCols.flatMap(c => f.cols.get(c).map(b =>
+          c -> Seq(b._1, b._2))).to(ListMap)))))
 
   private[graft] def fromJson(s: String): Manifest = {
     val n = mapper.readTree(s)
     import scala.jdk.CollectionConverters._
+    // statsCols/cols are absent in pre-evolution manifests — read optional
+    val statsCols =
+      if (n.has("statsCols"))
+        n.get("statsCols").elements().asScala.map(_.asText()).toSeq
+      else Nil
     Manifest(
       n.get("version").asInt(), n.get("parentVersion").asInt(),
       n.get("operation").asText(), n.get("keyCol").asText(),
-      n.get("files").elements().asScala.map(f => FileEntry(
-        f.get("path").asText(), f.get("rows").asLong(),
-        f.get("minKey").asLong(), f.get("maxKey").asLong())).toSeq)
+      n.get("files").elements().asScala.map { f =>
+        val cols =
+          if (f.has("cols"))
+            f.get("cols").fields().asScala.map { e =>
+              val b = e.getValue
+              e.getKey -> ((b.get(0).asLong(), b.get(1).asLong()))
+            }.toMap
+          else Map.empty[String, (Long, Long)]
+        FileEntry(
+          f.get("path").asText(), f.get("rows").asLong(),
+          f.get("minKey").asLong(), f.get("maxKey").asLong(), cols)
+      }.toSeq,
+      statsCols)
   }
 }
 
@@ -363,7 +419,12 @@ class LakeTable(spark: SparkSession, val root: String) {
     * the row-level predicate still applies inside the scan via ordinary
     * parquet pushdown. This is the read half of the min/max stats the
     * manifest keeps for MERGE/DELETE: a key-range query over a 100 TB
-    * table touches the files covering the range, not the table. */
+    * table touches the files covering the range, not the table.
+    *
+    * In sessions built with `GraftSessionExtensions`, the SAME pruning
+    * fires automatically on plain `read().filter(key …)` queries via the
+    * injected [[LakeManifestPrune]] optimizer rule — this explicit form
+    * remains for extension-less sessions. */
   def readRange(lo: Long, hi: Long): DataFrame = {
     val m = manifest(latestVersion)
     val hit = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
@@ -463,8 +524,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     * manifest entries. Files land in a scratch dir first, are renamed into
     * `data/` under fresh UUID names, and their (rows, min, max) stats come
     * from ONE metadata-cheap scan of just the new files. */
-  private def writeDataFiles(df: DataFrame, keyCol: String,
-                             numFiles: Int): Seq[FileEntry] = {
+  private def writeDataFiles(df: DataFrame, keyCol: String, numFiles: Int,
+                             statsCols: Seq[String] = Nil): Seq[FileEntry] = {
     val scratch = new Path(rootPath, s"_scratch-${UUID.randomUUID()}")
     df.repartitionByRange(math.max(1, numFiles), col(keyCol))
       .sortWithinPartitions(keyCol)
@@ -480,28 +541,42 @@ class LakeTable(spark: SparkSession, val root: String) {
     fs.delete(scratch, true)
     if (moved.isEmpty) Seq.empty
     else {
+      // key bounds + every extra stats column, ONE metadata-cheap pass
+      val extraAggs = statsCols.flatMap(c => Seq(
+        min(col(c).cast("long")).as(s"mn_$c"),
+        max(col(c).cast("long")).as(s"mx_$c")))
+      val aggs = Seq(count(lit(1)).as("rows"),
+        min(col(keyCol).cast("long")).as("mn"),
+        max(col(keyCol).cast("long")).as("mx")) ++ extraAggs
       val stats = spark.read.parquet(moved.map(_.toString): _*)
         .groupBy(input_file_name().as("f"))
-        .agg(count(lit(1)).as("rows"),
-          min(col(keyCol).cast("long")).as("mn"),
-          max(col(keyCol).cast("long")).as("mx"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => (new Path(r.getString(0)).getName,
-          (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        .map { r =>
+          val cols = statsCols.zipWithIndex.flatMap { case (c, i) =>
+            val (mnI, mxI) = (4 + 2 * i, 5 + 2 * i)
+            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+            else Some(c -> ((r.getLong(mnI), r.getLong(mxI))))
+          }.toMap
+          (new Path(r.getString(0)).getName,
+            (r.getLong(1), r.getLong(2), r.getLong(3), cols))
+        }.toMap
       // a zero-row part file (e.g. a fully-erased rewrite) has no stats
       // row: drop it from disk rather than manifest an empty file
       moved.flatMap { p =>
         stats.get(p.getName) match {
-          case Some((rows, mn, mx)) => Some(FileEntry(s"data/${p.getName}", rows, mn, mx))
+          case Some((rows, mn, mx, cols)) =>
+            Some(FileEntry(s"data/${p.getName}", rows, mn, mx, cols))
           case None => fs.delete(p, false); None
         }
       }
     }
   }
 
-  private[sources] def init(df: DataFrame, keyCol: String, numFiles: Int): Unit = {
-    val files = writeDataFiles(df, keyCol, numFiles)
-    commit(Manifest(0, -1, "create", keyCol, files))
+  private[sources] def init(df: DataFrame, keyCol: String, numFiles: Int,
+                            statsCols: Seq[String] = Nil): Unit = {
+    val files = writeDataFiles(df, keyCol, numFiles, statsCols)
+    commit(Manifest(0, -1, "create", keyCol, files, statsCols))
   }
 
   /** Copy-on-write MERGE of `updates` (same schema as the table) on the
@@ -525,6 +600,32 @@ class LakeTable(spark: SparkSession, val root: String) {
   def merge(updates: DataFrame, newFileCountHint: Int = 0): MergeStats =
     mergeTagged(updates, "merge", newFileCountHint)
 
+  /** Test-only interleaving seam: runs after a merge has decided its
+    * target version but before it commits — lets a spec plant a racing
+    * committer deterministically. No-op in production. */
+  private[graft] var onBeforeMergeCommit: () => Unit = () => ()
+
+  /** The optimistic-concurrency commit loop around [[merge]]: an attempt
+    * that loses the version race re-reads the NEW latest snapshot and
+    * REPLAYS the merge against it — the standard lakehouse retry. Safe
+    * because a merge is expressed against table state (anti-join +
+    * union), not a pinned version; replaying over the winner's snapshot
+    * preserves upsert semantics. Data files written by a lost attempt are
+    * unreferenced orphans (never manifested) — harmless until a cleanup
+    * sweep, exactly like aborted-commit files in any COW format. */
+  def mergeWithRetry(updates: DataFrame, maxAttempts: Int = 3): MergeStats = {
+    var attempt = 1
+    while (true) {
+      try return merge(updates)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def mergeTagged(updates: DataFrame, operation: String,
                           newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
@@ -546,9 +647,10 @@ class LakeTable(spark: SparkSession, val root: String) {
           .unionByName(updates, allowMissingColumns = true)
       }
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
-    val newFiles = writeDataFiles(rewritten, keyCol, hint)
+    val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols)
+    onBeforeMergeCommit()
     commit(Manifest(v + 1, v, operation, keyCol,
-      kept.map(_._1) ++ newFiles))
+      kept.map(_._1) ++ newFiles, m.statsCols))
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
 
@@ -591,9 +693,10 @@ class LakeTable(spark: SparkSession, val root: String) {
           hit.map { case (f, _) => new Path(rootPath, f.path).toString }: _*)
         val survivors = hitDf.join(
           keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")
-        writeDataFiles(survivors, keyCol, math.max(1, hit.size))
+        writeDataFiles(survivors, keyCol, math.max(1, hit.size), m.statsCols)
       }
-    commit(Manifest(v + 1, v, "delete", keyCol, kept.map(_._1) ++ newFiles))
+    commit(Manifest(v + 1, v, "delete", keyCol, kept.map(_._1) ++ newFiles,
+      m.statsCols))
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, 0L)
   }
 
@@ -605,8 +708,8 @@ class LakeTable(spark: SparkSession, val root: String) {
   def compact(numFiles: Int): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    val newFiles = writeDataFiles(read(), m.keyCol, numFiles)
-    commit(Manifest(v + 1, v, "compact", m.keyCol, newFiles))
+    val newFiles = writeDataFiles(read(), m.keyCol, numFiles, m.statsCols)
+    commit(Manifest(v + 1, v, "compact", m.keyCol, newFiles, m.statsCols))
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 

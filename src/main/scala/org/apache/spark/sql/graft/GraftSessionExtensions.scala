@@ -23,6 +23,10 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule restoring predicate pushdown through the custom node.
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    // Planning-time data skipping for graft.sources.Lake tables: filters
+    // on the merge key drop manifest-disjoint files from the scan relation
+    // before any task is planned (see LakeManifestPrune).
+    ext.injectOptimizerRule(session => new graft.sources.LakeManifestPrune(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductDouble].getName, null, "graft_dot"),

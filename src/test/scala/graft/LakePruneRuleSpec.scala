@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** The injected manifest-pruning optimizer rule (LakeManifestPrune): a
+  * PLAIN filter over a lake read must drop manifest-disjoint files from
+  * the scan relation at planning time — same answers, fewer files — and
+  * must refuse to touch anything it cannot prove prunable. */
+class LakePruneRuleSpec extends SparkTestBase {
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = GraftSession.tune(SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new org.apache.spark.sql.graft.GraftSessionExtensions))
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  private def scannedFiles(df: DataFrame): Set[String] =
+    df.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }.flatMap(_.relation.location.inputFiles)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+
+  private def mkTable(s: SparkSession) = {
+    import s.implicits._
+    val df = (1L to 90L).map(k => (k, s"val$k", "A")).toDF("k", "payload", "status")
+    Lake.create(s, Lake.freshRoot(), df, "k", 3) // ranges 1-30, 31-60, 61-90
+  }
+
+  test("a plain key-range filter over read() scans only intersecting files") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      val q = t.read().filter(col("k").between(40L, 50L))
+      scannedFiles(q) should have size 1
+      rows(q.orderBy("k")).map(_.head) shouldBe (40L to 50L)
+      // point lookup: one file
+      val p = t.read().filter(col("k") === 5L)
+      scannedFiles(p) should have size 1
+      rows(p) shouldBe Seq(Seq(5L, "val5", "A"))
+      // open-ended bound: two files survive
+      scannedFiles(t.read().filter(col("k") > 35L)) should have size 2
+      // flipped literal-first comparison prunes too
+      scannedFiles(t.read().filter(lit(35L) < col("k"))) should have size 2
+    }
+  }
+
+  test("non-key predicates, disjunctions, and foreign files never prune") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      // predicate on a non-key column: all files scanned
+      scannedFiles(t.read().filter(col("status") === "A")) should have size 3
+      // disjunction on the key is NOT a conjunct bound: no pruning
+      scannedFiles(t.read().filter(col("k") === 5L || col("k") === 85L)) should
+        have size 3
+      rows(t.read().filter(col("k") === 5L || col("k") === 85L)
+        .orderBy("k")).map(_.head) shouldBe Seq(5L, 85L)
+      // a non-lake parquet relation with the same column name is untouched
+      import s.implicits._
+      val plainDir = java.nio.file.Files.createTempDirectory("graft-plain").toString
+      (1L to 10L).map(k => (k, s"x$k")).toDF("k", "v")
+        .repartitionByRange(2, col("k")).write.mode("overwrite").parquet(plainDir)
+      val plain = s.read.parquet(plainDir).filter(col("k") === 3L)
+      scannedFiles(plain).size should be >= 2
+      rows(plain) shouldBe Seq(Seq(3L, "x3"))
+    }
+  }
+
+  test("pruning follows commits: a merge re-points the key range's file") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s)
+      t.merge(Seq((5L, "NEW5", "U")).toDF("k", "payload", "status"))
+      val q = t.read().filter(col("k") === 5L)
+      scannedFiles(q) should have size 1
+      rows(q) shouldBe Seq(Seq(5L, "NEW5", "U"))
+      // the carried files' names are NOT in the scan
+      val carried = t.manifest(0).files.map(_.path).toSet
+        .intersect(t.manifest(1).files.map(_.path).toSet)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName)
+      scannedFiles(q).intersect(carried) shouldBe empty
+      // an empty range prunes every file but stays well-typed
+      val none = t.read().filter(col("k").between(5000L, 6000L))
+      scannedFiles(none) shouldBe empty
+      none.count() shouldBe 0L
+    }
+  }
+
+  test("declared stats columns prune non-key predicates when layout allows") {
+    withExtendedSession { s =>
+      import s.implicits._
+      // v rides the clustering key (v = 10k): disjoint per-file v ranges —
+      // the correlated-column case; an uncorrelated column would span
+      // every file and prune nothing (what the Z-order lane is for)
+      val df = (1L to 90L).map(k => (k, k * 10, s"val$k")).toDF("k", "v", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 3, statsCols = Seq("v"))
+      t.manifest(0).statsCols shouldBe Seq("v")
+      t.manifest(0).files.foreach(_.cols.keySet shouldBe Set("v"))
+      val q = t.read().filter(col("v").between(400L, 500L)) // k 40..50: file 2
+      scannedFiles(q) should have size 1
+      rows(q.orderBy("k")).map(_.head) shouldBe (40L to 50L)
+      // key and stats-column conjuncts compose
+      scannedFiles(t.read()
+        .filter(col("v") === 650L && col("k") === 65L)) should have size 1
+      // rewrites carry the stats columns into the next manifest
+      t.merge(Seq((5L, 50L, "NEW5")).toDF("k", "v", "payload"))
+      t.manifest(1).statsCols shouldBe Seq("v")
+      val q2 = t.read().filter(col("v") === 770L)
+      scannedFiles(q2) should have size 1
+      rows(q2) shouldBe Seq(Seq(77L, 770L, "val77"))
+    }
+  }
+
+  test("the gated lake_range_slice lane scans a pruned subset of the table") {
+    withExtendedSession { s =>
+      val q = Lake.queries("lake_range_slice")(s, "/root/testdata/sf0.001")
+      val lakeFiles = q.queryExecution.sparkPlan.collect {
+        case fs: FileSourceScanExec => fs
+      }.flatMap(_.relation.location.inputFiles).filter(_.contains("/data/part-"))
+      // the table holds 8 files; the [1000, 2000] slice must hit fewer
+      lakeFiles.size should be > 0
+      lakeFiles.size should be < 8
+    }
+  }
+
+  test("the SQL path prunes identically: a temp view + spark.sql WHERE clause") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      t.read().createOrReplaceTempView("lake_t")
+      val q = s.sql("SELECT k, payload FROM lake_t WHERE k BETWEEN 40 AND 50")
+      scannedFiles(q) should have size 1
+      q.count() shouldBe 11L
+      val p = s.sql("SELECT payload FROM lake_t WHERE k = 77")
+      scannedFiles(p) should have size 1
+      rows(p) shouldBe Seq(Seq("val77"))
+    }
+  }
+
+  test("conjunct bounds compose and conflicting bounds yield empty scans") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      val q = t.read().filter(col("k") >= 31L && col("k") <= 35L &&
+        col("status") === "A")
+      scannedFiles(q) should have size 1
+      rows(q.orderBy("k")).map(_.head) shouldBe (31L to 35L)
+      scannedFiles(t.read().filter(col("k") > 50L && col("k") < 20L)) shouldBe empty
+    }
+  }
+}

@@ -93,6 +93,44 @@ class LakeSpec extends SparkTestBase {
     t.read().count() shouldBe 90L
   }
 
+  test("mergeWithRetry replays a lost commit race against the winner's state") {
+    val t = mkTable()
+    val fs = new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the racing winner lands version 1 AFTER our merge has picked its
+    // target but BEFORE it commits — the narrowest possible race window
+    var raced = false
+    t.onBeforeMergeCommit = () => {
+      if (!raced) {
+        raced = true
+        val racing = t.manifest(0).copy(version = 1, parentVersion = 0,
+          operation = "merge")
+        val out = fs.create(new Path(t.root, "_manifests/v00001.json"), false)
+        out.write(Lake.toJson(racing).getBytes); out.close()
+      }
+    }
+    try {
+      val stats = t.mergeWithRetry(
+        Seq((5L, "NEW5", "U")).toDF("k", "payload", "status"))
+      // attempt 1 lost v1; the replay re-read the winner's snapshot and
+      // committed v2 with the upsert applied
+      stats.version shouldBe 2
+      rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "NEW5", "U"))
+      t.read().count() shouldBe 90L
+    } finally t.onBeforeMergeCommit = () => ()
+    // exhausted retries still fail loudly
+    t.onBeforeMergeCommit = () => {
+      val v = t.latestVersion + 1
+      val racing = t.manifest(0).copy(version = v, parentVersion = v - 1,
+        operation = "merge")
+      val out = fs.create(new Path(t.root, f"_manifests/v$v%05d.json"), false)
+      out.write(Lake.toJson(racing).getBytes); out.close()
+    }
+    try intercept[java.util.ConcurrentModificationException] {
+      t.mergeWithRetry(Seq((6L, "X", "U")).toDF("k", "payload", "status"),
+        maxAttempts = 2)
+    } finally t.onBeforeMergeCommit = () => ()
+  }
+
   test("COW delete: partial files rewrite to survivors, full files vanish") {
     val t = mkTable()
     // erase keys 1-30 (the whole first file) plus 45 (mid-second-file)
