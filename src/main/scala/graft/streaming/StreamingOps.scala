@@ -349,6 +349,40 @@ object StreamingOps {
       }
       .start()
 
+  /** Stream a lake table's CHANGE FEED — the table-as-a-source direction,
+    * the mirror of [[mergeIntoLake]]: tail the `_manifests` directory with
+    * the file-stream source (each committed manifest is one immutable
+    * rename-published file; the `v*.json` glob never matches dot-temp
+    * files, so a partial commit is unobservable) and hand
+    * `changes(v-1, v)` to `applyFeed` in VERSION ORDER for every newly
+    * seen commit. The file source's per-file exactly-once tracking (offset
+    * log under the checkpoint) means a restart resumes at the first unseen
+    * manifest — no version is replayed, none is skipped: the manifest
+    * chain doubles as a streamable CDC log with zero extra infrastructure.
+    * Feed cost per commit is the manifest-diff slice (changed files only),
+    * so a quiet table streams for free. The create commit (v0) has no
+    * parent and emits nothing. */
+  def lakeChangesStream(spark: org.apache.spark.sql.SparkSession,
+                        table: graft.sources.LakeTable, checkpointDir: String)
+                       (applyFeed: (Int, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .format("text")
+      .load(new org.apache.hadoop.fs.Path(table.root, "_manifests").toString
+        + "/v*.json")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val versions = batch
+          .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+          .distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
+          .filter(_.matches("v\\d{5}\\.json"))
+          .map(_.substring(1, 6).toInt).sorted
+        versions.filter(_ > 0).foreach(v => applyFeed(v, table.changes(v - 1, v)))
+      }
+      .start()
+
   /** Streaming ARCHIVE ingest — the bundle-arrival twin of the batch
     * `archive_ingest` lane: tail a directory with the `binaryFile` source
     * (new bundle files become micro-batches), sniff each payload's magic

@@ -282,6 +282,39 @@ class StreamingSpec extends SparkTestBase {
       .orderBy("status")) shouldBe rows(mv.orderBy("status"))
   }
 
+  test("lakeChangesStream: the manifest chain is a streamable CDC log, exactly-once") {
+    import org.apache.spark.sql.DataFrame
+    val base = Seq((1L, "v1", "A"), (2L, "v2", "A")).toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcstream-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Int, Seq[Seq[Any]])]()
+    def start() = StreamingOps.lakeChangesStream(spark, table, ckpt) { (v, feed) =>
+      seen.synchronized {
+        seen += ((v, rows(feed.orderBy("k", "_change_type"))))
+      }
+      ()
+    }
+    // two commits land BEFORE the stream starts: the first batch must
+    // deliver both, in version order
+    table.merge(Seq((1L, "U1", "U")).toDF("k", "payload", "status"))
+    table.merge(Seq((9L, "I9", "I")).toDF("k", "payload", "status"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    seen.map(_._1).toSeq shouldBe Seq(1, 2)
+    seen(0)._2 shouldBe Seq(
+      Seq(1L, "U1", "U", "update_postimage"),
+      Seq(1L, "v1", "A", "update_preimage"))
+    seen(1)._2 shouldBe Seq(Seq(9L, "I9", "I", "insert"))
+    // restart from the checkpoint, one new commit: ONLY version 3 arrives
+    // (the file-source offset log makes each manifest exactly-once)
+    table.delete(Seq(2L).toDF("k"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    seen.map(_._1).toSeq shouldBe Seq(1, 2, 3)
+    seen(2)._2 shouldBe Seq(Seq(2L, "v2", "A", "delete"))
+  }
+
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
     // file streams tail a directory; stage the single driver file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
