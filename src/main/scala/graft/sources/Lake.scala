@@ -170,6 +170,26 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: merge-on-read delete through the SQL gate. A deferred
+    * delete (tombstone write, zero data files rewritten) must read
+    * exactly like the COW delete, and compaction must fold the
+    * tombstones into a clean snapshot that still reads the same — both
+    * phases aggregated under one oracle. The no-rewrite property itself
+    * is spec-pinned (`LakeSpec`). */
+  def lakeMorDelete(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.deleteDeferred(o.filter(col("o_orderkey") % 100 === 0).select("o_orderkey"))
+    val deferred = t.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders")).withColumn("phase", lit("deferred"))
+    t.compact(8)
+    val compacted = t.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders")).withColumn("phase", lit("compacted"))
+    deferred.unionByName(compacted)
+      .select("phase", "o_orderpriority", "n_orders")
+      .orderBy("phase", "o_orderpriority")
+  }
+
   /** Gated lane: time travel through the SQL gate. After a MERGE that
     * rewrites priorities and a DELETE that erases keys, reading snapshot
     * 0 must still aggregate exactly like the raw table — the COW
@@ -227,9 +247,19 @@ object Lake {
     "lake_mv_incremental" -> (lakeMvIncremental _),
     "lake_schema_evolution" -> (lakeSchemaEvolution _),
     "lake_time_travel" -> (lakeTimeTravel _),
-    "lake_range_slice" -> (lakeRangeSlice _))
+    "lake_range_slice" -> (lakeRangeSlice _),
+    "lake_mor_delete" -> (lakeMorDelete _))
 
   val oracle: Map[String, String] = Map(
+    "lake_mor_delete" ->
+      """WITH agg AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders
+        |  FROM orders WHERE o_orderkey % 100 <> 0 GROUP BY 1)
+        |SELECT 'compacted' AS phase, o_orderpriority, n_orders FROM agg
+        |UNION ALL
+        |SELECT 'deferred', o_orderpriority, n_orders FROM agg
+        |ORDER BY phase, o_orderpriority""".stripMargin,
+
     "lake_range_slice" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
@@ -302,10 +332,13 @@ object Lake {
   /** One snapshot. `operation` records provenance (create/merge) the way
     * table formats keep a commit history. `statsCols` lists the extra
     * columns every file entry carries bounds for — fixed at [[create]],
-    * threaded through every rewrite. */
+    * threaded through every rewrite. `tombstones` are MERGE-ON-READ
+    * key-delete files ([[LakeTable.deleteDeferred]]) applied as an
+    * anti-join at read time until a [[LakeTable.compact]] folds them. */
   case class Manifest(version: Int, parentVersion: Int, operation: String,
                       keyCol: String, files: Seq[FileEntry],
-                      statsCols: Seq[String] = Nil)
+                      statsCols: Seq[String] = Nil,
+                      tombstones: Seq[FileEntry] = Nil)
 
   /** Result of a [[LakeTable.merge]] — what a COW commit did. */
   case class MergeStats(version: Int, keptFiles: Int, rewrittenFiles: Int,
@@ -329,16 +362,20 @@ object Lake {
     t
   }
 
+  private def fileJson(m: Manifest)(f: FileEntry): ListMap[String, Any] =
+    ListMap(
+      "path" -> f.path, "rows" -> f.rows,
+      "minKey" -> f.minKey, "maxKey" -> f.maxKey,
+      "cols" -> m.statsCols.flatMap(c => f.cols.get(c).map(b =>
+        c -> Seq(b._1, b._2))).to(ListMap))
+
   private[graft] def toJson(m: Manifest): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ListMap(
       "version" -> m.version, "parentVersion" -> m.parentVersion,
       "operation" -> m.operation, "keyCol" -> m.keyCol,
       "statsCols" -> m.statsCols,
-      "files" -> m.files.map(f => ListMap(
-        "path" -> f.path, "rows" -> f.rows,
-        "minKey" -> f.minKey, "maxKey" -> f.maxKey,
-        "cols" -> m.statsCols.flatMap(c => f.cols.get(c).map(b =>
-          c -> Seq(b._1, b._2))).to(ListMap)))))
+      "files" -> m.files.map(fileJson(m)),
+      "tombstones" -> m.tombstones.map(fileJson(m))))
 
   private[graft] def fromJson(s: String): Manifest = {
     val n = mapper.readTree(s)
@@ -348,10 +385,9 @@ object Lake {
       if (n.has("statsCols"))
         n.get("statsCols").elements().asScala.map(_.asText()).toSeq
       else Nil
-    Manifest(
-      n.get("version").asInt(), n.get("parentVersion").asInt(),
-      n.get("operation").asText(), n.get("keyCol").asText(),
-      n.get("files").elements().asScala.map { f =>
+    def entries(field: String): Seq[FileEntry] =
+      if (!n.has(field)) Nil
+      else n.get(field).elements().asScala.map { f =>
         val cols =
           if (f.has("cols"))
             f.get("cols").fields().asScala.map { e =>
@@ -362,8 +398,11 @@ object Lake {
         FileEntry(
           f.get("path").asText(), f.get("rows").asLong(),
           f.get("minKey").asLong(), f.get("maxKey").asLong(), cols)
-      }.toSeq,
-      statsCols)
+      }.toSeq
+    Manifest(
+      n.get("version").asInt(), n.get("parentVersion").asInt(),
+      n.get("operation").asText(), n.get("keyCol").asText(),
+      entries("files"), statsCols, entries("tombstones"))
   }
 }
 
@@ -406,9 +445,22 @@ class LakeTable(spark: SparkSession, val root: String) {
   def snapshot(version: Int): DataFrame = {
     val m = manifest(version)
     if (m.files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => new Path(rootPath, f.path).toString): _*)
+    else applyTombstones(m,
+      spark.read.option("mergeSchema", "true")
+        .parquet(m.files.map(f => new Path(rootPath, f.path).toString): _*))
   }
+
+  /** Merge-on-read: anti-join the snapshot's key tombstones (if any) —
+    * the read half of [[deleteDeferred]]. Tombstone relations are
+    * key-column-only and metadata-small next to the table, so the
+    * anti-join broadcasts under AQE. */
+  private def applyTombstones(m: Manifest, base: DataFrame): DataFrame =
+    if (m.tombstones.isEmpty) base
+    else base.join(
+      spark.read.parquet(
+          m.tombstones.map(f => new Path(rootPath, f.path).toString): _*)
+        .select(col(m.keyCol)).distinct(),
+      Seq(m.keyCol), "left_anti")
 
   /** Latest snapshot. */
   def read(): DataFrame = snapshot(latestVersion)
@@ -429,8 +481,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     val m = manifest(latestVersion)
     val hit = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     if (hit.isEmpty) read().filter(col(m.keyCol).isNull && col(m.keyCol).isNotNull)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(hit.map(f => new Path(rootPath, f.path).toString): _*)
+    else applyTombstones(m,
+      spark.read.option("mergeSchema", "true")
+        .parquet(hit.map(f => new Path(rootPath, f.path).toString): _*))
       .filter(col(m.keyCol).cast("long").between(lo, hi))
   }
 
@@ -458,6 +511,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     val mTo = manifest(toVersion)
     require(mFrom.keyCol == mTo.keyCol,
       s"key column changed between snapshots: ${mFrom.keyCol} vs ${mTo.keyCol}")
+    require(mFrom.tombstones.isEmpty && mTo.tombstones.isEmpty,
+      "change feed endpoints carry deferred deletes: compact() first — the " +
+        "manifest file diff cannot see through read-time tombstones")
     val keyCol = mTo.keyCol
     val fromPaths = mFrom.files.map(_.path).toSet
     val toPaths = mTo.files.map(_.path).toSet
@@ -630,6 +686,10 @@ class LakeTable(spark: SparkSession, val root: String) {
                           newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
+    require(m.tombstones.isEmpty,
+      "table carries deferred deletes (merge-on-read tombstones): compact() " +
+        "before merging — a rewrite cannot re-insert a tombstoned key, the " +
+        "read-time anti-join would erase it again")
     val keyCol = m.keyCol
     val hitIdx = hitFileIndexes(m, updates.select(col(keyCol)))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
@@ -683,6 +743,9 @@ class LakeTable(spark: SparkSession, val root: String) {
   def delete(keys: DataFrame): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
+    require(m.tombstones.isEmpty,
+      "table carries deferred deletes: compact() before a COW delete, or " +
+        "keep using deleteDeferred until the next compaction")
     val keyCol = m.keyCol
     val hitIdx = hitFileIndexes(m, keys)
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
@@ -698,6 +761,29 @@ class LakeTable(spark: SparkSession, val root: String) {
     commit(Manifest(v + 1, v, "delete", keyCol, kept.map(_._1) ++ newFiles,
       m.statsCols))
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, 0L)
+  }
+
+  /** MERGE-ON-READ delete — the write-cheap twin of [[delete]]: the keys
+    * land as a tombstone file (key column only, clustered + min/max
+    * manifested like any data file) and EVERY data file carries over by
+    * reference; readers apply the tombstones as an anti-join until
+    * [[compact]] folds them into a clean COW snapshot. At 100 TB this is
+    * the difference between writing |keys| rows and rewriting every file
+    * an erasure request touches — the GDPR fast path every table format
+    * grew deletion vectors for. Contract: while tombstones are
+    * outstanding, [[merge]]/[[delete]]/[[changes]] refuse loudly (a
+    * rewrite cannot re-insert a tombstoned key); compaction restores full
+    * function. Repeated deferred deletes stack — each commit appends its
+    * tombstone file. */
+  def deleteDeferred(keys: DataFrame): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val tomb = writeDataFiles(
+      keys.select(col(keys.columns.head).cast("long").as(m.keyCol)).distinct(),
+      m.keyCol, 1)
+    commit(Manifest(v + 1, v, "delete-deferred", m.keyCol, m.files,
+      m.statsCols, m.tombstones ++ tomb))
+    MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
   }
 
   /** Table-maintenance compaction: rewrite the LATEST snapshot into
@@ -723,13 +809,16 @@ class LakeTable(spark: SparkSession, val root: String) {
     val latest = latestVersion
     val horizon = math.max(0, latest - retainVersions + 1)
     if (horizon == 0) return (0, 0)
-    val keepRefs = (horizon to latest).flatMap(v => manifest(v).files.map(_.path)).toSet
+    val keepRefs = (horizon to latest).flatMap { v =>
+      val m = manifest(v)
+      (m.files ++ m.tombstones).map(_.path)
+    }.toSet
     var droppedManifests = 0
     var droppedFiles = 0
     (0 until horizon).foreach { v =>
       val mp = manifestPath(v)
       if (fs.exists(mp)) {
-        manifest(v).files.foreach { f =>
+        { val mv = manifest(v); mv.files ++ mv.tombstones }.foreach { f =>
           if (!keepRefs.contains(f.path)) {
             if (fs.delete(new Path(rootPath, f.path), false)) droppedFiles += 1
           }

@@ -146,6 +146,40 @@ class LakeSpec extends SparkTestBase {
     t.snapshot(0).count() shouldBe 90L
   }
 
+  test("deferred delete: tombstones only, zero rewrites; compact folds them") {
+    val t = mkTable()
+    val v0Files = t.manifest(0).files.map(_.path)
+    val stats = t.deleteDeferred(((1L to 30L) :+ 45L).toDF("k"))
+    stats.rewrittenFiles shouldBe 0
+    // every data file carries BY REFERENCE — the write-cheap contract
+    t.manifest(1).files.map(_.path) shouldBe v0Files
+    t.manifest(1).tombstones should have size 1
+    t.read().count() shouldBe 59L
+    t.read().filter(col("k") <= 30L || col("k") === 45L).count() shouldBe 0L
+    // readRange applies tombstones too
+    t.readRange(40L, 50L).count() shouldBe 10L // 40..50 minus 45
+    // deferred deletes stack
+    t.deleteDeferred(Seq(50L).toDF("k"))
+    t.manifest(2).tombstones should have size 2
+    t.read().count() shouldBe 58L
+    // merge / COW delete / change feed refuse while tombstones stand
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((5L, "X", "U")).toDF("k", "payload", "status"))
+    }
+    intercept[IllegalArgumentException] { t.delete(Seq(60L).toDF("k")) }
+    intercept[IllegalArgumentException] { t.changes(0, 2) }
+    // compaction folds tombstones into a clean snapshot; function restored
+    t.compact(2)
+    t.manifest(3).tombstones shouldBe empty
+    t.read().count() shouldBe 58L
+    // a tombstoned key can re-insert after the fold
+    t.merge(Seq((5L, "BACK5", "U")).toDF("k", "payload", "status"))
+    rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "BACK5", "U"))
+    // earlier snapshots still read with their own tombstone view
+    t.snapshot(1).count() shouldBe 59L
+    t.snapshot(0).count() shouldBe 90L
+  }
+
   test("delete of every row leaves a valid empty snapshot") {
     val t = mkTable()
     t.delete((1L to 90L).toDF("k"))
