@@ -123,11 +123,96 @@ object Quality {
         ords, "o_custkey", cust, "c_custkey")))
   }
 
+  /** Gated lane: DISTRIBUTION DRIFT between two cohorts of the same
+    * table — the population-stability-index screen a training pipeline
+    * runs when a new data drop lands, per segment. Cohorts are the
+    * ≤1997 / >1997 order years; the feature is o_totalprice under four
+    * FIXED bins (literal edges — no quantile estimation, so the binning
+    * is scale-free and cross-engine exact); Laplace-smoothed bin shares
+    * keep empty bins finite. PSI per priority = Σ_bins
+    * (p_a−p_b)·ln(p_a/p_b), with the engine-parity discipline of the
+    * text lanes: per-bin terms round at 9, the 4-term sum folds in
+    * sorted bin order (deterministic IEEE order on both engines), final
+    * round at 6. One scan builds the cohort×bin counts; everything
+    * after is segment-cardinality metadata. */
+  def dqDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.orders(spark, dir).select(
+      col("o_orderpriority").as("prio"),
+      (year(col("o_orderdate")) <= lit(1997)).as("is_a"),
+      when(col("o_totalprice") < 50000, 0)
+        .when(col("o_totalprice") < 150000, 1)
+        .when(col("o_totalprice") < 300000, 2).otherwise(3).as("bin"))
+    val counts = binned.groupBy("prio", "bin")
+      .agg(count(when(col("is_a"), lit(1))).as("na"),
+        count(when(!col("is_a"), lit(1))).as("nb"))
+    // densify to the full prio × bin lattice so absent bins smooth, not drop
+    val lattice = binned.select("prio").distinct()
+      .crossJoin(broadcast(
+        spark.range(4).select(col("id").cast("int").as("bin"))))
+    val full = lattice.join(counts, Seq("prio", "bin"), "left")
+      .select(col("prio"), col("bin"),
+        coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val tot = full.groupBy("prio").agg(sum("na").as("ta"), sum("nb").as("tb"))
+    val terms = full.join(tot, "prio")
+      .select(col("prio"), col("bin"),
+        ((col("na") + 1).cast("double") / (col("ta") + 4)).as("pa"),
+        ((col("nb") + 1).cast("double") / (col("tb") + 4)).as("pb"))
+      .select(col("prio"), col("bin"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 9).as("term"))
+    terms.groupBy("prio")
+      .agg(round(expr(
+        "aggregate(transform(sort_array(collect_list(struct(bin, term))), x -> x.term), 0.0D, (acc, t) -> acc + t)"),
+        6).as("psi"))
+      .select(col("prio").as("o_orderpriority"), col("psi"),
+        when(col("psi") > 0.2, "major")
+          .when(col("psi") > 0.1, "moderate")
+          .otherwise("stable").as("drift"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_constraints_orders" -> (dqConstraintsOrders _),
-    "dq_referential" -> (dqReferential _))
+    "dq_referential" -> (dqReferential _),
+    "dq_drift_psi" -> (dqDriftPsi _))
 
   val oracle: Map[String, String] = Map(
+    "dq_drift_psi" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS prio,
+        |         year(o_orderdate) <= 1997 AS is_a,
+        |         CASE WHEN o_totalprice < 50000 THEN 0
+        |              WHEN o_totalprice < 150000 THEN 1
+        |              WHEN o_totalprice < 300000 THEN 2 ELSE 3 END AS bin
+        |  FROM orders),
+        |c AS (
+        |  SELECT prio, bin,
+        |         count(CASE WHEN is_a THEN 1 END) AS na,
+        |         count(CASE WHEN NOT is_a THEN 1 END) AS nb
+        |  FROM b GROUP BY 1, 2),
+        |lattice AS (
+        |  SELECT p.prio, g.bin,
+        |         coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb
+        |  FROM (SELECT DISTINCT prio FROM b) p
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bin) g
+        |  LEFT JOIN c ON c.prio = p.prio AND c.bin = g.bin),
+        |t AS (SELECT prio, sum(na) AS ta, sum(nb) AS tb
+        |      FROM lattice GROUP BY 1),
+        |terms AS (
+        |  SELECT f.prio, f.bin,
+        |         round(((f.na + 1)::DOUBLE / (t.ta + 4)
+        |                - (f.nb + 1)::DOUBLE / (t.tb + 4))
+        |               * ln(((f.na + 1)::DOUBLE / (t.ta + 4))
+        |                    / ((f.nb + 1)::DOUBLE / (t.tb + 4))), 9) AS term
+        |  FROM lattice f JOIN t USING (prio)),
+        |psi AS (SELECT prio, round(sum(term ORDER BY bin), 6) AS psi
+        |        FROM terms GROUP BY 1)
+        |SELECT prio AS o_orderpriority, psi,
+        |       CASE WHEN psi > 0.2 THEN 'major'
+        |            WHEN psi > 0.1 THEN 'moderate'
+        |            ELSE 'stable' END AS drift
+        |FROM psi ORDER BY 1""".stripMargin,
+
     "dq_constraints_orders" ->
       """WITH a AS (
         |  SELECT count(*)::DOUBLE AS n,

@@ -123,6 +123,40 @@ class LakePruneRuleSpec extends SparkTestBase {
     }
   }
 
+  test("Z-ordered lake + stats columns = automatic 2-D box skipping") {
+    // Three r9 features composing with zero new code: cluster the table on
+    // the Morton z-value of (x, y), declare x and y as stats columns, and
+    // the prune rule skips files for 2-D box predicates — z-clustering is
+    // exactly what makes BOTH per-file x and y ranges tight when neither
+    // column alone is sorted.
+    withExtendedSession { s =>
+      import org.apache.spark.sql.graft.ZValue
+      import s.implicits._
+      val n = 32 // 32×32 grid, 1024 rows, 16 files
+      val df = (0L until n * n).map { i => (i % n, i / n, s"cell$i") }
+        .toDF("x", "y", "payload")
+        .withColumn("z", ZValue.zvalue(col("x"), col("y")))
+      val t = Lake.create(s, Lake.freshRoot(), df, "z", 16,
+        statsCols = Seq("x", "y"))
+      // a vertical strip: x ∈ [4,7], every y — the query shape a
+      // single-dimension sort order cannot skip for
+      val strip = t.read().filter(col("x").between(4L, 7L))
+      val scanned = scannedFiles(strip).size
+      scanned should be < 16
+      strip.count() shouldBe (4L * n)
+      // row-major layout (k = y·n + x): every file holds the full x
+      // domain, so the same strip scans the WHOLE table
+      val linear = Lake.create(s, Lake.freshRoot(),
+        df.withColumn("k", col("y") * n + col("x")), "k", 16,
+        statsCols = Seq("x", "y"))
+      val linearScanned = scannedFiles(linear.read()
+        .filter(col("x").between(4L, 7L))).size
+      linearScanned shouldBe 16
+      // z-order strictly beats the linear layout on the strip
+      scanned should be < linearScanned
+    }
+  }
+
   test("the gated lake_range_slice lane scans a pruned subset of the table") {
     withExtendedSession { s =>
       val q = Lake.queries("lake_range_slice")(s, "/root/testdata/sf0.001")

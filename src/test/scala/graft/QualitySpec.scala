@@ -82,6 +82,18 @@ class QualitySpec extends SparkTestBase {
       Seq(Seq("c.fk->p.pk", 1L, 0L, true))
   }
 
+  test("PSI drift: per-segment values nonnegative, labels consistent") {
+    val out = Quality.dqDriftPsi(spark, "/root/testdata/sf0.001").collect()
+    out.length shouldBe 5
+    out.foreach { r =>
+      val psi = r.getDouble(1)
+      // every PSI term (p-q)·ln(p/q) is nonnegative, so the sum is too
+      psi should be >= 0.0
+      r.getString(2) shouldBe (
+        if (psi > 0.2) "major" else if (psi > 0.1) "moderate" else "stable")
+    }
+  }
+
   test("the gated lanes hold on real testdata: clean star schema verdicts") {
     val sf = "/root/testdata/sf0.001"
     val cons = Quality.dqConstraintsOrders(spark, sf).collect()
