@@ -31,6 +31,7 @@ object Run {
       SparkEntry.queries.keys.toSeq.sorted.foreach(println)
       return
     }
+    if (query.startsWith("lake-")) { runLake(args); return }
     if (args.length < 3) throw new IllegalArgumentException("missing sfDir/outDir")
     val Array(_, sfDir, outDir) = args.take(3)
     val opts = args.drop(3).sliding(2, 2).collect {
@@ -64,7 +65,98 @@ object Run {
     } finally if (preexisting.isEmpty) spark.stop()
   }
 
+  /** Lake table administration from the command line — the lakehouse made
+    * user-facing (the reference's config-driven-runner idea applied to the
+    * storage layer). Every subcommand reads/writes plain parquet, so the
+    * inputs compose with the query CLI's outputs.
+    *
+    * {{{
+    * graft.Run lake-create  <root> <srcParquet> <keyCol> <numFiles>
+    * graft.Run lake-merge   <root> <updatesParquet>
+    * graft.Run lake-delete  <root> <keysParquet>           // COW delete
+    * graft.Run lake-tombstone <root> <keysParquet>         // merge-on-read
+    * graft.Run lake-read    <root> <outDir> [--version N]
+    * graft.Run lake-changes <root> <fromV> <toV> <outDir>
+    * graft.Run lake-compact <root> <numFiles>
+    * graft.Run lake-vacuum  <root> <retainVersions>
+    * graft.Run lake-history <root>
+    * }}}
+    */
+  private def runLake(args: Array[String]): Unit = {
+    import graft.sources.Lake
+    val cmd = args(0)
+    def need(n: Int): Unit =
+      if (args.length < n) throw new IllegalArgumentException(
+        s"$cmd: expected ${n - 1} arguments")
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    val spark = GraftSession.tune(SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSessionExtensions"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      need(2)
+      val root = args(1)
+      def table = new graft.sources.LakeTable(spark, root)
+      cmd match {
+        case "lake-create" =>
+          need(5)
+          Lake.create(spark, root, spark.read.parquet(args(2)), args(3),
+            args(4).toInt)
+          println(s"[lake] created $root v0")
+        case "lake-merge" =>
+          need(3)
+          val s = table.mergeWithRetry(spark.read.parquet(args(2)))
+          println(s"[lake] merged -> v${s.version} " +
+            s"(kept ${s.keptFiles}, rewrote ${s.rewrittenFiles})")
+        case "lake-delete" =>
+          need(3)
+          val s = table.delete(spark.read.parquet(args(2)))
+          println(s"[lake] deleted -> v${s.version} " +
+            s"(kept ${s.keptFiles}, rewrote ${s.rewrittenFiles})")
+        case "lake-tombstone" =>
+          need(3)
+          val s = table.deleteDeferred(spark.read.parquet(args(2)))
+          println(s"[lake] tombstoned -> v${s.version} (zero rewrites)")
+        case "lake-read" =>
+          need(3)
+          val opts = args.drop(3).sliding(2, 2).collect {
+            case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+          }.toMap
+          val df = opts.get("version") match {
+            case Some(v) => table.snapshot(v.toInt)
+            case None => table.read()
+          }
+          Sinks.writeParquet(df, args(2))
+          println(s"[lake] read -> ${args(2)}")
+        case "lake-changes" =>
+          need(5)
+          Sinks.writeParquet(table.changes(args(2).toInt, args(3).toInt), args(4))
+          println(s"[lake] changes v${args(2)}->v${args(3)} -> ${args(4)}")
+        case "lake-compact" =>
+          need(3)
+          val s = table.compact(args(2).toInt)
+          println(s"[lake] compacted -> v${s.version} (${s.addedFiles} files)")
+        case "lake-vacuum" =>
+          need(3)
+          val (m, f) = table.vacuum(args(2).toInt)
+          println(s"[lake] vacuumed $m manifests, $f data files")
+        case "lake-history" =>
+          (0 to table.latestVersion).foreach { v =>
+            val m = table.manifest(v)
+            println(f"v$v%05d ${m.operation}%-16s files=${m.files.size}%-4d " +
+              s"tombstones=${m.tombstones.size} rows=${m.files.map(_.rows).sum}")
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unknown lake command '$other'")
+      }
+    } finally if (preexisting.isEmpty) spark.stop()
+  }
+
   private def usage(): Unit =
     System.err.println(
-      "usage: graft.Run <query|all|list> <sfDir> <outDir> [--sep X] [--format csv|parquet]")
+      "usage: graft.Run <query|all|list> <sfDir> <outDir> [--sep X] [--format csv|parquet]\n" +
+        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|vacuum|history> ...")
 }

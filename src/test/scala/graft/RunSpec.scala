@@ -15,6 +15,43 @@ class RunSpec extends SparkTestBase {
     back.count() should be > 0L
   }
 
+  test("lake CLI: create/merge/read/tombstone/compact/history round-trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val root = tmp("graft-cli-lake") + "/t"
+    val src = tmp("graft-cli-src")
+    (1L to 20L).map(k => (k, s"v$k")).toDF("k", "payload")
+      .write.mode("overwrite").parquet(src)
+    Run.run(Array("lake-create", root, src, "k", "2"))
+    val upd = tmp("graft-cli-upd")
+    Seq((5L, "NEW5"), (99L, "INS")).toDF("k", "payload")
+      .write.mode("overwrite").parquet(upd)
+    Run.run(Array("lake-merge", root, upd))
+    val out = tmp("graft-cli-out") + "/snap"
+    Run.run(Array("lake-read", root, out))
+    val got = spark.read.parquet(out)
+    got.count() shouldBe 21L
+    rows(got.filter(col("k") === 5L).select("payload")) shouldBe Seq(Seq("NEW5"))
+    // time travel through the CLI
+    val out0 = tmp("graft-cli-out0") + "/snap0"
+    Run.run(Array("lake-read", root, out0, "--version", "0"))
+    spark.read.parquet(out0).count() shouldBe 20L
+    // merge-on-read tombstone, then compact folds it
+    val keys = tmp("graft-cli-keys")
+    Seq(5L).toDF("k").write.mode("overwrite").parquet(keys)
+    Run.run(Array("lake-tombstone", root, keys))
+    Run.run(Array("lake-compact", root, "1"))
+    val out2 = tmp("graft-cli-out2") + "/snap2"
+    Run.run(Array("lake-read", root, out2))
+    spark.read.parquet(out2).count() shouldBe 20L
+    // history prints one line per committed version (v0..v3)
+    Run.run(Array("lake-history", root))
+    // bad input fails loudly
+    intercept[IllegalArgumentException] { Run.run(Array("lake-nope", root)) }
+    intercept[IllegalArgumentException] { Run.run(Array("lake-merge", root)) }
+  }
+
   test("Run rejects an unknown query name without touching Spark") {
     the[IllegalArgumentException] thrownBy {
       Run.run(Array("no_such_query", "/root/testdata/sf0.001", "/tmp/x"))
