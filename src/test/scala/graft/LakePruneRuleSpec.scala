@@ -182,6 +182,33 @@ class LakePruneRuleSpec extends SparkTestBase {
     }
   }
 
+  test("graft-lake format: snapshot reads, time travel, and pruning compose") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s)
+      t.merge(Seq((5L, "NEW5", "U")).toDF("k", "payload", "status"))
+      val latest = s.read.format("graft-lake").load(t.root)
+      latest.count() shouldBe 90L
+      rows(latest.filter(col("k") === 5L).select("payload")) shouldBe Seq(Seq("NEW5"))
+      // time travel by option
+      val v0 = s.read.format("graft-lake").option("versionAsOf", "0").load(t.root)
+      rows(v0.filter(col("k") === 5L).select("payload")) shouldBe Seq(Seq("val5"))
+      // the format read is a plain file relation, so the prune rule fires
+      scannedFiles(latest.filter(col("k").between(40L, 50L))) should have size 1
+      // SQL over the format
+      latest.createOrReplaceTempView("lake_fmt")
+      rows(s.sql("SELECT payload FROM lake_fmt WHERE k = 42")) shouldBe
+        Seq(Seq("val42"))
+      // tombstoned snapshots refuse loudly until compacted
+      t.deleteDeferred(Seq(7L).toDF("k"))
+      intercept[IllegalArgumentException] {
+        s.read.format("graft-lake").load(t.root)
+      }
+      t.compact(2)
+      s.read.format("graft-lake").load(t.root).count() shouldBe 89L
+    }
+  }
+
   test("conjunct bounds compose and conflicting bounds yield empty scans") {
     withExtendedSession { s =>
       val t = mkTable(s)
