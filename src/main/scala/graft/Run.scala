@@ -78,6 +78,7 @@ object Run {
     * graft.Run lake-read    <root> <outDir> [--version N]
     * graft.Run lake-changes <root> <fromV> <toV> <outDir>
     * graft.Run lake-compact <root> <numFiles>
+    * graft.Run lake-zorder  <root> <numFiles> <col1> <col2>
     * graft.Run lake-vacuum  <root> <retainVersions>
     * graft.Run lake-history <root>
     * }}}
@@ -139,6 +140,11 @@ object Run {
           need(3)
           val s = table.compact(args(2).toInt)
           println(s"[lake] compacted -> v${s.version} (${s.addedFiles} files)")
+        case "lake-zorder" =>
+          need(5)
+          val s = table.compactZOrder(args(2).toInt, args(3), args(4))
+          println(s"[lake] z-ordered by (${args(3)}, ${args(4)}) -> " +
+            s"v${s.version} (${s.addedFiles} files)")
         case "lake-vacuum" =>
           need(3)
           val (m, f) = table.vacuum(args(2).toInt)

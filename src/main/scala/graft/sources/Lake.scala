@@ -105,19 +105,44 @@ object Lake {
   /** The shared MERGE-then-DELETE scenario of the CDC lanes: update every
     * key ≡ 0 (mod 100) to priority '0-UPDATED', insert the same rows
     * re-keyed +100 000 000 as '9-INSERTED', then erase every key ≡ 7
-    * (mod 100). Returns the table after both commits. */
-  private def mergedThenDeleted(spark: SparkSession, dir: String): LakeTable = {
-    val o = Tables.orders(spark, dir)
-    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
-    val hits = o.filter(col("o_orderkey") % 100 === 0)
-    val updates = hits.withColumn("o_orderpriority", lit("0-UPDATED"))
-      .unionByName(hits
-        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
-        .withColumn("o_orderpriority", lit("9-INSERTED")))
-    t.merge(updates)
-    t.delete(o.filter(col("o_orderkey") % 100 === 7).select("o_orderkey"))
-    t
+    * (mod 100). Returns the table after both commits.
+    *
+    * Its three consumers (`lake_cdc_changes`, `lake_mv_incremental`,
+    * `lake_time_travel`) only READ the table after construction, so the
+    * built scenario is shared per (corpus dir, corpus GENERATION) within
+    * a JVM — the staged-media-cache pattern: the generation marker
+    * (mtime+size of the orders parquet) means a regenerated corpus
+    * rebuilds instead of serving stale table state. Lanes that MUTATE
+    * their table differently (merge_cow, delete_erasure, schema, mor,
+    * range_slice) keep building fresh. */
+  private val scenarioCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LakeTable]()
+
+  private def ordersGeneration(spark: SparkSession, dir: String): String = {
+    val p = new Path(s"$dir/orders.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${st.getModificationTime}-${st.getLen}"
   }
+
+  private def mergedThenDeleted(spark: SparkSession, dir: String): LakeTable =
+    // session identity in the key: a cached table is bound to the session
+    // that built it (its reads plan there), so a different live session
+    // builds its own rather than borrowing a foreign session's plans
+    scenarioCache.computeIfAbsent(
+      s"${System.identityHashCode(spark)}|$dir@${ordersGeneration(spark, dir)}",
+      _ => {
+        val o = Tables.orders(spark, dir)
+        val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+        val hits = o.filter(col("o_orderkey") % 100 === 0)
+        val updates = hits.withColumn("o_orderpriority", lit("0-UPDATED"))
+          .unionByName(hits
+            .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+            .withColumn("o_orderpriority", lit("9-INSERTED")))
+        t.merge(updates)
+        t.delete(o.filter(col("o_orderkey") % 100 === 7).select("o_orderkey"))
+        t
+      })
 
   /** Gated lane: the change feed across a MERGE and a DELETE commit,
     * summarized per (change type, priority). The oracle states the same
@@ -581,11 +606,22 @@ class LakeTable(spark: SparkSession, val root: String) {
     * `data/` under fresh UUID names, and their (rows, min, max) stats come
     * from ONE metadata-cheap scan of just the new files. */
   private def writeDataFiles(df: DataFrame, keyCol: String, numFiles: Int,
-                             statsCols: Seq[String] = Nil): Seq[FileEntry] = {
+                             statsCols: Seq[String] = Nil,
+                             clusterBy: Option[org.apache.spark.sql.Column] = None)
+      : Seq[FileEntry] = {
     val scratch = new Path(rootPath, s"_scratch-${UUID.randomUUID()}")
-    df.repartitionByRange(math.max(1, numFiles), col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .write.mode("overwrite").parquet(scratch.toString)
+    val clustered = clusterBy match {
+      case None =>
+        df.repartitionByRange(math.max(1, numFiles), col(keyCol))
+          .sortWithinPartitions(keyCol)
+      case Some(c) => // alternative layout (e.g. Morton order) — stats
+        // still computed on keyCol + statsCols below, layout-independent
+        df.withColumn("__cluster", c)
+          .repartitionByRange(math.max(1, numFiles), col("__cluster"))
+          .sortWithinPartitions("__cluster")
+          .drop("__cluster")
+    }
+    clustered.write.mode("overwrite").parquet(scratch.toString)
     fs.mkdirs(dataDir)
     val moved = fs.listStatus(scratch).toSeq
       .filter(s => s.getPath.getName.endsWith(".parquet"))
@@ -796,6 +832,28 @@ class LakeTable(spark: SparkSession, val root: String) {
     val m = manifest(v)
     val newFiles = writeDataFiles(read(), m.keyCol, numFiles, m.statsCols)
     commit(Manifest(v + 1, v, "compact", m.keyCol, newFiles, m.statsCols))
+    MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
+  }
+
+  /** OPTIMIZE ZORDER — rewrite the latest snapshot clustered on the
+    * Morton z-value of two numeric columns (the Delta `OPTIMIZE ... ZORDER
+    * BY` shape, on the engine's own codegen `ZValue` expression). Both
+    * columns join the table's stats set, so every file carries tight
+    * [min,max] on BOTH dimensions and [[LakeManifestPrune]] skips files
+    * for 2-D box/strip predicates. The standard trade applies and is
+    * deliberate: the merge KEY's per-file ranges widen (keys interleave
+    * across z-blocks), so key-range pruning and merge file-hit ratios
+    * degrade — z-order a table that is read by (c1, c2) far more often
+    * than it is merged by key. Folds any outstanding tombstones, like
+    * [[compact]]. */
+  def compactZOrder(numFiles: Int, c1: String, c2: String): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val statsCols = (m.statsCols ++ Seq(c1, c2)).distinct
+    val z = org.apache.spark.sql.graft.ZValue.zvalue(
+      col(c1).cast("long"), col(c2).cast("long"))
+    val newFiles = writeDataFiles(read(), m.keyCol, numFiles, statsCols, Some(z))
+    commit(Manifest(v + 1, v, "optimize-zorder", m.keyCol, newFiles, statsCols))
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 

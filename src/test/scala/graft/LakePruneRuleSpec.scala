@@ -182,6 +182,29 @@ class LakePruneRuleSpec extends SparkTestBase {
     }
   }
 
+  test("compactZOrder: OPTIMIZE ZORDER through the table API enables 2-D skipping") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val n = 32
+      // created on a row-major key — the layout that CANNOT skip strips
+      val df = (0L until n * n).map { i => (i, i % n, i / n, s"cell$i") }
+        .toDF("k", "x", "y", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 16)
+      val before = scannedFiles(t.read().filter(col("x").between(4L, 7L))).size
+      before shouldBe 16 // no x stats, no pruning
+      t.compactZOrder(16, "x", "y")
+      t.manifest(t.latestVersion).operation shouldBe "optimize-zorder"
+      t.manifest(t.latestVersion).statsCols should contain allOf ("x", "y")
+      val strip = t.read().filter(col("x").between(4L, 7L))
+      scannedFiles(strip).size should be < before
+      strip.count() shouldBe (4L * n)
+      // answers unchanged by the rewrite
+      t.read().count() shouldBe (n.toLong * n)
+      rows(t.read().filter(col("k") === 100L).select("payload")) shouldBe
+        Seq(Seq("cell100"))
+    }
+  }
+
   test("graft-lake format: snapshot reads, time travel, and pruning compose") {
     withExtendedSession { s =>
       import s.implicits._
