@@ -349,6 +349,24 @@ class LakeSpec extends SparkTestBase {
         Seq("val5", null, "update_preimage"))
   }
 
+  test("rewrite-only commits (compact, zorder) emit an EMPTY change feed") {
+    // every file changes, no row does: the full-row compare must cancel
+    // the entire table — the strongest form of the identical-rewrite rule
+    val t = mkTable()
+    t.compact(1)
+    t.changes(0, 1).count() shouldBe 0L
+    t.compactZOrder(2, "k", "k")
+    t.changes(1, 2).count() shouldBe 0L
+    t.changes(0, 2).count() shouldBe 0L
+    // and a real change through a rewrite chain still surfaces, exactly once
+    import spark.implicits._
+    t.merge(Seq((5L, "NEW5", "U")).toDF("k", "payload", "status"))
+    t.compact(3)
+    val feed = t.changes(0, t.latestVersion)
+    feed.count() shouldBe 2L // pre + post image for k=5 only
+    feed.select("k").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(5L)
+  }
+
   test("chained merges: each snapshot remains readable at its own version") {
     val t = mkTable()
     t.merge(Seq((1L, "A1", "U")).toDF("k", "payload", "status"))
