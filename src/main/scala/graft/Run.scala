@@ -34,9 +34,7 @@ object Run {
     if (query.startsWith("lake-")) { runLake(args); return }
     if (args.length < 3) throw new IllegalArgumentException("missing sfDir/outDir")
     val Array(_, sfDir, outDir) = args.take(3)
-    val opts = args.drop(3).sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    val opts = cliOpts(args.drop(3))
     val sep = opts.getOrElse("sep", ",")
     val format = opts.getOrElse("format", "csv")
 
@@ -46,6 +44,23 @@ object Run {
       else throw new IllegalArgumentException(
         s"unknown query '$query' — run `graft.Run list`")
 
+    withCliSession { spark =>
+      names.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        format match {
+          case "parquet" => Sinks.writeParquet(df, s"$outDir/$name")
+          case _         => Sinks.writeCsv(df, s"$outDir/$name", sep = sep)
+        }
+        println(s"[run] $name -> $outDir/$name ($format)")
+      }
+    }
+  }
+
+  /** One CLI-standard session (env-tunable master/parallelism, graft
+    * extensions), reusing a live session when a host (tests, a shell)
+    * already has one — and only stopping what this call started. Shared by
+    * the query and lake subcommands so tuning changes apply to both. */
+  private def withCliSession[A](body: SparkSession => A): A = {
     val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val spark = GraftSession.tune(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
@@ -54,16 +69,15 @@ object Run {
       .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSessionExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    try names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      format match {
-        case "parquet" => Sinks.writeParquet(df, s"$outDir/$name")
-        case _         => Sinks.writeCsv(df, s"$outDir/$name", sep = sep)
-      }
-      println(s"[run] $name -> $outDir/$name ($format)")
-    } finally if (preexisting.isEmpty) spark.stop()
+    try body(spark)
+    finally if (preexisting.isEmpty) spark.stop()
   }
+
+  /** `--key value` pairs after the positional arguments. */
+  private def cliOpts(rest: Array[String]): Map[String, String] =
+    rest.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
 
   /** Lake table administration from the command line — the lakehouse made
     * user-facing (the reference's config-driven-runner idea applied to the
@@ -89,15 +103,7 @@ object Run {
     def need(n: Int): Unit =
       if (args.length < n) throw new IllegalArgumentException(
         s"$cmd: expected ${n - 1} arguments")
-    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-    val spark = GraftSession.tune(SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER",
-        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftSessionExtensions"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
+    withCliSession { spark =>
       need(2)
       val root = args(1)
       def table = new graft.sources.LakeTable(spark, root)
@@ -123,9 +129,7 @@ object Run {
           println(s"[lake] tombstoned -> v${s.version} (zero rewrites)")
         case "lake-read" =>
           need(3)
-          val opts = args.drop(3).sliding(2, 2).collect {
-            case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-          }.toMap
+          val opts = cliOpts(args.drop(3))
           val df = opts.get("version") match {
             case Some(v) => table.snapshot(v.toInt)
             case None => table.read()
@@ -150,7 +154,8 @@ object Run {
           val (m, f) = table.vacuum(args(2).toInt)
           println(s"[lake] vacuumed $m manifests, $f data files")
         case "lake-history" =>
-          (0 to table.latestVersion).foreach { v =>
+          // vacuumed versions are gone from disk — list what remains
+          (0 to table.latestVersion).filter(table.hasVersion).foreach { v =>
             val m = table.manifest(v)
             println(f"v$v%05d ${m.operation}%-16s files=${m.files.size}%-4d " +
               s"tombstones=${m.tombstones.size} rows=${m.files.map(_.rows).sum}")
@@ -158,11 +163,11 @@ object Run {
         case other =>
           throw new IllegalArgumentException(s"unknown lake command '$other'")
       }
-    } finally if (preexisting.isEmpty) spark.stop()
+    }
   }
 
   private def usage(): Unit =
     System.err.println(
       "usage: graft.Run <query|all|list> <sfDir> <outDir> [--sep X] [--format csv|parquet]\n" +
-        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|vacuum|history> ...")
+        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|zorder|vacuum|history> ...")
 }

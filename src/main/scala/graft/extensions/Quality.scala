@@ -53,8 +53,12 @@ object Quality {
       }).cast("double").as(s"m$i")
     } :+ count(lit(1)).cast("double").as("n")
     val row = df.agg(aggs.head, aggs.tail: _*)
+    // names land inside a SQL string literal: escape, or a quote in a
+    // check name breaks (or injects into) the stack expression
+    def q(s: String): String =
+      s.replace("\\", "\\\\").replace("'", "\\'")
     val stackArgs = constraints.zipWithIndex
-      .map { case (c, i) => s"'${c.name}', m$i" }.mkString(", ")
+      .map { case (c, i) => s"'${q(c.name)}', m$i" }.mkString(", ")
     row.selectExpr("n",
         s"stack(${constraints.length}, $stackArgs) AS (check_name, m)")
       .select(col("check_name"),
@@ -145,8 +149,10 @@ object Quality {
     val counts = binned.groupBy("prio", "bin")
       .agg(count(when(col("is_a"), lit(1))).as("na"),
         count(when(!col("is_a"), lit(1))).as("nb"))
-    // densify to the full prio × bin lattice so absent bins smooth, not drop
-    val lattice = binned.select("prio").distinct()
+    // densify to the full prio × bin lattice so absent bins smooth, not
+    // drop — the prio domain comes from the aggregated counts (every prio
+    // in the table is in counts by construction), so no second table scan
+    val lattice = counts.select("prio").distinct()
       .crossJoin(broadcast(
         spark.range(4).select(col("id").cast("int").as("bin"))))
     val full = lattice.join(counts, Seq("prio", "bin"), "left")

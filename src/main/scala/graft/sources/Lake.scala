@@ -116,7 +116,7 @@ object Lake {
     * their table differently (merge_cow, delete_erasure, schema, mor,
     * range_slice) keep building fresh. */
   private val scenarioCache =
-    new java.util.concurrent.ConcurrentHashMap[String, LakeTable]()
+    new java.util.concurrent.ConcurrentHashMap[String, (SparkSession, LakeTable)]()
 
   private def ordersGeneration(spark: SparkSession, dir: String): String = {
     val p = new Path(s"$dir/orders.parquet")
@@ -125,24 +125,29 @@ object Lake {
     s"${st.getModificationTime}-${st.getLen}"
   }
 
-  private def mergedThenDeleted(spark: SparkSession, dir: String): LakeTable =
-    // session identity in the key: a cached table is bound to the session
-    // that built it (its reads plan there), so a different live session
-    // builds its own rather than borrowing a foreign session's plans
-    scenarioCache.computeIfAbsent(
-      s"${System.identityHashCode(spark)}|$dir@${ordersGeneration(spark, dir)}",
-      _ => {
-        val o = Tables.orders(spark, dir)
-        val t = create(spark, freshRoot(), o, "o_orderkey", 8)
-        val hits = o.filter(col("o_orderkey") % 100 === 0)
-        val updates = hits.withColumn("o_orderpriority", lit("0-UPDATED"))
-          .unionByName(hits
-            .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
-            .withColumn("o_orderpriority", lit("9-INSERTED")))
-        t.merge(updates)
-        t.delete(o.filter(col("o_orderkey") % 100 === 7).select("o_orderkey"))
-        t
-      })
+  private def mergedThenDeleted(spark: SparkSession, dir: String): LakeTable = {
+    // a cached table is bound to the session that built it (its reads plan
+    // there), so a hit must be the SAME live session — verified by
+    // reference, never by a hash (identity hashes collide); a different or
+    // stopped session REPLACES the entry, so dead sessions never pile up
+    val key = s"$dir@${ordersGeneration(spark, dir)}"
+    val cached = scenarioCache.get(key)
+    if (cached != null && (cached._1 eq spark) &&
+        !cached._1.sparkContext.isStopped) cached._2
+    else {
+      val o = Tables.orders(spark, dir)
+      val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+      val hits = o.filter(col("o_orderkey") % 100 === 0)
+      val updates = hits.withColumn("o_orderpriority", lit("0-UPDATED"))
+        .unionByName(hits
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+          .withColumn("o_orderpriority", lit("9-INSERTED")))
+      t.merge(updates)
+      t.delete(o.filter(col("o_orderkey") % 100 === 7).select("o_orderkey"))
+      scenarioCache.put(key, (spark, t))
+      t
+    }
+  }
 
   /** Gated lane: the change feed across a MERGE and a DELETE commit,
     * summarized per (change type, priority). The oracle states the same
@@ -453,6 +458,10 @@ class LakeTable(spark: SparkSession, val root: String) {
       .max
   }
 
+  /** True iff `version`'s manifest is still on disk (vacuum removes
+    * expired ones — history walks should skip, not crash). */
+  def hasVersion(version: Int): Boolean = fs.exists(manifestPath(version))
+
   def manifest(version: Int): Manifest = {
     val in = fs.open(manifestPath(version))
     try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
@@ -546,10 +555,12 @@ class LakeTable(spark: SparkSession, val root: String) {
     val added = mTo.files.filterNot(f => fromPaths.contains(f.path))
     // merged-schema template over the CHANGED files (planning-time footer
     // reads only) — an interval that widened the schema feeds the widened
-    // shape, with pre-evolution rows null in the new columns
+    // shape, with pre-evolution rows null in the new columns. An empty
+    // diff types its empty feed from ONE file, not the whole table: the
+    // feed's cost contract is proportional-to-change, footers included
     val templateFiles =
       if (added.nonEmpty || removed.nonEmpty) added ++ removed
-      else mTo.files ++ mFrom.files
+      else (mTo.files ++ mFrom.files).take(1)
     templateFiles.headOption match {
       case None => // table never held data: empty, minimally-typed feed
         spark.range(0).select(col("id").as(keyCol),
@@ -739,6 +750,13 @@ class LakeTable(spark: SparkSession, val root: String) {
         // and read back null through the merged-schema scan
         val hitDf = spark.read.option("mergeSchema", "true").parquet(
           hit.map { case (f, _) => new Path(rootPath, f.path).toString }: _*)
+        // widen, never narrow: updates missing table columns would silently
+        // null them on every updated row (allowMissingColumns fills both
+        // directions) — reject instead, loudly
+        val narrowed = hitDf.columns.toSet -- updates.columns.toSet
+        require(narrowed.isEmpty,
+          s"merge updates are missing table columns ${narrowed.mkString(", ")}: " +
+            "a merge may widen the schema, never narrow it")
         hitDf.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       }

@@ -89,9 +89,19 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
   private def boundsFor(cond: Expression, key: String): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    // only WIDENING casts are transparent: a narrowing cast (long→int)
+    // wraps, so bounds on the cast value say nothing about the column —
+    // seeing through one would prune files that hold matching rows
+    def widens(from: org.apache.spark.sql.types.DataType,
+               to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+      case (ShortType | IntegerType | LongType, LongType) => true
+      case (ShortType | IntegerType, IntegerType) => true
+      case (ShortType, ShortType) => true
+      case _ => false
+    }
     def attrIs(e: Expression): Boolean = e match {
       case a: AttributeReference => a.name == key
-      case Cast(a: AttributeReference, LongType | IntegerType, _, _) =>
+      case Cast(a: AttributeReference, dt, _, _) if widens(a.dataType, dt) =>
         a.name == key
       case _ => false
     }

@@ -232,6 +232,19 @@ class LakePruneRuleSpec extends SparkTestBase {
     }
   }
 
+  test("a NARROWING cast on the key never prunes (wrap-around would lie)") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      // cast(long k as int) wraps for large keys: bounds on the cast value
+      // say nothing about k, so the rule must leave the scan alone
+      val q = t.read().filter(col("k").cast("int") === 5)
+      scannedFiles(q) should have size 3
+      rows(q.select("payload")) shouldBe Seq(Seq("val5"))
+      // widening casts stay transparent
+      scannedFiles(t.read().filter(col("k").cast("long") === 5L)) should have size 1
+    }
+  }
+
   test("conjunct bounds compose and conflicting bounds yield empty scans") {
     withExtendedSession { s =>
       val t = mkTable(s)

@@ -342,6 +342,11 @@ class LakeSpec extends SparkTestBase {
       Seq(Seq("val45", null))
     // the pre-evolution snapshot keeps its original narrow schema
     t.snapshot(0).columns should not contain "channel"
+    // widen, never narrow: updates MISSING a table column refuse loudly
+    // (allowMissingColumns would otherwise null the column on updated rows)
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((6L, "NARROW")).toDF("k", "payload"))
+    }
     // the change feed speaks the widened schema: preimage null, postimage set
     val feed = t.changes(0, 1)
     rows(feed.orderBy("_change_type").select("payload", "channel", "_change_type")) shouldBe

@@ -31,6 +31,14 @@ class QualitySpec extends SparkTestBase {
     byName("range(x>0)") shouldBe ((0.75, false))
   }
 
+  test("constraint names containing quotes are escaped, not parsed") {
+    val report = Quality.audit(dirty, Seq(
+      RowCheck("range(tag>'a')", col("tag") > "a")))
+    val r = report.collect()(0)
+    r.getString(0) shouldBe "range(tag>'a')"
+    r.getDouble(1) shouldBe 0.5 // b and c of 4 rows
+  }
+
   test("a clean table passes every constraint with metric 1.0") {
     val clean = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "tag", "x")
     val report = Quality.audit(clean, Seq(

@@ -45,7 +45,10 @@ class RunSpec extends SparkTestBase {
     val out2 = tmp("graft-cli-out2") + "/snap2"
     Run.run(Array("lake-read", root, out2))
     spark.read.parquet(out2).count() shouldBe 20L
-    // history prints one line per committed version (v0..v3)
+    // history prints one line per committed version (v0..v3), and still
+    // works after a vacuum removed the early manifests
+    Run.run(Array("lake-history", root))
+    Run.run(Array("lake-vacuum", root, "1"))
     Run.run(Array("lake-history", root))
     // bad input fails loudly
     intercept[IllegalArgumentException] { Run.run(Array("lake-nope", root)) }
