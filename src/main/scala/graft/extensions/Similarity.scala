@@ -692,7 +692,83 @@ object Similarity {
        |  GROUP BY vec_id, j // $DedupPlanesPerBand
        |)""".stripMargin
 
+  /** Gated lane: INCREMENTAL ANN-INDEX MAINTENANCE from the lake's change
+    * feed — the similarity and lakehouse families composed. The IVF
+    * codebook trains ONCE on corpus v0 and freezes (production practice:
+    * codebooks are versioned artifacts re-trained on drift, never per
+    * commit); the inverted index then advances by assigning ONLY the
+    * feed's arrival rows against the broadcast codebook and dropping
+    * departed keys — O(|changes|·k) per refresh instead of the O(n·k)
+    * full-corpus assignment. Scenario: every 50th vector is NEGATED
+    * (its assignment provably moves), its original re-inserted under a
+    * new id, every 37th erased. The oracle recomputes the merged
+    * corpus's full assignment against the same v0-trained codebook — a
+    * dropped, duplicated, or mis-assigned vector diverges the per-cell
+    * histogram. */
+  def simIndexCdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Lake
+    val raw = Tables.embeddings(spark, dir)
+    val t = Lake.create(spark, Lake.freshRoot(), raw, "vec_id", 4)
+    // the one full-corpus pass: frozen codebook + the v0 inverted index
+    val vs0 = vectors(spark, dir).localCheckpoint()
+    val cents = refineCentroids(vs0, strideSeeds(vs0)).localCheckpoint()
+    val index0 = rankCentroids(vs0, cents).filter(col("rk") === 1)
+      .select("vec_id", "cent_id")
+    val upd = raw.filter(col("vec_id") % 50 === 0)
+      .withColumn("embedding", expr("transform(embedding, x -> -x)"))
+    val ins = raw.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + lit(1000000L))
+    t.merge(upd.unionByName(ins))
+    t.delete(raw.filter(col("vec_id") % 37 === 0).select("vec_id"))
+    // fold the feed: departures leave; arrivals assign against the
+    // FROZEN broadcast codebook — the only per-refresh vector work
+    val feed = t.changes(0, t.latestVersion).localCheckpoint()
+    val departed = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select("vec_id")
+    val arrivals = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(col("vec_id"), Portable.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Portable.l2norm(col("v")))
+    val arrivalAssign = rankCentroids(arrivals, cents)
+      .filter(col("rk") === 1).select("vec_id", "cent_id")
+    index0.join(departed, Seq("vec_id"), "left_anti")
+      .unionByName(arrivalAssign)
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum("vec_id").cast("long").as("sum_ids"))
+      .orderBy("cent_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim_index_cdc" ->
+      s"""$ivfAssignSql
+         |, mpos AS (
+         |  SELECT vec_id, i,
+         |         CASE WHEN vec_id % 50 = 0 THEN -x ELSE x END AS x
+         |  FROM pos WHERE vec_id % 37 <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, i, x FROM pos WHERE vec_id % 50 = 0
+         |), mnrm AS (
+         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM mpos GROUP BY vec_id
+         |), mdots AS (
+         |  SELECT mpos.vec_id, cent1.cent_id, sum(mpos.x * cent1.cx) AS dot
+         |  FROM mpos JOIN cent1 ON mpos.i = cent1.i
+         |  GROUP BY mpos.vec_id, cent1.cent_id
+         |), mranked AS (
+         |  SELECT d.vec_id, d.cent_id,
+         |         row_number() OVER (PARTITION BY d.vec_id
+         |           ORDER BY round(d.dot / (mn.nrm * cn1.cn), 6) DESC,
+         |                    d.cent_id ASC) AS rk
+         |  FROM mdots d
+         |  JOIN mnrm mn ON d.vec_id = mn.vec_id
+         |  JOIN cn1 ON d.cent_id = cn1.cent_id
+         |)
+         |SELECT cent_id, count(*) AS n_vecs,
+         |       CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM mranked WHERE rk = 1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "sim_vector_integrity" ->
       """WITH v AS (
         |  SELECT vec_id, label,
@@ -996,6 +1072,7 @@ object Similarity {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_index_cdc"       -> (simIndexCdc _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_topk_lsh"        -> (simTopkLsh _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
