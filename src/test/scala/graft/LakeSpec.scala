@@ -372,6 +372,48 @@ class LakeSpec extends SparkTestBase {
     feed.select("k").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(5L)
   }
 
+  test("seeded fuzz: random commit sequences keep the feed fold ≡ recompute") {
+    // 5 rounds of random upserts + deletes; after EVERY commit the
+    // endpoint feed folded over the v0 MV must equal a from-scratch
+    // aggregate, and per-commit folds must compose to the endpoint fold —
+    // one test walking insert-only, update-only, mixed, and
+    // full-file-erasure paths the targeted tests cover one at a time
+    val rnd = new scala.util.Random(42)
+    val t = mkTable()
+    def mvOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("status").agg(count(lit(1)).as("n"), sum("k").as("s"))
+    def fold(mv: org.apache.spark.sql.DataFrame,
+             feed: org.apache.spark.sql.DataFrame) = {
+      val delta = feed.withColumn("sgn",
+          when(col("_change_type").isin("insert", "update_postimage"), 1L)
+            .otherwise(-1L))
+        .groupBy("status")
+        .agg(sum(col("sgn")).as("dn"), sum(col("sgn") * col("k")).as("ds"))
+      mv.join(delta, Seq("status"), "full_outer")
+        .select(col("status"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("s"), lit(0L)) + coalesce(col("ds"), lit(0L))).as("s"))
+        .filter(col("n") > 0L)
+    }
+    var stepped = mvOf(t.snapshot(0)).localCheckpoint()
+    (1 to 5).foreach { round =>
+      if (rnd.nextBoolean()) {
+        val ks = Seq.fill(1 + rnd.nextInt(20))(1L + rnd.nextInt(120)).distinct
+        t.merge(ks.map(k => (k, s"r$round-$k", s"S${rnd.nextInt(3)}"))
+          .toDF("k", "payload", "status"))
+      } else {
+        val ks = Seq.fill(1 + rnd.nextInt(30))(1L + rnd.nextInt(120)).distinct
+        t.delete(ks.toDF("k"))
+      }
+      val v = t.latestVersion
+      stepped = fold(stepped, t.changes(v - 1, v)).localCheckpoint()
+      val direct = fold(mvOf(t.snapshot(0)), t.changes(0, v))
+      val recomputed = mvOf(t.read())
+      rows(stepped.orderBy("status")) shouldBe rows(recomputed.orderBy("status"))
+      rows(direct.orderBy("status")) shouldBe rows(recomputed.orderBy("status"))
+    }
+  }
+
   test("chained merges: each snapshot remains readable at its own version") {
     val t = mkTable()
     t.merge(Seq((1L, "A1", "U")).toDF("k", "payload", "status"))
