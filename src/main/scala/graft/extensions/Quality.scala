@@ -127,6 +127,23 @@ object Quality {
         ords, "o_custkey", cust, "c_custkey")))
   }
 
+  /** Gated lane: the corpus-release expectation suite over `documents` —
+    * what a training-data pipeline verifies before blessing a snapshot:
+    * id uniqueness, text completeness, non-empty and bounded lengths, the
+    * n_chars derived column consistent with the text it describes, and
+    * language-tag domain membership. Same one-scan contract as the orders
+    * audit; the length/consistency checks are the ones a corrupted
+    * ingest (truncation, encoding damage, stale derived columns) trips. */
+  def dqConstraintsDocuments(spark: SparkSession, dir: String): DataFrame =
+    audit(Tables.documents(spark, dir), Seq(
+      Unique("uniqueness(doc_id)", "doc_id"),
+      Complete("completeness(text)", "text"),
+      RowCheck("nonempty(text)", length(col("text")) > 0),
+      RowCheck("bounds(len<=10000)", length(col("text")) <= 10000),
+      RowCheck("consistent(n_chars)", col("n_chars") === length(col("text"))),
+      RowCheck("membership(lang)",
+        col("lang").isin("de", "en", "es", "fr", "zh"))))
+
   /** Gated lane: DISTRIBUTION DRIFT between two cohorts of the same
     * table — the population-stability-index screen a training pipeline
     * runs when a new data drop lands, per segment. Cohorts are the
@@ -179,10 +196,32 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_constraints_orders" -> (dqConstraintsOrders _),
+    "dq_constraints_documents" -> (dqConstraintsDocuments _),
     "dq_referential" -> (dqReferential _),
     "dq_drift_psi" -> (dqDriftPsi _))
 
   val oracle: Map[String, String] = Map(
+    "dq_constraints_documents" ->
+      """WITH a AS (
+        |  SELECT count(*)::DOUBLE AS n,
+        |         count(DISTINCT doc_id)::DOUBLE AS m0,
+        |         count(text)::DOUBLE AS m1,
+        |         count(CASE WHEN length(text) > 0 THEN 1 END)::DOUBLE AS m2,
+        |         count(CASE WHEN length(text) <= 10000 THEN 1 END)::DOUBLE AS m3,
+        |         count(CASE WHEN n_chars = length(text) THEN 1 END)::DOUBLE AS m4,
+        |         count(CASE WHEN lang IN ('de','en','es','fr','zh')
+        |                 THEN 1 END)::DOUBLE AS m5
+        |  FROM documents),
+        |u AS (
+        |  SELECT 'uniqueness(doc_id)' AS check_name, m0 AS m, n FROM a
+        |  UNION ALL SELECT 'completeness(text)', m1, n FROM a
+        |  UNION ALL SELECT 'nonempty(text)', m2, n FROM a
+        |  UNION ALL SELECT 'bounds(len<=10000)', m3, n FROM a
+        |  UNION ALL SELECT 'consistent(n_chars)', m4, n FROM a
+        |  UNION ALL SELECT 'membership(lang)', m5, n FROM a)
+        |SELECT check_name, round(m / n, 6) AS metric, m >= n AS pass
+        |FROM u ORDER BY check_name""".stripMargin,
+
     "dq_drift_psi" ->
       """WITH b AS (
         |  SELECT o_orderpriority AS prio,
