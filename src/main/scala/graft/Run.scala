@@ -93,6 +93,8 @@ object Run {
     * graft.Run lake-changes <root> <fromV> <toV> <outDir>
     * graft.Run lake-compact <root> <numFiles>
     * graft.Run lake-zorder  <root> <numFiles> <col1> <col2>
+    * graft.Run lake-restore <root> <version>
+    * graft.Run lake-clone   <root> <newRoot>
     * graft.Run lake-vacuum  <root> <retainVersions>
     * graft.Run lake-history <root>
     * }}}
@@ -149,6 +151,14 @@ object Run {
           val s = table.compactZOrder(args(2).toInt, args(3), args(4))
           println(s"[lake] z-ordered by (${args(3)}, ${args(4)}) -> " +
             s"v${s.version} (${s.addedFiles} files)")
+        case "lake-restore" =>
+          need(3)
+          val s = table.restore(args(2).toInt)
+          println(s"[lake] restored v${args(2)} -> v${s.version}")
+        case "lake-clone" =>
+          need(3)
+          table.cloneShallow(args(2))
+          println(s"[lake] shallow clone -> ${args(2)}")
         case "lake-vacuum" =>
           need(3)
           val (m, f) = table.vacuum(args(2).toInt)
@@ -169,5 +179,5 @@ object Run {
   private def usage(): Unit =
     System.err.println(
       "usage: graft.Run <query|all|list> <sfDir> <outDir> [--sep X] [--format csv|parquet]\n" +
-        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|zorder|vacuum|history> ...")
+        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|zorder|restore|clone|vacuum|history> ...")
 }

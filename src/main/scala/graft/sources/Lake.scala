@@ -840,6 +840,39 @@ class LakeTable(spark: SparkSession, val root: String) {
     MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
   }
 
+  /** RESTORE — roll the table back to `version`'s content AS A NEW
+    * COMMIT (never by deleting history): the new manifest re-references
+    * the old version's files and tombstones byte-for-byte, so the bad
+    * commits stay inspectable, the restore itself is time-travelable,
+    * and no data moves — the undo verb every table format grew. Fails
+    * cleanly if `version` was vacuumed away. */
+  def restore(version: Int): MergeStats = {
+    val v = latestVersion
+    require(hasVersion(version), s"cannot restore: v$version was vacuumed")
+    val m = manifest(version)
+    commit(Manifest(v + 1, v, s"restore-v$version", m.keyCol, m.files,
+      m.statsCols, m.tombstones))
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  /** Shallow CLONE — a new, independently-committing table whose v0
+    * manifest references THIS table's current data files by ABSOLUTE
+    * path (zero bytes copied; reads resolve absolute entries as-is).
+    * Writes to the clone are ordinary COW commits landing under the
+    * clone's own root — the source never sees them. Standard caveat,
+    * shared with every shallow-clone implementation: a `vacuum` on the
+    * SOURCE can delete files the clone still references; deep-copy (a
+    * plain `create` from `read()`) when lifetimes must decouple. */
+  def cloneShallow(newRoot: String): LakeTable = {
+    val m = manifest(latestVersion)
+    def absolute(fs0: Seq[FileEntry]): Seq[FileEntry] = fs0.map(f =>
+      f.copy(path = new Path(rootPath, f.path).toString))
+    val t = new LakeTable(spark, newRoot)
+    t.commit(Manifest(0, -1, s"clone-of-$rootPath@v$latestVersion", m.keyCol,
+      absolute(m.files), m.statsCols, absolute(m.tombstones)))
+    t
+  }
+
   /** Table-maintenance compaction: rewrite the LATEST snapshot into
     * `numFiles` key-range-clustered files as a new snapshot (operation
     * "compact"). Pure COW — the fragmented version stays readable until

@@ -372,6 +372,28 @@ class LakeSpec extends SparkTestBase {
     feed.select("k").distinct().collect().map(_.getLong(0)).toSeq shouldBe Seq(5L)
   }
 
+  test("restore rolls back as a NEW commit; shallow clone shares files zero-copy") {
+    val t = mkTable()
+    t.merge(Seq((5L, "BAD5", "U")).toDF("k", "payload", "status"))
+    t.delete(Seq(7L).toDF("k"))
+    // restore: content equals v0, bad history stays inspectable
+    val s = t.restore(0)
+    s.version shouldBe 3
+    rows(t.read().orderBy("k")) shouldBe rows(t.snapshot(0).orderBy("k"))
+    t.manifest(3).operation shouldBe "restore-v0"
+    t.snapshot(2).count() shouldBe 89L
+    // and the restore commit produces an empty change feed vs v0
+    t.changes(0, 3).count() shouldBe 0L
+    // shallow clone: reads equal, zero data copied, diverges independently
+    val c = t.cloneShallow(Lake.freshRoot())
+    rows(c.read().orderBy("k")) shouldBe rows(t.read().orderBy("k"))
+    c.manifest(0).files.map(p => new Path(p.path).getName).toSet shouldBe
+      t.manifest(3).files.map(f => new Path(f.path).getName).toSet
+    c.merge(Seq((1L, "CLONE1", "C")).toDF("k", "payload", "status"))
+    rows(c.read().filter(col("k") === 1L)) shouldBe Seq(Seq(1L, "CLONE1", "C"))
+    rows(t.read().filter(col("k") === 1L)) shouldBe Seq(Seq(1L, "val1", "A"))
+  }
+
   test("seeded fuzz: random commit sequences keep the feed fold ≡ recompute") {
     // 5 rounds of random upserts + deletes; after EVERY commit the
     // endpoint feed folded over the v0 MV must equal a from-scratch

@@ -45,7 +45,14 @@ class RunSpec extends SparkTestBase {
     val out2 = tmp("graft-cli-out2") + "/snap2"
     Run.run(Array("lake-read", root, out2))
     spark.read.parquet(out2).count() shouldBe 20L
-    // history prints one line per committed version (v0..v3), and still
+    // restore and shallow clone through the CLI
+    Run.run(Array("lake-restore", root, "0"))
+    val cloneRoot = tmp("graft-cli-clone") + "/c"
+    Run.run(Array("lake-clone", root, cloneRoot))
+    val outc = tmp("graft-cli-outc") + "/snapc"
+    Run.run(Array("lake-read", cloneRoot, outc))
+    spark.read.parquet(outc).count() shouldBe 20L // the restored v0 content
+    // history prints one line per committed version, and still
     // works after a vacuum removed the early manifests
     Run.run(Array("lake-history", root))
     Run.run(Array("lake-vacuum", root, "1"))
