@@ -359,20 +359,62 @@ object Lake {
         |SELECT o_orderpriority, count(*) AS n_orders
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
 
-  /** One snapshot. `operation` records provenance (create/merge) the way
-    * table formats keep a commit history. `statsCols` lists the extra
-    * columns every file entry carries bounds for — fixed at [[create]],
-    * threaded through every rewrite. `tombstones` are MERGE-ON-READ
-    * key-delete files ([[LakeTable.deleteDeferred]]) applied as an
-    * anti-join at read time until a [[LakeTable.compact]] folds them. */
+  /** One RESOLVED snapshot — the complete file/tombstone state AT
+    * `version`, reconstructed from the delta chain (see [[Delta]]).
+    * `operation` records provenance (create/merge/…) the way table formats
+    * keep a commit history. `statsCols` lists the extra columns every file
+    * entry carries bounds for — fixed at [[create]], threaded through every
+    * rewrite. `tombstones` are MERGE-ON-READ key-delete files
+    * ([[LakeTable.deleteDeferred]]) applied as an anti-join at read time
+    * until a [[LakeTable.compact]] folds them. `partitionCol` names the
+    * hive-style directory-partition column, if the table was created with
+    * one. */
   case class Manifest(version: Int, parentVersion: Int, operation: String,
                       keyCol: String, files: Seq[FileEntry],
                       statsCols: Seq[String] = Nil,
-                      tombstones: Seq[FileEntry] = Nil)
+                      tombstones: Seq[FileEntry] = Nil,
+                      partitionCol: Option[String] = None)
+
+  /** One COMMIT — what the `v%05d.json` manifest file actually stores.
+    * A commit's payload is proportional to WHAT CHANGED (`adds` /
+    * `removes` by path), never to the table's file count: at the 100 TB
+    * design point (~400k files) a one-file streaming merge writes a
+    * few hundred bytes, not a 40 MB snapshot. Self-anchoring commits
+    * (create, compact, restore, clone — operations whose output IS a
+    * complete file list) set `full = true`: their `adds` are the whole
+    * state and resolution stops there. Between anchors, every
+    * `checkpointInterval`-th commit also writes a sibling parquet
+    * checkpoint (`v%05d.ckpt.parquet`, readable as a DataFrame), so
+    * resolving any version replays a bounded suffix of deltas — the
+    * delta-log + periodic-checkpoint shape every open table format
+    * converged on. */
+  case class Delta(version: Int, parentVersion: Int, operation: String,
+                   keyCol: String, statsCols: Seq[String],
+                   partitionCol: Option[String], full: Boolean,
+                   adds: Seq[FileEntry], removes: Seq[String],
+                   tombstoneAdds: Seq[FileEntry],
+                   tombstoneRemoves: Seq[String])
+
+  /** A resolved state as a full, self-anchoring Delta (legacy-manifest
+    * reads and the create/compact/restore/clone commit shape). */
+  private[graft] def fullDelta(m: Manifest): Delta =
+    Delta(m.version, m.parentVersion, m.operation, m.keyCol, m.statsCols,
+      m.partitionCol, full = true, adds = m.files, removes = Nil,
+      tombstoneAdds = m.tombstones, tombstoneRemoves = Nil)
 
   /** Result of a [[LakeTable.merge]] — what a COW commit did. */
   case class MergeStats(version: Int, keptFiles: Int, rewrittenFiles: Int,
                         addedFiles: Int, updateRows: Long)
+
+  /** One parquet-checkpoint row — one data or tombstone file of the
+    * resolved state, per-column bounds as parallel (name, min, max)
+    * arrays. `idx` preserves manifest order across the parquet
+    * round-trip (carried-by-reference file order is part of the
+    * resolution contract). */
+  private[sources] case class CkptRow(idx: Int, kind: String, path: String,
+                                      rows: Long, minKey: Long, maxKey: Long,
+                                      colNames: Seq[String],
+                                      colMins: Seq[Long], colMaxs: Seq[Long])
 
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -382,39 +424,66 @@ object Lake {
 
   /** Create version 0 from `df`, clustered on `keyCol` into `numFiles`
     * disjoint-range files, and return the table handle. `statsCols` names
-    * extra numeric columns to keep per-file [min,max] bounds for (beyond
-    * the key) — they ride every manifest from then on and feed
-    * [[LakeManifestPrune]]'s non-key data skipping. */
+    * extra numeric/date/timestamp columns to keep per-file [min,max]
+    * bounds for (beyond the key) — they ride every manifest from then on
+    * and feed [[LakeManifestPrune]]'s non-key data skipping.
+    * `partitionBy` lays data out in hive-style `<col>=<value>/`
+    * directories; the partition column implicitly joins the stats set, so
+    * manifest skipping and Spark's own partition pruning compose. */
   def create(spark: SparkSession, root: String, df: DataFrame, keyCol: String,
-             numFiles: Int, statsCols: Seq[String] = Nil): LakeTable = {
+             numFiles: Int, statsCols: Seq[String] = Nil,
+             partitionBy: Option[String] = None): LakeTable = {
     val t = new LakeTable(spark, root)
-    t.init(df, keyCol, numFiles, statsCols)
+    t.init(df, keyCol, numFiles, statsCols, partitionBy)
     t
   }
 
-  private def fileJson(m: Manifest)(f: FileEntry): ListMap[String, Any] =
+  private def fileJson(statsCols: Seq[String])(f: FileEntry): ListMap[String, Any] =
     ListMap(
       "path" -> f.path, "rows" -> f.rows,
       "minKey" -> f.minKey, "maxKey" -> f.maxKey,
-      "cols" -> m.statsCols.flatMap(c => f.cols.get(c).map(b =>
+      "cols" -> statsCols.flatMap(c => f.cols.get(c).map(b =>
         c -> Seq(b._1, b._2))).to(ListMap))
 
+  /** Legacy full-snapshot manifest JSON (pre-delta format) — kept as a
+    * WRITER only for test seams that craft racing manifests by hand;
+    * [[fromJson]] reads both shapes. */
   private[graft] def toJson(m: Manifest): String =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ListMap(
       "version" -> m.version, "parentVersion" -> m.parentVersion,
       "operation" -> m.operation, "keyCol" -> m.keyCol,
       "statsCols" -> m.statsCols,
-      "files" -> m.files.map(fileJson(m)),
-      "tombstones" -> m.tombstones.map(fileJson(m))))
+      "partitionCol" -> m.partitionCol.orNull,
+      "files" -> m.files.map(fileJson(m.statsCols)),
+      "tombstones" -> m.tombstones.map(fileJson(m.statsCols))))
 
-  private[graft] def fromJson(s: String): Manifest = {
+  private[graft] def toJson(d: Delta): String = {
+    // partition-column bounds ride each entry's cols even when not in
+    // statsCols (they're added implicitly at write) — serialize the union
+    val colOrder = (d.statsCols ++ d.partitionCol).distinct
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ListMap(
+      "version" -> d.version, "parentVersion" -> d.parentVersion,
+      "operation" -> d.operation, "keyCol" -> d.keyCol,
+      "statsCols" -> d.statsCols,
+      "partitionCol" -> d.partitionCol.orNull,
+      "full" -> d.full,
+      "adds" -> d.adds.map(fileJson(colOrder)),
+      "removes" -> d.removes,
+      "tombstoneAdds" -> d.tombstoneAdds.map(fileJson(colOrder)),
+      "tombstoneRemoves" -> d.tombstoneRemoves))
+  }
+
+  private[graft] def fromJson(s: String): Delta = {
     val n = mapper.readTree(s)
     import scala.jdk.CollectionConverters._
-    // statsCols/cols are absent in pre-evolution manifests — read optional
     val statsCols =
       if (n.has("statsCols"))
         n.get("statsCols").elements().asScala.map(_.asText()).toSeq
       else Nil
+    val partitionCol =
+      if (n.has("partitionCol") && !n.get("partitionCol").isNull)
+        Some(n.get("partitionCol").asText())
+      else None
     def entries(field: String): Seq[FileEntry] =
       if (!n.has(field)) Nil
       else n.get(field).elements().asScala.map { f =>
@@ -429,15 +498,84 @@ object Lake {
           f.get("path").asText(), f.get("rows").asLong(),
           f.get("minKey").asLong(), f.get("maxKey").asLong(), cols)
       }.toSeq
-    Manifest(
+    def strings(field: String): Seq[String] =
+      if (!n.has(field)) Nil
+      else n.get(field).elements().asScala.map(_.asText()).toSeq
+    val (version, parent, op, keyCol) = (
       n.get("version").asInt(), n.get("parentVersion").asInt(),
-      n.get("operation").asText(), n.get("keyCol").asText(),
-      entries("files"), statsCols, entries("tombstones"))
+      n.get("operation").asText(), n.get("keyCol").asText())
+    if (n.has("files")) // legacy full-snapshot manifest: read as an anchor
+      Delta(version, parent, op, keyCol, statsCols, partitionCol,
+        full = true, adds = entries("files"), removes = Nil,
+        tombstoneAdds = entries("tombstones"), tombstoneRemoves = Nil)
+    else
+      Delta(version, parent, op, keyCol, statsCols, partitionCol,
+        full = n.has("full") && n.get("full").asBoolean(),
+        adds = entries("adds"), removes = strings("removes"),
+        tombstoneAdds = entries("tombstoneAdds"),
+        tombstoneRemoves = strings("tombstoneRemoves"))
+  }
+
+  /** Normalize a column to the Long STAT UNITS the manifest stores:
+    * integral columns cast as-is, DATE → days since epoch, TIMESTAMP →
+    * micros since epoch (TIMESTAMP_NTZ via a session-zone cast — sessions
+    * run UTC, so the micros are the naive reading). [[LakeManifestPrune]]
+    * extracts predicate bounds in the SAME units (a DateType literal is
+    * days, a TimestampType literal is micros), so stats and bounds always
+    * compare in one coordinate system. */
+  private[sources] def statLong(df: DataFrame, c: String)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("long")
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => col(c).cast("long")
+    }
+  }
+
+  /** Bounded, access-ordered LRU map — metadata caches must not grow with
+    * the number of table roots a long-lived JVM touches (every gated lane
+    * builds a fresh tempdir root per invocation). */
+  private[sources] def lruMap[K, V](maxEntries: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > maxEntries
+      })
+
+  /** root@version → parsed Delta. Committed deltas are immutable, so
+    * entries never invalidate — only age out. */
+  private[sources] val deltaCache = lruMap[String, Delta](4096)
+
+  /** root@version → resolved (files, tombstones). Written by every commit
+    * for its own new version (so the next planning pass replays ZERO
+    * deltas) and by cold resolutions. */
+  private[sources] val stateCache =
+    lruMap[String, (Seq[FileEntry], Seq[FileEntry])](256)
+
+  /** Test/audit seam: drop every metadata cache (delta, state, prune
+    * stats) so the next resolution is measurably cold. */
+  private[graft] def clearMetadataCaches(): Unit = {
+    deltaCache.clear()
+    stateCache.clear()
+    LakeManifestPrune.clearCache()
   }
 }
 
 /** Handle to a [[Lake]] table rooted at `root`. See object doc for the
-  * format contract. */
+  * format contract.
+  *
+  * METADATA SHAPE (the 100 TB contract): every verb commits a [[Lake.Delta]]
+  * whose payload is O(files changed); reading any version resolves
+  * backwards to the nearest ANCHOR — a `full` delta (create / compact /
+  * restore / clone) or a parquet checkpoint (written every
+  * `spark.graft.lake.checkpointInterval` commits, default 16) — then
+  * replays the bounded delta suffix. Commits index their own resolved
+  * state into a bounded LRU ([[Lake.stateCache]]), so the planning pass
+  * after a streaming micro-commit replays zero deltas and re-parses
+  * nothing. At the knob sheet's ~400k-file design point a one-file merge
+  * writes a few hundred bytes of manifest, not a 40 MB snapshot. */
 class LakeTable(spark: SparkSession, val root: String) {
   import Lake._
 
@@ -448,6 +586,11 @@ class LakeTable(spark: SparkSession, val root: String) {
   private def dataDir = new Path(rootPath, "data")
 
   private def manifestPath(v: Int) = new Path(manifestDir, f"v$v%05d.json")
+  private def ckptPath(v: Int) = new Path(manifestDir, f"v$v%05d.ckpt.parquet")
+  private def hasCkpt(v: Int): Boolean = fs.exists(ckptPath(v))
+
+  private def checkpointInterval: Int =
+    spark.conf.get("spark.graft.lake.checkpointInterval", "16").toInt
 
   /** Highest committed snapshot version (manifests are rename-committed,
     * so every listed file is complete). */
@@ -462,26 +605,136 @@ class LakeTable(spark: SparkSession, val root: String) {
     * expired ones — history walks should skip, not crash). */
   def hasVersion(version: Int): Boolean = fs.exists(manifestPath(version))
 
+  private def readDelta(v: Int): Delta = {
+    val key = s"$root@$v"
+    val c = deltaCache.get(key)
+    if (c != null) c
+    else {
+      val in = fs.open(manifestPath(v))
+      val d = try fromJson(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
+      deltaCache.put(key, d)
+      d
+    }
+  }
+
+  private def applyDelta(files: Seq[FileEntry], tombs: Seq[FileEntry],
+                         d: Delta): (Seq[FileEntry], Seq[FileEntry]) =
+    if (d.full) (d.adds, d.tombstoneAdds)
+    else {
+      val rm = d.removes.toSet
+      val trm = d.tombstoneRemoves.toSet
+      (files.filterNot(f => rm(f.path)) ++ d.adds,
+        tombs.filterNot(f => trm(f.path)) ++ d.tombstoneAdds)
+    }
+
+  /** Resolve the complete (files, tombstones) state at `v`: walk back to
+    * the nearest anchor — a cached state, a `full` delta, or a parquet
+    * checkpoint — then fold the delta suffix forward. Carried-by-reference
+    * file ORDER is preserved across commits (removes delete in place,
+    * adds append), so resolution is deterministic. */
+  private def resolveState(v: Int): (Seq[FileEntry], Seq[FileEntry]) = {
+    val key = s"$root@$v"
+    val hit = stateCache.get(key)
+    if (hit != null) return hit
+    var chain = List.empty[Delta]
+    var w = v
+    var base: (Seq[FileEntry], Seq[FileEntry]) = null
+    while (base == null) {
+      val cached = if (w < v) stateCache.get(s"$root@$w") else null
+      if (cached != null) base = cached
+      else {
+        val d = readDelta(w)
+        if (d.full) base = (d.adds, d.tombstoneAdds)
+        else if (hasCkpt(w)) base = readCheckpoint(w)
+        else {
+          chain ::= d
+          w -= 1
+          require(w >= 0, s"version $v has no resolvable anchor under $root")
+        }
+      }
+    }
+    val st = chain.foldLeft(base)((s, d) => applyDelta(s._1, s._2, d))
+    stateCache.put(key, st)
+    st
+  }
+
   def manifest(version: Int): Manifest = {
-    val in = fs.open(manifestPath(version))
-    try fromJson(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-    finally in.close()
+    require(hasVersion(version),
+      s"version $version does not exist (or was vacuumed) under $root")
+    val d = readDelta(version)
+    val (files, tombs) = resolveState(version)
+    Manifest(d.version, d.parentVersion, d.operation, d.keyCol, files,
+      d.statsCols, tombs, d.partitionCol)
+  }
+
+  /** Write the resolved state at `v` as a single parquet checkpoint file
+    * (`v%05d.ckpt.parquet`) — distributed-readable as a DataFrame, and the
+    * resolution anchor that lets vacuum drop older deltas. Derived data:
+    * a racing checkpointer of the same version is harmless (first rename
+    * wins, content is identical). */
+  private def writeCheckpoint(v: Int, files: Seq[FileEntry],
+                              tombs: Seq[FileEntry]): Unit = {
+    def rowsOf(kind: String, fsq: Seq[FileEntry], off: Int): Seq[CkptRow] =
+      fsq.zipWithIndex.map { case (f, i) =>
+        val names = f.cols.keys.toSeq.sorted
+        CkptRow(off + i, kind, f.path, f.rows, f.minKey, f.maxKey,
+          names, names.map(f.cols(_)._1), names.map(f.cols(_)._2))
+      }
+    val all = rowsOf("data", files, 0) ++ rowsOf("tombstone", tombs, files.size)
+    val tmp = new Path(rootPath, s"_scratch-ckpt-${UUID.randomUUID()}")
+    spark.createDataset(all)(org.apache.spark.sql.Encoders.product[CkptRow])
+      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).iterator.map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"checkpoint write for v$v produced no part file"))
+    val dest = ckptPath(v)
+    if (!fs.exists(dest)) fs.rename(part, dest)
+    fs.delete(tmp, true)
+  }
+
+  private def readCheckpoint(v: Int): (Seq[FileEntry], Seq[FileEntry]) = {
+    val rows = spark.read.parquet(ckptPath(v).toString).collect()
+      .sortBy(_.getAs[Int]("idx"))
+    val entries = rows.map { r =>
+      val names = r.getAs[scala.collection.Seq[String]]("colNames")
+      val mins = r.getAs[scala.collection.Seq[Long]]("colMins")
+      val maxs = r.getAs[scala.collection.Seq[Long]]("colMaxs")
+      val cols = names.indices.map(i => names(i) -> ((mins(i), maxs(i)))).toMap
+      (r.getAs[String]("kind"),
+        FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
+          r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"), cols))
+    }
+    (entries.collect { case ("data", f) => f }.toSeq,
+      entries.collect { case ("tombstone", f) => f }.toSeq)
+  }
+
+  /** Multi-file scan of `entries`, resolving manifest-relative paths under
+    * the table root (shallow-clone entries are absolute and resolve as-is).
+    * Partitioned tables read with `basePath` so hive directory values come
+    * back as a real column; an explicit `schema` (the change feed's fixed
+    * shape) skips the footer-merging pass. */
+  private def readFiles(m: Manifest, entries: Seq[FileEntry],
+                        schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    var r = spark.read
+    r = schema match {
+      case Some(s) => r.schema(s)
+      case None => r.option("mergeSchema", "true")
+    }
+    if (m.partitionCol.isDefined) r = r.option("basePath", dataDir.toString)
+    r.parquet(entries.map(f => new Path(rootPath, f.path).toString): _*)
   }
 
   /** Time travel: the relation AS OF `version` — a plain multi-file
-    * parquet scan over that manifest's files (COW keeps old files live
-    * until a retention vacuum, which this format leaves to the caller).
-    * `mergeSchema` serves schema evolution: pre-evolution files read null
-    * for later-added columns. At 100 TB footer-merging every file is the
-    * wrong cost model — record the table schema in the manifest at commit
-    * and pass it to `read.schema(...)` instead; the manifest already
-    * carries per-file metadata, this is one more field. */
+    * parquet scan over that version's resolved file set (COW keeps old
+    * files live until a retention vacuum). `mergeSchema` serves schema
+    * evolution: pre-evolution files read null for later-added columns. */
   def snapshot(version: Int): DataFrame = {
     val m = manifest(version)
     if (m.files.isEmpty) spark.emptyDataFrame
-    else applyTombstones(m,
-      spark.read.option("mergeSchema", "true")
-        .parquet(m.files.map(f => new Path(rootPath, f.path).toString): _*))
+    else applyTombstones(m, readFiles(m, m.files))
   }
 
   /** Merge-on-read: anti-join the snapshot's key tombstones (if any) —
@@ -503,9 +756,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     * whose [min,max] intersects [lo,hi] enter the scan AT PLANNING TIME
     * (the others never appear in the relation — no I/O, no tasks), then
     * the row-level predicate still applies inside the scan via ordinary
-    * parquet pushdown. This is the read half of the min/max stats the
-    * manifest keeps for MERGE/DELETE: a key-range query over a 100 TB
-    * table touches the files covering the range, not the table.
+    * parquet pushdown. `lo`/`hi` are in the key's STAT UNITS — the raw
+    * value for integral keys, days-since-epoch for DATE keys,
+    * micros-since-epoch for TIMESTAMP keys ([[Lake.statLong]]).
     *
     * In sessions built with `GraftSessionExtensions`, the SAME pruning
     * fires automatically on plain `read().filter(key …)` queries via the
@@ -514,11 +767,11 @@ class LakeTable(spark: SparkSession, val root: String) {
   def readRange(lo: Long, hi: Long): DataFrame = {
     val m = manifest(latestVersion)
     val hit = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
-    if (hit.isEmpty) read().filter(col(m.keyCol).isNull && col(m.keyCol).isNotNull)
-    else applyTombstones(m,
-      spark.read.option("mergeSchema", "true")
-        .parquet(hit.map(f => new Path(rootPath, f.path).toString): _*))
-      .filter(col(m.keyCol).cast("long").between(lo, hi))
+    if (hit.isEmpty) read().filter(lit(false))
+    else {
+      val df = applyTombstones(m, readFiles(m, hit))
+      df.filter(Lake.statLong(df, m.keyCol).between(lo, hi))
+    }
   }
 
   /** Change-data-feed between two committed snapshots: the net row-level
@@ -536,6 +789,12 @@ class LakeTable(spark: SparkSession, val root: String) {
     * recognized (null-safe full-row compare per key) and emits nothing;
     * likewise a key updated and then reverted inside the interval
     * compares equal at the endpoints — the feed is the NET change.
+    *
+    * Endpoints carrying deferred-delete tombstones refuse loudly (the
+    * manifest file diff cannot see through read-time tombstones):
+    * compact() first. Streaming consumers should skip such versions and
+    * resume at the folding compact commit — [[LakeChangeFeedSource]] and
+    * `StreamingOps.lakeChangesStream` do.
     *
     * Scale shape: one shuffle, hash-partitioned on the merge key, over
     * only the rows living in changed files; the manifest diff itself is
@@ -566,12 +825,9 @@ class LakeTable(spark: SparkSession, val root: String) {
         spark.range(0).select(col("id").as(keyCol),
           lit("").as("_change_type")).filter(lit(false))
       case Some(_) =>
-        val schema = spark.read.option("mergeSchema", "true")
-          .parquet(templateFiles.map(f => new Path(rootPath, f.path).toString): _*)
-          .schema
+        val schema = readFiles(mTo, templateFiles).schema
         def load(fsq: Seq[FileEntry]): DataFrame =
-          if (fsq.nonEmpty) spark.read.schema(schema).parquet(
-            fsq.map(f => new Path(rootPath, f.path).toString): _*)
+          if (fsq.nonEmpty) readFiles(mTo, fsq, Some(schema))
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         val dataCols = schema.fieldNames.toSeq
@@ -595,68 +851,117 @@ class LakeTable(spark: SparkSession, val root: String) {
     }
   }
 
-  /** The commit: write the manifest under a dot-temp name, then rename to
-    * `v%05d.json` — refusing an existing destination, so concurrent
-    * committers of the same version get one winner. */
-  private[graft] def commit(m: Manifest): Unit = {
+  /** Test-only interleaving seam: runs after a verb has decided its target
+    * version and written its data files, IMMEDIATELY before its manifest
+    * commits — lets a spec plant a racing committer deterministically
+    * against ANY verb (merge, delete, compact, restore, …). No-op in
+    * production. */
+  private[graft] var onBeforeCommit: () => Unit = () => ()
+
+  /** The commit: write the delta manifest under a dot-temp name, then
+    * rename to `v%05d.json` — refusing an existing destination, so
+    * concurrent committers of the same version get one winner. */
+  private[graft] def commitDelta(d: Delta): Unit = {
+    onBeforeCommit()
     fs.mkdirs(manifestDir)
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
-    try out.write(toJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(toJson(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val dest = manifestPath(m.version)
+    val dest = manifestPath(d.version)
     if (fs.exists(dest) || !fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
       throw new java.util.ConcurrentModificationException(
-        s"lake commit lost the race for version ${m.version} at $dest")
+        s"lake commit lost the race for version ${d.version} at $dest")
     }
   }
 
+  /** Commit + index: the committing verb already knows the new resolved
+    * state, so cache it (the next planning pass replays zero deltas) and
+    * drop a parquet checkpoint every `checkpointInterval`-th non-anchor
+    * commit to bound every future cold resolution. */
+  private[graft] def commitAndIndex(d: Delta, files: Seq[FileEntry],
+                                    tombs: Seq[FileEntry]): Unit = {
+    commitDelta(d)
+    stateCache.put(s"$root@${d.version}", (files, tombs))
+    if (!d.full && d.version > 0 && d.version % checkpointInterval == 0)
+      writeCheckpoint(d.version, files, tombs)
+  }
+
+  /** Legacy test seam: commit a fully-resolved state as a self-anchoring
+    * delta. */
+  private[graft] def commit(m: Manifest): Unit =
+    commitAndIndex(fullDelta(m), m.files, m.tombstones)
+
   /** Write `df` as fresh data files clustered on `keyCol` and return their
     * manifest entries. Files land in a scratch dir first, are renamed into
-    * `data/` under fresh UUID names, and their (rows, min, max) stats come
-    * from ONE metadata-cheap scan of just the new files. */
+    * `data/` (preserving hive `<col>=<value>/` subdirectories when
+    * `partitionCol` is set) under fresh UUID names, and their
+    * (rows, min, max) stats come from ONE metadata-cheap scan of just the
+    * new files — [[Lake.statLong]] normalizes DATE/TIMESTAMP stats to
+    * days/micros since epoch. The partition column implicitly joins the
+    * stats set, so [[LakeManifestPrune]] skips on it too. */
   private def writeDataFiles(df: DataFrame, keyCol: String, numFiles: Int,
                              statsCols: Seq[String] = Nil,
-                             clusterBy: Option[org.apache.spark.sql.Column] = None)
+                             clusterBy: Option[org.apache.spark.sql.Column] = None,
+                             partitionCol: Option[String] = None)
       : Seq[FileEntry] = {
     val scratch = new Path(rootPath, s"_scratch-${UUID.randomUUID()}")
-    val clustered = clusterBy match {
-      case None =>
-        df.repartitionByRange(math.max(1, numFiles), col(keyCol))
-          .sortWithinPartitions(keyCol)
-      case Some(c) => // alternative layout (e.g. Morton order) — stats
+    val clustered = (clusterBy, partitionCol) match {
+      case (Some(c), _) => // alternative layout (e.g. Morton order) — stats
         // still computed on keyCol + statsCols below, layout-independent
         df.withColumn("__cluster", c)
           .repartitionByRange(math.max(1, numFiles), col("__cluster"))
           .sortWithinPartitions("__cluster")
           .drop("__cluster")
+      case (None, Some(p)) =>
+        // range-cluster on (partition, key): every task holds one
+        // partition value's key slice, so hive dirs get disjoint-range
+        // files and key pruning stays tight WITHIN a partition
+        df.repartitionByRange(math.max(1, numFiles), col(p), col(keyCol))
+          .sortWithinPartitions(p, keyCol)
+      case (None, None) =>
+        df.repartitionByRange(math.max(1, numFiles), col(keyCol))
+          .sortWithinPartitions(keyCol)
     }
-    clustered.write.mode("overwrite").parquet(scratch.toString)
+    val writer = clustered.write.mode("overwrite")
+    partitionCol.fold(writer)(p => writer.partitionBy(p)).parquet(scratch.toString)
     fs.mkdirs(dataDir)
-    val moved = fs.listStatus(scratch).toSeq
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map { s =>
-        val dest = new Path(dataDir, s"part-${UUID.randomUUID()}.parquet")
-        require(fs.rename(s.getPath, dest), s"rename ${s.getPath} -> $dest failed")
-        dest
+    // (part file, hive subdir or "") pairs, one directory level deep
+    def partFiles(dir: Path): Seq[(Path, String)] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        if (s.isDirectory && s.getPath.getName.contains("="))
+          partFiles(s.getPath).map { case (f, _) => (f, s.getPath.getName) }
+        else if (s.getPath.getName.endsWith(".parquet")) Seq((s.getPath, ""))
+        else Nil
       }
+    val moved = partFiles(scratch).map { case (src, sub) =>
+      val destDir = if (sub.isEmpty) dataDir else new Path(dataDir, sub)
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, s"part-${UUID.randomUUID()}.parquet")
+      require(fs.rename(src, dest), s"rename $src -> $dest failed")
+      (dest, sub)
+    }
     fs.delete(scratch, true)
     if (moved.isEmpty) Seq.empty
     else {
       // key bounds + every extra stats column, ONE metadata-cheap pass
-      val extraAggs = statsCols.flatMap(c => Seq(
-        min(col(c).cast("long")).as(s"mn_$c"),
-        max(col(c).cast("long")).as(s"mx_$c")))
+      val allStats = (statsCols ++ partitionCol).distinct
+      var reader = spark.read
+      if (partitionCol.isDefined) reader = reader.option("basePath", dataDir.toString)
+      val data = reader.parquet(moved.map(_._1.toString): _*)
+      val extraAggs = allStats.flatMap(c => Seq(
+        min(Lake.statLong(data, c)).as(s"mn_$c"),
+        max(Lake.statLong(data, c)).as(s"mx_$c")))
       val aggs = Seq(count(lit(1)).as("rows"),
-        min(col(keyCol).cast("long")).as("mn"),
-        max(col(keyCol).cast("long")).as("mx")) ++ extraAggs
-      val stats = spark.read.parquet(moved.map(_.toString): _*)
+        min(Lake.statLong(data, keyCol)).as("mn"),
+        max(Lake.statLong(data, keyCol)).as("mx")) ++ extraAggs
+      val stats = data
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val cols = statsCols.zipWithIndex.flatMap { case (c, i) =>
+          val cols = allStats.zipWithIndex.flatMap { case (c, i) =>
             val (mnI, mxI) = (4 + 2 * i, 5 + 2 * i)
             if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
             else Some(c -> ((r.getLong(mnI), r.getLong(mxI))))
@@ -666,10 +971,12 @@ class LakeTable(spark: SparkSession, val root: String) {
         }.toMap
       // a zero-row part file (e.g. a fully-erased rewrite) has no stats
       // row: drop it from disk rather than manifest an empty file
-      moved.flatMap { p =>
+      moved.flatMap { case (p, sub) =>
         stats.get(p.getName) match {
           case Some((rows, mn, mx, cols)) =>
-            Some(FileEntry(s"data/${p.getName}", rows, mn, mx, cols))
+            val rel = if (sub.isEmpty) s"data/${p.getName}"
+                      else s"data/$sub/${p.getName}"
+            Some(FileEntry(rel, rows, mn, mx, cols))
           case None => fs.delete(p, false); None
         }
       }
@@ -677,49 +984,73 @@ class LakeTable(spark: SparkSession, val root: String) {
   }
 
   private[sources] def init(df: DataFrame, keyCol: String, numFiles: Int,
-                            statsCols: Seq[String] = Nil): Unit = {
-    val files = writeDataFiles(df, keyCol, numFiles, statsCols)
-    commit(Manifest(0, -1, "create", keyCol, files, statsCols))
+                            statsCols: Seq[String] = Nil,
+                            partitionBy: Option[String] = None): Unit = {
+    partitionBy.foreach(p => require(p != keyCol,
+      "partition column cannot be the merge key"))
+    val files = writeDataFiles(df, keyCol, numFiles, statsCols,
+      partitionCol = partitionBy)
+    commitAndIndex(Delta(0, -1, "create", keyCol, statsCols, partitionBy,
+      full = true, adds = files, removes = Nil,
+      tombstoneAdds = Nil, tombstoneRemoves = Nil), files, Nil)
+  }
+
+  /** File pruning shared by MERGE and DELETE: a key hits a file iff it
+    * falls in the file's [min,max] — ranges are metadata-sized and
+    * broadcast, so the probe shuffles only the distinct key column.
+    * When the table is hive-partitioned AND the probe relation carries the
+    * partition column (merge updates do; bare delete keys don't), the hit
+    * test also requires the file's partition value to match — key ranges
+    * overlap ACROSS partitions by construction, so this is what keeps a
+    * single-partition merge from rewriting every partition's files. */
+  private def hitFileIndexes(m: Manifest, keys: DataFrame): Set[Int] = {
+    val pOpt = m.partitionCol.filter(keys.columns.contains)
+    pOpt match {
+      case None =>
+        val ranges = m.files.zipWithIndex.map { case (f, i) => (i, f.minKey, f.maxKey) }
+        val rangesDf = spark.createDataFrame(ranges).toDF("fidx", "mn", "mx")
+        keys.select(Lake.statLong(keys, keys.columns.head).as("k")).distinct()
+          .join(broadcast(rangesDf),
+            col("k") >= col("mn") && col("k") <= col("mx"))
+          .select("fidx").distinct().collect().map(_.getInt(0)).toSet
+      case Some(p) =>
+        val ranges = m.files.zipWithIndex.map { case (f, i) =>
+          val (pmn, pmx) = f.cols.getOrElse(p, (Long.MinValue, Long.MaxValue))
+          (i, f.minKey, f.maxKey, pmn, pmx)
+        }
+        val rangesDf = spark.createDataFrame(ranges)
+          .toDF("fidx", "mn", "mx", "pmn", "pmx")
+        keys.select(Lake.statLong(keys, keys.columns.head).as("k"),
+            Lake.statLong(keys, p).as("pv")).distinct()
+          .join(broadcast(rangesDf),
+            col("k") >= col("mn") && col("k") <= col("mx") &&
+              col("pv") >= col("pmn") && col("pv") <= col("pmx"))
+          .select("fidx").distinct().collect().map(_.getInt(0)).toSet
+    }
   }
 
   /** Copy-on-write MERGE of `updates` (same schema as the table) on the
     * table's key: rows matching an existing key replace it, new keys
     * insert — [[graft.ops.Relational.upsert]] semantics at the storage
     * level. Only files whose [min,max] key range intersects an update key
-    * are rewritten; everything else carries into the new snapshot by
-    * reference. The previous snapshot remains readable (time travel). */
-  /** File pruning shared by MERGE and DELETE: a key hits a file iff it
-    * falls in the file's [min,max] — ranges are metadata-sized and
-    * broadcast, so the probe shuffles only the distinct key column. */
-  private def hitFileIndexes(m: Manifest, keys: DataFrame): Set[Int] = {
-    val ranges = m.files.zipWithIndex.map { case (f, i) => (i, f.minKey, f.maxKey) }
-    val rangesDf = spark.createDataFrame(ranges).toDF("fidx", "mn", "mx")
-    keys.select(col(keys.columns.head).cast("long").as("k")).distinct()
-      .join(broadcast(rangesDf),
-        col("k") >= col("mn") && col("k") <= col("mx"))
-      .select("fidx").distinct().collect().map(_.getInt(0)).toSet
-  }
-
+    * (and, for partitioned tables, whose partition value the updates
+    * touch) are rewritten; everything else carries into the new snapshot
+    * by reference. The previous snapshot remains readable (time travel). */
   def merge(updates: DataFrame, newFileCountHint: Int = 0): MergeStats =
     mergeTagged(updates, "merge", newFileCountHint)
 
-  /** Test-only interleaving seam: runs after a merge has decided its
-    * target version but before it commits — lets a spec plant a racing
-    * committer deterministically. No-op in production. */
-  private[graft] var onBeforeMergeCommit: () => Unit = () => ()
-
-  /** The optimistic-concurrency commit loop around [[merge]]: an attempt
-    * that loses the version race re-reads the NEW latest snapshot and
-    * REPLAYS the merge against it — the standard lakehouse retry. Safe
-    * because a merge is expressed against table state (anti-join +
-    * union), not a pinned version; replaying over the winner's snapshot
-    * preserves upsert semantics. Data files written by a lost attempt are
-    * unreferenced orphans (never manifested) — harmless until a cleanup
-    * sweep, exactly like aborted-commit files in any COW format. */
-  def mergeWithRetry(updates: DataFrame, maxAttempts: Int = 3): MergeStats = {
+  /** Optimistic-retry loop shared by every verb: an attempt that loses
+    * the version race re-reads the NEW latest snapshot and REPLAYS the
+    * verb against it — the standard lakehouse retry. Safe because each
+    * verb is expressed against table state (anti-join + union / rewrite
+    * of the CURRENT latest), not a pinned version. Data files written by
+    * a lost attempt are unreferenced orphans (never manifested) —
+    * harmless until a cleanup sweep, exactly like aborted-commit files
+    * in any COW format. */
+  private def withRetry[T](maxAttempts: Int)(op: => T): T = {
     var attempt = 1
     while (true) {
-      try return merge(updates)
+      try return op
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (attempt >= maxAttempts) throw e
@@ -728,6 +1059,25 @@ class LakeTable(spark: SparkSession, val root: String) {
     }
     throw new IllegalStateException("unreachable")
   }
+
+  def mergeWithRetry(updates: DataFrame, maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(merge(updates))
+
+  def deleteWithRetry(keys: DataFrame, maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(delete(keys))
+
+  def deleteDeferredWithRetry(keys: DataFrame, maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(deleteDeferred(keys))
+
+  def compactWithRetry(numFiles: Int, maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(compact(numFiles))
+
+  def compactZOrderWithRetry(numFiles: Int, c1: String, c2: String,
+                             maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(compactZOrder(numFiles, c1, c2))
+
+  def restoreWithRetry(version: Int, maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(restore(version))
 
   private def mergeTagged(updates: DataFrame, operation: String,
                           newFileCountHint: Int = 0): MergeStats = {
@@ -738,7 +1088,10 @@ class LakeTable(spark: SparkSession, val root: String) {
         "before merging — a rewrite cannot re-insert a tombstoned key, the " +
         "read-time anti-join would erase it again")
     val keyCol = m.keyCol
-    val hitIdx = hitFileIndexes(m, updates.select(col(keyCol)))
+    m.partitionCol.foreach(p => require(updates.columns.contains(p),
+      s"merge updates into a table partitioned by '$p' must carry that column"))
+    val probeCols = keyCol +: m.partitionCol.toSeq
+    val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     val updateRows = updates.count()
     val rewritten =
@@ -748,8 +1101,7 @@ class LakeTable(spark: SparkSession, val root: String) {
         // (schema evolution) — survivors of rewritten files carry null for
         // columns only the updates have; carried-over files stay untouched
         // and read back null through the merged-schema scan
-        val hitDf = spark.read.option("mergeSchema", "true").parquet(
-          hit.map { case (f, _) => new Path(rootPath, f.path).toString }: _*)
+        val hitDf = readFiles(m, hit.map(_._1))
         // widen, never narrow: updates missing table columns would silently
         // null them on every updated row (allowMissingColumns fills both
         // directions) — reject instead, loudly
@@ -761,23 +1113,25 @@ class LakeTable(spark: SparkSession, val root: String) {
           .unionByName(updates, allowMissingColumns = true)
       }
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
-    val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols)
-    onBeforeMergeCommit()
-    commit(Manifest(v + 1, v, operation, keyCol,
-      kept.map(_._1) ++ newFiles, m.statsCols))
+    val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
+      partitionCol = m.partitionCol)
+    commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
+      m.partitionCol, full = false, adds = newFiles,
+      removes = hit.map(_._1.path), tombstoneAdds = Nil,
+      tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
 
   /** True iff a streaming epoch already committed — the manifest chain IS
     * the transaction log (the txnAppId/txnVersion idempotent-sink pattern:
-    * a replayed micro-batch finds its own commit and skips). The walk is
-    * over metadata-sized manifests; a production table would keep the
-    * last-committed epoch in the latest manifest alone — same seam, one
-    * read. */
+    * a replayed micro-batch finds its own commit and skips). The walk
+    * reads only the metadata-sized delta manifests (never resolves state);
+    * a production table would keep the last-committed epoch in the latest
+    * manifest alone — same seam, one read. */
   def hasEpoch(epochId: Long): Boolean = {
     val tag = s"merge-epoch-$epochId"
     (0 to latestVersion).exists { v =>
-      fs.exists(manifestPath(v)) && manifest(v).operation == tag
+      hasVersion(v) && readDelta(v).operation == tag
     }
   }
 
@@ -804,39 +1158,43 @@ class LakeTable(spark: SparkSession, val root: String) {
     val hitIdx = hitFileIndexes(m, keys)
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     val newFiles =
-      if (hit.isEmpty) Seq.empty
+      if (hit.isEmpty) Seq.empty[FileEntry]
       else {
-        val hitDf = spark.read.option("mergeSchema", "true").parquet(
-          hit.map { case (f, _) => new Path(rootPath, f.path).toString }: _*)
+        val hitDf = readFiles(m, hit.map(_._1))
         val survivors = hitDf.join(
           keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")
-        writeDataFiles(survivors, keyCol, math.max(1, hit.size), m.statsCols)
+        writeDataFiles(survivors, keyCol, math.max(1, hit.size), m.statsCols,
+          partitionCol = m.partitionCol)
       }
-    commit(Manifest(v + 1, v, "delete", keyCol, kept.map(_._1) ++ newFiles,
-      m.statsCols))
+    commitAndIndex(Delta(v + 1, v, "delete", keyCol, m.statsCols,
+      m.partitionCol, full = false, adds = newFiles,
+      removes = hit.map(_._1.path), tombstoneAdds = Nil,
+      tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, 0L)
   }
 
   /** MERGE-ON-READ delete — the write-cheap twin of [[delete]]: the keys
-    * land as a tombstone file (key column only, clustered + min/max
-    * manifested like any data file) and EVERY data file carries over by
-    * reference; readers apply the tombstones as an anti-join until
-    * [[compact]] folds them into a clean COW snapshot. At 100 TB this is
-    * the difference between writing |keys| rows and rewriting every file
-    * an erasure request touches — the GDPR fast path every table format
-    * grew deletion vectors for. Contract: while tombstones are
-    * outstanding, [[merge]]/[[delete]]/[[changes]] refuse loudly (a
-    * rewrite cannot re-insert a tombstoned key); compaction restores full
-    * function. Repeated deferred deletes stack — each commit appends its
-    * tombstone file. */
+    * land as a tombstone file (key column only, min/max manifested like
+    * any data file) and EVERY data file carries over by reference; readers
+    * apply the tombstones as an anti-join until [[compact]] folds them
+    * into a clean COW snapshot. At 100 TB this is the difference between
+    * writing |keys| rows and rewriting every file an erasure request
+    * touches — the GDPR fast path every table format grew deletion
+    * vectors for. Contract: while tombstones are outstanding,
+    * [[merge]]/[[delete]]/[[changes]] refuse loudly (a rewrite cannot
+    * re-insert a tombstoned key); compaction restores full function.
+    * Repeated deferred deletes stack — each commit appends its tombstone
+    * file. */
   def deleteDeferred(keys: DataFrame): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
     val tomb = writeDataFiles(
-      keys.select(col(keys.columns.head).cast("long").as(m.keyCol)).distinct(),
+      keys.select(col(keys.columns.head).as(m.keyCol)).distinct(),
       m.keyCol, 1)
-    commit(Manifest(v + 1, v, "delete-deferred", m.keyCol, m.files,
-      m.statsCols, m.tombstones ++ tomb))
+    commitAndIndex(Delta(v + 1, v, "delete-deferred", m.keyCol, m.statsCols,
+      m.partitionCol, full = false, adds = Nil, removes = Nil,
+      tombstoneAdds = tomb, tombstoneRemoves = Nil),
+      m.files, m.tombstones ++ tomb)
     MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
   }
 
@@ -844,14 +1202,18 @@ class LakeTable(spark: SparkSession, val root: String) {
     * COMMIT (never by deleting history): the new manifest re-references
     * the old version's files and tombstones byte-for-byte, so the bad
     * commits stay inspectable, the restore itself is time-travelable,
-    * and no data moves — the undo verb every table format grew. Fails
+    * and no data moves — the undo verb every table format grew. Commits
+    * as a FULL (self-anchoring) delta: O(file-count) metadata for a rare
+    * admin verb, and every later resolution gets a fresh anchor. Fails
     * cleanly if `version` was vacuumed away. */
   def restore(version: Int): MergeStats = {
     val v = latestVersion
     require(hasVersion(version), s"cannot restore: v$version was vacuumed")
     val m = manifest(version)
-    commit(Manifest(v + 1, v, s"restore-v$version", m.keyCol, m.files,
-      m.statsCols, m.tombstones))
+    commitAndIndex(Delta(v + 1, v, s"restore-v$version", m.keyCol,
+      m.statsCols, m.partitionCol, full = true, adds = m.files,
+      removes = Nil, tombstoneAdds = m.tombstones, tombstoneRemoves = Nil),
+      m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
 
@@ -859,30 +1221,41 @@ class LakeTable(spark: SparkSession, val root: String) {
     * manifest references THIS table's current data files by ABSOLUTE
     * path (zero bytes copied; reads resolve absolute entries as-is).
     * Writes to the clone are ordinary COW commits landing under the
-    * clone's own root — the source never sees them. Standard caveat,
-    * shared with every shallow-clone implementation: a `vacuum` on the
-    * SOURCE can delete files the clone still references; deep-copy (a
-    * plain `create` from `read()`) when lifetimes must decouple. */
+    * clone's own root — the source never sees them. A `vacuum` on either
+    * table never deletes files outside its OWN root, so a clone vacuum
+    * cannot destroy source data (and vice versa: a SOURCE vacuum can
+    * still orphan files the clone references — deep-copy when lifetimes
+    * must decouple). Hive-partitioned tables refuse (partition-value
+    * recovery needs a single basePath). */
   def cloneShallow(newRoot: String): LakeTable = {
     val m = manifest(latestVersion)
+    require(m.partitionCol.isEmpty,
+      "shallow clone of a hive-partitioned table is not supported: " +
+        "partition-value recovery needs a single basePath — deep-copy instead")
     def absolute(fs0: Seq[FileEntry]): Seq[FileEntry] = fs0.map(f =>
       f.copy(path = new Path(rootPath, f.path).toString))
     val t = new LakeTable(spark, newRoot)
-    t.commit(Manifest(0, -1, s"clone-of-$rootPath@v$latestVersion", m.keyCol,
-      absolute(m.files), m.statsCols, absolute(m.tombstones)))
+    t.commitAndIndex(Delta(0, -1, s"clone-of-$rootPath@v$latestVersion",
+      m.keyCol, m.statsCols, None, full = true, adds = absolute(m.files),
+      removes = Nil, tombstoneAdds = absolute(m.tombstones),
+      tombstoneRemoves = Nil), absolute(m.files), absolute(m.tombstones))
     t
   }
 
   /** Table-maintenance compaction: rewrite the LATEST snapshot into
     * `numFiles` key-range-clustered files as a new snapshot (operation
     * "compact"). Pure COW — the fragmented version stays readable until
-    * [[vacuum]]. The small-files answer for a table fed by many
-    * incremental merges. */
+    * [[vacuum]]. Commits as a FULL delta (its adds ARE the state), so a
+    * compact doubles as a resolution anchor — the small-files answer for
+    * a table fed by many incremental merges also caps its delta chains. */
   def compact(numFiles: Int): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    val newFiles = writeDataFiles(read(), m.keyCol, numFiles, m.statsCols)
-    commit(Manifest(v + 1, v, "compact", m.keyCol, newFiles, m.statsCols))
+    val newFiles = writeDataFiles(read(), m.keyCol, numFiles, m.statsCols,
+      partitionCol = m.partitionCol)
+    commitAndIndex(Delta(v + 1, v, "compact", m.keyCol, m.statsCols,
+      m.partitionCol, full = true, adds = newFiles, removes = Nil,
+      tombstoneAdds = Nil, tombstoneRemoves = Nil), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -900,38 +1273,67 @@ class LakeTable(spark: SparkSession, val root: String) {
   def compactZOrder(numFiles: Int, c1: String, c2: String): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
+    require(m.partitionCol.isEmpty,
+      "OPTIMIZE ZORDER on a hive-partitioned table is not supported: " +
+        "pick one layout verb per table (partition dirs or z-clustering)")
     val statsCols = (m.statsCols ++ Seq(c1, c2)).distinct
     val z = org.apache.spark.sql.graft.ZValue.zvalue(
       col(c1).cast("long"), col(c2).cast("long"))
     val newFiles = writeDataFiles(read(), m.keyCol, numFiles, statsCols, Some(z))
-    commit(Manifest(v + 1, v, "optimize-zorder", m.keyCol, newFiles, statsCols))
+    commitAndIndex(Delta(v + 1, v, "optimize-zorder", m.keyCol, statsCols,
+      m.partitionCol, full = true, adds = newFiles, removes = Nil,
+      tombstoneAdds = Nil, tombstoneRemoves = Nil), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
   /** Retention vacuum: drop all but the newest `retainVersions` manifests
     * and physically delete every data file referenced ONLY by the dropped
-    * ones. Time travel beyond the horizon becomes a clean failure; the
-    * retained snapshots are untouched. Returns (manifests removed, data
-    * files removed). */
+    * ones. Before anything drops, the horizon version gets a parquet
+    * checkpoint unless it already anchors itself — resolution of every
+    * retained version must survive the older deltas vanishing. Time
+    * travel beyond the horizon becomes a clean failure; the retained
+    * snapshots are untouched.
+    *
+    * SAFETY: only files under THIS table's root are ever deleted — a
+    * shallow clone's manifest references absolute paths into its source
+    * table, and vacuuming the clone must never reach into the source.
+    * Returns (manifests removed, data files removed). */
   def vacuum(retainVersions: Int): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val latest = latestVersion
     val horizon = math.max(0, latest - retainVersions + 1)
     if (horizon == 0) return (0, 0)
+    if (!readDelta(horizon).full && !hasCkpt(horizon)) {
+      val (hf, ht) = resolveState(horizon)
+      writeCheckpoint(horizon, hf, ht)
+    }
     val keepRefs = (horizon to latest).flatMap { v =>
-      val m = manifest(v)
-      (m.files ++ m.tombstones).map(_.path)
+      val (f, t) = resolveState(v)
+      (f ++ t).map(_.path)
     }.toSet
+    val rootPrefix = rootPath.toString + "/"
+    def underRoot(p: Path): Boolean = p.toString.startsWith(rootPrefix)
     var droppedManifests = 0
     var droppedFiles = 0
+    val deleted = scala.collection.mutable.Set.empty[String]
     (0 until horizon).foreach { v =>
       val mp = manifestPath(v)
       if (fs.exists(mp)) {
-        { val mv = manifest(v); mv.files ++ mv.tombstones }.foreach { f =>
-          if (!keepRefs.contains(f.path)) {
-            if (fs.delete(new Path(rootPath, f.path), false)) droppedFiles += 1
+        val d = readDelta(v)
+        val candidates = (d.adds ++ d.tombstoneAdds).map(_.path) ++
+          (if (hasCkpt(v)) {
+            val (f, t) = readCheckpoint(v); (f ++ t).map(_.path)
+          } else Nil)
+        candidates.foreach { p =>
+          if (!keepRefs.contains(p) && !deleted.contains(p)) {
+            val resolved = new Path(rootPath, p)
+            if (underRoot(resolved) && fs.delete(resolved, false)) {
+              droppedFiles += 1
+              deleted += p
+            }
           }
         }
+        if (hasCkpt(v)) fs.delete(ckptPath(v), false)
         fs.delete(mp, false)
         droppedManifests += 1
       }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
-import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
 
 /** Planning-time data skipping for [[Lake]] tables as an injected Catalyst
   * optimizer rule — the automatic form of [[LakeTable.readRange]]: a plain
@@ -105,10 +105,16 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
         a.name == key
       case _ => false
     }
+    // DATE/TIMESTAMP literals carry the SAME units the manifest stats use
+    // (Lake.statLong): days since epoch for dates, micros for timestamps —
+    // so a $"d" >= date'1995-01-01' conjunct prunes directly
     def litVal(e: Expression): Option[Long] = e match {
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
       case Literal(v: Short, ShortType) => Some(v.toLong)
+      case Literal(v: Int, DateType) => Some(v.toLong)
+      case Literal(v: Long, TimestampType) => Some(v)
+      case Literal(v: Long, TimestampNTZType) => Some(v)
       case _ => None
     }
     splitConjunctivePredicates(cond).foreach {
@@ -139,34 +145,78 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
 }
 
 object LakeManifestPrune {
-  /** Per-root manifest stats cache: fileName → (column → [min, max]) —
-    * the key column plus any declared stats columns — keyed by root and
-    * invalidated when the manifest COUNT changes (a new commit adds a
-    * manifest; per-file stats are immutable — files are content-addressed
-    * UUID names written once). */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Int, Map[String, Map[String, (Long, Long)]])]()
+  /** Per-root stats cache entry: the newest delta-manifest name seen (the
+    * invalidation key — names are fixed-width, so string order is version
+    * order; a vacuum that drops OLD manifests leaves `newest` unchanged,
+    * correctly, because per-file stats are immutable) plus the fileName →
+    * (column → [min, max]) map covering every file any manifest ever
+    * added. */
+  private case class Entry(newest: String,
+                           stats: Map[String, Map[String, (Long, Long)]])
 
-  private[sources] def statsFor(
+  /** Bounded LRU — every gated lake lane builds a fresh tempdir root per
+    * invocation, so an unbounded per-root map would grow for the life of
+    * a bench/test JVM. */
+  private val cache = Lake.lruMap[String, Entry](64)
+
+  private[sources] def clearCache(): Unit = cache.clear()
+
+  private[graft] def statsFor(
       spark: SparkSession,
       root: Path): Map[String, Map[String, (Long, Long)]] =
     try {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val mdir = new Path(root, "_manifests")
       if (!fs.exists(mdir)) return Map.empty
-      val manifests = fs.listStatus(mdir).map(_.getPath)
-        .filter(_.getName.matches("v\\d{5}\\.json"))
+      val listing = fs.listStatus(mdir).map(_.getPath.getName)
+      val deltaNames = listing.filter(_.matches("v\\d{5}\\.json")).sorted
+      if (deltaNames.isEmpty) return Map.empty
+      val newest = deltaNames.last
       val cached = cache.get(root.toString)
-      if (cached != null && cached._1 == manifests.length) return cached._2
-      val m = manifests.iterator.flatMap { p =>
-        val in = fs.open(p)
-        val s = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-                finally in.close()
-        val man = Lake.fromJson(s)
-        man.files.map(f => new Path(f.path).getName ->
-          (f.cols + (man.keyCol -> ((f.minKey, f.maxKey)))))
-      }.toMap
-      cache.put(root.toString, (manifests.length, m))
+      if (cached != null && cached.newest == newest) return cached.stats
+      def readDelta(name: String): Lake.Delta = {
+        val in = fs.open(new Path(mdir, name))
+        try Lake.fromJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+      }
+      def entriesOf(keyCol: String, files: Seq[Lake.FileEntry]) =
+        files.map(f => new Path(f.path).getName ->
+          (f.cols + (keyCol -> ((f.minKey, f.maxKey)))))
+      // warm path: a known root only folds the deltas NEWER than last time
+      // (stats are per-file immutable; removals never need processing and
+      // stale entries for vacuumed files are unreachable by any scan)
+      var m: Map[String, Map[String, (Long, Long)]] =
+        if (cached != null) cached.stats else Map.empty
+      val toRead =
+        if (cached != null) deltaNames.filter(_ > cached.newest).toSeq
+        else deltaNames.toSeq
+      val deltas = toRead.map(n => n -> readDelta(n)).toMap
+      // cold start only: fold parquet checkpoints too — after a vacuum,
+      // the add-deltas of files that survived it are gone and the horizon
+      // checkpoint is the only metadata that still carries their stats
+      if (cached == null) {
+        listing.filter(_.matches("v\\d{5}\\.ckpt\\.parquet")).foreach { c =>
+          val deltaName = c.replace(".ckpt.parquet", ".json")
+          val keyCol = deltas.get(deltaName).map(_.keyCol)
+            .getOrElse(readDelta(deltaName).keyCol)
+          spark.read.parquet(new Path(mdir, c).toString).collect().foreach { r =>
+            if (r.getAs[String]("kind") == "data") {
+              val names = r.getAs[scala.collection.Seq[String]]("colNames")
+              val mins = r.getAs[scala.collection.Seq[Long]]("colMins")
+              val maxs = r.getAs[scala.collection.Seq[Long]]("colMaxs")
+              val cols = names.indices.map(i =>
+                names(i) -> ((mins(i), maxs(i)))).toMap +
+                (keyCol -> ((r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"))))
+              m += new Path(r.getAs[String]("path")).getName -> cols
+            }
+          }
+        }
+      }
+      toRead.foreach { n =>
+        val d = deltas(n)
+        m ++= entriesOf(d.keyCol, d.adds)
+      }
+      cache.put(root.toString, Entry(newest, m))
       m
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

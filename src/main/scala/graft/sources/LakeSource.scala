@@ -47,7 +47,11 @@ class LakeSource extends RelationProvider with DataSourceRegister {
       s"snapshot v$version is empty — an empty table exposes no schema " +
         "through the format; use LakeTable.read()")
     val paths = m.files.map(f => new Path(root, f.path).toString)
-    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val reader = spark.read.option("mergeSchema", "true")
+    // hive-partitioned tables: recover directory values as a real column
+    m.partitionCol.foreach(_ =>
+      reader.option("basePath", new Path(root, "data").toString))
+    reader.parquet(paths: _*)
       .queryExecution.analyzed.collectFirst {
         case l: LogicalRelation => l.relation
       }.getOrElse(throw new IllegalStateException(

@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** The delta-manifest + parquet-checkpoint metadata layer of
+  * graft.sources.Lake: commit payload proportional to WHAT CHANGED (never
+  * to the table's file count), checkpoint-anchored resolution that
+  * survives vacuum and cold caches, vacuum's own-root containment (a
+  * shallow clone can never delete source data), and optimistic-retry
+  * parity across every committing verb. */
+class LakeDeltaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fsOf(t: graft.sources.LakeTable) =
+    new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestBytes(t: graft.sources.LakeTable, v: Int): Long =
+    fsOf(t).getFileStatus(
+      new Path(t.root, f"_manifests/v$v%05d.json")).getLen
+
+  test("a 1-file merge against a 512-file table commits O(changed) bytes") {
+    // 2048 rows over 512 real key-range files — the fixture the payload
+    // contract is stated against: a single-key merge rewrites ONE file,
+    // and the commit it writes must list one remove + one add, never the
+    // other 511 entries
+    val df = (1L to 2048L).map(k => (k, s"val$k")).toDF("k", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 512)
+    t.manifest(0).files.size should be >= 500
+    val v0Bytes = manifestBytes(t, 0) // the full anchor: O(files)
+    val stats = t.merge(Seq((5L, "NEW5")).toDF("k", "payload"))
+    stats.rewrittenFiles shouldBe 1
+    stats.keptFiles shouldBe (t.manifest(0).files.size - 1)
+    val v1Bytes = manifestBytes(t, 1)
+    // the delta is two file entries + headers; the anchor is ~512 of them
+    v1Bytes.toDouble should be < (v0Bytes.toDouble / 50)
+    v1Bytes should be < 2048L
+    // and the resolved state is still the whole table
+    t.manifest(1).files.size shouldBe t.manifest(0).files.size
+    t.read().count() shouldBe 2048L
+    rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "NEW5"))
+  }
+
+  test("at 10k files, a 1-file commit stays a few hundred bytes (synthetic)") {
+    // metadata-only fixture: 10 000 synthetic entries prove the payload
+    // contract at the knob sheet's file-count scale without writing 10k
+    // parquet files — commit and resolution never touch data files
+    val t = new graft.sources.LakeTable(spark, Lake.freshRoot())
+    val entries = (0 until 10000).map(i =>
+      Lake.FileEntry(f"data/part-synth-$i%05d.parquet", 1000L,
+        i * 1000L, i * 1000L + 999L))
+    t.commitAndIndex(Lake.Delta(0, -1, "create", "k", Nil, None, full = true,
+      adds = entries, removes = Nil, tombstoneAdds = Nil,
+      tombstoneRemoves = Nil), entries, Nil)
+    val add = Lake.FileEntry("data/part-synth-new.parquet", 1000L, 0L, 999L)
+    t.commitAndIndex(Lake.Delta(1, 0, "merge", "k", Nil, None, full = false,
+      adds = Seq(add), removes = Seq(entries.head.path),
+      tombstoneAdds = Nil, tombstoneRemoves = Nil),
+      entries.tail :+ add, Nil)
+    manifestBytes(t, 1) should be < 1024L
+    manifestBytes(t, 0) should be > (100L * 1024L)
+    // cold resolution (caches dropped) reconstructs all 10k entries with
+    // carried order preserved and the remove/add applied in place
+    Lake.clearMetadataCaches()
+    val m1 = t.manifest(1)
+    m1.files.size shouldBe 10000
+    m1.files.map(_.path) shouldBe (entries.tail :+ add).map(_.path)
+  }
+
+  test("parquet checkpoints anchor resolution: bounded replay, DataFrame-readable") {
+    spark.conf.set("spark.graft.lake.checkpointInterval", "4")
+    try {
+      val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+      val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+      (1 to 9).foreach { i =>
+        t.merge(Seq((i * 10L, s"m$i")).toDF("k", "payload"))
+      }
+      val fs = fsOf(t)
+      fs.exists(new Path(t.root, "_manifests/v00004.ckpt.parquet")) shouldBe true
+      fs.exists(new Path(t.root, "_manifests/v00008.ckpt.parquet")) shouldBe true
+      // the checkpoint is an ordinary parquet relation: one row per live
+      // file of the state at that version, stats as columns
+      val ck = spark.read.parquet(s"${t.root}/_manifests/v00008.ckpt.parquet")
+      ck.columns should contain allOf ("idx", "kind", "path", "rows", "minKey", "maxKey")
+      ck.count() shouldBe t.manifest(8).files.size.toLong
+      // cold resolution of v9 anchors at the v8 checkpoint (replays ONE
+      // delta), and the relation is intact
+      Lake.clearMetadataCaches()
+      t.manifest(9).files.map(_.path) should not be empty
+      t.read().count() shouldBe 90L
+      rows(t.read().filter(col("k") === 90L)) shouldBe Seq(Seq(90L, "m9"))
+    } finally spark.conf.unset("spark.graft.lake.checkpointInterval")
+  }
+
+  test("vacuum anchors the horizon with a checkpoint; history resolves without old deltas") {
+    val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    (1 to 5).foreach(i => t.merge(Seq((i * 15L, s"m$i")).toDF("k", "payload")))
+    t.vacuum(3) // retain v3..v5; horizon v3 is a plain merge delta
+    val fs = fsOf(t)
+    fs.exists(new Path(t.root, "_manifests/v00003.ckpt.parquet")) shouldBe true
+    (0 to 2).foreach(v => t.hasVersion(v) shouldBe false)
+    // cold caches: v3..v5 must resolve from the checkpoint + delta suffix
+    Lake.clearMetadataCaches()
+    t.snapshot(3).count() shouldBe 90L
+    t.snapshot(5).count() shouldBe 90L
+    rows(t.read().filter(col("k") === 75L)) shouldBe Seq(Seq(75L, "m5"))
+    intercept[Exception] { t.snapshot(2).count() }
+  }
+
+  test("vacuuming a shallow clone never deletes the source's files") {
+    // ADVICE r9 (medium): clone manifests reference ABSOLUTE source paths;
+    // a clone vacuum that resolved them blindly would physically delete
+    // data the source still serves — containment to the clone's own root
+    // is the fix, mirroring Delta's behavior
+    val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+    val src = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    val clone = src.cloneShallow(Lake.freshRoot())
+    // the clone rewrites one source-referenced file (v1 drops an absolute
+    // path), then vacuums its own history down to v1
+    clone.merge(Seq((5L, "CLONE5")).toDF("k", "payload"))
+    val (mans, files) = clone.vacuum(1)
+    mans shouldBe 1
+    files shouldBe 0 // the dropped entries live under the SOURCE root
+    val fs = fsOf(src)
+    src.manifest(0).files.foreach { f =>
+      fs.exists(new Path(src.root, f.path)) shouldBe true
+    }
+    src.read().count() shouldBe 90L
+    rows(src.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "val5"))
+    // the clone's own post-vacuum state is intact too
+    clone.read().count() shouldBe 90L
+    rows(clone.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "CLONE5"))
+  }
+
+  test("prune stats survive vacuum (checkpoint cold path) and follow commits by name") {
+    // ADVICE r9 (low): count-based invalidation goes stale when vacuum +
+    // new commits restore the same manifest count; newest-NAME keying and
+    // the checkpoint cold path together keep pruning correct and fresh
+    val hadCkpt = spark.conf.getOption("spark.graft.lake.checkpointInterval")
+    spark.conf.set("spark.graft.lake.checkpointInterval", "2")
+    try {
+      val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+      val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+      t.merge(Seq((5L, "m1")).toDF("k", "payload"))  // v1
+      t.merge(Seq((45L, "m2")).toDF("k", "payload")) // v2 (+ckpt)
+      t.vacuum(1)                                    // drop v0, v1
+      // COLD: the only stats source for carried files is the checkpoint
+      Lake.clearMetadataCaches()
+      val root = new Path(t.root)
+      val stats = graft.sources.LakeManifestPrune.statsFor(spark, root)
+      val live = t.manifest(2).files.map(f => new Path(f.path).getName).toSet
+      live.subsetOf(stats.keySet) shouldBe true
+      // two more commits restore the pre-vacuum manifest COUNT — the
+      // name-keyed cache must still see v3/v4's new files
+      t.merge(Seq((65L, "m3")).toDF("k", "payload")) // v3
+      t.merge(Seq((66L, "m4")).toDF("k", "payload")) // v4
+      val stats2 = graft.sources.LakeManifestPrune.statsFor(spark, root)
+      val live2 = t.manifest(4).files.map(f => new Path(f.path).getName).toSet
+      live2.subsetOf(stats2.keySet) shouldBe true
+      (live2 -- live) should not be empty
+    } finally {
+      hadCkpt match {
+        case Some(v) => spark.conf.set("spark.graft.lake.checkpointInterval", v)
+        case None => spark.conf.unset("spark.graft.lake.checkpointInterval")
+      }
+    }
+  }
+
+  test("every committing verb replays a lost race: retry parity") {
+    // the onBeforeCommit seam plants a racing carry-over commit exactly
+    // once, in the window between a verb's version choice and its rename —
+    // each *WithRetry verb must lose v+1, replay against the winner, and
+    // land v+2 with its own semantics intact
+    def mkTable() = {
+      val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+      Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    }
+    def plantOnce(t: graft.sources.LakeTable): Unit = {
+      var raced = false
+      t.onBeforeCommit = () => {
+        if (!raced) {
+          raced = true
+          val v = t.latestVersion + 1
+          val racing = t.manifest(t.latestVersion)
+            .copy(version = v, parentVersion = v - 1, operation = "racer")
+          val out = fsOf(t).create(
+            new Path(t.root, f"_manifests/v$v%05d.json"), false)
+          out.write(Lake.toJson(racing).getBytes); out.close()
+        }
+      }
+    }
+
+    locally { // DELETE
+      val t = mkTable(); plantOnce(t)
+      val s = t.deleteWithRetry(Seq(5L, 45L).toDF("k"))
+      s.version shouldBe 2
+      t.read().count() shouldBe 88L
+      t.read().filter(col("k").isin(5L, 45L)).count() shouldBe 0L
+    }
+    locally { // DEFERRED DELETE
+      val t = mkTable(); plantOnce(t)
+      val s = t.deleteDeferredWithRetry(Seq(5L).toDF("k"))
+      s.version shouldBe 2
+      t.manifest(2).tombstones should have size 1
+      t.read().count() shouldBe 89L
+    }
+    locally { // COMPACT
+      val t = mkTable(); plantOnce(t)
+      val s = t.compactWithRetry(1)
+      s.version shouldBe 2
+      t.manifest(2).operation shouldBe "compact"
+      t.manifest(2).files should have size 1
+      t.read().count() shouldBe 90L
+    }
+    locally { // OPTIMIZE ZORDER
+      val t = mkTable(); plantOnce(t)
+      val s = t.compactZOrderWithRetry(2, "k", "k")
+      s.version shouldBe 2
+      t.manifest(2).operation shouldBe "optimize-zorder"
+      t.read().count() shouldBe 90L
+    }
+    locally { // RESTORE
+      val t = mkTable()
+      t.merge(Seq((5L, "BAD")).toDF("k", "payload")) // v1
+      plantOnce(t)
+      val s = t.restoreWithRetry(0)
+      s.version shouldBe 3 // lost v2 to the racer, replayed to v3
+      rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "val5"))
+    }
+    locally { // exhausted retries still fail loudly
+      val t = mkTable()
+      t.onBeforeCommit = () => {
+        val v = t.latestVersion + 1
+        val racing = t.manifest(t.latestVersion)
+          .copy(version = v, parentVersion = v - 1, operation = "racer")
+        val out = fsOf(t).create(
+          new Path(t.root, f"_manifests/v$v%05d.json"), false)
+        out.write(Lake.toJson(racing).getBytes); out.close()
+      }
+      intercept[java.util.ConcurrentModificationException] {
+        t.deleteWithRetry(Seq(5L).toDF("k"), maxAttempts = 2)
+      }
+    }
+  }
+}

@@ -99,7 +99,7 @@ class LakeSpec extends SparkTestBase {
     // the racing winner lands version 1 AFTER our merge has picked its
     // target but BEFORE it commits — the narrowest possible race window
     var raced = false
-    t.onBeforeMergeCommit = () => {
+    t.onBeforeCommit = () => {
       if (!raced) {
         raced = true
         val racing = t.manifest(0).copy(version = 1, parentVersion = 0,
@@ -116,9 +116,9 @@ class LakeSpec extends SparkTestBase {
       stats.version shouldBe 2
       rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "NEW5", "U"))
       t.read().count() shouldBe 90L
-    } finally t.onBeforeMergeCommit = () => ()
+    } finally t.onBeforeCommit = () => ()
     // exhausted retries still fail loudly
-    t.onBeforeMergeCommit = () => {
+    t.onBeforeCommit = () => {
       val v = t.latestVersion + 1
       val racing = t.manifest(0).copy(version = v, parentVersion = v - 1,
         operation = "merge")
@@ -128,7 +128,7 @@ class LakeSpec extends SparkTestBase {
     try intercept[java.util.ConcurrentModificationException] {
       t.mergeWithRetry(Seq((6L, "X", "U")).toDF("k", "payload", "status"),
         maxAttempts = 2)
-    } finally t.onBeforeMergeCommit = () => ()
+    } finally t.onBeforeCommit = () => ()
   }
 
   test("COW delete: partial files rewrite to survivors, full files vanish") {
