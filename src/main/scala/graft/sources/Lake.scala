@@ -270,7 +270,49 @@ object Lake {
       .orderBy("channel", "o_orderpriority")
   }
 
+  /** Gated lane: planning-time data skipping on a DATE column. The lake is
+    * keyed (and therefore range-clustered) on the order date, so each file
+    * holds a disjoint date slice and a one-year filter prunes to the
+    * covering files — the predicate every real lake user writes first.
+    * DATE stats are stored as days-since-epoch ([[statLong]]) and the
+    * injected [[LakeManifestPrune]] reads DateType literals in the same
+    * units; the file-count assertion lives in `LakePartitionSpec`. The
+    * oracle states the same slice over the raw table. */
+  def lakeDatePruning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_date", to_date(col("o_orderdate")))
+    val t = create(spark, freshRoot(), o, "o_date", 8)
+    t.read()
+      .filter(col("o_date") >= lit(java.sql.Date.valueOf("1995-01-01")) &&
+        col("o_date") <= lit(java.sql.Date.valueOf("1995-12-31")))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Gated lane: hive-style partition layout composing with manifest
+    * skipping. The lake writes `o_year=<y>/` directories (partition column
+    * derived from the order date); a partition-equality filter must read
+    * only that year's files — Spark's own partition pruning AND the
+    * manifest prune rule (partition bounds ride every file entry) agree on
+    * the same subset. Aggregates check row-level correctness against the
+    * raw table; the scanned-files assertion lives in `LakePartitionSpec`. */
+  def lakePartitionPruning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8,
+      partitionBy = Some("o_year"))
+    t.read()
+      .filter(col("o_year") === 1995)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_date_pruning" -> (lakeDatePruning _),
+    "lake_partition_pruning" -> (lakePartitionPruning _),
     "lake_merge_cow" -> (lakeMergeCow _),
     "lake_delete_erasure" -> (lakeDeleteErasure _),
     "lake_cdc_changes" -> (lakeCdcChanges _),
@@ -281,6 +323,19 @@ object Lake {
     "lake_mor_delete" -> (lakeMorDelete _))
 
   val oracle: Map[String, String] = Map(
+    "lake_date_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE)
+        |      BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_partition_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_mor_delete" ->
       """WITH agg AS (
         |  SELECT o_orderpriority, count(*) AS n_orders

@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** Hive-style partition layout and typed (DATE) file statistics in the
+  * lake: partition-filtered reads must scan only that partition's files,
+  * merges must rewrite only the partitions their updates touch, and a
+  * date-range filter must prune files through the injected rule. */
+class LakePartitionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Files ACTUALLY read at execution — partition pruning applies inside
+    * the scan (the index still lists every file), so assertions must look
+    * at runtime file names, not `location.inputFiles`. */
+  private def scannedPaths(df: DataFrame): Seq[String] =
+    df.select(input_file_name()).distinct().collect().map(_.getString(0)).toSeq
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = GraftSession.tune(SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new org.apache.spark.sql.graft.GraftSessionExtensions))
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  // 3 partitions (p=0,1,2), keys GLOBALLY interleaved across partitions:
+  // k % 3 picks the partition, so every partition holds the full key range
+  // — exactly the layout where key-only pruning degrades and
+  // partition-awareness must carry the hit test
+  private def mkPartitioned() = {
+    val df = (1L to 300L).map(k => (k, k % 3, s"val$k")).toDF("k", "p", "payload")
+    Lake.create(spark, Lake.freshRoot(), df, "k", 6, partitionBy = Some("p"))
+  }
+
+  test("create lays out hive directories; reads recover the partition column") {
+    val t = mkPartitioned()
+    val m = t.manifest(0)
+    m.partitionCol shouldBe Some("p")
+    // every manifest entry lives under a p=<v>/ directory and carries
+    // exact-value partition bounds in its stats
+    m.files.foreach { f =>
+      f.path should fullyMatch regex "data/p=\\d/part-.*\\.parquet"
+      val (mn, mx) = f.cols("p")
+      mn shouldBe mx
+    }
+    m.files.map(f => f.cols("p")._1).toSet shouldBe Set(0L, 1L, 2L)
+    // the partition column reads back as a real column
+    t.read().count() shouldBe 300L
+    rows(t.read().groupBy("p").count().orderBy("p")) shouldBe
+      Seq(Seq(0L, 100L), Seq(1L, 100L), Seq(2L, 100L))
+  }
+
+  test("a partition-filtered read scans ONLY that partition's files") {
+    val t = mkPartitioned()
+    val q = t.read().filter(col("p") === 1L)
+    val scanned = scannedPaths(q)
+    scanned should not be empty
+    scanned.foreach(_ should include("/p=1/"))
+    scanned.size should be < t.manifest(0).files.size
+    q.count() shouldBe 100L
+    q.select(min("k"), max("k")).collect()(0).toSeq shouldBe Seq(1L, 298L)
+  }
+
+  test("merge rewrites only the touched partition; others carry by reference") {
+    val t = mkTableForMerge()
+    val v0 = t.manifest(0).files.map(_.path).toSet
+    // one update, key 3 in partition p=0 — key ranges OVERLAP across
+    // partitions, so without partition-awareness this would also rewrite
+    // the p=1/p=2 files covering key 3's range
+    val stats = t.merge(Seq((3L, 0L, "NEW3")).toDF("k", "p", "payload"))
+    stats.rewrittenFiles shouldBe 1
+    val v1 = t.manifest(1).files
+    (v0 intersect v1.map(_.path).toSet).size shouldBe (v0.size - 1)
+    // the rewrite landed back inside its hive directory
+    val fresh = v1.map(_.path).filterNot(v0.contains)
+    fresh.foreach(_ should include("p=0/"))
+    // hive recovery appends the partition column last — select explicitly
+    rows(t.read().filter(col("k") === 3L).select("k", "p", "payload")) shouldBe
+      Seq(Seq(3L, 0L, "NEW3"))
+    t.read().count() shouldBe 300L
+    // and the post-merge snapshot still partition-prunes
+    scannedPaths(t.read().filter(col("p") === 2L)).foreach(_ should include("/p=2/"))
+  }
+
+  private def mkTableForMerge() = {
+    val df = (1L to 300L).map(k => (k, k % 3, s"val$k")).toDF("k", "p", "payload")
+    Lake.create(spark, Lake.freshRoot(), df, "k", 3, partitionBy = Some("p"))
+  }
+
+  test("delete without partition info still erases correctly across partitions") {
+    val t = mkPartitioned()
+    t.delete(Seq(3L, 4L, 5L).toDF("k")) // one key per partition
+    t.read().count() shouldBe 297L
+    t.read().filter(col("k").isin(3L, 4L, 5L)).count() shouldBe 0L
+    rows(t.read().groupBy("p").count().orderBy("p")) shouldBe
+      Seq(Seq(0L, 99L), Seq(1L, 99L), Seq(2L, 99L))
+    // pre-delete snapshot intact (COW)
+    t.snapshot(0).count() shouldBe 300L
+  }
+
+  test("compact preserves the partition layout") {
+    val t = mkPartitioned()
+    t.merge(Seq((3L, 0L, "NEW3")).toDF("k", "p", "payload"))
+    t.compact(3)
+    val m = t.manifest(t.latestVersion)
+    m.partitionCol shouldBe Some("p")
+    m.files.foreach(_.path should include("p="))
+    t.read().count() shouldBe 300L
+    rows(t.read().filter(col("k") === 3L).select("k", "p", "payload")) shouldBe
+      Seq(Seq(3L, 0L, "NEW3"))
+  }
+
+  test("zorder and shallow clone refuse on partitioned tables, loudly") {
+    val t = mkPartitioned()
+    intercept[IllegalArgumentException] { t.compactZOrder(4, "k", "p") }
+    intercept[IllegalArgumentException] { t.cloneShallow(Lake.freshRoot()) }
+  }
+
+  test("DATE-keyed lake prunes files for a date-range filter via the rule") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val df = (0 until 365).map { i =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i)),
+          i.toLong, s"d$i")
+      }.toDF("d", "v", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "d", 4)
+      // manifest stats are days-since-epoch; 1995-01-01 = 9131
+      val m = t.manifest(0)
+      m.files.map(_.minKey).min shouldBe
+        java.time.LocalDate.of(1995, 1, 1).toEpochDay
+      // a one-quarter filter scans a strict subset of the files
+      val q = t.read().filter(
+        col("d") >= lit(java.sql.Date.valueOf("1995-01-01")) &&
+          col("d") <= lit(java.sql.Date.valueOf("1995-03-31")))
+      val scanned = q.queryExecution.sparkPlan.collect {
+        case fss: FileSourceScanExec => fss
+      }.flatMap(_.relation.location.inputFiles)
+      scanned.size should be < m.files.size
+      scanned.size should be > 0
+      q.count() shouldBe 90L
+    }
+  }
+
+  test("gated lanes: partition lane scans one year's files; date lane prunes") {
+    withExtendedSession { s =>
+      // re-state the lane's scan (same table build) with runtime file
+      // tracking: only the filtered year's hive directory may be read
+      val o = graft.sources.Tables.orders(s, "/root/testdata/sf0.001")
+        .withColumn("o_year", year(col("o_orderdate")))
+      val pt = Lake.create(s, Lake.freshRoot(), o, "o_orderkey", 8,
+        partitionBy = Some("o_year"))
+      val partFiles = pt.read().filter(col("o_year") === 1995)
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      partFiles should not be empty
+      partFiles.foreach(_ should include("o_year=1995"))
+      Lake.queries("lake_partition_pruning")(s, "/root/testdata/sf0.001")
+        .count() should be > 0L
+
+      val date = Lake.queries("lake_date_pruning")(s, "/root/testdata/sf0.001")
+      val dateFiles = date.queryExecution.sparkPlan.collect {
+        case fss: FileSourceScanExec => fss
+      }.flatMap(_.relation.location.inputFiles).filter(_.contains("/data/"))
+      dateFiles should not be empty
+      dateFiles.size should be < 8 // the table holds 8 date-sliced files
+      date.count() should be > 0L
+    }
+  }
+}
