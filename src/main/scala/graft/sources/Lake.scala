@@ -310,7 +310,35 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: time travel through PURE SQL — the `graft_lake_at` table
+    * function injected by `GraftSessionExtensions` resolves the snapshot-0
+    * manifest at analysis time, so a SQL-only user reaches the same COW
+    * contract [[lakeTimeTravel]] gates through the DataFrame API. Same
+    * oracle shape: after a MERGE and a DELETE, version 0 still aggregates
+    * exactly like the raw table. */
+  def lakeSqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergedThenDeleted(spark, dir)
+    spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders
+         |FROM graft_lake_at('${t.root}', 0)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** Gated lane: the CDC feed through PURE SQL via the
+    * `graft_lake_changes(root, from, to)` table function — the SQL twin of
+    * [[lakeCdcChanges]], same oracle. */
+  def lakeSqlChanges(spark: SparkSession, dir: String): DataFrame = {
+    val t = mergedThenDeleted(spark, dir)
+    spark.sql(
+      s"""SELECT _change_type AS change_type, o_orderpriority,
+         |       count(*) AS n_rows
+         |FROM graft_lake_changes('${t.root}', 0, ${t.latestVersion})
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sql_time_travel" -> (lakeSqlTimeTravel _),
+    "lake_sql_changes" -> (lakeSqlChanges _),
     "lake_date_pruning" -> (lakeDatePruning _),
     "lake_partition_pruning" -> (lakePartitionPruning _),
     "lake_merge_cow" -> (lakeMergeCow _),
@@ -323,6 +351,27 @@ object Lake {
     "lake_mor_delete" -> (lakeMorDelete _))
 
   val oracle: Map[String, String] = Map(
+    "lake_sql_time_travel" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_changes" ->
+      """WITH ch AS (
+        |  SELECT 'insert' AS change_type, '9-INSERTED' AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', '0-UPDATED'
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'delete', o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 7
+        |)
+        |SELECT change_type, o_orderpriority, count(*) AS n_rows
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "lake_date_pruning" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders

@@ -1,8 +1,10 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions installer: registers the graft native expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` and
@@ -17,7 +19,59 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * composes with other extension jars).
   */
 class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
+
+  // table-function arguments resolve at analysis time, so they must be
+  // literals — the same restriction range()/explode-over-literal have
+  private def strArg(fn: String)(e: Expression): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument must be a STRING literal, got $e")
+  }
+  private def intArg(fn: String)(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case _ => throw new IllegalArgumentException(
+      s"$fn: argument must be an INT literal, got $e")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL-callable table functions over graft.sources.Lake tables: time
+    // travel and the CDC feed reachable from PURE SQL (the DataFrame API
+    // and the graft-lake format already are). Each builder resolves the
+    // manifest at analysis time and returns the snapshot/feed's analyzed
+    // plan — an ordinary parquet LogicalRelation (+ the feed's diff
+    // operators), so manifest pruning and parquet pushdown keep applying.
+    // MERGE/DELETE/OPTIMIZE remain API+CLI verbs: Spark's parser owns the
+    // MERGE INTO grammar and routes it to DSv2 tables only, so a SQL DML
+    // surface would need a forked parser — documented gap, not a seam.
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_lake_at"),
+      new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,
+        "graft_lake_at"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "graft_lake_at takes (rootPath) or (rootPath, version)")
+        val spark = SparkSession.active
+        val t = new graft.sources.LakeTable(spark,
+          strArg("graft_lake_at")(children.head))
+        val v = if (children.length == 2) intArg("graft_lake_at")(children(1))
+                else t.latestVersion
+        t.snapshot(v).queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_lake_changes"),
+      new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,
+        "graft_lake_changes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_lake_changes takes (rootPath, fromVersion, toVersion)")
+        val spark = SparkSession.active
+        val t = new graft.sources.LakeTable(spark,
+          strArg("graft_lake_changes")(children.head))
+        t.changes(intArg("graft_lake_changes")(children(1)),
+          intArg("graft_lake_changes")(children(2)))
+          .queryExecution.analyzed
+      }))
     // Whole-operator extension tier: the native AS-OF join's planner
     // strategy (logical node AsOfJoinPlan → physical AsOfJoinExec) and the
     // optimizer rule restoring predicate pushdown through the custom node.

@@ -60,6 +60,51 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("lake table functions: time travel and CDC feed from pure SQL") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new org.apache.spark.sql.graft.GraftSessionExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      import s2.implicits._
+      val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+      val t = graft.sources.Lake.create(s2, graft.sources.Lake.freshRoot(),
+        df, "k", 3)
+      t.merge(Seq((5L, "NEW5")).toDF("k", "payload"))
+      t.delete(Seq(7L).toDF("k"))
+      // graft_lake_at: latest by default, any version by literal
+      s2.sql(s"SELECT count(*) AS n FROM graft_lake_at('${t.root}')")
+        .collect()(0).getLong(0) shouldBe 89L
+      s2.sql(s"SELECT payload FROM graft_lake_at('${t.root}', 0) WHERE k = 5")
+        .collect()(0).getString(0) shouldBe "val5"
+      s2.sql(s"SELECT payload FROM graft_lake_at('${t.root}', 1) WHERE k = 5")
+        .collect()(0).getString(0) shouldBe "NEW5"
+      // joins and aggregates compose like any table
+      s2.sql(
+        s"""SELECT a.k FROM graft_lake_at('${t.root}', 0) a
+           |LEFT ANTI JOIN graft_lake_at('${t.root}', 2) b ON a.k = b.k
+           |""".stripMargin).collect().map(_.getLong(0)).toSeq shouldBe Seq(7L)
+      // graft_lake_changes: SQL view of the same feed the API serves
+      val feed = s2.sql(
+        s"""SELECT k, _change_type FROM graft_lake_changes('${t.root}', 0, 2)
+           |ORDER BY k, _change_type""".stripMargin)
+      feed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq(
+        (5L, "update_postimage"), (5L, "update_preimage"), (7L, "delete"))
+      // non-literal arguments refuse at analysis, loudly
+      val err = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_lake_at(concat('${t.root}', ''))").collect()
+      }
+      err.getMessage should include("literal")
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("approximate sketches stay within bound of exact answers") {
     // The bounded-state aggregates for 100 TB cardinality/quantile work:
     // HLL++ count-distinct and approx_percentile. Accuracy asserted against
