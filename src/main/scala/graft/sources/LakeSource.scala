@@ -3,7 +3,9 @@ package graft.sources
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SQLContext
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.Source
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graft-lake")` — the lake as a first-class Spark
   * data source, so SQL/DataFrame users read snapshots without touching
@@ -25,10 +27,30 @@ import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationP
   *
   * Tombstoned snapshots (outstanding [[LakeTable.deleteDeferred]]) refuse
   * loudly — a BaseRelation cannot carry the read-time anti-join; compact
-  * first. Same contract as merge/changes under tombstones. */
-class LakeSource extends RelationProvider with DataSourceRegister {
+  * first. Same contract as merge/changes under tombstones.
+  *
+  * The STREAMING half (`spark.readStream.format("graft-lake")`) serves the
+  * change feed with per-commit micro-batches — see
+  * [[LakeChangeFeedSource]]. */
+class LakeSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft-lake"
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) =
+    (shortName(), LakeChangeFeedSource.feedSchema(sqlContext.sparkSession,
+      parameters.getOrElse("path", throw new IllegalArgumentException(
+        "graft-lake stream requires a path"))))
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source =
+    new LakeChangeFeedSource(sqlContext, parameters)
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {

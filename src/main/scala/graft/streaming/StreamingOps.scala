@@ -361,7 +361,18 @@ object StreamingOps {
     * chain doubles as a streamable CDC log with zero extra infrastructure.
     * Feed cost per commit is the manifest-diff slice (changed files only),
     * so a quiet table streams for free. The create commit (v0) has no
-    * parent and emits nothing. */
+    * parent and emits nothing.
+    *
+    * Versions whose span touches MERGE-ON-READ tombstones (either endpoint
+    * of `changes(v-1, v)` carries deferred deletes) are SKIPPED, not fatal:
+    * a file-diff feed cannot see through read-time tombstones, and the
+    * folding compact commit re-delivers the net state — a deferred delete
+    * landing on a tailed table must not kill the streaming query.
+    *
+    * Prefer `spark.readStream.format("graft-lake").load(root)`
+    * ([[graft.sources.LakeChangeFeedSource]]) for new code — same feed,
+    * same skip contract, engine-managed offsets; this helper remains the
+    * foreachBatch form for consumers that need the per-version callback. */
   def lakeChangesStream(spark: org.apache.spark.sql.SparkSession,
                         table: graft.sources.LakeTable, checkpointDir: String)
                        (applyFeed: (Int, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
@@ -379,7 +390,12 @@ object StreamingOps {
           .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
           .filter(_.matches("v\\d{5}\\.json"))
           .map(_.substring(1, 6).toInt).sorted
-        versions.filter(_ > 0).foreach(v => applyFeed(v, table.changes(v - 1, v)))
+        versions.filter(_ > 0).foreach { v =>
+          val morSpan = !table.hasVersion(v) || !table.hasVersion(v - 1) ||
+            table.manifest(v).tombstones.nonEmpty ||
+            table.manifest(v - 1).tombstones.nonEmpty
+          if (!morSpan) applyFeed(v, table.changes(v - 1, v))
+        }
       }
       .start()
 

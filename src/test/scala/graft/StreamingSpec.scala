@@ -315,6 +315,58 @@ class StreamingSpec extends SparkTestBase {
     seen(2)._2 shouldBe Seq(Seq(2L, "v2", "A", "delete"))
   }
 
+  test("graft-lake stream FORMAT: per-commit batches, exactly-once restart, MOR bridging") {
+    // the change feed as a first-class source — readStream.format, engine-
+    // managed offsets (versions), restart from the checkpoint replays
+    // nothing and skips nothing
+    val base = Seq((1L, "v1", "A"), (2L, "v2", "A"), (3L, "v3", "A"))
+      .toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lakefmt-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-lakefmt-out").toString
+    def start() = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1")
+      .load(table.root)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    def sunk(): Seq[(Long, String, String, Int)] =
+      spark.read.parquet(sinkDir)
+        .select("k", "payload", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getInt(3))).toSeq.sortBy(t => (t._4, t._1, t._3))
+
+    table.merge(Seq((1L, "U1", "U")).toDF("k", "payload", "status")) // v1
+    table.merge(Seq((9L, "I9", "I")).toDF("k", "payload", "status")) // v2
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    sunk() shouldBe Seq(
+      (1L, "U1", "update_postimage", 1), (1L, "v1", "update_preimage", 1),
+      (9L, "I9", "insert", 2))
+    // offline commits + restart from the SAME checkpoint: only v3+ arrive
+    table.delete(Seq(2L).toDF("k"))                                  // v3
+    table.deleteDeferred(Seq(3L).toDF("k"))                          // v4 (MOR)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // v4 carries tombstones: the offset WAITS at v3 — only v3 delivered
+    sunk().filter(_._4 >= 3) shouldBe Seq((2L, "v2", "delete", 3))
+    // the folding compact advances the offset; its span bridges v4 and
+    // delivers the deferred delete's net effect exactly once
+    table.compact(1)                                                 // v5
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+    sunk().filter(_._4 >= 4) shouldBe Seq((3L, "v3", "delete", 5))
+    // nothing ever delivered twice (k, change_type, version) — and the
+    // final table state equals base minus the two deletes plus the merges
+    sunk().size shouldBe sunk().distinct.size
+    rows(table.read().orderBy("k")) shouldBe Seq(
+      Seq(1L, "U1", "U"), Seq(9L, "I9", "I"))
+  }
+
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
     // file streams tail a directory; stage the single driver file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")
