@@ -1228,15 +1228,28 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   /** True iff a streaming epoch already committed — the manifest chain IS
     * the transaction log (the txnAppId/txnVersion idempotent-sink pattern:
-    * a replayed micro-batch finds its own commit and skips). The walk
-    * reads only the metadata-sized delta manifests (never resolves state);
-    * a production table would keep the last-committed epoch in the latest
-    * manifest alone — same seam, one read. */
+    * a replayed micro-batch finds its own commit and skips). The walk is
+    * BACKWARD with early exit: epoch ids commit in increasing order, so
+    * the first epoch tag found that is ≤ the probe decides — a replay
+    * check on a 100k-commit streaming table reads a handful of recent
+    * delta manifests, not the chain. (Epoch commits vacuumed past the
+    * horizon read as absent; harmless, because the engine's offset log
+    * never replays batches that old.) */
   def hasEpoch(epochId: Long): Boolean = {
-    val tag = s"merge-epoch-$epochId"
-    (0 to latestVersion).exists { v =>
-      hasVersion(v) && readDelta(v).operation == tag
+    val probe = s"merge-epoch-$epochId"
+    var v = latestVersion
+    while (v >= 0) {
+      if (hasVersion(v)) {
+        val op = readDelta(v).operation
+        if (op == probe) return true
+        if (op.startsWith("merge-epoch-")) {
+          val id = op.stripPrefix("merge-epoch-").toLong
+          if (id < epochId) return false // epochs are monotone: gone past
+        }
+      }
+      v -= 1
     }
+    false
   }
 
   /** [[merge]] tagged with a streaming epoch — committed at most once per

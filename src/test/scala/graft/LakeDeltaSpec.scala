@@ -169,6 +169,23 @@ class LakeDeltaSpec extends SparkTestBase {
     }
   }
 
+  test("hasEpoch walks backward and early-exits on the monotone epoch chain") {
+    val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 1)
+    t.mergeEpoch(Seq((5L, "E5")).toDF("k", "payload"), 5L).isDefined shouldBe true
+    t.mergeEpoch(Seq((6L, "E8")).toDF("k", "payload"), 8L).isDefined shouldBe true
+    t.hasEpoch(8L) shouldBe true
+    t.hasEpoch(5L) shouldBe true
+    // absent epochs: bracketed (walk stops at the first smaller epoch tag)
+    // and below-everything both read as not-committed
+    t.hasEpoch(7L) shouldBe false
+    t.hasEpoch(3L) shouldBe false
+    // a replayed epoch is still a no-op after intervening commits
+    t.merge(Seq((7L, "M")).toDF("k", "payload"))
+    t.mergeEpoch(Seq((5L, "DUP")).toDF("k", "payload"), 5L) shouldBe None
+    rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "E5"))
+  }
+
   test("every committing verb replays a lost race: retry parity") {
     // the onBeforeCommit seam plants a racing carry-over commit exactly
     // once, in the window between a verb's version choice and its rename —

@@ -123,6 +123,24 @@ class LakePartitionSpec extends SparkTestBase {
       Seq(Seq(3L, 0L, "NEW3"))
   }
 
+  test("change feed speaks the partition column and classifies across partitions") {
+    val t = mkTableForMerge()
+    // update in p=0, insert into p=1, then a COW delete in p=0
+    t.merge(Seq((3L, 0L, "NEW3"), (301L, 1L, "INS301")).toDF("k", "p", "payload"))
+    t.delete(Seq(6L).toDF("k"))
+    val feed = t.changes(0, t.latestVersion)
+    feed.columns should contain("p")
+    rows(feed.select("k", "p", "payload", "_change_type")
+      .orderBy("k", "_change_type")) shouldBe Seq(
+      Seq(3L, 0L, "NEW3", "update_postimage"),
+      Seq(3L, 0L, "val3", "update_preimage"),
+      Seq(6L, 0L, "val6", "delete"),
+      Seq(301L, 1L, "INS301", "insert"))
+    // rewritten-but-identical rows from the cross-partition delete rewrite
+    // cancel — rows that merely rode along never enter the feed
+    feed.filter(col("k") === 9L).count() shouldBe 0L
+  }
+
   test("zorder and shallow clone refuse on partitioned tables, loudly") {
     val t = mkPartitioned()
     intercept[IllegalArgumentException] { t.compactZOrder(4, "k", "p") }
