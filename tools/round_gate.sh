@@ -6,7 +6,7 @@
 # command instead of a convention.
 #
 # Usage: tools/round_gate.sh <round> [--explain name=reason ...]
-#   - runs graft.Bench at sf0.1 into BENCH_r<round>.json (driver protocol)
+#   - runs graft.Bench at sf0.1 (driver protocol); stdout line saved as BENCH_LOCAL_r<round>.json (BENCH_r<round>.json is the DRIVER's name of record)
 #   - diffs against BENCH_FULL.json (the committed previous full registry)
 #     using BENCH_NOISE_r8.json's band
 #   - writes BENCH_DIFF_r<round>.json; exit 1 if bench_diff flags anything
@@ -18,10 +18,17 @@ cd "$(dirname "$0")/.."
 ROUND="${1:?usage: tools/round_gate.sh <round> [--explain name=reason ...]}"
 shift
 
+# graft.Bench OVERWRITES BENCH_FULL.json with the new run's complete map
+# (its stdout line carries only the slowest subset) — so the previous
+# round's anchor must be pulled from git BEFORE the run, and the diff
+# compares full map vs full map.
+ANCHOR="$(mktemp /tmp/bench_anchor.XXXX.json)"
+git show HEAD:BENCH_FULL.json > "$ANCHOR"
+
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Bench" 2>/dev/null \
-  | grep -oE '\{"metric".*' | tail -1 > "BENCH_r${ROUND}.json"
-[ -s "BENCH_r${ROUND}.json" ] || { echo "bench produced no JSON line" >&2; exit 2; }
+  | grep -oE '\{"metric".*' | tail -1 > "BENCH_LOCAL_r${ROUND}.json"
+[ -s "BENCH_LOCAL_r${ROUND}.json" ] || { echo "bench produced no JSON line" >&2; exit 2; }
 
 python3 tools/bench_diff.py "BENCH_DIFF_r${ROUND}.json" \
-  "BENCH_r${ROUND}.json" BENCH_FULL.json --noise BENCH_NOISE_r8.json "$@"
+  BENCH_FULL.json "$ANCHOR" --noise BENCH_NOISE_r8.json "$@"
