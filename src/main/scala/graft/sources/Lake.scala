@@ -49,7 +49,33 @@ object Lake {
     * uncorrelated one spans every file and prunes nothing (that interleaved
     * case is what the Z-order lane exists for). */
   case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
-                       cols: Map[String, (Long, Long)] = Map.empty)
+                       cols: Map[String, (Long, Long)] = Map.empty,
+                       scols: Map[String, (String, String)] = Map.empty)
+
+  /** Truncated-string bound helpers (the Iceberg convention): the LOWER
+    * bound truncates plainly (a prefix is ≤ the value), but a truncated
+    * UPPER bound would lie small — so the upper bound is the truncated
+    * prefix with its last character incremented (a string CEILING). A
+    * prefix that cannot increment (all chars at Char.MaxValue) has no
+    * finite ceiling → None, the column goes unbounded for that file.
+    * Stats are kept for pure-ASCII bounds only: Spark's min/max order
+    * strings by UTF-8 BYTES while the driver compares java Strings by
+    * UTF-16 code units — identical on ASCII, divergent past the BMP, and
+    * a divergent bound could prune a file that holds matches. */
+  private[sources] val StrBoundLen = 16
+
+  private[graft] def strLower(s: String): String = s.take(StrBoundLen)
+
+  private[graft] def strUpper(s: String): Option[String] =
+    if (s.length <= StrBoundLen) Some(s)
+    else {
+      val t = s.take(StrBoundLen)
+      var i = t.length - 1
+      while (i >= 0 && t.charAt(i) == Char.MaxValue) i -= 1
+      if (i < 0) None else Some(t.substring(0, i) + (t.charAt(i) + 1).toChar)
+    }
+
+  private[graft] def isAscii(s: String): Boolean = s.forall(_ < 0x80)
 
   /** Fresh lake root under the JVM tempdir, registered for recursive
     * cleanup at JVM exit — every query invocation builds its own lake, so
@@ -336,7 +362,28 @@ object Lake {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Gated lane: truncated-STRING file statistics + the OPTIMIZE SORT BY
+    * maintenance verb. The lake is created key-clustered (string ranges
+    * span every file — unprunable), then [[LakeTable.compactSortBy]]
+    * re-clusters on the priority string; each file now carries tight
+    * truncated-lower/ceiling-upper string bounds and an equality filter
+    * prunes to the covering files (file-count pinned in
+    * `LakePartitionSpec`). The oracle states the same slice raw. */
+  def lakeStringPruning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8,
+      statsCols = Seq("o_orderpriority"))
+    t.compactSortBy(8, "o_orderpriority")
+    t.read()
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_string_pruning" -> (lakeStringPruning _),
     "lake_sql_time_travel" -> (lakeSqlTimeTravel _),
     "lake_sql_changes" -> (lakeSqlChanges _),
     "lake_date_pruning" -> (lakeDatePruning _),
@@ -351,6 +398,12 @@ object Lake {
     "lake_mor_delete" -> (lakeMorDelete _))
 
   val oracle: Map[String, String] = Map(
+    "lake_string_pruning" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_sql_time_travel" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -518,7 +571,10 @@ object Lake {
   private[sources] case class CkptRow(idx: Int, kind: String, path: String,
                                       rows: Long, minKey: Long, maxKey: Long,
                                       colNames: Seq[String],
-                                      colMins: Seq[Long], colMaxs: Seq[Long])
+                                      colMins: Seq[Long], colMaxs: Seq[Long],
+                                      strNames: Seq[String],
+                                      strMins: Seq[String],
+                                      strMaxs: Seq[String])
 
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -547,6 +603,8 @@ object Lake {
       "path" -> f.path, "rows" -> f.rows,
       "minKey" -> f.minKey, "maxKey" -> f.maxKey,
       "cols" -> statsCols.flatMap(c => f.cols.get(c).map(b =>
+        c -> Seq(b._1, b._2))).to(ListMap),
+      "scols" -> statsCols.flatMap(c => f.scols.get(c).map(b =>
         c -> Seq(b._1, b._2))).to(ListMap))
 
   /** Legacy full-snapshot manifest JSON (pre-delta format) — kept as a
@@ -598,9 +656,16 @@ object Lake {
               e.getKey -> ((b.get(0).asLong(), b.get(1).asLong()))
             }.toMap
           else Map.empty[String, (Long, Long)]
+        val scols =
+          if (f.has("scols"))
+            f.get("scols").fields().asScala.map { e =>
+              val b = e.getValue
+              e.getKey -> ((b.get(0).asText(), b.get(1).asText()))
+            }.toMap
+          else Map.empty[String, (String, String)]
         FileEntry(
           f.get("path").asText(), f.get("rows").asLong(),
-          f.get("minKey").asLong(), f.get("maxKey").asLong(), cols)
+          f.get("minKey").asLong(), f.get("maxKey").asLong(), cols, scols)
       }.toSeq
     def strings(field: String): Seq[String] =
       if (!n.has(field)) Nil
@@ -782,8 +847,10 @@ class LakeTable(spark: SparkSession, val root: String) {
     def rowsOf(kind: String, fsq: Seq[FileEntry], off: Int): Seq[CkptRow] =
       fsq.zipWithIndex.map { case (f, i) =>
         val names = f.cols.keys.toSeq.sorted
+        val sNames = f.scols.keys.toSeq.sorted
         CkptRow(off + i, kind, f.path, f.rows, f.minKey, f.maxKey,
-          names, names.map(f.cols(_)._1), names.map(f.cols(_)._2))
+          names, names.map(f.cols(_)._1), names.map(f.cols(_)._2),
+          sNames, sNames.map(f.scols(_)._1), sNames.map(f.scols(_)._2))
       }
     val all = rowsOf("data", files, 0) ++ rowsOf("tombstone", tombs, files.size)
     val tmp = new Path(rootPath, s"_scratch-ckpt-${UUID.randomUUID()}")
@@ -806,9 +873,14 @@ class LakeTable(spark: SparkSession, val root: String) {
       val mins = r.getAs[scala.collection.Seq[Long]]("colMins")
       val maxs = r.getAs[scala.collection.Seq[Long]]("colMaxs")
       val cols = names.indices.map(i => names(i) -> ((mins(i), maxs(i)))).toMap
+      val sNames = r.getAs[scala.collection.Seq[String]]("strNames")
+      val sMins = r.getAs[scala.collection.Seq[String]]("strMins")
+      val sMaxs = r.getAs[scala.collection.Seq[String]]("strMaxs")
+      val scols = sNames.indices.map(i =>
+        sNames(i) -> ((sMins(i), sMaxs(i)))).toMap
       (r.getAs[String]("kind"),
         FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
-          r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"), cols))
+          r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"), cols, scols))
     }
     (entries.collect { case ("data", f) => f }.toSeq,
       entries.collect { case ("tombstone", f) => f }.toSeq)
@@ -1049,38 +1121,56 @@ class LakeTable(spark: SparkSession, val root: String) {
     fs.delete(scratch, true)
     if (moved.isEmpty) Seq.empty
     else {
-      // key bounds + every extra stats column, ONE metadata-cheap pass
+      // key bounds + every extra stats column, ONE metadata-cheap pass;
+      // STRING columns keep raw min/max here and truncate to the
+      // lower/ceiling convention (Lake.strLower/strUpper) driver-side
       val allStats = (statsCols ++ partitionCol).distinct
       var reader = spark.read
       if (partitionCol.isDefined) reader = reader.option("basePath", dataDir.toString)
       val data = reader.parquet(moved.map(_._1.toString): _*)
-      val extraAggs = allStats.flatMap(c => Seq(
+      val (strStats, numStats) = allStats.partition(c =>
+        data.schema(c).dataType == org.apache.spark.sql.types.StringType)
+      val numAggs = numStats.flatMap(c => Seq(
         min(Lake.statLong(data, c)).as(s"mn_$c"),
         max(Lake.statLong(data, c)).as(s"mx_$c")))
+      val strAggs = strStats.flatMap(c => Seq(
+        min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c")))
       val aggs = Seq(count(lit(1)).as("rows"),
         min(Lake.statLong(data, keyCol)).as("mn"),
-        max(Lake.statLong(data, keyCol)).as("mx")) ++ extraAggs
+        max(Lake.statLong(data, keyCol)).as("mx")) ++ numAggs ++ strAggs
+      val strBase = 4 + 2 * numStats.size
       val stats = data
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map { r =>
-          val cols = allStats.zipWithIndex.flatMap { case (c, i) =>
+          val cols = numStats.zipWithIndex.flatMap { case (c, i) =>
             val (mnI, mxI) = (4 + 2 * i, 5 + 2 * i)
             if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
             else Some(c -> ((r.getLong(mnI), r.getLong(mxI))))
           }.toMap
+          val scols = strStats.zipWithIndex.flatMap { case (c, i) =>
+            val (mnI, mxI) = (strBase + 2 * i, strBase + 2 * i + 1)
+            if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+            else {
+              val (mn, mx) = (r.getString(mnI), r.getString(mxI))
+              // ASCII-only (UTF8String byte order ≡ String order there);
+              // an unincrementable ceiling drops the bound, never lies
+              if (!Lake.isAscii(mn) || !Lake.isAscii(mx)) None
+              else Lake.strUpper(mx).map(up => c -> ((Lake.strLower(mn), up)))
+            }
+          }.toMap
           (new Path(r.getString(0)).getName,
-            (r.getLong(1), r.getLong(2), r.getLong(3), cols))
+            (r.getLong(1), r.getLong(2), r.getLong(3), cols, scols))
         }.toMap
       // a zero-row part file (e.g. a fully-erased rewrite) has no stats
       // row: drop it from disk rather than manifest an empty file
       moved.flatMap { case (p, sub) =>
         stats.get(p.getName) match {
-          case Some((rows, mn, mx, cols)) =>
+          case Some((rows, mn, mx, cols, scols)) =>
             val rel = if (sub.isEmpty) s"data/${p.getName}"
                       else s"data/$sub/${p.getName}"
-            Some(FileEntry(rel, rows, mn, mx, cols))
+            Some(FileEntry(rel, rows, mn, mx, cols, scols))
           case None => fs.delete(p, false); None
         }
       }
@@ -1375,6 +1465,37 @@ class LakeTable(spark: SparkSession, val root: String) {
       tombstoneAdds = Nil, tombstoneRemoves = Nil), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
+
+  /** OPTIMIZE SORT BY — rewrite the latest snapshot range-clustered on an
+    * arbitrary column list (the Delta `OPTIMIZE ... ZORDER`'s simpler
+    * sibling: a linear sort order). The sort columns join the stats set —
+    * numeric/date/timestamp columns get [min,max] in stat units, STRING
+    * columns get truncated lower / incremented-ceiling upper bounds
+    * ([[Lake.strLower]]/[[Lake.strUpper]]) — so [[LakeManifestPrune]]
+    * skips files for predicates on the new leading sort column. Same
+    * trade as z-order, documented there: the merge KEY's per-file ranges
+    * widen. Folds outstanding tombstones like [[compact]]. */
+  def compactSortBy(numFiles: Int, sortCols: String*): MergeStats = {
+    require(sortCols.nonEmpty, "compactSortBy needs at least one column")
+    val v = latestVersion
+    val m = manifest(v)
+    require(m.partitionCol.isEmpty,
+      "OPTIMIZE SORT BY on a hive-partitioned table is not supported: " +
+        "pick one layout verb per table (partition dirs or sort-clustering)")
+    val statsCols = (m.statsCols ++ sortCols).distinct
+    val cluster = struct(sortCols.map(col): _*)
+    val newFiles = writeDataFiles(read(), m.keyCol, numFiles, statsCols,
+      Some(cluster))
+    commitAndIndex(Delta(v + 1, v, s"optimize-sortby-${sortCols.mkString("-")}",
+      m.keyCol, statsCols, m.partitionCol, full = true, adds = newFiles,
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil),
+      newFiles, Nil)
+    MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
+  }
+
+  def compactSortByWithRetry(numFiles: Int, sortCols: Seq[String],
+                             maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(compactSortBy(numFiles, sortCols: _*))
 
   /** OPTIMIZE ZORDER — rewrite the latest snapshot clustered on the
     * Morton z-value of two numeric columns (the Delta `OPTIMIZE ... ZORDER

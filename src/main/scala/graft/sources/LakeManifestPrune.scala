@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
-import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, StringType, StructType, TimestampNTZType, TimestampType}
 
 /** Planning-time data skipping for [[Lake]] tables as an injected Catalyst
   * optimizer rule — the automatic form of [[LakeTable.readRange]]: a plain
@@ -51,30 +51,45 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
                     hfs: HadoopFsRelation): Option[LogicalPlan] = {
     val files = hfs.location.inputFiles
     if (files.isEmpty) return None
-    // lake roots among the scanned files' parents (…/data/part-x.parquet)
+    // lake roots among the scanned files' parents (…/data/part-x.parquet,
+    // possibly under a hive <col>=<value>/ level)
     val roots = files.iterator.map(p => new Path(p).getParent)
+      .map(p => if (p != null && p.getName.contains("=")) p.getParent else p)
       .filter(p => p != null && p.getName == "data")
       .map(_.getParent).filter(_ != null).distinct.toSeq
     if (roots.isEmpty) return None
-    val stats: Map[String, Map[String, (Long, Long)]] =
+    val stats: Map[String, LakeManifestPrune.FileStat] =
       roots.flatMap(r => LakeManifestPrune.statsFor(spark, r)).toMap
     if (stats.isEmpty) return None
-    val statCols = stats.valuesIterator.flatMap(_.keysIterator).toSet
+    val statCols = stats.valuesIterator.flatMap(_.num.keysIterator).toSet
     val bounds = statCols.iterator
       .map(c => c -> boundsFor(cond, c))
       .filter { case (_, (lo, hi)) => lo != Long.MinValue || hi != Long.MaxValue }
       .toMap
-    if (bounds.isEmpty) return None
+    val strCols = stats.valuesIterator.flatMap(_.str.keysIterator).toSet
+    val strBounds = strCols.iterator
+      .map(c => c -> strBoundsFor(cond, c))
+      .filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
+      .toMap
+    if (bounds.isEmpty && strBounds.isEmpty) return None
     // a file survives iff EVERY constrained column it has stats for
     // intersects the predicate's bounds; columns without stats in that
-    // file cannot prune it
+    // file cannot prune it. String uppers are CEILINGS (truncate +
+    // increment), so `ceiling >= lo` never wrongly drops a file
     def keep(name: String): Boolean = stats.get(name) match {
-      case Some(fileCols) => bounds.forall { case (c, (lo, hi)) =>
-        fileCols.get(c) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
+      case Some(fileCols) =>
+        bounds.forall { case (c, (lo, hi)) =>
+          fileCols.num.get(c) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        } && strBounds.forall { case (c, (lo, hi)) =>
+          fileCols.str.get(c) match {
+            case Some((mn, mx)) =>
+              lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
+            case None => true
+          }
         }
-      }
       case None => true // not a lake-manifested file: never prune
     }
     val kept = files.count(p => keep(new Path(p).getName))
@@ -142,17 +157,61 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
     }
     (lo, hi)
   }
+
+  /** Conservative string bounds on column `key` from the conjuncts of
+    * `cond`. Strict inequalities relax to inclusive ones (no string
+    * successor/predecessor), non-ASCII literals are ignored (java String
+    * order and UTF8String byte order agree only there — see
+    * Lake.strUpper's doc), and None means unconstrained on that side. */
+  private def strBoundsFor(cond: Expression,
+                           key: String): (Option[String], Option[String]) = {
+    var lo: Option[String] = None
+    var hi: Option[String] = None
+    def tLo(x: String): Unit = lo = Some(lo.fold(x)(l => if (x > l) x else l))
+    def tHi(x: String): Unit = hi = Some(hi.fold(x)(h => if (x < h) x else h))
+    def attrIs(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == key && a.dataType == StringType
+      case _ => false
+    }
+    def litStr(e: Expression): Option[String] = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if s != null =>
+        Some(s.toString).filter(graft.sources.Lake.isAscii)
+      case _ => None
+    }
+    splitConjunctivePredicates(cond).foreach {
+      case GreaterThanOrEqual(a, v) if attrIs(a) => litStr(v).foreach(tLo)
+      case GreaterThan(a, v) if attrIs(a) => litStr(v).foreach(tLo)
+      case LessThanOrEqual(a, v) if attrIs(a) => litStr(v).foreach(tHi)
+      case LessThan(a, v) if attrIs(a) => litStr(v).foreach(tHi)
+      case EqualTo(a, v) if attrIs(a) =>
+        litStr(v).foreach { x => tLo(x); tHi(x) }
+      case GreaterThanOrEqual(v, a) if attrIs(a) => litStr(v).foreach(tHi)
+      case GreaterThan(v, a) if attrIs(a) => litStr(v).foreach(tHi)
+      case LessThanOrEqual(v, a) if attrIs(a) => litStr(v).foreach(tLo)
+      case LessThan(v, a) if attrIs(a) => litStr(v).foreach(tLo)
+      case EqualTo(v, a) if attrIs(a) =>
+        litStr(v).foreach { x => tLo(x); tHi(x) }
+      case _ => ()
+    }
+    (lo, hi)
+  }
 }
 
 object LakeManifestPrune {
+  /** One file's prunable statistics: `num` carries [min,max] in
+    * [[Lake.statLong]] units (integral / days / micros) for the merge key
+    * plus numeric stats columns; `str` carries truncated-lower /
+    * incremented-ceiling STRING bounds for string stats columns. */
+  private[graft] case class FileStat(num: Map[String, (Long, Long)],
+                                     str: Map[String, (String, String)])
+
   /** Per-root stats cache entry: the newest delta-manifest name seen (the
     * invalidation key — names are fixed-width, so string order is version
     * order; a vacuum that drops OLD manifests leaves `newest` unchanged,
     * correctly, because per-file stats are immutable) plus the fileName →
-    * (column → [min, max]) map covering every file any manifest ever
-    * added. */
-  private case class Entry(newest: String,
-                           stats: Map[String, Map[String, (Long, Long)]])
+    * FileStat map covering every file any manifest ever added. */
+  private case class Entry(newest: String, stats: Map[String, FileStat])
 
   /** Bounded LRU — every gated lake lane builds a fresh tempdir root per
     * invocation, so an unbounded per-root map would grow for the life of
@@ -163,7 +222,7 @@ object LakeManifestPrune {
 
   private[graft] def statsFor(
       spark: SparkSession,
-      root: Path): Map[String, Map[String, (Long, Long)]] =
+      root: Path): Map[String, FileStat] =
     try {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val mdir = new Path(root, "_manifests")
@@ -179,13 +238,12 @@ object LakeManifestPrune {
         try Lake.fromJson(new String(in.readAllBytes(), StandardCharsets.UTF_8))
         finally in.close()
       }
-      def entriesOf(keyCol: String, files: Seq[Lake.FileEntry]) =
-        files.map(f => new Path(f.path).getName ->
-          (f.cols + (keyCol -> ((f.minKey, f.maxKey)))))
+      def statOf(keyCol: String, f: Lake.FileEntry): FileStat =
+        FileStat(f.cols + (keyCol -> ((f.minKey, f.maxKey))), f.scols)
       // warm path: a known root only folds the deltas NEWER than last time
       // (stats are per-file immutable; removals never need processing and
       // stale entries for vacuumed files are unreachable by any scan)
-      var m: Map[String, Map[String, (Long, Long)]] =
+      var m: Map[String, FileStat] =
         if (cached != null) cached.stats else Map.empty
       val toRead =
         if (cached != null) deltaNames.filter(_ > cached.newest).toSeq
@@ -207,14 +265,20 @@ object LakeManifestPrune {
               val cols = names.indices.map(i =>
                 names(i) -> ((mins(i), maxs(i)))).toMap +
                 (keyCol -> ((r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"))))
-              m += new Path(r.getAs[String]("path")).getName -> cols
+              val sNames = r.getAs[scala.collection.Seq[String]]("strNames")
+              val sMins = r.getAs[scala.collection.Seq[String]]("strMins")
+              val sMaxs = r.getAs[scala.collection.Seq[String]]("strMaxs")
+              val scols = sNames.indices.map(i =>
+                sNames(i) -> ((sMins(i), sMaxs(i)))).toMap
+              m += new Path(r.getAs[String]("path")).getName ->
+                FileStat(cols, scols)
             }
           }
         }
       }
       toRead.foreach { n =>
         val d = deltas(n)
-        m ++= entriesOf(d.keyCol, d.adds)
+        m ++= d.adds.map(f => new Path(f.path).getName -> statOf(d.keyCol, f))
       }
       cache.put(root.toString, Entry(newest, m))
       m

@@ -172,6 +172,67 @@ class LakePartitionSpec extends SparkTestBase {
     }
   }
 
+  test("string bound helpers: lower truncates, upper is a true ceiling") {
+    // invariants the pruning correctness rests on: strLower(s) <= s and
+    // strUpper(s) >= s for EVERY string (so a [lower, ceiling] interval
+    // always contains the file's real values), exercised over random
+    // ASCII strings spanning the 16-char truncation boundary
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(40)).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+      graft.sources.Lake.strLower(s) should be <= s
+      graft.sources.Lake.strUpper(s).foreach(_ should be >= s)
+      graft.sources.Lake.strLower(s).length should be <= 16
+    }
+    // exact below the limit, ceiling above it
+    graft.sources.Lake.strUpper("short") shouldBe Some("short")
+    graft.sources.Lake.strUpper("a" * 20) shouldBe Some("a" * 15 + "b")
+    // the unincrementable prefix has no finite ceiling
+    graft.sources.Lake.strUpper("￿" * 20) shouldBe None
+    graft.sources.Lake.isAscii("plain") shouldBe true
+    graft.sources.Lake.isAscii("naïve") shouldBe false
+  }
+
+  test("OPTIMIZE SORT BY + string stats: equality filter prunes files") {
+    withExtendedSession { s =>
+      import s.implicits._
+      // 5 priority values, keys interleaved so key clustering spreads each
+      // priority across every file
+      val pr = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val df = (1L to 500L).map(k => (k, pr((k % 5).toInt), s"v$k"))
+        .toDF("k", "prio", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 5,
+        statsCols = Seq("prio"))
+      // key-clustered layout: every file spans all priorities — no pruning
+      val before = t.read().filter(col("prio") === "1-URGENT")
+      before.select(input_file_name()).distinct().count() shouldBe 5L
+      // sort-by re-layout: string bounds tighten, the filter prunes
+      t.compactSortBy(5, "prio")
+      t.manifest(t.latestVersion).operation should startWith("optimize-sortby")
+      t.manifest(t.latestVersion).files.foreach(f =>
+        f.scols.keySet should contain("prio"))
+      val q = t.read().filter(col("prio") === "1-URGENT")
+      val scanned = q.queryExecution.sparkPlan.collect {
+        case fss: FileSourceScanExec => fss
+      }.flatMap(_.relation.location.inputFiles)
+      scanned.size should be < 5
+      q.count() shouldBe 100L
+      // range predicates prune too, and answers stay exact
+      val r = t.read().filter(col("prio") >= "3" && col("prio") < "5")
+      r.count() shouldBe 200L
+      r.queryExecution.sparkPlan.collect {
+        case fss: FileSourceScanExec => fss
+      }.flatMap(_.relation.location.inputFiles).size should be < 5
+      // non-ASCII values never produce string stats (order divergence)
+      val dfU = (1L to 50L).map(k => (k, if (k % 2 == 0) "zürich" else "ascii"))
+        .toDF("k", "city")
+      val tU = Lake.create(s, Lake.freshRoot(), dfU, "k", 2,
+        statsCols = Seq("city"))
+      tU.manifest(0).files.foreach(_.scols shouldBe empty)
+      tU.read().filter(col("city") === "ascii").count() shouldBe 25L
+    }
+  }
+
   test("gated lanes: partition lane scans one year's files; date lane prunes") {
     withExtendedSession { s =>
       // re-state the lane's scan (same table build) with runtime file
