@@ -89,9 +89,10 @@ object Run {
     * graft.Run lake-merge   <root> <updatesParquet>
     * graft.Run lake-delete  <root> <keysParquet>           // COW delete
     * graft.Run lake-tombstone <root> <keysParquet>         // merge-on-read
-    * graft.Run lake-read    <root> <outDir> [--version N]
+    * graft.Run lake-read    <root> <outDir> [--version N | --timestamp TS]
     * graft.Run lake-changes <root> <fromV> <toV> <outDir>
     * graft.Run lake-compact <root> <numFiles>
+    * graft.Run lake-sortby  <root> <numFiles> <col> [col...]
     * graft.Run lake-zorder  <root> <numFiles> <col1> <col2>
     * graft.Run lake-restore <root> <version>
     * graft.Run lake-clone   <root> <newRoot>
@@ -132,12 +133,19 @@ object Run {
         case "lake-read" =>
           need(3)
           val opts = cliOpts(args.drop(3))
-          val df = opts.get("version") match {
-            case Some(v) => table.snapshot(v.toInt)
-            case None => table.read()
+          val df = (opts.get("version"), opts.get("timestamp")) match {
+            case (Some(v), _) => table.snapshot(v.toInt)
+            case (None, Some(ts)) =>
+              table.snapshotAt(graft.sources.Lake.parseTsMillis(ts))
+            case _ => table.read()
           }
           Sinks.writeParquet(df, args(2))
           println(s"[lake] read -> ${args(2)}")
+        case "lake-sortby" =>
+          need(4)
+          val s = table.compactSortByWithRetry(args(2).toInt, args.drop(3).toSeq)
+          println(s"[lake] sort-clustered by (${args.drop(3).mkString(", ")}) " +
+            s"-> v${s.version} (${s.addedFiles} files)")
         case "lake-changes" =>
           need(5)
           Sinks.writeParquet(table.changes(args(2).toInt, args(3).toInt), args(4))

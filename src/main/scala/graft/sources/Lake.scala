@@ -703,6 +703,12 @@ object Lake {
     }
   }
 
+  /** Timestamp argument accepted by the `timestampAsOf` option and the
+    * `graft_lake_at` table function: epoch millis, or an ISO-8601 instant
+    * (`2026-08-14T12:00:00Z`). */
+  def parseTsMillis(s: String): Long =
+    s.toLongOption.getOrElse(java.time.Instant.parse(s).toEpochMilli)
+
   /** Bounded, access-ordered LRU map — metadata caches must not grow with
     * the number of table roots a long-lived JVM touches (every gated lane
     * builds a fresh tempdir root per invocation). */
@@ -927,6 +933,29 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   /** Latest snapshot. */
   def read(): DataFrame = snapshot(latestVersion)
+
+  /** The version that was CURRENT at wall-clock `tsMillis` — the largest
+    * version whose manifest's modification time is ≤ the probe (commit
+    * timestamps derive from manifest file mtimes, the same source the
+    * open formats used before in-commit timestamps; skewed writer clocks
+    * can in principle disorder neighbors, so the scan takes the max
+    * qualifying VERSION, not the last qualifying mtime). Fails loudly for
+    * probes before the earliest retained commit — after a vacuum, history
+    * beyond the horizon is gone, same contract as [[snapshot]]. */
+  def versionAt(tsMillis: Long): Int = {
+    val qualifying = fs.listStatus(manifestDir).iterator
+      .filter(s => s.getPath.getName.matches("v\\d{5}\\.json"))
+      .filter(_.getModificationTime <= tsMillis)
+      .map(_.getPath.getName.substring(1, 6).toInt)
+      .toSeq
+    require(qualifying.nonEmpty,
+      s"no commit at or before timestamp $tsMillis under $root " +
+        "(probe precedes the earliest retained version)")
+    qualifying.max
+  }
+
+  /** Time travel by wall clock: the snapshot AS OF `tsMillis`. */
+  def snapshotAt(tsMillis: Long): DataFrame = snapshot(versionAt(tsMillis))
 
   /** Manifest-pruned key-range read of the latest snapshot: only files
     * whose [min,max] intersects [lo,hi] enter the scan AT PLANNING TIME

@@ -58,7 +58,12 @@ class LakeSource extends RelationProvider with DataSourceRegister
       "graft-lake requires a path: spark.read.format(\"graft-lake\").load(<root>)"))
     val spark = sqlContext.sparkSession
     val table = new LakeTable(spark, root)
+    require(!(parameters.contains("versionAsOf") &&
+        parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
     val version = parameters.get("versionAsOf").map(_.toInt)
+      .orElse(parameters.get("timestampAsOf")
+        .map(t => table.versionAt(Lake.parseTsMillis(t))))
       .getOrElse(table.latestVersion)
     val m = table.manifest(version)
     require(m.tombstones.isEmpty,

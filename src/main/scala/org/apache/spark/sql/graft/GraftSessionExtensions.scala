@@ -50,12 +50,20 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         "graft_lake_at"),
       (children: Seq[Expression]) => {
         require(children.length == 1 || children.length == 2,
-          "graft_lake_at takes (rootPath) or (rootPath, version)")
+          "graft_lake_at takes (rootPath), (rootPath, version), or " +
+            "(rootPath, timestampString)")
         val spark = SparkSession.active
         val t = new graft.sources.LakeTable(spark,
           strArg("graft_lake_at")(children.head))
-        val v = if (children.length == 2) intArg("graft_lake_at")(children(1))
-                else t.latestVersion
+        // an INT second argument is a version; a STRING one is a
+        // timestamp (epoch millis or ISO-8601 instant) — time travel by
+        // wall clock from pure SQL
+        val v = children.lift(1) match {
+          case Some(Literal(s: UTF8String, StringType)) if s != null =>
+            t.versionAt(graft.sources.Lake.parseTsMillis(s.toString))
+          case Some(e) => intArg("graft_lake_at")(e)
+          case None => t.latestVersion
+        }
         t.snapshot(v).queryExecution.analyzed
       }))
     ext.injectTableFunction((

@@ -186,6 +186,36 @@ class LakeDeltaSpec extends SparkTestBase {
     rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "E5"))
   }
 
+  test("time travel by timestamp resolves versions from commit mtimes") {
+    val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    t.merge(Seq((5L, "V1")).toDF("k", "payload"))
+    t.merge(Seq((5L, "V2")).toDF("k", "payload"))
+    val fs = fsOf(t)
+    // pin deterministic commit times instead of sleeping between commits
+    Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L).foreach { case (v, ts) =>
+      fs.setTimes(new Path(t.root, f"_manifests/v$v%05d.json"), ts, -1)
+    }
+    t.versionAt(1000L) shouldBe 0
+    t.versionAt(1999L) shouldBe 0
+    t.versionAt(2000L) shouldBe 1
+    t.versionAt(Long.MaxValue) shouldBe 2
+    intercept[IllegalArgumentException] { t.versionAt(999L) }
+    rows(t.snapshotAt(2500L).filter(col("k") === 5L)) shouldBe
+      Seq(Seq(5L, "V1"))
+    // the format option speaks both epoch millis and ISO instants
+    Lake.parseTsMillis("1970-01-01T00:00:02Z") shouldBe 2000L
+    val viaFormat = spark.read.format("graft-lake")
+      .option("timestampAsOf", "1970-01-01T00:00:02Z").load(t.root)
+    rows(viaFormat.filter(col("k") === 5L).select("payload")) shouldBe
+      Seq(Seq("V1"))
+    intercept[Exception] {
+      spark.read.format("graft-lake")
+        .option("versionAsOf", "1").option("timestampAsOf", "2000")
+        .load(t.root)
+    }
+  }
+
   test("every committing verb replays a lost race: retry parity") {
     // the onBeforeCommit seam plants a racing carry-over commit exactly
     // once, in the window between a verb's version choice and its rename —

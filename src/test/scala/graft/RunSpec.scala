@@ -52,6 +52,12 @@ class RunSpec extends SparkTestBase {
     val outc = tmp("graft-cli-outc") + "/snapc"
     Run.run(Array("lake-read", cloneRoot, outc))
     spark.read.parquet(outc).count() shouldBe 20L // the restored v0 content
+    // sort-clustering and wall-clock time travel through the CLI
+    Run.run(Array("lake-sortby", root, "2", "payload"))
+    val outT = tmp("graft-cli-outt") + "/snapt"
+    Run.run(Array("lake-read", root, outT,
+      "--timestamp", System.currentTimeMillis().toString))
+    spark.read.parquet(outT).count() shouldBe 20L
     // history prints one line per committed version, and still
     // works after a vacuum removed the early manifests
     Run.run(Array("lake-history", root))

@@ -94,6 +94,18 @@ class SqlSurfaceSpec extends SparkTestBase {
            |ORDER BY k, _change_type""".stripMargin)
       feed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq(
         (5L, "update_postimage"), (5L, "update_preimage"), (7L, "delete"))
+      // a STRING second argument is a wall-clock probe (epoch millis or
+      // ISO instant) — pin commit mtimes deterministically first
+      val fs = new org.apache.hadoop.fs.Path(t.root)
+        .getFileSystem(s2.sparkContext.hadoopConfiguration)
+      Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L).foreach { case (v, ts) =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(
+          t.root, f"_manifests/v$v%05d.json"), ts, -1)
+      }
+      s2.sql(s"SELECT payload FROM graft_lake_at('${t.root}', '1970-01-01T00:00:02Z') WHERE k = 5")
+        .collect()(0).getString(0) shouldBe "NEW5"
+      s2.sql(s"SELECT payload FROM graft_lake_at('${t.root}', '1500') WHERE k = 5")
+        .collect()(0).getString(0) shouldBe "val5"
       // non-literal arguments refuse at analysis, loudly
       val err = intercept[Exception] {
         s2.sql(s"SELECT * FROM graft_lake_at(concat('${t.root}', ''))").collect()
