@@ -382,7 +382,30 @@ object Lake {
       .orderBy("o_orderstatus")
   }
 
+  /** Gated lane: conditional MERGE (the full MERGE INTO clause set).
+    * Source rows are the usual update/insert mix; matched targets DELETE
+    * when cheap (totalprice < 100k), UPDATE to '0-UPDATED' when expensive
+    * (≥ 200k), and CARRY UNCHANGED in between — three matched outcomes
+    * plus inserts, one oracle over the raw table. A clause mis-ordering,
+    * a dropped carry, or an insert leaking through a matched key all
+    * diverge the counts. */
+  def lakeMergeConditional(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    val hits = o.filter(col("o_orderkey") % 100 === 0)
+    val updates = hits.withColumn("o_orderpriority", lit("0-UPDATED"))
+      .unionByName(hits
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderpriority", lit("9-INSERTED")))
+    t.mergeInto(updates,
+      whenMatchedDeleteIf = Some(col("target.o_totalprice") < 100000.0),
+      whenMatchedUpdateIf = Some(col("target.o_totalprice") >= 200000.0))
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_merge_conditional" -> (lakeMergeConditional _),
     "lake_string_pruning" -> (lakeStringPruning _),
     "lake_sql_time_travel" -> (lakeSqlTimeTravel _),
     "lake_sql_changes" -> (lakeSqlChanges _),
@@ -398,6 +421,18 @@ object Lake {
     "lake_mor_delete" -> (lakeMorDelete _))
 
   val oracle: Map[String, String] = Map(
+    "lake_merge_conditional" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 AND o_totalprice >= 200000
+        |              THEN '0-UPDATED' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 100 = 0 AND o_totalprice < 100000)
+        |  UNION ALL
+        |  SELECT '9-INSERTED' FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_string_pruning" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
@@ -1344,6 +1379,91 @@ class LakeTable(spark: SparkSession, val root: String) {
       tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
+
+  /** Conditional MERGE — the full MERGE INTO clause set, copy-on-write:
+    * for each source row whose key matches a target row, the DELETE
+    * clause fires first (`whenMatchedDeleteIf`), then the UPDATE clause
+    * (`whenMatchedUpdateIf`, default always); a matched pair where no
+    * clause fires keeps the target row unchanged. Unmatched source keys
+    * insert iff `whenNotMatchedInsert`. Clause predicates see BOTH rows as
+    * struct columns — `col("source.o_totalprice") < col("target.o_totalprice")`
+    * — the Delta MERGE surface without its parser.
+    *
+    * COW shape is identical to [[merge]]: only files whose key range (and
+    * partition, if partitioned) the source touches rewrite; the insert
+    * anti-join runs against THOSE files only, which is complete because a
+    * key covered by no file's range exists nowhere in the table. Schema
+    * must match exactly — widening belongs to the unconditional [[merge]].
+    * Multiple source rows per key are rejected (every format's MERGE
+    * errors there: the result would be order-dependent). */
+  def mergeInto(updates: DataFrame,
+                whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
+                whenMatchedUpdateIf: Option[org.apache.spark.sql.Column] = None,
+                whenNotMatchedInsert: Boolean = true,
+                newFileCountHint: Int = 0): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    require(m.tombstones.isEmpty,
+      "table carries deferred deletes: compact() before a conditional merge")
+    val keyCol = m.keyCol
+    m.partitionCol.foreach(p => require(updates.columns.contains(p),
+      s"merge updates into a table partitioned by '$p' must carry that column"))
+    val probeCols = keyCol +: m.partitionCol.toSeq
+    val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
+    val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+    val updateRows = updates.count()
+    require(updates.select(keyCol).distinct().count() == updateRows,
+      "conditional merge requires one source row per key " +
+        "(multiple matches make the result order-dependent)")
+    val hitDf = if (hit.isEmpty) None else Some(readFiles(m, hit.map(_._1)))
+    hitDf.foreach { h =>
+      require(h.columns.sorted.sameElements(updates.columns.sorted),
+        "conditional merge requires identical schemas " +
+          "(schema evolution belongs to the unconditional merge)")
+    }
+    val rewritten = hitDf match {
+      case None => if (whenNotMatchedInsert) updates else updates.limit(0)
+      case Some(h) =>
+        val cols = h.columns.toSeq
+        val tgt = h.select(col(keyCol).as("_k"),
+          struct(cols.map(col): _*).as("target"))
+        val src = updates.select(col(keyCol).as("_k"),
+          struct(cols.map(col): _*).as("source"))
+        val joined = tgt.join(src, Seq("_k"), "left_outer")
+        val matched = col("source").isNotNull
+        val del = whenMatchedDeleteIf.getOrElse(lit(false))
+        val upd = whenMatchedUpdateIf.getOrElse(lit(true))
+        // clause order: DELETE, then UPDATE, else carry the target row
+        val keptRows = joined.filter(!matched ||
+          (!coalesce(del, lit(false)) && !coalesce(upd, lit(false))))
+          .select("target.*")
+        val updatedRows = joined.filter(matched &&
+          !coalesce(del, lit(false)) && coalesce(upd, lit(false)))
+          .select("source.*")
+        val inserts =
+          if (whenNotMatchedInsert)
+            updates.join(h.select(col(keyCol)), Seq(keyCol), "left_anti")
+              .select(cols.map(col): _*)
+          else updates.limit(0).select(cols.map(col): _*)
+        keptRows.unionByName(updatedRows).unionByName(inserts)
+    }
+    val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
+    val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
+      partitionCol = m.partitionCol)
+    commitAndIndex(Delta(v + 1, v, "merge-into", keyCol, m.statsCols,
+      m.partitionCol, full = false, adds = newFiles,
+      removes = hit.map(_._1.path), tombstoneAdds = Nil,
+      tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
+    MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
+  }
+
+  def mergeIntoWithRetry(updates: DataFrame,
+                         whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
+                         whenMatchedUpdateIf: Option[org.apache.spark.sql.Column] = None,
+                         whenNotMatchedInsert: Boolean = true,
+                         maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(mergeInto(updates, whenMatchedDeleteIf,
+      whenMatchedUpdateIf, whenNotMatchedInsert))
 
   /** True iff a streaming epoch already committed — the manifest chain IS
     * the transaction log (the txnAppId/txnVersion idempotent-sink pattern:

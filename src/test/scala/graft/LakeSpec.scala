@@ -436,6 +436,47 @@ class LakeSpec extends SparkTestBase {
     }
   }
 
+  test("conditional MERGE: delete/update/carry clause matrix, insert toggle") {
+    val t = mkTable() // keys 1..90, payload valK, status A
+    // matched keys: 5 (delete clause), 42 (update clause), 61 (neither —
+    // carries unchanged); key 200 is unmatched (insert)
+    val updates = Seq(
+      (5L, "DEL", "D"), (42L, "UPD", "U"), (61L, "NOPE", "N"),
+      (200L, "INS", "I")).toDF("k", "payload", "status")
+    val stats = t.mergeInto(updates,
+      whenMatchedDeleteIf = Some(col("source.status") === "D"),
+      whenMatchedUpdateIf = Some(col("source.status") === "U"))
+    stats.version shouldBe 1
+    val r = t.read()
+    r.count() shouldBe 90L // -1 delete +1 insert
+    r.filter(col("k") === 5L).count() shouldBe 0L
+    rows(r.filter(col("k") === 42L)) shouldBe Seq(Seq(42L, "UPD", "U"))
+    rows(r.filter(col("k") === 61L)) shouldBe Seq(Seq(61L, "val61", "A"))
+    rows(r.filter(col("k") === 200L)) shouldBe Seq(Seq(200L, "INS", "I"))
+    // default clauses = plain upsert; insert toggle off drops unmatched
+    val t2 = mkTable()
+    t2.mergeInto(Seq((7L, "UP7", "U"), (300L, "NOINS", "I"))
+      .toDF("k", "payload", "status"), whenNotMatchedInsert = false)
+    rows(t2.read().filter(col("k") === 7L)) shouldBe Seq(Seq(7L, "UP7", "U"))
+    t2.read().filter(col("k") === 300L).count() shouldBe 0L
+    t2.read().count() shouldBe 90L
+    // unhit-table insert-only path (no file's range covers the keys)
+    val t3 = mkTable()
+    t3.mergeInto(Seq((500L, "I500", "I")).toDF("k", "payload", "status"))
+    t3.read().count() shouldBe 91L
+    // refusals: duplicate source keys, schema drift
+    intercept[IllegalArgumentException] {
+      t.mergeInto(Seq((9L, "A", "X"), (9L, "B", "Y"))
+        .toDF("k", "payload", "status"))
+    }
+    intercept[IllegalArgumentException] {
+      t.mergeInto(Seq((9L, "A", "X", "EXTRA"))
+        .toDF("k", "payload", "status", "channel"))
+    }
+    // time travel still sees the pre-merge state
+    t.snapshot(0).count() shouldBe 90L
+  }
+
   test("chained merges: each snapshot remains readable at its own version") {
     val t = mkTable()
     t.merge(Seq((1L, "A1", "U")).toDF("k", "payload", "status"))
