@@ -43,7 +43,7 @@ object LakeScale {
       val entries = (0 until n).map(i =>
         Lake.FileEntry(f"data/part-synth-$i%06d.parquet", 1000L,
           i * 1000L, i * 1000L + 999L))
-      t.commitAndIndex(Lake.Delta(0, -1, "create", "k", Nil, None,
+      t.commitAndIndex(Lake.Delta(0, -1, "create", "k", Nil, Nil,
         full = true, adds = entries, removes = Nil,
         tombstoneAdds = Nil, tombstoneRemoves = Nil), entries, Nil)
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -60,7 +60,7 @@ object LakeScale {
           (v - 1) * 1000L, (v - 1) * 1000L + 999L)
         val rm = state.head.path
         state = state.tail :+ add
-        t.commitAndIndex(Lake.Delta(v, v - 1, "merge", "k", Nil, None,
+        t.commitAndIndex(Lake.Delta(v, v - 1, "merge", "k", Nil, Nil,
           full = false, adds = Seq(add), removes = Seq(rm),
           tombstoneAdds = Nil, tombstoneRemoves = Nil), state, Nil)
         deltaBytes += manifestBytes(v)

@@ -327,7 +327,7 @@ object Lake {
     val o = Tables.orders(spark, dir)
       .withColumn("o_year", year(col("o_orderdate")))
     val t = create(spark, freshRoot(), o, "o_orderkey", 8,
-      partitionBy = Some("o_year"))
+      partitionBy = Seq("o_year"))
     t.read()
       .filter(col("o_year") === 1995)
       .groupBy("o_orderpriority")
@@ -558,14 +558,14 @@ object Lake {
     * entry carries bounds for — fixed at [[create]], threaded through every
     * rewrite. `tombstones` are MERGE-ON-READ key-delete files
     * ([[LakeTable.deleteDeferred]]) applied as an anti-join at read time
-    * until a [[LakeTable.compact]] folds them. `partitionCol` names the
-    * hive-style directory-partition column, if the table was created with
-    * one. */
+    * until a [[LakeTable.compact]] folds them. `partitionCols` names the
+    * hive-style directory-partition columns, if the table was created
+    * with any. */
   case class Manifest(version: Int, parentVersion: Int, operation: String,
                       keyCol: String, files: Seq[FileEntry],
                       statsCols: Seq[String] = Nil,
                       tombstones: Seq[FileEntry] = Nil,
-                      partitionCol: Option[String] = None)
+                      partitionCols: Seq[String] = Nil)
 
   /** One COMMIT — what the `v%05d.json` manifest file actually stores.
     * A commit's payload is proportional to WHAT CHANGED (`adds` /
@@ -582,16 +582,17 @@ object Lake {
     * converged on. */
   case class Delta(version: Int, parentVersion: Int, operation: String,
                    keyCol: String, statsCols: Seq[String],
-                   partitionCol: Option[String], full: Boolean,
+                   partitionCols: Seq[String], full: Boolean,
                    adds: Seq[FileEntry], removes: Seq[String],
                    tombstoneAdds: Seq[FileEntry],
-                   tombstoneRemoves: Seq[String])
+                   tombstoneRemoves: Seq[String],
+                   commitTs: Long = -1L)
 
   /** A resolved state as a full, self-anchoring Delta (legacy-manifest
     * reads and the create/compact/restore/clone commit shape). */
   private[graft] def fullDelta(m: Manifest): Delta =
     Delta(m.version, m.parentVersion, m.operation, m.keyCol, m.statsCols,
-      m.partitionCol, full = true, adds = m.files, removes = Nil,
+      m.partitionCols, full = true, adds = m.files, removes = Nil,
       tombstoneAdds = m.tombstones, tombstoneRemoves = Nil)
 
   /** Result of a [[LakeTable.merge]] — what a COW commit did. */
@@ -627,7 +628,7 @@ object Lake {
     * manifest skipping and Spark's own partition pruning compose. */
   def create(spark: SparkSession, root: String, df: DataFrame, keyCol: String,
              numFiles: Int, statsCols: Seq[String] = Nil,
-             partitionBy: Option[String] = None): LakeTable = {
+             partitionBy: Seq[String] = Nil): LakeTable = {
     val t = new LakeTable(spark, root)
     t.init(df, keyCol, numFiles, statsCols, partitionBy)
     t
@@ -650,20 +651,21 @@ object Lake {
       "version" -> m.version, "parentVersion" -> m.parentVersion,
       "operation" -> m.operation, "keyCol" -> m.keyCol,
       "statsCols" -> m.statsCols,
-      "partitionCol" -> m.partitionCol.orNull,
+      "partitionCols" -> m.partitionCols,
       "files" -> m.files.map(fileJson(m.statsCols)),
       "tombstones" -> m.tombstones.map(fileJson(m.statsCols))))
 
   private[graft] def toJson(d: Delta): String = {
     // partition-column bounds ride each entry's cols even when not in
     // statsCols (they're added implicitly at write) — serialize the union
-    val colOrder = (d.statsCols ++ d.partitionCol).distinct
+    val colOrder = (d.statsCols ++ d.partitionCols).distinct
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ListMap(
       "version" -> d.version, "parentVersion" -> d.parentVersion,
       "operation" -> d.operation, "keyCol" -> d.keyCol,
       "statsCols" -> d.statsCols,
-      "partitionCol" -> d.partitionCol.orNull,
+      "partitionCols" -> d.partitionCols,
       "full" -> d.full,
+      "commitTs" -> d.commitTs,
       "adds" -> d.adds.map(fileJson(colOrder)),
       "removes" -> d.removes,
       "tombstoneAdds" -> d.tombstoneAdds.map(fileJson(colOrder)),
@@ -677,10 +679,12 @@ object Lake {
       if (n.has("statsCols"))
         n.get("statsCols").elements().asScala.map(_.asText()).toSeq
       else Nil
-    val partitionCol =
-      if (n.has("partitionCol") && !n.get("partitionCol").isNull)
-        Some(n.get("partitionCol").asText())
-      else None
+    val partitionCols =
+      if (n.has("partitionCols"))
+        n.get("partitionCols").elements().asScala.map(_.asText()).toSeq
+      else if (n.has("partitionCol") && !n.get("partitionCol").isNull)
+        Seq(n.get("partitionCol").asText()) // pre-multi-column manifests
+      else Nil
     def entries(field: String): Seq[FileEntry] =
       if (!n.has(field)) Nil
       else n.get(field).elements().asScala.map { f =>
@@ -709,15 +713,16 @@ object Lake {
       n.get("version").asInt(), n.get("parentVersion").asInt(),
       n.get("operation").asText(), n.get("keyCol").asText())
     if (n.has("files")) // legacy full-snapshot manifest: read as an anchor
-      Delta(version, parent, op, keyCol, statsCols, partitionCol,
+      Delta(version, parent, op, keyCol, statsCols, partitionCols,
         full = true, adds = entries("files"), removes = Nil,
         tombstoneAdds = entries("tombstones"), tombstoneRemoves = Nil)
     else
-      Delta(version, parent, op, keyCol, statsCols, partitionCol,
+      Delta(version, parent, op, keyCol, statsCols, partitionCols,
         full = n.has("full") && n.get("full").asBoolean(),
         adds = entries("adds"), removes = strings("removes"),
         tombstoneAdds = entries("tombstoneAdds"),
-        tombstoneRemoves = strings("tombstoneRemoves"))
+        tombstoneRemoves = strings("tombstoneRemoves"),
+        commitTs = if (n.has("commitTs")) n.get("commitTs").asLong() else -1L)
   }
 
   /** Normalize a column to the Long STAT UNITS the manifest stores:
@@ -875,7 +880,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val d = readDelta(version)
     val (files, tombs) = resolveState(version)
     Manifest(d.version, d.parentVersion, d.operation, d.keyCol, files,
-      d.statsCols, tombs, d.partitionCol)
+      d.statsCols, tombs, d.partitionCols)
   }
 
   /** Write the resolved state at `v` as a single parquet checkpoint file
@@ -940,7 +945,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       case Some(s) => r.schema(s)
       case None => r.option("mergeSchema", "true")
     }
-    if (m.partitionCol.isDefined) r = r.option("basePath", dataDir.toString)
+    if (m.partitionCols.nonEmpty) r = r.option("basePath", dataDir.toString)
     r.parquet(entries.map(f => new Path(rootPath, f.path).toString): _*)
   }
 
@@ -970,17 +975,23 @@ class LakeTable(spark: SparkSession, val root: String) {
   def read(): DataFrame = snapshot(latestVersion)
 
   /** The version that was CURRENT at wall-clock `tsMillis` — the largest
-    * version whose manifest's modification time is ≤ the probe (commit
-    * timestamps derive from manifest file mtimes, the same source the
-    * open formats used before in-commit timestamps; skewed writer clocks
-    * can in principle disorder neighbors, so the scan takes the max
-    * qualifying VERSION, not the last qualifying mtime). Fails loudly for
+    * version whose commit time is ≤ the probe. Commit time is the
+    * IN-COMMIT timestamp stamped into the delta manifest at write
+    * (robust on object stores and across copies, where file mtimes are
+    * not), falling back to the manifest file's modification time for
+    * manifests written before the stamp existed. Skewed writer clocks can
+    * in principle disorder neighbors, so the scan takes the max
+    * qualifying VERSION, not the last qualifying time. Fails loudly for
     * probes before the earliest retained commit — after a vacuum, history
     * beyond the horizon is gone, same contract as [[snapshot]]. */
   def versionAt(tsMillis: Long): Int = {
     val qualifying = fs.listStatus(manifestDir).iterator
       .filter(s => s.getPath.getName.matches("v\\d{5}\\.json"))
-      .filter(_.getModificationTime <= tsMillis)
+      .filter { s =>
+        val v = s.getPath.getName.substring(1, 6).toInt
+        val ts = readDelta(v).commitTs
+        (if (ts > 0) ts else s.getModificationTime) <= tsMillis
+      }
       .map(_.getPath.getName.substring(1, 6).toInt)
       .toSeq
     require(qualifying.nonEmpty,
@@ -1104,9 +1115,13 @@ class LakeTable(spark: SparkSession, val root: String) {
   private[graft] def commitDelta(d: Delta): Unit = {
     onBeforeCommit()
     fs.mkdirs(manifestDir)
+    // in-commit timestamp: stamped into the manifest itself (robust where
+    // file mtimes aren't — object stores, copies); versionAt prefers it
+    val stamped =
+      if (d.commitTs > 0) d else d.copy(commitTs = System.currentTimeMillis())
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
-    try out.write(toJson(d).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(toJson(stamped).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = manifestPath(d.version)
     if (fs.exists(dest) || !fs.rename(tmp, dest)) {
@@ -1136,7 +1151,7 @@ class LakeTable(spark: SparkSession, val root: String) {
   /** Write `df` as fresh data files clustered on `keyCol` and return their
     * manifest entries. Files land in a scratch dir first, are renamed into
     * `data/` (preserving hive `<col>=<value>/` subdirectories when
-    * `partitionCol` is set) under fresh UUID names, and their
+    * `partitionCols` is set) under fresh UUID names, and their
     * (rows, min, max) stats come from ONE metadata-cheap scan of just the
     * new files — [[Lake.statLong]] normalizes DATE/TIMESTAMP stats to
     * days/micros since epoch. The partition column implicitly joins the
@@ -1144,38 +1159,43 @@ class LakeTable(spark: SparkSession, val root: String) {
   private def writeDataFiles(df: DataFrame, keyCol: String, numFiles: Int,
                              statsCols: Seq[String] = Nil,
                              clusterBy: Option[org.apache.spark.sql.Column] = None,
-                             partitionCol: Option[String] = None)
+                             partitionCols: Seq[String] = Nil)
       : Seq[FileEntry] = {
     val scratch = new Path(rootPath, s"_scratch-${UUID.randomUUID()}")
-    val clustered = (clusterBy, partitionCol) match {
+    val clustered = (clusterBy, partitionCols) match {
       case (Some(c), _) => // alternative layout (e.g. Morton order) — stats
         // still computed on keyCol + statsCols below, layout-independent
         df.withColumn("__cluster", c)
           .repartitionByRange(math.max(1, numFiles), col("__cluster"))
           .sortWithinPartitions("__cluster")
           .drop("__cluster")
-      case (None, Some(p)) =>
-        // range-cluster on (partition, key): every task holds one
-        // partition value's key slice, so hive dirs get disjoint-range
+      case (None, ps) if ps.nonEmpty =>
+        // range-cluster on (partitions..., key): every task holds one
+        // partition tuple's key slice, so hive dirs get disjoint-range
         // files and key pruning stays tight WITHIN a partition
-        df.repartitionByRange(math.max(1, numFiles), col(p), col(keyCol))
-          .sortWithinPartitions(p, keyCol)
-      case (None, None) =>
+        df.repartitionByRange(math.max(1, numFiles),
+            (ps :+ keyCol).map(col): _*)
+          .sortWithinPartitions(ps.head, (ps.tail :+ keyCol): _*)
+      case _ =>
         df.repartitionByRange(math.max(1, numFiles), col(keyCol))
           .sortWithinPartitions(keyCol)
     }
     val writer = clustered.write.mode("overwrite")
-    partitionCol.fold(writer)(p => writer.partitionBy(p)).parquet(scratch.toString)
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(scratch.toString)
     fs.mkdirs(dataDir)
-    // (part file, hive subdir or "") pairs, one directory level deep
-    def partFiles(dir: Path): Seq[(Path, String)] =
+    // (part file, hive subpath or "") pairs — nested `<c>=<v>/` levels
+    // accumulate into one relative subpath
+    def partFiles(dir: Path, prefix: String): Seq[(Path, String)] =
       fs.listStatus(dir).toSeq.flatMap { s =>
         if (s.isDirectory && s.getPath.getName.contains("="))
-          partFiles(s.getPath).map { case (f, _) => (f, s.getPath.getName) }
-        else if (s.getPath.getName.endsWith(".parquet")) Seq((s.getPath, ""))
+          partFiles(s.getPath,
+            if (prefix.isEmpty) s.getPath.getName
+            else s"$prefix/${s.getPath.getName}")
+        else if (s.getPath.getName.endsWith(".parquet")) Seq((s.getPath, prefix))
         else Nil
       }
-    val moved = partFiles(scratch).map { case (src, sub) =>
+    val moved = partFiles(scratch, "").map { case (src, sub) =>
       val destDir = if (sub.isEmpty) dataDir else new Path(dataDir, sub)
       fs.mkdirs(destDir)
       val dest = new Path(destDir, s"part-${UUID.randomUUID()}.parquet")
@@ -1188,9 +1208,9 @@ class LakeTable(spark: SparkSession, val root: String) {
       // key bounds + every extra stats column, ONE metadata-cheap pass;
       // STRING columns keep raw min/max here and truncate to the
       // lower/ceiling convention (Lake.strLower/strUpper) driver-side
-      val allStats = (statsCols ++ partitionCol).distinct
+      val allStats = (statsCols ++ partitionCols).distinct
       var reader = spark.read
-      if (partitionCol.isDefined) reader = reader.option("basePath", dataDir.toString)
+      if (partitionCols.nonEmpty) reader = reader.option("basePath", dataDir.toString)
       val data = reader.parquet(moved.map(_._1.toString): _*)
       val (strStats, numStats) = allStats.partition(c =>
         data.schema(c).dataType == org.apache.spark.sql.types.StringType)
@@ -1243,11 +1263,11 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   private[sources] def init(df: DataFrame, keyCol: String, numFiles: Int,
                             statsCols: Seq[String] = Nil,
-                            partitionBy: Option[String] = None): Unit = {
+                            partitionBy: Seq[String] = Nil): Unit = {
     partitionBy.foreach(p => require(p != keyCol,
       "partition column cannot be the merge key"))
     val files = writeDataFiles(df, keyCol, numFiles, statsCols,
-      partitionCol = partitionBy)
+      partitionCols = partitionBy)
     commitAndIndex(Delta(0, -1, "create", keyCol, statsCols, partitionBy,
       full = true, adds = files, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil), files, Nil)
@@ -1262,29 +1282,33 @@ class LakeTable(spark: SparkSession, val root: String) {
     * overlap ACROSS partitions by construction, so this is what keeps a
     * single-partition merge from rewriting every partition's files. */
   private def hitFileIndexes(m: Manifest, keys: DataFrame): Set[Int] = {
-    val pOpt = m.partitionCol.filter(keys.columns.contains)
-    pOpt match {
-      case None =>
-        val ranges = m.files.zipWithIndex.map { case (f, i) => (i, f.minKey, f.maxKey) }
-        val rangesDf = spark.createDataFrame(ranges).toDF("fidx", "mn", "mx")
-        keys.select(Lake.statLong(keys, keys.columns.head).as("k")).distinct()
-          .join(broadcast(rangesDf),
-            col("k") >= col("mn") && col("k") <= col("mx"))
-          .select("fidx").distinct().collect().map(_.getInt(0)).toSet
-      case Some(p) =>
-        val ranges = m.files.zipWithIndex.map { case (f, i) =>
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val pcols = m.partitionCols.filter(keys.columns.contains)
+    val schema = StructType(
+      Seq(StructField("fidx", IntegerType), StructField("mn", LongType),
+        StructField("mx", LongType)) ++
+        pcols.flatMap(p => Seq(StructField(s"pmn_$p", LongType),
+          StructField(s"pmx_$p", LongType))))
+    val rangeRows = m.files.zipWithIndex.map { case (f, i) =>
+      // Seq[Any] prevents Scala from numerically WIDENING the Int index to
+      // Long, which would box a Long under the IntegerType schema field
+      org.apache.spark.sql.Row.fromSeq(
+        Seq[Any](i, f.minKey, f.maxKey) ++ pcols.flatMap { p =>
           val (pmn, pmx) = f.cols.getOrElse(p, (Long.MinValue, Long.MaxValue))
-          (i, f.minKey, f.maxKey, pmn, pmx)
-        }
-        val rangesDf = spark.createDataFrame(ranges)
-          .toDF("fidx", "mn", "mx", "pmn", "pmx")
-        keys.select(Lake.statLong(keys, keys.columns.head).as("k"),
-            Lake.statLong(keys, p).as("pv")).distinct()
-          .join(broadcast(rangesDf),
-            col("k") >= col("mn") && col("k") <= col("mx") &&
-              col("pv") >= col("pmn") && col("pv") <= col("pmx"))
-          .select("fidx").distinct().collect().map(_.getInt(0)).toSet
+          Seq(pmn, pmx)
+        })
     }
+    import scala.jdk.CollectionConverters._
+    val rangesDf = spark.createDataFrame(rangeRows.asJava, schema)
+    val probe = keys.select(
+      (Lake.statLong(keys, keys.columns.head).as("k") +:
+        pcols.map(p => Lake.statLong(keys, p).as(s"pv_$p"))): _*).distinct()
+    val cond = pcols.foldLeft(col("k") >= col("mn") && col("k") <= col("mx")) {
+      (c, p) =>
+        c && col(s"pv_$p") >= col(s"pmn_$p") && col(s"pv_$p") <= col(s"pmx_$p")
+    }
+    probe.join(broadcast(rangesDf), cond)
+      .select("fidx").distinct().collect().map(_.getInt(0)).toSet
   }
 
   /** Copy-on-write MERGE of `updates` (same schema as the table) on the
@@ -1346,9 +1370,9 @@ class LakeTable(spark: SparkSession, val root: String) {
         "before merging — a rewrite cannot re-insert a tombstoned key, the " +
         "read-time anti-join would erase it again")
     val keyCol = m.keyCol
-    m.partitionCol.foreach(p => require(updates.columns.contains(p),
+    m.partitionCols.foreach(p => require(updates.columns.contains(p),
       s"merge updates into a table partitioned by '$p' must carry that column"))
-    val probeCols = keyCol +: m.partitionCol.toSeq
+    val probeCols = keyCol +: m.partitionCols
     val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     val updateRows = updates.count()
@@ -1372,9 +1396,9 @@ class LakeTable(spark: SparkSession, val root: String) {
       }
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
     val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
-      partitionCol = m.partitionCol)
+      partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
-      m.partitionCol, full = false, adds = newFiles,
+      m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = Nil,
       tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
@@ -1406,9 +1430,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(m.tombstones.isEmpty,
       "table carries deferred deletes: compact() before a conditional merge")
     val keyCol = m.keyCol
-    m.partitionCol.foreach(p => require(updates.columns.contains(p),
+    m.partitionCols.foreach(p => require(updates.columns.contains(p),
       s"merge updates into a table partitioned by '$p' must carry that column"))
-    val probeCols = keyCol +: m.partitionCol.toSeq
+    val probeCols = keyCol +: m.partitionCols
     val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     val updateRows = updates.count()
@@ -1449,9 +1473,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     }
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
     val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
-      partitionCol = m.partitionCol)
+      partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, "merge-into", keyCol, m.statsCols,
-      m.partitionCol, full = false, adds = newFiles,
+      m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = Nil,
       tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
@@ -1520,10 +1544,10 @@ class LakeTable(spark: SparkSession, val root: String) {
         val survivors = hitDf.join(
           keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")
         writeDataFiles(survivors, keyCol, math.max(1, hit.size), m.statsCols,
-          partitionCol = m.partitionCol)
+          partitionCols = m.partitionCols)
       }
     commitAndIndex(Delta(v + 1, v, "delete", keyCol, m.statsCols,
-      m.partitionCol, full = false, adds = newFiles,
+      m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = Nil,
       tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, 0L)
@@ -1548,7 +1572,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       keys.select(col(keys.columns.head).as(m.keyCol)).distinct(),
       m.keyCol, 1)
     commitAndIndex(Delta(v + 1, v, "delete-deferred", m.keyCol, m.statsCols,
-      m.partitionCol, full = false, adds = Nil, removes = Nil,
+      m.partitionCols, full = false, adds = Nil, removes = Nil,
       tombstoneAdds = tomb, tombstoneRemoves = Nil),
       m.files, m.tombstones ++ tomb)
     MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
@@ -1567,7 +1591,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(hasVersion(version), s"cannot restore: v$version was vacuumed")
     val m = manifest(version)
     commitAndIndex(Delta(v + 1, v, s"restore-v$version", m.keyCol,
-      m.statsCols, m.partitionCol, full = true, adds = m.files,
+      m.statsCols, m.partitionCols, full = true, adds = m.files,
       removes = Nil, tombstoneAdds = m.tombstones, tombstoneRemoves = Nil),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
@@ -1585,14 +1609,14 @@ class LakeTable(spark: SparkSession, val root: String) {
     * recovery needs a single basePath). */
   def cloneShallow(newRoot: String): LakeTable = {
     val m = manifest(latestVersion)
-    require(m.partitionCol.isEmpty,
+    require(m.partitionCols.isEmpty,
       "shallow clone of a hive-partitioned table is not supported: " +
         "partition-value recovery needs a single basePath — deep-copy instead")
     def absolute(fs0: Seq[FileEntry]): Seq[FileEntry] = fs0.map(f =>
       f.copy(path = new Path(rootPath, f.path).toString))
     val t = new LakeTable(spark, newRoot)
     t.commitAndIndex(Delta(0, -1, s"clone-of-$rootPath@v$latestVersion",
-      m.keyCol, m.statsCols, None, full = true, adds = absolute(m.files),
+      m.keyCol, m.statsCols, Nil, full = true, adds = absolute(m.files),
       removes = Nil, tombstoneAdds = absolute(m.tombstones),
       tombstoneRemoves = Nil), absolute(m.files), absolute(m.tombstones))
     t
@@ -1608,9 +1632,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     val v = latestVersion
     val m = manifest(v)
     val newFiles = writeDataFiles(read(), m.keyCol, numFiles, m.statsCols,
-      partitionCol = m.partitionCol)
+      partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, "compact", m.keyCol, m.statsCols,
-      m.partitionCol, full = true, adds = newFiles, removes = Nil,
+      m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -1628,7 +1652,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(sortCols.nonEmpty, "compactSortBy needs at least one column")
     val v = latestVersion
     val m = manifest(v)
-    require(m.partitionCol.isEmpty,
+    require(m.partitionCols.isEmpty,
       "OPTIMIZE SORT BY on a hive-partitioned table is not supported: " +
         "pick one layout verb per table (partition dirs or sort-clustering)")
     val statsCols = (m.statsCols ++ sortCols).distinct
@@ -1636,7 +1660,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val newFiles = writeDataFiles(read(), m.keyCol, numFiles, statsCols,
       Some(cluster))
     commitAndIndex(Delta(v + 1, v, s"optimize-sortby-${sortCols.mkString("-")}",
-      m.keyCol, statsCols, m.partitionCol, full = true, adds = newFiles,
+      m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
@@ -1660,7 +1684,7 @@ class LakeTable(spark: SparkSession, val root: String) {
   def compactZOrder(numFiles: Int, c1: String, c2: String): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    require(m.partitionCol.isEmpty,
+    require(m.partitionCols.isEmpty,
       "OPTIMIZE ZORDER on a hive-partitioned table is not supported: " +
         "pick one layout verb per table (partition dirs or z-clustering)")
     val statsCols = (m.statsCols ++ Seq(c1, c2)).distinct
@@ -1668,7 +1692,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       col(c1).cast("long"), col(c2).cast("long"))
     val newFiles = writeDataFiles(read(), m.keyCol, numFiles, statsCols, Some(z))
     commitAndIndex(Delta(v + 1, v, "optimize-zorder", m.keyCol, statsCols,
-      m.partitionCol, full = true, adds = newFiles, removes = Nil,
+      m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }

@@ -52,10 +52,12 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
     val files = hfs.location.inputFiles
     if (files.isEmpty) return None
     // lake roots among the scanned files' parents (…/data/part-x.parquet,
-    // possibly under a hive <col>=<value>/ level)
-    val roots = files.iterator.map(p => new Path(p).getParent)
-      .map(p => if (p != null && p.getName.contains("=")) p.getParent else p)
-      .filter(p => p != null && p.getName == "data")
+    // possibly under nested hive <col>=<value>/ levels)
+    val roots = files.iterator.map { f =>
+      var p = new Path(f).getParent
+      while (p != null && p.getName.contains("=")) p = p.getParent
+      p
+    }.filter(p => p != null && p.getName == "data")
       .map(_.getParent).filter(_ != null).distinct.toSeq
     if (roots.isEmpty) return None
     val stats: Map[String, LakeManifestPrune.FileStat] =

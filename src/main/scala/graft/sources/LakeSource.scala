@@ -75,9 +75,9 @@ class LakeSource extends RelationProvider with DataSourceRegister
         "through the format; use LakeTable.read()")
     val paths = m.files.map(f => new Path(root, f.path).toString)
     val reader = spark.read.option("mergeSchema", "true")
-    // hive-partitioned tables: recover directory values as a real column
-    m.partitionCol.foreach(_ =>
-      reader.option("basePath", new Path(root, "data").toString))
+    // hive-partitioned tables: recover directory values as real columns
+    if (m.partitionCols.nonEmpty)
+      reader.option("basePath", new Path(root, "data").toString)
     reader.parquet(paths: _*)
       .queryExecution.analyzed.collectFirst {
         case l: LogicalRelation => l.relation

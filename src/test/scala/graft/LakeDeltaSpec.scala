@@ -51,11 +51,11 @@ class LakeDeltaSpec extends SparkTestBase {
     val entries = (0 until 10000).map(i =>
       Lake.FileEntry(f"data/part-synth-$i%05d.parquet", 1000L,
         i * 1000L, i * 1000L + 999L))
-    t.commitAndIndex(Lake.Delta(0, -1, "create", "k", Nil, None, full = true,
+    t.commitAndIndex(Lake.Delta(0, -1, "create", "k", Nil, Nil, full = true,
       adds = entries, removes = Nil, tombstoneAdds = Nil,
       tombstoneRemoves = Nil), entries, Nil)
     val add = Lake.FileEntry("data/part-synth-new.parquet", 1000L, 0L, 999L)
-    t.commitAndIndex(Lake.Delta(1, 0, "merge", "k", Nil, None, full = false,
+    t.commitAndIndex(Lake.Delta(1, 0, "merge", "k", Nil, Nil, full = false,
       adds = Seq(add), removes = Seq(entries.head.path),
       tombstoneAdds = Nil, tombstoneRemoves = Nil),
       entries.tail :+ add, Nil)
@@ -186,27 +186,32 @@ class LakeDeltaSpec extends SparkTestBase {
     rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "E5"))
   }
 
-  test("time travel by timestamp resolves versions from commit mtimes") {
+  test("time travel by timestamp resolves versions from in-commit timestamps") {
+    // commit timestamps are STAMPED INTO the delta manifests at write, so
+    // wall-clock probes captured between commits are deterministic anchors
+    // (each commit takes ≥ tens of ms; the captures sit strictly between)
+    val beforeCreate = System.currentTimeMillis() - 10
     val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
     val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    val afterV0 = System.currentTimeMillis()
     t.merge(Seq((5L, "V1")).toDF("k", "payload"))
+    val afterV1 = System.currentTimeMillis()
     t.merge(Seq((5L, "V2")).toDF("k", "payload"))
-    val fs = fsOf(t)
-    // pin deterministic commit times instead of sleeping between commits
-    Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L).foreach { case (v, ts) =>
-      fs.setTimes(new Path(t.root, f"_manifests/v$v%05d.json"), ts, -1)
-    }
-    t.versionAt(1000L) shouldBe 0
-    t.versionAt(1999L) shouldBe 0
-    t.versionAt(2000L) shouldBe 1
-    t.versionAt(Long.MaxValue) shouldBe 2
-    intercept[IllegalArgumentException] { t.versionAt(999L) }
-    rows(t.snapshotAt(2500L).filter(col("k") === 5L)) shouldBe
+    t.versionAt(afterV0) shouldBe 0
+    t.versionAt(afterV1) shouldBe 1
+    t.versionAt(System.currentTimeMillis()) shouldBe 2
+    intercept[IllegalArgumentException] { t.versionAt(beforeCreate) }
+    rows(t.snapshotAt(afterV1).filter(col("k") === 5L)) shouldBe
       Seq(Seq(5L, "V1"))
+    // the manifest really carries the stamp (not an mtime fallback)
+    Lake.fromJson(new String(fsOf(t).open(
+      new Path(t.root, "_manifests/v00001.json")).readAllBytes()))
+      .commitTs should be > beforeCreate
     // the format option speaks both epoch millis and ISO instants
     Lake.parseTsMillis("1970-01-01T00:00:02Z") shouldBe 2000L
     val viaFormat = spark.read.format("graft-lake")
-      .option("timestampAsOf", "1970-01-01T00:00:02Z").load(t.root)
+      .option("timestampAsOf",
+        java.time.Instant.ofEpochMilli(afterV1).toString).load(t.root)
     rows(viaFormat.filter(col("k") === 5L).select("payload")) shouldBe
       Seq(Seq("V1"))
     intercept[Exception] {

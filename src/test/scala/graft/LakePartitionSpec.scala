@@ -42,13 +42,13 @@ class LakePartitionSpec extends SparkTestBase {
   // partition-awareness must carry the hit test
   private def mkPartitioned() = {
     val df = (1L to 300L).map(k => (k, k % 3, s"val$k")).toDF("k", "p", "payload")
-    Lake.create(spark, Lake.freshRoot(), df, "k", 6, partitionBy = Some("p"))
+    Lake.create(spark, Lake.freshRoot(), df, "k", 6, partitionBy = Seq("p"))
   }
 
   test("create lays out hive directories; reads recover the partition column") {
     val t = mkPartitioned()
     val m = t.manifest(0)
-    m.partitionCol shouldBe Some("p")
+    m.partitionCols shouldBe Seq("p")
     // every manifest entry lives under a p=<v>/ directory and carries
     // exact-value partition bounds in its stats
     m.files.foreach { f =>
@@ -97,7 +97,7 @@ class LakePartitionSpec extends SparkTestBase {
 
   private def mkTableForMerge() = {
     val df = (1L to 300L).map(k => (k, k % 3, s"val$k")).toDF("k", "p", "payload")
-    Lake.create(spark, Lake.freshRoot(), df, "k", 3, partitionBy = Some("p"))
+    Lake.create(spark, Lake.freshRoot(), df, "k", 3, partitionBy = Seq("p"))
   }
 
   test("delete without partition info still erases correctly across partitions") {
@@ -116,7 +116,7 @@ class LakePartitionSpec extends SparkTestBase {
     t.merge(Seq((3L, 0L, "NEW3")).toDF("k", "p", "payload"))
     t.compact(3)
     val m = t.manifest(t.latestVersion)
-    m.partitionCol shouldBe Some("p")
+    m.partitionCols shouldBe Seq("p")
     m.files.foreach(_.path should include("p="))
     t.read().count() shouldBe 300L
     rows(t.read().filter(col("k") === 3L).select("k", "p", "payload")) shouldBe
@@ -139,6 +139,39 @@ class LakePartitionSpec extends SparkTestBase {
     // rewritten-but-identical rows from the cross-partition delete rewrite
     // cancel — rows that merely rode along never enter the feed
     feed.filter(col("k") === 9L).count() shouldBe 0L
+  }
+
+  test("multi-column partitioning: nested dirs, per-leaf pruning and merges") {
+    // two levels, r (2 values) × b (3 values): 6 leaf directories, keys
+    // interleaved so every leaf spans the whole key range
+    val df = (1L to 600L).map(k => (k, k % 2, k % 3, s"v$k"))
+      .toDF("k", "r", "b", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 6,
+      partitionBy = Seq("r", "b"))
+    val m = t.manifest(0)
+    m.partitionCols shouldBe Seq("r", "b")
+    m.files.foreach(_.path should fullyMatch
+      regex "data/r=\\d/b=\\d/part-.*\\.parquet")
+    m.files.foreach { f =>
+      f.cols("r")._1 shouldBe f.cols("r")._2 // exact-value bounds per leaf
+      f.cols("b")._1 shouldBe f.cols("b")._2
+    }
+    t.read().count() shouldBe 600L
+    // a both-level filter reads only the one leaf directory
+    val q = t.read().filter(col("r") === 1L && col("b") === 2L)
+    scannedPaths(q).foreach(_ should include("/r=1/b=2/"))
+    q.count() shouldBe 100L // k ≡ 5 (mod 6)
+    // a merge carrying both partition columns rewrites only its leaf
+    val before = m.files.size
+    val stats = t.merge(Seq((5L, 1L, 2L, "NEW5")).toDF("k", "r", "b", "payload"))
+    stats.rewrittenFiles should be < before
+    val fresh = t.manifest(1).files.map(_.path)
+      .filterNot(m.files.map(_.path).toSet)
+    fresh should not be empty
+    fresh.foreach(_ should include("r=1/b=2/"))
+    rows(t.read().filter(col("k") === 5L)
+      .select("k", "r", "b", "payload")) shouldBe Seq(Seq(5L, 1L, 2L, "NEW5"))
+    t.read().count() shouldBe 600L
   }
 
   test("zorder and shallow clone refuse on partitioned tables, loudly") {
@@ -240,7 +273,7 @@ class LakePartitionSpec extends SparkTestBase {
       val o = graft.sources.Tables.orders(s, "/root/testdata/sf0.001")
         .withColumn("o_year", year(col("o_orderdate")))
       val pt = Lake.create(s, Lake.freshRoot(), o, "o_orderkey", 8,
-        partitionBy = Some("o_year"))
+        partitionBy = Seq("o_year"))
       val partFiles = pt.read().filter(col("o_year") === 1995)
         .select(input_file_name()).distinct().collect().map(_.getString(0))
       partFiles should not be empty

@@ -74,7 +74,9 @@ class SqlSurfaceSpec extends SparkTestBase {
       val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
       val t = graft.sources.Lake.create(s2, graft.sources.Lake.freshRoot(),
         df, "k", 3)
+      val afterCreate = System.currentTimeMillis()
       t.merge(Seq((5L, "NEW5")).toDF("k", "payload"))
+      val afterMerge = System.currentTimeMillis()
       t.delete(Seq(7L).toDF("k"))
       // graft_lake_at: latest by default, any version by literal
       s2.sql(s"SELECT count(*) AS n FROM graft_lake_at('${t.root}')")
@@ -95,16 +97,11 @@ class SqlSurfaceSpec extends SparkTestBase {
       feed.collect().map(r => (r.getLong(0), r.getString(1))).toSeq shouldBe Seq(
         (5L, "update_postimage"), (5L, "update_preimage"), (7L, "delete"))
       // a STRING second argument is a wall-clock probe (epoch millis or
-      // ISO instant) — pin commit mtimes deterministically first
-      val fs = new org.apache.hadoop.fs.Path(t.root)
-        .getFileSystem(s2.sparkContext.hadoopConfiguration)
-      Seq(0 -> 1000L, 1 -> 2000L, 2 -> 3000L).foreach { case (v, ts) =>
-        fs.setTimes(new org.apache.hadoop.fs.Path(
-          t.root, f"_manifests/v$v%05d.json"), ts, -1)
-      }
-      s2.sql(s"SELECT payload FROM graft_lake_at('${t.root}', '1970-01-01T00:00:02Z') WHERE k = 5")
+      // ISO instant), resolved against the in-commit timestamps
+      val isoAfterMerge = java.time.Instant.ofEpochMilli(afterMerge).toString
+      s2.sql(s"SELECT payload FROM graft_lake_at('${t.root}', '$isoAfterMerge') WHERE k = 5")
         .collect()(0).getString(0) shouldBe "NEW5"
-      s2.sql(s"SELECT payload FROM graft_lake_at('${t.root}', '1500') WHERE k = 5")
+      s2.sql(s"SELECT payload FROM graft_lake_at('${t.root}', '$afterCreate') WHERE k = 5")
         .collect()(0).getString(0) shouldBe "val5"
       // non-literal arguments refuse at analysis, loudly
       val err = intercept[Exception] {
