@@ -173,10 +173,10 @@ object Run {
           println(s"[lake] vacuumed $m manifests, $f data files")
         case "lake-history" =>
           // vacuumed versions are gone from disk — list what remains
-          (0 to table.latestVersion).filter(table.hasVersion).foreach { v =>
-            val m = table.manifest(v)
-            println(f"v$v%05d ${m.operation}%-16s files=${m.files.size}%-4d " +
-              s"tombstones=${m.tombstones.size} rows=${m.files.map(_.rows).sum}")
+          table.history().collect().foreach { r =>
+            println(f"v${r.getInt(0)}%05d ${r.getString(2)}%-20s " +
+              s"ts=${r.getLong(3)} adds=${r.getInt(4)} removes=${r.getInt(5)} " +
+              s"tombstones=${r.getInt(6)} anchor=${r.getBoolean(7)}")
           }
         case other =>
           throw new IllegalArgumentException(s"unknown lake command '$other'")

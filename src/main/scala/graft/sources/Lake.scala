@@ -1003,6 +1003,26 @@ class LakeTable(spark: SparkSession, val root: String) {
   /** Time travel by wall clock: the snapshot AS OF `tsMillis`. */
   def snapshotAt(tsMillis: Long): DataFrame = snapshot(versionAt(tsMillis))
 
+  /** DESCRIBE HISTORY — one row per RETAINED commit (vacuumed versions are
+    * gone by contract), newest first: version, parent, operation,
+    * in-commit timestamp (-1 for pre-stamp manifests), what the commit
+    * added/removed, and whether it self-anchors resolution. Reads only
+    * the metadata-sized delta manifests, never resolves state — a 100k-
+    * commit history is a 100k-small-file scan of the log, no data I/O. */
+  def history(): DataFrame = {
+    val rows = (0 to latestVersion).reverseIterator.flatMap { v =>
+      if (!hasVersion(v)) None
+      else {
+        val d = readDelta(v)
+        Some((d.version, d.parentVersion, d.operation, d.commitTs,
+          d.adds.size, d.removes.size, d.tombstoneAdds.size, d.full))
+      }
+    }.toSeq
+    spark.createDataFrame(rows).toDF("version", "parent_version",
+      "operation", "commit_ts", "n_added_files", "n_removed_files",
+      "n_tombstone_files", "is_anchor")
+  }
+
   /** Manifest-pruned key-range read of the latest snapshot: only files
     * whose [min,max] intersects [lo,hi] enter the scan AT PLANNING TIME
     * (the others never appear in the relation — no I/O, no tasks), then

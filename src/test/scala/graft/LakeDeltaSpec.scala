@@ -221,6 +221,31 @@ class LakeDeltaSpec extends SparkTestBase {
     }
   }
 
+  test("history() is a DataFrame over the retained delta log, newest first") {
+    val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    t.merge(Seq((5L, "V1")).toDF("k", "payload"))
+    t.deleteDeferred(Seq(7L).toDF("k"))
+    t.compact(2)
+    val h = t.history()
+    h.columns.toSeq shouldBe Seq("version", "parent_version", "operation",
+      "commit_ts", "n_added_files", "n_removed_files", "n_tombstone_files",
+      "is_anchor")
+    h.select("version").collect().map(_.getInt(0)).toSeq shouldBe Seq(3, 2, 1, 0)
+    val byOp = h.collect().map(r => r.getString(2) ->
+      ((r.getInt(4), r.getInt(5), r.getInt(6), r.getBoolean(7)))).toMap
+    byOp("create")._4 shouldBe true            // anchors
+    byOp("compact")._4 shouldBe true
+    byOp("merge")._4 shouldBe false
+    byOp("merge")._1 should be >= 1            // added its rewrite
+    byOp("delete-deferred") shouldBe ((0, 0, 1, false))
+    h.filter(col("commit_ts") > 0L).count() shouldBe 4L // all stamped
+    // it is a real DataFrame: filters/joins compose
+    t.vacuum(2)
+    t.history().select("version").collect().map(_.getInt(0)).toSeq shouldBe
+      Seq(3, 2)
+  }
+
   test("every committing verb replays a lost race: retry parity") {
     // the onBeforeCommit seam plants a racing carry-over commit exactly
     // once, in the window between a verb's version choice and its rename —
