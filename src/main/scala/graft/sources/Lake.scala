@@ -612,6 +612,24 @@ object Lake {
                                       strMins: Seq[String],
                                       strMaxs: Seq[String])
 
+  /** The single decoder for parquet-checkpoint rows — resolution
+    * ([[LakeTable]]) and pruning ([[LakeManifestPrune]]) must never
+    * desynchronize on the row shape. Returns (kind, entry). */
+  private[sources] def ckptEntry(
+      r: org.apache.spark.sql.Row): (String, FileEntry) = {
+    val names = r.getAs[scala.collection.Seq[String]]("colNames")
+    val mins = r.getAs[scala.collection.Seq[Long]]("colMins")
+    val maxs = r.getAs[scala.collection.Seq[Long]]("colMaxs")
+    val cols = names.indices.map(i => names(i) -> ((mins(i), maxs(i)))).toMap
+    val sNames = r.getAs[scala.collection.Seq[String]]("strNames")
+    val sMins = r.getAs[scala.collection.Seq[String]]("strMins")
+    val sMaxs = r.getAs[scala.collection.Seq[String]]("strMaxs")
+    val scols = sNames.indices.map(i => sNames(i) -> ((sMins(i), sMaxs(i)))).toMap
+    (r.getAs[String]("kind"),
+      FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
+        r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"), cols, scols))
+  }
+
   private val mapper = {
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
     m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
@@ -912,22 +930,8 @@ class LakeTable(spark: SparkSession, val root: String) {
   }
 
   private def readCheckpoint(v: Int): (Seq[FileEntry], Seq[FileEntry]) = {
-    val rows = spark.read.parquet(ckptPath(v).toString).collect()
-      .sortBy(_.getAs[Int]("idx"))
-    val entries = rows.map { r =>
-      val names = r.getAs[scala.collection.Seq[String]]("colNames")
-      val mins = r.getAs[scala.collection.Seq[Long]]("colMins")
-      val maxs = r.getAs[scala.collection.Seq[Long]]("colMaxs")
-      val cols = names.indices.map(i => names(i) -> ((mins(i), maxs(i)))).toMap
-      val sNames = r.getAs[scala.collection.Seq[String]]("strNames")
-      val sMins = r.getAs[scala.collection.Seq[String]]("strMins")
-      val sMaxs = r.getAs[scala.collection.Seq[String]]("strMaxs")
-      val scols = sNames.indices.map(i =>
-        sNames(i) -> ((sMins(i), sMaxs(i)))).toMap
-      (r.getAs[String]("kind"),
-        FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
-          r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"), cols, scols))
-    }
+    val entries = spark.read.parquet(ckptPath(v).toString).collect()
+      .sortBy(_.getAs[Int]("idx")).map(ckptEntry)
     (entries.collect { case ("data", f) => f }.toSeq,
       entries.collect { case ("tombstone", f) => f }.toSeq)
   }
@@ -985,19 +989,22 @@ class LakeTable(spark: SparkSession, val root: String) {
     * probes before the earliest retained commit — after a vacuum, history
     * beyond the horizon is gone, same contract as [[snapshot]]. */
   def versionAt(tsMillis: Long): Int = {
-    val qualifying = fs.listStatus(manifestDir).iterator
-      .filter(s => s.getPath.getName.matches("v\\d{5}\\.json"))
-      .filter { s =>
-        val v = s.getPath.getName.substring(1, 6).toInt
-        val ts = readDelta(v).commitTs
-        (if (ts > 0) ts else s.getModificationTime) <= tsMillis
-      }
-      .map(_.getPath.getName.substring(1, 6).toInt)
-      .toSeq
-    require(qualifying.nonEmpty,
+    // descending scan with early exit: commit times are nondecreasing in
+    // version (max-by-VERSION contract), so the first qualifying version
+    // from the top IS the answer — a probe against a 100k-commit history
+    // parses a handful of recent manifests, never the whole log
+    val statuses = fs.listStatus(manifestDir)
+      .filter(_.getPath.getName.matches("v\\d{5}\\.json"))
+      .map(s => s.getPath.getName.substring(1, 6).toInt -> s)
+      .toMap
+    val hit = statuses.keys.toSeq.sorted.reverseIterator.find { v =>
+      val ts = readDelta(v).commitTs
+      (if (ts > 0) ts else statuses(v).getModificationTime) <= tsMillis
+    }
+    require(hit.nonEmpty,
       s"no commit at or before timestamp $tsMillis under $root " +
         "(probe precedes the earliest retained version)")
-    qualifying.max
+    hit.get
   }
 
   /** Time travel by wall clock: the snapshot AS OF `tsMillis`. */
@@ -1302,30 +1309,52 @@ class LakeTable(spark: SparkSession, val root: String) {
     * overlap ACROSS partitions by construction, so this is what keeps a
     * single-partition merge from rewriting every partition's files. */
   private def hitFileIndexes(m: Manifest, keys: DataFrame): Set[Int] = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-    val pcols = m.partitionCols.filter(keys.columns.contains)
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    // numeric/date/timestamp partition columns constrain through the Long
+    // stat units; STRING partition columns constrain through their exact
+    // scols bounds; anything else (or a string value whose stats were
+    // dropped — non-ASCII) must NOT constrain: an unprobeable column
+    // falling out silently would make hitIdx empty and turn a merge into
+    // blind duplicate inserts
+    val (strPcols, numPcols) = m.partitionCols
+      .filter(keys.columns.contains)
+      .partition(p => keys.schema(p).dataType == StringType)
     val schema = StructType(
       Seq(StructField("fidx", IntegerType), StructField("mn", LongType),
         StructField("mx", LongType)) ++
-        pcols.flatMap(p => Seq(StructField(s"pmn_$p", LongType),
-          StructField(s"pmx_$p", LongType))))
+        numPcols.flatMap(p => Seq(StructField(s"pmn_$p", LongType),
+          StructField(s"pmx_$p", LongType))) ++
+        strPcols.flatMap(p => Seq(StructField(s"smn_$p", StringType),
+          StructField(s"smx_$p", StringType))))
     val rangeRows = m.files.zipWithIndex.map { case (f, i) =>
       // Seq[Any] prevents Scala from numerically WIDENING the Int index to
       // Long, which would box a Long under the IntegerType schema field
       org.apache.spark.sql.Row.fromSeq(
-        Seq[Any](i, f.minKey, f.maxKey) ++ pcols.flatMap { p =>
-          val (pmn, pmx) = f.cols.getOrElse(p, (Long.MinValue, Long.MaxValue))
-          Seq(pmn, pmx)
-        })
+        Seq[Any](i, f.minKey, f.maxKey) ++
+          numPcols.flatMap { p =>
+            val (pmn, pmx) = f.cols.getOrElse(p, (Long.MinValue, Long.MaxValue))
+            Seq(pmn, pmx)
+          } ++
+          strPcols.flatMap { p => // null bounds = unconstrained for this file
+            f.scols.get(p) match {
+              case Some((mn, mx)) => Seq(mn, mx)
+              case None => Seq(null, null)
+            }
+          })
     }
     import scala.jdk.CollectionConverters._
     val rangesDf = spark.createDataFrame(rangeRows.asJava, schema)
     val probe = keys.select(
       (Lake.statLong(keys, keys.columns.head).as("k") +:
-        pcols.map(p => Lake.statLong(keys, p).as(s"pv_$p"))): _*).distinct()
-    val cond = pcols.foldLeft(col("k") >= col("mn") && col("k") <= col("mx")) {
-      (c, p) =>
-        c && col(s"pv_$p") >= col(s"pmn_$p") && col(s"pv_$p") <= col(s"pmx_$p")
+        (numPcols.map(p => Lake.statLong(keys, p).as(s"pv_$p")) ++
+          strPcols.map(p => col(p).as(s"sv_$p")))): _*).distinct()
+    val numCond = numPcols.foldLeft(
+      col("k") >= col("mn") && col("k") <= col("mx")) { (c, p) =>
+      c && col(s"pv_$p") >= col(s"pmn_$p") && col(s"pv_$p") <= col(s"pmx_$p")
+    }
+    val cond = strPcols.foldLeft(numCond) { (c, p) =>
+      c && (col(s"smn_$p").isNull ||
+        (col(s"sv_$p") >= col(s"smn_$p") && col(s"sv_$p") <= col(s"smx_$p")))
     }
     probe.join(broadcast(rangesDf), cond)
       .select("fidx").distinct().collect().map(_.getInt(0)).toSet
@@ -1455,8 +1484,10 @@ class LakeTable(spark: SparkSession, val root: String) {
     val probeCols = keyCol +: m.partitionCols
     val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
-    val updateRows = updates.count()
-    require(updates.select(keyCol).distinct().count() == updateRows,
+    // one aggregate pass for both counts — the source may be expensive
+    val cnts = updates.agg(count(lit(1)), count_distinct(col(keyCol))).collect()(0)
+    val updateRows = cnts.getLong(0)
+    require(cnts.getLong(1) == updateRows,
       "conditional merge requires one source row per key " +
         "(multiple matches make the result order-dependent)")
     val hitDf = if (hit.isEmpty) None else Some(readFiles(m, hit.map(_._1)))

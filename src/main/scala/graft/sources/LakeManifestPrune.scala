@@ -260,20 +260,11 @@ object LakeManifestPrune {
           val keyCol = deltas.get(deltaName).map(_.keyCol)
             .getOrElse(readDelta(deltaName).keyCol)
           spark.read.parquet(new Path(mdir, c).toString).collect().foreach { r =>
-            if (r.getAs[String]("kind") == "data") {
-              val names = r.getAs[scala.collection.Seq[String]]("colNames")
-              val mins = r.getAs[scala.collection.Seq[Long]]("colMins")
-              val maxs = r.getAs[scala.collection.Seq[Long]]("colMaxs")
-              val cols = names.indices.map(i =>
-                names(i) -> ((mins(i), maxs(i)))).toMap +
-                (keyCol -> ((r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"))))
-              val sNames = r.getAs[scala.collection.Seq[String]]("strNames")
-              val sMins = r.getAs[scala.collection.Seq[String]]("strMins")
-              val sMaxs = r.getAs[scala.collection.Seq[String]]("strMaxs")
-              val scols = sNames.indices.map(i =>
-                sNames(i) -> ((sMins(i), sMaxs(i)))).toMap
-              m += new Path(r.getAs[String]("path")).getName ->
-                FileStat(cols, scols)
+            Lake.ckptEntry(r) match {
+              case ("data", f) =>
+                m += new Path(f.path).getName ->
+                  FileStat(f.cols + (keyCol -> ((f.minKey, f.maxKey))), f.scols)
+              case _ => () // tombstone files are never filter-pruned
             }
           }
         }

@@ -74,8 +74,16 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // per-commit micro-spans over the clean versions in (from, to]; MOR
     // versions in between are BRIDGED (the next clean span diffs across
-    // them), vacuumed stretches skip until both endpoints exist again
-    var lastClean = from
+    // them), vacuumed stretches skip until both endpoints exist again.
+    // COMMITTED offsets are always clean (getOffset's contract), but the
+    // INITIAL from can land on a tombstoned version (default
+    // startingVersion−1 when the table's latest commit is a deferred
+    // delete): anchor at the nearest clean version at or below it, so the
+    // folding compact's first span still delivers those deletes instead
+    // of silently dropping them
+    var lastClean =
+      if (from < 0 || isClean(from)) from
+      else (from to 0 by -1).find(isClean).getOrElse(from)
     ((from + 1) to to).foreach { v =>
       if (isClean(v)) {
         if (lastClean < 0 || isClean(lastClean)) {

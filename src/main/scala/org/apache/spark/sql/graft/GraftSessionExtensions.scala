@@ -29,7 +29,9 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
   }
   private def intArg(fn: String)(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
-    case Literal(v: Long, LongType) => v.toInt
+    // a BIGINT literal must fit — silent truncation would time-travel to
+    // the wrong snapshot instead of erroring
+    case Literal(v: Long, LongType) if v.isValidInt => v.toInt
     case _ => throw new IllegalArgumentException(
       s"$fn: argument must be an INT literal, got $e")
   }

@@ -174,6 +174,27 @@ class LakePartitionSpec extends SparkTestBase {
     t.read().count() shouldBe 600L
   }
 
+  test("STRING partition columns: merges hit through string bounds, never blind-insert") {
+    // regression: the hit probe used to Long-cast string partition values
+    // to null, matching ZERO files — a merge then re-inserted every
+    // matched key as a duplicate while the old rows carried by reference
+    val cs = Seq("US", "DE", "JP")
+    val df = (1L to 300L).map(k => (k, cs((k % 3).toInt), s"v$k"))
+      .toDF("k", "country", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3,
+      partitionBy = Seq("country"))
+    val before = t.manifest(0).files.size
+    val stats = t.merge(Seq((3L, "US", "NEW3")).toDF("k", "country", "payload"))
+    t.read().count() shouldBe 300L // the bug made this 301 (duplicate key 3)
+    rows(t.read().filter(col("k") === 3L)
+      .select("k", "country", "payload")) shouldBe Seq(Seq(3L, "US", "NEW3"))
+    // partition-awareness constrains through the exact string bounds:
+    // only the US leaf rewrites even though key ranges span every country
+    stats.rewrittenFiles should be < before
+    t.manifest(1).files.map(_.path).filterNot(t.manifest(0).files.map(_.path).toSet)
+      .foreach(_ should include("country=US/"))
+  }
+
   test("zorder and shallow clone refuse on partitioned tables, loudly") {
     val t = mkPartitioned()
     intercept[IllegalArgumentException] { t.compactZOrder(4, "k", "p") }

@@ -367,6 +367,35 @@ class StreamingSpec extends SparkTestBase {
       Seq(1L, "U1", "U"), Seq(9L, "I9", "I"))
   }
 
+  test("graft-lake stream starting ON a tombstoned latest still delivers the deletes") {
+    // regression: the initial offset (startingVersion − 1) can land on a
+    // merge-on-read commit; the first clean span must anchor BELOW it so
+    // the folding compact delivers the deferred deletes instead of
+    // silently bridging past them
+    val base = Seq((1L, "v1"), (2L, "v2"), (3L, "v3")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    table.deleteDeferred(Seq(2L).toDF("k")) // v1 (MOR) — latest at start
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-morstart-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-morstart-out").toString
+    // startingVersion pinned at 2: the initial from-offset is v1, the
+    // tombstoned commit (the default latest+1 re-derives per source
+    // instantiation until a first batch commits — standard CDC-tail shape)
+    def start() = spark.readStream.format("graft-lake")
+      .option("startingVersion", "2").load(table.root)
+      .writeStream.format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // no clean commit yet
+    table.compact(1) // v2 folds the tombstone
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(sinkDir)
+      .select("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    got shouldBe Seq((2L, "delete", 2))
+  }
+
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
     // file streams tail a directory; stage the single driver file into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evstream")

@@ -25,9 +25,11 @@ shift
 ANCHOR="$(mktemp /tmp/bench_anchor.XXXX.json)"
 git show HEAD:BENCH_FULL.json > "$ANCHOR"
 
+# (grep || true): with pipefail, a no-match grep would kill the script
+# before the [ -s ] diagnostic below ever runs
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Bench" 2>/dev/null \
-  | grep -oE '\{"metric".*' | tail -1 > "BENCH_LOCAL_r${ROUND}.json"
+  | { grep -oE '\{"metric".*' || true; } | tail -1 > "BENCH_LOCAL_r${ROUND}.json"
 [ -s "BENCH_LOCAL_r${ROUND}.json" ] || { echo "bench produced no JSON line" >&2; exit 2; }
 
 python3 tools/bench_diff.py "BENCH_DIFF_r${ROUND}.json" \
