@@ -72,11 +72,15 @@ class ZOrderSpec extends SparkTestBase {
     val zFilesTotal = Sinks.fileRanges(spark, zDir, Seq("a")).size
     val aFilesTotal = Sinks.fileRanges(spark, aDir, Seq("a")).size
 
-    // box thin in b, unconstrained in a: a-clustering prunes NOTHING
-    // (every file spans all of b); z-ordering prunes most files
+    // box thin in b, unconstrained in a: a-clustering prunes (almost)
+    // NOTHING — every file that holds ≥1 whole a-value spans all of b;
+    // range-sampling can split an a-value across a boundary file whose
+    // partial b-range then misses the box, so allow that slack instead of
+    // exact equality (observed as a rare full-suite flake) — while
+    // z-ordering must still prune MOST files
     val zB = intersecting(zDir, (0L, 199L), (48L, 63L))
     val aB = intersecting(aDir, (0L, 199L), (48L, 63L))
-    aB shouldBe aFilesTotal
+    aB should be >= (aFilesTotal - 2)
     zB.toDouble should be <= zFilesTotal / 2.0
     // box thin in a: both layouts prune (z keeps its 2-D advantage honest)
     val zA = intersecting(zDir, (48L, 63L), (0L, 199L))
