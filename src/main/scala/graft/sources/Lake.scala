@@ -1356,8 +1356,35 @@ class LakeTable(spark: SparkSession, val root: String) {
       c && (col(s"smn_$p").isNull ||
         (col(s"sv_$p") >= col(s"smn_$p") && col(s"sv_$p") <= col(s"smx_$p")))
     }
-    probe.join(broadcast(rangesDf), cond)
+    val hit = probe.join(broadcast(rangesDf), cond)
       .select("fidx").distinct().collect().map(_.getInt(0)).toSet
+    if (numPcols.isEmpty && strPcols.isEmpty) hit
+    else {
+      // A key whose update row carries a NEW partition value still has its
+      // OLD row in a file of the old partition — partition-constrained
+      // probing alone would miss that file and the merge would insert a
+      // silent duplicate. Candidates are files key-range-hit but
+      // partition-missed; verify by scanning ONLY their key column (a
+      // metadata-cheap columnar read) and join in the files that actually
+      // hold an update key. No partition movement → no candidates contain
+      // the keys → the common case stays tight.
+      val keyHit = probe.join(broadcast(rangesDf),
+          col("k") >= col("mn") && col("k") <= col("mx"))
+        .select("fidx").distinct().collect().map(_.getInt(0)).toSet
+      val candidates = (keyHit -- hit).toSeq.sorted
+      if (candidates.isEmpty) hit
+      else {
+        val candDf = readFiles(m, candidates.map(m.files))
+        val present = candDf
+          .select(input_file_name().as("_f"),
+            Lake.statLong(candDf, m.keyCol).as("k"))
+          .join(probe.select("k").distinct(), Seq("k"), "left_semi")
+          .select("_f").distinct().collect()
+          .map(r => new Path(r.getString(0)).getName).toSet
+        hit ++ candidates.filter(i =>
+          present.contains(new Path(m.files(i).path).getName))
+      }
+    }
   }
 
   /** Copy-on-write MERGE of `updates` (same schema as the table) on the
@@ -1469,7 +1496,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     * must match exactly — widening belongs to the unconditional [[merge]].
     * Multiple source rows per key are rejected (every format's MERGE
     * errors there: the result would be order-dependent). */
-  def mergeInto(updates: DataFrame,
+  def mergeInto(updates0: DataFrame,
                 whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
                 whenMatchedUpdateIf: Option[org.apache.spark.sql.Column] = None,
                 whenNotMatchedInsert: Boolean = true,
@@ -1479,15 +1506,28 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(m.tombstones.isEmpty,
       "table carries deferred deletes: compact() before a conditional merge")
     val keyCol = m.keyCol
+    // materialize the source ONCE: the verb evaluates it several times
+    // (file-hit probe, key checks, clause join, insert anti-join), and an
+    // expensive — or worse, non-deterministic — source must present the
+    // SAME rows to every consumer (Delta materializes MERGE sources for
+    // exactly this reason)
+    val updates = updates0.localCheckpoint()
     m.partitionCols.foreach(p => require(updates.columns.contains(p),
       s"merge updates into a table partitioned by '$p' must carry that column"))
     val probeCols = keyCol +: m.partitionCols
     val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
-    // one aggregate pass for both counts — the source may be expensive
-    val cnts = updates.agg(count(lit(1)), count_distinct(col(keyCol))).collect()(0)
+    // one aggregate pass for all three checks — total rows, null keys
+    // (count_distinct IGNORES nulls: null-key rows would sail through a
+    // distinct-vs-total compare, match nothing, and insert as null-key
+    // rows), and per-key uniqueness
+    val cnts = updates.agg(count(lit(1)), count(col(keyCol)),
+      count_distinct(col(keyCol))).collect()(0)
     val updateRows = cnts.getLong(0)
     require(cnts.getLong(1) == updateRows,
+      s"conditional merge source carries ${updateRows - cnts.getLong(1)} " +
+        "null merge keys: a null key can never match a target row")
+    require(cnts.getLong(2) == updateRows,
       "conditional merge requires one source row per key " +
         "(multiple matches make the result order-dependent)")
     val hitDf = if (hit.isEmpty) None else Some(readFiles(m, hit.map(_._1)))
@@ -1540,25 +1580,38 @@ class LakeTable(spark: SparkSession, val root: String) {
     withRetry(maxAttempts)(mergeInto(updates, whenMatchedDeleteIf,
       whenMatchedUpdateIf, whenNotMatchedInsert))
 
+  private def epochTag(epochId: Long, appId: String): String =
+    if (appId.isEmpty) s"merge-epoch-$epochId"
+    else s"merge-epoch-$appId-$epochId"
+
   /** True iff a streaming epoch already committed — the manifest chain IS
     * the transaction log (the txnAppId/txnVersion idempotent-sink pattern:
-    * a replayed micro-batch finds its own commit and skips). The walk is
-    * BACKWARD with early exit: epoch ids commit in increasing order, so
-    * the first epoch tag found that is ≤ the probe decides — a replay
-    * check on a 100k-commit streaming table reads a handful of recent
-    * delta manifests, not the chain. (Epoch commits vacuumed past the
-    * horizon read as absent; harmless, because the engine's offset log
-    * never replays batches that old.) */
-  def hasEpoch(epochId: Long): Boolean = {
-    val probe = s"merge-epoch-$epochId"
+    * a replayed micro-batch finds its own commit and skips). `appId`
+    * qualifies the tag per WRITER (a checkpoint identity, a query id):
+    * epoch ids are monotone only within one writer's offset log, so the
+    * backward walk early-exits ONLY on a tag of the SAME app — a second
+    * writer, or a query restarted on a fresh checkpoint (epochs restart at
+    * 0), interleaves tags that are simply skipped, never misread as "gone
+    * past". A replay check still reads a handful of recent delta manifests
+    * on a 100k-commit table once the app has committed anything; only an
+    * app's FIRST-ever epoch pays a full metadata walk. (Epoch commits
+    * vacuumed past the horizon read as absent; harmless, because the
+    * engine's offset log never replays batches that old.) */
+  def hasEpoch(epochId: Long, appId: String = ""): Boolean = {
+    val probe = epochTag(epochId, appId)
+    val prefix = if (appId.isEmpty) "merge-epoch-" else s"merge-epoch-$appId-"
     var v = latestVersion
     while (v >= 0) {
       if (hasVersion(v)) {
         val op = readDelta(v).operation
         if (op == probe) return true
-        if (op.startsWith("merge-epoch-")) {
-          val id = op.stripPrefix("merge-epoch-").toLong
-          if (id < epochId) return false // epochs are monotone: gone past
+        if (op.startsWith(prefix)) {
+          // same-app tags only: the suffix must be a bare epoch id (an
+          // app-qualified tag under an empty-app probe parses as non-Long
+          // and is skipped, not misread)
+          op.stripPrefix(prefix).toLongOption.foreach { id =>
+            if (id < epochId) return false // same app, monotone: gone past
+          }
         }
       }
       v -= 1
@@ -1567,11 +1620,14 @@ class LakeTable(spark: SparkSession, val root: String) {
   }
 
   /** [[merge]] tagged with a streaming epoch — committed at most once per
-    * epoch id; a replay after a restart-between-write-and-offset-commit
-    * becomes a no-op instead of a duplicate snapshot. */
-  def mergeEpoch(updates: DataFrame, epochId: Long): Option[MergeStats] =
-    if (hasEpoch(epochId)) None
-    else Some(mergeTagged(updates, s"merge-epoch-$epochId"))
+    * (appId, epoch id); a replay after a restart-between-write-and-offset-
+    * commit becomes a no-op instead of a duplicate snapshot. Pass the
+    * checkpoint/query identity as `appId` whenever more than one writer
+    * (or more than one checkpoint generation) can touch the table. */
+  def mergeEpoch(updates: DataFrame, epochId: Long,
+                 appId: String = ""): Option[MergeStats] =
+    if (hasEpoch(epochId, appId)) None
+    else Some(mergeTagged(updates, epochTag(epochId, appId)))
 
   /** Copy-on-write DELETE by key: files whose range intersects a delete
     * key rewrite to their surviving rows (a fully-erased file simply

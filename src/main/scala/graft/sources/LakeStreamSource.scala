@@ -83,7 +83,17 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     // of silently dropping them
     var lastClean =
       if (from < 0 || isClean(from)) from
-      else (from to 0 by -1).find(isClean).getOrElse(from)
+      else (from to 0 by -1).find(isClean).getOrElse(
+        // no clean version at or below the anchor exists (vacuum took the
+        // history): anchoring AT `from` would silently drop every change
+        // up to the first clean version — fail loudly instead; restart
+        // with a startingVersion inside retained history
+        throw new IllegalStateException(
+          s"lake stream at $root: no clean (tombstone-free) version exists " +
+            s"at or below offset $from — history below it was vacuumed; " +
+            "restart the stream with a startingVersion inside retained " +
+            "history (a silent anchor here would drop the span up to the " +
+            "first clean version)"))
     ((from + 1) to to).foreach { v =>
       if (isClean(v)) {
         if (lastClean < 0 || isClean(lastClean)) {

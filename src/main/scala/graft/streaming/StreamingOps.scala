@@ -339,15 +339,23 @@ object StreamingOps {
     * upstream ([[graft.ops.Relational.latestByKey]]) — MERGE semantics
     * are per-batch single-row-per-key, as in every table format. */
   def mergeIntoLake(updates: DataFrame, table: graft.sources.LakeTable,
-                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    // epoch tags are qualified by the CHECKPOINT identity (the txnAppId
+    // pattern): epochs are monotone only within one offset log, so a query
+    // restarted with a FRESH checkpoint (epochs restart at 0) must not
+    // collide with — or early-exit against — the old run's tags
+    val appId = java.lang.Long.toHexString(
+      new org.apache.hadoop.fs.Path(checkpointDir).toString.hashCode
+        & 0xffffffffL)
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], epochId: Long) =>
-        table.mergeEpoch(batch, epochId)
+        table.mergeEpoch(batch, epochId, appId)
         ()
       }
       .start()
+  }
 
   /** Stream a lake table's CHANGE FEED — the table-as-a-source direction,
     * the mirror of [[mergeIntoLake]]: tail the `_manifests` directory with
@@ -363,11 +371,15 @@ object StreamingOps {
     * so a quiet table streams for free. The create commit (v0) has no
     * parent and emits nothing.
     *
-    * Versions whose span touches MERGE-ON-READ tombstones (either endpoint
-    * of `changes(v-1, v)` carries deferred deletes) are SKIPPED, not fatal:
-    * a file-diff feed cannot see through read-time tombstones, and the
-    * folding compact commit re-delivers the net state — a deferred delete
-    * landing on a tailed table must not kill the streaming query.
+    * MERGE-ON-READ versions (outstanding deferred-delete tombstones) are
+    * BRIDGED, not fatal and not lossy: a file-diff feed cannot see through
+    * read-time tombstones, so a tombstoned version delivers nothing itself
+    * and the NEXT clean version's feed diffs from the nearest clean parent
+    * ACROSS the tombstone commits — the deferred delete's net effect
+    * arrives exactly once, with the folding compact's span (the same
+    * bridging contract as [[graft.sources.LakeChangeFeedSource]]). The
+    * anchor is recomputed from the manifest chain per version, so a
+    * restart mid-MOR-stretch bridges identically.
     *
     * Prefer `spark.readStream.format("graft-lake").load(root)`
     * ([[graft.sources.LakeChangeFeedSource]]) for new code — same feed,
@@ -390,11 +402,17 @@ object StreamingOps {
           .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
           .filter(_.matches("v\\d{5}\\.json"))
           .map(_.substring(1, 6).toInt).sorted
+        def isClean(w: Int): Boolean =
+          table.hasVersion(w) && table.manifest(w).tombstones.isEmpty
         versions.filter(_ > 0).foreach { v =>
-          val morSpan = !table.hasVersion(v) || !table.hasVersion(v - 1) ||
-            table.manifest(v).tombstones.nonEmpty ||
-            table.manifest(v - 1).tombstones.nonEmpty
-          if (!morSpan) applyFeed(v, table.changes(v - 1, v))
+          if (isClean(v)) {
+            // nearest clean version at or below v-1: a clean parent is the
+            // common case (one manifest read); a MOR/vacuumed stretch is
+            // bridged by diffing across it. No anchor at all means history
+            // below v was vacuumed wholesale — skip (documented contract).
+            (v - 1 to 0 by -1).find(isClean)
+              .foreach(a => applyFeed(v, table.changes(a, v)))
+          }
         }
       }
       .start()

@@ -322,4 +322,31 @@ class LakeDeltaSpec extends SparkTestBase {
       }
     }
   }
+  test("epoch tags qualified by appId: interleaved writers never collide") {
+    val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 1)
+    // writer A commits epochs 0 and 1; writer B (a fresh checkpoint whose
+    // epochs restart at 0) interleaves its own epoch 0 between them
+    t.mergeEpoch(Seq((5L, "A0")).toDF("k", "payload"), 0L, "appA")
+      .isDefined shouldBe true
+    t.mergeEpoch(Seq((6L, "B0")).toDF("k", "payload"), 0L, "appB")
+      .isDefined shouldBe true
+    t.mergeEpoch(Seq((7L, "A1")).toDF("k", "payload"), 1L, "appA")
+      .isDefined shouldBe true
+    // each app sees exactly its own committed epochs — B's epoch 0 must
+    // not read as A's, and A's tags must not early-exit B's probe
+    t.hasEpoch(0L, "appA") shouldBe true
+    t.hasEpoch(1L, "appA") shouldBe true
+    t.hasEpoch(0L, "appB") shouldBe true
+    t.hasEpoch(1L, "appB") shouldBe false
+    // a replay of B's epoch 0 after A's later commits is still a no-op
+    t.mergeEpoch(Seq((6L, "DUP")).toDF("k", "payload"), 0L, "appB") shouldBe None
+    rows(t.read().filter(col("k") === 6L)) shouldBe Seq(Seq(6L, "B0"))
+    // the legacy unqualified probe neither crashes on qualified tags nor
+    // misreads them as its own
+    t.hasEpoch(0L) shouldBe false
+    t.mergeEpoch(Seq((8L, "L0")).toDF("k", "payload"), 0L).isDefined shouldBe true
+    t.hasEpoch(0L) shouldBe true
+    t.hasEpoch(0L, "appC") shouldBe false
+  }
 }

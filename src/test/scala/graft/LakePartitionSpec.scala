@@ -311,4 +311,25 @@ class LakePartitionSpec extends SparkTestBase {
       date.count() should be > 0L
     }
   }
+  test("merge that MOVES a key to a new partition erases the old row") {
+    val t = mkTableForMerge()
+    // key 3 lives in p=0; the update re-homes it to p=1 — the partition-
+    // constrained file probe alone would miss the p=0 file (its partition
+    // value no longer matches) and leave the stale row behind as a
+    // silent duplicate key
+    t.merge(Seq((3L, 1L, "MOVED3")).toDF("k", "p", "payload"))
+    t.read().count() shouldBe 300L
+    rows(t.read().filter(col("k") === 3L).select("k", "p", "payload")) shouldBe
+      Seq(Seq(3L, 1L, "MOVED3"))
+    // same through the conditional merge path
+    val t2 = mkTableForMerge()
+    t2.mergeInto(Seq((6L, 2L, "MOVED6")).toDF("k", "p", "payload"))
+    t2.read().count() shouldBe 300L
+    rows(t2.read().filter(col("k") === 6L).select("k", "p", "payload")) shouldBe
+      Seq(Seq(6L, 2L, "MOVED6"))
+    // and a NON-moving partitioned merge still rewrites only its partition
+    val t3 = mkTableForMerge()
+    t3.merge(Seq((9L, 0L, "KEPT9")).toDF("k", "p", "payload"))
+      .rewrittenFiles shouldBe 1
+  }
 }

@@ -488,4 +488,32 @@ class LakeSpec extends SparkTestBase {
     t.manifest(2).parentVersion shouldBe 1
     t.manifest(2).operation shouldBe "merge"
   }
+  test("mergeInto rejects null merge keys loudly") {
+    val t = mkTable()
+    val src = Seq((Some(5L), "OK", "U"), (None, "NULLKEY", "U"))
+      .toDF("k", "payload", "status")
+    val e = intercept[IllegalArgumentException] {
+      t.mergeInto(src)
+    }
+    e.getMessage should include("null merge keys")
+    t.latestVersion shouldBe 0 // nothing committed
+  }
+
+  test("mergeInto evaluates its source exactly once (materialization barrier)") {
+    val t = mkTable()
+    val evals = spark.sparkContext.longAccumulator("src-evals")
+    val bump = udf { (k: Long) => evals.add(1L); k }
+    val src = Seq((5L, "U5", "U"), (35L, "U35", "U"), (95L, "I95", "U"))
+      .toDF("k", "payload", "status")
+      .withColumn("k", bump(col("k")))
+    t.mergeInto(src)
+    // the verb consumes the source from several operators (hit probe, key
+    // checks, clause join, insert anti-join); without the localCheckpoint
+    // barrier each consumer would re-run the source plan and the
+    // accumulator would read a multiple of 3
+    evals.value shouldBe 3L
+    rows(t.read().filter(col("k").isin(5L, 35L, 95L))
+      .select("k", "payload").orderBy("k")) shouldBe
+      Seq(Seq(5L, "U5"), Seq(35L, "U35"), Seq(95L, "I95"))
+  }
 }

@@ -620,4 +620,36 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
+  test("lakeChangesStream bridges deferred-delete (MOR) commits losslessly") {
+    val base = Seq((1L, "v1", "A"), (2L, "v2", "A"), (3L, "v3", "A"))
+      .toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-morbridge-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer[(Int, Seq[Seq[Any]])]()
+    def start() = StreamingOps.lakeChangesStream(spark, table, ckpt) { (v, feed) =>
+      seen.synchronized {
+        seen += ((v, rows(feed.orderBy("k", "_change_type"))))
+      }
+      ()
+    }
+    // v1 clean merge; v2 deferred delete (tombstone-only — no file-diff
+    // feed exists for it); v3 folding compact. The deferred delete's net
+    // effect must arrive with v3's bridged span changes(1, 3) — the bug
+    // class where BOTH v2 and v3 get skipped (v3's parent carries
+    // tombstones) silently diverges any replica maintained via applyFeed
+    table.merge(Seq((1L, "U1", "U")).toDF("k", "payload", "status"))
+    table.deleteDeferred(Seq(2L).toDF("k"))
+    table.compact(1)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    seen.map(_._1).toSeq shouldBe Seq(1, 3)
+    seen(0)._2 shouldBe Seq(
+      Seq(1L, "U1", "U", "update_postimage"),
+      Seq(1L, "v1", "A", "update_preimage"))
+    seen(1)._2 shouldBe Seq(Seq(2L, "v2", "A", "delete"))
+    // a replica folded from the feed now equals the table — the
+    // applyFeed-divergence scenario, closed
+    table.read().count() shouldBe 2L
+  }
 }
