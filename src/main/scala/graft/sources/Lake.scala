@@ -226,24 +226,49 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
-  /** Gated lane: merge-on-read delete through the SQL gate. A deferred
-    * delete (tombstone write, zero data files rewritten) must read
-    * exactly like the COW delete, and compaction must fold the
-    * tombstones into a clean snapshot that still reads the same — both
+  /** Gated lane: merge-on-read delete through the SQL gate, three phases.
+    * A deferred delete (tombstone write, zero data files rewritten) must
+    * read exactly like the COW delete; a MERGE THROUGH the outstanding
+    * tombstones (deletion-vector semantics) must revive exactly the keys
+    * it re-inserts (every key ≡ 0 mod 200, priority '5-REVIVED') while
+    * the rest stay dead; and compaction must fold the remaining
+    * tombstones into a clean snapshot that reads identically — all three
     * phases aggregated under one oracle. The no-rewrite property itself
     * is spec-pinned (`LakeSpec`). */
   def lakeMorDelete(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val t = create(spark, freshRoot(), o, "o_orderkey", 8)
     t.deleteDeferred(o.filter(col("o_orderkey") % 100 === 0).select("o_orderkey"))
-    val deferred = t.read().groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders")).withColumn("phase", lit("deferred"))
+    def agg(phase: String) = t.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders")).withColumn("phase", lit(phase))
+    val deferred = agg("deferred")
+    t.merge(o.filter(col("o_orderkey") % 200 === 0)
+      .withColumn("o_orderpriority", lit("5-REVIVED")))
+    val merged = agg("merged")
     t.compact(8)
-    val compacted = t.read().groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders")).withColumn("phase", lit("compacted"))
-    deferred.unionByName(compacted)
+    val compacted = agg("compacted")
+    deferred.unionByName(merged).unionByName(compacted)
       .select("phase", "o_orderpriority", "n_orders")
       .orderBy("phase", "o_orderpriority")
+  }
+
+  /** Gated lane: the change feed ACROSS deferred-delete endpoints — the
+    * tombstone-aware feed. After a deferred delete (every key ≡ 0 mod
+    * 100) and a merge touching only the low key range (keys ≡ 7 mod 100
+    * up to 1500), `changes(0, latest)` must emit deletes for every
+    * tombstoned key — the high-range ones coming from CARRIED files the
+    * file diff alone cannot see — plus the pre/post pair for each merged
+    * key, and nothing else. */
+  def lakeMorChanges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.deleteDeferred(o.filter(col("o_orderkey") % 100 === 0).select("o_orderkey"))
+    t.merge(o.filter(col("o_orderkey") % 100 === 7 && col("o_orderkey") <= 1500)
+      .withColumn("o_orderpriority", lit("7-UPDATED")))
+    t.changes(0, t.latestVersion)
+      .groupBy(col("_change_type").as("change_type"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("change_type", "o_orderpriority")
   }
 
   /** Gated lane: time travel through the SQL gate. After a MERGE that
@@ -418,7 +443,8 @@ object Lake {
     "lake_schema_evolution" -> (lakeSchemaEvolution _),
     "lake_time_travel" -> (lakeTimeTravel _),
     "lake_range_slice" -> (lakeRangeSlice _),
-    "lake_mor_delete" -> (lakeMorDelete _))
+    "lake_mor_delete" -> (lakeMorDelete _),
+    "lake_mor_changes" -> (lakeMorChanges _))
 
   val oracle: Map[String, String] = Map(
     "lake_merge_conditional" ->
@@ -474,13 +500,36 @@ object Lake {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_mor_delete" ->
-      """WITH agg AS (
+      """WITH base AS (
         |  SELECT o_orderpriority, count(*) AS n_orders
-        |  FROM orders WHERE o_orderkey % 100 <> 0 GROUP BY 1)
-        |SELECT 'compacted' AS phase, o_orderpriority, n_orders FROM agg
+        |  FROM orders WHERE o_orderkey % 100 <> 0 GROUP BY 1),
+        |aft AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders FROM (
+        |    SELECT CASE WHEN o_orderkey % 200 = 0 THEN '5-REVIVED'
+        |                ELSE o_orderpriority END AS o_orderpriority
+        |    FROM orders
+        |    WHERE o_orderkey % 100 <> 0 OR o_orderkey % 200 = 0)
+        |  GROUP BY 1)
+        |SELECT 'compacted' AS phase, o_orderpriority, n_orders FROM aft
         |UNION ALL
-        |SELECT 'deferred', o_orderpriority, n_orders FROM agg
+        |SELECT 'deferred', o_orderpriority, n_orders FROM base
+        |UNION ALL
+        |SELECT 'merged', o_orderpriority, n_orders FROM aft
         |ORDER BY phase, o_orderpriority""".stripMargin,
+
+    "lake_mor_changes" ->
+      """WITH ch AS (
+        |  SELECT 'delete' AS change_type, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 7 AND o_orderkey <= 1500
+        |  UNION ALL
+        |  SELECT 'update_postimage', '7-UPDATED'
+        |  FROM orders WHERE o_orderkey % 100 = 7 AND o_orderkey <= 1500
+        |)
+        |SELECT change_type, o_orderpriority, count(*) AS n_rows
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "lake_range_slice" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -963,17 +1012,20 @@ class LakeTable(spark: SparkSession, val root: String) {
     else applyTombstones(m, readFiles(m, m.files))
   }
 
+  /** The distinct deleted keys of a snapshot's tombstone files, as a
+    * one-column relation named after the merge key — None when clean.
+    * Tombstone relations are key-column-only and small next to the table,
+    * so joins against them broadcast under AQE. */
+  private def tombstoneKeys(m: Manifest): Option[DataFrame] =
+    if (m.tombstones.isEmpty) None
+    else Some(spark.read.parquet(
+        m.tombstones.map(f => new Path(rootPath, f.path).toString): _*)
+      .select(col(m.keyCol)).distinct())
+
   /** Merge-on-read: anti-join the snapshot's key tombstones (if any) —
-    * the read half of [[deleteDeferred]]. Tombstone relations are
-    * key-column-only and metadata-small next to the table, so the
-    * anti-join broadcasts under AQE. */
+    * the read half of [[deleteDeferred]]. */
   private def applyTombstones(m: Manifest, base: DataFrame): DataFrame =
-    if (m.tombstones.isEmpty) base
-    else base.join(
-      spark.read.parquet(
-          m.tombstones.map(f => new Path(rootPath, f.path).toString): _*)
-        .select(col(m.keyCol)).distinct(),
-      Seq(m.keyCol), "left_anti")
+    tombstoneKeys(m).fold(base)(tk => base.join(tk, Seq(m.keyCol), "left_anti"))
 
   /** Latest snapshot. */
   def read(): DataFrame = snapshot(latestVersion)
@@ -1068,35 +1120,55 @@ class LakeTable(spark: SparkSession, val root: String) {
     * likewise a key updated and then reverted inside the interval
     * compares equal at the endpoints — the feed is the NET change.
     *
-    * Endpoints carrying deferred-delete tombstones refuse loudly (the
-    * manifest file diff cannot see through read-time tombstones):
-    * compact() first. Streaming consumers should skip such versions and
-    * resume at the folding compact commit — [[LakeChangeFeedSource]] and
-    * `StreamingOps.lakeChangesStream` do.
+    * Endpoints carrying deferred-delete tombstones are SEEN THROUGH, not
+    * refused: each endpoint's EFFECTIVE relation (files minus tombstoned
+    * keys) is what gets diffed. Rows of changed files dead at their
+    * endpoint drop out of the pre/post images, and keys newly tombstoned
+    * across the interval emit `delete` events from the CARRIED files that
+    * still hold their physical rows — only carried files whose key range
+    * intersects a tombstone file's range are scanned, so the feed's
+    * proportional-to-change cost keeps a (metadata-sized) tombstone term.
+    * A key merged back through its tombstone re-appears as an `insert`
+    * via the ordinary file diff.
     *
     * Scale shape: one shuffle, hash-partitioned on the merge key, over
-    * only the rows living in changed files; the manifest diff itself is
-    * metadata-sized driver work. */
+    * only the rows living in changed files (plus tombstone-intersecting
+    * carried files when deferred deletes moved); the manifest diff itself
+    * is metadata-sized driver work. */
   def changes(fromVersion: Int, toVersion: Int): DataFrame = {
     val mFrom = manifest(fromVersion)
     val mTo = manifest(toVersion)
     require(mFrom.keyCol == mTo.keyCol,
       s"key column changed between snapshots: ${mFrom.keyCol} vs ${mTo.keyCol}")
-    require(mFrom.tombstones.isEmpty && mTo.tombstones.isEmpty,
-      "change feed endpoints carry deferred deletes: compact() first — the " +
-        "manifest file diff cannot see through read-time tombstones")
     val keyCol = mTo.keyCol
     val fromPaths = mFrom.files.map(_.path).toSet
     val toPaths = mTo.files.map(_.path).toSet
     val removed = mFrom.files.filterNot(f => toPaths.contains(f.path))
     val added = mTo.files.filterNot(f => fromPaths.contains(f.path))
+    // keys newly tombstoned across the interval kill rows in CARRIED
+    // files — the file diff can't see those, so the carried files whose
+    // key range intersects a to-endpoint tombstone file's range join the
+    // scan (conservative metadata prune; keys revived mid-interval need
+    // no carried handling — their re-insert rewrote every covering file,
+    // so their rows live in ADDED files)
+    val tombRanges = mTo.tombstones.map(f => (f.minKey, f.maxKey))
+    // an interval that carried the tombstone files byte-identically (a
+    // merge of unrelated keys, a restore) added no dead keys — skip the
+    // carried scan on metadata alone
+    val tombsUnchanged =
+      mTo.tombstones.map(_.path) == mFrom.tombstones.map(_.path)
+    val tombCarried =
+      if (tombRanges.isEmpty || tombsUnchanged) Nil
+      else mTo.files.filter(f => fromPaths.contains(f.path) &&
+        tombRanges.exists { case (lo, hi) => f.maxKey >= lo && f.minKey <= hi })
     // merged-schema template over the CHANGED files (planning-time footer
     // reads only) — an interval that widened the schema feeds the widened
     // shape, with pre-evolution rows null in the new columns. An empty
     // diff types its empty feed from ONE file, not the whole table: the
     // feed's cost contract is proportional-to-change, footers included
     val templateFiles =
-      if (added.nonEmpty || removed.nonEmpty) added ++ removed
+      if (added.nonEmpty || removed.nonEmpty || tombCarried.nonEmpty)
+        added ++ removed ++ tombCarried
       else (mTo.files ++ mFrom.files).take(1)
     templateFiles.headOption match {
       case None => // table never held data: empty, minimally-typed feed
@@ -1108,15 +1180,20 @@ class LakeTable(spark: SparkSession, val root: String) {
           if (fsq.nonEmpty) readFiles(mTo, fsq, Some(schema))
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val tFrom = tombstoneKeys(mFrom)
+        val tTo = tombstoneKeys(mTo)
+        // an endpoint's effective rows: its files minus its dead keys
+        def effective(df: DataFrame, tk: Option[DataFrame]): DataFrame =
+          tk.fold(df)(t => df.join(t, Seq(keyCol), "left_anti"))
         val dataCols = schema.fieldNames.toSeq
-        val pre = load(removed).select(col(keyCol).as("_k"),
+        val pre = effective(load(removed), tFrom).select(col(keyCol).as("_k"),
           struct(dataCols.map(col): _*).as("_pre"))
-        val post = load(added).select(col(keyCol).as("_k"),
+        val post = effective(load(added), tTo).select(col(keyCol).as("_k"),
           struct(dataCols.map(col): _*).as("_post"))
         val j = pre.join(post, Seq("_k"), "full_outer")
           // rewritten-but-identical rows are not changes
           .filter(!(col("_pre") <=> col("_post")))
-        j.select(explode(
+        val base = j.select(explode(
             when(col("_pre").isNull,
               array(struct(col("_post").as("row"), lit("insert").as("ct"))))
             .when(col("_post").isNull,
@@ -1126,6 +1203,16 @@ class LakeTable(spark: SparkSession, val root: String) {
               struct(col("_post").as("row"), lit("update_postimage").as("ct"))))
           ).as("c"))
           .select(col("c.row.*"), col("c.ct").as("_change_type"))
+        if (tombCarried.isEmpty || tTo.isEmpty) base
+        else {
+          val newlyDead = tFrom.fold(tTo.get)(f =>
+            tTo.get.join(f, Seq(keyCol), "left_anti"))
+          val carriedDeletes = load(tombCarried)
+            .join(newlyDead, Seq(keyCol), "left_semi")
+            .select((dataCols.map(col) :+
+              lit("delete").as("_change_type")): _*)
+          base.unionByName(carriedDeletes)
+        }
     }
   }
 
@@ -1437,14 +1524,44 @@ class LakeTable(spark: SparkSession, val root: String) {
   def restoreWithRetry(version: Int, maxAttempts: Int = 3): MergeStats =
     withRetry(maxAttempts)(restore(version))
 
+  /** Outstanding-tombstone integration shared by the mutating verbs — the
+    * deletion-vector semantics open table formats apply inside every verb:
+    *
+    *  - rewritten (hit) files PHYSICALLY drop their tombstoned rows (the
+    *    rewrite is the cheapest moment to fold them);
+    *  - keys the verb re-introduces (merge updates / inserts) leave the
+    *    tombstone set, or the read-time anti-join would erase the fresh
+    *    row again. Safe because every file whose range covers such a key
+    *    is in the verb's hit set — the old physical rows are gone.
+    *
+    * Returns (tombstoneAdds, tombstoneRemoves, resolved tombstones) for
+    * the commit. `reintroduced` is the key set the verb writes fresh rows
+    * for (None = pure delete, tombstones stand). */
+  private def foldTombstones(m: Manifest, reintroduced: Option[DataFrame])
+      : (Seq[FileEntry], Seq[String], Seq[FileEntry]) =
+    (tombstoneKeys(m), reintroduced) match {
+      case (None, _) => (Nil, Nil, Nil)
+      case (Some(_), None) => (Nil, Nil, m.tombstones)
+      case (Some(tk), Some(keys)) =>
+        val k = keys.select(col(keys.columns.head).as(m.keyCol)).distinct()
+        // no collision → tombstone files carry byte-identically (and the
+        // change feed's carried-scan shortcut keeps recognizing them)
+        val collides =
+          tk.join(k, Seq(m.keyCol), "left_semi").limit(1).count() > 0
+        if (!collides) (Nil, Nil, m.tombstones)
+        else {
+          val surviving = tk.join(k, Seq(m.keyCol), "left_anti")
+          // empty survivors → writeDataFiles drops the empty part file
+          // and the table comes out CLEAN
+          val rewrittenTombs = writeDataFiles(surviving, m.keyCol, 1)
+          (rewrittenTombs, m.tombstones.map(_.path), rewrittenTombs)
+        }
+    }
+
   private def mergeTagged(updates: DataFrame, operation: String,
                           newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    require(m.tombstones.isEmpty,
-      "table carries deferred deletes (merge-on-read tombstones): compact() " +
-        "before merging — a rewrite cannot re-insert a tombstoned key, the " +
-        "read-time anti-join would erase it again")
     val keyCol = m.keyCol
     m.partitionCols.foreach(p => require(updates.columns.contains(p),
       s"merge updates into a table partitioned by '$p' must carry that column"))
@@ -1452,6 +1569,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     val updateRows = updates.count()
+    val tombKeys = tombstoneKeys(m)
     val rewritten =
       if (hit.isEmpty) updates
       else {
@@ -1459,7 +1577,10 @@ class LakeTable(spark: SparkSession, val root: String) {
         // (schema evolution) — survivors of rewritten files carry null for
         // columns only the updates have; carried-over files stay untouched
         // and read back null through the merged-schema scan
-        val hitDf = readFiles(m, hit.map(_._1))
+        val hitDf0 = readFiles(m, hit.map(_._1))
+        // outstanding deferred deletes fold physically into the rewrite
+        val hitDf = tombKeys.fold(hitDf0)(tk =>
+          hitDf0.join(tk, Seq(keyCol), "left_anti"))
         // widen, never narrow: updates missing table columns would silently
         // null them on every updated row (allowMissingColumns fills both
         // directions) — reject instead, loudly
@@ -1473,10 +1594,14 @@ class LakeTable(spark: SparkSession, val root: String) {
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
     val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
       partitionCols = m.partitionCols)
+    // merged keys must leave the tombstone set — their fresh rows would
+    // otherwise be erased by the read-time anti-join
+    val (tAdds, tRemoves, tombs) =
+      foldTombstones(m, Some(updates.select(col(keyCol))))
     commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
-      removes = hit.map(_._1.path), tombstoneAdds = Nil,
-      tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
+      removes = hit.map(_._1.path), tombstoneAdds = tAdds,
+      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
 
@@ -1503,8 +1628,6 @@ class LakeTable(spark: SparkSession, val root: String) {
                 newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    require(m.tombstones.isEmpty,
-      "table carries deferred deletes: compact() before a conditional merge")
     val keyCol = m.keyCol
     // materialize the source ONCE: the verb evaluates it several times
     // (file-hit probe, key checks, clause join, insert anti-join), and an
@@ -1530,7 +1653,16 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(cnts.getLong(2) == updateRows,
       "conditional merge requires one source row per key " +
         "(multiple matches make the result order-dependent)")
-    val hitDf = if (hit.isEmpty) None else Some(readFiles(m, hit.map(_._1)))
+    // outstanding deferred deletes fold physically into the rewrite AND
+    // make tombstoned target rows read as ABSENT for clause matching — a
+    // tombstoned source key is NOT MATCHED (its row is deleted) and
+    // re-inserts fresh
+    val hitDf = if (hit.isEmpty) None
+      else {
+        val h0 = readFiles(m, hit.map(_._1))
+        Some(tombstoneKeys(m).fold(h0)(tk =>
+          h0.join(tk, Seq(keyCol), "left_anti")))
+      }
     hitDf.foreach { h =>
       require(h.columns.sorted.sameElements(updates.columns.sorted),
         "conditional merge requires identical schemas " +
@@ -1565,10 +1697,15 @@ class LakeTable(spark: SparkSession, val root: String) {
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
     val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
       partitionCols = m.partitionCols)
+    // source keys leave the tombstone set: matched-updated and inserted
+    // keys get fresh rows; delete-claused and no-insert keys have had
+    // their physical rows dropped by the rewrite either way
+    val (tAdds, tRemoves, tombs) =
+      foldTombstones(m, Some(updates.select(col(keyCol))))
     commitAndIndex(Delta(v + 1, v, "merge-into", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
-      removes = hit.map(_._1.path), tombstoneAdds = Nil,
-      tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
+      removes = hit.map(_._1.path), tombstoneAdds = tAdds,
+      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
 
@@ -1638,25 +1775,29 @@ class LakeTable(spark: SparkSession, val root: String) {
   def delete(keys: DataFrame): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    require(m.tombstones.isEmpty,
-      "table carries deferred deletes: compact() before a COW delete, or " +
-        "keep using deleteDeferred until the next compaction")
     val keyCol = m.keyCol
     val hitIdx = hitFileIndexes(m, keys)
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+    val tombKeys = tombstoneKeys(m)
     val newFiles =
       if (hit.isEmpty) Seq.empty[FileEntry]
       else {
-        val hitDf = readFiles(m, hit.map(_._1))
+        val hitDf0 = readFiles(m, hit.map(_._1))
+        // outstanding deferred deletes fold physically into the rewrite;
+        // the tombstone entries stand for the files that carry over
+        val hitDf = tombKeys.fold(hitDf0)(tk =>
+          hitDf0.join(tk, Seq(keyCol), "left_anti"))
         val survivors = hitDf.join(
           keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")
         writeDataFiles(survivors, keyCol, math.max(1, hit.size), m.statsCols,
           partitionCols = m.partitionCols)
       }
+    // a pure delete re-introduces nothing: tombstones carry unchanged
+    val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
     commitAndIndex(Delta(v + 1, v, "delete", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
-      removes = hit.map(_._1.path), tombstoneAdds = Nil,
-      tombstoneRemoves = Nil), kept.map(_._1) ++ newFiles, Nil)
+      removes = hit.map(_._1.path), tombstoneAdds = tAdds,
+      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, 0L)
   }
 
@@ -1667,11 +1808,13 @@ class LakeTable(spark: SparkSession, val root: String) {
     * into a clean COW snapshot. At 100 TB this is the difference between
     * writing |keys| rows and rewriting every file an erasure request
     * touches — the GDPR fast path every table format grew deletion
-    * vectors for. Contract: while tombstones are outstanding,
-    * [[merge]]/[[delete]]/[[changes]] refuse loudly (a rewrite cannot
-    * re-insert a tombstoned key); compaction restores full function.
-    * Repeated deferred deletes stack — each commit appends its tombstone
-    * file. */
+    * vectors for. Every verb works THROUGH outstanding tombstones
+    * (deletion-vector semantics): [[merge]]/[[mergeInto]]/[[delete]]
+    * physically fold dead rows out of the files they rewrite and clear
+    * the tombstone entries of keys they re-introduce; [[changes]] diffs
+    * the effective (tombstone-applied) endpoint relations. [[compact]]
+    * folds everything into a clean snapshot. Repeated deferred deletes
+    * stack — each commit appends its tombstone file. */
   def deleteDeferred(keys: DataFrame): MergeStats = {
     val v = latestVersion
     val m = manifest(v)

@@ -26,8 +26,11 @@ import org.apache.spark.sql.types.StructType
   * scan builder and would bypass the prune rule.)
   *
   * Tombstoned snapshots (outstanding [[LakeTable.deleteDeferred]]) refuse
-  * loudly — a BaseRelation cannot carry the read-time anti-join; compact
-  * first. Same contract as merge/changes under tombstones.
+  * loudly — a V1 BaseRelation is just a file relation and cannot carry
+  * the read-time anti-join, and silently resurrecting deleted rows is
+  * worse than refusing. (The API read, the table functions, and the
+  * change feed all apply tombstones; this is the one surface that
+  * structurally cannot.) Compact first.
   *
   * The STREAMING half (`spark.readStream.format("graft-lake")`) serves the
   * change feed with per-commit micro-batches — see

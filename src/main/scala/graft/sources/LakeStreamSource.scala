@@ -22,18 +22,18 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * CDF vocabulary) + `_commit_version` (which commit produced the row).
   *
   * Merge-on-read versions (outstanding `deleteDeferred` tombstones) are
-  * BRIDGED, not fatal and not lossy: a file-diff feed cannot see through
-  * read-time tombstones, so the offset simply waits at the last clean
-  * version and the folding compact's span diffs ACROSS the tombstone
-  * commits — the deferred delete's net effect arrives exactly once, with
-  * the compact. (`LakeTable.changes` refuses the same endpoints loudly;
-  * a streaming query must instead survive a deferred delete landing on
-  * the table it tails.) Vacuumed stretches skip until both endpoints
-  * exist again.
+  * first-class: `LakeTable.changes` diffs the EFFECTIVE (tombstone-
+  * applied) endpoint relations, so a deferred delete's events arrive
+  * with the deferred-delete commit itself — correct per-commit
+  * attribution, no waiting for the folding compact (the deletion-vector
+  * CDF shape). Vacuumed stretches are bridged: the next retained
+  * version's span diffs across them.
   *
   * Scale shape: per micro-batch, the plan reads only files added/removed
-  * by the covered commits (the manifest diff), so a quiet 100 TB table
-  * streams for free and a busy one pays proportional-to-change. */
+  * by the covered commits (the manifest diff, plus tombstone-range-
+  * intersecting carried files when a deferred delete landed), so a quiet
+  * 100 TB table streams for free and a busy one pays
+  * proportional-to-change. */
 class LakeChangeFeedSource(sqlContext: SQLContext,
                            parameters: Map[String, String]) extends Source {
 
@@ -54,65 +54,46 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     case other => other.json.trim.toInt
   }
 
-  private def isClean(v: Int): Boolean =
-    table.hasVersion(v) && table.manifest(v).tombstones.isEmpty
-
-  /** Offsets only ever land on CLEAN (tombstone-free) versions: a span
-    * ending in a merge-on-read version cannot serve a file-diff feed, so
-    * the offset waits there and the folding compact advances it — the
-    * deferred delete's net effect arrives with the compact's span instead
-    * of being silently dropped between two skipped hops. */
   override def getOffset: Option[Offset] = {
     val latest = table.latestVersion
-    (latest to startingVersion by -1).find(isClean)
-      .map(v => LongOffset(v.toLong))
+    if (latest >= startingVersion) Some(LongOffset(latest.toLong)) else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion - 1)
     val to = ver(end)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    // per-commit micro-spans over the clean versions in (from, to]; MOR
-    // versions in between are BRIDGED (the next clean span diffs across
-    // them), vacuumed stretches skip until both endpoints exist again.
-    // COMMITTED offsets are always clean (getOffset's contract), but the
-    // INITIAL from can land on a tombstoned version (default
-    // startingVersion−1 when the table's latest commit is a deferred
-    // delete): anchor at the nearest clean version at or below it, so the
-    // folding compact's first span still delivers those deletes instead
-    // of silently dropping them
-    var lastClean =
-      if (from < 0 || isClean(from)) from
-      else (from to 0 by -1).find(isClean).getOrElse(
-        // no clean version at or below the anchor exists (vacuum took the
-        // history): anchoring AT `from` would silently drop every change
-        // up to the first clean version — fail loudly instead; restart
-        // with a startingVersion inside retained history
+    // per-commit micro-spans over the RETAINED versions in (from, to] —
+    // tombstoned (merge-on-read) versions serve their own feed (changes
+    // is tombstone-aware); vacuumed stretches are bridged by the next
+    // retained version's span. The INITIAL from can itself be vacuumed:
+    // anchor at the nearest retained version at or below it, failing
+    // loudly when none exists (a silent anchor would drop the span up to
+    // the first retained version).
+    var anchor =
+      if (from < 0 || table.hasVersion(from)) from
+      else (from to 0 by -1).find(table.hasVersion).getOrElse(
         throw new IllegalStateException(
-          s"lake stream at $root: no clean (tombstone-free) version exists " +
-            s"at or below offset $from — history below it was vacuumed; " +
-            "restart the stream with a startingVersion inside retained " +
-            "history (a silent anchor here would drop the span up to the " +
-            "first clean version)"))
+          s"lake stream at $root: no version exists at or below offset " +
+            s"$from — history below it was vacuumed; restart the stream " +
+            "with a startingVersion inside retained history"))
     ((from + 1) to to).foreach { v =>
-      if (isClean(v)) {
-        if (lastClean < 0 || isClean(lastClean)) {
-          val f = table.changes(math.max(lastClean, 0), v)
-          // v0 (create) has no parent: diff against itself emits nothing,
-          // matching "the create commit emits nothing" — unless the caller
-          // asked to replay from v0, where changes(0, v) IS the history
-          // align to the FIXED stream schema: columns this span's files
-          // don't know yet (pre-evolution intervals) become typed nulls
-          val aligned = schema.fields.map { fld =>
-            if (fld.name == "_commit_version")
-              lit(v).cast(fld.dataType).as(fld.name)
-            else if (f.columns.contains(fld.name))
-              col(fld.name).cast(fld.dataType).as(fld.name)
-            else lit(null).cast(fld.dataType).as(fld.name)
-          }
-          parts += f.select(aligned.toSeq: _*)
+      if (table.hasVersion(v)) {
+        val f = table.changes(math.max(anchor, 0), v)
+        // v0 (create) has no parent: diff against itself emits nothing,
+        // matching "the create commit emits nothing" — unless the caller
+        // asked to replay from v0, where changes(0, v) IS the history
+        // align to the FIXED stream schema: columns this span's files
+        // don't know yet (pre-evolution intervals) become typed nulls
+        val aligned = schema.fields.map { fld =>
+          if (fld.name == "_commit_version")
+            lit(v).cast(fld.dataType).as(fld.name)
+          else if (f.columns.contains(fld.name))
+            col(fld.name).cast(fld.dataType).as(fld.name)
+          else lit(null).cast(fld.dataType).as(fld.name)
         }
-        lastClean = v
+        parts += f.select(aligned.toSeq: _*)
+        anchor = v
       }
     }
     val batch =

@@ -372,14 +372,13 @@ object StreamingOps {
     * parent and emits nothing.
     *
     * MERGE-ON-READ versions (outstanding deferred-delete tombstones) are
-    * BRIDGED, not fatal and not lossy: a file-diff feed cannot see through
-    * read-time tombstones, so a tombstoned version delivers nothing itself
-    * and the NEXT clean version's feed diffs from the nearest clean parent
-    * ACROSS the tombstone commits — the deferred delete's net effect
-    * arrives exactly once, with the folding compact's span (the same
-    * bridging contract as [[graft.sources.LakeChangeFeedSource]]). The
-    * anchor is recomputed from the manifest chain per version, so a
-    * restart mid-MOR-stretch bridges identically.
+    * first-class: `changes` is tombstone-aware, so a deferred delete's
+    * events arrive with the deferred-delete commit itself — correct
+    * per-commit attribution (the deletion-vector CDF shape), same
+    * contract as [[graft.sources.LakeChangeFeedSource]]. VACUUMED
+    * stretches are bridged: the next retained version's span diffs across
+    * them, with the anchor recomputed from the manifest chain per
+    * version, so a restart mid-stretch bridges identically.
     *
     * Prefer `spark.readStream.format("graft-lake").load(root)`
     * ([[graft.sources.LakeChangeFeedSource]]) for new code — same feed,
@@ -402,15 +401,13 @@ object StreamingOps {
           .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName)
           .filter(_.matches("v\\d{5}\\.json"))
           .map(_.substring(1, 6).toInt).sorted
-        def isClean(w: Int): Boolean =
-          table.hasVersion(w) && table.manifest(w).tombstones.isEmpty
         versions.filter(_ > 0).foreach { v =>
-          if (isClean(v)) {
-            // nearest clean version at or below v-1: a clean parent is the
-            // common case (one manifest read); a MOR/vacuumed stretch is
-            // bridged by diffing across it. No anchor at all means history
-            // below v was vacuumed wholesale — skip (documented contract).
-            (v - 1 to 0 by -1).find(isClean)
+          if (table.hasVersion(v)) {
+            // nearest retained version at or below v-1: the direct parent
+            // is the common case; a vacuumed stretch is bridged by
+            // diffing across it. No anchor at all means history below v
+            // was vacuumed wholesale — skip (documented contract).
+            (v - 1 to 0 by -1).find(table.hasVersion)
               .foreach(a => applyFeed(v, table.changes(a, v)))
           }
         }

@@ -162,22 +162,58 @@ class LakeSpec extends SparkTestBase {
     t.deleteDeferred(Seq(50L).toDF("k"))
     t.manifest(2).tombstones should have size 2
     t.read().count() shouldBe 58L
-    // merge / COW delete / change feed refuse while tombstones stand
-    intercept[IllegalArgumentException] {
-      t.merge(Seq((5L, "X", "U")).toDF("k", "payload", "status"))
-    }
-    intercept[IllegalArgumentException] { t.delete(Seq(60L).toDF("k")) }
-    intercept[IllegalArgumentException] { t.changes(0, 2) }
-    // compaction folds tombstones into a clean snapshot; function restored
+    // the change feed sees THROUGH tombstoned endpoints: every dead key
+    // emits a delete — including ones whose physical rows sit in files
+    // the interval carried by reference
+    val feed = t.changes(0, 2)
+    feed.filter(col("_change_type") === "delete").count() shouldBe 32L
+    feed.count() shouldBe 32L
+    // compaction folds tombstones into a clean snapshot
     t.compact(2)
     t.manifest(3).tombstones shouldBe empty
     t.read().count() shouldBe 58L
-    // a tombstoned key can re-insert after the fold
-    t.merge(Seq((5L, "BACK5", "U")).toDF("k", "payload", "status"))
-    rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "BACK5", "U"))
     // earlier snapshots still read with their own tombstone view
     t.snapshot(1).count() shouldBe 59L
     t.snapshot(0).count() shouldBe 90L
+  }
+
+  test("verbs work THROUGH outstanding tombstones (deletion-vector semantics)") {
+    val t = mkTable()
+    t.deleteDeferred(((1L to 30L) :+ 45L).toDF("k")) // v1: 59 live rows
+    // MERGE through tombstones: key 5 (dead) revives, key 35 (alive)
+    // updates, key 95 (new) inserts — and only key 5 leaves the
+    // tombstone set
+    t.merge(Seq((5L, "BACK5", "U"), (35L, "U35", "U"), (95L, "I95", "U"))
+      .toDF("k", "payload", "status"))
+    t.read().count() shouldBe 61L // 59 + revived 5 + inserted 95
+    rows(t.read().filter(col("k").isin(5L, 35L, 95L))
+      .select("k", "payload").orderBy("k")) shouldBe
+      Seq(Seq(5L, "BACK5"), Seq(35L, "U35"), Seq(95L, "I95"))
+    t.read().filter(col("k") === 7L).count() shouldBe 0L // still dead
+    // rewritten files physically dropped their dead rows; the tombstone
+    // set shed exactly the revived key
+    val m2 = t.manifest(t.latestVersion)
+    m2.tombstones should not be empty
+    // COW delete through tombstones: deleting a live key works, the
+    // remaining dead keys stay dead
+    t.delete(Seq(60L).toDF("k"))
+    t.read().count() shouldBe 60L
+    t.read().filter(col("k") === 45L).count() shouldBe 0L
+    // conditional merge through tombstones: a dead key is NOT MATCHED
+    // (its row is deleted) and re-inserts fresh
+    t.mergeInto(Seq((7L, "BACK7", "U")).toDF("k", "payload", "status"))
+    rows(t.read().filter(col("k") === 7L)) shouldBe Seq(Seq(7L, "BACK7", "U"))
+    t.read().count() shouldBe 61L
+    // a no-insert conditional merge on a dead key changes nothing visible
+    t.mergeInto(Seq((8L, "NOPE", "U")).toDF("k", "payload", "status"),
+      whenNotMatchedInsert = false)
+    t.read().filter(col("k") === 8L).count() shouldBe 0L
+    t.read().count() shouldBe 61L
+    // the final fold still reaches a clean identical-reading snapshot
+    val before = rows(t.read().orderBy("k"))
+    t.compact(2)
+    t.manifest(t.latestVersion).tombstones shouldBe empty
+    rows(t.read().orderBy("k")) shouldBe before
   }
 
   test("delete of every row leaves a valid empty snapshot") {
@@ -418,14 +454,23 @@ class LakeSpec extends SparkTestBase {
         .filter(col("n") > 0L)
     }
     var stepped = mvOf(t.snapshot(0)).localCheckpoint()
-    (1 to 5).foreach { round =>
-      if (rnd.nextBoolean()) {
-        val ks = Seq.fill(1 + rnd.nextInt(20))(1L + rnd.nextInt(120)).distinct
-        t.merge(ks.map(k => (k, s"r$round-$k", s"S${rnd.nextInt(3)}"))
-          .toDF("k", "payload", "status"))
-      } else {
-        val ks = Seq.fill(1 + rnd.nextInt(30))(1L + rnd.nextInt(120)).distinct
-        t.delete(ks.toDF("k"))
+    (1 to 8).foreach { round =>
+      // mixed verb walk INCLUDING merge-on-read deletes and folds — every
+      // verb now works through outstanding tombstones, and the feed must
+      // stay fold-exact across tombstoned endpoints too
+      rnd.nextInt(5) match {
+        case 0 | 1 =>
+          val ks = Seq.fill(1 + rnd.nextInt(20))(1L + rnd.nextInt(120)).distinct
+          t.merge(ks.map(k => (k, s"r$round-$k", s"S${rnd.nextInt(3)}"))
+            .toDF("k", "payload", "status"))
+        case 2 =>
+          val ks = Seq.fill(1 + rnd.nextInt(30))(1L + rnd.nextInt(120)).distinct
+          t.delete(ks.toDF("k"))
+        case 3 =>
+          val ks = Seq.fill(1 + rnd.nextInt(15))(1L + rnd.nextInt(120)).distinct
+          t.deleteDeferred(ks.toDF("k"))
+        case 4 =>
+          t.compact(1 + rnd.nextInt(3))
       }
       val v = t.latestVersion
       stepped = fold(stepped, t.changes(v - 1, v)).localCheckpoint()

@@ -315,7 +315,7 @@ class StreamingSpec extends SparkTestBase {
     seen(2)._2 shouldBe Seq(Seq(2L, "v2", "A", "delete"))
   }
 
-  test("graft-lake stream FORMAT: per-commit batches, exactly-once restart, MOR bridging") {
+  test("graft-lake stream FORMAT: per-commit batches, exactly-once restart, MOR delivery") {
     // the change feed as a first-class source — readStream.format, engine-
     // managed offsets (versions), restart from the checkpoint replays
     // nothing and skips nothing
@@ -352,14 +352,15 @@ class StreamingSpec extends SparkTestBase {
     table.deleteDeferred(Seq(3L).toDF("k"))                          // v4 (MOR)
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
-    // v4 carries tombstones: the offset WAITS at v3 — only v3 delivered
-    sunk().filter(_._4 >= 3) shouldBe Seq((2L, "v2", "delete", 3))
-    // the folding compact advances the offset; its span bridges v4 and
-    // delivers the deferred delete's net effect exactly once
+    // the tombstone-aware feed delivers the deferred delete WITH its own
+    // commit (per-commit attribution) — no waiting for a compact
+    sunk().filter(_._4 >= 3) shouldBe Seq(
+      (2L, "v2", "delete", 3), (3L, "v3", "delete", 4))
+    // the folding compact changes nothing effective: empty span
     table.compact(1)                                                 // v5
     val q3 = start()
     try q3.processAllAvailable() finally q3.stop()
-    sunk().filter(_._4 >= 4) shouldBe Seq((3L, "v3", "delete", 5))
+    sunk().filter(_._4 >= 5) shouldBe Seq.empty
     // nothing ever delivered twice (k, change_type, version) — and the
     // final table state equals base minus the two deletes plus the merges
     sunk().size shouldBe sunk().distinct.size
@@ -367,33 +368,41 @@ class StreamingSpec extends SparkTestBase {
       Seq(1L, "U1", "U"), Seq(9L, "I9", "I"))
   }
 
-  test("graft-lake stream starting ON a tombstoned latest still delivers the deletes") {
-    // regression: the initial offset (startingVersion − 1) can land on a
-    // merge-on-read commit; the first clean span must anchor BELOW it so
-    // the folding compact delivers the deferred deletes instead of
-    // silently bridging past them
+  test("graft-lake stream delivers a deferred delete with its OWN commit") {
+    // per-commit attribution: a deferred-delete commit serves its delete
+    // events itself (the tombstone-aware feed), and a startingVersion
+    // ABOVE it correctly excludes them — the commit happened before the
+    // requested range, exactly like any other excluded commit
     val base = Seq((1L, "v1"), (2L, "v2"), (3L, "v3")).toDF("k", "payload")
     val table = graft.sources.Lake.create(spark,
       graft.sources.Lake.freshRoot(), base, "k", 1)
     table.deleteDeferred(Seq(2L).toDF("k")) // v1 (MOR) — latest at start
     val ckpt = java.nio.file.Files.createTempDirectory("graft-morstart-ckpt").toString
     val sinkDir = java.nio.file.Files.createTempDirectory("graft-morstart-out").toString
-    // startingVersion pinned at 2: the initial from-offset is v1, the
-    // tombstoned commit (the default latest+1 re-derives per source
-    // instantiation until a first batch commits — standard CDC-tail shape)
-    def start() = spark.readStream.format("graft-lake")
-      .option("startingVersion", "2").load(table.root)
-      .writeStream.format("parquet").option("path", sinkDir)
-      .option("checkpointLocation", ckpt).outputMode("append").start()
-    val q1 = start()
-    try q1.processAllAvailable() finally q1.stop() // no clean commit yet
-    table.compact(1) // v2 folds the tombstone
-    val q2 = start()
-    try q2.processAllAvailable() finally q2.stop()
-    val got = spark.read.parquet(sinkDir)
+    def start(fromV: String, cp: String, out: String) =
+      spark.readStream.format("graft-lake")
+        .option("startingVersion", fromV).load(table.root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp).outputMode("append").start()
+    // replaying from v1 delivers the delete AT v1
+    val q1 = start("1", ckpt, sinkDir)
+    try q1.processAllAvailable() finally q1.stop()
+    def got(dir: String) = spark.read.parquet(dir)
       .select("k", "_change_type", "_commit_version").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
-    got shouldBe Seq((2L, "delete", 2))
+    got(sinkDir) shouldBe Seq((2L, "delete", 1))
+    // the folding compact (v2) changes nothing effective: empty span
+    table.compact(1)
+    val q2 = start("1", ckpt, sinkDir)
+    try q2.processAllAvailable() finally q2.stop()
+    got(sinkDir) shouldBe Seq((2L, "delete", 1))
+    // a fresh stream from v2 sees only the (empty) compact span — v1's
+    // delete predates the requested range
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-morstart-ckpt2").toString
+    val sink2 = java.nio.file.Files.createTempDirectory("graft-morstart-out2").toString
+    val q3 = start("2", ckpt2, sink2)
+    try q3.processAllAvailable() finally q3.stop()
+    got(sink2) shouldBe Seq.empty
   }
 
   test("readEventsStream repairs the nanos timestamp and feeds the window agg") {
@@ -620,7 +629,7 @@ class StreamingSpec extends SparkTestBase {
       }
     } finally q.stop()
   }
-  test("lakeChangesStream bridges deferred-delete (MOR) commits losslessly") {
+  test("lakeChangesStream delivers deferred-delete (MOR) commits losslessly") {
     val base = Seq((1L, "v1", "A"), (2L, "v2", "A"), (3L, "v3", "A"))
       .toDF("k", "payload", "status")
     val table = graft.sources.Lake.create(spark,
@@ -633,21 +642,24 @@ class StreamingSpec extends SparkTestBase {
       }
       ()
     }
-    // v1 clean merge; v2 deferred delete (tombstone-only — no file-diff
-    // feed exists for it); v3 folding compact. The deferred delete's net
-    // effect must arrive with v3's bridged span changes(1, 3) — the bug
-    // class where BOTH v2 and v3 get skipped (v3's parent carries
-    // tombstones) silently diverges any replica maintained via applyFeed
+    // v1 clean merge; v2 deferred delete (tombstone-only — zero data
+    // files change); v3 folding compact. The tombstone-aware feed
+    // delivers the delete WITH the deferred-delete commit (per-commit
+    // attribution), and the compact — whose fold changes nothing
+    // effective — delivers an empty span. The bug class where the
+    // delete's events never arrive at all (both v2 and v3 skipped as MOR
+    // spans) silently diverged any replica maintained via applyFeed.
     table.merge(Seq((1L, "U1", "U")).toDF("k", "payload", "status"))
     table.deleteDeferred(Seq(2L).toDF("k"))
     table.compact(1)
     val q = start()
     try q.processAllAvailable() finally q.stop()
-    seen.map(_._1).toSeq shouldBe Seq(1, 3)
+    seen.map(_._1).toSeq shouldBe Seq(1, 2, 3)
     seen(0)._2 shouldBe Seq(
       Seq(1L, "U1", "U", "update_postimage"),
       Seq(1L, "v1", "A", "update_preimage"))
     seen(1)._2 shouldBe Seq(Seq(2L, "v2", "A", "delete"))
+    seen(2)._2 shouldBe Seq.empty
     // a replica folded from the feed now equals the table — the
     // applyFeed-divergence scenario, closed
     table.read().count() shouldBe 2L
