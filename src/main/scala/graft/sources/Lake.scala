@@ -429,7 +429,85 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: the full MERGE INTO clause matrix through PURE SQL —
+    * the injected parser surface ([[org.apache.spark.sql.graft.GraftSqlParser]])
+    * driving the same conditional-merge scenario as
+    * [[lakeMergeConditional]], same oracle: matched-cheap DELETE,
+    * matched-expensive UPDATE SET *, carry in between, INSERT * for new
+    * keys. */
+  def lakeSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    val hits = o.filter(col("o_orderkey") % 100 === 0)
+    hits.withColumn("o_orderpriority", lit("0-UPDATED"))
+      .unionByName(hits
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderpriority", lit("9-INSERTED")))
+      .createOrReplaceTempView("lake_sql_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft_lake('${t.root}') AS tgt
+         |USING lake_sql_merge_src AS src
+         |ON tgt.o_orderkey = src.o_orderkey
+         |WHEN MATCHED AND tgt.o_totalprice < 100000.0 THEN DELETE
+         |WHEN MATCHED AND tgt.o_totalprice >= 200000.0 THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Gated lane: SQL UPDATE — a targeted COW rewrite from a plain
+    * `UPDATE graft_lake(…) SET … WHERE …` statement; only the files
+    * holding matching keys rewrite. */
+  def lakeSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    spark.sql(
+      s"""UPDATE graft_lake('${t.root}')
+         |SET o_orderpriority = '0-UPDATED'
+         |WHERE o_orderkey % 100 = 0""".stripMargin).collect()
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Gated lane: SQL DELETE over a NON-KEY predicate — the statement
+    * derives the matching keys from one scan, then the key-based COW
+    * delete rewrites only their files. */
+  def lakeSqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    spark.sql(
+      s"DELETE FROM graft_lake('${t.root}') WHERE o_totalprice < 50000.0")
+      .collect()
+    t.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Gated lane: SQL table maintenance — OPTIMIZE … SORT BY re-clusters
+    * the table on the priority string (string file stats engage), VACUUM
+    * RETAIN drops the pre-optimize snapshot, and the relation still
+    * aggregates exactly like the raw table. */
+  def lakeSqlMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    spark.sql(
+      s"""OPTIMIZE graft_lake('${t.root}') FILES 8
+         |SORT BY (o_orderpriority)""".stripMargin).collect()
+    spark.sql(s"VACUUM graft_lake('${t.root}') RETAIN 1 VERSIONS").collect()
+    t.read()
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sql_merge" -> (lakeSqlMerge _),
+    "lake_sql_update" -> (lakeSqlUpdate _),
+    "lake_sql_delete" -> (lakeSqlDelete _),
+    "lake_sql_maintenance" -> (lakeSqlMaintenance _),
     "lake_merge_conditional" -> (lakeMergeConditional _),
     "lake_string_pruning" -> (lakeStringPruning _),
     "lake_sql_time_travel" -> (lakeSqlTimeTravel _),
@@ -447,6 +525,36 @@ object Lake {
     "lake_mor_changes" -> (lakeMorChanges _))
 
   val oracle: Map[String, String] = Map(
+    "lake_sql_merge" ->
+      """WITH merged AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 AND o_totalprice >= 200000
+        |              THEN '0-UPDATED' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 100 = 0 AND o_totalprice < 100000)
+        |  UNION ALL
+        |  SELECT '9-INSERTED' FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_update" ->
+      """SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_delete" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_totalprice >= 50000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_maintenance" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_merge_conditional" ->
       """WITH merged AS (
         |  SELECT CASE WHEN o_orderkey % 100 = 0 AND o_totalprice >= 200000
@@ -1709,6 +1817,65 @@ class LakeTable(spark: SparkSession, val root: String) {
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
 
+  /** UPDATE … SET … WHERE — the targeted COW rewrite behind the SQL
+    * `UPDATE graft_lake('root') SET c = e WHERE p` surface: one
+    * tombstone-applied scan finds the KEYS whose rows satisfy the
+    * predicate (manifest pruning applies when the predicate allows), only
+    * the files holding them rewrite, and every assignment evaluates
+    * against the OLD row (`withColumns` is simultaneous, the SQL UPDATE
+    * contract). The merge key cannot be assigned — re-keying is a
+    * delete + insert, i.e. MERGE. A predicate hitting nothing commits
+    * nothing and returns the current version's stats. */
+  def update(condition: org.apache.spark.sql.Column,
+             sets: Seq[(String, org.apache.spark.sql.Column)]): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val keyCol = m.keyCol
+    require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    sets.foreach { case (c, _) =>
+      require(!c.equalsIgnoreCase(keyCol),
+        s"cannot assign the merge key '$keyCol' in UPDATE — re-keying is a " +
+          "DELETE + INSERT (use MERGE)")
+    }
+    val keys = snapshot(v).filter(condition).select(keyCol)
+    val hitIdx = hitFileIndexes(m, keys)
+    val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+    if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
+    val updateRows = keys.count()
+    val hitDf0 = readFiles(m, hit.map(_._1))
+    val hitDf = tombstoneKeys(m).fold(hitDf0)(tk =>
+      hitDf0.join(tk, Seq(keyCol), "left_anti"))
+    require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
+      "UPDATE assigns a column more than once")
+    // one simultaneous projection: every RHS evaluates against the OLD row
+    val rewritten = hitDf.withColumns(
+      sets.map { case (c, e) => c -> when(condition, e).otherwise(col(c)) }.toMap)
+    val newFiles = writeDataFiles(rewritten, keyCol, math.max(1, hit.size),
+      m.statsCols, partitionCols = m.partitionCols)
+    val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
+    commitAndIndex(Delta(v + 1, v, "update", keyCol, m.statsCols,
+      m.partitionCols, full = false, adds = newFiles,
+      removes = hit.map(_._1.path), tombstoneAdds = tAdds,
+      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs)
+    MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
+  }
+
+  def updateWithRetry(condition: org.apache.spark.sql.Column,
+                      sets: Seq[(String, org.apache.spark.sql.Column)],
+                      maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(update(condition, sets))
+
+  /** DELETE … WHERE over an arbitrary predicate — the SQL `DELETE FROM`
+    * surface: one tombstone-applied scan derives the matching KEYS, then
+    * the ordinary key-based COW [[delete]] rewrites only their files. */
+  def deleteWhere(condition: org.apache.spark.sql.Column): MergeStats =
+    delete(read().filter(condition)
+      .select(manifest(latestVersion).keyCol))
+
+  def deleteWhereWithRetry(condition: org.apache.spark.sql.Column,
+                           maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(deleteWhere(condition))
+
   def mergeIntoWithRetry(updates: DataFrame,
                          whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
                          whenMatchedUpdateIf: Option[org.apache.spark.sql.Column] = None,
@@ -1931,6 +2098,18 @@ class LakeTable(spark: SparkSession, val root: String) {
     * degrade — z-order a table that is read by (c1, c2) far more often
     * than it is merged by key. Folds any outstanding tombstones, like
     * [[compact]]. */
+  /** One z-order dimension as a LONG clustering value: numeric/date/
+    * timestamp columns through [[Lake.statLong]] (range locality — box
+    * predicates prune), STRING columns through a 63-bit hash (equality
+    * locality only: identical values co-cluster and the per-file
+    * truncated-string bounds prune equality predicates; string RANGES
+    * don't survive hashing and never prune through this layout). */
+  private def zDim(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.StringType => abs(xxhash64(col(c)))
+      case _ => Lake.statLong(df, c)
+    }
+
   def compactZOrder(numFiles: Int, c1: String, c2: String): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
@@ -1938,14 +2117,45 @@ class LakeTable(spark: SparkSession, val root: String) {
       "OPTIMIZE ZORDER on a hive-partitioned table is not supported: " +
         "pick one layout verb per table (partition dirs or z-clustering)")
     val statsCols = (m.statsCols ++ Seq(c1, c2)).distinct
+    val snap = read()
     val z = org.apache.spark.sql.graft.ZValue.zvalue(
-      col(c1).cast("long"), col(c2).cast("long"))
-    val newFiles = writeDataFiles(read(), m.keyCol, numFiles, statsCols, Some(z))
+      zDim(snap, c1), zDim(snap, c2))
+    val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols, Some(z))
     commitAndIndex(Delta(v + 1, v, "optimize-zorder", m.keyCol, statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
+
+  /** OPTIMIZE ZORDER over n ≥ 2 columns — [[compactZOrder]] generalized
+    * via the n-ary Morton expression (`ZValueN`): bit j of dimension i
+    * lands at position j·n + i, every named column joins the stats set,
+    * and [[LakeManifestPrune]] skips files for n-D box predicates. The
+    * same deliberate trade as 2-D: per-file ranges of the merge key (and
+    * of each dimension, as n grows) widen — more dimensions each prune
+    * more weakly. */
+  def compactZOrderN(numFiles: Int, cols: Seq[String]): MergeStats = {
+    require(cols.size >= 2, "ZORDER needs at least two columns")
+    val v = latestVersion
+    val m = manifest(v)
+    require(m.partitionCols.isEmpty,
+      "OPTIMIZE ZORDER on a hive-partitioned table is not supported: " +
+        "pick one layout verb per table (partition dirs or z-clustering)")
+    val statsCols = (m.statsCols ++ cols).distinct
+    val snap = read()
+    val z = org.apache.spark.sql.graft.ZValue.zvalueN(
+      cols.map(c => zDim(snap, c)))
+    val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols, Some(z))
+    commitAndIndex(Delta(v + 1, v, s"optimize-zorder-${cols.size}d",
+      m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil),
+      newFiles, Nil)
+    MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
+  }
+
+  def compactZOrderNWithRetry(numFiles: Int, cols: Seq[String],
+                              maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(compactZOrderN(numFiles, cols))
 
   /** Retention vacuum: drop all but the newest `retainVersions` manifests
     * and physically delete every data file referenced ONLY by the dropped

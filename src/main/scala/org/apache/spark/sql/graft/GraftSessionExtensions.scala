@@ -43,9 +43,14 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     // manifest at analysis time and returns the snapshot/feed's analyzed
     // plan — an ordinary parquet LogicalRelation (+ the feed's diff
     // operators), so manifest pruning and parquet pushdown keep applying.
-    // MERGE/DELETE/OPTIMIZE remain API+CLI verbs: Spark's parser owns the
-    // MERGE INTO grammar and routes it to DSv2 tables only, so a SQL DML
-    // surface would need a forked parser — documented gap, not a seam.
+    //
+    // The WRITE path is SQL too: the injected parser intercepts
+    // MERGE INTO / UPDATE / DELETE FROM / OPTIMIZE / VACUUM statements
+    // targeting graft_lake('<root>') and routes them to the LakeTable
+    // verbs, delegating every other statement to the default parser —
+    // see GraftSqlParser for the exact grammar. (Spark's own MERGE
+    // grammar routes to DSv2 tables only, hence the parser seam.)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_lake_at"),
       new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,

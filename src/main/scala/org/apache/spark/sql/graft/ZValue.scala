@@ -60,8 +60,86 @@ object ZValue {
   /** 62-bit Morton code: a's bits at even positions, b's at odd. */
   def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
 
+  /** n-dimensional Morton code: bit j of dimension i lands at position
+    * j·n + i — each of the n dimensions contributes its low ⌊63/n⌋ bits
+    * (n = 2 reproduces [[interleave]] bit-for-bit, which the spec pins).
+    * A loop, not a mask ladder: n is data-independent and tiny, and the
+    * JIT unrolls it — still one straight-line kernel per row. */
+  def interleaveN(vs: Array[Long]): Long = {
+    val n = vs.length
+    val bitsPer = 63 / n
+    var out = 0L
+    var i = 0
+    while (i < n) {
+      val v = vs(i) & ((1L << bitsPer) - 1L)
+      var j = 0
+      while (j < bitsPer) {
+        out |= ((v >> j) & 1L) << (j * n + i)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Column-API bridge. */
   def zvalue(a: Column, b: Column): Column =
     ExpressionUtils.column(ZValue(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-API bridge, n dimensions (2 ≡ [[zvalue]] bit-for-bit). */
+  def zvalueN(cols: Seq[Column]): Column =
+    ExpressionUtils.column(ZValueN(cols.map(ExpressionUtils.expression)))
+}
+
+/** n-ary Morton interleave — [[ZValue]] generalized to any number of
+  * dimensions (Delta's `OPTIMIZE … ZORDER BY (c1, …, cn)` shape). Same
+  * codegen discipline: children evaluate inline, the interleave is one
+  * static straight-line call. */
+case class ZValueN(children: Seq[Expression])
+    extends Expression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(children.size)(LongType)
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = children.exists(_.nullable)
+
+  override def prettyName: String = "graft_zvalue_n"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val arr = new Array[Long](children.size)
+    var i = 0
+    while (i < arr.length) {
+      val v = children(i).eval(input)
+      if (v == null) return null
+      arr(i) = v.asInstanceOf[Long]
+      i += 1
+    }
+    ZValue.interleaveN(arr)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val gens = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val anyNull = gens.map(_.isNull.toString).mkString(" || ")
+    val fills = gens.zipWithIndex
+      .map { case (g, i) => s"$arr[$i] = ${g.value};" }.mkString("\n")
+    val childCode = gens.map(_.code).reduce(_ + _)
+    ev.copy(code = code"""
+      $childCode
+      boolean ${ev.isNull} = $anyNull;
+      long ${ev.value} = -1L;
+      if (!${ev.isNull}) {
+        long[] $arr = new long[${children.size}];
+        $fills
+        ${ev.value} = org.apache.spark.sql.graft.ZValue.interleaveN($arr);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(children = newChildren)
 }

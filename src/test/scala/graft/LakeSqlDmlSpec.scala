@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.Lake
+
+/** The SQL write path for lake tables (GraftSqlParser via injectParser):
+  * MERGE INTO / UPDATE / DELETE FROM / OPTIMIZE / VACUUM over
+  * graft_lake('<root>'), the clause matrix, alias handling, delegation of
+  * every non-lake statement, and the refusal surface. */
+class LakeSqlDmlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = GraftSession.tune(SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new org.apache.spark.sql.graft.GraftSessionExtensions))
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  private def mkTable(s: SparkSession) = {
+    import s.implicits._
+    val df = (1L to 90L).map(k => (k, s"val$k", "A", k * 10.0))
+      .toDF("k", "payload", "status", "amount")
+    Lake.create(s, Lake.freshRoot(), df, "k", 3)
+  }
+
+  test("MERGE INTO: full clause matrix with statement aliases") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s)
+      Seq((5L, "DEL", "D", 0.0), (42L, "UPD", "U", 1.0),
+        (61L, "NOPE", "N", 2.0), (200L, "INS", "I", 3.0))
+        .toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("dml_src")
+      val stats = s.sql(
+        s"""MERGE INTO graft_lake('${t.root}') AS tgt
+           |USING dml_src AS src
+           |ON tgt.k = src.k
+           |WHEN MATCHED AND src.status = 'D' THEN DELETE
+           |WHEN MATCHED AND src.status = 'U' THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      stats.head.getInt(0) shouldBe 1 // version
+      val r = t.read()
+      r.count() shouldBe 90L // -1 delete +1 insert
+      r.filter(col("k") === 5L).count() shouldBe 0L
+      rows(r.filter(col("k") === 42L).select("payload")) shouldBe Seq(Seq("UPD"))
+      rows(r.filter(col("k") === 61L).select("payload")) shouldBe Seq(Seq("val61"))
+      rows(r.filter(col("k") === 200L).select("payload")) shouldBe Seq(Seq("INS"))
+    }
+  }
+
+  test("MERGE INTO: subquery source, no aliases, plain upsert clauses") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s)
+      Seq((7L, "UP7", "U", 0.0), (300L, "NEW", "I", 1.0))
+        .toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("dml_src2")
+      s.sql(
+        s"""MERGE INTO graft_lake('${t.root}')
+           |USING (SELECT * FROM dml_src2 WHERE k <> 9999) ON k = k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      rows(t.read().filter(col("k").isin(7L, 300L))
+        .select("k", "payload").orderBy("k")) shouldBe
+        Seq(Seq(7L, "UP7"), Seq(300L, "NEW"))
+      t.read().count() shouldBe 91L
+    }
+  }
+
+  test("UPDATE: simultaneous assignments against the OLD row, WHERE scoping") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      // swap-style: both RHS reference pre-update values
+      s.sql(
+        s"""UPDATE graft_lake('${t.root}') AS t
+           |SET payload = t.status, status = t.payload, amount = t.amount + 1
+           |WHERE t.k <= 3""".stripMargin).collect()
+      rows(t.read().filter(col("k") <= 3L)
+        .select("k", "payload", "status", "amount").orderBy("k")) shouldBe
+        Seq(Seq(1L, "A", "val1", 11.0), Seq(2L, "A", "val2", 21.0),
+          Seq(3L, "A", "val3", 31.0))
+      t.read().filter(col("payload") === "A").count() shouldBe 3L
+      // an UPDATE matching nothing commits nothing
+      val v = t.latestVersion
+      s.sql(s"UPDATE graft_lake('${t.root}') SET status = 'X' WHERE k > 1000")
+        .collect()
+      t.latestVersion shouldBe v
+    }
+  }
+
+  test("DELETE FROM: non-key predicate, and unconditioned full wipe") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      s.sql(s"DELETE FROM graft_lake('${t.root}') WHERE amount > 600.0")
+        .collect()
+      t.read().count() shouldBe 60L
+      t.read().agg(max("k")).collect()(0).getLong(0) shouldBe 60L
+      // snapshot isolation: pre-delete version intact
+      t.snapshot(0).count() shouldBe 90L
+      s.sql(s"DELETE FROM graft_lake('${t.root}')").collect()
+      t.read().count() shouldBe 0L
+    }
+  }
+
+  test("OPTIMIZE: FILES, SORT BY, n-column ZORDER BY; VACUUM RETAIN") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') FILES 2").collect()
+      t.manifest(t.latestVersion).files should have size 2
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') FILES 3 SORT BY (status, payload)")
+        .collect()
+      t.manifest(t.latestVersion).operation should include("sortby")
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') FILES 4 ZORDER BY (k, amount, status)")
+        .collect()
+      t.manifest(t.latestVersion).operation shouldBe "optimize-zorder-3d"
+      t.read().count() shouldBe 90L
+      val vac = s.sql(s"VACUUM graft_lake('${t.root}') RETAIN 1 VERSIONS")
+        .collect()
+      vac.head.getInt(0) should be > 0 // manifests removed
+      t.hasVersion(0) shouldBe false
+      t.read().count() shouldBe 90L
+    }
+  }
+
+  test("MERGE works through outstanding tombstones from SQL too") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s)
+      t.deleteDeferred(Seq(5L, 6L).toDF("k"))
+      Seq((5L, "BACK5", "U", 0.0)).toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("dml_src3")
+      s.sql(
+        s"""MERGE INTO graft_lake('${t.root}') t USING dml_src3 s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      rows(t.read().filter(col("k") === 5L).select("payload")) shouldBe
+        Seq(Seq("BACK5"))
+      t.read().filter(col("k") === 6L).count() shouldBe 0L
+    }
+  }
+
+  test("refusals: mis-ordered clauses, non-key ON, key assignment, bad grammar") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      // UPDATE clause before DELETE clause: the engine evaluates DELETE
+      // first — reordering silently would change which clause wins
+      val e1 = intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING x s ON t.k = s.k
+             |WHEN MATCHED AND s.a = 1 THEN UPDATE SET *
+             |WHEN MATCHED AND s.a = 2 THEN DELETE""".stripMargin)
+      }
+      e1.getMessage should include("DELETE before UPDATE")
+      // ON must be a key equality — enforced at run against the manifest
+      val e2 = intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING x s ON t.payload = s.payload
+             |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+      }
+      e2.getMessage should include("merge key")
+      // assigning the merge key in UPDATE
+      val e3 = intercept[IllegalArgumentException] {
+        s.sql(s"UPDATE graft_lake('${t.root}') SET k = 0 WHERE k = 1").collect()
+      }
+      e3.getMessage should include("merge key")
+      // per-column MERGE assignment unsupported, loudly
+      val e4 = intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING x s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET payload = 'x'""".stripMargin)
+      }
+      e4.getMessage should include("UPDATE SET *")
+      // conditional NOT MATCHED unsupported, loudly
+      val e5 = intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING x s ON t.k = s.k
+             |WHEN NOT MATCHED AND s.a = 1 THEN INSERT *""".stripMargin)
+      }
+      e5.getMessage should include("NOT MATCHED")
+    }
+  }
+
+  test("non-lake statements delegate untouched to the default parser") {
+    withExtendedSession { s =>
+      // ordinary SQL still parses and runs
+      s.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) shouldBe 2
+      // DML on a non-lake target goes to the DEFAULT parser's analysis,
+      // not our grammar: the failure speaks Spark's vocabulary (missing
+      // table), not graft's
+      val e = intercept[Exception] {
+        s.sql("DELETE FROM no_such_table WHERE x = 1").collect()
+      }
+      e.getMessage should not include "graft lake SQL"
+      // a SELECT mentioning graft_lake table functions still works (the
+      // read path is untouched)
+      val t = mkTable(s)
+      s.sql(s"SELECT count(*) AS n FROM graft_lake_at('${t.root}', 0)")
+        .collect()(0).getLong(0) shouldBe 90L
+    }
+  }
+
+  test("n-column Morton parity and clustering: ZValueN(2) == ZValue") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val a = rnd.nextLong().abs & 0x7fffffffL
+      val b = rnd.nextLong().abs & 0x7fffffffL
+      org.apache.spark.sql.graft.ZValue.interleaveN(Array(a, b)) shouldBe
+        org.apache.spark.sql.graft.ZValue.interleave(a, b)
+    }
+    // 3-D: bit j of dim i sits at position 3j + i
+    val z3 = org.apache.spark.sql.graft.ZValue.interleaveN(Array(1L, 1L, 1L))
+    z3 shouldBe 7L // bits 0,1,2
+    org.apache.spark.sql.graft.ZValue.interleaveN(Array(2L, 0L, 0L)) shouldBe 8L
+    org.apache.spark.sql.graft.ZValue.interleaveN(Array(0L, 2L, 0L)) shouldBe 16L
+    org.apache.spark.sql.graft.ZValue.interleaveN(Array(0L, 0L, 2L)) shouldBe 32L
+    // expression evaluates via codegen inside a projection
+    val df = spark.range(100).select(
+      org.apache.spark.sql.graft.ZValue.zvalueN(Seq(
+        col("id"), col("id") * 2, col("id") * 3)).as("z"), col("id"))
+    df.collect().foreach { r =>
+      r.getLong(0) shouldBe org.apache.spark.sql.graft.ZValue.interleaveN(
+        Array(r.getLong(1), r.getLong(1) * 2, r.getLong(1) * 3))
+    }
+  }
+
+  test("3-D z-order enables pruning on the third dimension") {
+    withExtendedSession { s =>
+      import s.implicits._
+      // three interleaved dimensions, none correlated with the key
+      val df = (0L until 4096L).map { i =>
+        (i, (i * 7) % 64, (i * 13) % 64, (i * 29) % 64)
+      }.toDF("k", "a", "b", "c")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 8)
+      t.compactZOrderN(8, Seq("a", "b", "c"))
+      val m = t.manifest(t.latestVersion)
+      // every file carries bounds for all three dimensions
+      m.files.foreach { f =>
+        f.cols.keySet should contain allOf ("a", "b", "c")
+      }
+      // a 3-D box predicate scans fewer files than the table holds
+      val scanned = t.read()
+        .filter(col("a") < 16 && col("b") < 16 && col("c") < 16)
+        .select(input_file_name()).distinct().count()
+      scanned should be < 8L
+      // and the answer matches the raw relation
+      t.read().filter(col("a") < 16 && col("b") < 16 && col("c") < 16)
+        .count() shouldBe
+        df.filter(col("a") < 16 && col("b") < 16 && col("c") < 16).count()
+    }
+  }
+}
