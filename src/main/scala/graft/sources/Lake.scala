@@ -50,7 +50,8 @@ object Lake {
     * case is what the Z-order lane exists for). */
   case class FileEntry(path: String, rows: Long, minKey: Long, maxKey: Long,
                        cols: Map[String, (Long, Long)] = Map.empty,
-                       scols: Map[String, (String, String)] = Map.empty)
+                       scols: Map[String, (String, String)] = Map.empty,
+                       nulls: Map[String, Long] = Map.empty)
 
   /** Truncated-string bound helpers (the Iceberg convention): the LOWER
     * bound truncates plainly (a prefix is ≤ the value), but a truncated
@@ -503,7 +504,27 @@ object Lake {
       .orderBy("o_orderstatus")
   }
 
+  /** Gated lane: IN-list point lookups through the automatic pruning
+    * path — the second-most-common lake predicate after ranges. A
+    * 16-member IN list (past Spark's InSet conversion threshold, so the
+    * rule sees `InSet`, not `In`) over the clustered key must scan only
+    * the files whose range holds a member; the file-count assertion
+    * lives in `LakePruneRuleSpec`, the oracle states the same lookup
+    * raw. */
+  def lakeInlistPruning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.read()
+      .filter(col("o_orderkey").isin(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1001L,
+        1002L, 1003L, 1004L, 5001L, 5002L, 5003L, 9001L, 9002L))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_sql_delete" -> (lakeSqlDelete _),
@@ -525,6 +546,14 @@ object Lake {
     "lake_mor_changes" -> (lakeMorChanges _))
 
   val oracle: Map[String, String] = Map(
+    "lake_inlist_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |WHERE o_orderkey IN (1, 2, 3, 4, 5, 6, 7, 1001, 1002, 1003, 1004,
+        |                     5001, 5002, 5003, 9001, 9002)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_sql_merge" ->
       """WITH merged AS (
         |  SELECT CASE WHEN o_orderkey % 100 = 0 AND o_totalprice >= 200000
@@ -767,7 +796,9 @@ object Lake {
                                       colMins: Seq[Long], colMaxs: Seq[Long],
                                       strNames: Seq[String],
                                       strMins: Seq[String],
-                                      strMaxs: Seq[String])
+                                      strMaxs: Seq[String],
+                                      nullNames: Seq[String] = Nil,
+                                      nullCounts: Seq[Long] = Nil)
 
   /** The single decoder for parquet-checkpoint rows — resolution
     * ([[LakeTable]]) and pruning ([[LakeManifestPrune]]) must never
@@ -782,9 +813,16 @@ object Lake {
     val sMins = r.getAs[scala.collection.Seq[String]]("strMins")
     val sMaxs = r.getAs[scala.collection.Seq[String]]("strMaxs")
     val scols = sNames.indices.map(i => sNames(i) -> ((sMins(i), sMaxs(i)))).toMap
+    // pre-null-stats checkpoints lack the columns: read as unknown
+    val nulls =
+      if (r.schema.fieldNames.contains("nullNames")) {
+        val nNames = r.getAs[scala.collection.Seq[String]]("nullNames")
+        val nCounts = r.getAs[scala.collection.Seq[Long]]("nullCounts")
+        nNames.indices.map(i => nNames(i) -> nCounts(i)).toMap
+      } else Map.empty[String, Long]
     (r.getAs[String]("kind"),
       FileEntry(r.getAs[String]("path"), r.getAs[Long]("rows"),
-        r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"), cols, scols))
+        r.getAs[Long]("minKey"), r.getAs[Long]("maxKey"), cols, scols, nulls))
   }
 
   private val mapper = {
@@ -816,7 +854,8 @@ object Lake {
       "cols" -> statsCols.flatMap(c => f.cols.get(c).map(b =>
         c -> Seq(b._1, b._2))).to(ListMap),
       "scols" -> statsCols.flatMap(c => f.scols.get(c).map(b =>
-        c -> Seq(b._1, b._2))).to(ListMap))
+        c -> Seq(b._1, b._2))).to(ListMap),
+      "nulls" -> statsCols.flatMap(c => f.nulls.get(c).map(c -> _)).to(ListMap))
 
   /** Legacy full-snapshot manifest JSON (pre-delta format) — kept as a
     * WRITER only for test seams that craft racing manifests by hand;
@@ -877,9 +916,15 @@ object Lake {
               e.getKey -> ((b.get(0).asText(), b.get(1).asText()))
             }.toMap
           else Map.empty[String, (String, String)]
+        val nulls =
+          if (f.has("nulls"))
+            f.get("nulls").fields().asScala.map(e =>
+              e.getKey -> e.getValue.asLong()).toMap
+          else Map.empty[String, Long]
         FileEntry(
           f.get("path").asText(), f.get("rows").asLong(),
-          f.get("minKey").asLong(), f.get("maxKey").asLong(), cols, scols)
+          f.get("minKey").asLong(), f.get("maxKey").asLong(), cols, scols,
+          nulls)
       }.toSeq
     def strings(field: String): Seq[String] =
       if (!n.has(field)) Nil
@@ -1069,9 +1114,11 @@ class LakeTable(spark: SparkSession, val root: String) {
       fsq.zipWithIndex.map { case (f, i) =>
         val names = f.cols.keys.toSeq.sorted
         val sNames = f.scols.keys.toSeq.sorted
+        val nNames = f.nulls.keys.toSeq.sorted
         CkptRow(off + i, kind, f.path, f.rows, f.minKey, f.maxKey,
           names, names.map(f.cols(_)._1), names.map(f.cols(_)._2),
-          sNames, sNames.map(f.scols(_)._1), sNames.map(f.scols(_)._2))
+          sNames, sNames.map(f.scols(_)._1), sNames.map(f.scols(_)._2),
+          nNames, nNames.map(f.nulls))
       }
     val all = rowsOf("data", files, 0) ++ rowsOf("tombstone", tombs, files.size)
     val tmp = new Path(rootPath, s"_scratch-ckpt-${UUID.randomUUID()}")
@@ -1441,10 +1488,16 @@ class LakeTable(spark: SparkSession, val root: String) {
         max(Lake.statLong(data, c)).as(s"mx_$c")))
       val strAggs = strStats.flatMap(c => Seq(
         min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c")))
+      // per-file NULL COUNTS for every stats column (min/max ignore nulls,
+      // so bounds alone cannot answer IS NULL / IS NOT NULL pruning)
+      val orderedStats = numStats ++ strStats
+      val nullAggs = orderedStats.map(c => count(col(c)).as(s"nn_$c"))
       val aggs = Seq(count(lit(1)).as("rows"),
         min(Lake.statLong(data, keyCol)).as("mn"),
-        max(Lake.statLong(data, keyCol)).as("mx")) ++ numAggs ++ strAggs
+        max(Lake.statLong(data, keyCol)).as("mx")) ++
+        numAggs ++ strAggs ++ nullAggs
       val strBase = 4 + 2 * numStats.size
+      val nullBase = strBase + 2 * strStats.size
       val stats = data
         .groupBy(input_file_name().as("f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -1466,17 +1519,21 @@ class LakeTable(spark: SparkSession, val root: String) {
               else Lake.strUpper(mx).map(up => c -> ((Lake.strLower(mn), up)))
             }
           }.toMap
+          val rowsN = r.getLong(1)
+          val nulls = orderedStats.zipWithIndex.map { case (c, i) =>
+            c -> (rowsN - r.getLong(nullBase + i))
+          }.toMap
           (new Path(r.getString(0)).getName,
-            (r.getLong(1), r.getLong(2), r.getLong(3), cols, scols))
+            (rowsN, r.getLong(2), r.getLong(3), cols, scols, nulls))
         }.toMap
       // a zero-row part file (e.g. a fully-erased rewrite) has no stats
       // row: drop it from disk rather than manifest an empty file
       moved.flatMap { case (p, sub) =>
         stats.get(p.getName) match {
-          case Some((rows, mn, mx, cols, scols)) =>
+          case Some((rows, mn, mx, cols, scols, nulls)) =>
             val rel = if (sub.isEmpty) s"data/${p.getName}"
                       else s"data/$sub/${p.getName}"
-            Some(FileEntry(rel, rows, mn, mx, cols, scols))
+            Some(FileEntry(rel, rows, mn, mx, cols, scols, nulls))
           case None => fs.delete(p, false); None
         }
       }

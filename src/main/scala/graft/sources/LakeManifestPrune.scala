@@ -26,11 +26,14 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType, ShortType, S
   * whose files live under a lake root (`<root>/data/part-*.parquet` with a
   * `_manifests` sibling — only such paths are ever considered), the rule
   * reads the metadata-sized manifests ONCE (cached per root until a new
-  * commit appears), extracts integral bounds on the table's merge key from
-  * the filter's conjuncts, and rewraps the relation's FileIndex so files
-  * with disjoint key ranges vanish from the relation. The row-level Filter
-  * stays on top — pruning is file-granular, parquet pushdown still applies
-  * inside surviving files. Files the manifests don't know (foreign files
+  * commit appears), extracts per-column constraints from the filter's
+  * conjuncts — range bounds (`=`, `<`, `>`, BETWEEN), IN-lists (`In` and
+  * the optimizer's `InSet` form; a file survives iff every IN conjunct
+  * has a member inside its [min,max]), and `IS NULL` / `IS NOT NULL`
+  * (answered from per-file null counts) — and rewraps the relation's
+  * FileIndex so provably-disjoint files vanish from the relation. The
+  * row-level Filter stays on top — pruning is file-granular, parquet
+  * pushdown still applies inside surviving files. Files the manifests don't know (foreign files
   * in a mixed scan) are always retained; no bounds extracted → no change;
   * nothing pruned → no change (the fixed-point batch converges because
   * the file set only ever shrinks).
@@ -73,7 +76,17 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
       .map(c => c -> strBoundsFor(cond, c))
       .filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }
       .toMap
-    if (bounds.isEmpty && strBounds.isEmpty) return None
+    val inLists = statCols.iterator
+      .map(c => c -> inListsFor(cond, c))
+      .filter(_._2.nonEmpty).toMap
+    val strInLists = strCols.iterator
+      .map(c => c -> strInListsFor(cond, c))
+      .filter(_._2.nonEmpty).toMap
+    val nullCols = stats.valuesIterator.flatMap(_.nulls.keysIterator).toSet
+    val (needNull, needNonNull) = nullConstraints(cond, nullCols)
+    if (bounds.isEmpty && strBounds.isEmpty && inLists.isEmpty &&
+        strInLists.isEmpty && needNull.isEmpty && needNonNull.isEmpty)
+      return None
     // a file survives iff EVERY constrained column it has stats for
     // intersects the predicate's bounds; columns without stats in that
     // file cannot prune it. String uppers are CEILINGS (truncate +
@@ -91,7 +104,27 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
               lo.forall(l => mx >= l) && hi.forall(h => mn <= h)
             case None => true
           }
-        }
+        } && inLists.forall { case (c, conjuncts) =>
+          // every IN conjunct must have at least one member the file's
+          // range could hold (members outside [min,max] cannot match)
+          fileCols.num.get(c) match {
+            case Some((mn, mx)) =>
+              conjuncts.forall(_.exists(v => v >= mn && v <= mx))
+            case None => true
+          }
+        } && strInLists.forall { case (c, conjuncts) =>
+          fileCols.str.get(c) match {
+            case Some((mn, mx)) =>
+              conjuncts.forall(_.exists(v => v >= mn && v <= mx))
+            case None => true
+          }
+        } && needNull.forall(c =>
+          // IS NULL can only match in files that HOLD nulls
+          fileCols.nulls.get(c).forall(_ > 0L)
+        ) && needNonNull.forall(c =>
+          // IS NOT NULL can only match where some value is non-null
+          fileCols.nulls.get(c).forall(n =>
+            fileCols.rows < 0L || n < fileCols.rows))
       case None => true // not a lake-manifested file: never prune
     }
     val kept = files.count(p => keep(new Path(p).getName))
@@ -106,34 +139,12 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
   private def boundsFor(cond: Expression, key: String): (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    // only WIDENING casts are transparent: a narrowing cast (long→int)
-    // wraps, so bounds on the cast value say nothing about the column —
-    // seeing through one would prune files that hold matching rows
-    def widens(from: org.apache.spark.sql.types.DataType,
-               to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
-      case (ShortType | IntegerType | LongType, LongType) => true
-      case (ShortType | IntegerType, IntegerType) => true
-      case (ShortType, ShortType) => true
-      case _ => false
-    }
-    def attrIs(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.name == key
-      case Cast(a: AttributeReference, dt, _, _) if widens(a.dataType, dt) =>
-        a.name == key
-      case _ => false
-    }
-    // DATE/TIMESTAMP literals carry the SAME units the manifest stats use
-    // (Lake.statLong): days since epoch for dates, micros for timestamps —
-    // so a $"d" >= date'1995-01-01' conjunct prunes directly
-    def litVal(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, LongType) => Some(v)
-      case Literal(v: Int, IntegerType) => Some(v.toLong)
-      case Literal(v: Short, ShortType) => Some(v.toLong)
-      case Literal(v: Int, DateType) => Some(v.toLong)
-      case Literal(v: Long, TimestampType) => Some(v)
-      case Literal(v: Long, TimestampNTZType) => Some(v)
-      case _ => None
-    }
+    // attr side: the column or a WIDENING cast of it (numAttrIs); literal
+    // side: DATE/TIMESTAMP literals carry the SAME units the manifest
+    // stats use (Lake.statLong) — days/micros — so a
+    // $"d" >= date'1995-01-01' conjunct prunes directly (numLit)
+    val attrIs = numAttrIs(key) _
+    val litVal = numLit _
     splitConjunctivePredicates(cond).foreach {
       case GreaterThanOrEqual(a, v) if attrIs(a) =>
         litVal(v).foreach(x => lo = math.max(lo, x))
@@ -158,6 +169,99 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
       case _ => ()
     }
     (lo, hi)
+  }
+
+  /** Shared attr matcher: the column itself, or a WIDENING cast of it
+    * (narrowing casts wrap — bounds on the cast say nothing about the
+    * column). */
+  private def numAttrIs(key: String)(e: Expression): Boolean = {
+    def widens(from: org.apache.spark.sql.types.DataType,
+               to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+      case (ShortType | IntegerType | LongType, LongType) => true
+      case (ShortType | IntegerType, IntegerType) => true
+      case (ShortType, ShortType) => true
+      case _ => false
+    }
+    e match {
+      case a: AttributeReference => a.name == key
+      case Cast(a: AttributeReference, dt, _, _) if widens(a.dataType, dt) =>
+        a.name == key
+      case _ => false
+    }
+  }
+
+  /** Literal in the column's STAT UNITS (raw integral / days / micros). */
+  private def numLit(e: Expression): Option[Long] = e match {
+    case Literal(v: Long, LongType) => Some(v)
+    case Literal(v: Int, IntegerType) => Some(v.toLong)
+    case Literal(v: Short, ShortType) => Some(v.toLong)
+    case Literal(v: Int, DateType) => Some(v.toLong)
+    case Literal(v: Long, TimestampType) => Some(v)
+    case Literal(v: Long, TimestampNTZType) => Some(v)
+    case _ => None
+  }
+
+  private def internalToLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case sh: Short => Some(sh.toLong)
+    case _ => None
+  }
+
+  /** Member lists of `key IN (…)` conjuncts (one per conjunct — a file
+    * must intersect EVERY conjunct's member set). A list with any
+    * non-literal member contributes nothing. */
+  private def inListsFor(cond: Expression, key: String): Seq[Seq[Long]] =
+    splitConjunctivePredicates(cond).flatMap {
+      case In(a, list) if numAttrIs(key)(a) =>
+        val vs = list.map(numLit)
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten) else None
+      case InSet(a, hset) if numAttrIs(key)(a) =>
+        val vs = hset.toSeq.map(internalToLong)
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten) else None
+      case _ => None
+    }
+
+  /** String IN conjuncts — ASCII members only (see strBoundsFor). */
+  private def strInListsFor(cond: Expression, key: String): Seq[Seq[String]] = {
+    def attrIs(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == key && a.dataType == StringType
+      case _ => false
+    }
+    def strOf(v: Any): Option[String] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String if u != null =>
+        Some(u.toString).filter(Lake.isAscii)
+      case _ => None
+    }
+    splitConjunctivePredicates(cond).flatMap {
+      case In(a, list) if attrIs(a) =>
+        val vs = list.map {
+          case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+            strOf(u)
+          case _ => None
+        }
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten) else None
+      case InSet(a, hset) if attrIs(a) =>
+        val vs = hset.toSeq.map(strOf)
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten) else None
+      case _ => None
+    }
+  }
+
+  /** Columns (among those with per-file null counts) required NULL /
+    * NOT NULL by top-level conjuncts. */
+  private def nullConstraints(cond: Expression,
+                              nullCols: Set[String]): (Set[String], Set[String]) = {
+    var isNull = Set.empty[String]
+    var notNull = Set.empty[String]
+    splitConjunctivePredicates(cond).foreach {
+      case IsNull(a: AttributeReference) if nullCols.contains(a.name) =>
+        isNull += a.name
+      case IsNotNull(a: AttributeReference) if nullCols.contains(a.name) =>
+        notNull += a.name
+      case _ => ()
+    }
+    (isNull, notNull)
   }
 
   /** Conservative string bounds on column `key` from the conjuncts of
@@ -206,7 +310,9 @@ object LakeManifestPrune {
     * plus numeric stats columns; `str` carries truncated-lower /
     * incremented-ceiling STRING bounds for string stats columns. */
   private[graft] case class FileStat(num: Map[String, (Long, Long)],
-                                     str: Map[String, (String, String)])
+                                     str: Map[String, (String, String)],
+                                     rows: Long = -1L,
+                                     nulls: Map[String, Long] = Map.empty)
 
   /** Per-root stats cache entry: the newest delta-manifest name seen (the
     * invalidation key — names are fixed-width, so string order is version
@@ -241,7 +347,8 @@ object LakeManifestPrune {
         finally in.close()
       }
       def statOf(keyCol: String, f: Lake.FileEntry): FileStat =
-        FileStat(f.cols + (keyCol -> ((f.minKey, f.maxKey))), f.scols)
+        FileStat(f.cols + (keyCol -> ((f.minKey, f.maxKey))), f.scols,
+          f.rows, f.nulls)
       // warm path: a known root only folds the deltas NEWER than last time
       // (stats are per-file immutable; removals never need processing and
       // stale entries for vacuumed files are unreachable by any scan)
@@ -262,8 +369,7 @@ object LakeManifestPrune {
           spark.read.parquet(new Path(mdir, c).toString).collect().foreach { r =>
             Lake.ckptEntry(r) match {
               case ("data", f) =>
-                m += new Path(f.path).getName ->
-                  FileStat(f.cols + (keyCol -> ((f.minKey, f.maxKey))), f.scols)
+                m += new Path(f.path).getName -> statOf(keyCol, f)
               case _ => () // tombstone files are never filter-pruned
             }
           }

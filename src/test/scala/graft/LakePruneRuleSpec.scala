@@ -255,4 +255,72 @@ class LakePruneRuleSpec extends SparkTestBase {
       scannedFiles(t.read().filter(col("k") > 50L && col("k") < 20L)) shouldBe empty
     }
   }
+  test("IN-list pruning: In, InSet, conjunct composition, strings") {
+    withExtendedSession { s =>
+      val t = mkTable(s) // ranges 1-30, 31-60, 61-90
+      // small IN (below the InSet threshold): members in one file
+      val q1 = t.read().filter(col("k").isin(5L, 7L, 11L))
+      scannedFiles(q1) should have size 1
+      rows(q1.orderBy("k")).map(_.head) shouldBe Seq(5L, 7L, 11L)
+      // members spanning two files
+      scannedFiles(t.read().filter(col("k").isin(5L, 65L))) should have size 2
+      // a big list (InSet conversion) still prunes
+      val big = (1L to 25L) :+ 28L
+      val q2 = t.read().filter(col("k").isin(big: _*))
+      scannedFiles(q2) should have size 1
+      q2.count() shouldBe 26L
+      // IN composed with a range conjunct: intersection prunes harder
+      val q3 = t.read().filter(col("k").isin(5L, 65L) && col("k") < 40L)
+      scannedFiles(q3) should have size 1
+      rows(q3).map(_.head) shouldBe Seq(5L)
+      // members all outside every range: zero files
+      scannedFiles(t.read().filter(col("k").isin(200L, 300L))) shouldBe empty
+      // string IN over declared string stats after a sort-by layout
+      import s.implicits._
+      val df2 = (1L to 90L).map(k => (k, f"g${k % 3}%s", s"v$k"))
+        .toDF("k", "grp", "payload")
+      val t2 = Lake.create(s, Lake.freshRoot(), df2, "k", 3,
+        statsCols = Seq("grp"))
+      t2.compactSortBy(3, "grp")
+      val q4 = t2.read().filter(col("grp").isin("g0"))
+      scannedFiles(q4).size should be < 3
+      q4.count() shouldBe 30L
+    }
+  }
+
+  test("IS NULL / IS NOT NULL pruning via per-file null counts") {
+    withExtendedSession { s =>
+      import s.implicits._
+      // keys 1-30: tag null; 31-60: mixed; 61-90: all non-null
+      val df = (1L to 90L).map { k =>
+        val tag = if (k <= 30) None
+          else if (k <= 60) (if (k % 2 == 0) Some(s"t$k") else None)
+          else Some(s"t$k")
+        (k, tag, s"v$k")
+      }.toDF("k", "tag", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 3,
+        statsCols = Seq("tag"))
+      // IS NULL skips the all-non-null file
+      val qNull = t.read().filter(col("tag").isNull)
+      scannedFiles(qNull) should have size 2
+      qNull.count() shouldBe 45L
+      // IS NOT NULL skips the all-null file
+      val qNotNull = t.read().filter(col("tag").isNotNull)
+      scannedFiles(qNotNull) should have size 2
+      qNotNull.count() shouldBe 45L
+      // and the implicit IsNotNull of an equality filter composes with
+      // the string bounds: an impossible value scans nothing... a real
+      // one skips the all-null file at minimum
+      val qEq = t.read().filter(col("tag") === "t62")
+      scannedFiles(qEq).size should be <= 1
+      qEq.count() shouldBe 1L
+    }
+  }
+
+  test("gated lane: lake_inlist_pruning scans a strict file subset") {
+    withExtendedSession { s =>
+      val df = Lake.lakeInlistPruning(s, "/root/testdata/sf0.001")
+      df.count() should be > 0L
+    }
+  }
 }
