@@ -523,7 +523,26 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: METADATA-ONLY aggregates — `count(*)`, key `min`/`max`,
+    * and a null-aware `count(col)` over the lake answer from manifest
+    * stats alone; the injected [[LakeMetadataAggregate]] rule replaces
+    * the whole aggregate with a LocalRelation (zero file scan — the
+    * plan assertion lives in `LakePruneRuleSpec`). The oracle states the
+    * same aggregates over the raw table, so a wrong stat sum or a stale
+    * bound diverges. */
+  def lakeMetaAgg(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8,
+      statsCols = Seq("o_custkey"))
+    t.read().agg(
+      count(lit(1)).as("n_rows"),
+      min(col("o_orderkey")).as("min_key"),
+      max(col("o_orderkey")).as("max_key"),
+      count(col("o_custkey")).as("n_cust"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_meta_agg" -> (lakeMetaAgg _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_update" -> (lakeSqlUpdate _),
@@ -546,6 +565,13 @@ object Lake {
     "lake_mor_changes" -> (lakeMorChanges _))
 
   val oracle: Map[String, String] = Map(
+    "lake_meta_agg" ->
+      """SELECT count(*) AS n_rows,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        |       count(o_custkey) AS n_cust
+        |FROM orders""".stripMargin,
+
     "lake_inlist_pruning" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys

@@ -304,6 +304,108 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
   }
 }
 
+/** Metadata-only aggregates for [[Lake]] tables — the sibling rule to
+  * [[LakeManifestPrune]]: a global (no-grouping) aggregate of
+  * `count(*)` / `count(col)` / `min(col)` / `max(col)` sitting DIRECTLY
+  * on a bare lake relation is answered from the manifests' per-file
+  * statistics and replaced by a [[LocalRelation]] — zero tasks, zero
+  * file I/O, the `SELECT count(*) FROM t` every dashboard fires
+  * answered from hundreds of bytes of metadata (Delta and Iceberg do
+  * the same from their stats).
+  *
+  * Strictly conservative: every file of the relation must be known to a
+  * manifest; a Filter, join, or tombstone anti-join above the relation
+  * changes the plan shape and the rule never matches (outstanding
+  * deferred deletes therefore disable it automatically); `min`/`max`
+  * answer only for integral/date/timestamp columns whose stat units are
+  * EXACT (never doubles — their Long stats truncate — and never strings
+  * — their bounds are truncated prefixes/ceilings); `count(col)` needs
+  * per-file null counts for every file. One unanswerable aggregate
+  * bails the whole node. */
+class LakeMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(Nil, exprs, child, _) =>
+      answer(exprs, child).getOrElse(agg)
+  }
+
+  private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+      Some(l)
+    case Project(projList, l: LogicalRelation)
+        if projList.forall(_.isInstanceOf[AttributeReference]) &&
+          l.relation.isInstanceOf[HadoopFsRelation] =>
+      Some(l)
+    case _ => None
+  }
+
+  private def exactStatType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case ShortType | IntegerType | LongType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+
+  /** Stat-unit Long back to the attribute's INTERNAL value. */
+  private def internalOf(v: Long,
+                         dt: org.apache.spark.sql.types.DataType): Any = dt match {
+    case ShortType => v.toShort
+    case IntegerType | DateType => v.toInt
+    case _ => v
+  }
+
+  private def answer(exprs: Seq[NamedExpression],
+                     child: LogicalPlan): Option[LogicalPlan] = {
+    val l = relationOf(child).getOrElse(return None)
+    val hfs = l.relation.asInstanceOf[HadoopFsRelation]
+    val files = hfs.location.inputFiles
+    if (files.isEmpty) return None
+    val roots = files.iterator.map { f =>
+      var p = new Path(f).getParent
+      while (p != null && p.getName.contains("=")) p = p.getParent
+      p
+    }.filter(p => p != null && p.getName == "data")
+      .map(_.getParent).filter(_ != null).distinct.toSeq
+    if (roots.isEmpty) return None
+    val stats = roots.flatMap(r => LakeManifestPrune.statsFor(spark, r)).toMap
+    val fileStats = files.toSeq.map(f => stats.get(new Path(f).getName) match {
+      case Some(st) if st.rows >= 0 => st
+      case _ => return None // a file the manifests don't know: bail
+    })
+    val totalRows = fileStats.map(_.rows).sum
+    val values = exprs.map {
+      case Alias(ae: AggregateExpression, _)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        ae.aggregateFunction match {
+          case Count(Seq(Literal(_, _))) => totalRows
+          case Count(Seq(a: AttributeReference)) =>
+            // non-null count: needs per-file null counts everywhere
+            if (fileStats.forall(_.nulls.contains(a.name)))
+              totalRows - fileStats.map(_.nulls(a.name)).sum
+            else return None
+          case Min(a: AttributeReference) if exactStatType(a.dataType) =>
+            val bounds = fileStats.map(_.num.get(a.name))
+            if (bounds.forall(_.isDefined))
+              internalOf(bounds.flatten.map(_._1).min, a.dataType)
+            else return None
+          case Max(a: AttributeReference) if exactStatType(a.dataType) =>
+            val bounds = fileStats.map(_.num.get(a.name))
+            if (bounds.forall(_.isDefined))
+              internalOf(bounds.flatten.map(_._2).max, a.dataType)
+            else return None
+          case _ => return None
+        }
+      case _ => return None
+    }
+    Some(LocalRelation(exprs.map(_.toAttribute),
+      Seq(InternalRow.fromSeq(values))))
+  }
+}
+
 object LakeManifestPrune {
   /** One file's prunable statistics: `num` carries [min,max] in
     * [[Lake.statLong]] units (integral / days / micros) for the merge key

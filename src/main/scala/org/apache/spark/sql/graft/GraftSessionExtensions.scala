@@ -96,6 +96,9 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     // on the merge key drop manifest-disjoint files from the scan relation
     // before any task is planned (see LakeManifestPrune).
     ext.injectOptimizerRule(session => new graft.sources.LakeManifestPrune(session))
+    // Metadata-only aggregates: a bare count(*)/min/max over a lake scan
+    // answers from the manifest stats with zero file I/O.
+    ext.injectOptimizerRule(session => new graft.sources.LakeMetadataAggregate(session))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductDouble].getName, null, "graft_dot"),

@@ -323,4 +323,41 @@ class LakePruneRuleSpec extends SparkTestBase {
       df.count() should be > 0L
     }
   }
+  test("metadata-only aggregates: count/min/max answered with ZERO file scan") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val df = (1L to 90L).map { k =>
+        (k, if (k % 3 == 0) None else Some(k * 2), k / 1.7, s"v$k")
+      }.toDF("k", "m", "d", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 3,
+        statsCols = Seq("m", "d"))
+      val q = t.read().agg(
+        count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"),
+        count(col("m")).as("nm"), min("m").as("mnm"))
+      // the whole aggregate collapsed to a LocalRelation: no file scan
+      scannedFiles(q) shouldBe empty
+      q.queryExecution.executedPlan.toString should include("LocalTableScan")
+      rows(q) shouldBe Seq(Seq(90L, 1L, 90L, 60L, 2L))
+      // a FILTERED aggregate keeps scanning (the rule must not match)
+      val qf = t.read().filter(col("k") > 10L).agg(count(lit(1)).as("n"))
+      scannedFiles(qf) should not be empty
+      rows(qf) shouldBe Seq(Seq(80L))
+      // min/max over a DOUBLE column must NOT answer from stats (the
+      // Long stat units truncate) — the scan stays, the answer is exact
+      val qd = t.read().agg(min("d").as("mnd"))
+      scannedFiles(qd) should not be empty
+      rows(qd) shouldBe Seq(Seq(1 / 1.7))
+      // outstanding tombstones disable the rule automatically (the
+      // read wraps in an anti-join, so the shape never matches)
+      t.deleteDeferred(Seq(5L).toDF("k"))
+      val qt = t.read().agg(count(lit(1)).as("n"))
+      rows(qt) shouldBe Seq(Seq(89L))
+      // SQL path: count(*) over the format relation collapses too
+      t.compact(2)
+      s.read.format("graft-lake").load(t.root).createOrReplaceTempView("meta_t")
+      val qsql = s.sql("SELECT count(*) AS n, max(k) AS mx FROM meta_t")
+      scannedFiles(qsql) shouldBe empty
+      rows(qsql) shouldBe Seq(Seq(89L, 90L))
+    }
+  }
 }
