@@ -1429,13 +1429,88 @@ class LakeTable(spark: SparkSession, val root: String) {
   /** Commit + index: the committing verb already knows the new resolved
     * state, so cache it (the next planning pass replays zero deltas) and
     * drop a parquet checkpoint every `checkpointInterval`-th non-anchor
-    * commit to bound every future cold resolution. */
+    * commit to bound every future cold resolution.
+    *
+    * `rebaseEnvelope` opts the commit into the DISJOINT-COMMIT FAST
+    * PATH: on losing the version race, if every interleaved winner is a
+    * plain non-anchor data commit whose touched files (adds + removed
+    * entries) are KEY-RANGE-DISJOINT from this verb's probe envelope —
+    * the [lo, hi] covering every key the verb read, probed, or wrote —
+    * the already-computed delta is re-committed on top of the winners
+    * (renumbered, state re-resolved) WITHOUT re-executing the verb. Two
+    * writers merging different key slices of a big table then cost two
+    * commits, not a commit plus a full replay. Any overlap, anchor
+    * commit, tombstone movement, or vacuum race falls back to the loud
+    * ConcurrentModificationException that `withRetry` replays — the
+    * fast path can only decline, never change a result. The envelope
+    * thunk is evaluated ONLY on an actual race. Returns the committed
+    * version. */
   private[graft] def commitAndIndex(d: Delta, files: Seq[FileEntry],
-                                    tombs: Seq[FileEntry]): Unit = {
-    commitDelta(d)
-    stateCache.put(s"$root@${d.version}", (files, tombs))
-    if (!d.full && d.version > 0 && d.version % checkpointInterval == 0)
-      writeCheckpoint(d.version, files, tombs)
+                                    tombs: Seq[FileEntry],
+                                    rebaseEnvelope: Option[() => (Long, Long)] = None)
+      : Int = {
+    def index(v: Int, fs: Seq[FileEntry], ts: Seq[FileEntry],
+              full: Boolean): Unit = {
+      stateCache.put(s"$root@$v", (fs, ts))
+      if (!full && v > 0 && v % checkpointInterval == 0)
+        writeCheckpoint(v, fs, ts)
+    }
+    try {
+      commitDelta(d)
+      index(d.version, files, tombs, d.full)
+      d.version
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        val rebased = rebaseEnvelope match {
+          case Some(env) if !d.full && d.tombstoneAdds.isEmpty &&
+              d.tombstoneRemoves.isEmpty =>
+            val (lo, hi) = env()
+            tryRebase(d, lo, hi).map { case (d2, f2, t2) =>
+              index(d2.version, f2, t2, full = false)
+              d2.version
+            }
+          case _ => None
+        }
+        rebased.getOrElse(throw e)
+    }
+  }
+
+  /** Attempt the disjoint rebase of `d` (probe envelope [lo, hi]) onto
+    * the current latest; None = not provably disjoint, caller replays.
+    * A second race inside the fast path throws back to the replay
+    * loop. */
+  private def tryRebase(d: Delta, lo: Long,
+                        hi: Long): Option[(Delta, Seq[FileEntry], Seq[FileEntry])] = {
+    val newLatest = latestVersion
+    val ourRemoves = d.removes.toSet
+    var w = d.version
+    while (w <= newLatest) {
+      if (!hasVersion(w)) return None // vacuum raced: replay
+      val dw = readDelta(w)
+      // anchors (compact/restore/clone) re-cluster everything; tombstone
+      // movement changes read-time semantics — both replay
+      if (dw.full || dw.tombstoneAdds.nonEmpty || dw.tombstoneRemoves.nonEmpty)
+        return None
+      if (dw.removes.exists(ourRemoves)) return None // same file touched
+      // the winner's touched files: everything it added plus the
+      // entries it removed (ranges from its parent's resolved state)
+      val removedEntries =
+        if (dw.removes.isEmpty) Nil
+        else {
+          val rm = dw.removes.toSet
+          resolveState(dw.parentVersion)._1.filter(f => rm(f.path))
+        }
+      if ((dw.adds ++ removedEntries)
+          .exists(f => f.maxKey >= lo && f.minKey <= hi)) return None
+      w += 1
+    }
+    // winners proven disjoint: splice our delta onto their state
+    val (bf, bt) = resolveState(newLatest)
+    val f2 = bf.filterNot(f => ourRemoves(f.path)) ++ d.adds
+    val d2 = d.copy(version = newLatest + 1, parentVersion = newLatest,
+      commitTs = -1L)
+    commitDelta(d2)
+    Some((d2, f2, bt))
   }
 
   /** Legacy test seam: commit a fully-resolved state as a self-anchoring
@@ -1749,6 +1824,12 @@ class LakeTable(spark: SparkSession, val root: String) {
         }
     }
 
+  /** [lo, hi] envelope of a file-entry set; (0, -1) = empty (disjoint
+    * from everything — an empty-footprint commit rebases trivially). */
+  private def rangeEnvelope(entries: Seq[FileEntry]): (Long, Long) =
+    if (entries.isEmpty) (0L, -1L)
+    else (entries.map(_.minKey).min, entries.map(_.maxKey).max)
+
   private def mergeTagged(updates: DataFrame, operation: String,
                           newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
@@ -1789,11 +1870,15 @@ class LakeTable(spark: SparkSession, val root: String) {
     // otherwise be erased by the read-time anti-join
     val (tAdds, tRemoves, tombs) =
       foldTombstones(m, Some(updates.select(col(keyCol))))
-    commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
+    // rebase envelope: every update key materializes as a row in the new
+    // files, and every read row came from a hit file — so adds ∪ hit
+    // ranges cover the verb's whole footprint
+    val cv = commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs)
-    MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
+      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs,
+      rebaseEnvelope = Some(() => rangeEnvelope(newFiles ++ hit.map(_._1))))
+    MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
   }
 
   /** Conditional MERGE — the full MERGE INTO clause set, copy-on-write:
@@ -1893,11 +1978,15 @@ class LakeTable(spark: SparkSession, val root: String) {
     // their physical rows dropped by the rewrite either way
     val (tAdds, tRemoves, tombs) =
       foldTombstones(m, Some(updates.select(col(keyCol))))
-    commitAndIndex(Delta(v + 1, v, "merge-into", keyCol, m.statsCols,
+    // source keys all materialize in adds (update/insert) or fall inside
+    // hit-file ranges (delete-claused / carried) — adds ∪ hit covers the
+    // footprint. A delete-claused key outside every add: its file is hit.
+    val cv = commitAndIndex(Delta(v + 1, v, "merge-into", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs)
-    MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
+      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs,
+      rebaseEnvelope = Some(() => rangeEnvelope(newFiles ++ hit.map(_._1))))
+    MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
   }
 
   /** UPDATE … SET … WHERE — the targeted COW rewrite behind the SQL
@@ -1953,7 +2042,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     * the ordinary key-based COW [[delete]] rewrites only their files. */
   def deleteWhere(condition: org.apache.spark.sql.Column): MergeStats =
     delete(read().filter(condition)
-      .select(manifest(latestVersion).keyCol))
+      .select(manifest(latestVersion).keyCol), allowRebase = false)
 
   def deleteWhereWithRetry(condition: org.apache.spark.sql.Column,
                            maxAttempts: Int = 3): MergeStats =
@@ -2022,7 +2111,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     * pre-delete snapshot stays readable until [[vacuum]] — the committed
     * half of an erasure cascade. `keys` is a one-column relation of the
     * table's merge key. */
-  def delete(keys: DataFrame): MergeStats = {
+  def delete(keys: DataFrame, allowRebase: Boolean = true): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
@@ -2044,11 +2133,31 @@ class LakeTable(spark: SparkSession, val root: String) {
       }
     // a pure delete re-introduces nothing: tombstones carry unchanged
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
-    commitAndIndex(Delta(v + 1, v, "delete", keyCol, m.statsCols,
+    // the rebase envelope must cover the PROBE KEYS, not just touched
+    // files: a delete key that hit nothing is a no-op NOW, but a winner
+    // concurrently inserting that key must force a replay (serialize-
+    // after semantics would delete it). Predicate-derived deletes
+    // (deleteWhere) replay unconditionally — their predicate would
+    // re-evaluate over winner rows.
+    val envelope =
+      if (!allowRebase) None
+      else Some(() => {
+        val r = keys
+          .agg(min(Lake.statLong(keys, keys.columns.head)),
+            max(Lake.statLong(keys, keys.columns.head))).collect()(0)
+        if (r.isNullAt(0)) (0L, -1L)
+        else {
+          val (hLo, hHi) = rangeEnvelope(hit.map(_._1))
+          (math.min(r.getLong(0), if (hLo > hHi) Long.MaxValue else hLo),
+            math.max(r.getLong(1), if (hLo > hHi) Long.MinValue else hHi))
+        }
+      })
+    val cv = commitAndIndex(Delta(v + 1, v, "delete", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs)
-    MergeStats(v + 1, kept.size, hit.size, newFiles.size, 0L)
+      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs,
+      rebaseEnvelope = envelope)
+    MergeStats(cv, kept.size, hit.size, newFiles.size, 0L)
   }
 
   /** MERGE-ON-READ delete — the write-cheap twin of [[delete]]: the keys

@@ -561,4 +561,87 @@ class LakeSpec extends SparkTestBase {
       .select("k", "payload").orderBy("k")) shouldBe
       Seq(Seq(5L, "U5"), Seq(35L, "U35"), Seq(95L, "I95"))
   }
+  test("disjoint-commit fast path: range-disjoint racers commit without replay") {
+    val t = mkTable() // files 1-30, 31-60, 61-90
+    val winner = new graft.sources.LakeTable(spark, t.root)
+    var planted = false
+    t.onBeforeCommit = () => if (!planted) {
+      planted = true
+      winner.merge(Seq((65L, "W65", "U")).toDF("k", "payload", "status"))
+    }
+    // NO retry wrapper: the bare merge must succeed via the rebase path
+    // (a replay would surface as ConcurrentModificationException here)
+    val stats = t.merge(Seq((5L, "X5", "U")).toDF("k", "payload", "status"))
+    stats.version shouldBe 2
+    t.latestVersion shouldBe 2
+    rows(t.read().filter(col("k").isin(5L, 65L))
+      .select("k", "payload").orderBy("k")) shouldBe
+      Seq(Seq(5L, "X5"), Seq(65L, "W65"))
+    t.read().count() shouldBe 90L
+    // no replay also means NO ORPHANED data files: every file on disk is
+    // referenced by some retained version (a replay would abandon the
+    // first attempt's rewrites)
+    val referenced = (0 to 2)
+      .flatMap(v => t.manifest(v).files.map(f =>
+        new Path(f.path).getName)).toSet
+    val onDisk = {
+      val dir = java.nio.file.Paths.get(t.root, "data")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    }
+    onDisk shouldBe referenced
+  }
+
+  test("fast path declines on overlap, probe collisions, and anchors") {
+    // same-file overlap: both writers touch the 1-30 file
+    val t = mkTable()
+    val w = new graft.sources.LakeTable(spark, t.root)
+    var p1 = false
+    t.onBeforeCommit = () => if (!p1) {
+      p1 = true
+      w.merge(Seq((7L, "W7", "U")).toDF("k", "payload", "status"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq((5L, "X5", "U")).toDF("k", "payload", "status"))
+    }
+    t.onBeforeCommit = () => ()
+    // the replay loop still converges to both results
+    t.mergeWithRetry(Seq((5L, "X5", "U")).toDF("k", "payload", "status"))
+    rows(t.read().filter(col("k").isin(5L, 7L))
+      .select("k", "payload").orderBy("k")) shouldBe
+      Seq(Seq(5L, "X5"), Seq(7L, "W7"))
+    // DELETE of a key that hits nothing must still replay when a winner
+    // concurrently INSERTS that key (serialize-after semantics)
+    val t2 = mkTable()
+    val w2 = new graft.sources.LakeTable(spark, t2.root)
+    var p2 = false
+    t2.onBeforeCommit = () => if (!p2) {
+      p2 = true
+      w2.merge(Seq((100L, "W100", "U")).toDF("k", "payload", "status"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t2.delete(Seq(100L).toDF("k"))
+    }
+    // an interleaved ANCHOR commit (compact) always replays
+    val t3 = mkTable()
+    val w3 = new graft.sources.LakeTable(spark, t3.root)
+    var p3 = false
+    t3.onBeforeCommit = () => if (!p3) { p3 = true; w3.compact(1) }
+    intercept[java.util.ConcurrentModificationException] {
+      t3.merge(Seq((5L, "X5", "U")).toDF("k", "payload", "status"))
+    }
+    // but a range-disjoint DELETE rebases fine
+    val t4 = mkTable()
+    val w4 = new graft.sources.LakeTable(spark, t4.root)
+    var p4 = false
+    t4.onBeforeCommit = () => if (!p4) {
+      p4 = true
+      w4.merge(Seq((65L, "W65", "U")).toDF("k", "payload", "status"))
+    }
+    t4.delete(Seq(5L).toDF("k")).version shouldBe 2
+    t4.read().count() shouldBe 89L
+    rows(t4.read().filter(col("k") === 65L).select("payload")) shouldBe
+      Seq(Seq("W65"))
+  }
 }
