@@ -310,15 +310,21 @@ object Lake {
     * a dropped widening (or a null leak into updated rows) diverges. */
   def lakeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
+      .withColumn("o_flag", (col("o_custkey") % 10).cast("int"))
     val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    // the batch WIDENS o_flag INT→LONG (update values overflow int) and
+    // ADDS o_channel — carried files read back promoted / null through
+    // the evolved stored schema
     val updates = o.filter(col("o_orderkey") % 100 === 0)
       .withColumn("o_orderpriority", lit("0-UPDATED"))
       .withColumn("o_channel", lit("BACKFILL"))
+      .withColumn("o_flag", col("o_flag").cast("long") * lit(1000000000L))
     t.merge(updates)
     t.read()
       .groupBy(coalesce(col("o_channel"), lit("LEGACY")).as("channel"),
         col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_flag")).as("sum_flag"))
       .orderBy("channel", "o_orderpriority")
   }
 
@@ -709,9 +715,13 @@ object Lake {
         |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
         |              ELSE o_orderpriority END AS o_orderpriority,
         |         CASE WHEN o_orderkey % 100 = 0 THEN 'BACKFILL'
-        |              ELSE 'LEGACY' END AS channel
+        |              ELSE 'LEGACY' END AS channel,
+        |         CASE WHEN o_orderkey % 100 = 0
+        |              THEN (o_custkey % 10) * 1000000000
+        |              ELSE o_custkey % 10 END AS flag
         |  FROM orders)
-        |SELECT channel, o_orderpriority, count(*) AS n_rows
+        |SELECT channel, o_orderpriority, count(*) AS n_rows,
+        |       CAST(sum(flag) AS BIGINT) AS sum_flag
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "lake_cdc_changes" ->
@@ -777,7 +787,8 @@ object Lake {
                       keyCol: String, files: Seq[FileEntry],
                       statsCols: Seq[String] = Nil,
                       tombstones: Seq[FileEntry] = Nil,
-                      partitionCols: Seq[String] = Nil)
+                      partitionCols: Seq[String] = Nil,
+                      schemaDdl: Option[String] = None)
 
   /** One COMMIT — what the `v%05d.json` manifest file actually stores.
     * A commit's payload is proportional to WHAT CHANGED (`adds` /
@@ -798,14 +809,16 @@ object Lake {
                    adds: Seq[FileEntry], removes: Seq[String],
                    tombstoneAdds: Seq[FileEntry],
                    tombstoneRemoves: Seq[String],
-                   commitTs: Long = -1L)
+                   commitTs: Long = -1L,
+                   schemaDdl: Option[String] = None)
 
   /** A resolved state as a full, self-anchoring Delta (legacy-manifest
     * reads and the create/compact/restore/clone commit shape). */
   private[graft] def fullDelta(m: Manifest): Delta =
     Delta(m.version, m.parentVersion, m.operation, m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = m.files, removes = Nil,
-      tombstoneAdds = m.tombstones, tombstoneRemoves = Nil)
+      tombstoneAdds = m.tombstones, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl)
 
   /** Result of a [[LakeTable.merge]] — what a COW commit did. */
   case class MergeStats(version: Int, keptFiles: Int, rewrittenFiles: Int,
@@ -906,6 +919,7 @@ object Lake {
       "partitionCols" -> d.partitionCols,
       "full" -> d.full,
       "commitTs" -> d.commitTs,
+      "schemaDdl" -> d.schemaDdl.orNull,
       "adds" -> d.adds.map(fileJson(colOrder)),
       "removes" -> d.removes,
       "tombstoneAdds" -> d.tombstoneAdds.map(fileJson(colOrder)),
@@ -968,7 +982,11 @@ object Lake {
         adds = entries("adds"), removes = strings("removes"),
         tombstoneAdds = entries("tombstoneAdds"),
         tombstoneRemoves = strings("tombstoneRemoves"),
-        commitTs = if (n.has("commitTs")) n.get("commitTs").asLong() else -1L)
+        commitTs = if (n.has("commitTs")) n.get("commitTs").asLong() else -1L,
+        schemaDdl =
+          if (n.has("schemaDdl") && !n.get("schemaDdl").isNull)
+            Some(n.get("schemaDdl").asText())
+          else None)
   }
 
   /** Normalize a column to the Long STAT UNITS the manifest stores:
@@ -987,6 +1005,63 @@ object Lake {
       case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
       case _ => col(c).cast("long")
     }
+  }
+
+  /** Widened result of two column types, or None when incompatible:
+    * integral chains widen up (byte → short → int → long), FLOAT widens
+    * to DOUBLE — exactly the promotions the parquet readers perform when
+    * handed a wider read schema (probed and spec-pinned), so files
+    * written before the widening stay readable in place. */
+  private[sources] def widenType(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val rank = Map[DataType, Int](
+      ByteType -> 0, ShortType -> 1, IntegerType -> 2, LongType -> 3)
+    if (a == b) Some(a)
+    else (rank.get(a), rank.get(b)) match {
+      case (Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ => (a, b) match {
+        case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+          Some(DoubleType)
+        case _ => None
+      }
+    }
+  }
+
+  /** The table schema after a merge: existing data columns widen against
+    * the update batch (incompatible types refuse loudly), brand-new
+    * columns append nullable, partition columns stay put LAST — the
+    * stored read order. */
+  private[sources] def widenSchema(
+      table: org.apache.spark.sql.types.StructType,
+      updates: org.apache.spark.sql.types.StructType,
+      pcols: Seq[String]): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.StructType
+    val updByName = updates.fields.map(f => f.name.toLowerCase -> f).toMap
+    val tableNames = table.fields.map(_.name.toLowerCase).toSet
+    val widened = table.fields.map { tf =>
+      if (pcols.exists(_.equalsIgnoreCase(tf.name))) tf
+      else updByName.get(tf.name.toLowerCase) match {
+        case Some(uf) =>
+          val dt = widenType(tf.dataType, uf.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"merge cannot change column '${tf.name}' from " +
+                s"${tf.dataType.simpleString} to ${uf.dataType.simpleString}: " +
+                "only widening promotions (integral up-casts, float to " +
+                "double) evolve through MERGE"))
+          tf.copy(dataType = dt)
+        case None => tf
+      }
+    }
+    val newCols = updates.fields
+      .filterNot(f => tableNames.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true))
+    val (pFields, dFields) =
+      widened.partition(f => pcols.exists(_.equalsIgnoreCase(f.name)))
+    StructType((dFields ++ newCols ++ pFields)
+      .map(f => f.copy(nullable = true)))
   }
 
   /** Timestamp argument accepted by the `timestampAsOf` option and the
@@ -1126,7 +1201,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val d = readDelta(version)
     val (files, tombs) = resolveState(version)
     Manifest(d.version, d.parentVersion, d.operation, d.keyCol, files,
-      d.statsCols, tombs, d.partitionCols)
+      d.statsCols, tombs, d.partitionCols, d.schemaDdl)
   }
 
   /** Write the resolved state at `v` as a single parquet checkpoint file
@@ -1175,7 +1250,11 @@ class LakeTable(spark: SparkSession, val root: String) {
                         schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
     var r = spark.read
-    r = schema match {
+    // the manifest's stored schema (when present) replaces the footer-
+    // merging pass AND carries type widening: files written before an
+    // INT→LONG / FLOAT→DOUBLE evolution read back promoted in place
+    r = schema.orElse(
+        m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)) match {
       case Some(s) => r.schema(s)
       case None => r.option("mergeSchema", "true")
     }
@@ -1648,9 +1727,17 @@ class LakeTable(spark: SparkSession, val root: String) {
       "partition column cannot be the merge key"))
     val files = writeDataFiles(df, keyCol, numFiles, statsCols,
       partitionCols = partitionBy)
+    // stored in READ order: data columns first, partition columns LAST
+    // (hive recovery appends them) — every later read uses this schema
+    val readSchema = org.apache.spark.sql.types.StructType(
+      (df.schema.fields.filterNot(f =>
+        partitionBy.exists(_.equalsIgnoreCase(f.name))) ++
+        partitionBy.map(p => df.schema(p)))
+        .map(f => f.copy(nullable = true)))
     commitAndIndex(Delta(0, -1, "create", keyCol, statsCols, partitionBy,
       full = true, adds = files, removes = Nil,
-      tombstoneAdds = Nil, tombstoneRemoves = Nil), files, Nil)
+      tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = Some(readSchema.toDDL)), files, Nil)
   }
 
   /** File pruning shared by MERGE and DELETE: a key hits a file iff it
@@ -1841,6 +1928,12 @@ class LakeTable(spark: SparkSession, val root: String) {
     val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     val updateRows = updates.count()
+    // schema evolution: widen existing columns against the batch, append
+    // its new ones — recorded in the commit so every read (this version
+    // on) uses the evolved shape while older snapshots keep theirs
+    val newSchemaDdl = m.schemaDdl.map(ddl => Lake.widenSchema(
+      org.apache.spark.sql.types.StructType.fromDDL(ddl),
+      updates.schema, m.partitionCols).toDDL)
     val tombKeys = tombstoneKeys(m)
     val rewritten =
       if (hit.isEmpty) updates
@@ -1876,7 +1969,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val cv = commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs,
+      tombstoneRemoves = tRemoves, schemaDdl = newSchemaDdl),
+      kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles ++ hit.map(_._1))))
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
   }
@@ -1984,7 +2078,11 @@ class LakeTable(spark: SparkSession, val root: String) {
     val cv = commitAndIndex(Delta(v + 1, v, "merge-into", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs,
+      tombstoneRemoves = tRemoves,
+      schemaDdl = m.schemaDdl.map(ddl => Lake.widenSchema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl),
+        updates.schema, m.partitionCols).toDDL)),
+      kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles ++ hit.map(_._1))))
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
   }
@@ -2019,16 +2117,22 @@ class LakeTable(spark: SparkSession, val root: String) {
       hitDf0.join(tk, Seq(keyCol), "left_anti"))
     require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
       "UPDATE assigns a column more than once")
-    // one simultaneous projection: every RHS evaluates against the OLD row
+    // one simultaneous projection: every RHS evaluates against the OLD
+    // row, CAST to the column's recorded type (the SQL UPDATE contract —
+    // and physical files must never silently outgrow the stored schema)
     val rewritten = hitDf.withColumns(
-      sets.map { case (c, e) => c -> when(condition, e).otherwise(col(c)) }.toMap)
+      sets.map { case (c, e) =>
+        c -> when(condition, e.cast(hitDf.schema(c).dataType))
+          .otherwise(col(c))
+      }.toMap)
     val newFiles = writeDataFiles(rewritten, keyCol, math.max(1, hit.size),
       m.statsCols, partitionCols = m.partitionCols)
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
     commitAndIndex(Delta(v + 1, v, "update", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs)
+      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl),
+      kept.map(_._1) ++ newFiles, tombs)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
 
@@ -2155,7 +2259,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val cv = commitAndIndex(Delta(v + 1, v, "delete", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves), kept.map(_._1) ++ newFiles, tombs,
+      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl),
+      kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = envelope)
     MergeStats(cv, kept.size, hit.size, newFiles.size, 0L)
   }
@@ -2182,7 +2287,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.keyCol, 1)
     commitAndIndex(Delta(v + 1, v, "delete-deferred", m.keyCol, m.statsCols,
       m.partitionCols, full = false, adds = Nil, removes = Nil,
-      tombstoneAdds = tomb, tombstoneRemoves = Nil),
+      tombstoneAdds = tomb, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl),
       m.files, m.tombstones ++ tomb)
     MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
   }
@@ -2201,7 +2307,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val m = manifest(version)
     commitAndIndex(Delta(v + 1, v, s"restore-v$version", m.keyCol,
       m.statsCols, m.partitionCols, full = true, adds = m.files,
-      removes = Nil, tombstoneAdds = m.tombstones, tombstoneRemoves = Nil),
+      removes = Nil, tombstoneAdds = m.tombstones, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -2227,7 +2334,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     t.commitAndIndex(Delta(0, -1, s"clone-of-$rootPath@v$latestVersion",
       m.keyCol, m.statsCols, Nil, full = true, adds = absolute(m.files),
       removes = Nil, tombstoneAdds = absolute(m.tombstones),
-      tombstoneRemoves = Nil), absolute(m.files), absolute(m.tombstones))
+      tombstoneRemoves = Nil, schemaDdl = m.schemaDdl),
+      absolute(m.files), absolute(m.tombstones))
     t
   }
 
@@ -2244,7 +2352,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, "compact", m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
-      tombstoneAdds = Nil, tombstoneRemoves = Nil), newFiles, Nil)
+      tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -2270,7 +2379,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       Some(cluster))
     commitAndIndex(Delta(v + 1, v, s"optimize-sortby-${sortCols.mkString("-")}",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
-      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil),
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -2315,7 +2425,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols, Some(z))
     commitAndIndex(Delta(v + 1, v, "optimize-zorder", m.keyCol, statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
-      tombstoneAdds = Nil, tombstoneRemoves = Nil), newFiles, Nil)
+      tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -2340,7 +2451,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols, Some(z))
     commitAndIndex(Delta(v + 1, v, s"optimize-zorder-${cols.size}d",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
-      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil),
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }

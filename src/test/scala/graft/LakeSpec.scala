@@ -644,4 +644,62 @@ class LakeSpec extends SparkTestBase {
     rows(t4.read().filter(col("k") === 65L).select("payload")) shouldBe
       Seq(Seq("W65"))
   }
+  test("type widening: INT→LONG and FLOAT→DOUBLE evolve through MERGE") {
+    import org.apache.spark.sql.types._
+    val df = (1L to 90L).map(k => (k, k.toInt, k.toFloat / 2, s"v$k"))
+      .toDF("k", "i", "f", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    t.read().schema("i").dataType shouldBe IntegerType
+    t.read().schema("f").dataType shouldBe FloatType
+    // the batch carries LONG i and DOUBLE f — values outside the narrow
+    // types, so a silent downcast would corrupt
+    val up = Seq((5L, 5000000000L, 0.1d, "UP5"), (95L, -6000000000L, 0.2d, "IN95"))
+      .toDF("k", "i", "f", "payload")
+    t.merge(up)
+    val r = t.read()
+    r.schema("i").dataType shouldBe LongType
+    r.schema("f").dataType shouldBe DoubleType
+    // updated rows carry the wide values; carried rows read PROMOTED in
+    // place (their files still hold int32/float physically)
+    rows(r.filter(col("k").isin(5L, 95L)).select("k", "i", "f").orderBy("k")) shouldBe
+      Seq(Seq(5L, 5000000000L, 0.1d), Seq(95L, -6000000000L, 0.2d))
+    rows(r.filter(col("k") === 7L).select("i", "f")) shouldBe
+      Seq(Seq(7L, 3.5d))
+    r.agg(sum("i")).collect()(0).getLong(0) shouldBe
+      ((1L to 90L).sum - 5L + 5000000000L - 6000000000L)
+    // time travel keeps the OLD shape at the old version
+    t.snapshot(0).schema("i").dataType shouldBe IntegerType
+    t.snapshot(0).schema("f").dataType shouldBe FloatType
+    t.snapshot(0).count() shouldBe 90L
+    // the widened schema persists through later carry-verbs and compact
+    t.delete(Seq(9L).toDF("k"))
+    t.read().schema("i").dataType shouldBe LongType
+    t.compact(2)
+    t.read().schema("i").dataType shouldBe LongType
+    t.read().count() shouldBe 90L // 91 - 1 deleted
+    // the change feed speaks the widened shape across the interval
+    val feed = t.changes(0, 1)
+    feed.schema("i").dataType shouldBe LongType
+    feed.filter(col("_change_type") === "insert").count() shouldBe 1L
+    // an INCOMPATIBLE change refuses loudly
+    val bad = Seq((6L, "nope", 1.0d, "BAD")).toDF("k", "i", "f", "payload")
+    val e = intercept[IllegalArgumentException] { t.merge(bad) }
+    e.getMessage should include("widening")
+  }
+
+  test("type widening through mergeInto; UPDATE casts RHS to column type") {
+    import org.apache.spark.sql.types._
+    val df = (1L to 30L).map(k => (k, k.toInt, s"v$k")).toDF("k", "i", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 2)
+    t.mergeInto(Seq((5L, 7000000000L, "WIDE")).toDF("k", "i", "payload"))
+    t.read().schema("i").dataType shouldBe LongType
+    rows(t.read().filter(col("k") === 5L).select("i")) shouldBe
+      Seq(Seq(7000000000L))
+    rows(t.read().filter(col("k") === 6L).select("i")) shouldBe Seq(Seq(6L))
+    // UPDATE's RHS casts to the recorded column type (here: the already-
+    // widened LONG), and a fractional literal truncates like SQL UPDATE
+    t.update(col("k") === 6L, Seq("i" -> lit(2.9d)))
+    rows(t.read().filter(col("k") === 6L).select("i")) shouldBe Seq(Seq(2L))
+    t.read().schema("i").dataType shouldBe LongType
+  }
 }
