@@ -98,6 +98,10 @@ object Run {
     * graft.Run lake-clone   <root> <newRoot>
     * graft.Run lake-vacuum  <root> <retainVersions>
     * graft.Run lake-history <root>
+    * graft.Run lake-sql     <statement…>   // MERGE INTO / UPDATE / DELETE
+    *                                       // FROM / OPTIMIZE / VACUUM over
+    *                                       // graft_lake('<root>'), or any
+    *                                       // read (graft_lake_at, …)
     * }}}
     */
   private def runLake(args: Array[String]): Unit = {
@@ -108,6 +112,12 @@ object Run {
         s"$cmd: expected ${n - 1} arguments")
     withCliSession { spark =>
       need(2)
+      if (cmd == "lake-sql") {
+        // the whole remainder is one statement — the injected parser
+        // routes lake DML, everything else is ordinary Spark SQL
+        spark.sql(args.drop(1).mkString(" ")).show(100, truncate = false)
+        return
+      }
       val root = args(1)
       def table = new graft.sources.LakeTable(spark, root)
       cmd match {

@@ -73,4 +73,32 @@ class RunSpec extends SparkTestBase {
       Run.run(Array("no_such_query", "/root/testdata/sf0.001", "/tmp/x"))
     } should have message "unknown query 'no_such_query' — run `graft.Run list`"
   }
+  test("lake CLI: lake-sql routes DML through the injected parser") {
+    // the CLI reuses a live session; hand it one WITH the extensions so
+    // the injected parser serves the statement (the real CLI builds its
+    // own extension session when none exists)
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = GraftSession.tune(org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .withExtensions(new org.apache.spark.sql.graft.GraftSessionExtensions))
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val t = graft.sources.Lake.create(s2, graft.sources.Lake.freshRoot(),
+        (1L to 20L).map(k => (k, s"v$k")).toDF("k", "payload"), "k", 2)
+      Run.run(Array("lake-sql",
+        "DELETE", "FROM", s"graft_lake('${t.root}')", "WHERE", "k", "<=", "5"))
+      t.read().count() shouldBe 15L
+      Run.run(Array("lake-sql",
+        s"UPDATE graft_lake('${t.root}') SET payload = 'X' WHERE k = 6"))
+      t.read().filter(org.apache.spark.sql.functions.col("payload") === "X")
+        .count() shouldBe 1L
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
 }
