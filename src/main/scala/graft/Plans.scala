@@ -86,7 +86,8 @@ object Plans {
       "dq_constraints_orders", "dq_referential", "dq_drift_psi",
       "multimodal_phash", "multimodal_phash_neardup", "sim_index_cdc",
       "lake_date_pruning", "lake_partition_pruning",
-      "lake_string_pruning", "lake_merge_conditional")
+      "lake_string_pruning", "lake_merge_conditional",
+      "lake_mor_changes")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `runMain graft.Plans`)\n\n")
