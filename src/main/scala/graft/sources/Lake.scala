@@ -1570,6 +1570,10 @@ class LakeTable(spark: SparkSession, val root: String) {
       // movement changes read-time semantics — both replay
       if (dw.full || dw.tombstoneAdds.nonEmpty || dw.tombstoneRemoves.nonEmpty)
         return None
+      // a winner that EVOLVED the schema must not have its widening
+      // reverted by our rebased commit (whose schema predates it): any
+      // schema divergence between the racers replays
+      if (dw.schemaDdl != d.schemaDdl) return None
       if (dw.removes.exists(ourRemoves)) return None // same file touched
       // the winner's touched files: everything it added plus the
       // entries it removed (ranges from its parent's resolved state)

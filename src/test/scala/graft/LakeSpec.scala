@@ -702,4 +702,28 @@ class LakeSpec extends SparkTestBase {
     rows(t.read().filter(col("k") === 6L).select("i")) shouldBe Seq(Seq(2L))
     t.read().schema("i").dataType shouldBe LongType
   }
+  test("fast path declines when the winner evolved the schema") {
+    // a winner WIDENING a column must not have its evolution reverted by
+    // the loser's rebased commit (whose recorded schema predates it)
+    import org.apache.spark.sql.types._
+    val df = (1L to 90L).map(k => (k, k.toInt, s"v$k")).toDF("k", "i", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    val w = new graft.sources.LakeTable(spark, t.root)
+    var planted = false
+    t.onBeforeCommit = () => if (!planted) {
+      planted = true
+      // range-disjoint (key 65) but WIDENS i to LONG
+      w.merge(Seq((65L, 9000000000L, "W65")).toDF("k", "i", "payload"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq((5L, 5, "X5")).toDF("k", "i", "payload"))
+    }
+    t.onBeforeCommit = () => ()
+    // replay converges with the widened schema intact
+    t.mergeWithRetry(Seq((5L, 5, "X5")).toDF("k", "i", "payload"))
+    t.read().schema("i").dataType shouldBe LongType
+    rows(t.read().filter(col("k") === 65L).select("i")) shouldBe
+      Seq(Seq(9000000000L))
+    rows(t.read().filter(col("k") === 5L).select("i")) shouldBe Seq(Seq(5L))
+  }
 }
