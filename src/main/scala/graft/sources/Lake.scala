@@ -1342,6 +1342,22 @@ class LakeTable(spark: SparkSession, val root: String) {
       "n_tombstone_files", "is_anchor")
   }
 
+  /** DESCRIBE DETAIL's file listing — the resolved manifest of `version`
+    * as a DataFrame: one row per data/tombstone file with its row count
+    * and key bounds. Metadata-only (no data I/O); the SQL surface is the
+    * `graft_lake_files` table function. */
+  def filesDf(version: Int): DataFrame = {
+    val m = manifest(version)
+    val rows =
+      m.files.map(f => ("data", f.path, f.rows, f.minKey, f.maxKey)) ++
+        m.tombstones.map(f =>
+          ("tombstone", f.path, f.rows, f.minKey, f.maxKey))
+    spark.createDataFrame(rows)
+      .toDF("kind", "path", "n_rows", "min_key", "max_key")
+  }
+
+  def filesDf(): DataFrame = filesDf(latestVersion)
+
   /** Manifest-pruned key-range read of the latest snapshot: only files
     * whose [min,max] intersects [lo,hi] enter the scan AT PLANNING TIME
     * (the others never appear in the relation — no I/O, no tasks), then

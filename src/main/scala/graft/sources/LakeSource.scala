@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.execution.streaming.Source
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graft-lake")` — the lake as a first-class Spark
@@ -36,7 +37,7 @@ import org.apache.spark.sql.types.StructType
   * change feed with per-commit micro-batches — see
   * [[LakeChangeFeedSource]]. */
 class LakeSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft-lake"
 
@@ -54,6 +55,39 @@ class LakeSource extends RelationProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String]): Source =
     new LakeChangeFeedSource(sqlContext, parameters)
+
+  /** `df.writeStream.format("graft-lake").option("path", root)` — the
+    * lake as a first-class streaming SINK: every micro-batch MERGEs by
+    * key as one COW commit, and the epoch tag (qualified by the
+    * checkpoint identity, or an explicit `txnAppId` option) makes a
+    * replayed batch a no-op — exactly-once table content with engine-
+    * managed offsets, the symmetric twin of the change-feed source. The
+    * table must exist (`Lake.create` fixes key and layout); partitionBy
+    * on the writer refuses (layout is a table property); append and
+    * update output modes are both per-batch upserts (the table is keyed
+    * — complete mode is rejected). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-lake sink requires a path: writeStream.format(\"graft-lake\")" +
+        ".option(\"path\", <root>)"))
+    require(partitionColumns.isEmpty,
+      "graft-lake sink: partition layout is fixed at table create — drop " +
+        "the writer's partitionBy")
+    require(outputMode != OutputMode.Complete(),
+      "graft-lake sink: complete mode unsupported — each batch MERGEs by " +
+        "key (use append or update)")
+    // epoch tags qualify per CHECKPOINT (the txnAppId pattern): a fresh
+    // checkpoint restarts epochs at 0 and must not collide with or
+    // early-exit the old run's chain
+    val appId = parameters.getOrElse("txnAppId",
+      java.lang.Long.toHexString(
+        new Path(parameters.getOrElse("checkpointLocation", root)).toString
+          .hashCode & 0xffffffffL))
+    new LakeMergeSink(root, appId)
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -77,7 +111,12 @@ class LakeSource extends RelationProvider with DataSourceRegister
       s"snapshot v$version is empty — an empty table exposes no schema " +
         "through the format; use LakeTable.read()")
     val paths = m.files.map(f => new Path(root, f.path).toString)
-    val reader = spark.read.option("mergeSchema", "true")
+    // the stored schema (when present) replaces footer merging and reads
+    // pre-widening files promoted in place — same contract as the API read
+    val reader = m.schemaDdl match {
+      case Some(ddl) => spark.read.schema(StructType.fromDDL(ddl))
+      case None => spark.read.option("mergeSchema", "true")
+    }
     // hive-partitioned tables: recover directory values as real columns
     if (m.partitionCols.nonEmpty)
       reader.option("basePath", new Path(root, "data").toString)
@@ -86,5 +125,21 @@ class LakeSource extends RelationProvider with DataSourceRegister
         case l: LogicalRelation => l.relation
       }.getOrElse(throw new IllegalStateException(
         "parquet read did not resolve to a file relation"))
+  }
+}
+
+/** The V1 sink behind `writeStream.format("graft-lake")` — one
+  * [[LakeTable.mergeEpoch]] per micro-batch. The incoming DataFrame is
+  * the streaming plan; it re-plans as a batch frame and MATERIALIZES
+  * once (localCheckpoint) because the merge consumes its source from
+  * several operators and a streaming batch must not re-execute. */
+private[sources] class LakeMergeSink(root: String, appId: String)
+    extends Sink {
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = org.apache.spark.sql.graft.StreamBridge
+      .batchDataFrame(data).localCheckpoint()
+    new LakeTable(data.sparkSession, root)
+      .mergeEpoch(batch, batchId, appId)
+    ()
   }
 }

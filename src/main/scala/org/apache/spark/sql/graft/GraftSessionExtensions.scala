@@ -87,6 +87,34 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           intArg("graft_lake_changes")(children(2)))
           .queryExecution.analyzed
       }))
+    // metadata introspection from SQL: DESCRIBE HISTORY / DETAIL as table
+    // functions — one row per retained commit / per manifest file entry,
+    // metadata-only (no data I/O)
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_lake_history"),
+      new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,
+        "graft_lake_history"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_lake_history takes (rootPath)")
+        val spark = SparkSession.active
+        new graft.sources.LakeTable(spark,
+          strArg("graft_lake_history")(children.head))
+          .history().queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_lake_files"),
+      new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,
+        "graft_lake_files"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "graft_lake_files takes (rootPath) or (rootPath, version)")
+        val spark = SparkSession.active
+        val t = new graft.sources.LakeTable(spark,
+          strArg("graft_lake_files")(children.head))
+        val v = children.lift(1).map(intArg("graft_lake_files"))
+          .getOrElse(t.latestVersion)
+        t.filesDf(v).queryExecution.analyzed
+      }))
     // Whole-operator extension tier: the native AS-OF join's planner
     // strategy (logical node AsOfJoinPlan → physical AsOfJoinExec) and the
     // optimizer rule restoring predicate pushdown through the custom node.

@@ -17,4 +17,15 @@ object StreamBridge {
                          schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The reverse door, for V1 SINKS: `addBatch` hands a streaming-flagged
+    * DataFrame that batch operators (joins, writes) refuse — re-plan the
+    * same rows as an ordinary batch DataFrame (the ForeachBatchSink
+    * pattern). Nothing materializes at wiring time. */
+  def batchDataFrame(data: DataFrame): DataFrame = {
+    val spark =
+      data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
+      isStreaming = false)
+  }
 }

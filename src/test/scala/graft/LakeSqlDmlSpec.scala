@@ -261,4 +261,36 @@ class LakeSqlDmlSpec extends SparkTestBase {
         df.filter(col("a") < 16 && col("b") < 16 && col("c") < 16).count()
     }
   }
+  test("graft_lake_history / graft_lake_files: metadata introspection from SQL") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      s.sql(s"DELETE FROM graft_lake('${t.root}') WHERE k <= 30").collect()
+      // history: one row per retained commit, newest first, metadata-only
+      val hist = s.sql(
+        s"SELECT version, operation FROM graft_lake_history('${t.root}')")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      hist shouldBe Seq((1, "delete"), (0, "create"))
+      // files: the resolved manifest as rows; v0 holds 3 files, v1 kept
+      // 2 + rewrote 1 range away entirely (keys 1-30 erased)
+      s.sql(s"SELECT count(*) FROM graft_lake_files('${t.root}', 0)")
+        .collect()(0).getLong(0) shouldBe 3L
+      val v1 = s.sql(
+        s"""SELECT kind, n_rows, min_key, max_key
+           |FROM graft_lake_files('${t.root}') ORDER BY min_key""".stripMargin)
+        .collect()
+      v1.map(_.getString(0)).foreach(_ shouldBe "data")
+      v1.map(_.getLong(1)).sum shouldBe 60L
+      v1.head.getLong(2) shouldBe 31L
+      // tombstone files are listed with their kind
+      locally {
+        import s.implicits._
+        t.deleteDeferred((31L to 35L).toDF("k"))
+      }
+      val kinds = s.sql(
+        s"SELECT kind, count(*) AS n FROM graft_lake_files('${t.root}') GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      kinds("data") shouldBe 2L
+      kinds("tombstone") shouldBe 1L
+    }
+  }
 }

@@ -664,4 +664,53 @@ class StreamingSpec extends SparkTestBase {
     // applyFeed-divergence scenario, closed
     table.read().count() shouldBe 2L
   }
+  test("graft-lake streaming SINK: writeStream merges each batch exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq((1L, "v1", "A"), (2L, "v2", "A"), (3L, "v3", "A"))
+      .toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sinkfmt-ckpt").toString
+    val in = MemoryStream[(Long, String, String)]
+    def start() = in.toDF().toDF("k", "payload", "status")
+      .writeStream.format("graft-lake")
+      .option("path", table.root)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    in.addData((1L, "U1", "U"), (9L, "I9", "I"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    rows(table.read().orderBy("k")) shouldBe Seq(
+      Seq(1L, "U1", "U"), Seq(2L, "v2", "A"), Seq(3L, "v3", "A"),
+      Seq(9L, "I9", "I"))
+    // the commit is epoch-tagged under the checkpoint-derived app id: a
+    // REPLAY of the same batch is a no-op, not a duplicate snapshot
+    val appId = java.lang.Long.toHexString(
+      new org.apache.hadoop.fs.Path(ckpt).toString.hashCode & 0xffffffffL)
+    table.hasEpoch(0L, appId) shouldBe true
+    val vBefore = table.latestVersion
+    table.mergeEpoch(Seq((1L, "DUP", "X")).toDF("k", "payload", "status"),
+      0L, appId) shouldBe None
+    table.latestVersion shouldBe vBefore
+    // second batch through a restarted query continues the epoch chain
+    in.addData((2L, "U2", "U"))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    rows(table.read().filter(col("k") === 2L).select("payload")) shouldBe
+      Seq(Seq("U2"))
+    // refusals: complete mode and writer-side partitioning
+    intercept[Exception] {
+      in.toDF().toDF("k", "payload", "status")
+        .groupBy("k").count()
+        .writeStream.format("graft-lake")
+        .option("path", table.root)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("x").toString)
+        .outputMode("complete").start()
+    }.getMessage should include("complete")
+  }
 }
