@@ -462,6 +462,25 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: SQL INSERT — the append fast path. New keys (every key
+    * re-keyed +100 000 000 as '9-INSERTED') land as NEW FILES ONLY: the
+    * commit removes nothing and every existing file carries by
+    * reference; a conflicting key refuses (spec-pinned). The oracle
+    * states the union. */
+  def lakeSqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderpriority", lit("9-INSERTED"))
+      .createOrReplaceTempView("lake_sql_insert_src")
+    spark.sql(
+      s"""INSERT INTO graft_lake('${t.root}')
+         |SELECT * FROM lake_sql_insert_src""".stripMargin).collect()
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: SQL UPDATE — a targeted COW rewrite from a plain
     * `UPDATE graft_lake(…) SET … WHERE …` statement; only the files
     * holding matching keys rewrite. */
@@ -551,6 +570,7 @@ object Lake {
     "lake_meta_agg" -> (lakeMetaAgg _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
+    "lake_sql_insert" -> (lakeSqlInsert _),
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_sql_delete" -> (lakeSqlDelete _),
     "lake_sql_maintenance" -> (lakeSqlMaintenance _),
@@ -597,6 +617,14 @@ object Lake {
         |)
         |SELECT o_orderpriority, count(*) AS n_orders
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_insert" ->
+      """WITH u AS (
+        |  SELECT o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT '9-INSERTED' FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT o_orderpriority, count(*) AS n_orders
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_update" ->
       """SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
@@ -1012,7 +1040,7 @@ object Lake {
     * to DOUBLE — exactly the promotions the parquet readers perform when
     * handed a wider read schema (probed and spec-pinned), so files
     * written before the widening stay readable in place. */
-  private[sources] def widenType(
+  private[graft] def widenType(
       a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.types.DataType] = {
@@ -1034,7 +1062,7 @@ object Lake {
     * the update batch (incompatible types refuse loudly), brand-new
     * columns append nullable, partition columns stay put LAST — the
     * stored read order. */
-  private[sources] def widenSchema(
+  private[graft] def widenSchema(
       table: org.apache.spark.sql.types.StructType,
       updates: org.apache.spark.sql.types.StructType,
       pcols: Seq[String]): org.apache.spark.sql.types.StructType = {
@@ -2228,6 +2256,78 @@ class LakeTable(spark: SparkSession, val root: String) {
                  appId: String = ""): Option[MergeStats] =
     if (hasEpoch(epochId, appId)) None
     else Some(mergeTagged(updates, epochTag(epochId, appId)))
+
+  /** INSERT — the APPEND fast path: new rows land as new files and every
+    * existing file carries by reference (an adds-only commit, no rewrite
+    * at all), after a primary-key conflict check: the table is keyed, so
+    * a source key that already exists refuses loudly (upserts belong to
+    * MERGE). The conflict probe scans only the key column of files whose
+    * range covers a source key. Appended files' key ranges may overlap
+    * existing ones — key-range pruning degrades gracefully until the
+    * next compact re-clusters (the standard append-vs-cluster trade
+    * every table format makes). Tombstoned keys CONFLICT like live ones
+    * — an append rewrites nothing, so it cannot safely revive them;
+    * MERGE can. */
+  def insertAll(rows0: DataFrame): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val keyCol = m.keyCol
+    m.partitionCols.foreach(p => require(rows0.columns.contains(p),
+      s"insert into a table partitioned by '$p' must carry that column"))
+    val rows = rows0.localCheckpoint()
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType
+        .fromDDL(m.schemaDdl.getOrElse(rows.schema.toDDL))
+        .fields.map(_.copy(nullable = true)))
+    val narrowed = tableSchema.fieldNames.toSet -- rows.columns.toSet
+    require(narrowed.isEmpty,
+      s"insert rows are missing table columns ${narrowed.mkString(", ")}")
+    // appended files must not outgrow the recorded schema — widening (and
+    // new columns) belong to MERGE, which evolves the schema in-commit
+    val widenedDdl =
+      Lake.widenSchema(tableSchema, rows.schema, m.partitionCols).toDDL
+    require(widenedDdl == tableSchema.toDDL,
+      "insert rows would widen or extend the table schema (" +
+        s"table: ${tableSchema.toDDL}; with rows: $widenedDdl): schema " +
+        "evolution belongs to MERGE")
+    // key sanity: non-null, unique within the batch
+    val cnts = rows.agg(count(lit(1)), count(col(keyCol)),
+      count_distinct(col(keyCol))).collect()(0)
+    require(cnts.getLong(1) == cnts.getLong(0),
+      "insert rows carry null keys")
+    require(cnts.getLong(2) == cnts.getLong(0),
+      "insert rows carry duplicate keys within the batch")
+    // PK conflict check against files whose range covers a source key —
+    // a key-column-only scan. TOMBSTONED keys conflict too: an append
+    // rewrites nothing, so clearing their tombstone would resurrect the
+    // old physical row next to the new one — reviving belongs to MERGE,
+    // whose rewrite folds the dead row out
+    val hitIdx = hitFileIndexes(m, rows.select(keyCol))
+    if (hitIdx.nonEmpty) {
+      val candidates = readFiles(m, hitIdx.toSeq.sorted.map(m.files))
+        .select(col(keyCol))
+      val conflicts = candidates.join(rows.select(col(keyCol)), Seq(keyCol),
+        "left_semi").limit(1).count()
+      require(conflicts == 0L,
+        "INSERT would duplicate existing keys (live or tombstoned): the " +
+          "table is keyed — use MERGE to upsert or revive")
+    }
+    val newFiles = writeDataFiles(rows, keyCol,
+      math.max(1, hitIdx.size), m.statsCols, partitionCols = m.partitionCols)
+    // inserted keys were proven ABSENT (live and tombstoned): the
+    // tombstone set carries unchanged
+    val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
+    val cv = commitAndIndex(Delta(v + 1, v, "insert", keyCol, m.statsCols,
+      m.partitionCols, full = false, adds = newFiles, removes = Nil,
+      tombstoneAdds = tAdds, tombstoneRemoves = tRemoves,
+      schemaDdl = m.schemaDdl),
+      m.files ++ newFiles, tombs,
+      rebaseEnvelope = Some(() => rangeEnvelope(newFiles)))
+    MergeStats(cv, m.files.size, 0, newFiles.size, cnts.getLong(0))
+  }
+
+  def insertAllWithRetry(rows: DataFrame, maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(insertAll(rows))
 
   /** Copy-on-write DELETE by key: files whose range intersects a delete
     * key rewrite to their surviving rows (a fully-erased file simply

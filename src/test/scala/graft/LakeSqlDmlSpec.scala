@@ -293,4 +293,66 @@ class LakeSqlDmlSpec extends SparkTestBase {
       kinds("tombstone") shouldBe 1L
     }
   }
+  test("INSERT INTO: append-only commit, PK conflict refusal, tombstone revive") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s) // keys 1..90, 3 files
+      val v0Files = t.manifest(0).files.map(_.path).toSet
+      Seq((200L, "NEW200", "I", 1.0), (15L, "MID15", "I", 2.0))
+        .toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("ins_src")
+      // key 15 EXISTS: the keyed table refuses the whole insert
+      val e = intercept[IllegalArgumentException] {
+        s.sql(s"INSERT INTO graft_lake('${t.root}') SELECT * FROM ins_src")
+          .collect()
+      }
+      e.getMessage should include("duplicate existing keys")
+      t.latestVersion shouldBe 0
+      // conflict-free insert: adds files, removes NOTHING (append path) —
+      // even though key 95 falls inside no file and 200 beyond all ranges
+      Seq((95L, "NEW95", "I", 1.0), (200L, "NEW200", "I", 2.0))
+        .toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("ins_src2")
+      val stats = s.sql(
+        s"INSERT INTO graft_lake('${t.root}') SELECT * FROM ins_src2")
+        .collect()(0)
+      stats.getInt(2) shouldBe 0 // rewritten_files: the append contract
+      val m1 = t.manifest(1)
+      v0Files.subsetOf(m1.files.map(_.path).toSet) shouldBe true
+      t.read().count() shouldBe 92L
+      rows(t.read().filter(col("k") >= 95L).select("k", "payload").orderBy("k")) shouldBe
+        Seq(Seq(95L, "NEW95"), Seq(200L, "NEW200"))
+      // a TOMBSTONED key conflicts like a live one: an append rewrites
+      // nothing, so it cannot safely revive (the old physical row would
+      // resurrect next to the new one) — MERGE does that
+      t.deleteDeferred(Seq(7L).toDF("k"))
+      Seq((7L, "BACK7", "I", 3.0)).toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("ins_src3")
+      val e2 = intercept[IllegalArgumentException] {
+        s.sql(s"INSERT INTO graft_lake('${t.root}') SELECT * FROM ins_src3")
+          .collect()
+      }
+      e2.getMessage should include("tombstoned")
+      t.read().count() shouldBe 91L // 92 minus the tombstoned key
+      // MERGE through the tombstone revives cleanly
+      s.sql(
+        s"""MERGE INTO graft_lake('${t.root}') USING ins_src3 ON k = k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      rows(t.read().filter(col("k") === 7L).select("payload")) shouldBe
+        Seq(Seq("BACK7"))
+      t.read().count() shouldBe 92L
+      // widening through INSERT refuses — that evolution belongs to MERGE
+      Seq((300L, 1, "I")).toDF("k", "amount", "payload")
+        .select(col("k"), col("payload"), col("payload").as("status"),
+          col("amount"))
+        .createOrReplaceTempView("ins_bad")
+      intercept[Exception] {
+        s.sql(
+          s"""INSERT INTO graft_lake('${t.root}')
+             |SELECT k, payload, status, CAST(amount AS STRING) AS amount
+             |FROM ins_bad""".stripMargin).collect()
+      }
+    }
+  }
 }
