@@ -462,6 +462,28 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: SQL CTAS — the whole table lifecycle from SQL:
+    * `CREATE TABLE graft_lake(…) KEY … FILES … STATS (…) AS <query>`
+    * builds the key-clustered lake (with declared stats columns), and
+    * the subsequent filtered aggregate reads it back through the
+    * automatic pruning path. The oracle states the same aggregate raw. */
+  def lakeSqlCtas(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("lake_sql_ctas_src")
+    val root = freshRoot() + "/t"
+    spark.sql(
+      s"""CREATE TABLE graft_lake('$root') KEY o_orderkey FILES 8
+         |STATS (o_totalprice)
+         |AS SELECT * FROM lake_sql_ctas_src""".stripMargin).collect()
+    val t = new LakeTable(spark, root)
+    t.read()
+      .filter(col("o_orderkey") <= 2000L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: SQL INSERT — the append fast path. New keys (every key
     * re-keyed +100 000 000 as '9-INSERTED') land as NEW FILES ONLY: the
     * commit removes nothing and every existing file carries by
@@ -570,6 +592,7 @@ object Lake {
     "lake_meta_agg" -> (lakeMetaAgg _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
+    "lake_sql_ctas" -> (lakeSqlCtas _),
     "lake_sql_insert" -> (lakeSqlInsert _),
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_sql_delete" -> (lakeSqlDelete _),
@@ -617,6 +640,12 @@ object Lake {
         |)
         |SELECT o_orderpriority, count(*) AS n_orders
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_ctas" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_insert" ->
       """WITH u AS (
@@ -1296,7 +1325,13 @@ class LakeTable(spark: SparkSession, val root: String) {
     * evolution: pre-evolution files read null for later-added columns. */
   def snapshot(version: Int): DataFrame = {
     val m = manifest(version)
-    if (m.files.isEmpty) spark.emptyDataFrame
+    if (m.files.isEmpty)
+      // a fully-erased snapshot still KNOWS its shape when the commit
+      // chain recorded it — readers get a typed empty relation
+      m.schemaDdl.map(ddl => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+        .getOrElse(spark.emptyDataFrame)
     else applyTombstones(m, readFiles(m, m.files))
   }
 

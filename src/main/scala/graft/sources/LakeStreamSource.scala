@@ -117,8 +117,8 @@ object LakeChangeFeedSource {
   def feedSchema(spark: SparkSession, root: String): StructType = {
     val t = new LakeTable(spark, root)
     val m = t.manifest(t.latestVersion)
-    require(m.files.nonEmpty,
-      "cannot stream an empty lake table: no data schema to derive " +
+    require(m.files.nonEmpty || m.schemaDdl.nonEmpty,
+      "cannot stream an empty lake table with no recorded schema " +
         "(commit data first, then start the stream)")
     StructType(t.snapshot(t.latestVersion).schema.fields ++ Seq(
       StructField("_change_type", StringType, nullable = false),

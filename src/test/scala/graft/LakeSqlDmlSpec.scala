@@ -355,4 +355,41 @@ class LakeSqlDmlSpec extends SparkTestBase {
       }
     }
   }
+  test("CREATE TABLE AS: full SQL lifecycle; typed empty reads") {
+    withExtendedSession { s =>
+      import s.implicits._
+      (1L to 50L).map(k => (k, k % 5, s"v$k")).toDF("k", "p", "payload")
+        .createOrReplaceTempView("ctas_src")
+      val root = graft.sources.Lake.freshRoot() + "/t"
+      val stats = s.sql(
+        s"""CREATE TABLE graft_lake('$root') KEY k FILES 4
+           |PARTITIONED BY (p) STATS (payload)
+           |AS SELECT * FROM ctas_src""".stripMargin).collect()(0)
+      stats.getInt(3) should be >= 4 // added files (per partition slices)
+      stats.getLong(4) shouldBe 50L
+      val t = new graft.sources.LakeTable(s, root)
+      t.manifest(0).partitionCols shouldBe Seq("p")
+      t.manifest(0).statsCols shouldBe Seq("payload")
+      t.read().count() shouldBe 50L
+      // a second CREATE at the same root refuses
+      intercept[IllegalArgumentException] {
+        s.sql(s"CREATE TABLE graft_lake('$root') KEY k AS SELECT * FROM ctas_src")
+          .collect()
+      }.getMessage should include("already exists")
+      // full-wipe DELETE leaves a TYPED empty relation (the recorded
+      // schema survives an empty snapshot)
+      s.sql(s"DELETE FROM graft_lake('$root')").collect()
+      val empty = t.read()
+      empty.count() shouldBe 0L
+      empty.schema.fieldNames.toSeq shouldBe Seq("k", "payload", "p")
+      // and SQL over the empty snapshot still works
+      s.sql(s"SELECT count(*) AS n FROM graft_lake_at('$root')")
+        .collect()(0).getLong(0) shouldBe 0L
+      // CREATE TABLE on a NON-lake target delegates to the default
+      // parser and runs as ordinary Spark DDL
+      s.sql("CREATE TABLE plain_ctas_probe (x INT) USING parquet")
+      s.catalog.tableExists("plain_ctas_probe") shouldBe true
+      s.sql("DROP TABLE plain_ctas_probe")
+    }
+  }
 }
