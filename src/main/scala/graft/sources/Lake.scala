@@ -462,6 +462,29 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: incremental BINPACK compaction over the streaming-
+    * ingest shape. Three small appends (the INSERT fast path) leave the
+    * table with 8 right-sized base files plus 3 small ones;
+    * `OPTIMIZE … BINPACK` rewrites ONLY the small files (the base files
+    * carry by reference — spec-pinned), and the post-compaction relation
+    * aggregates exactly like the union the oracle states. */
+  def lakeBinpack(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    (1 to 3).foreach { i =>
+      t.insertAll(o.filter(col("o_orderkey") % 100 === i)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L * i))
+        .withColumn("o_orderpriority", lit(s"$i-APPENDED")))
+    }
+    // the threshold sits between the append-batch size (~n/100) and the
+    // base file size (~n/8) at every scale factor
+    val minRows = math.max(2L, o.count() / 50)
+    spark.sql(
+      s"OPTIMIZE graft_lake('${t.root}') BINPACK $minRows").collect()
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: SQL CTAS — the whole table lifecycle from SQL:
     * `CREATE TABLE graft_lake(…) KEY … FILES … STATS (…) AS <query>`
     * builds the key-clustered lake (with declared stats columns), and
@@ -593,6 +616,7 @@ object Lake {
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
+    "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_sql_delete" -> (lakeSqlDelete _),
@@ -640,6 +664,18 @@ object Lake {
         |)
         |SELECT o_orderpriority, count(*) AS n_orders
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_binpack" ->
+      """WITH u AS (
+        |  SELECT o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT '1-APPENDED' FROM orders WHERE o_orderkey % 100 = 1
+        |  UNION ALL
+        |  SELECT '2-APPENDED' FROM orders WHERE o_orderkey % 100 = 2
+        |  UNION ALL
+        |  SELECT '3-APPENDED' FROM orders WHERE o_orderkey % 100 = 3)
+        |SELECT o_orderpriority, count(*) AS n_orders
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_ctas" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -2511,6 +2547,45 @@ class LakeTable(spark: SparkSession, val root: String) {
       schemaDdl = m.schemaDdl), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
+
+  /** OPTIMIZE BINPACK — the INCREMENTAL compaction a 100 TB table
+    * actually runs: only files below `minRows` rewrite (re-clustered on
+    * the key into files of ~`targetRows`), every right-sized file
+    * carries by reference. A table fed by streaming micro-merges or
+    * appends accumulates small files; a full [[compact]] pays O(table)
+    * to fix them — this pays O(small files). Commits as an ordinary
+    * delta (NOT an anchor: the untouched bulk stays carried).
+    * Rewritten files physically fold their tombstoned rows; tombstone
+    * entries stand for the carried files. No-op (≤ 1 small file)
+    * commits nothing. */
+  def compactBinPack(minRows: Long, targetRows: Long = 0L): MergeStats = {
+    require(minRows > 0, "minRows must be positive")
+    val target = if (targetRows > 0) targetRows else 2 * minRows
+    val v = latestVersion
+    val m = manifest(v)
+    val (small, big) = m.files.partition(_.rows < minRows)
+    if (small.size <= 1)
+      return MergeStats(v, m.files.size, 0, 0, 0L)
+    val smallRows = small.map(_.rows).sum
+    val numOut = math.max(1L, (smallRows + target - 1) / target).toInt
+    val packed0 = readFiles(m, small)
+    val packed = tombstoneKeys(m).fold(packed0)(tk =>
+      packed0.join(tk, Seq(m.keyCol), "left_anti"))
+    val newFiles = writeDataFiles(packed, m.keyCol, numOut, m.statsCols,
+      partitionCols = m.partitionCols)
+    val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
+    val cv = commitAndIndex(Delta(v + 1, v, "optimize-binpack", m.keyCol,
+      m.statsCols, m.partitionCols, full = false, adds = newFiles,
+      removes = small.map(_.path), tombstoneAdds = tAdds,
+      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl),
+      big ++ newFiles, tombs,
+      rebaseEnvelope = Some(() => rangeEnvelope(small ++ newFiles)))
+    MergeStats(cv, big.size, small.size, newFiles.size, smallRows)
+  }
+
+  def compactBinPackWithRetry(minRows: Long, targetRows: Long = 0L,
+                              maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(compactBinPack(minRows, targetRows))
 
   /** OPTIMIZE SORT BY — rewrite the latest snapshot range-clustered on an
     * arbitrary column list (the Delta `OPTIMIZE ... ZORDER`'s simpler

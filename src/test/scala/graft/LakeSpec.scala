@@ -726,4 +726,36 @@ class LakeSpec extends SparkTestBase {
       Seq(Seq(9000000000L))
     rows(t.read().filter(col("k") === 5L).select("i")) shouldBe Seq(Seq(5L))
   }
+  test("BINPACK: only small files rewrite; the right-sized bulk carries") {
+    val t = mkTable() // 3 files x 30 rows
+    // five single-row appends — the streaming-ingest small-file shape
+    (1 to 5).foreach { i =>
+      t.insertAll(Seq((1000L + i, s"s$i", "S")).toDF("k", "payload", "status"))
+    }
+    t.manifest(t.latestVersion).files should have size 8
+    val bigPaths = t.manifest(0).files.map(_.path).toSet
+    val stats = t.compactBinPack(minRows = 10, targetRows = 10)
+    stats.rewrittenFiles shouldBe 5
+    stats.keptFiles shouldBe 3
+    val m = t.manifest(t.latestVersion)
+    // the three 30-row files carried BY REFERENCE
+    bigPaths.subsetOf(m.files.map(_.path).toSet) shouldBe true
+    m.files should have size 4 // 3 big + 1 packed
+    t.read().count() shouldBe 95L
+    // NOT an anchor: the commit is an ordinary delta
+    t.manifest(t.latestVersion).operation shouldBe "optimize-binpack"
+    // idempotent: nothing small remains -> no-op, no commit
+    val v = t.latestVersion
+    t.compactBinPack(minRows = 10).version shouldBe v
+    // tombstoned rows in packed files fold physically; entries stand
+    val t2 = mkTable()
+    (1 to 3).foreach { i =>
+      t2.insertAll(Seq((1000L + i, s"s$i", "S")).toDF("k", "payload", "status"))
+    }
+    t2.deleteDeferred(Seq(1001L, 5L).toDF("k"))
+    t2.compactBinPack(minRows = 10)
+    t2.read().count() shouldBe 91L // 90 + 3 - 2 dead
+    t2.read().filter(col("k") === 1001L).count() shouldBe 0L
+    t2.read().filter(col("k") === 5L).count() shouldBe 0L // big-file key still dead via tombstone
+  }
 }
