@@ -454,11 +454,13 @@ class LakeSpec extends SparkTestBase {
         .filter(col("n") > 0L)
     }
     var stepped = mvOf(t.snapshot(0)).localCheckpoint()
-    (1 to 8).foreach { round =>
-      // mixed verb walk INCLUDING merge-on-read deletes and folds — every
-      // verb now works through outstanding tombstones, and the feed must
-      // stay fold-exact across tombstoned endpoints too
-      rnd.nextInt(5) match {
+    var nextIns = 1000L
+    (1 to 10).foreach { round =>
+      val vBefore = t.latestVersion
+      // mixed verb walk INCLUDING merge-on-read deletes, appends, and
+      // both compaction forms — every verb works through outstanding
+      // tombstones, and the feed must stay fold-exact across all of them
+      rnd.nextInt(7) match {
         case 0 | 1 =>
           val ks = Seq.fill(1 + rnd.nextInt(20))(1L + rnd.nextInt(120)).distinct
           t.merge(ks.map(k => (k, s"r$round-$k", s"S${rnd.nextInt(3)}"))
@@ -471,9 +473,21 @@ class LakeSpec extends SparkTestBase {
           t.deleteDeferred(ks.toDF("k"))
         case 4 =>
           t.compact(1 + rnd.nextInt(3))
+        case 5 =>
+          val n = 1 + rnd.nextInt(8)
+          val ks = (nextIns until nextIns + n).toSeq
+          nextIns += n
+          t.insertAll(ks.map(k => (k, s"i$round-$k", s"S${rnd.nextInt(3)}"))
+            .toDF("k", "payload", "status"))
+        case 6 =>
+          t.compactBinPack(minRows = 5 + rnd.nextInt(20),
+            targetRows = 30)
       }
       val v = t.latestVersion
-      stepped = fold(stepped, t.changes(v - 1, v)).localCheckpoint()
+      // a no-op verb (e.g. binpack with ≤1 small file) commits nothing:
+      // folding would double-apply the previous span
+      if (v > vBefore)
+        stepped = fold(stepped, t.changes(v - 1, v)).localCheckpoint()
       val direct = fold(mvOf(t.snapshot(0)), t.changes(0, v))
       val recomputed = mvOf(t.read())
       rows(stepped.orderBy("status")) shouldBe rows(recomputed.orderBy("status"))
