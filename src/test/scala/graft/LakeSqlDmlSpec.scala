@@ -392,4 +392,25 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("DROP TABLE plain_ctas_probe")
     }
   }
+  test("statements scan through SQL comments and semicolons") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      s.sql(
+        s"""-- erase the cheap rows
+           |DELETE FROM /* the lake */ graft_lake('${t.root}')
+           |WHERE amount < 100.0; -- trailing note""".stripMargin).collect()
+      t.read().count() shouldBe 81L // keys 1..9 erased (amount = k*10)
+      // a comment containing a clause keyword must not truncate the scan
+      import s.implicits._
+      Seq((10L, "X", "U", 0.0)).toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("cm_src")
+      s.sql(
+        s"""MERGE INTO graft_lake('${t.root}') t
+           |USING cm_src s ON t.k = s.k -- when matched, replace
+           |WHEN MATCHED THEN UPDATE SET * /* when not matched: insert */
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      rows(t.read().filter(col("k") === 10L).select("payload")) shouldBe
+        Seq(Seq("X"))
+    }
+  }
 }
