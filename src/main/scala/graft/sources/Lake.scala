@@ -2221,12 +2221,19 @@ class LakeTable(spark: SparkSession, val root: String) {
     val m = manifest(v)
     val keyCol = m.keyCol
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    val snap = snapshot(v)
+    val known = snap.columns.map(_.toLowerCase).toSet
     sets.foreach { case (c, _) =>
       require(!c.equalsIgnoreCase(keyCol),
         s"cannot assign the merge key '$keyCol' in UPDATE — re-keying is a " +
           "DELETE + INSERT (use MERGE)")
+      // withColumns would silently ADD an unknown target — refuse instead
+      // (adding columns is schema evolution, which belongs to MERGE)
+      require(known.contains(c.toLowerCase),
+        s"UPDATE of unknown column '$c' — adding columns is schema " +
+          "evolution (use MERGE)")
     }
-    val keys = snapshot(v).filter(condition).select(keyCol)
+    val keys = snap.filter(condition).select(keyCol)
     val hitIdx = hitFileIndexes(m, keys)
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)

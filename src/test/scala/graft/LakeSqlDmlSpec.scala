@@ -176,6 +176,13 @@ class LakeSqlDmlSpec extends SparkTestBase {
         s.sql(s"UPDATE graft_lake('${t.root}') SET k = 0 WHERE k = 1").collect()
       }
       e3.getMessage should include("merge key")
+      // assigning a column the table doesn't have (withColumns would
+      // silently ADD it)
+      val e3b = intercept[IllegalArgumentException] {
+        s.sql(s"UPDATE graft_lake('${t.root}') SET no_such = 1 WHERE k = 1")
+          .collect()
+      }
+      e3b.getMessage should include("unknown column")
       // per-column MERGE assignment unsupported, loudly
       val e4 = intercept[IllegalArgumentException] {
         s.sql(
