@@ -1731,6 +1731,15 @@ class LakeTable(spark: SparkSession, val root: String) {
       : Seq[FileEntry] = {
     val scratch = new Path(rootPath, s"_scratch-${UUID.randomUUID()}")
     val clustered = (clusterBy, partitionCols) match {
+      case (Some(c), ps) if ps.nonEmpty =>
+        // per-partition clustering: each task holds ONE partition tuple's
+        // slice of the cluster order, so every hive dir gets internally
+        // clustered files instead of one sliver per dir per task
+        df.withColumn("__cluster", c)
+          .repartitionByRange(math.max(1, numFiles),
+            (ps.map(col) :+ col("__cluster")): _*)
+          .sortWithinPartitions(ps.head, (ps.tail :+ "__cluster"): _*)
+          .drop("__cluster")
       case (Some(c), _) => // alternative layout (e.g. Morton order) — stats
         // still computed on keyCol + statsCols below, layout-independent
         df.withColumn("__cluster", c)
@@ -2346,7 +2355,10 @@ class LakeTable(spark: SparkSession, val root: String) {
     * every table format makes). Tombstoned keys CONFLICT like live ones
     * — an append rewrites nothing, so it cannot safely revive them;
     * MERGE can. */
-  def insertAll(rows0: DataFrame): MergeStats = {
+  def insertAll(rows0: DataFrame): MergeStats =
+    insertTagged(rows0, "insert")
+
+  private def insertTagged(rows0: DataFrame, operation: String): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
@@ -2395,7 +2407,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     // inserted keys were proven ABSENT (live and tombstoned): the
     // tombstone set carries unchanged
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
-    val cv = commitAndIndex(Delta(v + 1, v, "insert", keyCol, m.statsCols,
+    val cv = commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles, removes = Nil,
       tombstoneAdds = tAdds, tombstoneRemoves = tRemoves,
       schemaDdl = m.schemaDdl),
@@ -2406,6 +2418,17 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   def insertAllWithRetry(rows: DataFrame, maxAttempts: Int = 3): MergeStats =
     withRetry(maxAttempts)(insertAll(rows))
+
+  /** [[insertAll]] tagged with a streaming epoch — the append-path twin
+    * of [[mergeEpoch]], same at-most-once contract per (appId, epoch).
+    * The log-ingestion sink shape: every batch is new keys, so the
+    * commit is adds-only with zero rewrite risk even for randomly
+    * distributed keys (a keyed MERGE would rewrite every range-covering
+    * file). */
+  def insertEpoch(rows: DataFrame, epochId: Long,
+                  appId: String = ""): Option[MergeStats] =
+    if (hasEpoch(epochId, appId)) None
+    else Some(insertTagged(rows, epochTag(epochId, appId)))
 
   /** Copy-on-write DELETE by key: files whose range intersects a delete
     * key rewrite to their surviving rows (a fully-erased file simply
@@ -2607,13 +2630,11 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(sortCols.nonEmpty, "compactSortBy needs at least one column")
     val v = latestVersion
     val m = manifest(v)
-    require(m.partitionCols.isEmpty,
-      "OPTIMIZE SORT BY on a hive-partitioned table is not supported: " +
-        "pick one layout verb per table (partition dirs or sort-clustering)")
     val statsCols = (m.statsCols ++ sortCols).distinct
     val cluster = struct(sortCols.map(col): _*)
+    // hive-partitioned tables re-cluster WITHIN each partition directory
     val newFiles = writeDataFiles(read(), m.keyCol, numFiles, statsCols,
-      Some(cluster))
+      Some(cluster), partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, s"optimize-sortby-${sortCols.mkString("-")}",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
@@ -2652,14 +2673,13 @@ class LakeTable(spark: SparkSession, val root: String) {
   def compactZOrder(numFiles: Int, c1: String, c2: String): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    require(m.partitionCols.isEmpty,
-      "OPTIMIZE ZORDER on a hive-partitioned table is not supported: " +
-        "pick one layout verb per table (partition dirs or z-clustering)")
     val statsCols = (m.statsCols ++ Seq(c1, c2)).distinct
     val snap = read()
     val z = org.apache.spark.sql.graft.ZValue.zvalue(
       zDim(snap, c1), zDim(snap, c2))
-    val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols, Some(z))
+    // hive-partitioned tables z-cluster WITHIN each partition directory
+    val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols,
+      Some(z), partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, "optimize-zorder", m.keyCol, statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,
@@ -2678,14 +2698,13 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(cols.size >= 2, "ZORDER needs at least two columns")
     val v = latestVersion
     val m = manifest(v)
-    require(m.partitionCols.isEmpty,
-      "OPTIMIZE ZORDER on a hive-partitioned table is not supported: " +
-        "pick one layout verb per table (partition dirs or z-clustering)")
     val statsCols = (m.statsCols ++ cols).distinct
     val snap = read()
     val z = org.apache.spark.sql.graft.ZValue.zvalueN(
       cols.map(c => zDim(snap, c)))
-    val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols, Some(z))
+    // hive-partitioned tables z-cluster WITHIN each partition directory
+    val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols,
+      Some(z), partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, s"optimize-zorder-${cols.size}d",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,

@@ -86,7 +86,14 @@ class LakeSource extends RelationProvider with DataSourceRegister
       java.lang.Long.toHexString(
         new Path(parameters.getOrElse("checkpointLocation", root)).toString
           .hashCode & 0xffffffffL))
-    new LakeMergeSink(root, appId)
+    // mode=merge (default): per-batch keyed upsert. mode=insert: the
+    // append fast path — adds-only commits with a PK conflict check,
+    // zero rewrite risk for randomly-keyed append-only streams (a keyed
+    // merge would rewrite every range-covering file).
+    val mode = parameters.getOrElse("mode", "merge")
+    require(mode == "merge" || mode == "insert",
+      s"graft-lake sink: unknown mode '$mode' (merge | insert)")
+    new LakeMergeSink(root, appId, insertOnly = mode == "insert")
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -133,13 +140,15 @@ class LakeSource extends RelationProvider with DataSourceRegister
   * the streaming plan; it re-plans as a batch frame and MATERIALIZES
   * once (localCheckpoint) because the merge consumes its source from
   * several operators and a streaming batch must not re-execute. */
-private[sources] class LakeMergeSink(root: String, appId: String)
+private[sources] class LakeMergeSink(root: String, appId: String,
+                                      insertOnly: Boolean = false)
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.StreamBridge
       .batchDataFrame(data).localCheckpoint()
-    new LakeTable(data.sparkSession, root)
-      .mergeEpoch(batch, batchId, appId)
+    val t = new LakeTable(data.sparkSession, root)
+    if (insertOnly) t.insertEpoch(batch, batchId, appId)
+    else t.mergeEpoch(batch, batchId, appId)
     ()
   }
 }

@@ -195,9 +195,23 @@ class LakePartitionSpec extends SparkTestBase {
       .foreach(_ should include("country=US/"))
   }
 
-  test("zorder and shallow clone refuse on partitioned tables, loudly") {
-    val t = mkPartitioned()
-    intercept[IllegalArgumentException] { t.compactZOrder(4, "k", "p") }
+  test("sort/zorder re-cluster WITHIN partitions; shallow clone still refuses") {
+    val t = mkPartitioned() // p = k % 3, keys globally interleaved
+    // z-order on (k, payload-hash) inside each hive dir: layout preserved,
+    // every file stays under its partition, reads stay prunable
+    t.compactZOrder(6, "k", "k")
+    val m = t.manifest(t.latestVersion)
+    m.partitionCols shouldBe Seq("p")
+    m.files.foreach(_.path should include("p="))
+    t.read().count() shouldBe 300L
+    scannedPaths(t.read().filter(col("p") === 1L)).foreach(_ should include("/p=1/"))
+    // per-partition SORT BY: same layout contract
+    t.compactSortBy(6, "payload")
+    val m2 = t.manifest(t.latestVersion)
+    m2.files.foreach(_.path should include("p="))
+    m2.files.foreach(f => f.scols.keySet should contain("payload"))
+    t.read().count() shouldBe 300L
+    // shallow clone still refuses (basePath recovery)
     intercept[IllegalArgumentException] { t.cloneShallow(Lake.freshRoot()) }
   }
 

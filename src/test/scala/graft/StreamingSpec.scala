@@ -713,4 +713,44 @@ class StreamingSpec extends SparkTestBase {
         .outputMode("complete").start()
     }.getMessage should include("complete")
   }
+  test("graft-lake sink mode=insert: adds-only batches, exactly-once, conflicts fail") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq((1L, "v1"), (2L, "v2")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val v0Files = table.manifest(0).files.map(_.path).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-inssink-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    def start() = in.toDF().toDF("k", "payload")
+      .writeStream.format("graft-lake")
+      .option("path", table.root)
+      .option("checkpointLocation", ckpt)
+      .option("mode", "insert")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // keys INSIDE the existing range: merge mode would rewrite the file,
+    // insert mode must append only
+    in.addData((10L, "a10"), (11L, "a11"))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    table.read().count() shouldBe 4L
+    v0Files.subsetOf(
+      table.manifest(table.latestVersion).files.map(_.path).toSet) shouldBe true
+    // replay is a no-op (epoch-tagged under the checkpoint app id)
+    val appId = java.lang.Long.toHexString(
+      new org.apache.hadoop.fs.Path(ckpt).toString.hashCode & 0xffffffffL)
+    table.hasEpoch(0L, appId) shouldBe true
+    // a batch colliding with an existing key fails the QUERY (PK
+    // violation — append streams must be genuinely append-only)
+    in.addData((1L, "dup"))
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    e.getMessage should include("duplicate existing keys")
+    q2.stop()
+  }
 }
