@@ -437,11 +437,18 @@ object Lake {
   }
 
   /** Gated lane: the full MERGE INTO clause matrix through PURE SQL —
-    * the injected parser surface ([[org.apache.spark.sql.graft.GraftSqlParser]])
-    * driving the same conditional-merge scenario as
-    * [[lakeMergeConditional]], same oracle: matched-cheap DELETE,
-    * matched-expensive UPDATE SET *, carry in between, INSERT * for new
-    * keys. */
+    * the injected parser surface ([[org.apache.spark.sql.graft.GraftSqlParser]]).
+    * Phase 1 drives the same conditional-merge scenario as
+    * [[lakeMergeConditional]]: matched-cheap DELETE, matched-expensive
+    * UPDATE SET *, carry in between, INSERT * for new keys. Phase 2
+    * exercises the REST of the clause surface in one statement:
+    * per-column `UPDATE SET c = s.c` (unassigned columns carry from the
+    * target), a conditional `WHEN NOT MATCHED AND <cond> THEN INSERT *`
+    * (only the cheap half of the new keys inserts), and
+    * `WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE` (which erases
+    * exactly phase 1's inserted rows — no phase-2 source key matches
+    * them). One oracle over the raw table pins all seven clause
+    * behaviors. */
   def lakeSqlMerge(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val t = create(spark, freshRoot(), o, "o_orderkey", 8)
@@ -458,6 +465,21 @@ object Lake {
          |WHEN MATCHED AND tgt.o_totalprice < 100000.0 THEN DELETE
          |WHEN MATCHED AND tgt.o_totalprice >= 200000.0 THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val fifties = o.filter(col("o_orderkey") % 100 === 50)
+    fifties.withColumn("o_orderpriority", lit("5-PATCHED"))
+      .unionByName(fifties
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+        .withColumn("o_orderpriority", lit("8-NEWROW")))
+      .createOrReplaceTempView("lake_sql_merge_src2")
+    spark.sql(
+      s"""MERGE INTO graft_lake('${t.root}') AS tgt
+         |USING lake_sql_merge_src2 AS s
+         |ON tgt.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND tgt.o_totalprice >= 150000.0
+         |  THEN UPDATE SET o_orderpriority = s.o_orderpriority
+         |WHEN NOT MATCHED AND s.o_totalprice < 100000.0 THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND tgt.o_orderpriority = '9-INSERTED'
+         |  THEN DELETE""".stripMargin).collect()
     t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
   }
@@ -654,16 +676,24 @@ object Lake {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_merge" ->
-      """WITH merged AS (
-        |  SELECT CASE WHEN o_orderkey % 100 = 0 AND o_totalprice >= 200000
-        |              THEN '0-UPDATED' ELSE o_orderpriority END AS o_orderpriority
+      """WITH phase1 AS (
+        |  -- phase 2's NOT MATCHED BY SOURCE clause erases every
+        |  -- '9-INSERTED' row phase 1 added, so they never appear
+        |  SELECT o_orderkey, o_totalprice,
+        |         CASE WHEN o_orderkey % 100 = 0 AND o_totalprice >= 200000
+        |              THEN '0-UPDATED' ELSE o_orderpriority END AS pri
         |  FROM orders
         |  WHERE NOT (o_orderkey % 100 = 0 AND o_totalprice < 100000)
+        |), phase2 AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 50 AND o_totalprice >= 150000
+        |              THEN '5-PATCHED' ELSE pri END AS o_orderpriority
+        |  FROM phase1
         |  UNION ALL
-        |  SELECT '9-INSERTED' FROM orders WHERE o_orderkey % 100 = 0
+        |  SELECT '8-NEWROW' FROM orders
+        |  WHERE o_orderkey % 100 = 50 AND o_totalprice < 100000
         |)
         |SELECT o_orderpriority, count(*) AS n_orders
-        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM phase2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_binpack" ->
       """WITH u AS (
@@ -2108,22 +2138,54 @@ class LakeTable(spark: SparkSession, val root: String) {
     * clause fires first (`whenMatchedDeleteIf`), then the UPDATE clause
     * (`whenMatchedUpdateIf`, default always); a matched pair where no
     * clause fires keeps the target row unchanged. Unmatched source keys
-    * insert iff `whenNotMatchedInsert`. Clause predicates see BOTH rows as
-    * struct columns — `col("source.o_totalprice") < col("target.o_totalprice")`
-    * — the Delta MERGE surface without its parser.
+    * insert iff `whenNotMatchedInsert` — and, when `whenNotMatchedInsertIf`
+    * is set, iff that predicate also holds on the source row. Target rows
+    * NO source key matches delete iff `whenNotMatchedBySourceDeleteIf`
+    * fires (the WHEN NOT MATCHED BY SOURCE THEN DELETE clause). Clause
+    * predicates see the rows as struct columns —
+    * `col("source.o_totalprice") < col("target.o_totalprice")` — the
+    * Delta MERGE surface without its parser.
+    *
+    * `updateSet` picks the UPDATE shape: empty = SET * (full-row replace
+    * from the source; schemas must match exactly — widening belongs to
+    * the unconditional [[merge]]); non-empty = per-column assignments
+    * (`SET c = expr`) evaluated against both struct rows, unassigned
+    * columns carrying from the TARGET — so the source may be NARROW: it
+    * needs only the key, the partition columns, the assignment inputs,
+    * and (when inserts can fire) every table column. Per-column merges
+    * never evolve the schema.
     *
     * COW shape is identical to [[merge]]: only files whose key range (and
     * partition, if partitioned) the source touches rewrite; the insert
     * anti-join runs against THOSE files only, which is complete because a
-    * key covered by no file's range exists nowhere in the table. Schema
-    * must match exactly — widening belongs to the unconditional [[merge]].
+    * key covered by no file's range exists nowhere in the table. The one
+    * exception is a NOT MATCHED BY SOURCE clause: it can touch EVERY
+    * target row, so every file rewrites — the same at-scale cost the
+    * clause has in every format; don't run it as maintenance.
     * Multiple source rows per key are rejected (every format's MERGE
     * errors there: the result would be order-dependent). */
   def mergeInto(updates0: DataFrame,
                 whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
                 whenMatchedUpdateIf: Option[org.apache.spark.sql.Column] = None,
                 whenNotMatchedInsert: Boolean = true,
-                newFileCountHint: Int = 0): MergeStats = {
+                newFileCountHint: Int = 0,
+                updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column] = None,
+                whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None)
+      : MergeStats =
+    mergeIntoTagged(updates0, "merge-into", whenMatchedDeleteIf,
+      whenMatchedUpdateIf, whenNotMatchedInsert, newFileCountHint,
+      updateSet, whenNotMatchedInsertIf, whenNotMatchedBySourceDeleteIf)
+
+  private def mergeIntoTagged(updates0: DataFrame, operation: String,
+                whenMatchedDeleteIf: Option[org.apache.spark.sql.Column],
+                whenMatchedUpdateIf: Option[org.apache.spark.sql.Column],
+                whenNotMatchedInsert: Boolean,
+                newFileCountHint: Int = 0,
+                updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column] = None,
+                whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None)
+      : MergeStats = {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
@@ -2136,7 +2198,11 @@ class LakeTable(spark: SparkSession, val root: String) {
     m.partitionCols.foreach(p => require(updates.columns.contains(p),
       s"merge updates into a table partitioned by '$p' must carry that column"))
     val probeCols = keyCol +: m.partitionCols
-    val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
+    // a NOT MATCHED BY SOURCE clause can fire on any target row, so the
+    // file-hit probe is moot: every file is in the rewrite set
+    val hitIdx =
+      if (whenNotMatchedBySourceDeleteIf.isDefined) m.files.indices.toSet
+      else hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     // one aggregate pass for all three checks — total rows, null keys
     // (count_distinct IGNORES nulls: null-key rows would sail through a
@@ -2161,35 +2227,93 @@ class LakeTable(spark: SparkSession, val root: String) {
         Some(tombstoneKeys(m).fold(h0)(tk =>
           h0.join(tk, Seq(keyCol), "left_anti")))
       }
-    hitDf.foreach { h =>
+    val perColumn = updateSet.nonEmpty
+    // the table's shape: live files if any, else the recorded schema (an
+    // emptied table still has one), else the source itself (legacy)
+    val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+      hitDf.map(_.schema).orElse(m.schemaDdl.map(
+        org.apache.spark.sql.types.StructType.fromDDL))
+    val tableCols: Seq[String] =
+      tableSchema.map(_.fieldNames.toSeq).getOrElse(updates.columns.toSeq)
+    // canonicalize per-column assignment targets against the table schema
+    // (case-insensitive, like UPDATE); the merge key never re-assigns
+    val canon = tableCols.map(c => c.toLowerCase -> c).toMap
+    val assigns = updateSet.map { case (c, e) =>
+      val name = canon.getOrElse(c.toLowerCase, throw new IllegalArgumentException(
+        s"MERGE UPDATE SET of unknown column '$c'"))
+      require(!name.equalsIgnoreCase(keyCol),
+        s"cannot assign the merge key '$keyCol' in MERGE UPDATE SET — " +
+          "re-keying is a DELETE + INSERT")
+      name -> e
+    }
+    require(assigns.map(_._1).distinct.size == assigns.size,
+      "MERGE UPDATE SET assigns a column more than once")
+    if (!perColumn) hitDf.foreach { h =>
       require(h.columns.sorted.sameElements(updates.columns.sorted),
         "conditional merge requires identical schemas " +
           "(schema evolution belongs to the unconditional merge)")
+    } else if (whenNotMatchedInsert) {
+      val missing = tableCols.toSet -- updates.columns.toSet
+      require(missing.isEmpty,
+        "per-column MERGE with an INSERT clause needs every table column " +
+          s"in the source; missing ${missing.mkString(", ")}")
+    }
+    // INSERT-clause filter: the predicate sees the source row as a
+    // `source` struct (the unmatched row has no target half)
+    def insertFilter(df: DataFrame): DataFrame = whenNotMatchedInsertIf match {
+      case None => df
+      case Some(c) =>
+        df.withColumn("source", struct(updates.columns.toSeq.map(col): _*))
+          .filter(coalesce(c, lit(false))).drop("source")
+    }
+    // cast a source projection onto the table's recorded column types —
+    // per-column merges never evolve the schema, so files must not
+    // silently outgrow it
+    def castSelect(df: DataFrame): DataFrame = tableSchema match {
+      case Some(ts) => df.select(ts.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
+      case None => df
     }
     val rewritten = hitDf match {
-      case None => if (whenNotMatchedInsert) updates else updates.limit(0)
+      case None =>
+        val base =
+          if (whenNotMatchedInsert) insertFilter(updates) else updates.limit(0)
+        if (perColumn && whenNotMatchedInsert) castSelect(base) else base
       case Some(h) =>
         val cols = h.columns.toSeq
         val tgt = h.select(col(keyCol).as("_k"),
           struct(cols.map(col): _*).as("target"))
         val src = updates.select(col(keyCol).as("_k"),
-          struct(cols.map(col): _*).as("source"))
+          struct(updates.columns.toSeq.map(col): _*).as("source"))
         val joined = tgt.join(src, Seq("_k"), "left_outer")
         val matched = col("source").isNotNull
-        val del = whenMatchedDeleteIf.getOrElse(lit(false))
-        val upd = whenMatchedUpdateIf.getOrElse(lit(true))
-        // clause order: DELETE, then UPDATE, else carry the target row
-        val keptRows = joined.filter(!matched ||
-          (!coalesce(del, lit(false)) && !coalesce(upd, lit(false))))
+        val del = coalesce(whenMatchedDeleteIf.getOrElse(lit(false)), lit(false))
+        val upd = coalesce(whenMatchedUpdateIf.getOrElse(lit(true)), lit(false))
+        val nmbsDel = coalesce(
+          whenNotMatchedBySourceDeleteIf.getOrElse(lit(false)), lit(false))
+        // clause order: DELETE, then UPDATE, else carry the target row;
+        // an unmatched target row carries unless NOT MATCHED BY SOURCE
+        // deletes it
+        val keptRows = joined.filter(
+          (matched && !del && !upd) || (!matched && !nmbsDel))
           .select("target.*")
-        val updatedRows = joined.filter(matched &&
-          !coalesce(del, lit(false)) && coalesce(upd, lit(false)))
-          .select("source.*")
+        val assignMap = assigns.toMap
+        val updatedRows = joined.filter(matched && !del && upd).select(
+          (if (!perColumn) cols.map(c => col(s"source.$c").as(c))
+           else cols.map(c => assignMap.get(c) match {
+             // per-column: assigned columns evaluate against BOTH struct
+             // rows (cast to the recorded type); the rest carry from the
+             // target — the SQL MERGE UPDATE contract
+             case Some(e) => e.cast(h.schema(c).dataType).as(c)
+             case None => col(s"target.$c").as(c)
+           })): _*)
         val inserts =
-          if (whenNotMatchedInsert)
-            updates.join(h.select(col(keyCol)), Seq(keyCol), "left_anti")
-              .select(cols.map(col): _*)
-          else updates.limit(0).select(cols.map(col): _*)
+          if (whenNotMatchedInsert) {
+            val unmatched = insertFilter(
+              updates.join(h.select(col(keyCol)), Seq(keyCol), "left_anti"))
+            if (perColumn) castSelect(unmatched)
+            else unmatched.select(cols.map(col): _*)
+          } else h.limit(0).select(cols.map(col): _*)
         keptRows.unionByName(updatedRows).unionByName(inserts)
     }
     val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
@@ -2200,18 +2324,39 @@ class LakeTable(spark: SparkSession, val root: String) {
     // their physical rows dropped by the rewrite either way
     val (tAdds, tRemoves, tombs) =
       foldTombstones(m, Some(updates.select(col(keyCol))))
-    // source keys all materialize in adds (update/insert) or fall inside
-    // hit-file ranges (delete-claused / carried) — adds ∪ hit covers the
-    // footprint. A delete-claused key outside every add: its file is hit.
-    val cv = commitAndIndex(Delta(v + 1, v, "merge-into", keyCol, m.statsCols,
+    // per-column merges never evolve the schema; SET * may widen it
+    val commitSchemaDdl =
+      if (perColumn) m.schemaDdl
+      else m.schemaDdl.map(ddl => Lake.widenSchema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl),
+        updates.schema, m.partitionCols).toDDL)
+    // rebase envelope: with an unconditional INSERT clause, source keys
+    // all materialize in adds (update/insert) or fall inside hit-file
+    // ranges (delete-claused / carried) — adds ∪ hit covers the
+    // footprint. WITHOUT one (insert=false, or a conditional insert), an
+    // unmatched source key outside every file range is in neither set,
+    // yet a racing winner inserting that key must force a replay
+    // (serialize-after would apply the WHEN MATCHED clauses to its row) —
+    // so the envelope widens to the source keys, like delete's.
+    val needSrcEnvelope = !whenNotMatchedInsert || whenNotMatchedInsertIf.isDefined
+    val envelope = Some(() => {
+      val (lo, hi) = rangeEnvelope(newFiles ++ hit.map(_._1))
+      if (!needSrcEnvelope) (lo, hi)
+      else {
+        val r = updates.agg(min(Lake.statLong(updates, keyCol)),
+          max(Lake.statLong(updates, keyCol))).collect()(0)
+        if (r.isNullAt(0)) (lo, hi)
+        else (math.min(if (lo > hi) Long.MaxValue else lo, r.getLong(0)),
+          math.max(if (lo > hi) Long.MinValue else hi, r.getLong(1)))
+      }
+    })
+    val cv = commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves,
-      schemaDdl = m.schemaDdl.map(ddl => Lake.widenSchema(
-        org.apache.spark.sql.types.StructType.fromDDL(ddl),
-        updates.schema, m.partitionCols).toDDL)),
+      schemaDdl = commitSchemaDdl),
       kept.map(_._1) ++ newFiles, tombs,
-      rebaseEnvelope = Some(() => rangeEnvelope(newFiles ++ hit.map(_._1))))
+      rebaseEnvelope = envelope)
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
   }
 
@@ -2231,16 +2376,20 @@ class LakeTable(spark: SparkSession, val root: String) {
     val keyCol = m.keyCol
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
     val snap = snapshot(v)
-    val known = snap.columns.map(_.toLowerCase).toSet
-    sets.foreach { case (c, _) =>
+    // resolve each target to the schema's CANONICAL field name once —
+    // validation, the type lookup, and withColumns must all agree on
+    // case, or a case-mismatched SET passes validation and dies in an
+    // opaque "field does not exist" instead of updating
+    val canon = snap.columns.map(c => c.toLowerCase -> c).toMap
+    val sets1 = sets.map { case (c, e) =>
       require(!c.equalsIgnoreCase(keyCol),
         s"cannot assign the merge key '$keyCol' in UPDATE — re-keying is a " +
           "DELETE + INSERT (use MERGE)")
       // withColumns would silently ADD an unknown target — refuse instead
       // (adding columns is schema evolution, which belongs to MERGE)
-      require(known.contains(c.toLowerCase),
+      canon.getOrElse(c.toLowerCase, throw new IllegalArgumentException(
         s"UPDATE of unknown column '$c' — adding columns is schema " +
-          "evolution (use MERGE)")
+          "evolution (use MERGE)")) -> e
     }
     val keys = snap.filter(condition).select(keyCol)
     val hitIdx = hitFileIndexes(m, keys)
@@ -2250,13 +2399,13 @@ class LakeTable(spark: SparkSession, val root: String) {
     val hitDf0 = readFiles(m, hit.map(_._1))
     val hitDf = tombstoneKeys(m).fold(hitDf0)(tk =>
       hitDf0.join(tk, Seq(keyCol), "left_anti"))
-    require(sets.map(_._1.toLowerCase).distinct.size == sets.size,
+    require(sets1.map(_._1).distinct.size == sets1.size,
       "UPDATE assigns a column more than once")
     // one simultaneous projection: every RHS evaluates against the OLD
     // row, CAST to the column's recorded type (the SQL UPDATE contract —
     // and physical files must never silently outgrow the stored schema)
     val rewritten = hitDf.withColumns(
-      sets.map { case (c, e) =>
+      sets1.map { case (c, e) =>
         c -> when(condition, e.cast(hitDf.schema(c).dataType))
           .otherwise(col(c))
       }.toMap)
@@ -2291,9 +2440,15 @@ class LakeTable(spark: SparkSession, val root: String) {
                          whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
                          whenMatchedUpdateIf: Option[org.apache.spark.sql.Column] = None,
                          whenNotMatchedInsert: Boolean = true,
-                         maxAttempts: Int = 3): MergeStats =
+                         maxAttempts: Int = 3,
+                         updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                         whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column] = None,
+                         whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None)
+      : MergeStats =
     withRetry(maxAttempts)(mergeInto(updates, whenMatchedDeleteIf,
-      whenMatchedUpdateIf, whenNotMatchedInsert))
+      whenMatchedUpdateIf, whenNotMatchedInsert,
+      updateSet = updateSet, whenNotMatchedInsertIf = whenNotMatchedInsertIf,
+      whenNotMatchedBySourceDeleteIf = whenNotMatchedBySourceDeleteIf))
 
   private def epochTag(epochId: Long, appId: String): String =
     if (appId.isEmpty) s"merge-epoch-$epochId"

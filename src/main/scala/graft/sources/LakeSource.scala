@@ -81,11 +81,20 @@ class LakeSource extends RelationProvider with DataSourceRegister
         "key (use append or update)")
     // epoch tags qualify per CHECKPOINT (the txnAppId pattern): a fresh
     // checkpoint restarts epochs at 0 and must not collide with or
-    // early-exit the old run's chain
-    val appId = parameters.getOrElse("txnAppId",
-      java.lang.Long.toHexString(
-        new Path(parameters.getOrElse("checkpointLocation", root)).toString
-          .hashCode & 0xffffffffL))
+    // early-exit the old run's chain. A writer identity derived from the
+    // TABLE ROOT would be shared by every query writing the table (two
+    // writers, one epoch sequence — the second query's batches silently
+    // skipped as replays), so a query whose checkpoint came from the
+    // session conf (absent here) must refuse rather than fall back.
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation").map(cp =>
+        java.lang.Long.toHexString(new Path(cp).toString.hashCode & 0xffffffffL)))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-lake sink requires an explicit writer identity: set " +
+          ".option(\"checkpointLocation\", …) on the writer (not only the " +
+          "session-level checkpoint conf) or pass .option(\"txnAppId\", …) — " +
+          "a shared root-derived identity would make concurrent writers " +
+          "skip each other's epochs as replays"))
     // mode=merge (default): per-batch keyed upsert. mode=insert: the
     // append fast path — adds-only commits with a PK conflict check,
     // zero rewrite risk for randomly-keyed append-only streams (a keyed

@@ -65,18 +65,21 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // per-commit micro-spans over the RETAINED versions in (from, to] —
     // tombstoned (merge-on-read) versions serve their own feed (changes
-    // is tombstone-aware); vacuumed stretches are bridged by the next
-    // retained version's span. The INITIAL from can itself be vacuumed:
-    // anchor at the nearest retained version at or below it, failing
-    // loudly when none exists (a silent anchor would drop the span up to
-    // the first retained version).
+    // is tombstone-aware); vacuumed stretches INSIDE the span are bridged
+    // by the next retained version (the anchor carries across them). The
+    // INITIAL from being vacuumed is different: everything at or below it
+    // was already DELIVERED (the offset log committed it), so re-diffing
+    // from an older retained version would re-emit (olderAnchor, from] —
+    // duplicate rows in an exactly-once feed. Fail loudly instead, like
+    // the no-anchor case.
     var anchor =
       if (from < 0 || table.hasVersion(from)) from
-      else (from to 0 by -1).find(table.hasVersion).getOrElse(
-        throw new IllegalStateException(
-          s"lake stream at $root: no version exists at or below offset " +
-            s"$from — history below it was vacuumed; restart the stream " +
-            "with a startingVersion inside retained history"))
+      else throw new IllegalStateException(
+        s"lake stream at $root: committed offset v$from was vacuumed — " +
+          "re-anchoring below it would re-deliver changes this stream " +
+          "already emitted; keep vacuum retention above the stream's lag, " +
+          "or restart on a fresh checkpoint with a startingVersion inside " +
+          "retained history")
     ((from + 1) to to).foreach { v =>
       if (table.hasVersion(v)) {
         val f = table.changes(math.max(anchor, 0), v)

@@ -18,8 +18,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * MERGE INTO graft_lake('<root>') AS t USING <table | (query)> AS s
   *   ON t.<key> = s.<key>
   *   [WHEN MATCHED [AND <cond>] THEN DELETE]
-  *   [WHEN MATCHED [AND <cond>] THEN UPDATE SET *]
-  *   [WHEN NOT MATCHED THEN INSERT *]
+  *   [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = e [, ...]]
+  *   [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT *]
+  *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
   * CREATE TABLE graft_lake('<root>') KEY <col> [FILES <n>]
   *   [PARTITIONED BY (c, ...)] [STATS (c, ...)] AS <query>
   * INSERT INTO graft_lake('<root>') <query>        -- append, PK-checked
@@ -48,9 +49,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * rewriting unresolved attributes, never by string surgery.
   *
   * Semantics map 1:1 onto the API verbs ([[graft.sources.LakeTable]]):
-  * MERGE → `mergeInto` (UPDATE SET * / INSERT * — full-row replace, the
-  * clause subset the engine's conditional merge defines; when both
-  * matched clauses appear, DELETE must be written first because that is
+  * MERGE → `mergeInto` (full clause set: UPDATE SET * full-row replace or
+  * per-column `SET c = e` assignments, conditional NOT MATCHED inserts,
+  * and NOT MATCHED BY SOURCE deletes; when both matched clauses appear,
+  * DELETE must be written first because that is
   * the engine's evaluation order — a mis-ordered statement is REJECTED
   * rather than silently reordered), UPDATE → `update`, DELETE →
   * `deleteWhere`, OPTIMIZE → `compact`/`compactSortBy`/`compactZOrder`,
@@ -82,6 +84,31 @@ object GraftSqlParser {
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft lake SQL: $msg")
+
+  /** Index just past a string literal (`'…'` or `"…"` — Spark SQL treats
+    * BOTH quote forms as strings) or a comment (`-- …` to end-of-line,
+    * bracketed `/* … */`) starting at `at`; `at` itself when neither
+    * starts there. The ONE structural scanner primitive — every cursor
+    * (paren blocks, stop-keyword scans, comma splits, statement tails)
+    * skips through it, so a `--`, `;`, `,`, or paren INSIDE a string or
+    * comment can never mis-structure a statement. */
+  private def skipLiteralOrComment(t: String, at: Int): Int = {
+    val c = t.charAt(at)
+    if (c == '\'' || c == '"') {
+      var k = at + 1
+      while (k < t.length && t.charAt(k) != c) k += 1
+      math.min(t.length, k + 1)
+    } else if (at + 1 < t.length && c == '-' && t.charAt(at + 1) == '-') {
+      var k = at + 2
+      while (k < t.length && t.charAt(k) != '\n') k += 1
+      k
+    } else if (at + 1 < t.length && c == '/' && t.charAt(at + 1) == '*') {
+      var k = at + 2
+      while (k + 1 < t.length &&
+        !(t.charAt(k) == '*' && t.charAt(k + 1) == '/')) k += 1
+      math.min(t.length, k + 2)
+    } else at
+  }
 
   /** Quote/paren-aware cursor over one statement. Only the STRUCTURE is
     * scanned here (keywords, identifiers, balanced parens, top-level
@@ -136,19 +163,6 @@ object GraftSqlParser {
       s.substring(st, i).toInt
     }
     def peekChar(): Char = { ws(); if (i < s.length) s.charAt(i) else ' ' }
-    /** Index just past a comment starting at `at`, or `at` if none. */
-    private def skipComment(at: Int): Int =
-      if (at + 1 < s.length && s.charAt(at) == '-' && s.charAt(at + 1) == '-') {
-        var k = at
-        while (k < s.length && s.charAt(k) != '\n') k += 1
-        k
-      } else if (at + 1 < s.length && s.charAt(at) == '/' &&
-          s.charAt(at + 1) == '*') {
-        var k = at + 2
-        while (k + 1 < s.length &&
-          !(s.charAt(k) == '*' && s.charAt(k + 1) == '/')) k += 1
-        math.min(s.length, k + 2)
-      } else at
 
     /** A balanced `( … )` block; returns the inner text. */
     def parenBlock(): String = {
@@ -156,18 +170,18 @@ object GraftSqlParser {
       if (peekChar() != '(') fail(s"expected ( at: …${s.substring(i).take(40)}")
       val st = i + 1
       var depth = 0
-      var inStr = false
       while (i < s.length) {
-        val c = s.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
-        else if (skipComment(i) != i) { i = skipComment(i) - 1 }
-        else if (c == '\'') inStr = true
-        else if (c == '(') depth += 1
-        else if (c == ')') {
-          depth -= 1
-          if (depth == 0) { i += 1; return s.substring(st, i - 1) }
+        val skip = GraftSqlParser.skipLiteralOrComment(s, i)
+        if (skip != i) i = skip
+        else {
+          val c = s.charAt(i)
+          if (c == '(') depth += 1
+          else if (c == ')') {
+            depth -= 1
+            if (depth == 0) { i += 1; return s.substring(st, i - 1) }
+          }
+          i += 1
         }
-        i += 1
       }
       fail("unbalanced parentheses")
     }
@@ -177,19 +191,19 @@ object GraftSqlParser {
       ws()
       val st = i
       var depth = 0
-      var inStr = false
       while (i < s.length) {
-        val c = s.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false; i += 1 }
-        else if (skipComment(i) != i) i = skipComment(i)
-        else if (c == '\'') { inStr = true; i += 1 }
-        else if (c == '(') { depth += 1; i += 1 }
-        else if (c == ')') { depth -= 1; i += 1 }
-        else if (depth == 0 && (i == st || !isWordChar(s.charAt(i - 1))) &&
-            stops.exists(k => matchesAt(k, i))) {
-          return s.substring(st, i).trim
+        val skip = GraftSqlParser.skipLiteralOrComment(s, i)
+        if (skip != i) i = skip
+        else {
+          val c = s.charAt(i)
+          if (c == '(') { depth += 1; i += 1 }
+          else if (c == ')') { depth -= 1; i += 1 }
+          else if (depth == 0 && (i == st || !isWordChar(s.charAt(i - 1))) &&
+              stops.exists(k => matchesAt(k, i))) {
+            return s.substring(st, i).trim
+          }
+          else i += 1
         }
-        else i += 1
       }
       s.substring(st).trim
     }
@@ -202,47 +216,42 @@ object GraftSqlParser {
     def topLevelSplit(text: String): Seq[String] = {
       val out = Seq.newBuilder[String]
       var depth = 0
-      var inStr = false
       var st = 0
       var j = 0
       while (j < text.length) {
-        val c = text.charAt(j)
-        if (inStr) { if (c == '\'') inStr = false }
-        else if (j + 1 < text.length && c == '-' && text.charAt(j + 1) == '-') {
-          while (j < text.length && text.charAt(j) != '\n') j += 1
-          j -= 1
+        val skip = GraftSqlParser.skipLiteralOrComment(text, j)
+        if (skip != j) j = skip
+        else {
+          val c = text.charAt(j)
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (c == ',' && depth == 0) {
+            out += text.substring(st, j); st = j + 1
+          }
+          j += 1
         }
-        else if (c == '\'') inStr = true
-        else if (c == '(') depth += 1
-        else if (c == ')') depth -= 1
-        else if (c == ',' && depth == 0) { out += text.substring(st, j); st = j + 1 }
-        j += 1
       }
       out += text.substring(st)
       out.result().map(_.trim).filter(_.nonEmpty)
     }
     def atEnd(): Boolean = { ws(); i >= s.length || s.charAt(i) == ';' }
-    /** The remaining statement text up to a TOP-LEVEL `;` (quote-aware),
-      * for tails handed to the delegate parser — a statement terminator
-      * or trailing comment must not reach parseExpression/spark.sql. */
+    /** The remaining statement text up to a TOP-LEVEL `;` (quote- and
+      * comment-aware), for tails handed to the delegate parser — a
+      * statement terminator, or a `;` hiding inside a string or either
+      * comment form, must not truncate what reaches
+      * parseExpression/spark.sql. */
     def restStmt(): String = {
       ws()
       val st = i
-      var inStr = false
       var end = s.length
       var j = st
       while (j < s.length && end == s.length) {
-        val c = s.charAt(j)
-        if (inStr) { if (c == '\'') inStr = false }
-        else if (c == '\'') inStr = true
-        else if (c == ';') end = j
-        else if (j + 1 < s.length && c == '-' && s.charAt(j + 1) == '-') {
-          // line comment: skip to EOL within the scan
-          var k = j
-          while (k < s.length && s.charAt(k) != '\n') k += 1
-          j = k
+        val skip = GraftSqlParser.skipLiteralOrComment(s, j)
+        if (skip != j) j = skip
+        else {
+          if (s.charAt(j) == ';') end = j
+          j += 1
         }
-        j += 1
       }
       s.substring(st, end).trim
     }
@@ -369,8 +378,38 @@ object GraftSqlParser {
     var deleteCond: Option[Expression] = None
     var hasUpdate = false
     var updateCond: Option[Expression] = None
+    var updateSets: Seq[(String, String)] = Nil
     var insert = false
+    var insertCond: Option[Expression] = None
+    var nmbsDelete = false
+    var nmbsCond: Option[Expression] = None
     var sawClause = false
+    // after realias(), statement aliases are LITERALLY target/source —
+    // a clause predicate that references a side its rows don't have
+    // (source in NOT MATCHED BY SOURCE, target in NOT MATCHED) must
+    // refuse at parse, not resolve to null at run
+    def refs(e: Expression, side: String): Boolean = e.exists {
+      case ua: UnresolvedAttribute =>
+        ua.nameParts.length >= 2 && ua.nameParts.head == side
+      case _ => false
+    }
+    def parseInsertClause(): Unit = {
+      val cond =
+        if (sc.keyword("AND"))
+          Some(realias(delegate.parseExpression(sc.until(Seq("THEN"))),
+            tAlias, sAlias))
+        else None
+      cond.foreach(c => if (refs(c, "target"))
+        fail("a WHEN NOT MATCHED condition may reference only the source " +
+          "row — there is no target row to match against"))
+      sc.expect("THEN")
+      sc.expect("INSERT")
+      if (!sc.keyword("*"))
+        fail("only INSERT * (full source row) is supported")
+      if (insert) fail("at most one WHEN NOT MATCHED clause")
+      insert = true
+      insertCond = cond
+    }
     while (sc.keyword("WHEN")) {
       sawClause = true
       if (sc.keyword("MATCHED")) {
@@ -389,31 +428,68 @@ object GraftSqlParser {
           deleteCond = cond
         } else if (sc.keyword("UPDATE")) {
           sc.expect("SET")
-          if (!sc.keyword("*"))
-            fail("only UPDATE SET * (full-row replace from the source) is " +
-              "supported — per-column MERGE assignments are not")
           if (hasUpdate) fail("at most one WHEN MATCHED … UPDATE clause")
+          if (!sc.keyword("*")) {
+            // per-column assignments: `SET c = e [, …]` up to the next
+            // clause — each side re-aliased onto the target/source structs
+            val assigns = sc.topLevelSplit(sc.until(Seq("WHEN")))
+            updateSets = assigns.map { a =>
+              delegate.parseExpression(a) match {
+                case EqualTo(tcol: UnresolvedAttribute, value) =>
+                  val name = realias(tcol, tAlias, sAlias) match {
+                    case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+                      ua.nameParts.head
+                    case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
+                        ua.nameParts.head == "target" =>
+                      ua.nameParts.last
+                    case _ => fail("a MERGE UPDATE assignment target must " +
+                      s"be a column of the target table: $a")
+                  }
+                  if (name.equalsIgnoreCase(keyName))
+                    fail(s"cannot assign the merge key '$keyName' in " +
+                      "UPDATE SET — re-keying is a DELETE + INSERT")
+                  name -> realias(value, tAlias, sAlias).sql
+                case _ =>
+                  fail(s"expected <column> = <expression> in UPDATE SET, got: $a")
+              }
+            }
+            if (updateSets.isEmpty)
+              fail("UPDATE SET needs * or at least one assignment")
+          }
           hasUpdate = true
           updateCond = cond
-        } else fail("WHEN MATCHED THEN must be DELETE or UPDATE SET *")
+        } else fail("WHEN MATCHED THEN must be DELETE or UPDATE SET")
       } else {
         sc.expect("NOT")
         sc.expect("MATCHED")
-        if (sc.keyword("AND"))
-          fail("WHEN NOT MATCHED AND <cond> is not supported — unmatched " +
-            "source rows either all insert or none do")
-        sc.expect("THEN")
-        sc.expect("INSERT")
-        if (!sc.keyword("*"))
-          fail("only INSERT * (full source row) is supported")
-        if (insert) fail("at most one WHEN NOT MATCHED clause")
-        insert = true
+        if (sc.keyword("BY")) {
+          if (sc.keyword("SOURCE")) {
+            val cond =
+              if (sc.keyword("AND"))
+                Some(realias(delegate.parseExpression(sc.until(Seq("THEN"))),
+                  tAlias, sAlias))
+              else None
+            cond.foreach(c => if (refs(c, "source"))
+              fail("a WHEN NOT MATCHED BY SOURCE condition may reference " +
+                "only the target row — these rows have no source match"))
+            sc.expect("THEN")
+            sc.expect("DELETE")
+            if (nmbsDelete)
+              fail("at most one WHEN NOT MATCHED BY SOURCE clause")
+            nmbsDelete = true
+            nmbsCond = cond
+          } else {
+            sc.expect("TARGET")
+            parseInsertClause()
+          }
+        } else parseInsertClause()
       }
     }
     if (!sawClause) fail("MERGE needs at least one WHEN clause")
     sc.assertEnd()
     LakeMergeCommand(root, sourceSql, keyName, hasDelete,
-      deleteCond.map(_.sql), hasUpdate, updateCond.map(_.sql), insert)
+      deleteCond.map(_.sql), hasUpdate, updateCond.map(_.sql), insert,
+      updateSets, insertCond.map(_.sql), nmbsDelete, nmbsCond.map(_.sql))
   }
 
   private def parseUpdate(sc: Scan, root: String,
@@ -511,11 +587,17 @@ object GraftSqlParser {
 
 /** `MERGE INTO graft_lake(…)` → [[graft.sources.LakeTable.mergeInto]].
   * The USING source is resolved by ordinary `spark.sql` at execution
-  * time, so views, tables, and subqueries all work. */
+  * time, so views, tables, and subqueries all work. `updateSetSql` empty
+  * means `UPDATE SET *`; non-empty carries the per-column assignments. */
 case class LakeMergeCommand(root: String, sourceSql: String, keyName: String,
                             hasDelete: Boolean, deleteCondSql: Option[String],
                             hasUpdate: Boolean, updateCondSql: Option[String],
-                            insert: Boolean) extends LeafRunnableCommand {
+                            insert: Boolean,
+                            updateSetSql: Seq[(String, String)] = Nil,
+                            insertCondSql: Option[String] = None,
+                            nmbsDelete: Boolean = false,
+                            nmbsCondSql: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftSqlParser.exprCol
@@ -529,9 +611,15 @@ case class LakeMergeCommand(root: String, sourceSql: String, keyName: String,
     val upd =
       if (!hasUpdate) lit(false)
       else updateCondSql.map(exprCol).getOrElse(lit(true))
+    val nmbs =
+      if (!nmbsDelete) None
+      else Some(nmbsCondSql.map(exprCol).getOrElse(lit(true)))
     GraftSqlParser.statsRow(t.mergeIntoWithRetry(spark.sql(sourceSql),
       whenMatchedDeleteIf = Some(del), whenMatchedUpdateIf = Some(upd),
-      whenNotMatchedInsert = insert))
+      whenNotMatchedInsert = insert,
+      updateSet = updateSetSql.map { case (c, e) => c -> exprCol(e) },
+      whenNotMatchedInsertIf = insertCondSql.map(exprCol),
+      whenNotMatchedBySourceDeleteIf = nmbs))
   }
 }
 

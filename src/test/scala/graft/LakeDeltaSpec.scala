@@ -322,6 +322,31 @@ class LakeDeltaSpec extends SparkTestBase {
       }
     }
   }
+  test("mergeInto without INSERT replays when a racer inserts an unmatched source key") {
+    // the rebase envelope must cover SOURCE KEYS when no (unconditional)
+    // INSERT clause materializes them: a delete-claused key outside every
+    // file range is in neither adds nor hit, yet a racing winner
+    // inserting that key must force a replay — serialize-after semantics
+    // would apply the WHEN MATCHED DELETE to the winner's row
+    val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 3)
+    val racer = new graft.sources.LakeTable(spark, t.root)
+    var raced = false
+    t.onBeforeCommit = () => {
+      if (!raced) {
+        raced = true
+        racer.insertAll(Seq((500L, "RACER")).toDF("k", "payload"))
+      }
+    }
+    val s = t.mergeIntoWithRetry(Seq((500L, "X")).toDF("k", "payload"),
+      whenMatchedDeleteIf = Some(lit(true)),
+      whenMatchedUpdateIf = Some(lit(false)),
+      whenNotMatchedInsert = false)
+    s.version shouldBe 2 // lost v1 to the racer, declined rebase, replayed
+    t.read().filter(col("k") === 500L).count() shouldBe 0L
+    t.read().count() shouldBe 90L
+  }
+
   test("epoch tags qualified by appId: interleaved writers never collide") {
     val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
     val t = Lake.create(spark, Lake.freshRoot(), df, "k", 1)

@@ -183,20 +183,132 @@ class LakeSqlDmlSpec extends SparkTestBase {
           .collect()
       }
       e3b.getMessage should include("unknown column")
-      // per-column MERGE assignment unsupported, loudly
+      // assigning the merge key in a per-column MERGE SET (parse-time:
+      // the key is known from the ON clause)
       val e4 = intercept[IllegalArgumentException] {
         s.sql(
           s"""MERGE INTO graft_lake('${t.root}') t USING x s ON t.k = s.k
-             |WHEN MATCHED THEN UPDATE SET payload = 'x'""".stripMargin)
+             |WHEN MATCHED THEN UPDATE SET t.k = s.k + 1""".stripMargin)
       }
-      e4.getMessage should include("UPDATE SET *")
-      // conditional NOT MATCHED unsupported, loudly
+      e4.getMessage should include("merge key")
+      // a NOT MATCHED condition has no target row to reference
       val e5 = intercept[IllegalArgumentException] {
         s.sql(
           s"""MERGE INTO graft_lake('${t.root}') t USING x s ON t.k = s.k
-             |WHEN NOT MATCHED AND s.a = 1 THEN INSERT *""".stripMargin)
+             |WHEN NOT MATCHED AND t.amount > 1 THEN INSERT *""".stripMargin)
       }
-      e5.getMessage should include("NOT MATCHED")
+      e5.getMessage should include("only the source")
+      // a NOT MATCHED BY SOURCE condition has no source row to reference
+      val e6 = intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING x s ON t.k = s.k
+             |WHEN NOT MATCHED BY SOURCE AND s.amount > 1 THEN DELETE""".stripMargin)
+      }
+      e6.getMessage should include("only the target")
+      // the assignment target must be a target column, not source-qualified
+      val e7 = intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING x s ON t.k = s.k
+             |WHEN MATCHED THEN UPDATE SET s.payload = 'x'""".stripMargin)
+      }
+      e7.getMessage should include("target table")
+    }
+  }
+
+  test("MERGE: per-column SET, conditional INSERT, NOT MATCHED BY SOURCE DELETE") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s) // keys 1..90, payload valK, status A, amount k*10
+      Seq((10L, "P10", "S", 5.0), (20L, "P20", "S", 5.0),
+        (200L, "NEW", "S", 1.0), (300L, "BIG", "S", 999.0))
+        .toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("full_src")
+      s.sql(
+        s"""MERGE INTO graft_lake('${t.root}') AS tgt
+           |USING full_src AS src ON tgt.k = src.k
+           |WHEN MATCHED AND tgt.k = 10 THEN
+           |  UPDATE SET payload = src.payload, amount = tgt.amount + src.amount
+           |WHEN NOT MATCHED AND src.amount < 100.0 THEN INSERT *
+           |WHEN NOT MATCHED BY SOURCE AND tgt.k > 88 THEN DELETE""".stripMargin)
+        .collect()
+      val r = t.read()
+      // per-column update: payload/amount assigned, status carried
+      rows(r.filter(col("k") === 10L)
+        .select("payload", "status", "amount")) shouldBe
+        Seq(Seq("P10", "A", 105.0))
+      // matched but condition false: row untouched
+      rows(r.filter(col("k") === 20L).select("payload")) shouldBe
+        Seq(Seq("val20"))
+      // conditional insert: 200 (amount 1.0) in, 300 (999.0) out
+      r.filter(col("k") === 200L).count() shouldBe 1L
+      r.filter(col("k") === 300L).count() shouldBe 0L
+      // NOT MATCHED BY SOURCE: 89 and 90 (k > 88, no source match) deleted
+      r.filter(col("k") > 88L && col("k") < 100L).count() shouldBe 0L
+      r.count() shouldBe 89L // 90 - 2 NMBS + 1 insert
+    }
+  }
+
+  test("MERGE: per-column SET accepts a NARROW source when inserts are off") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s)
+      // only the key and the assignment input — no full row
+      Seq((3L, 777.0), (4L, 888.0), (500L, 1.0)).toDF("k", "new_amount")
+        .createOrReplaceTempView("narrow_src")
+      s.sql(
+        s"""MERGE INTO graft_lake('${t.root}') t USING narrow_src s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET amount = s.new_amount""".stripMargin)
+        .collect()
+      rows(t.read().filter(col("k").isin(3L, 4L))
+        .select("k", "payload", "amount").orderBy("k")) shouldBe
+        Seq(Seq(3L, "val3", 777.0), Seq(4L, "val4", 888.0))
+      // the unmatched narrow key neither inserted nor failed
+      t.read().filter(col("k") === 500L).count() shouldBe 0L
+      t.read().count() shouldBe 90L
+      // per-column merges never evolve the schema: new_amount is no column
+      t.read().columns should not contain "new_amount"
+    }
+  }
+
+  test("scanner: double-quoted strings and block comments never mis-structure") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      // a double-quoted literal containing '--' must not scan as a comment
+      s.sql(
+        s"""UPDATE graft_lake('${t.root}') SET payload = "a--b" WHERE k = 1""")
+        .collect()
+      rows(t.read().filter(col("k") === 1L).select("payload")) shouldBe
+        Seq(Seq("a--b"))
+      // a double-quoted string with ',' and ')' inside an IN list
+      s.sql(
+        s"""UPDATE graft_lake('${t.root}') SET status = 'Z'
+           |WHERE payload IN ("a,b", 'c)d', "a--b")""".stripMargin).collect()
+      t.read().filter(col("status") === "Z").count() shouldBe 1L
+      // a block comment containing ';' in a WHERE tail must not truncate
+      s.sql(
+        s"""DELETE FROM graft_lake('${t.root}')
+           |WHERE /* not a terminator: ; */ amount > 880.0""".stripMargin)
+        .collect()
+      t.read().count() shouldBe 88L // amount k*10 > 880 → keys 89 and 90
+      // a semicolon INSIDE a single-quoted string survives restStmt
+      s.sql(
+        s"""UPDATE graft_lake('${t.root}') SET payload = 'x;y' WHERE k = 2""")
+        .collect()
+      rows(t.read().filter(col("k") === 2L).select("payload")) shouldBe
+        Seq(Seq("x;y"))
+    }
+  }
+
+  test("UPDATE: case-insensitive assignment targets resolve to the schema's case") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      s.sql(s"UPDATE graft_lake('${t.root}') SET PAYLOAD = 'CASED' WHERE k = 7")
+        .collect()
+      rows(t.read().filter(col("k") === 7L).select("payload")) shouldBe
+        Seq(Seq("CASED"))
+      // schema itself did not grow a second casing
+      t.read().columns.count(_.equalsIgnoreCase("payload")) shouldBe 1
     }
   }
 

@@ -753,4 +753,66 @@ class StreamingSpec extends SparkTestBase {
     e.getMessage should include("duplicate existing keys")
     q2.stop()
   }
+  test("graft-lake sink refuses a session-conf-only checkpoint (shared appId)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq((1L, "v1")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val in = MemoryStream[(Long, String)]
+    in.addData((2L, "v2"))
+    // only the SESSION-level checkpoint conf: the sink cannot see it, and
+    // a root-derived fallback identity would be shared by every query
+    // writing this table — epochs of a second writer would read as
+    // replays. The sink must refuse to start.
+    spark.conf.set("spark.sql.streaming.checkpointLocation",
+      java.nio.file.Files.createTempDirectory("graft-conf-ckpt").toString)
+    try {
+      val e = intercept[Exception] {
+        val q = in.toDF().toDF("k", "payload")
+          .writeStream.format("graft-lake")
+          .option("path", table.root)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      e.getMessage should include("txnAppId")
+      // an explicit txnAppId (no writer checkpointLocation) is accepted
+      val q2 = in.toDF().toDF("k", "payload")
+        .writeStream.format("graft-lake")
+        .option("path", table.root)
+        .option("txnAppId", "writer-a")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      table.hasEpoch(0L, "writer-a") shouldBe true
+      rows(table.read().orderBy("k")) shouldBe
+        Seq(Seq(1L, "v1"), Seq(2L, "v2"))
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
+  test("change feed fails loudly when the committed offset was vacuumed") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(),
+      Seq((1L, "v1")).toDF("k", "payload"), "k", 1)
+    (2L to 6L).foreach(k =>
+      table.merge(Seq((k, s"v$k")).toDF("k", "payload"))) // v1..v5
+    table.vacuum(2) // retains v4, v5 — v0..v3 gone
+    val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> table.root, "startingVersion" -> "1"))
+    // a committed offset BELOW the horizon: re-anchoring at an older
+    // retained version would re-deliver rows the stream already emitted —
+    // the source must refuse instead
+    val e = intercept[IllegalStateException] {
+      src.getBatch(Some(LongOffset(2L)), LongOffset(5L))
+    }
+    e.getMessage should include("vacuumed")
+    // a RETAINED committed offset still plans the tail span (delivery
+    // content is covered by the end-to-end stream tests above)
+    val batch = src.getBatch(Some(LongOffset(4L)), LongOffset(5L))
+    batch.columns should contain("_commit_version")
+  }
 }
