@@ -65,6 +65,13 @@ object Lake {
     * a divergent bound could prune a file that holds matches. */
   private[sources] val StrBoundLen = 16
 
+  /** Default rows-per-file target for [[LakeTable]] write sizing
+    * (`spark.graft.lake.targetFileRows`): ~4M rows ≈ a few hundred MB of
+    * typical columnar data — the Delta/Iceberg target-file-size ballpark,
+    * expressed in rows because row counts are known BEFORE a write plans
+    * (byte sizes only after). */
+  private[graft] val DefaultTargetFileRows: Long = 4L * 1024 * 1024
+
   private[graft] def strLower(s: String): String = s.take(StrBoundLen)
 
   private[graft] def strUpper(s: String): Option[String] =
@@ -2075,6 +2082,25 @@ class LakeTable(spark: SparkSession, val root: String) {
     if (entries.isEmpty) (0L, -1L)
     else (entries.map(_.minKey).min, entries.map(_.maxKey).max)
 
+  /** Target-SIZE file-count policy for every write path: at least
+    * `legacy` files (a rewrite keeps its pre-rewrite clustering
+    * granularity, so file counts never silently collapse), and at least
+    * `ceil(estRows / spark.graft.lake.targetFileRows)` — a large append
+    * or merge lands as proportionally many files instead of one
+    * monolith whose single-file scan parallelism caps a 100 TB read.
+    * `estRows` is an upper-bound estimate (manifest row counts of the
+    * rewritten files + the batch size — replaced rows double-count,
+    * which only ever errs toward MORE files). Conf 0 disables the
+    * policy (pure legacy counts). */
+  private def sizedFileCount(legacy: Int, estRows: Long): Int = {
+    val target = spark.conf.get("spark.graft.lake.targetFileRows",
+      Lake.DefaultTargetFileRows.toString).toLong
+    val base = math.max(1, legacy)
+    if (target <= 0L) base
+    else math.max(base,
+      math.min(Int.MaxValue.toLong, (estRows + target - 1) / target).toInt)
+  }
+
   private def mergeTagged(updates: DataFrame, operation: String,
                           newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
@@ -2114,7 +2140,8 @@ class LakeTable(spark: SparkSession, val root: String) {
         hitDf.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(updates, allowMissingColumns = true)
       }
-    val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
+    val hint = if (newFileCountHint > 0) newFileCountHint
+      else sizedFileCount(hit.size, hit.map(_._1.rows).sum + updateRows)
     val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
       partitionCols = m.partitionCols)
     // merged keys must leave the tombstone set — their fresh rows would
@@ -2316,7 +2343,8 @@ class LakeTable(spark: SparkSession, val root: String) {
           } else h.limit(0).select(cols.map(col): _*)
         keptRows.unionByName(updatedRows).unionByName(inserts)
     }
-    val hint = if (newFileCountHint > 0) newFileCountHint else math.max(1, hit.size)
+    val hint = if (newFileCountHint > 0) newFileCountHint
+      else sizedFileCount(hit.size, hit.map(_._1.rows).sum + updateRows)
     val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
       partitionCols = m.partitionCols)
     // source keys leave the tombstone set: matched-updated and inserted
@@ -2409,8 +2437,9 @@ class LakeTable(spark: SparkSession, val root: String) {
         c -> when(condition, e.cast(hitDf.schema(c).dataType))
           .otherwise(col(c))
       }.toMap)
-    val newFiles = writeDataFiles(rewritten, keyCol, math.max(1, hit.size),
-      m.statsCols, partitionCols = m.partitionCols)
+    val newFiles = writeDataFiles(rewritten, keyCol,
+      sizedFileCount(hit.size, hit.map(_._1.rows).sum), m.statsCols,
+      partitionCols = m.partitionCols)
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
     commitAndIndex(Delta(v + 1, v, "update", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
@@ -2557,8 +2586,12 @@ class LakeTable(spark: SparkSession, val root: String) {
         "INSERT would duplicate existing keys (live or tombstoned): the " +
           "table is keyed — use MERGE to upsert or revive")
     }
+    // append sizing is pure target-size policy: there is no rewrite whose
+    // granularity could anchor a count (the old hitIdx-derived count was
+    // a placeholder — a huge no-hit append must NOT land as one file)
     val newFiles = writeDataFiles(rows, keyCol,
-      math.max(1, hitIdx.size), m.statsCols, partitionCols = m.partitionCols)
+      sizedFileCount(1, cnts.getLong(0)), m.statsCols,
+      partitionCols = m.partitionCols)
     // inserted keys were proven ABSENT (live and tombstoned): the
     // tombstone set carries unchanged
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
@@ -2608,7 +2641,8 @@ class LakeTable(spark: SparkSession, val root: String) {
           hitDf0.join(tk, Seq(keyCol), "left_anti"))
         val survivors = hitDf.join(
           keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")
-        writeDataFiles(survivors, keyCol, math.max(1, hit.size), m.statsCols,
+        writeDataFiles(survivors, keyCol,
+          sizedFileCount(hit.size, hit.map(_._1.rows).sum), m.statsCols,
           partitionCols = m.partitionCols)
       }
     // a pure delete re-introduces nothing: tombstones carry unchanged
@@ -2741,19 +2775,31 @@ class LakeTable(spark: SparkSession, val root: String) {
     * to fix them — this pays O(small files). Commits as an ordinary
     * delta (NOT an anchor: the untouched bulk stays carried).
     * Rewritten files physically fold their tombstoned rows; tombstone
-    * entries stand for the carried files. No-op (≤ 1 small file)
-    * commits nothing. */
-  def compactBinPack(minRows: Long, targetRows: Long = 0L): MergeStats = {
+    * entries stand for the carried files.
+    *
+    * `maxRows` > 0 additionally SPLITS oversized files: a file whose
+    * rows exceed it joins the rewrite set and lands as ~`targetRows`
+    * pieces — the other half of the sizing problem (an unsplit multi-GB
+    * file caps a scan's per-file parallelism exactly like a thousand
+    * slivers cap its task efficiency). No-op (≤ 1 small file, nothing
+    * oversized) commits nothing. */
+  def compactBinPack(minRows: Long, targetRows: Long = 0L,
+                     maxRows: Long = 0L): MergeStats = {
     require(minRows > 0, "minRows must be positive")
+    require(maxRows == 0L || maxRows >= minRows,
+      "SPLIT threshold must be at least the binpack minimum")
     val target = if (targetRows > 0) targetRows else 2 * minRows
     val v = latestVersion
     val m = manifest(v)
-    val (small, big) = m.files.partition(_.rows < minRows)
-    if (small.size <= 1)
+    val (small, rest) = m.files.partition(_.rows < minRows)
+    val (oversized, carried) =
+      rest.partition(f => maxRows > 0 && f.rows > maxRows)
+    val rewrite = small ++ oversized
+    if (small.size <= 1 && oversized.isEmpty)
       return MergeStats(v, m.files.size, 0, 0, 0L)
-    val smallRows = small.map(_.rows).sum
-    val numOut = math.max(1L, (smallRows + target - 1) / target).toInt
-    val packed0 = readFiles(m, small)
+    val rewriteRows = rewrite.map(_.rows).sum
+    val numOut = math.max(1L, (rewriteRows + target - 1) / target).toInt
+    val packed0 = readFiles(m, rewrite)
     val packed = tombstoneKeys(m).fold(packed0)(tk =>
       packed0.join(tk, Seq(m.keyCol), "left_anti"))
     val newFiles = writeDataFiles(packed, m.keyCol, numOut, m.statsCols,
@@ -2761,16 +2807,17 @@ class LakeTable(spark: SparkSession, val root: String) {
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
     val cv = commitAndIndex(Delta(v + 1, v, "optimize-binpack", m.keyCol,
       m.statsCols, m.partitionCols, full = false, adds = newFiles,
-      removes = small.map(_.path), tombstoneAdds = tAdds,
+      removes = rewrite.map(_.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl),
-      big ++ newFiles, tombs,
-      rebaseEnvelope = Some(() => rangeEnvelope(small ++ newFiles)))
-    MergeStats(cv, big.size, small.size, newFiles.size, smallRows)
+      carried ++ newFiles, tombs,
+      rebaseEnvelope = Some(() => rangeEnvelope(rewrite ++ newFiles)))
+    MergeStats(cv, carried.size, rewrite.size, newFiles.size, rewriteRows)
   }
 
   def compactBinPackWithRetry(minRows: Long, targetRows: Long = 0L,
+                              maxRows: Long = 0L,
                               maxAttempts: Int = 3): MergeStats =
-    withRetry(maxAttempts)(compactBinPack(minRows, targetRows))
+    withRetry(maxAttempts)(compactBinPack(minRows, targetRows, maxRows))
 
   /** OPTIMIZE SORT BY — rewrite the latest snapshot range-clustered on an
     * arbitrary column list (the Delta `OPTIMIZE ... ZORDER`'s simpler

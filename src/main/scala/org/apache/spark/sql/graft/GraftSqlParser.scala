@@ -29,6 +29,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * OPTIMIZE graft_lake('<root>') [FILES <n>]
   *   [ZORDER BY (c1, c2[, ...]) | SORT BY (c1[, ...])]
   * OPTIMIZE graft_lake('<root>') BINPACK <minRows> [TARGET <rows>]
+  *   [SPLIT <maxRows>]
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS
   * }}}
   *
@@ -544,8 +545,9 @@ object GraftSqlParser {
     if (sc.keyword("BINPACK")) {
       val minRows = sc.int()
       val target = if (sc.keyword("TARGET")) sc.int() else 0
+      val split = if (sc.keyword("SPLIT")) sc.int() else 0
       sc.assertEnd()
-      return LakeBinPackCommand(root, minRows, target)
+      return LakeBinPackCommand(root, minRows, target, split)
     }
     val files = if (sc.keyword("FILES")) Some(sc.int()) else None
     val layout =
@@ -705,17 +707,20 @@ case class LakeOptimizeCommand(root: String, files: Option[Int],
   }
 }
 
-/** `OPTIMIZE graft_lake(…) BINPACK <minRows> [TARGET <rows>]` →
-  * [[graft.sources.LakeTable.compactBinPack]] — incremental small-file
-  * compaction: O(small files), the untouched bulk carries by
+/** `OPTIMIZE graft_lake(…) BINPACK <minRows> [TARGET <rows>]
+  * [SPLIT <maxRows>]` → [[graft.sources.LakeTable.compactBinPack]] —
+  * incremental small-file compaction (and, with SPLIT, oversized-file
+  * splitting): O(touched files), the right-sized bulk carries by
   * reference. */
 case class LakeBinPackCommand(root: String, minRows: Int,
-                              targetRows: Int) extends LeafRunnableCommand {
+                              targetRows: Int,
+                              splitRows: Int = 0) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val t = new graft.sources.LakeTable(spark, root)
     GraftSqlParser.statsRow(
-      t.compactBinPackWithRetry(minRows.toLong, targetRows.toLong))
+      t.compactBinPackWithRetry(minRows.toLong, targetRows.toLong,
+        splitRows.toLong))
   }
 }
 

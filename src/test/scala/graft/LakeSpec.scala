@@ -772,4 +772,51 @@ class LakeSpec extends SparkTestBase {
     t2.read().filter(col("k") === 1001L).count() shouldBe 0L
     t2.read().filter(col("k") === 5L).count() shouldBe 0L // big-file key still dead via tombstone
   }
+  test("target-size sizing: a 10x-target append lands ~10 files; merges scale too") {
+    spark.conf.set("spark.graft.lake.targetFileRows", "100")
+    try {
+      val t = mkTable() // 90 rows, 3 files (explicit create count)
+      // a 1000-row no-hit append must land ceil(1000/100) = 10 files,
+      // NOT one monolith (the old placeholder sized by range hits = 0)
+      val s1 = t.insertAll(
+        (1001L to 2000L).map(k => (k, s"a$k", "I")).toDF("k", "payload", "status"))
+      s1.addedFiles shouldBe 10
+      t.read().count() shouldBe 1090L
+      // a merge whose rewrite set outgrows the target adds files beyond
+      // its pre-rewrite granularity (legacy floor = hit count)
+      val s2 = t.merge(
+        (1L to 90L).map(k => (k, s"u$k", "U")).toDF("k", "payload", "status")
+          .unionByName((3001L to 3400L).map(k => (k, s"n$k", "N"))
+            .toDF("k", "payload", "status")))
+      // est rows = 90 (hit) + 490 (updates) -> >= 5 files (floor 3 hit files)
+      s2.addedFiles should be >= 5
+      t.read().count() shouldBe 1490L
+      // tiny writes keep landing as single files (policy never splinters)
+      t.insertAll(Seq((9001L, "x", "T")).toDF("k", "payload", "status"))
+        .addedFiles shouldBe 1
+    } finally spark.conf.unset("spark.graft.lake.targetFileRows")
+  }
+  test("BINPACK SPLIT: an oversized file splits to ~target pieces, bulk carries") {
+    val t = mkTable() // 3 x 30-row files
+    // one oversized file: compact everything into a single 90-row file
+    t.compact(1)
+    t.manifest(t.latestVersion).files should have size 1
+    // append two right-sized files that must CARRY by reference
+    t.insertAll((200L to 219L).map(k => (k, s"a$k", "I"))
+      .toDF("k", "payload", "status"))
+    val carriedPaths = t.manifest(t.latestVersion).files
+      .filter(_.rows == 20L).map(_.path).toSet
+    // split anything above 25 rows into ~10-row pieces; nothing is small
+    val stats = t.compactBinPack(minRows = 5, targetRows = 10, maxRows = 25)
+    stats.rewrittenFiles shouldBe 1
+    stats.addedFiles shouldBe 9 // ceil(90 / 10)
+    val m = t.manifest(t.latestVersion)
+    carriedPaths.subsetOf(m.files.map(_.path).toSet) shouldBe true
+    m.files.count(_.rows > 25L) shouldBe 0
+    t.read().count() shouldBe 110L
+    t.read().agg(min("k"), max("k")).collect()(0).toSeq shouldBe Seq(1L, 219L)
+    // idempotent: everything right-sized -> no-op, no commit
+    val v = t.latestVersion
+    t.compactBinPack(minRows = 5, targetRows = 10, maxRows = 25).version shouldBe v
+  }
 }

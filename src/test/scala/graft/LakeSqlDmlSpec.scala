@@ -300,6 +300,20 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("OPTIMIZE BINPACK SPLIT: oversized files split from SQL") {
+    withExtendedSession { s =>
+      val t = mkTable(s) // 90 rows, 3 files
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') FILES 1").collect()
+      t.manifest(t.latestVersion).files should have size 1
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') BINPACK 5 TARGET 30 SPLIT 40")
+        .collect()
+      val m = t.manifest(t.latestVersion)
+      m.files.count(_.rows > 40L) shouldBe 0
+      m.files should have size 3 // ceil(90 / 30)
+      t.read().count() shouldBe 90L
+    }
+  }
+
   test("UPDATE: case-insensitive assignment targets resolve to the schema's case") {
     withExtendedSession { s =>
       val t = mkTable(s)
