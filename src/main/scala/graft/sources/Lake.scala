@@ -375,17 +375,19 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
-  /** Gated lane: time travel through PURE SQL — the `graft_lake_at` table
-    * function injected by `GraftSessionExtensions` resolves the snapshot-0
-    * manifest at analysis time, so a SQL-only user reaches the same COW
-    * contract [[lakeTimeTravel]] gates through the DataFrame API. Same
-    * oracle shape: after a MERGE and a DELETE, version 0 still aggregates
+  /** Gated lane: time travel through PURE SQL — Spark-native reader
+    * syntax (`FROM graft_lake('<root>') VERSION AS OF 0`, rewritten by
+    * the injected parser onto the `graft_lake_at` table function, which
+    * resolves the snapshot-0 manifest at analysis time), so a SQL-only
+    * user reaches the same COW contract [[lakeTimeTravel]] gates through
+    * the DataFrame API without knowing the function exists. Same oracle
+    * shape: after a MERGE and a DELETE, version 0 still aggregates
     * exactly like the raw table. */
   def lakeSqlTimeTravel(spark: SparkSession, dir: String): DataFrame = {
     val t = mergedThenDeleted(spark, dir)
     spark.sql(
       s"""SELECT o_orderpriority, count(*) AS n_orders
-         |FROM graft_lake_at('${t.root}', 0)
+         |FROM graft_lake('${t.root}') VERSION AS OF 0
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   }
 

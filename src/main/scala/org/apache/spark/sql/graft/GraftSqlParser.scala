@@ -33,6 +33,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS
   * }}}
   *
+  * READ side, in every non-DML statement: `FROM graft_lake('<root>')
+  * [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']` rewrites onto the
+  * registered `graft_lake_at` table function (literal args only —
+  * see [[GraftSqlParser.rewriteTimeTravel]]).
+  *
   * Installed via `SparkSessionExtensions.injectParser` (the canonical
   * extension seam — Spark's own MERGE grammar routes to DSv2 tables only,
   * so a v1-format lake needs its own statement head). ONLY statements
@@ -61,10 +66,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.tryParseDml(sqlText, delegate)
-      .getOrElse(delegate.parsePlan(sqlText))
+      .getOrElse(delegate.parsePlan(
+        GraftSqlParser.rewriteTimeTravel(sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    delegate.parseQuery(GraftSqlParser.rewriteTimeTravel(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
@@ -164,6 +170,25 @@ object GraftSqlParser {
       s.substring(st, i).toInt
     }
     def peekChar(): Char = { ws(); if (i < s.length) s.charAt(i) else ' ' }
+    /** Cursor save/restore — for speculative keyword lookahead (e.g.
+      * VERSION AS OF vs. a table alias that merely spells "version"). */
+    def pos: Int = i
+    def seek(p: Int): Unit = i = p
+    /** A quoted string literal (either quote form), returned NORMALIZED
+      * to single quotes; anything else refuses. */
+    def quotedLiteral(): String = {
+      ws()
+      if (i >= s.length || (s.charAt(i) != '\'' && s.charAt(i) != '"'))
+        fail(s"expected a quoted string literal at: …${s.substring(i).take(40)}")
+      val q = s.charAt(i)
+      val st = i + 1
+      var k = st
+      while (k < s.length && s.charAt(k) != q) k += 1
+      if (k >= s.length) fail("unterminated string literal")
+      val body = s.substring(st, k)
+      i = k + 1
+      "'" + body + "'"
+    }
 
     /** A balanced `( … )` block; returns the inner text. */
     def parenBlock(): String = {
@@ -259,6 +284,60 @@ object GraftSqlParser {
     def assertEnd(): Unit =
       if (!atEnd()) fail(s"unexpected trailing input: …${s.substring(i).take(60)}")
     def rest(): String = { ws(); s.substring(i) }
+  }
+
+  /** Rewrite READ-side `graft_lake('<root>')` table references —
+    * optionally suffixed with the native time-travel grammar
+    * `VERSION AS OF <n>` / `TIMESTAMP AS OF '<ts>'` — onto the
+    * registered `graft_lake_at` table function, so
+    * `SELECT … FROM graft_lake('r') VERSION AS OF 3` is served without
+    * the caller knowing the function exists (Delta's reader syntax).
+    * Only statements NOT intercepted as lake DML pass through here, and
+    * only token occurrences outside strings/comments rewrite; the AS OF
+    * argument must be a LITERAL (int version / quoted timestamp) —
+    * anything else refuses loudly, because a snapshot pin must be
+    * decidable at parse time. A bare `graft_lake('r')` reads the latest
+    * snapshot. Occurrences not followed by `(` (e.g. an ordinary
+    * identifier that happens to be named graft_lake) are left alone. */
+  private[graft] def rewriteTimeTravel(sql: String): String = {
+    if (!sql.toLowerCase.contains("graft_lake")) return sql
+    def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_' || c == '.'
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val skip = skipLiteralOrComment(sql, i)
+      if (skip != i) { out.append(sql.substring(i, skip)); i = skip }
+      else if ((i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+          i + 10 <= sql.length &&
+          sql.substring(i, i + 10).equalsIgnoreCase("graft_lake") &&
+          (i + 10 == sql.length || !isWordChar(sql.charAt(i + 10)))) {
+        val sc = new Scan(sql.substring(i))
+        sc.expect("graft_lake")
+        if (sc.peekChar() != '(') { out.append(sql.substring(i, i + 10)); i += 10 }
+        else {
+          val inner = sc.parenBlock().trim
+          if (inner.length < 2 || inner.head != '\'' || inner.last != '\'')
+            fail("graft_lake takes a single quoted root path: " +
+              "graft_lake('<root>')")
+          val mark = sc.pos
+          val replacement =
+            if (sc.keyword("VERSION")) {
+              if (sc.keyword("AS")) {
+                sc.expect("OF")
+                s"graft_lake_at($inner, ${sc.int()})"
+              } else { sc.seek(mark); s"graft_lake_at($inner)" }
+            } else if (sc.keyword("TIMESTAMP")) {
+              if (sc.keyword("AS")) {
+                sc.expect("OF")
+                s"graft_lake_at($inner, ${sc.quotedLiteral()})"
+              } else { sc.seek(mark); s"graft_lake_at($inner)" }
+            } else s"graft_lake_at($inner)"
+          out.append(replacement)
+          i += sc.pos
+        }
+      } else { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
   }
 
   /** `graft_lake ( '<root>' )` after the verb keyword(s); None if the

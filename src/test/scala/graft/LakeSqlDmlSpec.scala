@@ -300,6 +300,43 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("native time-travel syntax: VERSION AS OF / TIMESTAMP AS OF / bare") {
+    withExtendedSession { s =>
+      val t = mkTable(s) // v0
+      s.sql(s"DELETE FROM graft_lake('${t.root}') WHERE k <= 30").collect()
+      // VERSION AS OF pins the pre-delete snapshot
+      s.sql(s"SELECT count(*) AS n FROM graft_lake('${t.root}') VERSION AS OF 0")
+        .collect()(0).getLong(0) shouldBe 90L
+      // bare graft_lake('root') reads the LATEST snapshot
+      s.sql(s"SELECT count(*) AS n FROM graft_lake('${t.root}')")
+        .collect()(0).getLong(0) shouldBe 60L
+      // TIMESTAMP AS OF resolves by wall clock from the commit timestamps
+      val ts0 = t.history().filter(col("version") === 0)
+        .select("commit_ts").collect()(0).getLong(0)
+      s.sql(
+        s"""SELECT count(*) AS n FROM graft_lake('${t.root}')
+           |TIMESTAMP AS OF '$ts0'""".stripMargin)
+        .collect()(0).getLong(0) shouldBe 90L
+      // the suffix works inside joins/subqueries, and a trailing alias
+      // that merely SPELLS version is not mistaken for the suffix
+      s.sql(
+        s"""SELECT count(*) AS n
+           |FROM graft_lake('${t.root}') VERSION AS OF 0 v0
+           |JOIN graft_lake('${t.root}') cur ON v0.k = cur.k""".stripMargin)
+        .collect()(0).getLong(0) shouldBe 60L
+      s.sql(s"SELECT count(*) AS n FROM graft_lake('${t.root}') version")
+        .collect()(0).getLong(0) shouldBe 60L
+      // a non-literal AS OF argument refuses loudly
+      val e = intercept[Exception] {
+        s.sql(s"SELECT * FROM graft_lake('${t.root}') VERSION AS OF (1+1)")
+      }
+      e.getMessage should include("integer")
+      // a string mentioning the token is untouched
+      s.sql("SELECT 'graft_lake(''x'') VERSION AS OF 1' AS lit")
+        .collect()(0).getString(0) should include("VERSION AS OF")
+    }
+  }
+
   test("OPTIMIZE BINPACK SPLIT: oversized files split from SQL") {
     withExtendedSession { s =>
       val t = mkTable(s) // 90 rows, 3 files
