@@ -642,7 +642,33 @@ object Lake {
       count(col("o_custkey")).as("n_cust"))
   }
 
+  /** Gated lane: the COMPLETE-mode aggregate fold behind the streaming
+    * sink's complete output mode ([[LakeTable.replaceAllEpoch]]) — batch
+    * twin with a real oracle. A lake seeded with YESTERDAY's complete
+    * aggregation result (first-half data only, plus a bucket that no
+    * longer exists) folds TODAY's complete result in one epoch: every
+    * live bucket upserts, the vanished bucket deletes (the NOT MATCHED
+    * BY SOURCE path), and a replay of the same epoch is a no-op — the
+    * final table must equal the aggregation over the raw data, which is
+    * exactly what the oracle states. */
+  def lakeSinkAggregate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def aggOf(df: DataFrame): DataFrame = df
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_keys"))
+    val stale = spark.range(1).select(lit(99L).as("bucket"),
+      lit(1L).as("n_orders"), lit(1L).as("sum_keys"))
+    val t = create(spark, freshRoot(),
+      aggOf(o.filter(col("o_orderkey") % 2 === 0)).unionByName(stale),
+      "bucket", 2)
+    val full = aggOf(o)
+    t.replaceAllEpoch(full, 0L, "agg-fold")
+    t.replaceAllEpoch(full, 0L, "agg-fold") // replayed epoch: no-op
+    t.read().orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sink_aggregate" -> (lakeSinkAggregate _),
     "lake_meta_agg" -> (lakeMetaAgg _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
@@ -669,6 +695,11 @@ object Lake {
     "lake_mor_changes" -> (lakeMorChanges _))
 
   val oracle: Map[String, String] = Map(
+    "lake_sink_aggregate" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "lake_meta_agg" ->
       """SELECT count(*) AS n_rows,
         |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
@@ -2529,6 +2560,23 @@ class LakeTable(spark: SparkSession, val root: String) {
                  appId: String = ""): Option[MergeStats] =
     if (hasEpoch(epochId, appId)) None
     else Some(mergeTagged(updates, epochTag(epochId, appId)))
+
+  /** COMPLETE-mode streaming fold, epoch-tagged: the batch IS the whole
+    * intended table content (a complete-mode aggregation re-emits every
+    * group each trigger), so the fold upserts every batch row AND deletes
+    * every table key the batch no longer carries — [[mergeInto]] with an
+    * unconditional NOT MATCHED BY SOURCE DELETE clause. Same at-most-once
+    * contract per (appId, epoch) as [[mergeEpoch]]. Each epoch rewrites
+    * the whole table — inherent to complete-mode semantics, and fine at
+    * scale because a complete-mode RESULT table is aggregate-sized (the
+    * 100 TB fact stream folds into it, it never is it). */
+  def replaceAllEpoch(rows: DataFrame, epochId: Long,
+                      appId: String = ""): Option[MergeStats] =
+    if (hasEpoch(epochId, appId)) None
+    else Some(mergeIntoTagged(rows, epochTag(epochId, appId),
+      whenMatchedDeleteIf = None, whenMatchedUpdateIf = None,
+      whenNotMatchedInsert = true,
+      whenNotMatchedBySourceDeleteIf = Some(lit(true))))
 
   /** INSERT — the APPEND fast path: new rows land as new files and every
     * existing file carries by reference (an adds-only commit, no rewrite

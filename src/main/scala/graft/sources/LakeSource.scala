@@ -63,9 +63,12 @@ class LakeSource extends RelationProvider with DataSourceRegister
     * replayed batch a no-op — exactly-once table content with engine-
     * managed offsets, the symmetric twin of the change-feed source. The
     * table must exist (`Lake.create` fixes key and layout); partitionBy
-    * on the writer refuses (layout is a table property); append and
-    * update output modes are both per-batch upserts (the table is keyed
-    * — complete mode is rejected). */
+    * on the writer refuses (layout is a table property). Append and
+    * update output modes are per-batch upserts (the table is keyed);
+    * COMPLETE mode folds each batch as the table's whole intended
+    * content — upsert everything, delete keys the batch dropped
+    * ([[LakeTable.replaceAllEpoch]]) — the streaming-aggregation
+    * materialization mode. */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
@@ -76,9 +79,6 @@ class LakeSource extends RelationProvider with DataSourceRegister
     require(partitionColumns.isEmpty,
       "graft-lake sink: partition layout is fixed at table create — drop " +
         "the writer's partitionBy")
-    require(outputMode != OutputMode.Complete(),
-      "graft-lake sink: complete mode unsupported — each batch MERGEs by " +
-        "key (use append or update)")
     // epoch tags qualify per CHECKPOINT (the txnAppId pattern): a fresh
     // checkpoint restarts epochs at 0 and must not collide with or
     // early-exit the old run's chain. A writer identity derived from the
@@ -95,13 +95,21 @@ class LakeSource extends RelationProvider with DataSourceRegister
           "session-level checkpoint conf) or pass .option(\"txnAppId\", …) — " +
           "a shared root-derived identity would make concurrent writers " +
           "skip each other's epochs as replays"))
+    // complete mode IS the mode: each batch replaces the table content
+    if (outputMode == OutputMode.Complete()) {
+      require(!parameters.contains("mode") || parameters("mode") == "aggregate",
+        "graft-lake sink: complete output mode folds each batch as the " +
+          "whole table (drop the 'mode' option, or set mode=aggregate)")
+      return new LakeMergeSink(root, appId, replaceAll = true)
+    }
     // mode=merge (default): per-batch keyed upsert. mode=insert: the
     // append fast path — adds-only commits with a PK conflict check,
     // zero rewrite risk for randomly-keyed append-only streams (a keyed
     // merge would rewrite every range-covering file).
     val mode = parameters.getOrElse("mode", "merge")
     require(mode == "merge" || mode == "insert",
-      s"graft-lake sink: unknown mode '$mode' (merge | insert)")
+      s"graft-lake sink: unknown mode '$mode' (merge | insert — " +
+        "mode=aggregate requires complete output mode)")
     new LakeMergeSink(root, appId, insertOnly = mode == "insert")
   }
 
@@ -150,13 +158,15 @@ class LakeSource extends RelationProvider with DataSourceRegister
   * once (localCheckpoint) because the merge consumes its source from
   * several operators and a streaming batch must not re-execute. */
 private[sources] class LakeMergeSink(root: String, appId: String,
-                                      insertOnly: Boolean = false)
+                                      insertOnly: Boolean = false,
+                                      replaceAll: Boolean = false)
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val batch = org.apache.spark.sql.graft.StreamBridge
       .batchDataFrame(data).localCheckpoint()
     val t = new LakeTable(data.sparkSession, root)
-    if (insertOnly) t.insertEpoch(batch, batchId, appId)
+    if (replaceAll) t.replaceAllEpoch(batch, batchId, appId)
+    else if (insertOnly) t.insertEpoch(batch, batchId, appId)
     else t.mergeEpoch(batch, batchId, appId)
     ()
   }

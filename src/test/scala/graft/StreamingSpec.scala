@@ -702,16 +702,56 @@ class StreamingSpec extends SparkTestBase {
     try q2.processAllAvailable() finally q2.stop()
     rows(table.read().filter(col("k") === 2L).select("payload")) shouldBe
       Seq(Seq("U2"))
-    // refusals: complete mode and writer-side partitioning
+    // refusal: complete output mode with an explicit non-aggregate mode
     intercept[Exception] {
       in.toDF().toDF("k", "payload", "status")
         .groupBy("k").count()
         .writeStream.format("graft-lake")
         .option("path", table.root)
+        .option("mode", "insert")
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("x").toString)
         .outputMode("complete").start()
     }.getMessage should include("complete")
+  }
+  test("graft-lake sink complete mode: each batch replaces the table content") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // seed the result table with a STALE group the aggregation no longer
+    // produces — the complete-mode fold must delete it
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(),
+      Seq((99L, 1L)).toDF("k", "cnt"), "k", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-aggsink-ckpt").toString
+    val in = MemoryStream[Long]
+    def start() = in.toDF().toDF("v")
+      .groupBy((col("v") % 3).as("k")).agg(count(lit(1)).as("cnt"))
+      .writeStream.format("graft-lake")
+      .option("path", table.root)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    in.addData(0L, 1L, 2L, 3L)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // table == the complete aggregate; the stale group 99 is GONE
+    rows(table.read().orderBy("k")) shouldBe Seq(
+      Seq(0L, 2L), Seq(1L, 1L), Seq(2L, 1L))
+    // restart + more data: counts grow (complete mode re-emits all), the
+    // fold stays exactly the aggregate — restart exactness
+    in.addData(0L, 1L)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    rows(table.read().orderBy("k")) shouldBe Seq(
+      Seq(0L, 3L), Seq(1L, 2L), Seq(2L, 1L))
+    // a replayed epoch is a no-op (epoch-tagged under the checkpoint id)
+    val appId = java.lang.Long.toHexString(
+      new org.apache.hadoop.fs.Path(ckpt).toString.hashCode & 0xffffffffL)
+    val vBefore = table.latestVersion
+    table.replaceAllEpoch(Seq((0L, 777L)).toDF("k", "cnt"), 0L, appId) shouldBe None
+    table.latestVersion shouldBe vBefore
   }
   test("graft-lake sink mode=insert: adds-only batches, exactly-once, conflicts fail") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
