@@ -642,6 +642,41 @@ object Lake {
       count(col("o_custkey")).as("n_cust"))
   }
 
+  /** Gated lane: GROUPED metadata-only aggregates — `count(*)` /
+    * `min` / `max` per PARTITION value answer from manifest stats alone
+    * (every file holds exactly one partition value, so per-group
+    * aggregates are per-file-group folds; the plan assertion lives in
+    * `LakePruneRuleSpec`). The oracle states the same aggregates raw. */
+  def lakeMetaAggGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8,
+      partitionBy = Seq("o_year"))
+    t.read().groupBy("o_year")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("o_year")
+  }
+
+  /** Gated lane: FILTERED metadata-only aggregates — when manifest
+    * pruning proves every surviving file WHOLLY inside the predicate
+    * (here: partition equality, where file partition bounds are
+    * degenerate), the filtered `count(*)` / `min` / `max` also answer
+    * from stats alone; a partially-covered file would fall back to the
+    * scan, never to a wrong fast answer. Oracle states the filtered
+    * aggregates raw. */
+  def lakeMetaAggFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8,
+      partitionBy = Seq("o_year"))
+    t.read().filter(col("o_year") === 1995)
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+  }
+
   /** Gated lane: the COMPLETE-mode aggregate fold behind the streaming
     * sink's complete output mode ([[LakeTable.replaceAllEpoch]]) — batch
     * twin with a real oracle. A lake seeded with YESTERDAY's complete
@@ -670,6 +705,8 @@ object Lake {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_sink_aggregate" -> (lakeSinkAggregate _),
     "lake_meta_agg" -> (lakeMetaAgg _),
+    "lake_meta_agg_grouped" -> (lakeMetaAggGrouped _),
+    "lake_meta_agg_filtered" -> (lakeMetaAggFiltered _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
@@ -706,6 +743,19 @@ object Lake {
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key,
         |       count(o_custkey) AS n_cust
         |FROM orders""".stripMargin,
+
+    "lake_meta_agg_grouped" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |       count(*) AS n_orders,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_meta_agg_filtered" ->
+      """SELECT count(*) AS n_orders,
+        |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |       CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
 
     "lake_inlist_pruning" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -1068,13 +1118,15 @@ object Lake {
       "operation" -> m.operation, "keyCol" -> m.keyCol,
       "statsCols" -> m.statsCols,
       "partitionCols" -> m.partitionCols,
-      "files" -> m.files.map(fileJson(m.statsCols)),
-      "tombstones" -> m.tombstones.map(fileJson(m.statsCols))))
+      "files" -> m.files.map(fileJson((m.keyCol +: m.statsCols).distinct)),
+      "tombstones" -> m.tombstones.map(
+        fileJson((m.keyCol +: m.statsCols).distinct))))
 
   private[graft] def toJson(d: Delta): String = {
     // partition-column bounds ride each entry's cols even when not in
-    // statsCols (they're added implicitly at write) — serialize the union
-    val colOrder = (d.statsCols ++ d.partitionCols).distinct
+    // statsCols (they're added implicitly at write), and the KEY's null
+    // count rides nulls — serialize the union
+    val colOrder = (d.keyCol +: (d.statsCols ++ d.partitionCols)).distinct
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(ListMap(
       "version" -> d.version, "parentVersion" -> d.parentVersion,
       "operation" -> d.operation, "keyCol" -> d.keyCol,
@@ -1866,9 +1918,12 @@ class LakeTable(spark: SparkSession, val root: String) {
         max(Lake.statLong(data, c)).as(s"mx_$c")))
       val strAggs = strStats.flatMap(c => Seq(
         min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c")))
-      // per-file NULL COUNTS for every stats column (min/max ignore nulls,
-      // so bounds alone cannot answer IS NULL / IS NOT NULL pruning)
-      val orderedStats = numStats ++ strStats
+      // per-file NULL COUNTS for every stats column AND the key (min/max
+      // ignore nulls, so bounds alone cannot answer IS NULL / IS NOT NULL
+      // pruning — and the metadata-aggregate rule's whole-file implication
+      // needs the key's null count for the IsNotNull conjuncts Catalyst
+      // injects under every key comparison)
+      val orderedStats = (keyCol +: (numStats ++ strStats)).distinct
       val nullAggs = orderedStats.map(c => count(col(c)).as(s"nn_$c"))
       val aggs = Seq(count(lit(1)).as("rows"),
         min(Lake.statLong(data, keyCol)).as("mn"),

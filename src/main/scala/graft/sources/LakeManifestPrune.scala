@@ -305,16 +305,29 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
 }
 
 /** Metadata-only aggregates for [[Lake]] tables — the sibling rule to
-  * [[LakeManifestPrune]]: a global (no-grouping) aggregate of
-  * `count(*)` / `count(col)` / `min(col)` / `max(col)` sitting DIRECTLY
-  * on a bare lake relation is answered from the manifests' per-file
-  * statistics and replaced by a [[LocalRelation]] — zero tasks, zero
-  * file I/O, the `SELECT count(*) FROM t` every dashboard fires
-  * answered from hundreds of bytes of metadata (Delta and Iceberg do
-  * the same from their stats).
+  * [[LakeManifestPrune]]: an aggregate of `count(*)` / `count(col)` /
+  * `min(col)` / `max(col)` over a lake relation is answered from the
+  * manifests' per-file statistics and replaced by a [[LocalRelation]] —
+  * zero tasks, zero file I/O, the `SELECT count(*) FROM t` every
+  * dashboard fires answered from hundreds of bytes of metadata (Delta
+  * and Iceberg do the same from their stats). Three shapes answer:
   *
-  * Strictly conservative: every file of the relation must be known to a
-  * manifest; a Filter, join, or tombstone anti-join above the relation
+  *  - GLOBAL over the bare relation — the original rule;
+  *  - GROUPED by a single exact-stat column whose per-file bounds are
+  *    degenerate (min = max, no nulls) — in practice a hive PARTITION
+  *    column, where every file holds exactly one value: per-group
+  *    counts/min/max are per-file-group sums;
+  *  - FILTERED (global), when every top-level conjunct is a recognized
+  *    stats constraint and every file is provably WHOLLY inside or
+  *    WHOLLY outside the predicate (null counts close the min/max-
+  *    ignore-nulls hole; string uppers are ceilings, so whole-file
+  *    string implication uses the ceiling on the high side and the
+  *    truncated prefix on the low side, both conservative). One
+  *    partially-covered file bails the whole node — a wrong fast answer
+  *    is worse than a scan.
+  *
+  * Strictly conservative everywhere: every file of the relation must be
+  * known to a manifest; a join or tombstone anti-join above the relation
   * changes the plan shape and the rule never matches (outstanding
   * deferred deletes therefore disable it automatically); `min`/`max`
   * answer only for integral/date/timestamp columns whose stat units are
@@ -322,24 +335,35 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
   * — their bounds are truncated prefixes/ceilings); `count(col)` needs
   * per-file null counts for every file. One unanswerable aggregate
   * bails the whole node. */
-class LakeMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
+class LakeMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
   import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
   import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Project}
+  import LakeManifestPrune.FileStat
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(Nil, exprs, child, _) =>
-      answer(exprs, child).getOrElse(agg)
+      answer(None, exprs, child).getOrElse(agg)
+    case agg @ Aggregate(Seq(g: AttributeReference), exprs, child, _) =>
+      answer(Some(g), exprs, child).getOrElse(agg)
   }
 
-  private def relationOf(p: LogicalPlan): Option[LogicalRelation] = p match {
+  /** Peel attribute-only Projects and at most one Filter off the
+    * relation. */
+  private def unwrap(p: LogicalPlan)
+      : Option[(LogicalRelation, Option[Expression])] = p match {
     case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
-      Some(l)
-    case Project(projList, l: LogicalRelation)
-        if projList.forall(_.isInstanceOf[AttributeReference]) &&
-          l.relation.isInstanceOf[HadoopFsRelation] =>
-      Some(l)
+      Some((l, None))
+    case Project(projList, inner)
+        if projList.forall(_.isInstanceOf[AttributeReference]) =>
+      unwrap(inner)
+    case Filter(cond, inner) =>
+      unwrap(inner) match {
+        case Some((l, None)) => Some((l, Some(cond)))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -358,9 +382,166 @@ class LakeMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => v
   }
 
-  private def answer(exprs: Seq[NamedExpression],
+  /** How much of a file a predicate covers, decided from stats alone. */
+  private sealed trait Cover
+  private case object Whole extends Cover
+  private case object Empty extends Cover
+  private case object Partial extends Cover
+
+  private def nullFree(st: FileStat, c: String): Boolean =
+    st.nulls.get(c).contains(0L)
+
+  /** Classify every top-level conjunct into a per-file cover test, or
+    * None when ANY conjunct is not a recognized stats constraint (an
+    * unknown conjunct could filter rows the stats can't see). */
+  private def classify(cond: Expression): Option[Seq[FileStat => Cover]] = {
+    def numLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Short, ShortType) => Some(v.toLong)
+      case Literal(v: Int, DateType) => Some(v.toLong)
+      case Literal(v: Long, TimestampType) => Some(v)
+      case Literal(v: Long, TimestampNTZType) => Some(v)
+      case _ => None
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if s != null => Some(s.toString).filter(Lake.isAscii)
+      case _ => None
+    }
+    def numAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if exactStatType(a.dataType) => Some(a.name)
+      case _ => None
+    }
+    def strAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if a.dataType == StringType => Some(a.name)
+      case _ => None
+    }
+    /** [lo, hi] range test on a numeric column (inclusive, stat units). */
+    def numRange(c: String, lo: Long, hi: Long)(st: FileStat): Cover =
+      st.num.get(c) match {
+        case Some((mn, mx)) =>
+          if (mx < lo || mn > hi) Empty
+          else if (mn >= lo && mx <= hi && nullFree(st, c)) Whole
+          else Partial
+        case None => Partial
+      }
+    /** Operator-aware string test — stored bounds are (truncated-prefix
+      * lower, incremented-ceiling upper): prefix <= true-min,
+      * ceiling >= true-max, so each implication below is conservative. */
+    def strTest(c: String, isWhole: (String, String) => Boolean,
+                isEmpty: (String, String) => Boolean)(st: FileStat): Cover =
+      st.str.get(c) match {
+        case Some((mn, mx)) =>
+          if (isEmpty(mn, mx)) Empty
+          else if (isWhole(mn, mx) && nullFree(st, c)) Whole
+          else Partial
+        case None => Partial
+      }
+    val tests = splitConjunctivePredicates(cond).map {
+      // numeric comparisons, both orientations
+      case GreaterThanOrEqual(a, v) if numAttr(a).isDefined =>
+        numLit(v).map(x => numRange(numAttr(a).get, x, Long.MaxValue) _)
+      case GreaterThan(a, v) if numAttr(a).isDefined =>
+        numLit(v).filter(_ < Long.MaxValue)
+          .map(x => numRange(numAttr(a).get, x + 1, Long.MaxValue) _)
+      case LessThanOrEqual(a, v) if numAttr(a).isDefined =>
+        numLit(v).map(x => numRange(numAttr(a).get, Long.MinValue, x) _)
+      case LessThan(a, v) if numAttr(a).isDefined =>
+        numLit(v).filter(_ > Long.MinValue)
+          .map(x => numRange(numAttr(a).get, Long.MinValue, x - 1) _)
+      case EqualTo(a, v) if numAttr(a).isDefined =>
+        numLit(v).map(x => numRange(numAttr(a).get, x, x) _)
+      case GreaterThanOrEqual(v, a) if numAttr(a).isDefined =>
+        numLit(v).map(x => numRange(numAttr(a).get, Long.MinValue, x) _)
+      case GreaterThan(v, a) if numAttr(a).isDefined =>
+        numLit(v).filter(_ > Long.MinValue)
+          .map(x => numRange(numAttr(a).get, Long.MinValue, x - 1) _)
+      case LessThanOrEqual(v, a) if numAttr(a).isDefined =>
+        numLit(v).map(x => numRange(numAttr(a).get, x, Long.MaxValue) _)
+      case LessThan(v, a) if numAttr(a).isDefined =>
+        numLit(v).filter(_ < Long.MaxValue)
+          .map(x => numRange(numAttr(a).get, x + 1, Long.MaxValue) _)
+      case EqualTo(v, a) if numAttr(a).isDefined =>
+        numLit(v).map(x => numRange(numAttr(a).get, x, x) _)
+      // string comparisons (attr-side only; literal-side flips are rare
+      // on strings and simply bail)
+      case GreaterThanOrEqual(a, v) if strAttr(a).isDefined =>
+        strLit(v).map(x => strTest(strAttr(a).get,
+          (mn, _) => mn >= x, (_, mx) => mx < x) _)
+      case GreaterThan(a, v) if strAttr(a).isDefined =>
+        strLit(v).map(x => strTest(strAttr(a).get,
+          (mn, _) => mn > x, (_, mx) => mx <= x) _)
+      case LessThanOrEqual(a, v) if strAttr(a).isDefined =>
+        strLit(v).map(x => strTest(strAttr(a).get,
+          (_, mx) => mx <= x, (mn, _) => mn > x) _)
+      case LessThan(a, v) if strAttr(a).isDefined =>
+        strLit(v).map(x => strTest(strAttr(a).get,
+          (_, mx) => mx < x, (mn, _) => mn >= x) _)
+      case EqualTo(a, v) if strAttr(a).isDefined =>
+        strLit(v).map(x => strTest(strAttr(a).get,
+          (mn, mx) => mn == x && mx == x,
+          (mn, mx) => mx < x || mn > x) _)
+      // null tests (need per-file null counts)
+      case IsNotNull(a: AttributeReference) =>
+        Some((st: FileStat) => st.nulls.get(a.name) match {
+          case Some(n) =>
+            if (n == 0L) Whole
+            else if (st.rows >= 0 && n == st.rows) Empty
+            else Partial
+          case None => Partial
+        })
+      case IsNull(a: AttributeReference) =>
+        Some((st: FileStat) => st.nulls.get(a.name) match {
+          case Some(n) =>
+            if (st.rows >= 0 && n == st.rows) Whole
+            else if (n == 0L) Empty
+            else Partial
+          case None => Partial
+        })
+      // IN lists on exact numeric columns
+      case In(a, list) if numAttr(a).isDefined =>
+        val vs = list.map(numLit)
+        if (vs.nonEmpty && vs.forall(_.isDefined)) {
+          val members = vs.flatten
+          val c = numAttr(a).get
+          Some((st: FileStat) => st.num.get(c) match {
+            case Some((mn, mx)) =>
+              if (!members.exists(v => v >= mn && v <= mx)) Empty
+              else if (mn == mx && members.contains(mn) && nullFree(st, c)) Whole
+              else Partial
+            case None => Partial
+          })
+        } else None
+      case InSet(a, hset) if numAttr(a).isDefined =>
+        val vs = hset.toSeq.map {
+          case l: Long => Some(l)
+          case i: Int => Some(i.toLong)
+          case sh: Short => Some(sh.toLong)
+          case _ => None
+        }
+        if (vs.nonEmpty && vs.forall(_.isDefined)) {
+          val members = vs.flatten
+          val c = numAttr(a).get
+          Some((st: FileStat) => st.num.get(c) match {
+            case Some((mn, mx)) =>
+              if (!members.exists(v => v >= mn && v <= mx)) Empty
+              else if (mn == mx && members.contains(mn) && nullFree(st, c)) Whole
+              else Partial
+            case None => Partial
+          })
+        } else None
+      case _ => None
+    }
+    if (tests.forall(_.isDefined)) Some(tests.flatten) else None
+  }
+
+  private def answer(group: Option[AttributeReference],
+                     exprs: Seq[NamedExpression],
                      child: LogicalPlan): Option[LogicalPlan] = {
-    val l = relationOf(child).getOrElse(return None)
+    val (l, condOpt) = unwrap(child).getOrElse(return None)
+    // grouped + filtered together is out of scope: keep each sound alone
+    if (group.isDefined && condOpt.isDefined) return None
     val hfs = l.relation.asInstanceOf[HadoopFsRelation]
     val files = hfs.location.inputFiles
     if (files.isEmpty) return None
@@ -372,37 +553,77 @@ class LakeMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan] {
       .map(_.getParent).filter(_ != null).distinct.toSeq
     if (roots.isEmpty) return None
     val stats = roots.flatMap(r => LakeManifestPrune.statsFor(spark, r)).toMap
-    val fileStats = files.toSeq.map(f => stats.get(new Path(f).getName) match {
+    val allStats = files.toSeq.map(f => stats.get(new Path(f).getName) match {
       case Some(st) if st.rows >= 0 => st
       case _ => return None // a file the manifests don't know: bail
     })
-    val totalRows = fileStats.map(_.rows).sum
-    val values = exprs.map {
-      case Alias(ae: AggregateExpression, _)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) => totalRows
-          case Count(Seq(a: AttributeReference)) =>
-            // non-null count: needs per-file null counts everywhere
-            if (fileStats.forall(_.nulls.contains(a.name)))
-              totalRows - fileStats.map(_.nulls(a.name)).sum
-            else return None
-          case Min(a: AttributeReference) if exactStatType(a.dataType) =>
-            val bounds = fileStats.map(_.num.get(a.name))
-            if (bounds.forall(_.isDefined))
-              internalOf(bounds.flatten.map(_._1).min, a.dataType)
-            else return None
-          case Max(a: AttributeReference) if exactStatType(a.dataType) =>
-            val bounds = fileStats.map(_.num.get(a.name))
-            if (bounds.forall(_.isDefined))
-              internalOf(bounds.flatten.map(_._2).max, a.dataType)
-            else return None
-          case _ => return None
+    // filtered: every file must be WHOLLY in or WHOLLY out
+    val fileStats = condOpt match {
+      case None => allStats
+      case Some(cond) =>
+        val tests = classify(cond).getOrElse(return None)
+        allStats.flatMap { st =>
+          val covers = tests.map(_(st))
+          if (covers.contains(Empty)) None
+          else if (covers.forall(_ == Whole)) Some(st)
+          else return None // partially covered: a scan must decide
         }
-      case _ => return None
     }
-    Some(LocalRelation(exprs.map(_.toAttribute),
-      Seq(InternalRow.fromSeq(values))))
+    // grouped: the group column must be degenerate per file (one exact
+    // value, no nulls) — true by construction for hive partition columns
+    val groups: Seq[(Option[Long], Seq[FileStat])] = group match {
+      case None => Seq((None, fileStats))
+      case Some(g) =>
+        if (!exactStatType(g.dataType)) return None
+        val keyed = fileStats.map { st =>
+          st.num.get(g.name) match {
+            case Some((mn, mx)) if mn == mx && nullFree(st, g.name) =>
+              (mn, st)
+            case _ => return None
+          }
+        }
+        keyed.groupBy(_._1).toSeq.map { case (v, sts) =>
+          (Some(v), sts.map(_._2)) }
+    }
+    val rows = groups.map { case (gv, sts) =>
+      val totalRows = sts.map(_.rows).sum
+      val values = exprs.map {
+        case a: AttributeReference if group.exists(_.exprId == a.exprId) =>
+          internalOf(gv.get, a.dataType)
+        case Alias(a: AttributeReference, _)
+            if group.exists(_.exprId == a.exprId) =>
+          internalOf(gv.get, a.dataType)
+        case Alias(ae: AggregateExpression, _)
+            if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case Count(Seq(Literal(_, _))) => totalRows
+            case Count(Seq(a: AttributeReference)) =>
+              // non-null count: needs per-file null counts everywhere
+              if (sts.forall(_.nulls.contains(a.name)))
+                totalRows - sts.map(_.nulls(a.name)).sum
+              else return None
+            case Min(a: AttributeReference) if exactStatType(a.dataType) =>
+              val bounds = sts.map(_.num.get(a.name))
+              if (bounds.forall(_.isDefined) && bounds.nonEmpty)
+                internalOf(bounds.flatten.map(_._1).min, a.dataType)
+              else if (bounds.isEmpty) null
+              else return None
+            case Max(a: AttributeReference) if exactStatType(a.dataType) =>
+              val bounds = sts.map(_.num.get(a.name))
+              if (bounds.forall(_.isDefined) && bounds.nonEmpty)
+                internalOf(bounds.flatten.map(_._2).max, a.dataType)
+              else if (bounds.isEmpty) null
+              else return None
+            case _ => return None
+          }
+        case _ => return None
+      }
+      InternalRow.fromSeq(values)
+    }
+    // a filtered-empty GLOBAL aggregate folds over zero files and yields
+    // one row (count 0, null min/max); a grouped-empty one yields no
+    // rows — both exactly what the real aggregate would produce
+    Some(LocalRelation(exprs.map(_.toAttribute), rows))
   }
 }
 

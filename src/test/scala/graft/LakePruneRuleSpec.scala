@@ -360,4 +360,60 @@ class LakePruneRuleSpec extends SparkTestBase {
       rows(qsql) shouldBe Seq(Seq(89L, 90L))
     }
   }
+  test("metadata aggregates: GROUP BY partition column with zero file scan") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val df = (1L to 90L).map(k => (k, k % 3, s"v$k")).toDF("k", "p", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 2,
+        partitionBy = Seq("p"))
+      val q = t.read().groupBy("p")
+        .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+        .orderBy("p")
+      scannedFiles(q) shouldBe empty
+      q.queryExecution.executedPlan.toString should include("LocalTableScan")
+      rows(q) shouldBe Seq(
+        Seq(0L, 30L, 3L, 90L), Seq(1L, 30L, 1L, 88L), Seq(2L, 30L, 2L, 89L))
+      // grouping by a NON-degenerate column (the key spans ranges) must
+      // NOT collapse — the scan stays and stays correct
+      val qk = t.read().groupBy((col("k") % 2).as("b"))
+        .agg(count(lit(1)).as("n")).orderBy("b")
+      rows(qk) shouldBe Seq(Seq(0L, 45L), Seq(1L, 45L))
+    }
+  }
+  test("metadata aggregates: whole-file-covered FILTER answers from stats") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val df = (1L to 90L).map(k => (k, k % 3, s"v$k")).toDF("k", "p", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 2,
+        partitionBy = Seq("p"))
+      // partition equality: every surviving file is WHOLLY inside
+      val q = t.read().filter(col("p") === 1L)
+        .agg(count(lit(1)).as("n"), min("k").as("mn"), max("k").as("mx"))
+      scannedFiles(q) shouldBe empty
+      q.queryExecution.executedPlan.toString should include("LocalTableScan")
+      rows(q) shouldBe Seq(Seq(30L, 1L, 88L))
+      // a filter that PARTIALLY covers a file keeps scanning — never a
+      // wrong fast answer
+      val qp = t.read().filter(col("k") > 10L).agg(count(lit(1)).as("n"))
+      scannedFiles(qp) should not be empty
+      rows(qp) shouldBe Seq(Seq(80L))
+      // a KEY-range filter ALIGNED on file boundaries collapses: an
+      // unpartitioned create clusters DISJOINT ranges, so a <=-boundary
+      // predicate wholly covers its file and wholly misses the rest
+      val t2 = Lake.create(s, Lake.freshRoot(),
+        (1L to 90L).map(k => (k, s"v$k")).toDF("k", "payload"), "k", 3)
+      val boundary = t2.manifest(t2.latestVersion).files.map(_.maxKey).min
+      val qa = t2.read().filter(col("k") <= boundary)
+        .agg(count(lit(1)).as("n"))
+      scannedFiles(qa) shouldBe empty
+      rows(qa) shouldBe Seq(Seq(boundary))
+      // filtered-EMPTY global aggregate: one row, count 0, null min/max
+      val qe = t2.read().filter(col("k") > 1000L)
+        .agg(count(lit(1)).as("n"), max("k").as("mx"))
+      scannedFiles(qe) shouldBe empty
+      val er = qe.collect()(0)
+      er.getLong(0) shouldBe 0L
+      er.isNullAt(1) shouldBe true
+    }
+  }
 }
