@@ -642,6 +642,28 @@ object Lake {
       count(col("o_custkey")).as("n_cust"))
   }
 
+  /** Gated lane: HILBERT-curve clustering — the locality-preserving
+    * OPTIMIZE layout ([[LakeTable.compactHilbert]], SQL
+    * `OPTIMIZE … HILBERT BY`). The table re-clusters on the 2-D Hilbert
+    * index of (custkey, orderdate); both columns join the stats set and
+    * a 2-D box predicate reads a file subset (the better-or-equal-than-
+    * Morton assertion lives in `ZOrderSpec`); the oracle states the same
+    * box aggregate raw. */
+  def lakeHilbertPruning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    spark.sql(
+      s"OPTIMIZE graft_lake('${t.root}') FILES 8 HILBERT BY " +
+        "(o_custkey, o_orderdate)").collect()
+    t.read()
+      .filter(col("o_custkey") <= 300L &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: GROUPED metadata-only aggregates — `count(*)` /
     * `min` / `max` per PARTITION value answer from manifest stats alone
     * (every file holds exactly one partition value, so per-group
@@ -707,6 +729,7 @@ object Lake {
     "lake_meta_agg" -> (lakeMetaAgg _),
     "lake_meta_agg_grouped" -> (lakeMetaAggGrouped _),
     "lake_meta_agg_filtered" -> (lakeMetaAggFiltered _),
+    "lake_hilbert_pruning" -> (lakeHilbertPruning _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
@@ -756,6 +779,13 @@ object Lake {
         |       CAST(min(o_orderkey) AS BIGINT) AS min_key,
         |       CAST(max(o_orderkey) AS BIGINT) AS max_key
         |FROM orders WHERE year(o_orderdate) = 1995""".stripMargin,
+
+    "lake_hilbert_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |WHERE o_custkey <= 300 AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_inlist_pruning" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -3023,6 +3053,37 @@ class LakeTable(spark: SparkSession, val root: String) {
   def compactZOrderNWithRetry(numFiles: Int, cols: Seq[String],
                               maxAttempts: Int = 3): MergeStats =
     withRetry(maxAttempts)(compactZOrderN(numFiles, cols))
+
+  /** OPTIMIZE HILBERT — [[compactZOrderN]]'s locality-preserving sibling:
+    * rewrite the latest snapshot clustered on the n-D HILBERT index
+    * ([[org.apache.spark.sql.graft.HilbertN]]) instead of the Morton
+    * interleave. Consecutive Hilbert indices are always unit-adjacent in
+    * coordinate space, so key-range-contiguous files cover tighter boxes
+    * and n-D box predicates prune at least as well as under Morton (the
+    * spec pins that on a 3-D fixture) — the option Delta grew after
+    * ZORDER for high-n clustering. Same stats/trade notes as z-order. */
+  def compactHilbert(numFiles: Int, cols: Seq[String]): MergeStats = {
+    require(cols.size >= 2, "HILBERT BY needs at least two columns")
+    val v = latestVersion
+    val m = manifest(v)
+    val statsCols = (m.statsCols ++ cols).distinct
+    val snap = read()
+    val h = org.apache.spark.sql.graft.Hilbert.hilbert(
+      cols.map(c => zDim(snap, c)))
+    // hive-partitioned tables cluster WITHIN each partition directory
+    val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols,
+      Some(h), partitionCols = m.partitionCols)
+    commitAndIndex(Delta(v + 1, v, s"optimize-hilbert-${cols.size}d",
+      m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl),
+      newFiles, Nil)
+    MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
+  }
+
+  def compactHilbertWithRetry(numFiles: Int, cols: Seq[String],
+                              maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(compactHilbert(numFiles, cols))
 
   /** Retention vacuum: drop all but the newest `retainVersions` manifests
     * and physically delete every data file referenced ONLY by the dropped

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * UPDATE graft_lake('<root>') [AS t] SET c = e [, ...] [WHERE <cond>]
   * DELETE FROM graft_lake('<root>') [AS t] [WHERE <cond>]
   * OPTIMIZE graft_lake('<root>') [FILES <n>]
-  *   [ZORDER BY (c1, c2[, ...]) | SORT BY (c1[, ...])]
+  *   [ZORDER BY (c1, c2[, ...]) | HILBERT BY (c1, c2[, ...])
+  *    | SORT BY (c1[, ...])]
   * OPTIMIZE graft_lake('<root>') BINPACK <minRows> [TARGET <rows>]
   *   [SPLIT <maxRows>]
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS
@@ -635,6 +636,11 @@ object GraftSqlParser {
         val cols = sc.topLevelSplit(sc.parenBlock())
         if (cols.size < 2) fail("ZORDER BY needs at least two columns")
         Some(("zorder", cols))
+      } else if (sc.keyword("HILBERT")) {
+        sc.expect("BY")
+        val cols = sc.topLevelSplit(sc.parenBlock())
+        if (cols.size < 2) fail("HILBERT BY needs at least two columns")
+        Some(("hilbert", cols))
       } else if (sc.keyword("SORT")) {
         sc.expect("BY")
         val cols = sc.topLevelSplit(sc.parenBlock())
@@ -779,6 +785,7 @@ case class LakeOptimizeCommand(root: String, files: Option[Int],
       case Some(("sort", cols)) => t.compactSortByWithRetry(n, cols)
       case Some(("zorder", Seq(c1, c2))) => t.compactZOrderWithRetry(n, c1, c2)
       case Some(("zorder", cols)) => t.compactZOrderNWithRetry(n, cols)
+      case Some(("hilbert", cols)) => t.compactHilbertWithRetry(n, cols)
       case Some((other, _)) =>
         throw new IllegalStateException(s"unknown layout $other")
     }

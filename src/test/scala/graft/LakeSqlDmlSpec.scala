@@ -126,6 +126,10 @@ class LakeSqlDmlSpec extends SparkTestBase {
         .collect()
       t.manifest(t.latestVersion).operation shouldBe "optimize-zorder-3d"
       t.read().count() shouldBe 90L
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') FILES 4 HILBERT BY (k, amount)")
+        .collect()
+      t.manifest(t.latestVersion).operation shouldBe "optimize-hilbert-2d"
+      t.read().count() shouldBe 90L
       val vac = s.sql(s"VACUUM graft_lake('${t.root}') RETAIN 1 VERSIONS")
         .collect()
       vac.head.getInt(0) should be > 0 // manifests removed
