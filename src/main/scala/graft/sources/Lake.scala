@@ -309,12 +309,16 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
-  /** Gated lane: schema evolution through MERGE. The update batch carries
-    * a column the table never had (`o_channel`); the COW commit widens the
-    * schema — survivors of rewritten files and every carried-over file
-    * read back null through the merged-schema scan, update rows carry the
-    * backfill value. The aggregate distinguishes the two populations, so
-    * a dropped widening (or a null leak into updated rows) diverges. */
+  /** Gated lane: schema evolution through MERGE, then a metadata-only
+    * RENAME. The update batch carries a column the table never had
+    * (`o_channel`); the COW commit widens the schema — survivors of
+    * rewritten files and every carried-over file read back null through
+    * the merged-schema scan, update rows carry the backfill value. The
+    * widened column then RENAMES (`o_flag` → `o_signal`, a zero-rewrite
+    * column-mapping commit — files keep the physical name) and the final
+    * aggregate reads through the NEW name; a dropped widening, a null
+    * leak into updated rows, or a rename that moved/duplicated data all
+    * diverge. */
   def lakeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .withColumn("o_flag", (col("o_custkey") % 10).cast("int"))
@@ -327,11 +331,15 @@ object Lake {
       .withColumn("o_channel", lit("BACKFILL"))
       .withColumn("o_flag", col("o_flag").cast("long") * lit(1000000000L))
     t.merge(updates)
+    // metadata-only rename (SQL twin: ALTER TABLE graft_lake(…) RENAME
+    // COLUMN — routed in LakeSqlDmlSpec; this lane also runs in
+    // extension-less sessions, so it uses the API verb)
+    t.renameColumn("o_flag", "o_signal")
     t.read()
       .groupBy(coalesce(col("o_channel"), lit("LEGACY")).as("channel"),
         col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("o_flag")).as("sum_flag"))
+        sum(col("o_signal")).as("sum_flag"))
       .orderBy("channel", "o_orderpriority")
   }
 
@@ -1031,7 +1039,8 @@ object Lake {
                       statsCols: Seq[String] = Nil,
                       tombstones: Seq[FileEntry] = Nil,
                       partitionCols: Seq[String] = Nil,
-                      schemaDdl: Option[String] = None)
+                      schemaDdl: Option[String] = None,
+                      columnMap: Map[String, String] = Map.empty)
 
   /** One COMMIT — what the `v%05d.json` manifest file actually stores.
     * A commit's payload is proportional to WHAT CHANGED (`adds` /
@@ -1053,7 +1062,14 @@ object Lake {
                    tombstoneAdds: Seq[FileEntry],
                    tombstoneRemoves: Seq[String],
                    commitTs: Long = -1L,
-                   schemaDdl: Option[String] = None)
+                   schemaDdl: Option[String] = None,
+                   // LOGICAL → PHYSICAL column names for columns renamed
+                   // after create (column mapping, Delta's columnMapping
+                   // idea): files and manifest metadata always speak
+                   // PHYSICAL names; reads project physical → logical, so
+                   // rename and drop are metadata-only commits. Carried
+                   // FULL by every delta, like schemaDdl.
+                   columnMap: Map[String, String] = Map.empty)
 
   /** A resolved state as a full, self-anchoring Delta (legacy-manifest
     * reads and the create/compact/restore/clone commit shape). */
@@ -1061,7 +1077,7 @@ object Lake {
     Delta(m.version, m.parentVersion, m.operation, m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = m.files, removes = Nil,
       tombstoneAdds = m.tombstones, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl)
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap)
 
   /** Result of a [[LakeTable.merge]] — what a COW commit did. */
   case class MergeStats(version: Int, keptFiles: Int, rewrittenFiles: Int,
@@ -1165,6 +1181,7 @@ object Lake {
       "full" -> d.full,
       "commitTs" -> d.commitTs,
       "schemaDdl" -> d.schemaDdl.orNull,
+      "columnMap" -> d.columnMap.toSeq.sortBy(_._1).to(ListMap),
       "adds" -> d.adds.map(fileJson(colOrder)),
       "removes" -> d.removes,
       "tombstoneAdds" -> d.tombstoneAdds.map(fileJson(colOrder)),
@@ -1231,7 +1248,12 @@ object Lake {
         schemaDdl =
           if (n.has("schemaDdl") && !n.get("schemaDdl").isNull)
             Some(n.get("schemaDdl").asText())
-          else None)
+          else None,
+        columnMap =
+          if (n.has("columnMap"))
+            n.get("columnMap").fields().asScala.map(e =>
+              e.getKey -> e.getValue.asText()).toMap
+          else Map.empty)
   }
 
   /** Normalize a column to the Long STAT UNITS the manifest stores:
@@ -1446,7 +1468,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val d = readDelta(version)
     val (files, tombs) = resolveState(version)
     Manifest(d.version, d.parentVersion, d.operation, d.keyCol, files,
-      d.statsCols, tombs, d.partitionCols, d.schemaDdl)
+      d.statsCols, tombs, d.partitionCols, d.schemaDdl, d.columnMap)
   }
 
   /** Write the resolved state at `v` as a single parquet checkpoint file
@@ -1507,11 +1529,54 @@ class LakeTable(spark: SparkSession, val root: String) {
     r.parquet(entries.map(f => new Path(rootPath, f.path).toString): _*)
   }
 
-  /** Time travel: the relation AS OF `version` — a plain multi-file
-    * parquet scan over that version's resolved file set (COW keeps old
-    * files live until a retention vacuum). `mergeSchema` serves schema
-    * evolution: pre-evolution files read null for later-added columns. */
-  def snapshot(version: Int): DataFrame = {
+  /** PHYSICAL → LOGICAL projection for a column-mapped snapshot: files
+    * (and everything manifest-side) speak physical names; readers see the
+    * logical ones. Identity when the table was never renamed. Catalyst
+    * pushes filters through the aliasing Project with names rewritten, so
+    * manifest pruning and parquet pushdown keep working on the physical
+    * scan untouched. */
+  private def toLogical(m: Manifest, df: DataFrame): DataFrame =
+    if (m.columnMap.isEmpty) df
+    else {
+      val rev = m.columnMap.map(_.swap)
+      df.select(df.columns.toSeq.map(c => col(c).as(rev.getOrElse(c, c))): _*)
+    }
+
+  /** LOGICAL → PHYSICAL projection for verb inputs. A frame column that
+    * collides with a renamed column's PHYSICAL storage name (a "ghost")
+    * refuses — accepting it would write two meanings of one physical
+    * column into the files. */
+  private def toPhysical(m: Manifest, df: DataFrame): DataFrame =
+    if (m.columnMap.isEmpty) df
+    else {
+      val reserved = m.columnMap.values.toSet -- m.columnMap.keySet
+      df.columns.foreach(c => require(
+        !reserved.contains(c) || m.columnMap.contains(c),
+        s"column name '$c' is reserved by a renamed column's physical " +
+          "storage — rename the stored column first (or pick another name)"))
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(m.columnMap.getOrElse(c, c))): _*)
+    }
+
+  /** The LOGICAL name of a physically-named column (key, partition,
+    * stats cols are stored physical). */
+  private def logicalName(m: Manifest, physical: String): String =
+    m.columnMap.collectFirst { case (l, p) if p == physical => l }
+      .getOrElse(physical)
+
+  /** The logical (reader-visible) schema of `m`'s physical `schemaDdl`. */
+  private def logicalSchema(m: Manifest,
+                            phys: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val rev = m.columnMap.map(_.swap)
+    org.apache.spark.sql.types.StructType(
+      phys.fields.map(f => f.copy(name = rev.getOrElse(f.name, f.name))))
+  }
+
+  /** [[snapshot]] in PHYSICAL names — the internal form every rewrite
+    * verb and layout compaction consumes (their output files must store
+    * physical names). */
+  private def snapshotPhysical(version: Int): DataFrame = {
     val m = manifest(version)
     if (m.files.isEmpty)
       // a fully-erased snapshot still KNOWS its shape when the commit
@@ -1522,6 +1587,14 @@ class LakeTable(spark: SparkSession, val root: String) {
         .getOrElse(spark.emptyDataFrame)
     else applyTombstones(m, readFiles(m, m.files))
   }
+
+  /** Time travel: the relation AS OF `version` — a plain multi-file
+    * parquet scan over that version's resolved file set (COW keeps old
+    * files live until a retention vacuum), projected to that version's
+    * LOGICAL column names (renames/drops are per-version metadata, so
+    * old snapshots keep their shape). */
+  def snapshot(version: Int): DataFrame =
+    toLogical(manifest(version), snapshotPhysical(version))
 
   /** The distinct deleted keys of a snapshot's tombstone files, as a
     * one-column relation named after the merge key — None when clean.
@@ -1627,7 +1700,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     if (hit.isEmpty) read().filter(lit(false))
     else {
       val df = applyTombstones(m, readFiles(m, hit))
-      df.filter(Lake.statLong(df, m.keyCol).between(lo, hi))
+      toLogical(m, df.filter(Lake.statLong(df, m.keyCol).between(lo, hi)))
     }
   }
 
@@ -1699,7 +1772,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       else (mTo.files ++ mFrom.files).take(1)
     templateFiles.headOption match {
       case None => // table never held data: empty, minimally-typed feed
-        spark.range(0).select(col("id").as(keyCol),
+        spark.range(0).select(col("id").as(logicalName(mTo, keyCol)),
           lit("").as("_change_type")).filter(lit(false))
       case Some(_) =>
         val schema = readFiles(mTo, templateFiles).schema
@@ -1730,7 +1803,9 @@ class LakeTable(spark: SparkSession, val root: String) {
               struct(col("_post").as("row"), lit("update_postimage").as("ct"))))
           ).as("c"))
           .select(col("c.row.*"), col("c.ct").as("_change_type"))
-        if (tombCarried.isEmpty || tTo.isEmpty) base
+        // the feed speaks the TO-endpoint's logical names (a rename
+        // inside the interval renames the feed's columns with it)
+        if (tombCarried.isEmpty || tTo.isEmpty) toLogical(mTo, base)
         else {
           val newlyDead = tFrom.fold(tTo.get)(f =>
             tTo.get.join(f, Seq(keyCol), "left_anti"))
@@ -1738,7 +1813,7 @@ class LakeTable(spark: SparkSession, val root: String) {
             .join(newlyDead, Seq(keyCol), "left_semi")
             .select((dataCols.map(col) :+
               lit("delete").as("_change_type")): _*)
-          base.unionByName(carriedDeletes)
+          toLogical(mTo, base.unionByName(carriedDeletes))
         }
     }
   }
@@ -1837,10 +1912,11 @@ class LakeTable(spark: SparkSession, val root: String) {
       // movement changes read-time semantics — both replay
       if (dw.full || dw.tombstoneAdds.nonEmpty || dw.tombstoneRemoves.nonEmpty)
         return None
-      // a winner that EVOLVED the schema must not have its widening
-      // reverted by our rebased commit (whose schema predates it): any
-      // schema divergence between the racers replays
+      // a winner that EVOLVED the schema (or renamed/dropped a column)
+      // must not have its change reverted by our rebased commit (whose
+      // schema/column map predates it): any divergence replays
       if (dw.schemaDdl != d.schemaDdl) return None
+      if (dw.columnMap != d.columnMap) return None
       if (dw.removes.exists(ourRemoves)) return None // same file touched
       // the winner's touched files: everything it added plus the
       // entries it removed (ranges from its parent's resolved state)
@@ -2219,13 +2295,16 @@ class LakeTable(spark: SparkSession, val root: String) {
       math.min(Int.MaxValue.toLong, (estRows + target - 1) / target).toInt)
   }
 
-  private def mergeTagged(updates: DataFrame, operation: String,
+  private def mergeTagged(updates0: DataFrame, operation: String,
                           newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
+    // callers speak LOGICAL names; files and stats speak physical
+    val updates = toPhysical(m, updates0)
     m.partitionCols.foreach(p => require(updates.columns.contains(p),
-      s"merge updates into a table partitioned by '$p' must carry that column"))
+      s"merge updates into a table partitioned by " +
+        s"'${logicalName(m, p)}' must carry that column"))
     val probeCols = keyCol +: m.partitionCols
     val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
@@ -2272,7 +2351,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val cv = commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves, schemaDdl = newSchemaDdl),
+      tombstoneRemoves = tRemoves, schemaDdl = newSchemaDdl,
+      columnMap = m.columnMap),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles ++ hit.map(_._1))))
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
@@ -2340,21 +2420,29 @@ class LakeTable(spark: SparkSession, val root: String) {
     // SAME rows to every consumer (Delta materializes MERGE sources for
     // exactly this reason)
     val updates = updates0.localCheckpoint()
-    m.partitionCols.foreach(p => require(updates.columns.contains(p),
-      s"merge updates into a table partitioned by '$p' must carry that column"))
-    val probeCols = keyCol +: m.partitionCols
+    // the conditional merge is LOGICAL-named end to end (clause
+    // predicates reference the reader-visible names through the
+    // target/source structs); only the file probe and the final write
+    // cross into physical names
+    val lk = logicalName(m, keyCol)
+    m.partitionCols.foreach(p =>
+      require(updates.columns.contains(logicalName(m, p)),
+        s"merge updates into a table partitioned by " +
+          s"'${logicalName(m, p)}' must carry that column"))
+    val probeColsL = (keyCol +: m.partitionCols).map(logicalName(m, _))
     // a NOT MATCHED BY SOURCE clause can fire on any target row, so the
     // file-hit probe is moot: every file is in the rewrite set
     val hitIdx =
       if (whenNotMatchedBySourceDeleteIf.isDefined) m.files.indices.toSet
-      else hitFileIndexes(m, updates.select(probeCols.map(col): _*))
+      else hitFileIndexes(m,
+        toPhysical(m, updates.select(probeColsL.map(col): _*)))
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     // one aggregate pass for all three checks — total rows, null keys
     // (count_distinct IGNORES nulls: null-key rows would sail through a
     // distinct-vs-total compare, match nothing, and insert as null-key
     // rows), and per-key uniqueness
-    val cnts = updates.agg(count(lit(1)), count(col(keyCol)),
-      count_distinct(col(keyCol))).collect()(0)
+    val cnts = updates.agg(count(lit(1)), count(col(lk)),
+      count_distinct(col(lk))).collect()(0)
     val updateRows = cnts.getLong(0)
     require(cnts.getLong(1) == updateRows,
       s"conditional merge source carries ${updateRows - cnts.getLong(1)} " +
@@ -2368,16 +2456,16 @@ class LakeTable(spark: SparkSession, val root: String) {
     // re-inserts fresh
     val hitDf = if (hit.isEmpty) None
       else {
-        val h0 = readFiles(m, hit.map(_._1))
+        val h0 = toLogical(m, readFiles(m, hit.map(_._1)))
         Some(tombstoneKeys(m).fold(h0)(tk =>
-          h0.join(tk, Seq(keyCol), "left_anti")))
+          h0.join(tk.select(col(keyCol).as(lk)), Seq(lk), "left_anti")))
       }
     val perColumn = updateSet.nonEmpty
-    // the table's shape: live files if any, else the recorded schema (an
-    // emptied table still has one), else the source itself (legacy)
+    // the table's LOGICAL shape: live files if any, else the recorded
+    // schema (an emptied table still has one), else the source (legacy)
     val tableSchema: Option[org.apache.spark.sql.types.StructType] =
-      hitDf.map(_.schema).orElse(m.schemaDdl.map(
-        org.apache.spark.sql.types.StructType.fromDDL))
+      hitDf.map(_.schema).orElse(m.schemaDdl.map(ddl =>
+        logicalSchema(m, org.apache.spark.sql.types.StructType.fromDDL(ddl))))
     val tableCols: Seq[String] =
       tableSchema.map(_.fieldNames.toSeq).getOrElse(updates.columns.toSeq)
     // canonicalize per-column assignment targets against the table schema
@@ -2386,8 +2474,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val assigns = updateSet.map { case (c, e) =>
       val name = canon.getOrElse(c.toLowerCase, throw new IllegalArgumentException(
         s"MERGE UPDATE SET of unknown column '$c'"))
-      require(!name.equalsIgnoreCase(keyCol),
-        s"cannot assign the merge key '$keyCol' in MERGE UPDATE SET — " +
+      require(!name.equalsIgnoreCase(lk),
+        s"cannot assign the merge key '$lk' in MERGE UPDATE SET — " +
           "re-keying is a DELETE + INSERT")
       name -> e
     }
@@ -2426,9 +2514,9 @@ class LakeTable(spark: SparkSession, val root: String) {
         if (perColumn && whenNotMatchedInsert) castSelect(base) else base
       case Some(h) =>
         val cols = h.columns.toSeq
-        val tgt = h.select(col(keyCol).as("_k"),
+        val tgt = h.select(col(lk).as("_k"),
           struct(cols.map(col): _*).as("target"))
-        val src = updates.select(col(keyCol).as("_k"),
+        val src = updates.select(col(lk).as("_k"),
           struct(updates.columns.toSeq.map(col): _*).as("source"))
         val joined = tgt.join(src, Seq("_k"), "left_outer")
         val matched = col("source").isNotNull
@@ -2455,7 +2543,7 @@ class LakeTable(spark: SparkSession, val root: String) {
         val inserts =
           if (whenNotMatchedInsert) {
             val unmatched = insertFilter(
-              updates.join(h.select(col(keyCol)), Seq(keyCol), "left_anti"))
+              updates.join(h.select(col(lk)), Seq(lk), "left_anti"))
             if (perColumn) castSelect(unmatched)
             else unmatched.select(cols.map(col): _*)
           } else h.limit(0).select(cols.map(col): _*)
@@ -2463,19 +2551,19 @@ class LakeTable(spark: SparkSession, val root: String) {
     }
     val hint = if (newFileCountHint > 0) newFileCountHint
       else sizedFileCount(hit.size, hit.map(_._1.rows).sum + updateRows)
-    val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
-      partitionCols = m.partitionCols)
+    val newFiles = writeDataFiles(toPhysical(m, rewritten), keyCol, hint,
+      m.statsCols, partitionCols = m.partitionCols)
     // source keys leave the tombstone set: matched-updated and inserted
     // keys get fresh rows; delete-claused and no-insert keys have had
     // their physical rows dropped by the rewrite either way
     val (tAdds, tRemoves, tombs) =
-      foldTombstones(m, Some(updates.select(col(keyCol))))
+      foldTombstones(m, Some(updates.select(col(lk))))
     // per-column merges never evolve the schema; SET * may widen it
     val commitSchemaDdl =
       if (perColumn) m.schemaDdl
       else m.schemaDdl.map(ddl => Lake.widenSchema(
         org.apache.spark.sql.types.StructType.fromDDL(ddl),
-        updates.schema, m.partitionCols).toDDL)
+        toPhysical(m, updates).schema, m.partitionCols).toDDL)
     // rebase envelope: with an unconditional INSERT clause, source keys
     // all materialize in adds (update/insert) or fall inside hit-file
     // ranges (delete-claused / carried) — adds ∪ hit covers the
@@ -2489,8 +2577,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       val (lo, hi) = rangeEnvelope(newFiles ++ hit.map(_._1))
       if (!needSrcEnvelope) (lo, hi)
       else {
-        val r = updates.agg(min(Lake.statLong(updates, keyCol)),
-          max(Lake.statLong(updates, keyCol))).collect()(0)
+        val r = updates.agg(min(Lake.statLong(updates, lk)),
+          max(Lake.statLong(updates, lk))).collect()(0)
         if (r.isNullAt(0)) (lo, hi)
         else (math.min(if (lo > hi) Long.MaxValue else lo, r.getLong(0)),
           math.max(if (lo > hi) Long.MinValue else hi, r.getLong(1)))
@@ -2500,7 +2588,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves,
-      schemaDdl = commitSchemaDdl),
+      schemaDdl = commitSchemaDdl, columnMap = m.columnMap),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = envelope)
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
@@ -2521,6 +2609,10 @@ class LakeTable(spark: SparkSession, val root: String) {
     val m = manifest(v)
     val keyCol = m.keyCol
     require(sets.nonEmpty, "UPDATE needs at least one assignment")
+    // UPDATE is LOGICAL-named end to end (conditions and assignment
+    // targets are what the reader sees); only the final write crosses
+    // into physical names
+    val lk = logicalName(m, keyCol)
     val snap = snapshot(v)
     // resolve each target to the schema's CANONICAL field name once —
     // validation, the type lookup, and withColumns must all agree on
@@ -2528,8 +2620,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     // opaque "field does not exist" instead of updating
     val canon = snap.columns.map(c => c.toLowerCase -> c).toMap
     val sets1 = sets.map { case (c, e) =>
-      require(!c.equalsIgnoreCase(keyCol),
-        s"cannot assign the merge key '$keyCol' in UPDATE — re-keying is a " +
+      require(!c.equalsIgnoreCase(lk),
+        s"cannot assign the merge key '$lk' in UPDATE — re-keying is a " +
           "DELETE + INSERT (use MERGE)")
       // withColumns would silently ADD an unknown target — refuse instead
       // (adding columns is schema evolution, which belongs to MERGE)
@@ -2537,14 +2629,14 @@ class LakeTable(spark: SparkSession, val root: String) {
         s"UPDATE of unknown column '$c' — adding columns is schema " +
           "evolution (use MERGE)")) -> e
     }
-    val keys = snap.filter(condition).select(keyCol)
+    val keys = snap.filter(condition).select(lk)
     val hitIdx = hitFileIndexes(m, keys)
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
     val updateRows = keys.count()
-    val hitDf0 = readFiles(m, hit.map(_._1))
+    val hitDf0 = toLogical(m, readFiles(m, hit.map(_._1)))
     val hitDf = tombstoneKeys(m).fold(hitDf0)(tk =>
-      hitDf0.join(tk, Seq(keyCol), "left_anti"))
+      hitDf0.join(tk.select(col(keyCol).as(lk)), Seq(lk), "left_anti"))
     require(sets1.map(_._1).distinct.size == sets1.size,
       "UPDATE assigns a column more than once")
     // one simultaneous projection: every RHS evaluates against the OLD
@@ -2555,14 +2647,15 @@ class LakeTable(spark: SparkSession, val root: String) {
         c -> when(condition, e.cast(hitDf.schema(c).dataType))
           .otherwise(col(c))
       }.toMap)
-    val newFiles = writeDataFiles(rewritten, keyCol,
+    val newFiles = writeDataFiles(toPhysical(m, rewritten), keyCol,
       sizedFileCount(hit.size, hit.map(_._1.rows).sum), m.statsCols,
       partitionCols = m.partitionCols)
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
     commitAndIndex(Delta(v + 1, v, "update", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl),
+      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap),
       kept.map(_._1) ++ newFiles, tombs)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
@@ -2575,9 +2668,11 @@ class LakeTable(spark: SparkSession, val root: String) {
   /** DELETE … WHERE over an arbitrary predicate — the SQL `DELETE FROM`
     * surface: one tombstone-applied scan derives the matching KEYS, then
     * the ordinary key-based COW [[delete]] rewrites only their files. */
-  def deleteWhere(condition: org.apache.spark.sql.Column): MergeStats =
+  def deleteWhere(condition: org.apache.spark.sql.Column): MergeStats = {
+    val m = manifest(latestVersion)
     delete(read().filter(condition)
-      .select(manifest(latestVersion).keyCol), allowRebase = false)
+      .select(logicalName(m, m.keyCol)), allowRebase = false)
+  }
 
   def deleteWhereWithRetry(condition: org.apache.spark.sql.Column,
                            maxAttempts: Int = 3): MergeStats =
@@ -2681,9 +2776,12 @@ class LakeTable(spark: SparkSession, val root: String) {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
-    m.partitionCols.foreach(p => require(rows0.columns.contains(p),
-      s"insert into a table partitioned by '$p' must carry that column"))
-    val rows = rows0.localCheckpoint()
+    // callers speak LOGICAL names; files and stats speak physical
+    val rowsP = toPhysical(m, rows0)
+    m.partitionCols.foreach(p => require(rowsP.columns.contains(p),
+      s"insert into a table partitioned by " +
+        s"'${logicalName(m, p)}' must carry that column"))
+    val rows = rowsP.localCheckpoint()
     val tableSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructType
         .fromDDL(m.schemaDdl.getOrElse(rows.schema.toDDL))
@@ -2733,7 +2831,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val cv = commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles, removes = Nil,
       tombstoneAdds = tAdds, tombstoneRemoves = tRemoves,
-      schemaDdl = m.schemaDdl),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
       m.files ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles)))
     MergeStats(cv, m.files.size, 0, newFiles.size, cnts.getLong(0))
@@ -2804,7 +2902,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val cv = commitAndIndex(Delta(v + 1, v, "delete", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl),
+      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = envelope)
     MergeStats(cv, kept.size, hit.size, newFiles.size, 0L)
@@ -2833,10 +2932,86 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, "delete-deferred", m.keyCol, m.statsCols,
       m.partitionCols, full = false, adds = Nil, removes = Nil,
       tombstoneAdds = tomb, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
       m.files, m.tombstones ++ tomb)
     MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
   }
+
+  /** ALTER TABLE … RENAME COLUMN — METADATA-ONLY, via column mapping:
+    * files keep their physical column name forever; the commit only
+    * updates the logical→physical map, so a 100 TB table renames in one
+    * manifest write (the Delta `columnMapping` idea). Reads of THIS
+    * version onward see the new name; older snapshots keep theirs (the
+    * map is per-version, like the schema). The merge key, partition
+    * columns, and stats columns all rename freely — the manifest tracks
+    * them by physical name. Requires a recorded schema (every
+    * non-legacy table has one). */
+  def renameColumn(oldName: String, newName: String): MergeStats = {
+    require(newName.nonEmpty && newName.forall(c =>
+      c.isLetterOrDigit || c == '_'),
+      s"invalid column name '$newName'")
+    val v = latestVersion
+    val m = manifest(v)
+    val physSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      m.schemaDdl.getOrElse(throw new IllegalArgumentException(
+        "rename needs a recorded table schema (legacy table: compact once)")))
+    val rev = m.columnMap.map(_.swap)
+    val logicalNames = physSchema.fields.map(f =>
+      rev.getOrElse(f.name, f.name)).toSeq
+    val canonical = logicalNames.find(_.equalsIgnoreCase(oldName))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$oldName' to rename"))
+    require(!logicalNames.exists(_.equalsIgnoreCase(newName)),
+      s"column '$newName' already exists")
+    val physical = m.columnMap.getOrElse(canonical, canonical)
+    val newMap = (m.columnMap - canonical) ++
+      (if (newName == physical) Map.empty[String, String]
+       else Map(newName -> physical))
+    commitAndIndex(Delta(v + 1, v, s"rename-$canonical-to-$newName",
+      m.keyCol, m.statsCols, m.partitionCols, full = false, adds = Nil,
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl, columnMap = newMap),
+      m.files, m.tombstones)
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  def renameColumnWithRetry(oldName: String, newName: String,
+                            maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(renameColumn(oldName, newName))
+
+  /** ALTER TABLE … DROP COLUMN — METADATA-ONLY: the field leaves the
+    * recorded read schema (and the stats set), so no snapshot from this
+    * version on ever materializes it; the bytes stay in existing files
+    * until their next COW rewrite, and older snapshots still read the
+    * column (per-version schema). The merge key and partition columns
+    * cannot drop. */
+  def dropColumn(name: String): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val physSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      m.schemaDdl.getOrElse(throw new IllegalArgumentException(
+        "drop needs a recorded table schema (legacy table: compact once)")))
+    val rev = m.columnMap.map(_.swap)
+    val canonical = physSchema.fields.map(f => rev.getOrElse(f.name, f.name))
+      .find(_.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(s"no column '$name' to drop"))
+    val physical = m.columnMap.getOrElse(canonical, canonical)
+    require(physical != m.keyCol, "cannot drop the merge key")
+    require(!m.partitionCols.contains(physical),
+      "cannot drop a partition column — repartitioning is a rewrite")
+    val newFields = physSchema.fields.filterNot(_.name == physical)
+    require(newFields.nonEmpty, "cannot drop the last column")
+    commitAndIndex(Delta(v + 1, v, s"drop-$canonical", m.keyCol,
+      m.statsCols.filterNot(_ == physical), m.partitionCols, full = false,
+      adds = Nil, removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = Some(org.apache.spark.sql.types.StructType(newFields).toDDL),
+      columnMap = m.columnMap - canonical),
+      m.files, m.tombstones)
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  def dropColumnWithRetry(name: String, maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(dropColumn(name))
 
   /** RESTORE — roll the table back to `version`'s content AS A NEW
     * COMMIT (never by deleting history): the new manifest re-references
@@ -2853,7 +3028,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, s"restore-v$version", m.keyCol,
       m.statsCols, m.partitionCols, full = true, adds = m.files,
       removes = Nil, tombstoneAdds = m.tombstones, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -2879,7 +3054,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     t.commitAndIndex(Delta(0, -1, s"clone-of-$rootPath@v$latestVersion",
       m.keyCol, m.statsCols, Nil, full = true, adds = absolute(m.files),
       removes = Nil, tombstoneAdds = absolute(m.tombstones),
-      tombstoneRemoves = Nil, schemaDdl = m.schemaDdl),
+      tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap),
       absolute(m.files), absolute(m.tombstones))
     t
   }
@@ -2893,12 +3069,12 @@ class LakeTable(spark: SparkSession, val root: String) {
   def compact(numFiles: Int): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    val newFiles = writeDataFiles(read(), m.keyCol, numFiles, m.statsCols,
-      partitionCols = m.partitionCols)
+    val newFiles = writeDataFiles(snapshotPhysical(v), m.keyCol, numFiles,
+      m.statsCols, partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, "compact", m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl), newFiles, Nil)
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -2943,7 +3119,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val cv = commitAndIndex(Delta(v + 1, v, "optimize-binpack", m.keyCol,
       m.statsCols, m.partitionCols, full = false, adds = newFiles,
       removes = rewrite.map(_.path), tombstoneAdds = tAdds,
-      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl),
+      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap),
       carried ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(rewrite ++ newFiles)))
     MergeStats(cv, carried.size, rewrite.size, newFiles.size, rewriteRows)
@@ -2967,15 +3144,17 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(sortCols.nonEmpty, "compactSortBy needs at least one column")
     val v = latestVersion
     val m = manifest(v)
-    val statsCols = (m.statsCols ++ sortCols).distinct
-    val cluster = struct(sortCols.map(col): _*)
+    // callers name LOGICAL columns; the physical frame speaks physical
+    val physCols = sortCols.map(c => m.columnMap.getOrElse(c, c))
+    val statsCols = (m.statsCols ++ physCols).distinct
+    val cluster = struct(physCols.map(col): _*)
     // hive-partitioned tables re-cluster WITHIN each partition directory
-    val newFiles = writeDataFiles(read(), m.keyCol, numFiles, statsCols,
-      Some(cluster), partitionCols = m.partitionCols)
-    commitAndIndex(Delta(v + 1, v, s"optimize-sortby-${sortCols.mkString("-")}",
+    val newFiles = writeDataFiles(snapshotPhysical(v), m.keyCol, numFiles,
+      statsCols, Some(cluster), partitionCols = m.partitionCols)
+    commitAndIndex(Delta(v + 1, v, s"optimize-sortby-${physCols.mkString("-")}",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -3010,17 +3189,18 @@ class LakeTable(spark: SparkSession, val root: String) {
   def compactZOrder(numFiles: Int, c1: String, c2: String): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    val statsCols = (m.statsCols ++ Seq(c1, c2)).distinct
-    val snap = read()
+    val (p1, p2) = (m.columnMap.getOrElse(c1, c1), m.columnMap.getOrElse(c2, c2))
+    val statsCols = (m.statsCols ++ Seq(p1, p2)).distinct
+    val snap = snapshotPhysical(v)
     val z = org.apache.spark.sql.graft.ZValue.zvalue(
-      zDim(snap, c1), zDim(snap, c2))
+      zDim(snap, p1), zDim(snap, p2))
     // hive-partitioned tables z-cluster WITHIN each partition directory
     val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols,
       Some(z), partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, "optimize-zorder", m.keyCol, statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl), newFiles, Nil)
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -3035,17 +3215,18 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(cols.size >= 2, "ZORDER needs at least two columns")
     val v = latestVersion
     val m = manifest(v)
-    val statsCols = (m.statsCols ++ cols).distinct
-    val snap = read()
+    val physCols = cols.map(c => m.columnMap.getOrElse(c, c))
+    val statsCols = (m.statsCols ++ physCols).distinct
+    val snap = snapshotPhysical(v)
     val z = org.apache.spark.sql.graft.ZValue.zvalueN(
-      cols.map(c => zDim(snap, c)))
+      physCols.map(c => zDim(snap, c)))
     // hive-partitioned tables z-cluster WITHIN each partition directory
     val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols,
       Some(z), partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, s"optimize-zorder-${cols.size}d",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -3066,17 +3247,18 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(cols.size >= 2, "HILBERT BY needs at least two columns")
     val v = latestVersion
     val m = manifest(v)
-    val statsCols = (m.statsCols ++ cols).distinct
-    val snap = read()
+    val physCols = cols.map(c => m.columnMap.getOrElse(c, c))
+    val statsCols = (m.statsCols ++ physCols).distinct
+    val snap = snapshotPhysical(v)
     val h = org.apache.spark.sql.graft.Hilbert.hilbert(
-      cols.map(c => zDim(snap, c)))
+      physCols.map(c => zDim(snap, c)))
     // hive-partitioned tables cluster WITHIN each partition directory
     val newFiles = writeDataFiles(snap, m.keyCol, numFiles, statsCols,
       Some(h), partitionCols = m.partitionCols)
     commitAndIndex(Delta(v + 1, v, s"optimize-hilbert-${cols.size}d",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }

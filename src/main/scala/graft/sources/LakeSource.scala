@@ -131,6 +131,10 @@ class LakeSource extends RelationProvider with DataSourceRegister
       s"snapshot v$version carries deferred-delete tombstones: compact() " +
         "before reading through the graft-lake format (a relation cannot " +
         "carry the read-time anti-join)")
+    require(m.columnMap.isEmpty,
+      s"snapshot v$version has renamed columns (column mapping): a V1 " +
+        "file relation cannot carry the physical->logical projection — " +
+        "read via LakeTable.read() or SQL graft_lake('<root>') instead")
     require(m.files.nonEmpty,
       s"snapshot v$version is empty — an empty table exposes no schema " +
         "through the format; use LakeTable.read()")

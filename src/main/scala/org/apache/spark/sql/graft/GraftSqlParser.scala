@@ -31,6 +31,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *    | SORT BY (c1[, ...])]
   * OPTIMIZE graft_lake('<root>') BINPACK <minRows> [TARGET <rows>]
   *   [SPLIT <maxRows>]
+  * ALTER TABLE graft_lake('<root>') RENAME COLUMN <a> TO <b>
+  * ALTER TABLE graft_lake('<root>') DROP COLUMN <a>
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS
   * }}}
   *
@@ -386,6 +388,24 @@ object GraftSqlParser {
     } else if (sc.keyword("DELETE")) {
       if (!sc.keyword("FROM")) None
       else lakeTarget(sc).map(root => parseDelete(sc, root, delegate))
+    } else if (sc.keyword("ALTER")) {
+      if (!sc.keyword("TABLE")) None
+      else lakeTarget(sc).map { root =>
+        if (sc.keyword("RENAME")) {
+          sc.expect("COLUMN")
+          val from = sc.ident()
+          sc.expect("TO")
+          val to = sc.ident()
+          sc.assertEnd()
+          LakeAlterCommand(root, "rename", from, Some(to))
+        } else if (sc.keyword("DROP")) {
+          sc.expect("COLUMN")
+          val c = sc.ident()
+          sc.assertEnd()
+          LakeAlterCommand(root, "drop", c, None)
+        } else fail("ALTER TABLE graft_lake(…) supports RENAME COLUMN " +
+          "a TO b and DROP COLUMN a")
+      }
     } else if (sc.keyword("OPTIMIZE")) {
       lakeTarget(sc).map(root => parseOptimize(sc, root))
     } else if (sc.keyword("VACUUM")) {
@@ -807,6 +827,22 @@ case class LakeBinPackCommand(root: String, minRows: Int,
     GraftSqlParser.statsRow(
       t.compactBinPackWithRetry(minRows.toLong, targetRows.toLong,
         splitRows.toLong))
+  }
+}
+
+/** `ALTER TABLE graft_lake(…) RENAME COLUMN a TO b | DROP COLUMN a` →
+  * [[graft.sources.LakeTable.renameColumn]] / `dropColumn` — both
+  * metadata-only commits via column mapping. */
+case class LakeAlterCommand(root: String, verb: String, column: String,
+                            to: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new graft.sources.LakeTable(spark, root)
+    GraftSqlParser.statsRow(verb match {
+      case "rename" => t.renameColumnWithRetry(column, to.get)
+      case "drop" => t.dropColumnWithRetry(column)
+      case other => throw new IllegalStateException(s"unknown alter $other")
+    })
   }
 }
 

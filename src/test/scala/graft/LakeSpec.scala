@@ -772,6 +772,99 @@ class LakeSpec extends SparkTestBase {
     t2.read().filter(col("k") === 1001L).count() shouldBe 0L
     t2.read().filter(col("k") === 5L).count() shouldBe 0L // big-file key still dead via tombstone
   }
+  test("column mapping: rename and drop are metadata-only; snapshots keep shape") {
+    val t = mkTable() // k, payload, status — 3 files, keys 1..90
+    val v0Files = t.manifest(0).files.map(_.path).toSet
+    // RENAME payload -> note: zero files move, reads speak the new name
+    val s1 = t.renameColumn("payload", "note")
+    s1.version shouldBe 1
+    t.manifest(1).files.map(_.path).toSet shouldBe v0Files
+    t.read().columns.toSeq shouldBe Seq("k", "note", "status")
+    rows(t.read().filter(col("k") === 5L).select("note")) shouldBe
+      Seq(Seq("val5"))
+    // old snapshots keep their shape (per-version map)
+    t.snapshot(0).columns.toSeq shouldBe Seq("k", "payload", "status")
+    // verbs work through the LOGICAL name: merge, update, deleteWhere
+    t.merge(Seq((5L, "N5", "B"), (200L, "N200", "B"))
+      .toDF("k", "note", "status"))
+    rows(t.read().filter(col("k").isin(5L, 200L))
+      .select("k", "note").orderBy("k")) shouldBe
+      Seq(Seq(5L, "N5"), Seq(200L, "N200"))
+    t.update(col("k") === 6L, Seq("note" -> lit("U6")))
+    rows(t.read().filter(col("k") === 6L).select("note")) shouldBe
+      Seq(Seq("U6"))
+    t.deleteWhere(col("note") === "U6")
+    t.read().filter(col("k") === 6L).count() shouldBe 0L
+    // conditional merge with clause predicates over the NEW name
+    t.mergeInto(Seq((7L, "DEAD", "X")).toDF("k", "note", "status"),
+      whenMatchedDeleteIf = Some(col("source.note") === "DEAD"),
+      whenMatchedUpdateIf = Some(lit(false)),
+      whenNotMatchedInsert = false)
+    t.read().filter(col("k") === 7L).count() shouldBe 0L
+    // the GHOST physical name is reserved: a merge adding a column named
+    // 'payload' (the storage name of 'note') refuses loudly
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((8L, "x", "A", "ghost"))
+        .toDF("k", "note", "status", "payload"))
+    }.getMessage should include("reserved")
+    // rename BACK to the physical name drops the mapping entirely
+    val t2 = mkTable()
+    t2.renameColumn("payload", "tmp")
+    t2.renameColumn("tmp", "payload")
+    t2.manifest(t2.latestVersion).columnMap shouldBe empty
+    rows(t2.read().filter(col("k") === 1L).select("payload")) shouldBe
+      Seq(Seq("val1"))
+    // DROP status: metadata-only; old snapshot still reads it
+    val t3 = mkTable()
+    val s3 = t3.dropColumn("status")
+    t3.manifest(s3.version).files.map(_.path).toSet shouldBe
+      t3.manifest(0).files.map(_.path).toSet
+    t3.read().columns.toSeq shouldBe Seq("k", "payload")
+    t3.snapshot(0).columns.toSeq shouldBe Seq("k", "payload", "status")
+    // post-drop rewrites land files WITHOUT the dropped column, and the
+    // mixed table still reads consistently
+    t3.merge(Seq((1L, "re1")).toDF("k", "payload"))
+    t3.read().count() shouldBe 90L
+    rows(t3.read().filter(col("k") === 1L)) shouldBe Seq(Seq(1L, "re1"))
+    // refusals: key/partition drops, rename collisions
+    intercept[IllegalArgumentException] { t3.dropColumn("k") }
+      .getMessage should include("merge key")
+    intercept[IllegalArgumentException] { t3.renameColumn("payload", "k") }
+      .getMessage should include("already exists")
+    intercept[IllegalArgumentException] { t3.renameColumn("nope", "x") }
+      .getMessage should include("no column")
+    // the V1 format reader cannot carry the projection: refuses
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-lake").load(t.root).count()
+    }.getMessage should include("column mapping")
+    // rename survives vacuum + time travel boundary
+    t.vacuum(2)
+    t.read().columns should contain("note")
+  }
+
+  test("column mapping: pruning and change feed follow the rename") {
+    val t = mkTable()
+    t.renameColumn("k", "id") // rename the KEY itself
+    // key-range reads through the logical name still prune: the filter
+    // pushes through the aliasing Project onto the physical scan
+    val q = t.read().filter(col("id") <= 30L)
+    q.count() shouldBe 30L
+    q.select(input_file_name()).distinct().count() should be < 3L
+    // readRange still works (stat units unchanged)
+    t.readRange(1L, 10L).count() shouldBe 10L
+    // the change feed speaks the TO-endpoint's logical names
+    t.merge(Seq((5L, "X5", "B")).toDF("id", "payload", "status"))
+    val feed = t.changes(1, t.latestVersion)
+    feed.columns should contain("id")
+    feed.filter(col("_change_type") === "update_postimage")
+      .select("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(5L)
+    // epoch-tagged streaming merges work through the rename too
+    t.mergeEpoch(Seq((6L, "E6", "B")).toDF("id", "payload", "status"),
+      0L, "cmap") should not be None
+    rows(t.read().filter(col("id") === 6L).select("payload")) shouldBe
+      Seq(Seq("E6"))
+  }
+
   test("target-size sizing: a 10x-target append lands ~10 files; merges scale too") {
     spark.conf.set("spark.graft.lake.targetFileRows", "100")
     try {

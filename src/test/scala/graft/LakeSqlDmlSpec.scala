@@ -304,6 +304,37 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("ALTER TABLE: RENAME/DROP COLUMN are metadata-only and SQL-visible") {
+    withExtendedSession { s =>
+      val t = mkTable(s) // k, payload, status, amount
+      val files0 = t.manifest(0).files.map(_.path).toSet
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') RENAME COLUMN payload TO note")
+        .collect()
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') DROP COLUMN amount")
+        .collect()
+      // zero data movement across both commits
+      t.manifest(t.latestVersion).files.map(_.path).toSet shouldBe files0
+      // SQL reads speak the new shape
+      val r = s.sql(s"SELECT * FROM graft_lake('${t.root}') WHERE k = 1")
+        .collect()(0)
+      r.schema.fieldNames.toSeq shouldBe Seq("k", "note", "status")
+      r.getString(1) shouldBe "val1"
+      // time travel recovers the OLD shape
+      s.sql(s"SELECT * FROM graft_lake('${t.root}') VERSION AS OF 0 WHERE k = 1")
+        .collect()(0).schema.fieldNames.toSeq shouldBe
+        Seq("k", "payload", "status", "amount")
+      // DML through the new name
+      s.sql(s"UPDATE graft_lake('${t.root}') SET note = 'SQL1' WHERE k = 1")
+        .collect()
+      s.sql(s"SELECT note FROM graft_lake('${t.root}') WHERE k = 1")
+        .collect()(0).getString(0) shouldBe "SQL1"
+      // ALTER on a non-lake table delegates to the default parser
+      intercept[Exception] {
+        s.sql("ALTER TABLE no_such_t RENAME COLUMN a TO b").collect()
+      }.getMessage should not include "graft lake SQL"
+    }
+  }
+
   test("native time-travel syntax: VERSION AS OF / TIMESTAMP AS OF / bare") {
     withExtendedSession { s =>
       val t = mkTable(s) // v0
