@@ -650,6 +650,29 @@ object Lake {
       count(col("o_custkey")).as("n_cust"))
   }
 
+  /** Gated lane: predicate-scoped compaction — `OPTIMIZE … WHERE`, the
+    * maintenance verb a 100 TB table actually runs (compact yesterday's
+    * partition, not the table). Two appends fragment the 1996 partition;
+    * the scoped OPTIMIZE rewrites only files the predicate can touch
+    * (carried-by-reference assertion lives in `LakeSqlDmlSpec`), and the
+    * post-compaction relation aggregates exactly like the union the
+    * oracle states. */
+  def lakeOptimizeWhere(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val t = create(spark, freshRoot(), o, "o_orderkey", 4,
+      partitionBy = Seq("o_year"))
+    (1 to 2).foreach { i =>
+      t.insertAll(o.filter(col("o_orderkey") % 100 === i)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L * i))
+        .withColumn("o_year", lit(1996)))
+    }
+    spark.sql(s"OPTIMIZE graft_lake('${t.root}') WHERE o_year = 1996")
+      .collect()
+    t.read().groupBy("o_year").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_year")
+  }
+
   /** Gated lane: HILBERT-curve clustering — the locality-preserving
     * OPTIMIZE layout ([[LakeTable.compactHilbert]], SQL
     * `OPTIMIZE … HILBERT BY`). The table re-clusters on the 2-D Hilbert
@@ -738,6 +761,7 @@ object Lake {
     "lake_meta_agg_grouped" -> (lakeMetaAggGrouped _),
     "lake_meta_agg_filtered" -> (lakeMetaAggFiltered _),
     "lake_hilbert_pruning" -> (lakeHilbertPruning _),
+    "lake_optimize_where" -> (lakeOptimizeWhere _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
@@ -794,6 +818,16 @@ object Lake {
         |FROM orders
         |WHERE o_custkey <= 300 AND o_orderdate < DATE '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_optimize_where" ->
+      """WITH u AS (
+        |  SELECT year(o_orderdate) AS o_year FROM orders
+        |  UNION ALL
+        |  SELECT 1996 FROM orders WHERE o_orderkey % 100 = 1
+        |  UNION ALL
+        |  SELECT 1996 FROM orders WHERE o_orderkey % 100 = 2)
+        |SELECT CAST(o_year AS INTEGER) AS o_year, count(*) AS n_orders
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_inlist_pruning" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -2383,10 +2417,11 @@ class LakeTable(spark: SparkSession, val root: String) {
     * COW shape is identical to [[merge]]: only files whose key range (and
     * partition, if partitioned) the source touches rewrite; the insert
     * anti-join runs against THOSE files only, which is complete because a
-    * key covered by no file's range exists nowhere in the table. The one
-    * exception is a NOT MATCHED BY SOURCE clause: it can touch EVERY
-    * target row, so every file rewrites — the same at-scale cost the
-    * clause has in every format; don't run it as maintenance.
+    * key covered by no file's range exists nowhere in the table. A NOT
+    * MATCHED BY SOURCE clause widens the rewrite set to the files holding
+    * rows its condition actually FIRES on (found by one column-pruned
+    * key+condition scan) — a selective condition keeps the rewrite
+    * targeted; an unconditional clause honestly rewrites everything.
     * Multiple source rows per key are rejected (every format's MERGE
     * errors there: the result would be order-dependent). */
   def mergeInto(updates0: DataFrame,
@@ -2430,12 +2465,29 @@ class LakeTable(spark: SparkSession, val root: String) {
         s"merge updates into a table partitioned by " +
           s"'${logicalName(m, p)}' must carry that column"))
     val probeColsL = (keyCol +: m.partitionCols).map(logicalName(m, _))
-    // a NOT MATCHED BY SOURCE clause can fire on any target row, so the
-    // file-hit probe is moot: every file is in the rewrite set
-    val hitIdx =
-      if (whenNotMatchedBySourceDeleteIf.isDefined) m.files.indices.toSet
-      else hitFileIndexes(m,
-        toPhysical(m, updates.select(probeColsL.map(col): _*)))
+    val keyHitIdx = hitFileIndexes(m,
+      toPhysical(m, updates.select(probeColsL.map(col): _*)))
+    // a NOT MATCHED BY SOURCE clause can fire on ANY target row — but
+    // only rows actually satisfying its condition (and matching no
+    // source key) need their files rewritten. One column-pruned scan of
+    // the key + condition columns finds the affected keys, and only
+    // their files join the rewrite set: the scan reads every file once
+    // (a few columns), the rewrite — the expensive half — stays
+    // targeted. An unconditional clause degenerates to every non-empty
+    // file whose keys aren't all in the source, which is the honest
+    // whole-table cost the clause then has.
+    val hitIdx = whenNotMatchedBySourceDeleteIf match {
+      case None => keyHitIdx
+      case Some(cond) if m.files.isEmpty => keyHitIdx
+      case Some(cond) =>
+        val live = toLogical(m, applyTombstones(m, readFiles(m, m.files)))
+        val affected = live
+          .select(col(lk), struct(live.columns.toSeq.map(col): _*).as("target"))
+          .filter(coalesce(cond, lit(false)))
+          .select(lk)
+          .join(updates.select(col(lk)), Seq(lk), "left_anti")
+        keyHitIdx ++ hitFileIndexes(m, affected)
+    }
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     // one aggregate pass for all three checks — total rows, null keys
     // (count_distinct IGNORES nulls: null-key rows would sail through a
@@ -2573,17 +2625,22 @@ class LakeTable(spark: SparkSession, val root: String) {
     // (serialize-after would apply the WHEN MATCHED clauses to its row) —
     // so the envelope widens to the source keys, like delete's.
     val needSrcEnvelope = !whenNotMatchedInsert || whenNotMatchedInsertIf.isDefined
-    val envelope = Some(() => {
-      val (lo, hi) = rangeEnvelope(newFiles ++ hit.map(_._1))
-      if (!needSrcEnvelope) (lo, hi)
-      else {
-        val r = updates.agg(min(Lake.statLong(updates, lk)),
-          max(Lake.statLong(updates, lk))).collect()(0)
-        if (r.isNullAt(0)) (lo, hi)
-        else (math.min(if (lo > hi) Long.MaxValue else lo, r.getLong(0)),
-          math.max(if (lo > hi) Long.MinValue else hi, r.getLong(1)))
-      }
-    })
+    // a NOT MATCHED BY SOURCE clause's scope is the WHOLE table (a racer
+    // could insert a clause-satisfying row anywhere): never rebase past a
+    // winner, always replay
+    val envelope =
+      if (whenNotMatchedBySourceDeleteIf.isDefined) None
+      else Some(() => {
+        val (lo, hi) = rangeEnvelope(newFiles ++ hit.map(_._1))
+        if (!needSrcEnvelope) (lo, hi)
+        else {
+          val r = updates.agg(min(Lake.statLong(updates, lk)),
+            max(Lake.statLong(updates, lk))).collect()(0)
+          if (r.isNullAt(0)) (lo, hi)
+          else (math.min(if (lo > hi) Long.MaxValue else lo, r.getLong(0)),
+            math.max(if (lo > hi) Long.MinValue else hi, r.getLong(1)))
+        }
+      })
     val cv = commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
@@ -3130,6 +3187,54 @@ class LakeTable(spark: SparkSession, val root: String) {
                               maxRows: Long = 0L,
                               maxAttempts: Int = 3): MergeStats =
     withRetry(maxAttempts)(compactBinPack(minRows, targetRows, maxRows))
+
+  /** OPTIMIZE … WHERE — PREDICATE-SCOPED compaction (Delta's
+    * `OPTIMIZE t WHERE partition-predicate`): only files whose rows can
+    * satisfy `condition` (decided by the same key/partition hit-probe
+    * the merge verbs use — manifest-pruned when the predicate allows)
+    * rewrite, re-clustered on the key; everything else carries by
+    * reference. At 100 TB nobody compacts the whole table — they
+    * compact yesterday's partition; a full [[compact]] pays O(table),
+    * this pays O(selected). Files only PARTIALLY covered by the
+    * predicate still rewrite WHOLE (compaction preserves every row —
+    * inclusion is a layout choice, never a semantic one). Commits an
+    * ordinary delta (not an anchor). No matching files → no-op. */
+  def compactWhere(condition: org.apache.spark.sql.Column,
+                   numFiles: Int = 0): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    // probe with the partition columns too: a partition-scoped OPTIMIZE
+    // must not drag in other partitions' files whose key ranges merely
+    // overlap (keys interleave across partitions by construction)
+    val probeColsL = (m.keyCol +: m.partitionCols).map(logicalName(m, _))
+    val keys = toPhysical(m,
+      read().filter(condition).select(probeColsL.map(col): _*))
+    val hitIdx = hitFileIndexes(m, keys)
+    val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+    if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
+    val hitRows = hit.map(_._1.rows).sum
+    val numOut =
+      if (numFiles > 0) numFiles else sizedFileCount(1, hitRows)
+    val packed0 = readFiles(m, hit.map(_._1))
+    val packed = tombstoneKeys(m).fold(packed0)(tk =>
+      packed0.join(tk, Seq(m.keyCol), "left_anti"))
+    val newFiles = writeDataFiles(packed, m.keyCol, numOut, m.statsCols,
+      partitionCols = m.partitionCols)
+    val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
+    val cv = commitAndIndex(Delta(v + 1, v, "optimize-where", m.keyCol,
+      m.statsCols, m.partitionCols, full = false, adds = newFiles,
+      removes = hit.map(_._1.path), tombstoneAdds = tAdds,
+      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap),
+      kept.map(_._1) ++ newFiles, tombs,
+      rebaseEnvelope = Some(() => rangeEnvelope(hit.map(_._1) ++ newFiles)))
+    MergeStats(cv, kept.size, hit.size, newFiles.size, hitRows)
+  }
+
+  def compactWhereWithRetry(condition: org.apache.spark.sql.Column,
+                            numFiles: Int = 0,
+                            maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(compactWhere(condition, numFiles))
 
   /** OPTIMIZE SORT BY — rewrite the latest snapshot range-clustered on an
     * arbitrary column list (the Delta `OPTIMIZE ... ZORDER`'s simpler

@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * DELETE FROM graft_lake('<root>') [AS t] [WHERE <cond>]
   * OPTIMIZE graft_lake('<root>') [FILES <n>]
   *   [ZORDER BY (c1, c2[, ...]) | HILBERT BY (c1, c2[, ...])
-  *    | SORT BY (c1[, ...])]
+  *    | SORT BY (c1[, ...]) | WHERE <cond>]
   * OPTIMIZE graft_lake('<root>') BINPACK <minRows> [TARGET <rows>]
   *   [SPLIT <maxRows>]
   * ALTER TABLE graft_lake('<root>') RENAME COLUMN <a> TO <b>
@@ -407,7 +407,7 @@ object GraftSqlParser {
           "a TO b and DROP COLUMN a")
       }
     } else if (sc.keyword("OPTIMIZE")) {
-      lakeTarget(sc).map(root => parseOptimize(sc, root))
+      lakeTarget(sc).map(root => parseOptimize(sc, root, delegate))
     } else if (sc.keyword("VACUUM")) {
       lakeTarget(sc).map { root =>
         sc.expect("RETAIN")
@@ -641,7 +641,8 @@ object GraftSqlParser {
     LakeDeleteCommand(root, where)
   }
 
-  private def parseOptimize(sc: Scan, root: String): LogicalPlan = {
+  private def parseOptimize(sc: Scan, root: String,
+                            delegate: ParserInterface): LogicalPlan = {
     if (sc.keyword("BINPACK")) {
       val minRows = sc.int()
       val target = if (sc.keyword("TARGET")) sc.int() else 0
@@ -667,6 +668,15 @@ object GraftSqlParser {
         if (cols.isEmpty) fail("SORT BY needs at least one column")
         Some(("sort", cols))
       } else None
+    if (sc.keyword("WHERE")) {
+      // predicate-scoped compaction — a layout re-cluster is a WHOLE-
+      // table statement by definition, so WHERE composes with FILES only
+      if (layout.isDefined)
+        fail("OPTIMIZE … WHERE compacts a file subset and cannot combine " +
+          "with ZORDER/HILBERT/SORT BY (layout re-clustering is whole-table)")
+      val cond = delegate.parseExpression(sc.restStmt()).sql
+      return LakeOptimizeWhereCommand(root, files.getOrElse(0), cond)
+    }
     sc.assertEnd()
     LakeOptimizeCommand(root, files, layout)
   }
@@ -810,6 +820,21 @@ case class LakeOptimizeCommand(root: String, files: Option[Int],
         throw new IllegalStateException(s"unknown layout $other")
     }
     GraftSqlParser.statsRow(stats)
+  }
+}
+
+/** `OPTIMIZE graft_lake(…) [FILES n] WHERE <cond>` →
+  * [[graft.sources.LakeTable.compactWhere]] — predicate-scoped
+  * compaction: only the files the predicate can touch rewrite (FILES 0 =
+  * target-size policy). */
+case class LakeOptimizeWhereCommand(root: String, files: Int,
+                                    whereSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new graft.sources.LakeTable(spark, root)
+    GraftSqlParser.statsRow(
+      t.compactWhereWithRetry(GraftSqlParser.exprCol(whereSql), files))
   }
 }
 

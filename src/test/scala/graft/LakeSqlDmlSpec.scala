@@ -227,14 +227,19 @@ class LakeSqlDmlSpec extends SparkTestBase {
         (200L, "NEW", "S", 1.0), (300L, "BIG", "S", 999.0))
         .toDF("k", "payload", "status", "amount")
         .createOrReplaceTempView("full_src")
-      s.sql(
+      val stats = s.sql(
         s"""MERGE INTO graft_lake('${t.root}') AS tgt
            |USING full_src AS src ON tgt.k = src.k
            |WHEN MATCHED AND tgt.k = 10 THEN
            |  UPDATE SET payload = src.payload, amount = tgt.amount + src.amount
            |WHEN NOT MATCHED AND src.amount < 100.0 THEN INSERT *
            |WHEN NOT MATCHED BY SOURCE AND tgt.k > 88 THEN DELETE""".stripMargin)
-        .collect()
+        .collect()(0)
+      // NMBS rewrite is TARGETED: source keys hit the low file, the
+      // condition (k > 88) fires only in the high file — the middle file
+      // carries by reference
+      stats.getInt(1) shouldBe 1 // kept_files
+      stats.getInt(2) shouldBe 2 // rewritten_files
       val r = t.read()
       // per-column update: payload/amount assigned, status carried
       rows(r.filter(col("k") === 10L)
@@ -369,6 +374,40 @@ class LakeSqlDmlSpec extends SparkTestBase {
       // a string mentioning the token is untouched
       s.sql("SELECT 'graft_lake(''x'') VERSION AS OF 1' AS lit")
         .collect()(0).getString(0) should include("VERSION AS OF")
+    }
+  }
+
+  test("OPTIMIZE WHERE: predicate-scoped compaction rewrites only touched files") {
+    withExtendedSession { s =>
+      import s.implicits._
+      // a partitioned table: 3 partitions, fragmented by per-key merges
+      val df = (1L to 90L).map(k => (k, k % 3, s"v$k")).toDF("k", "p", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 2,
+        partitionBy = Seq("p"))
+      (1L to 6L).foreach(k =>
+        t.merge(Seq((k, k % 3, s"m$k")).toDF("k", "p", "payload")))
+      val before = t.manifest(t.latestVersion).files
+      val otherParts = before.filterNot(_.path.contains("p=1")).map(_.path).toSet
+      // compact ONLY partition 1
+      val stats = s.sql(
+        s"OPTIMIZE graft_lake('${t.root}') FILES 1 WHERE p = 1").collect()(0)
+      val after = t.manifest(t.latestVersion)
+      // untouched partitions carry by reference
+      otherParts.subsetOf(after.files.map(_.path).toSet) shouldBe true
+      stats.getInt(2) should be > 0 // rewrote something
+      after.files.count(_.path.contains("p=1")) shouldBe 1
+      // content unchanged
+      t.read().count() shouldBe 90L
+      rows(t.read().filter(col("k") === 4L).select("payload")) shouldBe
+        Seq(Seq("m4"))
+      // an OPTIMIZE WHERE matching nothing commits nothing
+      val v = t.latestVersion
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') WHERE p = 99").collect()
+      t.latestVersion shouldBe v
+      // WHERE cannot combine with a layout re-cluster
+      intercept[IllegalArgumentException] {
+        s.sql(s"OPTIMIZE graft_lake('${t.root}') SORT BY (payload) WHERE p = 1")
+      }.getMessage should include("whole-table")
     }
   }
 
