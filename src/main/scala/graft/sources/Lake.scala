@@ -650,6 +650,32 @@ object Lake {
       count(col("o_custkey")).as("n_cust"))
   }
 
+  /** Gated lane: CHECK constraints — the per-row write gate. Two
+    * constraints land as metadata-only commits; a conforming MERGE
+    * passes through the in-write assert, a VIOLATING insert fails its
+    * write and leaves the table untouched (the lane swallows the
+    * refusal — if enforcement silently let the batch through, the
+    * '9-NEGATIVE' group would appear and the counts would diverge). */
+  def lakeConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.addConstraint("price_pos", "o_totalprice > 0.0")
+    t.addConstraint("has_priority", "o_orderpriority IS NOT NULL")
+    t.merge(o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderpriority", lit("0-UPDATED")))
+    try {
+      t.insertAll(o.filter(col("o_orderkey") % 100 === 1)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderpriority", lit("9-NEGATIVE"))
+        .withColumn("o_totalprice", lit(-1.0)))
+      throw new IllegalStateException(
+        "constraint gate let a violating batch through")
+    } catch { case e: Exception
+        if e.getMessage != null && e.getMessage.contains("price_pos") => () }
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: predicate-scoped compaction — `OPTIMIZE … WHERE`, the
     * maintenance verb a 100 TB table actually runs (compact yesterday's
     * partition, not the table). Two appends fragment the 1996 partition;
@@ -762,6 +788,7 @@ object Lake {
     "lake_meta_agg_filtered" -> (lakeMetaAggFiltered _),
     "lake_hilbert_pruning" -> (lakeHilbertPruning _),
     "lake_optimize_where" -> (lakeOptimizeWhere _),
+    "lake_constraints" -> (lakeConstraints _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
@@ -818,6 +845,14 @@ object Lake {
         |FROM orders
         |WHERE o_custkey <= 300 AND o_orderdate < DATE '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_constraints" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_orders
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_optimize_where" ->
       """WITH u AS (
@@ -1074,7 +1109,8 @@ object Lake {
                       tombstones: Seq[FileEntry] = Nil,
                       partitionCols: Seq[String] = Nil,
                       schemaDdl: Option[String] = None,
-                      columnMap: Map[String, String] = Map.empty)
+                      columnMap: Map[String, String] = Map.empty,
+                      constraints: Map[String, String] = Map.empty)
 
   /** One COMMIT — what the `v%05d.json` manifest file actually stores.
     * A commit's payload is proportional to WHAT CHANGED (`adds` /
@@ -1103,7 +1139,13 @@ object Lake {
                    // PHYSICAL names; reads project physical → logical, so
                    // rename and drop are metadata-only commits. Carried
                    // FULL by every delta, like schemaDdl.
-                   columnMap: Map[String, String] = Map.empty)
+                   columnMap: Map[String, String] = Map.empty,
+                   // CHECK constraints (name → boolean SQL expression in
+                   // LOGICAL column names): every verb that introduces
+                   // row content enforces them IN the write (per-row
+                   // assert inside the task — no extra pass), the Delta
+                   // invariant idea. Carried FULL, like the schema.
+                   constraints: Map[String, String] = Map.empty)
 
   /** A resolved state as a full, self-anchoring Delta (legacy-manifest
     * reads and the create/compact/restore/clone commit shape). */
@@ -1111,7 +1153,8 @@ object Lake {
     Delta(m.version, m.parentVersion, m.operation, m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = m.files, removes = Nil,
       tombstoneAdds = m.tombstones, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap)
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints)
 
   /** Result of a [[LakeTable.merge]] — what a COW commit did. */
   case class MergeStats(version: Int, keptFiles: Int, rewrittenFiles: Int,
@@ -1216,6 +1259,7 @@ object Lake {
       "commitTs" -> d.commitTs,
       "schemaDdl" -> d.schemaDdl.orNull,
       "columnMap" -> d.columnMap.toSeq.sortBy(_._1).to(ListMap),
+      "constraints" -> d.constraints.toSeq.sortBy(_._1).to(ListMap),
       "adds" -> d.adds.map(fileJson(colOrder)),
       "removes" -> d.removes,
       "tombstoneAdds" -> d.tombstoneAdds.map(fileJson(colOrder)),
@@ -1286,6 +1330,11 @@ object Lake {
         columnMap =
           if (n.has("columnMap"))
             n.get("columnMap").fields().asScala.map(e =>
+              e.getKey -> e.getValue.asText()).toMap
+          else Map.empty,
+        constraints =
+          if (n.has("constraints"))
+            n.get("constraints").fields().asScala.map(e =>
               e.getKey -> e.getValue.asText()).toMap
           else Map.empty)
   }
@@ -1502,7 +1551,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val d = readDelta(version)
     val (files, tombs) = resolveState(version)
     Manifest(d.version, d.parentVersion, d.operation, d.keyCol, files,
-      d.statsCols, tombs, d.partitionCols, d.schemaDdl, d.columnMap)
+      d.statsCols, tombs, d.partitionCols, d.schemaDdl, d.columnMap,
+      d.constraints)
   }
 
   /** Write the resolved state at `v` as a single parquet checkpoint file
@@ -1606,6 +1656,73 @@ class LakeTable(spark: SparkSession, val root: String) {
     org.apache.spark.sql.types.StructType(
       phys.fields.map(f => f.copy(name = rev.getOrElse(f.name, f.name))))
   }
+
+  /** The LOGICAL column names a CHECK expression references (leaf
+    * identifiers of its unresolved tree — conservative superset). */
+  private def constraintRefs(exprSql: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        ua.nameParts.last.toLowerCase
+    }.toSet
+
+  /** Per-row CHECK enforcement woven INTO a verb's write (the Delta
+    * invariant shape): each constraint becomes an assert inside a
+    * filter that passes every row — zero extra passes or jobs, the
+    * write task fails on the FIRST violating row with the constraint's
+    * name in the error. SQL CHECK semantics: a NULL result passes. */
+  private def withConstraintChecks(m: Manifest, df: DataFrame,
+                                   verb: String): DataFrame =
+    if (m.constraints.isEmpty) df
+    else m.constraints.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      d.filter(coalesce(assert_true(
+        coalesce(expr(e), lit(true)),
+        lit(s"$verb violates CHECK constraint '$n' ($e)")).isNull, lit(true)))
+    }
+
+  /** ALTER TABLE … ADD CONSTRAINT — a named CHECK expression (LOGICAL
+    * column names) every future write enforces per row, in the write
+    * itself. The EXISTING table must already satisfy it (the SQL ADD
+    * CONSTRAINT contract) — one scan proves that, then the commit is
+    * metadata-only. */
+  def addConstraint(name: String, checkExpr: String): MergeStats = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid constraint name '$name'")
+    val v = latestVersion
+    val m = manifest(v)
+    require(!m.constraints.contains(name),
+      s"constraint '$name' already exists")
+    val violating =
+      read().filter(!coalesce(expr(checkExpr), lit(true))).limit(1).count()
+    require(violating == 0L,
+      s"cannot add CHECK constraint '$name': existing rows violate " +
+        s"($checkExpr)")
+    commitAndIndex(Delta(v + 1, v, s"add-constraint-$name", m.keyCol,
+      m.statsCols, m.partitionCols, full = false, adds = Nil, removes = Nil,
+      tombstoneAdds = Nil, tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap,
+      constraints = m.constraints + (name -> checkExpr)),
+      m.files, m.tombstones)
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  def dropConstraint(name: String): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    require(m.constraints.contains(name), s"no constraint '$name'")
+    commitAndIndex(Delta(v + 1, v, s"drop-constraint-$name", m.keyCol,
+      m.statsCols, m.partitionCols, full = false, adds = Nil, removes = Nil,
+      tombstoneAdds = Nil, tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap, constraints = m.constraints - name),
+      m.files, m.tombstones)
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  def addConstraintWithRetry(name: String, checkExpr: String,
+                             maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(addConstraint(name, checkExpr))
+
+  def dropConstraintWithRetry(name: String, maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(dropConstraint(name))
 
   /** [[snapshot]] in PHYSICAL names — the internal form every rewrite
     * verb and layout compaction consumes (their output files must store
@@ -1951,6 +2068,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       // schema/column map predates it): any divergence replays
       if (dw.schemaDdl != d.schemaDdl) return None
       if (dw.columnMap != d.columnMap) return None
+      if (dw.constraints != d.constraints) return None
       if (dw.removes.exists(ourRemoves)) return None // same file touched
       // the winner's touched files: everything it added plus the
       // entries it removed (ranges from its parent's resolved state)
@@ -2334,8 +2452,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
-    // callers speak LOGICAL names; files and stats speak physical
-    val updates = toPhysical(m, updates0)
+    // callers speak LOGICAL names; files and stats speak physical.
+    // CHECK constraints enforce per row inside the write itself
+    val updates = toPhysical(m, withConstraintChecks(m, updates0, "MERGE"))
     m.partitionCols.foreach(p => require(updates.columns.contains(p),
       s"merge updates into a table partitioned by " +
         s"'${logicalName(m, p)}' must carry that column"))
@@ -2386,7 +2505,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = newSchemaDdl,
-      columnMap = m.columnMap),
+      columnMap = m.columnMap,
+      constraints = m.constraints),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles ++ hit.map(_._1))))
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
@@ -2563,7 +2683,9 @@ class LakeTable(spark: SparkSession, val root: String) {
       case None =>
         val base =
           if (whenNotMatchedInsert) insertFilter(updates) else updates.limit(0)
-        if (perColumn && whenNotMatchedInsert) castSelect(base) else base
+        withConstraintChecks(m,
+          if (perColumn && whenNotMatchedInsert) castSelect(base) else base,
+          "MERGE")
       case Some(h) =>
         val cols = h.columns.toSeq
         val tgt = h.select(col(lk).as("_k"),
@@ -2583,7 +2705,11 @@ class LakeTable(spark: SparkSession, val root: String) {
           (matched && !del && !upd) || (!matched && !nmbsDel))
           .select("target.*")
         val assignMap = assigns.toMap
-        val updatedRows = joined.filter(matched && !del && upd).select(
+        // only NEW row content (updates, inserts) re-checks constraints;
+        // kept rows were valid when written (addConstraint proves the
+        // whole table at add time)
+        val updatedRows = withConstraintChecks(m,
+          joined.filter(matched && !del && upd).select(
           (if (!perColumn) cols.map(c => col(s"source.$c").as(c))
            else cols.map(c => assignMap.get(c) match {
              // per-column: assigned columns evaluate against BOTH struct
@@ -2591,13 +2717,14 @@ class LakeTable(spark: SparkSession, val root: String) {
              // target — the SQL MERGE UPDATE contract
              case Some(e) => e.cast(h.schema(c).dataType).as(c)
              case None => col(s"target.$c").as(c)
-           })): _*)
+           })): _*), "MERGE")
         val inserts =
           if (whenNotMatchedInsert) {
             val unmatched = insertFilter(
               updates.join(h.select(col(lk)), Seq(lk), "left_anti"))
-            if (perColumn) castSelect(unmatched)
-            else unmatched.select(cols.map(col): _*)
+            withConstraintChecks(m,
+              if (perColumn) castSelect(unmatched)
+              else unmatched.select(cols.map(col): _*), "MERGE")
           } else h.limit(0).select(cols.map(col): _*)
         keptRows.unionByName(updatedRows).unionByName(inserts)
     }
@@ -2645,7 +2772,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves,
-      schemaDdl = commitSchemaDdl, columnMap = m.columnMap),
+      schemaDdl = commitSchemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = envelope)
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
@@ -2704,7 +2832,7 @@ class LakeTable(spark: SparkSession, val root: String) {
         c -> when(condition, e.cast(hitDf.schema(c).dataType))
           .otherwise(col(c))
       }.toMap)
-    val newFiles = writeDataFiles(toPhysical(m, rewritten), keyCol,
+    val newFiles = writeDataFiles(toPhysical(m, withConstraintChecks(m, rewritten, "UPDATE")), keyCol,
       sizedFileCount(hit.size, hit.map(_._1.rows).sum), m.statsCols,
       partitionCols = m.partitionCols)
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
@@ -2712,7 +2840,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
-      columnMap = m.columnMap),
+      columnMap = m.columnMap,
+      constraints = m.constraints),
       kept.map(_._1) ++ newFiles, tombs)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
@@ -2833,8 +2962,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     val v = latestVersion
     val m = manifest(v)
     val keyCol = m.keyCol
-    // callers speak LOGICAL names; files and stats speak physical
-    val rowsP = toPhysical(m, rows0)
+    // callers speak LOGICAL names; files and stats speak physical.
+    // CHECK constraints enforce per row inside the write itself
+    val rowsP = toPhysical(m, withConstraintChecks(m, rows0, "INSERT"))
     m.partitionCols.foreach(p => require(rowsP.columns.contains(p),
       s"insert into a table partitioned by " +
         s"'${logicalName(m, p)}' must carry that column"))
@@ -2888,7 +3018,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val cv = commitAndIndex(Delta(v + 1, v, operation, keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles, removes = Nil,
       tombstoneAdds = tAdds, tombstoneRemoves = tRemoves,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints),
       m.files ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles)))
     MergeStats(cv, m.files.size, 0, newFiles.size, cnts.getLong(0))
@@ -2960,7 +3091,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
-      columnMap = m.columnMap),
+      columnMap = m.columnMap,
+      constraints = m.constraints),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = envelope)
     MergeStats(cv, kept.size, hit.size, newFiles.size, 0L)
@@ -2989,7 +3121,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, "delete-deferred", m.keyCol, m.statsCols,
       m.partitionCols, full = false, adds = Nil, removes = Nil,
       tombstoneAdds = tomb, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints),
       m.files, m.tombstones ++ tomb)
     MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
   }
@@ -3020,6 +3153,11 @@ class LakeTable(spark: SparkSession, val root: String) {
         s"no column '$oldName' to rename"))
     require(!logicalNames.exists(_.equalsIgnoreCase(newName)),
       s"column '$newName' already exists")
+    m.constraints.foreach { case (n, e) =>
+      require(!constraintRefs(e).contains(canonical.toLowerCase),
+        s"cannot rename '$canonical': CHECK constraint '$n' references " +
+          "it — drop the constraint first")
+    }
     val physical = m.columnMap.getOrElse(canonical, canonical)
     val newMap = (m.columnMap - canonical) ++
       (if (newName == physical) Map.empty[String, String]
@@ -3027,7 +3165,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, s"rename-$canonical-to-$newName",
       m.keyCol, m.statsCols, m.partitionCols, full = false, adds = Nil,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = newMap),
+      schemaDdl = m.schemaDdl, columnMap = newMap,
+      constraints = m.constraints),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -3052,6 +3191,11 @@ class LakeTable(spark: SparkSession, val root: String) {
     val canonical = physSchema.fields.map(f => rev.getOrElse(f.name, f.name))
       .find(_.equalsIgnoreCase(name))
       .getOrElse(throw new IllegalArgumentException(s"no column '$name' to drop"))
+    m.constraints.foreach { case (n, e) =>
+      require(!constraintRefs(e).contains(canonical.toLowerCase),
+        s"cannot drop '$canonical': CHECK constraint '$n' references " +
+          "it — drop the constraint first")
+    }
     val physical = m.columnMap.getOrElse(canonical, canonical)
     require(physical != m.keyCol, "cannot drop the merge key")
     require(!m.partitionCols.contains(physical),
@@ -3062,7 +3206,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.statsCols.filterNot(_ == physical), m.partitionCols, full = false,
       adds = Nil, removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = Some(org.apache.spark.sql.types.StructType(newFields).toDDL),
-      columnMap = m.columnMap - canonical),
+      columnMap = m.columnMap - canonical,
+      constraints = m.constraints),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -3085,7 +3230,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, s"restore-v$version", m.keyCol,
       m.statsCols, m.partitionCols, full = true, adds = m.files,
       removes = Nil, tombstoneAdds = m.tombstones, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -3112,7 +3258,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.keyCol, m.statsCols, Nil, full = true, adds = absolute(m.files),
       removes = Nil, tombstoneAdds = absolute(m.tombstones),
       tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
-      columnMap = m.columnMap),
+      columnMap = m.columnMap,
+      constraints = m.constraints),
       absolute(m.files), absolute(m.tombstones))
     t
   }
@@ -3131,7 +3278,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, "compact", m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap), newFiles, Nil)
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -3177,7 +3325,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.statsCols, m.partitionCols, full = false, adds = newFiles,
       removes = rewrite.map(_.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
-      columnMap = m.columnMap),
+      columnMap = m.columnMap,
+      constraints = m.constraints),
       carried ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(rewrite ++ newFiles)))
     MergeStats(cv, carried.size, rewrite.size, newFiles.size, rewriteRows)
@@ -3225,7 +3374,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.statsCols, m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
-      columnMap = m.columnMap),
+      columnMap = m.columnMap,
+      constraints = m.constraints),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(hit.map(_._1) ++ newFiles)))
     MergeStats(cv, kept.size, hit.size, newFiles.size, hitRows)
@@ -3259,7 +3409,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, s"optimize-sortby-${physCols.mkString("-")}",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -3305,7 +3456,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, "optimize-zorder", m.keyCol, statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap), newFiles, Nil)
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -3331,7 +3483,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, s"optimize-zorder-${cols.size}d",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -3363,7 +3516,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, s"optimize-hilbert-${cols.size}d",
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
-      schemaDdl = m.schemaDdl, columnMap = m.columnMap),
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -3384,12 +3538,21 @@ class LakeTable(spark: SparkSession, val root: String) {
     * shallow clone's manifest references absolute paths into its source
     * table, and vacuuming the clone must never reach into the source.
     * Returns (manifests removed, data files removed). */
-  def vacuum(retainVersions: Int): (Int, Int) = {
+  def vacuum(retainVersions: Int): (Int, Int) =
+    vacuumImpl(retainVersions, dryRun = false)
+
+  /** What [[vacuum]] WOULD remove — same walk, zero mutation (no
+    * horizon checkpoint either): the safety valve before an irreversible
+    * retention sweep. Returns (manifests, data files) that would drop. */
+  def vacuumDryRun(retainVersions: Int): (Int, Int) =
+    vacuumImpl(retainVersions, dryRun = true)
+
+  private def vacuumImpl(retainVersions: Int, dryRun: Boolean): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val latest = latestVersion
     val horizon = math.max(0, latest - retainVersions + 1)
     if (horizon == 0) return (0, 0)
-    if (!readDelta(horizon).full && !hasCkpt(horizon)) {
+    if (!dryRun && !readDelta(horizon).full && !hasCkpt(horizon)) {
       val (hf, ht) = resolveState(horizon)
       writeCheckpoint(horizon, hf, ht)
     }
@@ -3413,14 +3576,19 @@ class LakeTable(spark: SparkSession, val root: String) {
         candidates.foreach { p =>
           if (!keepRefs.contains(p) && !deleted.contains(p)) {
             val resolved = new Path(rootPath, p)
-            if (underRoot(resolved) && fs.delete(resolved, false)) {
+            val goes =
+              if (dryRun) underRoot(resolved) && fs.exists(resolved)
+              else underRoot(resolved) && fs.delete(resolved, false)
+            if (goes) {
               droppedFiles += 1
               deleted += p
             }
           }
         }
-        if (hasCkpt(v)) fs.delete(ckptPath(v), false)
-        fs.delete(mp, false)
+        if (!dryRun) {
+          if (hasCkpt(v)) fs.delete(ckptPath(v), false)
+          fs.delete(mp, false)
+        }
         droppedManifests += 1
       }
     }

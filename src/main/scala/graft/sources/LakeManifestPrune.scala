@@ -540,8 +540,10 @@ class LakeMetadataAggregate(spark: SparkSession) extends Rule[LogicalPlan]
                      exprs: Seq[NamedExpression],
                      child: LogicalPlan): Option[LogicalPlan] = {
     val (l, condOpt) = unwrap(child).getOrElse(return None)
-    // grouped + filtered together is out of scope: keep each sound alone
-    if (group.isDefined && condOpt.isDefined) return None
+    // grouped + filtered COMPOSE: the whole-file cover test first prunes
+    // the file set (bailing on any partial cover), then the survivors
+    // group by their degenerate value — each step is sound alone and
+    // they commute (per-file stats are immutable)
     val hfs = l.relation.asInstanceOf[HadoopFsRelation]
     val files = hfs.location.inputFiles
     if (files.isEmpty) return None

@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   [SPLIT <maxRows>]
   * ALTER TABLE graft_lake('<root>') RENAME COLUMN <a> TO <b>
   * ALTER TABLE graft_lake('<root>') DROP COLUMN <a>
-  * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS
+  * ALTER TABLE graft_lake('<root>') ADD CONSTRAINT <n> CHECK (<expr>)
+  * ALTER TABLE graft_lake('<root>') DROP CONSTRAINT <n>
+  * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS [DRY RUN]
   * }}}
   *
   * READ side, in every non-DML statement: `FROM graft_lake('<root>')
@@ -399,12 +401,30 @@ object GraftSqlParser {
           sc.assertEnd()
           LakeAlterCommand(root, "rename", from, Some(to))
         } else if (sc.keyword("DROP")) {
-          sc.expect("COLUMN")
-          val c = sc.ident()
+          if (sc.keyword("CONSTRAINT")) {
+            val n = sc.ident()
+            sc.assertEnd()
+            LakeAlterCommand(root, "drop-constraint", n, None)
+          } else {
+            sc.expect("COLUMN")
+            val c = sc.ident()
+            sc.assertEnd()
+            LakeAlterCommand(root, "drop", c, None)
+          }
+        } else if (sc.keyword("ADD")) {
+          sc.expect("CONSTRAINT")
+          val n = sc.ident()
+          sc.expect("CHECK")
+          val checkSql = sc.parenBlock().trim
+          if (checkSql.isEmpty) fail("CHECK needs an expression")
           sc.assertEnd()
-          LakeAlterCommand(root, "drop", c, None)
+          // normalize through the delegate's expression grammar so the
+          // stored text is a valid, canonical expression
+          LakeAlterCommand(root, "add-constraint", n,
+            Some(delegate.parseExpression(checkSql).sql))
         } else fail("ALTER TABLE graft_lake(…) supports RENAME COLUMN " +
-          "a TO b and DROP COLUMN a")
+          "a TO b, DROP COLUMN a, ADD CONSTRAINT n CHECK (expr), and " +
+          "DROP CONSTRAINT n")
       }
     } else if (sc.keyword("OPTIMIZE")) {
       lakeTarget(sc).map(root => parseOptimize(sc, root, delegate))
@@ -413,8 +433,10 @@ object GraftSqlParser {
         sc.expect("RETAIN")
         val n = sc.int()
         sc.expect("VERSIONS")
+        val dry = sc.keyword("DRY")
+        if (dry) sc.expect("RUN")
         sc.assertEnd()
-        LakeVacuumCommand(root, n)
+        LakeVacuumCommand(root, n, dry)
       }
     } else None
   }
@@ -855,9 +877,12 @@ case class LakeBinPackCommand(root: String, minRows: Int,
   }
 }
 
-/** `ALTER TABLE graft_lake(…) RENAME COLUMN a TO b | DROP COLUMN a` →
-  * [[graft.sources.LakeTable.renameColumn]] / `dropColumn` — both
-  * metadata-only commits via column mapping. */
+/** `ALTER TABLE graft_lake(…) RENAME COLUMN a TO b | DROP COLUMN a |
+  * ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n` →
+  * [[graft.sources.LakeTable.renameColumn]] / `dropColumn` /
+  * `addConstraint` / `dropConstraint` — all metadata-only commits
+  * (ADD CONSTRAINT additionally proves the existing table satisfies the
+  * check). */
 case class LakeAlterCommand(root: String, verb: String, column: String,
                             to: Option[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
@@ -866,22 +891,25 @@ case class LakeAlterCommand(root: String, verb: String, column: String,
     GraftSqlParser.statsRow(verb match {
       case "rename" => t.renameColumnWithRetry(column, to.get)
       case "drop" => t.dropColumnWithRetry(column)
+      case "add-constraint" => t.addConstraintWithRetry(column, to.get)
+      case "drop-constraint" => t.dropConstraintWithRetry(column)
       case other => throw new IllegalStateException(s"unknown alter $other")
     })
   }
 }
 
-/** `VACUUM graft_lake(…) RETAIN n VERSIONS` →
-  * [[graft.sources.LakeTable.vacuum]]. Returns (manifests, files)
-  * removed. */
-case class LakeVacuumCommand(root: String, retain: Int)
+/** `VACUUM graft_lake(…) RETAIN n VERSIONS [DRY RUN]` →
+  * [[graft.sources.LakeTable.vacuum]] (or its zero-mutation dry run).
+  * Returns (manifests, files) removed — or would-be-removed. */
+case class LakeVacuumCommand(root: String, retain: Int,
+                             dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("manifests_removed", IntegerType, nullable = false)(),
     AttributeReference("data_files_removed", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = new graft.sources.LakeTable(spark, root)
-    val (m, f) = t.vacuum(retain)
+    val (m, f) = if (dryRun) t.vacuumDryRun(retain) else t.vacuum(retain)
     Seq(Row(m, f))
   }
 }

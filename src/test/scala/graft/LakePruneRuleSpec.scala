@@ -378,6 +378,12 @@ class LakePruneRuleSpec extends SparkTestBase {
       val qk = t.read().groupBy((col("k") % 2).as("b"))
         .agg(count(lit(1)).as("n")).orderBy("b")
       rows(qk) shouldBe Seq(Seq(0L, 45L), Seq(1L, 45L))
+      // grouped + whole-file-covered FILTER compose: per-partition counts
+      // over a partition subset, still zero scan
+      val qgf = t.read().filter(col("p") >= 1L).groupBy("p")
+        .agg(count(lit(1)).as("n")).orderBy("p")
+      scannedFiles(qgf) shouldBe empty
+      rows(qgf) shouldBe Seq(Seq(1L, 30L), Seq(2L, 30L))
     }
   }
   test("metadata aggregates: whole-file-covered FILTER answers from stats") {

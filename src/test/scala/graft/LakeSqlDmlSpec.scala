@@ -377,6 +377,90 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("CHECK constraints: enforced inside every write, metadata-only lifecycle") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s) // k 1..90, amount = k*10 (all positive)
+      val files0 = t.manifest(0).files.map(_.path).toSet
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') " +
+        "ADD CONSTRAINT amount_pos CHECK (amount > 0)").collect()
+      // metadata-only: zero data movement
+      t.manifest(t.latestVersion).files.map(_.path).toSet shouldBe files0
+      // a violating INSERT fails the WRITE with the constraint's name
+      Seq((500L, "bad", "B", -5.0)).toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("bad_ins")
+      val e1 = intercept[Exception] {
+        s.sql(s"INSERT INTO graft_lake('${t.root}') SELECT * FROM bad_ins")
+          .collect()
+      }
+      e1.getMessage should include("amount_pos")
+      t.read().count() shouldBe 90L
+      // a violating per-column MERGE assignment fails too
+      Seq((5L, 1.0)).toDF("k", "delta").createOrReplaceTempView("bad_upd")
+      val e2 = intercept[Exception] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING bad_upd u ON t.k = u.k
+             |WHEN MATCHED THEN UPDATE SET amount = -u.delta""".stripMargin)
+          .collect()
+      }
+      e2.getMessage should include("amount_pos")
+      // a violating UPDATE fails; a conforming one lands
+      intercept[Exception] {
+        s.sql(s"UPDATE graft_lake('${t.root}') SET amount = -1 WHERE k = 1")
+          .collect()
+      }.getMessage should include("amount_pos")
+      s.sql(s"UPDATE graft_lake('${t.root}') SET amount = 77 WHERE k = 1")
+        .collect()
+      t.read().filter(col("k") === 1L).select("amount")
+        .collect()(0).getDouble(0) shouldBe 77.0
+      // NULL passes (SQL CHECK semantics): a null-amount row inserts
+      s.sql(
+        s"""INSERT INTO graft_lake('${t.root}')
+           |SELECT 600L AS k, 'n' AS payload, 'N' AS status,
+           |       CAST(NULL AS DOUBLE) AS amount""".stripMargin).collect()
+      t.read().filter(col("k") === 600L).count() shouldBe 1L
+      // adding a constraint the EXISTING table violates refuses
+      intercept[Exception] {
+        s.sql(s"ALTER TABLE graft_lake('${t.root}') " +
+          "ADD CONSTRAINT impossible CHECK (k < 10)").collect()
+      }.getMessage should include("existing rows violate")
+      // a column referenced by a constraint cannot rename or drop
+      intercept[Exception] {
+        s.sql(s"ALTER TABLE graft_lake('${t.root}') " +
+          "RENAME COLUMN amount TO money").collect()
+      }.getMessage should include("amount_pos")
+      // DROP CONSTRAINT re-opens the gate
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') DROP CONSTRAINT amount_pos")
+        .collect()
+      s.sql(s"UPDATE graft_lake('${t.root}') SET amount = -1 WHERE k = 2")
+        .collect()
+      t.read().filter(col("amount") < 0).count() shouldBe 1L
+    }
+  }
+
+  test("VACUUM DRY RUN: reports the sweep without mutating anything") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') FILES 2").collect() // v1
+      val manifestsBefore = (0 to t.latestVersion).count(t.hasVersion)
+      val dry = s.sql(
+        s"VACUUM graft_lake('${t.root}') RETAIN 1 VERSIONS DRY RUN")
+        .collect()(0)
+      dry.getInt(0) shouldBe 1 // would drop v0's manifest
+      dry.getInt(1) should be > 0 // and its unreferenced data files
+      // NOTHING moved: v0 still reads
+      (0 to t.latestVersion).count(t.hasVersion) shouldBe manifestsBefore
+      t.snapshot(0).count() shouldBe 90L
+      // the real sweep then removes exactly what the dry run reported
+      val real = s.sql(s"VACUUM graft_lake('${t.root}') RETAIN 1 VERSIONS")
+        .collect()(0)
+      real.getInt(0) shouldBe dry.getInt(0)
+      real.getInt(1) shouldBe dry.getInt(1)
+      t.hasVersion(0) shouldBe false
+      t.read().count() shouldBe 90L
+    }
+  }
+
   test("OPTIMIZE WHERE: predicate-scoped compaction rewrites only touched files") {
     withExtendedSession { s =>
       import s.implicits._
