@@ -94,6 +94,9 @@ object Run {
     * graft.Run lake-compact <root> <numFiles>
     * graft.Run lake-sortby  <root> <numFiles> <col> [col...]
     * graft.Run lake-zorder  <root> <numFiles> <col1> <col2>
+    * graft.Run lake-hilbert <root> <numFiles> <col> <col> [col...]
+    * graft.Run lake-rename  <root> <oldCol> <newCol>      // metadata-only
+    * graft.Run lake-drop-column <root> <col>              // metadata-only
     * graft.Run lake-restore <root> <version>
     * graft.Run lake-clone   <root> <newRoot>
     * graft.Run lake-vacuum  <root> <retainVersions>
@@ -179,8 +182,26 @@ object Run {
           println(s"[lake] shallow clone -> ${args(2)}")
         case "lake-vacuum" =>
           need(3)
-          val (m, f) = table.vacuum(args(2).toInt)
-          println(s"[lake] vacuumed $m manifests, $f data files")
+          val dry = args.contains("--dry-run")
+          val (m, f) =
+            if (dry) table.vacuumDryRun(args(2).toInt)
+            else table.vacuum(args(2).toInt)
+          println(s"[lake] ${if (dry) "would vacuum" else "vacuumed"} " +
+            s"$m manifests, $f data files")
+        case "lake-hilbert" =>
+          need(5)
+          val s = table.compactHilbert(args(2).toInt, args.drop(3).toSeq)
+          println(s"[lake] hilbert-clustered by (${args.drop(3).mkString(", ")}) " +
+            s"-> v${s.version} (${s.addedFiles} files)")
+        case "lake-rename" =>
+          need(4)
+          val s = table.renameColumnWithRetry(args(2), args(3))
+          println(s"[lake] renamed ${args(2)} -> ${args(3)} at v${s.version} " +
+            "(metadata-only)")
+        case "lake-drop-column" =>
+          need(3)
+          val s = table.dropColumnWithRetry(args(2))
+          println(s"[lake] dropped ${args(2)} at v${s.version} (metadata-only)")
         case "lake-history" =>
           // vacuumed versions are gone from disk — list what remains
           table.history().collect().foreach { r =>
@@ -197,5 +218,5 @@ object Run {
   private def usage(): Unit =
     System.err.println(
       "usage: graft.Run <query|all|list> <sfDir> <outDir> [--sep X] [--format csv|parquet]\n" +
-        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|zorder|restore|clone|vacuum|history> ...")
+        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|sortby|zorder|hilbert|rename|drop-column|restore|clone|vacuum|history|sql> ...")
 }

@@ -54,6 +54,18 @@ class RunSpec extends SparkTestBase {
     spark.read.parquet(outc).count() shouldBe 20L // the restored v0 content
     // sort-clustering and wall-clock time travel through the CLI
     Run.run(Array("lake-sortby", root, "2", "payload"))
+    // hilbert clustering, metadata-only rename/drop, and a dry-run
+    // vacuum (which must mutate nothing)
+    Run.run(Array("lake-hilbert", root, "2", "k", "k"))
+    Run.run(Array("lake-rename", root, "payload", "note"))
+    val t = new graft.sources.LakeTable(spark, root)
+    t.read().columns should contain("note")
+    Run.run(Array("lake-drop-column", root, "note"))
+    t.read().columns should not contain "note"
+    val vBefore = t.latestVersion
+    Run.run(Array("lake-vacuum", root, "1", "--dry-run"))
+    t.latestVersion shouldBe vBefore
+    t.hasVersion(0) shouldBe true
     val outT = tmp("graft-cli-outt") + "/snapt"
     Run.run(Array("lake-read", root, outT,
       "--timestamp", System.currentTimeMillis().toString))
