@@ -650,6 +650,26 @@ object Lake {
       count(col("o_custkey")).as("n_cust"))
   }
 
+  /** Gated lane: `WHEN NOT MATCHED BY SOURCE … UPDATE SET` — the
+    * reconciliation clause (mark rows the source no longer carries).
+    * The source holds only the %100==0 keys; every OTHER cheap row
+    * flips to 'STALE' per-column while matched rows and expensive
+    * unmatched rows carry — and the rewrite touches only files the
+    * clause condition can fire in. */
+  def lakeMergeNmbsUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.mergeInto(o.filter(col("o_orderkey") % 100 === 0),
+      whenMatchedUpdateIf = Some(lit(false)), // matched rows carry
+      whenNotMatchedInsert = false,
+      whenNotMatchedBySourceUpdateIf =
+        Some(col("target.o_totalprice") < 30000.0),
+      whenNotMatchedBySourceUpdateSet =
+        Seq("o_orderpriority" -> lit("STALE")))
+    t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: CHECK constraints — the per-row write gate. Two
     * constraints land as metadata-only commits; a conforming MERGE
     * passes through the in-write assert, a VIOLATING insert fails its
@@ -789,6 +809,7 @@ object Lake {
     "lake_hilbert_pruning" -> (lakeHilbertPruning _),
     "lake_optimize_where" -> (lakeOptimizeWhere _),
     "lake_constraints" -> (lakeConstraints _),
+    "lake_merge_nmbs_update" -> (lakeMergeNmbsUpdate _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
@@ -845,6 +866,12 @@ object Lake {
         |FROM orders
         |WHERE o_custkey <= 300 AND o_orderdate < DATE '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_merge_nmbs_update" ->
+      """SELECT CASE WHEN o_orderkey % 100 <> 0 AND o_totalprice < 30000
+        |            THEN 'STALE' ELSE o_orderpriority END AS o_orderpriority,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_constraints" ->
       """WITH m AS (
@@ -2551,11 +2578,14 @@ class LakeTable(spark: SparkSession, val root: String) {
                 newFileCountHint: Int = 0,
                 updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
                 whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column] = None,
-                whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None)
+                whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None,
+                whenNotMatchedBySourceUpdateIf: Option[org.apache.spark.sql.Column] = None,
+                whenNotMatchedBySourceUpdateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil)
       : MergeStats =
     mergeIntoTagged(updates0, "merge-into", whenMatchedDeleteIf,
       whenMatchedUpdateIf, whenNotMatchedInsert, newFileCountHint,
-      updateSet, whenNotMatchedInsertIf, whenNotMatchedBySourceDeleteIf)
+      updateSet, whenNotMatchedInsertIf, whenNotMatchedBySourceDeleteIf,
+      whenNotMatchedBySourceUpdateIf, whenNotMatchedBySourceUpdateSet)
 
   private def mergeIntoTagged(updates0: DataFrame, operation: String,
                 whenMatchedDeleteIf: Option[org.apache.spark.sql.Column],
@@ -2564,7 +2594,9 @@ class LakeTable(spark: SparkSession, val root: String) {
                 newFileCountHint: Int = 0,
                 updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
                 whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column] = None,
-                whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None)
+                whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None,
+                whenNotMatchedBySourceUpdateIf: Option[org.apache.spark.sql.Column] = None,
+                whenNotMatchedBySourceUpdateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil)
       : MergeStats = {
     val v = latestVersion
     val m = manifest(v)
@@ -2596,18 +2628,21 @@ class LakeTable(spark: SparkSession, val root: String) {
     // targeted. An unconditional clause degenerates to every non-empty
     // file whose keys aren't all in the source, which is the honest
     // whole-table cost the clause then has.
-    val hitIdx = whenNotMatchedBySourceDeleteIf match {
-      case None => keyHitIdx
-      case Some(cond) if m.files.isEmpty => keyHitIdx
-      case Some(cond) =>
+    val nmbsConds =
+      whenNotMatchedBySourceDeleteIf.toSeq ++
+        whenNotMatchedBySourceUpdateIf.toSeq
+    val hitIdx =
+      if (nmbsConds.isEmpty || m.files.isEmpty) keyHitIdx
+      else {
+        val any = nmbsConds.map(c => coalesce(c, lit(false))).reduce(_ || _)
         val live = toLogical(m, applyTombstones(m, readFiles(m, m.files)))
         val affected = live
           .select(col(lk), struct(live.columns.toSeq.map(col): _*).as("target"))
-          .filter(coalesce(cond, lit(false)))
+          .filter(any)
           .select(lk)
           .join(updates.select(col(lk)), Seq(lk), "left_anti")
         keyHitIdx ++ hitFileIndexes(m, affected)
-    }
+      }
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     // one aggregate pass for all three checks — total rows, null keys
     // (count_distinct IGNORES nulls: null-key rows would sail through a
@@ -2653,6 +2688,20 @@ class LakeTable(spark: SparkSession, val root: String) {
     }
     require(assigns.map(_._1).distinct.size == assigns.size,
       "MERGE UPDATE SET assigns a column more than once")
+    require(whenNotMatchedBySourceUpdateIf.isEmpty ||
+      whenNotMatchedBySourceUpdateSet.nonEmpty,
+      "WHEN NOT MATCHED BY SOURCE ... UPDATE needs per-column " +
+        "assignments (there is no source row to SET * from)")
+    val nmbsAssigns = whenNotMatchedBySourceUpdateSet.map { case (c, e) =>
+      val name = canon.getOrElse(c.toLowerCase, throw new IllegalArgumentException(
+        s"NOT MATCHED BY SOURCE UPDATE SET of unknown column '$c'"))
+      require(!name.equalsIgnoreCase(lk),
+        s"cannot assign the merge key '$lk' in NOT MATCHED BY SOURCE " +
+          "UPDATE SET")
+      name -> e
+    }
+    require(nmbsAssigns.map(_._1).distinct.size == nmbsAssigns.size,
+      "NOT MATCHED BY SOURCE UPDATE SET assigns a column more than once")
     if (!perColumn) hitDf.foreach { h =>
       require(h.columns.sorted.sameElements(updates.columns.sorted),
         "conditional merge requires identical schemas " +
@@ -2698,12 +2747,21 @@ class LakeTable(spark: SparkSession, val root: String) {
         val upd = coalesce(whenMatchedUpdateIf.getOrElse(lit(true)), lit(false))
         val nmbsDel = coalesce(
           whenNotMatchedBySourceDeleteIf.getOrElse(lit(false)), lit(false))
-        // clause order: DELETE, then UPDATE, else carry the target row;
-        // an unmatched target row carries unless NOT MATCHED BY SOURCE
-        // deletes it
+        val nmbsUpd = coalesce(
+          whenNotMatchedBySourceUpdateIf.getOrElse(lit(false)), lit(false))
+        // clause order (both sides): DELETE, then UPDATE, else carry —
+        // an unmatched target row deletes, updates per-column, or
+        // carries, mirroring the matched half
         val keptRows = joined.filter(
-          (matched && !del && !upd) || (!matched && !nmbsDel))
+          (matched && !del && !upd) || (!matched && !nmbsDel && !nmbsUpd))
           .select("target.*")
+        val nmbsAssignMap = nmbsAssigns.toMap
+        val nmbsUpdatedRows = withConstraintChecks(m,
+          joined.filter(!matched && !nmbsDel && nmbsUpd).select(
+            cols.map(c => nmbsAssignMap.get(c) match {
+              case Some(e) => e.cast(h.schema(c).dataType).as(c)
+              case None => col(s"target.$c").as(c)
+            }): _*), "MERGE")
         val assignMap = assigns.toMap
         // only NEW row content (updates, inserts) re-checks constraints;
         // kept rows were valid when written (addConstraint proves the
@@ -2726,7 +2784,8 @@ class LakeTable(spark: SparkSession, val root: String) {
               if (perColumn) castSelect(unmatched)
               else unmatched.select(cols.map(col): _*), "MERGE")
           } else h.limit(0).select(cols.map(col): _*)
-        keptRows.unionByName(updatedRows).unionByName(inserts)
+        keptRows.unionByName(updatedRows).unionByName(nmbsUpdatedRows)
+          .unionByName(inserts)
     }
     val hint = if (newFileCountHint > 0) newFileCountHint
       else sizedFileCount(hit.size, hit.map(_._1.rows).sum + updateRows)
@@ -2756,7 +2815,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     // could insert a clause-satisfying row anywhere): never rebase past a
     // winner, always replay
     val envelope =
-      if (whenNotMatchedBySourceDeleteIf.isDefined) None
+      if (nmbsConds.nonEmpty) None
       else Some(() => {
         val (lo, hi) = rangeEnvelope(newFiles ++ hit.map(_._1))
         if (!needSrcEnvelope) (lo, hi)
@@ -2871,12 +2930,16 @@ class LakeTable(spark: SparkSession, val root: String) {
                          maxAttempts: Int = 3,
                          updateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
                          whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column] = None,
-                         whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None)
+                         whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None,
+                         whenNotMatchedBySourceUpdateIf: Option[org.apache.spark.sql.Column] = None,
+                         whenNotMatchedBySourceUpdateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil)
       : MergeStats =
     withRetry(maxAttempts)(mergeInto(updates, whenMatchedDeleteIf,
       whenMatchedUpdateIf, whenNotMatchedInsert,
       updateSet = updateSet, whenNotMatchedInsertIf = whenNotMatchedInsertIf,
-      whenNotMatchedBySourceDeleteIf = whenNotMatchedBySourceDeleteIf))
+      whenNotMatchedBySourceDeleteIf = whenNotMatchedBySourceDeleteIf,
+      whenNotMatchedBySourceUpdateIf = whenNotMatchedBySourceUpdateIf,
+      whenNotMatchedBySourceUpdateSet = whenNotMatchedBySourceUpdateSet))
 
   private def epochTag(epochId: Long, appId: String): String =
     if (appId.isEmpty) s"merge-epoch-$epochId"

@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   [WHEN MATCHED [AND <cond>] THEN UPDATE SET * | SET c = e [, ...]]
   *   [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT *]
   *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+  *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET c = e [, ...]]
   * CREATE TABLE graft_lake('<root>') KEY <col> [FILES <n>]
   *   [PARTITIONED BY (c, ...)] [STATS (c, ...)] AS <query>
   * INSERT INTO graft_lake('<root>') <query>        -- append, PK-checked
@@ -506,6 +507,9 @@ object GraftSqlParser {
     var insertCond: Option[Expression] = None
     var nmbsDelete = false
     var nmbsCond: Option[Expression] = None
+    var hasNmbsUpdate = false
+    var nmbsUpdateCond: Option[Expression] = None
+    var nmbsUpdateSets: Seq[(String, String)] = Nil
     var sawClause = false
     // after realias(), statement aliases are LITERALLY target/source —
     // a clause predicate that references a side its rows don't have
@@ -596,11 +600,53 @@ object GraftSqlParser {
               fail("a WHEN NOT MATCHED BY SOURCE condition may reference " +
                 "only the target row — these rows have no source match"))
             sc.expect("THEN")
-            sc.expect("DELETE")
-            if (nmbsDelete)
-              fail("at most one WHEN NOT MATCHED BY SOURCE clause")
-            nmbsDelete = true
-            nmbsCond = cond
+            if (sc.keyword("DELETE")) {
+              if (nmbsDelete)
+                fail("at most one WHEN NOT MATCHED BY SOURCE … DELETE clause")
+              if (hasNmbsUpdate)
+                fail("the engine evaluates NOT MATCHED BY SOURCE DELETE " +
+                  "before its UPDATE: write the DELETE clause first")
+              nmbsDelete = true
+              nmbsCond = cond
+            } else if (sc.keyword("UPDATE")) {
+              sc.expect("SET")
+              if (sc.keyword("*"))
+                fail("NOT MATCHED BY SOURCE UPDATE needs per-column " +
+                  "assignments — there is no source row to SET * from")
+              if (hasNmbsUpdate)
+                fail("at most one WHEN NOT MATCHED BY SOURCE … UPDATE clause")
+              val assigns = sc.topLevelSplit(sc.until(Seq("WHEN")))
+              nmbsUpdateSets = assigns.map { a =>
+                delegate.parseExpression(a) match {
+                  case EqualTo(tcol: UnresolvedAttribute, value) =>
+                    val name = realias(tcol, tAlias, sAlias) match {
+                      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+                        ua.nameParts.head
+                      case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
+                          ua.nameParts.head == "target" =>
+                        ua.nameParts.last
+                      case _ => fail("a NOT MATCHED BY SOURCE UPDATE " +
+                        s"assignment target must be a target column: $a")
+                    }
+                    if (name.equalsIgnoreCase(keyName))
+                      fail(s"cannot assign the merge key '$keyName' in " +
+                        "NOT MATCHED BY SOURCE UPDATE SET")
+                    val v = realias(value, tAlias, sAlias)
+                    if (refs(v, "source"))
+                      fail("a NOT MATCHED BY SOURCE assignment may " +
+                        "reference only the target row")
+                    name -> v.sql
+                  case _ => fail("expected <column> = <expression> in " +
+                    s"NOT MATCHED BY SOURCE UPDATE SET, got: $a")
+                }
+              }
+              if (nmbsUpdateSets.isEmpty)
+                fail("NOT MATCHED BY SOURCE UPDATE SET needs at least one " +
+                  "assignment")
+              hasNmbsUpdate = true
+              nmbsUpdateCond = cond
+            } else fail("WHEN NOT MATCHED BY SOURCE THEN must be DELETE " +
+              "or UPDATE SET")
           } else {
             sc.expect("TARGET")
             parseInsertClause()
@@ -612,7 +658,8 @@ object GraftSqlParser {
     sc.assertEnd()
     LakeMergeCommand(root, sourceSql, keyName, hasDelete,
       deleteCond.map(_.sql), hasUpdate, updateCond.map(_.sql), insert,
-      updateSets, insertCond.map(_.sql), nmbsDelete, nmbsCond.map(_.sql))
+      updateSets, insertCond.map(_.sql), nmbsDelete, nmbsCond.map(_.sql),
+      hasNmbsUpdate, nmbsUpdateCond.map(_.sql), nmbsUpdateSets)
   }
 
   private def parseUpdate(sc: Scan, root: String,
@@ -735,7 +782,10 @@ case class LakeMergeCommand(root: String, sourceSql: String, keyName: String,
                             updateSetSql: Seq[(String, String)] = Nil,
                             insertCondSql: Option[String] = None,
                             nmbsDelete: Boolean = false,
-                            nmbsCondSql: Option[String] = None)
+                            nmbsCondSql: Option[String] = None,
+                            nmbsUpdate: Boolean = false,
+                            nmbsUpdateCondSql: Option[String] = None,
+                            nmbsUpdateSetSql: Seq[(String, String)] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
   override def run(spark: SparkSession): Seq[Row] = {
@@ -753,12 +803,18 @@ case class LakeMergeCommand(root: String, sourceSql: String, keyName: String,
     val nmbs =
       if (!nmbsDelete) None
       else Some(nmbsCondSql.map(exprCol).getOrElse(lit(true)))
+    val nmbsU =
+      if (!nmbsUpdate) None
+      else Some(nmbsUpdateCondSql.map(exprCol).getOrElse(lit(true)))
     GraftSqlParser.statsRow(t.mergeIntoWithRetry(spark.sql(sourceSql),
       whenMatchedDeleteIf = Some(del), whenMatchedUpdateIf = Some(upd),
       whenNotMatchedInsert = insert,
       updateSet = updateSetSql.map { case (c, e) => c -> exprCol(e) },
       whenNotMatchedInsertIf = insertCondSql.map(exprCol),
-      whenNotMatchedBySourceDeleteIf = nmbs))
+      whenNotMatchedBySourceDeleteIf = nmbs,
+      whenNotMatchedBySourceUpdateIf = nmbsU,
+      whenNotMatchedBySourceUpdateSet =
+        nmbsUpdateSetSql.map { case (c, e) => c -> exprCol(e) }))
   }
 }
 

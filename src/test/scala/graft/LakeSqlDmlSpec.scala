@@ -257,6 +257,53 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("MERGE: NOT MATCHED BY SOURCE UPDATE marks stale rows per-column") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = mkTable(s) // keys 1..90, status A
+      // the source carries only keys 1..10: everything else is "stale"
+      (1L to 10L).map(k => (k, s"keep$k", "K", 1.0))
+        .toDF("k", "payload", "status", "amount")
+        .createOrReplaceTempView("recon_src")
+      val stats = s.sql(
+        s"""MERGE INTO graft_lake('${t.root}') t USING recon_src s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE AND t.k <= 40 THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE AND t.k > 60
+           |  THEN UPDATE SET status = 'STALE'""".stripMargin).collect()(0)
+      val r = t.read()
+      // matched: replaced; 11..40 deleted; 41..60 carried; 61..90 marked
+      r.count() shouldBe 60L // 10 + 20 + 30
+      rows(r.filter(col("k") === 5L).select("payload")) shouldBe
+        Seq(Seq("keep5"))
+      r.filter(col("k").between(11L, 40L)).count() shouldBe 0L
+      rows(r.filter(col("k") === 50L).select("status")) shouldBe Seq(Seq("A"))
+      r.filter(col("status") === "STALE").count() shouldBe 30L
+      rows(r.filter(col("k") === 70L).select("payload", "status")) shouldBe
+        Seq(Seq("val70", "STALE")) // other columns carried from the target
+      // mis-ordered NMBS clauses refuse (DELETE evaluates first)
+      intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING recon_src s ON t.k = s.k
+             |WHEN NOT MATCHED BY SOURCE AND t.k > 60 THEN UPDATE SET status = 'X'
+             |WHEN NOT MATCHED BY SOURCE AND t.k <= 40 THEN DELETE""".stripMargin)
+      }.getMessage should include("DELETE clause first")
+      // a source-referencing NMBS assignment refuses
+      intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING recon_src s ON t.k = s.k
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = s.status""".stripMargin)
+      }.getMessage should include("only the target")
+      // SET * is impossible without a source row
+      intercept[IllegalArgumentException] {
+        s.sql(
+          s"""MERGE INTO graft_lake('${t.root}') t USING recon_src s ON t.k = s.k
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET *""".stripMargin)
+      }.getMessage should include("per-column")
+    }
+  }
+
   test("MERGE: per-column SET accepts a NARROW source when inserts are off") {
     withExtendedSession { s =>
       import s.implicits._
