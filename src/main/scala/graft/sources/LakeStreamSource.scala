@@ -17,6 +17,11 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *  - `startingVersion` (int): first commit to deliver; default is
   *    `latest + 1` — stream only what happens AFTER the stream starts,
   *    like every CDC tail. `1` replays all history after the create.
+  *  - `startingTimestamp` (epoch millis or ISO-8601): deliver every
+  *    commit AFTER that wall-clock moment (resolved against in-commit
+  *    timestamps, like `timestampAsOf`); a moment before the table
+  *    existed replays all history. Mutually exclusive with
+  *    `startingVersion`.
   *
   * Output schema: the table's data schema + `_change_type` (the standard
   * CDF vocabulary) + `_commit_version` (which commit produced the row).
@@ -42,8 +47,19 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     throw new IllegalArgumentException(
       "graft-lake stream requires a path: readStream.format(\"graft-lake\").load(<root>)"))
   private val table = new LakeTable(spark, root)
+  require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+    "startingVersion and startingTimestamp are mutually exclusive")
   private val startingVersion: Int =
     parameters.get("startingVersion").map(_.toInt)
+      .orElse(parameters.get("startingTimestamp").map { ts =>
+        // everything AFTER the moment: the version current AT ts is the
+        // last one already visible then — start one past it. A moment
+        // before the first retained commit replays all history.
+        val millis = Lake.parseTsMillis(ts)
+        try table.versionAt(millis) + 1
+        catch { case _: IllegalArgumentException => 1 }
+      })
       .getOrElse(table.latestVersion + 1)
 
   override val schema: StructType =

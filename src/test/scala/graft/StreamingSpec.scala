@@ -833,6 +833,33 @@ class StreamingSpec extends SparkTestBase {
         Seq(Seq(1L, "v1"), Seq(2L, "v2"))
     } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
   }
+  test("change feed startingTimestamp: everything after a wall-clock moment") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(),
+      Seq((1L, "v1")).toDF("k", "payload"), "k", 1)
+    table.merge(Seq((2L, "v2")).toDF("k", "payload")) // v1
+    val tsAfterV1 = table.history().filter(col("version") === 1)
+      .select("commit_ts").collect()(0).getLong(0)
+    table.merge(Seq((3L, "v3")).toDF("k", "payload")) // v2
+    // a moment at v1's commit: only v2 onward streams
+    val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> table.root, "startingTimestamp" -> tsAfterV1.toString))
+    src.getOffset shouldBe Some(LongOffset(2L))
+    val batch = src.getBatch(None, LongOffset(2L))
+    batch.columns should contain("_commit_version")
+    // a moment BEFORE the table existed replays all history
+    val srcAll = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> table.root, "startingTimestamp" -> "0"))
+    srcAll.getOffset shouldBe Some(LongOffset(2L))
+    // both options together refuse
+    intercept[IllegalArgumentException] {
+      new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+        Map("path" -> table.root, "startingVersion" -> "1",
+          "startingTimestamp" -> "0"))
+    }.getMessage should include("mutually exclusive")
+  }
+
   test("change feed fails loudly when the committed offset was vacuumed") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val table = graft.sources.Lake.create(spark,
