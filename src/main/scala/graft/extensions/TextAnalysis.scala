@@ -383,6 +383,39 @@ object TextAnalysis {
           .when(col("bucket") < 95, "val").otherwise("test"))
       .orderBy("doc_id")
 
+  /** Weighted corpus MIXING — the data-mixture op every training build
+    * runs (domain weights à la the published Pile / LLaMA mixtures): each
+    * domain gets a repetition factor w; a document materializes
+    * ⌊w⌋ full copies plus one more iff its deterministic hash fraction
+    * falls under frac(w) — so w = 0.5 subsamples half the domain,
+    * w = 1.3 keeps everything and re-epochs 30% of it. No RNG: the
+    * pick is a pure function of the doc id ([[graft.functions.Portable.hash60]]),
+    * reproducible across runs, engines, and partition layouts, and
+    * weights live in integer BASIS POINTS so the threshold arithmetic is
+    * exact cross-engine. Pure map + explode work — no shuffle until the
+    * verification aggregate, linear at any corpus size. */
+  def textMixCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+    // mixture weight in basis points, a pure function of the domain name
+    // (scale-invariant, oracle-replicable): 0.5x / 0.9x / 1.3x
+    val wBp = lit(5000L) + lit(4000L) * (srcNum % 3)
+    val full = (wBp / lit(10000L)).cast("long")
+    val rem = wBp % 10000L
+    val pick = Portable.hash60(
+      concat(lit("mix:"), col("doc_id").cast("string"))) % 10000L
+    val copies = full + when(pick < rem, 1L).otherwise(0L)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), copies.as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("epoch"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_samples"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        max(col("epoch")).as("max_epoch"))
+      .orderBy("source")
+  }
+
   /** Greedy sequence packing into 2048-token contexts, per source shard:
     * running token total in doc_id order within each source; a document's
     * bin is the context its first token lands in. partitionBy(source) keeps
@@ -1437,6 +1470,24 @@ object TextAnalysis {
          |       CAST(sum(CASE WHEN n >= 10 AND nd * 2 >= n AND stops >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
+    "text_mix_corpus" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         5000 + 4000 * (CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3) AS w_bp,
+        |         ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS pick
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |         w_bp // 10000 +
+        |           CASE WHEN pick < w_bp % 10000 THEN 1 ELSE 0 END AS copies
+        |  FROM w),
+        |e AS (
+        |  SELECT doc_id, source, unnest(range(copies)) AS epoch FROM c)
+        |SELECT source, count(*) AS n_samples,
+        |       count(DISTINCT doc_id) AS n_docs,
+        |       max(epoch) AS max_epoch
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_split_assign" ->
       """SELECT doc_id,
         |       ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
@@ -1870,6 +1921,7 @@ object TextAnalysis {
     "text_winnow_fingerprint" -> (textWinnowFingerprint _),
     "text_repetition"         -> (textRepetition _),
     "text_split_assign"       -> (textSplitAssign _),
+    "text_mix_corpus"         -> (textMixCorpus _),
     "text_pack_bins"          -> (textPackBins _),
     "text_boilerplate_strip"  -> (textBoilerplateStrip _),
     "text_token_budget_mix"   -> (textTokenBudgetMix _),
