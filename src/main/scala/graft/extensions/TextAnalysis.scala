@@ -383,6 +383,45 @@ object TextAnalysis {
           .when(col("bucket") < 95, "val").otherwise("test"))
       .orderBy("doc_id")
 
+  /** PII REDACTION — the scrubbing pass every training corpus runs
+    * before anything ships: regex classes (emails, fixed-shape phone
+    * numbers) replace with typed placeholder tokens, and the lane
+    * reports per-domain hit/char accounting. The synthetic corpus
+    * carries no PII, so the lane INJECTS deterministic PII derived from
+    * the doc id first (the injection is part of the query — the oracle
+    * replicates it exactly), then proves the redaction removed every
+    * occurrence. Patterns stay in the Java-regex ∩ RE2 common subset
+    * (no lookaround) so both engines compute identical matches. Pure
+    * map work — linear at any corpus size, no shuffle until the
+    * verification aggregate. */
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1 555 [0-9]{4}"
+    val pid = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+    val withPii = Tables.documents(spark, dir).withColumn("text2",
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" call +1 555 "), pid)).otherwise(lit(""))))
+    val red = regexp_replace(
+      regexp_replace(col("text2"), emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+    withPii
+      .select(col("source"), red.as("red"),
+        regexp_count(col("text2"), lit(emailRe)).as("n_email"),
+        regexp_count(col("text2"), lit(phoneRe)).as("n_phone"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_phone")).as("n_phones"),
+        sum(length(col("red"))).as("red_chars"),
+        count(when(col("red").contains("<EMAIL>"), 1)).as("docs_with_email"),
+        // the proof: zero residual matches after redaction
+        sum(regexp_count(col("red"), lit(emailRe))).as("residual"))
+      .orderBy("source")
+  }
+
   /** Weighted corpus MIXING — the data-mixture op every training build
     * runs (domain weights à la the published Pile / LLaMA mixtures): each
     * domain gets a repetition factor w; a document materializes
@@ -1470,6 +1509,36 @@ object TextAnalysis {
          |       CAST(sum(CASE WHEN n >= 10 AND nd * 2 >= n AND stops >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword
          |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
+    "text_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |           '@example.com' ||
+        |           CASE WHEN doc_id % 3 = 0
+        |                THEN ' call +1 555 ' ||
+        |                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |                ELSE '' END AS text2
+        |  FROM documents),
+        |r AS (
+        |  SELECT source,
+        |         regexp_replace(regexp_replace(text2,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g'),
+        |           '\+1 555 [0-9]{4}', '<PHONE>', 'g') AS red,
+        |         len(regexp_extract_all(text2,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |         len(regexp_extract_all(text2, '\+1 555 [0-9]{4}')) AS n_phone
+        |  FROM p)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_email) AS BIGINT) AS n_emails,
+        |       CAST(sum(n_phone) AS BIGINT) AS n_phones,
+        |       CAST(sum(len(red)) AS BIGINT) AS red_chars,
+        |       count(CASE WHEN contains(red, '<EMAIL>') THEN 1 END) AS docs_with_email,
+        |       CAST(sum(len(regexp_extract_all(red,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+        |         AS residual
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_mix_corpus" ->
       """WITH w AS (
         |  SELECT doc_id, source,
@@ -1922,6 +1991,7 @@ object TextAnalysis {
     "text_repetition"         -> (textRepetition _),
     "text_split_assign"       -> (textSplitAssign _),
     "text_mix_corpus"         -> (textMixCorpus _),
+    "text_pii_redact"         -> (textPiiRedact _),
     "text_pack_bins"          -> (textPackBins _),
     "text_boilerplate_strip"  -> (textBoilerplateStrip _),
     "text_token_budget_mix"   -> (textTokenBudgetMix _),
