@@ -87,7 +87,8 @@ object Plans {
       "multimodal_phash", "multimodal_phash_neardup", "sim_index_cdc",
       "lake_date_pruning", "lake_partition_pruning",
       "lake_string_pruning", "lake_merge_conditional",
-      "lake_mor_changes")
+      "lake_mor_changes", "lake_merge_nmbs_update", "lake_constraints",
+      "lake_sink_aggregate", "text_mix_corpus", "text_pii_redact")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `runMain graft.Plans`)\n\n")
