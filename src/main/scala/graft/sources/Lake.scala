@@ -1860,6 +1860,29 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   def filesDf(): DataFrame = filesDf(latestVersion)
 
+  /** DESCRIBE DETAIL — one metadata-only row summarizing a snapshot:
+    * layout identity (key/partition/stats columns), size (files, rows,
+    * tombstones), and the evolution state (renamed columns via the
+    * column map, CHECK constraints, recorded schema). The SQL surface is
+    * the `graft_lake_detail` table function. */
+  def detailDf(version: Int): DataFrame = {
+    val m = manifest(version)
+    val renames = m.columnMap.toSeq.sorted
+      .map { case (l, p) => s"$l<-$p" }.mkString(",")
+    val cons = m.constraints.toSeq.sorted
+      .map { case (n, e) => s"$n: $e" }.mkString("; ")
+    spark.createDataFrame(Seq((
+      m.version, m.operation, m.keyCol,
+      m.files.size, m.files.map(_.rows).sum, m.tombstones.size,
+      m.partitionCols.mkString(","), m.statsCols.mkString(","),
+      renames, cons, m.schemaDdl.getOrElse(""))))
+      .toDF("version", "operation", "key_col", "n_files", "n_rows",
+        "n_tombstone_files", "partition_cols", "stats_cols",
+        "renamed_columns", "check_constraints", "schema_ddl")
+  }
+
+  def detailDf(): DataFrame = detailDf(latestVersion)
+
   /** Manifest-pruned key-range read of the latest snapshot: only files
     * whose [min,max] intersects [lo,hi] enter the scan AT PLANNING TIME
     * (the others never appear in the relation — no I/O, no tasks), then
@@ -3609,6 +3632,19 @@ class LakeTable(spark: SparkSession, val root: String) {
     * retention sweep. Returns (manifests, data files) that would drop. */
   def vacuumDryRun(retainVersions: Int): (Int, Int) =
     vacuumImpl(retainVersions, dryRun = true)
+
+  /** Retention by WALL CLOCK: drop history strictly older than the
+    * snapshot current at `tsMillis` (that snapshot itself stays — a
+    * reader pinned to "the table as of ts" must keep resolving), the
+    * `VACUUM … OLDER THAN` shape. A moment before the earliest retained
+    * commit is a no-op. */
+  def vacuumOlderThan(tsMillis: Long, dryRun: Boolean = false): (Int, Int) = {
+    val horizon =
+      try versionAt(tsMillis)
+      catch { case _: IllegalArgumentException => return (0, 0) }
+    val retain = latestVersion - horizon + 1
+    vacuumImpl(retain, dryRun)
+  }
 
   private def vacuumImpl(retainVersions: Int, dryRun: Boolean): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the latest version")

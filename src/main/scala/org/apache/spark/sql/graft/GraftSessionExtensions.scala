@@ -115,6 +115,20 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           .getOrElse(t.latestVersion)
         t.filesDf(v).queryExecution.analyzed
       }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_lake_detail"),
+      new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,
+        "graft_lake_detail"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 2,
+          "graft_lake_detail takes (rootPath) or (rootPath, version)")
+        val spark = SparkSession.active
+        val t = new graft.sources.LakeTable(spark,
+          strArg("graft_lake_detail")(children.head))
+        val v = children.lift(1).map(intArg("graft_lake_detail"))
+          .getOrElse(t.latestVersion)
+        t.detailDf(v).queryExecution.analyzed
+      }))
     // Whole-operator extension tier: the native AS-OF join's planner
     // strategy (logical node AsOfJoinPlan → physical AsOfJoinExec) and the
     // optimizer rule restoring predicate pushdown through the custom node.

@@ -37,6 +37,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * ALTER TABLE graft_lake('<root>') ADD CONSTRAINT <n> CHECK (<expr>)
   * ALTER TABLE graft_lake('<root>') DROP CONSTRAINT <n>
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS [DRY RUN]
+  * VACUUM graft_lake('<root>') OLDER THAN '<ts>' [DRY RUN]
   * }}}
   *
   * READ side, in every non-DML statement: `FROM graft_lake('<root>')
@@ -431,13 +432,23 @@ object GraftSqlParser {
       lakeTarget(sc).map(root => parseOptimize(sc, root, delegate))
     } else if (sc.keyword("VACUUM")) {
       lakeTarget(sc).map { root =>
-        sc.expect("RETAIN")
-        val n = sc.int()
-        sc.expect("VERSIONS")
-        val dry = sc.keyword("DRY")
-        if (dry) sc.expect("RUN")
-        sc.assertEnd()
-        LakeVacuumCommand(root, n, dry)
+        if (sc.keyword("OLDER")) {
+          sc.expect("THAN")
+          val ts = sc.quotedLiteral()
+          val dry = sc.keyword("DRY")
+          if (dry) sc.expect("RUN")
+          sc.assertEnd()
+          LakeVacuumCommand(root, 0, dry,
+            olderThan = Some(ts.substring(1, ts.length - 1)))
+        } else {
+          sc.expect("RETAIN")
+          val n = sc.int()
+          sc.expect("VERSIONS")
+          val dry = sc.keyword("DRY")
+          if (dry) sc.expect("RUN")
+          sc.assertEnd()
+          LakeVacuumCommand(root, n, dry)
+        }
       }
     } else None
   }
@@ -958,14 +969,20 @@ case class LakeAlterCommand(root: String, verb: String, column: String,
   * [[graft.sources.LakeTable.vacuum]] (or its zero-mutation dry run).
   * Returns (manifests, files) removed — or would-be-removed. */
 case class LakeVacuumCommand(root: String, retain: Int,
-                             dryRun: Boolean = false)
+                             dryRun: Boolean = false,
+                             olderThan: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("manifests_removed", IntegerType, nullable = false)(),
     AttributeReference("data_files_removed", IntegerType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = new graft.sources.LakeTable(spark, root)
-    val (m, f) = if (dryRun) t.vacuumDryRun(retain) else t.vacuum(retain)
+    val (m, f) = olderThan match {
+      case Some(ts) =>
+        t.vacuumOlderThan(graft.sources.Lake.parseTsMillis(ts), dryRun)
+      case None =>
+        if (dryRun) t.vacuumDryRun(retain) else t.vacuum(retain)
+    }
     Seq(Row(m, f))
   }
 }

@@ -485,6 +485,40 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("graft_lake_detail + VACUUM OLDER THAN: admin surface by wall clock") {
+    withExtendedSession { s =>
+      val t = mkTable(s) // v0: 90 rows, 3 files
+      t.renameColumn("payload", "note")
+      t.addConstraint("amt_pos", "amount > 0.0")
+      // DESCRIBE DETAIL from SQL: one metadata-only row
+      val d = s.sql(s"SELECT * FROM graft_lake_detail('${t.root}')")
+        .collect()(0)
+      d.getAs[Int]("version") shouldBe 2
+      d.getAs[String]("key_col") shouldBe "k"
+      d.getAs[Int]("n_files") shouldBe 3
+      d.getAs[Long]("n_rows") shouldBe 90L
+      d.getAs[String]("renamed_columns") shouldBe "note<-payload"
+      d.getAs[String]("check_constraints") should include("amt_pos")
+      // wall-clock retention: everything older than v2's commit drops,
+      // v2 (the snapshot current at that moment) stays resolvable
+      val ts2 = t.history().filter(col("version") === 2)
+        .select("commit_ts").collect()(0).getLong(0)
+      val dry = s.sql(
+        s"VACUUM graft_lake('${t.root}') OLDER THAN '$ts2' DRY RUN")
+        .collect()(0)
+      dry.getInt(0) shouldBe 2 // v0, v1 manifests would drop
+      t.hasVersion(0) shouldBe true // dry run mutated nothing
+      s.sql(s"VACUUM graft_lake('${t.root}') OLDER THAN '$ts2'").collect()
+      t.hasVersion(0) shouldBe false
+      t.hasVersion(2) shouldBe true
+      t.read().count() shouldBe 90L
+      // a moment before the earliest retained commit is a no-op
+      val r0 = s.sql(s"VACUUM graft_lake('${t.root}') OLDER THAN '0'")
+        .collect()(0)
+      (r0.getInt(0), r0.getInt(1)) shouldBe ((0, 0))
+    }
+  }
+
   test("VACUUM DRY RUN: reports the sweep without mutating anything") {
     withExtendedSession { s =>
       val t = mkTable(s)
