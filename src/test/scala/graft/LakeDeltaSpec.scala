@@ -347,6 +347,104 @@ class LakeDeltaSpec extends SparkTestBase {
     t.read().count() shouldBe 90L
   }
 
+  test("property: random verb interleave with planted racers stays serializable") {
+    // 24 random verbs (merge / COW delete / deferred delete / update /
+    // insert / conditional merge / compact / binpack / rename), ~1/3 of
+    // them LOSING a planted race to a concurrent inserter — the final
+    // table must equal a MODEL applying the serialization order (racer
+    // first, then the replayed/rebased verb) by hand. Deterministic
+    // seed: failures reproduce.
+    val rnd = new scala.util.Random(12)
+    val t = Lake.create(spark, Lake.freshRoot(),
+      (1L to 200L).map(k => (k, s"p$k", "A")).toDF("k", "payload", "status"),
+      "k", 4)
+    val racer = new graft.sources.LakeTable(spark, t.root)
+    val model = scala.collection.mutable.Map.empty[Long, (String, String)]
+    (1L to 200L).foreach(k => model(k) = (s"p$k", "A"))
+    var nextFresh = 1000L
+    var payloadCol = "payload" // flips after the mid-sequence rename
+    def freshKey(): Long = { nextFresh += 1; nextFresh }
+    def df(rows: Seq[(Long, String, String)]) =
+      rows.toDF("k", payloadCol, "status")
+    for (step <- 1 to 24) {
+      // maybe plant a racer: a fresh-key insert that wins the version
+      // race — serialization order puts it FIRST. A verb that turns out
+      // to be a NO-OP (empty update hit, nothing to binpack) never
+      // commits and never triggers the plant, so the racer runs right
+      // after instead — same serial order either way.
+      var racerRow: Option[Long] = None
+      var planted = false
+      if (rnd.nextInt(3) == 0) {
+        val rk = freshKey()
+        racerRow = Some(rk)
+        t.onBeforeCommit = () => {
+          if (!planted) {
+            planted = true
+            racer.insertAll(df(Seq((rk, s"race$rk", "R"))))
+          }
+        }
+        model(rk) = (s"race$rk", "R")
+      } else t.onBeforeCommit = () => ()
+      rnd.nextInt(9) match {
+        case 0 => // keyed upsert batch: some existing, some fresh
+          val rows = (1 to 5).map { _ =>
+            val k = if (rnd.nextBoolean()) rnd.nextLong(200) + 1 else freshKey()
+            (k, s"m$step-$k", "M")
+          }.distinctBy(_._1)
+          rows.foreach { case (k, p, s0) => model(k) = (p, s0) }
+          t.mergeWithRetry(df(rows))
+        case 1 => // COW delete of (maybe-absent) keys
+          val ks = (1 to 3).map(_ => rnd.nextLong(250) + 1)
+          ks.foreach(model.remove)
+          t.deleteWithRetry(ks.toDF("k"))
+        case 2 => // deferred (tombstone) delete
+          val ks = (1 to 3).map(_ => rnd.nextLong(250) + 1)
+          ks.foreach(model.remove)
+          t.deleteDeferredWithRetry(ks.toDF("k"))
+        case 3 => // predicate update over the current logical names
+          model.keys.toSeq.foreach { k =>
+            if (k % 10 == step % 10)
+              model(k) = (model(k)._1, s"U$step")
+          }
+          t.updateWithRetry(col("k") % 10 === step % 10,
+            Seq("status" -> lit(s"U$step")))
+        case 4 => // append-only insert of fresh keys
+          val rows = (1 to 3).map(_ => { val k = freshKey(); (k, s"i$k", "I") })
+          rows.foreach { case (k, p, s0) => model(k) = (p, s0) }
+          t.insertAllWithRetry(df(rows))
+        case 5 => // conditional merge: delete claused on source status
+          val victim = rnd.nextLong(200) + 1
+          val keep = freshKey()
+          val rows = Seq((victim, "DEAD", "D"), (keep, s"c$keep", "C"))
+          model.remove(victim)
+          model(keep) = (s"c$keep", "C")
+          t.mergeIntoWithRetry(df(rows),
+            whenMatchedDeleteIf = Some(col("source.status") === "D"),
+            whenMatchedUpdateIf = Some(lit(false)),
+            whenNotMatchedInsertIf = Some(col("source.status") === "C"))
+        case 6 => t.compactWithRetry(4)
+        case 7 => t.compactBinPackWithRetry(10L, 60L)
+        case 8 if step == 12 => // one mid-sequence metadata-only rename
+          t.renameColumnWithRetry("payload", "note")
+          payloadCol = "note"
+        case _ => t.compactWithRetry(3)
+      }
+      racerRow.foreach { rk =>
+        if (!planted) {
+          planted = true
+          racer.insertAll(df(Seq((rk, s"race$rk", "R"))))
+        }
+      }
+    }
+    t.onBeforeCommit = () => ()
+    val got = t.read()
+      .select(col("k"), col(payloadCol), col("status"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    got.size shouldBe model.size
+    got shouldBe model.toMap
+  }
+
   test("epoch tags qualified by appId: interleaved writers never collide") {
     val df = (1L to 90L).map(k => (k, s"val$k")).toDF("k", "payload")
     val t = Lake.create(spark, Lake.freshRoot(), df, "k", 1)
