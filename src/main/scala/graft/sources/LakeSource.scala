@@ -166,12 +166,29 @@ private[sources] class LakeMergeSink(root: String, appId: String,
                                       replaceAll: Boolean = false)
     extends Sink {
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
     val batch = org.apache.spark.sql.graft.StreamBridge
       .batchDataFrame(data).localCheckpoint()
-    val t = new LakeTable(data.sparkSession, root)
+    val t = new LakeTable(spark, root)
     if (replaceAll) t.replaceAllEpoch(batch, batchId, appId)
     else if (insertOnly) t.insertEpoch(batch, batchId, appId)
     else t.mergeEpoch(batch, batchId, appId)
+    // AUTO-BINPACK (off by default): streaming micro-batches are what
+    // fragment a table — with spark.graft.lake.autoBinpack.minRows set,
+    // the sink folds accumulated sub-threshold files back to ~2x-target
+    // files once enough pile up, as its own ordinary commit (an
+    // incremental O(small files) sweep, never a full compact). A lost
+    // race or concurrent sweep is harmless: binpack is idempotent and
+    // no-ops when nothing is small.
+    val minRows = spark.conf
+      .get("spark.graft.lake.autoBinpack.minRows", "0").toLong
+    if (minRows > 0) {
+      val minFiles = spark.conf
+        .get("spark.graft.lake.autoBinpack.minFiles", "4").toInt
+      val m = t.manifest(t.latestVersion)
+      if (m.files.count(_.rows < minRows) >= minFiles)
+        t.compactBinPackWithRetry(minRows)
+    }
     ()
   }
 }

@@ -793,6 +793,48 @@ class StreamingSpec extends SparkTestBase {
     e.getMessage should include("duplicate existing keys")
     q2.stop()
   }
+  test("graft-lake sink auto-binpack folds streaming small files") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = (1L to 60L).map(k => (k, s"v$k")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-abp-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    spark.conf.set("spark.graft.lake.autoBinpack.minRows", "10")
+    spark.conf.set("spark.graft.lake.autoBinpack.minFiles", "3")
+    try {
+      def start() = in.toDF().toDF("k", "payload")
+        .writeStream.format("graft-lake")
+        .option("path", table.root)
+        .option("checkpointLocation", ckpt)
+        .option("mode", "insert")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // four single-row appends: after the threshold, the sink folds the
+      // slivers into one right-sized file as its own commit
+      (1 to 4).foreach { i =>
+        in.addData((1000L + i, s"s$i"))
+        val q = start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // the threshold fired mid-stream: slivers folded (the fold itself
+      // may still be sub-threshold — it re-packs on the NEXT trigger),
+      // so the sliver count stays bounded instead of growing per batch
+      val m = table.manifest(table.latestVersion)
+      m.files.count(_.rows < 10L) should be <= 2
+      table.history().filter(col("operation") === "optimize-binpack")
+        .count() should be >= 1L
+      table.read().count() shouldBe 64L
+      table.read().agg(max("k")).collect()(0).getLong(0) shouldBe 1004L
+    } finally {
+      spark.conf.unset("spark.graft.lake.autoBinpack.minRows")
+      spark.conf.unset("spark.graft.lake.autoBinpack.minFiles")
+    }
+  }
+
   test("graft-lake sink refuses a session-conf-only checkpoint (shared appId)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
