@@ -670,6 +670,26 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: ANALYZE — retrofit statistics without moving data. The
+    * lake is created with NO stats columns; `ANALYZE TABLE … COMPUTE
+    * STATISTICS FOR COLUMNS` re-manifests every file with custkey/
+    * priority bounds (zero data movement — spec-pinned in
+    * `LakeSqlDmlSpec`), and the subsequent filtered aggregate reads
+    * through the now-prunable path; the oracle states the same slice
+    * raw. */
+  def lakeAnalyze(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    spark.sql(s"ANALYZE TABLE graft_lake('${t.root}') " +
+      "COMPUTE STATISTICS FOR COLUMNS o_custkey, o_orderpriority").collect()
+    t.read()
+      .filter(col("o_custkey") <= 300L)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: CHECK constraints — the per-row write gate. Two
     * constraints land as metadata-only commits; a conforming MERGE
     * passes through the in-write assert, a VIOLATING insert fails its
@@ -810,6 +830,7 @@ object Lake {
     "lake_optimize_where" -> (lakeOptimizeWhere _),
     "lake_constraints" -> (lakeConstraints _),
     "lake_merge_nmbs_update" -> (lakeMergeNmbsUpdate _),
+    "lake_analyze" -> (lakeAnalyze _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
@@ -865,6 +886,12 @@ object Lake {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders
         |WHERE o_custkey <= 300 AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_analyze" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_custkey <= 300
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_merge_nmbs_update" ->
@@ -1705,6 +1732,84 @@ class LakeTable(spark: SparkSession, val root: String) {
         coalesce(expr(e), lit(true)),
         lit(s"$verb violates CHECK constraint '$n' ($e)")).isNull, lit(true)))
     }
+
+  /** ANALYZE — retrofit per-file statistics for `cols` (LOGICAL names)
+    * onto an EXISTING table: one column-pruned scan computes each
+    * file's min/max/null counts, the commit re-manifests every entry
+    * with the richer stats, and NO data file moves — data skipping on a
+    * new predicate column becomes adoptable without the full rewrite an
+    * `OPTIMIZE … SORT BY` would pay (stats without re-clustering still
+    * skip whenever values correlate with the existing layout). Commits
+    * as a FULL (anchor) delta: its adds ARE the state, metadata
+    * proportional to the file count — the honest cost of touching every
+    * entry's stats. */
+  def analyzeColumns(cols: Seq[String]): MergeStats = {
+    require(cols.nonEmpty, "ANALYZE needs at least one column")
+    val v = latestVersion
+    val m = manifest(v)
+    if (m.files.isEmpty) return MergeStats(v, 0, 0, 0, 0L)
+    val physCols = cols.map(c => m.columnMap.getOrElse(c, c)).distinct
+    val data = readFiles(m, m.files)
+    physCols.foreach(c => require(data.columns.contains(c),
+      s"ANALYZE of unknown column '$c'"))
+    import org.apache.spark.sql.types.StringType
+    val (strStats, numStats) = physCols.partition(c =>
+      data.schema(c).dataType == StringType)
+    val numAggs = numStats.flatMap(c => Seq(
+      min(Lake.statLong(data, c)).as(s"mn_$c"),
+      max(Lake.statLong(data, c)).as(s"mx_$c")))
+    val strAggs = strStats.flatMap(c => Seq(
+      min(col(c)).as(s"smn_$c"), max(col(c)).as(s"smx_$c")))
+    val ordered = numStats ++ strStats
+    val nullAggs = ordered.map(c => count(col(c)).as(s"nn_$c"))
+    val aggs = (count(lit(1)).as("rows") +: (numAggs ++ strAggs ++ nullAggs))
+    val strBase = 2 + 2 * numStats.size
+    val nullBase = strBase + 2 * strStats.size
+    val byName = data.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val cs = numStats.zipWithIndex.flatMap { case (c, i) =>
+          val (mnI, mxI) = (2 + 2 * i, 3 + 2 * i)
+          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+          else Some(c -> ((r.getLong(mnI), r.getLong(mxI))))
+        }.toMap
+        val scs = strStats.zipWithIndex.flatMap { case (c, i) =>
+          val (mnI, mxI) = (strBase + 2 * i, strBase + 2 * i + 1)
+          if (r.isNullAt(mnI) || r.isNullAt(mxI)) None
+          else {
+            val (mn, mx) = (r.getString(mnI), r.getString(mxI))
+            if (!Lake.isAscii(mn) || !Lake.isAscii(mx)) None
+            else Lake.strUpper(mx).map(up => c -> ((Lake.strLower(mn), up)))
+          }
+        }.toMap
+        val rowsN = r.getLong(1)
+        val ns = ordered.zipWithIndex.map { case (c, i) =>
+          c -> (rowsN - r.getLong(nullBase + i))
+        }.toMap
+        new Path(r.getString(0)).getName -> ((cs, scs, ns))
+      }.toMap
+    val newFiles = m.files.map { f =>
+      byName.get(new Path(f.path).getName) match {
+        case Some((cs, scs, ns)) =>
+          f.copy(cols = f.cols ++ cs, scols = f.scols ++ scs,
+            nulls = f.nulls ++ ns)
+        case None => f
+      }
+    }
+    val newStatsCols = (m.statsCols ++ physCols).distinct
+    commitAndIndex(Delta(v + 1, v, s"analyze-${physCols.mkString("-")}",
+      m.keyCol, newStatsCols, m.partitionCols, full = true,
+      adds = newFiles, removes = Nil, tombstoneAdds = m.tombstones,
+      tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap, constraints = m.constraints),
+      newFiles, m.tombstones)
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  def analyzeColumnsWithRetry(cols: Seq[String],
+                              maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(analyzeColumns(cols))
 
   /** ALTER TABLE … ADD CONSTRAINT — a named CHECK expression (LOGICAL
     * column names) every future write enforces per row, in the write

@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * ALTER TABLE graft_lake('<root>') DROP COLUMN <a>
   * ALTER TABLE graft_lake('<root>') ADD CONSTRAINT <n> CHECK (<expr>)
   * ALTER TABLE graft_lake('<root>') DROP CONSTRAINT <n>
+  * ANALYZE TABLE graft_lake('<root>') COMPUTE STATISTICS FOR COLUMNS c1, ...
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS [DRY RUN]
   * VACUUM graft_lake('<root>') OLDER THAN '<ts>' [DRY RUN]
   * }}}
@@ -427,6 +428,17 @@ object GraftSqlParser {
         } else fail("ALTER TABLE graft_lake(…) supports RENAME COLUMN " +
           "a TO b, DROP COLUMN a, ADD CONSTRAINT n CHECK (expr), and " +
           "DROP CONSTRAINT n")
+      }
+    } else if (sc.keyword("ANALYZE")) {
+      if (!sc.keyword("TABLE")) None
+      else lakeTarget(sc).map { root =>
+        sc.expect("COMPUTE")
+        sc.expect("STATISTICS")
+        sc.expect("FOR")
+        sc.expect("COLUMNS")
+        val cols = sc.topLevelSplit(sc.restStmt())
+        if (cols.isEmpty) fail("ANALYZE needs at least one column")
+        LakeAnalyzeCommand(root, cols)
       }
     } else if (sc.keyword("OPTIMIZE")) {
       lakeTarget(sc).map(root => parseOptimize(sc, root, delegate))
@@ -962,6 +974,18 @@ case class LakeAlterCommand(root: String, verb: String, column: String,
       case "drop-constraint" => t.dropConstraintWithRetry(column)
       case other => throw new IllegalStateException(s"unknown alter $other")
     })
+  }
+}
+
+/** `ANALYZE TABLE graft_lake(…) COMPUTE STATISTICS FOR COLUMNS c1, …` →
+  * [[graft.sources.LakeTable.analyzeColumns]] — retrofit per-file
+  * min/max/null statistics without moving data. */
+case class LakeAnalyzeCommand(root: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new graft.sources.LakeTable(spark, root)
+    GraftSqlParser.statsRow(t.analyzeColumnsWithRetry(cols))
   }
 }
 

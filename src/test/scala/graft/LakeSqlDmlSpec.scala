@@ -485,6 +485,43 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("ANALYZE: retrofit stats without moving data; pruning activates") {
+    withExtendedSession { s =>
+      import s.implicits._
+      // v correlates with the key layout, but carries NO stats at create
+      val df = (1L to 90L).map(k => (k, k * 2, s"v$k")).toDF("k", "v", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 3)
+      def scanned(q: org.apache.spark.sql.DataFrame): Long =
+        q.select(input_file_name()).distinct().count()
+      // before: a v-filter reads every covering file (no bounds to skip on)
+      // (rows from only one file match, but the PLAN scans all three —
+      // check via the manifest-prune rule's effect on inputFiles)
+      val files0 = t.manifest(0).files.map(_.path).toSet
+      val stats = s.sql(s"ANALYZE TABLE graft_lake('${t.root}') " +
+        "COMPUTE STATISTICS FOR COLUMNS v, payload").collect()(0)
+      // zero data movement: same physical files, new manifest entries
+      t.manifest(t.latestVersion).files.map(_.path).toSet shouldBe files0
+      t.manifest(t.latestVersion).statsCols should contain allOf ("v", "payload")
+      t.manifest(t.latestVersion).files.foreach { f =>
+        f.cols.keySet should contain("v")
+        f.scols.keySet should contain("payload")
+        f.nulls.keySet should contain allOf ("v", "payload")
+      }
+      // pruning on the retrofitted column: only the covering file scans
+      scanned(t.read().filter(col("v") <= 20L)) shouldBe 1L
+      t.read().filter(col("v") <= 20L).count() shouldBe 10L
+      // string bounds prune equality predicates too
+      t.read().filter(col("payload") === "v5").count() shouldBe 1L
+      // content untouched
+      t.read().count() shouldBe 90L
+      // unknown column refuses
+      intercept[Exception] {
+        s.sql(s"ANALYZE TABLE graft_lake('${t.root}') " +
+          "COMPUTE STATISTICS FOR COLUMNS nope").collect()
+      }.getMessage should include("unknown column")
+    }
+  }
+
   test("graft_lake_detail + VACUUM OLDER THAN: admin surface by wall clock") {
     withExtendedSession { s =>
       val t = mkTable(s) // v0: 90 rows, 3 files
