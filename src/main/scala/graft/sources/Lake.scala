@@ -613,6 +613,36 @@ object Lake {
       .orderBy("o_orderstatus")
   }
 
+  /** Gated lane: SQL RESTORE + SHALLOW CLONE — the undo-and-branch pair.
+    * An UPDATE mutates priorities (v1), a DELETE erases keys (v2); a
+    * SHALLOW CLONE pinned `VERSION AS OF 1` branches the post-update
+    * snapshot into an independent zero-copy table, then `RESTORE TABLE …
+    * TO VERSION AS OF 0` rolls the source back as a NEW commit. The
+    * restored table must aggregate exactly like the raw data and the
+    * clone exactly like the post-update state — a restore that deleted
+    * history (instead of re-referencing it) or a clone that tracked the
+    * source past its pin diverges one phase or the other. */
+  def lakeSqlRestore(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    spark.sql(s"UPDATE graft_lake('${t.root}') SET o_orderpriority = " +
+      "'0-UPDATED' WHERE o_orderkey % 100 = 0").collect()
+    spark.sql(s"DELETE FROM graft_lake('${t.root}') " +
+      "WHERE o_orderkey % 100 = 7").collect()
+    val cloneRoot = freshRoot() + "/clone"
+    spark.sql(s"CREATE TABLE graft_lake('$cloneRoot') SHALLOW CLONE " +
+      s"graft_lake('${t.root}') VERSION AS OF 1").collect()
+    spark.sql(s"RESTORE TABLE graft_lake('${t.root}') " +
+      "TO VERSION AS OF 0").collect()
+    def agg(df: DataFrame, phase: String): DataFrame = df
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .withColumn("phase", lit(phase))
+    agg(t.read(), "restored")
+      .unionByName(agg(new LakeTable(spark, cloneRoot).read(), "clone"))
+      .select("phase", "o_orderpriority", "n_orders")
+      .orderBy("phase", "o_orderpriority")
+  }
+
   /** Gated lane: IN-list point lookups through the automatic pruning
     * path — the second-most-common lake predicate after ranges. A
     * 16-member IN list (past Spark's InSet conversion threshold, so the
@@ -839,6 +869,7 @@ object Lake {
     "lake_sql_update" -> (lakeSqlUpdate _),
     "lake_sql_delete" -> (lakeSqlDelete _),
     "lake_sql_maintenance" -> (lakeSqlMaintenance _),
+    "lake_sql_restore" -> (lakeSqlRestore _),
     "lake_merge_conditional" -> (lakeMergeConditional _),
     "lake_string_pruning" -> (lakeStringPruning _),
     "lake_sql_time_travel" -> (lakeSqlTimeTravel _),
@@ -983,6 +1014,18 @@ object Lake {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_totalprice >= 50000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_restore" ->
+      """WITH upd AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders),
+        |ph AS (
+        |  SELECT 'restored' AS phase, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT 'clone', o_orderpriority FROM upd)
+        |SELECT phase, o_orderpriority, count(*) AS n_orders
+        |FROM ph GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "lake_sql_maintenance" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
@@ -3436,16 +3479,20 @@ class LakeTable(spark: SparkSession, val root: String) {
     * cannot destroy source data (and vice versa: a SOURCE vacuum can
     * still orphan files the clone references — deep-copy when lifetimes
     * must decouple). Hive-partitioned tables refuse (partition-value
-    * recovery needs a single basePath). */
-  def cloneShallow(newRoot: String): LakeTable = {
-    val m = manifest(latestVersion)
+    * recovery needs a single basePath). `version` < 0 clones the current
+    * snapshot; any retained version clones AS OF that snapshot — the
+    * dev-copy-of-last-week verb, still zero bytes. */
+  def cloneShallow(newRoot: String, version: Int = -1): LakeTable = {
+    val v = if (version < 0) latestVersion else version
+    require(hasVersion(v), s"cannot clone: v$v was vacuumed")
+    val m = manifest(v)
     require(m.partitionCols.isEmpty,
       "shallow clone of a hive-partitioned table is not supported: " +
         "partition-value recovery needs a single basePath — deep-copy instead")
     def absolute(fs0: Seq[FileEntry]): Seq[FileEntry] = fs0.map(f =>
       f.copy(path = new Path(rootPath, f.path).toString))
     val t = new LakeTable(spark, newRoot)
-    t.commitAndIndex(Delta(0, -1, s"clone-of-$rootPath@v$latestVersion",
+    t.commitAndIndex(Delta(0, -1, s"clone-of-$rootPath@v$v",
       m.keyCol, m.statsCols, Nil, full = true, adds = absolute(m.files),
       removes = Nil, tombstoneAdds = absolute(m.tombstones),
       tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,

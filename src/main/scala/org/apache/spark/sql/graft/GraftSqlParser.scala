@@ -39,6 +39,10 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * ANALYZE TABLE graft_lake('<root>') COMPUTE STATISTICS FOR COLUMNS c1, ...
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS [DRY RUN]
   * VACUUM graft_lake('<root>') OLDER THAN '<ts>' [DRY RUN]
+  * RESTORE TABLE graft_lake('<root>') TO VERSION AS OF <n>
+  *   | TO TIMESTAMP AS OF '<ts>'
+  * CREATE TABLE graft_lake('<new>') SHALLOW CLONE graft_lake('<src>')
+  *   [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   * }}}
   *
   * READ side, in every non-DML statement: `FROM graft_lake('<root>')
@@ -348,6 +352,19 @@ object GraftSqlParser {
     out.toString
   }
 
+  /** Optional `VERSION AS OF <n>` / `TIMESTAMP AS OF '<ts>'` suffix:
+    * (Some(version), None), (None, Some(ts)), or (None, None) when
+    * absent — the shared snapshot-pin grammar of RESTORE and CLONE. */
+  private def parseAsOf(sc: Scan): (Option[Int], Option[String]) =
+    if (sc.keyword("VERSION")) {
+      sc.expect("AS"); sc.expect("OF")
+      (Some(sc.int()), None)
+    } else if (sc.keyword("TIMESTAMP")) {
+      sc.expect("AS"); sc.expect("OF")
+      val q = sc.quotedLiteral()
+      (None, Some(q.substring(1, q.length - 1)))
+    } else (None, None)
+
   /** `graft_lake ( '<root>' )` after the verb keyword(s); None if the
     * statement targets something else (→ delegate untouched). */
   private def lakeTarget(sc: Scan): Option[String] = {
@@ -364,6 +381,14 @@ object GraftSqlParser {
     if (sc.keyword("CREATE")) {
       if (!sc.keyword("TABLE")) None
       else lakeTarget(sc).map { root =>
+        if (sc.keyword("SHALLOW")) {
+          sc.expect("CLONE")
+          val src = lakeTarget(sc).getOrElse(
+            fail("SHALLOW CLONE needs a graft_lake('<root>') source"))
+          val (ver, ts) = parseAsOf(sc)
+          sc.assertEnd()
+          LakeCloneCommand(root, src, ver, ts)
+        } else {
         sc.expect("KEY")
         val key = sc.ident()
         val files = if (sc.keyword("FILES")) sc.int() else 8
@@ -377,6 +402,18 @@ object GraftSqlParser {
         val src = sc.restStmt()
         if (src.isEmpty) fail("CREATE TABLE graft_lake(…) … AS needs a query")
         LakeCreateCommand(root, key, files, pcols, stats, src)
+        }
+      }
+    } else if (sc.keyword("RESTORE")) {
+      if (!sc.keyword("TABLE")) None
+      else lakeTarget(sc).map { root =>
+        sc.expect("TO")
+        val (ver, ts) = parseAsOf(sc)
+        if (ver.isEmpty && ts.isEmpty)
+          fail("RESTORE TABLE graft_lake(…) TO needs VERSION AS OF <n> " +
+            "or TIMESTAMP AS OF '<ts>'")
+        sc.assertEnd()
+        LakeRestoreCommand(root, ver, ts)
       }
     } else if (sc.keyword("MERGE")) {
       sc.expect("INTO")
@@ -1008,5 +1045,40 @@ case class LakeVacuumCommand(root: String, retain: Int,
         if (dryRun) t.vacuumDryRun(retain) else t.vacuum(retain)
     }
     Seq(Row(m, f))
+  }
+}
+
+/** `RESTORE TABLE graft_lake(…) TO VERSION AS OF n | TIMESTAMP AS OF
+  * '<ts>'` → [[graft.sources.LakeTable.restore]] — roll the table back
+  * to the pinned snapshot AS A NEW COMMIT (history stays inspectable,
+  * zero data movement). */
+case class LakeRestoreCommand(root: String, version: Option[Int],
+                              timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new graft.sources.LakeTable(spark, root)
+    val v = version.getOrElse(
+      t.versionAt(graft.sources.Lake.parseTsMillis(timestamp.get)))
+    GraftSqlParser.statsRow(t.restoreWithRetry(v))
+  }
+}
+
+/** `CREATE TABLE graft_lake('<new>') SHALLOW CLONE graft_lake('<src>')
+  * [VERSION AS OF n | TIMESTAMP AS OF '<ts>']` →
+  * [[graft.sources.LakeTable.cloneShallow]] — a new independently-
+  * committing table referencing the source snapshot's files zero-copy. */
+case class LakeCloneCommand(newRoot: String, srcRoot: String,
+                            version: Option[Int], timestamp: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = new graft.sources.LakeTable(spark, srcRoot)
+    val v = version.getOrElse(timestamp.fold(-1)(ts =>
+      src.versionAt(graft.sources.Lake.parseTsMillis(ts))))
+    val c = src.cloneShallow(newRoot, v)
+    val m = c.manifest(0)
+    GraftSqlParser.statsRow(
+      graft.sources.Lake.MergeStats(0, m.files.size, 0, 0, 0L))
   }
 }

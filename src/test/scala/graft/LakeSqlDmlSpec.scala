@@ -556,6 +556,48 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("RESTORE TABLE / SHALLOW CLONE: undo and branch from SQL") {
+    withExtendedSession { s =>
+      val t = mkTable(s) // v0: 90 rows, 3 files
+      s.sql(s"UPDATE graft_lake('${t.root}') SET status = 'B' " +
+        "WHERE k <= 30").collect() // v1
+      s.sql(s"DELETE FROM graft_lake('${t.root}') WHERE k > 60").collect() // v2
+      // branch the post-update snapshot zero-copy
+      val cloneRoot = Lake.freshRoot() + "/c"
+      val cs = s.sql(s"CREATE TABLE graft_lake('$cloneRoot') SHALLOW CLONE " +
+        s"graft_lake('${t.root}') VERSION AS OF 1").collect()(0)
+      cs.getInt(0) shouldBe 0 // the clone's own v0
+      val c = new graft.sources.LakeTable(s, cloneRoot)
+      c.read().count() shouldBe 90L
+      c.read().filter(col("status") === "B").count() shouldBe 30L
+      // roll the source back; history stays inspectable
+      s.sql(s"RESTORE TABLE graft_lake('${t.root}') TO VERSION AS OF 0")
+        .collect()(0).getInt(0) shouldBe 3
+      t.read().count() shouldBe 90L
+      t.read().filter(col("status") === "B").count() shouldBe 0L
+      t.manifest(3).operation shouldBe "restore-v0"
+      t.hasVersion(2) shouldBe true
+      // wall-clock pin: restore to the moment v2 was current
+      val ts2 = t.history().filter(col("version") === 2)
+        .select("commit_ts").collect()(0).getLong(0)
+      s.sql(s"RESTORE TABLE graft_lake('${t.root}') " +
+        s"TO TIMESTAMP AS OF '$ts2'").collect()
+      t.read().count() shouldBe 60L
+      // the clone commits independently — the source never sees it
+      s.sql(s"DELETE FROM graft_lake('$cloneRoot') WHERE k <= 45").collect()
+      c.read().count() shouldBe 45L
+      t.read().count() shouldBe 60L
+      // refusals: RESTORE needs a pin; CLONE needs a lake source
+      intercept[Exception] {
+        s.sql(s"RESTORE TABLE graft_lake('${t.root}') TO").collect()
+      }.getMessage should include("VERSION AS OF")
+      intercept[Exception] {
+        s.sql(s"CREATE TABLE graft_lake('$cloneRoot') SHALLOW CLONE " +
+          "other_table").collect()
+      }.getMessage should include("graft_lake")
+    }
+  }
+
   test("VACUUM DRY RUN: reports the sweep without mutating anything") {
     withExtendedSession { s =>
       val t = mkTable(s)
