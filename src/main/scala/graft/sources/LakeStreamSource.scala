@@ -22,6 +22,19 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    timestamps, like `timestampAsOf`); a moment before the table
   *    existed replays all history. Mutually exclusive with
   *    `startingVersion`.
+  *  - `maxVersionsPerTrigger` (int > 0): ADMISSION CONTROL — cap each
+  *    micro-batch at that many commits. A stream that starts far behind
+  *    a busy table (a `startingVersion 1` backfill, a consumer restarted
+  *    after a long outage) otherwise lands its whole lag as ONE batch —
+  *    at 100 TB that is an unbounded shuffle and a checkpoint the sink
+  *    must swallow whole. Capped, the backfill drains as a sequence of
+  *    bounded batches, each its own committed offset: progress is
+  *    incremental, restart loses at most one span, and sink pressure is
+  *    constant. Restart-safe by the engine's own contract — on recovery
+  *    the last batch is re-handed to `getBatch` BEFORE new offsets are
+  *    requested, which re-seats the admission anchor above everything
+  *    the checkpoint already committed (no version skipped, none
+  *    re-delivered).
   *
   * Output schema: the table's data schema + `_change_type` (the standard
   * CDF vocabulary) + `_commit_version` (which commit produced the row).
@@ -61,6 +74,17 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
         catch { case _: IllegalArgumentException => 1 }
       })
       .getOrElse(table.latestVersion + 1)
+  private val maxVersionsPerTrigger: Option[Int] =
+    parameters.get("maxVersionsPerTrigger").map(_.toInt)
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    "maxVersionsPerTrigger must be a positive integer")
+
+  /** Highest version this source has offered (getOffset) or seen
+    * processed (getBatch — the engine re-hands the recovered batch's
+    * offsets here on restart, before asking for new ones). The admission
+    * cap extends from this anchor, so a capped stream never re-offers
+    * below what the checkpoint committed. */
+  private var admitted: Int = startingVersion - 1
 
   override val schema: StructType =
     LakeChangeFeedSource.feedSchema(spark, root)
@@ -72,11 +96,17 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
 
   override def getOffset: Option[Offset] = {
     val latest = table.latestVersion
-    if (latest >= startingVersion) Some(LongOffset(latest.toLong)) else None
+    val capped =
+      maxVersionsPerTrigger.fold(latest)(m => math.min(latest, admitted + m))
+    if (capped >= startingVersion) {
+      admitted = math.max(admitted, capped)
+      Some(LongOffset(capped.toLong))
+    } else None
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion - 1)
+    admitted = math.max(admitted, ver(end))
     val to = ver(end)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // per-commit micro-spans over the RETAINED versions in (from, to] —

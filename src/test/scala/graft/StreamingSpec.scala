@@ -368,6 +368,55 @@ class StreamingSpec extends SparkTestBase {
       Seq(1L, "U1", "U"), Seq(9L, "I9", "I"))
   }
 
+  test("maxVersionsPerTrigger: a lagged stream drains in bounded spans") {
+    // admission control — a stream starting 6 commits behind must not land
+    // its whole lag as one micro-batch; with the cap it drains as spans of
+    // ≤ 2 versions, each its own committed offset, and a restart from the
+    // checkpoint re-seats the anchor (nothing skipped, nothing re-sent)
+    val base = Seq((1L, "v1", "A")).toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0
+    (1 to 6).foreach(i => table.merge(
+      Seq((100L + i, s"p$i", "A")).toDF("k", "payload", "status"))) // v1..v6
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mvpt-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-mvpt-out").toString
+    def start() = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "2")
+      .load(table.root)
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def spans(q: org.apache.spark.sql.streaming.StreamingQuery): Seq[(Int, Int)] =
+      q.recentProgress.toSeq.flatMap { p =>
+        val s = p.sources(0)
+        val st = Option(s.startOffset).map(_.trim.toInt).getOrElse(0)
+        val en = Option(s.endOffset).map(_.trim.toInt).getOrElse(st)
+        if (en > st) Some((st, en)) else None
+      }
+    def sunkVersions(): Seq[Int] =
+      spark.read.parquet(sinkDir).select("_commit_version")
+        .collect().map(_.getInt(0)).toSeq.sorted
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      sunkVersions() shouldBe (1 to 6)
+      val sp = spans(q1)
+      sp.size should be >= 3 // 6 versions at ≤2 per span
+      all(sp.map(s => s._2 - s._1)) should be <= 2
+    } finally q1.stop()
+    // offline commits + restart from the SAME checkpoint: the recovery
+    // re-seat means v1..v6 never re-deliver, and the cap still applies
+    (7 to 9).foreach(i => table.merge(
+      Seq((100L + i, s"p$i", "A")).toDF("k", "payload", "status"))) // v7..v9
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      sunkVersions() shouldBe (1 to 9)
+      all(spans(q2).map(s => s._2 - s._1)) should be <= 2
+    } finally q2.stop()
+  }
+
   test("graft-lake stream delivers a deferred delete with its OWN commit") {
     // per-commit attribution: a deferred-delete commit serves its delete
     // events itself (the tombstone-aware feed), and a startingVersion
