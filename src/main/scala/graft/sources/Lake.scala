@@ -720,6 +720,27 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: BLOOM FILTER indexes — point-lookup skipping for the
+    * column range stats cannot help with. `o_custkey` is uncorrelated
+    * with the `o_orderkey` clustering, so every file's custkey [min,max]
+    * spans the whole domain and min/max pruning is inert; `ANALYZE …
+    * COMPUTE BLOOM` builds per-file sidecar filters and the IN-list
+    * lookup reads only files that may hold a member (file-skip
+    * assertions live in `LakeBloomSpec`; fpp can only RETAIN extra
+    * files, never drop a match, so the oracle stays exact). */
+  def lakeBloomPruning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    spark.sql(s"ANALYZE TABLE graft_lake('${t.root}') " +
+      "COMPUTE BLOOM FOR COLUMNS o_custkey").collect()
+    t.read()
+      .filter(col("o_custkey").isin(7L, 23L, 88L, 131L))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: CHECK constraints — the per-row write gate. Two
     * constraints land as metadata-only commits; a conforming MERGE
     * passes through the in-write assert, a VIOLATING insert fails its
@@ -861,6 +882,7 @@ object Lake {
     "lake_constraints" -> (lakeConstraints _),
     "lake_merge_nmbs_update" -> (lakeMergeNmbsUpdate _),
     "lake_analyze" -> (lakeAnalyze _),
+    "lake_bloom_pruning" -> (lakeBloomPruning _),
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
@@ -923,6 +945,12 @@ object Lake {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_custkey <= 300
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_bloom_pruning" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_custkey IN (7, 23, 88, 131)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_merge_nmbs_update" ->
@@ -2417,7 +2445,7 @@ class LakeTable(spark: SparkSession, val root: String) {
         }.toMap
       // a zero-row part file (e.g. a fully-erased rewrite) has no stats
       // row: drop it from disk rather than manifest an empty file
-      moved.flatMap { case (p, sub) =>
+      val entries = moved.flatMap { case (p, sub) =>
         stats.get(p.getName) match {
           case Some((rows, mn, mx, cols, scols, nulls)) =>
             val rel = if (sub.isEmpty) s"data/${p.getName}"
@@ -2426,7 +2454,59 @@ class LakeTable(spark: SparkSession, val root: String) {
           case None => fs.delete(p, false); None
         }
       }
+      // bloom maintenance: declared index columns get per-file blooms for
+      // the NEW files in this same write path (one extra pass over just-
+      // written bytes) — files predating the declaration stay uncovered
+      // until an ANALYZE … COMPUTE BLOOM retrofits them
+      LakeBloom.readConfig(fs, rootPath).foreach { cfg =>
+        val present = cfg.cols.filter(data.columns.contains)
+        if (present.nonEmpty && entries.nonEmpty)
+          LakeBloom.build(spark, rootPath, data,
+            entries.map(f => new Path(f.path).getName -> f.rows).toMap,
+            present, cfg.bitsPerRow)
+      }
+      entries
     }
+  }
+
+  /** `ANALYZE TABLE … COMPUTE BLOOM FOR COLUMNS` — declare bloom index
+    * columns and build per-file filters for every CURRENT file in one
+    * distributed pass (see [[LakeBloom]]). The declaration persists in
+    * the `_bloom/columns.json` marker, so every subsequent write
+    * maintains coverage for its new files. Blooms are an auxiliary,
+    * rebuildable index deliberately OUTSIDE the commit protocol (like
+    * Delta's bloom index files): no commit is written, time travel is
+    * unaffected, and a lost sidecar only costs pruning, never
+    * correctness. Shallow clones do not inherit the source's sidecars —
+    * re-ANALYZE the clone. */
+  def analyzeBloom(cols: Seq[String],
+                   bitsPerRow: Option[Int] = None): MergeStats = {
+    require(cols.nonEmpty, "COMPUTE BLOOM needs at least one column")
+    val v = latestVersion
+    val m = manifest(v)
+    val physCols = cols.map(c => m.columnMap.getOrElse(c, c)).distinct
+    val existing = LakeBloom.readConfig(fs, rootPath)
+    val bpr = bitsPerRow
+      .orElse(existing.map(_.bitsPerRow))
+      .getOrElse(spark.conf.get("spark.graft.lake.bloomBitsPerRow",
+        LakeBloom.DefaultBitsPerRow.toString).toInt)
+    require(bpr >= 2 && bpr <= 64, s"bloom bitsPerRow $bpr out of range")
+    if (m.files.nonEmpty) {
+      val data = readFiles(m, m.files)
+      physCols.foreach { c =>
+        require(data.columns.contains(c), s"BLOOM on unknown column '$c'")
+        require(LakeBloom.hashable(data, c).isDefined,
+          s"BLOOM on column '$c': unsupported type " +
+            s"${data.schema(c).dataType.simpleString} (integral, string, " +
+            "date, and timestamp columns only)")
+      }
+      LakeBloom.build(spark, rootPath, data,
+        m.files.map(f => new Path(f.path).getName -> f.rows).toMap,
+        physCols, bpr)
+    }
+    LakeBloom.writeConfig(fs, rootPath, LakeBloom.Config(
+      (existing.map(_.cols).getOrElse(Nil) ++ physCols).distinct, bpr))
+    MergeStats(v, m.files.size, 0, 0, 0L)
   }
 
   private[sources] def init(df: DataFrame, keyCol: String, numFiles: Int,
@@ -3843,6 +3923,11 @@ class LakeTable(spark: SparkSession, val root: String) {
         droppedManifests += 1
       }
     }
+    // bloom sidecar GC: a sidecar whose rows ALL reference now-dead data
+    // files is unreachable by any probe — sweep it with the same walk
+    if (!dryRun && droppedFiles > 0)
+      LakeBloom.vacuumSidecars(spark, rootPath,
+        keepRefs.map(p => new Path(p).getName))
     (droppedManifests, droppedFiles)
   }
 }

@@ -84,8 +84,16 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
       .filter(_._2.nonEmpty).toMap
     val nullCols = stats.valuesIterator.flatMap(_.nulls.keysIterator).toSet
     val (needNull, needNonNull) = nullConstraints(cond, nullCols)
+    // BLOOM phase: point conjuncts (`=`, IN) on declared bloom-index
+    // columns probe the per-file sidecar filters ([[LakeBloom]]) — the
+    // skipping path for exactly the columns range stats cannot help with
+    // (unsorted high-cardinality lookups). Sound by construction: only
+    // files WITH coverage whose filters prove every-member-absent for
+    // some conjunct land in the fail set.
+    val bloomFail: Set[String] = bloomFailures(cond, roots)
     if (bounds.isEmpty && strBounds.isEmpty && inLists.isEmpty &&
-        strInLists.isEmpty && needNull.isEmpty && needNonNull.isEmpty)
+        strInLists.isEmpty && needNull.isEmpty && needNonNull.isEmpty &&
+        bloomFail.isEmpty)
       return None
     // a file survives iff EVERY constrained column it has stats for
     // intersects the predicate's bounds; columns without stats in that
@@ -127,11 +135,83 @@ class LakeManifestPrune(spark: SparkSession) extends Rule[LogicalPlan]
             fileCols.rows < 0L || n < fileCols.rows))
       case None => true // not a lake-manifested file: never prune
     }
-    val kept = files.count(p => keep(new Path(p).getName))
+    def keepAll(name: String): Boolean = keep(name) && !bloomFail(name)
+    val kept = files.count(p => keepAll(new Path(p).getName))
     if (kept == files.length) return None // nothing to do; converge
-    val pruned = new LakePrunedFileIndex(hfs.location, keep)
+    val pruned = new LakePrunedFileIndex(hfs.location, keepAll)
     Some(Filter(cond,
       l.copy(relation = hfs.copy(location = pruned)(hfs.sparkSession))))
+  }
+
+  /** Basenames a bloom sidecar probe proves CANNOT satisfy the point
+    * conjuncts of `cond` — empty when no root declares bloom columns or
+    * no point conjunct targets one. One cached distributed probe per
+    * (root, column, value-set). */
+  private def bloomFailures(cond: Expression, roots: Seq[Path]): Set[String] = {
+    var fail = Set.empty[String]
+    roots.foreach { r =>
+      val fs = r.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try LakeBloom.readConfig(fs, r).foreach { cfg =>
+        cfg.cols.foreach { c =>
+          val conj = bloomConjuncts(cond, c)
+          if (conj.nonEmpty)
+            LakeBloom.probe(spark, r, c, conj).foreach { case (n, pass) =>
+              if (!pass) fail += n
+            }
+        }
+      } catch { case scala.util.control.NonFatal(e) => logWarning("bloom probe failed", e) }
+    }
+    fail
+  }
+
+  /** Hashed point conjuncts on `key`: each inner seq is one conjunct's
+    * members as (h1, h2) pairs. Numeric/date/timestamp members hash in
+    * STAT UNITS (mirroring the build side's `Lake.statLong` input),
+    * strings hash raw — no ASCII restriction, hashes need no order. */
+  private def bloomConjuncts(cond: Expression,
+                             key: String): Seq[Seq[(Long, Long)]] = {
+    def strAttrIs(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == key && a.dataType == StringType
+      case _ => false
+    }
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if u != null => Some(u.toString)
+      case _ => None
+    }
+    def strOf(v: Any): Option[String] = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String if u != null =>
+        Some(u.toString)
+      case _ => None
+    }
+    // dispatch by the ATTRIBUTE's type, not by which pattern happens to
+    // match first — a string equality must reach the string hasher, not
+    // die in a numeric literal extractor
+    def one(a: Expression, v: Expression): Option[Seq[(Long, Long)]] =
+      if (strAttrIs(a)) strLit(v).map(s => Seq(LakeBloom.hashString(s)))
+      else if (numAttrIs(key)(a)) numLit(v).map(x => Seq(LakeBloom.hashLong(x)))
+      else None
+    def all[A](vs: Seq[Option[A]]): Option[Seq[A]] =
+      if (vs.nonEmpty && vs.forall(_.isDefined)) Some(vs.flatten) else None
+    def many(a: Expression, list: Seq[Expression]): Option[Seq[(Long, Long)]] =
+      if (strAttrIs(a)) all(list.map(strLit)).map(_.map(LakeBloom.hashString))
+      else if (numAttrIs(key)(a))
+        all(list.map(numLit)).map(_.map(LakeBloom.hashLong))
+      else None
+    def manySet(a: Expression, hset: Set[Any]): Option[Seq[(Long, Long)]] =
+      if (strAttrIs(a))
+        all(hset.toSeq.map(strOf)).map(_.map(LakeBloom.hashString))
+      else if (numAttrIs(key)(a))
+        all(hset.toSeq.map(internalToLong)).map(_.map(LakeBloom.hashLong))
+      else None
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a, v) if strAttrIs(a) || numAttrIs(key)(a) => one(a, v)
+      case EqualTo(v, a) if strAttrIs(a) || numAttrIs(key)(a) => one(a, v)
+      case In(a, list) if strAttrIs(a) || numAttrIs(key)(a) => many(a, list)
+      case InSet(a, hset) if strAttrIs(a) || numAttrIs(key)(a) =>
+        manySet(a, hset)
+      case _ => None
+    }
   }
 
   /** Conservative [lo, hi] bounds on integral column `key` implied by the

@@ -36,4 +36,12 @@ object GraftBloom {
   def mightContain(bloomBytes: Column, key: Column): Column =
     ExpressionUtils.column(BloomFilterMightContain(
       ExpressionUtils.expression(bloomBytes), ExpressionUtils.expression(key)))
+
+  /** Seeded XxHash64 as a Column — the double-hashing primitive behind
+    * the lake's per-file bloom sidecars ([[graft.sources.LakeBloom]]);
+    * bridged here because `ExpressionUtils` is `private[sql]`. */
+  def xxhash64Seeded(c: Column, seed: Long): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(ExpressionUtils.expression(c)), seed))
 }

@@ -37,6 +37,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * ALTER TABLE graft_lake('<root>') ADD CONSTRAINT <n> CHECK (<expr>)
   * ALTER TABLE graft_lake('<root>') DROP CONSTRAINT <n>
   * ANALYZE TABLE graft_lake('<root>') COMPUTE STATISTICS FOR COLUMNS c1, ...
+  * ANALYZE TABLE graft_lake('<root>') COMPUTE BLOOM [FILTER] [BITS <n>]
+  *   FOR COLUMNS c1, ...
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS [DRY RUN]
   * VACUUM graft_lake('<root>') OLDER THAN '<ts>' [DRY RUN]
   * RESTORE TABLE graft_lake('<root>') TO VERSION AS OF <n>
@@ -470,12 +472,22 @@ object GraftSqlParser {
       if (!sc.keyword("TABLE")) None
       else lakeTarget(sc).map { root =>
         sc.expect("COMPUTE")
-        sc.expect("STATISTICS")
-        sc.expect("FOR")
-        sc.expect("COLUMNS")
-        val cols = sc.topLevelSplit(sc.restStmt())
-        if (cols.isEmpty) fail("ANALYZE needs at least one column")
-        LakeAnalyzeCommand(root, cols)
+        if (sc.keyword("BLOOM")) {
+          sc.keyword("FILTER") // optional noise word
+          val bits = if (sc.keyword("BITS")) Some(sc.int()) else None
+          sc.expect("FOR")
+          sc.expect("COLUMNS")
+          val cols = sc.topLevelSplit(sc.restStmt())
+          if (cols.isEmpty) fail("COMPUTE BLOOM needs at least one column")
+          LakeAnalyzeBloomCommand(root, cols, bits)
+        } else {
+          sc.expect("STATISTICS")
+          sc.expect("FOR")
+          sc.expect("COLUMNS")
+          val cols = sc.topLevelSplit(sc.restStmt())
+          if (cols.isEmpty) fail("ANALYZE needs at least one column")
+          LakeAnalyzeCommand(root, cols)
+        }
       }
     } else if (sc.keyword("OPTIMIZE")) {
       lakeTarget(sc).map(root => parseOptimize(sc, root, delegate))
@@ -1023,6 +1035,20 @@ case class LakeAnalyzeCommand(root: String, cols: Seq[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val t = new graft.sources.LakeTable(spark, root)
     GraftSqlParser.statsRow(t.analyzeColumnsWithRetry(cols))
+  }
+}
+
+/** `ANALYZE TABLE graft_lake(…) COMPUTE BLOOM [FILTER] [BITS n] FOR
+  * COLUMNS c1, …` → [[graft.sources.LakeTable.analyzeBloom]] — declare
+  * bloom-index columns and build per-file point-lookup filters
+  * (sidecar index, no commit — see [[graft.sources.LakeBloom]]). */
+case class LakeAnalyzeBloomCommand(root: String, cols: Seq[String],
+                                   bits: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new graft.sources.LakeTable(spark, root)
+    GraftSqlParser.statsRow(t.analyzeBloom(cols, bits))
   }
 }
 
