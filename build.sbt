@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through sbt's logger by default, which
+// prefixes every line with [info]/[error] — the bench/verify mains print
+// a machine-read JSON line on stdout that must stay at column 0 for the
+// harness to parse. StdoutOutput passes the child's streams through raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,6 +32,19 @@ object Run {
       return
     }
     if (query.startsWith("lake-")) { runLake(args); return }
+    if (query == "expand-entities") {
+      // sed-style DTD entity expansion for whole-file XML ingest:
+      // graft.Run expand-entities <in> <out> [--charset CS]
+      if (args.length < 3) throw new IllegalArgumentException(
+        "expand-entities: expected <in> <out> [--charset CS]")
+      val cs = cliOpts(args.drop(3)).getOrElse("charset", "ISO-8859-1")
+      withCliSession { spark =>
+        graft.model.Dblp.expandEntitiesFile(spark, args(1), args(2), cs)
+        println(s"[run] expand-entities ${args(1)} -> ${args(2)} " +
+          s"(decoded $cs, wrote UTF-8 — read with charset=UTF-8)")
+      }
+      return
+    }
     if (args.length < 3) throw new IllegalArgumentException("missing sfDir/outDir")
     val Array(_, sfDir, outDir) = args.take(3)
     val opts = cliOpts(args.drop(3))
@@ -96,6 +109,7 @@ object Run {
     * graft.Run lake-zorder  <root> <numFiles> <col1> <col2>
     * graft.Run lake-hilbert <root> <numFiles> <col> <col> [col...]
     * graft.Run lake-rename  <root> <oldCol> <newCol>      // metadata-only
+    * graft.Run lake-add-column <root> <col> <type>        // metadata-only
     * graft.Run lake-drop-column <root> <col>              // metadata-only
     * graft.Run lake-restore <root> <version>
     * graft.Run lake-clone   <root> <newRoot>
@@ -202,6 +216,11 @@ object Run {
           need(3)
           val s = table.dropColumnWithRetry(args(2))
           println(s"[lake] dropped ${args(2)} at v${s.version} (metadata-only)")
+        case "lake-add-column" =>
+          need(4)
+          val s = table.addColumnWithRetry(args(2), args.drop(3).mkString(" "))
+          println(s"[lake] added ${args(2)} ${args.drop(3).mkString(" ")} " +
+            s"at v${s.version} (metadata-only)")
         case "lake-history" =>
           // vacuumed versions are gone from disk — list what remains
           table.history().collect().foreach { r =>
@@ -218,5 +237,6 @@ object Run {
   private def usage(): Unit =
     System.err.println(
       "usage: graft.Run <query|all|list> <sfDir> <outDir> [--sep X] [--format csv|parquet]\n" +
-        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|sortby|zorder|hilbert|rename|drop-column|restore|clone|vacuum|history|sql> ...")
+        "       graft.Run expand-entities <in> <out> [--charset CS]\n" +
+        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|sortby|zorder|hilbert|rename|add-column|drop-column|restore|clone|vacuum|history|sql> ...")
 }

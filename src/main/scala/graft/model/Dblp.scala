@@ -85,11 +85,23 @@ object Dblp {
     * The record type is the top-level element's *label* (dblp.dtd:33-34) —
     * extracted by regex since `from_xml` only sees the element body.
     * Year-arity (P3) and garbage (P5) filters are applied per-query, not
-    * here, matching the reference's per-task placement. */
-  def normalize(lines: DataFrame): DataFrame =
-    project(lines
+    * here, matching the reference's per-task placement.
+    *
+    * `expandEntities` resolves the DTD's NAMED entity references
+    * (`J&uuml;rgen` — the public ISO 8879 Latin-1 set dblp.dtd declares)
+    * before the XML parse, which otherwise rejects them as undefined
+    * ([[org.apache.spark.sql.graft.XmlEntities]] — one codegen'd pass,
+    * zero-copy on entity-free lines). Off by default: lines already in
+    * raw 8-bit or numeric-reference form need no pass. */
+  def normalize(lines: DataFrame, expandEntities: Boolean = false): DataFrame = {
+    val src =
+      if (!expandEntities) lines
+      else lines.withColumn("value",
+        org.apache.spark.sql.graft.XmlEntities.expandXmlEntities(col("value")))
+    project(src
       .withColumn("recordType", regexp_extract(col("value"), "^<([a-zA-Z]+)", 1))
       .withColumn("rec", from_xml(col("value"), recordSchema)))
+  }
 
   /** Whole-file `dblp.xml` ingestion — what the reference's parser module
     * exists for (dblpXMLparser.scala:24 whole-DOM load + :37-59 hand-rolled
@@ -106,12 +118,13 @@ object Dblp {
     * `charset` defaults to ISO-8859-1 because that is what the real
     * `dblp.xml` prolog declares (the Spark XML source defaults to UTF-8, so
     * without the option every non-ASCII author name — Jürgen, Müller… —
-    * decodes to replacement garbage). Known limitation: DTD-DEFINED entity
-    * references (`&uuml;` etc., dblpXMLparser/dblp.dtd) are NOT resolved —
-    * the source parses without the DTD, so records using entities rather
-    * than raw 8-bit bytes need an upstream `sed`-style entity expansion
-    * pass (the reference sidesteps this via `XML.loadFile`'s DTD handling,
-    * dblpXMLparser.scala:14,24). */
+    * decodes to replacement garbage). DTD-DEFINED entity references
+    * (`&uuml;` etc., dblpXMLparser/dblp.dtd) are NOT resolved by the
+    * native source (it parses without the DTD — the reference sidesteps
+    * this via `XML.loadFile`'s DTD handling, dblpXMLparser.scala:14,24);
+    * run the [[expandEntitiesFile]] preprocessing pass first (`graft.Run
+    * expand-entities <in> <out>`) and read its output with
+    * `charset = "UTF-8"`. */
   def readWholeXml(spark: SparkSession, path: String,
                    charset: String = "ISO-8859-1"): DataFrame =
     recordTypes.map { t =>
@@ -125,9 +138,52 @@ object Dblp {
     }.reduce(_.unionByName(_))
 
   /** Read a line-per-record DBLP file (the parser module's output format,
-    * dblpXMLparser.scala:96) into the normalized publication relation. */
-  def readLineXml(spark: SparkSession, path: String): DataFrame =
-    normalize(spark.read.text(path).toDF("value"))
+    * dblpXMLparser.scala:96) into the normalized publication relation.
+    * `expandEntities` resolves DTD named entities first (see
+    * [[normalize]]). */
+  def readLineXml(spark: SparkSession, path: String,
+                  expandEntities: Boolean = false): DataFrame =
+    normalize(spark.read.text(path).toDF("value"), expandEntities)
+
+  /** The `sed`-style ENTITY-EXPANSION preprocessing pass for whole-file
+    * ingest (`graft.Run expand-entities <in> <out>`): stream `in`'s
+    * lines through [[org.apache.spark.sql.graft.XmlEntities]] and write
+    * them back as text. Bytes are DECODED per `charset` (default the
+    * dblp prolog's ISO-8859-1 — read through the splittable Hadoop line
+    * reader with an explicit per-task decode, since the text source
+    * fixes UTF-8) and the output is WRITTEN as UTF-8, the JVM text-sink
+    * contract — so downstream [[readWholeXml]] of the expanded copy must
+    * pass `charset = "UTF-8"` regardless of what the embedded prolog
+    * still claims (the explicit option overrides it). Fully distributed:
+    * record boundaries are line boundaries, one pass, no driver data. */
+  def expandEntitiesFile(spark: SparkSession, in: String, out: String,
+                         charset: String = "ISO-8859-1"): Unit = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    java.nio.charset.Charset.forName(charset) // validate on the driver
+    val csName = charset // Charset itself is not serializable
+    val lines = spark.sparkContext.newAPIHadoopFile(
+        in, classOf[TextInputFormat], classOf[LongWritable], classOf[Text])
+      .map { case (_, t) =>
+        new String(t.getBytes, 0, t.getLength,
+          java.nio.charset.Charset.forName(csName))
+      }
+    import spark.implicits._
+    val expanded = org.apache.spark.sql.graft.XmlEntities
+      .expandXmlEntities(col("value"))
+    // the pass re-encodes the bytes, so the XML DECLARATION must follow:
+    // the source trusts an embedded encoding over the reader option
+    // (probed), and a prolog still claiming ISO-8859-1 would mis-decode
+    // the expanded UTF-8 copy
+    val prologFixed = when(expanded.startsWith("<?xml"),
+        regexp_replace(
+          regexp_replace(expanded, "encoding=\"[^\"]+\"", "encoding=\"UTF-8\""),
+          "encoding='[^']+'", "encoding='UTF-8'"))
+      .otherwise(expanded)
+    lines.toDF("value")
+      .select(prologFixed.as("value"))
+      .write.mode("overwrite").text(out)
+  }
 
   /** Typed view of the same relation (`Dataset[Publication]`) for callers
     * who want compile-time field safety; nulls become empty values so the

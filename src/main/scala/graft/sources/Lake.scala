@@ -260,6 +260,34 @@ object Lake {
       .orderBy("phase", "o_orderpriority")
   }
 
+  /** Gated lane: MERGE-ON-READ delete by ARBITRARY PREDICATE
+    * ([[LakeTable.deleteDeferredWhere]], SQL `DELETE DEFERRED FROM …
+    * WHERE`): a non-key predicate (cheap urgent orders) tombstones its
+    * matched KEYS in one column-pruned scan — zero data files rewrite
+    * (pinned in `LakeSpec`) — then a second, overlapping predicate
+    * stacks, a MERGE revives part of the dead set through the
+    * tombstones, and a compact folds it all physically. Three phases,
+    * one oracle over the raw table; any divergence between the deferred
+    * anti-join and the predicate semantics shows up as a count drift. */
+  def lakeMorDeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.deleteDeferredWhere(
+      col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 50000)
+    def agg(phase: String) = t.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders")).withColumn("phase", lit(phase))
+    val deferred = agg("deferred")
+    t.deleteDeferredWhere(col("o_orderkey") % 500 === 0) // stacks
+    t.merge(o.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderpriority", lit("6-REVIVED")))
+    val revived = agg("revived")
+    t.compact(8)
+    val compacted = agg("compacted")
+    deferred.unionByName(revived).unionByName(compacted)
+      .select("phase", "o_orderpriority", "n_orders")
+      .orderBy("phase", "o_orderpriority")
+  }
+
   /** Gated lane: the change feed ACROSS deferred-delete endpoints — the
     * tombstone-aware feed. After a deferred delete (every key ≡ 0 mod
     * 100) and a merge touching only the low key range (keys ≡ 7 mod 100
@@ -329,17 +357,25 @@ object Lake {
     val updates = o.filter(col("o_orderkey") % 100 === 0)
       .withColumn("o_orderpriority", lit("0-UPDATED"))
       .withColumn("o_channel", lit("BACKFILL"))
+      .withColumn("o_note", lit("EPHEMERAL"))
       .withColumn("o_flag", col("o_flag").cast("long") * lit(1000000000L))
     t.merge(updates)
-    // metadata-only rename (SQL twin: ALTER TABLE graft_lake(…) RENAME
-    // COLUMN — routed in LakeSqlDmlSpec; this lane also runs in
-    // extension-less sessions, so it uses the API verb)
+    // metadata-only rename + explicit ADD COLUMN (SQL twins: ALTER TABLE
+    // graft_lake(…) RENAME/ADD COLUMN — routed in LakeSqlDmlSpec; this
+    // lane also runs in extension-less sessions, so it uses API verbs)
     t.renameColumn("o_flag", "o_signal")
+    // drop the merge-filled o_note, then RE-ADD it: the dropped-name
+    // reservation maps the new column to fresh physical storage, so the
+    // 'EPHEMERAL' bytes still in the merged files must NEVER read back —
+    // the oracle pins n_note = 0 (any resurrection makes it nonzero)
+    t.dropColumn("o_note")
+    t.addColumn("o_note", "string")
     t.read()
       .groupBy(coalesce(col("o_channel"), lit("LEGACY")).as("channel"),
         col("o_orderpriority"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("o_signal")).as("sum_flag"))
+        sum(col("o_signal")).as("sum_flag"),
+        count(col("o_note")).as("n_note"))
       .orderBy("channel", "o_orderpriority")
   }
 
@@ -872,7 +908,60 @@ object Lake {
     t.read().orderBy("bucket")
   }
 
+  /** Gated lane: the FORMAT reader over a snapshot a raw file relation
+    * cannot represent — renamed columns (column mapping) ON TOP OF an
+    * outstanding merge-on-read delete. `spark.read.format("graft-lake")`
+    * serves it through [[LakeProjectedRelation]]: logical names, the
+    * read-time tombstone anti-join, and filter pushdown (the predicate
+    * reaches the physical parquet scan through the aliasing projection —
+    * plan pinned in `LakeSpec`). The oracle states the same filtered
+    * aggregate with the deleted keys excluded. */
+  def lakeFormatRenamed(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 8)
+    t.renameColumn("o_orderpriority", "o_priority")
+    t.deleteDeferred(
+      o.filter(col("o_orderkey") % 97 === 0).select("o_orderkey"))
+    spark.read.format("graft-lake").load(t.root)
+      .filter(col("o_priority") === "1-URGENT")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Gated lane: PREDICATE-SCOPED RE-CLUSTERING — `OPTIMIZE … SORT BY …
+    * WHERE` ([[LakeTable.compactWhere]] with a layout): only the 1996
+    * partition's files (fragmented by two bulk appends) rewrite, sorted
+    * by totalprice so they pick up tight per-file price bounds; every
+    * other partition carries by reference (O(selected), the partition-
+    * maintenance loop — file accounting pinned in `LakeSqlDmlSpec`).
+    * The oracle replays the appends and states the same filtered
+    * aggregate. */
+  def lakeOptimizeWhereCluster(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    val t = create(spark, freshRoot(), o, "o_orderkey", 4,
+      partitionBy = Seq("o_year"))
+    (1 to 2).foreach { i =>
+      t.insertAll(o.filter(col("o_orderkey") % 100 === i)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L * i))
+        .withColumn("o_year", lit(1996)))
+    }
+    t.compactWhereWithRetry(col("o_year") === 1996, 4,
+      Some(("sort", Seq("o_totalprice"))))
+    t.read()
+      .filter(col("o_year") === 1996 && col("o_totalprice") < 50000)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_format_renamed" -> (lakeFormatRenamed _),
+    "lake_optimize_where_cluster" -> (lakeOptimizeWhereCluster _),
+    "lake_mor_delete_where" -> (lakeMorDeleteWhere _),
     "lake_sink_aggregate" -> (lakeSinkAggregate _),
     "lake_meta_agg" -> (lakeMetaAgg _),
     "lake_meta_agg_grouped" -> (lakeMetaAggGrouped _),
@@ -909,6 +998,51 @@ object Lake {
     "lake_mor_changes" -> (lakeMorChanges _))
 
   val oracle: Map[String, String] = Map(
+    "lake_format_renamed" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_optimize_where_cluster" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority,
+        |         year(o_orderdate) AS o_year
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderpriority, 1996
+        |  FROM orders WHERE o_orderkey % 100 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 200000000, o_totalprice, o_orderpriority, 1996
+        |  FROM orders WHERE o_orderkey % 100 = 2)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM u WHERE o_year = 1996 AND o_totalprice < 50000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_mor_delete_where" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN o_orderkey % 1000 = 0 THEN '6-REVIVED'
+        |              ELSE o_orderpriority END AS pri,
+        |         CASE WHEN o_orderkey % 1000 = 0 THEN 1
+        |              WHEN o_orderkey % 500 = 0 THEN 0
+        |              WHEN o_orderpriority = '1-URGENT'
+        |                   AND o_totalprice < 50000 THEN 0
+        |              ELSE 1 END AS live
+        |  FROM orders),
+        |d AS (
+        |  SELECT o_orderpriority FROM orders
+        |  WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice < 50000))
+        |SELECT phase, o_orderpriority, n_orders FROM (
+        |  SELECT 'deferred' AS phase, o_orderpriority,
+        |         count(*) AS n_orders FROM d GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'revived', pri, count(*) FROM m WHERE live = 1 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'compacted', pri, count(*) FROM m WHERE live = 1 GROUP BY 2
+        |) ORDER BY 1, 2""".stripMargin,
+
     "lake_sink_aggregate" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
@@ -1166,7 +1300,8 @@ object Lake {
         |              ELSE o_custkey % 10 END AS flag
         |  FROM orders)
         |SELECT channel, o_orderpriority, count(*) AS n_rows,
-        |       CAST(sum(flag) AS BIGINT) AS sum_flag
+        |       CAST(sum(flag) AS BIGINT) AS sum_flag,
+        |       CAST(0 AS BIGINT) AS n_note
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "lake_cdc_changes" ->
@@ -1235,7 +1370,8 @@ object Lake {
                       partitionCols: Seq[String] = Nil,
                       schemaDdl: Option[String] = None,
                       columnMap: Map[String, String] = Map.empty,
-                      constraints: Map[String, String] = Map.empty)
+                      constraints: Map[String, String] = Map.empty,
+                      droppedCols: Seq[String] = Nil)
 
   /** One COMMIT — what the `v%05d.json` manifest file actually stores.
     * A commit's payload is proportional to WHAT CHANGED (`adds` /
@@ -1270,7 +1406,15 @@ object Lake {
                    // row content enforces them IN the write (per-row
                    // assert inside the task — no extra pass), the Delta
                    // invariant idea. Carried FULL, like the schema.
-                   constraints: Map[String, String] = Map.empty)
+                   constraints: Map[String, String] = Map.empty,
+                   // PHYSICAL names of columns dropped by ALTER … DROP
+                   // COLUMN whose bytes may still sit in carried files.
+                   // Permanently RESERVED: a later column of the same
+                   // name maps to a FRESH physical name (see
+                   // [[LakeTable.remapReAdded]]), so stale pre-drop
+                   // bytes can never read back as the new column's
+                   // values. Carried FULL, like the column map.
+                   droppedCols: Seq[String] = Nil)
 
   /** A resolved state as a full, self-anchoring Delta (legacy-manifest
     * reads and the create/compact/restore/clone commit shape). */
@@ -1279,7 +1423,7 @@ object Lake {
       m.partitionCols, full = true, adds = m.files, removes = Nil,
       tombstoneAdds = m.tombstones, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints)
+      constraints = m.constraints, droppedCols = m.droppedCols)
 
   /** Result of a [[LakeTable.merge]] — what a COW commit did. */
   case class MergeStats(version: Int, keptFiles: Int, rewrittenFiles: Int,
@@ -1385,6 +1529,7 @@ object Lake {
       "schemaDdl" -> d.schemaDdl.orNull,
       "columnMap" -> d.columnMap.toSeq.sortBy(_._1).to(ListMap),
       "constraints" -> d.constraints.toSeq.sortBy(_._1).to(ListMap),
+      "droppedCols" -> d.droppedCols,
       "adds" -> d.adds.map(fileJson(colOrder)),
       "removes" -> d.removes,
       "tombstoneAdds" -> d.tombstoneAdds.map(fileJson(colOrder)),
@@ -1461,7 +1606,8 @@ object Lake {
           if (n.has("constraints"))
             n.get("constraints").fields().asScala.map(e =>
               e.getKey -> e.getValue.asText()).toMap
-          else Map.empty)
+          else Map.empty,
+        droppedCols = strings("droppedCols"))
   }
 
   /** Normalize a column to the Long STAT UNITS the manifest stores:
@@ -1670,6 +1816,25 @@ class LakeTable(spark: SparkSession, val root: String) {
     st
   }
 
+  /** The raw per-version commit delta (package-private: the change-feed
+    * source classifies commits and sizes admission spans from the adds'
+    * metadata row counts — never from data I/O). */
+  private[sources] def commitDeltaOf(v: Int): Delta = readDelta(v)
+
+  /** Change-feed slice of a PURE-APPEND commit: the rows of `files` (a
+    * subset of v's adds) as `insert` events in v's LOGICAL shape —
+    * exactly what `changes(v-1, v)` emits for those files, without the
+    * diff join (an append commit removes nothing and leaves tombstones
+    * untouched, and [[insertAll]] refuses tombstoned keys, so every
+    * added row is a live insert). Lets the stream source split one
+    * oversized backfill commit across bounded micro-batches. */
+  private[sources] def insertSliceFeed(v: Int, files: Seq[FileEntry])
+      : DataFrame = {
+    val m = manifest(v)
+    toLogical(m, readFiles(m, files))
+      .withColumn("_change_type", lit("insert"))
+  }
+
   def manifest(version: Int): Manifest = {
     require(hasVersion(version),
       s"version $version does not exist (or was vacuumed) under $root")
@@ -1677,7 +1842,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val (files, tombs) = resolveState(version)
     Manifest(d.version, d.parentVersion, d.operation, d.keyCol, files,
       d.statsCols, tombs, d.partitionCols, d.schemaDdl, d.columnMap,
-      d.constraints)
+      d.constraints, d.droppedCols)
   }
 
   /** Write the resolved state at `v` as a single parquet checkpoint file
@@ -1699,15 +1864,16 @@ class LakeTable(spark: SparkSession, val root: String) {
       }
     val all = rowsOf("data", files, 0) ++ rowsOf("tombstone", tombs, files.size)
     val tmp = new Path(rootPath, s"_scratch-ckpt-${UUID.randomUUID()}")
-    spark.createDataset(all)(org.apache.spark.sql.Encoders.product[CkptRow])
-      .repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).iterator.map(_.getPath)
-      .find(_.getName.endsWith(".parquet"))
-      .getOrElse(throw new IllegalStateException(
-        s"checkpoint write for v$v produced no part file"))
-    val dest = ckptPath(v)
-    if (!fs.exists(dest)) fs.rename(part, dest)
-    fs.delete(tmp, true)
+    try {
+      spark.createDataset(all)(org.apache.spark.sql.Encoders.product[CkptRow])
+        .repartition(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.listStatus(tmp).iterator.map(_.getPath)
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"checkpoint write for v$v produced no part file"))
+      val dest = ckptPath(v)
+      if (!fs.exists(dest)) fs.rename(part, dest)
+    } finally fs.delete(tmp, true)
   }
 
   private def readCheckpoint(v: Int): (Seq[FileEntry], Seq[FileEntry]) = {
@@ -1753,18 +1919,72 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   /** LOGICAL → PHYSICAL projection for verb inputs. A frame column that
     * collides with a renamed column's PHYSICAL storage name (a "ghost")
-    * refuses — accepting it would write two meanings of one physical
-    * column into the files. */
+    * or a DROPPED column's physical name refuses unless the column map
+    * routes it elsewhere — accepting it would write (or read back) two
+    * meanings of one physical column. Verbs that can legitimately
+    * introduce such a column (schema-widening merge/insert, ADD COLUMN)
+    * extend the map FIRST via [[remapReAdded]], which assigns a fresh
+    * physical name. */
   private def toPhysical(m: Manifest, df: DataFrame): DataFrame =
-    if (m.columnMap.isEmpty) df
+    if (m.columnMap.isEmpty && m.droppedCols.isEmpty) df
     else {
-      val reserved = m.columnMap.values.toSet -- m.columnMap.keySet
+      val reserved = (m.columnMap.values.toSet -- m.columnMap.keySet) ++
+        m.droppedCols
       df.columns.foreach(c => require(
         !reserved.contains(c) || m.columnMap.contains(c),
-        s"column name '$c' is reserved by a renamed column's physical " +
-          "storage — rename the stored column first (or pick another name)"))
+        s"column name '$c' is reserved by a renamed or dropped column's " +
+          "physical storage — pick another name (or, for a dropped name, " +
+          "re-add it through a schema-evolving merge / ADD COLUMN, which " +
+          "maps it to fresh physical storage)"))
       df.select(df.columns.toSeq.map(c =>
         col(c).as(m.columnMap.getOrElse(c, c))): _*)
+    }
+
+  /** A physical column name not yet taken by the schema, the column map,
+    * or the dropped-name reservations: `<name>_2`, `<name>_3`, … */
+  private def freshPhysical(name: String, taken: Set[String]): String = {
+    var i = 2
+    while (taken.contains(s"${name}_$i".toLowerCase)) i += 1
+    s"${name}_$i"
+  }
+
+  /** Route NEW logical columns in `df` that collide with a DROPPED
+    * column's reserved physical name onto FRESH physical storage (the
+    * Delta columnMapping idea): the returned manifest's column map sends
+    * the re-added logical name to `<name>_k`, so the pre-drop bytes
+    * still sitting in carried files stay unreachable forever — re-adding
+    * 'flag' after `DROP COLUMN flag` can never resurrect old values.
+    * Identity when nothing collides. Used by every verb that can WIDEN
+    * the schema (merge, insert, ADD COLUMN) before its
+    * [[toPhysical]]/[[Lake.widenSchema]] pass; the extended map rides
+    * the verb's commit. */
+  private def remapReAdded(m: Manifest, newLogicalCols: Seq[String]): Manifest = {
+    if (m.droppedCols.isEmpty || newLogicalCols.isEmpty) return m
+    val dropped = m.droppedCols.map(_.toLowerCase).toSet
+    var taken = m.droppedCols.map(_.toLowerCase).toSet ++
+      m.columnMap.values.map(_.toLowerCase) ++
+      m.schemaDdl.toSeq.flatMap(ddl => org.apache.spark.sql.types
+        .StructType.fromDDL(ddl).fields.map(_.name.toLowerCase))
+    val extra = newLogicalCols
+      .filter(c => !m.columnMap.contains(c) && dropped.contains(c.toLowerCase))
+      .map { c =>
+        val fresh = freshPhysical(c, taken)
+        taken += fresh.toLowerCase
+        c -> fresh
+      }
+    if (extra.isEmpty) m else m.copy(columnMap = m.columnMap ++ extra)
+  }
+
+  /** The logical column names `df` would ADD to `m`'s recorded schema
+    * (case-insensitive; empty when the table has no recorded schema —
+    * legacy tables cannot have dropped columns either). */
+  private def newLogicalCols(m: Manifest, df: DataFrame): Seq[String] =
+    m.schemaDdl match {
+      case None => Nil
+      case Some(ddl) =>
+        val known = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+          .fields.map(f => logicalName(m, f.name).toLowerCase).toSet
+        df.columns.toSeq.filterNot(c => known.contains(c.toLowerCase))
     }
 
   /** The LOGICAL name of a physically-named column (key, partition,
@@ -1873,7 +2093,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.keyCol, newStatsCols, m.partitionCols, full = true,
       adds = newFiles, removes = Nil, tombstoneAdds = m.tombstones,
       tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
-      columnMap = m.columnMap, constraints = m.constraints),
+      columnMap = m.columnMap, constraints = m.constraints, droppedCols = m.droppedCols),
       newFiles, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -1903,7 +2123,8 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.statsCols, m.partitionCols, full = false, adds = Nil, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
       columnMap = m.columnMap,
-      constraints = m.constraints + (name -> checkExpr)),
+      constraints = m.constraints + (name -> checkExpr),
+      droppedCols = m.droppedCols),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -1915,7 +2136,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     commitAndIndex(Delta(v + 1, v, s"drop-constraint-$name", m.keyCol,
       m.statsCols, m.partitionCols, full = false, adds = Nil, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
-      columnMap = m.columnMap, constraints = m.constraints - name),
+      columnMap = m.columnMap, constraints = m.constraints - name,
+      droppedCols = m.droppedCols),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -2036,25 +2258,35 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   def filesDf(): DataFrame = filesDf(latestVersion)
 
-  /** DESCRIBE DETAIL — one metadata-only row summarizing a snapshot:
-    * layout identity (key/partition/stats columns), size (files, rows,
-    * tombstones), and the evolution state (renamed columns via the
-    * column map, CHECK constraints, recorded schema). The SQL surface is
-    * the `graft_lake_detail` table function. */
+  /** DESCRIBE DETAIL — one row summarizing a snapshot: layout identity
+    * (key/partition/stats columns), size (files, rows, tombstones), the
+    * evolution state (renamed columns via the column map, dropped-name
+    * reservations, CHECK constraints, recorded schema), and — when a
+    * bloom index is declared — PER-COLUMN BLOOM COVERAGE
+    * (`col:covered/files`), the operational signal for "this table's
+    * point-lookup pruning has decayed, re-ANALYZE". Metadata + index-
+    * sidecar I/O only, never data files. The SQL surface is the
+    * `graft_lake_detail` table function. */
   def detailDf(version: Int): DataFrame = {
     val m = manifest(version)
     val renames = m.columnMap.toSeq.sorted
       .map { case (l, p) => s"$l<-$p" }.mkString(",")
     val cons = m.constraints.toSeq.sorted
       .map { case (n, e) => s"$n: $e" }.mkString("; ")
+    val bloom = LakeBloom.coverage(spark, rootPath,
+      m.files.map(f => new Path(f.path).getName).toSet)
+      .toSeq.sorted
+      .map { case (c, (cov, tot)) => s"$c:$cov/$tot" }.mkString(",")
     spark.createDataFrame(Seq((
       m.version, m.operation, m.keyCol,
       m.files.size, m.files.map(_.rows).sum, m.tombstones.size,
       m.partitionCols.mkString(","), m.statsCols.mkString(","),
-      renames, cons, m.schemaDdl.getOrElse(""))))
+      renames, m.droppedCols.mkString(","), cons, bloom,
+      m.schemaDdl.getOrElse(""))))
       .toDF("version", "operation", "key_col", "n_files", "n_rows",
         "n_tombstone_files", "partition_cols", "stats_cols",
-        "renamed_columns", "check_constraints", "schema_ddl")
+        "renamed_columns", "dropped_columns", "check_constraints",
+        "bloom_coverage", "schema_ddl")
   }
 
   def detailDf(): DataFrame = detailDf(latestVersion)
@@ -2336,6 +2568,22 @@ class LakeTable(spark: SparkSession, val root: String) {
                              partitionCols: Seq[String] = Nil)
       : Seq[FileEntry] = {
     val scratch = new Path(rootPath, s"_scratch-${UUID.randomUUID()}")
+    // a write job that dies mid-flight (a CHECK constraint aborting on
+    // its first violating row is an EXPECTED, recurring path) must not
+    // leak its scratch directory: the finally sweeps whatever the
+    // success path hasn't already renamed away (idempotent — the happy
+    // path deleted it before reaching here)
+    try writeDataFilesInto(scratch, df, keyCol, numFiles, statsCols,
+      clusterBy, partitionCols)
+    finally fs.delete(scratch, true)
+  }
+
+  private def writeDataFilesInto(scratch: Path, df: DataFrame,
+                                 keyCol: String, numFiles: Int,
+                                 statsCols: Seq[String],
+                                 clusterBy: Option[org.apache.spark.sql.Column],
+                                 partitionCols: Seq[String])
+      : Seq[FileEntry] = {
     val clustered = (clusterBy, partitionCols) match {
       case (Some(c), ps) if ps.nonEmpty =>
         // per-partition clustering: each task holds ONE partition tuple's
@@ -2728,7 +2976,12 @@ class LakeTable(spark: SparkSession, val root: String) {
   private def mergeTagged(updates0: DataFrame, operation: String,
                           newFileCountHint: Int = 0): MergeStats = {
     val v = latestVersion
-    val m = manifest(v)
+    // a batch column re-adding a DROPPED name maps to fresh physical
+    // storage BEFORE the logical→physical projection and the schema
+    // widening below — stale pre-drop bytes in carried files never
+    // become the new column's values (the extended map rides the commit)
+    val m0 = manifest(v)
+    val m = remapReAdded(m0, newLogicalCols(m0, updates0))
     val keyCol = m.keyCol
     // callers speak LOGICAL names; files and stats speak physical.
     // CHECK constraints enforce per row inside the write itself
@@ -2784,7 +3037,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = newSchemaDdl,
       columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles ++ hit.map(_._1))))
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
@@ -3083,7 +3336,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves,
       schemaDdl = commitSchemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = envelope)
     MergeStats(cv, kept.size, hit.size, newFiles.size, updateRows)
@@ -3151,7 +3404,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
       columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       kept.map(_._1) ++ newFiles, tombs)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
@@ -3333,7 +3586,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = false, adds = newFiles, removes = Nil,
       tombstoneAdds = tAdds, tombstoneRemoves = tRemoves,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       m.files ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles)))
     MergeStats(cv, m.files.size, 0, newFiles.size, cnts.getLong(0))
@@ -3406,7 +3659,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
       columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = envelope)
     MergeStats(cv, kept.size, hit.size, newFiles.size, 0L)
@@ -3436,7 +3689,46 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = false, adds = Nil, removes = Nil,
       tombstoneAdds = tomb, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
+      m.files, m.tombstones ++ tomb)
+    MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
+  }
+
+  def deleteDeferredWhereWithRetry(condition: org.apache.spark.sql.Column,
+                                   maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(deleteDeferredWhere(condition))
+
+  /** MERGE-ON-READ delete by ARBITRARY PREDICATE — [[deleteWhere]]'s
+    * write-cheap twin, completing the matrix (by-key/by-predicate ×
+    * COW/deferred). One COLUMN-PRUNED scan (manifest pruning + parquet
+    * pushdown apply — a partition- or stats-scoped predicate reads a
+    * file subset, and only the predicate's columns plus the key) turns
+    * the condition into its matched KEY SET, which lands as an ordinary
+    * tombstone file; every data file carries by reference. This is
+    * deliberately NOT a file+row-index bitmap DV: on a KEYED table the
+    * unique key already identifies every row, so key tombstones buy the
+    * identical deferred semantics while staying position-independent —
+    * they survive compaction/clustering rewrites of carried files
+    * unchanged, revive through MERGE, and feed the CDC diff, none of
+    * which a row-position bitmap does without rewrite-time remapping.
+    * The price vs. a bitmap is this verb's one pruned scan (a bitmap
+    * needs the same scan to find the rows) and |keys| vs. |bitmap|
+    * bytes — at 100 TB both are dwarfed by the rewrite this verb
+    * avoids. No matching rows → no-op, nothing commits. Conflicts
+    * REPLAY (never rebase): the predicate must re-evaluate over a
+    * racing winner's rows, same rule as [[deleteWhere]]. */
+  def deleteDeferredWhere(condition: org.apache.spark.sql.Column): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val keyLogical = logicalName(m, m.keyCol)
+    val keys = read().filter(condition).select(col(keyLogical).as(m.keyCol))
+    if (keys.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
+    val tomb = writeDataFiles(keys.distinct(), m.keyCol, 1)
+    commitAndIndex(Delta(v + 1, v, "delete-deferred-where", m.keyCol,
+      m.statsCols, m.partitionCols, full = false, adds = Nil, removes = Nil,
+      tombstoneAdds = tomb, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints, droppedCols = m.droppedCols),
       m.files, m.tombstones ++ tomb)
     MergeStats(v + 1, m.files.size, 0, tomb.size, 0L)
   }
@@ -3480,7 +3772,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.keyCol, m.statsCols, m.partitionCols, full = false, adds = Nil,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = newMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -3494,7 +3786,10 @@ class LakeTable(spark: SparkSession, val root: String) {
     * version on ever materializes it; the bytes stay in existing files
     * until their next COW rewrite, and older snapshots still read the
     * column (per-version schema). The merge key and partition columns
-    * cannot drop. */
+    * cannot drop. The dropped PHYSICAL name joins `droppedCols` — a
+    * permanent reservation that routes any later same-named column to a
+    * fresh physical name, so the stale bytes in carried files can never
+    * resurrect as the new column's values. */
   def dropColumn(name: String): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
@@ -3521,13 +3816,70 @@ class LakeTable(spark: SparkSession, val root: String) {
       adds = Nil, removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = Some(org.apache.spark.sql.types.StructType(newFields).toDDL),
       columnMap = m.columnMap - canonical,
-      constraints = m.constraints),
+      constraints = m.constraints,
+      // the dropped PHYSICAL name is reserved from here on: carried
+      // files still hold its bytes, and a re-added column of the same
+      // name must never read them (it gets a fresh physical name via
+      // remapReAdded instead — the silent-resurrection guard)
+      droppedCols = (m.droppedCols :+ physical).distinct),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
 
   def dropColumnWithRetry(name: String, maxAttempts: Int = 3): MergeStats =
     withRetry(maxAttempts)(dropColumn(name))
+
+  /** ALTER TABLE … ADD COLUMN — METADATA-ONLY commit: the new NULLABLE
+    * column joins the recorded read schema (inserted before the
+    * partition columns, which stay last — the stored read order); every
+    * existing file reads it back as null (the explicit-read-schema
+    * missing-column contract [[readFiles]] already relies on for
+    * merge-widened tables), and no data moves. The table-stakes
+    * Delta/Iceberg DDL twin of the implicit widening a MERGE performs.
+    * A name matching a DROPPED column's reserved physical storage maps
+    * to a FRESH physical name through the column map ([[remapReAdded]]'s
+    * guarantee, applied at DDL level) — stale pre-drop bytes never
+    * resurrect. Stats for the column are absent until an `ANALYZE …
+    * FOR COLUMNS` retrofits them (nothing to measure: it is all null). */
+  def addColumn(name: String, typeDdl: String): MergeStats = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"invalid column name '$name'")
+    val dt = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val v = latestVersion
+    val m = manifest(v)
+    val physSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      m.schemaDdl.getOrElse(throw new IllegalArgumentException(
+        "ADD COLUMN needs a recorded table schema (legacy table: compact once)")))
+    val rev = m.columnMap.map(_.swap)
+    val logicalNames = physSchema.fields.map(f => rev.getOrElse(f.name, f.name))
+    require(!logicalNames.exists(_.equalsIgnoreCase(name)),
+      s"column '$name' already exists")
+    val m2 = remapReAdded(m, Seq(name))
+    val physical = m2.columnMap.getOrElse(name, name)
+    // a name that is a renamed column's physical ghost (reserved but not
+    // dropped) still refuses — same rule as toPhysical
+    val ghosts = m2.columnMap.values.toSet -- m2.columnMap.keySet
+    require(m2.columnMap.contains(name) || !ghosts.contains(physical),
+      s"column name '$name' is reserved by a renamed column's physical " +
+        "storage — pick another name")
+    val newField = org.apache.spark.sql.types
+      .StructField(physical, dt, nullable = true)
+    val (pFields, dFields) = physSchema.fields.partition(f =>
+      m.partitionCols.exists(_.equalsIgnoreCase(f.name)))
+    val newSchema = org.apache.spark.sql.types.StructType(
+      (dFields :+ newField) ++ pFields)
+    commitAndIndex(Delta(v + 1, v, s"add-column-$name", m.keyCol,
+      m.statsCols, m.partitionCols, full = false, adds = Nil,
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = Some(newSchema.toDDL), columnMap = m2.columnMap,
+      constraints = m.constraints, droppedCols = m.droppedCols),
+      m.files, m.tombstones)
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  def addColumnWithRetry(name: String, typeDdl: String,
+                         maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(addColumn(name, typeDdl))
 
   /** RESTORE — roll the table back to `version`'s content AS A NEW
     * COMMIT (never by deleting history): the new manifest re-references
@@ -3545,7 +3897,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.statsCols, m.partitionCols, full = true, adds = m.files,
       removes = Nil, tombstoneAdds = m.tombstones, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       m.files, m.tombstones)
     MergeStats(v + 1, m.files.size, 0, 0, 0L)
   }
@@ -3577,7 +3929,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       removes = Nil, tombstoneAdds = absolute(m.tombstones),
       tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
       columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       absolute(m.files), absolute(m.tombstones))
     t
   }
@@ -3597,7 +3949,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints), newFiles, Nil)
+      constraints = m.constraints, droppedCols = m.droppedCols), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -3644,7 +3996,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       removes = rewrite.map(_.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
       columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       carried ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(rewrite ++ newFiles)))
     MergeStats(cv, carried.size, rewrite.size, newFiles.size, rewriteRows)
@@ -3665,9 +4017,21 @@ class LakeTable(spark: SparkSession, val root: String) {
     * this pays O(selected). Files only PARTIALLY covered by the
     * predicate still rewrite WHOLE (compaction preserves every row —
     * inclusion is a layout choice, never a semantic one). Commits an
-    * ordinary delta (not an anchor). No matching files → no-op. */
+    * ordinary delta (not an anchor). No matching files → no-op.
+    *
+    * `layout` composes PREDICATE-SCOPED selection with the re-cluster
+    * expression of the whole-table layout verbs — `("sort"|"zorder"|
+    * "hilbert", cols)` rewrites just the selected files ordered by that
+    * layout (the cols join the stats set, so [[LakeManifestPrune]] can
+    * skip the re-clustered files on them). This is the real maintenance
+    * loop — "re-cluster yesterday's partition" — at O(selected), where
+    * the whole-table `OPTIMIZE … ZORDER/HILBERT/SORT BY` pays O(table).
+    * Files OUTSIDE the predicate keep their old layout (and carry no
+    * stats for new layout columns — pruning there stays conservative
+    * until their own rewrite). */
   def compactWhere(condition: org.apache.spark.sql.Column,
-                   numFiles: Int = 0): MergeStats = {
+                   numFiles: Int = 0,
+                   layout: Option[(String, Seq[String])] = None): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
     // probe with the partition columns too: a partition-scoped OPTIMIZE
@@ -3685,15 +4049,31 @@ class LakeTable(spark: SparkSession, val root: String) {
     val packed0 = readFiles(m, hit.map(_._1))
     val packed = tombstoneKeys(m).fold(packed0)(tk =>
       packed0.join(tk, Seq(m.keyCol), "left_anti"))
-    val newFiles = writeDataFiles(packed, m.keyCol, numOut, m.statsCols,
-      partitionCols = m.partitionCols)
+    // optional layout re-cluster of JUST the selected subset: the same
+    // cluster expressions the whole-table verbs use, on physical names
+    val physLayoutCols = layout.toSeq.flatMap(_._2)
+      .map(c => m.columnMap.getOrElse(c, c))
+    val cluster = layout.map {
+      case ("sort", cols) =>
+        struct(cols.map(c => col(m.columnMap.getOrElse(c, c))): _*)
+      case ("zorder", cols) => org.apache.spark.sql.graft.ZValue.zvalueN(
+        cols.map(c => zDim(packed, m.columnMap.getOrElse(c, c))))
+      case ("hilbert", cols) => org.apache.spark.sql.graft.Hilbert.hilbert(
+        cols.map(c => zDim(packed, m.columnMap.getOrElse(c, c))))
+      case (other, _) =>
+        throw new IllegalArgumentException(s"unknown layout '$other'")
+    }
+    val statsCols = (m.statsCols ++ physLayoutCols).distinct
+    val op = layout.fold("optimize-where")(l => s"optimize-where-${l._1}")
+    val newFiles = writeDataFiles(packed, m.keyCol, numOut, statsCols,
+      cluster, partitionCols = m.partitionCols)
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
-    val cv = commitAndIndex(Delta(v + 1, v, "optimize-where", m.keyCol,
-      m.statsCols, m.partitionCols, full = false, adds = newFiles,
+    val cv = commitAndIndex(Delta(v + 1, v, op, m.keyCol,
+      statsCols, m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_._1.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
       columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       kept.map(_._1) ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(hit.map(_._1) ++ newFiles)))
     MergeStats(cv, kept.size, hit.size, newFiles.size, hitRows)
@@ -3701,8 +4081,9 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   def compactWhereWithRetry(condition: org.apache.spark.sql.Column,
                             numFiles: Int = 0,
+                            layout: Option[(String, Seq[String])] = None,
                             maxAttempts: Int = 3): MergeStats =
-    withRetry(maxAttempts)(compactWhere(condition, numFiles))
+    withRetry(maxAttempts)(compactWhere(condition, numFiles, layout))
 
   /** OPTIMIZE SORT BY — rewrite the latest snapshot range-clustered on an
     * arbitrary column list (the Delta `OPTIMIZE ... ZORDER`'s simpler
@@ -3728,7 +4109,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -3775,7 +4156,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints), newFiles, Nil)
+      constraints = m.constraints, droppedCols = m.droppedCols), newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
 
@@ -3802,7 +4183,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -3835,7 +4216,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.keyCol, statsCols, m.partitionCols, full = true, adds = newFiles,
       removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = m.schemaDdl, columnMap = m.columnMap,
-      constraints = m.constraints),
+      constraints = m.constraints, droppedCols = m.droppedCols),
       newFiles, Nil)
     MergeStats(v + 1, 0, m.files.size, newFiles.size, 0L)
   }
@@ -3928,6 +4309,21 @@ class LakeTable(spark: SparkSession, val root: String) {
     if (!dryRun && droppedFiles > 0)
       LakeBloom.vacuumSidecars(spark, rootPath,
         keepRefs.map(p => new Path(p).getName))
+    // stale-scratch GC: a writer killed hard (OOM, node loss) can leak a
+    // `_scratch-*` directory that its own finally never swept. Anything
+    // older than the TTL (default 1 h; spark.graft.lake.scratchTtlMs)
+    // cannot belong to a live write — an IN-FLIGHT concurrent writer's
+    // scratch is always younger, which is why age gates the sweep.
+    if (!dryRun) {
+      val ttl = spark.conf
+        .get("spark.graft.lake.scratchTtlMs", "3600000").toLong
+      val cutoff = System.currentTimeMillis() - ttl
+      fs.listStatus(rootPath).foreach { s =>
+        if (s.isDirectory && s.getPath.getName.startsWith("_scratch-") &&
+            s.getModificationTime < cutoff)
+          fs.delete(s.getPath, true)
+      }
+    }
     (droppedManifests, droppedFiles)
   }
 }

@@ -205,15 +205,16 @@ object LakeBloom {
     }
     val out = perCol.reduce(_ unionByName _)
     val tmp = new Path(root, s"_scratch-bloom-${UUID.randomUUID()}")
-    out.write.mode("overwrite").parquet(tmp.toString)
-    fs.mkdirs(bloomDir(root))
-    fs.listStatus(tmp).iterator.filter(_.getPath.getName.endsWith(".parquet"))
-      .foreach { s =>
-        val dest = new Path(bloomDir(root),
-          s"bloom-${UUID.randomUUID()}.parquet")
-        require(fs.rename(s.getPath, dest), s"rename ${s.getPath} failed")
-      }
-    fs.delete(tmp, true)
+    try {
+      out.write.mode("overwrite").parquet(tmp.toString)
+      fs.mkdirs(bloomDir(root))
+      fs.listStatus(tmp).iterator.filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { s =>
+          val dest = new Path(bloomDir(root),
+            s"bloom-${UUID.randomUUID()}.parquet")
+          require(fs.rename(s.getPath, dest), s"rename ${s.getPath} failed")
+        }
+    } finally fs.delete(tmp, true)
     probeCache.clear()
   }
 
@@ -271,6 +272,32 @@ object LakeBloom {
       .toMap
     probeCache.put(key, res)
     res
+  }
+
+  /** Per-column COVERAGE of a snapshot's data files: for every declared
+    * bloom column, (files with a bloom row, total files) — the decay
+    * metric `graft_lake_detail` surfaces so an operator can see "0.4
+    * coverage after a week of merges" and re-ANALYZE. One column-pruned
+    * distinct scan over the sidecars (index-sized I/O). Empty when no
+    * bloom index is declared. */
+  private[sources] def coverage(spark: SparkSession, root: Path,
+                                liveFiles: Set[String])
+      : Map[String, (Int, Int)] = {
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readConfig(fs, root) match {
+      case None => Map.empty
+      case Some(cfg) =>
+        val parts = sidecars(fs, root)
+        val covered: Map[String, Set[String]] =
+          if (parts.isEmpty) Map.empty
+          else spark.read.parquet(parts.map(_.toString): _*)
+            .select(col("col"), col("fname")).distinct().collect()
+            .groupBy(_.getString(0))
+            .view.mapValues(_.map(_.getString(1)).toSet).toMap
+        cfg.cols.map(c => c -> ((
+          covered.getOrElse(c, Set.empty).count(liveFiles),
+          liveFiles.size))).toMap
+    }
   }
 
   /** Sidecar GC for [[LakeTable.vacuum]]: drop every sidecar whose rows

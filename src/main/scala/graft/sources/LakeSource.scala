@@ -26,12 +26,14 @@ import org.apache.spark.sql.types.StructType
   * and vectorized scanning for free. (A DSv2 Table would need its own
   * scan builder and would bypass the prune rule.)
   *
-  * Tombstoned snapshots (outstanding [[LakeTable.deleteDeferred]]) refuse
-  * loudly — a V1 BaseRelation is just a file relation and cannot carry
-  * the read-time anti-join, and silently resurrecting deleted rows is
-  * worse than refusing. (The API read, the table functions, and the
-  * change feed all apply tombstones; this is the one surface that
-  * structurally cannot.) Compact first.
+  * Snapshots a raw file relation CANNOT represent — renamed/remapped
+  * columns (column mapping: files speak physical names, readers must see
+  * logical ones) or outstanding [[LakeTable.deleteDeferred]] tombstones
+  * (merge-on-read needs the read-time anti-join) — are served through
+  * [[LakeProjectedRelation]] instead: the exact API-read semantics with
+  * filter pushdown and column pruning intact, at the cost of whole-stage
+  * fusion across the relation boundary. Every surface now reads every
+  * snapshot; the fast path stays the fast path.
   *
   * The STREAMING half (`spark.readStream.format("graft-lake")`) serves the
   * change feed with per-commit micro-batches — see
@@ -86,15 +88,32 @@ class LakeSource extends RelationProvider with DataSourceRegister
     // writers, one epoch sequence — the second query's batches silently
     // skipped as replays), so a query whose checkpoint came from the
     // session conf (absent here) must refuse rather than fall back.
+    // a session-conf checkpoint ROOT + an explicit queryName is just as
+    // deterministic as a writer-level checkpointLocation (Spark resolves
+    // the query's checkpoint to <root>/<queryName>) — derive the same
+    // identity. A conf root WITHOUT a query name resolves to a random
+    // UUID subdir per start (no continuity to protect, but also no
+    // stable identity two runs could share) — that case still refuses.
     val appId = parameters.get("txnAppId")
       .orElse(parameters.get("checkpointLocation").map(cp =>
         java.lang.Long.toHexString(new Path(cp).toString.hashCode & 0xffffffffL)))
+      .orElse {
+        val confRoot = sqlContext.sparkSession.conf
+          .getOption("spark.sql.streaming.checkpointLocation")
+        val qName = parameters.get("queryName")
+        (confRoot, qName) match {
+          case (Some(r), Some(q)) =>
+            val cp = new Path(new Path(r), q).toString
+            Some(java.lang.Long.toHexString(cp.hashCode & 0xffffffffL))
+          case _ => None
+        }
+      }
       .getOrElse(throw new IllegalArgumentException(
-        "graft-lake sink requires an explicit writer identity: set " +
-          ".option(\"checkpointLocation\", …) on the writer (not only the " +
-          "session-level checkpoint conf) or pass .option(\"txnAppId\", …) — " +
-          "a shared root-derived identity would make concurrent writers " +
-          "skip each other's epochs as replays"))
+        "graft-lake sink requires a stable writer identity: set " +
+          ".option(\"checkpointLocation\", …) on the writer, or the session " +
+          "checkpoint conf PLUS .queryName(…), or pass " +
+          ".option(\"txnAppId\", …) — a shared root-derived identity would " +
+          "make concurrent writers skip each other's epochs as replays"))
     // complete mode IS the mode: each batch replaces the table content
     if (outputMode == OutputMode.Complete()) {
       require(!parameters.contains("mode") || parameters("mode") == "aggregate",
@@ -127,17 +146,17 @@ class LakeSource extends RelationProvider with DataSourceRegister
         .map(t => table.versionAt(Lake.parseTsMillis(t))))
       .getOrElse(table.latestVersion)
     val m = table.manifest(version)
-    require(m.tombstones.isEmpty,
-      s"snapshot v$version carries deferred-delete tombstones: compact() " +
-        "before reading through the graft-lake format (a relation cannot " +
-        "carry the read-time anti-join)")
-    require(m.columnMap.isEmpty,
-      s"snapshot v$version has renamed columns (column mapping): a V1 " +
-        "file relation cannot carry the physical->logical projection — " +
-        "read via LakeTable.read() or SQL graft_lake('<root>') instead")
+    // snapshots that are a plain multi-file parquet scan (no renames, no
+    // outstanding merge-on-read tombstones) hand back the underlying
+    // file relation — the fast path every rule and reader optimization
+    // targets (see class doc). Everything else takes the PROJECTED
+    // relation below, which serves the exact API-read semantics.
+    if (m.columnMap.nonEmpty || m.tombstones.nonEmpty ||
+        (m.files.isEmpty && m.schemaDdl.nonEmpty))
+      return new LakeProjectedRelation(sqlContext, root, version)
     require(m.files.nonEmpty,
-      s"snapshot v$version is empty — an empty table exposes no schema " +
-        "through the format; use LakeTable.read()")
+      s"snapshot v$version is empty with no recorded schema — nothing " +
+        "to expose through the format; use LakeTable.read()")
     val paths = m.files.map(f => new Path(root, f.path).toString)
     // the stored schema (when present) replaces footer merging and reads
     // pre-widening files promoted in place — same contract as the API read
@@ -153,6 +172,77 @@ class LakeSource extends RelationProvider with DataSourceRegister
         case l: LogicalRelation => l.relation
       }.getOrElse(throw new IllegalStateException(
         "parquet read did not resolve to a file relation"))
+  }
+}
+
+/** The format's fallback relation for snapshots a raw file relation
+  * cannot represent: COLUMN-MAPPED tables (renames/dropped-name
+  * remaps — physical files speak storage names, readers must see
+  * logical ones) and MERGE-ON-READ snapshots (outstanding deferred-
+  * delete tombstones need the read-time anti-join). A V1
+  * `PrunedFilteredScan` whose scan plans the exact API-read frame
+  * ([[LakeTable.snapshot]]) and lets Catalyst compile it:
+  *
+  *  - FILTERS Spark pushes here are re-applied as `Column` predicates
+  *    on the inner frame (logical names — the aliasing projection
+  *    rewrites them onto the physical scan), so parquet pushdown AND
+  *    [[LakeManifestPrune]] data skipping fire exactly as they do for
+  *    an API read. Unconvertible filters are skipped — Spark
+  *    re-evaluates every pushed filter above a V1 scan, so skipping
+  *    costs I/O, never correctness.
+  *  - COLUMN PRUNING maps `requiredColumns` to a select on the inner
+  *    frame — the physical scan reads only the needed columns.
+  *  - the returned rows are the inner plan's InternalRows
+  *    (`needConversion = false`): no per-row external conversion; the
+  *    one real cost vs. the fast path is losing whole-stage fusion
+  *    ACROSS the relation boundary, which is the honest price of
+  *    semantics a file relation cannot carry. */
+private[sources] class LakeProjectedRelation(
+    override val sqlContext: SQLContext, root: String, version: Int)
+    extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+  import org.apache.spark.sql.sources._
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def snap: DataFrame =
+    new LakeTable(sqlContext.sparkSession, root).snapshot(version)
+
+  override val schema: StructType = snap.schema
+
+  override def needConversion: Boolean = false
+
+  /** sources.Filter → Column on the logical frame; None = not convertible
+    * (safe: Spark re-applies all pushed filters above the scan). */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] =
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+      case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+      case Not(c) => toColumn(c).map(!_)
+      case _ => None
+    }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val filtered = filters.foldLeft(snap)((df, f) =>
+      toColumn(f).map(df.filter).getOrElse(df))
+    val projected = filtered.select(
+      requiredColumns.toIndexedSeq.map(col): _*)
+    // needConversion=false contract: the RDD really carries InternalRows
+    projected.queryExecution.toRdd
+      .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
   }
 }
 

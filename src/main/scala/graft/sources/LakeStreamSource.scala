@@ -8,10 +8,10 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
 
 /** `spark.readStream.format("graft-lake").load(root)` — the lake's change
   * feed as a REAL structured-streaming source: one micro-batch per span of
-  * newly committed versions, offsets ARE version numbers, so the engine's
-  * offset log gives exactly-once delivery across restarts with zero extra
-  * bookkeeping (no version replayed, none skipped — the manifest chain is
-  * the only log).
+  * newly committed versions, offsets ARE version numbers (plus a file
+  * index inside a split append commit), so the engine's offset log gives
+  * exactly-once delivery across restarts with zero extra bookkeeping (no
+  * version replayed, none skipped — the manifest chain is the only log).
   *
   * Options:
   *  - `startingVersion` (int): first commit to deliver; default is
@@ -30,14 +30,36 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    must swallow whole. Capped, the backfill drains as a sequence of
   *    bounded batches, each its own committed offset: progress is
   *    incremental, restart loses at most one span, and sink pressure is
-  *    constant. Restart-safe by the engine's own contract — on recovery
-  *    the last batch is re-handed to `getBatch` BEFORE new offsets are
-  *    requested, which re-seats the admission anchor above everything
-  *    the checkpoint already committed (no version skipped, none
-  *    re-delivered).
+  *    constant.
+  *  - `maxRowsPerTrigger` (long > 0) / `maxFilesPerTrigger` (int > 0):
+  *    admission WITHIN a commit. A version cap bounds commits, but one
+  *    huge commit (a bulk backfill append) still lands as a single
+  *    batch. For PURE-APPEND commits (adds only — no removes, no
+  *    tombstone changes: the only shape whose feed decomposes by file)
+  *    these caps split the commit's add-files across micro-batches,
+  *    decided from the manifest's per-file row counts alone; offsets
+  *    extend to `(version, fileIndex)` so exactly-once survives
+  *    restarts mid-commit. Rewriting commits (merge, delete, compact)
+  *    stay atomic — their pre/post diff is not file-separable — so a
+  *    batch is bounded by max(caps, largest single rewrite). Every
+  *    batch admits at least one file or one commit: progress is
+  *    guaranteed even when a single unit exceeds the budget.
+  *
+  * All three caps COMPOSE; a batch closes at the first exhausted budget.
+  * Restart-safe by the engine's own contract — on recovery the last
+  * batch is re-handed to `getBatch` BEFORE new offsets are requested,
+  * which re-seats the admission anchor above everything the checkpoint
+  * already committed (no unit skipped, none re-delivered).
   *
   * Output schema: the table's data schema + `_change_type` (the standard
   * CDF vocabulary) + `_commit_version` (which commit produced the row).
+  *
+  * RENAMES MID-STREAM are normalized: the stream's schema is fixed at
+  * start (the Delta CDF contract — restart to adopt new names), and each
+  * span's columns are matched to it by PHYSICAL identity through that
+  * version's column map. A column renamed after the stream started keeps
+  * feeding under its start-of-stream name; columns added later are not
+  * emitted until restart; columns dropped later feed null.
   *
   * Merge-on-read versions (outstanding `deleteDeferred` tombstones) are
   * first-class: `LakeTable.changes` diffs the EFFECTIVE (tombstone-
@@ -51,7 +73,8 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * by the covered commits (the manifest diff, plus tombstone-range-
   * intersecting carried files when a deferred delete landed), so a quiet
   * 100 TB table streams for free and a busy one pays
-  * proportional-to-change. */
+  * proportional-to-change — and with the row/file caps, never more than
+  * the configured batch budget at once. */
 class LakeChangeFeedSource(sqlContext: SQLContext,
                            parameters: Map[String, String]) extends Source {
 
@@ -78,36 +101,160 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     parameters.get("maxVersionsPerTrigger").map(_.toInt)
   require(maxVersionsPerTrigger.forall(_ > 0),
     "maxVersionsPerTrigger must be a positive integer")
+  private val maxRowsPerTrigger: Option[Long] =
+    parameters.get("maxRowsPerTrigger").map(_.toLong)
+  require(maxRowsPerTrigger.forall(_ > 0),
+    "maxRowsPerTrigger must be a positive integer")
+  private val maxFilesPerTrigger: Option[Int] =
+    parameters.get("maxFilesPerTrigger").map(_.toInt)
+  require(maxFilesPerTrigger.forall(_ > 0),
+    "maxFilesPerTrigger must be a positive integer")
+  /** Whether commits may split at file granularity at all. */
+  private val splitCaps = maxRowsPerTrigger.isDefined ||
+    maxFilesPerTrigger.isDefined
 
-  /** Highest version this source has offered (getOffset) or seen
+  /** Stream position: `file == COMPLETE` ⇒ every unit of `version` (and
+    * everything before it) delivered; otherwise versions < `version`
+    * delivered plus add-files `0..file` of `version`. */
+  private val COMPLETE = Int.MaxValue
+  private case class Pos(version: Int, file: Int) {
+    def lt(o: Pos): Boolean =
+      version < o.version || (version == o.version && file < o.file)
+    def max(o: Pos): Pos = if (lt(o)) o else this
+  }
+
+  /** Highest position this source has offered (getOffset) or seen
     * processed (getBatch — the engine re-hands the recovered batch's
-    * offsets here on restart, before asking for new ones). The admission
-    * cap extends from this anchor, so a capped stream never re-offers
-    * below what the checkpoint committed. */
-  private var admitted: Int = startingVersion - 1
+    * offsets here on restart, before asking for new ones). Admission
+    * extends from this anchor, so a capped stream never re-offers below
+    * what the checkpoint committed. */
+  private var admitted: Pos = Pos(startingVersion - 1, COMPLETE)
 
   override val schema: StructType =
     LakeChangeFeedSource.feedSchema(spark, root)
 
-  private def ver(o: Offset): Int = o match {
-    case LongOffset(v) => v.toInt
-    case other => other.json.trim.toInt
+  /** The stream's fixed logical names keyed by PHYSICAL identity, taken
+    * at stream start — the rename-normalization table (see class doc). */
+  private val fixedByPhysical: Map[String, String] = {
+    val m = table.manifest(table.latestVersion)
+    schema.fields.iterator
+      .map(_.name)
+      .filterNot(n => n == "_change_type" || n == "_commit_version")
+      .map(n => m.columnMap.getOrElse(n, n) -> n)
+      .toMap
   }
+
+  private def decode(o: Offset): Pos = o match {
+    case LongOffset(v) => Pos(v.toInt, COMPLETE)
+    case other =>
+      val s = other.json.trim
+      val cut = s.indexOf(':')
+      if (cut < 0) Pos(s.toInt, COMPLETE)
+      else Pos(s.substring(0, cut).toInt, s.substring(cut + 1).toInt)
+  }
+
+  private case class FilePosOffset(version: Int, file: Int) extends Offset {
+    override def json: String = s"$version:$file"
+  }
+
+  private def encode(p: Pos): Offset =
+    if (p.file == COMPLETE) LongOffset(p.version.toLong)
+    else FilePosOffset(p.version, p.file)
+
+  /** Pure-append commits are the only file-separable feed shape. */
+  private def pureAppend(d: Lake.Delta): Boolean =
+    !d.full && d.removes.isEmpty && d.tombstoneAdds.isEmpty &&
+      d.tombstoneRemoves.isEmpty && d.adds.nonEmpty
 
   override def getOffset: Option[Offset] = {
     val latest = table.latestVersion
-    val capped =
-      maxVersionsPerTrigger.fold(latest)(m => math.min(latest, admitted + m))
-    if (capped >= startingVersion) {
-      admitted = math.max(admitted, capped)
-      Some(LongOffset(capped.toLong))
-    } else None
+    // no caps: offer everything outstanding in O(1) — no delta reads
+    if (!splitCaps && maxVersionsPerTrigger.isEmpty) {
+      val target = Pos(latest, COMPLETE)
+      return if (admitted.lt(target) && latest >= startingVersion) {
+        admitted = admitted.max(target)
+        Some(encode(target))
+      } else None
+    }
+    var cur = admitted
+    var rowsBudget = maxRowsPerTrigger.getOrElse(Long.MaxValue)
+    var filesBudget = maxFilesPerTrigger.getOrElse(Int.MaxValue)
+    var versionsBudget = maxVersionsPerTrigger.getOrElse(Int.MaxValue)
+    var progressed = false
+    var stop = false
+    while (!stop) {
+      if (cur.file != COMPLETE) {
+        // inside a split commit: admit its next add-file
+        val adds = table.commitDeltaOf(cur.version).adds
+        if (cur.file >= adds.size - 1) cur = Pos(cur.version, COMPLETE)
+        else {
+          val fe = adds(cur.file + 1)
+          if (progressed && (fe.rows > rowsBudget || filesBudget < 1))
+            stop = true
+          else {
+            cur = Pos(cur.version, cur.file + 1)
+            rowsBudget -= fe.rows; filesBudget -= 1; progressed = true
+          }
+        }
+      } else if (cur.version >= latest || versionsBudget < 1) stop = true
+      else {
+        val nv = cur.version + 1
+        if (!table.hasVersion(nv)) cur = Pos(nv, COMPLETE) // vacuumed: free
+        else {
+          val d = table.commitDeltaOf(nv)
+          if (splitCaps && pureAppend(d)) {
+            // enter a splittable commit only if its first file admits
+            // (or nothing admitted yet — the progress guarantee)
+            if (progressed &&
+                (d.adds.head.rows > rowsBudget || filesBudget < 1))
+              stop = true
+            else { cur = Pos(nv, -1); versionsBudget -= 1 }
+          } else {
+            val cost = d.adds.map(_.rows).sum
+            if (progressed &&
+                (cost > rowsBudget || d.adds.size > filesBudget))
+              stop = true
+            else {
+              cur = Pos(nv, COMPLETE)
+              rowsBudget -= cost; filesBudget -= d.adds.size
+              versionsBudget -= 1; progressed = true
+            }
+          }
+        }
+      }
+    }
+    if (!progressed) None
+    else {
+      admitted = admitted.max(cur)
+      Some(encode(cur))
+    }
+  }
+
+  /** Normalize one span's frame to the stream's FIXED schema: match
+    * columns by physical identity through `v`'s column map (rename
+    * normalization), stamp `_commit_version`, null-fill columns this
+    * span doesn't know. */
+  private def aligned(f: DataFrame, v: Int): DataFrame = {
+    val mv = table.manifest(v)
+    val byFixedName: Map[String, String] = f.columns.iterator.map { c =>
+      val physical = mv.columnMap.getOrElse(c, c)
+      fixedByPhysical.getOrElse(physical, c) -> c
+    }.toMap
+    val cols = schema.fields.map { fld =>
+      if (fld.name == "_commit_version")
+        lit(v).cast(fld.dataType).as(fld.name)
+      else byFixedName.get(fld.name) match {
+        case Some(c) => col(c).cast(fld.dataType).as(fld.name)
+        case None => lit(null).cast(fld.dataType).as(fld.name)
+      }
+    }
+    f.select(cols.toSeq: _*)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(startingVersion - 1)
-    admitted = math.max(admitted, ver(end))
-    val to = ver(end)
+    val from = start.map(decode).getOrElse(Pos(startingVersion - 1, COMPLETE))
+    val to = decode(end)
+    admitted = admitted.max(to)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // per-commit micro-spans over the RETAINED versions in (from, to] —
     // tombstoned (merge-on-read) versions serve their own feed (changes
@@ -119,31 +266,47 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     // duplicate rows in an exactly-once feed. Fail loudly instead, like
     // the no-anchor case.
     var anchor =
-      if (from < 0 || table.hasVersion(from)) from
+      if (from.version < 0 || table.hasVersion(from.version)) from.version
       else throw new IllegalStateException(
-        s"lake stream at $root: committed offset v$from was vacuumed — " +
-          "re-anchoring below it would re-deliver changes this stream " +
-          "already emitted; keep vacuum retention above the stream's lag, " +
-          "or restart on a fresh checkpoint with a startingVersion inside " +
-          "retained history")
-    ((from + 1) to to).foreach { v =>
+        s"lake stream at $root: committed offset v${from.version} was " +
+          "vacuumed — re-anchoring below it would re-deliver changes this " +
+          "stream already emitted; keep vacuum retention above the " +
+          "stream's lag, or restart on a fresh checkpoint with a " +
+          "startingVersion inside retained history")
+    // 1) the REMAINDER of a commit split across batches: files
+    //    (from.file, hi] of from.version as insert slices
+    if (from.file != COMPLETE) {
+      val adds = table.commitDeltaOf(from.version).adds
+      val hi =
+        if (to.version == from.version && to.file != COMPLETE) to.file
+        else adds.size - 1
+      if (hi > from.file)
+        parts += aligned(table.insertSliceFeed(from.version,
+          adds.slice(from.file + 1, hi + 1)), from.version)
+      // after draining its tail, from.version anchors the next span
+    }
+    // 2) fully-covered versions: per-commit manifest diffs
+    val lastFull = if (to.file == COMPLETE) to.version else to.version - 1
+    ((from.version + 1) to lastFull).foreach { v =>
       if (table.hasVersion(v)) {
-        val f = table.changes(math.max(anchor, 0), v)
+        val d = table.commitDeltaOf(v)
         // v0 (create) has no parent: diff against itself emits nothing,
         // matching "the create commit emits nothing" — unless the caller
-        // asked to replay from v0, where changes(0, v) IS the history
-        // align to the FIXED stream schema: columns this span's files
-        // don't know yet (pre-evolution intervals) become typed nulls
-        val aligned = schema.fields.map { fld =>
-          if (fld.name == "_commit_version")
-            lit(v).cast(fld.dataType).as(fld.name)
-          else if (f.columns.contains(fld.name))
-            col(fld.name).cast(fld.dataType).as(fld.name)
-          else lit(null).cast(fld.dataType).as(fld.name)
-        }
-        parts += f.select(aligned.toSeq: _*)
+        // asked to replay from v0, where changes(0, v) IS the history.
+        // Pure-append commits skip the diff join entirely (same rows).
+        val f =
+          if (pureAppend(d) && anchor == v - 1)
+            table.insertSliceFeed(v, d.adds)
+          else table.changes(math.max(anchor, 0), v)
+        parts += aligned(f, v)
         anchor = v
       }
+    }
+    // 3) the admitted HEAD of a commit still mid-split: files [0, to.file]
+    if (to.file != COMPLETE && to.version > from.version) {
+      val adds = table.commitDeltaOf(to.version).adds
+      parts += aligned(table.insertSliceFeed(to.version,
+        adds.slice(0, to.file + 1)), to.version)
     }
     val batch =
       if (parts.isEmpty)
@@ -160,9 +323,10 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
 
 object LakeChangeFeedSource {
   /** The stream's fixed schema, derived from the table's CURRENT snapshot
-    * at stream (or schema-inquiry) time. A table that widens mid-stream
-    * keeps feeding the shape the stream started with; restart to pick up
-    * new columns — the same contract as Delta's CDF stream. */
+    * at stream (or schema-inquiry) time. A table that widens or renames
+    * mid-stream keeps feeding the shape the stream started with (renamed
+    * columns normalize back by physical identity); restart to pick up
+    * new columns or names — the same contract as Delta's CDF stream. */
   def feedSchema(spark: SparkSession, root: String): StructType = {
     val t = new LakeTable(spark, root)
     val m = t.manifest(t.latestVersion)

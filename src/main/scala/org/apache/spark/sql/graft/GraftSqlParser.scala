@@ -27,12 +27,17 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * INSERT INTO graft_lake('<root>') <query>        -- append, PK-checked
   * UPDATE graft_lake('<root>') [AS t] SET c = e [, ...] [WHERE <cond>]
   * DELETE FROM graft_lake('<root>') [AS t] [WHERE <cond>]
+  * DELETE DEFERRED FROM graft_lake('<root>') [AS t] WHERE <cond>
+  *                                        -- merge-on-read: keys land as
+  *                                        -- a tombstone, nothing rewrites
   * OPTIMIZE graft_lake('<root>') [FILES <n>]
   *   [ZORDER BY (c1, c2[, ...]) | HILBERT BY (c1, c2[, ...])
-  *    | SORT BY (c1[, ...]) | WHERE <cond>]
+  *    | SORT BY (c1[, ...])] [WHERE <cond>]   -- layout + WHERE compose:
+  *                                            -- re-cluster O(selected)
   * OPTIMIZE graft_lake('<root>') BINPACK <minRows> [TARGET <rows>]
   *   [SPLIT <maxRows>]
   * ALTER TABLE graft_lake('<root>') RENAME COLUMN <a> TO <b>
+  * ALTER TABLE graft_lake('<root>') ADD COLUMN <c> <type>
   * ALTER TABLE graft_lake('<root>') DROP COLUMN <a>
   * ALTER TABLE graft_lake('<root>') ADD CONSTRAINT <n> CHECK (<expr>)
   * ALTER TABLE graft_lake('<root>') DROP CONSTRAINT <n>
@@ -116,9 +121,21 @@ object GraftSqlParser {
   private def skipLiteralOrComment(t: String, at: Int): Int = {
     val c = t.charAt(at)
     if (c == '\'' || c == '"') {
+      // mirror Spark's lexer: a backslash escapes the next char, and a
+      // DOUBLED closing quote is an embedded quote, not a terminator —
+      // so 'it\'s; x' / 'it''s; x' never mis-terminate the scan and leak
+      // their `;`/`,`/parens into the structural pass
       var k = at + 1
-      while (k < t.length && t.charAt(k) != c) k += 1
-      math.min(t.length, k + 1)
+      var done = false
+      while (k < t.length && !done) {
+        val ch = t.charAt(k)
+        if (ch == '\\') k += 2
+        else if (ch == c) {
+          if (k + 1 < t.length && t.charAt(k + 1) == c) k += 2
+          else { done = true; k += 1 }
+        } else k += 1
+      }
+      math.min(t.length, k)
     } else if (at + 1 < t.length && c == '-' && t.charAt(at + 1) == '-') {
       var k = at + 2
       while (k < t.length && t.charAt(k) != '\n') k += 1
@@ -195,13 +212,15 @@ object GraftSqlParser {
       if (i >= s.length || (s.charAt(i) != '\'' && s.charAt(i) != '"'))
         fail(s"expected a quoted string literal at: …${s.substring(i).take(40)}")
       val q = s.charAt(i)
-      val st = i + 1
-      var k = st
-      while (k < s.length && s.charAt(k) != q) k += 1
-      if (k >= s.length) fail("unterminated string literal")
-      val body = s.substring(st, k)
-      i = k + 1
-      "'" + body + "'"
+      val end = GraftSqlParser.skipLiteralOrComment(s, i)
+      if (end <= i + 1 || s.charAt(end - 1) != q)
+        fail("unterminated string literal")
+      val body = s.substring(i + 1, end - 1)
+      i = end
+      // normalizing a double-quoted form to single quotes must escape
+      // any single quote the body legally carried
+      if (q == '"') "'" + body.replace("\\'", "'").replace("'", "\\'") + "'"
+      else "'" + body + "'"
     }
 
     /** A balanced `( … )` block; returns the inner text. */
@@ -430,8 +449,11 @@ object GraftSqlParser {
     } else if (sc.keyword("UPDATE")) {
       lakeTarget(sc).map(root => parseUpdate(sc, root, delegate))
     } else if (sc.keyword("DELETE")) {
+      // DELETE DEFERRED FROM … WHERE … = the merge-on-read form: the
+      // predicate's keys land as a tombstone file, nothing rewrites
+      val deferred = sc.keyword("DEFERRED")
       if (!sc.keyword("FROM")) None
-      else lakeTarget(sc).map(root => parseDelete(sc, root, delegate))
+      else lakeTarget(sc).map(root => parseDelete(sc, root, delegate, deferred))
     } else if (sc.keyword("ALTER")) {
       if (!sc.keyword("TABLE")) None
       else lakeTarget(sc).map { root =>
@@ -454,19 +476,29 @@ object GraftSqlParser {
             LakeAlterCommand(root, "drop", c, None)
           }
         } else if (sc.keyword("ADD")) {
-          sc.expect("CONSTRAINT")
-          val n = sc.ident()
-          sc.expect("CHECK")
-          val checkSql = sc.parenBlock().trim
-          if (checkSql.isEmpty) fail("CHECK needs an expression")
-          sc.assertEnd()
-          // normalize through the delegate's expression grammar so the
-          // stored text is a valid, canonical expression
-          LakeAlterCommand(root, "add-constraint", n,
-            Some(delegate.parseExpression(checkSql).sql))
+          if (sc.keyword("COLUMN")) {
+            val c = sc.ident()
+            val tyText = sc.restStmt()
+            if (tyText.isEmpty) fail("ADD COLUMN needs a type")
+            // normalize through the delegate's type grammar so the
+            // stored DDL is valid and canonical
+            LakeAlterCommand(root, "add", c,
+              Some(delegate.parseDataType(tyText).catalogString))
+          } else {
+            sc.expect("CONSTRAINT")
+            val n = sc.ident()
+            sc.expect("CHECK")
+            val checkSql = sc.parenBlock().trim
+            if (checkSql.isEmpty) fail("CHECK needs an expression")
+            sc.assertEnd()
+            // normalize through the delegate's expression grammar so the
+            // stored text is a valid, canonical expression
+            LakeAlterCommand(root, "add-constraint", n,
+              Some(delegate.parseExpression(checkSql).sql))
+          }
         } else fail("ALTER TABLE graft_lake(…) supports RENAME COLUMN " +
-          "a TO b, DROP COLUMN a, ADD CONSTRAINT n CHECK (expr), and " +
-          "DROP CONSTRAINT n")
+          "a TO b, ADD COLUMN c <type>, DROP COLUMN a, " +
+          "ADD CONSTRAINT n CHECK (expr), and DROP CONSTRAINT n")
       }
     } else if (sc.keyword("ANALYZE")) {
       if (!sc.keyword("TABLE")) None
@@ -766,7 +798,8 @@ object GraftSqlParser {
   }
 
   private def parseDelete(sc: Scan, root: String,
-                          delegate: ParserInterface): LogicalPlan = {
+                          delegate: ParserInterface,
+                          deferred: Boolean = false): LogicalPlan = {
     val alias = if (sc.atEnd() || sc.keyword("WHERE")) None else {
       sc.keyword("AS")
       Some(sc.ident())
@@ -779,7 +812,10 @@ object GraftSqlParser {
     val where =
       if (restText.isEmpty) None
       else Some(dropAlias(delegate.parseExpression(restText), alias).sql)
-    LakeDeleteCommand(root, where)
+    if (deferred && where.isEmpty)
+      fail("DELETE DEFERRED FROM graft_lake(…) needs a WHERE predicate " +
+        "(a full deferred wipe would tombstone every key — use DELETE FROM)")
+    LakeDeleteCommand(root, where, deferred)
   }
 
   private def parseOptimize(sc: Scan, root: String,
@@ -810,13 +846,11 @@ object GraftSqlParser {
         Some(("sort", cols))
       } else None
     if (sc.keyword("WHERE")) {
-      // predicate-scoped compaction — a layout re-cluster is a WHOLE-
-      // table statement by definition, so WHERE composes with FILES only
-      if (layout.isDefined)
-        fail("OPTIMIZE … WHERE compacts a file subset and cannot combine " +
-          "with ZORDER/HILBERT/SORT BY (layout re-clustering is whole-table)")
+      // predicate-scoped compaction; a layout clause composes — only
+      // the selected files rewrite, re-clustered by it (the partition-
+      // maintenance loop: "re-cluster yesterday's partition" O(selected))
       val cond = delegate.parseExpression(sc.restStmt()).sql
-      return LakeOptimizeWhereCommand(root, files.getOrElse(0), cond)
+      return LakeOptimizeWhereCommand(root, files.getOrElse(0), cond, layout)
     }
     sc.assertEnd()
     LakeOptimizeCommand(root, files, layout)
@@ -939,13 +973,18 @@ case class LakeUpdateCommand(root: String, sets: Seq[(String, String)],
 /** `DELETE FROM graft_lake(…) [WHERE …]` →
   * [[graft.sources.LakeTable.deleteWhere]]. */
 case class LakeDeleteCommand(root: String,
-                             whereSql: Option[String]) extends LeafRunnableCommand {
+                             whereSql: Option[String],
+                             deferred: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftSqlParser.exprCol
     val t = new graft.sources.LakeTable(spark, root)
     GraftSqlParser.statsRow(
-      t.deleteWhereWithRetry(whereSql.map(exprCol).getOrElse(lit(true))))
+      if (deferred)
+        t.deleteDeferredWhereWithRetry(exprCol(whereSql.get))
+      else
+        t.deleteWhereWithRetry(whereSql.map(exprCol).getOrElse(lit(true))))
   }
 }
 
@@ -978,13 +1017,14 @@ case class LakeOptimizeCommand(root: String, files: Option[Int],
   * compaction: only the files the predicate can touch rewrite (FILES 0 =
   * target-size policy). */
 case class LakeOptimizeWhereCommand(root: String, files: Int,
-                                    whereSql: String)
+                                    whereSql: String,
+                                    layout: Option[(String, Seq[String])] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val t = new graft.sources.LakeTable(spark, root)
     GraftSqlParser.statsRow(
-      t.compactWhereWithRetry(GraftSqlParser.exprCol(whereSql), files))
+      t.compactWhereWithRetry(GraftSqlParser.exprCol(whereSql), files, layout))
   }
 }
 
@@ -1018,6 +1058,7 @@ case class LakeAlterCommand(root: String, verb: String, column: String,
     val t = new graft.sources.LakeTable(spark, root)
     GraftSqlParser.statsRow(verb match {
       case "rename" => t.renameColumnWithRetry(column, to.get)
+      case "add" => t.addColumnWithRetry(column, to.get)
       case "drop" => t.dropColumnWithRetry(column)
       case "add-constraint" => t.addConstraintWithRetry(column, to.get)
       case "drop-constraint" => t.dropConstraintWithRetry(column)

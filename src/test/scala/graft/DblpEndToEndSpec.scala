@@ -69,6 +69,52 @@ class DblpEndToEndSpec extends SparkTestBase {
       rows(DblpQueries.t1TopAuthorsPerVenue(Dblp.readLineXml(spark, fixturePath), k = 2))
   }
 
+  test("DTD entity expansion: &uuml;-style references resolve before the parse") {
+    import org.apache.spark.sql.functions.col
+    // a record exactly as the real dblp.xml encodes it — pure ASCII with
+    // the DTD's named Latin-1 entities (and &amp;, an XML BUILT-IN the
+    // expander must leave for the parser)
+    val rec = "<article key=\"journals/x/J1\">" +
+      "<author>J&uuml;rgen M&uuml;ller</author>" +
+      "<title>St&ouml;rung &amp; Signal</title>" +
+      "<journal>Notes</journal><year>1999</year></article>"
+    val dir = java.nio.file.Files.createTempDirectory("graft-ent")
+    val lineFile = dir.resolve("lines.txt")
+    java.nio.file.Files.write(lineFile, java.util.Arrays.asList(rec))
+    // expanded line path: names decode, the built-in && resolves in the
+    // PARSER (not the expander)
+    val pubs = Dblp.readLineXml(spark, lineFile.toString, expandEntities = true)
+    val r = pubs.filter(col("key") === "journals/x/J1")
+      .selectExpr("authors[0]", "title").collect()
+    r.map(x => (x.getString(0), x.getString(1))).toSeq shouldBe
+      Seq(("Jürgen Müller", "Störung & Signal"))
+    // whole-file path: the expand-entities preprocessing verb, then the
+    // native rowTag source over the expanded copy ≡ the line path
+    val xml = "<?xml version=\"1.0\" encoding=\"ISO-8859-1\"?>\n<dblp>\n" +
+      rec + "\n</dblp>"
+    val wholeIn = dir.resolve("dblp.xml")
+    java.nio.file.Files.write(wholeIn,
+      xml.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val expanded = dir.resolve("expanded").toString
+    Dblp.expandEntitiesFile(spark, wholeIn.toString, expanded)
+    val whole = rows(Dblp.readWholeXml(spark, expanded, charset = "UTF-8")
+      .filter(col("key").isNotNull).orderBy("key"))
+    whole shouldBe rows(pubs.filter(col("key").isNotNull).orderBy("key"))
+  }
+
+  test("XmlEntities.expand: table hits, built-ins kept, unknowns verbatim") {
+    import org.apache.spark.sql.graft.XmlEntities.expand
+    expand("J&uuml;rgen &amp; M&ouml;") shouldBe "Jürgen &amp; Mö"
+    expand("&szlig;&Eacute;&frac12;&reg;&micro;&times;") shouldBe "ßÉ½®µ×"
+    // XML built-ins and numeric refs pass through untouched (parser's job)
+    expand("&lt;a&gt; &#252; &apos;&quot;") shouldBe "&lt;a&gt; &#252; &apos;&quot;"
+    // unknown names, bare '&', unterminated refs: verbatim
+    expand("A&nosuchentity; B & C &uuml") shouldBe "A&nosuchentity; B & C &uuml"
+    // fast path: an entity-free string returns the SAME instance
+    val s = "no references here"
+    (expand(s) eq s) shouldBe true
+  }
+
   test("CSV sink round-trips with configurable separator (S4)") {
     val pubs = Dblp.readLineXml(spark, fixturePath)
     val out = java.nio.file.Files.createTempDirectory("graft-csv").toString

@@ -833,10 +833,11 @@ class LakeSpec extends SparkTestBase {
       .getMessage should include("already exists")
     intercept[IllegalArgumentException] { t3.renameColumn("nope", "x") }
       .getMessage should include("no column")
-    // the V1 format reader cannot carry the projection: refuses
-    intercept[IllegalArgumentException] {
-      spark.read.format("graft-lake").load(t.root).count()
-    }.getMessage should include("column mapping")
+    // the format reader serves column-mapped tables through the
+    // projected relation: logical names, API-read row parity
+    val fmt = spark.read.format("graft-lake").load(t.root)
+    fmt.columns.toSeq shouldBe t.read().columns.toSeq
+    fmt.count() shouldBe t.read().count()
     // rename survives vacuum + time travel boundary
     t.vacuum(2)
     t.read().columns should contain("note")
@@ -863,6 +864,150 @@ class LakeSpec extends SparkTestBase {
       0L, "cmap") should not be None
     rows(t.read().filter(col("id") === 6L).select("payload")) shouldBe
       Seq(Seq("E6"))
+  }
+
+  test("dropped-name reservation: a re-added column NEVER resurrects old bytes") {
+    val t = mkTable()
+    t.dropColumn("status") // physical 'status' bytes stay in all 3 files
+    t.manifest(t.latestVersion).droppedCols shouldBe Seq("status")
+    // a merge whose source RE-ADDS 'status' widens the schema — but the
+    // column maps to FRESH physical storage, so the 89 carried rows read
+    // NULL, never their stale pre-drop 'A' values (silent resurrection)
+    t.merge(Seq((5L, "re5", "NEWSTATUS")).toDF("k", "payload", "status"))
+    val m = t.manifest(t.latestVersion)
+    m.columnMap.get("status") shouldBe Some("status_2")
+    rows(t.read().filter(col("k") === 5L)) shouldBe
+      Seq(Seq(5L, "re5", "NEWSTATUS"))
+    t.read().filter(col("status").isNotNull).count() shouldBe 1L
+    // the reservation persists: drop the re-added column too, re-add
+    // again -> a THIRD physical name, still no resurrection of either
+    t.dropColumn("status")
+    t.manifest(t.latestVersion).droppedCols.toSet shouldBe
+      Set("status", "status_2")
+    t.addColumn("status", "string")
+    t.manifest(t.latestVersion).columnMap.get("status") shouldBe
+      Some("status_3")
+    t.read().filter(col("status").isNotNull).count() shouldBe 0L
+    // time travel keeps each era's shape and values
+    t.snapshot(0).filter(col("status") === "A").count() shouldBe 90L
+    // even a frame column named EXACTLY like reserved physical storage
+    // routes to fresh storage — there is no spelling that reaches the
+    // stale bytes (the source still carries every table column: a merge
+    // may widen, never narrow)
+    t.merge(Seq((6L, "x6", Option.empty[String], "S2"))
+      .toDF("k", "payload", "status", "status_2"))
+    t.manifest(t.latestVersion).columnMap.get("status_2") shouldBe
+      Some("status_2_2")
+    rows(t.read().filter(col("k") === 6L).select("status_2")) shouldBe
+      Seq(Seq("S2"))
+    t.read().filter(col("status_2").isNotNull).count() shouldBe 1L
+  }
+
+  test("ADD COLUMN: metadata-only; old files read null; merges fill it") {
+    val t = mkTable()
+    val v0Paths = t.manifest(0).files.map(_.path).toSet
+    t.addColumn("score", "double")
+    val m = t.manifest(t.latestVersion)
+    m.files.map(_.path).toSet shouldBe v0Paths // zero data movement
+    t.read().columns.toSeq shouldBe Seq("k", "payload", "status", "score")
+    t.read().filter(col("score").isNotNull).count() shouldBe 0L
+    // older snapshots keep their shape (per-version schema)
+    t.snapshot(0).columns.toSeq shouldBe Seq("k", "payload", "status")
+    // a merge can now fill it; untouched rows stay null
+    t.merge(Seq((7L, "m7", "U", 0.5)).toDF("k", "payload", "status", "score"))
+    rows(t.read().filter(col("k") === 7L).select("score")) shouldBe Seq(Seq(0.5))
+    t.read().filter(col("score").isNotNull).count() shouldBe 1L
+    // refusals: duplicate name, bad identifier
+    intercept[IllegalArgumentException] { t.addColumn("payload", "string") }
+      .getMessage should include("already exists")
+    intercept[IllegalArgumentException] { t.addColumn("a b", "string") }
+      .getMessage should include("invalid")
+  }
+
+  test("ADD COLUMN on a partitioned table keeps partition columns last") {
+    import spark.implicits._
+    val df = (1L to 30L).map(k => (k, s"v$k", k % 3)).toDF("k", "payload", "p")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 2,
+      partitionBy = Seq("p"))
+    t.addColumn("extra", "int")
+    // stored order: data columns, new column, THEN partition columns —
+    // the recovered-partition-last read contract survives the DDL
+    t.read().columns.toSeq shouldBe Seq("k", "payload", "extra", "p")
+    t.merge(Seq((2L, "m2", 7, 2L)).toDF("k", "payload", "extra", "p"))
+    rows(t.read().filter(col("k") === 2L)) shouldBe Seq(Seq(2L, "m2", 7, 2L))
+  }
+
+  test("format reader serves MOR and column-mapped snapshots (projected relation)") {
+    val t = mkTable()
+    // outstanding deferred delete: the format read applies the anti-join
+    t.deleteDeferred(Seq(5L, 6L).toDF("k"))
+    val mor = spark.read.format("graft-lake").load(t.root)
+    mor.count() shouldBe 88L
+    mor.filter(col("k") === 5L).count() shouldBe 0L
+    // rename on top: logical names + filters still correct
+    t.renameColumn("payload", "note")
+    val fmt = spark.read.format("graft-lake").load(t.root)
+    fmt.columns.toSeq shouldBe Seq("k", "note", "status")
+    fmt.filter(col("note") === "val7").count() shouldBe 1L
+    fmt.filter(col("k") <= 30L).count() shouldBe 28L
+    // column pruning + filters compose (requiredColumns path)
+    rows(fmt.filter(col("k") === 7L).select("note")) shouldBe Seq(Seq("val7"))
+    // versionAsOf through the projected relation keeps the old shape
+    spark.read.format("graft-lake").option("versionAsOf", 0)
+      .load(t.root).count() shouldBe 90L
+  }
+
+  test("failed writes leave no scratch; vacuum sweeps orphaned scratch dirs") {
+    val t = mkTable()
+    t.addConstraint("pay_ok", "payload != 'BAD'")
+    val fs = new Path(t.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def scratches() = fs.listStatus(new Path(t.root)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_scratch-"))
+    // a constraint-aborted merge is the EXPECTED failing write: its
+    // scratch dir must be gone the moment the verb throws
+    intercept[Exception] {
+      t.merge(Seq((5L, "BAD", "X")).toDF("k", "payload", "status"))
+    }
+    scratches() shouldBe empty
+    // an orphan from a hard-killed writer (simulated) is swept by vacuum
+    // once older than the TTL (negative here: everything qualifies)
+    fs.mkdirs(new Path(t.root, "_scratch-orphan"))
+    spark.conf.set("spark.graft.lake.scratchTtlMs", "-60000")
+    try {
+      t.merge(Seq((5L, "ok5", "U")).toDF("k", "payload", "status"))
+      t.vacuum(1)
+      scratches() shouldBe empty
+    } finally spark.conf.unset("spark.graft.lake.scratchTtlMs")
+    t.read().count() shouldBe 90L
+  }
+
+  test("deleteDeferredWhere: predicate MOR delete — zero rewrites, stacks, folds") {
+    val t = mkTable()
+    val v0Paths = t.manifest(0).files.map(_.path).toSet
+    // a non-key predicate delete defers: ONE tombstone file, every data
+    // file carries by reference
+    val s = t.deleteDeferredWhere(col("k") <= 10L && col("status") === "A")
+    s.rewrittenFiles shouldBe 0
+    val m1 = t.manifest(s.version)
+    m1.files.map(_.path).toSet shouldBe v0Paths
+    m1.tombstones should have size 1
+    t.read().count() shouldBe 80L
+    t.read().filter(col("k") <= 10L).count() shouldBe 0L
+    // the scan feeding the key extraction is column-pruned + effective:
+    // a second predicate over the REMAINING rows stacks its own keys
+    t.deleteDeferredWhere(col("k") % 30L === 0L)
+    t.read().count() shouldBe 77L // 80 - keys {30, 60, 90}
+    // a no-match predicate is a no-op: nothing commits
+    val v = t.latestVersion
+    t.deleteDeferredWhere(col("payload") === "nope")
+    t.latestVersion shouldBe v
+    // merge revives through the predicate tombstones, compact folds
+    t.merge(Seq((5L, "back5", "R")).toDF("k", "payload", "status"))
+    rows(t.read().filter(col("k") === 5L)) shouldBe Seq(Seq(5L, "back5", "R"))
+    t.compact(3)
+    t.manifest(t.latestVersion).tombstones shouldBe empty
+    t.read().count() shouldBe 78L
+    // SQL surface parity is pinned in LakeSqlDmlSpec (DELETE DEFERRED)
   }
 
   test("target-size sizing: a 10x-target append lands ~10 files; merges scale too") {

@@ -387,6 +387,80 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("ALTER TABLE ADD COLUMN: metadata-only schema growth from SQL") {
+    withExtendedSession { s =>
+      val t = mkTable(s) // k, payload, status, amount
+      val files0 = t.manifest(0).files.map(_.path).toSet
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') ADD COLUMN score DOUBLE")
+        .collect()
+      // zero data movement; old files read the column as null
+      t.manifest(t.latestVersion).files.map(_.path).toSet shouldBe files0
+      val r = s.sql(s"SELECT * FROM graft_lake('${t.root}') WHERE k = 1")
+        .collect()(0)
+      r.schema.fieldNames.toSeq shouldBe
+        Seq("k", "payload", "status", "amount", "score")
+      r.isNullAt(4) shouldBe true
+      // complex types normalize through the delegate's type grammar
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') ADD COLUMN tags ARRAY<STRING>")
+        .collect()
+      s.sql(s"SELECT tags FROM graft_lake('${t.root}') WHERE k = 1")
+        .collect()(0).isNullAt(0) shouldBe true
+      // DML can fill it; time travel keeps the pre-DDL shape
+      s.sql(s"UPDATE graft_lake('${t.root}') SET score = 9.5 WHERE k = 2")
+        .collect()
+      s.sql(s"SELECT score FROM graft_lake('${t.root}') WHERE k = 2")
+        .collect()(0).getDouble(0) shouldBe 9.5
+      s.sql(s"SELECT * FROM graft_lake('${t.root}') VERSION AS OF 0 WHERE k = 1")
+        .collect()(0).schema.fieldNames.toSeq shouldBe
+        Seq("k", "payload", "status", "amount")
+      // drop → SQL re-add reserves the old bytes (fresh physical storage)
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') DROP COLUMN status").collect()
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') ADD COLUMN status STRING")
+        .collect()
+      t.manifest(t.latestVersion).columnMap.get("status") shouldBe
+        Some("status_2")
+      s.sql(s"SELECT count(*) FROM graft_lake('${t.root}') " +
+        "WHERE status IS NOT NULL").collect()(0).getLong(0) shouldBe 0L
+      // refusals: duplicate, bad type
+      intercept[Exception] {
+        s.sql(s"ALTER TABLE graft_lake('${t.root}') ADD COLUMN k BIGINT")
+          .collect()
+      }.getMessage should include("already exists")
+      intercept[Exception] {
+        s.sql(s"ALTER TABLE graft_lake('${t.root}') ADD COLUMN z NOTATYPE")
+          .collect()
+      }
+    }
+  }
+
+  test("scanner: escaped quotes inside literals never mis-structure") {
+    withExtendedSession { s =>
+      val t = mkTable(s)
+      // backslash-escaped quote carrying a ';' and a ',' in its tail —
+      // the old scanner mis-terminated at the escape and split there
+      s.sql(s"UPDATE graft_lake('${t.root}') SET payload = 'it\\'s; a, (test)' " +
+        "WHERE k = 1").collect()
+      s.sql(s"SELECT payload FROM graft_lake('${t.root}') WHERE k = 1")
+        .collect()(0).getString(0) shouldBe "it's; a, (test)"
+      // doubled-quote escape form, same hazard
+      s.sql(s"UPDATE graft_lake('${t.root}') SET payload = 'she''s; ok' " +
+        "WHERE k = 2").collect()
+      s.sql(s"SELECT payload FROM graft_lake('${t.root}') WHERE k = 2")
+        .collect()(0).getString(0) shouldBe "she's; ok"
+      // a per-column MERGE assignment whose literal hides a top-level
+      // comma — the assignment split must not break on it
+      s.sql(
+        s"""MERGE INTO graft_lake('${t.root}') USING
+           |(SELECT 3L AS k) src ON k = k
+           |WHEN MATCHED THEN UPDATE SET payload = 'a, b; c\\'d', status = 'E'
+           |""".stripMargin).collect()
+      val r = s.sql(s"SELECT payload, status FROM graft_lake('${t.root}') " +
+        "WHERE k = 3").collect()(0)
+      r.getString(0) shouldBe "a, b; c'd"
+      r.getString(1) shouldBe "E"
+    }
+  }
+
   test("native time-travel syntax: VERSION AS OF / TIMESTAMP AS OF / bare") {
     withExtendedSession { s =>
       val t = mkTable(s) // v0
@@ -648,10 +722,45 @@ class LakeSqlDmlSpec extends SparkTestBase {
       val v = t.latestVersion
       s.sql(s"OPTIMIZE graft_lake('${t.root}') WHERE p = 99").collect()
       t.latestVersion shouldBe v
-      // WHERE cannot combine with a layout re-cluster
+      // layout + WHERE COMPOSE: re-cluster just the selected partition —
+      // only p=1 files rewrite (sorted by payload, which joins the stats
+      // set so the new files carry payload bounds), others carry
+      val preCluster = after.files.filterNot(_.path.contains("p=1"))
+        .map(_.path).toSet
+      s.sql(s"OPTIMIZE graft_lake('${t.root}') FILES 2 " +
+        s"SORT BY (payload) WHERE p = 1").collect()
+      val m2 = t.manifest(t.latestVersion)
+      m2.operation shouldBe "optimize-where-sort"
+      preCluster.subsetOf(m2.files.map(_.path).toSet) shouldBe true
+      m2.statsCols should contain("payload")
+      val p1 = m2.files.filter(_.path.contains("p=1"))
+      p1 should not be empty
+      all(p1.map(_.scols.contains("payload"))) shouldBe true
+      t.read().count() shouldBe 90L
+    }
+  }
+
+  test("DELETE DEFERRED FROM: predicate MOR delete from SQL") {
+    withExtendedSession { s =>
+      val t = mkTable(s) // k, payload, status, amount; 3 files
+      val files0 = t.manifest(0).files.map(_.path).toSet
+      val r = s.sql(s"DELETE DEFERRED FROM graft_lake('${t.root}') " +
+        "WHERE amount < 200.0").collect()(0)
+      r.getInt(2) shouldBe 0 // zero rewrites
+      val m = t.manifest(t.latestVersion)
+      m.files.map(_.path).toSet shouldBe files0
+      m.tombstones should have size 1
+      s.sql(s"SELECT count(*) FROM graft_lake('${t.root}')")
+        .collect()(0).getLong(0) shouldBe 71L // keys 1..19 dead (k*10 < 200)
+      // alias form; stacking
+      s.sql(s"DELETE DEFERRED FROM graft_lake('${t.root}') AS t " +
+        "WHERE t.k = 50").collect()
+      s.sql(s"SELECT count(*) FROM graft_lake('${t.root}')")
+        .collect()(0).getLong(0) shouldBe 70L
+      // a deferred wipe without WHERE refuses
       intercept[IllegalArgumentException] {
-        s.sql(s"OPTIMIZE graft_lake('${t.root}') SORT BY (payload) WHERE p = 1")
-      }.getMessage should include("whole-table")
+        s.sql(s"DELETE DEFERRED FROM graft_lake('${t.root}')")
+      }.getMessage should include("WHERE")
     }
   }
 

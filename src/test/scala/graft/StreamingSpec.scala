@@ -417,6 +417,103 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("maxRowsPerTrigger: ONE oversized append commit drains as bounded batches") {
+    // admission WITHIN a commit: a 100-row bulk-append version must not
+    // land as one batch when the row cap says 25 — it splits at file
+    // granularity on (version, fileIdx) offsets. Run with Trigger.Once,
+    // restarting the query at EVERY batch boundary (including mid-commit):
+    // exactly-once must survive each re-seat.
+    val base = Seq((1L, "v1", "A")).toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0
+    spark.conf.set("spark.graft.lake.targetFileRows", "10")
+    try table.insertAll((100L to 199L).map(k => (k, s"p$k", "I"))
+      .toDF("k", "payload", "status")) // v1: 100 rows as ~10 files
+    finally spark.conf.unset("spark.graft.lake.targetFileRows")
+    // v1 really landed split: v0's single file + ~10 appended files
+    table.manifest(1).files.size should be >= 9
+    table.merge(Seq((1L, "u1", "U")).toDF("k", "payload", "status")) // v2: rewrite, atomic
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mrpt-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-mrpt-out").toString
+    def once() = {
+      val q = spark.readStream.format("graft-lake")
+        .option("startingVersion", "1")
+        .option("maxRowsPerTrigger", "25")
+        .load(table.root)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.map(_.numInputRows).sum
+    }
+    def sunk() = spark.read.parquet(sinkDir)
+    var batches = 0
+    var drained = false
+    while (!drained && batches < 20) {
+      val n = once(); batches += 1
+      if (n == 0L && sunk().count() >= 102L) drained = true
+      // every batch respects the budget at FILE granularity: ≤ 25 rows
+      // of 10-row files = at most 2 files + the guaranteed-progress unit
+      n should be <= 30L
+    }
+    // v1 needs ≥ ceil(100/30) batches — the cap actually split it
+    batches should be >= 4
+    val rows = sunk().select("k", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // exactly once: 100 inserts at v1, one update pair at v2, no dupes
+    rows.count(_._3 == 1) shouldBe 100
+    rows.filter(_._3 == 1).map(_._1).sorted shouldBe (100L to 199L)
+    rows.filter(_._3 == 2).map(_._2).sorted shouldBe
+      Seq("update_postimage", "update_preimage")
+    rows.size shouldBe 102
+  }
+
+  test("mid-stream rename normalizes spans to the start-of-stream names") {
+    // the stream's schema is FIXED at start; a rename mid-stream must not
+    // null out (or drop) the renamed column's post-rename events — spans
+    // match columns by PHYSICAL identity back to the starting names
+    val base = Seq((1L, "v1", "A"), (2L, "v2", "A"))
+      .toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ren-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-ren-out").toString
+    def start() = spark.readStream.format("graft-lake")
+      .load(table.root) // default: only what happens after the start
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q = start()
+    try {
+      table.merge(Seq((1L, "pre", "B")).toDF("k", "payload", "status")) // v1
+      table.renameColumn("payload", "note") // v2 (empty span)
+      table.merge(Seq((2L, "post", "C")).toDF("k", "note", "status")) // v3
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(sinkDir)
+    // the feed kept the starting name…
+    out.columns should contain("payload")
+    out.columns should not contain "note"
+    // …and the post-rename span's values arrived UNDER it (not null)
+    val post = out.filter(col("_commit_version") === 3 &&
+      col("_change_type") === "update_postimage").collect()
+    post.map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"))).toSeq shouldBe
+      Seq((2L, "post"))
+    // a FRESH stream adopts the new name (restart-to-adopt contract)
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ren-ckpt2").toString
+    val sink2 = java.nio.file.Files.createTempDirectory("graft-ren-out2").toString
+    val q2 = spark.readStream.format("graft-lake")
+      .option("startingVersion", "3").load(table.root)
+      .writeStream.format("parquet").option("path", sink2)
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out2 = spark.read.parquet(sink2)
+    out2.columns should contain("note")
+    out2.filter(col("_change_type") === "update_postimage")
+      .select("note").collect().map(_.getString(0)).toSeq shouldBe Seq("post")
+  }
+
   test("graft-lake stream delivers a deferred delete with its OWN commit") {
     // per-commit attribution: a deferred-delete commit serves its delete
     // events itself (the tombstone-aware feed), and a startingVersion
