@@ -68,6 +68,7 @@ object Plans {
       "multimodal_decode_image", "multimodal_decode_audio",
       "multimodal_decode_jpeg",
       "events_sliding_dau_approx", "coauthor_bfs_hops",
+      "lake_format_renamed",
       "events_rolling_median", "events_weekday_anomaly",
       "multimodal_ahash", "multimodal_image_neardup",
       "multimodal_audio_fingerprint", "multimodal_audio_neardup",

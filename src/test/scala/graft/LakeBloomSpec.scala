@@ -94,6 +94,18 @@ class LakeBloomSpec extends SparkTestBase {
       // its old file was REWRITTEN, so the fresh bloom proves it out
       val q3 = t.read().filter(col("v") === 12L)
       scannedFiles(q3).size shouldBe 0
+      // full coverage is VISIBLE: graft_lake_detail reports covered/files
+      val cov0 = t.detailDf().collect()(0).getAs[String]("bloom_coverage")
+      val n0 = t.manifest(t.latestVersion).files.size
+      cov0 should include(s"v:$n0/$n0")
+      // OPTIMIZE rewrites every file — the same write path re-blooms
+      // them, so pruning (and the coverage metric) survive compaction
+      t.compact(3)
+      val q4 = t.read().filter(col("v") === 900L)
+      scannedFiles(q4).size shouldBe 1
+      rows(q4.select("k")) shouldBe Seq(Seq(5L))
+      t.detailDf().collect()(0).getAs[String]("bloom_coverage") should
+        include("v:3/3")
     }
   }
 

@@ -222,11 +222,13 @@ class LakePruneRuleSpec extends SparkTestBase {
       latest.createOrReplaceTempView("lake_fmt")
       rows(s.sql("SELECT payload FROM lake_fmt WHERE k = 42")) shouldBe
         Seq(Seq("val42"))
-      // tombstoned snapshots refuse loudly until compacted
+      // tombstoned snapshots serve through the PROJECTED relation —
+      // the read-time anti-join applies, no refusal
       t.deleteDeferred(Seq(7L).toDF("k"))
-      intercept[IllegalArgumentException] {
-        s.read.format("graft-lake").load(t.root)
-      }
+      val mor = s.read.format("graft-lake").load(t.root)
+      mor.count() shouldBe 89L
+      mor.filter(col("k") === 7L).count() shouldBe 0L
+      // the compacted snapshot goes back to the raw-file fast path
       t.compact(2)
       s.read.format("graft-lake").load(t.root).count() shouldBe 89L
     }

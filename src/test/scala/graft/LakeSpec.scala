@@ -885,6 +885,11 @@ class LakeSpec extends SparkTestBase {
     t.manifest(t.latestVersion).droppedCols.toSet shouldBe
       Set("status", "status_2")
     t.addColumn("status", "string")
+    // cold parse: the reservation must survive the JSON round-trip, not
+    // just the in-memory delta cache
+    Lake.clearMetadataCaches()
+    t.manifest(t.latestVersion).droppedCols.toSet shouldBe
+      Set("status", "status_2")
     t.manifest(t.latestVersion).columnMap.get("status") shouldBe
       Some("status_3")
     t.read().filter(col("status").isNotNull).count() shouldBe 0L
