@@ -56,7 +56,7 @@ class LakeSource extends RelationProvider with DataSourceRegister
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source =
-    new LakeChangeFeedSource(sqlContext, parameters)
+    new LakeChangeFeedSource(sqlContext, parameters, Some(metadataPath))
 
   /** `df.writeStream.format("graft-lake").option("path", root)` — the
     * lake as a first-class streaming SINK: every micro-batch MERGEs by

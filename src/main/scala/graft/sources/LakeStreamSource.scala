@@ -13,10 +13,14 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * exactly-once delivery across restarts with zero extra bookkeeping (no
   * version replayed, none skipped — the manifest chain is the only log).
   *
-  * Options:
+  * Options (PINNED AT FIRST START in the checkpoint's source-metadata
+  * dir, like the Kafka source's starting offsets — a restart keeps the
+  * original start and drains any downtime backlog immediately; changed
+  * starting options on an existing checkpoint are ignored):
   *  - `startingVersion` (int): first commit to deliver; default is
-  *    `latest + 1` — stream only what happens AFTER the stream starts,
-  *    like every CDC tail. `1` replays all history after the create.
+  *    `latest + 1` AT FIRST START — stream only what happens after the
+  *    stream starts, like every CDC tail. `1` replays all history after
+  *    the create.
   *  - `startingTimestamp` (epoch millis or ISO-8601): deliver every
   *    commit AFTER that wall-clock moment (resolved against in-commit
   *    timestamps, like `timestampAsOf`); a moment before the table
@@ -76,7 +80,8 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * proportional-to-change — and with the row/file caps, never more than
   * the configured batch budget at once. */
 class LakeChangeFeedSource(sqlContext: SQLContext,
-                           parameters: Map[String, String]) extends Source {
+                           parameters: Map[String, String],
+                           metadataPath: Option[String] = None) extends Source {
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val root = parameters.getOrElse("path",
@@ -86,17 +91,56 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
   require(!(parameters.contains("startingVersion") &&
       parameters.contains("startingTimestamp")),
     "startingVersion and startingTimestamp are mutually exclusive")
+
+  private def metaFs = metadataPath.map(p =>
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration))
+  private def markerPath(name: String) = metadataPath.map(p =>
+    new org.apache.hadoop.fs.Path(p, name))
+  private def readMarker(name: String): Option[String] =
+    (metaFs, markerPath(name)) match {
+      case (Some(fs), Some(p)) if fs.exists(p) =>
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      case _ => None
+    }
+  private def writeMarker(name: String, v: String, overwrite: Boolean): Unit =
+    (metaFs, markerPath(name)) match {
+      case (Some(fs), Some(p)) =>
+        try {
+          fs.mkdirs(p.getParent)
+          val out = fs.create(p, overwrite)
+          try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        } catch { case _: java.io.IOException => () } // best-effort state
+      case _ => ()
+    }
+
+  /** The first version to deliver — PINNED AT FIRST START in the
+    * checkpoint's source-metadata dir (the V1 `metadataPath` contract,
+    * same as the Kafka source's starting offsets): the "everything after
+    * the stream starts" default must not re-resolve to a NEW latest on
+    * restart, or the downtime backlog between checkpoint and restart
+    * would wait for the next commit instead of draining immediately.
+    * Changed starting options on an existing checkpoint are ignored, by
+    * design. */
   private val startingVersion: Int =
-    parameters.get("startingVersion").map(_.toInt)
-      .orElse(parameters.get("startingTimestamp").map { ts =>
-        // everything AFTER the moment: the version current AT ts is the
-        // last one already visible then — start one past it. A moment
-        // before the first retained commit replays all history.
-        val millis = Lake.parseTsMillis(ts)
-        try table.versionAt(millis) + 1
-        catch { case _: IllegalArgumentException => 1 }
-      })
-      .getOrElse(table.latestVersion + 1)
+    readMarker("graft-start").map(_.toInt).getOrElse {
+      val v = parameters.get("startingVersion").map(_.toInt)
+        .orElse(parameters.get("startingTimestamp").map { ts =>
+          // everything AFTER the moment: the version current AT ts is the
+          // last one already visible then — start one past it. A moment
+          // before the first retained commit replays all history.
+          val millis = Lake.parseTsMillis(ts)
+          try table.versionAt(millis) + 1
+          catch { case _: IllegalArgumentException => 1 }
+        })
+        .getOrElse(table.latestVersion + 1)
+      writeMarker("graft-start", v.toString, overwrite = false)
+      v
+    }
   private val maxVersionsPerTrigger: Option[Int] =
     parameters.get("maxVersionsPerTrigger").map(_.toInt)
   require(maxVersionsPerTrigger.forall(_ > 0),
@@ -123,12 +167,36 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     def max(o: Pos): Pos = if (lt(o)) o else this
   }
 
+  private def decodeStr(s: String): Pos = {
+    val cut = s.indexOf(':')
+    if (cut < 0) Pos(s.toInt, COMPLETE)
+    else Pos(s.substring(0, cut).toInt, s.substring(cut + 1).toInt)
+  }
+
   /** Highest position this source has offered (getOffset) or seen
     * processed (getBatch — the engine re-hands the recovered batch's
     * offsets here on restart, before asking for new ones). Admission
     * extends from this anchor, so a capped stream never re-offers below
-    * what the checkpoint committed. */
-  private var admitted: Pos = Pos(startingVersion - 1, COMPLETE)
+    * what the checkpoint committed. On RESTART it seeds from the
+    * last-committed marker this source maintains in `metadataPath`
+    * ([[commit]]), so a backlog accumulated while the stream was down
+    * drains immediately and under the caps; a stale/missing marker only
+    * costs one idempotent low offer (the engine ignores offers at or
+    * below its committed offset), never a skip or a re-delivery — the
+    * engine's own start offset is authoritative for delivery. */
+  private var admitted: Pos =
+    readMarker("graft-committed").map(decodeStr)
+      .getOrElse(Pos(startingVersion - 1, COMPLETE))
+
+  /** Whether the engine has asked for an offset yet. A getBatch BEFORE
+    * any getOffset is the RESTART re-hand — there the checkpoint's end,
+    * not the construction-time default anchor (latest+1, which may sit
+    * ABOVE a backlog accumulated while the stream was down), is the true
+    * position: re-seat admission exactly, so the post-restart backlog
+    * drains under the caps instead of as one unbounded batch. (The
+    * anchor can never cause a skip either way — the engine's own start
+    * offset is authoritative for delivery; this only sizes admission.) */
+  private var offsetAsked = false
 
   override val schema: StructType =
     LakeChangeFeedSource.feedSchema(spark, root)
@@ -146,11 +214,7 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
 
   private def decode(o: Offset): Pos = o match {
     case LongOffset(v) => Pos(v.toInt, COMPLETE)
-    case other =>
-      val s = other.json.trim
-      val cut = s.indexOf(':')
-      if (cut < 0) Pos(s.toInt, COMPLETE)
-      else Pos(s.substring(0, cut).toInt, s.substring(cut + 1).toInt)
+    case other => decodeStr(other.json.trim)
   }
 
   private case class FilePosOffset(version: Int, file: Int) extends Offset {
@@ -167,6 +231,7 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
       d.tombstoneRemoves.isEmpty && d.adds.nonEmpty
 
   override def getOffset: Option[Offset] = {
+    offsetAsked = true
     val latest = table.latestVersion
     // no caps: offer everything outstanding in O(1) — no delta reads
     if (!splitCaps && maxVersionsPerTrigger.isEmpty) {
@@ -254,7 +319,9 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(decode).getOrElse(Pos(startingVersion - 1, COMPLETE))
     val to = decode(end)
-    admitted = admitted.max(to)
+    admitted =
+      if (!offsetAsked && start.isDefined) to // restart re-hand: exact re-seat
+      else admitted.max(to)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // per-commit micro-spans over the RETAINED versions in (from, to] —
     // tombstoned (merge-on-read) versions serve their own feed (changes
@@ -317,7 +384,14 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
       spark, batch.queryExecution.toRdd, schema)
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** Persist the committed position (best-effort — see [[admitted]]). */
+  override def commit(end: Offset): Unit = {
+    val p = decode(end)
+    writeMarker("graft-committed",
+      if (p.file == COMPLETE) p.version.toString else s"${p.version}:${p.file}",
+      overwrite = true)
+  }
+
   override def stop(): Unit = ()
 }
 

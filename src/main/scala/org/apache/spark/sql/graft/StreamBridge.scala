@@ -28,4 +28,19 @@ object StreamBridge {
     spark.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
       isStreaming = false)
   }
+
+  /** Harness seam for driving a V1 Source WITHOUT the engine: a frame
+    * minted by [[streamingDataFrame]] is a streaming-flagged LogicalRDD
+    * whose RDD is already compiled — re-wrap that RDD as a batch frame
+    * directly (a fresh batch analysis of the streaming plan would refuse
+    * with "must be executed with writeStream.start()"). */
+  def rewrapSourceBatch(data: DataFrame): DataFrame = {
+    val spark =
+      data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    data.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        spark.internalCreateDataFrame(l.rdd, data.schema, isStreaming = false)
+      case _ => batchDataFrame(data)
+    }
+  }
 }

@@ -417,6 +417,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("restart with DEFAULT start: a downtime backlog drains under the caps") {
+    // default startingVersion is latest+1 AT CONSTRUCTION — on a restart
+    // after downtime that sits ABOVE the checkpoint, and the admission
+    // anchor must re-seat to the checkpoint (the recovery getBatch), so
+    // the backlog drains as capped spans, not one unbounded batch
+    val base = Seq((1L, "v1", "A")).toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dflt-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-dflt-out").toString
+    def start() = spark.readStream.format("graft-lake")
+      .option("maxVersionsPerTrigger", "1") // default startingVersion
+      .load(table.root)
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      table.merge(Seq((2L, "p2", "A")).toDF("k", "payload", "status")) // v1
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // downtime: three commits the stream never saw
+    (3 to 5).foreach(i => table.merge(
+      Seq((i.toLong, s"p$i", "A")).toDF("k", "payload", "status"))) // v2..v4
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val sunk = spark.read.parquet(sinkDir).select("_commit_version")
+        .collect().map(_.getInt(0)).toSeq.sorted
+      sunk shouldBe Seq(1, 2, 3, 4) // exactly once, nothing skipped
+      // and the backlog respected the 1-version cap per span
+      val spans = q2.recentProgress.toSeq.flatMap { p =>
+        val s = p.sources(0)
+        for (st <- Option(s.startOffset); en <- Option(s.endOffset)
+             if en.trim.toInt > st.trim.toInt)
+          yield en.trim.toInt - st.trim.toInt
+      }
+      spans should not be empty
+      all(spans) should be <= 1
+    } finally q2.stop()
+  }
+
   test("maxRowsPerTrigger: ONE oversized append commit drains as bounded batches") {
     // admission WITHIN a commit: a 100-row bulk-append version must not
     // land as one batch when the row cap says 25 — it splits at file
@@ -467,6 +509,81 @@ class StreamingSpec extends SparkTestBase {
     rows.filter(_._3 == 2).map(_._2).sorted shouldBe
       Seq("update_postimage", "update_preimage")
     rows.size shouldBe 102
+  }
+
+  test("property: capped admission delivers EXACTLY the uncapped feed") {
+    // differential: for a random mix of bulk appends (splittable),
+    // merges (atomic rewrites), and deferred predicate deletes, every
+    // cap combination must deliver the SAME multiset of change events as
+    // the uncapped stream — only the batching may differ. Drives the
+    // Source directly (getOffset/getBatch), like the engine does.
+    val rnd = new scala.util.Random(13)
+    val base = (1L to 40L).map(k => (k, s"v$k", "A"))
+      .toDF("k", "payload", "status")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 2) // v0
+    spark.conf.set("spark.graft.lake.targetFileRows", "8")
+    try {
+      var nextKey = 1000L
+      // one guaranteed multi-file append so the split path always runs
+      table.insertAll((900L to 929L).map(k => (k, s"a$k", "I"))
+        .toDF("k", "payload", "status"))
+      (1 to 8).foreach { i =>
+        rnd.nextInt(3) match {
+          case 0 => // bulk append: 20 rows land as ~3 files
+            val rows = (nextKey until nextKey + 20).map(k => (k, s"a$k", "I"))
+            nextKey += 20
+            table.insertAll(rows.toDF("k", "payload", "status"))
+          case 1 =>
+            val k = (1 + rnd.nextInt(40)).toLong
+            table.merge(Seq((k, s"m$i", "U")).toDF("k", "payload", "status"))
+          case 2 => // may no-op when the key is already dead
+            table.deleteDeferredWhere(col("k") === (1 + rnd.nextInt(40)).toLong)
+        }
+      }
+    } finally spark.conf.unset("spark.graft.lake.targetFileRows")
+    def drain(params: Map[String, String]): Seq[(Long, String, Int)] = {
+      val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+        params ++ Map("path" -> table.root, "startingVersion" -> "1"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+      var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+      var guard = 0
+      var cur = src.getOffset
+      while (cur.isDefined && guard < 500) {
+        val b = org.apache.spark.sql.graft.StreamBridge
+          .rewrapSourceBatch(src.getBatch(prev, cur.get))
+        out ++= b.select("k", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        prev = cur
+        cur = src.getOffset
+        guard += 1
+      }
+      out.toSeq.sorted
+    }
+    val uncapped = drain(Map.empty)
+    uncapped should not be empty
+    val capCombos = Seq(
+      Map("maxRowsPerTrigger" -> "10"),
+      Map("maxFilesPerTrigger" -> "2"),
+      Map("maxVersionsPerTrigger" -> "1"),
+      Map("maxRowsPerTrigger" -> "7", "maxFilesPerTrigger" -> "1",
+        "maxVersionsPerTrigger" -> "2"))
+    capCombos.foreach { caps =>
+      withClue(s"caps=$caps: ") { drain(caps) shouldBe uncapped }
+    }
+    // and the tightest caps really did split batches: more offers than
+    // commits means at least one commit spanned several micro-batches
+    val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> table.root, "startingVersion" -> "1",
+        "maxRowsPerTrigger" -> "7"))
+    var offers = 0
+    var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+    var cur = src.getOffset
+    while (cur.isDefined && offers < 500) {
+      src.getBatch(prev, cur.get)
+      prev = cur; cur = src.getOffset; offers += 1
+    }
+    offers should be > table.latestVersion
   }
 
   test("mid-stream rename normalizes spans to the start-of-stream names") {
