@@ -110,6 +110,7 @@ object Run {
     * graft.Run lake-hilbert <root> <numFiles> <col> <col> [col...]
     * graft.Run lake-rename  <root> <oldCol> <newCol>      // metadata-only
     * graft.Run lake-add-column <root> <col> <type>        // metadata-only
+    * graft.Run lake-alter-column <root> <col> <type>      // widen, metadata-only
     * graft.Run lake-drop-column <root> <col>              // metadata-only
     * graft.Run lake-restore <root> <version>
     * graft.Run lake-clone   <root> <newRoot>
@@ -221,6 +222,12 @@ object Run {
           val s = table.addColumnWithRetry(args(2), args.drop(3).mkString(" "))
           println(s"[lake] added ${args(2)} ${args.drop(3).mkString(" ")} " +
             s"at v${s.version} (metadata-only)")
+        case "lake-alter-column" =>
+          need(4)
+          val s = table.alterColumnTypeWithRetry(args(2),
+            args.drop(3).mkString(" "))
+          println(s"[lake] widened ${args(2)} to ${args.drop(3).mkString(" ")} " +
+            s"at v${s.version} (metadata-only)")
         case "lake-history" =>
           // vacuumed versions are gone from disk — list what remains
           table.history().collect().foreach { r =>
@@ -238,5 +245,5 @@ object Run {
     System.err.println(
       "usage: graft.Run <query|all|list> <sfDir> <outDir> [--sep X] [--format csv|parquet]\n" +
         "       graft.Run expand-entities <in> <out> [--charset CS]\n" +
-        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|sortby|zorder|hilbert|rename|add-column|drop-column|restore|clone|vacuum|history|sql> ...")
+        "       graft.Run lake-<create|merge|delete|tombstone|read|changes|compact|sortby|zorder|hilbert|rename|add-column|alter-column|drop-column|restore|clone|vacuum|history|sql> ...")
 }

@@ -3721,9 +3721,12 @@ class LakeTable(spark: SparkSession, val root: String) {
     val v = latestVersion
     val m = manifest(v)
     val keyLogical = logicalName(m, m.keyCol)
+    // ONE scan: write the tombstone directly (keys are unique in the
+    // effective snapshot — no distinct shuffle) and no-op when it came
+    // out empty (writeDataFiles drops zero-row outputs)
     val keys = read().filter(condition).select(col(keyLogical).as(m.keyCol))
-    if (keys.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
-    val tomb = writeDataFiles(keys.distinct(), m.keyCol, 1)
+    val tomb = writeDataFiles(keys, m.keyCol, 1)
+    if (tomb.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
     commitAndIndex(Delta(v + 1, v, "delete-deferred-where", m.keyCol,
       m.statsCols, m.partitionCols, full = false, adds = Nil, removes = Nil,
       tombstoneAdds = tomb, tombstoneRemoves = Nil,
@@ -3880,6 +3883,53 @@ class LakeTable(spark: SparkSession, val root: String) {
   def addColumnWithRetry(name: String, typeDdl: String,
                          maxAttempts: Int = 3): MergeStats =
     withRetry(maxAttempts)(addColumn(name, typeDdl))
+
+  /** ALTER TABLE … ALTER COLUMN <c> TYPE <t> — METADATA-ONLY widening:
+    * the recorded read schema promotes the column through exactly the
+    * conversions the parquet readers perform in place
+    * ([[Lake.widenType]]: integral up-casts, FLOAT→DOUBLE), so every
+    * existing file reads back promoted and no data moves — the explicit
+    * DDL twin of the widening a MERGE performs implicitly. Anything
+    * outside the widening lattice (narrowing, string↔numeric) refuses:
+    * those need a rewrite, which is a different promise. Older
+    * snapshots keep their type (per-version schema). Stats are
+    * unaffected — manifest stat units are stat-long normalized
+    * ([[Lake.statLong]]), invariant under these promotions. */
+  def alterColumnType(name: String, typeDdl: String): MergeStats = {
+    val newType = org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+    val v = latestVersion
+    val m = manifest(v)
+    val physSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      m.schemaDdl.getOrElse(throw new IllegalArgumentException(
+        "ALTER COLUMN needs a recorded table schema (legacy table: compact once)")))
+    val rev = m.columnMap.map(_.swap)
+    val field = physSchema.fields
+      .find(f => rev.getOrElse(f.name, f.name).equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no column '$name' to alter"))
+    if (field.dataType == newType) return MergeStats(v, m.files.size, 0, 0, 0L)
+    require(Lake.widenType(field.dataType, newType).contains(newType),
+      s"ALTER COLUMN can only WIDEN (${field.dataType.simpleString} -> " +
+        s"${newType.simpleString} is not an in-place parquet promotion): " +
+        "narrowing or type changes need a rewrite")
+    require(field.name != m.keyCol,
+      "cannot alter the merge key's type (manifest key ranges are typed)")
+    val newFields = physSchema.fields.map(f =>
+      if (f.name == field.name) f.copy(dataType = newType) else f)
+    commitAndIndex(Delta(v + 1, v, s"alter-column-$name", m.keyCol,
+      m.statsCols, m.partitionCols, full = false, adds = Nil,
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = Some(org.apache.spark.sql.types
+        .StructType(newFields).toDDL),
+      columnMap = m.columnMap,
+      constraints = m.constraints, droppedCols = m.droppedCols),
+      m.files, m.tombstones)
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  def alterColumnTypeWithRetry(name: String, typeDdl: String,
+                               maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(alterColumnType(name, typeDdl))
 
   /** RESTORE — roll the table back to `version`'s content AS A NEW
     * COMMIT (never by deleting history): the new manifest re-references
@@ -4310,17 +4360,31 @@ class LakeTable(spark: SparkSession, val root: String) {
       LakeBloom.vacuumSidecars(spark, rootPath,
         keepRefs.map(p => new Path(p).getName))
     // stale-scratch GC: a writer killed hard (OOM, node loss) can leak a
-    // `_scratch-*` directory that its own finally never swept. Anything
-    // older than the TTL (default 1 h; spark.graft.lake.scratchTtlMs)
-    // cannot belong to a live write — an IN-FLIGHT concurrent writer's
-    // scratch is always younger, which is why age gates the sweep.
+    // `_scratch-*` directory that its own finally never swept. Age gates
+    // the sweep (default 1 h; spark.graft.lake.scratchTtlMs) — measured
+    // as the NEWEST mtime in the whole subtree, because a directory's
+    // own mtime only reflects its last direct-child mutation (the
+    // _temporary dir created at job start): a live long-running write
+    // keeps touching leaves, so its newest leaf is always seconds old,
+    // while a true orphan goes cold everywhere. The walk is per-scratch
+    // and scratch dirs are rare — metadata-cheap.
     if (!dryRun) {
       val ttl = spark.conf
         .get("spark.graft.lake.scratchTtlMs", "3600000").toLong
       val cutoff = System.currentTimeMillis() - ttl
+      def newestMtime(p: Path): Long = {
+        val st = try fs.listStatus(p)
+          catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
+        st.foldLeft(fs.getFileStatus(p).getModificationTime) { (acc, s) =>
+          math.max(acc,
+            if (s.isDirectory) newestMtime(s.getPath)
+            else s.getModificationTime)
+        }
+      }
       fs.listStatus(rootPath).foreach { s =>
         if (s.isDirectory && s.getPath.getName.startsWith("_scratch-") &&
-            s.getModificationTime < cutoff)
+            s.getModificationTime < cutoff &&
+            newestMtime(s.getPath) < cutoff)
           fs.delete(s.getPath, true)
       }
     }

@@ -298,12 +298,17 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
   /** Normalize one span's frame to the stream's FIXED schema: match
     * columns by physical identity through `v`'s column map (rename
     * normalization), stamp `_commit_version`, null-fill columns this
-    * span doesn't know. */
+    * span doesn't know. Binding is STRICTLY by physical identity: a
+    * span column whose physical storage the stream's start never saw
+    * (added — or dropped-and-re-added onto fresh storage — after the
+    * start) must NOT leak into a fixed field that merely shares its
+    * name; it stays unbound until restart, and the fixed field feeds
+    * null, exactly as the class doc promises. */
   private def aligned(f: DataFrame, v: Int): DataFrame = {
     val mv = table.manifest(v)
-    val byFixedName: Map[String, String] = f.columns.iterator.map { c =>
-      val physical = mv.columnMap.getOrElse(c, c)
-      fixedByPhysical.getOrElse(physical, c) -> c
+    val byFixedName: Map[String, String] = f.columns.iterator.flatMap { c =>
+      if (c == "_change_type") Some(c -> c)
+      else fixedByPhysical.get(mv.columnMap.getOrElse(c, c)).map(_ -> c)
     }.toMap
     val cols = schema.fields.map { fld =>
       if (fld.name == "_commit_version")

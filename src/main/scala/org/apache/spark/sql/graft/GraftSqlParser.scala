@@ -38,6 +38,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   [SPLIT <maxRows>]
   * ALTER TABLE graft_lake('<root>') RENAME COLUMN <a> TO <b>
   * ALTER TABLE graft_lake('<root>') ADD COLUMN <c> <type>
+  * ALTER TABLE graft_lake('<root>') ALTER COLUMN <c> TYPE <type>  -- widen
   * ALTER TABLE graft_lake('<root>') DROP COLUMN <a>
   * ALTER TABLE graft_lake('<root>') ADD CONSTRAINT <n> CHECK (<expr>)
   * ALTER TABLE graft_lake('<root>') DROP CONSTRAINT <n>
@@ -217,9 +218,12 @@ object GraftSqlParser {
         fail("unterminated string literal")
       val body = s.substring(i + 1, end - 1)
       i = end
-      // normalizing a double-quoted form to single quotes must escape
-      // any single quote the body legally carried
-      if (q == '"') "'" + body.replace("\\'", "'").replace("'", "\\'") + "'"
+      // normalizing a double-quoted form to single quotes: a DOUBLED
+      // double-quote was an embedded " (collapse it), and any single
+      // quote the body legally carried must come out escaped
+      if (q == '"')
+        "'" + body.replace("\"\"", "\"")
+          .replace("\\'", "'").replace("'", "\\'") + "'"
       else "'" + body + "'"
     }
 
@@ -475,6 +479,14 @@ object GraftSqlParser {
             sc.assertEnd()
             LakeAlterCommand(root, "drop", c, None)
           }
+        } else if (sc.keyword("ALTER")) {
+          sc.expect("COLUMN")
+          val c = sc.ident()
+          sc.expect("TYPE")
+          val tyText = sc.restStmt()
+          if (tyText.isEmpty) fail("ALTER COLUMN needs a type")
+          LakeAlterCommand(root, "alter-type", c,
+            Some(delegate.parseDataType(tyText).catalogString))
         } else if (sc.keyword("ADD")) {
           if (sc.keyword("COLUMN")) {
             val c = sc.ident()
@@ -497,8 +509,9 @@ object GraftSqlParser {
               Some(delegate.parseExpression(checkSql).sql))
           }
         } else fail("ALTER TABLE graft_lake(…) supports RENAME COLUMN " +
-          "a TO b, ADD COLUMN c <type>, DROP COLUMN a, " +
-          "ADD CONSTRAINT n CHECK (expr), and DROP CONSTRAINT n")
+          "a TO b, ADD COLUMN c <type>, ALTER COLUMN c TYPE <type>, " +
+          "DROP COLUMN a, ADD CONSTRAINT n CHECK (expr), and " +
+          "DROP CONSTRAINT n")
       }
     } else if (sc.keyword("ANALYZE")) {
       if (!sc.keyword("TABLE")) None
@@ -1059,6 +1072,7 @@ case class LakeAlterCommand(root: String, verb: String, column: String,
     GraftSqlParser.statsRow(verb match {
       case "rename" => t.renameColumnWithRetry(column, to.get)
       case "add" => t.addColumnWithRetry(column, to.get)
+      case "alter-type" => t.alterColumnTypeWithRetry(column, to.get)
       case "drop" => t.dropColumnWithRetry(column)
       case "add-constraint" => t.addConstraintWithRetry(column, to.get)
       case "drop-constraint" => t.dropConstraintWithRetry(column)

@@ -84,9 +84,14 @@ object XmlEntities {
     else { sb.append(s, from, s.length); sb.toString }
   }
 
-  /** UTF8String seam the codegen calls — identity (no copy) when the
-    * string holds no expandable reference. */
+  private val Amp = UTF8String.fromString("&")
+
+  /** UTF8String seam the codegen calls — identity (TRULY no allocation:
+    * a byte scan for '&' gates the decode) when the string holds no
+    * reference at all; the decode+expand path runs only on lines that
+    * carry one. */
   def expandUtf8(u: UTF8String): UTF8String = {
+    if (u.indexOf(Amp, 0) < 0) return u
     val s = u.toString
     val e = expand(s)
     if (e eq s) u else UTF8String.fromString(e)

@@ -942,6 +942,40 @@ class LakeSpec extends SparkTestBase {
     rows(t.read().filter(col("k") === 2L)) shouldBe Seq(Seq(2L, "m2", 7, 2L))
   }
 
+  test("ALTER COLUMN TYPE: explicit metadata-only widening; narrowing refuses") {
+    import spark.implicits._
+    val df = (1L to 30L).map(k => (k, k.toInt, k.toFloat)).toDF("k", "n", "x")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 2)
+    val v0Paths = t.manifest(0).files.map(_.path).toSet
+    t.alterColumnType("n", "bigint")
+    t.alterColumnType("x", "double")
+    val m = t.manifest(t.latestVersion)
+    m.files.map(_.path).toSet shouldBe v0Paths // zero data movement
+    // old files read back promoted in place
+    t.read().schema("n").dataType.typeName shouldBe "long"
+    t.read().schema("x").dataType.typeName shouldBe "double"
+    t.read().agg(sum(col("n"))).collect()(0).getLong(0) shouldBe 465L
+    // older snapshots keep their type
+    t.snapshot(0).schema("n").dataType.typeName shouldBe "integer"
+    // a merge can now land long values the old type couldn't hold
+    t.merge(Seq((5L, 5000000000L, 1.5d)).toDF("k", "n", "x"))
+    rows(t.read().filter(col("k") === 5L).select("n")) shouldBe
+      Seq(Seq(5000000000L))
+    // same-type alter is a no-op; narrowing and cross-type refuse
+    val v = t.latestVersion
+    t.alterColumnType("x", "double")
+    t.latestVersion shouldBe v
+    intercept[IllegalArgumentException] { t.alterColumnType("n", "int") }
+      .getMessage should include("WIDEN")
+    intercept[IllegalArgumentException] { t.alterColumnType("n", "string") }
+      .getMessage should include("WIDEN")
+    intercept[IllegalArgumentException] { t.alterColumnType("nope", "bigint") }
+      .getMessage should include("no column")
+    // works through a rename (logical name resolves via the column map)
+    t.renameColumn("n", "wide")
+    t.alterColumnType("wide", "bigint") // no-op, but resolves
+  }
+
   test("format reader serves MOR and column-mapped snapshots (projected relation)") {
     val t = mkTable()
     // outstanding deferred delete: the format read applies the anti-join

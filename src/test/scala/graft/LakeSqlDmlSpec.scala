@@ -421,6 +421,13 @@ class LakeSqlDmlSpec extends SparkTestBase {
         Some("status_2")
       s.sql(s"SELECT count(*) FROM graft_lake('${t.root}') " +
         "WHERE status IS NOT NULL").collect()(0).getLong(0) shouldBe 0L
+      // explicit widening DDL: INT-ish columns promote in place
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') ALTER COLUMN score TYPE DOUBLE")
+        .collect() // no-op (already double) — parses and resolves
+      intercept[Exception] {
+        s.sql(s"ALTER TABLE graft_lake('${t.root}') ALTER COLUMN payload " +
+          "TYPE INT").collect()
+      }.getMessage should include("WIDEN")
       // refusals: duplicate, bad type
       intercept[Exception] {
         s.sql(s"ALTER TABLE graft_lake('${t.root}') ADD COLUMN k BIGINT")

@@ -80,6 +80,36 @@ class RunSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Run.run(Array("lake-merge", root)) }
   }
 
+  test("lake CLI: schema DDL verbs and the entity-expansion preprocessor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val root = tmp("graft-cli-ddl") + "/t"
+    val src = tmp("graft-cli-ddl-src")
+    (1L to 9L).map(k => (k, k.toInt)).toDF("k", "n")
+      .write.mode("overwrite").parquet(src)
+    Run.run(Array("lake-create", root, src, "k", "1"))
+    Run.run(Array("lake-add-column", root, "tag", "string"))
+    Run.run(Array("lake-alter-column", root, "n", "bigint"))
+    val t = new graft.sources.LakeTable(spark, root)
+    t.read().columns.toSeq shouldBe Seq("k", "n", "tag")
+    t.read().schema("n").dataType.typeName shouldBe "long"
+    t.read().filter(col("tag").isNotNull).count() shouldBe 0L
+    // expand-entities: line file through the preprocessing verb
+    val in = java.nio.file.Files.createTempDirectory("graft-cli-ent")
+    java.nio.file.Files.write(in.resolve("a.txt"),
+      java.util.Arrays.asList("pre J&uuml;rgen post"))
+    val out = tmp("graft-cli-ent-out")
+    Run.run(Array("expand-entities", in.resolve("a.txt").toString, out))
+    spark.read.text(out).collect().map(_.getString(0)).toSeq shouldBe
+      Seq("pre Jürgen post")
+    // usage errors refuse before touching data
+    intercept[IllegalArgumentException] {
+      Run.run(Array("lake-alter-column", root))
+    }
+    intercept[IllegalArgumentException] { Run.run(Array("expand-entities")) }
+  }
+
   test("Run rejects an unknown query name without touching Spark") {
     the[IllegalArgumentException] thrownBy {
       Run.run(Array("no_such_query", "/root/testdata/sf0.001", "/tmp/x"))

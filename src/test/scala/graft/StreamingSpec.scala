@@ -606,6 +606,12 @@ class StreamingSpec extends SparkTestBase {
       table.merge(Seq((1L, "pre", "B")).toDF("k", "payload", "status")) // v1
       table.renameColumn("payload", "note") // v2 (empty span)
       table.merge(Seq((2L, "post", "C")).toDF("k", "note", "status")) // v3
+      // drop + re-add 'status': the re-added column lives on FRESH
+      // physical storage the stream's start never saw — its values must
+      // NOT leak into the fixed 'status' field (strict physical-identity
+      // binding); the field feeds null until restart
+      table.dropColumn("status") // v4 (empty span)
+      table.merge(Seq((1L, "post2", "S2")).toDF("k", "note", "status")) // v5
       q.processAllAvailable()
     } finally q.stop()
     val out = spark.read.parquet(sinkDir)
@@ -617,6 +623,10 @@ class StreamingSpec extends SparkTestBase {
       col("_change_type") === "update_postimage").collect()
     post.map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"))).toSeq shouldBe
       Seq((2L, "post"))
+    val readd = out.filter(col("_commit_version") === 5 &&
+      col("_change_type") === "update_postimage").collect()
+    readd.map(r => (r.getAs[Long]("k"), r.getAs[String]("payload"),
+      r.getAs[String]("status"))).toSeq shouldBe Seq((1L, "post2", null))
     // a FRESH stream adopts the new name (restart-to-adopt contract)
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ren-ckpt2").toString
     val sink2 = java.nio.file.Files.createTempDirectory("graft-ren-out2").toString
@@ -627,8 +637,12 @@ class StreamingSpec extends SparkTestBase {
     try q2.processAllAvailable() finally q2.stop()
     val out2 = spark.read.parquet(sink2)
     out2.columns should contain("note")
+    // and the re-added 'status' is a first-class column here: the fresh
+    // stream's fixed schema binds its NEW physical storage
     out2.filter(col("_change_type") === "update_postimage")
-      .select("note").collect().map(_.getString(0)).toSeq shouldBe Seq("post")
+      .select("note", "status").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted shouldBe
+      Seq(("post", null), ("post2", "S2"))
   }
 
   test("graft-lake stream delivers a deferred delete with its OWN commit") {
