@@ -314,7 +314,12 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
       if (fld.name == "_commit_version")
         lit(v).cast(fld.dataType).as(fld.name)
       else byFixedName.get(fld.name) match {
-        case Some(c) => col(c).cast(fld.dataType).as(fld.name)
+        // try_cast, not cast: a mid-stream TYPE WIDENING (merge or ALTER
+        // COLUMN) makes later spans carry values the stream's fixed
+        // narrower type cannot hold — a plain cast silently WRAPS them;
+        // null is the honest answer, same as every other
+        // "restart to adopt the evolution" case
+        case Some(c) => col(c).try_cast(fld.dataType).as(fld.name)
         case None => lit(null).cast(fld.dataType).as(fld.name)
       }
     }

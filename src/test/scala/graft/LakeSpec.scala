@@ -974,6 +974,17 @@ class LakeSpec extends SparkTestBase {
     // works through a rename (logical name resolves via the column map)
     t.renameColumn("n", "wide")
     t.alterColumnType("wide", "bigint") // no-op, but resolves
+    // widening a PARTITION column keeps directory-value recovery intact
+    // (hive dir strings parse per the read schema's type)
+    val pdf = (1L to 12L).map(k => (k, (k % 3).toInt)).toDF("k", "p")
+    val tp = Lake.create(spark, Lake.freshRoot(), pdf, "k", 2,
+      partitionBy = Seq("p"))
+    tp.alterColumnType("p", "bigint")
+    tp.read().schema("p").dataType.typeName shouldBe "long"
+    tp.read().filter(col("p") === 1L).count() shouldBe 4L
+    tp.merge(Seq((100L, 1L)).toDF("k", "p"))
+    tp.read().count() shouldBe 13L
+    rows(tp.read().filter(col("k") === 100L)) shouldBe Seq(Seq(100L, 1L))
   }
 
   test("format reader serves MOR and column-mapped snapshots (projected relation)") {

@@ -645,6 +645,43 @@ class StreamingSpec extends SparkTestBase {
       Seq(("post", null), ("post2", "S2"))
   }
 
+  test("mid-stream type widening: out-of-range values feed null, never wrap") {
+    // the stream's fixed schema keeps the narrow type; a span written
+    // after an INT→LONG widening may carry values the fixed type cannot
+    // hold — they must arrive as NULL (restart to adopt the wide type),
+    // not as a silently wrapped number
+    val base = Seq((1L, 1), (2L, 2)).toDF("k", "n")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0: n is INT
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-widen-ckpt").toString
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft-widen-out").toString
+    val q = spark.readStream.format("graft-lake").load(table.root)
+      .writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      // widening merge: one in-range value, one that overflows INT
+      table.merge(Seq((1L, 7L), (2L, 5000000000L)).toDF("k", "n")) // v1
+      q.processAllAvailable()
+    } finally q.stop()
+    val post = spark.read.parquet(sinkDir)
+      .filter(col("_change_type") === "update_postimage")
+      .select("k", "n").collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getInt(1))).toSeq.sortBy(_._1)
+    post shouldBe Seq((1L, 7), (2L, null))
+    // a fresh stream adopts the widened type and sees the real value
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-widen-ckpt2").toString
+    val sink2 = java.nio.file.Files.createTempDirectory("graft-widen-out2").toString
+    val q2 = spark.readStream.format("graft-lake")
+      .option("startingVersion", "1").load(table.root)
+      .writeStream.format("parquet").option("path", sink2)
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(sink2)
+      .filter(col("_change_type") === "update_postimage" && col("k") === 2L)
+      .select("n").collect()(0).getLong(0) shouldBe 5000000000L
+  }
+
   test("graft-lake stream delivers a deferred delete with its OWN commit") {
     // per-commit attribution: a deferred-delete commit serves its delete
     // events itself (the tombstone-aware feed), and a startingVersion
