@@ -348,8 +348,9 @@ class LakeDeltaSpec extends SparkTestBase {
   }
 
   test("property: random verb interleave with planted racers stays serializable") {
-    // 24 random verbs (merge / COW delete / deferred delete / update /
-    // insert / conditional merge / compact / binpack / rename), ~1/3 of
+    // 24 random verbs (merge / COW delete / deferred delete / deferred
+    // PREDICATE delete / update / insert / conditional merge / compact /
+    // binpack / scoped re-cluster / rename / ADD COLUMN), ~1/3 of
     // them LOSING a planted race to a concurrent inserter — the final
     // table must equal a MODEL applying the serialization order (racer
     // first, then the replayed/rebased verb) by hand. Deterministic
@@ -363,9 +364,11 @@ class LakeDeltaSpec extends SparkTestBase {
     (1L to 200L).foreach(k => model(k) = (s"p$k", "A"))
     var nextFresh = 1000L
     var payloadCol = "payload" // flips after the mid-sequence rename
+    var extraCols = Seq.empty[String] // grows at the mid-sequence ADD COLUMN
     def freshKey(): Long = { nextFresh += 1; nextFresh }
     def df(rows: Seq[(Long, String, String)]) =
-      rows.toDF("k", payloadCol, "status")
+      extraCols.foldLeft(rows.toDF("k", payloadCol, "status"))((d, c) =>
+        d.withColumn(c, lit(null).cast("string")))
     for (step <- 1 to 24) {
       // maybe plant a racer: a fresh-key insert that wins the version
       // race — serialization order puts it FIRST. A verb that turns out
@@ -385,7 +388,7 @@ class LakeDeltaSpec extends SparkTestBase {
         }
         model(rk) = (s"race$rk", "R")
       } else t.onBeforeCommit = () => ()
-      rnd.nextInt(9) match {
+      rnd.nextInt(12) match {
         case 0 => // keyed upsert batch: some existing, some fresh
           val rows = (1 to 5).map { _ =>
             val k = if (rnd.nextBoolean()) rnd.nextLong(200) + 1 else freshKey()
@@ -427,6 +430,20 @@ class LakeDeltaSpec extends SparkTestBase {
         case 8 if step == 12 => // one mid-sequence metadata-only rename
           t.renameColumnWithRetry("payload", "note")
           payloadCol = "note"
+        case 9 => // deferred PREDICATE delete (replays on a lost race —
+          // the racer's fresh key is > 250, so the re-scan is identical)
+          model.keys.toSeq.foreach { k =>
+            if (k % 25 == step % 25 && k <= 250) model.remove(k)
+          }
+          t.deleteDeferredWhereWithRetry(
+            col("k") % 25 === step % 25 && col("k") <= 250)
+        case 10 if step > 6 && extraCols.isEmpty => // one metadata-only
+          // ADD COLUMN: every later batch must carry it (null)
+          t.addColumnWithRetry("annot", "string")
+          extraCols = Seq("annot")
+        case 11 => // predicate-scoped re-cluster: layout-only, no rows move
+          t.compactWhereWithRetry(col("k") <= 100L, 2,
+            Some(("sort", Seq("status"))))
         case _ => t.compactWithRetry(3)
       }
       racerRow.foreach { rk =>
