@@ -1961,10 +1961,14 @@ class LakeTable(spark: SparkSession, val root: String) {
   private def remapReAdded(m: Manifest, newLogicalCols: Seq[String]): Manifest = {
     if (m.droppedCols.isEmpty || newLogicalCols.isEmpty) return m
     val dropped = m.droppedCols.map(_.toLowerCase).toSet
+    // the batch's OTHER new logical names are taken too: a widening that
+    // re-adds dropped 'x' alongside a brand-new column literally named
+    // 'x_2' must not route both onto physical 'x_2'
     var taken = m.droppedCols.map(_.toLowerCase).toSet ++
       m.columnMap.values.map(_.toLowerCase) ++
       m.schemaDdl.toSeq.flatMap(ddl => org.apache.spark.sql.types
-        .StructType.fromDDL(ddl).fields.map(_.name.toLowerCase))
+        .StructType.fromDDL(ddl).fields.map(_.name.toLowerCase)) ++
+      newLogicalCols.map(_.toLowerCase)
     val extra = newLogicalCols
       .filter(c => !m.columnMap.contains(c) && dropped.contains(c.toLowerCase))
       .map { c =>

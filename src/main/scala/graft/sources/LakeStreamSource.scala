@@ -45,7 +45,10 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    extend to `(version, fileIndex)` so exactly-once survives
   *    restarts mid-commit. Rewriting commits (merge, delete, compact)
   *    stay atomic — their pre/post diff is not file-separable — so a
-  *    batch is bounded by max(caps, largest single rewrite). Every
+  *    batch is bounded by max(caps, largest single rewrite); an atomic
+  *    commit's cost against the budget is the upper bound of its FEED
+  *    (adds + tombstone adds + removed-file rows), so delete-heavy
+  *    backlogs (whose commits add nothing) drain bounded too. Every
   *    batch admits at least one file or one commit: progress is
   *    guaranteed even when a single unit exceeds the budget.
   *
@@ -106,15 +109,22 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
         finally in.close()
       case _ => None
     }
+  /** Marker writes are LOUD, not best-effort: both markers are
+    * load-bearing for exactly-once. A silently-lost `graft-start` lets a
+    * restart re-pin `latest + 1` ABOVE a backlog (skipping versions the
+    * engine's re-handed batch expects this source to serve); a
+    * silently-lost high-water mark lets admission seed BELOW the
+    * engine's committed offset after a crash, and MicroBatchExecution
+    * compares offsets only for inequality — a low offer becomes a new
+    * batch end and later spans re-deliver. Failing the query is the
+    * honest answer when the checkpoint dir can't persist state. */
   private def writeMarker(name: String, v: String, overwrite: Boolean): Unit =
     (metaFs, markerPath(name)) match {
       case (Some(fs), Some(p)) =>
-        try {
-          fs.mkdirs(p.getParent)
-          val out = fs.create(p, overwrite)
-          try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        } catch { case _: java.io.IOException => () } // best-effort state
+        fs.mkdirs(p.getParent)
+        val out = fs.create(p, overwrite)
+        try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       case _ => ()
     }
 
@@ -178,12 +188,18 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     * offsets here on restart, before asking for new ones). Admission
     * extends from this anchor, so a capped stream never re-offers below
     * what the checkpoint committed. On RESTART it seeds from the
-    * last-committed marker this source maintains in `metadataPath`
-    * ([[commit]]), so a backlog accumulated while the stream was down
-    * drains immediately and under the caps; a stale/missing marker only
-    * costs one idempotent low offer (the engine ignores offers at or
-    * below its committed offset), never a skip or a re-delivery — the
-    * engine's own start offset is authoritative for delivery. */
+    * high-water marker this source maintains in `metadataPath` —
+    * persisted AT OFFER TIME in [[getOffset]], before the offer is
+    * returned, so the marker is always ≥ anything the engine could have
+    * committed (the engine only commits offered ends). A marker ABOVE
+    * the engine's committed offset is safe: it only sizes admission
+    * (one span may exceed the caps — the pre-existing unbounded-drain
+    * shape), while delivery stays engine-authoritative. A marker BELOW
+    * committed would NOT be safe — MicroBatchExecution compares offsets
+    * only for inequality, so a low offer would become a new batch end
+    * and later spans would re-deliver — which is why the marker write
+    * happens before the offer and loudly ([[writeMarker]]), never
+    * after-the-fact in [[commit]]. */
   private var admitted: Pos =
     readMarker("graft-committed").map(decodeStr)
       .getOrElse(Pos(startingVersion - 1, COMPLETE))
@@ -230,6 +246,32 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     !d.full && d.removes.isEmpty && d.tombstoneAdds.isEmpty &&
       d.tombstoneRemoves.isEmpty && d.adds.nonEmpty
 
+  /** Upper bound on the rows an ATOMIC commit's feed can emit, for the
+    * row budget. Adds alone undercount: a deferred-delete commit
+    * (tombstoneAdds only) emits one delete event per tombstone row, and
+    * a rewriting commit emits update/delete events for rows in its
+    * REMOVED files — counting only adds would let a run of stacked
+    * delete commits coalesce into one unbounded batch. Removed-file row
+    * counts come from the parent manifest (cached, metadata-only); a
+    * vacuumed parent falls back to adds+tombstones (that commit then
+    * admits alone via the progress guarantee — bounded by one commit,
+    * never by a run of them). Pure compactions overcount (their feed is
+    * empty) — harmless: admission caps may under-fill a batch, never
+    * overflow it. */
+  private def commitCost(d: Lake.Delta): Long = {
+    val addRows = d.adds.map(_.rows).sum
+    val tombRows = d.tombstoneAdds.map(_.rows).sum
+    val removeRows =
+      if (d.parentVersion < 0 || !table.hasVersion(d.parentVersion)) 0L
+      else if (d.full) table.manifest(d.parentVersion).files.map(_.rows).sum
+      else if (d.removes.nonEmpty) {
+        val byPath = table.manifest(d.parentVersion).files
+          .map(f => f.path -> f.rows).toMap
+        d.removes.map(p => byPath.getOrElse(p, 0L)).sum
+      } else 0L
+    addRows + tombRows + removeRows
+  }
+
   override def getOffset: Option[Offset] = {
     offsetAsked = true
     val latest = table.latestVersion
@@ -238,6 +280,7 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
       val target = Pos(latest, COMPLETE)
       return if (admitted.lt(target) && latest >= startingVersion) {
         admitted = admitted.max(target)
+        persistHighWater(admitted)
         Some(encode(target))
       } else None
     }
@@ -275,13 +318,14 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
               stop = true
             else { cur = Pos(nv, -1); versionsBudget -= 1 }
           } else {
-            val cost = d.adds.map(_.rows).sum
+            val cost = commitCost(d)
+            val fileCost = d.adds.size + d.tombstoneAdds.size
             if (progressed &&
-                (cost > rowsBudget || d.adds.size > filesBudget))
+                (cost > rowsBudget || fileCost > filesBudget))
               stop = true
             else {
               cur = Pos(nv, COMPLETE)
-              rowsBudget -= cost; filesBudget -= d.adds.size
+              rowsBudget -= cost; filesBudget -= fileCost
               versionsBudget -= 1; progressed = true
             }
           }
@@ -291,9 +335,17 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     if (!progressed) None
     else {
       admitted = admitted.max(cur)
+      persistHighWater(admitted)
       Some(encode(cur))
     }
   }
+
+  /** Durably record the admission high-water mark BEFORE the offer is
+    * returned (see [[admitted]] for why offer-time, not commit-time). */
+  private def persistHighWater(p: Pos): Unit =
+    writeMarker("graft-committed",
+      if (p.file == COMPLETE) p.version.toString else s"${p.version}:${p.file}",
+      overwrite = true)
 
   /** Normalize one span's frame to the stream's FIXED schema: match
     * columns by physical identity through `v`'s column map (rename
@@ -329,6 +381,20 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(decode).getOrElse(Pos(startingVersion - 1, COMPLETE))
     val to = decode(end)
+    // A regressed end (to < from) can only come from a checkpoint whose
+    // high-water marker lagged the engine's commit log (markers written
+    // by a pre-offer-time-persistence version of this source). Everything
+    // at or below `from` was already delivered: re-seat admission at
+    // `from` and emit nothing, instead of re-delivering.
+    if (to.lt(from)) {
+      admitted = admitted.max(from)
+      return org.apache.spark.sql.graft.StreamBridge.streamingDataFrame(
+        spark,
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .queryExecution.toRdd,
+        schema)
+    }
     admitted =
       if (!offsetAsked && start.isDefined) to // restart re-hand: exact re-seat
       else admitted.max(to)
@@ -394,13 +460,12 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
       spark, batch.queryExecution.toRdd, schema)
   }
 
-  /** Persist the committed position (best-effort — see [[admitted]]). */
-  override def commit(end: Offset): Unit = {
-    val p = decode(end)
-    writeMarker("graft-committed",
-      if (p.file == COMPLETE) p.version.toString else s"${p.version}:${p.file}",
-      overwrite = true)
-  }
+  /** Nothing to do: the admission high-water mark is persisted at OFFER
+    * time ([[persistHighWater]]) — writing the committed position here
+    * would be at best redundant and at worst (a failed write after the
+    * engine's commit log is already durable) the seed of a
+    * below-committed admission anchor on restart. */
+  override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 }

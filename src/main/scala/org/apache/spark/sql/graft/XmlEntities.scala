@@ -31,7 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
 object XmlEntities {
 
   /** ISO 8879 "Added Latin 1" entity names, in code-point order 160–255
-    * (the public HTMLlat1 table — exactly the set dblp.dtd declares). */
+    * (the full public HTMLlat1 table — a SUPERSET of what dblp.dtd
+    * declares: the DTD picks 65 of these names, e.g. `Agrave`..`yuml`
+    * plus `reg`/`micro`/`times`; the remainder — `nbsp`, `copy`,
+    * `sect`, … — resolve here too, by the standard table, where the
+    * reference's parser would reject them as undeclared). */
   private val latin1Names: Array[String] = Array(
     "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
     "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr",

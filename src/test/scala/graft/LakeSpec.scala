@@ -908,6 +908,27 @@ class LakeSpec extends SparkTestBase {
     t.read().filter(col("status_2").isNotNull).count() shouldBe 1L
   }
 
+  test("re-add plus a sibling named like the fresh physical: disjoint storage") {
+    // one widening merge that re-adds dropped 'status' AND introduces a
+    // brand-new column literally named 'status_2': the re-add must NOT
+    // pick physical 'status_2' (the sibling's storage) — both columns
+    // need disjoint physical names or the write lands duplicate columns
+    val t = mkTable()
+    t.dropColumn("status")
+    t.merge(Seq((5L, "re5", "S", "SIB"))
+      .toDF("k", "payload", "status", "status_2"))
+    val m = t.manifest(t.latestVersion)
+    val physStatus = m.columnMap.getOrElse("status", "status")
+    val physSib = m.columnMap.getOrElse("status_2", "status_2")
+    physStatus should not be "status" // reserved by the drop
+    physStatus should not be physSib // disjoint from the sibling
+    rows(t.read().filter(col("k") === 5L)
+      .select("status", "status_2")) shouldBe Seq(Seq("S", "SIB"))
+    // carried rows resurrect nothing into either column
+    t.read().filter(col("status").isNotNull).count() shouldBe 1L
+    t.read().filter(col("status_2").isNotNull).count() shouldBe 1L
+  }
+
   test("ADD COLUMN: metadata-only; old files read null; merges fill it") {
     val t = mkTable()
     val v0Paths = t.manifest(0).files.map(_.path).toSet

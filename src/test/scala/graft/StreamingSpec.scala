@@ -586,6 +586,100 @@ class StreamingSpec extends SparkTestBase {
     offers should be > table.latestVersion
   }
 
+  test("a stacked deferred-delete backlog drains bounded under the row cap") {
+    // delete-only commits add no files, but their feed emits one delete
+    // event per tombstoned key — admission must cost them by their
+    // tombstone rows, or a run of stacked DELETE DEFERRED commits
+    // coalesces into one unbounded batch
+    val base = (1L to 60L).map(k => (k, s"v$k")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 2) // v0
+    (0 until 4).foreach { i => // v1..v4: ~15 tombstoned keys each
+      table.deleteDeferredWhere(col("k") >= i * 15L + 1 && col("k") <= i * 15L + 15)
+    }
+    def drain(params: Map[String, String]): (Int, Seq[(Long, String, Int)]) = {
+      val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+        params ++ Map("path" -> table.root, "startingVersion" -> "1"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+      var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+      var offers = 0
+      var cur = src.getOffset
+      while (cur.isDefined && offers < 100) {
+        val b = org.apache.spark.sql.graft.StreamBridge
+          .rewrapSourceBatch(src.getBatch(prev, cur.get))
+        out ++= b.select("k", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        prev = cur
+        cur = src.getOffset
+        offers += 1
+      }
+      (offers, out.toSeq.sorted)
+    }
+    val (_, uncapped) = drain(Map.empty)
+    uncapped.size shouldBe 60 // one delete event per erased key
+    val (offers, capped) = drain(Map("maxRowsPerTrigger" -> "20"))
+    capped shouldBe uncapped // same feed, only batching differs
+    offers should be >= 3 // the four ~15-row commits did NOT coalesce
+  }
+
+  test("admission high-water mark persists at OFFER time, not commit time") {
+    // crash window: the engine's commit log is durable but the source's
+    // commit() callback never ran. The marker written at getOffset must
+    // already cover the offer, so a restarted source never offers below
+    // the engine's committed offset (which the engine would treat as a
+    // NEW batch end and re-deliver later spans)
+    val base = Seq((1L, "v1")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0
+    (2 to 5).foreach(i => table.merge(
+      Seq((i.toLong, s"v$i")).toDF("k", "payload"))) // v1..v4
+    val metaDir = java.nio.file.Files
+      .createTempDirectory("graft-marker-ckpt").toString
+    val params = Map("path" -> table.root, "startingVersion" -> "1",
+      "maxVersionsPerTrigger" -> "2")
+    val s1 = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      params, Some(metaDir))
+    val o1 = s1.getOffset.get // offers v1..v2; marker persists HERE
+    s1.getBatch(None, o1)
+    // CRASH before s1 ever saw commit(): restart on the same metadataPath
+    val s2 = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      params, Some(metaDir))
+    val o2 = s2.getOffset.get
+    o2.json.trim.toInt should be > o1.json.trim.toInt // never re-offers v1..v2
+    val b2 = org.apache.spark.sql.graft.StreamBridge
+      .rewrapSourceBatch(s2.getBatch(Some(o1), o2))
+    val versions = b2.select("_commit_version").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    versions shouldBe Seq(3, 4) // strictly the undelivered spans
+  }
+
+  test("a regressed batch end (stale pre-fix marker) delivers nothing") {
+    // checkpoints written by older builds could seed admission below the
+    // engine's committed offset; if the engine then logs a LOW offer as a
+    // new batch end, getBatch must emit nothing rather than re-deliver
+    val base = Seq((1L, "v1")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0
+    (2 to 4).foreach(i => table.merge(
+      Seq((i.toLong, s"v$i")).toDF("k", "payload"))) // v1..v3
+    val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> table.root, "startingVersion" -> "1"))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val regressed = org.apache.spark.sql.graft.StreamBridge
+      .rewrapSourceBatch(src.getBatch(Some(LongOffset(3L)), LongOffset(1L)))
+    regressed.count() shouldBe 0L
+    // and admission re-seated AT the committed offset: the next offer
+    // covers exactly the outstanding tail, nothing below it
+    val next = src.getOffset
+    next shouldBe empty // nothing above v3 exists yet
+    table.merge(Seq((9L, "v9")).toDF("k", "payload")) // v4
+    val o = src.getOffset.get
+    val b = org.apache.spark.sql.graft.StreamBridge
+      .rewrapSourceBatch(src.getBatch(Some(LongOffset(3L)), o))
+    b.select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSeq shouldBe Seq(4)
+  }
+
   test("mid-stream rename normalizes spans to the start-of-stream names") {
     // the stream's schema is FIXED at start; a rename mid-stream must not
     // null out (or drop) the renamed column's post-rename events — spans
