@@ -98,7 +98,8 @@ object Run {
     * inputs compose with the query CLI's outputs.
     *
     * {{{
-    * graft.Run lake-create  <root> <srcParquet> <keyCol> <numFiles>
+    * graft.Run lake-create  <root> <srcParquet> <keyCol|-> <numFiles>
+    *                         ('-' = keyless append-log table)
     * graft.Run lake-merge   <root> <updatesParquet>
     * graft.Run lake-delete  <root> <keysParquet>           // COW delete
     * graft.Run lake-tombstone <root> <keysParquet>         // merge-on-read
@@ -141,7 +142,11 @@ object Run {
       cmd match {
         case "lake-create" =>
           need(5)
-          Lake.create(spark, root, spark.read.parquet(args(2)), args(3),
+          // keyCol '-' creates a KEYLESS append-log table
+          if (args(3) == "-")
+            Lake.createAppendLog(spark, root, spark.read.parquet(args(2)),
+              args(4).toInt)
+          else Lake.create(spark, root, spark.read.parquet(args(2)), args(3),
             args(4).toInt)
           println(s"[lake] created $root v0")
         case "lake-merge" =>

@@ -122,6 +122,38 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: the KEYLESS append-log lifecycle — create from one
+    * batch, append two more (the third deliberately RE-APPENDS rows: an
+    * append log admits repeats, there is no PK probe), predicate COW
+    * delete, full compact; phases read back via time travel so every
+    * commit's snapshot is checked, not just the final one. The oracle
+    * replays the same batch algebra over the raw events table. Scale
+    * shape: appends are adds-only commits (zero reads of existing
+    * data), the delete rewrites only files holding matching rows (one
+    * column-pruned hit scan), compaction is a layout-only rewrite. */
+  def lakeKeyless(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val t = createAppendLog(spark, freshRoot(),
+      e.filter(col("event_id") % 3 === 0), 4, statsCols = Seq("user_id"))
+    t.insertAll(e.filter(col("event_id") % 3 === 1))
+    t.insertAll(e.filter(col("event_id") % 3 === 2)
+      .unionByName(e.filter(col("event_id") % 300 === 0))) // duplicates OK
+    val vAppended = t.latestVersion
+    t.deleteWhere(col("event_type") === "error" && col("value") < 5.0)
+    val vDeleted = t.latestVersion
+    t.compact(2)
+    def agg(df: DataFrame, phase: String): DataFrame =
+      df.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("event_id").cast("long").as("sum_ids"))
+        .withColumn("phase", lit(phase))
+    agg(t.snapshot(vAppended), "appended")
+      .unionByName(agg(t.snapshot(vDeleted), "deleted"))
+      .unionByName(agg(t.read(), "compacted"))
+      .select("phase", "event_type", "n_events", "sum_ids")
+      .orderBy("phase", "event_type")
+  }
+
   /** Gated lane: storage-level COW DELETE (the erasure-cascade shape at
     * the table layer — GDPR delete as a committed snapshot, not a view).
     * Delete every key ≡ 0 mod 100 from an orders lake, then aggregate the
@@ -988,6 +1020,7 @@ object Lake {
     "lake_date_pruning" -> (lakeDatePruning _),
     "lake_partition_pruning" -> (lakePartitionPruning _),
     "lake_merge_cow" -> (lakeMergeCow _),
+    "lake_keyless" -> (lakeKeyless _),
     "lake_delete_erasure" -> (lakeDeleteErasure _),
     "lake_cdc_changes" -> (lakeCdcChanges _),
     "lake_mv_incremental" -> (lakeMvIncremental _),
@@ -1337,6 +1370,28 @@ object Lake {
         |FROM merged WHERE o_orderkey % 100 <> 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "lake_keyless" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id % 3 IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE event_id % 300 = 0),
+        |d AS (
+        |  SELECT * FROM b
+        |  WHERE NOT (event_type = 'error' AND value < 5.0))
+        |SELECT phase, event_type, n_events, sum_ids FROM (
+        |  SELECT 'appended' AS phase, event_type, count(*) AS n_events,
+        |         CAST(sum(event_id) AS BIGINT) AS sum_ids
+        |  FROM b GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'deleted', event_type, count(*),
+        |         CAST(sum(event_id) AS BIGINT) FROM d GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'compacted', event_type, count(*),
+        |         CAST(sum(event_id) AS BIGINT) FROM d GROUP BY 2
+        |) ORDER BY 1, 2""".stripMargin,
+
     "lake_delete_erasure" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders WHERE o_orderkey % 100 <> 0
@@ -1486,8 +1541,36 @@ object Lake {
   def create(spark: SparkSession, root: String, df: DataFrame, keyCol: String,
              numFiles: Int, statsCols: Seq[String] = Nil,
              partitionBy: Seq[String] = Nil): LakeTable = {
+    require(keyCol.nonEmpty,
+      "create needs a merge key column — for a table with no natural " +
+        "unique key (event logs, corpus shards) use createAppendLog")
     val t = new LakeTable(spark, root)
     t.init(df, keyCol, numFiles, statsCols, partitionBy)
+    t
+  }
+
+  /** Create version 0 of a KEYLESS append-log table — the event-log /
+    * corpus-shard shape, where rows have no natural unique key and
+    * minting a surrogate would be a lie. Supported surface: appends
+    * ([[LakeTable.insertAll]] / [[LakeTable.insertEpoch]] — blind, no
+    * duplicate probe: an append LOG admits repeats by definition),
+    * predicate copy-on-write DELETE/UPDATE ([[LakeTable.deleteWhere]] /
+    * [[LakeTable.update]] — hit files found by one column-pruned scan),
+    * every compaction/layout verb, stats/partition pruning, constraints,
+    * schema evolution, time travel, restore, clone, vacuum, and the
+    * change feed (pure-append commits stream file-sliced exactly as for
+    * keyed tables; rewrite commits diff by row CONTENT as a multiset).
+    * Key-addressed verbs — MERGE, delete-by-keys, deferred (tombstone)
+    * deletes, epoch merge/replace sinks, key-range reads — refuse
+    * loudly: without a key there is no row identity to address.
+    * Clustering: files range-cluster on the leading `statsCols` entry
+    * (if any) within partitions, so declared-column pruning stays tight;
+    * key stats are sentinel (0, 0) and nothing reads them. */
+  def createAppendLog(spark: SparkSession, root: String, df: DataFrame,
+                      numFiles: Int, statsCols: Seq[String] = Nil,
+                      partitionBy: Seq[String] = Nil): LakeTable = {
+    val t = new LakeTable(spark, root)
+    t.init(df, "", numFiles, statsCols, partitionBy)
     t
   }
 
@@ -2309,6 +2392,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     * remains for extension-less sessions. */
   def readRange(lo: Long, hi: Long): DataFrame = {
     val m = manifest(latestVersion)
+    requireKeyed(m, "readRange")
     val hit = m.files.filter(f => f.maxKey >= lo && f.minKey <= hi)
     if (hit.isEmpty) read().filter(lit(false))
     else {
@@ -2358,6 +2442,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val toPaths = mTo.files.map(_.path).toSet
     val removed = mFrom.files.filterNot(f => toPaths.contains(f.path))
     val added = mTo.files.filterNot(f => fromPaths.contains(f.path))
+    if (keyCol.isEmpty) return changesKeyless(mTo, removed, added)
     // keys newly tombstoned across the interval kill rows in CARRIED
     // files — the file diff can't see those, so the carried files whose
     // key range intersects a to-endpoint tombstone file's range join the
@@ -2429,6 +2514,41 @@ class LakeTable(spark: SparkSession, val root: String) {
           toLogical(mTo, base.unionByName(carriedDeletes))
         }
     }
+  }
+
+  /** Keyless change feed: without a key there is no row identity to pair
+    * pre/post images, so the interval's events are the CONTENT multiset
+    * diff of the changed files — rows only in removed files are
+    * `delete`s, rows only in added files are `insert`s, and a row
+    * rewritten byte-identically (compaction) cancels out entirely
+    * (`exceptAll` is multiset subtraction, so K removed copies vs J
+    * added copies net to |K−J| events — the delta in occurrence count,
+    * exactly what an append-log consumer needs to stay consistent).
+    * Updates surface as delete+insert pairs, the honest keyless shape.
+    * Cost: one shuffle over only the CHANGED files' rows — pure-append
+    * intervals take the removed-empty fast path (no shuffle at all). */
+  private def changesKeyless(mTo: Manifest, removed: Seq[FileEntry],
+                             added: Seq[FileEntry]): DataFrame = {
+    val templateFiles =
+      if (added.nonEmpty || removed.nonEmpty) added ++ removed
+      else mTo.files.take(1)
+    if (templateFiles.isEmpty)
+      // table never held data: empty, minimally-typed feed
+      return spark.range(0).select(lit("").as("_change_type"))
+        .filter(lit(false))
+    val schema = readFiles(mTo, templateFiles).schema
+    def load(fsq: Seq[FileEntry]): DataFrame =
+      if (fsq.nonEmpty) readFiles(mTo, fsq, Some(schema))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val pre = load(removed)
+    val post = load(added)
+    val feed =
+      if (removed.isEmpty) post.withColumn("_change_type", lit("insert"))
+      else post.exceptAll(pre).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          pre.exceptAll(post).withColumn("_change_type", lit("delete")))
+    toLogical(mTo, feed)
   }
 
   /** Test-only interleaving seam: runs after a verb has decided its target
@@ -2532,16 +2652,25 @@ class LakeTable(spark: SparkSession, val root: String) {
       if (dw.columnMap != d.columnMap) return None
       if (dw.constraints != d.constraints) return None
       if (dw.removes.exists(ourRemoves)) return None // same file touched
-      // the winner's touched files: everything it added plus the
-      // entries it removed (ranges from its parent's resolved state)
-      val removedEntries =
-        if (dw.removes.isEmpty) Nil
-        else {
-          val rm = dw.removes.toSet
-          resolveState(dw.parentVersion)._1.filter(f => rm(f.path))
-        }
-      if ((dw.adds ++ removedEntries)
-          .exists(f => f.maxKey >= lo && f.minKey <= hi)) return None
+      // a KEYLESS pure append conflicts with nothing that passed the
+      // gates above: it removes no files and addresses no keys, so the
+      // key-envelope test (sentinel bounds always "overlap") is skipped —
+      // concurrent appends to an append-log always splice. Keyless
+      // REWRITING commits (delete-where, optimize) keep the conservative
+      // decline: their sentinel envelopes overlap everything, so a race
+      // replays the verb instead
+      if (d.keyCol.nonEmpty || d.removes.nonEmpty) {
+        // the winner's touched files: everything it added plus the
+        // entries it removed (ranges from its parent's resolved state)
+        val removedEntries =
+          if (dw.removes.isEmpty) Nil
+          else {
+            val rm = dw.removes.toSet
+            resolveState(dw.parentVersion)._1.filter(f => rm(f.path))
+          }
+        if ((dw.adds ++ removedEntries)
+            .exists(f => f.maxKey >= lo && f.minKey <= hi)) return None
+      }
       w += 1
     }
     // winners proven disjoint: splice our delta onto their state
@@ -2607,13 +2736,27 @@ class LakeTable(spark: SparkSession, val root: String) {
       case (None, ps) if ps.nonEmpty =>
         // range-cluster on (partitions..., key): every task holds one
         // partition tuple's key slice, so hive dirs get disjoint-range
-        // files and key pruning stays tight WITHIN a partition
-        df.repartitionByRange(math.max(1, numFiles),
-            (ps :+ keyCol).map(col): _*)
-          .sortWithinPartitions(ps.head, (ps.tail :+ keyCol): _*)
-      case _ =>
+        // files and key pruning stays tight WITHIN a partition. Keyless
+        // (append-log) tables cluster on the leading stats column when
+        // one exists — that's the column whose pruning the user declared
+        // they care about — else on the partition tuple alone
+        val tail =
+          if (keyCol.nonEmpty) Seq(keyCol)
+          else statsCols.headOption.toSeq
+        df.repartitionByRange(math.max(1, numFiles), (ps ++ tail).map(col): _*)
+          .sortWithinPartitions(ps.head, (ps.tail ++ tail): _*)
+      case _ if keyCol.nonEmpty =>
         df.repartitionByRange(math.max(1, numFiles), col(keyCol))
           .sortWithinPartitions(keyCol)
+      case _ => // keyless, unpartitioned: cluster by the leading stats
+        // column for tight [min,max] pruning there; with no stats cols
+        // declared, an even round-robin split is the only honest layout
+        statsCols.headOption match {
+          case Some(c) =>
+            df.repartitionByRange(math.max(1, numFiles), col(c))
+              .sortWithinPartitions(c)
+          case None => df.repartition(math.max(1, numFiles))
+        }
     }
     val writer = clustered.write.mode("overwrite")
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
@@ -2659,11 +2802,16 @@ class LakeTable(spark: SparkSession, val root: String) {
       // pruning — and the metadata-aggregate rule's whole-file implication
       // needs the key's null count for the IsNotNull conjuncts Catalyst
       // injects under every key comparison)
-      val orderedStats = (keyCol +: (numStats ++ strStats)).distinct
+      val orderedStats =
+        ((if (keyCol.isEmpty) Nil else Seq(keyCol)) ++ numStats ++ strStats)
+          .distinct
       val nullAggs = orderedStats.map(c => count(col(c)).as(s"nn_$c"))
+      // keyless (append-log) files carry sentinel key bounds (0, 0) —
+      // nothing ever key-probes them (the keyed verbs refuse first)
+      val keyStat =
+        if (keyCol.isEmpty) lit(0L) else Lake.statLong(data, keyCol)
       val aggs = Seq(count(lit(1)).as("rows"),
-        min(Lake.statLong(data, keyCol)).as("mn"),
-        max(Lake.statLong(data, keyCol)).as("mx")) ++
+        min(keyStat).as("mn"), max(keyStat).as("mx")) ++
         numAggs ++ strAggs ++ nullAggs
       val strBase = 4 + 2 * numStats.size
       val nullBase = strBase + 2 * strStats.size
@@ -2779,6 +2927,34 @@ class LakeTable(spark: SparkSession, val root: String) {
       full = true, adds = files, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,
       schemaDdl = Some(readSchema.toDDL)), files, Nil)
+  }
+
+  /** Refusal gate for key-addressed verbs on a keyless (append-log)
+    * table — see [[Lake.createAppendLog]] for the supported surface. */
+  private def requireKeyed(m: Manifest, verb: String): Unit =
+    require(m.keyCol.nonEmpty,
+      s"$verb addresses rows by key, but this is a KEYLESS append-log " +
+        "table (no row identity). Supported here: insert/append, " +
+        "DELETE/UPDATE … WHERE (copy-on-write), OPTIMIZE/compaction, " +
+        "time travel, restore, vacuum, the change feed. To upsert or " +
+        "delete by key, create a keyed table (Lake.create / CREATE " +
+        "TABLE … KEY <col>)")
+
+  /** The keyless twin of [[hitFileIndexes]]: file names (basenames) of
+    * `m`'s data files holding at least one row matching `condition`
+    * (LOGICAL names) — ONE scan, column-pruned to the predicate's
+    * columns, tagging rows with their source file. Parquet row-group
+    * stats and (in extension-enabled sessions) manifest pruning bound
+    * the scan; the rewrite that follows touches only the hit files. */
+  private def hitFilesByScan(m: Manifest,
+                             condition: org.apache.spark.sql.Column)
+      : Set[String] = {
+    if (m.files.isEmpty) return Set.empty
+    toLogical(m, readFiles(m, m.files))
+      .withColumn("_gf", input_file_name())
+      .filter(condition)
+      .select("_gf").distinct().collect()
+      .map(r => new Path(r.getString(0)).getName).toSet
   }
 
   /** File pruning shared by MERGE and DELETE: a key hits a file iff it
@@ -2985,6 +3161,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     // widening below — stale pre-drop bytes in carried files never
     // become the new column's values (the extended map rides the commit)
     val m0 = manifest(v)
+    requireKeyed(m0, "MERGE")
     val m = remapReAdded(m0, newLogicalCols(m0, updates0))
     val keyCol = m.keyCol
     // callers speak LOGICAL names; files and stats speak physical.
@@ -3108,6 +3285,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       : MergeStats = {
     val v = latestVersion
     val m = manifest(v)
+    requireKeyed(m, "MERGE INTO")
     val keyCol = m.keyCol
     // materialize the source ONCE: the verb evaluates it several times
     // (file-hit probe, key checks, clause join, insert anti-join), and an
@@ -3372,7 +3550,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     // opaque "field does not exist" instead of updating
     val canon = snap.columns.map(c => c.toLowerCase -> c).toMap
     val sets1 = sets.map { case (c, e) =>
-      require(!c.equalsIgnoreCase(lk),
+      require(keyCol.isEmpty || !c.equalsIgnoreCase(lk),
         s"cannot assign the merge key '$lk' in UPDATE — re-keying is a " +
           "DELETE + INSERT (use MERGE)")
       // withColumns would silently ADD an unknown target — refuse instead
@@ -3381,11 +3559,20 @@ class LakeTable(spark: SparkSession, val root: String) {
         s"UPDATE of unknown column '$c' — adding columns is schema " +
           "evolution (use MERGE)")) -> e
     }
-    val keys = snap.filter(condition).select(lk)
-    val hitIdx = hitFileIndexes(m, keys)
-    val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+    // hit detection: key-range probe for keyed tables; for keyless
+    // (append-log) tables, one column-pruned scan by file identity
+    val (hit, kept) =
+      if (keyCol.nonEmpty) {
+        val keys = snap.filter(condition).select(lk)
+        val hitIdx = hitFileIndexes(m, keys)
+        m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+      } else {
+        val hitNames = hitFilesByScan(m, condition)
+        m.files.zipWithIndex.partition { case (f, _) =>
+          hitNames.contains(new Path(f.path).getName) }
+      }
     if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
-    val updateRows = keys.count()
+    val updateRows = snap.filter(condition).count()
     val hitDf0 = toLogical(m, readFiles(m, hit.map(_._1)))
     val hitDf = tombstoneKeys(m).fold(hitDf0)(tk =>
       hitDf0.join(tk.select(col(keyCol).as(lk)), Seq(lk), "left_anti"))
@@ -3423,8 +3610,40 @@ class LakeTable(spark: SparkSession, val root: String) {
     * the ordinary key-based COW [[delete]] rewrites only their files. */
   def deleteWhere(condition: org.apache.spark.sql.Column): MergeStats = {
     val m = manifest(latestVersion)
-    delete(read().filter(condition)
-      .select(logicalName(m, m.keyCol)), allowRebase = false)
+    if (m.keyCol.nonEmpty)
+      delete(read().filter(condition)
+        .select(logicalName(m, m.keyCol)), allowRebase = false)
+    else deleteWhereKeyless(m, condition)
+  }
+
+  /** Keyless COW delete: one column-pruned scan finds the files holding
+    * matching rows ([[hitFilesByScan]]); only those rewrite to their
+    * survivors (rows where the predicate is false or null — the SQL
+    * DELETE contract), everything else carries by reference. The same
+    * O(selected) shape as the keyed path, with file identity standing in
+    * for key ranges. */
+  private def deleteWhereKeyless(m: Manifest,
+                                 condition: org.apache.spark.sql.Column)
+      : MergeStats = {
+    val v = m.version
+    val hitNames = hitFilesByScan(m, condition)
+    val (hit, kept) = m.files.partition(f =>
+      hitNames.contains(new Path(f.path).getName))
+    if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
+    val survivors = toLogical(m, readFiles(m, hit))
+      .filter(!coalesce(condition, lit(false)))
+    val newFiles = writeDataFiles(toPhysical(m, survivors), "",
+      sizedFileCount(1, hit.map(_.rows).sum), m.statsCols,
+      partitionCols = m.partitionCols)
+    val cv = commitAndIndex(Delta(v + 1, v, "delete-where", "",
+      m.statsCols, m.partitionCols, full = false, adds = newFiles,
+      removes = hit.map(_.path), tombstoneAdds = Nil,
+      tombstoneRemoves = Nil, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap,
+      constraints = m.constraints, droppedCols = m.droppedCols),
+      kept ++ newFiles, Nil)
+    MergeStats(cv, kept.size, hit.size, newFiles.size,
+      hit.map(_.rows).sum)
   }
 
   def deleteWhereWithRetry(condition: org.apache.spark.sql.Column,
@@ -3555,33 +3774,40 @@ class LakeTable(spark: SparkSession, val root: String) {
       "insert rows would widen or extend the table schema (" +
         s"table: ${tableSchema.toDDL}; with rows: $widenedDdl): schema " +
         "evolution belongs to MERGE")
-    // key sanity: non-null, unique within the batch
-    val cnts = rows.agg(count(lit(1)), count(col(keyCol)),
-      count_distinct(col(keyCol))).collect()(0)
-    require(cnts.getLong(1) == cnts.getLong(0),
-      "insert rows carry null keys")
-    require(cnts.getLong(2) == cnts.getLong(0),
-      "insert rows carry duplicate keys within the batch")
-    // PK conflict check against files whose range covers a source key —
-    // a key-column-only scan. TOMBSTONED keys conflict too: an append
-    // rewrites nothing, so clearing their tombstone would resurrect the
-    // old physical row next to the new one — reviving belongs to MERGE,
-    // whose rewrite folds the dead row out
-    val hitIdx = hitFileIndexes(m, rows.select(keyCol))
-    if (hitIdx.nonEmpty) {
-      val candidates = readFiles(m, hitIdx.toSeq.sorted.map(m.files))
-        .select(col(keyCol))
-      val conflicts = candidates.join(rows.select(col(keyCol)), Seq(keyCol),
-        "left_semi").limit(1).count()
-      require(conflicts == 0L,
-        "INSERT would duplicate existing keys (live or tombstoned): the " +
-          "table is keyed — use MERGE to upsert or revive")
-    }
+    // key sanity + PK conflict probe — keyed tables only. A KEYLESS
+    // append-log admits repeats by definition: the insert is a blind
+    // adds-only commit, zero reads of existing data
+    val nRows =
+      if (keyCol.isEmpty) rows.count()
+      else {
+        val cnts = rows.agg(count(lit(1)), count(col(keyCol)),
+          count_distinct(col(keyCol))).collect()(0)
+        require(cnts.getLong(1) == cnts.getLong(0),
+          "insert rows carry null keys")
+        require(cnts.getLong(2) == cnts.getLong(0),
+          "insert rows carry duplicate keys within the batch")
+        // PK conflict check against files whose range covers a source key —
+        // a key-column-only scan. TOMBSTONED keys conflict too: an append
+        // rewrites nothing, so clearing their tombstone would resurrect the
+        // old physical row next to the new one — reviving belongs to MERGE,
+        // whose rewrite folds the dead row out
+        val hitIdx = hitFileIndexes(m, rows.select(keyCol))
+        if (hitIdx.nonEmpty) {
+          val candidates = readFiles(m, hitIdx.toSeq.sorted.map(m.files))
+            .select(col(keyCol))
+          val conflicts = candidates.join(rows.select(col(keyCol)), Seq(keyCol),
+            "left_semi").limit(1).count()
+          require(conflicts == 0L,
+            "INSERT would duplicate existing keys (live or tombstoned): the " +
+              "table is keyed — use MERGE to upsert or revive")
+        }
+        cnts.getLong(0)
+      }
     // append sizing is pure target-size policy: there is no rewrite whose
     // granularity could anchor a count (the old hitIdx-derived count was
     // a placeholder — a huge no-hit append must NOT land as one file)
     val newFiles = writeDataFiles(rows, keyCol,
-      sizedFileCount(1, cnts.getLong(0)), m.statsCols,
+      sizedFileCount(1, nRows), m.statsCols,
       partitionCols = m.partitionCols)
     // inserted keys were proven ABSENT (live and tombstoned): the
     // tombstone set carries unchanged
@@ -3593,7 +3819,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       constraints = m.constraints, droppedCols = m.droppedCols),
       m.files ++ newFiles, tombs,
       rebaseEnvelope = Some(() => rangeEnvelope(newFiles)))
-    MergeStats(cv, m.files.size, 0, newFiles.size, cnts.getLong(0))
+    MergeStats(cv, m.files.size, 0, newFiles.size, nRows)
   }
 
   def insertAllWithRetry(rows: DataFrame, maxAttempts: Int = 3): MergeStats =
@@ -3619,6 +3845,7 @@ class LakeTable(spark: SparkSession, val root: String) {
   def delete(keys: DataFrame, allowRebase: Boolean = true): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
+    requireKeyed(m, "DELETE by keys")
     val keyCol = m.keyCol
     val hitIdx = hitFileIndexes(m, keys)
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
@@ -3686,6 +3913,7 @@ class LakeTable(spark: SparkSession, val root: String) {
   def deleteDeferred(keys: DataFrame): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
+    requireKeyed(m, "DELETE DEFERRED (key tombstones)")
     val tomb = writeDataFiles(
       keys.select(col(keys.columns.head).as(m.keyCol)).distinct(),
       m.keyCol, 1)
@@ -3724,6 +3952,7 @@ class LakeTable(spark: SparkSession, val root: String) {
   def deleteDeferredWhere(condition: org.apache.spark.sql.Column): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
+    requireKeyed(m, "DELETE DEFERRED (key tombstones)")
     val keyLogical = logicalName(m, m.keyCol)
     // ONE scan: write the tombstone directly (keys are unique in the
     // effective snapshot — no distinct shuffle) and no-op when it came
@@ -4090,12 +4319,20 @@ class LakeTable(spark: SparkSession, val root: String) {
     val m = manifest(v)
     // probe with the partition columns too: a partition-scoped OPTIMIZE
     // must not drag in other partitions' files whose key ranges merely
-    // overlap (keys interleave across partitions by construction)
-    val probeColsL = (m.keyCol +: m.partitionCols).map(logicalName(m, _))
-    val keys = toPhysical(m,
-      read().filter(condition).select(probeColsL.map(col): _*))
-    val hitIdx = hitFileIndexes(m, keys)
-    val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+    // overlap (keys interleave across partitions by construction).
+    // Keyless tables probe by file identity in one column-pruned scan
+    val (hit, kept) =
+      if (m.keyCol.nonEmpty) {
+        val probeColsL = (m.keyCol +: m.partitionCols).map(logicalName(m, _))
+        val keys = toPhysical(m,
+          read().filter(condition).select(probeColsL.map(col): _*))
+        val hitIdx = hitFileIndexes(m, keys)
+        m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+      } else {
+        val hitNames = hitFilesByScan(m, condition)
+        m.files.zipWithIndex.partition { case (f, _) =>
+          hitNames.contains(new Path(f.path).getName) }
+      }
     if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
     val hitRows = hit.map(_._1.rows).sum
     val numOut =

@@ -752,8 +752,12 @@ object LakeManifestPrune {
         finally in.close()
       }
       def statOf(keyCol: String, f: Lake.FileEntry): FileStat =
-        FileStat(f.cols + (keyCol -> ((f.minKey, f.maxKey))), f.scols,
-          f.rows, f.nulls)
+        // keyless (append-log) tables carry sentinel key bounds — no
+        // column named after them must ever enter the stats map
+        FileStat(
+          if (keyCol.isEmpty) f.cols
+          else f.cols + (keyCol -> ((f.minKey, f.maxKey))),
+          f.scols, f.rows, f.nulls)
       // warm path: a known root only folds the deltas NEWER than last time
       // (stats are per-file immutable; removals never need processing and
       // stale entries for vacuumed files are unreachable by any scan)

@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT *]
   *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
   *   [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET c = e [, ...]]
-  * CREATE TABLE graft_lake('<root>') KEY <col> [FILES <n>]
+  * CREATE TABLE graft_lake('<root>') (KEY <col> | APPEND LOG) [FILES <n>]
   *   [PARTITIONED BY (c, ...)] [STATS (c, ...)] AS <query>
   * INSERT INTO graft_lake('<root>') <query>        -- append, PK-checked
   * UPDATE graft_lake('<root>') [AS t] SET c = e [, ...] [WHERE <cond>]
@@ -414,8 +414,11 @@ object GraftSqlParser {
           sc.assertEnd()
           LakeCloneCommand(root, src, ver, ts)
         } else {
-        sc.expect("KEY")
-        val key = sc.ident()
+        // KEY <col> = keyed (merge-addressable) table;
+        // APPEND LOG = keyless event-log/corpus-shard table
+        val key =
+          if (sc.keyword("APPEND")) { sc.expect("LOG"); "" }
+          else { sc.expect("KEY"); sc.ident() }
         val files = if (sc.keyword("FILES")) sc.int() else 8
         val pcols =
           if (sc.keyword("PARTITIONED")) { sc.expect("BY")
@@ -911,6 +914,10 @@ case class LakeMergeCommand(root: String, sourceSql: String, keyName: String,
     import GraftSqlParser.exprCol
     val t = new graft.sources.LakeTable(spark, root)
     val keyCol = t.manifest(t.latestVersion).keyCol
+    require(keyCol.nonEmpty,
+      "MERGE INTO addresses rows by key, but the target is a KEYLESS " +
+        "append-log table — use INSERT INTO / DELETE FROM … WHERE / " +
+        "UPDATE … WHERE")
     require(keyName.equalsIgnoreCase(keyCol),
       s"MERGE ON column '$keyName' is not the table's merge key '$keyCol'")
     val del =
@@ -937,10 +944,12 @@ case class LakeMergeCommand(root: String, sourceSql: String, keyName: String,
   }
 }
 
-/** `CREATE TABLE graft_lake('<root>') KEY <col> [FILES n]
+/** `CREATE TABLE graft_lake('<root>') (KEY <col> | APPEND LOG) [FILES n]
   * [PARTITIONED BY (…)] [STATS (…)] AS <query>` — CTAS onto
-  * [[graft.sources.Lake.create]]: the whole table lifecycle is now
-  * reachable from SQL. Refuses an existing root. */
+  * [[graft.sources.Lake.create]] (or, for `APPEND LOG`,
+  * [[graft.sources.Lake.createAppendLog]] — the keyless event-log
+  * shape): the whole table lifecycle is reachable from SQL. Refuses an
+  * existing root. */
 case class LakeCreateCommand(root: String, keyCol: String, files: Int,
                              partitionCols: Seq[String],
                              statsCols: Seq[String],
@@ -951,8 +960,12 @@ case class LakeCreateCommand(root: String, keyCol: String, files: Int,
       spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_manifests")),
       s"CREATE TABLE: a lake table already exists at $root")
-    val t = graft.sources.Lake.create(spark, root, spark.sql(sourceSql),
-      keyCol, files, statsCols = statsCols, partitionBy = partitionCols)
+    val t =
+      if (keyCol.isEmpty)
+        graft.sources.Lake.createAppendLog(spark, root, spark.sql(sourceSql),
+          files, statsCols = statsCols, partitionBy = partitionCols)
+      else graft.sources.Lake.create(spark, root, spark.sql(sourceSql),
+        keyCol, files, statsCols = statsCols, partitionBy = partitionCols)
     val m = t.manifest(0)
     Seq(Row(0, 0, 0, m.files.size, m.files.map(_.rows).sum))
   }

@@ -1128,4 +1128,127 @@ class LakeSpec extends SparkTestBase {
     val v = t.latestVersion
     t.compactBinPack(minRows = 5, targetRows = 10, maxRows = 25).version shouldBe v
   }
+
+  private def mkAppendLog() = {
+    val df = (1L to 60L).map(i => (i, s"msg$i", i % 7)).toDF("id", "msg", "shard")
+    Lake.createAppendLog(spark, Lake.freshRoot(), df, 3,
+      statsCols = Seq("shard"))
+  }
+
+  test("append-log: blind appends admit duplicates; keyed verbs refuse") {
+    val t = mkAppendLog()
+    t.manifest(0).keyCol shouldBe ""
+    t.read().count() shouldBe 60L
+    // a re-append of EXISTING rows lands without any PK probe
+    t.insertAll((1L to 10L).map(i => (i, s"msg$i", i % 7))
+      .toDF("id", "msg", "shard"))
+    t.read().count() shouldBe 70L
+    t.read().filter(col("id") === 5L).count() shouldBe 2L // duplicate lives
+    // refusal matrix: every key-addressed verb fails loudly and
+    // mentions the append-log nature
+    val keyed = Seq[(String, () => Any)](
+      "merge" -> (() => t.merge(Seq((1L, "x", 0L)).toDF("id", "msg", "shard"))),
+      "mergeInto" -> (() => t.mergeInto(
+        Seq((1L, "x", 0L)).toDF("id", "msg", "shard"))),
+      "delete" -> (() => t.delete(Seq(1L).toDF("id"))),
+      "deleteDeferred" -> (() => t.deleteDeferred(Seq(1L).toDF("id"))),
+      "deleteDeferredWhere" -> (() =>
+        t.deleteDeferredWhere(col("id") === 1L)),
+      "mergeEpoch" -> (() => t.mergeEpoch(
+        Seq((1L, "x", 0L)).toDF("id", "msg", "shard"), 0L)),
+      "replaceAllEpoch" -> (() => t.replaceAllEpoch(
+        Seq((1L, "x", 0L)).toDF("id", "msg", "shard"), 0L)),
+      "readRange" -> (() => t.readRange(1L, 5L)))
+    keyed.foreach { case (name, f) =>
+      withClue(s"$name: ") {
+        val e = intercept[IllegalArgumentException](f())
+        e.getMessage should include("append-log")
+      }
+    }
+    // and create() itself refuses an empty key
+    intercept[IllegalArgumentException] {
+      Lake.create(spark, Lake.freshRoot(),
+        Seq((1L, "x")).toDF("id", "msg"), "", 1)
+    }.getMessage should include("createAppendLog")
+  }
+
+  test("append-log: predicate COW delete rewrites only hit files") {
+    val t = mkAppendLog() // shard-clustered: 3 files over shard 0..6
+    val before = t.manifest(t.latestVersion).files.map(_.path)
+    // shard = 6 lives in the last shard-range file only
+    val s = t.deleteWhere(col("shard") === 6L)
+    s.rewrittenFiles shouldBe 1
+    s.keptFiles shouldBe 2
+    val after = t.manifest(t.latestVersion).files.map(_.path)
+    after.intersect(before) should have size 2 // untouched files carried
+    t.read().filter(col("shard") === 6L).count() shouldBe 0L
+    t.read().count() shouldBe 60L - 8L // ids 6,13,...,55: 8 rows
+    // a predicate hitting nothing commits nothing
+    val v = t.latestVersion
+    t.deleteWhere(col("shard") === 99L).version shouldBe v
+    // time travel still serves the pre-delete snapshot
+    t.snapshot(0).count() shouldBe 60L
+  }
+
+  test("append-log: predicate COW update; compaction and layout verbs work") {
+    val t = mkAppendLog()
+    val s = t.update(col("shard") === 3L, Seq("msg" -> lit("UPD")))
+    s.rewrittenFiles should be >= 1
+    t.read().filter(col("msg") === "UPD").count() shouldBe
+      t.read().filter(col("shard") === 3L).count()
+    // full compact re-clusters on the leading stats column
+    t.compact(2)
+    t.read().count() shouldBe 60L
+    // binpack and explicit-column layout verbs run too
+    t.insertAll(Seq((100L, "tail", 1L)).toDF("id", "msg", "shard"))
+    t.compactBinPack(minRows = 5)
+    t.compactSortBy(2, "id")
+    t.read().count() shouldBe 61L
+    // shard stats still prune: detail shows stats_cols, files carry bounds
+    val m = t.manifest(t.latestVersion)
+    m.files.foreach(f => f.cols.keySet should contain("shard"))
+  }
+
+  test("append-log: racing appends splice via rebase, no replay needed") {
+    val t = mkAppendLog()
+    var raced = false
+    t.onBeforeCommit = () => {
+      if (!raced) {
+        raced = true
+        // a REAL concurrent append through a second handle wins version 1
+        new graft.sources.LakeTable(spark, t.root)
+          .insertAll(Seq((200L, "racer", 0L)).toDF("id", "msg", "shard"))
+      }
+    }
+    try {
+      // plain insertAll (no retry wrapper): the lost race must REBASE —
+      // a keyless append conflicts with nothing — not throw
+      val s = t.insertAll(Seq((300L, "ours", 1L)).toDF("id", "msg", "shard"))
+      s.version shouldBe 2
+    } finally t.onBeforeCommit = () => ()
+    t.read().count() shouldBe 62L
+    t.read().filter(col("id") isin (200L, 300L)).count() shouldBe 2L
+  }
+
+  test("append-log: change feed streams appends, content-diffs rewrites") {
+    val t = mkAppendLog() // v0
+    t.insertAll(Seq((100L, "a", 1L), (100L, "a", 1L))
+      .toDF("id", "msg", "shard")) // v1: duplicate append
+    t.deleteWhere(col("shard") === 2L) // v2: COW rewrite
+    t.compact(1) // v3: layout only — rows identical
+    val v1 = t.changes(0, 1)
+    v1.filter(col("_change_type") === "insert").count() shouldBe 2L
+    v1.count() shouldBe 2L
+    val v2 = t.changes(1, 2)
+    v2.filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted shouldBe
+      (1L to 60L).filter(_ % 7 == 2).toArray
+    v2.filter(col("_change_type") === "insert").count() shouldBe 0L
+    // byte-identical rewrite: the multiset diff cancels to nothing
+    t.changes(2, 3).count() shouldBe 0L
+    // and a multi-copy delta nets to the occurrence-count change
+    t.deleteWhere(col("id") === 100L) // removes BOTH copies
+    t.changes(3, 4).filter(col("_change_type") === "delete")
+      .count() shouldBe 2L
+  }
 }

@@ -1017,4 +1017,45 @@ class LakeSqlDmlSpec extends SparkTestBase {
         Seq(Seq("X"))
     }
   }
+
+  test("APPEND LOG tables: full SQL lifecycle; MERGE refuses with guidance") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val root = Lake.freshRoot()
+      (1L to 40L).map(i => (i, s"e$i", i % 5)).toDF("id", "msg", "shard")
+        .createOrReplaceTempView("applog_src")
+      // keyless CTAS
+      s.sql(s"""CREATE TABLE graft_lake('$root') APPEND LOG FILES 2
+               |STATS (shard) AS SELECT * FROM applog_src""".stripMargin)
+        .collect()
+      val t = new graft.sources.LakeTable(s, root)
+      t.manifest(0).keyCol shouldBe ""
+      // INSERT INTO appends blind — re-inserting existing rows is fine
+      s.sql(s"""INSERT INTO graft_lake('$root')
+               |SELECT * FROM applog_src WHERE id <= 5""".stripMargin).collect()
+      t.read().count() shouldBe 45L
+      // predicate DML
+      s.sql(s"DELETE FROM graft_lake('$root') WHERE shard = 4").collect()
+      t.read().filter(col("shard") === 4L).count() shouldBe 0L
+      s.sql(s"""UPDATE graft_lake('$root') SET msg = 'U'
+               |WHERE shard = 0""".stripMargin).collect()
+      t.read().filter(col("msg") === "U").count() shouldBe
+        t.read().filter(col("shard") === 0L).count()
+      // maintenance verbs
+      s.sql(s"OPTIMIZE graft_lake('$root') BINPACK 1000").collect()
+      s.sql(s"VACUUM graft_lake('$root') RETAIN 10 VERSIONS").collect()
+      // keyed-only SQL refuses with the append-log message
+      val e = intercept[Exception] {
+        s.sql(s"""MERGE INTO graft_lake('$root') AS t
+                 |USING applog_src AS s ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+      }
+      e.getMessage should include("append-log")
+      val e2 = intercept[Exception] {
+        s.sql(s"DELETE DEFERRED FROM graft_lake('$root') WHERE shard = 1")
+          .collect()
+      }
+      e2.getMessage should include("append-log")
+    }
+  }
 }

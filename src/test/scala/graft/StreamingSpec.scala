@@ -586,6 +586,47 @@ class StreamingSpec extends SparkTestBase {
     offers should be > table.latestVersion
   }
 
+  test("keyless append-log: change feed streams appends and COW deletes") {
+    // the admission machinery is key-agnostic: pure-append commits split
+    // file-wise under caps, and a keyless COW delete commit delivers its
+    // content-diff delete events with correct attribution
+    val base = (1L to 30L).map(i => (i, i % 3)).toDF("id", "shard")
+    val table = graft.sources.Lake.createAppendLog(spark,
+      graft.sources.Lake.freshRoot(), base, 2) // v0
+    spark.conf.set("spark.graft.lake.targetFileRows", "10")
+    try {
+      table.insertAll((31L to 60L).map(i => (i, i % 3)).toDF("id", "shard")) // v1
+    } finally spark.conf.unset("spark.graft.lake.targetFileRows")
+    table.deleteWhere(col("shard") === 1L) // v2: rewrite
+    def drain(params: Map[String, String]): (Int, Seq[(Long, String, Int)]) = {
+      val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+        params ++ Map("path" -> table.root, "startingVersion" -> "1"))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+      var prev: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+      var offers = 0
+      var cur = src.getOffset
+      while (cur.isDefined && offers < 100) {
+        val b = org.apache.spark.sql.graft.StreamBridge
+          .rewrapSourceBatch(src.getBatch(prev, cur.get))
+        out ++= b.select("id", "_change_type", "_commit_version").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        prev = cur
+        cur = src.getOffset
+        offers += 1
+      }
+      (offers, out.toSeq.sorted)
+    }
+    val (_, events) = drain(Map.empty)
+    events.filter(_._2 == "insert").map(_._1) shouldBe (31L to 60L)
+    events.filter(_._2 == "delete").map(_._1).sorted shouldBe
+      (1L to 60L).filter(_ % 3 == 1)
+    all(events.filter(_._2 == "delete").map(_._3)) shouldBe 2
+    // capped: the v1 bulk append splits file-wise, same total feed
+    val (offers, capped) = drain(Map("maxRowsPerTrigger" -> "10"))
+    capped shouldBe events
+    offers should be >= 3
+  }
+
   test("a stacked deferred-delete backlog drains bounded under the row cap") {
     // delete-only commits add no files, but their feed emits one delete
     // event per tombstoned key — admission must cost them by their
