@@ -89,6 +89,13 @@ object Lake {
     * cleanup at JVM exit — every query invocation builds its own lake, so
     * a regenerated corpus can never serve stale table state (the staged-
     * media-cache lesson). */
+  /** The hive-partition column names a data file's relative subpath
+    * encodes, in directory order — the file's LAYOUT-ERA signature under
+    * partition-spec evolution (empty for flat files). */
+  private[sources] def hiveSig(path: String): Seq[String] =
+    path.split('/').dropRight(1).toSeq
+      .filter(_.contains('=')).map(_.takeWhile(_ != '='))
+
   private[graft] def freshRoot(): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-lake")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
@@ -119,6 +126,30 @@ object Lake {
         .withColumn("o_orderpriority", lit("9-INSERTED")))
     t.merge(updates)
     t.read().groupBy("o_orderpriority").agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Gated lane: METADATA-ONLY partition-spec evolution. Create orders
+    * partitioned by o_orderstatus, evolve the spec to o_orderpriority
+    * (zero data movement — the commit touches no files), append a
+    * re-keyed batch under the NEW layout, then MERGE an update that
+    * rewrites OLD-era files under the new spec. The final aggregate
+    * filters on the OLD partition column across all three file eras —
+    * old files answer from hive directories, new files from data bytes.
+    * The oracle replays the same row algebra on the raw table. */
+  def lakePartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val t = create(spark, freshRoot(), o, "o_orderkey", 4,
+      partitionBy = Seq("o_orderstatus"))
+    t.alterPartitioning(Seq("o_orderpriority"))
+    t.insertAll(o.filter(col("o_orderkey") % 100 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+    t.merge(o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderpriority", lit("0-UPDATED")))
+    t.read().filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("o_orderkey").cast("long").as("sum_keys"))
       .orderBy("o_orderpriority")
   }
 
@@ -1021,6 +1052,7 @@ object Lake {
     "lake_partition_pruning" -> (lakePartitionPruning _),
     "lake_merge_cow" -> (lakeMergeCow _),
     "lake_keyless" -> (lakeKeyless _),
+    "lake_partition_evolution" -> (lakePartitionEvolution _),
     "lake_delete_erasure" -> (lakeDeleteErasure _),
     "lake_cdc_changes" -> (lakeCdcChanges _),
     "lake_mv_incremental" -> (lakeMvIncremental _),
@@ -1368,6 +1400,21 @@ object Lake {
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
         |            AS DOUBLE) AS sum_price
         |FROM merged WHERE o_orderkey % 100 <> 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_partition_evolution" ->
+      """WITH u AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 100 = 0 THEN '0-UPDATED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_orderpriority, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 100 = 1)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM u WHERE o_orderstatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_keyless" ->
@@ -1974,17 +2021,46 @@ class LakeTable(spark: SparkSession, val root: String) {
   private def readFiles(m: Manifest, entries: Seq[FileEntry],
                         schema: Option[org.apache.spark.sql.types.StructType] = None)
       : DataFrame = {
-    var r = spark.read
-    // the manifest's stored schema (when present) replaces the footer-
-    // merging pass AND carries type widening: files written before an
-    // INT→LONG / FLOAT→DOUBLE evolution read back promoted in place
-    r = schema.orElse(
-        m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)) match {
-      case Some(s) => r.schema(s)
-      case None => r.option("mergeSchema", "true")
+    val target = schema.orElse(
+      m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL))
+    def readGroup(fsq: Seq[FileEntry]): DataFrame = {
+      var r = spark.read
+      // the manifest's stored schema (when present) replaces the footer-
+      // merging pass AND carries type widening: files written before an
+      // INT→LONG / FLOAT→DOUBLE evolution read back promoted in place
+      r = target match {
+        case Some(s) => r.schema(s)
+        case None => r.option("mergeSchema", "true")
+      }
+      // hive recovery when the group's files sit in partition dirs —
+      // under the CURRENT spec or a pre-evolution era's (a snapshot
+      // evolved AWAY from partitioning still holds files whose values
+      // live only in the path). NOT unconditional: a shallow clone's
+      // entries resolve OUTSIDE this root's data dir, where a stray
+      // basePath makes Spark's file index refuse the read
+      if (m.partitionCols.nonEmpty ||
+          fsq.exists(f => Lake.hiveSig(f.path).nonEmpty))
+        r = r.option("basePath", dataDir.toString)
+      r.parquet(fsq.map(f => new Path(rootPath, f.path).toString): _*)
     }
-    if (m.partitionCols.nonEmpty) r = r.option("basePath", dataDir.toString)
-    r.parquet(entries.map(f => new Path(rootPath, f.path).toString): _*)
+    // PARTITION-SPEC EVOLUTION leaves files from different layout eras in
+    // one snapshot. Hive recovery needs one CONSISTENT directory
+    // signature per scan, so files group by the columns their subpath
+    // encodes and each era scans separately; the explicit stored schema
+    // makes every group resolve every logical column (a column a group's
+    // paths don't encode is IN its file bytes — it was an ordinary data
+    // column when those files were written) in the same order, so the
+    // union is shape-stable. Single-era snapshots (the overwhelmingly
+    // common case) keep the one-scan fast path.
+    val bySig = entries.groupBy(f => Lake.hiveSig(f.path))
+    if (bySig.size <= 1) readGroup(entries)
+    else {
+      require(target.isDefined,
+        "mixed partition layouts need a recorded table schema")
+      bySig.toSeq.sortBy(_._1.mkString(","))
+        .map { case (_, fsq) => readGroup(fsq) }
+        .reduce(_ unionByName _)
+    }
   }
 
   /** PHYSICAL → LOGICAL projection for a column-mapped snapshot: files
@@ -3767,13 +3843,18 @@ class LakeTable(spark: SparkSession, val root: String) {
     require(narrowed.isEmpty,
       s"insert rows are missing table columns ${narrowed.mkString(", ")}")
     // appended files must not outgrow the recorded schema — widening (and
-    // new columns) belong to MERGE, which evolves the schema in-commit
-    val widenedDdl =
-      Lake.widenSchema(tableSchema, rows.schema, m.partitionCols).toDDL
-    require(widenedDdl == tableSchema.toDDL,
+    // new columns) belong to MERGE, which evolves the schema in-commit.
+    // Compared as FIELD SETS: widenSchema orders partition fields by the
+    // CURRENT spec, which legitimately differs from the stored order
+    // after a partition-spec evolution — order is not evolution
+    def fieldSet(s: org.apache.spark.sql.types.StructType): Seq[String] =
+      s.fields.map(f => s"${f.name.toLowerCase} ${f.dataType.sql}")
+        .sorted.toSeq
+    val widened = Lake.widenSchema(tableSchema, rows.schema, m.partitionCols)
+    require(fieldSet(widened) == fieldSet(tableSchema),
       "insert rows would widen or extend the table schema (" +
-        s"table: ${tableSchema.toDDL}; with rows: $widenedDdl): schema " +
-        "evolution belongs to MERGE")
+        s"table: ${tableSchema.toDDL}; with rows: ${widened.toDDL}): " +
+        "schema evolution belongs to MERGE")
     // key sanity + PK conflict probe — keyed tables only. A KEYLESS
     // append-log admits repeats by definition: the insert is a blind
     // adds-only commit, zero reads of existing data
@@ -4163,6 +4244,55 @@ class LakeTable(spark: SparkSession, val root: String) {
   def alterColumnTypeWithRetry(name: String, typeDdl: String,
                                maxAttempts: Int = 3): MergeStats =
     withRetry(maxAttempts)(alterColumnType(name, typeDdl))
+
+  /** ALTER TABLE … PARTITIONED BY (…) — METADATA-ONLY partition-spec
+    * evolution (the Iceberg idea): the commit records a new layout spec
+    * and touches ZERO data files. Writes from then on land in the new
+    * hive directories; files written under older specs keep their
+    * layout and stay readable ([[readFiles]] groups scans by each
+    * file's directory-era signature) and PRUNABLE — the outgoing
+    * spec's columns fold into `statsCols`, so their per-file bounds
+    * keep skipping old files after they stop being directories, and
+    * the new spec's columns prune old files wherever bounds for them
+    * were already collected. At 100 TB this is the only honest answer
+    * to "the query pattern changed": re-partitioning by rewrite is an
+    * O(table) job nobody runs; evolution is O(1) now and O(new data)
+    * forever. `cols` may be empty — evolve BACK to an unpartitioned
+    * layout. Logical names; the key cannot be a partition column
+    * (same rule as [[Lake.create]]). */
+  def alterPartitioning(cols: Seq[String]): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val physSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      m.schemaDdl.getOrElse(throw new IllegalArgumentException(
+        "ALTER PARTITIONED BY needs a recorded table schema " +
+          "(legacy table: compact once)")))
+    val phys = cols.map { c =>
+      val p = m.columnMap.getOrElse(c, c)
+      require(physSchema.fields.exists(_.name.equalsIgnoreCase(p)),
+        s"partition column '$c' does not exist")
+      require(m.keyCol.isEmpty || !p.equalsIgnoreCase(m.keyCol),
+        "partition column cannot be the merge key")
+      p
+    }
+    require(phys.map(_.toLowerCase).distinct.size == phys.size,
+      "duplicate partition columns")
+    if (phys == m.partitionCols) return MergeStats(v, m.files.size, 0, 0, 0L)
+    // outgoing partition columns keep their per-file stats coverage by
+    // joining the declared stats set — old files prune on them forever
+    val stats2 = (m.statsCols ++ m.partitionCols).distinct
+    commitAndIndex(Delta(v + 1, v, "alter-partitioning", m.keyCol,
+      stats2, phys, full = false, adds = Nil,
+      removes = Nil, tombstoneAdds = Nil, tombstoneRemoves = Nil,
+      schemaDdl = m.schemaDdl, columnMap = m.columnMap,
+      constraints = m.constraints, droppedCols = m.droppedCols),
+      m.files, m.tombstones)
+    MergeStats(v + 1, m.files.size, 0, 0, 0L)
+  }
+
+  def alterPartitioningWithRetry(cols: Seq[String],
+                                 maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(alterPartitioning(cols))
 
   /** RESTORE — roll the table back to `version`'s content AS A NEW
     * COMMIT (never by deleting history): the new manifest re-references

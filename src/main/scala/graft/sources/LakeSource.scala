@@ -152,7 +152,11 @@ class LakeSource extends RelationProvider with DataSourceRegister
     // targets (see class doc). Everything else takes the PROJECTED
     // relation below, which serves the exact API-read semantics.
     if (m.columnMap.nonEmpty || m.tombstones.nonEmpty ||
-        (m.files.isEmpty && m.schemaDdl.nonEmpty))
+        (m.files.isEmpty && m.schemaDdl.nonEmpty) ||
+        // partition-spec evolution: files from several layout eras can't
+        // share one hive-discovered scan — serve the projected relation,
+        // whose inner frame groups scans per era
+        m.files.map(f => Lake.hiveSig(f.path)).distinct.size > 1)
       return new LakeProjectedRelation(sqlContext, root, version)
     require(m.files.nonEmpty,
       s"snapshot v$version is empty with no recorded schema — nothing " +
@@ -164,8 +168,10 @@ class LakeSource extends RelationProvider with DataSourceRegister
       case Some(ddl) => spark.read.schema(StructType.fromDDL(ddl))
       case None => spark.read.option("mergeSchema", "true")
     }
-    // hive-partitioned tables: recover directory values as real columns
-    if (m.partitionCols.nonEmpty)
+    // hive-layout files (current spec, or a single pre-evolution era):
+    // recover directory values as real columns
+    if (m.partitionCols.nonEmpty ||
+        m.files.exists(f => Lake.hiveSig(f.path).nonEmpty))
       reader.option("basePath", new Path(root, "data").toString)
     reader.parquet(paths: _*)
       .queryExecution.analyzed.collectFirst {

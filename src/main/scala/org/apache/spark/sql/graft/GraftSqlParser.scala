@@ -40,6 +40,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * ALTER TABLE graft_lake('<root>') ADD COLUMN <c> <type>
   * ALTER TABLE graft_lake('<root>') ALTER COLUMN <c> TYPE <type>  -- widen
   * ALTER TABLE graft_lake('<root>') DROP COLUMN <a>
+  * ALTER TABLE graft_lake('<root>') PARTITIONED BY (c, ...)  -- spec
+  *                                        -- evolution, metadata-only;
+  *                                        -- () = un-partition
   * ALTER TABLE graft_lake('<root>') ADD CONSTRAINT <n> CHECK (<expr>)
   * ALTER TABLE graft_lake('<root>') DROP CONSTRAINT <n>
   * ANALYZE TABLE graft_lake('<root>') COMPUTE STATISTICS FOR COLUMNS c1, ...
@@ -511,10 +514,16 @@ object GraftSqlParser {
             LakeAlterCommand(root, "add-constraint", n,
               Some(delegate.parseExpression(checkSql).sql))
           }
+        } else if (sc.keyword("PARTITIONED")) {
+          // metadata-only partition-spec evolution; () = un-partition
+          sc.expect("BY")
+          val cols = sc.topLevelSplit(sc.parenBlock())
+          sc.assertEnd()
+          LakeAlterPartitioningCommand(root, cols)
         } else fail("ALTER TABLE graft_lake(…) supports RENAME COLUMN " +
           "a TO b, ADD COLUMN c <type>, ALTER COLUMN c TYPE <type>, " +
-          "DROP COLUMN a, ADD CONSTRAINT n CHECK (expr), and " +
-          "DROP CONSTRAINT n")
+          "DROP COLUMN a, PARTITIONED BY (c, …), ADD CONSTRAINT n " +
+          "CHECK (expr), and DROP CONSTRAINT n")
       }
     } else if (sc.keyword("ANALYZE")) {
       if (!sc.keyword("TABLE")) None
@@ -1091,6 +1100,20 @@ case class LakeAlterCommand(root: String, verb: String, column: String,
       case "drop-constraint" => t.dropConstraintWithRetry(column)
       case other => throw new IllegalStateException(s"unknown alter $other")
     })
+  }
+}
+
+/** `ALTER TABLE graft_lake(…) PARTITIONED BY (c, …)` →
+  * [[graft.sources.LakeTable.alterPartitioning]] — metadata-only
+  * partition-spec evolution: new writes land in the new hive layout,
+  * existing files keep theirs and stay readable/prunable. Empty column
+  * list evolves back to an unpartitioned layout. */
+case class LakeAlterPartitioningCommand(root: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new graft.sources.LakeTable(spark, root)
+    GraftSqlParser.statsRow(t.alterPartitioningWithRetry(cols))
   }
 }
 

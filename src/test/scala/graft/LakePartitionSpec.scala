@@ -346,4 +346,84 @@ class LakePartitionSpec extends SparkTestBase {
     t3.merge(Seq((9L, 0L, "KEPT9")).toDF("k", "p", "payload"))
       .rewrittenFiles shouldBe 1
   }
+
+  test("partition-spec evolution: metadata-only commit, eras coexist") {
+    val df = (1L to 300L).map(k => (k, k % 3, k % 5, s"v$k"))
+      .toDF("k", "p", "q", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 6,
+      partitionBy = Seq("p"))
+    val before = t.manifest(t.latestVersion).files.map(_.path)
+    t.alterPartitioning(Seq("q"))
+    val m1 = t.manifest(t.latestVersion)
+    m1.partitionCols shouldBe Seq("q")
+    m1.statsCols should contain("p") // outgoing spec keeps stats coverage
+    m1.files.map(_.path) shouldBe before // ZERO data movement
+    // new writes land under the NEW spec's directories
+    t.insertAll((301L to 400L).map(k => (k, k % 3, k % 5, s"v$k"))
+      .toDF("k", "p", "q", "payload"))
+    val newPaths = t.manifest(t.latestVersion).files.map(_.path)
+      .filterNot(before.contains)
+    newPaths should not be empty
+    newPaths.foreach { p =>
+      p should include("/q=")
+      p should not include "/p="
+    }
+    // reads are exact across both eras, both columns fully recovered
+    t.read().count() shouldBe 400L
+    rows(t.read().groupBy("p").count().orderBy("p")) shouldBe
+      Seq(Seq(0L, 133L), Seq(1L, 134L), Seq(2L, 133L))
+    t.read().filter(col("q") === 2L).count() shouldBe
+      (1L to 400L).count(_ % 5 == 2)
+    // old-spec partition pruning still fires for old-era files
+    val q1 = t.read().filter(col("p") === 1L)
+    q1.count() shouldBe (1L to 400L).count(_ % 3 == 1)
+    scannedPaths(q1).filter(_.contains("/p="))
+      .foreach(_ should include("/p=1/"))
+    // new-spec pruning fires for new-era files
+    val q2 = t.read().filter(col("q") === 3L)
+    scannedPaths(q2).filter(_.contains("/q="))
+      .foreach(_ should include("/q=3/"))
+    // the format reader serves mixed-era snapshots (projected relation)
+    val fmt = spark.read.format("graft-lake").load(t.root)
+    fmt.count() shouldBe 400L
+    fmt.filter(col("p") === 0L).count() shouldBe
+      (1L to 400L).count(_ % 3 == 0)
+    // a merge across eras rewrites hit files under the CURRENT spec
+    t.merge(Seq((5L, 5L % 3, 5L % 5, "UPD")).toDF("k", "p", "q", "payload"))
+    rows(t.read().filter(col("k") === 5L).select("payload")) shouldBe
+      Seq(Seq("UPD"))
+    t.read().count() shouldBe 400L
+    // time travel keeps the pre-evolution snapshot byte-exact
+    t.snapshot(0).count() shouldBe 300L
+    // evolving BACK to flat: the next full rewrite lands flat files
+    t.alterPartitioning(Nil)
+    t.compact(2)
+    t.manifest(t.latestVersion).files.foreach(
+      _.path should fullyMatch regex "data/part-.*\\.parquet")
+    t.read().count() shouldBe 400L
+    rows(t.read().filter(col("k") === 5L).select("p", "q")) shouldBe
+      Seq(Seq(2L, 0L)) // dir-encoded values survived both evolutions
+    // refusals: unknown column, the merge key, no-op spec commits nothing
+    intercept[IllegalArgumentException](t.alterPartitioning(Seq("nope")))
+    intercept[IllegalArgumentException](t.alterPartitioning(Seq("k")))
+    val v = t.latestVersion
+    t.alterPartitioning(Nil).version shouldBe v
+  }
+
+  test("partition evolution: deletes and the change feed span eras") {
+    val df = (1L to 60L).map(k => (k, k % 2, k % 3)).toDF("k", "a", "b")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 2,
+      partitionBy = Seq("a"))
+    t.alterPartitioning(Seq("b")) // v1
+    t.insertAll((61L to 90L).map(k => (k, k % 2, k % 3)).toDF("k", "a", "b")) // v2
+    // deleteWhere across eras: predicate on a NON-partition-spec column
+    t.deleteWhere(col("a") === 1L) // v3 — hits both eras' files
+    t.read().count() shouldBe (1L to 90L).count(_ % 2 == 0)
+    t.read().filter(col("a") === 1L).count() shouldBe 0L
+    // the feed attributes era-spanning changes correctly
+    val feed = t.changes(2, 3)
+    feed.filter(col("_change_type") === "delete").count() shouldBe
+      (1L to 90L).count(_ % 2 == 1)
+    feed.filter(col("_change_type") === "insert").count() shouldBe 0L
+  }
 }

@@ -1018,6 +1018,34 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("ALTER TABLE PARTITIONED BY: SQL partition-spec evolution") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val t = {
+        val df = (1L to 90L).map(k => (k, k % 3, k % 5))
+          .toDF("k", "a", "b")
+        Lake.create(s, Lake.freshRoot(), df, "k", 2, partitionBy = Seq("a"))
+      }
+      val before = t.manifest(0).files.map(_.path)
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') PARTITIONED BY (b)")
+        .collect()
+      val m = t.manifest(t.latestVersion)
+      m.partitionCols shouldBe Seq("b")
+      m.files.map(_.path) shouldBe before // metadata-only
+      s.sql(s"""INSERT INTO graft_lake('${t.root}')
+               |SELECT id + 100 AS k, id % 3 AS a, id % 5 AS b
+               |FROM range(1, 11)""".stripMargin).collect()
+      t.read().count() shouldBe 100L
+      // inserted rows carry a = id % 3 (ids 1..10), not k % 3
+      t.read().filter(col("a") === 1L).count() shouldBe
+        ((1L to 90L).count(_ % 3 == 1) + (1L to 10L).count(_ % 3 == 1))
+      // un-partition via SQL with an empty column list
+      s.sql(s"ALTER TABLE graft_lake('${t.root}') PARTITIONED BY ()")
+        .collect()
+      t.manifest(t.latestVersion).partitionCols shouldBe empty
+    }
+  }
+
   test("APPEND LOG tables: full SQL lifecycle; MERGE refuses with guidance") {
     withExtendedSession { s =>
       import s.implicits._
