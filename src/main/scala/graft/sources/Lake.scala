@@ -89,6 +89,67 @@ object Lake {
     * cleanup at JVM exit — every query invocation builds its own lake, so
     * a regenerated corpus can never serve stale table state (the staged-
     * media-cache lesson). */
+  /** Operational introspection of a RUNNING (or stopped) change-feed
+    * stream from its checkpoint source-metadata dir (`<checkpoint>/
+    * sources/0`) — the SQL surface is `graft_lake_stream_detail(root,
+    * metadataPath)`. Reports the pinned start version, the admission
+    * high-water mark, and — the schema-drift signal — whether the
+    * stream's PINNED data schema has fallen behind the table's current
+    * one (mid-stream ADD COLUMN / type widening / rename / drop), which
+    * the feed by contract does not adopt until restart. Metadata-only:
+    * reads three tiny markers plus the latest manifest. Checkpoints
+    * created before schema pinning report `stream_schema_behind` null
+    * (unknown). */
+  def streamDetail(spark: SparkSession, root: String,
+                   metadataPath: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val mp = new Path(metadataPath)
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def marker(name: String): Option[String] = {
+      val p = new Path(mp, name)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    }
+    val t = new LakeTable(spark, root)
+    val m = t.manifest(t.latestVersion)
+    val rev = m.columnMap.map(_.swap)
+    val current: Map[String, String] = m.schemaDdl
+      .map(d => StructType.fromDDL(d).fields
+        .map(f => rev.getOrElse(f.name, f.name) -> f.dataType.sql).toMap)
+      .getOrElse(Map.empty)
+    val pinned = marker("graft-schema")
+    val (behind, detail) = pinned match {
+      case None => (None, "") // pre-pinning checkpoint: unknown
+      case Some(ddl) =>
+        val p = StructType.fromDDL(ddl).fields
+          .map(f => f.name -> f.dataType.sql).toMap
+        val added = current.keySet.diff(p.keySet).toSeq.sorted
+        val gone = p.keySet.diff(current.keySet).toSeq.sorted
+        val changed = p.keySet.intersect(current.keySet)
+          .filter(n => p(n) != current(n)).toSeq.sorted
+        val parts = Seq(
+          if (added.nonEmpty) Some(s"added: ${added.mkString(",")}") else None,
+          if (gone.nonEmpty) Some(s"removed/renamed: ${gone.mkString(",")}")
+          else None,
+          if (changed.nonEmpty) Some(s"retyped: ${changed.mkString(",")}")
+          else None).flatten
+        (Some(parts.nonEmpty), parts.mkString("; "))
+    }
+    spark.createDataFrame(Seq((
+      marker("graft-start").map(_.toInt).getOrElse(-1),
+      marker("graft-committed").getOrElse(""),
+      t.latestVersion,
+      behind.map(java.lang.Boolean.valueOf).orNull: java.lang.Boolean,
+      detail)))
+      .toDF("start_version", "high_water_offset", "table_version",
+        "stream_schema_behind", "behind_detail")
+  }
+
   /** The hive-partition column names a data file's relative subpath
     * encodes, in directory order — the file's LAYOUT-ERA signature under
     * partition-spec evolution (empty for flat files). */
@@ -811,12 +872,27 @@ object Lake {
     val t = create(spark, freshRoot(), o, "o_orderkey", 8)
     spark.sql(s"ANALYZE TABLE graft_lake('${t.root}') " +
       "COMPUTE STATISTICS FOR COLUMNS o_custkey, o_orderpriority").collect()
-    t.read()
+    val full = t.read()
       .filter(col("o_custkey") <= 300L)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_orderkey")).as("sum_keys"))
-      .orderBy("o_orderpriority")
+      .withColumn("phase", lit("analyzed"))
+    // scoped phase: retrofit o_totalprice stats for ONLY the files whose
+    // key range can hold keys < 1500 (the ANALYZE … WHERE shape — after
+    // a scoped OPTIMIZE, re-stat exactly the selected subset); the
+    // answer is stats-independent, the scan is prunable where covered
+    spark.sql(s"ANALYZE TABLE graft_lake('${t.root}') COMPUTE STATISTICS " +
+      "FOR COLUMNS o_totalprice WHERE o_orderkey < 1500").collect()
+    val scoped = t.read()
+      .filter(col("o_orderkey") < 1500L && col("o_totalprice") < 100000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"))
+      .withColumn("phase", lit("scoped"))
+    full.unionByName(scoped)
+      .select("phase", "o_orderpriority", "n_orders", "sum_keys")
+      .orderBy("phase", "o_orderpriority")
   }
 
   /** Gated lane: BLOOM FILTER indexes — point-lookup skipping for the
@@ -1141,10 +1217,17 @@ object Lake {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_analyze" ->
-      """SELECT o_orderpriority, count(*) AS n_orders,
-        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
-        |FROM orders WHERE o_custkey <= 300
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT phase, o_orderpriority, n_orders, sum_keys FROM (
+        |  SELECT 'analyzed' AS phase, o_orderpriority,
+        |         count(*) AS n_orders,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |  FROM orders WHERE o_custkey <= 300 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'scoped', o_orderpriority, count(*),
+        |         CAST(sum(o_orderkey) AS BIGINT)
+        |  FROM orders WHERE o_orderkey < 1500 AND o_totalprice < 100000
+        |  GROUP BY 2
+        |) ORDER BY 1, 2""".stripMargin,
 
     "lake_bloom_pruning" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
@@ -2197,13 +2280,34 @@ class LakeTable(spark: SparkSession, val root: String) {
     * as a FULL (anchor) delta: its adds ARE the state, metadata
     * proportional to the file count — the honest cost of touching every
     * entry's stats. */
-  def analyzeColumns(cols: Seq[String]): MergeStats = {
+  def analyzeColumns(cols: Seq[String],
+                     where: Option[org.apache.spark.sql.Column] = None)
+      : MergeStats = {
     require(cols.nonEmpty, "ANALYZE needs at least one column")
     val v = latestVersion
     val m = manifest(v)
     if (m.files.isEmpty) return MergeStats(v, 0, 0, 0, 0L)
     val physCols = cols.map(c => m.columnMap.getOrElse(c, c)).distinct
-    val data = readFiles(m, m.files)
+    // ANALYZE … WHERE: retrofit stats for ONLY the files that can hold
+    // matching rows — O(selected), the partner of predicate-scoped
+    // OPTIMIZE (re-cluster yesterday's partition, then re-stat exactly
+    // it). Selection mirrors the scoped-compaction probe; unselected
+    // files keep whatever coverage they had (absent stats only cost
+    // pruning, never correctness)
+    val selected = where match {
+      case None => m.files
+      case Some(cond) if m.keyCol.nonEmpty =>
+        val probeColsL = (m.keyCol +: m.partitionCols).map(logicalName(m, _))
+        val keys = toPhysical(m,
+          read().filter(cond).select(probeColsL.map(col): _*))
+        val hitIdx = hitFileIndexes(m, keys)
+        m.files.zipWithIndex.collect { case (f, i) if hitIdx(i) => f }
+      case Some(cond) =>
+        val hitNames = hitFilesByScan(m, cond)
+        m.files.filter(f => hitNames.contains(new Path(f.path).getName))
+    }
+    if (selected.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
+    val data = readFiles(m, selected)
     physCols.foreach(c => require(data.columns.contains(c),
       s"ANALYZE of unknown column '$c'"))
     import org.apache.spark.sql.types.StringType
@@ -2262,8 +2366,10 @@ class LakeTable(spark: SparkSession, val root: String) {
   }
 
   def analyzeColumnsWithRetry(cols: Seq[String],
-                              maxAttempts: Int = 3): MergeStats =
-    withRetry(maxAttempts)(analyzeColumns(cols))
+                              maxAttempts: Int = 3,
+                              where: Option[org.apache.spark.sql.Column] = None)
+      : MergeStats =
+    withRetry(maxAttempts)(analyzeColumns(cols, where))
 
   /** ALTER TABLE … ADD CONSTRAINT — a named CHECK expression (LOGICAL
     * column names) every future write enforces per row, in the write

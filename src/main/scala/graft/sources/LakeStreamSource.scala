@@ -84,7 +84,8 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   * the configured batch budget at once. */
 class LakeChangeFeedSource(sqlContext: SQLContext,
                            parameters: Map[String, String],
-                           metadataPath: Option[String] = None) extends Source {
+                           metadataPath: Option[String] = None)
+    extends Source with org.apache.spark.internal.Logging {
 
   private val spark: SparkSession = sqlContext.sparkSession
   private val root = parameters.getOrElse("path",
@@ -228,6 +229,66 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
       .toMap
   }
 
+  // pin the stream's DATA schema next to the starting options: the
+  // operational surface (graft_lake_stream_detail / Lake.streamDetail)
+  // compares it against the table's CURRENT schema to answer "is this
+  // stream's pinned shape behind the table?" without touching the source
+  locally {
+    val dataDdl = StructType(schema.fields.filterNot(f =>
+      f.name == "_change_type" || f.name == "_commit_version")).toDDL
+    if (readMarker("graft-schema").isEmpty)
+      writeMarker("graft-schema", dataDdl, overwrite = false)
+  }
+
+  /** Versions whose span revealed SCHEMA DRIFT beyond the pinned stream
+    * schema, with a description — populated by [[aligned]], logged
+    * loudly ONCE per version, and exposed for specs/operators. The feed
+    * itself stays on the pinned shape by contract (restart to adopt);
+    * this is the operational signal that a restart is due. */
+  @volatile private[graft] var driftDetected: Map[Int, String] = Map.empty
+
+  /** The table version the stream's schema was pinned AT (this
+    * construction — a restart re-pins from the then-current latest).
+    * Spans at or below it are history replaying under an evolved pin,
+    * not drift. */
+  private val pinVersion = table.latestVersion
+
+  private def noteDrift(v: Int, mv: Lake.Manifest): Unit = {
+    if (v <= pinVersion || driftDetected.contains(v)) return
+    val spanFields = mv.schemaDdl
+      .map(d => StructType.fromDDL(d).fields.toSeq).getOrElse(Nil)
+    val fixedTypes = schema.fields.map(f => f.name -> f.dataType).toMap
+    val rev = mv.columnMap.map(_.swap)
+    val added = spanFields.filterNot(f => fixedByPhysical.contains(f.name))
+      .map(f => rev.getOrElse(f.name, f.name))
+    val spanByPhys = spanFields.map(f => f.name -> f.dataType).toMap
+    val dropped = fixedByPhysical.collect {
+      case (p, n) if !spanByPhys.contains(p) => n }.toSeq
+    val widened = fixedByPhysical.collect {
+      case (p, n) if spanByPhys.get(p).exists(dt =>
+        fixedTypes.get(n).exists(_ != dt)) => n }.toSeq
+    if (added.nonEmpty || dropped.nonEmpty || widened.nonEmpty) {
+      val parts = Seq(
+        if (added.nonEmpty)
+          Some(s"columns added after stream start (not emitted): " +
+            added.mkString(", "))
+        else None,
+        if (dropped.nonEmpty)
+          Some(s"columns dropped after stream start (feeding null): " +
+            dropped.mkString(", "))
+        else None,
+        if (widened.nonEmpty)
+          Some(s"columns type-widened after stream start (out-of-range " +
+            s"values feed null): " + widened.mkString(", "))
+        else None).flatten
+      val msg = parts.mkString("; ")
+      driftDetected += v -> msg
+      logWarning(s"graft-lake stream at $root: pinned schema is BEHIND " +
+        s"the table schema from version $v — $msg. Restart the stream " +
+        "on the same checkpoint to adopt the evolved shape.")
+    }
+  }
+
   private def decode(o: Offset): Pos = o match {
     case LongOffset(v) => Pos(v.toInt, COMPLETE)
     case other => decodeStr(other.json.trim)
@@ -358,6 +419,7 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     * null, exactly as the class doc promises. */
   private def aligned(f: DataFrame, v: Int): DataFrame = {
     val mv = table.manifest(v)
+    noteDrift(v, mv)
     val byFixedName: Map[String, String] = f.columns.iterator.flatMap { c =>
       if (c == "_change_type") Some(c -> c)
       else fixedByPhysical.get(mv.columnMap.getOrElse(c, c)).map(_ -> c)

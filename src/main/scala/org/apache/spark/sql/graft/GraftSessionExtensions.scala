@@ -129,6 +129,19 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           .getOrElse(t.latestVersion)
         t.detailDf(v).queryExecution.analyzed
       }))
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_lake_stream_detail"),
+      new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,
+        "graft_lake_stream_detail"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_lake_stream_detail takes (rootPath, sourceMetadataPath)")
+        val spark = SparkSession.active
+        graft.sources.Lake.streamDetail(spark,
+          strArg("graft_lake_stream_detail")(children.head),
+          strArg("graft_lake_stream_detail")(children(1)))
+          .queryExecution.analyzed
+      }))
     // Whole-operator extension tier: the native AS-OF join's planner
     // strategy (logical node AsOfJoinPlan → physical AsOfJoinExec) and the
     // optimizer rule restoring predicate pushdown through the custom node.

@@ -46,6 +46,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * ALTER TABLE graft_lake('<root>') ADD CONSTRAINT <n> CHECK (<expr>)
   * ALTER TABLE graft_lake('<root>') DROP CONSTRAINT <n>
   * ANALYZE TABLE graft_lake('<root>') COMPUTE STATISTICS FOR COLUMNS c1, ...
+  *   [WHERE <cond>]                     -- scoped: re-stat O(selected)
   * ANALYZE TABLE graft_lake('<root>') COMPUTE BLOOM [FILTER] [BITS <n>]
   *   FOR COLUMNS c1, ...
   * VACUUM graft_lake('<root>') RETAIN <n> VERSIONS [DRY RUN]
@@ -541,9 +542,15 @@ object GraftSqlParser {
           sc.expect("STATISTICS")
           sc.expect("FOR")
           sc.expect("COLUMNS")
-          val cols = sc.topLevelSplit(sc.restStmt())
+          val cols = sc.topLevelSplit(sc.until(Seq("WHERE")))
           if (cols.isEmpty) fail("ANALYZE needs at least one column")
-          LakeAnalyzeCommand(root, cols)
+          val whereSql =
+            if (sc.keyword("WHERE")) {
+              val w = sc.restStmt()
+              if (w.isEmpty) fail("ANALYZE … WHERE needs a predicate")
+              Some(w)
+            } else { sc.assertEnd(); None }
+          LakeAnalyzeCommand(root, cols, whereSql)
         }
       }
     } else if (sc.keyword("OPTIMIZE")) {
@@ -1117,15 +1124,20 @@ case class LakeAlterPartitioningCommand(root: String, cols: Seq[String])
   }
 }
 
-/** `ANALYZE TABLE graft_lake(…) COMPUTE STATISTICS FOR COLUMNS c1, …` →
-  * [[graft.sources.LakeTable.analyzeColumns]] — retrofit per-file
-  * min/max/null statistics without moving data. */
-case class LakeAnalyzeCommand(root: String, cols: Seq[String])
+/** `ANALYZE TABLE graft_lake(…) COMPUTE STATISTICS FOR COLUMNS c1, …
+  * [WHERE <cond>]` → [[graft.sources.LakeTable.analyzeColumns]] —
+  * retrofit per-file min/max/null statistics without moving data; with
+  * WHERE, for only the files that can hold matching rows (O(selected) —
+  * the partner of predicate-scoped OPTIMIZE). */
+case class LakeAnalyzeCommand(root: String, cols: Seq[String],
+                              whereSql: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
   override def run(spark: SparkSession): Seq[Row] = {
+    import GraftSqlParser.exprCol
     val t = new graft.sources.LakeTable(spark, root)
-    GraftSqlParser.statsRow(t.analyzeColumnsWithRetry(cols))
+    GraftSqlParser.statsRow(
+      t.analyzeColumnsWithRetry(cols, where = whereSql.map(exprCol)))
   }
 }
 

@@ -603,6 +603,36 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("ANALYZE ... WHERE: scoped retrofit covers only selected files") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val df = (1L to 90L).map(k => (k, k * 2, s"v$k")).toDF("k", "v", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 3) // key files 1-30/31-60/61-90
+      // scope to the first file's key range: only it gets v-bounds
+      s.sql(s"ANALYZE TABLE graft_lake('${t.root}') " +
+        "COMPUTE STATISTICS FOR COLUMNS v WHERE k <= 30").collect()
+      val m = t.manifest(t.latestVersion)
+      m.statsCols should contain("v")
+      val covered = m.files.filter(_.cols.keySet.contains("v"))
+      covered should have size 1
+      covered.head.minKey shouldBe 1L
+      // pruning on the covered subset fires; uncovered files stay
+      // conservative (scanned, never skipped — correctness over I/O)
+      def scanned(q: org.apache.spark.sql.DataFrame): Long =
+        q.select(input_file_name()).distinct().count()
+      scanned(t.read().filter(col("v") <= 20L)) shouldBe 1L
+      t.read().filter(col("v") <= 20L).count() shouldBe 10L
+      // a v-range that lives ONLY in uncovered files still answers right
+      t.read().filter(col("v") > 130L).count() shouldBe 25L
+      // content untouched; a predicate selecting nothing commits nothing
+      t.read().count() shouldBe 90L
+      val v0 = t.latestVersion
+      s.sql(s"ANALYZE TABLE graft_lake('${t.root}') " +
+        "COMPUTE STATISTICS FOR COLUMNS payload WHERE k > 1000").collect()
+      t.latestVersion shouldBe v0
+    }
+  }
+
   test("graft_lake_detail + VACUUM OLDER THAN: admin surface by wall clock") {
     withExtendedSession { s =>
       val t = mkTable(s) // v0: 90 rows, 3 files

@@ -586,6 +586,48 @@ class StreamingSpec extends SparkTestBase {
     offers should be > table.latestVersion
   }
 
+  test("schema-drift signal: fires on mid-stream evolution, else silent") {
+    val base = Seq((1L, "v1")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0
+    val metaDir = java.nio.file.Files
+      .createTempDirectory("graft-drift-ckpt").toString
+    val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> table.root, "startingVersion" -> "1"), Some(metaDir))
+    def drainOnce(): Unit = src.getOffset.foreach { o =>
+      org.apache.spark.sql.graft.StreamBridge
+        .rewrapSourceBatch(src.getBatch(None, o)).collect()
+    }
+    // ordinary commits: NO signal
+    table.merge(Seq((2L, "v2")).toDF("k", "payload")) // v1
+    drainOnce()
+    src.driftDetected shouldBe empty
+    // mid-stream ADD COLUMN: the signal fires once for the span
+    table.addColumn("score", "double") // v2
+    table.merge(Seq((3L, "v3", 0.5)).toDF("k", "payload", "score")) // v3
+    drainOnce()
+    src.driftDetected should not be empty
+    src.driftDetected.values.foreach(_ should include("score"))
+    // the operational surface reports the stream as behind
+    val d = graft.sources.Lake.streamDetail(spark, table.root, metaDir)
+      .collect()(0)
+    d.getAs[Boolean]("stream_schema_behind") shouldBe true
+    d.getAs[String]("behind_detail") should include("score")
+    // a FRESH stream started after the evolution pins the new shape:
+    // no drift, not behind
+    val meta2 = java.nio.file.Files
+      .createTempDirectory("graft-drift-ckpt2").toString
+    val src2 = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> table.root, "startingVersion" -> "1"), Some(meta2))
+    src2.getOffset.foreach { o =>
+      org.apache.spark.sql.graft.StreamBridge
+        .rewrapSourceBatch(src2.getBatch(None, o)).collect()
+    }
+    src2.driftDetected shouldBe empty
+    graft.sources.Lake.streamDetail(spark, table.root, meta2)
+      .collect()(0).getAs[Boolean]("stream_schema_behind") shouldBe false
+  }
+
   test("keyless append-log: change feed streams appends and COW deletes") {
     // the admission machinery is key-agnostic: pure-append commits split
     // file-wise under caps, and a keyless COW delete commit delivers its
