@@ -365,6 +365,23 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental corpus build equals the full recompute at EVERY split") {
+    import graft.extensions.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val full = TextAnalysis.pipelineCorpusBuild(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // including the near-degenerate boundaries: a tiny base with almost
+    // everything arriving, and a full base with a tiny arrival — cluster
+    // contraction, relabeling, and the state merge must be exact at all
+    // of them (doc_ids run 0..499)
+    Seq(5L, 150L, 300L, 490L).foreach { split =>
+      withClue(s"split=$split: ") {
+        TextAnalysis.pipelineCorpusBuildIncrementalAt(spark, dir, split)
+          .collect().map(_.toSeq).toSeq shouldBe full
+      }
+    }
+  }
+
   test("cluster split: every near-dup cluster lands whole in one split (no leakage)") {
     import graft.extensions.TextAnalysis
     val out = TextAnalysis.textClusterSplit(spark, "/root/testdata/sf0.001")
