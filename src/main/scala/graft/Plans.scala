@@ -89,7 +89,9 @@ object Plans {
       "lake_date_pruning", "lake_partition_pruning",
       "lake_string_pruning", "lake_merge_conditional",
       "lake_mor_changes", "lake_merge_nmbs_update", "lake_constraints",
-      "lake_sink_aggregate", "text_mix_corpus", "text_pii_redact")
+      "lake_sink_aggregate", "text_mix_corpus", "text_pii_redact",
+      "lake_keyless", "lake_partition_evolution",
+      "pipeline_corpus_build_incremental")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `runMain graft.Plans`)\n\n")

@@ -106,6 +106,21 @@ class LakeBloomSpec extends SparkTestBase {
       rows(q4.select("k")) shouldBe Seq(Seq(5L))
       t.detailDf().collect()(0).getAs[String]("bloom_coverage") should
         include("v:3/3")
+      // the INCREMENTAL maintenance verbs re-bloom their rewrites too:
+      // BINPACK's folded output and OPTIMIZE … WHERE's scoped rewrite
+      // keep full coverage without any manual re-ANALYZE
+      t.insertAll(Seq((2000L, 901L, "bp")).toDF("k", "v", "tag"))
+      t.compactBinPack(minRows = 5)
+      val nBp = t.manifest(t.latestVersion).files.size
+      t.detailDf().collect()(0).getAs[String]("bloom_coverage") should
+        include(s"v:$nBp/$nBp")
+      t.compactWhere(col("k") <= 50L)
+      val nCw = t.manifest(t.latestVersion).files.size
+      t.detailDf().collect()(0).getAs[String]("bloom_coverage") should
+        include(s"v:$nCw/$nCw")
+      val q5 = t.read().filter(col("v") === 901L)
+      scannedFiles(q5).size shouldBe 1
+      rows(q5.select("k")) shouldBe Seq(Seq(2000L))
     }
   }
 
