@@ -114,7 +114,15 @@ object Dedup {
     * is plan-equivalent (column pruning drops the string before any
     * exchange either way); the lambda form just keeps one definition. */
   private def docShingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.fanOut(Tables.documents(spark, dir).select("doc_id", "text"))
+    docShingleHashesOf(Tables.documents(spark, dir))
+
+  /** [[docShingleHashes]] over an arbitrary document relation — the
+    * incremental pipelines shingle only the ARRIVING batch through the
+    * exact same formula (shared code, not a mirrored copy: the
+    * incremental builds' correctness gate is bit-equality with the
+    * batch lanes that use the dir-based form). */
+  private[extensions] def docShingleHashesOf(docs: DataFrame): DataFrame =
+    Tables.fanOut(docs.select("doc_id", "text"))
       .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(transform(Portable.shingles3(col("toks")), s => Portable.hash60(s))).as("h"))
@@ -371,17 +379,25 @@ object Dedup {
   /** (doc_id, band, bkt) over the document shingle hashes — the relation
     * shared by the pair, verified, and incremental paths. */
   private def minhashBuckets(spark: SparkSession, dir: String): DataFrame =
+    minhashBucketsOf(docShingleHashes(spark, dir))
+
+  /** (doc_id, band, bkt) from a shingle-hash relation (raw `h`, as
+    * [[docShingleHashesOf]] emits) — the df-parameterized twin. */
+  private[extensions] def minhashBucketsOf(sh: DataFrame): DataFrame =
     minhashBandBuckets(
-      docShingleHashes(spark, dir)
-        .select(col("doc_id"), (col("h") % Portable.P31).as("h")),
-      "doc_id")
+      sh.select(col("doc_id"), (col("h") % Portable.P31).as("h")), "doc_id")
 
   /** Exact Jaccard (df-uncapped shingle space) on a candidate-pair relation:
     * |candidates| × |shingles-per-doc| work, never a corpus cross product. */
   private def jaccardOnCandidates(spark: SparkSession, dir: String,
-                                  cand: DataFrame): DataFrame = {
+                                  cand: DataFrame): DataFrame =
     // Three consumers (size agg + both join probes) — materialize once.
-    val sh = docShingleHashes(spark, dir).localCheckpoint()
+    jaccardOnCandidatesOf(docShingleHashes(spark, dir).localCheckpoint(), cand)
+
+  /** Exact-Jaccard verification against a caller-supplied shingle-hash
+    * relation — the df-parameterized twin (caller materializes `sh`). */
+  private[extensions] def jaccardOnCandidatesOf(sh: DataFrame,
+                                                cand: DataFrame): DataFrame = {
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")

@@ -562,16 +562,13 @@ object TextAnalysis {
       docsAll.filter(col("doc_id") < split), "doc_id", 4)
     t.insertAll(docsAll.filter(col("doc_id") >= split))
 
-    // df-parameterized stage primitives — same semantics as the batch lanes
-    def shingleHashes(d: DataFrame): DataFrame =
-      Tables.fanOut(d.select("doc_id", "text"))
-        .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          explode(transform(Portable.shingles3(col("toks")),
-            s => Portable.hash60(s))).as("h"))
-    def buckets(sh: DataFrame): DataFrame =
-      Dedup.minhashBandBuckets(
-        sh.select(col("doc_id"), (col("h") % Portable.P31).as("h")), "doc_id")
+    // stage primitives SHARED with the batch lanes ([[Dedup]]'s
+    // df-parameterized forms) — the equality gate demands the exact same
+    // formulas, so they are one implementation, never mirrored copies
+    def shingleHashes(d: DataFrame): DataFrame = Dedup.docShingleHashesOf(d)
+    def buckets(sh: DataFrame): DataFrame = Dedup.minhashBucketsOf(sh)
+    def verified(cand: DataFrame, sh: DataFrame): DataFrame =
+      Dedup.jaccardOnCandidatesOf(sh, cand).select("doc_a", "doc_b")
     def lineageOf(d: DataFrame): DataFrame = {
       val dt = Tables.fanOut(d).withColumn("toks", Portable.tokens(col("text")))
       val toks = col("toks")
@@ -579,18 +576,6 @@ object TextAnalysis {
       dt.select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tokens"),
         (n >= 10 && nd * 2 >= n && markerCount(toks, stopEn) >= 1).as("clean_ok"))
-    }
-    def verified(cand: DataFrame, sh: DataFrame): DataFrame = {
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      cand
-        .join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b", "h"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-        .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .filter(round(col("c").cast("double") /
-          (col("na") + col("nb") - col("c")), 6) >= 0.8)
-        .select("doc_a", "doc_b")
     }
 
     // ---- batch-1 build: the per-doc state table's v0

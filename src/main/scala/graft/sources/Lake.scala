@@ -105,16 +105,8 @@ object Lake {
     import org.apache.spark.sql.types.StructType
     val mp = new Path(metadataPath)
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def marker(name: String): Option[String] = {
-      val p = new Path(mp, name)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-        finally in.close()
-      }
-    }
+    def marker(name: String): Option[String] =
+      readMarkerFile(fs, new Path(mp, name))
     val t = new LakeTable(spark, root)
     val m = t.manifest(t.latestVersion)
     val rev = m.columnMap.map(_.swap)
@@ -149,6 +141,20 @@ object Lake {
       .toDF("start_version", "high_water_offset", "table_version",
         "stream_schema_behind", "behind_detail")
   }
+
+  /** Read a small text marker file, None when absent — the ONE reader
+    * for stream-checkpoint markers ([[LakeChangeFeedSource]] writes and
+    * reads them; [[streamDetail]] inspects them), so the marker protocol
+    * cannot silently fork between writer and operational surface. */
+  private[sources] def readMarkerFile(fs: org.apache.hadoop.fs.FileSystem,
+                                      p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
 
   /** The hive-partition column names a data file's relative subpath
     * encodes, in directory order — the file's LAYOUT-ERA signature under
@@ -1508,8 +1514,10 @@ object Lake {
         |  SELECT event_id, event_type, value FROM events
         |  WHERE event_id % 300 = 0),
         |d AS (
+        |  -- mirror the verb's DELETE contract exactly: a NULL predicate
+        |  -- KEEPS the row (coalesce), same as the engine's survivors
         |  SELECT * FROM b
-        |  WHERE NOT (event_type = 'error' AND value < 5.0))
+        |  WHERE NOT coalesce(event_type = 'error' AND value < 5.0, false))
         |SELECT phase, event_type, n_events, sum_ids FROM (
         |  SELECT 'appended' AS phase, event_type, count(*) AS n_events,
         |         CAST(sum(event_id) AS BIGINT) AS sum_ids
@@ -2296,15 +2304,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     // pruning, never correctness)
     val selected = where match {
       case None => m.files
-      case Some(cond) if m.keyCol.nonEmpty =>
-        val probeColsL = (m.keyCol +: m.partitionCols).map(logicalName(m, _))
-        val keys = toPhysical(m,
-          read().filter(cond).select(probeColsL.map(col): _*))
-        val hitIdx = hitFileIndexes(m, keys)
-        m.files.zipWithIndex.collect { case (f, i) if hitIdx(i) => f }
-      case Some(cond) =>
-        val hitNames = hitFilesByScan(m, cond)
-        m.files.filter(f => hitNames.contains(new Path(f.path).getName))
+      case Some(cond) => hitKeptFiles(m, cond)._1
     }
     if (selected.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
     val data = readFiles(m, selected)
@@ -2827,12 +2827,17 @@ class LakeTable(spark: SparkSession, val root: String) {
       // movement changes read-time semantics — both replay
       if (dw.full || dw.tombstoneAdds.nonEmpty || dw.tombstoneRemoves.nonEmpty)
         return None
-      // a winner that EVOLVED the schema (or renamed/dropped a column)
-      // must not have its change reverted by our rebased commit (whose
-      // schema/column map predates it): any divergence replays
+      // a winner that EVOLVED the schema (or renamed/dropped a column,
+      // changed the partition spec, or extended the stats set) must not
+      // have its change reverted by our rebased commit (whose metadata
+      // predates it — every delta carries these FULL, so a rebased stale
+      // copy would silently undo the winner): any divergence replays
       if (dw.schemaDdl != d.schemaDdl) return None
       if (dw.columnMap != d.columnMap) return None
       if (dw.constraints != d.constraints) return None
+      if (dw.partitionCols != d.partitionCols) return None
+      if (dw.statsCols != d.statsCols) return None
+      if (dw.droppedCols != d.droppedCols) return None
       if (dw.removes.exists(ourRemoves)) return None // same file touched
       // a KEYLESS pure append conflicts with nothing that passed the
       // gates above: it removes no files and addresses no keys, so the
@@ -3138,6 +3143,28 @@ class LakeTable(spark: SparkSession, val root: String) {
       .select("_gf").distinct().collect()
       .map(r => new Path(r.getString(0)).getName).toSet
   }
+
+  /** The (hit, kept) file partition for a predicate — the ONE selection
+    * primitive behind every predicate-scoped verb (UPDATE/DELETE WHERE,
+    * OPTIMIZE … WHERE, ANALYZE … WHERE): keyed tables derive the
+    * matching rows' key+partition probe and range-test the manifest
+    * ([[hitFileIndexes]], verify-fallback included); keyless tables
+    * scan by file identity ([[hitFilesByScan]]). Hit = may hold a
+    * matching row; kept files carry by reference. */
+  private def hitKeptFiles(m: Manifest,
+                           condition: org.apache.spark.sql.Column)
+      : (Seq[FileEntry], Seq[FileEntry]) =
+    if (m.keyCol.nonEmpty) {
+      val probeColsL = (m.keyCol +: m.partitionCols).map(logicalName(m, _))
+      val keys = toPhysical(m,
+        read().filter(condition).select(probeColsL.map(col): _*))
+      val hitIdx = hitFileIndexes(m, keys)
+      val (h, k) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+      (h.map(_._1), k.map(_._1))
+    } else {
+      val hitNames = hitFilesByScan(m, condition)
+      m.files.partition(f => hitNames.contains(new Path(f.path).getName))
+    }
 
   /** File pruning shared by MERGE and DELETE: a key hits a file iff it
     * falls in the file's [min,max] — ranges are metadata-sized and
@@ -3741,21 +3768,10 @@ class LakeTable(spark: SparkSession, val root: String) {
         s"UPDATE of unknown column '$c' — adding columns is schema " +
           "evolution (use MERGE)")) -> e
     }
-    // hit detection: key-range probe for keyed tables; for keyless
-    // (append-log) tables, one column-pruned scan by file identity
-    val (hit, kept) =
-      if (keyCol.nonEmpty) {
-        val keys = snap.filter(condition).select(lk)
-        val hitIdx = hitFileIndexes(m, keys)
-        m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
-      } else {
-        val hitNames = hitFilesByScan(m, condition)
-        m.files.zipWithIndex.partition { case (f, _) =>
-          hitNames.contains(new Path(f.path).getName) }
-      }
+    val (hit, kept) = hitKeptFiles(m, condition)
     if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
     val updateRows = snap.filter(condition).count()
-    val hitDf0 = toLogical(m, readFiles(m, hit.map(_._1)))
+    val hitDf0 = toLogical(m, readFiles(m, hit))
     val hitDf = tombstoneKeys(m).fold(hitDf0)(tk =>
       hitDf0.join(tk.select(col(keyCol).as(lk)), Seq(lk), "left_anti"))
     require(sets1.map(_._1).distinct.size == sets1.size,
@@ -3769,16 +3785,16 @@ class LakeTable(spark: SparkSession, val root: String) {
           .otherwise(col(c))
       }.toMap)
     val newFiles = writeDataFiles(toPhysical(m, withConstraintChecks(m, rewritten, "UPDATE")), keyCol,
-      sizedFileCount(hit.size, hit.map(_._1.rows).sum), m.statsCols,
+      sizedFileCount(hit.size, hit.map(_.rows).sum), m.statsCols,
       partitionCols = m.partitionCols)
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
     commitAndIndex(Delta(v + 1, v, "update", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
-      removes = hit.map(_._1.path), tombstoneAdds = tAdds,
+      removes = hit.map(_.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
       columnMap = m.columnMap,
       constraints = m.constraints, droppedCols = m.droppedCols),
-      kept.map(_._1) ++ newFiles, tombs)
+      kept ++ newFiles, tombs)
     MergeStats(v + 1, kept.size, hit.size, newFiles.size, updateRows)
   }
 
@@ -3808,9 +3824,7 @@ class LakeTable(spark: SparkSession, val root: String) {
                                  condition: org.apache.spark.sql.Column)
       : MergeStats = {
     val v = m.version
-    val hitNames = hitFilesByScan(m, condition)
-    val (hit, kept) = m.files.partition(f =>
-      hitNames.contains(new Path(f.path).getName))
+    val (hit, kept) = hitKeptFiles(m, condition)
     if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
     val survivors = toLogical(m, readFiles(m, hit))
       .filter(!coalesce(condition, lit(false)))
@@ -4553,27 +4567,16 @@ class LakeTable(spark: SparkSession, val root: String) {
                    layout: Option[(String, Seq[String])] = None): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
-    // probe with the partition columns too: a partition-scoped OPTIMIZE
-    // must not drag in other partitions' files whose key ranges merely
-    // overlap (keys interleave across partitions by construction).
-    // Keyless tables probe by file identity in one column-pruned scan
-    val (hit, kept) =
-      if (m.keyCol.nonEmpty) {
-        val probeColsL = (m.keyCol +: m.partitionCols).map(logicalName(m, _))
-        val keys = toPhysical(m,
-          read().filter(condition).select(probeColsL.map(col): _*))
-        val hitIdx = hitFileIndexes(m, keys)
-        m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
-      } else {
-        val hitNames = hitFilesByScan(m, condition)
-        m.files.zipWithIndex.partition { case (f, _) =>
-          hitNames.contains(new Path(f.path).getName) }
-      }
+    // the shared predicate-scoped selection (key+partition probe for
+    // keyed tables — a partition-scoped OPTIMIZE must not drag in other
+    // partitions' files whose key ranges merely overlap; file-identity
+    // scan for keyless)
+    val (hit, kept) = hitKeptFiles(m, condition)
     if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
-    val hitRows = hit.map(_._1.rows).sum
+    val hitRows = hit.map(_.rows).sum
     val numOut =
       if (numFiles > 0) numFiles else sizedFileCount(1, hitRows)
-    val packed0 = readFiles(m, hit.map(_._1))
+    val packed0 = readFiles(m, hit)
     val packed = tombstoneKeys(m).fold(packed0)(tk =>
       packed0.join(tk, Seq(m.keyCol), "left_anti"))
     // optional layout re-cluster of JUST the selected subset: the same
@@ -4597,12 +4600,12 @@ class LakeTable(spark: SparkSession, val root: String) {
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
     val cv = commitAndIndex(Delta(v + 1, v, op, m.keyCol,
       statsCols, m.partitionCols, full = false, adds = newFiles,
-      removes = hit.map(_._1.path), tombstoneAdds = tAdds,
+      removes = hit.map(_.path), tombstoneAdds = tAdds,
       tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
       columnMap = m.columnMap,
       constraints = m.constraints, droppedCols = m.droppedCols),
-      kept.map(_._1) ++ newFiles, tombs,
-      rebaseEnvelope = Some(() => rangeEnvelope(hit.map(_._1) ++ newFiles)))
+      kept ++ newFiles, tombs,
+      rebaseEnvelope = Some(() => rangeEnvelope(hit ++ newFiles)))
     MergeStats(cv, kept.size, hit.size, newFiles.size, hitRows)
   }
 

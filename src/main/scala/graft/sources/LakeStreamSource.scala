@@ -103,11 +103,7 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     new org.apache.hadoop.fs.Path(p, name))
   private def readMarker(name: String): Option[String] =
     (metaFs, markerPath(name)) match {
-      case (Some(fs), Some(p)) if fs.exists(p) =>
-        val in = fs.open(p)
-        try Some(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim)
-        finally in.close()
+      case (Some(fs), Some(p)) => Lake.readMarkerFile(fs, p)
       case _ => None
     }
   /** Marker writes are LOUD, not best-effort: both markers are
@@ -204,6 +200,20 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
   private var admitted: Pos =
     readMarker("graft-committed").map(decodeStr)
       .getOrElse(Pos(startingVersion - 1, COMPLETE))
+
+  /** Whether [[admitted]] was seeded from the persisted marker. The
+    * marker is written at OFFER time, so after a crash BETWEEN the offer
+    * and the engine logging it, it sits ABOVE the engine's committed
+    * offset with no uncommitted batch to re-hand — safe for exactly-once
+    * but a LIVENESS hole: nothing below the marker would ever be offered
+    * again, stalling delivery of the gap until some future table commit.
+    * The heal: the FIRST getOffset after a marker-seeded start re-offers
+    * the marker position itself when it has nothing new — an offer equal
+    * to the engine's committed offset is ignored (the engine compares
+    * offsets for inequality), and an offer above it runs exactly the
+    * undelivered gap as one batch. */
+  private var healMarkerOffer: Boolean =
+    readMarker("graft-committed").isDefined
 
   /** Whether the engine has asked for an offset yet. A getBatch BEFORE
     * any getOffset is the RESTART re-hand — there the checkpoint's end,
@@ -334,6 +344,18 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
   }
 
   override def getOffset: Option[Offset] = {
+    val o = computeOffset()
+    // first ask after a marker-seeded start: heal a possible
+    // offered-but-never-logged gap (see [[healMarkerOffer]])
+    val healed =
+      if (o.isDefined || !healMarkerOffer) o
+      else if (admitted.version >= startingVersion) Some(encode(admitted))
+      else None
+    healMarkerOffer = false
+    healed
+  }
+
+  private def computeOffset(): Option[Offset] = {
     offsetAsked = true
     val latest = table.latestVersion
     // no caps: offer everything outstanding in O(1) — no delta reads

@@ -410,6 +410,39 @@ class LakePartitionSpec extends SparkTestBase {
     t.alterPartitioning(Nil).version shouldBe v
   }
 
+  test("a racing insert never rebases over (and reverts) a spec evolution") {
+    // alterPartitioning is a metadata-only non-anchor commit; the rebase
+    // fast path must DECLINE when the winner changed partitionCols (or
+    // statsCols), else the lost insert's stale copy silently undoes the
+    // evolution — the spec-revert hole
+    val df = (1L to 60L).map(k => (k, k % 3, k % 5)).toDF("k", "p", "q")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 2,
+      partitionBy = Seq("p"))
+    var raced = false
+    t.onBeforeCommit = () => {
+      if (!raced) {
+        raced = true
+        new graft.sources.LakeTable(spark, t.root)
+          .alterPartitioning(Seq("q")) // the racing winner: v1
+      }
+    }
+    try {
+      // plain insertAll: the race must NOT splice (metadata divergence)
+      intercept[java.util.ConcurrentModificationException] {
+        t.insertAll(Seq((100L, 1L, 2L)).toDF("k", "p", "q"))
+      }
+    } finally t.onBeforeCommit = () => ()
+    // the evolution survived; a REPLAYED insert lands under the new spec
+    t.manifest(t.latestVersion).partitionCols shouldBe Seq("q")
+    t.insertAllWithRetry(Seq((100L, 1L, 2L)).toDF("k", "p", "q"))
+    t.manifest(t.latestVersion).partitionCols shouldBe Seq("q")
+    val newest = t.manifest(t.latestVersion).files.map(_.path)
+      .filterNot(t.manifest(1).files.map(_.path).toSet)
+    newest should not be empty
+    newest.foreach(_ should include("/q="))
+    t.read().count() shouldBe 61L
+  }
+
   test("partition evolution: deletes and the change feed span eras") {
     val df = (1L to 60L).map(k => (k, k % 2, k % 3)).toDF("k", "a", "b")
     val t = Lake.create(spark, Lake.freshRoot(), df, "k", 2,

@@ -736,6 +736,49 @@ class StreamingSpec extends SparkTestBase {
     versions shouldBe Seq(3, 4) // strictly the undelivered spans
   }
 
+  test("marker above committed (crash before engine log): stream self-heals") {
+    // offer-time marker persistence can leave the marker ABOVE the
+    // engine's committed offset (crash between persistHighWater and the
+    // engine's WAL append, so there is no uncommitted batch to re-hand).
+    // The first getOffset after restart must re-offer the marker position
+    // so the gap delivers instead of stalling until some future commit
+    val base = Seq((1L, "v1")).toDF("k", "payload")
+    val table = graft.sources.Lake.create(spark,
+      graft.sources.Lake.freshRoot(), base, "k", 1) // v0
+    (2 to 5).foreach(i => table.merge(
+      Seq((i.toLong, s"v$i")).toDF("k", "payload"))) // v1..v4
+    val metaDir = java.nio.file.Files
+      .createTempDirectory("graft-heal-ckpt").toString
+    val params = Map("path" -> table.root, "startingVersion" -> "1",
+      "maxVersionsPerTrigger" -> "2")
+    val s1 = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      params, Some(metaDir))
+    val o1 = s1.getOffset.get // v1..v2 — engine logs AND commits this
+    s1.getBatch(None, o1)
+    val o2 = s1.getOffset.get // v3..v4 — marker=4, engine NEVER logs it
+    o2.json.trim.toInt shouldBe 4
+    // CRASH. Restart: the engine has nothing uncommitted to re-hand, so
+    // it goes straight to getOffset with its committed offset at v2
+    val s2 = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      params, Some(metaDir))
+    val healed = s2.getOffset
+    healed shouldBe defined
+    healed.get.json.trim.toInt shouldBe 4 // the marker position
+    // the engine compares 4 != 2 and runs the gap as one batch
+    val b = org.apache.spark.sql.graft.StreamBridge
+      .rewrapSourceBatch(s2.getBatch(Some(o1), healed.get))
+    b.select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSeq.sorted shouldBe Seq(3, 4)
+    s2.getOffset shouldBe empty // one-shot heal; nothing else outstanding
+    // fully-committed restart: the heal offer equals the engine's
+    // committed offset, which the engine ignores (offset equality)
+    val s3 = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      params, Some(metaDir))
+    val o3 = s3.getOffset
+    o3.map(_.json.trim.toInt) shouldBe Some(4) // equal to committed: inert
+    s3.getOffset shouldBe empty
+  }
+
   test("a regressed batch end (stale pre-fix marker) delivers nothing") {
     // checkpoints written by older builds could seed admission below the
     // engine's committed offset; if the engine then logs a LOW offer as a
