@@ -410,6 +410,27 @@ class LakePartitionSpec extends SparkTestBase {
     t.alterPartitioning(Nil).version shouldBe v
   }
 
+  test("keyed change feed attributes rewrites correctly across spec eras") {
+    val df = (1L to 60L).map(k => (k, k % 2, s"v$k")).toDF("k", "a", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 2,
+      partitionBy = Seq("a"))
+    t.alterPartitioning(Nil) // v1: un-partition, metadata-only
+    // a merge rewriting OLD-era files: its feed must pair pre/post by key
+    // across the era boundary (removed files hive-encoded, added flat)
+    t.merge(Seq((5L, 5L % 2, "UPD"), (100L, 0L, "NEW"))
+      .toDF("k", "a", "payload")) // v2
+    val feed = t.changes(1, 2)
+    feed.filter(col("_change_type") === "insert")
+      .select("k").collect().map(_.getLong(0)).toSeq shouldBe Seq(100L)
+    feed.filter(col("_change_type") === "update_postimage")
+      .select("k", "payload").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq shouldBe Seq((5L, "UPD"))
+    feed.filter(col("_change_type") === "update_preimage")
+      .select("a").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L)
+    // rewritten-but-identical rows are not changes, even era-crossing
+    feed.count() shouldBe 3L
+  }
+
   test("a racing insert never rebases over (and reverts) a spec evolution") {
     // alterPartitioning is a metadata-only non-anchor commit; the rebase
     // fast path must DECLINE when the winner changed partitionCols (or

@@ -1230,6 +1230,27 @@ class LakeSpec extends SparkTestBase {
     t.read().filter(col("id") isin (200L, 300L)).count() shouldBe 2L
   }
 
+  test("append-log: bloom index and scoped ANALYZE work without a key") {
+    val t = mkAppendLog() // ids 1..60, shard-clustered files
+    t.analyzeBloom(Seq("id"))
+    // point lookups prune via the sidecars exactly as on keyed tables
+    val q = t.read().filter(col("id") === 37L)
+    q.select(input_file_name()).distinct().count() shouldBe 1L
+    q.count() shouldBe 1L
+    t.read().filter(col("id") === 5000L).count() shouldBe 0L
+    // appends maintain coverage for their new files
+    t.insertAll(Seq((500L, "tail", 2L)).toDF("id", "msg", "shard"))
+    val n = t.manifest(t.latestVersion).files.size
+    t.detailDf().collect()(0).getAs[String]("bloom_coverage") should
+      include(s"id:$n/$n")
+    // scoped ANALYZE selects by file-identity scan on keyless tables
+    t.analyzeColumns(Seq("id"), where = Some(col("shard") === 6L))
+    val covered = t.manifest(t.latestVersion).files
+      .filter(_.cols.keySet.contains("id"))
+    covered should have size 1 // only the shard-6 range file
+    t.read().count() shouldBe 61L
+  }
+
   test("append-log: change feed streams appends, content-diffs rewrites") {
     val t = mkAppendLog() // v0
     t.insertAll(Seq((100L, "a", 1L), (100L, "a", 1L))

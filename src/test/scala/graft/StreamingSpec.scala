@@ -586,6 +586,44 @@ class StreamingSpec extends SparkTestBase {
     offers should be > table.latestVersion
   }
 
+  test("keyless table as insert-mode streaming sink: exactly-once appends") {
+    implicit val ctx = spark.sqlContext
+    val base = Seq((0L, "seed")).toDF("id", "msg")
+    val table = graft.sources.Lake.createAppendLog(spark,
+      graft.sources.Lake.freshRoot(), base, 1)
+    val ms = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-keyless-sink").toString
+    val q = ms.toDF().toDF("id", "msg")
+      .writeStream.format("graft-lake")
+      .option("path", table.root)
+      .option("checkpointLocation", ckpt)
+      .option("mode", "insert")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      ms.addData((1L, "a")) // an append LOG admits the repeat
+      q.processAllAvailable()
+    } finally q.stop()
+    table.read().count() shouldBe 4L
+    table.read().filter(col("id") === 1L).count() shouldBe 2L
+    // merge-mode against a keyless table refuses loudly
+    val q2 = ms.toDF().toDF("id", "msg")
+      .writeStream.format("graft-lake")
+      .option("path", table.root)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-keyless-sink2").toString)
+      .outputMode("append").start()
+    try {
+      ms.addData((9L, "x"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      e.getMessage should include("append-log")
+    } finally q2.stop()
+  }
+
   test("schema-drift signal: fires on mid-stream evolution, else silent") {
     val base = Seq((1L, "v1")).toDF("k", "payload")
     val table = graft.sources.Lake.create(spark,
