@@ -111,6 +111,8 @@ object Run {
     * graft.Run lake-hilbert <root> <numFiles> <col> <col> [col...]
     * graft.Run lake-rename  <root> <oldCol> <newCol>      // metadata-only
     * graft.Run lake-add-column <root> <col> <type>        // metadata-only
+    * graft.Run lake-partition-by <root> [col...]           // spec evolution,
+    *                          // metadata-only; no cols = un-partition
     * graft.Run lake-alter-column <root> <col> <type>      // widen, metadata-only
     * graft.Run lake-drop-column <root> <col>              // metadata-only
     * graft.Run lake-restore <root> <version>
@@ -233,6 +235,13 @@ object Run {
             args.drop(3).mkString(" "))
           println(s"[lake] widened ${args(2)} to ${args.drop(3).mkString(" ")} " +
             s"at v${s.version} (metadata-only)")
+        case "lake-partition-by" =>
+          need(2) // zero columns = evolve back to an unpartitioned layout
+          val cols = args.drop(2).toSeq
+          val s = table.alterPartitioningWithRetry(cols)
+          println(s"[lake] partition spec -> " +
+            (if (cols.isEmpty) "(unpartitioned)" else cols.mkString(", ")) +
+            s" at v${s.version} (metadata-only; existing files keep their layout)")
         case "lake-history" =>
           // vacuumed versions are gone from disk — list what remains
           table.history().collect().foreach { r =>

@@ -2132,7 +2132,17 @@ class LakeTable(spark: SparkSession, val root: String) {
       if (m.partitionCols.nonEmpty ||
           fsq.exists(f => Lake.hiveSig(f.path).nonEmpty))
         r = r.option("basePath", dataDir.toString)
-      r.parquet(fsq.map(f => new Path(rootPath, f.path).toString): _*)
+      val df = r.parquet(fsq.map(f => new Path(rootPath, f.path).toString): _*)
+      // Spark repositions path-recovered partition columns LAST even
+      // under a user-specified schema, so two layout eras come back in
+      // DIFFERENT column orders — normalize every group to the stored
+      // order, or positional consumers (exceptAll diffs, union-by-
+      // position, spec row comparisons) silently misalign columns
+      target match {
+        case Some(s) if df.columns.toSeq != s.fieldNames.toSeq =>
+          df.select(s.fieldNames.map(col(_)).toSeq: _*)
+        case _ => df
+      }
     }
     // PARTITION-SPEC EVOLUTION leaves files from different layout eras in
     // one snapshot. Hive recovery needs one CONSISTENT directory

@@ -410,6 +410,31 @@ class LakePartitionSpec extends SparkTestBase {
     t.alterPartitioning(Nil).version shouldBe v
   }
 
+  test("keyless append-log composes with partition-spec evolution") {
+    val df = (1L to 60L).map(i => (i, i % 2, i % 3)).toDF("id", "a", "b")
+    val t = Lake.createAppendLog(spark, Lake.freshRoot(), df, 2,
+      partitionBy = Seq("a"))
+    t.manifest(0).files.foreach(_.path should include("/a="))
+    t.alterPartitioning(Seq("b")) // v1: metadata-only
+    t.insertAll((61L to 90L).map(i => (i, i % 2, i % 3))
+      .toDF("id", "a", "b")) // v2: lands under b= dirs
+    val newest = t.manifest(t.latestVersion).files.map(_.path)
+      .filterNot(t.manifest(0).files.map(_.path).toSet)
+    newest.foreach(_ should include("/b="))
+    // reads and predicate DML span both eras
+    t.read().count() shouldBe 90L
+    t.read().filter(col("a") === 1L).count() shouldBe
+      (1L to 90L).count(_ % 2 == 1)
+    t.deleteWhere(col("b") === 2L) // hits files in BOTH eras
+    t.read().filter(col("b") === 2L).count() shouldBe 0L
+    t.read().count() shouldBe (1L to 90L).count(_ % 3 != 2)
+    // the content-diff feed is exact across the boundary
+    val feed = t.changes(2, 3)
+    feed.filter(col("_change_type") === "delete").count() shouldBe
+      (1L to 90L).count(_ % 3 == 2)
+    feed.filter(col("_change_type") === "insert").count() shouldBe 0L
+  }
+
   test("keyed change feed attributes rewrites correctly across spec eras") {
     val df = (1L to 60L).map(k => (k, k % 2, s"v$k")).toDF("k", "a", "payload")
     val t = Lake.create(spark, Lake.freshRoot(), df, "k", 2,

@@ -95,6 +95,18 @@ class RunSpec extends SparkTestBase {
     t.read().columns.toSeq shouldBe Seq("k", "n", "tag")
     t.read().schema("n").dataType.typeName shouldBe "long"
     t.read().filter(col("tag").isNotNull).count() shouldBe 0L
+    // partition-spec evolution from the CLI: metadata-only both ways
+    Run.run(Array("lake-partition-by", root, "n"))
+    t.manifest(t.latestVersion).partitionCols shouldBe Seq("n")
+    Run.run(Array("lake-partition-by", root))
+    t.manifest(t.latestVersion).partitionCols shouldBe empty
+    // keyless create via the '-' sentinel admits duplicate appends
+    val root2 = tmp("graft-cli-keyless") + "/t"
+    Run.run(Array("lake-create", root2, src, "-", "1"))
+    val t2 = new graft.sources.LakeTable(spark, root2)
+    t2.manifest(0).keyCol shouldBe ""
+    t2.insertAll(spark.read.parquet(src))
+    t2.read().count() shouldBe 18L
     // expand-entities: line file through the preprocessing verb
     val in = java.nio.file.Files.createTempDirectory("graft-cli-ent")
     java.nio.file.Files.write(in.resolve("a.txt"),
