@@ -365,6 +365,7 @@ class LakeDeltaSpec extends SparkTestBase {
     var nextFresh = 1000L
     var payloadCol = "payload" // flips after the mid-sequence rename
     var extraCols = Seq.empty[String] // grows at the mid-sequence ADD COLUMN
+    var evolved = false // one mid-sequence partition-spec evolution
     def freshKey(): Long = { nextFresh += 1; nextFresh }
     def df(rows: Seq[(Long, String, String)]) =
       extraCols.foldLeft(rows.toDF("k", payloadCol, "status"))((d, c) =>
@@ -388,7 +389,7 @@ class LakeDeltaSpec extends SparkTestBase {
         }
         model(rk) = (s"race$rk", "R")
       } else t.onBeforeCommit = () => ()
-      rnd.nextInt(12) match {
+      rnd.nextInt(13) match {
         case 0 => // keyed upsert batch: some existing, some fresh
           val rows = (1 to 5).map { _ =>
             val k = if (rnd.nextBoolean()) rnd.nextLong(200) + 1 else freshKey()
@@ -444,6 +445,13 @@ class LakeDeltaSpec extends SparkTestBase {
         case 11 => // predicate-scoped re-cluster: layout-only, no rows move
           t.compactWhereWithRetry(col("k") <= 100L, 2,
             Some(("sort", Seq("status"))))
+        case 12 if step > 4 && !evolved => // one mid-sequence metadata-only
+          // PARTITION-SPEC evolution: content unchanged; later rewrites
+          // land in the new layout, old eras keep theirs — every
+          // subsequent verb must stay exact across mixed layouts (and a
+          // lost race against this commit must replay, never splice)
+          t.alterPartitioningWithRetry(Seq("status"))
+          evolved = true
         case _ => t.compactWithRetry(3)
       }
       racerRow.foreach { rk =>
@@ -459,6 +467,82 @@ class LakeDeltaSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
       .toMap
     got.size shouldBe model.size
+    got shouldBe model.toMap
+  }
+
+  test("property: keyless verb interleave with racing appends stays serializable") {
+    // the append-log twin of the keyed property: 20 random verbs
+    // (append incl. DUPLICATE rows / predicate COW delete / predicate
+    // update / binpack / full compact / partition-spec evolution), ~1/3
+    // losing a planted race to a concurrent APPEND. Appends splice via
+    // rebase (both land); every other loser replays. The model is a row
+    // MULTISET — duplicates are first-class in an append log. Racer rows
+    // use shard 99, outside every predicate's range, so the serial order
+    // (racer first) never changes a predicate verb's effect.
+    val rnd = new scala.util.Random(21)
+    val t = Lake.createAppendLog(spark, Lake.freshRoot(),
+      (1L to 80L).map(i => (i, s"m$i", i % 7)).toDF("id", "msg", "shard"),
+      2, statsCols = Seq("shard"))
+    val racer = new graft.sources.LakeTable(spark, t.root)
+    val model = scala.collection.mutable.Map.empty[(Long, String, Long), Long]
+      .withDefaultValue(0L)
+    (1L to 80L).foreach(i => model((i, s"m$i", i % 7)) += 1)
+    var nextId = 1000L
+    var evolvedTo: Seq[String] = Nil
+    def fresh(): Long = { nextId += 1; nextId }
+    for (step <- 1 to 20) {
+      var planted = false
+      var racerRow: Option[(Long, String, Long)] = None
+      if (rnd.nextInt(3) == 0) {
+        val r = (fresh(), s"race$step", 99L)
+        racerRow = Some(r)
+        t.onBeforeCommit = () => {
+          if (!planted) {
+            planted = true
+            racer.insertAll(Seq(r).toDF("id", "msg", "shard"))
+          }
+        }
+        model(r) += 1
+      } else t.onBeforeCommit = () => ()
+      rnd.nextInt(7) match {
+        case 0 => // append, deliberately including a DUPLICATE of row 5
+          val rows = Seq((fresh(), s"a$step", step % 7L),
+            (5L, "m5", 5L % 7))
+          rows.foreach(r => model(r) += 1)
+          t.insertAllWithRetry(rows.toDF("id", "msg", "shard"))
+        case 1 => // predicate COW delete (never touches shard 99)
+          val s0 = step % 7L
+          model.keys.toSeq.filter(_._3 == s0).foreach(model.remove)
+          t.deleteWhereWithRetry(col("shard") === s0)
+        case 2 => // predicate update of msg (never touches shard 99)
+          val s0 = (step + 3) % 7L
+          model.keys.toSeq.filter(_._3 == s0).foreach { k =>
+            val n = model.remove(k).get
+            model((k._1, s"U$step", k._3)) += n
+          }
+          t.updateWithRetry(col("shard") === s0,
+            Seq("msg" -> lit(s"U$step")))
+        case 3 => t.compactBinPackWithRetry(10L, 40L)
+        case 4 => t.compactWithRetry(2)
+        case 5 => // flip the partition spec: shard-partitioned <-> flat
+          evolvedTo = if (evolvedTo.isEmpty) Seq("shard") else Nil
+          t.alterPartitioningWithRetry(evolvedTo)
+        case _ => // bulk append of fresh rows
+          val rows = (1 to 4).map(_ => (fresh(), s"b$step", step % 7L))
+          rows.foreach(r => model(r) += 1)
+          t.insertAllWithRetry(rows.toDF("id", "msg", "shard"))
+      }
+      racerRow.foreach { r =>
+        if (!planted) {
+          planted = true
+          racer.insertAll(Seq(r).toDF("id", "msg", "shard"))
+        }
+      }
+    }
+    t.onBeforeCommit = () => ()
+    val got = t.read().collect()
+      .groupBy(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .view.mapValues(_.length.toLong).toMap
     got shouldBe model.toMap
   }
 
