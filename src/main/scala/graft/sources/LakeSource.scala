@@ -213,7 +213,10 @@ private[sources] class LakeProjectedRelation(
   private def snap: DataFrame =
     new LakeTable(sqlContext.sparkSession, root).snapshot(version)
 
-  override val schema: StructType = snap.schema
+  // lazy: relation construction is also the fast-path REJECTION probe —
+  // resolving the snapshot frame there would plan it twice for every
+  // read that ends up here, and once for snapshots that never get read
+  override lazy val schema: StructType = snap.schema
 
   override def needConversion: Boolean = false
 
