@@ -213,11 +213,20 @@ object Lake {
       .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
     t.merge(o.filter(col("o_orderkey") % 100 === 0)
       .withColumn("o_orderpriority", lit("0-UPDATED")))
-    t.read().filter(col("o_orderstatus") === "F")
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"),
-        sum("o_orderkey").cast("long").as("sum_keys"))
-      .orderBy("o_orderpriority")
+    def agg(phase: String): DataFrame =
+      t.read().filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("o_orderkey").cast("long").as("sum_keys"))
+        .withColumn("phase", lit(phase))
+    val evolvedPhase = agg("evolved")
+    // OPTIMIZE MIGRATE retires the evolution's debt: only the old-era
+    // files rewrite, and the snapshot is single-layout again —
+    // layout-only, so the aggregate must not move
+    t.compactMigrate()
+    evolvedPhase.unionByName(agg("migrated"))
+      .select("phase", "o_orderpriority", "n_orders", "sum_keys")
+      .orderBy("phase", "o_orderpriority")
   }
 
   /** Gated lane: the KEYLESS append-log lifecycle — create from one
@@ -1500,11 +1509,16 @@ object Lake {
         |  FROM orders
         |  UNION ALL
         |  SELECT o_orderkey + 100000000, o_orderpriority, o_orderstatus
-        |  FROM orders WHERE o_orderkey % 100 = 1)
-        |SELECT o_orderpriority, count(*) AS n_orders,
-        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
-        |FROM u WHERE o_orderstatus = 'F'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM orders WHERE o_orderkey % 100 = 1),
+        |g AS (
+        |  SELECT o_orderpriority, count(*) AS n_orders,
+        |         CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |  FROM u WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT phase, o_orderpriority, n_orders, sum_keys FROM (
+        |  SELECT 'evolved' AS phase, * FROM g
+        |  UNION ALL
+        |  SELECT 'migrated', * FROM g
+        |) ORDER BY 1, 2""".stripMargin,
 
     "lake_keyless" ->
       """WITH b AS (
@@ -4423,6 +4437,45 @@ class LakeTable(spark: SparkSession, val root: String) {
   def alterPartitioningWithRetry(cols: Seq[String],
                                  maxAttempts: Int = 3): MergeStats =
     withRetry(maxAttempts)(alterPartitioning(cols))
+
+  /** OPTIMIZE … MIGRATE — fold pre-evolution LAYOUT ERAS into the
+    * current partition spec: only files whose directory signature
+    * differs from the spec rewrite (O(older eras), so evolution's debt
+    * retires incrementally, a compaction-sized job at a time — never a
+    * forced O(table) rewrite at evolution time); files already in the
+    * current layout carry by reference. Once migration completes, the
+    * snapshot is single-era again and the one-scan fast paths (format
+    * reader file relation, ungrouped reads) return. Folds outstanding
+    * tombstones like every compaction. No-op when nothing is foreign. */
+  def compactMigrate(numFiles: Int = 0): MergeStats = {
+    val v = latestVersion
+    val m = manifest(v)
+    val cur = m.partitionCols.map(_.toLowerCase)
+    val (hit, kept) = m.files.partition(f =>
+      Lake.hiveSig(f.path).map(_.toLowerCase) != cur)
+    if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
+    val hitRows = hit.map(_.rows).sum
+    val numOut = if (numFiles > 0) numFiles else sizedFileCount(1, hitRows)
+    val packed0 = readFiles(m, hit)
+    val packed = tombstoneKeys(m).fold(packed0)(tk =>
+      packed0.join(tk, Seq(m.keyCol), "left_anti"))
+    val newFiles = writeDataFiles(packed, m.keyCol, numOut, m.statsCols,
+      partitionCols = m.partitionCols)
+    val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
+    val cv = commitAndIndex(Delta(v + 1, v, "optimize-migrate", m.keyCol,
+      m.statsCols, m.partitionCols, full = false, adds = newFiles,
+      removes = hit.map(_.path), tombstoneAdds = tAdds,
+      tombstoneRemoves = tRemoves, schemaDdl = m.schemaDdl,
+      columnMap = m.columnMap,
+      constraints = m.constraints, droppedCols = m.droppedCols),
+      kept ++ newFiles, tombs,
+      rebaseEnvelope = Some(() => rangeEnvelope(hit ++ newFiles)))
+    MergeStats(cv, kept.size, hit.size, newFiles.size, hitRows)
+  }
+
+  def compactMigrateWithRetry(numFiles: Int = 0,
+                              maxAttempts: Int = 3): MergeStats =
+    withRetry(maxAttempts)(compactMigrate(numFiles))
 
   /** RESTORE — roll the table back to `version`'s content AS A NEW
     * COMMIT (never by deleting history): the new manifest re-references

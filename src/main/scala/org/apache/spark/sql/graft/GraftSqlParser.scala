@@ -36,6 +36,8 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *                                            -- re-cluster O(selected)
   * OPTIMIZE graft_lake('<root>') BINPACK <minRows> [TARGET <rows>]
   *   [SPLIT <maxRows>]
+  * OPTIMIZE graft_lake('<root>') MIGRATE [FILES <n>]  -- fold older
+  *                                        -- layout eras into the spec
   * ALTER TABLE graft_lake('<root>') RENAME COLUMN <a> TO <b>
   * ALTER TABLE graft_lake('<root>') ADD COLUMN <c> <type>
   * ALTER TABLE graft_lake('<root>') ALTER COLUMN <c> TYPE <type>  -- widen
@@ -859,6 +861,12 @@ object GraftSqlParser {
       sc.assertEnd()
       return LakeBinPackCommand(root, minRows, target, split)
     }
+    if (sc.keyword("MIGRATE")) {
+      // fold pre-evolution layout eras into the current partition spec
+      val n = if (sc.keyword("FILES")) sc.int() else 0
+      sc.assertEnd()
+      return LakeMigrateCommand(root, n)
+    }
     val files = if (sc.keyword("FILES")) Some(sc.int()) else None
     val layout =
       if (sc.keyword("ZORDER")) {
@@ -1107,6 +1115,18 @@ case class LakeAlterCommand(root: String, verb: String, column: String,
       case "drop-constraint" => t.dropConstraintWithRetry(column)
       case other => throw new IllegalStateException(s"unknown alter $other")
     })
+  }
+}
+
+/** `OPTIMIZE graft_lake(…) MIGRATE [FILES n]` →
+  * [[graft.sources.LakeTable.compactMigrate]] — rewrite only the files
+  * whose layout era differs from the current partition spec. */
+case class LakeMigrateCommand(root: String, files: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = new graft.sources.LakeTable(spark, root)
+    GraftSqlParser.statsRow(t.compactMigrateWithRetry(files))
   }
 }
 

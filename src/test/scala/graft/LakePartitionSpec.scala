@@ -410,6 +410,58 @@ class LakePartitionSpec extends SparkTestBase {
     t.alterPartitioning(Nil).version shouldBe v
   }
 
+  test("OPTIMIZE MIGRATE folds older layout eras; single-era reads return") {
+    val df = (1L to 120L).map(k => (k, k % 3, k % 4, s"v$k"))
+      .toDF("k", "p", "q", "payload")
+    val t = Lake.create(spark, Lake.freshRoot(), df, "k", 4,
+      partitionBy = Seq("p"))
+    t.alterPartitioning(Seq("q")) // v1
+    t.insertAll((121L to 150L).map(k => (k, k % 3, k % 4, s"v$k"))
+      .toDF("k", "p", "q", "payload")) // v2: lands under q=
+    // migrate: ONLY the p=-era files rewrite; q=-era files carry
+    val before = t.manifest(t.latestVersion).files
+    val eraB = before.filter(_.path.contains("/q=")).map(_.path).toSet
+    val s = t.compactMigrate()
+    s.rewrittenFiles shouldBe before.count(_.path.contains("/p="))
+    val after = t.manifest(t.latestVersion).files
+    after.map(_.path).toSet.intersect(eraB) shouldBe eraB // carried
+    after.foreach { f =>
+      f.path should include("/q=")
+      f.path should not include "/p="
+    }
+    // content identical; both columns intact across the rewrite
+    t.read().count() shouldBe 150L
+    t.read().filter(col("p") === 2L).count() shouldBe
+      (1L to 150L).count(_ % 3 == 2)
+    t.read().filter(col("q") === 1L).count() shouldBe
+      (1L to 150L).count(_ % 4 == 1)
+    // single-era again: the format reader takes the raw file relation
+    // fast path (its plan resolves to a plain parquet scan)
+    val fmt = spark.read.format("graft-lake").load(t.root)
+    fmt.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.getClass.getSimpleName
+    }.get should include("HadoopFsRelation")
+    fmt.count() shouldBe 150L
+    // idempotent: nothing foreign -> no commit
+    val v = t.latestVersion
+    t.compactMigrate().version shouldBe v
+    // and SQL reaches it
+    withExtendedSession { sess =>
+      val df2 = {
+        import sess.implicits._
+        (1L to 30L).map(i => (i, i % 2, i % 3)).toDF("id", "a", "b")
+      }
+      val t2 = Lake.createAppendLog(sess, Lake.freshRoot(), df2, 1,
+        partitionBy = Seq("a"))
+      t2.alterPartitioning(Seq("b"))
+      sess.sql(s"OPTIMIZE graft_lake('${t2.root}') MIGRATE").collect()
+      t2.manifest(t2.latestVersion).files.foreach(
+        _.path should include("/b="))
+      t2.read().count() shouldBe 30L
+    }
+  }
+
   test("keyless append-log composes with partition-spec evolution") {
     val df = (1L to 60L).map(i => (i, i % 2, i % 3)).toDF("id", "a", "b")
     val t = Lake.createAppendLog(spark, Lake.freshRoot(), df, 2,
