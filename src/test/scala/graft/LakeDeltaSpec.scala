@@ -522,7 +522,12 @@ class LakeDeltaSpec extends SparkTestBase {
           }
           t.updateWithRetry(col("shard") === s0,
             Seq("msg" -> lit(s"U$step")))
-        case 3 => t.compactBinPackWithRetry(10L, 40L)
+        case 3 =>
+          // alternate the two layout-only maintenance verbs: binpack
+          // folds small files, MIGRATE folds foreign-era files — both
+          // must never change content
+          if (step % 2 == 0) t.compactBinPackWithRetry(10L, 40L)
+          else t.compactMigrateWithRetry()
         case 4 => t.compactWithRetry(2)
         case 5 => // flip the partition spec: shard-partitioned <-> flat
           evolvedTo = if (evolvedTo.isEmpty) Seq("shard") else Nil
