@@ -2675,9 +2675,7 @@ class LakeTable(spark: SparkSession, val root: String) {
         added ++ removed ++ tombCarried
       else (mTo.files ++ mFrom.files).take(1)
     templateFiles.headOption match {
-      case None => // table never held data: empty, minimally-typed feed
-        spark.range(0).select(col("id").as(logicalName(mTo, keyCol)),
-          lit("").as("_change_type")).filter(lit(false))
+      case None => emptyChangeFeed(mTo) // table never held data
       case Some(_) =>
         val schema = readFiles(mTo, templateFiles).schema
         def load(fsq: Seq[FileEntry]): DataFrame =
@@ -2722,6 +2720,28 @@ class LakeTable(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Typed empty change feed for an interval over a table that never held
+    * data. The feed contract is "data schema plus `_change_type`", so when
+    * the commit chain recorded a schema the degenerate interval still
+    * speaks it — a batch consumer selecting data columns must analyze,
+    * same as on any non-empty interval. Only a legacy schema-less table
+    * falls back to the minimal placeholder (keyed: key column only;
+    * keyless: `_change_type` only). */
+  private def emptyChangeFeed(mTo: Manifest): DataFrame = mTo.schemaDdl match {
+    case Some(ddl) =>
+      val phys = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      val withCt = org.apache.spark.sql.types.StructType(phys.fields :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false))
+      toLogical(mTo, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withCt))
+    case None if mTo.keyCol.nonEmpty =>
+      spark.range(0).select(col("id").as(logicalName(mTo, mTo.keyCol)),
+        lit("").as("_change_type")).filter(lit(false))
+    case None =>
+      spark.range(0).select(lit("").as("_change_type")).filter(lit(false))
+  }
+
   /** Keyless change feed: without a key there is no row identity to pair
     * pre/post images, so the interval's events are the CONTENT multiset
     * diff of the changed files — rows only in removed files are
@@ -2738,10 +2758,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val templateFiles =
       if (added.nonEmpty || removed.nonEmpty) added ++ removed
       else mTo.files.take(1)
-    if (templateFiles.isEmpty)
-      // table never held data: empty, minimally-typed feed
-      return spark.range(0).select(lit("").as("_change_type"))
-        .filter(lit(false))
+    if (templateFiles.isEmpty) return emptyChangeFeed(mTo)
     val schema = readFiles(mTo, templateFiles).schema
     def load(fsq: Seq[FileEntry]): DataFrame =
       if (fsq.nonEmpty) readFiles(mTo, fsq, Some(schema))

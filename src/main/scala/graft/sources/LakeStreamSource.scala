@@ -242,12 +242,16 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
   // pin the stream's DATA schema next to the starting options: the
   // operational surface (graft_lake_stream_detail / Lake.streamDetail)
   // compares it against the table's CURRENT schema to answer "is this
-  // stream's pinned shape behind the table?" without touching the source
+  // stream's pinned shape behind the table?" without touching the source.
+  // REWRITTEN on every construction, not only when absent: construction
+  // IS the re-pin point (feedSchema resolves the table's current latest),
+  // so a restart that adopts a mid-stream evolution must move the marker
+  // with it — a stale first-start DDL would report stream_schema_behind
+  // forever, contradicting the "restart to adopt" contract.
   locally {
     val dataDdl = StructType(schema.fields.filterNot(f =>
       f.name == "_change_type" || f.name == "_commit_version")).toDDL
-    if (readMarker("graft-schema").isEmpty)
-      writeMarker("graft-schema", dataDdl, overwrite = false)
+    writeMarker("graft-schema", dataDdl, overwrite = true)
   }
 
   /** Versions whose span revealed SCHEMA DRIFT beyond the pinned stream
@@ -462,26 +466,53 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     f.select(cols.toSeq: _*)
   }
 
+  /** Streaming-safe empty micro-batch in the feed schema. */
+  private def emptyBatch(): DataFrame =
+    org.apache.spark.sql.graft.StreamBridge.streamingDataFrame(
+      spark,
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .queryExecution.toRdd,
+      schema)
+
+  /** Highest position this instance has DELIVERED (handed to the engine
+    * as a batch end, or seen already-delivered as a regressed batch
+    * start). Distinct from [[admitted]], which sizes admission: the floor
+    * guards DELIVERY. After the engine logs a regressed end (see below),
+    * its NEXT batch starts from that low end — serving that span verbatim
+    * would re-emit everything between the low end and what this source
+    * already delivered. Every batch start clamps up to the floor instead.
+    * In-memory only by design: a fresh instance's floor starts below the
+    * checkpoint, so the restart re-hand of the last uncommitted batch
+    * (which the engine owns and MUST be served) passes unclamped. */
+  private var deliveryFloor: Pos = Pos(startingVersion - 1, COMPLETE)
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(decode).getOrElse(Pos(startingVersion - 1, COMPLETE))
+    val rawFrom = start.map(decode).getOrElse(Pos(startingVersion - 1, COMPLETE))
     val to = decode(end)
     // A regressed end (to < from) can only come from a checkpoint whose
     // high-water marker lagged the engine's commit log (markers written
     // by a pre-offer-time-persistence version of this source). Everything
-    // at or below `from` was already delivered: re-seat admission at
-    // `from` and emit nothing, instead of re-delivering.
-    if (to.lt(from)) {
-      admitted = admitted.max(from)
-      return org.apache.spark.sql.graft.StreamBridge.streamingDataFrame(
-        spark,
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          .queryExecution.toRdd,
-        schema)
+    // at or below `from` was already delivered: raise the delivery floor
+    // to `from`, re-seat admission, and emit nothing — the floor is what
+    // keeps the FOLLOW-UP batch (whose start the engine takes from the
+    // regressed end it just logged) from re-delivering the gap.
+    if (to.lt(rawFrom)) {
+      admitted = admitted.max(rawFrom)
+      deliveryFloor = deliveryFloor.max(rawFrom)
+      return emptyBatch()
     }
     admitted =
       if (!offsetAsked && start.isDefined) to // restart re-hand: exact re-seat
       else admitted.max(to)
+    // clamp the span's start up to the floor: positions at or below it
+    // were already delivered by THIS instance and must not re-emit
+    val from = rawFrom.max(deliveryFloor)
+    if (!from.lt(to)) { // the whole span is at or below the floor
+      deliveryFloor = deliveryFloor.max(to)
+      return emptyBatch()
+    }
+    deliveryFloor = deliveryFloor.max(to)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // per-commit micro-spans over the RETAINED versions in (from, to] —
     // tombstoned (merge-on-read) versions serve their own feed (changes

@@ -390,6 +390,25 @@ class LakeSpec extends SparkTestBase {
         Seq("val5", null, "update_preimage"))
   }
 
+  test("degenerate change interval on an emptied table keeps the feed contract") {
+    // the feed contract is "data schema plus _change_type"; an interval
+    // over a snapshot with zero files must still speak it when the commit
+    // chain recorded a schema — a batch consumer selecting data columns
+    // on the degenerate interval analyzes like on any other
+    val t = Lake.createAppendLog(spark, Lake.freshRoot(),
+      Seq((1L, "a")).toDF("id", "msg"), 1) // keyless
+    t.deleteWhere(lit(true)) // v1: zero data files
+    val feed = t.changes(1, 1)
+    feed.columns.toSeq shouldBe Seq("id", "msg", "_change_type")
+    feed.select("id", "msg").count() shouldBe 0L
+    val tk = Lake.create(spark, Lake.freshRoot(),
+      Seq((1L, "a")).toDF("k", "payload"), "k", 1) // keyed twin
+    tk.deleteWhere(lit(true))
+    val fk = tk.changes(1, 1)
+    fk.columns.toSeq shouldBe Seq("k", "payload", "_change_type")
+    fk.select("k", "payload").count() shouldBe 0L
+  }
+
   test("rewrite-only commits (compact, zorder) emit an EMPTY change feed") {
     // every file changes, no row does: the full-row compare must cancel
     // the entire table — the strongest form of the identical-rewrite rule

@@ -664,6 +664,15 @@ class StreamingSpec extends SparkTestBase {
     src2.driftDetected shouldBe empty
     graft.sources.Lake.streamDetail(spark, table.root, meta2)
       .collect()(0).getAs[Boolean]("stream_schema_behind") shouldBe false
+    // RESTART ON THE SAME CHECKPOINT adopts the evolution (construction
+    // re-pins from the current latest) — the schema marker must move with
+    // it, or the detail surface would report "behind" forever after the
+    // restart the signal itself asked for
+    val srcRestart = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> table.root, "startingVersion" -> "1"), Some(metaDir))
+    srcRestart.schema.fieldNames should contain("score")
+    graft.sources.Lake.streamDetail(spark, table.root, metaDir)
+      .collect()(0).getAs[Boolean]("stream_schema_behind") shouldBe false
   }
 
   test("keyless append-log: change feed streams appends and COW deletes") {
@@ -838,10 +847,15 @@ class StreamingSpec extends SparkTestBase {
     next shouldBe empty // nothing above v3 exists yet
     table.merge(Seq((9L, "v9")).toDF("k", "payload")) // v4
     val o = src.getOffset.get
+    // the engine LOGGED the regressed end, so its NEXT batch starts from
+    // that low end (v1), not from the previously-committed v3 — without
+    // the delivery floor this span would re-emit (v1, v3], duplicating
+    // rows the stream already delivered in an exactly-once feed
     val b = org.apache.spark.sql.graft.StreamBridge
-      .rewrapSourceBatch(src.getBatch(Some(LongOffset(3L)), o))
+      .rewrapSourceBatch(src.getBatch(Some(LongOffset(1L)), o))
     b.select("_commit_version").distinct().collect()
       .map(_.getInt(0)).toSeq shouldBe Seq(4)
+    b.count() shouldBe 1L // only v9's insert, nothing re-delivered
   }
 
   test("mid-stream rename normalizes spans to the start-of-stream names") {
