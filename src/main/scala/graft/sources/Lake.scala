@@ -721,6 +721,48 @@ object Lake {
       .orderBy("o_orderpriority")
   }
 
+  /** Gated lane: the NAMED-TABLE catalog — the full lifecycle without one
+    * `graft_lake('<root>')` spelling. CREATE TABLE <name> KEY … AS binds
+    * the name and lands the table managed under the catalog dir; INSERT
+    * INTO <name> appends; MERGE INTO <name> patches; the final SELECT
+    * reads the CURRENT relation by name next to `VERSION AS OF 0` time
+    * travel by name (both through the injected analyzer rule, not the
+    * parser rewrite). One oracle over the raw table pins every step: a
+    * missed name resolution fails analysis outright, and a verb that
+    * silently delegated (touching the wrong table) diverges the counts. */
+  def lakeSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    // a fresh catalog dir per invocation: bindings persist by design, and
+    // the lane must be re-runnable (CREATE refuses an already-bound name)
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("lake_sql_catalog_src")
+    spark.sql(
+      """CREATE TABLE cat_sales KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_catalog_src""".stripMargin).collect()
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderpriority", lit("9-INSERTED"))
+      .createOrReplaceTempView("lake_sql_catalog_ins")
+    spark.sql(
+      "INSERT INTO cat_sales SELECT * FROM lake_sql_catalog_ins").collect()
+    o.filter(col("o_orderkey") % 100 === 50)
+      .withColumn("o_orderpriority", lit("5-PATCHED"))
+      .createOrReplaceTempView("lake_sql_catalog_upd")
+    spark.sql(
+      """MERGE INTO cat_sales AS tgt
+        |USING lake_sql_catalog_upd AS s
+        |ON tgt.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+    spark.sql(
+      """SELECT src, o_orderpriority, n_orders FROM (
+        |  SELECT 'current' AS src, o_orderpriority, count(*) AS n_orders
+        |  FROM cat_sales GROUP BY o_orderpriority
+        |  UNION ALL
+        |  SELECT 'v0' AS src, o_orderpriority, count(*) AS n_orders
+        |  FROM cat_sales VERSION AS OF 0 GROUP BY o_orderpriority)
+        |ORDER BY src, o_orderpriority""".stripMargin)
+  }
+
   /** Gated lane: SQL INSERT — the append fast path. New keys (every key
     * re-keyed +100 000 000 as '9-INSERTED') land as NEW FILES ONLY: the
     * commit removes nothing and every existing file carries by
@@ -1129,6 +1171,7 @@ object Lake {
     "lake_inlist_pruning" -> (lakeInlistPruning _),
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
+    "lake_sql_catalog" -> (lakeSqlCatalog _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
     "lake_sql_update" -> (lakeSqlUpdate _),
@@ -1319,6 +1362,21 @@ object Lake {
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_orderkey <= 2000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_catalog" ->
+      """WITH cur AS (
+        |  SELECT CASE WHEN o_orderkey % 100 = 50 THEN '5-PATCHED'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT '9-INSERTED' FROM orders WHERE o_orderkey % 100 = 0)
+        |SELECT src, o_orderpriority, n_orders FROM (
+        |  SELECT 'current' AS src, o_orderpriority, count(*) AS n_orders
+        |  FROM cur GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'v0' AS src, o_orderpriority, count(*) AS n_orders
+        |  FROM orders GROUP BY 2)
+        |ORDER BY src, o_orderpriority""".stripMargin,
 
     "lake_sql_insert" ->
       """WITH u AS (

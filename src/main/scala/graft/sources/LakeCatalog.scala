@@ -1,0 +1,180 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Name → root binding layer for [[Lake]] tables — the piece that lets a
+  * SQL user say `CREATE TABLE sales KEY o_orderkey AS …; SELECT * FROM
+  * sales; MERGE INTO sales …` without ever spelling `graft_lake('<root>')`.
+  *
+  * The catalog is a DIRECTORY of one-entry files (`<dir>/<name>.tbl`,
+  * content = the table's root path), not a database: a name claim is an
+  * atomic `create(overwrite = false)` — two racing `CREATE TABLE sales`
+  * get one winner and one clean refusal, the same optimistic-concurrency
+  * primitive the lake's own manifest commit uses. Entries are tiny and
+  * read per statement (a single namenode stat + short read — parse/
+  * analysis-time metadata, never per-row work), so there is nothing to
+  * cache or invalidate across sessions: any engine sharing the catalog
+  * dir sees a registration the moment it lands.
+  *
+  * Resolution surfaces:
+  *  - WRITE path: [[org.apache.spark.sql.graft.GraftSqlParser]] resolves a
+  *    bare single-part identifier after its verbs (MERGE INTO / INSERT
+  *    INTO / UPDATE / DELETE FROM / OPTIMIZE / VACUUM / ALTER / ANALYZE /
+  *    RESTORE / CREATE … SHALLOW CLONE) through [[lookup]]; unknown names
+  *    delegate untouched, so DML on ordinary tables is never captured.
+  *  - READ path: [[LakeNameResolution]] (an injected analyzer rule)
+  *    rewrites a still-unresolved single-part [[UnresolvedRelation]] whose
+  *    name the catalog knows into the lake snapshot relation — `SELECT …
+  *    FROM sales [VERSION AS OF n | TIMESTAMP AS OF '<ts>']` and
+  *    `spark.read.table("sales")` both work. Spark's own resolution runs
+  *    FIRST in the same analyzer batch, so temp views and session-catalog
+  *    tables keep shadowing; the rule only sees names Spark could not
+  *    resolve, which would otherwise fail analysis.
+  *
+  * The catalog directory comes from `spark.graft.catalog.dir` (default:
+  * `<spark.sql.warehouse.dir>/_graft_catalog`). Managed tables (CREATE
+  * without LOCATION) live under `<dir>/tables/<name>`; DROP TABLE only
+  * unbinds the NAME — data stays at the root (every binding is external
+  * in spirit: the root remains addressable as `graft_lake('<root>')`). */
+object LakeCatalog {
+
+  private val Suffix = ".tbl"
+
+  /** Names are plain SQL identifiers (letter/underscore head, then
+    * letters/digits/underscores), compared case-insensitively — stored
+    * lowercase, like Spark's default session catalog. */
+  def isValidName(name: String): Boolean =
+    name.nonEmpty && (name.head.isLetter || name.head == '_') &&
+      name.forall(c => c.isLetterOrDigit || c == '_')
+
+  def catalogDir(spark: SparkSession): Path = new Path(
+    spark.conf.get("spark.graft.catalog.dir",
+      spark.conf.get("spark.sql.warehouse.dir") + "/_graft_catalog"))
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def entryPath(spark: SparkSession, name: String): Path =
+    new Path(catalogDir(spark), name.toLowerCase + Suffix)
+
+  /** Where a MANAGED table (CREATE without LOCATION) for `name` lives. */
+  def managedRoot(spark: SparkSession, name: String): String =
+    new Path(new Path(catalogDir(spark), "tables"), name.toLowerCase).toString
+
+  /** Atomically claim `name` → `root`. Refuses an already-bound name
+    * loudly (the CREATE TABLE duplicate-name contract); the refusal
+    * message carries the existing binding so the caller can decide
+    * between DROP + re-create and picking another name. */
+  def register(spark: SparkSession, name: String, root: String): Unit = {
+    require(isValidName(name),
+      s"'$name' is not a valid table name (letters, digits, underscores; " +
+        "must not start with a digit)")
+    val p = entryPath(spark, name)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    val out =
+      try f.create(p, false)
+      catch {
+        case _: java.io.IOException => throw new IllegalArgumentException(
+          s"table name '$name' is already bound to " +
+            s"'${lookup(spark, name).getOrElse("?")}' in the graft catalog " +
+            s"at ${catalogDir(spark)} — DROP TABLE $name first, or pick " +
+            "another name")
+      }
+    try out.write(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The root bound to `name`, if any. Cheap by design — one stat + one
+    * short read of a one-line file; called at parse/analysis time only. */
+  def lookup(spark: SparkSession, name: String): Option[String] = {
+    if (!isValidName(name)) return None
+    val p = entryPath(spark, name)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else Lake.readMarkerFile(f, p)
+  }
+
+  /** Unbind `name`; returns whether it was bound. The table's data and
+    * manifests stay at the root — a binding is a pointer, never
+    * ownership, so DROP is metadata-only and trivially undoable by
+    * re-registering. */
+  def unregister(spark: SparkSession, name: String): Boolean = {
+    val p = entryPath(spark, name)
+    fs(spark, p).delete(p, false)
+  }
+
+  /** Every (name, root) binding — the `graft_catalog()` table function. */
+  def list(spark: SparkSession): Seq[(String, String)] = {
+    val dir = catalogDir(spark)
+    val f = fs(spark, dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(Suffix))
+      .map { s =>
+        val name = s.getPath.getName.dropRight(Suffix.length)
+        name -> Lake.readMarkerFile(f, s.getPath).getOrElse("")
+      }
+      .sortBy(_._1)
+  }
+
+  def listDf(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    list(spark).toDF("name", "root")
+  }
+}
+
+/** Analyzer rule: resolve single-part relation names through the
+  * [[LakeCatalog]] — the READ half of named-table support. Runs in the
+  * analyzer's extended-resolution slot, i.e. AFTER Spark's own relation
+  * resolution inside the same fixed-point batch, so it only ever sees
+  * names the session catalog and temp views could not claim. Produces the
+  * same analyzed snapshot plan as the `graft_lake_at` table function (an
+  * ordinary parquet LogicalRelation), so manifest pruning and parquet
+  * pushdown apply unchanged. Time travel rides Spark's native
+  * `VERSION AS OF n` / `TIMESTAMP AS OF '<ts>'` grammar
+  * ([[RelationTimeTravel]]); the pin must be a literal, like every
+  * snapshot pin in the engine. */
+class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def nameOf(p: LogicalPlan): Option[String] = p match {
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 1 && !u.isStreaming =>
+      Some(u.multipartIdentifier.head)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(rel, ts, ver) if nameOf(rel).exists(n =>
+          LakeCatalog.lookup(spark, n).isDefined) =>
+        val root = LakeCatalog.lookup(spark, nameOf(rel).get).get
+        val t = new LakeTable(spark, root)
+        val v = ver match {
+          case Some(s) => s.toIntOption.getOrElse(throw new
+              IllegalArgumentException(
+                s"VERSION AS OF on '${nameOf(rel).get}' needs an integer " +
+                  s"version, got: $s"))
+          case None => ts match {
+            case Some(Literal(u: UTF8String, StringType)) =>
+              t.versionAt(Lake.parseTsMillis(u.toString))
+            case Some(e) if e.foldable =>
+              t.versionAt(Lake.parseTsMillis(String.valueOf(e.eval())))
+            case other => throw new IllegalArgumentException(
+              "TIMESTAMP AS OF needs a literal timestamp, got: " + other)
+          }
+        }
+        t.snapshot(v).queryExecution.analyzed
+      case u: UnresolvedRelation if nameOf(u).exists(n =>
+          LakeCatalog.lookup(spark, n).isDefined) =>
+        val root = LakeCatalog.lookup(spark, nameOf(u).get).get
+        new LakeTable(spark, root).read().queryExecution.analyzed
+    }
+}

@@ -51,6 +51,24 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     // see GraftSqlParser for the exact grammar. (Spark's own MERGE
     // grammar routes to DSv2 tables only, hence the parser seam.)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // Named-table READ resolution: single-part relation names bound in
+    // the graft catalog (CREATE TABLE sales KEY … / USING graft_lake
+    // LOCATION …) resolve to their lake snapshot — incl. Spark's native
+    // VERSION/TIMESTAMP AS OF suffix. Runs after Spark's own relation
+    // resolution in the same batch, so temp views and session-catalog
+    // tables keep shadowing.
+    ext.injectResolutionRule(session =>
+      new graft.sources.LakeNameResolution(session))
+    // the catalog's SHOW TABLES: every (name, root) binding as rows
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_catalog"),
+      new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,
+        "graft_catalog"),
+      (children: Seq[Expression]) => {
+        require(children.isEmpty, "graft_catalog takes no arguments")
+        graft.sources.LakeCatalog.listDf(SparkSession.active)
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_lake_at"),
       new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,

@@ -59,6 +59,32 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   *   [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']
   * }}}
   *
+  * NAMED TABLES: everywhere the grammar says `graft_lake('<root>')`, a
+  * bare single-part identifier bound in the name catalog
+  * ([[graft.sources.LakeCatalog]]) works too — the first wall every SQL
+  * user hits is spelling paths, so the catalog closes it:
+  *
+  * {{{
+  * CREATE TABLE sales KEY o_orderkey [FILES n] [PARTITIONED BY (…)]
+  *   [STATS (…)] [LOCATION '<root>'] AS <query>   -- create + bind; no
+  *                                                -- LOCATION = managed
+  * CREATE TABLE sales USING graft_lake LOCATION '<root>'  -- bind existing
+  * CREATE TABLE sales2 SHALLOW CLONE sales [VERSION AS OF n]
+  *   [LOCATION '<root>']
+  * MERGE INTO sales …; INSERT INTO sales …; UPDATE sales …;
+  * DELETE FROM sales …; OPTIMIZE sales …; VACUUM sales …; ALTER TABLE
+  * sales …; ANALYZE TABLE sales …; RESTORE TABLE sales …
+  * DROP TABLE sales        -- unbind the NAME (data stays at its root)
+  * SELECT … FROM sales [VERSION AS OF n | TIMESTAMP AS OF '<ts>']
+  * }}}
+  *
+  * An identifier the catalog does NOT know always delegates untouched —
+  * this parser never captures DML on ordinary tables. Read-side name
+  * resolution rides an injected analyzer rule
+  * ([[graft.sources.LakeNameResolution]]), so names work in joins,
+  * subqueries, and CTEs; Spark's own resolution runs first, so temp views
+  * and session-catalog tables shadow catalog names on reads.
+  *
   * READ side, in every non-DML statement: `FROM graft_lake('<root>')
   * [VERSION AS OF <n> | TIMESTAMP AS OF '<ts>']` rewrites onto the
   * registered `graft_lake_at` table function (literal args only —
@@ -199,6 +225,14 @@ object GraftSqlParser {
       while (i < s.length && isWordChar(s.charAt(i))) i += 1
       if (i == st) fail(s"expected identifier at: …${s.substring(st).take(40)}")
       s.substring(st, i)
+    }
+    /** [[ident]] that declines (None, cursor restored) instead of failing
+      * — for speculative name-resolution lookahead. */
+    def identOpt(): Option[String] = {
+      ws()
+      val st = i
+      while (i < s.length && isWordChar(s.charAt(i))) i += 1
+      if (i == st) None else Some(s.substring(st, i))
     }
     def int(): Int = {
       ws()
@@ -396,9 +430,9 @@ object GraftSqlParser {
       (None, Some(q.substring(1, q.length - 1)))
     } else (None, None)
 
-  /** `graft_lake ( '<root>' )` after the verb keyword(s); None if the
-    * statement targets something else (→ delegate untouched). */
-  private def lakeTarget(sc: Scan): Option[String] = {
+  /** `graft_lake ( '<root>' )` — the explicit path form only; None when
+    * the cursor holds anything else. */
+  private def lakeTargetPath(sc: Scan): Option[String] = {
     if (!sc.keyword("graft_lake")) return None
     val inner = sc.parenBlock().trim
     if (inner.length < 2 || inner.head != '\'' || inner.last != '\'')
@@ -406,36 +440,133 @@ object GraftSqlParser {
     Some(inner.substring(1, inner.length - 1))
   }
 
+  /** The target after a verb's keyword(s): `graft_lake('<root>')`, or a
+    * bare single-part identifier resolved through the name catalog
+    * ([[graft.sources.LakeCatalog]]). None — cursor restored — when the
+    * statement targets something else (an unregistered or multipart
+    * name): DML on ordinary tables must delegate untouched, so a catalog
+    * MISS is never an error here. */
+  private def lakeTarget(sc: Scan): Option[String] = {
+    lakeTargetPath(sc).orElse {
+      val mark = sc.pos
+      sc.identOpt() match {
+        case Some(name) if !name.contains(".") &&
+            graft.sources.LakeCatalog.isValidName(name) =>
+          val hit = graft.sources.LakeCatalog.lookup(SparkSession.active, name)
+          if (hit.isEmpty) sc.seek(mark)
+          hit
+        case _ => sc.seek(mark); None
+      }
+    }
+  }
+
+  /** Shared CTAS tail: `(KEY <col> | APPEND LOG) [FILES n]
+    * [PARTITIONED BY (…)] [STATS (…)] [LOCATION '<root>'] AS <query>`.
+    * `root` is Some for the explicit `graft_lake('<root>')` target form
+    * (where LOCATION would be a second, contradictory root — refused);
+    * None for the name form, where the table lands at LOCATION or, when
+    * absent, at the catalog's managed path for `registerAs`. Returns None
+    * when the cursor doesn't open with KEY/APPEND — a name-form statement
+    * that isn't ours (ordinary CREATE TABLE) must delegate. */
+  private def parseCtasTail(sc: Scan, root: Option[String],
+                            registerAs: Option[String]): Option[LogicalPlan] = {
+    // KEY <col> = keyed (merge-addressable) table;
+    // APPEND LOG = keyless event-log/corpus-shard table
+    val key =
+      if (sc.keyword("APPEND")) { sc.expect("LOG"); "" }
+      else if (sc.keyword("KEY")) sc.ident()
+      else return None
+    val files = if (sc.keyword("FILES")) sc.int() else 8
+    val pcols =
+      if (sc.keyword("PARTITIONED")) { sc.expect("BY")
+        sc.topLevelSplit(sc.parenBlock()) }
+      else Nil
+    val stats =
+      if (sc.keyword("STATS")) sc.topLevelSplit(sc.parenBlock()) else Nil
+    val loc =
+      if (sc.keyword("LOCATION")) {
+        val q = sc.quotedLiteral()
+        Some(q.substring(1, q.length - 1))
+      } else None
+    if (root.isDefined && loc.isDefined)
+      fail("LOCATION cannot combine with an explicit graft_lake('<root>') " +
+        "target — the root is already spelled")
+    sc.expect("AS")
+    val src = sc.restStmt()
+    if (src.isEmpty) fail("CREATE TABLE … AS needs a query")
+    Some(LakeCreateCommand(root.orElse(loc).getOrElse(""), key, files, pcols,
+      stats, src, registerAs))
+  }
+
+  /** `CREATE TABLE <name> …` — the named forms:
+    * `USING graft_lake LOCATION '<root>'` binds the name to an EXISTING
+    * table; `SHALLOW CLONE <target> [VERSION/TIMESTAMP AS OF …]
+    * [LOCATION '<root>']` clones and binds; the CTAS tail creates and
+    * binds (managed under the catalog dir unless LOCATION says where).
+    * Anything else — including every ordinary CREATE TABLE — returns None
+    * and delegates untouched. */
+  private def parseCreateByName(sc: Scan): Option[LogicalPlan] = {
+    val name = sc.identOpt().getOrElse(return None)
+    if (name.contains(".") ||
+        !graft.sources.LakeCatalog.isValidName(name)) return None
+    if (sc.keyword("USING")) {
+      if (!sc.keyword("graft_lake")) return None
+      sc.expect("LOCATION")
+      val q = sc.quotedLiteral()
+      sc.assertEnd()
+      Some(LakeRegisterCommand(name, q.substring(1, q.length - 1)))
+    } else if (sc.keyword("SHALLOW")) {
+      sc.expect("CLONE")
+      val src = lakeTarget(sc).getOrElse(
+        fail("SHALLOW CLONE needs a graft_lake('<root>') or " +
+          "registered-name source"))
+      val (ver, ts) = parseAsOf(sc)
+      val loc =
+        if (sc.keyword("LOCATION")) {
+          val q = sc.quotedLiteral()
+          Some(q.substring(1, q.length - 1))
+        } else None
+      sc.assertEnd()
+      Some(LakeCloneCommand(loc.getOrElse(""), src, ver, ts,
+        registerAs = Some(name)))
+    } else parseCtasTail(sc, None, Some(name))
+  }
+
   private[graft] def tryParseDml(sqlText: String,
                                  delegate: ParserInterface): Option[LogicalPlan] = {
     val sc = new Scan(sqlText)
     if (sc.keyword("CREATE")) {
       if (!sc.keyword("TABLE")) None
-      else lakeTarget(sc).map { root =>
-        if (sc.keyword("SHALLOW")) {
-          sc.expect("CLONE")
-          val src = lakeTarget(sc).getOrElse(
-            fail("SHALLOW CLONE needs a graft_lake('<root>') source"))
-          val (ver, ts) = parseAsOf(sc)
-          sc.assertEnd()
-          LakeCloneCommand(root, src, ver, ts)
-        } else {
-        // KEY <col> = keyed (merge-addressable) table;
-        // APPEND LOG = keyless event-log/corpus-shard table
-        val key =
-          if (sc.keyword("APPEND")) { sc.expect("LOG"); "" }
-          else { sc.expect("KEY"); sc.ident() }
-        val files = if (sc.keyword("FILES")) sc.int() else 8
-        val pcols =
-          if (sc.keyword("PARTITIONED")) { sc.expect("BY")
-            sc.topLevelSplit(sc.parenBlock()) }
-          else Nil
-        val stats =
-          if (sc.keyword("STATS")) sc.topLevelSplit(sc.parenBlock()) else Nil
-        sc.expect("AS")
-        val src = sc.restStmt()
-        if (src.isEmpty) fail("CREATE TABLE graft_lake(…) … AS needs a query")
-        LakeCreateCommand(root, key, files, pcols, stats, src)
+      else lakeTargetPath(sc) match {
+        case Some(root) => Some {
+          if (sc.keyword("SHALLOW")) {
+            sc.expect("CLONE")
+            val src = lakeTarget(sc).getOrElse(
+              fail("SHALLOW CLONE needs a graft_lake('<root>') or " +
+                "registered-name source"))
+            val (ver, ts) = parseAsOf(sc)
+            sc.assertEnd()
+            LakeCloneCommand(root, src, ver, ts)
+          } else parseCtasTail(sc, Some(root), None).getOrElse(
+            fail("CREATE TABLE graft_lake(…) needs KEY <col>, APPEND LOG, " +
+              "or SHALLOW CLONE"))
+        }
+        case None => parseCreateByName(sc)
+      }
+    } else if (sc.keyword("DROP")) {
+      // DROP TABLE <name>: unbind a catalog name (metadata-only — the
+      // data stays at its root). Unregistered or multipart names, and any
+      // longer statement form, delegate untouched.
+      if (!sc.keyword("TABLE")) None
+      else {
+        if (sc.keyword("IF")) sc.keyword("EXISTS") // tolerated noise words
+        sc.identOpt() match {
+          case Some(name) if !name.contains(".") &&
+              graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&
+              graft.sources.LakeCatalog
+                .lookup(SparkSession.active, name).isDefined =>
+            Some(LakeDropNameCommand(name))
+          case _ => None
         }
       }
     } else if (sc.keyword("RESTORE")) {
@@ -977,21 +1108,83 @@ case class LakeMergeCommand(root: String, sourceSql: String, keyName: String,
 case class LakeCreateCommand(root: String, keyCol: String, files: Int,
                              partitionCols: Seq[String],
                              statsCols: Seq[String],
-                             sourceSql: String) extends LeafRunnableCommand {
+                             sourceSql: String,
+                             registerAs: Option[String] = None)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    // empty root = MANAGED named table: it lives under the catalog dir
+    val resolvedRoot =
+      if (root.nonEmpty) root
+      else graft.sources.LakeCatalog.managedRoot(spark, registerAs.getOrElse(
+        throw new IllegalStateException(
+          "CREATE TABLE without a root needs a name to manage it under")))
+    // claim the NAME first — the catalog entry's atomic create serializes
+    // racing CREATEs of the same name (both would otherwise race the same
+    // managed root); a failed create unbinds so the name doesn't dangle
+    registerAs.foreach(n =>
+      graft.sources.LakeCatalog.register(spark, n, resolvedRoot))
+    try {
+      val fs = new org.apache.hadoop.fs.Path(resolvedRoot).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(
+          new org.apache.hadoop.fs.Path(resolvedRoot, "_manifests")),
+        s"CREATE TABLE: a lake table already exists at $resolvedRoot")
+      val t =
+        if (keyCol.isEmpty)
+          graft.sources.Lake.createAppendLog(spark, resolvedRoot,
+            spark.sql(sourceSql), files, statsCols = statsCols,
+            partitionBy = partitionCols)
+        else graft.sources.Lake.create(spark, resolvedRoot,
+          spark.sql(sourceSql), keyCol, files, statsCols = statsCols,
+          partitionBy = partitionCols)
+      val m = t.manifest(0)
+      Seq(Row(0, 0, 0, m.files.size, m.files.map(_.rows).sum))
+    } catch {
+      case e: Throwable =>
+        registerAs.foreach(n =>
+          graft.sources.LakeCatalog.unregister(spark, n))
+        throw e
+    }
+  }
+}
+
+/** `CREATE TABLE <name> USING graft_lake LOCATION '<root>'` — bind a NAME
+  * to an EXISTING lake table (the "adopt a path-addressed table into the
+  * catalog" verb; nothing is created or copied). Refuses a location with
+  * no lake table, and a name already bound. */
+case class LakeRegisterCommand(name: String, root: String)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_manifests")),
-      s"CREATE TABLE: a lake table already exists at $root")
-    val t =
-      if (keyCol.isEmpty)
-        graft.sources.Lake.createAppendLog(spark, root, spark.sql(sourceSql),
-          files, statsCols = statsCols, partitionBy = partitionCols)
-      else graft.sources.Lake.create(spark, root, spark.sql(sourceSql),
-        keyCol, files, statsCols = statsCols, partitionBy = partitionCols)
-    val m = t.manifest(0)
-    Seq(Row(0, 0, 0, m.files.size, m.files.map(_.rows).sum))
+    require(fs.exists(new org.apache.hadoop.fs.Path(root, "_manifests")),
+      s"CREATE TABLE $name USING graft_lake: no lake table at $root — " +
+        "to create one, use CREATE TABLE " + name +
+        " KEY <col> … [LOCATION '<root>'] AS <query>")
+    graft.sources.LakeCatalog.register(spark, name, root)
+    val t = new graft.sources.LakeTable(spark, root)
+    val m = t.manifest(t.latestVersion)
+    Seq(Row(m.version, m.files.size, 0, 0, 0L))
+  }
+}
+
+/** `DROP TABLE <name>` for a catalog-bound name — unbind the NAME only
+  * (metadata-only): the table's data and manifests stay at the root and
+  * remain addressable as `graft_lake('<root>')` or re-bindable. */
+case class LakeDropNameCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("root", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = graft.sources.LakeCatalog.lookup(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"DROP TABLE: '$name' is not bound in the graft catalog"))
+    graft.sources.LakeCatalog.unregister(spark, name)
+    Seq(Row(name, root))
   }
 }
 
@@ -1218,16 +1411,32 @@ case class LakeRestoreCommand(root: String, version: Option[Int],
   * [[graft.sources.LakeTable.cloneShallow]] — a new independently-
   * committing table referencing the source snapshot's files zero-copy. */
 case class LakeCloneCommand(newRoot: String, srcRoot: String,
-                            version: Option[Int], timestamp: Option[String])
+                            version: Option[Int], timestamp: Option[String],
+                            registerAs: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = GraftSqlParser.statsOutput
   override def run(spark: SparkSession): Seq[Row] = {
-    val src = new graft.sources.LakeTable(spark, srcRoot)
-    val v = version.getOrElse(timestamp.fold(-1)(ts =>
-      src.versionAt(graft.sources.Lake.parseTsMillis(ts))))
-    val c = src.cloneShallow(newRoot, v)
-    val m = c.manifest(0)
-    GraftSqlParser.statsRow(
-      graft.sources.Lake.MergeStats(0, m.files.size, 0, 0, 0L))
+    // empty newRoot = MANAGED named clone under the catalog dir
+    val resolvedRoot =
+      if (newRoot.nonEmpty) newRoot
+      else graft.sources.LakeCatalog.managedRoot(spark, registerAs.getOrElse(
+        throw new IllegalStateException(
+          "SHALLOW CLONE without a root needs a name to manage it under")))
+    registerAs.foreach(n =>
+      graft.sources.LakeCatalog.register(spark, n, resolvedRoot))
+    try {
+      val src = new graft.sources.LakeTable(spark, srcRoot)
+      val v = version.getOrElse(timestamp.fold(-1)(ts =>
+        src.versionAt(graft.sources.Lake.parseTsMillis(ts))))
+      val c = src.cloneShallow(resolvedRoot, v)
+      val m = c.manifest(0)
+      GraftSqlParser.statsRow(
+        graft.sources.Lake.MergeStats(0, m.files.size, 0, 0, 0L))
+    } catch {
+      case e: Throwable =>
+        registerAs.foreach(n =>
+          graft.sources.LakeCatalog.unregister(spark, n))
+        throw e
+    }
   }
 }

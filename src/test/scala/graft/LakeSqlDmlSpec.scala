@@ -1116,4 +1116,129 @@ class LakeSqlDmlSpec extends SparkTestBase {
       e2.getMessage should include("append-log")
     }
   }
+
+  test("named tables: full lifecycle by name, no path spelled once") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 90L).map(k => (k, s"val$k", k * 10.0))
+        .toDF("k", "payload", "amount")
+        .createOrReplaceTempView("cat_src")
+      // CREATE by name — managed root under the catalog dir
+      s.sql("CREATE TABLE t_orders KEY k FILES 3 AS SELECT * FROM cat_src")
+        .collect()
+      // read by name (analyzer rule), incl. inside a join of itself
+      s.sql("SELECT count(*) AS n FROM t_orders").collect()(0)
+        .getLong(0) shouldBe 90L
+      // INSERT by name
+      s.sql("INSERT INTO t_orders SELECT k + 1000 AS k, payload, amount " +
+        "FROM cat_src WHERE k <= 5").collect()
+      // MERGE by name
+      Seq((7L, "PATCHED", 0.0)).toDF("k", "payload", "amount")
+        .createOrReplaceTempView("cat_upd")
+      s.sql(
+        """MERGE INTO t_orders AS tgt USING cat_upd AS src
+          |ON tgt.k = src.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin).collect()
+      // UPDATE / DELETE by name
+      s.sql("UPDATE t_orders SET payload = 'U' WHERE k = 8").collect()
+      s.sql("DELETE FROM t_orders WHERE k = 9").collect()
+      // maintenance + RESTORE-shaped verbs by name
+      s.sql("OPTIMIZE t_orders BINPACK 1000").collect()
+      s.sql("ANALYZE TABLE t_orders COMPUTE STATISTICS FOR COLUMNS amount")
+        .collect()
+      val cur = s.sql("SELECT payload FROM t_orders WHERE k IN (7, 8)")
+        .collect().map(_.getString(0)).sorted
+      cur shouldBe Array("PATCHED", "U")
+      s.sql("SELECT count(*) AS n FROM t_orders").collect()(0)
+        .getLong(0) shouldBe 94L // +5 inserts, -1 delete
+      // time travel by NAME through Spark's native AS OF grammar
+      s.sql("SELECT count(*) FROM t_orders VERSION AS OF 0").collect()(0)
+        .getLong(0) shouldBe 90L
+      s.sql("SELECT payload FROM t_orders VERSION AS OF 0 WHERE k = 7")
+        .collect()(0).getString(0) shouldBe "val7"
+      // catalog listing
+      s.sql("SELECT name FROM graft_catalog()").collect()
+        .map(_.getString(0)).toSeq shouldBe Seq("t_orders")
+      // clone by name, then read the clone by name
+      s.sql("CREATE TABLE t_orders2 SHALLOW CLONE t_orders VERSION AS OF 0")
+        .collect()
+      s.sql("SELECT count(*) FROM t_orders2").collect()(0)
+        .getLong(0) shouldBe 90L
+      // DROP unbinds the NAME only; the data stays and can re-bind
+      val dropped = s.sql("DROP TABLE t_orders").collect()(0)
+      val root = dropped.getString(1)
+      intercept[Exception] {
+        s.sql("SELECT count(*) FROM t_orders").collect()
+      }
+      s.sql(s"SELECT count(*) FROM graft_lake('$root')").collect()(0)
+        .getLong(0) shouldBe 94L
+      s.sql(s"CREATE TABLE t_orders USING graft_lake LOCATION '$root'")
+        .collect()
+      s.sql("SELECT count(*) FROM t_orders").collect()(0)
+        .getLong(0) shouldBe 94L
+    }
+  }
+
+  test("named tables: refusal and delegation surface") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 9L).map(k => (k, s"v$k")).toDF("k", "payload")
+        .createOrReplaceTempView("cat_ref_src")
+      s.sql("CREATE TABLE bound_t KEY k AS SELECT * FROM cat_ref_src")
+        .collect()
+      // CREATE of an already-bound name refuses with guidance
+      val dup = intercept[Exception] {
+        s.sql("CREATE TABLE bound_t KEY k AS SELECT * FROM cat_ref_src")
+          .collect()
+      }
+      dup.getMessage should include("already bound")
+      dup.getMessage should include("DROP TABLE bound_t")
+      // binding a location with no lake table refuses with guidance
+      val noTable = intercept[Exception] {
+        s.sql(s"CREATE TABLE ghost USING graft_lake LOCATION " +
+          s"'${Lake.freshRoot()}/empty'").collect()
+      }
+      noTable.getMessage should include("no lake table at")
+      // ...and the failed bind did NOT leak a catalog entry
+      s.sql("SELECT count(*) FROM graft_catalog()").collect()(0)
+        .getLong(0) shouldBe 1L
+      // lake DML on an UNREGISTERED name delegates to Spark — the error
+      // is Spark's own resolution failure, never a graft refusal
+      val unk = intercept[Exception] {
+        s.sql("DELETE FROM not_a_lake_table WHERE k = 1").collect()
+      }
+      unk.getMessage.toLowerCase should not include "graft"
+      val unkRead = intercept[Exception] {
+        s.sql("SELECT * FROM never_registered").collect()
+      }
+      unkRead.getMessage.toLowerCase should not include "graft"
+      // DROP TABLE of an unregistered name delegates (Spark's own error)
+      val unkDrop = intercept[Exception] {
+        s.sql("DROP TABLE never_registered").collect()
+      }
+      unkDrop.getMessage.toLowerCase should not include "graft"
+      // multipart names always delegate — the catalog is single-part
+      val multi = intercept[Exception] {
+        s.sql("DELETE FROM db.bound_t WHERE k = 1").collect()
+      }
+      multi.getMessage.toLowerCase should not include "graft"
+      // a TEMP VIEW sharing the name shadows the catalog binding on READS
+      // (Spark's own resolution runs first) — writes still hit the lake
+      (101L to 103L).map(k => (k, "view")).toDF("k", "payload")
+        .createOrReplaceTempView("bound_t")
+      s.sql("SELECT count(*) FROM bound_t").collect()(0)
+        .getLong(0) shouldBe 3L
+      s.catalog.dropTempView("bound_t")
+      s.sql("SELECT count(*) FROM bound_t").collect()(0)
+        .getLong(0) shouldBe 9L
+      // ordinary CREATE TABLE still delegates untouched
+      s.sql("CREATE TABLE plain_spark_t (id INT) USING parquet")
+      s.sql("INSERT INTO plain_spark_t VALUES (1), (2)").collect()
+      s.sql("SELECT count(*) FROM plain_spark_t").collect()(0)
+        .getLong(0) shouldBe 2L
+      s.sql("DROP TABLE plain_spark_t")
+    }
+  }
 }
