@@ -1679,7 +1679,48 @@ object Lake {
                    // [[LakeTable.remapReAdded]]), so stale pre-drop
                    // bytes can never read back as the new column's
                    // values. Carried FULL, like the column map.
-                   droppedCols: Seq[String] = Nil)
+                   droppedCols: Seq[String] = Nil,
+                   // PROTOCOL marker: feature names a reader/writer MUST
+                   // understand to interpret this commit's state
+                   // correctly. Stamped automatically at commit time
+                   // ([[LakeTable.commitDelta]] derives them from the
+                   // delta's own metadata — verbs never hand-maintain
+                   // the list), checked on every manifest read
+                   // ([[LakeTable.readDelta]]): an engine build that does
+                   // not know a required feature REFUSES the table loudly
+                   // instead of misreading it — the Delta protocol-version
+                   // lesson. Absent on pre-versioning manifests = implicit
+                   // v1: no requirements, read unchanged.
+                   requiredFeatures: Seq[String] = Nil)
+
+  /** Every protocol feature THIS engine build understands. A manifest
+    * whose `requiredFeatures` go beyond this set refuses every verb —
+    * see [[Delta.requiredFeatures]]. */
+  val supportedFeatures: Set[String] = Set(
+    "column-mapping",     // logical→physical rename indirection
+    "dropped-columns",    // physical-name reservation after DROP COLUMN
+    "check-constraints",  // CHECK enforced in every write
+    "keyless",            // keyCol = "" append-log sentinel
+    "deferred-deletes",   // merge-on-read tombstone files
+    "partition-evolution" // multi-era hive layouts under one spec
+  )
+
+  /** The features `d`'s state actually uses — what a reader must
+    * understand to interpret it. Derived, never hand-maintained. */
+  private[sources] def featuresOf(d: Delta): Seq[String] = Seq(
+    if (d.columnMap.nonEmpty) Some("column-mapping") else None,
+    if (d.droppedCols.nonEmpty) Some("dropped-columns") else None,
+    if (d.constraints.nonEmpty) Some("check-constraints") else None,
+    if (d.keyCol.isEmpty) Some("keyless") else None,
+    if (d.tombstoneAdds.nonEmpty) Some("deferred-deletes") else None,
+    // the spec-evolution commit itself, plus any commit whose adds span
+    // a layout era other than the current spec's (incl. full anchors of
+    // evolved tables — their adds are the whole state)
+    if (d.operation == "alter-partitioning" ||
+        d.adds.exists(f => Lake.hiveSig(f.path).map(_.toLowerCase) !=
+          d.partitionCols.map(_.toLowerCase)))
+      Some("partition-evolution")
+    else None).flatten
 
   /** A resolved state as a full, self-anchoring Delta (legacy-manifest
     * reads and the create/compact/restore/clone commit shape). */
@@ -1823,6 +1864,7 @@ object Lake {
       "columnMap" -> d.columnMap.toSeq.sortBy(_._1).to(ListMap),
       "constraints" -> d.constraints.toSeq.sortBy(_._1).to(ListMap),
       "droppedCols" -> d.droppedCols,
+      "requiredFeatures" -> d.requiredFeatures,
       "adds" -> d.adds.map(fileJson(colOrder)),
       "removes" -> d.removes,
       "tombstoneAdds" -> d.tombstoneAdds.map(fileJson(colOrder)),
@@ -1900,7 +1942,8 @@ object Lake {
             n.get("constraints").fields().asScala.map(e =>
               e.getKey -> e.getValue.asText()).toMap
           else Map.empty,
-        droppedCols = strings("droppedCols"))
+        droppedCols = strings("droppedCols"),
+        requiredFeatures = strings("requiredFeatures"))
   }
 
   /** Normalize a column to the Long STAT UNITS the manifest stores:
@@ -2063,6 +2106,19 @@ class LakeTable(spark: SparkSession, val root: String) {
       val in = fs.open(manifestPath(v))
       val d = try fromJson(new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
+      // protocol gate — the ONE chokepoint every verb's manifest access
+      // funnels through: a commit requiring a feature this build does not
+      // know refuses loudly (reading on anyway would silently misread the
+      // table — wrong columns, missed tombstones, a misgrouped layout).
+      // Pre-versioning manifests carry no requirements: implicit v1.
+      val unknown = d.requiredFeatures.filterNot(Lake.supportedFeatures)
+      if (unknown.nonEmpty) throw new IllegalStateException(
+        s"lake table at $root: commit v$v requires protocol feature(s) " +
+          s"${unknown.mkString("'", "', '", "'")} that this engine build " +
+          "does not support (it knows: " +
+          Lake.supportedFeatures.toSeq.sorted.mkString(", ") + "). " +
+          "Upgrade the engine to read this table — refusing now avoids " +
+          "a silent misread")
       deltaCache.put(key, d)
       d
     }
@@ -2844,11 +2900,21 @@ class LakeTable(spark: SparkSession, val root: String) {
     * concurrent committers of the same version get one winner. */
   private[graft] def commitDelta(d: Delta): Unit = {
     onBeforeCommit()
+    // protocol gate for WRITERS too: most verbs resolve the parent before
+    // getting here, but some (restore) only read an OLDER snapshot —
+    // committing on top of a parent this build cannot interpret would
+    // silently revert the unknown feature's state. readDelta refuses.
+    if (d.parentVersion >= 0 && hasVersion(d.parentVersion))
+      readDelta(d.parentVersion)
     fs.mkdirs(manifestDir)
     // in-commit timestamp: stamped into the manifest itself (robust where
-    // file mtimes aren't — object stores, copies); versionAt prefers it
-    val stamped =
+    // file mtimes aren't — object stores, copies); versionAt prefers it.
+    // Protocol features stamp here too — derived from the delta's own
+    // metadata at the single commit chokepoint, so no verb can forget one
+    val stamped0 =
       if (d.commitTs > 0) d else d.copy(commitTs = System.currentTimeMillis())
+    val stamped = stamped0.copy(requiredFeatures =
+      (stamped0.requiredFeatures ++ Lake.featuresOf(stamped0)).distinct)
     val tmp = new Path(manifestDir, s".tmp-${UUID.randomUUID()}.json")
     val out = fs.create(tmp, false)
     try out.write(toJson(stamped).getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -390,6 +390,71 @@ class LakeSpec extends SparkTestBase {
         Seq("val5", null, "update_preimage"))
   }
 
+  test("protocol features: an unknown required feature refuses every verb") {
+    val t = mkTable() // v0
+    t.merge(Seq((5L, "x", "B")).toDF("k", "payload", "status")) // v1
+    // a FUTURE engine build lands v2 requiring a feature this build lacks
+    val future = graft.sources.Lake.fullDelta(t.manifest(1)).copy(
+      version = 2, parentVersion = 1, operation = "future-verb",
+      commitTs = System.currentTimeMillis(),
+      requiredFeatures = Seq("frobnication-v2"))
+    val fs = new Path(t.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(t.root, "_manifests/v00002.json"), false)
+    out.write(Lake.toJson(future).getBytes); out.close()
+    def refuses(f: => Any): Unit = {
+      val e = intercept[IllegalStateException](f)
+      e.getMessage should include("frobnication-v2")
+      e.getMessage should include("Upgrade the engine")
+    }
+    refuses(t.read().collect())
+    refuses(t.merge(Seq((9L, "y", "C")).toDF("k", "payload", "status")))
+    refuses(t.insertAll(
+      Seq((900L, "z", "Z")).toDF("k", "payload", "status")))
+    refuses(t.deleteWhere(lit(true)))
+    refuses(t.compact(1))
+    refuses(t.changes(1, 2))
+    refuses(t.restore(1))
+    // ...but snapshots BELOW the future commit stay readable: the gate is
+    // per-commit, so history written by THIS build is never held hostage
+    t.snapshot(1).count() shouldBe 90L
+    t.changes(0, 1).count() shouldBe 2L // the v1 update's pre+post images
+    // and commits THIS build writes stamp their own requirements, derived
+    // (never hand-maintained): a keyless + constrained + tombstoned table
+    val t2 = Lake.createAppendLog(spark, Lake.freshRoot(),
+      Seq((1L, "a")).toDF("id", "msg"), 1)
+    Lake.fromJson(readManifest(t2, 0))
+      .requiredFeatures should contain("keyless")
+    val t3 = mkTable()
+    t3.addConstraint("c1", "k > 0")
+    Lake.fromJson(readManifest(t3, 1))
+      .requiredFeatures should contain("check-constraints")
+    t3.renameColumn("payload", "note")
+    Lake.fromJson(readManifest(t3, 2))
+      .requiredFeatures should contain("column-mapping")
+    t3.deleteDeferred(Seq(5L).toDF("k"))
+    Lake.fromJson(readManifest(t3, 3))
+      .requiredFeatures should contain("deferred-deletes")
+    // pre-versioning manifests (no requiredFeatures field) = implicit v1:
+    // rewrite v0 with the LEGACY full-snapshot writer and read unchanged
+    val legacy = Lake.toJson(t2.manifest(0))
+    legacy should not include "requiredFeatures"
+    val fs2 = new Path(t2.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new Path(t2.root, "_manifests/v00000.json"), false)
+    val out2 = fs2.create(new Path(t2.root, "_manifests/v00000.json"), false)
+    out2.write(legacy.getBytes); out2.close()
+    Lake.clearMetadataCaches()
+    t2.read().count() shouldBe 1L
+  }
+
+  private def readManifest(t: graft.sources.LakeTable, v: Int): String = {
+    val fs = new Path(t.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(t.root, f"_manifests/v$v%05d.json"))
+    try new String(in.readAllBytes()) finally in.close()
+  }
+
   test("degenerate change interval on an emptied table keeps the feed contract") {
     // the feed contract is "data schema plus _change_type"; an interval
     // over a snapshot with zero files must still speak it when the commit
