@@ -522,9 +522,12 @@ object TextAnalysis {
     * steady-state production shape, where a corpus release is refreshed
     * per arriving crawl batch instead of rebuilt from scratch:
     *
-    *  - the CORPUS is a lake table (batch 1 creates v0, batch 2 is an
-    *    adds-only insert commit); the arriving batch is discovered from
-    *    the table's own change feed, exactly like `sim_index_cdc`.
+    *  - the CORPUS is a KEYLESS append-log lake table (batch 1 creates
+    *    v0, batch 2 is an adds-only insert commit — blind, no PK probe: a
+    *    crawl corpus has no natural merge key); the arriving batch is
+    *    discovered from the table's own change feed, exactly like
+    *    `sim_index_cdc`, and pure-append commits stay file-sliceable
+    *    under the stream source's admission caps.
     *  - per-doc CLEANING + tokenization run on the BATCH only.
     *  - near-dup PAIRS come from probing the batch's band signatures
     *    against the full bucket index (batch×corpus + batch×batch) —
@@ -552,65 +555,69 @@ object TextAnalysis {
   def pipelineCorpusBuildIncremental(spark: SparkSession, dir: String): DataFrame =
     pipelineCorpusBuildIncrementalAt(spark, dir, IncCorpusSplit)
 
-  private[graft] def pipelineCorpusBuildIncrementalAt(
-      spark: SparkSession, dir: String, split: Long): DataFrame = {
-    import graft.sources.Lake
-    import org.apache.spark.sql.expressions.Window
-    val docsAll = Tables.documents(spark, dir)
-    // the corpus lake table: batch 1 creates, batch 2 appends (CDC source)
-    val t = Lake.create(spark, Lake.freshRoot(),
-      docsAll.filter(col("doc_id") < split), "doc_id", 4)
-    t.insertAll(docsAll.filter(col("doc_id") >= split))
+  /** Per-doc cleaning + tokenization lineage of a batch of documents —
+    * shared by the incremental lane, the streaming consumer, and the
+    * from-scratch bootstrap (the equality gates demand ONE formula). */
+  private[graft] def corpusLineage(d: DataFrame): DataFrame = {
+    val dt = Tables.fanOut(d).withColumn("toks", Portable.tokens(col("text")))
+    val toks = col("toks")
+    val n = size(toks); val nd = size(array_distinct(toks))
+    dt.select(col("doc_id"), col("source"),
+      size(toks).cast("long").as("n_tokens"),
+      (n >= 10 && nd * 2 >= n && markerCount(toks, stopEn) >= 1).as("clean_ok"))
+  }
 
-    // stage primitives SHARED with the batch lanes ([[Dedup]]'s
-    // df-parameterized forms) — the equality gate demands the exact same
-    // formulas, so they are one implementation, never mirrored copies
-    def shingleHashes(d: DataFrame): DataFrame = Dedup.docShingleHashesOf(d)
-    def buckets(sh: DataFrame): DataFrame = Dedup.minhashBucketsOf(sh)
-    def verified(cand: DataFrame, sh: DataFrame): DataFrame =
-      Dedup.jaccardOnCandidatesOf(sh, cand).select("doc_a", "doc_b")
-    def lineageOf(d: DataFrame): DataFrame = {
-      val dt = Tables.fanOut(d).withColumn("toks", Portable.tokens(col("text")))
-      val toks = col("toks")
-      val n = size(toks); val nd = size(array_distinct(toks))
-      dt.select(col("doc_id"), col("source"),
-        size(toks).cast("long").as("n_tokens"),
-        (n >= 10 && nd * 2 >= n && markerCount(toks, stopEn) >= 1).as("clean_ok"))
-    }
-
-    // ---- batch-1 build: the per-doc state table's v0
-    val docs1 = t.snapshot(0)
-    val sh1 = shingleHashes(docs1).localCheckpoint()
-    val b1 = buckets(sh1).localCheckpoint()
-    val pairs1 = verified(
-      b1.as("x").join(b1.as("y"),
+  /** From-scratch BOOTSTRAP over an initial corpus: the per-doc state
+    * relation (doc_id, source, n_tokens, clean_ok, cluster_id) plus the
+    * signature index relations the incremental advances probe against —
+    * (shingle hashes, band buckets). All three are checkpointed: the
+    * caller persists them (lake tables in production, memory in the
+    * gated lane). */
+  private[graft] def corpusBootstrap(docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val sh = Dedup.docShingleHashesOf(docs).localCheckpoint()
+    val bk = Dedup.minhashBucketsOf(sh).localCheckpoint()
+    val pairs = Dedup.jaccardOnCandidatesOf(sh,
+      bk.as("x").join(bk.as("y"),
           col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct(), sh1)
-    val clusters1 = graft.ops.Graph
-      .clusterAssign(docs1.select("doc_id"), "doc_id", pairs1, "doc_a", "doc_b")
+        .distinct()).select("doc_a", "doc_b")
+    val clusters = graft.ops.Graph
+      .clusterAssign(docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b")
       .select("doc_id", "cluster_id")
-    val state = Lake.create(spark, Lake.freshRoot(),
-      lineageOf(docs1).join(clusters1, "doc_id"), "doc_id", 4)
+    (corpusLineage(docs).join(clusters, "doc_id").localCheckpoint(), sh, bk)
+  }
 
-    // ---- batch-2 arrival, discovered from the corpus table's change feed
-    val batch = t.changes(0, t.latestVersion)
-      .filter(col("_change_type") === "insert")
-      .select(docsAll.columns.map(col): _*).localCheckpoint()
-    val shB = shingleHashes(batch).localCheckpoint()
-    val bB = buckets(shB).localCheckpoint()
-    // new edges: every pair with a batch endpoint (batch ids sort above
-    // the corpus split, so x < y puts the batch doc on the right)
-    val cand = b1.unionByName(bB).as("x")
+  /** The probe + contraction ADVANCE shared by the incremental lane and
+    * the streaming consumer: given an arriving batch, the corpus-so-far
+    * signature index (`shPrior` shingle hashes, `bkPrior` band buckets —
+    * neither containing the batch's docs) and the prior per-doc state,
+    * compute `(shB, bB, stateRows)` — the batch's own signature relations
+    * (for the caller to append to its index) and the state-table MERGE
+    * rows (the batch's docs plus only the old rows whose cluster label
+    * moved). Pure dataflow, deterministic given its inputs: the caller
+    * owns persistence and commit sequencing, which is what makes the
+    * epoch-tagged streaming consumer exactly-once. Assumes batch doc_ids
+    * sort above the corpus's (crawl batches arrive in id order), so the
+    * bucket join's `x < y` always puts the batch doc on the right. */
+  private[graft] def corpusAdvance(batch: DataFrame, shPrior: DataFrame,
+      bkPrior: DataFrame, oldState: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val shB = Dedup.docShingleHashesOf(batch).localCheckpoint()
+    val bB = Dedup.minhashBucketsOf(shB).localCheckpoint()
+    // new edges: every pair with a batch endpoint — old×old pairs were
+    // found when their own batches landed
+    val cand = bkPrior.unionByName(bB).as("x")
       .join(bB.as("y"),
         col("x.band") === col("y.band") && col("x.bkt") === col("y.bkt") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val newPairs = verified(cand, sh1.unionByName(shB)).localCheckpoint()
+    val newPairs = Dedup.jaccardOnCandidatesOf(shPrior.unionByName(shB), cand)
+      .select("doc_a", "doc_b").localCheckpoint()
     // contraction: old endpoints collapse to their current cluster label
-    val oldAssign = state.read().select("doc_id", "cluster_id").localCheckpoint()
+    val oldAssign = oldState.select("doc_id", "cluster_id").localCheckpoint()
     val contracted = newPairs
       .join(oldAssign.select(col("doc_id").as("doc_a"),
         col("cluster_id").as("ca0")), Seq("doc_a"), "left")
@@ -622,22 +629,25 @@ object TextAnalysis {
       .clusterAssign(superNodes, "doc_id", contracted, "ca", "cb")
       .select(col("doc_id").as("rep"), col("cluster_id").as("new_cluster"))
       .localCheckpoint()
-    // state advance: ONE merge of the batch's rows plus only the old
-    // rows whose cluster label moved
     val movedReps = superAssign.filter(col("rep") =!= col("new_cluster"))
       .withColumnRenamed("rep", "cluster_id")
-    val changedOld = state.read()
+    val changedOld = oldState
       .join(movedReps, "cluster_id") // only members of MOVED clusters scan on
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("clean_ok"), col("new_cluster").as("cluster_id"))
-    val batchRows = lineageOf(batch)
+    val batchRows = corpusLineage(batch)
       .join(superAssign.withColumnRenamed("rep", "doc_id"), "doc_id")
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("clean_ok"), col("new_cluster").as("cluster_id"))
-    state.merge(changedOld.unionByName(batchRows))
+    (shB, bB, changedOld.unionByName(batchRows).localCheckpoint())
+  }
 
-    // ---- final assembly from the maintained state: one window pass
-    val kept = state.read().filter(col("clean_ok"))
+  /** Final corpus ASSEMBLY from the maintained per-doc state: canonical-
+    * survivor election, cluster-keyed split, per-(split, source) packing —
+    * one window pass, no re-tokenization, no re-pairing. */
+  private[graft] def corpusAssembly(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kept = state.filter(col("clean_ok"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("cluster_id").orderBy("doc_id")))
       .filter(col("rk") === 1)
@@ -654,6 +664,89 @@ object TextAnalysis {
         col("n_tokens"),
         floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("long").as("bin"))
       .orderBy("doc_id")
+  }
+
+  /** STANDING-QUERY form of the incremental corpus build: the same
+    * [[corpusAdvance]] contraction step wired as a `foreachBatch`
+    * consumer of the corpus table's keyless change feed — a corpus
+    * refresh that runs continuously as crawl batches land, instead of as
+    * hand-driven batch calls. State lives in three lake tables the
+    * caller bootstraps from the initial corpus ([[corpusBootstrap]]):
+    * the KEYED per-doc STATE table (it merges) and two KEYLESS signature
+    * index tables (shingle hashes + band buckets — adds-only).
+    *
+    * EXACTLY-ONCE across restarts, the `lake_mv_incremental` streamed-
+    * epoch discipline: every commit inside an epoch is epoch-tagged
+    * (`insertEpoch` / `mergeEpoch` — at-most-once per (appId, epoch)),
+    * and the advance computation is made REPLAY-PROOF by stripping the
+    * batch's own docs from every prior relation first — a replayed epoch
+    * whose index appends landed but whose state merge did not recomputes
+    * byte-identical merge rows, and the landed appends no-op on their
+    * tags. Each epoch's per-byte work is O(batch): the feed delivers
+    * only the arriving commit's files, signatures probe the bucket
+    * index, clusters advance by contraction. */
+  def corpusBuildStreamStart(spark: SparkSession, corpusRoot: String,
+      stateRoot: String, shRoot: String, bkRoot: String,
+      checkpoint: String, appId: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.sources.LakeTable
+    spark.readStream.format("graft-lake").load(corpusRoot)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        val batch = df.filter(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version").localCheckpoint()
+        if (!batch.isEmpty) {
+          val state = new LakeTable(spark, stateRoot)
+          val sh = new LakeTable(spark, shRoot)
+          val bk = new LakeTable(spark, bkRoot)
+          val ids = batch.select("doc_id")
+          def strip(d: DataFrame) = d.join(ids, Seq("doc_id"), "left_anti")
+          val (shB, bB, stateRows) = corpusAdvance(batch,
+            strip(sh.read()), strip(bk.read()), strip(state.read()))
+          // index appends FIRST, state merge LAST: stateRows is already
+          // materialized, so a crash between commits replays into the
+          // stripped recomputation above, never into half-seen state
+          sh.insertEpoch(shB, epochId, appId)
+          bk.insertEpoch(bB, epochId, appId)
+          state.mergeEpoch(stateRows, epochId, appId)
+        }
+        ()
+      }
+      .start()
+  }
+
+  private[graft] def pipelineCorpusBuildIncrementalAt(
+      spark: SparkSession, dir: String, split: Long): DataFrame = {
+    import graft.sources.Lake
+    val docsAll = Tables.documents(spark, dir)
+    // the corpus lake table — the KEYLESS append-log kind, its intended
+    // home: a crawl corpus is the canonical adds-only workload with no
+    // natural merge key (no dedup probe on append, repeats admitted by
+    // definition; batch 2 lands as a pure-append commit — the
+    // file-sliceable CDC shape, so a standing consumer drains oversized
+    // crawls under admission caps). statsCols keep doc_id range-clustered
+    // for pruning. The per-doc STATE table below stays KEYED — it merges.
+    val t = Lake.createAppendLog(spark, Lake.freshRoot(),
+      docsAll.filter(col("doc_id") < split), 4, statsCols = Seq("doc_id"))
+    t.insertAll(docsAll.filter(col("doc_id") >= split))
+
+    // ---- batch-1 build: the per-doc state table's v0, plus the
+    // in-memory signature index the advance probes against (the
+    // streaming consumer persists the same relations as lake tables)
+    val (st1, sh1, b1) = corpusBootstrap(t.snapshot(0))
+    val state = Lake.create(spark, Lake.freshRoot(), st1, "doc_id", 4)
+
+    // ---- batch-2 arrival, discovered from the corpus table's change
+    // feed; advance = probe + contraction + ONE state merge
+    val batch = t.changes(0, t.latestVersion)
+      .filter(col("_change_type") === "insert")
+      .select(docsAll.columns.map(col): _*).localCheckpoint()
+    val (_, _, stateRows) = corpusAdvance(batch, sh1, b1, state.read())
+    state.merge(stateRows)
+
+    // ---- final assembly from the maintained state: one window pass
+    corpusAssembly(state.read())
   }
 
   /** Document-frequency fraction above which a token is boilerplate
@@ -1047,6 +1140,22 @@ object TextAnalysis {
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
     bpeMergesFromWords(words, BpeMergeRounds)
+  }
+
+  /** Gated lane: the DISTRIBUTED BPE train path — the beyond-driver-memory
+    * shape (byte-level BPE at open vocabularies, where even the Heaps'-law
+    * vocabulary exceeds a collect). Identical round semantics to
+    * [[textBpeMerges]], but the merge loop stays one bounded Spark job per
+    * round and the vocabulary is NEVER collected
+    * ([[bpeMergesFromWordsDistributed]]). Gated under the SAME unrolled-CTE
+    * oracle as `text_bpe_merges` — the local/distributed equivalence is
+    * oracle-proven per round, not just spec-asserted. */
+  def textBpeMergesDistributed(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.fanOut(Tables.documents(spark, dir).select("text"))
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    bpeMergesFromWordsDistributed(words, BpeMergeRounds)
   }
 
   /** Core merge loop over a (word, freq) vocabulary relation — the SCALE
@@ -2124,8 +2233,12 @@ object TextAnalysis {
     * shares pipeline_corpus_build's from-scratch SQL over the merged
     * corpus — hash equality proves the incrementally-maintained state
     * exactly (the events_incremental_agg discipline). */
-  val oracle: Map[String, String] = oracleBase.updated(
-    "pipeline_corpus_build_incremental", oracleBase("pipeline_corpus_build"))
+  val oracle: Map[String, String] = oracleBase
+    .updated("pipeline_corpus_build_incremental",
+      oracleBase("pipeline_corpus_build"))
+    // the distributed train path shares text_bpe_merges' unrolled-CTE
+    // oracle verbatim: same rounds, same tiebreaks, different executor
+    .updated("text_bpe_merges_distributed", oracleBase("text_bpe_merges"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"              -> (textStats _),
@@ -2164,6 +2277,7 @@ object TextAnalysis {
     "text_profile"            -> (textProfile _),
     "text_pmi"                -> (textPmi _),
     "text_bpe_merges"         -> (textBpeMerges _),
+    "text_bpe_merges_distributed" -> (textBpeMergesDistributed _),
     "text_bpe_encode"         -> (textBpeEncode _),
     "text_sample_per_source"  -> (textSamplePerSource _),
     "text_weighted_sample"    -> (textWeightedSample _),

@@ -382,6 +382,37 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental corpus: keyless feed discovery file-slices under caps") {
+    // the corpus table is the KEYLESS append-log kind; an arriving crawl
+    // batch is a pure-append commit, which the change-feed source must
+    // still split file-wise under admission caps — an oversized crawl
+    // drains as bounded micro-batches, never one unbounded batch
+    import graft.sources.Lake
+    val docsAll = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val t = Lake.createAppendLog(spark, Lake.freshRoot(),
+      docsAll.filter(col("doc_id") < 300L), 4, statsCols = Seq("doc_id"))
+    spark.conf.set("spark.graft.lake.targetFileRows", "50")
+    try t.insertAll(docsAll.filter(col("doc_id") >= 300L))
+    finally spark.conf.unset("spark.graft.lake.targetFileRows")
+    val src = new graft.sources.LakeChangeFeedSource(spark.sqlContext,
+      Map("path" -> t.root, "startingVersion" -> "1",
+        "maxFilesPerTrigger" -> "1"))
+    var seen = Seq.empty[Long]
+    var last: Option[org.apache.spark.sql.execution.streaming.Offset] = None
+    var offers = 0
+    var o = src.getOffset
+    while (o.isDefined) {
+      val b = org.apache.spark.sql.graft.StreamBridge
+        .rewrapSourceBatch(src.getBatch(last, o.get))
+      seen ++= b.select("doc_id").collect().map(_.getLong(0))
+      last = o; offers += 1
+      o = src.getOffset
+    }
+    offers should be > 1 // the append commit split file-wise
+    seen.sorted shouldBe docsAll.filter(col("doc_id") >= 300L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+  }
+
   test("cluster split: every near-dup cluster lands whole in one split (no leakage)") {
     import graft.extensions.TextAnalysis
     val out = TextAnalysis.textClusterSplit(spark, "/root/testdata/sf0.001")

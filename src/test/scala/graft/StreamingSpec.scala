@@ -675,6 +675,50 @@ class StreamingSpec extends SparkTestBase {
       .collect()(0).getAs[Boolean]("stream_schema_behind") shouldBe false
   }
 
+  test("corpus build standing query: 3 streamed batches == from-scratch, restart exactly-once") {
+    import graft.extensions.TextAnalysis
+    import graft.sources.Lake
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001").localCheckpoint()
+    def slice(lo: Long, hi: Long) =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    // the corpus: a KEYLESS append-log table, crawl batches land as commits
+    val corpus = Lake.createAppendLog(spark, Lake.freshRoot(),
+      slice(0, 200), 4, statsCols = Seq("doc_id"))
+    // bootstrap the three maintained tables from the initial corpus
+    val (st1, sh1, bk1) = TextAnalysis.corpusBootstrap(corpus.read())
+    val state = Lake.create(spark, Lake.freshRoot(), st1, "doc_id", 4)
+    val sh = Lake.createAppendLog(spark, Lake.freshRoot(), sh1, 4)
+    val bk = Lake.createAppendLog(spark, Lake.freshRoot(), bk1, 4)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-corpus-stream").toString
+    def fromScratch(hi: Long) = TextAnalysis
+      .corpusAssembly(TextAnalysis.corpusBootstrap(slice(0, hi))._1)
+      .collect().map(_.toSeq).toSeq
+    def streamed() = TextAnalysis.corpusAssembly(state.read())
+      .collect().map(_.toSeq).toSeq
+    def start() = TextAnalysis.corpusBuildStreamStart(spark, corpus.root,
+      state.root, sh.root, bk.root, ckpt, "corpus-refresh")
+    val q = start()
+    try {
+      corpus.insertAll(slice(200, 300)) // batch 2
+      q.processAllAvailable()
+      streamed() shouldBe fromScratch(300)
+      corpus.insertAll(slice(300, 400)) // batch 3
+      q.processAllAvailable()
+      streamed() shouldBe fromScratch(400)
+    } finally q.stop()
+    // batch 4 lands while the consumer is DOWN; a restart on the same
+    // checkpoint drains the backlog exactly once
+    corpus.insertAll(slice(400, 500))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    streamed() shouldBe fromScratch(500)
+    // exactly-once evidence beyond the equality: one state row per doc
+    state.read().count() shouldBe 500L
+    state.read().select("doc_id").distinct().count() shouldBe 500L
+  }
+
   test("keyless append-log: change feed streams appends and COW deletes") {
     // the admission machinery is key-agnostic: pure-append commits split
     // file-wise under caps, and a keyless COW delete commit delivers its
