@@ -34,7 +34,10 @@ object LakeScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sizes = Seq(1000, 4000, 16000, 64000)
+    // five decades to the 100 TB design point and beyond: ~400k files at
+    // 256 MB parquet targets; the 1M point is the stress envelope a
+    // pathological small-file table (or 1 PB at the same target) implies
+    val sizes = Seq(1000, 4000, 16000, 64000, 256000, 1000000)
     val commitsPerPoint = 20
 
     val points = sizes.map { n =>
@@ -95,7 +98,13 @@ object LakeScale {
       val fullBytes = Lake.toJson(Lake.Manifest(latest, latest - 1, "merge",
         "k", state)).length.toLong
 
-      f"""{"files":$n,"delta_bytes_avg":${deltaBytes / commitsPerPoint},"full_snapshot_bytes":$fullBytes,"commit_ms":$commitMs%.2f,"resolve_warm_ms":$warmMs%.3f,"resolve_cold_ms":$coldMs%.1f,"stats_cold_ms":$statsColdMs%.1f,"stats_warm_ms":$statsWarmMs%.3f}"""
+      // the checkpoint anchor's on-disk size — the driver-materialization
+      // envelope SCALING.md derives bytes/entry from
+      val ckptBytes = fs.listStatus(new Path(root, "_manifests")).iterator
+        .filter(_.getPath.getName.endsWith(".ckpt.parquet"))
+        .map(_.getLen).maxOption.getOrElse(0L)
+
+      f"""{"files":$n,"delta_bytes_avg":${deltaBytes / commitsPerPoint},"full_snapshot_bytes":$fullBytes,"ckpt_bytes":$ckptBytes,"commit_ms":$commitMs%.2f,"resolve_warm_ms":$warmMs%.3f,"resolve_cold_ms":$coldMs%.1f,"stats_cold_ms":$statsColdMs%.1f,"stats_warm_ms":$statsWarmMs%.3f}"""
     }
 
     val json =

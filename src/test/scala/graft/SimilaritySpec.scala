@@ -99,6 +99,32 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("recall does not decay with corpus growth: sf0.1 within band of sf0.01") {
+    // the codebook pipeline (stride seeds + one Lloyd step) is
+    // corpus-size-independent by construction; this pins that its QUALITY
+    // holds as the corpus grows 4x (500 → 2000 vectors) — recall@5 at
+    // sf0.1 must sit within 0.15 absolute of the sf0.01 curve point, and
+    // the staged rerank must stay monotone over its generators at scale
+    val sfL = "/root/testdata/sf0.1"
+    def r(exact: Set[(Long, Long)], s: Set[(Long, Long)]) =
+      (exact & s).size.toDouble / exact.size
+    val exactS = pairs(Similarity.simTopkBruteforce(spark, sf))
+    val exactL = pairs(Similarity.simTopkBruteforce(spark, sfL))
+    val ivfS = r(exactS, pairs(Similarity.simTopkIvfProbe(spark, sf, 2)))
+    val ivfL = r(exactL, pairs(Similarity.simTopkIvfProbe(spark, sfL, 2)))
+    val ensL = r(exactL, pairs(Similarity.simRerank(spark, sfL)))
+    info(f"recall@5 ivf(nprobe=2): sf0.01=$ivfS%.3f sf0.1=$ivfL%.3f; ensemble sf0.1=$ensL%.3f")
+    withClue(s"ivf sf0.01=$ivfS sf0.1=$ivfL ensemble sf0.1=$ensL: ") {
+      ivfL should be >= (ivfS - 0.15) // the stated band
+      ensL should be >= ivfL // superset screen stays monotone at scale
+      // the measured values ARE the floors (deterministic pipeline:
+      // stride seeds, hash planes, rounded-tie ranking): IVF 0.44,
+      // ensemble 0.64 at sf0.1 — vs 0.46 at sf0.01, no decay
+      ivfL should be >= 0.44
+      ensL should be >= 0.64
+    }
+  }
+
   test("kNN graph: ≤ k ranked neighbors per node, no self edges, sound vs brute force") {
     val g = Similarity.simKnnGraph(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
