@@ -694,16 +694,31 @@ object TextAnalysis {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, epochId: Long) =>
+        val state = new LakeTable(spark, stateRoot)
+        val sh = new LakeTable(spark, shRoot)
+        val bk = new LakeTable(spark, bkRoot)
+        // IDEMPOTENT INGEST: docs already in the state table advance
+        // nothing — a replayed span, or a crawler re-delivering an id the
+        // keyless corpus admitted blind (appending their signatures again
+        // would corrupt the index's multiset jaccard counts)
         val batch = df.filter(col("_change_type") === "insert")
-          .drop("_change_type", "_commit_version").localCheckpoint()
+          .drop("_change_type", "_commit_version")
+          .join(state.read().select("doc_id"), Seq("doc_id"), "left_anti")
+          .localCheckpoint()
         if (!batch.isEmpty) {
-          val state = new LakeTable(spark, stateRoot)
-          val sh = new LakeTable(spark, shRoot)
-          val bk = new LakeTable(spark, bkRoot)
+          // two rows under ONE new doc_id is ambiguous input, not a
+          // replay — refuse before it breaks the state table's key
+          require(batch.groupBy("doc_id").count()
+              .filter(col("count") > 1).isEmpty,
+            "corpus stream: the arriving batch carries duplicate doc_ids " +
+              "— a document's identity must be unique within a batch")
           val ids = batch.select("doc_id")
+          // the signature index may hold batch docs the state does not
+          // (a crash between the index appends and the state merge) —
+          // strip them so the replayed recomputation is byte-identical
           def strip(d: DataFrame) = d.join(ids, Seq("doc_id"), "left_anti")
           val (shB, bB, stateRows) = corpusAdvance(batch,
-            strip(sh.read()), strip(bk.read()), strip(state.read()))
+            strip(sh.read()), strip(bk.read()), state.read())
           // index appends FIRST, state merge LAST: stateRows is already
           // materialized, so a crash between commits replays into the
           // stripped recomputation above, never into half-seen state
@@ -1134,13 +1149,18 @@ object TextAnalysis {
     * Symbols stay `[a-z0-9]+` by the word filter, so the wrapper characters
     * cannot occur inside a symbol. Output: the merge table (round, pair,
     * weighted frequency). */
-  def textBpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.fanOut(Tables.documents(spark, dir).select("text"))
+  /** The BPE training corpus' weighted vocabulary — ONE implementation
+    * for every train path (local, distributed, encode): the lanes share
+    * one unrolled-CTE oracle, so the word filter and tokenization must
+    * never be mirrored copies that can drift apart. */
+  private[graft] def bpeWords(spark: SparkSession, dir: String): DataFrame =
+    Tables.fanOut(Tables.documents(spark, dir).select("text"))
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    bpeMergesFromWords(words, BpeMergeRounds)
-  }
+
+  def textBpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFromWords(bpeWords(spark, dir), BpeMergeRounds)
 
   /** Gated lane: the DISTRIBUTED BPE train path — the beyond-driver-memory
     * shape (byte-level BPE at open vocabularies, where even the Heaps'-law
@@ -1150,13 +1170,8 @@ object TextAnalysis {
     * ([[bpeMergesFromWordsDistributed]]). Gated under the SAME unrolled-CTE
     * oracle as `text_bpe_merges` — the local/distributed equivalence is
     * oracle-proven per round, not just spec-asserted. */
-  def textBpeMergesDistributed(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.fanOut(Tables.documents(spark, dir).select("text"))
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-    bpeMergesFromWordsDistributed(words, BpeMergeRounds)
-  }
+  def textBpeMergesDistributed(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesFromWordsDistributed(bpeWords(spark, dir), BpeMergeRounds)
 
   /** Core merge loop over a (word, freq) vocabulary relation — the SCALE
     * path of BPE training: the cluster's job is the one corpus-touching

@@ -64,14 +64,28 @@ object LakeCatalog {
   private def entryPath(spark: SparkSession, name: String): Path =
     new Path(catalogDir(spark), name.toLowerCase + Suffix)
 
-  /** Where a MANAGED table (CREATE without LOCATION) for `name` lives. */
+  /** A fresh root for a MANAGED table (CREATE without LOCATION) named
+    * `name` — UNIQUE per call (`<name>-<suffix>`), because the binding is
+    * the pointer and DROP only unbinds: re-CREATE after DROP must land a
+    * fresh directory, never collide with the dropped table's data (which
+    * stays addressable as `graft_lake('<old root>')` or re-bindable). */
   def managedRoot(spark: SparkSession, name: String): String =
-    new Path(new Path(catalogDir(spark), "tables"), name.toLowerCase).toString
+    new Path(new Path(catalogDir(spark), "tables"),
+      name.toLowerCase + "-" +
+        java.util.UUID.randomUUID().toString.take(8)).toString
 
   /** Atomically claim `name` → `root`. Refuses an already-bound name
     * loudly (the CREATE TABLE duplicate-name contract); the refusal
     * message carries the existing binding so the caller can decide
-    * between DROP + re-create and picking another name. */
+    * between DROP + re-create and picking another name.
+    *
+    * Write-then-RENAME, the same commit primitive as the lake manifest:
+    * the entry becomes visible fully written or not at all, so a
+    * concurrent engine's lookup can never resolve the name to a
+    * half-written (empty) root, and two racing claims of one name get
+    * one winner (rename refuses an existing destination). Genuine
+    * filesystem failures propagate as themselves — only the lost race
+    * reports "already bound". */
   def register(spark: SparkSession, name: String, root: String): Unit = {
     require(isValidName(name),
       s"'$name' is not a valid table name (letters, digits, underscores; " +
@@ -79,17 +93,19 @@ object LakeCatalog {
     val p = entryPath(spark, name)
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
-    val out =
-      try f.create(p, false)
-      catch {
-        case _: java.io.IOException => throw new IllegalArgumentException(
-          s"table name '$name' is already bound to " +
-            s"'${lookup(spark, name).getOrElse("?")}' in the graft catalog " +
-            s"at ${catalogDir(spark)} — DROP TABLE $name first, or pick " +
-            "another name")
-      }
+    val tmp = new Path(p.getParent,
+      s".tmp-${java.util.UUID.randomUUID()}$Suffix")
+    val out = f.create(tmp, false)
     try out.write(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (f.exists(p) || !f.rename(tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalArgumentException(
+        s"table name '$name' is already bound to " +
+          s"'${lookup(spark, name).getOrElse("?")}' in the graft catalog " +
+          s"at ${catalogDir(spark)} — DROP TABLE $name first, or pick " +
+          "another name")
+    }
   }
 
   /** The root bound to `name`, if any. Cheap by design — one stat + one
@@ -117,7 +133,8 @@ object LakeCatalog {
     val f = fs(spark, dir)
     if (!f.exists(dir)) return Nil
     f.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(Suffix))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(Suffix) &&
+        !s.getPath.getName.startsWith(".")) // dot-tmps are never bindings
       .map { s =>
         val name = s.getPath.getName.dropRight(Suffix.length)
         name -> Lake.readMarkerFile(f, s.getPath).getOrElse("")
@@ -144,23 +161,25 @@ object LakeCatalog {
   * snapshot pin in the engine. */
 class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  private def nameOf(p: LogicalPlan): Option[String] = p match {
-    case u: UnresolvedRelation
-        if u.multipartIdentifier.length == 1 && !u.isStreaming =>
-      Some(u.multipartIdentifier.head)
-    case _ => None
-  }
-
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // one catalog lookup per distinct name per rule application — the
+    // guard and the rewrite body share the memo, so a resolved relation
+    // costs one stat+read and an unresolvable name one stat, per pass
+    val memo = scala.collection.mutable.HashMap.empty[String, Option[String]]
+    def rootOf(p: LogicalPlan): Option[String] = p match {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 1 && !u.isStreaming =>
+        val n = u.multipartIdentifier.head
+        memo.getOrElseUpdate(n.toLowerCase, LakeCatalog.lookup(spark, n))
+      case _ => None
+    }
     plan.resolveOperatorsUp {
-      case tt @ RelationTimeTravel(rel, ts, ver) if nameOf(rel).exists(n =>
-          LakeCatalog.lookup(spark, n).isDefined) =>
-        val root = LakeCatalog.lookup(spark, nameOf(rel).get).get
-        val t = new LakeTable(spark, root)
+      case tt @ RelationTimeTravel(rel, ts, ver) if rootOf(rel).isDefined =>
+        val t = new LakeTable(spark, rootOf(rel).get)
         val v = ver match {
           case Some(s) => s.toIntOption.getOrElse(throw new
               IllegalArgumentException(
-                s"VERSION AS OF on '${nameOf(rel).get}' needs an integer " +
+                "VERSION AS OF on a graft catalog table needs an integer " +
                   s"version, got: $s"))
           case None => ts match {
             case Some(Literal(u: UTF8String, StringType)) =>
@@ -172,9 +191,8 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
         t.snapshot(v).queryExecution.analyzed
-      case u: UnresolvedRelation if nameOf(u).exists(n =>
-          LakeCatalog.lookup(spark, n).isDefined) =>
-        val root = LakeCatalog.lookup(spark, nameOf(u).get).get
-        new LakeTable(spark, root).read().queryExecution.analyzed
+      case u: UnresolvedRelation if rootOf(u).isDefined =>
+        new LakeTable(spark, rootOf(u).get).read().queryExecution.analyzed
     }
+  }
 }

@@ -508,11 +508,8 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
     // clamp the span's start up to the floor: positions at or below it
     // were already delivered by THIS instance and must not re-emit
     val from = rawFrom.max(deliveryFloor)
-    if (!from.lt(to)) { // the whole span is at or below the floor
-      deliveryFloor = deliveryFloor.max(to)
+    if (!from.lt(to)) // the whole span is at or below the floor (≤ to)
       return emptyBatch()
-    }
-    deliveryFloor = deliveryFloor.max(to)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // per-commit micro-spans over the RETAINED versions in (from, to] —
     // tombstoned (merge-on-read) versions serve their own feed (changes
@@ -571,6 +568,11 @@ class LakeChangeFeedSource(sqlContext: SQLContext,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else parts.reduce(_ unionByName _)
+    // the floor advances only AFTER the span is successfully planned: a
+    // getBatch that throws mid-construction (vacuumed anchor) delivered
+    // nothing, and marking its positions delivered would silently empty
+    // every later span at or below them
+    deliveryFloor = deliveryFloor.max(to)
     org.apache.spark.sql.graft.StreamBridge.streamingDataFrame(
       spark, batch.queryExecution.toRdd, schema)
   }

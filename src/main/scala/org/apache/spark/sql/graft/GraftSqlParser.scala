@@ -558,8 +558,10 @@ object GraftSqlParser {
       // data stays at its root). Unregistered or multipart names, and any
       // longer statement form, delegate untouched.
       if (!sc.keyword("TABLE")) None
+      // a lone IF without EXISTS is invalid SQL — delegate so the default
+      // parser rejects it, instead of silently unbinding the name after it
+      else if (sc.keyword("IF") && !sc.keyword("EXISTS")) None
       else {
-        if (sc.keyword("IF")) sc.keyword("EXISTS") // tolerated noise words
         sc.identOpt() match {
           case Some(name) if !name.contains(".") &&
               graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&

@@ -1177,6 +1177,21 @@ class LakeSqlDmlSpec extends SparkTestBase {
         .collect()
       s.sql("SELECT count(*) FROM t_orders").collect()(0)
         .getLong(0) shouldBe 94L
+      // DROP → re-CREATE of a MANAGED name must work: managed roots are
+      // unique per registration, so the fresh table never collides with
+      // the dropped one's data (which stays at its own root)
+      s.sql("DROP TABLE t_orders").collect()
+      s.sql("CREATE TABLE t_orders KEY k FILES 2 " +
+        "AS SELECT * FROM cat_src WHERE k <= 10").collect()
+      s.sql("SELECT count(*) FROM t_orders").collect()(0)
+        .getLong(0) shouldBe 10L
+      s.sql(s"SELECT count(*) FROM graft_lake('$root')").collect()(0)
+        .getLong(0) shouldBe 94L // the dropped table's data is untouched
+      // malformed DROP (IF without EXISTS) delegates — the default parser
+      // rejects it, and the binding survives
+      intercept[Exception] { s.sql("DROP TABLE IF t_orders").collect() }
+      s.sql("SELECT count(*) FROM t_orders").collect()(0)
+        .getLong(0) shouldBe 10L
     }
   }
 

@@ -1549,9 +1549,12 @@ class StreamingSpec extends SparkTestBase {
       src.getBatch(Some(LongOffset(2L)), LongOffset(5L))
     }
     e.getMessage should include("vacuumed")
-    // a RETAINED committed offset still plans the tail span (delivery
-    // content is covered by the end-to-end stream tests above)
-    val batch = src.getBatch(Some(LongOffset(4L)), LongOffset(5L))
-    batch.columns should contain("_commit_version")
+    // a RETAINED committed offset still plans AND DELIVERS the tail span:
+    // the failed call above delivered nothing, so it must not have raised
+    // the delivery floor — v5's rows stream, not an empty batch
+    val batch = org.apache.spark.sql.graft.StreamBridge
+      .rewrapSourceBatch(src.getBatch(Some(LongOffset(4L)), LongOffset(5L)))
+    batch.select("_commit_version").distinct().collect()
+      .map(_.getInt(0)).toSeq shouldBe Seq(5)
   }
 }
