@@ -2689,11 +2689,14 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.files.size, m.files.map(_.rows).sum, m.tombstones.size,
       m.partitionCols.mkString(","), m.statsCols.mkString(","),
       renames, m.droppedCols.mkString(","), cons, bloom,
+      // the commit's stamped protocol requirements — what an engine must
+      // understand to read this snapshot (empty = implicit v1)
+      readDelta(version).requiredFeatures.sorted.mkString(","),
       m.schemaDdl.getOrElse(""))))
       .toDF("version", "operation", "key_col", "n_files", "n_rows",
         "n_tombstone_files", "partition_cols", "stats_cols",
         "renamed_columns", "dropped_columns", "check_constraints",
-        "bloom_coverage", "schema_ddl")
+        "bloom_coverage", "required_features", "schema_ddl")
   }
 
   def detailDf(): DataFrame = detailDf(latestVersion)

@@ -108,6 +108,20 @@ object LakeCatalog {
     }
   }
 
+  /** Resolve a format `path` parameter: a bare identifier (no path
+    * separator) bound in the catalog resolves to its root; anything else
+    * — including an unbound bare name — passes through verbatim as a
+    * filesystem path. Lets every format surface accept a table NAME:
+    * `spark.read.format("graft-lake").load("sales")`,
+    * `readStream.load("sales")`, `writeStream.option("path", "sales")`.
+    * A relative directory that shadows a bound name loses to the name —
+    * the same precedence as the SQL surfaces, and spelled paths are
+    * always available to disambiguate. */
+  def resolvePathOrName(spark: SparkSession, p: String): String =
+    if (!p.contains('/') && !p.contains('\\') && isValidName(p))
+      lookup(spark, p).getOrElse(p)
+    else p
+
   /** The root bound to `name`, if any. Cheap by design — one stat + one
     * short read of a one-line file; called at parse/analysis time only. */
   def lookup(spark: SparkSession, name: String): Option[String] = {

@@ -43,20 +43,30 @@ class LakeSource extends RelationProvider with DataSourceRegister
 
   override def shortName(): String = "graft-lake"
 
+  /** Every surface accepts a catalog table NAME where it takes a root —
+    * a bare bound identifier resolves, anything else is a path verbatim
+    * ([[LakeCatalog.resolvePathOrName]]). */
+  private def resolved(sqlContext: SQLContext,
+                       parameters: Map[String, String]): Map[String, String] =
+    parameters.get("path").fold(parameters)(p => parameters.updated("path",
+      LakeCatalog.resolvePathOrName(sqlContext.sparkSession, p)))
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) =
     (shortName(), LakeChangeFeedSource.feedSchema(sqlContext.sparkSession,
-      parameters.getOrElse("path", throw new IllegalArgumentException(
-        "graft-lake stream requires a path"))))
+      resolved(sqlContext, parameters).getOrElse("path",
+        throw new IllegalArgumentException(
+          "graft-lake stream requires a path"))))
 
   override def createSource(sqlContext: SQLContext,
                             metadataPath: String,
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source =
-    new LakeChangeFeedSource(sqlContext, parameters, Some(metadataPath))
+    new LakeChangeFeedSource(sqlContext, resolved(sqlContext, parameters),
+      Some(metadataPath))
 
   /** `df.writeStream.format("graft-lake").option("path", root)` — the
     * lake as a first-class streaming SINK: every micro-batch MERGEs by
@@ -75,9 +85,10 @@ class LakeSource extends RelationProvider with DataSourceRegister
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-lake sink requires a path: writeStream.format(\"graft-lake\")" +
-        ".option(\"path\", <root>)"))
+    val root = resolved(sqlContext, parameters).getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-lake sink requires a path: writeStream.format(\"graft-lake\")" +
+          ".option(\"path\", <root or catalog table name>)"))
     require(partitionColumns.isEmpty,
       "graft-lake sink: partition layout is fixed at table create — drop " +
         "the writer's partitionBy")
@@ -134,8 +145,10 @@ class LakeSource extends RelationProvider with DataSourceRegister
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-lake requires a path: spark.read.format(\"graft-lake\").load(<root>)"))
+    val root = resolved(sqlContext, parameters).getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-lake requires a path: spark.read.format(\"graft-lake\")" +
+          ".load(<root or catalog table name>)"))
     val spark = sqlContext.sparkSession
     val table = new LakeTable(spark, root)
     require(!(parameters.contains("versionAsOf") &&

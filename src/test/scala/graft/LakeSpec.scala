@@ -435,6 +435,11 @@ class LakeSpec extends SparkTestBase {
     t3.deleteDeferred(Seq(5L).toDF("k"))
     Lake.fromJson(readManifest(t3, 3))
       .requiredFeatures should contain("deferred-deletes")
+    // the operational surface shows the stamped requirements
+    val det = t3.detailDf().collect()(0).getAs[String]("required_features")
+    det should include("deferred-deletes")
+    det should include("check-constraints")
+    det should include("column-mapping")
     // pre-versioning manifests (no requiredFeatures field) = implicit v1:
     // rewrite v0 with the LEGACY full-snapshot writer and read unchanged
     val legacy = Lake.toJson(t2.manifest(0))

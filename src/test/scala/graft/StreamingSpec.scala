@@ -675,6 +675,38 @@ class StreamingSpec extends SparkTestBase {
       .collect()(0).getAs[Boolean]("stream_schema_behind") shouldBe false
   }
 
+  test("format surfaces accept catalog names: batch read, stream source, sink") {
+    import graft.sources.{Lake, LakeCatalog}
+    spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+    val src = Lake.create(spark, Lake.freshRoot(),
+      Seq((1L, "a"), (2L, "b")).toDF("k", "payload"), "k", 1)
+    val dst = Lake.create(spark, Lake.freshRoot(),
+      Seq((0L, "seed")).toDF("k", "payload"), "k", 1)
+    LakeCatalog.register(spark, "src_t", src.root)
+    LakeCatalog.register(spark, "dst_t", dst.root)
+    // batch read by name
+    spark.read.format("graft-lake").load("src_t").count() shouldBe 2L
+    // stream source AND sink by name: pipe src_t's change feed into dst_t
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-name-ckpt").toString
+    val q = spark.readStream.format("graft-lake").load("src_t")
+      .select("k", "payload")
+      .writeStream.format("graft-lake")
+      .option("path", "dst_t")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      src.merge(Seq((3L, "c")).toDF("k", "payload"))
+      q.processAllAvailable()
+    } finally q.stop()
+    dst.read().count() shouldBe 2L // the seed row + the streamed k=3
+    dst.read().filter(col("k") === 3L).count() shouldBe 1L
+    // an UNBOUND bare name stays a path, verbatim — never silently captured
+    intercept[Exception] {
+      spark.read.format("graft-lake").load("definitely_unbound_name").count()
+    }
+  }
+
   test("corpus build standing query: 3 streamed batches == from-scratch, restart exactly-once") {
     import graft.extensions.TextAnalysis
     import graft.sources.Lake
