@@ -139,7 +139,9 @@ object Run {
         spark.sql(args.drop(1).mkString(" ")).show(100, truncate = false)
         return
       }
-      val root = args(1)
+      // every lake verb accepts a catalog table NAME where it takes a
+      // root (bare bound identifier resolves; unbound = a path verbatim)
+      val root = graft.sources.LakeCatalog.resolvePathOrName(spark, args(1))
       def table = new graft.sources.LakeTable(spark, root)
       cmd match {
         case "lake-create" =>

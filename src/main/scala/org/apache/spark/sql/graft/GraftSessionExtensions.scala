@@ -27,6 +27,13 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
     case _ => throw new IllegalArgumentException(
       s"$fn: argument must be a STRING literal, got $e")
   }
+
+  /** A ROOT argument: a bare catalog-bound name resolves to its root,
+    * anything else is a path verbatim — every table function accepts
+    * names the same way the format surfaces do. */
+  private def rootArg(fn: String)(e: Expression): String =
+    graft.sources.LakeCatalog.resolvePathOrName(SparkSession.active,
+      strArg(fn)(e))
   private def intArg(fn: String)(e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
     // a BIGINT literal must fit — silent truncation would time-travel to
@@ -79,7 +86,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
             "(rootPath, timestampString)")
         val spark = SparkSession.active
         val t = new graft.sources.LakeTable(spark,
-          strArg("graft_lake_at")(children.head))
+          rootArg("graft_lake_at")(children.head))
         // an INT second argument is a version; a STRING one is a
         // timestamp (epoch millis or ISO-8601 instant) — time travel by
         // wall clock from pure SQL
@@ -100,7 +107,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lake_changes takes (rootPath, fromVersion, toVersion)")
         val spark = SparkSession.active
         val t = new graft.sources.LakeTable(spark,
-          strArg("graft_lake_changes")(children.head))
+          rootArg("graft_lake_changes")(children.head))
         t.changes(intArg("graft_lake_changes")(children(1)),
           intArg("graft_lake_changes")(children(2)))
           .queryExecution.analyzed
@@ -116,7 +123,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_lake_history takes (rootPath)")
         val spark = SparkSession.active
         new graft.sources.LakeTable(spark,
-          strArg("graft_lake_history")(children.head))
+          rootArg("graft_lake_history")(children.head))
           .history().queryExecution.analyzed
       }))
     ext.injectTableFunction((
@@ -128,7 +135,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lake_files takes (rootPath) or (rootPath, version)")
         val spark = SparkSession.active
         val t = new graft.sources.LakeTable(spark,
-          strArg("graft_lake_files")(children.head))
+          rootArg("graft_lake_files")(children.head))
         val v = children.lift(1).map(intArg("graft_lake_files"))
           .getOrElse(t.latestVersion)
         t.filesDf(v).queryExecution.analyzed
@@ -142,7 +149,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lake_detail takes (rootPath) or (rootPath, version)")
         val spark = SparkSession.active
         val t = new graft.sources.LakeTable(spark,
-          strArg("graft_lake_detail")(children.head))
+          rootArg("graft_lake_detail")(children.head))
         val v = children.lift(1).map(intArg("graft_lake_detail"))
           .getOrElse(t.latestVersion)
         t.detailDf(v).queryExecution.analyzed
@@ -156,7 +163,7 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lake_stream_detail takes (rootPath, sourceMetadataPath)")
         val spark = SparkSession.active
         graft.sources.Lake.streamDetail(spark,
-          strArg("graft_lake_stream_detail")(children.head),
+          rootArg("graft_lake_stream_detail")(children.head),
           strArg("graft_lake_stream_detail")(children(1)))
           .queryExecution.analyzed
       }))

@@ -1177,6 +1177,12 @@ class LakeSqlDmlSpec extends SparkTestBase {
         .collect()
       s.sql("SELECT count(*) FROM t_orders").collect()(0)
         .getLong(0) shouldBe 94L
+      // the table FUNCTIONS take the name too (root args resolve through
+      // the catalog; spelled paths keep working verbatim)
+      s.sql("SELECT count(*) FROM graft_lake_history('t_orders')")
+        .collect()(0).getLong(0) should be >= 1L
+      s.sql("SELECT count(*) FROM graft_lake_at('t_orders', 0)")
+        .collect()(0).getLong(0) shouldBe 90L
       // DROP → re-CREATE of a MANAGED name must work: managed roots are
       // unique per registration, so the fresh table never collides with
       // the dropped one's data (which stays at its own root)
