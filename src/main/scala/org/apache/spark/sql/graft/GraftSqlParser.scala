@@ -65,10 +65,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   * user hits is spelling paths, so the catalog closes it:
   *
   * {{{
-  * CREATE TABLE sales KEY o_orderkey [FILES n] [PARTITIONED BY (…)]
-  *   [STATS (…)] [LOCATION '<root>'] AS <query>   -- create + bind; no
-  *                                                -- LOCATION = managed
+  * CREATE TABLE [IF NOT EXISTS] sales KEY o_orderkey [FILES n]
+  *   [PARTITIONED BY (…)] [STATS (…)] [LOCATION '<root>'] AS <query>
+  *   -- create + bind; no LOCATION = managed (a fresh dir per
+  *   -- registration); IF NOT EXISTS no-ops on a bound name
   * CREATE TABLE sales USING graft_lake LOCATION '<root>'  -- bind existing
+  * ALTER TABLE sales RENAME TO sales_v2    -- rename the BINDING only
   * CREATE TABLE sales2 SHALLOW CLONE sales [VERSION AS OF n]
   *   [LOCATION '<root>']
   * MERGE INTO sales …; INSERT INTO sales …; UPDATE sales …;
@@ -506,9 +508,31 @@ object GraftSqlParser {
     * Anything else — including every ordinary CREATE TABLE — returns None
     * and delegates untouched. */
   private def parseCreateByName(sc: Scan): Option[LogicalPlan] = {
+    // IF NOT EXISTS: the idempotent-pipeline form — an already-bound name
+    // makes the statement a NO-OP instead of a refusal
+    val ifNotExists = {
+      val mark = sc.pos
+      if (sc.keyword("IF")) {
+        if (sc.keyword("NOT") && sc.keyword("EXISTS")) true
+        else { sc.seek(mark); false } // not our clause — delegate decides
+      } else false
+    }
     val name = sc.identOpt().getOrElse(return None)
     if (name.contains(".") ||
         !graft.sources.LakeCatalog.isValidName(name)) return None
+    if (ifNotExists &&
+        graft.sources.LakeCatalog
+          .lookup(SparkSession.active, name).isDefined) {
+      // consume the statement only if its tail IS our grammar — an
+      // ordinary CREATE TABLE IF NOT EXISTS must still delegate
+      val isOurs = sc.keyword("USING") && sc.keyword("graft_lake") || {
+        val m = sc.pos
+        val k = sc.keyword("KEY") || sc.keyword("APPEND") ||
+          sc.keyword("SHALLOW")
+        sc.seek(m); k
+      }
+      return if (isOurs) Some(LakeNoOpCommand(name)) else None
+    }
     if (sc.keyword("USING")) {
       if (!sc.keyword("graft_lake")) return None
       sc.expect("LOCATION")
@@ -602,14 +626,31 @@ object GraftSqlParser {
       else lakeTarget(sc).map(root => parseDelete(sc, root, delegate, deferred))
     } else if (sc.keyword("ALTER")) {
       if (!sc.keyword("TABLE")) None
-      else lakeTarget(sc).map { root =>
+      else {
+      // remember whether the target was a bound NAME — RENAME TO renames
+      // the catalog binding itself, which needs the name, not the root
+      val mark = sc.pos
+      val boundName = sc.identOpt().filter(n => !n.contains(".") &&
+        graft.sources.LakeCatalog.isValidName(n) &&
+        graft.sources.LakeCatalog.lookup(SparkSession.active, n).isDefined)
+      sc.seek(mark)
+      lakeTarget(sc).map { root =>
         if (sc.keyword("RENAME")) {
-          sc.expect("COLUMN")
-          val from = sc.ident()
-          sc.expect("TO")
-          val to = sc.ident()
-          sc.assertEnd()
-          LakeAlterCommand(root, "rename", from, Some(to))
+          if (sc.keyword("TO")) {
+            val newName = sc.ident()
+            sc.assertEnd()
+            LakeRenameBindingCommand(boundName.getOrElse(fail(
+              "ALTER TABLE … RENAME TO renames a catalog BINDING — the " +
+                "target must be a bound table name, not " +
+                "graft_lake('<root>')")), newName)
+          } else {
+            sc.expect("COLUMN")
+            val from = sc.ident()
+            sc.expect("TO")
+            val to = sc.ident()
+            sc.assertEnd()
+            LakeAlterCommand(root, "rename", from, Some(to))
+          }
         } else if (sc.keyword("DROP")) {
           if (sc.keyword("CONSTRAINT")) {
             val n = sc.ident()
@@ -657,9 +698,11 @@ object GraftSqlParser {
           sc.assertEnd()
           LakeAlterPartitioningCommand(root, cols)
         } else fail("ALTER TABLE graft_lake(…) supports RENAME COLUMN " +
-          "a TO b, ADD COLUMN c <type>, ALTER COLUMN c TYPE <type>, " +
-          "DROP COLUMN a, PARTITIONED BY (c, …), ADD CONSTRAINT n " +
-          "CHECK (expr), and DROP CONSTRAINT n")
+          "a TO b, RENAME TO <newName> (bound names), ADD COLUMN c " +
+          "<type>, ALTER COLUMN c TYPE <type>, DROP COLUMN a, " +
+          "PARTITIONED BY (c, …), ADD CONSTRAINT n CHECK (expr), and " +
+          "DROP CONSTRAINT n")
+      }
       }
     } else if (sc.keyword("ANALYZE")) {
       if (!sc.keyword("TABLE")) None
@@ -1169,6 +1212,42 @@ case class LakeRegisterCommand(name: String, root: String)
     val t = new graft.sources.LakeTable(spark, root)
     val m = t.manifest(t.latestVersion)
     Seq(Row(m.version, m.files.size, 0, 0, 0L))
+  }
+}
+
+/** `CREATE TABLE IF NOT EXISTS <name> …` when the name is already bound:
+  * a no-op returning the existing binding's stats row — the idempotent
+  * form pipelines re-run safely. */
+case class LakeNoOpCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = GraftSqlParser.statsOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = graft.sources.LakeCatalog.lookup(spark, name).getOrElse(
+      throw new IllegalStateException(s"'$name' vanished from the catalog"))
+    val t = new graft.sources.LakeTable(spark, root)
+    val m = t.manifest(t.latestVersion)
+    Seq(Row(m.version, m.files.size, 0, 0, 0L))
+  }
+}
+
+/** `ALTER TABLE <name> RENAME TO <newName>` — rename the catalog BINDING
+  * (metadata-only; the table's root never moves). Claims the new name
+  * atomically first (a racing claim of the same new name gets one
+  * winner), then unbinds the old; a crash in between leaves BOTH names
+  * bound to the root — benign, resolved by dropping either. */
+case class LakeRenameBindingCommand(name: String, newName: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("root", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = graft.sources.LakeCatalog.lookup(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME TO: '$name' is not bound in the graft catalog"))
+    graft.sources.LakeCatalog.register(spark, newName, root)
+    graft.sources.LakeCatalog.unregister(spark, name)
+    Seq(Row(newName, root))
   }
 }
 

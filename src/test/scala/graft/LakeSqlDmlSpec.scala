@@ -1198,7 +1198,39 @@ class LakeSqlDmlSpec extends SparkTestBase {
       intercept[Exception] { s.sql("DROP TABLE IF t_orders").collect() }
       s.sql("SELECT count(*) FROM t_orders").collect()(0)
         .getLong(0) shouldBe 10L
+      // idempotent CREATE: IF NOT EXISTS on a bound name is a no-op
+      s.sql("CREATE TABLE IF NOT EXISTS t_orders KEY k " +
+        "AS SELECT * FROM cat_src").collect()
+      s.sql("SELECT count(*) FROM t_orders").collect()(0)
+        .getLong(0) shouldBe 10L // unchanged — nothing was created
+      // rename the BINDING: the root never moves, the old name frees up
+      s.sql("ALTER TABLE t_orders RENAME TO t_orders_v2").collect()
+      s.sql("SELECT count(*) FROM t_orders_v2").collect()(0)
+        .getLong(0) shouldBe 10L
+      intercept[Exception] {
+        s.sql("SELECT count(*) FROM t_orders").collect()
+      }
     }
+  }
+
+  test("catalog: racing claims of one name get exactly one winner") {
+    import graft.sources.LakeCatalog
+    spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val attempts = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Option[String]] {
+          override def call(): Option[String] =
+            scala.util.Try {
+              LakeCatalog.register(spark, "raced_name", s"/tmp/raced-$i")
+              s"/tmp/raced-$i"
+            }.toOption
+        })
+      }
+      val winners = attempts.flatMap(_.get())
+      winners.size shouldBe 1 // one atomic claim, seven clean refusals
+      LakeCatalog.lookup(spark, "raced_name") shouldBe Some(winners.head)
+    } finally pool.shutdown()
   }
 
   test("named tables: refusal and delegation surface") {
