@@ -141,7 +141,16 @@ object Run {
       }
       // every lake verb accepts a catalog table NAME where it takes a
       // root (bare bound identifier resolves; unbound = a path verbatim)
-      val root = graft.sources.LakeCatalog.resolvePathOrName(spark, args(1))
+      // — EXCEPT lake-create, which targets a NEW root: resolving there
+      // would write orphan data files into the live bound table's
+      // directory before the commit race check could refuse
+      val resolvedTarget =
+        graft.sources.LakeCatalog.resolvePathOrName(spark, args(1))
+      if (cmd == "lake-create" && resolvedTarget != args(1))
+        throw new IllegalArgumentException(
+          s"lake-create: '${args(1)}' is a bound catalog table name — " +
+            "pass a fresh root path (or DROP TABLE the binding first)")
+      val root = resolvedTarget
       def table = new graft.sources.LakeTable(spark, root)
       cmd match {
         case "lake-create" =>

@@ -703,15 +703,26 @@ object TextAnalysis {
         // would corrupt the index's multiset jaccard counts)
         val batch = df.filter(col("_change_type") === "insert")
           .drop("_change_type", "_commit_version")
+          // a re-delivered doc whose ORIGINAL landed in the same span
+          // never reaches the state table before this epoch — collapse
+          // byte-identical repeats here (deterministic), so re-delivery
+          // can't wedge the query whichever side of a span boundary the
+          // copies fall on
+          .dropDuplicates()
           .join(state.read().select("doc_id"), Seq("doc_id"), "left_anti")
           .localCheckpoint()
         if (!batch.isEmpty) {
-          // two rows under ONE new doc_id is ambiguous input, not a
-          // replay — refuse before it breaks the state table's key
+          // two DIFFERENT rows under one new doc_id is ambiguous input,
+          // not a replay — picking one silently would corrupt the corpus;
+          // refuse with the recovery path (the span replays on restart,
+          // so the fix is upstream: repair the corpus commits, then
+          // restart on a fresh checkpoint with startingVersion past them)
           require(batch.groupBy("doc_id").count()
               .filter(col("count") > 1).isEmpty,
-            "corpus stream: the arriving batch carries duplicate doc_ids " +
-              "— a document's identity must be unique within a batch")
+            "corpus stream: the arriving batch carries one doc_id with " +
+              "DIFFERENT contents — repair the corpus (DELETE the bad " +
+              "rows), then restart on a fresh checkpoint with " +
+              "startingVersion past the repaired commits")
           val ids = batch.select("doc_id")
           // the signature index may hold batch docs the state does not
           // (a crash between the index appends and the state merge) —

@@ -2689,9 +2689,13 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.files.size, m.files.map(_.rows).sum, m.tombstones.size,
       m.partitionCols.mkString(","), m.statsCols.mkString(","),
       renames, m.droppedCols.mkString(","), cons, bloom,
-      // the commit's stamped protocol requirements — what an engine must
-      // understand to read this snapshot (empty = implicit v1)
-      readDelta(version).requiredFeatures.sorted.mkString(","),
+      // the SNAPSHOT's protocol requirements (empty = implicit v1):
+      // derived from the resolved state, not the one commit's stamp — a
+      // deferred delete at v3 still binds a reader of v4 even though v4's
+      // own delta stamped nothing — unioned with the commit's stamp so
+      // hand-crafted future requirements surface too
+      (Lake.featuresOf(Lake.fullDelta(m)) ++
+        readDelta(version).requiredFeatures).distinct.sorted.mkString(","),
       m.schemaDdl.getOrElse(""))))
       .toDF("version", "operation", "key_col", "n_files", "n_rows",
         "n_tombstone_files", "partition_cols", "stats_cols",

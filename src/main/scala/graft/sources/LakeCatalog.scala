@@ -79,13 +79,15 @@ object LakeCatalog {
     * message carries the existing binding so the caller can decide
     * between DROP + re-create and picking another name.
     *
-    * Write-then-RENAME, the same commit primitive as the lake manifest:
-    * the entry becomes visible fully written or not at all, so a
-    * concurrent engine's lookup can never resolve the name to a
-    * half-written (empty) root, and two racing claims of one name get
-    * one winner (rename refuses an existing destination). Genuine
-    * filesystem failures propagate as themselves — only the lost race
-    * reports "already bound". */
+    * Write-the-content-first, then CLAIM atomically: the entry becomes
+    * visible fully written or not at all, so a concurrent engine's
+    * lookup can never resolve the name to a half-written (empty) root,
+    * and two racing claims of one name get exactly one winner. The claim
+    * primitive is scheme-aware: HDFS/object-store rename refuses an
+    * existing destination, but POSIX rename REPLACES one — on `file://`
+    * the hard link is the atomic fail-if-exists operation (race-proven
+    * in `LakeSqlDmlSpec`). Genuine filesystem failures propagate as
+    * themselves — only the lost race reports "already bound". */
   def register(spark: SparkSession, name: String, root: String): Unit = {
     require(isValidName(name),
       s"'$name' is not a valid table name (letters, digits, underscores; " +
@@ -93,19 +95,35 @@ object LakeCatalog {
     val p = entryPath(spark, name)
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
+    def alreadyBound(): Nothing = throw new IllegalArgumentException(
+      s"table name '$name' is already bound to " +
+        s"'${lookup(spark, name).getOrElse("?")}' in the graft catalog " +
+        s"at ${catalogDir(spark)} — DROP TABLE $name first, or pick " +
+        "another name")
+    if (f.exists(p)) alreadyBound() // fast path; the claim below is the gate
     val tmp = new Path(p.getParent,
       s".tmp-${java.util.UUID.randomUUID()}$Suffix")
     val out = f.create(tmp, false)
     try out.write(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(p) || !f.rename(tmp, p)) {
-      f.delete(tmp, false)
-      throw new IllegalArgumentException(
-        s"table name '$name' is already bound to " +
-          s"'${lookup(spark, name).getOrElse("?")}' in the graft catalog " +
-          s"at ${catalogDir(spark)} — DROP TABLE $name first, or pick " +
-          "another name")
-    }
+    // the atomic claim. HDFS/object-store rename REFUSES an existing
+    // destination, but POSIX rename REPLACES it (Hadoop's local rename
+    // returns true and overwrites — both racers would "win"); on file://
+    // the atomic fail-if-exists primitive is the hard link.
+    val local = f.getUri.getScheme == "file"
+    val won =
+      if (local) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(p.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !f.exists(p) && f.rename(tmp, p)
+    if (local || !won) f.delete(tmp, false)
+    if (!won) alreadyBound()
   }
 
   /** Resolve a format `path` parameter: a bare identifier (no path

@@ -627,19 +627,20 @@ object GraftSqlParser {
     } else if (sc.keyword("ALTER")) {
       if (!sc.keyword("TABLE")) None
       else {
-      // remember whether the target was a bound NAME — RENAME TO renames
-      // the catalog binding itself, which needs the name, not the root
+      // remember the target's IDENTIFIER text (no lookup yet — only the
+      // RENAME TO form needs it, and it renames the catalog binding
+      // itself, which needs the name, not the root). If lakeTarget
+      // resolved a bare identifier, the catalog bound it by construction.
       val mark = sc.pos
-      val boundName = sc.identOpt().filter(n => !n.contains(".") &&
-        graft.sources.LakeCatalog.isValidName(n) &&
-        graft.sources.LakeCatalog.lookup(SparkSession.active, n).isDefined)
+      val targetIdent = sc.identOpt().filter(n => !n.contains(".") &&
+        graft.sources.LakeCatalog.isValidName(n))
       sc.seek(mark)
       lakeTarget(sc).map { root =>
         if (sc.keyword("RENAME")) {
           if (sc.keyword("TO")) {
             val newName = sc.ident()
             sc.assertEnd()
-            LakeRenameBindingCommand(boundName.getOrElse(fail(
+            LakeRenameBindingCommand(targetIdent.getOrElse(fail(
               "ALTER TABLE … RENAME TO renames a catalog BINDING — the " +
                 "target must be a bound table name, not " +
                 "graft_lake('<root>')")), newName)

@@ -435,7 +435,10 @@ class LakeSpec extends SparkTestBase {
     t3.deleteDeferred(Seq(5L).toDF("k"))
     Lake.fromJson(readManifest(t3, 3))
       .requiredFeatures should contain("deferred-deletes")
-    // the operational surface shows the stamped requirements
+    // the operational surface shows the SNAPSHOT's requirements — and a
+    // later commit that stamps nothing itself must not make them vanish
+    // while the tombstones still bind every reader
+    t3.merge(Seq((7L, "later", "L")).toDF("k", "note", "status"))
     val det = t3.detailDf().collect()(0).getAs[String]("required_features")
     det should include("deferred-deletes")
     det should include("check-constraints")
