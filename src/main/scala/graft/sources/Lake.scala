@@ -1724,6 +1724,32 @@ object Lake {
 
   /** A resolved state as a full, self-anchoring Delta (legacy-manifest
     * reads and the create/compact/restore/clone commit shape). */
+  /** Atomically publish `tmp` at `dest`, returning false (claim lost) if
+    * `dest` exists — THE commit primitive for manifests and catalog
+    * entries. HDFS/object-store rename refuses an existing destination;
+    * POSIX rename REPLACES one (Hadoop's local rename returns true and
+    * overwrites — two racers would both "win" and one commit would
+    * silently vanish), so on `file://` the hard link is the atomic
+    * fail-if-exists operation. `tmp` is always consumed: linked-then-
+    * deleted, renamed away, or deleted on a lost claim. */
+  private[sources] def publishAtomic(fs: FileSystem, tmp: Path,
+                                     dest: Path): Boolean = {
+    val local = fs.getUri.getScheme == "file"
+    val won =
+      if (local) {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dest.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else !fs.exists(dest) && fs.rename(tmp, dest)
+    if (local || !won) fs.delete(tmp, false)
+    won
+  }
+
   private[graft] def fullDelta(m: Manifest): Delta =
     Delta(m.version, m.parentVersion, m.operation, m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = m.files, removes = Nil,
@@ -2927,11 +2953,9 @@ class LakeTable(spark: SparkSession, val root: String) {
     try out.write(toJson(stamped).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = manifestPath(d.version)
-    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
-      fs.delete(tmp, false)
+    if (!Lake.publishAtomic(fs, tmp, dest))
       throw new java.util.ConcurrentModificationException(
         s"lake commit lost the race for version ${d.version} at $dest")
-    }
   }
 
   /** Commit + index: the committing verb already knows the new resolved

@@ -106,24 +106,9 @@ object LakeCatalog {
     val out = f.create(tmp, false)
     try out.write(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // the atomic claim. HDFS/object-store rename REFUSES an existing
-    // destination, but POSIX rename REPLACES it (Hadoop's local rename
-    // returns true and overwrites — both racers would "win"); on file://
-    // the atomic fail-if-exists primitive is the hard link.
-    val local = f.getUri.getScheme == "file"
-    val won =
-      if (local) {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(p.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else !f.exists(p) && f.rename(tmp, p)
-    if (local || !won) f.delete(tmp, false)
-    if (!won) alreadyBound()
+    // the atomic claim — the same scheme-aware publish primitive as the
+    // manifest commit (see [[Lake.publishAtomic]])
+    if (!Lake.publishAtomic(f, tmp, p)) alreadyBound()
   }
 
   /** Resolve a format `path` parameter: a bare identifier (no path

@@ -390,6 +390,31 @@ class LakeSpec extends SparkTestBase {
         Seq("val5", null, "update_preimage"))
   }
 
+  test("manifest commit: simultaneous committers of one version, one winner") {
+    // the TRUE rename race (all committers in flight at once), not the
+    // planted-before shape other specs use: POSIX rename REPLACES an
+    // existing destination, so without the hard-link publish primitive
+    // several racers would "win" and all but the last would silently
+    // vanish from history
+    val t = mkTable() // v0
+    val m = t.manifest(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val racers = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          override def call(): Boolean = scala.util.Try {
+            t.commitDelta(graft.sources.Lake.Delta(1, 0, s"racer-$i",
+              m.keyCol, m.statsCols, m.partitionCols, full = true,
+              adds = m.files, removes = Nil,
+              tombstoneAdds = Nil, tombstoneRemoves = Nil))
+          }.isSuccess
+        })
+      }
+      racers.count(_.get()) shouldBe 1 // one winner, seven clean losses
+      t.manifest(1).operation should startWith("racer-")
+    } finally pool.shutdown()
+  }
+
   test("protocol features: an unknown required feature refuses every verb") {
     val t = mkTable() // v0
     t.merge(Seq((5L, "x", "B")).toDF("k", "payload", "status")) // v1
