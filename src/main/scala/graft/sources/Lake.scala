@@ -1722,34 +1722,48 @@ object Lake {
       Some("partition-evolution")
     else None).flatten
 
-  /** A resolved state as a full, self-anchoring Delta (legacy-manifest
-    * reads and the create/compact/restore/clone commit shape). */
   /** Atomically publish `tmp` at `dest`, returning false (claim lost) if
-    * `dest` exists — THE commit primitive for manifests and catalog
-    * entries. HDFS/object-store rename refuses an existing destination;
-    * POSIX rename REPLACES one (Hadoop's local rename returns true and
-    * overwrites — two racers would both "win" and one commit would
-    * silently vanish), so on `file://` the hard link is the atomic
-    * fail-if-exists operation. `tmp` is always consumed: linked-then-
-    * deleted, renamed away, or deleted on a lost claim. */
+    * `dest` exists — the commit primitive for manifests and catalog
+    * entries. Scheme-aware because POSIX rename REPLACES an existing
+    * destination (Hadoop's local rename returns true and overwrites —
+    * two racers would both "win" and one commit would silently vanish):
+    * on `file://` the hard link is the atomic fail-if-exists operation,
+    * falling back to exists+rename on link-incapable local mounts
+    * (CIFS/FAT/FUSE — the pre-link behavior: the exists pre-check
+    * narrows the replace window but cannot close it). HDFS rename
+    * atomically refuses an existing destination; object stores without
+    * atomic rename put a lock service or conditional-put behind this
+    * same seam, as the manifest-commit class doc has always stated.
+    * `tmp` is always consumed: linked-then-deleted, renamed away, or
+    * deleted on a lost claim or failure. */
   private[sources] def publishAtomic(fs: FileSystem, tmp: Path,
                                      dest: Path): Boolean = {
     val local = fs.getUri.getScheme == "file"
-    val won =
-      if (local) {
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dest.toUri.getPath),
-            java.nio.file.Paths.get(tmp.toUri.getPath))
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      } else !fs.exists(dest) && fs.rename(tmp, dest)
-    if (local || !won) fs.delete(tmp, false)
-    won
+    try {
+      val won =
+        if (local) {
+          try {
+            java.nio.file.Files.createLink(
+              java.nio.file.Paths.get(dest.toUri.getPath),
+              java.nio.file.Paths.get(tmp.toUri.getPath))
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+            case scala.util.control.NonFatal(_) =>
+              !fs.exists(dest) && fs.rename(tmp, dest)
+          }
+        } else !fs.exists(dest) && fs.rename(tmp, dest)
+      if (local || !won) fs.delete(tmp, false)
+      won
+    } catch {
+      case e: Throwable => // never leak the tmp, whatever failed
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
+  /** A resolved state as a full, self-anchoring Delta (legacy-manifest
+    * reads and the create/compact/restore/clone commit shape). */
   private[graft] def fullDelta(m: Manifest): Delta =
     Delta(m.version, m.parentVersion, m.operation, m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = m.files, removes = Nil,

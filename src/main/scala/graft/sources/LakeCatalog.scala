@@ -14,10 +14,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * sales; MERGE INTO sales …` without ever spelling `graft_lake('<root>')`.
   *
   * The catalog is a DIRECTORY of one-entry files (`<dir>/<name>.tbl`,
-  * content = the table's root path), not a database: a name claim is an
-  * atomic `create(overwrite = false)` — two racing `CREATE TABLE sales`
-  * get one winner and one clean refusal, the same optimistic-concurrency
-  * primitive the lake's own manifest commit uses. Entries are tiny and
+  * content = the table's root path), not a database: the content is
+  * written to a dot-temp first and the name CLAIMED atomically
+  * ([[Lake.publishAtomic]] — hard link on `file://`, rename elsewhere),
+  * so two racing `CREATE TABLE sales` get one winner and one clean
+  * refusal, and a concurrent lookup never sees a half-written entry —
+  * the same optimistic-concurrency primitive the lake's own manifest
+  * commit uses. Entries are tiny and
   * read per statement (a single namenode stat + short read — parse/
   * analysis-time metadata, never per-row work), so there is nothing to
   * cache or invalidate across sessions: any engine sharing the catalog
