@@ -1405,6 +1405,83 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Trigram STUPID-BACKOFF language-model quality score — Brants et al.
+    * 2007 ("Large Language Models in Machine Translation"), the LM
+    * designed FOR this execution model: no discount/interpolation state to
+    * estimate, just raw n-gram counts and a fixed 0.4 backoff multiplier,
+    * so the whole model is three grouped counts that distribute trivially
+    * (the paper's point: at MapReduce scale, stupid backoff matches
+    * Kneser–Ney quality). This is the CCNet-style perplexity filter one
+    * tier above [[textUnigramLogprob]]/[[textBigramLogprob]]: per scored
+    * doc, the mean ln S over its trigram instances, where
+    *   S(w₃|w₁w₂) = c₃(w₁w₂w₃)/c₂(w₁w₂)       when the trigram was seen,
+    *              = 0.4·c₂(w₂w₃)/c₁(w₂)        backing off to the bigram,
+    *              = 0.4²·(c₁(w₃)+1)/(N+V)      at the unigram floor
+    * (add-one on the floor only, so out-of-vocabulary tokens score finite).
+    * The corpus SPLITS 90/10 by the engine-wide hash60(doc_id) bucket —
+    * the LM trains on the 90 and scores the 10, so the backoff paths
+    * actually fire (training and scoring on the same corpus would hit the
+    * trigram path on every lookup and test nothing). Model = three
+    * grouped counts + two scalars, broadcast into stateless left joins
+    * against the scored docs' (doc, trigram, k) relation — at open-corpus
+    * scale the same joins run as shuffle equi-joins on the n-gram key and
+    * nothing else changes. Per-trigram-type terms round at 9 and fold
+    * SEQUENTIALLY in (w₁,w₂,w₃) order (the libm/summation-order parity
+    * discipline of every float lane here), the mean rounds at 6. */
+  def textLmStupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+    // five consumers of the tokenized relation — materialize it once
+    val docs = withToksDf(spark, dir)
+      .select(col("doc_id"), col("toks"),
+        (Portable.hash60(col("doc_id").cast("string")) % 100).as("bucket"))
+      .localCheckpoint()
+    val train = docs.filter(col("bucket") < 90)
+    val eval_ = docs.filter(col("bucket") >= 90)
+    def trigrams(df: DataFrame) = df.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks)-2), i -> struct(toks[i-1] AS w1, toks[i] AS w2, toks[i+1] AS w3))"))
+        .as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val c3 = trigrams(train).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3n"))
+    val bi = train.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS wa, toks[i] AS wb))"))
+        .as("bg"))
+      .select(col("bg.wa").as("wa"), col("bg.wb").as("wb"))
+    val c2 = bi.groupBy("wa", "wb").agg(count(lit(1)).as("c2n"))
+    val uni = train.select(explode(col("toks")).as("w"))
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1n"))
+    val tot = uni.agg(count(lit(1)).as("n_tr"),
+      countDistinct("w").as("v_tr"))
+    val b12 = c2.select(col("wa").as("w1"), col("wb").as("w2"),
+      col("c2n").as("b12"))
+    val b23 = c2.select(col("wa").as("w2"), col("wb").as("w3"),
+      col("c2n").as("b23"))
+    val u2 = c1.select(col("w").as("w2"), col("c1n").as("u2"))
+    val u3 = c1.select(col("w").as("w3"), col("c1n").as("u3"))
+    trigrams(eval_).groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("k"))
+      .join(broadcast(c3), Seq("w1", "w2", "w3"), "left")
+      .join(broadcast(b12), Seq("w1", "w2"), "left")
+      .join(broadcast(b23), Seq("w2", "w3"), "left")
+      .join(broadcast(u2), Seq("w2"), "left")
+      .join(broadcast(u3), Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("w1"), col("w2"), col("w3"), col("k"),
+        round(log(
+          when(col("c3n").isNotNull, col("c3n") / col("b12"))
+            .when(col("b23").isNotNull, lit(0.4) * col("b23") / col("u2"))
+            .otherwise(lit(0.16) * (coalesce(col("u3"), lit(0L)) + lit(1L))
+              / (col("n_tr") + col("v_tr")))), 9).as("lp"))
+      .groupBy("doc_id")
+      .agg(sum("k").cast("long").as("n_trigrams"),
+        round(expr(
+          "aggregate(transform(sort_array(collect_list(struct(w1, w2, w3, k, lp))), x -> x.k * x.lp), 0.0D, (acc, t) -> acc + t)")
+          / sum("k"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** Leakage-free train/val/test split — the assignment EVERY deduplicated
     * corpus needs: hashing doc_id ([[textSplitAssign]]) puts near-duplicate
     * documents in different splits, leaking eval content into training. The
@@ -1881,6 +1958,54 @@ object TextAnalysis {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    "text_lm_stupid_backoff" ->
+      s"""$withToks
+         |, bkt AS (
+         |  SELECT doc_id, toks,
+         |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+         |  FROM t
+         |), tri_tr AS (
+         |  SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+         |  FROM bkt, unnest(range(1, len(toks)-1)) AS r(i)
+         |  WHERE bucket < 90 AND len(toks) >= 3
+         |), c3 AS (
+         |  SELECT w1, w2, w3, count(*) AS c3n FROM tri_tr GROUP BY 1, 2, 3
+         |), bi_tr AS (
+         |  SELECT toks[i] AS wa, toks[i+1] AS wb
+         |  FROM bkt, unnest(range(1, len(toks))) AS r(i)
+         |  WHERE bucket < 90 AND len(toks) >= 2
+         |), c2 AS (
+         |  SELECT wa, wb, count(*) AS c2n FROM bi_tr GROUP BY 1, 2
+         |), uni_tr AS (
+         |  SELECT w FROM bkt, unnest(toks) AS u(w) WHERE bucket < 90
+         |), c1 AS (
+         |  SELECT w, count(*) AS c1n FROM uni_tr GROUP BY 1
+         |), tot AS (
+         |  SELECT count(*) AS n_tr, count(DISTINCT w) AS v_tr FROM uni_tr
+         |), pt AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+         |         count(*) AS k
+         |  FROM bkt, unnest(range(1, len(toks)-1)) AS r(i)
+         |  WHERE bucket >= 90 AND len(toks) >= 3
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+         |       round(list_reduce(
+         |         list(k * round(ln(
+         |           CASE WHEN c3.c3n IS NOT NULL THEN c3.c3n / b12.c2n
+         |                WHEN b23.c2n IS NOT NULL THEN 0.4e0 * b23.c2n / u2.c1n
+         |                ELSE 0.16e0 * (COALESCE(u3.c1n, 0) + 1) / (n_tr + v_tr)
+         |           END), 9) ORDER BY w1, w2, w3),
+         |         (x, y) -> x + y) / sum(k), 6) AS avg_logprob
+         |FROM pt
+         |LEFT JOIN c3 USING (w1, w2, w3)
+         |LEFT JOIN c2 AS b12 ON b12.wa = pt.w1 AND b12.wb = pt.w2
+         |LEFT JOIN c2 AS b23 ON b23.wa = pt.w2 AND b23.wb = pt.w3
+         |LEFT JOIN c1 AS u2 ON u2.w = pt.w2
+         |LEFT JOIN c1 AS u3 ON u3.w = pt.w3, tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "text_cluster_split" ->
       s"""${Dedup.clusterAssignCtes}
          |SELECT doc_id, cluster_id,
@@ -2288,6 +2413,7 @@ object TextAnalysis {
     "text_heavy_hitters"      -> (textHeavyHitters _),
     "text_unigram_logprob"    -> (textUnigramLogprob _),
     "text_bigram_logprob"     -> (textBigramLogprob _),
+    "text_lm_stupid_backoff"  -> (textLmStupidBackoff _),
     "text_chunk_overlap"      -> (textChunkOverlap _),
     "text_cluster_split"      -> (textClusterSplit _),
     "text_chi2"               -> (textChi2 _),

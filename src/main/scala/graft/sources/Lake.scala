@@ -763,6 +763,40 @@ object Lake {
         |ORDER BY src, o_orderpriority""".stripMargin)
   }
 
+  /** Gated lane: PERSISTED VIEWS — `CREATE VIEW` over a named lake table,
+    * a view OVER that view (nesting through the same late-binding
+    * resolution), then `CREATE OR REPLACE` swaps the inner view's
+    * predicate and the final SELECT reads the outer view: the result
+    * reflects the REPLACED inner definition, pinning late binding (an
+    * early-binding engine would still serve the stale predicate). The
+    * oracle states the post-replace query raw. */
+  def lakeSqlView(spark: SparkSession, dir: String): DataFrame = {
+    // fresh catalog dir per invocation, same re-runnability contract as
+    // the lake_sql_catalog lane (CREATE refuses an already-bound name)
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("lake_sql_view_src")
+    spark.sql(
+      """CREATE TABLE cat_vorders KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_view_src""".stripMargin).collect()
+    spark.sql(
+      """CREATE VIEW v_slice AS
+        |SELECT o_orderkey, o_orderpriority FROM cat_vorders
+        |WHERE o_orderkey % 10 = 0""".stripMargin).collect()
+    spark.sql(
+      """CREATE VIEW v_by_priority AS
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       sum(o_orderkey) AS sum_keys
+        |FROM v_slice GROUP BY o_orderpriority""".stripMargin).collect()
+    spark.sql(
+      """CREATE OR REPLACE VIEW v_slice AS
+        |SELECT o_orderkey, o_orderpriority FROM cat_vorders
+        |WHERE o_orderkey % 10 = 5""".stripMargin).collect()
+    spark.sql(
+      """SELECT o_orderpriority, n_orders, CAST(sum_keys AS BIGINT) AS sum_keys
+        |FROM v_by_priority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Gated lane: SQL INSERT — the append fast path. New keys (every key
     * re-keyed +100 000 000 as '9-INSERTED') land as NEW FILES ONLY: the
     * commit removes nothing and every existing file carries by
@@ -1172,6 +1206,7 @@ object Lake {
     "lake_sql_merge" -> (lakeSqlMerge _),
     "lake_sql_ctas" -> (lakeSqlCtas _),
     "lake_sql_catalog" -> (lakeSqlCatalog _),
+    "lake_sql_view" -> (lakeSqlView _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
     "lake_sql_update" -> (lakeSqlUpdate _),
@@ -1377,6 +1412,12 @@ object Lake {
         |  SELECT 'v0' AS src, o_orderpriority, count(*) AS n_orders
         |  FROM orders GROUP BY 2)
         |ORDER BY src, o_orderpriority""".stripMargin,
+
+    "lake_sql_view" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM orders WHERE o_orderkey % 10 = 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_insert" ->
       """WITH u AS (
@@ -4112,6 +4153,42 @@ class LakeTable(spark: SparkSession, val root: String) {
     }
     false
   }
+
+  /** The LATEST epoch id `appId` ever committed to this table, walking
+    * the manifest chain backward to the first same-app tag — the
+    * recovery read for consumers that use the chain AS their transaction
+    * log (the MV refresh: "what base version does my state reflect?").
+    * O(commits since that epoch); vacuumed manifests skip. */
+  def latestEpoch(appId: String): Option[Long] = {
+    val prefix = if (appId.isEmpty) "merge-epoch-" else s"merge-epoch-$appId-"
+    var v = latestVersion
+    while (v >= 0) {
+      if (hasVersion(v)) {
+        val op = readDelta(v).operation
+        if (op.startsWith(prefix)) {
+          // bare-suffix check mirrors hasEpoch: an app-qualified tag under
+          // an empty-app probe parses as non-Long and is skipped
+          val id = op.stripPrefix(prefix).toLongOption
+          if (id.isDefined) return id
+        }
+      }
+      v -= 1
+    }
+    None
+  }
+
+  /** [[mergeInto]] tagged with a streaming epoch — the conditional-clause
+    * twin of [[mergeEpoch]], same at-most-once contract per (appId,
+    * epoch). The MV refresh commits its fold through this: epoch id =
+    * the base version the fold advances to, so the state table's own
+    * manifest chain records exactly which base snapshot it reflects. */
+  def mergeIntoEpoch(updates: DataFrame, epochId: Long, appId: String,
+                     whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
+                     whenMatchedUpdateIf: Option[org.apache.spark.sql.Column] = None,
+                     whenNotMatchedInsert: Boolean = true): Option[MergeStats] =
+    if (hasEpoch(epochId, appId)) None
+    else Some(mergeIntoTagged(updates, epochTag(epochId, appId),
+      whenMatchedDeleteIf, whenMatchedUpdateIf, whenNotMatchedInsert))
 
   /** [[merge]] tagged with a streaming epoch — committed at most once per
     * (appId, epoch id); a replay after a restart-between-write-and-offset-

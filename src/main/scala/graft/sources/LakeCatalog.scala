@@ -50,6 +50,14 @@ object LakeCatalog {
 
   private val Suffix = ".tbl"
 
+  /** Views share the TABLE namespace — one entry file per name, whatever
+    * the kind, so the single atomic claim serializes racing CREATE TABLE
+    * and CREATE VIEW of one name with no cross-file check-then-act race.
+    * A view entry's content is this marker line followed by the view's
+    * SELECT text; a table entry's content is its root path (paths never
+    * start with a `graft-view:` scheme, so the kinds cannot alias). */
+  private val ViewMarker = "graft-view:\n"
+
   /** Names are plain SQL identifiers (letter/underscore head, then
     * letters/digits/underscores), compared case-insensitively — stored
     * lowercase, like Spark's default session catalog. */
@@ -99,19 +107,67 @@ object LakeCatalog {
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     def alreadyBound(): Nothing = throw new IllegalArgumentException(
-      s"table name '$name' is already bound to " +
-        s"'${lookup(spark, name).getOrElse("?")}' in the graft catalog " +
-        s"at ${catalogDir(spark)} — DROP TABLE $name first, or pick " +
-        "another name")
+      lookupView(spark, name) match {
+        case Some(_) =>
+          s"name '$name' is already bound to a VIEW in the graft catalog " +
+            s"at ${catalogDir(spark)} — DROP VIEW $name first, or pick " +
+            "another name"
+        case None =>
+          s"table name '$name' is already bound to " +
+            s"'${lookup(spark, name).getOrElse("?")}' in the graft catalog " +
+            s"at ${catalogDir(spark)} — DROP TABLE $name first, or pick " +
+            "another name"
+      })
     if (f.exists(p)) alreadyBound() // fast path; the claim below is the gate
+    if (!claim(f, p, root)) alreadyBound()
+  }
+
+  /** Write `content` to a dot-temp, then CLAIM the entry atomically — the
+    * shared tail of [[register]] and [[registerView]] (see [[register]]'s
+    * doc for why the claim primitive, not create-if-absent, is the gate). */
+  private def claim(f: FileSystem, p: Path, content: String): Boolean = {
     val tmp = new Path(p.getParent,
       s".tmp-${java.util.UUID.randomUUID()}$Suffix")
     val out = f.create(tmp, false)
-    try out.write(root.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // the atomic claim — the same scheme-aware publish primitive as the
     // manifest commit (see [[Lake.publishAtomic]])
-    if (!Lake.publishAtomic(f, tmp, p)) alreadyBound()
+    Lake.publishAtomic(f, tmp, p)
+  }
+
+  /** Atomically bind `name` to a VIEW whose body is the SELECT text
+    * `sql`. Views and tables share one namespace (one entry file), so a
+    * name bound to a table refuses here and vice versa. `orReplace`
+    * replaces an existing VIEW binding in place (one unlink + one claim —
+    * a concurrent reader either sees the old definition or the new one,
+    * never a half-written entry; it can also see a brief unbound gap,
+    * the documented OR REPLACE window) but still refuses to replace a
+    * TABLE binding: a view silently swallowing a table's name would
+    * orphan the table's data from SQL reach. */
+  def registerView(spark: SparkSession, name: String, sql: String,
+                   orReplace: Boolean = false): Unit = {
+    require(isValidName(name),
+      s"'$name' is not a valid view name (letters, digits, underscores; " +
+        "must not start with a digit)")
+    require(sql.trim.nonEmpty, s"CREATE VIEW $name: empty view query")
+    val p = entryPath(spark, name)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    def refuse(): Nothing = throw new IllegalArgumentException(
+      if (lookup(spark, name).isDefined)
+        s"name '$name' is bound to a TABLE in the graft catalog at " +
+          s"${catalogDir(spark)} — CREATE OR REPLACE VIEW only replaces " +
+          s"views; DROP TABLE $name first, or pick another name"
+      else
+        s"view name '$name' is already bound in the graft catalog at " +
+          s"${catalogDir(spark)} — use CREATE OR REPLACE VIEW to replace " +
+          s"it, or DROP VIEW $name first")
+    if (f.exists(p)) {
+      if (!orReplace || lookupView(spark, name).isEmpty) refuse()
+      f.delete(p, false) // replace = unlink + fresh claim (see doc above)
+    }
+    if (!claim(f, p, ViewMarker + sql)) refuse()
   }
 
   /** Resolve a format `path` parameter: a bare identifier (no path
@@ -125,18 +181,43 @@ object LakeCatalog {
     * always available to disambiguate. */
   def resolvePathOrName(spark: SparkSession, p: String): String =
     if (!p.contains('/') && !p.contains('\\') && isValidName(p))
-      lookup(spark, p).getOrElse(p)
+      lookup(spark, p).getOrElse {
+        // a view has no storage — "reading the path" of one is always a
+        // mistake, and falling through to a file-not-found would bury it
+        if (lookupView(spark, p).isDefined) throw new IllegalArgumentException(
+          s"'$p' is bound to a VIEW in the graft catalog — views have no " +
+            "root path; SELECT from the view, or target its base tables")
+        p
+      }
     else p
 
-  /** The root bound to `name`, if any. Cheap by design — one stat + one
-    * short read of a one-line file; called at parse/analysis time only. */
-  def lookup(spark: SparkSession, name: String): Option[String] = {
+  /** The raw entry content bound to `name`, if any — a root path for a
+    * table, [[ViewMarker]]-prefixed SELECT text for a view. Cheap by
+    * design — one stat + one short read of a tiny file; called at parse/
+    * analysis time only. */
+  private def lookupEntry(spark: SparkSession, name: String): Option[String] = {
     if (!isValidName(name)) return None
     val p = entryPath(spark, name)
     val f = fs(spark, p)
     if (!f.exists(p)) None
     else Lake.readMarkerFile(f, p)
   }
+
+  /** The TABLE root bound to `name`, if any — a view binding is a miss
+    * here (callers that should refuse loudly on a view, like the DML
+    * verbs, check [[lookupView]] themselves). */
+  def lookup(spark: SparkSession, name: String): Option[String] =
+    lookupEntry(spark, name).filterNot(_.startsWith(ViewMarker.trim))
+
+  /** The VIEW body (SELECT text) bound to `name`, if any — a table
+    * binding is a miss here. */
+  def lookupView(spark: SparkSession, name: String): Option[String] =
+    lookupEntry(spark, name).collect {
+      // readMarkerFile trims the whole content, so the marker LINE (not
+      // the marker+newline) is the stable prefix to test and strip
+      case e if e.startsWith(ViewMarker.trim) =>
+        e.stripPrefix(ViewMarker.trim).trim
+    }
 
   /** Unbind `name`; returns whether it was bound. The table's data and
     * manifests stay at the root — a binding is a pointer, never
@@ -147,8 +228,10 @@ object LakeCatalog {
     fs(spark, p).delete(p, false)
   }
 
-  /** Every (name, root) binding — the `graft_catalog()` table function. */
-  def list(spark: SparkSession): Seq[(String, String)] = {
+  /** Every (name, kind, target) binding — the `graft_catalog()` table
+    * function. `target` is the root path for a table, the SELECT text
+    * for a view (`SHOW CREATE` for free). */
+  def list(spark: SparkSession): Seq[(String, String, String)] = {
     val dir = catalogDir(spark)
     val f = fs(spark, dir)
     if (!f.exists(dir)) return Nil
@@ -157,14 +240,51 @@ object LakeCatalog {
         !s.getPath.getName.startsWith(".")) // dot-tmps are never bindings
       .map { s =>
         val name = s.getPath.getName.dropRight(Suffix.length)
-        name -> Lake.readMarkerFile(f, s.getPath).getOrElse("")
+        val e = Lake.readMarkerFile(f, s.getPath).getOrElse("")
+        if (e.startsWith(ViewMarker.trim))
+          (name, "view", e.stripPrefix(ViewMarker.trim).trim)
+        else (name, "table", e)
       }
       .sortBy(_._1)
   }
 
   def listDf(spark: SparkSession): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    list(spark).toDF("name", "root")
+    list(spark).toDF("name", "kind", "target")
+  }
+
+  /** Max view-over-view nesting. Views resolve LATE (at read, against the
+    * definitions current then), so a cycle can come into existence after
+    * the fact via CREATE OR REPLACE even though each CREATE validated —
+    * the cap turns that infinite regress into a loud error. 10 covers any
+    * sane composition depth. */
+  private val MaxViewDepth = 10
+  private val viewDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
+  /** Expand view `name` (body `sql`) into its ANALYZED plan. Analyzing
+    * here re-enters the analyzer, which re-applies [[LakeNameResolution]]
+    * to the body — that recursion is exactly what resolves views over
+    * views (and views over catalog tables), and the thread-local depth
+    * counter around it is what bounds a replace-created cycle. */
+  private[sources] def expandView(spark: SparkSession, name: String,
+                                  sql: String): LogicalPlan = {
+    val d = viewDepth.get()
+    if (d >= MaxViewDepth) throw new IllegalArgumentException(
+      s"view '$name' exceeds the maximum view nesting depth " +
+        s"($MaxViewDepth) — a CREATE OR REPLACE VIEW cycle, or a " +
+        "composition genuinely deeper than the cap")
+    viewDepth.set(d + 1)
+    try spark.sql(sql).queryExecution.analyzed
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception => throw new IllegalArgumentException(
+        s"view '$name' failed to resolve against the current catalog — " +
+          s"its body is stale or a base table was dropped: ${e.getMessage}",
+        e)
+    }
+    finally viewDepth.set(d)
   }
 }
 
@@ -193,7 +313,38 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         memo.getOrElseUpdate(n.toLowerCase, LakeCatalog.lookup(spark, n))
       case _ => None
     }
+    val viewMemo = scala.collection.mutable.HashMap.empty[String, Option[String]]
+    def viewOf(p: LogicalPlan): Option[(String, String)] = p match {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 1 && !u.isStreaming =>
+        val n = u.multipartIdentifier.head
+        viewMemo.getOrElseUpdate(n.toLowerCase,
+          LakeCatalog.lookupView(spark, n)).map(n -> _)
+      case _ => None
+    }
+    // refusal pre-pass, BEFORE the bottom-up rewrite (which would expand
+    // the view child first and leave the parent guard nothing to match):
+    // write statements must never silently resolve THROUGH a view (the
+    // parser already refuses the lake verbs by name; this catches Spark's
+    // own INSERT INTO grammar before it fails with a puzzling "not
+    // supported" over the spliced plan), and time travel on a view is a
+    // category error worth its own message
+    plan.foreach {
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if viewOf(i.table).isDefined =>
+        throw new IllegalArgumentException(
+          s"'${viewOf(i.table).get._1}' is a graft catalog VIEW — views " +
+            "are read-only; INSERT into its base tables instead")
+      case RelationTimeTravel(rel, _, _) if viewOf(rel).isDefined =>
+        throw new IllegalArgumentException(
+          s"'${viewOf(rel).get._1}' is a graft catalog VIEW — time travel " +
+            "pins a TABLE snapshot; pin the view's base tables instead")
+      case _ =>
+    }
     plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if viewOf(u).isDefined =>
+        val (name, sql) = viewOf(u).get
+        LakeCatalog.expandView(spark, name, sql)
       case tt @ RelationTimeTravel(rel, ts, ver) if rootOf(rel).isDefined =>
         val t = new LakeTable(spark, rootOf(rel).get)
         val v = ver match {

@@ -455,7 +455,16 @@ object GraftSqlParser {
         case Some(name) if !name.contains(".") &&
             graft.sources.LakeCatalog.isValidName(name) =>
           val hit = graft.sources.LakeCatalog.lookup(SparkSession.active, name)
-          if (hit.isEmpty) sc.seek(mark)
+          if (hit.isEmpty) {
+            // a VIEW name under a storage verb is a loud category error —
+            // delegating would bury it under a generic not-found
+            if (graft.sources.LakeCatalog
+                .lookupView(SparkSession.active, name).isDefined)
+              fail(s"'$name' is bound to a VIEW in the graft catalog — " +
+                "views have no storage; this verb needs a lake table " +
+                "(target the view's base tables instead)")
+            sc.seek(mark)
+          }
           hit
         case _ => sc.seek(mark); None
       }
@@ -556,11 +565,45 @@ object GraftSqlParser {
     } else parseCtasTail(sc, None, Some(name))
   }
 
+  /** `CREATE [OR REPLACE] VIEW <name> AS <query>` — a PERSISTED view in
+    * the graft catalog (stored SELECT text, resolved LATE at every read,
+    * so it always reflects the base tables' and nested views' current
+    * definitions). Cursor sits right after `CREATE`. Only the plain
+    * single-part form is ours: `TEMPORARY`/`TEMP`/`GLOBAL` views,
+    * multipart names, column-alias lists, COMMENT/TBLPROPERTIES — all
+    * delegate untouched to Spark's own view DDL. */
+  private def parseCreateView(sc: Scan): Option[LogicalPlan] = {
+    val orReplace = {
+      val mark = sc.pos
+      if (sc.keyword("OR")) {
+        if (sc.keyword("REPLACE")) true else { sc.seek(mark); false }
+      } else false
+    }
+    if (!sc.keyword("VIEW")) return None
+    val ifNotExists = {
+      val mark = sc.pos
+      if (sc.keyword("IF")) {
+        if (sc.keyword("NOT") && sc.keyword("EXISTS")) true
+        else { sc.seek(mark); false }
+      } else false
+    }
+    if (orReplace && ifNotExists)
+      fail("CREATE OR REPLACE VIEW cannot combine with IF NOT EXISTS — " +
+        "pick one: replace the binding, or keep it")
+    val name = sc.identOpt().getOrElse(return None)
+    if (name.contains(".") ||
+        !graft.sources.LakeCatalog.isValidName(name)) return None
+    if (!sc.keyword("AS")) return None // column lists etc. = Spark's DDL
+    val body = sc.restStmt()
+    if (body.isEmpty) fail(s"CREATE VIEW $name AS needs a query")
+    Some(LakeCreateViewCommand(name, body, orReplace, ifNotExists))
+  }
+
   private[graft] def tryParseDml(sqlText: String,
                                  delegate: ParserInterface): Option[LogicalPlan] = {
     val sc = new Scan(sqlText)
     if (sc.keyword("CREATE")) {
-      if (!sc.keyword("TABLE")) None
+      if (!sc.keyword("TABLE")) parseCreateView(sc)
       else lakeTargetPath(sc) match {
         case Some(root) => Some {
           if (sc.keyword("SHALLOW")) {
@@ -579,19 +622,34 @@ object GraftSqlParser {
       }
     } else if (sc.keyword("DROP")) {
       // DROP TABLE <name>: unbind a catalog name (metadata-only — the
-      // data stays at its root). Unregistered or multipart names, and any
-      // longer statement form, delegate untouched.
-      if (!sc.keyword("TABLE")) None
+      // data stays at its root). DROP VIEW <name>: unbind a catalog view.
+      // Unregistered or multipart names, and any longer statement form,
+      // delegate untouched. Either verb aimed at the OTHER kind refuses
+      // loudly — delegating would bury the mistake under a generic
+      // not-found.
+      val isTable = sc.keyword("TABLE")
+      val isView = !isTable && sc.keyword("VIEW")
+      if (!isTable && !isView) None
       // a lone IF without EXISTS is invalid SQL — delegate so the default
       // parser rejects it, instead of silently unbinding the name after it
       else if (sc.keyword("IF") && !sc.keyword("EXISTS")) None
       else {
         sc.identOpt() match {
           case Some(name) if !name.contains(".") &&
-              graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&
-              graft.sources.LakeCatalog
-                .lookup(SparkSession.active, name).isDefined =>
-            Some(LakeDropNameCommand(name))
+              graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() =>
+            val asTable = graft.sources.LakeCatalog
+              .lookup(SparkSession.active, name).isDefined
+            val asView = !asTable && graft.sources.LakeCatalog
+              .lookupView(SparkSession.active, name).isDefined
+            if (isTable && asTable) Some(LakeDropNameCommand(name))
+            else if (isView && asView) Some(LakeDropViewCommand(name))
+            else if (isTable && asView)
+              fail(s"'$name' is bound to a VIEW in the graft catalog — " +
+                s"use DROP VIEW $name")
+            else if (isView && asTable)
+              fail(s"'$name' is bound to a TABLE in the graft catalog — " +
+                s"use DROP TABLE $name")
+            else None
           case _ => None
         }
       }
@@ -1267,6 +1325,62 @@ case class LakeDropNameCommand(name: String) extends LeafRunnableCommand {
         s"DROP TABLE: '$name' is not bound in the graft catalog"))
     graft.sources.LakeCatalog.unregister(spark, name)
     Seq(Row(name, root))
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW <name> AS <query>` — bind a PERSISTED view
+  * (the stored SELECT text) in the graft catalog. The body is validated
+  * NOW — it must parse to a query (never a command: a command would
+  * execute as a side effect of every read) and analyze against the
+  * current catalog, the fail-at-CREATE contract every SQL engine keeps —
+  * but it re-resolves at every read, so the view always reflects its base
+  * tables' and nested views' CURRENT definitions (late binding; see
+  * [[graft.sources.LakeNameResolution]] for the read path and the
+  * nesting-depth cap that bounds replace-created cycles). */
+case class LakeCreateViewCommand(name: String, viewSql: String,
+                                 orReplace: Boolean, ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("query", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.LakeCatalog.lookupView(spark, name) match {
+      case Some(existing) if ifNotExists => return Seq(Row(name, existing))
+      case _ =>
+    }
+    val parsed = spark.sessionState.sqlParser.parsePlan(viewSql)
+    if (parsed.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.Command])
+      throw new IllegalArgumentException(
+        s"CREATE VIEW $name: the body must be a query, not a command — " +
+          "a command body would execute as a side effect of every read")
+    // fail-fast analysis: an unknown base table/column refuses HERE, not
+    // at first read (the parse above is not enough — names resolve only
+    // in analysis). The plan is discarded; reads re-resolve late.
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], parsed)
+      .queryExecution.assertAnalyzed()
+    graft.sources.LakeCatalog.registerView(spark, name, viewSql, orReplace)
+    Seq(Row(name, viewSql))
+  }
+}
+
+/** `DROP VIEW <name>` for a catalog-bound view — unbind the name
+  * (metadata-only, like every catalog verb; a view IS only metadata). */
+case class LakeDropViewCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("query", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val body = graft.sources.LakeCatalog.lookupView(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"DROP VIEW: '$name' is not bound to a view in the graft catalog"))
+    graft.sources.LakeCatalog.unregister(spark, name)
+    Seq(Row(name, body))
   }
 }
 

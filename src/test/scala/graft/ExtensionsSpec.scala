@@ -16,6 +16,29 @@ class ExtensionsSpec extends SparkTestBase {
       Seq(Seq("a", "b", "c"), Seq.empty, Seq("solo"))
   }
 
+  test("stupid-backoff LM: scored set, per-doc arity, and score bounds") {
+    import graft.extensions.TextAnalysis
+    val sf = "/root/testdata/sf0.001"
+    val out = TextAnalysis.textLmStupidBackoff(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    out should not be empty
+    // exactly the score-split docs with >= 3 tokens are scored, and each
+    // doc scores every trigram position: n_trigrams = n_tokens - 2
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .withColumn("toks", Portable.tokens(col("text")))
+      .select(col("doc_id"),
+        (Portable.hash60(col("doc_id").cast("string")) % 100).as("b"),
+        org.apache.spark.sql.functions.size(col("toks")).as("n"))
+      .filter(col("b") >= 90 && col("n") >= 3)
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._3.toLong - 2)).toMap
+    out.map(r => r._1 -> r._2).toMap shouldBe expected
+    // every backoff tier emits a probability <= 1: S3 = c3/c2ctx <= 1
+    // (each trigram instance carries its prefix-bigram instance),
+    // S2 <= 0.4, floor < 1 — so the mean ln is strictly negative
+    for ((doc, _, lp) <- out) withClue(s"$doc: ") { lp should be < 0.0 }
+  }
+
   test("k-suppression: every RELEASED class reaches k; accounting balances") {
     import graft.extensions.Privacy
     val sf = "/root/testdata/sf0.001"

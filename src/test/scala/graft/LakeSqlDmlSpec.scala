@@ -1294,4 +1294,154 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("DROP TABLE plain_spark_t")
     }
   }
+
+  test("persisted views: lifecycle, nesting, late binding, listing") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 40L).map(k => (k, if (k <= 30) "A" else "B", k * 2))
+        .toDF("k", "grp", "amount").createOrReplaceTempView("vw_src")
+      s.sql("CREATE TABLE vw_base KEY k FILES 2 AS SELECT * FROM vw_src")
+        .collect()
+      // view over the named table
+      s.sql("CREATE VIEW v_a AS SELECT k, amount FROM vw_base " +
+        "WHERE grp = 'A'").collect()
+      s.sql("SELECT count(*) FROM v_a").collect()(0).getLong(0) shouldBe 30L
+      // view over the VIEW (nesting through the same resolution)
+      s.sql("CREATE VIEW v_a_sum AS SELECT sum(amount) AS total FROM v_a")
+        .collect()
+      s.sql("SELECT total FROM v_a_sum").collect()(0)
+        .getLong(0) shouldBe (1L to 30L).map(_ * 2).sum
+      // LATE BINDING on the base table: new rows show through both views
+      s.sql("INSERT INTO vw_base SELECT k + 100 AS k, 'A' AS grp, " +
+        "0L AS amount FROM vw_src WHERE k <= 4").collect()
+      s.sql("SELECT count(*) FROM v_a").collect()(0).getLong(0) shouldBe 34L
+      // LATE BINDING on the nested view: OR REPLACE of the inner view
+      // changes what the outer view serves, with no outer-view touch
+      s.sql("CREATE OR REPLACE VIEW v_a AS SELECT k, amount FROM vw_base " +
+        "WHERE grp = 'B'").collect()
+      s.sql("SELECT total FROM v_a_sum").collect()(0)
+        .getLong(0) shouldBe (31L to 40L).map(_ * 2).sum
+      // IF NOT EXISTS on a bound view is a no-op that returns the binding
+      s.sql("CREATE VIEW IF NOT EXISTS v_a AS SELECT 1 AS one").collect()
+      s.sql("SELECT count(*) FROM v_a").collect()(0).getLong(0) shouldBe 10L
+      // the listing carries both kinds; a view's target is its query text
+      val byKind = s.sql("SELECT name, kind, target FROM graft_catalog()")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      byKind shouldBe Map("vw_base" -> "table", "v_a" -> "view",
+        "v_a_sum" -> "view")
+      s.sql("SELECT target FROM graft_catalog() WHERE name = 'v_a'")
+        .collect()(0).getString(0) should include("grp = 'B'")
+      // views work through spark.read.table too (same analyzer rule)
+      s.read.table("v_a_sum").collect()(0)
+        .getLong(0) shouldBe (31L to 40L).map(_ * 2).sum
+      // DROP VIEW unbinds; the base table is untouched
+      s.sql("DROP VIEW v_a_sum").collect()
+      intercept[Exception] { s.sql("SELECT * FROM v_a_sum").collect() }
+      s.sql("SELECT count(*) FROM vw_base").collect()(0)
+        .getLong(0) shouldBe 44L
+    }
+  }
+
+  test("persisted views: refusals, cycles, and delegation") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 9L).map(k => (k, s"v$k")).toDF("k", "payload")
+        .createOrReplaceTempView("vwr_src")
+      s.sql("CREATE TABLE vwr_t KEY k AS SELECT * FROM vwr_src").collect()
+      s.sql("CREATE VIEW vwr_v AS SELECT k FROM vwr_t WHERE k <= 3")
+        .collect()
+      // CREATE VIEW on a TABLE-bound name refuses (and OR REPLACE never
+      // replaces a table binding)
+      intercept[Exception] {
+        s.sql("CREATE VIEW vwr_t AS SELECT 1 AS one").collect()
+      }.getMessage should include("bound to a TABLE")
+      intercept[Exception] {
+        s.sql("CREATE OR REPLACE VIEW vwr_t AS SELECT 1 AS one").collect()
+      }.getMessage should include("bound to a TABLE")
+      // CREATE TABLE on a VIEW-bound name refuses
+      intercept[Exception] {
+        s.sql("CREATE TABLE vwr_v KEY k AS SELECT * FROM vwr_src").collect()
+      }.getMessage should include("VIEW")
+      // plain CREATE VIEW on a bound view refuses with OR REPLACE guidance
+      intercept[Exception] {
+        s.sql("CREATE VIEW vwr_v AS SELECT 1 AS one").collect()
+      }.getMessage should include("CREATE OR REPLACE VIEW")
+      // a command body refuses: a view must never execute side effects
+      intercept[Exception] {
+        s.sql("CREATE VIEW vwr_cmd AS DROP TABLE vwr_t").collect()
+      }
+      s.sql("SELECT count(*) FROM vwr_t").collect()(0).getLong(0) shouldBe 9L
+      // an unresolvable body refuses at CREATE, not at first read
+      intercept[Exception] {
+        s.sql("CREATE VIEW vwr_ghost AS SELECT * FROM no_such_base")
+          .collect()
+      }
+      // views are READ-ONLY: every write/storage verb refuses loudly.
+      // INSERT INTO is caught at PARSE (the lake verb's name resolution);
+      // INSERT OVERWRITE delegates to Spark's grammar and is caught by
+      // the analyzer guard instead — both loud, each naming the view
+      intercept[Exception] {
+        s.sql("INSERT INTO vwr_v SELECT 99 AS k").collect()
+      }.getMessage should include("views have no storage")
+      intercept[Exception] {
+        s.sql("INSERT OVERWRITE vwr_v SELECT 99 AS k").collect()
+      }.getMessage should include("read-only")
+      intercept[Exception] {
+        s.sql("UPDATE vwr_v SET k = 0 WHERE k = 1").collect()
+      }.getMessage should include("VIEW")
+      intercept[Exception] {
+        s.sql("DELETE FROM vwr_v WHERE k = 1").collect()
+      }.getMessage should include("VIEW")
+      intercept[Exception] {
+        s.sql("OPTIMIZE vwr_v BINPACK 10").collect()
+      }.getMessage should include("VIEW")
+      intercept[Exception] {
+        s.sql("DROP TABLE vwr_v").collect()
+      }.getMessage should include("use DROP VIEW")
+      intercept[Exception] {
+        s.sql("DROP VIEW vwr_t").collect()
+      }.getMessage should include("use DROP TABLE")
+      // time travel pins tables, not views
+      intercept[Exception] {
+        s.sql("SELECT * FROM vwr_v VERSION AS OF 0").collect()
+      }.getMessage should include("time travel")
+      // a view name is not a path: format surfaces and table functions
+      // refuse instead of file-not-found
+      intercept[Exception] {
+        s.sql("SELECT * FROM graft_lake_history('vwr_v')").collect()
+      }.getMessage should include("no root path")
+      // REPLACE-created cycle: v1 → v2, then v2 REPLACED to read v1 —
+      // each CREATE validated, the read hits the depth cap loudly
+      s.sql("CREATE VIEW vwr_c1 AS SELECT k FROM vwr_t").collect()
+      s.sql("CREATE VIEW vwr_c2 AS SELECT k FROM vwr_c1").collect()
+      s.sql("CREATE OR REPLACE VIEW vwr_c1 AS SELECT k FROM vwr_c2")
+        .collect()
+      intercept[Exception] {
+        s.sql("SELECT count(*) FROM vwr_c1").collect()
+      }.getMessage should include("nesting depth")
+      // a dropped base makes the view fail AT READ with a stale message
+      s.sql("CREATE TABLE vwr_base2 KEY k AS SELECT * FROM vwr_src")
+        .collect()
+      s.sql("CREATE VIEW vwr_late AS SELECT k FROM vwr_base2").collect()
+      s.sql("DROP TABLE vwr_base2").collect()
+      intercept[Exception] {
+        s.sql("SELECT * FROM vwr_late").collect()
+      }.getMessage should include("stale")
+      // TEMP VIEW DDL and multipart names delegate untouched
+      s.sql("CREATE TEMPORARY VIEW vwr_tmp AS SELECT 1 AS one")
+      s.sql("SELECT one FROM vwr_tmp").collect()(0).getInt(0) shouldBe 1
+      s.sql("DROP VIEW vwr_tmp") // Spark's own temp view, Spark's own DROP
+      val multi = intercept[Exception] {
+        s.sql("CREATE VIEW db.vwr_m AS SELECT 1 AS one").collect()
+      }
+      multi.getMessage.toLowerCase should not include "graft"
+      // a TEMP VIEW sharing a graft view's name shadows it on reads
+      Seq((1L, 2L)).toDF("a", "b").createOrReplaceTempView("vwr_v")
+      s.sql("SELECT b FROM vwr_v").collect()(0).getLong(0) shouldBe 2L
+      s.catalog.dropTempView("vwr_v")
+      s.sql("SELECT count(*) FROM vwr_v").collect()(0).getLong(0) shouldBe 3L
+    }
+  }
 }
