@@ -797,6 +797,48 @@ object Lake {
         |FROM v_by_priority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Gated lane: MATERIALIZED VIEW lifecycle — CREATE over a named lake
+    * table pins+aggregates the current snapshot; the base then takes an
+    * INSERT, an UPDATE that MOVES rows between groups, and a DELETE;
+    * REFRESH folds the three commits' change feed incrementally
+    * (O(changed rows), base never rescanned — the epoch-tagged fold);
+    * the final SELECT reads the MV by name. The oracle states the
+    * post-mutation aggregate from the raw table directly, so ANY fold
+    * drift — a missed preimage, a double-counted move, a stale group —
+    * diverges. A second REFRESH inside the lane must be a no-op span
+    * (same oracle would catch double-folding). */
+  def lakeSqlMv(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("lake_sql_mv_src")
+    spark.sql(
+      """CREATE TABLE mv_orders KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_mv_src""".stripMargin).collect()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mv_by_priority AS
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       sum(o_totalprice) AS revenue
+        |FROM mv_orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority""".stripMargin).collect()
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderpriority", lit("9-INSERTED"))
+      .createOrReplaceTempView("lake_sql_mv_ins")
+    spark.sql(
+      "INSERT INTO mv_orders SELECT * FROM lake_sql_mv_ins").collect()
+    spark.sql( // group MOVE: preimage leaves one group, postimage enters another
+      """UPDATE mv_orders SET o_orderpriority = '7-MOVED'
+        |WHERE o_orderkey % 100 = 50""".stripMargin).collect()
+    spark.sql(
+      "DELETE FROM mv_orders WHERE o_orderkey % 100 = 20").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_by_priority").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_by_priority").collect() // no-op
+    spark.sql(
+      """SELECT o_orderpriority, n_orders,
+        |       CAST(round(revenue, 2) AS DOUBLE) AS revenue
+        |FROM mv_by_priority ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Gated lane: SQL INSERT — the append fast path. New keys (every key
     * re-keyed +100 000 000 as '9-INSERTED') land as NEW FILES ONLY: the
     * commit removes nothing and every existing file carries by
@@ -1207,6 +1249,7 @@ object Lake {
     "lake_sql_ctas" -> (lakeSqlCtas _),
     "lake_sql_catalog" -> (lakeSqlCatalog _),
     "lake_sql_view" -> (lakeSqlView _),
+    "lake_sql_mv" -> (lakeSqlMv _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
     "lake_sql_update" -> (lakeSqlUpdate _),
@@ -1417,6 +1460,23 @@ object Lake {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_orderkey % 10 = 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_mv" ->
+      """WITH mutated AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 100 = 50 THEN '7-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 <> 20
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, '9-INSERTED', o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM mutated WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_insert" ->

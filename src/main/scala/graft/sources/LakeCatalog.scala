@@ -58,6 +58,12 @@ object LakeCatalog {
     * start with a `graft-view:` scheme, so the kinds cannot alias). */
   private val ViewMarker = "graft-view:\n"
 
+  /** Materialized views share the same single namespace. An MV entry's
+    * content is this marker followed by [[LakeMv]]'s serialized
+    * definition (base root, pinned init version, state-table root, item
+    * list, predicate, original query text). */
+  private val MvMarker = "graft-mv:\n"
+
   /** Names are plain SQL identifiers (letter/underscore head, then
     * letters/digits/underscores), compared case-insensitively — stored
     * lowercase, like Spark's default session catalog. */
@@ -187,6 +193,11 @@ object LakeCatalog {
         if (lookupView(spark, p).isDefined) throw new IllegalArgumentException(
           s"'$p' is bound to a VIEW in the graft catalog — views have no " +
             "root path; SELECT from the view, or target its base tables")
+        if (lookupMv(spark, p).isDefined) throw new IllegalArgumentException(
+          s"'$p' is bound to a MATERIALIZED VIEW in the graft catalog — " +
+            "SELECT from it, or address its state table's root path " +
+            "explicitly for forensics (graft_catalog() does not expose " +
+            s"it; the DROP MATERIALIZED VIEW $p result row does)")
         p
       }
     else p
@@ -203,11 +214,12 @@ object LakeCatalog {
     else Lake.readMarkerFile(f, p)
   }
 
-  /** The TABLE root bound to `name`, if any — a view binding is a miss
-    * here (callers that should refuse loudly on a view, like the DML
-    * verbs, check [[lookupView]] themselves). */
+  /** The TABLE root bound to `name`, if any — a view or materialized-view
+    * binding is a miss here (callers that should refuse loudly on those,
+    * like the DML verbs, check [[lookupView]]/[[lookupMv]] themselves). */
   def lookup(spark: SparkSession, name: String): Option[String] =
-    lookupEntry(spark, name).filterNot(_.startsWith(ViewMarker.trim))
+    lookupEntry(spark, name).filterNot(e =>
+      e.startsWith(ViewMarker.trim) || e.startsWith(MvMarker.trim))
 
   /** The VIEW body (SELECT text) bound to `name`, if any — a table
     * binding is a miss here. */
@@ -217,6 +229,42 @@ object LakeCatalog {
       // the marker+newline) is the stable prefix to test and strip
       case e if e.startsWith(ViewMarker.trim) =>
         e.stripPrefix(ViewMarker.trim).trim
+    }
+
+  /** The MATERIALIZED VIEW definition bound to `name`, if any (raw
+    * serialized form — [[LakeMv.parseDef]] decodes it). */
+  def lookupMv(spark: SparkSession, name: String): Option[String] =
+    lookupEntry(spark, name).collect {
+      case e if e.startsWith(MvMarker.trim) =>
+        e.stripPrefix(MvMarker.trim).trim
+    }
+
+  /** Atomically bind `name` to a MATERIALIZED VIEW definition. Same
+    * one-namespace claim as tables and views; no replace form — an MV
+    * carries STATE, so redefinition is DROP + CREATE by design. */
+  def registerMv(spark: SparkSession, name: String, serialized: String): Unit = {
+    require(isValidName(name),
+      s"'$name' is not a valid materialized view name (letters, digits, " +
+        "underscores; must not start with a digit)")
+    val p = entryPath(spark, name)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    def refuse(): Nothing = throw new IllegalArgumentException(
+      s"name '$name' is already bound in the graft catalog at " +
+        s"${catalogDir(spark)} (kind: ${kindOf(spark, name)}) — drop it " +
+        "first, or pick another name")
+    if (f.exists(p)) refuse()
+    if (!claim(f, p, MvMarker + serialized)) refuse()
+  }
+
+  /** The binding kind of `name`: "table", "view", "materialized_view",
+    * or "unbound". */
+  def kindOf(spark: SparkSession, name: String): String =
+    lookupEntry(spark, name) match {
+      case None => "unbound"
+      case Some(e) if e.startsWith(ViewMarker.trim) => "view"
+      case Some(e) if e.startsWith(MvMarker.trim) => "materialized_view"
+      case Some(_) => "table"
     }
 
   /** Unbind `name`; returns whether it was bound. The table's data and
@@ -243,6 +291,9 @@ object LakeCatalog {
         val e = Lake.readMarkerFile(f, s.getPath).getOrElse("")
         if (e.startsWith(ViewMarker.trim))
           (name, "view", e.stripPrefix(ViewMarker.trim).trim)
+        else if (e.startsWith(MvMarker.trim))
+          (name, "materialized_view",
+            LakeMv.queryTextOf(e.stripPrefix(MvMarker.trim).trim))
         else (name, "table", e)
       }
       .sortBy(_._1)
@@ -322,6 +373,15 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           LakeCatalog.lookupView(spark, n)).map(n -> _)
       case _ => None
     }
+    val mvMemo = scala.collection.mutable.HashMap.empty[String, Option[String]]
+    def mvOf(p: LogicalPlan): Option[(String, String)] = p match {
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.length == 1 && !u.isStreaming =>
+        val n = u.multipartIdentifier.head
+        mvMemo.getOrElseUpdate(n.toLowerCase,
+          LakeCatalog.lookupMv(spark, n)).map(n -> _)
+      case _ => None
+    }
     // refusal pre-pass, BEFORE the bottom-up rewrite (which would expand
     // the view child first and leave the parent guard nothing to match):
     // write statements must never silently resolve THROUGH a view (the
@@ -335,16 +395,30 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         throw new IllegalArgumentException(
           s"'${viewOf(i.table).get._1}' is a graft catalog VIEW — views " +
             "are read-only; INSERT into its base tables instead")
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if mvOf(i.table).isDefined =>
+        throw new IllegalArgumentException(
+          s"'${mvOf(i.table).get._1}' is a graft catalog MATERIALIZED " +
+            "VIEW — it is read-only; its state advances only through " +
+            "REFRESH MATERIALIZED VIEW")
       case RelationTimeTravel(rel, _, _) if viewOf(rel).isDefined =>
         throw new IllegalArgumentException(
           s"'${viewOf(rel).get._1}' is a graft catalog VIEW — time travel " +
             "pins a TABLE snapshot; pin the view's base tables instead")
+      case RelationTimeTravel(rel, _, _) if mvOf(rel).isDefined =>
+        throw new IllegalArgumentException(
+          s"'${mvOf(rel).get._1}' is a graft catalog MATERIALIZED VIEW — " +
+            "time travel pins a TABLE snapshot; pin the base table, or " +
+            "the MV's state table root, instead")
       case _ =>
     }
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if viewOf(u).isDefined =>
         val (name, sql) = viewOf(u).get
         LakeCatalog.expandView(spark, name, sql)
+      case u: UnresolvedRelation if mvOf(u).isDefined =>
+        val (_, raw) = mvOf(u).get
+        LakeMv.readDf(spark, LakeMv.parseDef(raw)).queryExecution.analyzed
       case tt @ RelationTimeTravel(rel, ts, ver) if rootOf(rel).isDefined =>
         val t = new LakeTable(spark, rootOf(rel).get)
         val v = ver match {

@@ -357,6 +357,41 @@ object StreamingOps {
       .start()
   }
 
+  /** STANDING materialized-view maintenance — [[graft.sources.LakeMv]]'s
+    * refresh as a continuous query: tail the BASE table's manifest chain
+    * (each committed manifest is one immutable rename-published file, so
+    * the file source observes exactly the commit sequence) and run the
+    * incremental refresh after every batch of new commits. The trigger
+    * carries no payload — the refresh reads the change feed itself and
+    * is idempotent end to end (epoch-tagged fold, absolute group
+    * values), so a replayed trigger batch, a missed-then-coalesced run
+    * of commits, or a restart from the same checkpoint all converge to
+    * the same state; even the checkpoint is only a politeness (a fresh
+    * one merely re-triggers no-op refreshes). The streamed-epoch
+    * discipline of `lake_mv_incremental`, productized for the catalog
+    * MV verb. */
+  def standingMvRefresh(spark: org.apache.spark.sql.SparkSession,
+                        name: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val d = graft.sources.LakeMv.parseDef(
+      graft.sources.LakeCatalog.lookupMv(spark, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"standingMvRefresh: no materialized view '$name' in the graft " +
+            s"catalog (kind: ${graft.sources.LakeCatalog.kindOf(spark, name)})")))
+    spark.readStream
+      .format("text")
+      .load(new org.apache.hadoop.fs.Path(d.baseRoot, "_manifests").toString
+        + "/v*.json")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (_: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.LakeMv.refresh(spark, name)
+        ()
+      }
+      .start()
+  }
+
   /** Stream a lake table's CHANGE FEED — the table-as-a-source direction,
     * the mirror of [[mergeIntoLake]]: tail the `_manifests` directory with
     * the file-stream source (each committed manifest is one immutable

@@ -456,13 +456,20 @@ object GraftSqlParser {
             graft.sources.LakeCatalog.isValidName(name) =>
           val hit = graft.sources.LakeCatalog.lookup(SparkSession.active, name)
           if (hit.isEmpty) {
-            // a VIEW name under a storage verb is a loud category error —
-            // delegating would bury it under a generic not-found
+            // a VIEW / MATERIALIZED VIEW name under a storage verb is a
+            // loud category error — delegating would bury it under a
+            // generic not-found
             if (graft.sources.LakeCatalog
                 .lookupView(SparkSession.active, name).isDefined)
               fail(s"'$name' is bound to a VIEW in the graft catalog — " +
                 "views have no storage; this verb needs a lake table " +
                 "(target the view's base tables instead)")
+            if (graft.sources.LakeCatalog
+                .lookupMv(SparkSession.active, name).isDefined)
+              fail(s"'$name' is bound to a MATERIALIZED VIEW in the " +
+                "graft catalog — its state advances only through " +
+                s"REFRESH MATERIALIZED VIEW $name; this verb needs a " +
+                "lake table")
             sc.seek(mark)
           }
           hit
@@ -599,11 +606,77 @@ object GraftSqlParser {
     Some(LakeCreateViewCommand(name, body, orReplace, ifNotExists))
   }
 
+  /** One select item of `CREATE MATERIALIZED VIEW` — a bare group
+    * column, `count(*) AS a`, `count(col) AS a`, or `sum(expr) AS a`.
+    * Any other aggregate head parses into an [[graft.sources.LakeMv.AggItem]]
+    * whose kind [[graft.sources.LakeMv.create]] refuses with the
+    * self-maintainability explanation (min/max cannot fold under
+    * deletes). */
+  private def parseMvItem(text: String): graft.sources.LakeMv.MvItem = {
+    import graft.sources.LakeMv.{AggItem, GroupItem}
+    val it = new Scan(text)
+    val mark = it.pos
+    it.identOpt() match {
+      case Some(fn) if it.peekChar() == '(' =>
+        val inner = it.parenBlock().trim
+        it.expect("AS")
+        val a = it.ident()
+        it.assertEnd()
+        if (fn.equalsIgnoreCase("count") && inner == "*")
+          AggItem("count_star", a, "")
+        else AggItem(fn.toLowerCase, a, inner)
+      case Some(g) if !g.contains(".") &&
+          graft.sources.LakeCatalog.isValidName(g) && it.atEnd() =>
+        GroupItem(g)
+      case _ =>
+        it.seek(mark)
+        fail(s"CREATE MATERIALIZED VIEW: cannot parse select item " +
+          s"'$text' — items are a bare GROUP BY column, count(*) AS a, " +
+          "count(col) AS a, or sum(expr) AS a")
+    }
+  }
+
+  /** `CREATE MATERIALIZED VIEW <name> AS SELECT <items> FROM <base>
+    * [WHERE <pred>] GROUP BY <cols>` — cursor sits right after
+    * `MATERIALIZED`. The shape is OUR grammar exclusively (Spark has no
+    * MATERIALIZED VIEW), so parse errors are loud, never delegated. */
+  private def parseCreateMv(sc: Scan, sqlText: String): Option[LogicalPlan] = {
+    sc.expect("VIEW")
+    val name = sc.ident()
+    if (name.contains(".") ||
+        !graft.sources.LakeCatalog.isValidName(name))
+      fail(s"CREATE MATERIALIZED VIEW: '$name' is not a valid single-part " +
+        "name")
+    sc.expect("AS")
+    sc.expect("SELECT")
+    val selectText = sc.until(Seq("FROM"))
+    sc.expect("FROM")
+    val base = sc.ident()
+    val whereSql = if (sc.keyword("WHERE")) Some(sc.until(Seq("GROUP")))
+      else None
+    sc.expect("GROUP")
+    sc.expect("BY")
+    val gcols = sc.topLevelSplit(sc.restStmt())
+    gcols.foreach(g => if (!graft.sources.LakeCatalog.isValidName(g))
+      fail(s"CREATE MATERIALIZED VIEW $name: GROUP BY takes plain " +
+        s"columns, got '$g'"))
+    val items = sc.topLevelSplit(selectText).map(parseMvItem)
+    val bare = items.collect { case graft.sources.LakeMv.GroupItem(g) => g }
+    if (bare.toSet != gcols.toSet || bare.distinct.size != bare.size)
+      fail(s"CREATE MATERIALIZED VIEW $name: the bare select columns " +
+        s"(${bare.mkString(", ")}) must be exactly the GROUP BY columns " +
+        s"(${gcols.mkString(", ")}), each once — the state table is " +
+        "keyed on them")
+    Some(LakeCreateMvCommand(name, base, items, whereSql,
+      sqlText.trim.stripSuffix(";").trim))
+  }
+
   private[graft] def tryParseDml(sqlText: String,
                                  delegate: ParserInterface): Option[LogicalPlan] = {
     val sc = new Scan(sqlText)
     if (sc.keyword("CREATE")) {
-      if (!sc.keyword("TABLE")) parseCreateView(sc)
+      if (sc.keyword("MATERIALIZED")) parseCreateMv(sc, sqlText)
+      else if (!sc.keyword("TABLE")) parseCreateView(sc)
       else lakeTargetPath(sc) match {
         case Some(root) => Some {
           if (sc.keyword("SHALLOW")) {
@@ -627,31 +700,57 @@ object GraftSqlParser {
       // delegate untouched. Either verb aimed at the OTHER kind refuses
       // loudly — delegating would bury the mistake under a generic
       // not-found.
-      val isTable = sc.keyword("TABLE")
-      val isView = !isTable && sc.keyword("VIEW")
+      val isMv = sc.keyword("MATERIALIZED")
+      if (isMv) sc.expect("VIEW") // MATERIALIZED is ours alone: loud
+      val isTable = !isMv && sc.keyword("TABLE")
+      val isView = isMv || (!isTable && sc.keyword("VIEW"))
       if (!isTable && !isView) None
-      // a lone IF without EXISTS is invalid SQL — delegate so the default
-      // parser rejects it, instead of silently unbinding the name after it
-      else if (sc.keyword("IF") && !sc.keyword("EXISTS")) None
       else {
-        sc.identOpt() match {
+        // a lone IF without EXISTS is invalid SQL — delegate so the
+        // default parser rejects it, instead of silently unbinding the
+        // name after it
+        val sawIf = sc.keyword("IF")
+        val ifExists = sawIf && sc.keyword("EXISTS")
+        if (sawIf && !ifExists) None
+        else sc.identOpt() match {
           case Some(name) if !name.contains(".") &&
               graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() =>
-            val asTable = graft.sources.LakeCatalog
-              .lookup(SparkSession.active, name).isDefined
-            val asView = !asTable && graft.sources.LakeCatalog
-              .lookupView(SparkSession.active, name).isDefined
-            if (isTable && asTable) Some(LakeDropNameCommand(name))
-            else if (isView && asView) Some(LakeDropViewCommand(name))
-            else if (isTable && asView)
-              fail(s"'$name' is bound to a VIEW in the graft catalog — " +
-                s"use DROP VIEW $name")
-            else if (isView && asTable)
-              fail(s"'$name' is bound to a TABLE in the graft catalog — " +
-                s"use DROP TABLE $name")
+            val kind = graft.sources.LakeCatalog
+              .kindOf(SparkSession.active, name)
+            val wanted =
+              if (isMv) "materialized_view"
+              else if (isTable) "table" else "view"
+            def verbFor(k: String) = k match {
+              case "table" => "DROP TABLE"
+              case "view" => "DROP VIEW"
+              case _ => "DROP MATERIALIZED VIEW"
+            }
+            if (kind == wanted && isMv) Some(LakeDropMvCommand(name))
+            else if (kind == wanted && isTable)
+              Some(LakeDropNameCommand(name))
+            else if (kind == wanted) Some(LakeDropViewCommand(name))
+            else if (kind != "unbound")
+              fail(s"'$name' is bound as a ${kind.replace('_', ' ')} in " +
+                s"the graft catalog — use ${verbFor(kind)} $name")
+            else if (isMv && ifExists)
+              Some(LakeDropMvCommand(name, ifExists = true))
+            else if (isMv)
+              fail(s"DROP MATERIALIZED VIEW: no materialized view " +
+                s"'$name' in the graft catalog")
             else None
           case _ => None
         }
+      }
+    } else if (sc.keyword("REFRESH")) {
+      // REFRESH MATERIALIZED VIEW <name> — fold the base's change feed
+      // into the MV state. Ours alone (Spark's REFRESH TABLE lacks
+      // MATERIALIZED and delegates untouched), so errors are loud.
+      if (!sc.keyword("MATERIALIZED")) None
+      else {
+        sc.expect("VIEW")
+        val name = sc.ident()
+        sc.assertEnd()
+        Some(LakeRefreshMvCommand(name))
       }
     } else if (sc.keyword("RESTORE")) {
       if (!sc.keyword("TABLE")) None
@@ -1364,6 +1463,70 @@ case class LakeCreateViewCommand(name: String, viewSql: String,
       .queryExecution.assertAnalyzed()
     graft.sources.LakeCatalog.registerView(spark, name, viewSql, orReplace)
     Seq(Row(name, viewSql))
+  }
+}
+
+/** `CREATE MATERIALIZED VIEW <name> AS SELECT … FROM <base> [WHERE …]
+  * GROUP BY …` — see [[graft.sources.LakeMv]] for the grammar's
+  * self-maintainability rationale and the state/bookkeeping design. */
+case class LakeCreateMvCommand(name: String,
+                               baseName: String,
+                               items: Seq[graft.sources.LakeMv.MvItem],
+                               whereSql: Option[String],
+                               queryText: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("query", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.LakeMv.create(spark, name, baseName, items, whereSql,
+      queryText)
+    Seq(Row(name, queryText))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW <name>` — fold the base change feed
+  * (lastFolded, current] into the MV state; returns the advanced span
+  * and how many groups the fold touched (0/0-span = already fresh). */
+case class LakeRefreshMvCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("from_version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("to_version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)(),
+    AttributeReference("groups_touched", org.apache.spark.sql.types.LongType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (from, to, touched) = graft.sources.LakeMv.refresh(spark, name)
+    Seq(Row(name, from, to, touched))
+  }
+}
+
+/** `DROP MATERIALIZED VIEW [IF EXISTS] <name>` — unbind the name; the
+  * state table's data stays at its root (metadata-only, like DROP
+  * TABLE), addressable as `graft_lake('<state root>')` for forensics. */
+case class LakeDropMvCommand(name: String, ifExists: Boolean = false)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("state_root", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.LakeCatalog.lookupMv(spark, name) match {
+      case None if ifExists => Seq(Row(name, ""))
+      case None => throw new IllegalArgumentException(
+        s"DROP MATERIALIZED VIEW: '$name' is not bound to a " +
+          "materialized view in the graft catalog")
+      case Some(raw) =>
+        val d = graft.sources.LakeMv.parseDef(raw)
+        graft.sources.LakeCatalog.unregister(spark, name)
+        Seq(Row(name, d.stateRoot))
+    }
   }
 }
 

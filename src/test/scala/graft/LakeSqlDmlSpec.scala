@@ -1444,4 +1444,157 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("SELECT count(*) FROM vwr_v").collect()(0).getLong(0) shouldBe 3L
     }
   }
+
+  test("materialized views: incremental refresh ≡ from-scratch, staleness, liveness") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 100L).map(k => (k, if (k <= 60) "A" else if (k <= 90) "B" else "C",
+          if (k % 10 == 0) null else java.lang.Double.valueOf(k.toDouble)))
+        .toDF("k", "grp", "v").createOrReplaceTempView("mvt_src")
+      s.sql("CREATE TABLE mvt_base KEY k FILES 4 AS SELECT * FROM mvt_src")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvt AS
+          |SELECT grp, count(*) AS n, count(v) AS nv, sum(v) AS sv
+          |FROM mvt_base WHERE k <= 95 GROUP BY grp""".stripMargin).collect()
+      def fromScratch() = s.sql(
+        """SELECT grp, count(*) AS n, count(v) AS nv,
+          |       CAST(sum(v) AS DECIMAL(28,10)) AS sv
+          |FROM mvt_base WHERE k <= 95 GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      def mvRows() = s.sql(
+        "SELECT grp, n, nv, CAST(sv AS DECIMAL(28,10)) AS sv FROM mvt " +
+          "ORDER BY grp").collect().toSeq
+      mvRows() shouldBe fromScratch()
+      // STALENESS is the contract: mutations invisible until REFRESH
+      val before = mvRows()
+      s.sql("UPDATE mvt_base SET grp = 'B' WHERE k >= 50 AND k <= 55")
+        .collect()
+      mvRows() shouldBe before // still the pre-mutation state
+      mvRows() should not be fromScratch() // and the base really moved
+      // refresh folds exactly the interval; a second refresh no-ops
+      val r1 = s.sql("REFRESH MATERIALIZED VIEW mvt").collect()(0)
+      r1.getInt(1) should be < r1.getInt(2) // advanced a real span
+      mvRows() shouldBe fromScratch()
+      val r2 = s.sql("REFRESH MATERIALIZED VIEW mvt").collect()(0)
+      r2.getInt(1) shouldBe r2.getInt(2) // already fresh: no-op span
+      r2.getLong(3) shouldBe 0L
+      // group MOVE + group DEATH: C (k in 91..95 after the filter) dies
+      s.sql("UPDATE mvt_base SET grp = 'B' WHERE grp = 'C' AND k <= 95")
+        .collect()
+      // sum-arg transitions: delete some of A's non-null values
+      s.sql("DELETE FROM mvt_base WHERE k <= 9").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvt").collect()
+      mvRows() shouldBe fromScratch()
+      mvRows().map(_.getString(0)) should not contain "C" // dead group row DELETED
+      // all-null sum group reads NULL (SQL sum semantics), not 0 —
+      // keys 1..2 freed by the DELETE above, so the re-key is clean
+      s.sql("INSERT INTO mvt_base SELECT k AS k, 'D' AS grp, " +
+        "CAST(NULL AS DOUBLE) AS v FROM mvt_src WHERE k <= 2").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvt").collect()
+      mvRows() shouldBe fromScratch()
+      val dRow = mvRows().find(_.getString(0) == "D").get
+      dRow.getLong(1) shouldBe 2L
+      dRow.getLong(2) shouldBe 0L
+      dRow.isNullAt(3) shouldBe true
+      // catalog listing carries the MV with its original statement
+      s.sql("SELECT kind, target FROM graft_catalog() WHERE name = 'mvt'")
+        .collect()(0).toSeq match {
+        case Seq(kind: String, target: String) =>
+          kind shouldBe "materialized_view"
+          target should include("CREATE MATERIALIZED VIEW mvt")
+        case other => fail(s"unexpected row: $other")
+      }
+      // net-zero group inside one interval is never materialized
+      s.sql("INSERT INTO mvt_base SELECT k + 300 AS k, 'E' AS grp, " +
+        "1.0D AS v FROM mvt_src WHERE k <= 2").collect()
+      s.sql("DELETE FROM mvt_base WHERE grp = 'E'").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvt").collect()
+      mvRows().map(_.getString(0)) should not contain "E"
+      mvRows() shouldBe fromScratch()
+    }
+  }
+
+  test("materialized views: refusal surface and drop semantics") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 20L).map(k => (k, s"g${k % 3}", k * 1.5))
+        .toDF("k", "grp", "v").createOrReplaceTempView("mvr_src")
+      s.sql("CREATE TABLE mvr_base KEY k AS SELECT * FROM mvr_src").collect()
+      s.sql("CREATE VIEW mvr_view AS SELECT * FROM mvr_base").collect()
+      // count(*) is required (group liveness)
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, sum(v) AS sv " +
+          "FROM mvr_base GROUP BY grp").collect()
+      }.getMessage should include("count(*)")
+      // min/max refuse with the self-maintainability reason
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n, " +
+          "max(v) AS mx FROM mvr_base GROUP BY grp").collect()
+      }.getMessage should include("cannot fold under deletes")
+      // base must be a lake TABLE, not a view or an unknown name
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
+          "FROM mvr_view GROUP BY grp").collect()
+      }.getMessage should include("must be a lake TABLE")
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
+          "FROM nowhere GROUP BY grp").collect()
+      }.getMessage should include("not a lake table")
+      // bare select columns must equal GROUP BY exactly
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, k, count(*) AS n " +
+          "FROM mvr_base GROUP BY grp").collect()
+      }.getMessage should include("GROUP BY")
+      // ...and a failed CREATE leaks no binding
+      s.sql("SELECT count(*) FROM graft_catalog()").collect()(0)
+        .getLong(0) shouldBe 2L
+      s.sql("CREATE MATERIALIZED VIEW m_ok AS SELECT grp, count(*) AS n " +
+        "FROM mvr_base GROUP BY grp").collect()
+      // MV names refuse every write/storage/pin verb with MV guidance
+      intercept[Exception] {
+        s.sql("INSERT INTO m_ok SELECT 'g9' AS grp, 1L AS n").collect()
+      }.getMessage should include("MATERIALIZED VIEW")
+      intercept[Exception] {
+        s.sql("UPDATE m_ok SET n = 0 WHERE grp = 'g0'").collect()
+      }.getMessage should include("REFRESH MATERIALIZED VIEW")
+      intercept[Exception] {
+        s.sql("OPTIMIZE m_ok BINPACK 10").collect()
+      }.getMessage should include("MATERIALIZED VIEW")
+      intercept[Exception] {
+        s.sql("SELECT * FROM m_ok VERSION AS OF 0").collect()
+      }.getMessage should include("time travel")
+      intercept[Exception] {
+        s.sql("SELECT * FROM graft_lake_history('m_ok')").collect()
+      }.getMessage should include("MATERIALIZED VIEW")
+      // cross-kind DROPs route to the right verb
+      intercept[Exception] {
+        s.sql("DROP TABLE m_ok").collect()
+      }.getMessage should include("DROP MATERIALIZED VIEW m_ok")
+      intercept[Exception] {
+        s.sql("DROP VIEW m_ok").collect()
+      }.getMessage should include("DROP MATERIALIZED VIEW m_ok")
+      intercept[Exception] {
+        s.sql("DROP MATERIALIZED VIEW mvr_base").collect()
+      }.getMessage should include("DROP TABLE mvr_base")
+      // REFRESH of a non-MV refuses with the kind
+      intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvr_base").collect()
+      }.getMessage should include("no materialized view")
+      // DROP returns the state root; the state stays addressable there
+      val dropped = s.sql("DROP MATERIALIZED VIEW m_ok").collect()(0)
+      val stateRoot = dropped.getString(1)
+      s.sql(s"SELECT count(*) FROM graft_lake('$stateRoot')").collect()(0)
+        .getLong(0) shouldBe 3L // g0, g1, g2
+      intercept[Exception] { s.sql("SELECT * FROM m_ok").collect() }
+      // IF EXISTS on an unbound MV no-ops; bare form refuses
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS m_ok").collect()(0)
+        .getString(1) shouldBe ""
+      intercept[Exception] {
+        s.sql("DROP MATERIALIZED VIEW m_ok").collect()
+      }.getMessage should include("no materialized view")
+    }
+  }
 }

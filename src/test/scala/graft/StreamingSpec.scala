@@ -1589,4 +1589,48 @@ class StreamingSpec extends SparkTestBase {
     batch.select("_commit_version").distinct().collect()
       .map(_.getInt(0)).toSeq shouldBe Seq(5)
   }
+
+  test("standing MV refresh: base commits advance the MV; restart resumes") {
+    import graft.sources.{Lake, LakeCatalog, LakeMv, LakeTable}
+    spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+    val root = Lake.freshRoot()
+    val t = Lake.create(spark, root,
+      (1L to 40L).map(k => (k, s"g${k % 3}", k.toDouble))
+        .toDF("k", "grp", "v"), "k", 2)
+    LakeCatalog.register(spark, "smv_base", root)
+    LakeMv.create(spark, "smv", "smv_base",
+      Seq(LakeMv.GroupItem("grp"),
+        LakeMv.AggItem("count_star", "n", ""),
+        LakeMv.AggItem("sum", "sv", "v")),
+      None, "CREATE MATERIALIZED VIEW smv AS …")
+    val d = LakeMv.parseDef(LakeCatalog.lookupMv(spark, "smv").get)
+    def mv() = LakeMv.readDf(spark, d)
+      .select(col("grp"), col("n"), col("sv").cast("decimal(28,10)"))
+      .orderBy("grp").collect().toSeq
+    def scratch() = t.read().groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,10)")).cast("decimal(28,10)").as("sv"))
+      .orderBy("grp").collect().toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-smv-ckpt").toString
+    val q = StreamingOps.standingMvRefresh(spark, "smv", ckpt)
+    try {
+      // two base commits, NO manual REFRESH anywhere in this test
+      t.merge((41L to 50L).map(k => (k, "g9", 1.0)).toDF("k", "grp", "v"))
+      q.processAllAvailable()
+      mv() shouldBe scratch()
+      t.delete((41L to 50L).map(Tuple1(_)).toDF("k")) // g9 dies entirely
+      q.processAllAvailable()
+      mv() shouldBe scratch()
+      mv().map(_.getString(0)) should not contain "g9"
+    } finally q.stop()
+    // restart from the SAME checkpoint: only the new commit triggers, and
+    // the refresh picks up exactly where the manifest chain says it is
+    t.merge(Seq((7L, "g0", 100.0)).toDF("k", "grp", "v"))
+    val q2 = StreamingOps.standingMvRefresh(spark, "smv", ckpt)
+    try {
+      q2.processAllAvailable()
+      mv() shouldBe scratch()
+    } finally q2.stop()
+  }
 }
