@@ -839,6 +839,43 @@ object Lake {
         |FROM mv_by_priority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Gated lane: STRING merge keys — the document-id-shaped key every
+    * real corpus has. The table keys on `ok = 'ord-' || lpad(key, 12)`
+    * (order-preserving re-spelling of the integer key, so the oracle can
+    * reconstruct it); the lifecycle drives every keyed verb THROUGH the
+    * string key: SQL INSERT of fresh string keys (conflict probe rides
+    * the 8-byte-prefix embedding), SQL UPDATE over a string KEY-RANGE
+    * predicate (verb scan prunes via the auto-joined truncated-string
+    * stats), deferred MOR delete by predicate, and a compact folding the
+    * tombstones. One aggregate over (priority) with exact string min/max
+    * of the key pins every step. */
+  def lakeStringKey(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("ok", concat(lit("ord-"),
+        lpad(col("o_orderkey").cast("string"), 12, "0")))
+      .drop("o_orderkey")
+    val t = create(spark, freshRoot(), o, "ok", 8)
+    o.filter(expr("ok like '%00'"))
+      .withColumn("ok", concat(lit("xtr-"), col("ok")))
+      .withColumn("o_orderpriority", lit("9-INSERTED"))
+      .createOrReplaceTempView("lake_string_key_ins")
+    spark.sql(s"""INSERT INTO graft_lake('${t.root}')
+                  |SELECT * FROM lake_string_key_ins""".stripMargin).collect()
+    spark.sql(
+      s"""UPDATE graft_lake('${t.root}')
+         |SET o_orderpriority = '0-UPDATED'
+         |WHERE ok >= 'ord-000000000000' AND ok <= 'ord-000000002000'
+         |""".stripMargin).collect()
+    spark.sql(
+      s"""DELETE DEFERRED FROM graft_lake('${t.root}')
+         |WHERE ok LIKE '%50'""".stripMargin).collect()
+    t.compact(8) // folds the tombstones; relation must be unchanged
+    t.read().groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("ok")).as("min_key"), max(col("ok")).as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Gated lane: SQL INSERT — the append fast path. New keys (every key
     * re-keyed +100 000 000 as '9-INSERTED') land as NEW FILES ONLY: the
     * commit removes nothing and every existing file carries by
@@ -1250,6 +1287,7 @@ object Lake {
     "lake_sql_catalog" -> (lakeSqlCatalog _),
     "lake_sql_view" -> (lakeSqlView _),
     "lake_sql_mv" -> (lakeSqlMv _),
+    "lake_string_key" -> (lakeStringKey _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
     "lake_sql_update" -> (lakeSqlUpdate _),
@@ -1460,6 +1498,25 @@ object Lake {
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
         |FROM orders WHERE o_orderkey % 10 = 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_string_key" ->
+      """WITH keyed AS (
+        |  SELECT 'ord-' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ok,
+        |         o_orderpriority
+        |  FROM orders
+        |), st AS (
+        |  SELECT ok,
+        |         CASE WHEN ok >= 'ord-000000000000' AND
+        |                   ok <= 'ord-000000002000' THEN '0-UPDATED'
+        |              ELSE o_orderpriority END AS o_orderpriority
+        |  FROM keyed
+        |  UNION ALL
+        |  SELECT 'xtr-' || ok, '9-INSERTED' FROM keyed WHERE ok LIKE '%00'
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       min(ok) AS min_key, max(ok) AS max_key
+        |FROM st WHERE ok NOT LIKE '%50'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_mv" ->
@@ -1803,7 +1860,11 @@ object Lake {
     "check-constraints",  // CHECK enforced in every write
     "keyless",            // keyCol = "" append-log sentinel
     "deferred-deletes",   // merge-on-read tombstone files
-    "partition-evolution" // multi-era hive layouts under one spec
+    "partition-evolution",// multi-era hive layouts under one spec
+    "string-keys"         // STRING merge key: minKey/maxKey hold the
+                          // 8-byte-prefix order embedding, not values —
+                          // a build without this feature would misread
+                          // them as castable key values
   )
 
   /** The features `d`'s state actually uses — what a reader must
@@ -1821,7 +1882,21 @@ object Lake {
         d.adds.exists(f => Lake.hiveSig(f.path).map(_.toLowerCase) !=
           d.partitionCols.map(_.toLowerCase)))
       Some("partition-evolution")
-    else None).flatten
+    else None,
+    // STRING merge key: any file entry's minKey/maxKey are the order
+    // embedding, which a pre-feature build would misread as key values.
+    // The key type comes from the commit's own schema; the key may be
+    // recorded under its physical name while the schema carries the
+    // logical one, so both spellings are probed
+    if (d.keyCol.nonEmpty && d.schemaDdl.exists { ddl =>
+      val logical = d.columnMap.collectFirst {
+        case (l, p) if p == d.keyCol => l }.getOrElse(d.keyCol)
+      scala.util.Try(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .toOption.exists(_.fields.exists(f =>
+          (f.name.equalsIgnoreCase(d.keyCol) ||
+            f.name.equalsIgnoreCase(logical)) &&
+            f.dataType == org.apache.spark.sql.types.StringType))
+    }) Some("string-keys") else None).flatten
 
   /** Atomically publish `tmp` at `dest`, returning false (claim lost) if
     * `dest` exists — the commit primitive for manifests and catalog
@@ -2093,14 +2168,39 @@ object Lake {
     * run UTC, so the micros are the naive reading). [[LakeManifestPrune]]
     * extracts predicate bounds in the SAME units (a DateType literal is
     * days, a TimestampType literal is micros), so stats and bounds always
-    * compare in one coordinate system. */
-  private[sources] def statLong(df: DataFrame, c: String)
+    * compare in one coordinate system.
+    *
+    * STRING columns embed ORDER-PRESERVINGLY (non-strict) as the first 8
+    * UTF-8 bytes, zero-padded, read big-endian unsigned and shifted into
+    * the signed domain: s₁ ≤ s₂ in UTF-8 byte order (exactly Spark's
+    * string comparison order) ⇒ emb(s₁) ≤ emb(s₂), for EVERY string —
+    * ASCII or not. Ties beyond the 8-byte prefix make the embedding a
+    * CONSERVATIVE coordinate: ranges built from it contain all true
+    * values (no false negatives in any overlap probe), they just may
+    * admit prefix-sharing neighbors. This is what lets STRING MERGE KEYS
+    * ride the same [minKey, maxKey] machinery as integral keys — the
+    * internal probes (merge hit detection, insert conflicts, tombstone
+    * ranges, key-range reads) all compare embeddings on both sides.
+    * EXACT string pruning stays with the truncated-string scols bounds
+    * ([[StrBoundLen]]); the embedding never reaches a user-visible
+    * value (the metadata-aggregate rule's `exactStatType` excludes
+    * strings). */
+  private[graft] def statLong(df: DataFrame, c: String)
       : org.apache.spark.sql.Column = {
     import org.apache.spark.sql.types._
     df.schema(c).dataType match {
       case DateType => unix_date(col(c)).cast("long")
       case TimestampType => unix_micros(col(c))
       case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case StringType =>
+        // conv(hex, 16, 10) yields the UNSIGNED 64-bit value as a decimal
+        // string; subtracting 2^63 in DECIMAL(20,0) is the exact
+        // sign-shift that preserves unsigned order in the signed domain
+        (conv(hex(rpad(substring(encode(col(c), "UTF-8"), 1, 8), 8,
+            Array[Byte](0))), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+          - lit(new java.math.BigDecimal("9223372036854775808")))
+          .cast("long")
       case _ => col(c).cast("long")
     }
   }
@@ -3283,8 +3383,15 @@ class LakeTable(spark: SparkSession, val root: String) {
     else {
       // key bounds + every extra stats column, ONE metadata-cheap pass;
       // STRING columns keep raw min/max here and truncate to the
-      // lower/ceiling convention (Lake.strLower/strUpper) driver-side
-      val allStats = (statsCols ++ partitionCols).distinct
+      // lower/ceiling convention (Lake.strLower/strUpper) driver-side.
+      // A STRING merge key auto-joins the stats set: its minKey/maxKey
+      // hold only the 8-byte-prefix embedding (conservative, for the
+      // internal range probes), so the EXACT pruning a key deserves
+      // needs the truncated-string scols bounds alongside
+      val keyIsString = keyCol.nonEmpty &&
+        df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType
+      val allStats = (statsCols ++ partitionCols ++
+        (if (keyIsString) Seq(keyCol) else Nil)).distinct
       var reader = spark.read
       if (partitionCols.nonEmpty) reader = reader.option("basePath", dataDir.toString)
       val data = reader.parquet(moved.map(_._1.toString): _*)

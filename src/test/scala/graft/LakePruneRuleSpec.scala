@@ -424,4 +424,28 @@ class LakePruneRuleSpec extends SparkTestBase {
       er.isNullAt(1) shouldBe true
     }
   }
+
+  test("STRING merge key: equality and range predicates prune files") {
+    withExtendedSession { s =>
+      import s.implicits._
+      // 'doc-0001'..'doc-0090', range-clustered into 3 files at create —
+      // the KEY auto-joins the truncated-string stats, so a plain filter
+      // on it skips manifest-disjoint files with no sort-by, no declared
+      // statsCols, exactly like an integral key
+      val df = (1L to 90L).map(k => (f"doc-$k%04d", s"val$k"))
+        .toDF("k", "payload")
+      val t = Lake.create(s, Lake.freshRoot(), df, "k", 3)
+      val q1 = t.read().filter(col("k") === "doc-0005")
+      scannedFiles(q1).size shouldBe 1
+      q1.count() shouldBe 1L
+      val q2 = t.read().filter(col("k") >= "doc-0070")
+      scannedFiles(q2).size shouldBe 1
+      q2.count() shouldBe 21L
+      val q3 = t.read().filter(col("k").isin("doc-0001", "doc-0089"))
+      scannedFiles(q3).size shouldBe 2
+      q3.count() shouldBe 2L
+      // a miss outside every file's bounds scans nothing
+      scannedFiles(t.read().filter(col("k") === "zzz")) shouldBe empty
+    }
+  }
 }
