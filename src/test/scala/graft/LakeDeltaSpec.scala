@@ -360,6 +360,35 @@ class LakeDeltaSpec extends SparkTestBase {
       (1L to 200L).map(k => (k, s"p$k", "A")).toDF("k", "payload", "status"),
       "k", 4)
     val racer = new graft.sources.LakeTable(spark, t.root)
+    // a MATERIALIZED VIEW rides the whole interleave: created over the
+    // fresh table, refreshed incrementally every few steps and once at
+    // the end — after each refresh it must equal the from-scratch
+    // aggregate of the base AS OF the version the refresh folded to.
+    // This drags the MV fold across every verb below: COW and MOR
+    // deletes, conditional merges, compactions (whose rewrites must net
+    // to NOTHING in the feed), a column rename, ADD COLUMN, partition
+    // evolution, and the planted racers' extra commits.
+    spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+    graft.sources.LakeCatalog.register(spark, "prop_base", t.root)
+    graft.sources.LakeMv.create(spark, "prop_mv", "prop_base",
+      Seq(graft.sources.LakeMv.GroupItem("status"),
+        graft.sources.LakeMv.AggItem("count_star", "n", ""),
+        graft.sources.LakeMv.AggItem("sum", "sk", "k")),
+      None, "CREATE MATERIALIZED VIEW prop_mv AS …")
+    val mvDef = graft.sources.LakeMv.parseDef(
+      graft.sources.LakeCatalog.lookupMv(spark, "prop_mv").get)
+    def assertMvFresh(): Unit = {
+      val (_, to, _) = graft.sources.LakeMv.refresh(spark, "prop_mv")
+      val mv = graft.sources.LakeMv.readDf(spark, mvDef)
+        .select(col("status"), col("n"),
+          col("sk").cast("decimal(28,10)"))
+        .orderBy("status").collect().toSeq
+      val scratch = t.snapshot(to).groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k").cast("decimal(28,10)")).cast("decimal(28,10)").as("sk"))
+        .orderBy("status").collect().toSeq
+      withClue(s"MV vs from-scratch at base v$to: ") { mv shouldBe scratch }
+    }
     val model = scala.collection.mutable.Map.empty[Long, (String, String)]
     (1L to 200L).foreach(k => model(k) = (s"p$k", "A"))
     var nextFresh = 1000L
@@ -460,8 +489,12 @@ class LakeDeltaSpec extends SparkTestBase {
           racer.insertAll(df(Seq((rk, s"race$rk", "R"))))
         }
       }
+      // incremental MV refresh mid-interleave (the racer seam must not
+      // fire during the refresh's state-table commit)
+      if (step % 6 == 0) { t.onBeforeCommit = () => (); assertMvFresh() }
     }
     t.onBeforeCommit = () => ()
+    assertMvFresh() // final fold across everything since the last one
     val got = t.read()
       .select(col("k"), col(payloadCol), col("status"))
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))

@@ -1516,6 +1516,39 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("materialized views: a KEYLESS (append-log) base folds through its content-diff feed") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 30L).map(k => (k, s"src${k % 4}", k * 2.0))
+        .toDF("id", "source", "v").createOrReplaceTempView("mvk_src")
+      s.sql("CREATE TABLE mvk_log APPEND LOG AS SELECT * FROM mvk_src")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvk AS
+          |SELECT source, count(*) AS n, sum(v) AS sv
+          |FROM mvk_log GROUP BY source""".stripMargin).collect()
+      // appends are the keyless workload; the keyless feed is a CONTENT
+      // multiset diff (insert/delete only — no update images), and the
+      // fold must track it exactly, duplicates included
+      s.sql("INSERT INTO mvk_log SELECT * FROM mvk_src WHERE id <= 5")
+        .collect() // duplicate rows — a multiset, not a set
+      s.sql("INSERT INTO mvk_log SELECT id + 100 AS id, 'src9' AS source, " +
+        "CAST(1.0 AS DOUBLE) AS v FROM mvk_src WHERE id <= 3").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvk").collect()
+      val mv = s.sql(
+        "SELECT source, n, CAST(sv AS DECIMAL(28,10)) AS sv FROM mvk " +
+          "ORDER BY source").collect().toSeq
+      val scratch = s.sql(
+        """SELECT source, count(*) AS n,
+          |CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv
+          |FROM mvk_log GROUP BY source ORDER BY source""".stripMargin)
+        .collect().toSeq
+      mv shouldBe scratch
+      mv.map(_.getString(0)) should contain("src9") // new group inserted
+    }
+  }
+
   test("materialized views: refusal surface and drop semantics") {
     withExtendedSession { s =>
       import s.implicits._
