@@ -91,7 +91,9 @@ object Plans {
       "lake_mor_changes", "lake_merge_nmbs_update", "lake_constraints",
       "lake_sink_aggregate", "text_mix_corpus", "text_pii_redact",
       "lake_keyless", "lake_partition_evolution",
-      "pipeline_corpus_build_incremental")
+      "pipeline_corpus_build_incremental",
+      "lake_sql_view", "lake_sql_mv", "lake_string_key",
+      "text_lm_stupid_backoff")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `runMain graft.Plans`)\n\n")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** MATERIALIZED views over lake tables: `CREATE MATERIALIZED VIEW <name>
-  * AS SELECT <groups…, count(*), count(c), sum(e)…> FROM <lake table>
+  * AS SELECT <groups…, count(*), count(c), sum(e), avg(e)…> FROM <lake table>
   * [WHERE <pred>] GROUP BY <groups…>`, advanced INCREMENTALLY by
   * `REFRESH MATERIALIZED VIEW <name>` folding the base table's change
   * feed — never rescanning the base. The 100 TB shape: a refresh costs
@@ -39,8 +39,11 @@ object LakeMv {
   sealed trait MvItem
   /** A bare GROUP BY column. */
   case class GroupItem(name: String) extends MvItem
-  /** An aggregate: kind ∈ count_star | count | sum; `arg` is the raw
-    * expression text (empty for count_star). */
+  /** An aggregate: kind ∈ count_star | count | sum | avg; `arg` is the
+    * raw expression text (empty for count_star). AVG is derived state:
+    * it stores an exact decimal sum plus a non-null count and
+    * reconstructs the mean at read — that derivation is what makes it
+    * self-maintainable where a stored mean would not be. */
   case class AggItem(kind: String, alias: String, arg: String) extends MvItem
 
   case class MvDef(baseRoot: String, baseName: String, initVersion: Int,
@@ -122,11 +125,15 @@ object LakeMv {
     graft.functions.Portable.hash60(concat_ws("\u0001",
       groupCols.map(g => coalesce(col(g).cast("string"), lit("\u0000"))): _*))
 
-  /** State-table column order: key, groups, then per agg the value (and
-    * for sums its hidden non-null counter). */
+  /** State-table column order: key, groups, then per agg its stored
+    * columns: counts store the alias; sums store the alias plus a hidden
+    * non-null counter; avgs store ONLY hidden state (exact sum + non-null
+    * count) — the visible value is reconstructed at read. */
+  private def sumAlias(a: String) = s"_avg_s_$a"
   private def stateCols(d: MvDef): Seq[String] =
     "_mv_key" +: d.groupCols ++: d.aggs.flatMap {
       case AggItem("sum", a, _) => Seq(a, nnAlias(a))
+      case AggItem("avg", a, _) => Seq(sumAlias(a), nnAlias(a))
       case AggItem(_, a, _) => Seq(a)
     }
 
@@ -171,12 +178,12 @@ object LakeMv {
     require(groups.intersect(aliases).isEmpty,
       s"CREATE MATERIALIZED VIEW $name: an alias collides with a GROUP " +
         "BY column")
-    aggs.find(a => !Set("count_star", "count", "sum")(a.kind)).foreach(a =>
+    aggs.find(a => !Set("count_star", "count", "sum", "avg")(a.kind)).foreach(a =>
       throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW $name: unsupported aggregate " +
           s"'${a.kind}' (alias ${a.alias}) — self-maintainable " +
-          "aggregates are count(*), count(col), sum(expr); min/max " +
-          "cannot fold under deletes without a rescan"))
+          "aggregates are count(*), count(col), sum(expr), avg(expr); " +
+          "min/max cannot fold under deletes without a rescan"))
     val bt = new LakeTable(spark, baseRoot)
     val initV = bt.latestVersion
     val base = bt.snapshot(initV) // the PINNED snapshot the state reflects
@@ -206,6 +213,11 @@ object LakeMv {
           Seq(count(expr(arg)).cast(LongType).as(a))
         case AggItem("sum", a, arg) => Seq(
           coalesce(sum(expr(arg).cast(Dec)), lit(0).cast(Dec)).as(a),
+          count(expr(arg)).cast(LongType).as(nnAlias(a)))
+        case AggItem("avg", a, arg) => Seq( // exact sum + count; the mean
+          // is DERIVED at read, which is what makes avg self-maintainable
+          coalesce(sum(expr(arg).cast(Dec)), lit(0).cast(Dec))
+            .as(sumAlias(a)),
           count(expr(arg)).cast(LongType).as(nnAlias(a)))
         case AggItem(k, a, _) => throw new IllegalArgumentException(
           s"CREATE MATERIALIZED VIEW $name: unsupported aggregate " +
@@ -270,6 +282,12 @@ object LakeMv {
         coalesce(sum(when(expr(arg).isNotNull,
             expr(arg).cast(Dec) * sgn).otherwise(lit(0).cast(Dec))),
           lit(0).cast(Dec)).as(s"_d_$a"),
+        coalesce(sum(when(expr(arg).isNotNull, sgn).otherwise(lit(0L))),
+          lit(0L)).as(s"_d_${nnAlias(a)}"))
+      case AggItem("avg", a, arg) => Seq(
+        coalesce(sum(when(expr(arg).isNotNull,
+            expr(arg).cast(Dec) * sgn).otherwise(lit(0).cast(Dec))),
+          lit(0).cast(Dec)).as(s"_d_${sumAlias(a)}"),
         coalesce(sum(when(expr(arg).isNotNull, sgn).otherwise(lit(0L))),
           lit(0L)).as(s"_d_${nnAlias(a)}"))
       case AggItem(k, _, _) => throw new IllegalStateException(
@@ -346,6 +364,13 @@ object LakeMv {
       case GroupItem(g) => col(g)
       case AggItem("sum", a, _) =>
         when(col(nnAlias(a)) > 0L, col(a)).otherwise(lit(null)).as(a)
+      case AggItem("avg", a, _) => // the EXACT decimal dividend casts to
+        // double once, then one IEEE division — deterministic and
+        // refresh-count-independent, because the stored sum is bit-equal
+        // to from-scratch however many folds built it (spec-pinned)
+        when(col(nnAlias(a)) > 0L,
+            col(sumAlias(a)).cast("double") / col(nnAlias(a)))
+          .otherwise(lit(null)).as(a)
       case AggItem(_, a, _) => col(a)
     }: _*)
 }

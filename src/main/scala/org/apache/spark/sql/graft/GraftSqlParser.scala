@@ -607,7 +607,8 @@ object GraftSqlParser {
   }
 
   /** One select item of `CREATE MATERIALIZED VIEW` — a bare group
-    * column, `count(*) AS a`, `count(col) AS a`, or `sum(expr) AS a`.
+    * column, `count(*) AS a`, `count(col) AS a`, `sum(expr) AS a`, or
+    * `avg(expr) AS a`.
     * Any other aggregate head parses into an [[graft.sources.LakeMv.AggItem]]
     * whose kind [[graft.sources.LakeMv.create]] refuses with the
     * self-maintainability explanation (min/max cannot fold under
@@ -632,7 +633,7 @@ object GraftSqlParser {
         it.seek(mark)
         fail(s"CREATE MATERIALIZED VIEW: cannot parse select item " +
           s"'$text' — items are a bare GROUP BY column, count(*) AS a, " +
-          "count(col) AS a, or sum(expr) AS a")
+          "count(col) AS a, sum(expr) AS a, or avg(expr) AS a")
     }
   }
 

@@ -1456,16 +1456,23 @@ class LakeSqlDmlSpec extends SparkTestBase {
         .collect()
       s.sql(
         """CREATE MATERIALIZED VIEW mvt AS
-          |SELECT grp, count(*) AS n, count(v) AS nv, sum(v) AS sv
+          |SELECT grp, count(*) AS n, count(v) AS nv, sum(v) AS sv,
+          |       avg(v) AS av
           |FROM mvt_base WHERE k <= 95 GROUP BY grp""".stripMargin).collect()
+      // avg reconstructs from the SAME stored dividend/divisor the fold
+      // maintains, so the from-scratch twin must divide identically:
+      // DECIMAL(28,10) sum over BIGINT non-null count, then to double
       def fromScratch() = s.sql(
         """SELECT grp, count(*) AS n, count(v) AS nv,
-          |       CAST(sum(v) AS DECIMAL(28,10)) AS sv
+          |       CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv,
+          |       CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10))
+          |            AS DOUBLE) / count(v) AS av
           |FROM mvt_base WHERE k <= 95 GROUP BY grp ORDER BY grp""".stripMargin)
         .collect().toSeq
       def mvRows() = s.sql(
-        "SELECT grp, n, nv, CAST(sv AS DECIMAL(28,10)) AS sv FROM mvt " +
-          "ORDER BY grp").collect().toSeq
+        "SELECT grp, n, nv, CAST(sv AS DECIMAL(28,10)) AS sv, " +
+          "CAST(av AS DOUBLE) AS av FROM mvt ORDER BY grp")
+        .collect().toSeq
       mvRows() shouldBe fromScratch()
       // STALENESS is the contract: mutations invisible until REFRESH
       val before = mvRows()
@@ -1498,6 +1505,7 @@ class LakeSqlDmlSpec extends SparkTestBase {
       dRow.getLong(1) shouldBe 2L
       dRow.getLong(2) shouldBe 0L
       dRow.isNullAt(3) shouldBe true
+      dRow.isNullAt(4) shouldBe true // all-null avg is NULL too
       // catalog listing carries the MV with its original statement
       s.sql("SELECT kind, target FROM graft_catalog() WHERE name = 'mvt'")
         .collect()(0).toSeq match {
