@@ -352,6 +352,28 @@ object LakeMv {
     (last, cur, touched)
   }
 
+  /** Operational introspection — the `graft_mv_detail('<name>')` table
+    * function: one row with the MV's roots, the base version its state
+    * reflects (recovered from the state table's manifest chain, the same
+    * read REFRESH does), the base's current version, and the staleness
+    * span. `behind_by = 0` means a refresh right now would no-op. */
+  def detailDf(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    val d = parseDef(LakeCatalog.lookupMv(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_mv_detail: no materialized view '$name' in the graft " +
+          s"catalog (kind: ${LakeCatalog.kindOf(spark, name)})")))
+    val st = new LakeTable(spark, d.stateRoot)
+    val last = st.latestEpoch(appIdOf(name)).map(_.toInt)
+      .getOrElse(d.initVersion)
+    val cur = new LakeTable(spark, d.baseRoot).latestVersion
+    val groups = st.manifest(st.latestVersion).files.map(_.rows).sum
+    Seq((name.toLowerCase, d.baseName, d.baseRoot, d.stateRoot,
+      d.initVersion, last, cur, math.max(0, cur - last), groups))
+      .toDF("name", "base_name", "base_root", "state_root", "init_version",
+        "folded_to_version", "base_latest_version", "behind_by", "n_groups")
+  }
+
   // ---- READ -----------------------------------------------------------
 
   /** The MV's read relation: the state table projected back to the

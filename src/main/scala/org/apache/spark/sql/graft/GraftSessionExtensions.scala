@@ -154,6 +154,19 @@ class GraftSessionExtensions extends (SparkSessionExtensions => Unit) {
           .getOrElse(t.latestVersion)
         t.detailDf(v).queryExecution.analyzed
       }))
+    // MV staleness introspection: one row per call — the base version
+    // the state reflects vs the base's current version (behind_by = 0
+    // means REFRESH would no-op), plus the roots for forensics
+    ext.injectTableFunction((
+      new FunctionIdentifier("graft_mv_detail"),
+      new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,
+        "graft_mv_detail"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_mv_detail takes (mvName)")
+        graft.sources.LakeMv.detailDf(SparkSession.active,
+          strArg("graft_mv_detail")(children.head))
+          .queryExecution.analyzed
+      }))
     ext.injectTableFunction((
       new FunctionIdentifier("graft_lake_stream_detail"),
       new ExpressionInfo(classOf[graft.sources.LakeTable].getName, null,

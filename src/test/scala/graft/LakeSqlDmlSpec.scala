@@ -1521,6 +1521,20 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("REFRESH MATERIALIZED VIEW mvt").collect()
       mvRows().map(_.getString(0)) should not contain "E"
       mvRows() shouldBe fromScratch()
+      // staleness introspection: fresh now; one base commit → behind by 1
+      def detail() = s.sql(
+        "SELECT folded_to_version, base_latest_version, behind_by, " +
+          "n_groups FROM graft_mv_detail('mvt')").collect()(0)
+      detail().getInt(2) shouldBe 0
+      detail().getLong(3) shouldBe mvRows().size.toLong
+      s.sql("DELETE FROM mvt_base WHERE k = 96").collect() // outside filter
+      detail().getInt(2) shouldBe 1
+      s.sql("REFRESH MATERIALIZED VIEW mvt").collect()
+      detail().getInt(2) shouldBe 0
+      mvRows() shouldBe fromScratch() // filtered-out commit: same content
+      intercept[Exception] {
+        s.sql("SELECT * FROM graft_mv_detail('mvt_base')").collect()
+      }.getMessage should include("no materialized view")
     }
   }
 
