@@ -14,9 +14,14 @@ object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "PLANS.md"
+    // same extensions as the Verify/Bench sessions: the injected rules
+    // (manifest pruning, metadata aggregates) are PART of the plans this
+    // artifact exists to audit, and the SQL-DDL lanes need the parser
     val spark = GraftSession.tune(SparkSession.builder()
       .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions",
+        "org.apache.spark.sql.graft.GraftSessionExtensions"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
