@@ -172,9 +172,15 @@ object LakeMv {
     val aliases = aggs.map(_.alias)
     require(aliases.distinct.size == aliases.size,
       s"CREATE MATERIALIZED VIEW $name: duplicate aggregate aliases")
-    require(aliases.forall(a => !a.startsWith("_nn_") && a != "_mv_key"),
+    def reserved(n: String) = n == "_mv_key" ||
+      n.startsWith("_nn_") || n.startsWith("_avg_s_")
+    require(aliases.forall(a => !reserved(a)),
       s"CREATE MATERIALIZED VIEW $name: aliases must not use the " +
-        "reserved _mv_key/_nn_ names")
+        "reserved _mv_key/_nn_/_avg_s_ names")
+    require(groups.forall(g => !reserved(g)),
+      s"CREATE MATERIALIZED VIEW $name: a GROUP BY column uses a " +
+        "reserved state-table name (_mv_key/_nn_/_avg_s_) — alias it " +
+        "in the base table first")
     require(groups.intersect(aliases).isEmpty,
       s"CREATE MATERIALIZED VIEW $name: an alias collides with a GROUP " +
         "BY column")
@@ -219,11 +225,9 @@ object LakeMv {
           coalesce(sum(expr(arg).cast(Dec)), lit(0).cast(Dec))
             .as(sumAlias(a)),
           count(expr(arg)).cast(LongType).as(nnAlias(a)))
-        case AggItem(k, a, _) => throw new IllegalArgumentException(
-          s"CREATE MATERIALIZED VIEW $name: unsupported aggregate " +
-            s"'$k' (alias $a) — self-maintainable aggregates are " +
-            "count(*), count(col), sum(expr); min/max cannot fold " +
-            "under deletes without a rescan")
+        case AggItem(k, _, _) => throw new IllegalStateException(
+          s"unreachable: unsupported aggregate '$k' survived CREATE " +
+            "validation")
       }
       val full = filtered.groupBy(groups.map(col): _*).agg(
           aggCols.head, aggCols.tail: _*)
