@@ -113,12 +113,16 @@ object LakeCatalog {
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     def alreadyBound(): Nothing = throw new IllegalArgumentException(
-      lookupView(spark, name) match {
-        case Some(_) =>
+      kindOf(spark, name) match {
+        case "view" =>
           s"name '$name' is already bound to a VIEW in the graft catalog " +
             s"at ${catalogDir(spark)} — DROP VIEW $name first, or pick " +
             "another name"
-        case None =>
+        case "materialized_view" =>
+          s"name '$name' is already bound to a MATERIALIZED VIEW in the " +
+            s"graft catalog at ${catalogDir(spark)} — DROP MATERIALIZED " +
+            s"VIEW $name first, or pick another name"
+        case _ =>
           s"table name '$name' is already bound to " +
             s"'${lookup(spark, name).getOrElse("?")}' in the graft catalog " +
             s"at ${catalogDir(spark)} — DROP TABLE $name first, or pick " +
@@ -318,7 +322,11 @@ object LakeCatalog {
     * here re-enters the analyzer, which re-applies [[LakeNameResolution]]
     * to the body — that recursion is exactly what resolves views over
     * views (and views over catalog tables), and the thread-local depth
-    * counter around it is what bounds a replace-created cycle. */
+    * counter around it is what bounds a replace-created cycle. The
+    * expansion is ANALYSIS-ONLY ([[AnalysisBridge]] — never a Dataset,
+    * which would eagerly EXECUTE a command-shaped body): CREATE refuses
+    * command bodies, but an entry written by an older build or by hand
+    * must still be unable to run side effects from a SELECT. */
   private[sources] def expandView(spark: SparkSession, name: String,
                                   sql: String): LogicalPlan = {
     val d = viewDepth.get()
@@ -327,8 +335,15 @@ object LakeCatalog {
         s"($MaxViewDepth) — a CREATE OR REPLACE VIEW cycle, or a " +
         "composition genuinely deeper than the cap")
     viewDepth.set(d + 1)
-    try spark.sql(sql).queryExecution.analyzed
-    catch {
+    try {
+      val (analyzed, isCommand) = org.apache.spark.sql.graft.AnalysisBridge
+        .analyzeStatement(spark, sql)
+      if (isCommand) throw new IllegalArgumentException(
+        s"view '$name' has a command-shaped body — refusing to execute " +
+          "a side effect from a read; DROP VIEW it and recreate with a " +
+          "query body")
+      analyzed
+    } catch {
       case e: IllegalArgumentException => throw e
       case e: Exception => throw new IllegalArgumentException(
         s"view '$name' failed to resolve against the current catalog — " +

@@ -1450,18 +1450,17 @@ case class LakeCreateViewCommand(name: String, viewSql: String,
       case Some(existing) if ifNotExists => return Seq(Row(name, existing))
       case _ =>
     }
-    val parsed = spark.sessionState.sqlParser.parsePlan(viewSql)
-    if (parsed.isInstanceOf[
-        org.apache.spark.sql.catalyst.plans.logical.Command])
+    // fail-fast ANALYSIS-ONLY validation: an unknown base table/column
+    // refuses HERE, not at first read, and a command-shaped body refuses
+    // WITHOUT executing — `INSERT INTO t SELECT …` parses to a plain
+    // statement but analyzes to a write command, and Dataset/spark.sql
+    // would eagerly RUN it, so the check must ride the no-execution seam
+    // (the plan is then discarded; reads re-resolve late)
+    val (_, isCommand) = AnalysisBridge.analyzeStatement(spark, viewSql)
+    if (isCommand)
       throw new IllegalArgumentException(
         s"CREATE VIEW $name: the body must be a query, not a command — " +
           "a command body would execute as a side effect of every read")
-    // fail-fast analysis: an unknown base table/column refuses HERE, not
-    // at first read (the parse above is not enough — names resolve only
-    // in analysis). The plan is discarded; reads re-resolve late.
-    org.apache.spark.sql.classic.Dataset.ofRows(
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], parsed)
-      .queryExecution.assertAnalyzed()
     graft.sources.LakeCatalog.registerView(spark, name, viewSql, orReplace)
     Seq(Row(name, viewSql))
   }

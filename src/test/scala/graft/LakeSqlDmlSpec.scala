@@ -1373,6 +1373,17 @@ class LakeSqlDmlSpec extends SparkTestBase {
         s.sql("CREATE VIEW vwr_cmd AS DROP TABLE vwr_t").collect()
       }
       s.sql("SELECT count(*) FROM vwr_t").collect()(0).getLong(0) shouldBe 9L
+      // ...including a command-SHAPED body that only ANALYZES to a write
+      // command (INSERT INTO parses as a plain statement): it must refuse
+      // WITHOUT executing — the validation itself must not insert
+      s.sql("CREATE TABLE vwr_probe (id INT) USING parquet")
+      intercept[Exception] {
+        s.sql("CREATE VIEW vwr_ins AS INSERT INTO vwr_probe VALUES (1)")
+          .collect()
+      }.getMessage should include("not a command")
+      s.sql("SELECT count(*) FROM vwr_probe").collect()(0)
+        .getLong(0) shouldBe 0L // zero side effects, even from validation
+      s.sql("DROP TABLE vwr_probe")
       // an unresolvable body refuses at CREATE, not at first read
       intercept[Exception] {
         s.sql("CREATE VIEW vwr_ghost AS SELECT * FROM no_such_base")
