@@ -3535,8 +3535,21 @@ class LakeTable(spark: SparkSession, val root: String) {
   }
 
   /** Refusal gate for key-addressed verbs on a keyless (append-log)
-    * table — see [[Lake.createAppendLog]] for the supported surface. */
-  private def requireKeyed(m: Manifest, verb: String): Unit =
+    * table — see [[Lake.createAppendLog]] for the supported surface.
+    *
+    * Also the STRING-KEY COORDINATE gate: string keys store their bounds
+    * in the order-embedding coordinate ([[Lake.statLong]]), and every
+    * commit this build writes on such a table stamps the `string-keys`
+    * feature — so a string-keyed table whose LATEST delta lacks the
+    * stamp was last written by a PRE-feature build, whose bounds are
+    * cast-to-long key VALUES (possible only for castable-numeric string
+    * keys). Probing those bounds with embeddings would MISS silently
+    * (a merge would duplicate instead of update), so key-addressed verbs
+    * refuse until a full compact re-stats every file in the embedding
+    * coordinate. By induction the first refusal prevents mixed-coordinate
+    * manifests from ever forming. One cached delta read; non-string keys
+    * skip entirely. */
+  private def requireKeyed(m: Manifest, verb: String): Unit = {
     require(m.keyCol.nonEmpty,
       s"$verb addresses rows by key, but this is a KEYLESS append-log " +
         "table (no row identity). Supported here: insert/append, " +
@@ -3544,6 +3557,34 @@ class LakeTable(spark: SparkSession, val root: String) {
         "time travel, restore, vacuum, the change feed. To upsert or " +
         "delete by key, create a keyed table (Lake.create / CREATE " +
         "TABLE … KEY <col>)")
+    requireKeyCoord(m, verb)
+  }
+
+  /** The string-key half of [[requireKeyed]], callable on its own for
+    * verbs that probe key bounds but are legal on keyless tables
+    * (insert's PK-conflict scan). */
+  private def requireKeyCoord(m: Manifest, verb: String): Unit = {
+    if (m.keyCol.isEmpty) return
+    val keyIsString = m.schemaDdl.exists { ddl =>
+      val logical = m.columnMap.collectFirst {
+        case (l, p) if p == m.keyCol => l }.getOrElse(m.keyCol)
+      scala.util.Try(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .toOption.exists(_.fields.exists(f =>
+          (f.name.equalsIgnoreCase(m.keyCol) ||
+            f.name.equalsIgnoreCase(logical)) &&
+            f.dataType == org.apache.spark.sql.types.StringType))
+    }
+    if (keyIsString &&
+        !readDelta(m.version).requiredFeatures.contains("string-keys"))
+      throw new IllegalStateException(
+        s"$verb: this string-keyed table was last written by a build " +
+          "that predates the string-keys feature — its key bounds are " +
+          "cast-to-long key values, not the order embedding this build " +
+          "probes with, and a silent probe miss would corrupt (duplicate " +
+          "keys on merge). Run a full compact with THIS build first " +
+          "(OPTIMIZE / LakeTable.compact) to migrate every file's " +
+          "bounds, then retry")
+  }
 
   /** The keyless twin of [[hitFileIndexes]]: file names (basenames) of
     * `m`'s data files holding at least one row matching `condition`
@@ -4401,6 +4442,9 @@ class LakeTable(spark: SparkSession, val root: String) {
   private def insertTagged(rows0: DataFrame, operation: String): MergeStats = {
     val v = latestVersion
     val m = manifest(v)
+    // insert is legal keyless, but a KEYED insert probes key bounds for
+    // PK conflicts — pre-feature string-key coordinates would miss
+    requireKeyCoord(m, "INSERT")
     val keyCol = m.keyCol
     // callers speak LOGICAL names; files and stats speak physical.
     // CHECK constraints enforce per row inside the write itself

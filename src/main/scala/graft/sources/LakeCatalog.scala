@@ -165,14 +165,21 @@ object LakeCatalog {
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
     def refuse(): Nothing = throw new IllegalArgumentException(
-      if (lookup(spark, name).isDefined)
-        s"name '$name' is bound to a TABLE in the graft catalog at " +
-          s"${catalogDir(spark)} — CREATE OR REPLACE VIEW only replaces " +
-          s"views; DROP TABLE $name first, or pick another name"
-      else
-        s"view name '$name' is already bound in the graft catalog at " +
-          s"${catalogDir(spark)} — use CREATE OR REPLACE VIEW to replace " +
-          s"it, or DROP VIEW $name first")
+      kindOf(spark, name) match {
+        case "table" =>
+          s"name '$name' is bound to a TABLE in the graft catalog at " +
+            s"${catalogDir(spark)} — CREATE OR REPLACE VIEW only " +
+            s"replaces views; DROP TABLE $name first, or pick another name"
+        case "materialized_view" =>
+          s"name '$name' is bound to a MATERIALIZED VIEW in the graft " +
+            s"catalog at ${catalogDir(spark)} — CREATE OR REPLACE VIEW " +
+            "only replaces plain views; DROP MATERIALIZED VIEW " +
+            s"$name first, or pick another name"
+        case _ =>
+          s"view name '$name' is already bound in the graft catalog at " +
+            s"${catalogDir(spark)} — use CREATE OR REPLACE VIEW to " +
+            s"replace it, or DROP VIEW $name first"
+      })
     if (f.exists(p)) {
       if (!orReplace || lookupView(spark, name).isEmpty) refuse()
       f.delete(p, false) // replace = unlink + fresh claim (see doc above)
@@ -427,13 +434,21 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
             "the MV's state table root, instead")
       case _ =>
     }
+    // every resolution wraps in SubqueryAlias(<name>, …): the spliced
+    // body's attributes are unqualified (parquet scans), and without the
+    // alias `SELECT sales.k FROM sales` / `… ON v.k = t.k` would fail to
+    // resolve — the same wrapping Spark's own view/table resolution does
+    def aliased(name: String, p: LogicalPlan): LogicalPlan =
+      org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+        name.toLowerCase, p)
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if viewOf(u).isDefined =>
         val (name, sql) = viewOf(u).get
-        LakeCatalog.expandView(spark, name, sql)
+        aliased(name, LakeCatalog.expandView(spark, name, sql))
       case u: UnresolvedRelation if mvOf(u).isDefined =>
-        val (_, raw) = mvOf(u).get
-        LakeMv.readDf(spark, LakeMv.parseDef(raw)).queryExecution.analyzed
+        val (name, raw) = mvOf(u).get
+        aliased(name,
+          LakeMv.readDf(spark, LakeMv.parseDef(raw)).queryExecution.analyzed)
       case tt @ RelationTimeTravel(rel, ts, ver) if rootOf(rel).isDefined =>
         val t = new LakeTable(spark, rootOf(rel).get)
         val v = ver match {
@@ -450,9 +465,12 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
               "TIMESTAMP AS OF needs a literal timestamp, got: " + other)
           }
         }
-        t.snapshot(v).queryExecution.analyzed
+        aliased(rel.asInstanceOf[UnresolvedRelation]
+            .multipartIdentifier.head,
+          t.snapshot(v).queryExecution.analyzed)
       case u: UnresolvedRelation if rootOf(u).isDefined =>
-        new LakeTable(spark, rootOf(u).get).read().queryExecution.analyzed
+        aliased(u.multipartIdentifier.head,
+          new LakeTable(spark, rootOf(u).get).read().queryExecution.analyzed)
     }
   }
 }

@@ -268,8 +268,24 @@ object LakeMv {
           s"the graft catalog (kind: ${LakeCatalog.kindOf(spark, name)})")))
     val bt = new LakeTable(spark, d.baseRoot)
     val st = new LakeTable(spark, d.stateRoot)
-    val last = st.latestEpoch(appIdOf(name)).map(_.toInt)
-      .getOrElse(d.initVersion)
+    val last = st.latestEpoch(appIdOf(name)).map(_.toInt).getOrElse {
+      // no epoch tag found: either the MV was genuinely never refreshed
+      // (fold from the pinned init version), or refresh history WAS
+      // committed but its tagged manifests were vacuumed away (the state
+      // root is addressable, so out-of-band OPTIMIZE + VACUUM can do
+      // that) — folding from init would then DOUBLE-COUNT every interval
+      // already applied. Distinguishable: with no gap in the chain back
+      // to v0, the walk provably saw every commit and there truly was no
+      // refresh; a gap means the bookkeeping may be gone — refuse.
+      val sv = st.latestVersion
+      if ((0 to sv).forall(st.hasVersion)) d.initVersion
+      else throw new IllegalStateException(
+        s"REFRESH MATERIALIZED VIEW $name: the state table's manifest " +
+          "chain has vacuumed stretches and no epoch tag survives — the " +
+          "refresh bookkeeping is unrecoverable (was the state table " +
+          "OPTIMIZEd and VACUUMed out-of-band?); DROP MATERIALIZED VIEW " +
+          "and re-CREATE")
+    }
     val cur = bt.latestVersion
     if (cur <= last) return (last, cur, 0L)
     val feed0 = bt.changes(last, cur)

@@ -663,7 +663,11 @@ object GraftSqlParser {
         s"columns, got '$g'"))
     val items = sc.topLevelSplit(selectText).map(parseMvItem)
     val bare = items.collect { case graft.sources.LakeMv.GroupItem(g) => g }
-    if (bare.toSet != gcols.toSet || bare.distinct.size != bare.size)
+    // case-INSENSITIVE match, like Spark's own resolution; the SELECT
+    // spelling wins for the state-table columns
+    def lc(xs: Seq[String]) = xs.map(_.toLowerCase)
+    if (lc(bare).toSet != lc(gcols).toSet ||
+        lc(bare).distinct.size != bare.size)
       fail(s"CREATE MATERIALIZED VIEW $name: the bare select columns " +
         s"(${bare.mkString(", ")}) must be exactly the GROUP BY columns " +
         s"(${gcols.mkString(", ")}), each once — the state table is " +
@@ -730,6 +734,14 @@ object GraftSqlParser {
             else if (kind == wanted && isTable)
               Some(LakeDropNameCommand(name))
             else if (kind == wanted) Some(LakeDropViewCommand(name))
+            // IF EXISTS tolerates "no <wanted kind> named x" even when x
+            // is bound as ANOTHER kind — idempotent cleanup scripts must
+            // no-op, not throw. DROP TABLE/VIEW delegate (Spark's own IF
+            // EXISTS no-ops, and a same-named temp view stays droppable);
+            // MATERIALIZED is ours alone, so it no-ops directly.
+            else if (kind != "unbound" && ifExists)
+              if (isMv) Some(LakeDropMvCommand(name, ifExists = true))
+              else None
             else if (kind != "unbound")
               fail(s"'$name' is bound as a ${kind.replace('_', ' ')} in " +
                 s"the graft catalog — use ${verbFor(kind)} $name")

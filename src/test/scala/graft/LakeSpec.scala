@@ -1452,6 +1452,46 @@ class LakeSpec extends SparkTestBase {
     t.read().filter(col("k").isin("doc-9999", "doc-9998")).count() shouldBe 0L
   }
 
+  test("STRING keys: pre-feature coordinates refuse keyed verbs until compact migrates") {
+    import org.apache.spark.sql.functions.col
+    // A build predating `string-keys` could create a table keyed on
+    // CASTABLE-numeric strings, with cast-to-long bounds. This build
+    // probes with the order embedding — the coordinates don't compare,
+    // so keyed verbs must REFUSE (a silent probe miss would duplicate
+    // keys on merge) until a full compact re-stats every file. The
+    // discriminator is the stamp: every commit THIS build writes on a
+    // string-keyed table carries `string-keys`, so an unstamped latest
+    // delta = pre-feature writer. Forge one.
+    val t = Lake.create(spark, Lake.freshRoot(),
+      (1L to 30L).map(k => (s"$k", s"v$k")).toDF("k", "payload"), "k", 2)
+    val forged = graft.sources.Lake.fullDelta(t.manifest(0)).copy(
+      version = 1, parentVersion = 0, operation = "old-build-merge",
+      commitTs = System.currentTimeMillis(),
+      requiredFeatures = Nil) // what a pre-feature build stamps: nothing
+    val fs = new Path(t.root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(t.root, "_manifests/v00001.json"), false)
+    out.write(Lake.toJson(forged).getBytes); out.close()
+    val t2 = new graft.sources.LakeTable(spark, t.root)
+    def refuses(f: => Any): Unit = {
+      val e = intercept[IllegalStateException](f)
+      e.getMessage should include("predates the string-keys feature")
+      e.getMessage should include("compact")
+    }
+    refuses(t2.merge(Seq(("5", "NEW")).toDF("k", "payload")))
+    refuses(t2.insertAll(Seq(("99x", "APP")).toDF("k", "payload")))
+    refuses(t2.deleteDeferred(Seq(Tuple1("5")).toDF("k")))
+    // reads never gate — no key-bound probe on the read path
+    t2.read().count() shouldBe 30L
+    // the migration: one full compact re-stats every file in the
+    // embedding coordinate and stamps the feature; verbs then work
+    t2.compact(2)
+    t2.merge(Seq(("5", "NEW5")).toDF("k", "payload"))
+    t2.read().filter(col("k") === "5").select("payload")
+      .collect()(0).getString(0) shouldBe "NEW5"
+    t2.read().count() shouldBe 30L // updated, never duplicated
+  }
+
   test("STRING keys: the order embedding is monotone over adversarial values") {
     // adversarial strings: empty, prefixes, 8-byte ties, non-ASCII,
     // astral code points — UTF-8 byte order must imply embedding order
