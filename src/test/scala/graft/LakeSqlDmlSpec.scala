@@ -1335,6 +1335,18 @@ class LakeSqlDmlSpec extends SparkTestBase {
       // views work through spark.read.table too (same analyzer rule)
       s.read.table("v_a_sum").collect()(0)
         .getLong(0) shouldBe (31L to 40L).map(_ * 2).sum
+      // QUALIFIED references resolve — the splice wraps in
+      // SubqueryAlias(name), for tables, views, and their joins
+      s.sql("SELECT vw_base.k FROM vw_base WHERE vw_base.k = 3")
+        .collect()(0).getLong(0) shouldBe 3L
+      s.sql("SELECT v_a.k FROM v_a WHERE v_a.k = 35").collect()(0)
+        .getLong(0) shouldBe 35L
+      s.sql(
+        """SELECT count(*) FROM v_a JOIN vw_base
+          |ON v_a.k = vw_base.k WHERE vw_base.grp = 'B'""".stripMargin)
+        .collect()(0).getLong(0) shouldBe 10L
+      s.sql("SELECT vw_base.k FROM vw_base VERSION AS OF 0 " +
+        "WHERE vw_base.k = 7").collect()(0).getLong(0) shouldBe 7L
       // DROP VIEW unbinds; the base table is untouched
       s.sql("DROP VIEW v_a_sum").collect()
       intercept[Exception] { s.sql("SELECT * FROM v_a_sum").collect() }
@@ -1414,6 +1426,13 @@ class LakeSqlDmlSpec extends SparkTestBase {
       intercept[Exception] {
         s.sql("DROP VIEW vwr_t").collect()
       }.getMessage should include("use DROP TABLE")
+      // ...but IF EXISTS tolerates the cross-kind miss: idempotent
+      // cleanup no-ops, and both bindings survive untouched
+      s.sql("DROP TABLE IF EXISTS vwr_v")
+      s.sql("DROP VIEW IF EXISTS vwr_t")
+      s.sql("DROP MATERIALIZED VIEW IF EXISTS vwr_t").collect()
+      s.sql("SELECT count(*) FROM vwr_v").collect()(0).getLong(0) shouldBe 3L
+      s.sql("SELECT count(*) FROM vwr_t").collect()(0).getLong(0) shouldBe 9L
       // time travel pins tables, not views
       intercept[Exception] {
         s.sql("SELECT * FROM vwr_v VERSION AS OF 0").collect()
