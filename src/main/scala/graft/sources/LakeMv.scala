@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   *
   * Self-maintainability is what restricts the grammar: count(*)/count(c)
   * /sum(e) fold exactly under inserts AND deletes from the signed feed
-  * (postimage/insert = +1, preimage/delete = −1); min/max do not (a
-  * deleted extremum needs a rescan), so they refuse at CREATE with that
-  * explanation. `count(*)` is REQUIRED — it is the group-liveness
+  * (postimage/insert = +1, preimage/delete = −1), and avg(e) rides as
+  * DERIVED state (exact sum + non-null count, mean reconstructed at
+  * read); min/max do not (a deleted extremum needs a rescan), so they
+  * refuse at CREATE with that explanation. `count(*)` is REQUIRED — it is the group-liveness
   * witness: a group folding to zero rows deletes its state row, and
   * without the count the fold cannot know. Sums fold in DECIMAL(28,10)
   * (exact, associative — the incremental fold is bit-equal to a
