@@ -1601,6 +1601,43 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("materialized views over a STRING-keyed base: the features compose") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 60L).map(k => (f"doc-$k%04d", s"g${k % 3}", k.toDouble))
+        .toDF("doc_id", "grp", "v").createOrReplaceTempView("mvsk_src")
+      // string-keyed base through SQL CTAS (parser + embedding create)
+      s.sql("CREATE TABLE mvsk_base KEY doc_id FILES 3 " +
+        "AS SELECT * FROM mvsk_src").collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvsk AS
+          |SELECT grp, count(*) AS n, sum(v) AS sv, avg(v) AS av
+          |FROM mvsk_base GROUP BY grp""".stripMargin).collect()
+      // mutate through the string key: the feed pairs pre/post images on
+      // it, and the fold must track a group move + a delete exactly
+      s.sql("UPDATE mvsk_base SET grp = 'g9' WHERE doc_id <= 'doc-0010'")
+        .collect()
+      s.sql("DELETE FROM mvsk_base WHERE doc_id LIKE '%5'").collect()
+      s.sql("INSERT INTO mvsk_base SELECT 'xtr-' || doc_id AS doc_id, " +
+        "grp, v FROM mvsk_src WHERE doc_id <= 'doc-0004'").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvsk").collect()
+      val mv = s.sql(
+        """SELECT grp, n, CAST(sv AS DECIMAL(28,10)) AS sv,
+          |CAST(av AS DOUBLE) AS av FROM mvsk ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      val scratch = s.sql(
+        """SELECT grp, count(*) AS n,
+          |CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv,
+          |CAST(CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10))
+          |     AS DOUBLE) / count(v) AS av
+          |FROM mvsk_base GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      mv shouldBe scratch
+      mv.map(_.getString(0)) should contain("g9")
+    }
+  }
+
   test("materialized views: refusal surface and drop semantics") {
     withExtendedSession { s =>
       import s.implicits._
