@@ -423,6 +423,18 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           s"'${mvOf(i.table).get._1}' is a graft catalog MATERIALIZED " +
             "VIEW — it is read-only; its state advances only through " +
             "REFRESH MATERIALIZED VIEW")
+      // Spark's own INSERT grammar reaching a lake TABLE name means a
+      // form the graft parser does not serve (INSERT OVERWRITE, by-name
+      // column lists): without this guard it dies in a generic
+      // not-found, which is baffling when SELECT on the same name works
+      case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+          if rootOf(i.table).isDefined =>
+        throw new IllegalArgumentException(
+          s"'${(i.table: @unchecked) match { case u: UnresolvedRelation => u.multipartIdentifier.head }}' " +
+            "is a graft lake table — this INSERT form is not supported " +
+            "on it. Use INSERT INTO <name> <query> (the lake append), " +
+            "MERGE INTO for upserts, or DELETE + INSERT / RESTORE in " +
+            "place of INSERT OVERWRITE")
       case RelationTimeTravel(rel, _, _) if viewOf(rel).isDefined =>
         throw new IllegalArgumentException(
           s"'${viewOf(rel).get._1}' is a graft catalog VIEW — time travel " +

@@ -1286,6 +1286,15 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.catalog.dropTempView("bound_t")
       s.sql("SELECT count(*) FROM bound_t").collect()(0)
         .getLong(0) shouldBe 9L
+      // Spark-grammar INSERT forms against a lake table name refuse with
+      // graft guidance (the parser serves only INSERT INTO <name> <q>;
+      // OVERWRITE would otherwise die in a baffling generic not-found) —
+      // and the refusal leaves the table untouched
+      intercept[Exception] {
+        s.sql("INSERT OVERWRITE bound_t SELECT 1L AS k, 'x' AS payload")
+          .collect()
+      }.getMessage should include("INSERT form is not supported")
+      s.sql("SELECT count(*) FROM bound_t").collect()(0).getLong(0) shouldBe 9L
       // ordinary CREATE TABLE still delegates untouched
       s.sql("CREATE TABLE plain_spark_t (id INT) USING parquet")
       s.sql("INSERT INTO plain_spark_t VALUES (1), (2)").collect()
