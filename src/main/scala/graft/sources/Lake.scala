@@ -839,6 +839,55 @@ object Lake {
         |FROM mv_by_priority ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Gated lane: MATERIALIZED VIEW with min/max, an EXPRESSION group key
+    * (`year(o_orderdate) AS oy`), and HAVING — the round-16 IVM grammar.
+    * The lifecycle is built to force BOTH min/max paths: the INSERT adds
+    * new maxima (pure fold — greatest against stored state, no rescan),
+    * the UPDATE collapses every price ≥ 450k by 400k (its preimages
+    * DELETE each affected group's stored maximum → the group-scoped
+    * rescan must find the true survivor max), and the DELETE removes
+    * every row under 5k (ties the stored minima → min rescan). One
+    * REFRESH folds all three commits; a second must no-op. The oracle
+    * recomputes the post-mutation aggregate from the raw table with the
+    * same HAVING, so a rescan that misses a group, double-counts, or
+    * serves a stale extremum diverges. */
+  def lakeSqlMvMinMax(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("lake_sql_mvx_src")
+    spark.sql(
+      """CREATE TABLE mvx_orders KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_mvx_src""".stripMargin).collect()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mv_price_stats AS
+        |SELECT o_orderpriority, year(o_orderdate) AS oy,
+        |       count(*) AS n_orders,
+        |       min(o_totalprice) AS lo_price,
+        |       max(o_totalprice) AS hi_price,
+        |       sum(o_totalprice) AS revenue
+        |FROM mvx_orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority, year(o_orderdate)
+        |HAVING n_orders >= 10""".stripMargin).collect()
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderpriority", lit("9-INSERTED"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(50000.0))
+      .createOrReplaceTempView("lake_sql_mvx_ins")
+    spark.sql(
+      "INSERT INTO mvx_orders SELECT * FROM lake_sql_mvx_ins").collect()
+    spark.sql( // preimage deletes each affected group's MAX → max rescan
+      """UPDATE mvx_orders SET o_totalprice = o_totalprice - 400000.0
+        |WHERE o_totalprice >= 450000.0""".stripMargin).collect()
+    spark.sql( // removes the stored minima → min rescan
+      "DELETE FROM mvx_orders WHERE o_totalprice < 5000.0").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_price_stats").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_price_stats").collect() // no-op
+    spark.sql(
+      """SELECT o_orderpriority, oy, n_orders, lo_price, hi_price,
+        |       CAST(round(revenue, 2) AS DOUBLE) AS revenue
+        |FROM mv_price_stats ORDER BY o_orderpriority, oy""".stripMargin)
+  }
+
   /** Gated lane: STRING merge keys — the document-id-shaped key every
     * real corpus has. The table keys on `ok = 'ord-' || lpad(key, 12)`
     * (order-preserving re-spelling of the integer key, so the oracle can
@@ -1287,6 +1336,7 @@ object Lake {
     "lake_sql_catalog" -> (lakeSqlCatalog _),
     "lake_sql_view" -> (lakeSqlView _),
     "lake_sql_mv" -> (lakeSqlMv _),
+    "lake_sql_mv_minmax" -> (lakeSqlMvMinMax _),
     "lake_string_key" -> (lakeStringKey _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
@@ -1535,6 +1585,35 @@ object Lake {
         |            AS DOUBLE) AS revenue
         |FROM mutated WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_mv_minmax" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey,
+        |         '9-INSERTED' AS o_orderpriority,
+        |         o_orderdate, o_totalprice + 50000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), all0 AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice
+        |  FROM orders
+        |  UNION ALL SELECT * FROM ins
+        |), upd AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |         CASE WHEN o_totalprice >= 450000.0
+        |              THEN o_totalprice - 400000.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM all0
+        |), fin AS (
+        |  SELECT * FROM upd WHERE o_totalprice >= 5000.0
+        |)
+        |SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS oy,
+        |       count(*) AS n_orders,
+        |       min(o_totalprice) AS lo_price,
+        |       max(o_totalprice) AS hi_price,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM fin WHERE o_orderkey % 2 = 0
+        |GROUP BY 1, 2 HAVING count(*) >= 10
+        |ORDER BY 1, 2""".stripMargin,
 
     "lake_sql_insert" ->
       """WITH u AS (

@@ -5,59 +5,105 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** MATERIALIZED views over lake tables: `CREATE MATERIALIZED VIEW <name>
-  * AS SELECT <groups…, count(*), count(c), sum(e), avg(e)…> FROM <lake table>
-  * [WHERE <pred>] GROUP BY <groups…>`, advanced INCREMENTALLY by
-  * `REFRESH MATERIALIZED VIEW <name>` folding the base table's change
-  * feed — never rescanning the base. The 100 TB shape: a refresh costs
-  * O(changed rows) feed work + O(changed groups) state work, and the
-  * state table is aggregate-sized however large the base grows.
+  * AS SELECT <groups…, count(*), count(c), sum(e), avg(e), min(e),
+  * max(e)…> FROM <lake table> [WHERE <pred>] GROUP BY <groups…>
+  * [HAVING <pred>]`, advanced INCREMENTALLY by `REFRESH MATERIALIZED
+  * VIEW <name>` folding the base table's change feed — never rescanning
+  * the base wholesale. The 100 TB shape: a refresh costs O(changed rows)
+  * feed work + O(changed groups) state work, and the state table is
+  * aggregate-sized however large the base grows.
   *
-  * Self-maintainability is what restricts the grammar: count(*)/count(c)
-  * /sum(e) fold exactly under inserts AND deletes from the signed feed
+  * Self-maintainability shapes the fold: count(*)/count(c)/sum(e) fold
+  * exactly under inserts AND deletes from the signed feed
   * (postimage/insert = +1, preimage/delete = −1), and avg(e) rides as
   * DERIVED state (exact sum + non-null count, mean reconstructed at
-  * read); min/max do not (a deleted extremum needs a rescan), so they
-  * refuse at CREATE with that explanation. `count(*)` is REQUIRED — it is the group-liveness
-  * witness: a group folding to zero rows deletes its state row, and
-  * without the count the fold cannot know. Sums fold in DECIMAL(28,10)
-  * (exact, associative — the incremental fold is bit-equal to a
-  * from-scratch aggregate, which is what the oracle pins; fractional
-  * inputs are cast once at both build and fold, so the two paths round
-  * identically). Each sum carries a hidden non-null counter so an
-  * all-null group reads back as SQL's NULL, not 0.
+  * read). min/max fold exactly under INSERTS (least/greatest against the
+  * stored extremum); a DELETE that ties the extremum is the one case no
+  * fold can answer — those groups, and ONLY those groups, rescan against
+  * the base's fold-target snapshot (a broadcast semi-join scoped to the
+  * affected group values, with an `isin` pre-filter the parquet scan and
+  * manifest prune rule can push when the leading group key is a bare
+  * column). Cost: O(affected groups' rows), never O(base) compute — the
+  * classic IVM extension, and the steady state (inserts, or deletes that
+  * never touch an extremum) stays pure-fold. `count(*)` is REQUIRED — it
+  * is the group-liveness witness: a group folding to zero rows deletes
+  * its state row, and without the count the fold cannot know. Sums fold
+  * in DECIMAL(28,10) (exact, associative — the incremental fold is
+  * bit-equal to a from-scratch aggregate, which is what the oracle pins;
+  * fractional inputs are cast once at both build and fold, so the two
+  * paths round identically). Each sum carries a hidden non-null counter
+  * so an all-null group reads back as SQL's NULL, not 0.
+  *
+  * GROUP BY keys may be bare base columns or deterministic scalar
+  * expressions (`year(d) AS y`): an expression key's COMPUTED column is
+  * stored in state under its declared alias, and the refresh computes
+  * the same expression over the feed — the alias must therefore not
+  * shadow a base column (refused at CREATE). HAVING is a post-aggregate
+  * filter applied at READ over the declared select shape — state keeps
+  * every live group (a group can cross the HAVING boundary in either
+  * direction as the base mutates, so filtering state would lose the
+  * ability to re-enter).
   *
   * Transactional bookkeeping rides the state table's OWN manifest chain:
   * every refresh commits through [[LakeTable.mergeIntoEpoch]] with
   * epoch id = the base version folded TO (app id `mv-<name>`), so
   * "which base snapshot does my state reflect?" is answered by
   * [[LakeTable.latestEpoch]] — no side marker to desync, a crashed
-  * refresh retries idempotently, and a racing duplicate refresh is
-  * harmless twice over (the epoch check skips it, and the fold writes
-  * ABSOLUTE group values, so even a double-commit converges). */
+  * refresh retries idempotently (the rescan happens before the one
+  * commit, against the same fold-target snapshot), and a racing
+  * duplicate refresh is harmless twice over (the epoch check skips it,
+  * and the fold writes ABSOLUTE group values, so even a double-commit
+  * converges). */
 object LakeMv {
 
   /** One select-list item, in declared order. */
   sealed trait MvItem
-  /** A bare GROUP BY column. */
-  case class GroupItem(name: String) extends MvItem
-  /** An aggregate: kind ∈ count_star | count | sum | avg; `arg` is the
-    * raw expression text (empty for count_star). AVG is derived state:
-    * it stores an exact decimal sum plus a non-null count and
-    * reconstructs the mean at read — that derivation is what makes it
-    * self-maintainable where a stored mean would not be. */
+  /** A GROUP BY key: a bare base column (`exprText == alias`) or a
+    * deterministic scalar expression stored computed under `alias`. */
+  case class GroupItem(alias: String, exprText: String) extends MvItem {
+    def isBare: Boolean = exprText == alias
+  }
+  object GroupItem {
+    /** Bare-column shorthand (also the pre-expression-keys call shape). */
+    def apply(name: String): GroupItem = GroupItem(name, name)
+  }
+  /** An aggregate: kind ∈ count_star | count | sum | avg | min | max;
+    * `arg` is the raw expression text (empty for count_star). AVG is
+    * derived state: it stores an exact decimal sum plus a non-null count
+    * and reconstructs the mean at read — that derivation is what makes it
+    * self-maintainable where a stored mean would not be. MIN/MAX store
+    * the extremum directly and lean on the group-scoped delete rescan. */
   case class AggItem(kind: String, alias: String, arg: String) extends MvItem
 
   case class MvDef(baseRoot: String, baseName: String, initVersion: Int,
                    stateRoot: String, items: Seq[MvItem],
-                   whereSql: Option[String], queryText: String) {
-    def groupCols: Seq[String] = items.collect { case GroupItem(g) => g }
+                   whereSql: Option[String], havingSql: Option[String],
+                   queryText: String) {
+    def groupItems: Seq[GroupItem] = items.collect { case g: GroupItem => g }
+    def groupCols: Seq[String] = groupItems.map(_.alias)
     def aggs: Seq[AggItem] = items.collect { case a: AggItem => a }
     def countStarAlias: String = aggs.find(_.kind == "count_star").get.alias
+    def minMaxAggs: Seq[AggItem] =
+      aggs.filter(a => a.kind == "min" || a.kind == "max")
   }
 
   private val Dec = DecimalType(28, 10)
   private def nnAlias(a: String) = s"_nn_$a"
   private def appIdOf(name: String) = s"mv-${name.toLowerCase}"
+
+  /** Ops/test seam: how many groups the LAST refresh on this JVM flagged
+    * for a min/max rescan (0 = pure fold — the steady state; the specs
+    * pin that insert-only and non-extremum-delete intervals never
+    * rescan). Observability only; never read by the fold itself. */
+  @volatile private[graft] var lastRescanGroups: Long = 0L
+
+  /** Project a base/feed relation to carry every EXPRESSION group key as
+    * a computed column under its alias (bare keys already exist; their
+    * aliases are refused as base-column shadows at CREATE, so withColumn
+    * only ever ADDS here). */
+  private def withGroupKeys(df: DataFrame, d: MvDef): DataFrame =
+    d.groupItems.filterNot(_.isBare).foldLeft(df)((acc, g) =>
+      acc.withColumn(g.alias, expr(g.exprText)))
 
   // ---- catalog-entry (de)serialization -------------------------------
 
@@ -69,11 +115,14 @@ object LakeMv {
       java.nio.charset.StandardCharsets.UTF_8)
 
   /** Line-oriented, order-fixed; free-text fields (expressions, the
-    * predicate, the original statement) ride base64 so they can hold any
-    * character the user wrote. */
+    * predicates, the original statement) ride base64 so they can hold any
+    * character the user wrote. Bare group keys keep the round-14 `g:`
+    * form (entries written by older builds read back unchanged);
+    * expression keys serialize as `ge:<alias>:<b64 expr>`. */
   def serialize(d: MvDef): String = {
     val items = d.items.map {
-      case GroupItem(g) => s"g:$g"
+      case g: GroupItem if g.isBare => s"g:${g.alias}"
+      case GroupItem(a, e) => s"ge:$a:${b64(e)}"
       case AggItem(k, a, arg) => s"a:$k:$a:${b64(arg)}"
     }.mkString(";")
     Seq(
@@ -83,6 +132,7 @@ object LakeMv {
       s"state=${d.stateRoot}",
       s"items=$items",
       s"where=${d.whereSql.map(b64).getOrElse("-")}",
+      s"having=${d.havingSql.map(b64).getOrElse("-")}",
       s"query=${b64(d.queryText)}").mkString("\n")
   }
 
@@ -96,6 +146,7 @@ object LakeMv {
     val items = kv("items").split(";").toSeq.filter(_.nonEmpty).map { it =>
       it.split(":", -1) match {
         case Array("g", g) => GroupItem(g)
+        case Array("ge", a, e) => GroupItem(a, unb64(e))
         case Array("a", k, a, arg) => AggItem(k, a, unb64(arg))
         case _ => throw new IllegalArgumentException(
           s"malformed materialized-view item: $it")
@@ -103,6 +154,8 @@ object LakeMv {
     }
     MvDef(kv("base"), kv("name"), kv("init").toInt, kv("state"), items,
       Some(kv("where")).filter(_ != "-").map(unb64),
+      // entries written before HAVING existed lack the line: no filter
+      kv.get("having").filter(_ != "-").map(unb64),
       unb64(kv("query")))
   }
 
@@ -127,9 +180,9 @@ object LakeMv {
       groupCols.map(g => coalesce(col(g).cast("string"), lit("\u0000"))): _*))
 
   /** State-table column order: key, groups, then per agg its stored
-    * columns: counts store the alias; sums store the alias plus a hidden
-    * non-null counter; avgs store ONLY hidden state (exact sum + non-null
-    * count) — the visible value is reconstructed at read. */
+    * columns: counts and min/max store the alias; sums store the alias
+    * plus a hidden non-null counter; avgs store ONLY hidden state (exact
+    * sum + non-null count) — the visible value is reconstructed at read. */
   private def sumAlias(a: String) = s"_avg_s_$a"
   private def stateCols(d: MvDef): Seq[String] =
     "_mv_key" +: d.groupCols ++: d.aggs.flatMap {
@@ -147,7 +200,8 @@ object LakeMv {
     * the build fails. */
   def create(spark: SparkSession, name: String, baseName: String,
              items: Seq[MvItem], whereSql: Option[String],
-             queryText: String): (String, String) = {
+             queryText: String,
+             havingSql: Option[String] = None): (String, String) = {
     val baseRoot = LakeCatalog.lookup(spark, baseName).getOrElse {
       val kind = LakeCatalog.kindOf(spark, baseName)
       throw new IllegalArgumentException(
@@ -161,10 +215,11 @@ object LakeMv {
             "— the base must be a lake TABLE (only tables have the " +
             "change feed the refresh folds)")
     }
-    val groups = items.collect { case GroupItem(g) => g }
+    val groupItems = items.collect { case g: GroupItem => g }
+    val groups = groupItems.map(_.alias)
     val aggs = items.collect { case a: AggItem => a }
     require(groups.nonEmpty,
-      s"CREATE MATERIALIZED VIEW $name needs at least one GROUP BY column")
+      s"CREATE MATERIALIZED VIEW $name needs at least one GROUP BY key")
     require(aggs.exists(_.kind == "count_star"),
       s"CREATE MATERIALIZED VIEW $name needs count(*) AS <alias> in its " +
         "select list — it is the group-liveness witness: the refresh " +
@@ -174,31 +229,44 @@ object LakeMv {
     require(aliases.distinct.size == aliases.size,
       s"CREATE MATERIALIZED VIEW $name: duplicate aggregate aliases")
     def reserved(n: String) = n == "_mv_key" ||
-      n.startsWith("_nn_") || n.startsWith("_avg_s_")
+      n.startsWith("_nn_") || n.startsWith("_avg_s_") ||
+      n.startsWith("_rs_") || n == "_mm_rescan"
     require(aliases.forall(a => !reserved(a)),
       s"CREATE MATERIALIZED VIEW $name: aliases must not use the " +
-        "reserved _mv_key/_nn_/_avg_s_ names")
+        "reserved _mv_key/_nn_/_avg_s_/_rs_ names")
     require(groups.forall(g => !reserved(g)),
-      s"CREATE MATERIALIZED VIEW $name: a GROUP BY column uses a " +
-        "reserved state-table name (_mv_key/_nn_/_avg_s_) — alias it " +
-        "in the base table first")
+      s"CREATE MATERIALIZED VIEW $name: a GROUP BY key uses a " +
+        "reserved state-table name (_mv_key/_nn_/_avg_s_/_rs_) — alias " +
+        "it differently")
     require(groups.intersect(aliases).isEmpty,
       s"CREATE MATERIALIZED VIEW $name: an alias collides with a GROUP " +
-        "BY column")
-    aggs.find(a => !Set("count_star", "count", "sum", "avg")(a.kind)).foreach(a =>
-      throw new IllegalArgumentException(
+        "BY key")
+    require(groups.map(_.toLowerCase).distinct.size == groups.size,
+      s"CREATE MATERIALIZED VIEW $name: duplicate GROUP BY key aliases")
+    aggs.find(a =>
+        !Set("count_star", "count", "sum", "avg", "min", "max")(a.kind))
+      .foreach(a => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW $name: unsupported aggregate " +
           s"'${a.kind}' (alias ${a.alias}) — self-maintainable " +
-          "aggregates are count(*), count(col), sum(expr), avg(expr); " +
-          "min/max cannot fold under deletes without a rescan"))
+          "aggregates are count(*), count(col), sum(expr), avg(expr), " +
+          "min(expr), max(expr)"))
     val bt = new LakeTable(spark, baseRoot)
     val initV = bt.latestVersion
     val base = bt.snapshot(initV) // the PINNED snapshot the state reflects
-    // fail-fast validation: groups, predicate, and aggregate args must
-    // analyze against the base, and must be deterministic (a
+    // an EXPRESSION key's alias must not shadow a base column: the fold
+    // computes the expression over the feed under that alias, and a
+    // same-named base column would make the stored key ambiguous
+    val baseColsLc = base.columns.map(_.toLowerCase).toSet
+    groupItems.filterNot(_.isBare).foreach(g =>
+      require(!baseColsLc.contains(g.alias.toLowerCase),
+        s"CREATE MATERIALIZED VIEW $name: expression GROUP BY alias " +
+          s"'${g.alias}' shadows a base table column — pick an alias " +
+          "the base does not use"))
+    // fail-fast validation: group keys, predicate, and aggregate args
+    // must analyze against the base, and must be deterministic (a
     // non-deterministic input folds differently at build and refresh)
     val probe = whereSql.map(w => base.filter(expr(w))).getOrElse(base)
-      .select(groups.map(col) ++
+      .select(groupItems.map(g => expr(g.exprText).as(g.alias)) ++
         aggs.filter(_.kind != "count_star").map(a => expr(a.arg)): _*)
     probe.queryExecution.assertAnalyzed()
     // the analyzed probe carries the Filter's condition too, so this
@@ -209,10 +277,11 @@ object LakeMv {
       s"CREATE MATERIALIZED VIEW $name: expressions must be deterministic")
     val stateRoot = LakeCatalog.managedRoot(spark, name + "_state")
     val d = MvDef(baseRoot, baseName, initV, stateRoot, items, whereSql,
-      queryText)
+      havingSql, queryText)
     LakeCatalog.registerMv(spark, name, serialize(d)) // claim FIRST
     try {
-      val filtered = whereSql.map(w => base.filter(expr(w))).getOrElse(base)
+      val filtered = withGroupKeys(
+        whereSql.map(w => base.filter(expr(w))).getOrElse(base), d)
       val aggCols = aggs.flatMap {
         case AggItem("count_star", a, _) =>
           Seq(count(lit(1)).cast(LongType).as(a))
@@ -226,6 +295,8 @@ object LakeMv {
           coalesce(sum(expr(arg).cast(Dec)), lit(0).cast(Dec))
             .as(sumAlias(a)),
           count(expr(arg)).cast(LongType).as(nnAlias(a)))
+        case AggItem("min", a, arg) => Seq(min(expr(arg)).as(a))
+        case AggItem("max", a, arg) => Seq(max(expr(arg)).as(a))
         case AggItem(k, _, _) => throw new IllegalStateException(
           s"unreachable: unsupported aggregate '$k' survived CREATE " +
             "validation")
@@ -234,6 +305,14 @@ object LakeMv {
           aggCols.head, aggCols.tail: _*)
         .select((mvKey(groups).as("_mv_key") +: stateCols(d).tail.map(col)): _*)
         .localCheckpoint() // consumed by the collision check AND the write
+      // HAVING validates against the DECLARED read shape (aliases, not
+      // state columns) — same fail-at-CREATE contract as the body
+      havingSql.foreach { h =>
+        val hp = readProjection(full, d).filter(expr(h))
+        hp.queryExecution.assertAnalyzed()
+        require(hp.queryExecution.analyzed.expressions.forall(_.deterministic),
+          s"CREATE MATERIALIZED VIEW $name: HAVING must be deterministic")
+      }
       // the 60-bit composite key must be injective over THESE groups —
       // a collision would merge two groups' state, so refuse instead
       val (nGroups, nKeys) = {
@@ -256,11 +335,21 @@ object LakeMv {
 
   // ---- REFRESH --------------------------------------------------------
 
+  /** The candidate fold for a min/max aggregate: the stored extremum
+    * against the interval's inserted values (Spark's least/greatest skip
+    * NULLs, so an all-null side falls out naturally). EXACT for inserts;
+    * deletes that tie it force the group-scoped rescan below. */
+  private def mmCandidate(a: AggItem): Column =
+    if (a.kind == "min") least(col(s"_old_${a.alias}"), col(s"_d_ins_${a.alias}"))
+    else greatest(col(s"_old_${a.alias}"), col(s"_d_ins_${a.alias}"))
+
   /** Fold the base's change feed (lastFolded, current] into the state
     * table as ONE epoch-tagged conditional merge: changed groups get
     * their new ABSOLUTE values (update or insert), groups whose count
     * folds to zero are deleted, groups the interval never touched are
-    * never read or written. Returns (fromVersion, toVersion,
+    * never read or written. min/max groups whose stored extremum a
+    * delete tied are re-aggregated against the fold-target snapshot,
+    * scoped to exactly those groups. Returns (fromVersion, toVersion,
     * groupsTouched). */
   def refresh(spark: SparkSession, name: String): (Int, Int, Long) = {
     val d = parseDef(LakeCatalog.lookupMv(spark, name).getOrElse(
@@ -288,9 +377,11 @@ object LakeMv {
           "and re-CREATE")
     }
     val cur = bt.latestVersion
+    lastRescanGroups = 0L
     if (cur <= last) return (last, cur, 0L)
     val feed0 = bt.changes(last, cur)
-    val feed = d.whereSql.map(w => feed0.filter(expr(w))).getOrElse(feed0)
+    val feed = withGroupKeys(
+      d.whereSql.map(w => feed0.filter(expr(w))).getOrElse(feed0), d)
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val csAlias = d.countStarAlias
@@ -311,6 +402,16 @@ object LakeMv {
           lit(0).cast(Dec)).as(s"_d_${sumAlias(a)}"),
         coalesce(sum(when(expr(arg).isNotNull, sgn).otherwise(lit(0L))),
           lit(0L)).as(s"_d_${nnAlias(a)}"))
+      // min/max carry TWO interval stats: the inserted side's extremum
+      // (folds exactly via least/greatest) and the deleted side's (the
+      // rescan trigger — a deleted value tying the candidate means the
+      // survivor set must be re-aggregated for this group)
+      case AggItem("min", a, arg) => Seq(
+        min(when(sgn === 1L, expr(arg))).as(s"_d_ins_$a"),
+        min(when(sgn === -1L, expr(arg))).as(s"_d_del_$a"))
+      case AggItem("max", a, arg) => Seq(
+        max(when(sgn === 1L, expr(arg))).as(s"_d_ins_$a"),
+        max(when(sgn === -1L, expr(arg))).as(s"_d_del_$a"))
       case AggItem(k, _, _) => throw new IllegalStateException(
         s"unreachable: unsupported aggregate '$k' survived CREATE")
     }
@@ -328,9 +429,14 @@ object LakeMv {
           valueCols.map(c => col(c).as(s"_old_$c"))): _*)
     val stateSchema = st.read().schema
     def typed(c: String) = stateSchema(c).dataType
+    val mmByAlias = d.minMaxAggs.map(a => a.alias -> a).toMap
     val newVals = valueCols.map { c =>
-      (coalesce(col(s"_old_$c"), lit(0).cast(typed(c))) + col(s"_d_$c"))
-        .cast(typed(c)).as(c)
+      mmByAlias.get(c) match {
+        case Some(a) => mmCandidate(a).cast(typed(c)).as(c)
+        case None =>
+          (coalesce(col(s"_old_$c"), lit(0).cast(typed(c))) + col(s"_d_$c"))
+            .cast(typed(c)).as(c)
+      }
     }
     val joined = delta.join(broadcast(oldSlice), Seq("_mv_key"), "left")
       .withColumn("_had_state", col(s"_old_$csAlias").isNotNull)
@@ -355,15 +461,27 @@ object LakeMv {
       s"REFRESH MATERIALIZED VIEW $name: $negative group(s) folded to a " +
         "negative row count — state/feed drift (was the state table " +
         "written outside REFRESH?); DROP and re-CREATE the view")
-    val src = joined
-      .select(Seq(col("_mv_key")) ++ d.groupCols.map(col) ++ newVals :+
-        col("_had_state"): _*)
+    // does any min/max need a rescan? a group does iff it stays LIVE and
+    // some delete's extremum ties-or-beats the folded candidate — the
+    // one shape the signed fold cannot answer (was the deleted value the
+    // last holder of the extremum, or a duplicate?)
+    val rescanCond: Column = d.minMaxAggs.map { a =>
+      val del = col(s"_d_del_${a.alias}")
+      val cand = mmCandidate(a)
+      if (a.kind == "min") del.isNotNull && (cand.isNull || del <= cand)
+      else del.isNotNull && (cand.isNull || del >= cand)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val src0 = joined
+      .select(Seq(col("_mv_key")) ++ d.groupCols.map(col) ++ newVals ++
+        Seq(col("_had_state"), rescanCond.as("_mm_rescan")): _*)
       // a group that appeared and net-vanished inside one interval, with
       // no existing row, is a pure no-op — inserting its zero row would
       // materialize a dead group
       .filter(col(csAlias) > 0L || col("_had_state"))
       .drop("_had_state")
-      .select(stateCols(d).map(col): _*) // SET * needs the exact schema
+    val src =
+      if (d.minMaxAggs.isEmpty) src0.select(stateCols(d).map(col): _*)
+      else rescanMinMax(spark, d, bt, cur, src0, typed)
     val srcM = src.localCheckpoint()
     val touched = srcM.count()
     st.mergeIntoEpoch(srcM, cur.toLong, appIdOf(name),
@@ -372,6 +490,84 @@ object LakeMv {
       whenNotMatchedInsert = true)
     (last, cur, touched)
   }
+
+  /** The delete-tied-the-extremum path: re-aggregate min/max for EXACTLY
+    * the flagged live groups against the base's fold-target snapshot.
+    * Scoping is a broadcast semi-join on the affected GROUP VALUES
+    * (exact — no hash-collision exposure), fronted by an `isin`
+    * pre-filter on the leading group key when it is a bare base column
+    * and the affected set is small: a literal predicate reaches the
+    * parquet row-group stats and the manifest prune rule, so a base
+    * clustered or partitioned on that key prunes to the affected files.
+    * Compute after the scan is O(affected groups' rows), never O(base)
+    * aggregate work; the common refresh (no extremum deleted) never
+    * enters here at all. */
+  private def rescanMinMax(spark: SparkSession, d: MvDef, bt: LakeTable,
+                           cur: Int, src0: DataFrame,
+                           typed: String => org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val csAlias = d.countStarAlias
+    val s0 = src0.localCheckpoint() // aff scope + final merge, one compute
+    val aff = s0.filter(col("_mm_rescan") && col(csAlias) > 0L)
+      .select(d.groupCols.map(col): _*)
+      .localCheckpoint() // delta-bounded: flagged groups only
+    val nAff = aff.count()
+    lastRescanGroups = nAff
+    if (nAff == 0L)
+      return s0.drop("_mm_rescan").select(stateCols(d).map(col): _*)
+    val baseCur = bt.snapshot(cur) // the SAME snapshot the fold targets
+    val filtered = withGroupKeys(
+      d.whereSql.map(w => baseCur.filter(expr(w))).getOrElse(baseCur), d)
+    val lead = d.groupItems.head
+    val pre =
+      if (lead.isBare && nAff <= 1000L) {
+        // pushable literal pre-filter on the leading bare group key —
+        // this is what turns the rescan into a PRUNED scan on a base
+        // laid out by that key (isin reaches parquet stats + manifest)
+        val vals = aff.select(lead.alias).distinct().collect().map(_.get(0))
+        val nn = vals.filter(_ != null)
+        val p =
+          if (nn.isEmpty) col(lead.alias).isNull
+          else if (nn.length == vals.length) col(lead.alias).isin(nn.toSeq: _*)
+          else col(lead.alias).isNull || col(lead.alias).isin(nn.toSeq: _*)
+        filtered.filter(p)
+      } else filtered
+    val affR = aff.select(d.groupCols.map(g => col(g).as(s"_aff_$g")): _*)
+    val scoped = pre.join(broadcast(affR),
+      d.groupCols.map(g => col(g) <=> col(s"_aff_$g")).reduce(_ && _),
+      "left_semi")
+    val rescanAgg = scoped.groupBy(d.groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_rs_present"),
+        d.minMaxAggs.map(a =>
+          (if (a.kind == "min") min(expr(a.arg)) else max(expr(a.arg)))
+            .as(s"_rs_${a.alias}")): _*)
+      .withColumn("_mv_key", mvKey(d.groupCols))
+      .select(("_mv_key" +: "_rs_present" +:
+        d.minMaxAggs.map(a => s"_rs_${a.alias}")).map(col): _*)
+    val merged = s0.join(broadcast(rescanAgg), Seq("_mv_key"), "left")
+    // forensic: a flagged LIVE group with zero base rows means the state
+    // and the base have drifted — writing a NULL extremum over a
+    // positive count would corrupt silently; refuse instead
+    val ghosts = merged.filter(col("_mm_rescan") && col(csAlias) > 0L &&
+      col("_rs_present").isNull).count()
+    require(ghosts == 0L,
+      s"REFRESH MATERIALIZED VIEW: $ghosts group(s) flagged for min/max " +
+        "rescan have no rows in the base snapshot but a positive folded " +
+        "count — state/base drift; DROP and re-CREATE the view")
+    val finalCols = stateCols(d).map { c =>
+      mvAliasOf(d, c) match {
+        case Some(a) =>
+          when(col("_mm_rescan") && col(csAlias) > 0L,
+              col(s"_rs_${a.alias}").cast(typed(c)))
+            .otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    merged.select(finalCols: _*)
+  }
+
+  private def mvAliasOf(d: MvDef, stateCol: String): Option[AggItem] =
+    d.minMaxAggs.find(_.alias == stateCol)
 
   /** Operational introspection — the `graft_mv_detail('<name>')` table
     * function: one row with the MV's roots, the base version its state
@@ -397,14 +593,13 @@ object LakeMv {
 
   // ---- READ -----------------------------------------------------------
 
-  /** The MV's read relation: the state table projected back to the
-    * declared select shape (sums NULL when their non-null counter is
-    * zero — SQL sum semantics — and the synthetic key dropped). Reads
-    * serve the LAST REFRESHED state by design; that staleness is the MV
-    * contract, and `REFRESH MATERIALIZED VIEW` is the advance. */
-  def readDf(spark: SparkSession, d: MvDef): DataFrame =
-    new LakeTable(spark, d.stateRoot).read().select(d.items.map {
-      case GroupItem(g) => col(g)
+  /** Project a state relation back to the DECLARED select shape (sums
+    * NULL when their non-null counter is zero — SQL sum semantics — avgs
+    * reconstructed from exact state, the synthetic key dropped). Shared
+    * by the read path and CREATE's HAVING validation. */
+  private def readProjection(state: DataFrame, d: MvDef): DataFrame =
+    state.select(d.items.map {
+      case g: GroupItem => col(g.alias)
       case AggItem("sum", a, _) =>
         when(col(nnAlias(a)) > 0L, col(a)).otherwise(lit(null)).as(a)
       case AggItem("avg", a, _) => // the EXACT decimal dividend casts to
@@ -416,4 +611,14 @@ object LakeMv {
           .otherwise(lit(null)).as(a)
       case AggItem(_, a, _) => col(a)
     }: _*)
+
+  /** The MV's read relation: the state table projected back to the
+    * declared select shape, then the HAVING filter (post-aggregate by
+    * construction — it sees the declared aliases, never state columns).
+    * Reads serve the LAST REFRESHED state by design; that staleness is
+    * the MV contract, and `REFRESH MATERIALIZED VIEW` is the advance. */
+  def readDf(spark: SparkSession, d: MvDef): DataFrame = {
+    val p = readProjection(new LakeTable(spark, d.stateRoot).read(), d)
+    d.havingSql.map(h => p.filter(expr(h))).getOrElse(p)
+  }
 }

@@ -606,41 +606,77 @@ object GraftSqlParser {
     Some(LakeCreateViewCommand(name, body, orReplace, ifNotExists))
   }
 
+  /** Recognized AGGREGATE heads for MV select items. The supported five
+    * fold incrementally; the rest parse as [[graft.sources.LakeMv.AggItem]]s
+    * so CREATE refuses them with the self-maintainability message
+    * (`stddev(x) AS a` should say "not self-maintainable", not
+    * "group key mismatch"). Any OTHER function head with an alias is an
+    * EXPRESSION group key (`year(d) AS y`). */
+  private val MvAggHeads = Set(
+    "count", "sum", "avg", "min", "max",
+    // known-but-unsupported: routed to CREATE's refusal message
+    "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
+    "var_samp", "median", "mode", "percentile", "percentile_approx",
+    "approx_count_distinct", "collect_list", "collect_set", "first",
+    "last", "any_value", "corr", "covar_pop", "covar_samp")
+
   /** One select item of `CREATE MATERIALIZED VIEW` — a bare group
-    * column, `count(*) AS a`, `count(col) AS a`, `sum(expr) AS a`, or
-    * `avg(expr) AS a`.
-    * Any other aggregate head parses into an [[graft.sources.LakeMv.AggItem]]
-    * whose kind [[graft.sources.LakeMv.create]] refuses with the
-    * self-maintainability explanation (min/max cannot fold under
-    * deletes). */
+    * column, an expression group key `<expr> AS a`, or an aggregate
+    * `count(*) AS a`, `count(col) AS a`, `sum(expr) AS a`,
+    * `avg(expr) AS a`, `min(expr) AS a`, `max(expr) AS a`.
+    * An unknown aggregate head parses into an
+    * [[graft.sources.LakeMv.AggItem]] whose kind
+    * [[graft.sources.LakeMv.create]] refuses with the
+    * self-maintainability explanation. */
   private def parseMvItem(text: String): graft.sources.LakeMv.MvItem = {
     import graft.sources.LakeMv.{AggItem, GroupItem}
     val it = new Scan(text)
-    val mark = it.pos
-    it.identOpt() match {
-      case Some(fn) if it.peekChar() == '(' =>
-        val inner = it.parenBlock().trim
-        it.expect("AS")
-        val a = it.ident()
-        it.assertEnd()
-        if (fn.equalsIgnoreCase("count") && inner == "*")
-          AggItem("count_star", a, "")
-        else AggItem(fn.toLowerCase, a, inner)
-      case Some(g) if !g.contains(".") &&
-          graft.sources.LakeCatalog.isValidName(g) && it.atEnd() =>
-        GroupItem(g)
-      case _ =>
-        it.seek(mark)
-        fail(s"CREATE MATERIALIZED VIEW: cannot parse select item " +
-          s"'$text' — items are a bare GROUP BY column, count(*) AS a, " +
-          "count(col) AS a, sum(expr) AS a, or avg(expr) AS a")
+    val body = it.until(Seq("AS"))
+    if (it.atEnd()) {
+      // no alias: must be a bare GROUP BY column
+      val b = new Scan(text)
+      b.identOpt() match {
+        case Some(g) if !g.contains(".") &&
+            graft.sources.LakeCatalog.isValidName(g) && b.atEnd() =>
+          GroupItem(g)
+        case _ =>
+          fail(s"CREATE MATERIALIZED VIEW: cannot parse select item " +
+            s"'$text' — items are a bare GROUP BY column, <expr> AS a " +
+            "(an expression group key), count(*) AS a, count(col) AS a, " +
+            "sum(expr) AS a, avg(expr) AS a, min(expr) AS a, or " +
+            "max(expr) AS a")
+      }
+    } else {
+      it.expect("AS")
+      val a = it.ident()
+      it.assertEnd()
+      if (a.contains(".") || !graft.sources.LakeCatalog.isValidName(a))
+        fail(s"CREATE MATERIALIZED VIEW: '$a' is not a valid item alias")
+      val h = new Scan(body)
+      h.identOpt() match {
+        // a RECOGNIZED aggregate head that is the WHOLE body
+        // (`sum(x) AS a`, not `sum(x) + 1 AS a`) is an aggregate item —
+        // unsupported heads included, so CREATE can refuse them with the
+        // self-maintainability message instead of a group-key mismatch;
+        // everything else with an alias is an expression group key
+        case Some(fn) if MvAggHeads.contains(fn.toLowerCase) &&
+            h.peekChar() == '(' =>
+          val inner = h.parenBlock().trim
+          if (!h.atEnd()) GroupItem(a, body) // e.g. `min(x) + 1 AS a`
+          else if (fn.equalsIgnoreCase("count") && inner == "*")
+            AggItem("count_star", a, "")
+          else AggItem(fn.toLowerCase, a, inner)
+        case _ => GroupItem(a, body)
+      }
     }
   }
 
   /** `CREATE MATERIALIZED VIEW <name> AS SELECT <items> FROM <base>
-    * [WHERE <pred>] GROUP BY <cols>` — cursor sits right after
-    * `MATERIALIZED`. The shape is OUR grammar exclusively (Spark has no
-    * MATERIALIZED VIEW), so parse errors are loud, never delegated. */
+    * [WHERE <pred>] GROUP BY <keys> [HAVING <pred>]` — cursor sits right
+    * after `MATERIALIZED`. The shape is OUR grammar exclusively (Spark
+    * has no MATERIALIZED VIEW), so parse errors are loud, never
+    * delegated. GROUP BY entries match select-list group items by alias
+    * or by (whitespace-normalized, case-folded) expression text. */
   private def parseCreateMv(sc: Scan, sqlText: String): Option[LogicalPlan] = {
     sc.expect("VIEW")
     val name = sc.ident()
@@ -657,22 +693,32 @@ object GraftSqlParser {
       else None
     sc.expect("GROUP")
     sc.expect("BY")
-    val gcols = sc.topLevelSplit(sc.restStmt())
-    gcols.foreach(g => if (!graft.sources.LakeCatalog.isValidName(g))
-      fail(s"CREATE MATERIALIZED VIEW $name: GROUP BY takes plain " +
-        s"columns, got '$g'"))
+    val gcols = sc.topLevelSplit(sc.until(Seq("HAVING")))
+    val havingSql =
+      if (sc.keyword("HAVING")) {
+        val h = sc.restStmt()
+        if (h.isEmpty) fail(s"CREATE MATERIALIZED VIEW $name: HAVING " +
+          "needs a predicate")
+        Some(h)
+      } else { sc.assertEnd(); None }
     val items = sc.topLevelSplit(selectText).map(parseMvItem)
-    val bare = items.collect { case graft.sources.LakeMv.GroupItem(g) => g }
-    // case-INSENSITIVE match, like Spark's own resolution; the SELECT
-    // spelling wins for the state-table columns
-    def lc(xs: Seq[String]) = xs.map(_.toLowerCase)
-    if (lc(bare).toSet != lc(gcols).toSet ||
-        lc(bare).distinct.size != bare.size)
-      fail(s"CREATE MATERIALIZED VIEW $name: the bare select columns " +
-        s"(${bare.mkString(", ")}) must be exactly the GROUP BY columns " +
-        s"(${gcols.mkString(", ")}), each once — the state table is " +
-        "keyed on them")
-    Some(LakeCreateMvCommand(name, base, items, whereSql,
+    val groups = items.collect { case g: graft.sources.LakeMv.GroupItem => g }
+    // every select-list group key must appear in GROUP BY exactly once
+    // (by alias, or by normalized expression text) and vice versa — the
+    // state table is keyed on the select list's group items
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    val unmatchedG = gcols.filterNot(g => groups.exists(it =>
+      norm(g) == it.alias.toLowerCase || norm(g) == norm(it.exprText)))
+    val unmatchedI = groups.filterNot(it => gcols.exists(g =>
+      norm(g) == it.alias.toLowerCase || norm(g) == norm(it.exprText)))
+    if (unmatchedG.nonEmpty || unmatchedI.nonEmpty ||
+        groups.map(_.alias.toLowerCase).distinct.size != groups.size)
+      fail(s"CREATE MATERIALIZED VIEW $name: the select list's group " +
+        s"keys (${groups.map(_.alias).mkString(", ")}) must be exactly " +
+        s"the GROUP BY entries (${gcols.mkString(", ")}), each once — " +
+        "GROUP BY entries match by alias or by the same expression " +
+        "text; the state table is keyed on them")
+    Some(LakeCreateMvCommand(name, base, items, whereSql, havingSql,
       sqlText.trim.stripSuffix(";").trim))
   }
 
@@ -1485,6 +1531,7 @@ case class LakeCreateMvCommand(name: String,
                                baseName: String,
                                items: Seq[graft.sources.LakeMv.MvItem],
                                whereSql: Option[String],
+                               havingSql: Option[String],
                                queryText: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -1494,7 +1541,7 @@ case class LakeCreateMvCommand(name: String,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.sources.LakeMv.create(spark, name, baseName, items, whereSql,
-      queryText)
+      queryText, havingSql)
     Seq(Row(name, queryText))
   }
 }

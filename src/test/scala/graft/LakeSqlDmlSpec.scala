@@ -1647,6 +1647,106 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("materialized views: min/max group-scoped rescan, expression keys, HAVING") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      // v interior structure: per-group minima ≈ 1.x, maxima ≈ 39.x, a
+      // null every 10th row — so the phases below can target "interior",
+      // "ties the max", and "only nulls remain" deliberately
+      (1L to 120L).map(k => (k, if (k % 10 == 0) null
+          else java.lang.Double.valueOf((k % 40).toDouble + k / 100.0)))
+        .toDF("k", "v").createOrReplaceTempView("mvmm_src")
+      s.sql("CREATE TABLE mvmm_base KEY k FILES 4 AS SELECT * FROM mvmm_src")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvmm AS
+          |SELECT k % 3 AS kb, count(*) AS n, min(v) AS lo, max(v) AS hi,
+          |       max(k) AS hik, sum(v) AS sv
+          |FROM mvmm_base WHERE k % 7 <> 0
+          |GROUP BY k % 3 HAVING n >= 2""".stripMargin).collect()
+      def fromScratch() = s.sql(
+        """SELECT k % 3 AS kb, count(*) AS n, min(v) AS lo, max(v) AS hi,
+          |       max(k) AS hik,
+          |       CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv
+          |FROM mvmm_base WHERE k % 7 <> 0
+          |GROUP BY k % 3 HAVING count(*) >= 2 ORDER BY kb""".stripMargin)
+        .collect().toSeq
+      def mvRows() = s.sql(
+        "SELECT kb, n, lo, hi, hik, CAST(sv AS DECIMAL(28,10)) AS sv " +
+          "FROM mvmm ORDER BY kb").collect().toSeq
+      mvRows() shouldBe fromScratch()
+      // 1) INSERT new maxima: the pure-fold path — NO rescan may fire
+      s.sql("INSERT INTO mvmm_base SELECT k + 200 AS k, " +
+        "CAST(50.0 + k AS DOUBLE) AS v FROM mvmm_src WHERE k <= 20")
+        .collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvmm").collect()
+      graft.sources.LakeMv.lastRescanGroups shouldBe 0L
+      mvRows() shouldBe fromScratch()
+      // 2) DELETE strictly-interior values: deletes fold, still NO rescan
+      s.sql("DELETE FROM mvmm_base WHERE v >= 15.0 AND v < 20.0").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvmm").collect()
+      graft.sources.LakeMv.lastRescanGroups shouldBe 0L
+      mvRows() shouldBe fromScratch()
+      // 3) DELETE every group's maximum: the rescan MUST fire, scoped to
+      // exactly the affected groups, and land the true survivor extrema
+      s.sql("DELETE FROM mvmm_base WHERE v >= 35.0").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvmm").collect()
+      graft.sources.LakeMv.lastRescanGroups shouldBe 3L
+      mvRows() shouldBe fromScratch()
+      // 4) UPDATE that lowers the stored maxima in place (preimage ties
+      // the extremum, postimage re-inserts lower — one interval)
+      s.sql("UPDATE mvmm_base SET v = v - 3.0 WHERE v >= 30.0").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvmm").collect()
+      graft.sources.LakeMv.lastRescanGroups should be > 0L
+      mvRows() shouldBe fromScratch()
+      // 5) a group whose non-null values ALL die reads NULL extrema over
+      // a live count (SQL min/max semantics)
+      s.sql("DELETE FROM mvmm_base WHERE k % 3 = 0 AND v IS NOT NULL")
+        .collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvmm").collect()
+      mvRows() shouldBe fromScratch()
+      val g0 = mvRows().find(_.getLong(0) == 0L).get
+      g0.getLong(1) should be > 0L
+      g0.isNullAt(2) shouldBe true
+      g0.isNullAt(3) shouldBe true
+      g0.isNullAt(4) shouldBe false // max(k) keys never null
+      // 6) repeated refresh after the rescan path is a clean no-op
+      val r = s.sql("REFRESH MATERIALIZED VIEW mvmm").collect()(0)
+      r.getInt(1) shouldBe r.getInt(2)
+      mvRows() shouldBe fromScratch()
+
+      // HAVING is a READ-time filter over retained state: a group can
+      // cross the boundary in both directions across refreshes
+      (1L to 6L).map(k => (k, k % 2)).toDF("k", "g2")
+        .createOrReplaceTempView("mvh_src")
+      s.sql("CREATE TABLE mvh_base KEY k AS SELECT * FROM mvh_src").collect()
+      s.sql("CREATE MATERIALIZED VIEW mvh AS SELECT g2, count(*) AS n " +
+        "FROM mvh_base GROUP BY g2 HAVING n >= 3").collect()
+      def hRows() = s.sql("SELECT g2, n FROM mvh ORDER BY g2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      hRows() shouldBe Seq((0L, 3L), (1L, 3L))
+      s.sql("DELETE FROM mvh_base WHERE k = 2").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvh").collect()
+      hRows() shouldBe Seq((1L, 3L)) // g2=0 below the bar: hidden, kept
+      s.sql("INSERT INTO mvh_base SELECT k + 10 AS k, CAST(0 AS BIGINT) " +
+        "AS g2 FROM mvh_src WHERE k <= 2").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvh").collect()
+      hRows() shouldBe Seq((0L, 4L), (1L, 3L)) // re-entered
+
+      // pre-round-16 catalog entries (no having line, g: items) parse
+      val old = Seq("base=/x", "name=b", "init=0", "state=/y",
+        "items=g:grp;a:count_star:n:", "where=-",
+        "query=" + java.util.Base64.getEncoder.encodeToString(
+          "q".getBytes("UTF-8"))).mkString("\n")
+      val dd = graft.sources.LakeMv.parseDef(old)
+      dd.havingSql shouldBe None
+      dd.items.head shouldBe graft.sources.LakeMv.GroupItem("grp")
+      dd.items.head.asInstanceOf[graft.sources.LakeMv.GroupItem]
+        .isBare shouldBe true
+    }
+  }
+
   test("materialized views: refusal surface and drop semantics") {
     withExtendedSession { s =>
       import s.implicits._
@@ -1660,11 +1760,22 @@ class LakeSqlDmlSpec extends SparkTestBase {
         s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, sum(v) AS sv " +
           "FROM mvr_base GROUP BY grp").collect()
       }.getMessage should include("count(*)")
-      // min/max refuse with the self-maintainability reason
+      // a non-self-maintainable aggregate refuses with the reason (min/
+      // max fold since round 16 — stddev is the representative refusal)
       intercept[Exception] {
         s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n, " +
-          "max(v) AS mx FROM mvr_base GROUP BY grp").collect()
-      }.getMessage should include("cannot fold under deletes")
+          "stddev(v) AS sd FROM mvr_base GROUP BY grp").collect()
+      }.getMessage should include("self-maintainable")
+      // an expression group key's alias must not shadow a base column
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, k % 2 AS v, " +
+          "count(*) AS n FROM mvr_base GROUP BY grp, k % 2").collect()
+      }.getMessage should include("shadows a base table column")
+      // HAVING must analyze against the declared read shape
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
+          "FROM mvr_base GROUP BY grp HAVING no_such_col > 1").collect()
+      }
       // base must be a lake TABLE, not a view or an unknown name
       intercept[Exception] {
         s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
