@@ -268,6 +268,50 @@ object LakeCatalog {
     if (!claim(f, p, MvMarker + serialized)) refuse()
   }
 
+  /** Rename a VIEW or MATERIALIZED VIEW binding: claim `newName` with
+    * the old entry's content FIRST (one winner under racing claims of
+    * the new name), then unbind the old — the same two-step as table
+    * renames; a crash in between leaves both names bound, benign. MV
+    * entries get their epoch app id pinned to the pre-rename derivation
+    * ([[LakeMv.pinAppId]]) so refresh bookkeeping survives the rename.
+    * Refuses cross-kind with the right verb. */
+  def renameEntry(spark: SparkSession, name: String, newName: String,
+                  wantedKind: String): String = {
+    require(isValidName(newName),
+      s"'$newName' is not a valid name (letters, digits, underscores; " +
+        "must not start with a digit)")
+    val kind = kindOf(spark, name)
+    val verb = wantedKind match {
+      case "view" => "ALTER VIEW"
+      case _ => "ALTER MATERIALIZED VIEW"
+    }
+    if (kind == "unbound") throw new IllegalArgumentException(
+      s"$verb: '$name' is not bound in the graft catalog")
+    if (kind != wantedKind) throw new IllegalArgumentException(
+      s"$verb: '$name' is bound as a ${kind.replace('_', ' ')} — use " +
+        (kind match {
+          case "table" => s"ALTER TABLE $name RENAME TO …"
+          case "view" => s"ALTER VIEW $name RENAME TO …"
+          case _ => s"ALTER MATERIALIZED VIEW $name RENAME TO …"
+        }))
+    val raw = lookupEntry(spark, name).getOrElse(
+      throw new IllegalStateException(s"'$name' vanished from the catalog"))
+    val content =
+      if (kind == "materialized_view")
+        MvMarker + LakeMv.pinAppId(raw.stripPrefix(MvMarker.trim).trim, name)
+      else raw
+    val p = entryPath(spark, newName)
+    val f = fs(spark, p)
+    f.mkdirs(p.getParent)
+    if (f.exists(p) || !claim(f, p, content))
+      throw new IllegalArgumentException(
+        s"$verb: name '$newName' is already bound in the graft catalog " +
+          s"(kind: ${kindOf(spark, newName)}) — drop it first, or pick " +
+          "another name")
+    unregister(spark, name)
+    content
+  }
+
   /** The binding kind of `name`: "table", "view", "materialized_view",
     * or "unbound". */
   def kindOf(spark: SparkSession, name: String): String =

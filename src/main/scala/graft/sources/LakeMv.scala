@@ -75,10 +75,18 @@ object LakeMv {
     * the extremum directly and lean on the group-scoped delete rescan. */
   case class AggItem(kind: String, alias: String, arg: String) extends MvItem
 
+  /** `appId` is the epoch-bookkeeping app id pinned at CREATE
+    * (`mv-<original name>`): the state table's refresh epochs are tagged
+    * under it, so `ALTER MATERIALIZED VIEW … RENAME TO` must NOT change
+    * it — a rename that re-derived the id from the new name would stop
+    * finding the existing tags and re-fold from the init version,
+    * double-counting every applied interval. Entries written before the
+    * field existed leave it None and fall back to the current name
+    * (those were never renamed, so the names agree). */
   case class MvDef(baseRoot: String, baseName: String, initVersion: Int,
                    stateRoot: String, items: Seq[MvItem],
                    whereSql: Option[String], havingSql: Option[String],
-                   queryText: String) {
+                   queryText: String, appId: Option[String] = None) {
     def groupItems: Seq[GroupItem] = items.collect { case g: GroupItem => g }
     def groupCols: Seq[String] = groupItems.map(_.alias)
     def aggs: Seq[AggItem] = items.collect { case a: AggItem => a }
@@ -133,6 +141,7 @@ object LakeMv {
       s"items=$items",
       s"where=${d.whereSql.map(b64).getOrElse("-")}",
       s"having=${d.havingSql.map(b64).getOrElse("-")}",
+      s"appid=${d.appId.getOrElse("-")}",
       s"query=${b64(d.queryText)}").mkString("\n")
   }
 
@@ -156,7 +165,8 @@ object LakeMv {
       Some(kv("where")).filter(_ != "-").map(unb64),
       // entries written before HAVING existed lack the line: no filter
       kv.get("having").filter(_ != "-").map(unb64),
-      unb64(kv("query")))
+      unb64(kv("query")),
+      kv.get("appid").filter(_ != "-"))
   }
 
   /** The stored original statement text — `graft_catalog()`'s target
@@ -164,6 +174,15 @@ object LakeMv {
   def queryTextOf(serialized: String): String =
     scala.util.Try(parseDef(serialized).queryText)
       .getOrElse("(unparseable materialized-view entry)")
+
+  /** Rename support: re-serialize `raw` with the epoch app id PINNED —
+    * to the stored id, or (for entries that predate the field) to the
+    * PRE-rename name's derivation — so the renamed MV keeps finding the
+    * refresh bookkeeping its state table already carries. */
+  def pinAppId(raw: String, oldName: String): String = {
+    val d = parseDef(raw)
+    serialize(d.copy(appId = Some(d.appId.getOrElse(appIdOf(oldName)))))
+  }
 
   // ---- shared column builders ----------------------------------------
 
@@ -277,7 +296,7 @@ object LakeMv {
       s"CREATE MATERIALIZED VIEW $name: expressions must be deterministic")
     val stateRoot = LakeCatalog.managedRoot(spark, name + "_state")
     val d = MvDef(baseRoot, baseName, initV, stateRoot, items, whereSql,
-      havingSql, queryText)
+      havingSql, queryText, Some(appIdOf(name)))
     LakeCatalog.registerMv(spark, name, serialize(d)) // claim FIRST
     try {
       val filtered = withGroupKeys(
@@ -358,7 +377,8 @@ object LakeMv {
           s"the graft catalog (kind: ${LakeCatalog.kindOf(spark, name)})")))
     val bt = new LakeTable(spark, d.baseRoot)
     val st = new LakeTable(spark, d.stateRoot)
-    val last = st.latestEpoch(appIdOf(name)).map(_.toInt).getOrElse {
+    val app = d.appId.getOrElse(appIdOf(name))
+    val last = st.latestEpoch(app).map(_.toInt).getOrElse {
       // no epoch tag found: either the MV was genuinely never refreshed
       // (fold from the pinned init version), or refresh history WAS
       // committed but its tagged manifests were vacuumed away (the state
@@ -484,7 +504,7 @@ object LakeMv {
       else rescanMinMax(spark, d, bt, cur, src0, typed)
     val srcM = src.localCheckpoint()
     val touched = srcM.count()
-    st.mergeIntoEpoch(srcM, cur.toLong, appIdOf(name),
+    st.mergeIntoEpoch(srcM, cur.toLong, app,
       whenMatchedDeleteIf = Some(col(s"source.$csAlias") === 0L),
       whenMatchedUpdateIf = Some(lit(true)),
       whenNotMatchedInsert = true)
@@ -581,7 +601,7 @@ object LakeMv {
         s"graft_mv_detail: no materialized view '$name' in the graft " +
           s"catalog (kind: ${LakeCatalog.kindOf(spark, name)})")))
     val st = new LakeTable(spark, d.stateRoot)
-    val last = st.latestEpoch(appIdOf(name)).map(_.toInt)
+    val last = st.latestEpoch(d.appId.getOrElse(appIdOf(name))).map(_.toInt)
       .getOrElse(d.initVersion)
     val cur = new LakeTable(spark, d.baseRoot).latestVersion
     val groups = st.manifest(st.latestVersion).files.map(_.rows).sum

@@ -841,7 +841,33 @@ object GraftSqlParser {
       if (!sc.keyword("FROM")) None
       else lakeTarget(sc).map(root => parseDelete(sc, root, delegate, deferred))
     } else if (sc.keyword("ALTER")) {
-      if (!sc.keyword("TABLE")) None
+      if (sc.keyword("MATERIALIZED")) {
+        // ALTER MATERIALIZED VIEW is ours alone — loud, never delegated
+        sc.expect("VIEW")
+        val name = sc.ident()
+        if (!sc.keyword("RENAME"))
+          fail("ALTER MATERIALIZED VIEW supports RENAME TO <newName>")
+        sc.expect("TO")
+        val newName = sc.ident()
+        sc.assertEnd()
+        Some(LakeRenameViewCommand(name, newName, "materialized_view"))
+      } else if (sc.keyword("VIEW")) {
+        // ALTER VIEW <name> RENAME TO <new> for a graft-bound name;
+        // anything else (Spark's ALTER VIEW AS / SET TBLPROPERTIES, or
+        // an unbound/multipart name) delegates untouched
+        sc.identOpt() match {
+          case Some(name) if !name.contains(".") &&
+              graft.sources.LakeCatalog.isValidName(name) &&
+              sc.keyword("RENAME") &&
+              graft.sources.LakeCatalog
+                .kindOf(SparkSession.active, name) != "unbound" =>
+            sc.expect("TO")
+            val newName = sc.ident()
+            sc.assertEnd()
+            Some(LakeRenameViewCommand(name, newName, "view"))
+          case _ => None
+        }
+      } else if (!sc.keyword("TABLE")) None
       else {
       // remember the target's IDENTIFIER text (no lookup yet — only the
       // RENAME TO form needs it, and it renames the catalog binding
@@ -969,6 +995,26 @@ object GraftSqlParser {
           sc.assertEnd()
           LakeVacuumCommand(root, n, dry)
         }
+      }
+    } else if (sc.keyword("SHOW")) {
+      // bare SHOW TABLES = the graft catalog listing (name, kind,
+      // target) — the statement form of graft_catalog(). Any longer
+      // form (IN <db>, LIKE …, SHOW VIEWS) delegates to Spark.
+      if (sc.keyword("TABLES") && sc.atEnd()) Some(LakeShowTablesCommand())
+      else None
+    } else if (sc.keyword("DESCRIBE") || sc.keyword("DESC")) {
+      // DESCRIBE [TABLE] <name> for a graft-bound name — kind-dispatched
+      // (property, value) rows: table manifest detail, view body, MV
+      // staleness detail. Unbound or multipart names delegate, so
+      // Spark's own DESCRIBE surface is untouched.
+      sc.keyword("TABLE") // optional, as in Spark's grammar
+      sc.identOpt() match {
+        case Some(name) if !name.contains(".") &&
+            graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&
+            graft.sources.LakeCatalog
+              .kindOf(SparkSession.active, name) != "unbound" =>
+          Some(LakeDescribeCommand(name))
+        case _ => None
       }
     } else None
   }
@@ -1585,6 +1631,81 @@ case class LakeDropMvCommand(name: String, ifExists: Boolean = false)
         val d = graft.sources.LakeMv.parseDef(raw)
         graft.sources.LakeCatalog.unregister(spark, name)
         Seq(Row(name, d.stateRoot))
+    }
+  }
+}
+
+/** `ALTER VIEW <name> RENAME TO <new>` / `ALTER MATERIALIZED VIEW <name>
+  * RENAME TO <new>` — rename the catalog BINDING (metadata-only; view
+  * bodies and MV state roots never move). Cross-kind targets refuse with
+  * the right verb; an MV rename pins the refresh-epoch app id so the
+  * bookkeeping survives ([[graft.sources.LakeMv.pinAppId]]). */
+case class LakeRenameViewCommand(name: String, newName: String,
+                                 wantedKind: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("kind", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.LakeCatalog.renameEntry(spark, name, newName, wantedKind)
+    Seq(Row(newName, wantedKind))
+  }
+}
+
+/** Bare `SHOW TABLES` — the graft catalog listing as rows, the statement
+  * spelling of the `graft_catalog()` table function: (name, kind ∈
+  * table|view|materialized_view, target = root path or query text). */
+case class LakeShowTablesCommand() extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("kind", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("target", org.apache.spark.sql.types.StringType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sources.LakeCatalog.list(spark).map {
+      case (n, k, t) => Row(n, k, t)
+    }
+}
+
+/** `DESCRIBE [TABLE] <name>` for a graft-bound name — kind-dispatched
+  * (property, value) rows, schema-stable across kinds: a TABLE emits its
+  * manifest detail (version, files, rows, schema DDL, …), a VIEW its
+  * stored body, a MATERIALIZED VIEW its staleness detail
+  * (`graft_mv_detail`'s fields). The uniform two-string shape is what
+  * lets one statement serve all three kinds. */
+case class LakeDescribeCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("property", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("value", org.apache.spark.sql.types.StringType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{LakeCatalog, LakeMv, LakeTable}
+    val kind = LakeCatalog.kindOf(spark, name)
+    def pairs(df: org.apache.spark.sql.DataFrame): Seq[Row] = {
+      val row = df.collect()(0)
+      df.schema.fieldNames.toSeq.zipWithIndex.map { case (f, i) =>
+        Row(f, if (row.isNullAt(i)) null else String.valueOf(row.get(i)))
+      }
+    }
+    val head = Seq(Row("name", name.toLowerCase), Row("kind", kind))
+    kind match {
+      case "table" =>
+        val root = LakeCatalog.lookup(spark, name).get
+        head ++ Seq(Row("root", root)) ++
+          pairs(new LakeTable(spark, root).detailDf())
+      case "view" =>
+        head :+ Row("query", LakeCatalog.lookupView(spark, name).get)
+      case "materialized_view" =>
+        head ++ pairs(LakeMv.detailDf(spark, name).drop("name")) :+
+          Row("query",
+            LakeMv.queryTextOf(LakeCatalog.lookupMv(spark, name).get))
+      case other => throw new IllegalStateException(
+        s"DESCRIBE $name: binding vanished (kind: $other)")
     }
   }
 }

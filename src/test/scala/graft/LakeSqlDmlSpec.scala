@@ -1647,6 +1647,89 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("catalog SQL surface: SHOW TABLES, DESCRIBE, view/MV RENAME") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 30L).map(k => (k, s"g${k % 3}", k * 2.0))
+        .toDF("k", "grp", "v").createOrReplaceTempView("cats_src")
+      s.sql("CREATE TABLE cats_t KEY k AS SELECT * FROM cats_src").collect()
+      s.sql("CREATE VIEW cats_v AS SELECT grp, v FROM cats_t WHERE k <= 10")
+        .collect()
+      s.sql("CREATE MATERIALIZED VIEW cats_m AS SELECT grp, count(*) AS n, " +
+        "sum(v) AS sv FROM cats_t GROUP BY grp").collect()
+      // bare SHOW TABLES = the catalog listing, all three kinds
+      val listing = s.sql("SHOW TABLES").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      listing should contain allOf (("cats_t", "table"),
+        ("cats_v", "view"), ("cats_m", "materialized_view"))
+      // longer SHOW forms stay Spark's
+      s.sql("SHOW TABLES IN default").collect()
+      // DESCRIBE dispatches on the bound kind; DESC and DESCRIBE TABLE
+      // spell the same statement
+      val dt = s.sql("DESCRIBE cats_t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      dt("kind") shouldBe "table"
+      dt("key_col") shouldBe "k"
+      dt("n_rows") shouldBe "30"
+      dt("root") should not be empty
+      val dv = s.sql("DESC cats_v").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      dv("kind") shouldBe "view"
+      dv("query") should include("SELECT grp, v FROM cats_t")
+      val dm = s.sql("DESCRIBE TABLE cats_m").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      dm("kind") shouldBe "materialized_view"
+      dm("behind_by") shouldBe "0"
+      dm("n_groups") shouldBe "3"
+      dm("query") should include("CREATE MATERIALIZED VIEW cats_m")
+      // unbound names delegate to Spark's own DESCRIBE (its error)
+      intercept[Exception] {
+        s.sql("DESCRIBE cats_nowhere").collect()
+      }.getMessage.toLowerCase should not include "graft"
+      // VIEW RENAME: the binding moves; reads follow; the old name dies
+      s.sql("ALTER VIEW cats_v RENAME TO cats_v2").collect()
+      s.sql("SELECT count(*) FROM cats_v2").collect()(0)
+        .getLong(0) shouldBe 10L
+      intercept[Exception] { s.sql("SELECT count(*) FROM cats_v").collect() }
+      // cross-kind renames refuse with the right verb
+      intercept[Exception] {
+        s.sql("ALTER VIEW cats_m RENAME TO x1").collect()
+      }.getMessage should include("ALTER MATERIALIZED VIEW")
+      intercept[Exception] {
+        s.sql("ALTER MATERIALIZED VIEW cats_v2 RENAME TO x1").collect()
+      }.getMessage should include("ALTER VIEW")
+      intercept[Exception] {
+        s.sql("ALTER VIEW cats_t RENAME TO x1").collect()
+      }.getMessage should include("ALTER TABLE")
+      // renaming onto any bound name refuses (one namespace)
+      intercept[Exception] {
+        s.sql("ALTER VIEW cats_v2 RENAME TO cats_t").collect()
+      }.getMessage should include("already bound")
+      // MV RENAME preserves the refresh bookkeeping: fold, rename, fold
+      // again — the second fold must advance INCREMENTALLY from the
+      // first's epoch tag (re-folding from init would double-count)
+      s.sql("DELETE FROM cats_t WHERE k = 1").collect()
+      s.sql("REFRESH MATERIALIZED VIEW cats_m").collect()
+      s.sql("ALTER MATERIALIZED VIEW cats_m RENAME TO cats_m2").collect()
+      s.sql("DELETE FROM cats_t WHERE k = 2").collect()
+      val r = s.sql("REFRESH MATERIALIZED VIEW cats_m2").collect()(0)
+      r.getInt(2) - r.getInt(1) shouldBe 1 // exactly the ONE new commit
+      val mv = s.sql("SELECT grp, n, CAST(sv AS DECIMAL(28,10)) AS sv " +
+        "FROM cats_m2 ORDER BY grp").collect().toSeq
+      val scratch = s.sql(
+        """SELECT grp, count(*) AS n,
+          |CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv
+          |FROM cats_t GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      mv shouldBe scratch
+      intercept[Exception] { s.sql("SELECT * FROM cats_m").collect() }
+      val dm2 = s.sql("DESCRIBE cats_m2").collect()
+        .map(r2 => r2.getString(0) -> r2.getString(1)).toMap
+      dm2("behind_by") shouldBe "0"
+    }
+  }
+
   test("materialized views: min/max group-scoped rescan, expression keys, HAVING") {
     withExtendedSession { s =>
       import s.implicits._
