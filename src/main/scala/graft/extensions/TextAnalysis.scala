@@ -1379,6 +1379,25 @@ object TextAnalysis {
     * join; the per-doc mean is a SEQUENTIAL fold in (w1, w2) order over
     * 9-dp-rounded terms — the same libm/summation-order parity discipline as
     * the unigram and entropy queries. */
+  /** Broadcast budget for LM MODEL relations, in n-gram TYPES — read per
+    * query from `spark.graft.lm.broadcastMaxTypes` (default 2M: n-gram
+    * rows are a few short strings + a count, ~64 B, so 2M types ≈ 128 MB
+    * — inside the default broadcast ceiling with headroom). A model at
+    * or under the budget broadcasts, the closed-corpus shape; over it
+    * the hint is WITHHELD and the scoring joins plan as shuffle
+    * equi-joins on the n-gram key — the open-corpus degrade SCALING.md
+    * derives, which a welded-in hint would turn into an executor OOM
+    * instead. The probe is one count over the localCheckpointed model
+    * (model-sized, never corpus-sized; the checkpoint is shared with the
+    * scoring join, so the model aggregates once either way). */
+  private def lmBroadcastMaxTypes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.lm.broadcastMaxTypes")
+      .map(_.toLong).getOrElse(2000000L)
+
+  /** The hint, applied conditionally (see [[lmBroadcastMaxTypes]]). */
+  private def hintIfSmall(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
+
   def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
     val bi = withToksDf(spark, dir)
       .filter(size(col("toks")) >= 2)
@@ -1386,15 +1405,19 @@ object TextAnalysis {
         "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val budget = lmBroadcastMaxTypes(spark)
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val (s2, s1) = (c2.count() <= budget, c1.count() <= budget)
     val vocab = withToksDf(spark, dir)
       .select(explode(col("toks")).as("w")).agg(countDistinct("w").as("v"))
     val perDoc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
     perDoc
-      .join(broadcast(c2), Seq("w1", "w2"))
-      .join(broadcast(c1), Seq("w1"))
-      .crossJoin(broadcast(vocab))
+      .join(hintIfSmall(c2, s2), Seq("w1", "w2"))
+      .join(hintIfSmall(c1, s1), Seq("w1"))
+      .crossJoin(broadcast(vocab)) // one row — always broadcast
       .select(col("doc_id"), col("w1"), col("w2"), col("k"),
         round(log((col("c2") + 1.0) / (col("c1") + col("v"))), 9).as("lp"))
       .groupBy("doc_id")
@@ -1422,10 +1445,13 @@ object TextAnalysis {
     * the LM trains on the 90 and scores the 10, so the backoff paths
     * actually fire (training and scoring on the same corpus would hit the
     * trigram path on every lookup and test nothing). Model = three
-    * grouped counts + two scalars, broadcast into stateless left joins
-    * against the scored docs' (doc, trigram, k) relation — at open-corpus
-    * scale the same joins run as shuffle equi-joins on the n-gram key and
-    * nothing else changes. Per-trigram-type terms round at 9 and fold
+    * grouped counts + two scalars joined statelessly against the scored
+    * docs' (doc, trigram, k) relation; each count relation broadcasts
+    * ONLY while it fits the [[lmBroadcastMaxTypes]] budget — an
+    * open-corpus model over the budget withholds the hint and the same
+    * joins plan as shuffle equi-joins on the n-gram key (size-gated in
+    * code, not just documented: a welded-in hint would OOM where this
+    * degrades). Per-trigram-type terms round at 9 and fold
     * SEQUENTIALLY in (w₁,w₂,w₃) order (the libm/summation-order parity
     * discipline of every float lane here), the mean rounds at 6. */
   def textLmStupidBackoff(spark: SparkSession, dir: String): DataFrame = {
@@ -1442,16 +1468,22 @@ object TextAnalysis {
         .as("tg"))
       .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
+    val budget = lmBroadcastMaxTypes(spark)
     val c3 = trigrams(train).groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).as("c3n"))
+      .agg(count(lit(1)).as("c3n")).localCheckpoint()
+    val s3 = c3.count() <= budget
     val bi = train.filter(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS wa, toks[i] AS wb))"))
         .as("bg"))
       .select(col("bg.wa").as("wa"), col("bg.wb").as("wb"))
     val c2 = bi.groupBy("wa", "wb").agg(count(lit(1)).as("c2n"))
+      .localCheckpoint()
+    val s2 = c2.count() <= budget
     val uni = train.select(explode(col("toks")).as("w"))
     val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1n"))
+      .localCheckpoint()
+    val s1 = c1.count() <= budget
     val tot = uni.agg(count(lit(1)).as("n_tr"),
       countDistinct("w").as("v_tr"))
     val b12 = c2.select(col("wa").as("w1"), col("wb").as("w2"),
@@ -1462,12 +1494,12 @@ object TextAnalysis {
     val u3 = c1.select(col("w").as("w3"), col("c1n").as("u3"))
     trigrams(eval_).groupBy("doc_id", "w1", "w2", "w3")
       .agg(count(lit(1)).as("k"))
-      .join(broadcast(c3), Seq("w1", "w2", "w3"), "left")
-      .join(broadcast(b12), Seq("w1", "w2"), "left")
-      .join(broadcast(b23), Seq("w2", "w3"), "left")
-      .join(broadcast(u2), Seq("w2"), "left")
-      .join(broadcast(u3), Seq("w3"), "left")
-      .crossJoin(broadcast(tot))
+      .join(hintIfSmall(c3, s3), Seq("w1", "w2", "w3"), "left")
+      .join(hintIfSmall(b12, s2), Seq("w1", "w2"), "left")
+      .join(hintIfSmall(b23, s2), Seq("w2", "w3"), "left")
+      .join(hintIfSmall(u2, s1), Seq("w2"), "left")
+      .join(hintIfSmall(u3, s1), Seq("w3"), "left")
+      .crossJoin(broadcast(tot)) // two scalars — always broadcast
       .select(col("doc_id"), col("w1"), col("w2"), col("w3"), col("k"),
         round(log(
           when(col("c3n").isNotNull, col("c3n") / col("b12"))

@@ -39,6 +39,40 @@ class ExtensionsSpec extends SparkTestBase {
     for ((doc, _, lp) <- out) withClue(s"$doc: ") { lp should be < 0.0 }
   }
 
+  test("LM broadcast hints are size-gated: over-budget models shuffle, same result") {
+    import graft.extensions.TextAnalysis
+    val sf = "/root/testdata/sf0.001"
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // under the default budget the model joins broadcast (closed corpus)
+    val smallPlan = planOf(TextAnalysis.textLmStupidBackoff(spark, sf))
+    smallPlan should include("BroadcastHashJoin")
+    val baseline = TextAnalysis.textLmStupidBackoff(spark, sf).collect().toSeq
+    // force every model over budget: the hints must be WITHHELD and the
+    // scoring joins degrade to shuffle equi-joins — the open-corpus
+    // shape — with a bit-identical result. The auto-broadcast threshold
+    // goes to -1 too: at sf0.001 Spark's own size estimate would still
+    // broadcast the tiny model, masking whether a hint is welded in —
+    // with BOTH off, any remaining BroadcastHashJoin IS a welded hint.
+    spark.conf.set("spark.graft.lm.broadcastMaxTypes", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = TextAnalysis.textLmStupidBackoff(spark, sf)
+      val bigPlan = planOf(big)
+      (bigPlan.contains("SortMergeJoin") ||
+        bigPlan.contains("ShuffledHashJoin")) shouldBe true
+      // the only broadcast left is the two-scalar totals cross join
+      bigPlan should not include "BroadcastHashJoin"
+      big.collect().toSeq shouldBe baseline
+      // the bigram scorer degrades the same way
+      val bg = TextAnalysis.textBigramLogprob(spark, sf)
+      planOf(bg) should not include "BroadcastHashJoin"
+    } finally {
+      spark.conf.unset("spark.graft.lm.broadcastMaxTypes")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("k-suppression: every RELEASED class reaches k; accounting balances") {
     import graft.extensions.Privacy
     val sf = "/root/testdata/sf0.001"
