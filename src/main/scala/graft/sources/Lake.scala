@@ -3004,23 +3004,41 @@ class LakeTable(spark: SparkSession, val root: String) {
       m.files.map(f => new Path(f.path).getName).toSet)
       .toSeq.sorted
       .map { case (c, (cov, tot)) => s"$c:$cov/$tot" }.mkString(",")
+    // the SNAPSHOT's protocol requirements (empty = implicit v1):
+    // derived from the resolved state, not the one commit's stamp — a
+    // deferred delete at v3 still binds a reader of v4 even though v4's
+    // own delta stamped nothing — unioned with the commit's stamp so
+    // hand-crafted future requirements surface too
+    val features = (Lake.featuresOf(Lake.fullDelta(m)) ++
+      readDelta(version).requiredFeatures).distinct.sorted
+    // STRING-keyed bounds health: the 8-byte-prefix order embedding is
+    // conservative by design, but when EVERY key in the table shares one
+    // embedding value (URL-shaped keys under a long common prefix), the
+    // key-range machinery degenerates — every probe intersects every
+    // file and keyed verbs silently go O(table). Surface that here as an
+    // actionable signal instead of a silent slowdown.
+    val keyHealth =
+      if (m.keyCol.isEmpty) "n/a (keyless)"
+      else if (!features.contains("string-keys")) "ok"
+      else if (m.files.nonEmpty && m.files.map(_.rows).sum > 1 &&
+          m.files.map(_.minKey).min == m.files.map(_.maxKey).max)
+        "DEGENERATE: every key shares one 8-byte prefix, so the " +
+          "embedding bounds cannot discriminate files — key probes " +
+          "intersect the whole table; hash-bucket or reverse-host the " +
+          "key scheme, or declare a discriminating stats column"
+      else "ok"
     spark.createDataFrame(Seq((
       m.version, m.operation, m.keyCol,
       m.files.size, m.files.map(_.rows).sum, m.tombstones.size,
       m.partitionCols.mkString(","), m.statsCols.mkString(","),
       renames, m.droppedCols.mkString(","), cons, bloom,
-      // the SNAPSHOT's protocol requirements (empty = implicit v1):
-      // derived from the resolved state, not the one commit's stamp — a
-      // deferred delete at v3 still binds a reader of v4 even though v4's
-      // own delta stamped nothing — unioned with the commit's stamp so
-      // hand-crafted future requirements surface too
-      (Lake.featuresOf(Lake.fullDelta(m)) ++
-        readDelta(version).requiredFeatures).distinct.sorted.mkString(","),
-      m.schemaDdl.getOrElse(""))))
+      features.mkString(","),
+      m.schemaDdl.getOrElse(""), keyHealth)))
       .toDF("version", "operation", "key_col", "n_files", "n_rows",
         "n_tombstone_files", "partition_cols", "stats_cols",
         "renamed_columns", "dropped_columns", "check_constraints",
-        "bloom_coverage", "required_features", "schema_ddl")
+        "bloom_coverage", "required_features", "schema_ddl",
+        "key_bounds_health")
   }
 
   def detailDf(): DataFrame = detailDf(latestVersion)
@@ -3538,6 +3556,20 @@ class LakeTable(spark: SparkSession, val root: String) {
           case None => fs.delete(p, false); None
         }
       }
+      // degenerate STRING-key bounds warn AT WRITE (creation and full
+      // compacts are where a bad key scheme should surface): a batch
+      // whose every key shares one 8-byte prefix writes bounds that
+      // cannot discriminate any of its files — keyed probes against
+      // them go O(batch) per probe. The durable table-wide signal is
+      // `graft_lake_detail(...)` / DESCRIBE's key_bounds_health column.
+      if (keyIsString && entries.size > 1 &&
+          entries.map(_.minKey).min == entries.map(_.maxKey).max)
+        org.slf4j.LoggerFactory.getLogger(classOf[LakeTable]).warn(
+          s"lake table $root: all ${entries.size} files written by this " +
+            "commit share ONE 8-byte key prefix — the embedding bounds " +
+            "cannot discriminate them (key probes will intersect every " +
+            "file); hash-bucket or reverse-host the key scheme, or " +
+            "declare a discriminating stats column")
       // bloom maintenance: declared index columns get per-file blooms for
       // the NEW files in this same write path (one extra pass over just-
       // written bytes) — files predating the declaration stay uncovered

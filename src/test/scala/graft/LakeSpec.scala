@@ -1452,6 +1452,30 @@ class LakeSpec extends SparkTestBase {
     t.read().filter(col("k").isin("doc-9999", "doc-9998")).count() shouldBe 0L
   }
 
+  test("STRING keys: degenerate bounds (shared 8-byte prefix) surface in key_bounds_health") {
+    // URL-shaped keys: EVERY key starts 'https://' — one embedding value
+    // table-wide, so key probes cannot discriminate files; the detail
+    // surface must say so with the remediation guidance
+    val urls = (1L to 40L).map(k => (s"https://example.com/p/$k", k))
+      .toDF("u", "v")
+    val t = Lake.create(spark, Lake.freshRoot(), urls, "u", 4)
+    val h = t.detailDf().collect()(0).getAs[String]("key_bounds_health")
+    h should include("DEGENERATE")
+    h should include("hash-bucket")
+    // a discriminating scheme (zero-padded numeric head) stays ok
+    val ids = (1L to 40L).map(k => (f"$k%08d-doc", k)).toDF("u", "v")
+    val t2 = Lake.create(spark, Lake.freshRoot(), ids, "u", 4)
+    t2.detailDf().collect()(0)
+      .getAs[String]("key_bounds_health") shouldBe "ok"
+    // numeric keys never flag; keyless tables read n/a
+    mkTable().detailDf().collect()(0)
+      .getAs[String]("key_bounds_health") shouldBe "ok"
+    val log = Lake.createAppendLog(spark, Lake.freshRoot(),
+      (1L to 10L).map(k => (k, k * 2.0)).toDF("id", "x"), 2)
+    log.detailDf().collect()(0)
+      .getAs[String]("key_bounds_health") shouldBe "n/a (keyless)"
+  }
+
   test("STRING keys: pre-feature coordinates refuse keyed verbs until compact migrates") {
     import org.apache.spark.sql.functions.col
     // A build predating `string-keys` could create a table keyed on
