@@ -99,6 +99,35 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("high-recall IVF configuration: recall@5 ≥ 0.8 at BOTH scales, measured cost") {
+    // the GATED production point (13-list codebook, 2 Lloyd steps,
+    // nprobe=8 — tuned over k ∈ {13,32,45} × steps × nprobe; finer
+    // codebooks LOST recall-per-probed-row on this weakly-clustered
+    // corpus). The measured values ARE the floors — deterministic
+    // pipeline, so a drop is a regression, not noise. Cost: 8/13 ≈ 62 %
+    // of the corpus probed per query, ~4× the default IVF's probe mass
+    // for ~2× its recall; recall stays monotone in nprobe (the curve
+    // spec), so this is one point on a knob, not a cliff.
+    val sfL = "/root/testdata/sf0.1"
+    def recall(dir: String): Double = {
+      val exact = pairs(Similarity.simTopkBruteforce(spark, dir))
+      (exact & pairs(Similarity.simTopkIvfHighRecall(spark, dir))).size
+        .toDouble / exact.size
+    }
+    val (rS, rL) = (recall(sf), recall(sfL))
+    info(f"high-recall IVF recall@5: sf0.01=$rS%.3f sf0.1=$rL%.3f")
+    withClue(s"sf0.01=$rS sf0.1=$rL: ") {
+      rS should be >= 0.88 // measured at pin time
+      rL should be >= 0.90 // measured at pin time; both ≥ the 0.8 target
+    }
+    // ...and the extra Lloyd step + wider probe genuinely buys quality
+    // over the strongest previously-gated retrieval (ensemble ≈ 0.64)
+    val exactL = pairs(Similarity.simTopkBruteforce(spark, sfL))
+    val ens = (exactL & pairs(Similarity.simRerank(spark, sfL))).size
+      .toDouble / exactL.size
+    rL should be > ens
+  }
+
   test("recall does not decay with corpus growth: sf0.1 within band of sf0.01") {
     // the codebook pipeline (stride seeds + one Lloyd step) is
     // corpus-size-independent by construction; this pins that its QUALITY
