@@ -55,12 +55,25 @@ for n in common:
     rel = delta / a if a > 0 else 0.0
     row = {"old": round(a, 3), "new": round(b, 3), "delta": round(delta, 3),
            "rel": round(rel, 3), "band": round(band, 3)}
-    if delta > ABS_FLOOR and rel > band:
-        row["regression"] = True
-        if n in explains:
-            row["explained"] = explains[n]
+    # EVERY lane whose slowdown exceeds the relative band carries an
+    # `explained` stamp — including the sub-absolute-floor ones, which
+    # the harness explains itself (a <0.25s delta on a fast lane is
+    # sub-noise jitter by the gate's own definition). No out-of-band
+    # row ships explanation-less, so "unexplained: none" in the summary
+    # is checkable against the rows.
+    if rel > band:
+        row["out_of_band"] = True
+        if delta > ABS_FLOOR:
+            row["regression"] = True
+            if n in explains:
+                row["explained"] = explains[n]
+            else:
+                flagged.append(n)
         else:
-            flagged.append(n)
+            row["explained"] = explains.get(
+                n, f"delta {delta:+.3f}s is below the {ABS_FLOOR}s absolute "
+                   "floor — sub-noise jitter on a fast lane, not a gated "
+                   "regression")
     rows[n] = row
 
 tot_old = sum(v for k, v in old["queries"].items() if k in common and v >= 0)
