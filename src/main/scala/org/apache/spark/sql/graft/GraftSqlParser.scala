@@ -998,23 +998,46 @@ object GraftSqlParser {
       }
     } else if (sc.keyword("SHOW")) {
       // bare SHOW TABLES = the graft catalog listing (name, kind,
-      // target) — the statement form of graft_catalog(). Any longer
-      // form (IN <db>, LIKE …, SHOW VIEWS) delegates to Spark.
+      // target) — the statement form of graft_catalog(). SHOW CREATE
+      // TABLE <bound name> = the recreating statement (view/MV bodies
+      // verbatim; tables as the LOCATION-adopting CREATE, since the
+      // binding is a pointer and the data lives at the root). Any other
+      // form (IN <db>, LIKE …, SHOW VIEWS, unbound names) delegates.
       if (sc.keyword("TABLES") && sc.atEnd()) Some(LakeShowTablesCommand())
-      else None
+      else if (sc.keyword("CREATE")) {
+        if (!sc.keyword("TABLE")) None
+        else sc.identOpt() match {
+          case Some(name) if !name.contains(".") &&
+              graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&
+              graft.sources.LakeCatalog
+                .kindOf(SparkSession.active, name) != "unbound" =>
+            Some(LakeShowCreateCommand(name))
+          case _ => None
+        }
+      } else None
     } else if (sc.keyword("DESCRIBE") || sc.keyword("DESC")) {
-      // DESCRIBE [TABLE] <name> for a graft-bound name — kind-dispatched
-      // (property, value) rows: table manifest detail, view body, MV
-      // staleness detail. Unbound or multipart names delegate, so
-      // Spark's own DESCRIBE surface is untouched.
-      sc.keyword("TABLE") // optional, as in Spark's grammar
-      sc.identOpt() match {
-        case Some(name) if !name.contains(".") &&
-            graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&
-            graft.sources.LakeCatalog
-              .kindOf(SparkSession.active, name) != "unbound" =>
-          Some(LakeDescribeCommand(name))
-        case _ => None
+      // DESCRIBE HISTORY <table> = the commit log as rows (the
+      // statement spelling of graft_lake_history); DESCRIBE [TABLE]
+      // <name> for a graft-bound name = kind-dispatched (property,
+      // value) rows: table manifest detail, view body, MV staleness
+      // detail. Unbound or multipart names delegate, so Spark's own
+      // DESCRIBE surface is untouched.
+      if (sc.keyword("HISTORY")) {
+        // lakeTarget refuses view/MV names loudly (no storage/history)
+        lakeTarget(sc).map { root =>
+          sc.assertEnd()
+          LakeDescribeHistoryCommand(root)
+        }
+      } else {
+        sc.keyword("TABLE") // optional, as in Spark's grammar
+        sc.identOpt() match {
+          case Some(name) if !name.contains(".") &&
+              graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&
+              graft.sources.LakeCatalog
+                .kindOf(SparkSession.active, name) != "unbound" =>
+            Some(LakeDescribeCommand(name))
+          case _ => None
+        }
       }
     } else None
   }
@@ -1669,6 +1692,52 @@ case class LakeShowTablesCommand() extends LeafRunnableCommand {
     graft.sources.LakeCatalog.list(spark).map {
       case (n, k, t) => Row(n, k, t)
     }
+}
+
+/** `SHOW CREATE TABLE <bound name>` — the statement that recreates the
+  * binding: a VIEW's or MATERIALIZED VIEW's stored statement verbatim; a
+  * TABLE's LOCATION-adopting CREATE (the binding is a pointer — the data
+  * and its full history live at the root, so adoption IS recreation). */
+case class LakeShowCreateCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("create_statement",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.sources.{LakeCatalog, LakeMv}
+    val n = name.toLowerCase
+    val stmt = LakeCatalog.kindOf(spark, name) match {
+      case "view" =>
+        s"CREATE VIEW $n AS ${LakeCatalog.lookupView(spark, name).get}"
+      case "materialized_view" =>
+        LakeMv.queryTextOf(LakeCatalog.lookupMv(spark, name).get)
+      case "table" =>
+        val root = LakeCatalog.lookup(spark, name).get
+        s"CREATE TABLE $n USING graft_lake LOCATION '$root'"
+      case other => throw new IllegalStateException(
+        s"SHOW CREATE TABLE $name: binding vanished (kind: $other)")
+    }
+    Seq(Row(n, stmt))
+  }
+}
+
+/** `DESCRIBE HISTORY <table>` — the retained commit log, newest first:
+  * the statement spelling of the `graft_lake_history` table function. */
+case class LakeDescribeHistoryCommand(root: String)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.types._
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("parent_version", IntegerType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("commit_ts", LongType, nullable = false)(),
+    AttributeReference("n_added_files", IntegerType, nullable = false)(),
+    AttributeReference("n_removed_files", IntegerType, nullable = false)(),
+    AttributeReference("n_tombstone_files", IntegerType, nullable = false)(),
+    AttributeReference("is_anchor", BooleanType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    new graft.sources.LakeTable(spark, root).history().collect().toSeq
 }
 
 /** `DESCRIBE [TABLE] <name>` for a graft-bound name — kind-dispatched

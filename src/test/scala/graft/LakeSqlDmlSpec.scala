@@ -1687,6 +1687,21 @@ class LakeSqlDmlSpec extends SparkTestBase {
       intercept[Exception] {
         s.sql("DESCRIBE cats_nowhere").collect()
       }.getMessage.toLowerCase should not include "graft"
+      // SHOW CREATE TABLE recreates per kind: view/MV statements
+      // verbatim, tables as the LOCATION-adopting CREATE
+      s.sql("SHOW CREATE TABLE cats_v").collect()(0).getString(1) shouldBe
+        "CREATE VIEW cats_v AS SELECT grp, v FROM cats_t WHERE k <= 10"
+      s.sql("SHOW CREATE TABLE cats_m").collect()(0)
+        .getString(1) should startWith("CREATE MATERIALIZED VIEW cats_m")
+      val ct = s.sql("SHOW CREATE TABLE cats_t").collect()(0).getString(1)
+      ct should startWith("CREATE TABLE cats_t USING graft_lake LOCATION")
+      ct should include(dt("root"))
+      // DESCRIBE HISTORY: the commit log by name; views refuse loudly
+      val hist = s.sql("DESCRIBE HISTORY cats_t").collect()
+      hist.map(_.getInt(0)).toSeq shouldBe Seq(0) // one commit so far
+      intercept[Exception] {
+        s.sql("DESCRIBE HISTORY cats_v").collect()
+      }.getMessage should include("VIEW")
       // VIEW RENAME: the binding moves; reads follow; the old name dies
       s.sql("ALTER VIEW cats_v RENAME TO cats_v2").collect()
       s.sql("SELECT count(*) FROM cats_v2").collect()(0)
