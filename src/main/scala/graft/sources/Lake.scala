@@ -888,6 +888,59 @@ object Lake {
         |FROM mv_price_stats ORDER BY o_orderpriority, oy""".stripMargin)
   }
 
+  /** Gated lane: MATERIALIZED VIEW with count(DISTINCT) — the round-16
+    * IVM side-state aggregate: the view tracks each group's distinct
+    * customer reach through a (group, value) multiplicity table, and
+    * REFRESH answers from an absolute recount of the changed groups'
+    * live values — a signed fold alone cannot know whether a deleted row
+    * was a value's last holder. The mutations force every transition:
+    * the INSERT adds rows under BRAND-NEW custkeys (+1 per group) AND
+    * duplicate rows of existing custkeys (reach unchanged), the UPDATE
+    * moves rows between groups (reach leaves one group, enters another),
+    * and the DELETE removes every order of ~some custkeys (value DEATH)
+    * plus single orders of others (decrement, no death). One REFRESH
+    * folds all three; a second must no-op; the oracle recomputes
+    * count(DISTINCT) from the mutated table raw. */
+  def lakeSqlMvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("lake_sql_mvd_src")
+    spark.sql(
+      """CREATE TABLE mvd_orders KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_mvd_src""".stripMargin).collect()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mv_cust_reach AS
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       sum(o_totalprice) AS revenue
+        |FROM mvd_orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority""".stripMargin).collect()
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderpriority", lit("9-INSERTED"))
+      // half the inserts carry BRAND-NEW custkeys, half duplicate
+      // existing ones into the new group
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 200 === 0,
+          col("o_custkey") + lit(10000000L)).otherwise(col("o_custkey")))
+      .createOrReplaceTempView("lake_sql_mvd_ins")
+    spark.sql(
+      "INSERT INTO mvd_orders SELECT * FROM lake_sql_mvd_ins").collect()
+    spark.sql( // group MOVE: reach leaves one group, enters another
+      """UPDATE mvd_orders SET o_orderpriority = '7-MOVED'
+        |WHERE o_orderkey % 100 = 50""".stripMargin).collect()
+    spark.sql( // value DEATH: every order of custkeys ≡ 3 (mod 10) dies
+      "DELETE FROM mvd_orders WHERE o_custkey % 10 = 3").collect()
+    spark.sql( // decrement without death: one-in-97 orders
+      "DELETE FROM mvd_orders WHERE o_orderkey % 97 = 0").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_cust_reach").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_cust_reach").collect() // no-op
+    spark.sql(
+      """SELECT o_orderpriority, n_orders, n_custs,
+        |       CAST(round(revenue, 2) AS DOUBLE) AS revenue
+        |FROM mv_cust_reach ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Gated lane: STRING merge keys — the document-id-shaped key every
     * real corpus has. The table keys on `ok = 'ord-' || lpad(key, 12)`
     * (order-preserving re-spelling of the integer key, so the oracle can
@@ -1337,6 +1390,7 @@ object Lake {
     "lake_sql_view" -> (lakeSqlView _),
     "lake_sql_mv" -> (lakeSqlMv _),
     "lake_sql_mv_minmax" -> (lakeSqlMvMinMax _),
+    "lake_sql_mv_distinct" -> (lakeSqlMvDistinct _),
     "lake_string_key" -> (lakeStringKey _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
@@ -1584,6 +1638,34 @@ object Lake {
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
         |            AS DOUBLE) AS revenue
         |FROM mutated WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_mv_distinct" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey,
+        |         CASE WHEN (o_orderkey + 100000000) % 200 = 0
+        |              THEN o_custkey + 10000000 ELSE o_custkey END AS o_custkey,
+        |         '9-INSERTED' AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), all0 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |  FROM orders
+        |  UNION ALL SELECT * FROM ins
+        |), upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 100 = 50 THEN '7-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_totalprice
+        |  FROM all0
+        |), fin AS (
+        |  SELECT * FROM upd
+        |  WHERE o_custkey % 10 <> 3 AND o_orderkey % 97 <> 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM fin WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_mv_minmax" ->

@@ -25,7 +25,13 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * manifest prune rule can push when the leading group key is a bare
   * column). Cost: O(affected groups' rows), never O(base) compute — the
   * classic IVM extension, and the steady state (inserts, or deletes that
-  * never touch an extremum) stays pure-fold. `count(*)` is REQUIRED — it
+  * never touch an extremum) stays pure-fold. count(DISTINCT expr) rides
+  * a multiplicity SIDE TABLE per aggregate — (group, value) → live row
+  * count, itself an epoch-tagged keyed lake table — folded first each
+  * refresh, with the view's value an ABSOLUTE recount of the changed
+  * groups' live values (O(changed groups' distinct values); a signed
+  * fold alone cannot know whether a deleted row was a value's last
+  * holder). `count(*)` is REQUIRED — it
   * is the group-liveness witness: a group folding to zero rows deletes
   * its state row, and without the count the fold cannot know. Sums fold
   * in DECIMAL(28,10) (exact, associative — the incremental fold is
@@ -93,6 +99,12 @@ object LakeMv {
     def countStarAlias: String = aggs.find(_.kind == "count_star").get.alias
     def minMaxAggs: Seq[AggItem] =
       aggs.filter(a => a.kind == "min" || a.kind == "max")
+    def countDistinctAggs: Seq[AggItem] =
+      aggs.filter(_.kind == "count_distinct")
+    /** A count(DISTINCT …) aggregate's multiplicity side table — derived
+      * from the state root, so no extra serialized field. */
+    def auxRoot(alias: String): String =
+      s"$stateRoot-cd-${alias.toLowerCase}"
   }
 
   private val Dec = DecimalType(28, 10)
@@ -262,13 +274,13 @@ object LakeMv {
         "BY key")
     require(groups.map(_.toLowerCase).distinct.size == groups.size,
       s"CREATE MATERIALIZED VIEW $name: duplicate GROUP BY key aliases")
-    aggs.find(a =>
-        !Set("count_star", "count", "sum", "avg", "min", "max")(a.kind))
+    aggs.find(a => !Set("count_star", "count", "sum", "avg", "min",
+        "max", "count_distinct")(a.kind))
       .foreach(a => throw new IllegalArgumentException(
         s"CREATE MATERIALIZED VIEW $name: unsupported aggregate " +
           s"'${a.kind}' (alias ${a.alias}) — self-maintainable " +
-          "aggregates are count(*), count(col), sum(expr), avg(expr), " +
-          "min(expr), max(expr)"))
+          "aggregates are count(*), count(col), count(DISTINCT expr), " +
+          "sum(expr), avg(expr), min(expr), max(expr)"))
     val bt = new LakeTable(spark, baseRoot)
     val initV = bt.latestVersion
     val base = bt.snapshot(initV) // the PINNED snapshot the state reflects
@@ -316,6 +328,8 @@ object LakeMv {
           count(expr(arg)).cast(LongType).as(nnAlias(a)))
         case AggItem("min", a, arg) => Seq(min(expr(arg)).as(a))
         case AggItem("max", a, arg) => Seq(max(expr(arg)).as(a))
+        case AggItem("count_distinct", a, arg) =>
+          Seq(count_distinct(expr(arg)).cast(LongType).as(a))
         case AggItem(k, _, _) => throw new IllegalStateException(
           s"unreachable: unsupported aggregate '$k' survived CREATE " +
             "validation")
@@ -344,6 +358,22 @@ object LakeMv {
           s"collided (${nGroups} groups, ${nKeys} distinct keys) — " +
           "reduce the group domain or add a disambiguating group column")
       Lake.create(spark, stateRoot, full, "_mv_key", 4)
+      // count(DISTINCT) side state: one keyed multiplicity table per
+      // aggregate, (group, value) → live row count, same collision
+      // discipline as the main key
+      aggs.filter(_.kind == "count_distinct").foreach { a =>
+        val aux = cdAuxRows(filtered, d, a).localCheckpoint()
+        val (nR, nK) = {
+          val r = aux.agg(count(lit(1)), count_distinct(col("_cd_key")))
+            .collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }
+        require(nK == nR,
+          s"CREATE MATERIALIZED VIEW $name: the 60-bit (group, value) " +
+            s"hash for count(DISTINCT ${a.arg}) collided ($nR pairs, " +
+            s"$nK distinct keys) — narrow the group/value domain")
+        Lake.create(spark, d.auxRoot(a.alias), aux, "_cd_key", 4)
+      }
       (stateRoot, s"v$initV")
     } catch {
       case e: Throwable =>
@@ -432,6 +462,11 @@ object LakeMv {
       case AggItem("max", a, arg) => Seq(
         max(when(sgn === 1L, expr(arg))).as(s"_d_ins_$a"),
         max(when(sgn === -1L, expr(arg))).as(s"_d_del_$a"))
+      // count(DISTINCT) carries NO per-group delta column: its new value
+      // is an ABSOLUTE recount of the changed groups from the folded
+      // side table (see below) — a signed fold cannot know whether a
+      // deleted row was a value's last holder
+      case AggItem("count_distinct", _, _) => Seq.empty
       case AggItem(k, _, _) => throw new IllegalStateException(
         s"unreachable: unsupported aggregate '$k' survived CREATE")
     }
@@ -450,9 +485,13 @@ object LakeMv {
     val stateSchema = st.read().schema
     def typed(c: String) = stateSchema(c).dataType
     val mmByAlias = d.minMaxAggs.map(a => a.alias -> a).toMap
+    val cdAliases = d.countDistinctAggs.map(_.alias).toSet
     val newVals = valueCols.map { c =>
       mmByAlias.get(c) match {
         case Some(a) => mmCandidate(a).cast(typed(c)).as(c)
+        case None if cdAliases(c) => // placeholder: the absolute recount
+          // from the folded side table overrides every src row below
+          coalesce(col(s"_old_$c"), lit(0L)).cast(typed(c)).as(c)
         case None =>
           (coalesce(col(s"_old_$c"), lit(0).cast(typed(c))) + col(s"_d_$c"))
             .cast(typed(c)).as(c)
@@ -502,7 +541,29 @@ object LakeMv {
     val src =
       if (d.minMaxAggs.isEmpty) src0.select(stateCols(d).map(col): _*)
       else rescanMinMax(spark, d, bt, cur, src0, typed)
-    val srcM = src.localCheckpoint()
+    val srcCd =
+      if (d.countDistinctAggs.isEmpty) src
+      else {
+        // SIDE-STATE fold first — each aux table's own epoch chain gates
+        // crash retries — then ABSOLUTE per-group recounts scoped to
+        // exactly the changed groups override the placeholders
+        val overrides = d.countDistinctAggs.map { a =>
+          foldCdAux(spark, d, a, feed, sgn, app, last, cur)
+          val aux = new LakeTable(spark, d.auxRoot(a.alias))
+          a.alias -> aux.read()
+            .join(broadcast(delta.select("_mv_key")), Seq("_mv_key"),
+              "left_semi")
+            .groupBy("_mv_key")
+            .agg(count(lit(1)).cast(LongType).as(s"_rs_cd_${a.alias}"))
+        }
+        overrides.foldLeft(src) { case (acc, (alias, rc)) =>
+          acc.join(broadcast(rc), Seq("_mv_key"), "left")
+            .withColumn(alias,
+              coalesce(col(s"_rs_cd_$alias"), lit(0L)).cast(typed(alias)))
+            .drop(s"_rs_cd_$alias")
+        }.select(stateCols(d).map(col): _*)
+      }
+    val srcM = srcCd.localCheckpoint()
     val touched = srcM.count()
     st.mergeIntoEpoch(srcM, cur.toLong, app,
       whenMatchedDeleteIf = Some(col(s"source.$csAlias") === 0L),
@@ -588,6 +649,89 @@ object LakeMv {
 
   private def mvAliasOf(d: MvDef, stateCol: String): Option[AggItem] =
     d.minMaxAggs.find(_.alias == stateCol)
+
+  // ---- count(DISTINCT) side state --------------------------------------
+
+  /** The multiplicity rows for one count(DISTINCT) aggregate over an
+    * already-filtered, group-projected relation: one row per live
+    * (group, value) pair, keyed on the 60-bit composite of group values
+    * PLUS the value's string image (NULL arguments excluded — SQL's
+    * count(DISTINCT) semantics). Distinctness is tracked on the string
+    * image, which is exact for the key-like argument types the aggregate
+    * is for (integers, strings, dates). */
+  private def cdAuxRows(src: DataFrame, d: MvDef, a: AggItem): DataFrame =
+    src.filter(expr(a.arg).isNotNull)
+      .withColumn("_cd_val", expr(a.arg).cast("string"))
+      .groupBy((d.groupCols :+ "_cd_val").map(col): _*)
+      .agg(count(lit(1)).cast(LongType).as("_cd_mult"))
+      .select(mvKey(d.groupCols :+ "_cd_val").as("_cd_key"),
+        mvKey(d.groupCols).as("_mv_key"), col("_cd_val"), col("_cd_mult"))
+
+  /** Fold the interval's signed multiplicity deltas for ONE
+    * count(DISTINCT) aggregate into its side table — the same
+    * epoch-tagged conditional-merge discipline as the main state (a
+    * value whose multiplicity folds to zero deletes its row, so "rows
+    * present per group" IS the distinct count), with its OWN epoch
+    * chain: a refresh that crashed between this commit and the main
+    * merge retries by SKIPPING the already-applied side fold (epoch ≥
+    * fold target) and recomputing the absolute recounts from the folded
+    * rows — idempotent by construction. Collision and negative-
+    * multiplicity forensics mirror the main fold's. */
+  private def foldCdAux(spark: SparkSession, d: MvDef, a: AggItem,
+                        feed: DataFrame, sgn: Column, app: String,
+                        last: Int, cur: Int): Unit = {
+    val aux = new LakeTable(spark, d.auxRoot(a.alias))
+    aux.latestEpoch(app).map(_.toInt) match {
+      case Some(e) if e >= cur => return // crash retry: already folded
+      case Some(e) if e == last => // the normal lockstep case
+      case Some(e) => throw new IllegalStateException(
+        s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
+          s"table is folded to base version $e but the view state to " +
+          s"$last — side-state drift (was either table written outside " +
+          "REFRESH?); DROP MATERIALIZED VIEW and re-CREATE")
+      case None => if (last != d.initVersion) throw new IllegalStateException(
+        s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
+          "table has no epoch tag but the view has refreshed past its " +
+          "init version — side bookkeeping is unrecoverable (vacuumed " +
+          "out-of-band?); DROP MATERIALIZED VIEW and re-CREATE")
+    }
+    val arg = expr(a.arg)
+    val deltaV = feed.filter(arg.isNotNull)
+      .withColumn("_cd_val", arg.cast("string"))
+      .groupBy((d.groupCols :+ "_cd_val").map(col): _*)
+      .agg(coalesce(sum(sgn), lit(0L)).as("_d_mult"))
+      .select(mvKey(d.groupCols :+ "_cd_val").as("_cd_key"),
+        mvKey(d.groupCols).as("_mv_key"), col("_cd_val"), col("_d_mult"))
+      .localCheckpoint() // semi-probe + join, one compute
+    val slice = aux.read()
+      .join(broadcast(deltaV.select("_cd_key")), Seq("_cd_key"), "left_semi")
+      .select(col("_cd_key"), col("_mv_key").as("_old_mk"),
+        col("_cd_val").as("_old_v"), col("_cd_mult").as("_old_m"))
+    val joined = deltaV.join(broadcast(slice), Seq("_cd_key"), "left")
+      .localCheckpoint() // collision + negative checks + merge source
+    val collisions = joined.filter(col("_old_m").isNotNull &&
+      !(col("_mv_key") <=> col("_old_mk") &&
+        col("_cd_val") <=> col("_old_v"))).count()
+    require(collisions == 0L,
+      s"REFRESH MATERIALIZED VIEW: the 60-bit (group, value) hash for " +
+        s"count(DISTINCT ${a.arg}) collided on $collisions pair(s) — " +
+        "recreate the view with a narrower group/value domain")
+    val negative = joined.filter(
+      (coalesce(col("_old_m"), lit(0L)) + col("_d_mult")) < 0L).count()
+    require(negative == 0L,
+      s"REFRESH MATERIALIZED VIEW: $negative (group, value) pair(s) of " +
+        s"count(DISTINCT ${a.arg}) folded to a negative multiplicity — " +
+        "state/feed drift; DROP and re-CREATE the view")
+    val src = joined.select(col("_cd_key"), col("_mv_key"), col("_cd_val"),
+        (coalesce(col("_old_m"), lit(0L)) + col("_d_mult")).as("_cd_mult"),
+        col("_old_m").isNotNull.as("_had"))
+      .filter(col("_cd_mult") > 0L || col("_had")) // net-zero new pair: no-op
+      .drop("_had")
+    aux.mergeIntoEpoch(src.localCheckpoint(), cur.toLong, app,
+      whenMatchedDeleteIf = Some(col("source._cd_mult") === 0L),
+      whenMatchedUpdateIf = Some(lit(true)),
+      whenNotMatchedInsert = true)
+  }
 
   /** Operational introspection — the `graft_mv_detail('<name>')` table
     * function: one row with the MV's roots, the base version its state

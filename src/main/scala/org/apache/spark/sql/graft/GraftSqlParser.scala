@@ -665,7 +665,12 @@ object GraftSqlParser {
           if (!h.atEnd()) GroupItem(a, body) // e.g. `min(x) + 1 AS a`
           else if (fn.equalsIgnoreCase("count") && inner == "*")
             AggItem("count_star", a, "")
-          else AggItem(fn.toLowerCase, a, inner)
+          else if (fn.equalsIgnoreCase("count") && {
+              val di = new Scan(inner); di.keyword("DISTINCT") }) {
+            val di = new Scan(inner)
+            di.keyword("DISTINCT")
+            AggItem("count_distinct", a, di.restStmt())
+          } else AggItem(fn.toLowerCase, a, inner)
         case _ => GroupItem(a, body)
       }
     }

@@ -1845,6 +1845,68 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("materialized views: count(DISTINCT) folds every value transition") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      // every group sees all 10 u-values, multiplicity 2 — so the phases
+      // below can hit decrement-no-death, death, birth, and NULLs
+      (1L to 60L).map(k => (k, s"g${k % 3}", s"u${k % 10}"))
+        .toDF("k", "grp", "u").createOrReplaceTempView("mvcd_src")
+      s.sql("CREATE TABLE mvcd_base KEY k FILES 4 AS SELECT * FROM mvcd_src")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvcd AS
+          |SELECT grp, count(*) AS n, count(DISTINCT u) AS nu
+          |FROM mvcd_base GROUP BY grp""".stripMargin).collect()
+      def fromScratch() = s.sql(
+        """SELECT grp, count(*) AS n, count(DISTINCT u) AS nu
+          |FROM mvcd_base GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      def mvRows() = s.sql("SELECT grp, n, nu FROM mvcd ORDER BY grp")
+        .collect().toSeq
+      mvRows() shouldBe fromScratch()
+      // NULL values never count (SQL count(DISTINCT) semantics)
+      s.sql("INSERT INTO mvcd_base SELECT k + 200 AS k, 'g0' AS grp, " +
+        "CAST(NULL AS STRING) AS u FROM mvcd_src WHERE k <= 2").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd").collect()
+      mvRows() shouldBe fromScratch()
+      // decrement WITHOUT death: one of g0's two u5 rows dies — reach holds
+      s.sql("DELETE FROM mvcd_base WHERE k = 15").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd").collect()
+      mvRows() shouldBe fromScratch()
+      mvRows().find(_.getString(0) == "g0").get.getLong(2) shouldBe 10L
+      // value DEATH: the last u5 row in g0 dies — reach drops
+      s.sql("DELETE FROM mvcd_base WHERE k = 45").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd").collect()
+      mvRows() shouldBe fromScratch()
+      mvRows().find(_.getString(0) == "g0").get.getLong(2) shouldBe 9L
+      // value BIRTH via in-place update (pre-image decrements u6, post-
+      // image births 'fresh' — one interval, both transitions)
+      s.sql("UPDATE mvcd_base SET u = 'fresh' WHERE k = 6").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd").collect()
+      mvRows() shouldBe fromScratch()
+      mvRows().find(_.getString(0) == "g0").get.getLong(2) shouldBe 10L
+      // group MOVE carries reach across groups; a second refresh no-ops
+      s.sql("UPDATE mvcd_base SET grp = 'g1' WHERE grp = 'g0' AND k <= 12")
+        .collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd").collect()
+      val r = s.sql("REFRESH MATERIALIZED VIEW mvcd").collect()(0)
+      r.getInt(1) shouldBe r.getInt(2)
+      mvRows() shouldBe fromScratch()
+      // group DEATH deletes state; rebirth recounts from zero
+      s.sql("DELETE FROM mvcd_base WHERE grp = 'g2'").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd").collect()
+      mvRows() shouldBe fromScratch()
+      mvRows().map(_.getString(0)) should not contain "g2"
+      s.sql("INSERT INTO mvcd_base SELECT k + 300 AS k, 'g2' AS grp, " +
+        "'back' AS u FROM mvcd_src WHERE k <= 3").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd").collect()
+      mvRows() shouldBe fromScratch()
+      mvRows().find(_.getString(0) == "g2").get.getLong(2) shouldBe 1L
+    }
+  }
+
   test("materialized views: refusal surface and drop semantics") {
     withExtendedSession { s =>
       import s.implicits._

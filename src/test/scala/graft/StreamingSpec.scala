@@ -1590,6 +1590,43 @@ class StreamingSpec extends SparkTestBase {
       .map(_.getInt(0)).toSeq shouldBe Seq(5)
   }
 
+  test("standing MV refresh composes with min/max: streamed extremum deletes rescan") {
+    import graft.sources.{Lake, LakeCatalog, LakeMv}
+    spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+    val root = Lake.freshRoot()
+    val t = Lake.create(spark, root,
+      (1L to 40L).map(k => (k, s"g${k % 3}", k.toDouble))
+        .toDF("k", "grp", "v"), "k", 2)
+    LakeCatalog.register(spark, "smm_base", root)
+    LakeMv.create(spark, "smm", "smm_base",
+      Seq(LakeMv.GroupItem("grp"),
+        LakeMv.AggItem("count_star", "n", ""),
+        LakeMv.AggItem("min", "lo", "v"),
+        LakeMv.AggItem("max", "hi", "v")),
+      None, "CREATE MATERIALIZED VIEW smm AS …")
+    val d = LakeMv.parseDef(LakeCatalog.lookupMv(spark, "smm").get)
+    def mv() = LakeMv.readDf(spark, d).orderBy("grp").collect().toSeq
+    def scratch() = t.read().groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("v").as("lo"), max("v").as("hi"))
+      .orderBy("grp").collect().toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-smm-ckpt").toString
+    val q = StreamingOps.standingMvRefresh(spark, "smm", ckpt)
+    try {
+      // new maxima: the standing fold takes the pure greatest path
+      t.merge((41L to 46L).map(k => (k, s"g${k % 3}", 1000.0 + k))
+        .toDF("k", "grp", "v"))
+      q.processAllAvailable()
+      mv() shouldBe scratch()
+      // delete every group's maximum: the group-scoped rescan must fire
+      // INSIDE the standing query's refresh and land the survivor maxima
+      t.delete((41L to 46L).map(Tuple1(_)).toDF("k"))
+      q.processAllAvailable()
+      mv() shouldBe scratch()
+      graft.sources.LakeMv.lastRescanGroups should be > 0L
+    } finally q.stop()
+  }
+
   test("standing MV refresh: base commits advance the MV; restart resumes") {
     import graft.sources.{Lake, LakeCatalog, LakeMv, LakeTable}
     spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
