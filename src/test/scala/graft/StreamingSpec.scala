@@ -1627,6 +1627,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("standing MV refresh drives the FULL r16 grammar: expr key + min/max + count distinct") {
+    import graft.sources.{Lake, LakeCatalog, LakeMv}
+    spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+    val root = Lake.freshRoot()
+    val t = Lake.create(spark, root,
+      (1L to 60L).map(k => (k, k % 4, s"u${k % 7}", k.toDouble))
+        .toDF("k", "b", "u", "v"), "k", 2)
+    LakeCatalog.register(spark, "sfull_base", root)
+    LakeMv.create(spark, "sfull", "sfull_base",
+      Seq(LakeMv.GroupItem("kb", "b % 2"),
+        LakeMv.AggItem("count_star", "n", ""),
+        LakeMv.AggItem("count_distinct", "nu", "u"),
+        LakeMv.AggItem("max", "hi", "v"),
+        LakeMv.AggItem("avg", "av", "v")),
+      Some("k <= 58"), "CREATE MATERIALIZED VIEW sfull AS …",
+      havingSql = Some("n >= 2"))
+    val d = LakeMv.parseDef(LakeCatalog.lookupMv(spark, "sfull").get)
+    def mv() = LakeMv.readDf(spark, d)
+      .select(col("kb"), col("n"), col("nu"), col("hi"),
+        round(col("av"), 6).as("av")).orderBy("kb").collect().toSeq
+    def scratch() = t.read().filter(col("k") <= 58)
+      .withColumn("kb", expr("b % 2")).groupBy("kb")
+      .agg(count(lit(1)).as("n"), countDistinct("u").as("nu"),
+        max("v").as("hi"),
+        round(sum(col("v").cast("decimal(28,10)")).cast("double") /
+          count(col("v")), 6).as("av"))
+      .filter(col("n") >= 2).orderBy("kb").collect().toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sfull-ckpt").toString
+    val q = StreamingOps.standingMvRefresh(spark, "sfull", ckpt)
+    try {
+      mv() shouldBe scratch()
+      // one interval that exercises EVERYTHING at once: new maxima into
+      // one expr-group, a value death, an extremum delete, a NULL-ish…
+      t.merge((61L to 66L).map(k => (k, k % 4, "unew", 500.0 + k))
+        .toDF("k", "b", "u", "v")) // births 'unew' + new maxima, pure fold
+      q.processAllAvailable()
+      mv() shouldBe scratch()
+      t.delete((61L to 66L).map(Tuple1(_)).toDF("k")) // kills the maxima
+      q.processAllAvailable()                          // AND 'unew' dies
+      mv() shouldBe scratch()
+    } finally q.stop()
+  }
+
   test("standing MV refresh: base commits advance the MV; restart resumes") {
     import graft.sources.{Lake, LakeCatalog, LakeMv, LakeTable}
     spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
