@@ -733,6 +733,48 @@ object LakeMv {
       whenNotMatchedInsert = true)
   }
 
+  /** `REFRESH MATERIALIZED VIEW <name> FULL` — the REPAIR form: rebuild
+    * the view from the base's CURRENT snapshot into FRESH state tables
+    * and swap the catalog entry, keeping the name. This is the
+    * one-statement recovery for every refusal whose guidance used to be
+    * "DROP and re-CREATE" — vacuumed bookkeeping, state/feed drift,
+    * out-of-band writes into a state root — and is also a plain
+    * re-clustering rebuild on a healthy view. The old state tables stay
+    * at their roots (addressable for forensics, like DROP's). The swap
+    * is unbind + re-create under the same name: a concurrent reader
+    * resolves the old state or the new, never a half-built one; the
+    * brief unbound window is the same documented gap as CREATE OR
+    * REPLACE VIEW's, and a failure during the rebuild restores the old
+    * binding. Returns (oldFoldedTo, newInitVersion, nGroups). */
+  def refreshFull(spark: SparkSession, name: String): (Int, Int, Long) = {
+    val raw = LakeCatalog.lookupMv(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"REFRESH MATERIALIZED VIEW FULL: no materialized view '$name' " +
+          s"in the graft catalog (kind: ${LakeCatalog.kindOf(spark, name)})"))
+    val d = parseDef(raw)
+    val oldFolded = scala.util.Try(
+      new LakeTable(spark, d.stateRoot)
+        .latestEpoch(d.appId.getOrElse(appIdOf(name)))
+        .map(_.toInt).getOrElse(d.initVersion)).getOrElse(d.initVersion)
+    LakeCatalog.unregister(spark, name)
+    val (newStateRoot, vTag) =
+      try create(spark, name, d.baseName, d.items, d.whereSql, d.queryText,
+        d.havingSql)
+      catch {
+        case e: Throwable =>
+          // restore the old binding so a failed repair loses nothing
+          // (create unbinds on its own failures, so the name is free)
+          try LakeCatalog.registerMv(spark, name, raw)
+          catch { case r: Throwable => e.addSuppressed(r) }
+          throw e
+      }
+    val groups = {
+      val st = new LakeTable(spark, newStateRoot)
+      st.manifest(st.latestVersion).files.map(_.rows).sum
+    }
+    (oldFolded, vTag.stripPrefix("v").toInt, groups)
+  }
+
   /** Operational introspection — the `graft_mv_detail('<name>')` table
     * function: one row with the MV's roots, the base version its state
     * reflects (recovered from the state table's manifest chain, the same

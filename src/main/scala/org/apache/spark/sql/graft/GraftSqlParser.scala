@@ -813,8 +813,9 @@ object GraftSqlParser {
       else {
         sc.expect("VIEW")
         val name = sc.ident()
+        val full = sc.keyword("FULL") // the rebuild-and-swap repair form
         sc.assertEnd()
-        Some(LakeRefreshMvCommand(name))
+        Some(LakeRefreshMvCommand(name, full))
       }
     } else if (sc.keyword("RESTORE")) {
       if (!sc.keyword("TABLE")) None
@@ -1620,10 +1621,15 @@ case class LakeCreateMvCommand(name: String,
   }
 }
 
-/** `REFRESH MATERIALIZED VIEW <name>` — fold the base change feed
+/** `REFRESH MATERIALIZED VIEW <name> [FULL]` — fold the base change feed
   * (lastFolded, current] into the MV state; returns the advanced span
-  * and how many groups the fold touched (0/0-span = already fresh). */
-case class LakeRefreshMvCommand(name: String) extends LeafRunnableCommand {
+  * and how many groups the fold touched (0/0-span = already fresh).
+  * FULL is the repair form: rebuild from the base's current snapshot
+  * into fresh state tables and swap the binding (see
+  * [[graft.sources.LakeMv.refreshFull]]); its row reports the old
+  * folded-to version, the new pinned version, and the group count. */
+case class LakeRefreshMvCommand(name: String, full: Boolean = false)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("name", org.apache.spark.sql.types.StringType,
       nullable = false)(),
@@ -1634,7 +1640,9 @@ case class LakeRefreshMvCommand(name: String) extends LeafRunnableCommand {
     AttributeReference("groups_touched", org.apache.spark.sql.types.LongType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val (from, to, touched) = graft.sources.LakeMv.refresh(spark, name)
+    val (from, to, touched) =
+      if (full) graft.sources.LakeMv.refreshFull(spark, name)
+      else graft.sources.LakeMv.refresh(spark, name)
     Seq(Row(name, from, to, touched))
   }
 }

@@ -1907,6 +1907,57 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("materialized views: REFRESH FULL rebuilds in place and repairs drift") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 30L).map(k => (k, s"g${k % 3}", k.toDouble))
+        .toDF("k", "grp", "v").createOrReplaceTempView("mvf_src")
+      s.sql("CREATE TABLE mvf_base KEY k AS SELECT * FROM mvf_src").collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvf AS
+          |SELECT grp, count(*) AS n, max(v) AS hi
+          |FROM mvf_base GROUP BY grp""".stripMargin).collect()
+      def mv() = s.sql("SELECT grp, n, hi FROM mvf ORDER BY grp")
+        .collect().toSeq
+      def scratch() = s.sql(
+        """SELECT grp, count(*) AS n, max(v) AS hi FROM mvf_base
+          |GROUP BY grp ORDER BY grp""".stripMargin).collect().toSeq
+      s.sql("DELETE FROM mvf_base WHERE k = 30").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvf").collect()
+      mv() shouldBe scratch()
+      // FULL on a HEALTHY view: a plain rebuild, same content, fresh pin
+      val oldState = graft.sources.LakeMv.parseDef(
+        graft.sources.LakeCatalog.lookupMv(s, "mvf").get).stateRoot
+      val r = s.sql("REFRESH MATERIALIZED VIEW mvf FULL").collect()(0)
+      r.getInt(2) shouldBe 1 // pinned at the base's current version (v1)
+      mv() shouldBe scratch()
+      val newState = graft.sources.LakeMv.parseDef(
+        graft.sources.LakeCatalog.lookupMv(s, "mvf").get).stateRoot
+      newState should not be oldState // fresh root; old stays addressable
+      s.sql(s"SELECT count(*) FROM graft_lake('$oldState')").collect()(0)
+        .getLong(0) shouldBe 3L
+      // out-of-band CORRUPTION of the state table: reads serve garbage
+      // the incremental fold can neither see nor fix — FULL repairs it
+      s.sql(s"UPDATE graft_lake('$newState') SET n = n + 5 " +
+        "WHERE grp = 'g0'").collect()
+      mv() should not be scratch()
+      s.sql("DELETE FROM mvf_base WHERE k = 29").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvf").collect()
+      mv() should not be scratch() // incremental folds ON TOP of garbage
+      s.sql("REFRESH MATERIALIZED VIEW mvf FULL").collect()
+      mv() shouldBe scratch()
+      // incremental refresh keeps working after the swap
+      s.sql("DELETE FROM mvf_base WHERE k = 28").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvf").collect()
+      mv() shouldBe scratch()
+      // FULL on an unbound / non-MV name refuses
+      intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvf_base FULL").collect()
+      }.getMessage should include("no materialized view")
+    }
+  }
+
   test("materialized views: refusal surface and drop semantics") {
     withExtendedSession { s =>
       import s.implicits._
