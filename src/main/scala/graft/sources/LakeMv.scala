@@ -423,8 +423,8 @@ object LakeMv {
         s"REFRESH MATERIALIZED VIEW $name: the state table's manifest " +
           "chain has vacuumed stretches and no epoch tag survives — the " +
           "refresh bookkeeping is unrecoverable (was the state table " +
-          "OPTIMIZEd and VACUUMed out-of-band?); DROP MATERIALIZED VIEW " +
-          "and re-CREATE")
+          "OPTIMIZEd and VACUUMed out-of-band?); repair with REFRESH " +
+          "MATERIALIZED VIEW … FULL")
     }
     val cur = bt.latestVersion
     lastRescanGroups = 0L
@@ -519,7 +519,8 @@ object LakeMv {
     require(negative == 0L,
       s"REFRESH MATERIALIZED VIEW $name: $negative group(s) folded to a " +
         "negative row count — state/feed drift (was the state table " +
-        "written outside REFRESH?); DROP and re-CREATE the view")
+        "written outside REFRESH?); repair with REFRESH MATERIALIZED " +
+        "VIEW … FULL")
     // does any min/max need a rescan? a group does iff it stays LIVE and
     // some delete's extremum ties-or-beats the folded candidate — the
     // one shape the signed fold cannot answer (was the deleted value the
@@ -634,7 +635,8 @@ object LakeMv {
     require(ghosts == 0L,
       s"REFRESH MATERIALIZED VIEW: $ghosts group(s) flagged for min/max " +
         "rescan have no rows in the base snapshot but a positive folded " +
-        "count — state/base drift; DROP and re-CREATE the view")
+        "count — state/base drift; repair with REFRESH MATERIALIZED " +
+        "VIEW … FULL")
     val finalCols = stateCols(d).map { c =>
       mvAliasOf(d, c) match {
         case Some(a) =>
@@ -688,12 +690,12 @@ object LakeMv {
         s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
           s"table is folded to base version $e but the view state to " +
           s"$last — side-state drift (was either table written outside " +
-          "REFRESH?); DROP MATERIALIZED VIEW and re-CREATE")
+          "REFRESH?); repair with REFRESH MATERIALIZED VIEW … FULL")
       case None => if (last != d.initVersion) throw new IllegalStateException(
         s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
           "table has no epoch tag but the view has refreshed past its " +
           "init version — side bookkeeping is unrecoverable (vacuumed " +
-          "out-of-band?); DROP MATERIALIZED VIEW and re-CREATE")
+          "out-of-band?); repair with REFRESH MATERIALIZED VIEW … FULL")
     }
     val arg = expr(a.arg)
     val deltaV = feed.filter(arg.isNotNull)
@@ -721,7 +723,7 @@ object LakeMv {
     require(negative == 0L,
       s"REFRESH MATERIALIZED VIEW: $negative (group, value) pair(s) of " +
         s"count(DISTINCT ${a.arg}) folded to a negative multiplicity — " +
-        "state/feed drift; DROP and re-CREATE the view")
+        "state/feed drift; repair with REFRESH MATERIALIZED VIEW … FULL")
     val src = joined.select(col("_cd_key"), col("_mv_key"), col("_cd_val"),
         (coalesce(col("_old_m"), lit(0L)) + col("_d_mult")).as("_cd_mult"),
         col("_old_m").isNotNull.as("_had"))
