@@ -777,6 +777,29 @@ object LakeMv {
     (oldFolded, vTag.stripPrefix("v").toInt, groups)
   }
 
+  /** `OPTIMIZE MATERIALIZED VIEW <name> [FILES n]` — compact the view's
+    * state table AND every count(DISTINCT) side table back to `files`
+    * key-clustered files each. Refreshes accrue files over thousands of
+    * folds; compaction is a rewrite-only commit on each table's own
+    * chain, so the epoch bookkeeping keeps working (tags live in the
+    * retained manifest log — it is VACUUM, not OPTIMIZE, that can strand
+    * a view, and that refusal now repairs with REFRESH … FULL). Returns
+    * one (kind, root, new version) row per compacted table. */
+  def optimize(spark: SparkSession, name: String,
+               files: Int): Seq[(String, String, Int)] = {
+    val d = parseDef(LakeCatalog.lookupMv(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"OPTIMIZE MATERIALIZED VIEW: no materialized view '$name' in " +
+          s"the graft catalog (kind: ${LakeCatalog.kindOf(spark, name)})")))
+    val st = new LakeTable(spark, d.stateRoot)
+    val sv = st.compact(files).version
+    ("state", d.stateRoot, sv) +: d.countDistinctAggs.map { a =>
+      val aux = new LakeTable(spark, d.auxRoot(a.alias))
+      (s"distinct:${a.alias}", d.auxRoot(a.alias),
+        aux.compact(files).version)
+    }
+  }
+
   /** Operational introspection — the `graft_mv_detail('<name>')` table
     * function: one row with the MV's roots, the base version its state
     * reflects (recovered from the state table's manifest chain, the same

@@ -981,7 +981,16 @@ object GraftSqlParser {
         }
       }
     } else if (sc.keyword("OPTIMIZE")) {
-      lakeTarget(sc).map(root => parseOptimize(sc, root, delegate))
+      // OPTIMIZE MATERIALIZED VIEW <name> [FILES n] — compact the view's
+      // state + side tables; ours alone, loud (the bare-name form keeps
+      // refusing via lakeTarget's MV guidance)
+      if (sc.keyword("MATERIALIZED")) {
+        sc.expect("VIEW")
+        val name = sc.ident()
+        val files = if (sc.keyword("FILES")) sc.int() else 4
+        sc.assertEnd()
+        Some(LakeOptimizeMvCommand(name, files))
+      } else lakeTarget(sc).map(root => parseOptimize(sc, root, delegate))
     } else if (sc.keyword("VACUUM")) {
       lakeTarget(sc).map { root =>
         if (sc.keyword("OLDER")) {
@@ -1645,6 +1654,24 @@ case class LakeRefreshMvCommand(name: String, full: Boolean = false)
       else graft.sources.LakeMv.refresh(spark, name)
     Seq(Row(name, from, to, touched))
   }
+}
+
+/** `OPTIMIZE MATERIALIZED VIEW <name> [FILES n]` — compact the view's
+  * state table and every count(DISTINCT) side table (see
+  * [[graft.sources.LakeMv.optimize]]); one row per compacted table. */
+case class LakeOptimizeMvCommand(name: String, files: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("root", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("version", org.apache.spark.sql.types.IntegerType,
+      nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sources.LakeMv.optimize(spark, name, files).map {
+      case (k, r, v) => Row(k, r, v)
+    }
 }
 
 /** `DROP MATERIALIZED VIEW [IF EXISTS] <name>` — unbind the name; the

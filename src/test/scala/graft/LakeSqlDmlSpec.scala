@@ -1958,6 +1958,45 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("materialized views: OPTIMIZE compacts state + side tables, bookkeeping survives") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 40L).map(k => (k, s"g${k % 4}", s"u${k % 6}"))
+        .toDF("k", "grp", "u").createOrReplaceTempView("mvo_src")
+      s.sql("CREATE TABLE mvo_base KEY k AS SELECT * FROM mvo_src").collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvo AS
+          |SELECT grp, count(*) AS n, count(DISTINCT u) AS nu
+          |FROM mvo_base GROUP BY grp""".stripMargin).collect()
+      def mv() = s.sql("SELECT grp, n, nu FROM mvo ORDER BY grp")
+        .collect().toSeq
+      def scratch() = s.sql(
+        """SELECT grp, count(*) AS n, count(DISTINCT u) AS nu
+          |FROM mvo_base GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      // several fold rounds accrue state/side files
+      for (k <- Seq(1L, 2L, 3L, 4L)) {
+        s.sql(s"DELETE FROM mvo_base WHERE k = $k").collect()
+        s.sql("REFRESH MATERIALIZED VIEW mvo").collect()
+      }
+      mv() shouldBe scratch()
+      val rows = s.sql("OPTIMIZE MATERIALIZED VIEW mvo FILES 2").collect()
+      rows.map(_.getString(0)).toSeq shouldBe Seq("state", "distinct:nu")
+      mv() shouldBe scratch() // compaction is content-invariant
+      // the epoch bookkeeping survives the rewrite-only commits: the
+      // next refresh is still INCREMENTAL (one-commit span), not a
+      // from-init refold or a refusal
+      s.sql("DELETE FROM mvo_base WHERE k = 5").collect()
+      val r = s.sql("REFRESH MATERIALIZED VIEW mvo").collect()(0)
+      r.getInt(2) - r.getInt(1) shouldBe 1
+      mv() shouldBe scratch()
+      intercept[Exception] {
+        s.sql("OPTIMIZE MATERIALIZED VIEW mvo_base").collect()
+      }.getMessage should include("no materialized view")
+    }
+  }
+
   test("materialized views: refusal surface and drop semantics") {
     withExtendedSession { s =>
       import s.implicits._
