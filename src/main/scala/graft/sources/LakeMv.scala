@@ -117,6 +117,12 @@ object LakeMv {
     * rescan). Observability only; never read by the fold itself. */
   @volatile private[graft] var lastRescanGroups: Long = 0L
 
+  /** Crash-injection seam: when set, refresh throws AFTER the
+    * count(DISTINCT) side tables committed but BEFORE the main state
+    * merge — the exact window whose retry convergence the side tables'
+    * own epoch chains exist to guarantee (spec-pinned). */
+  @volatile private[graft] var failBeforeMainMerge: Boolean = false
+
   /** Project a base/feed relation to carry every EXPRESSION group key as
     * a computed column under its alias (bare keys already exist; their
     * aliases are refused as base-column shadows at CREATE, so withColumn
@@ -566,6 +572,8 @@ object LakeMv {
       }
     val srcM = srcCd.localCheckpoint()
     val touched = srcM.count()
+    if (failBeforeMainMerge) throw new RuntimeException(
+      "injected crash between side-table and main-state commits")
     st.mergeIntoEpoch(srcM, cur.toLong, app,
       whenMatchedDeleteIf = Some(col(s"source.$csAlias") === 0L),
       whenMatchedUpdateIf = Some(lit(true)),

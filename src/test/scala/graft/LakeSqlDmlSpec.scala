@@ -1958,6 +1958,47 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("materialized views: crash between side-table and main commits retries to convergence") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 30L).map(k => (k, s"g${k % 3}", s"u${k % 5}"))
+        .toDF("k", "grp", "u").createOrReplaceTempView("mvx2_src")
+      s.sql("CREATE TABLE mvx2_base KEY k AS SELECT * FROM mvx2_src")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvx2 AS
+          |SELECT grp, count(*) AS n, count(DISTINCT u) AS nu
+          |FROM mvx2_base GROUP BY grp""".stripMargin).collect()
+      def mv() = s.sql("SELECT grp, n, nu FROM mvx2 ORDER BY grp")
+        .collect().toSeq
+      def scratch() = s.sql(
+        """SELECT grp, count(*) AS n, count(DISTINCT u) AS nu
+          |FROM mvx2_base GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      val before = mv()
+      // a mutation with value DEATHS, then a refresh that dies in the
+      // exact window the side tables' own epoch chains exist for: AFTER
+      // the count(DISTINCT) fold committed, BEFORE the main state merge
+      s.sql("DELETE FROM mvx2_base WHERE u = 'u2'").collect()
+      graft.sources.LakeMv.failBeforeMainMerge = true
+      try {
+        intercept[RuntimeException] {
+          s.sql("REFRESH MATERIALIZED VIEW mvx2").collect()
+        }.getMessage should include("injected crash")
+      } finally graft.sources.LakeMv.failBeforeMainMerge = false
+      mv() shouldBe before // main state untouched by the dead refresh
+      // the RETRY must skip the already-applied side fold (its epoch is
+      // ahead of the main chain's) and still land exactly from-scratch
+      s.sql("REFRESH MATERIALIZED VIEW mvx2").collect()
+      mv() shouldBe scratch()
+      // and the chains are back in lockstep: another interval folds clean
+      s.sql("DELETE FROM mvx2_base WHERE k = 7").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvx2").collect()
+      mv() shouldBe scratch()
+    }
+  }
+
   test("materialized views: OPTIMIZE compacts state + side tables, bookkeeping survives") {
     withExtendedSession { s =>
       import s.implicits._
