@@ -1398,7 +1398,12 @@ object TextAnalysis {
     spark.conf.getOption("spark.graft.lm.broadcastMaxTypes")
       .map(_.toLong).getOrElse(2000000L)
 
-  /** The hint, applied conditionally (see [[lmBroadcastMaxTypes]]). */
+  /** The hint, applied conditionally (see [[lmBroadcastMaxTypes]]).
+    * NOTE: collecting the probe scalars makes [[textBigramLogprob]] and
+    * [[textLmStupidBackoff]] run one Spark job at DataFrame-CONSTRUCTION
+    * time (they were fully lazy before the gate) — acceptable for a
+    * scoring pipeline whose relation is always executed, but callers
+    * composing plans they may never run should construct these last. */
   private def hintIfSmall(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df
 

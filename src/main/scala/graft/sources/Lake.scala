@@ -941,6 +941,58 @@ object Lake {
         |FROM mv_cust_reach ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Gated lane: STAR-JOIN MATERIALIZED VIEW — the round-17 grammar:
+    * `FROM fact JOIN dim ON …`, with the dim PINNED at its CREATE-time
+    * version and the refresh folding the FACT's change feed joined to
+    * that pinned snapshot (the classic IVM answer for the dashboard
+    * star: an inner join is linear in the fact side, so the signed fold
+    * distributes through it). The lifecycle drives every join-sensitive
+    * path: the INSERT adds orders whose groups arrive THROUGH the dim
+    * lookup, the UPDATE re-points orders at different customers (a group
+    * MOVE the fact row alone cannot see — only the joined feed can), and
+    * the DELETE removes every top-priced order (ties stored maxima → the
+    * group-scoped rescan must run over the joined shape). One REFRESH
+    * folds all three commits; a second must no-op. The oracle recomputes
+    * the post-mutation star aggregate from the raw tables. */
+  def lakeSqlMvJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    Tables.customer(spark, dir).createOrReplaceTempView("lake_sql_mvj_csrc")
+    o.createOrReplaceTempView("lake_sql_mvj_osrc")
+    spark.sql(
+      """CREATE TABLE mvj_orders KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_mvj_osrc""".stripMargin).collect()
+    spark.sql(
+      """CREATE TABLE mvj_cust KEY c_custkey FILES 4
+        |AS SELECT * FROM lake_sql_mvj_csrc""".stripMargin).collect()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mv_seg_rev AS
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       max(o_totalprice) AS hi_price,
+        |       sum(o_totalprice) AS revenue
+        |FROM mvj_orders JOIN mvj_cust ON o_custkey = c_custkey
+        |WHERE o_orderkey % 2 = 0
+        |GROUP BY c_mktsegment""".stripMargin).collect()
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(70000.0))
+      .createOrReplaceTempView("lake_sql_mvj_ins")
+    spark.sql(
+      "INSERT INTO mvj_orders SELECT * FROM lake_sql_mvj_ins").collect()
+    spark.sql( // group MOVE through the DIM: the order changes customers
+      """UPDATE mvj_orders SET o_custkey = 1 + (o_custkey % 1000)
+        |WHERE o_orderkey % 100 = 50""".stripMargin).collect()
+    spark.sql( // removes the stored maxima → max rescan over the join
+      "DELETE FROM mvj_orders WHERE o_totalprice >= 400000.0").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_seg_rev").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_seg_rev").collect() // no-op
+    spark.sql(
+      """SELECT c_mktsegment, n_orders, n_custs, hi_price,
+        |       CAST(round(revenue, 2) AS DOUBLE) AS revenue
+        |FROM mv_seg_rev ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Gated lane: STRING merge keys — the document-id-shaped key every
     * real corpus has. The table keys on `ok = 'ord-' || lpad(key, 12)`
     * (order-preserving re-spelling of the integer key, so the oracle can
@@ -1391,6 +1443,7 @@ object Lake {
     "lake_sql_mv" -> (lakeSqlMv _),
     "lake_sql_mv_minmax" -> (lakeSqlMvMinMax _),
     "lake_sql_mv_distinct" -> (lakeSqlMvDistinct _),
+    "lake_sql_mv_join" -> (lakeSqlMvJoin _),
     "lake_string_key" -> (lakeStringKey _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
@@ -1666,6 +1719,33 @@ object Lake {
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
         |            AS DOUBLE) AS revenue
         |FROM fin WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_mv_join" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |         o_totalprice + 70000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), all0 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM ins
+        |), upd AS (
+        |  SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 100 = 50
+        |              THEN 1 + (o_custkey % 1000)
+        |              ELSE o_custkey END AS o_custkey,
+        |         o_totalprice
+        |  FROM all0
+        |), fin AS (
+        |  SELECT * FROM upd WHERE o_totalprice < 400000.0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       max(o_totalprice) AS hi_price,
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM fin JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_mv_minmax" ->

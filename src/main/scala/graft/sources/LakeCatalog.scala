@@ -298,7 +298,8 @@ object LakeCatalog {
       throw new IllegalStateException(s"'$name' vanished from the catalog"))
     val content =
       if (kind == "materialized_view")
-        MvMarker + LakeMv.pinAppId(raw.stripPrefix(MvMarker.trim).trim, name)
+        MvMarker + LakeMv.pinAppId(raw.stripPrefix(MvMarker.trim).trim,
+          name, newName)
       else raw
     val p = entryPath(spark, newName)
     val f = fs(spark, p)

@@ -6,12 +6,24 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** MATERIALIZED views over lake tables: `CREATE MATERIALIZED VIEW <name>
   * AS SELECT <groups…, count(*), count(c), sum(e), avg(e), min(e),
-  * max(e)…> FROM <lake table> [WHERE <pred>] GROUP BY <groups…>
-  * [HAVING <pred>]`, advanced INCREMENTALLY by `REFRESH MATERIALIZED
-  * VIEW <name>` folding the base table's change feed — never rescanning
-  * the base wholesale. The 100 TB shape: a refresh costs O(changed rows)
-  * feed work + O(changed groups) state work, and the state table is
-  * aggregate-sized however large the base grows.
+  * max(e)…> FROM <fact> [JOIN <dim> ON <cond> …] [WHERE <pred>]
+  * GROUP BY <groups…> [HAVING <pred>]`, advanced INCREMENTALLY by
+  * `REFRESH MATERIALIZED VIEW <name>` folding the FACT table's change
+  * feed — never rescanning the base wholesale. The 100 TB shape: a
+  * refresh costs O(changed rows) feed work + O(changed groups) state
+  * work, and the state table is aggregate-sized however large the base
+  * grows.
+  *
+  * STAR JOINS: JOINed tables are slowly-changing DIMENSIONS, pinned at
+  * their CREATE-time (or last `REFRESH … FULL`) version. The fold joins
+  * the fact's signed feed to each pinned dim snapshot — an inner join
+  * is LINEAR in the fact side, so signed counts/sums/avgs fold exactly
+  * through it, and the min/max rescan and count(DISTINCT) recounts run
+  * over the same joined shape. A dim that advanced since pinning
+  * refuses the incremental refresh (the alternative is serving mixed
+  * dim epochs silently); `REFRESH … FULL` re-pins. Dim snapshots ride a
+  * size-gated broadcast hint probed from manifest row counts — zero
+  * extra jobs, and an over-budget dim degrades to a shuffle join.
   *
   * Self-maintainability shapes the fold: count(*)/count(c)/sum(e) fold
   * exactly under inserts AND deletes from the signed feed
@@ -81,6 +93,18 @@ object LakeMv {
     * the extremum directly and lean on the group-scoped delete rescan. */
   case class AggItem(kind: String, alias: String, arg: String) extends MvItem
 
+  /** One DIMENSION side of a star-join MV (`FROM fact JOIN dim ON …`):
+    * a lake table joined at the PINNED version — the snapshot CREATE (or
+    * the last REFRESH … FULL) saw. Pinning is what keeps the incremental
+    * fold exact: the view is fact@cur ⋈ dim@pinned throughout, every
+    * feed row joins the same dim rows its base rows did, and a dim that
+    * has since advanced refuses the fold (REFRESH … FULL re-pins) rather
+    * than silently mixing dim epochs. `onSql` is the raw ON text; the
+    * fact and each dim are subquery-aliased under their CATALOG names,
+    * so conditions and view expressions may qualify (`fact.k = dim.k`). */
+  case class DimSpec(name: String, root: String, version: Int,
+                     onSql: String)
+
   /** `appId` is the epoch-bookkeeping app id pinned at CREATE
     * (`mv-<original name>`): the state table's refresh epochs are tagged
     * under it, so `ALTER MATERIALIZED VIEW … RENAME TO` must NOT change
@@ -92,7 +116,8 @@ object LakeMv {
   case class MvDef(baseRoot: String, baseName: String, initVersion: Int,
                    stateRoot: String, items: Seq[MvItem],
                    whereSql: Option[String], havingSql: Option[String],
-                   queryText: String, appId: Option[String] = None) {
+                   queryText: String, appId: Option[String] = None,
+                   dims: Seq[DimSpec] = Seq.empty) {
     def groupItems: Seq[GroupItem] = items.collect { case g: GroupItem => g }
     def groupCols: Seq[String] = groupItems.map(_.alias)
     def aggs: Seq[AggItem] = items.collect { case a: AggItem => a }
@@ -110,6 +135,30 @@ object LakeMv {
   private val Dec = DecimalType(28, 10)
   private def nnAlias(a: String) = s"_nn_$a"
   private def appIdOf(name: String) = s"mv-${name.toLowerCase}"
+
+  /** Broadcast budget for the refresh's DELTA-sized relations, in ROWS —
+    * read per refresh from `spark.graft.mv.broadcastMaxRows` (default 1M:
+    * a delta row is the group key strings plus a few decimals/longs,
+    * ~256 B, so 1M rows ≈ 256 MB — inside the executor broadcast ceiling
+    * with headroom). At refresh cadence the delta is tiny and the hint
+    * is the right plan (state scans once, everything else map-side); but
+    * a COLD refresh over a long commit interval — the backfill shape —
+    * makes the delta approach group cardinality, and a welded hint would
+    * OOM the executors there. Over budget the hint is WITHHELD and the
+    * same joins plan as shuffle equi-joins on the merge key — the
+    * degrade, not the cliff. The size probe is a `count()` of a relation
+    * the refresh has ALREADY localCheckpoint-materialized (the fold needs
+    * it for the collision/negative forensics regardless), so the gate
+    * costs one in-memory count, never an extra Spark plan execution —
+    * the same discipline as the LM model joins
+    * ([[graft.extensions.TextAnalysis]]'s `lmBroadcastMaxTypes`). */
+  private def mvBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.mv.broadcastMaxRows")
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** The hint, applied conditionally (see [[mvBroadcastMaxRows]]). */
+  private def hintIfSmall(df: DataFrame, small: Boolean): DataFrame =
+    if (small) broadcast(df) else df
 
   /** Ops/test seam: how many groups the LAST refresh on this JVM flagged
     * for a min/max rescan (0 = pure fold — the steady state; the specs
@@ -130,6 +179,33 @@ object LakeMv {
   private def withGroupKeys(df: DataFrame, d: MvDef): DataFrame =
     d.groupItems.filterNot(_.isBare).foldLeft(df)((acc, g) =>
       acc.withColumn(g.alias, expr(g.exprText)))
+
+  /** A fact-side relation (snapshot or change feed) inner-joined to
+    * every dim's PINNED snapshot, in declaration order. Each side is
+    * subquery-aliased under its catalog name so ON conditions and view
+    * expressions may qualify. The dim side rides a SIZE-GATED broadcast
+    * hint whose probe is the pinned manifest's row count — metadata the
+    * driver already holds, zero extra jobs; a dim over the budget plans
+    * a shuffle join instead (the fact feed shuffles on the join key —
+    * the degrade, not an executor OOM). */
+  private def joinDims(spark: SparkSession, fact: DataFrame,
+                       d: MvDef): DataFrame =
+    if (d.dims.isEmpty) fact
+    else d.dims.foldLeft(fact.as(d.baseName)) { (acc, dim) =>
+      val dt = new LakeTable(spark, dim.root)
+      val nRows = dt.manifest(dim.version).files.map(_.rows).sum
+      acc.join(hintIfSmall(dt.snapshot(dim.version).as(dim.name),
+        nRows <= mvBroadcastMaxRows(spark)), expr(dim.onSql), "inner")
+    }
+
+  /** The relation every fold and rescan aggregates: fact ⋈ pinned dims,
+    * then the WHERE filter (it may reference dim columns — post-join by
+    * construction), then the computed expression group keys. */
+  private def prepared(spark: SparkSession, fact: DataFrame,
+                       d: MvDef): DataFrame = {
+    val j = joinDims(spark, fact, d)
+    withGroupKeys(d.whereSql.map(w => j.filter(expr(w))).getOrElse(j), d)
+  }
 
   // ---- catalog-entry (de)serialization -------------------------------
 
@@ -160,6 +236,12 @@ object LakeMv {
       s"where=${d.whereSql.map(b64).getOrElse("-")}",
       s"having=${d.havingSql.map(b64).getOrElse("-")}",
       s"appid=${d.appId.getOrElse("-")}",
+      // star-join dims: name + pinned version + b64 root + b64 ON text
+      // (base64's alphabet has no ':' or ';', so the separators are safe)
+      s"dims=${if (d.dims.isEmpty) "-"
+        else d.dims.map(x =>
+          s"${x.name}:${x.version}:${b64(x.root)}:${b64(x.onSql)}")
+          .mkString(";")}",
       s"query=${b64(d.queryText)}").mkString("\n")
   }
 
@@ -184,7 +266,15 @@ object LakeMv {
       // entries written before HAVING existed lack the line: no filter
       kv.get("having").filter(_ != "-").map(unb64),
       unb64(kv("query")),
-      kv.get("appid").filter(_ != "-"))
+      kv.get("appid").filter(_ != "-"),
+      // entries written before star-join dims existed lack the line
+      kv.get("dims").filter(_ != "-").map(_.split(";").toSeq.map { x =>
+        x.split(":", -1) match {
+          case Array(n, v, r, on) => DimSpec(n, unb64(r), v.toInt, unb64(on))
+          case _ => throw new IllegalArgumentException(
+            s"malformed materialized-view dim entry: $x")
+        }
+      }).getOrElse(Seq.empty))
   }
 
   /** The stored original statement text — `graft_catalog()`'s target
@@ -196,10 +286,21 @@ object LakeMv {
   /** Rename support: re-serialize `raw` with the epoch app id PINNED —
     * to the stored id, or (for entries that predate the field) to the
     * PRE-rename name's derivation — so the renamed MV keeps finding the
-    * refresh bookkeeping its state table already carries. */
-  def pinAppId(raw: String, oldName: String): String = {
+    * refresh bookkeeping its state table already carries. The stored
+    * statement text is rewritten to name the NEW view, so `SHOW CREATE
+    * TABLE` after a rename emits a statement that actually recreates
+    * the binding being shown (the old text would recreate the
+    * pre-rename name); the rewrite targets exactly the `MATERIALIZED
+    * VIEW <old> AS` position, so a base-table or column that happens to
+    * share the view's name is never touched. */
+  def pinAppId(raw: String, oldName: String, newName: String): String = {
     val d = parseDef(raw)
-    serialize(d.copy(appId = Some(d.appId.getOrElse(appIdOf(oldName)))))
+    val renamed = ("(?i)(\\bMATERIALIZED\\s+VIEW\\s+)" +
+      java.util.regex.Pattern.quote(oldName) + "(\\s+AS\\b)").r
+      .replaceFirstIn(d.queryText,
+        "$1" + java.util.regex.Matcher.quoteReplacement(newName) + "$2")
+    serialize(d.copy(appId = Some(d.appId.getOrElse(appIdOf(oldName))),
+      queryText = renamed))
   }
 
   // ---- shared column builders ----------------------------------------
@@ -238,19 +339,34 @@ object LakeMv {
   def create(spark: SparkSession, name: String, baseName: String,
              items: Seq[MvItem], whereSql: Option[String],
              queryText: String,
-             havingSql: Option[String] = None): (String, String) = {
-    val baseRoot = LakeCatalog.lookup(spark, baseName).getOrElse {
-      val kind = LakeCatalog.kindOf(spark, baseName)
-      throw new IllegalArgumentException(
-        if (kind == "unbound")
-          s"CREATE MATERIALIZED VIEW $name: base '$baseName' is not a " +
-            "lake table in the graft catalog — CREATE TABLE it first " +
-            "(the incremental refresh folds a lake change feed; plain " +
-            "views and outside tables have none)"
-        else
-          s"CREATE MATERIALIZED VIEW $name: base '$baseName' is a $kind " +
-            "— the base must be a lake TABLE (only tables have the " +
-            "change feed the refresh folds)")
+             havingSql: Option[String] = None,
+             dimsIn: Seq[(String, String)] = Seq.empty): (String, String) = {
+    def resolveLake(n: String, role: String): String =
+      LakeCatalog.lookup(spark, n).getOrElse {
+        val kind = LakeCatalog.kindOf(spark, n)
+        throw new IllegalArgumentException(
+          if (kind == "unbound")
+            s"CREATE MATERIALIZED VIEW $name: $role '$n' is not a " +
+              "lake table in the graft catalog — CREATE TABLE it first " +
+              "(the incremental refresh folds a lake change feed; plain " +
+              "views and outside tables have none)"
+          else
+            s"CREATE MATERIALIZED VIEW $name: $role '$n' is a $kind " +
+              "— it must be a lake TABLE (only tables have the " +
+              "change feed / pinnable snapshots the refresh uses)")
+      }
+    val baseRoot = resolveLake(baseName, "base")
+    // star-join dims: resolve + PIN each dim's current version; the
+    // relation aliases (fact name + dim names) must be pairwise distinct
+    // or qualified references would be ambiguous
+    val relNames = baseName +: dimsIn.map(_._1)
+    require(relNames.map(_.toLowerCase).distinct.size == relNames.size,
+      s"CREATE MATERIALIZED VIEW $name: the FROM/JOIN table names must " +
+        "be pairwise distinct — qualified column references resolve by " +
+        "table name")
+    val dims = dimsIn.map { case (dn, on) =>
+      val r = resolveLake(dn, "JOIN dimension")
+      DimSpec(dn, r, new LakeTable(spark, r).latestVersion, on)
     }
     val groupItems = items.collect { case g: GroupItem => g }
     val groups = groupItems.map(_.alias)
@@ -262,9 +378,14 @@ object LakeMv {
         "select list — it is the group-liveness witness: the refresh " +
         "deletes a group's row when its count folds to zero, and " +
         "without the count the fold cannot know")
-    val aliases = aggs.map(_.alias)
+    // alias uniqueness is CASE-INSENSITIVE, matching Spark resolution
+    // and the lowercase side-table root derivation (auxRoot): `… AS A`
+    // and `… AS a` would resolve ambiguously and derive the same
+    // count(DISTINCT) side root, so they refuse here
+    val aliases = aggs.map(_.alias.toLowerCase)
     require(aliases.distinct.size == aliases.size,
-      s"CREATE MATERIALIZED VIEW $name: duplicate aggregate aliases")
+      s"CREATE MATERIALIZED VIEW $name: duplicate aggregate aliases " +
+        "(aliases are case-insensitive, like Spark resolution)")
     def reserved(n: String) = n == "_mv_key" ||
       n.startsWith("_nn_") || n.startsWith("_avg_s_") ||
       n.startsWith("_rs_") || n == "_mm_rescan"
@@ -275,9 +396,9 @@ object LakeMv {
       s"CREATE MATERIALIZED VIEW $name: a GROUP BY key uses a " +
         "reserved state-table name (_mv_key/_nn_/_avg_s_/_rs_) — alias " +
         "it differently")
-    require(groups.intersect(aliases).isEmpty,
+    require(groups.map(_.toLowerCase).intersect(aliases).isEmpty,
       s"CREATE MATERIALIZED VIEW $name: an alias collides with a GROUP " +
-        "BY key")
+        "BY key (names are case-insensitive, like Spark resolution)")
     require(groups.map(_.toLowerCase).distinct.size == groups.size,
       s"CREATE MATERIALIZED VIEW $name: duplicate GROUP BY key aliases")
     aggs.find(a => !Set("count_star", "count", "sum", "avg", "min",
@@ -290,19 +411,24 @@ object LakeMv {
     val bt = new LakeTable(spark, baseRoot)
     val initV = bt.latestVersion
     val base = bt.snapshot(initV) // the PINNED snapshot the state reflects
-    // an EXPRESSION key's alias must not shadow a base column: the fold
-    // computes the expression over the feed under that alias, and a
-    // same-named base column would make the stored key ambiguous
-    val baseColsLc = base.columns.map(_.toLowerCase).toSet
+    val stateRoot = LakeCatalog.managedRoot(spark, name + "_state")
+    val d = MvDef(baseRoot, baseName, initV, stateRoot, items, whereSql,
+      havingSql, queryText, Some(appIdOf(name)), dims)
+    // an EXPRESSION key's alias must not shadow a base (or joined-dim)
+    // column: the fold computes the expression over the feed under that
+    // alias, and a same-named column would make the stored key ambiguous
+    val joined0 = joinDims(spark, base, d)
+    val baseColsLc = joined0.columns.map(_.toLowerCase).toSet
     groupItems.filterNot(_.isBare).foreach(g =>
       require(!baseColsLc.contains(g.alias.toLowerCase),
         s"CREATE MATERIALIZED VIEW $name: expression GROUP BY alias " +
           s"'${g.alias}' shadows a base table column — pick an alias " +
           "the base does not use"))
-    // fail-fast validation: group keys, predicate, and aggregate args
-    // must analyze against the base, and must be deterministic (a
-    // non-deterministic input folds differently at build and refresh)
-    val probe = whereSql.map(w => base.filter(expr(w))).getOrElse(base)
+    // fail-fast validation: join conditions, group keys, predicate, and
+    // aggregate args must analyze against the (joined) base, and must be
+    // deterministic (a non-deterministic input folds differently at
+    // build and refresh)
+    val probe = whereSql.map(w => joined0.filter(expr(w))).getOrElse(joined0)
       .select(groupItems.map(g => expr(g.exprText).as(g.alias)) ++
         aggs.filter(_.kind != "count_star").map(a => expr(a.arg)): _*)
     probe.queryExecution.assertAnalyzed()
@@ -312,13 +438,9 @@ object LakeMv {
         case p => p.expressions
       }.flatten.forall(_.deterministic),
       s"CREATE MATERIALIZED VIEW $name: expressions must be deterministic")
-    val stateRoot = LakeCatalog.managedRoot(spark, name + "_state")
-    val d = MvDef(baseRoot, baseName, initV, stateRoot, items, whereSql,
-      havingSql, queryText, Some(appIdOf(name)))
     LakeCatalog.registerMv(spark, name, serialize(d)) // claim FIRST
     try {
-      val filtered = withGroupKeys(
-        whereSql.map(w => base.filter(expr(w))).getOrElse(base), d)
+      val filtered = prepared(spark, base, d)
       val aggCols = aggs.flatMap {
         case AggItem("count_star", a, _) =>
           Seq(count(lit(1)).cast(LongType).as(a))
@@ -434,10 +556,33 @@ object LakeMv {
     }
     val cur = bt.latestVersion
     lastRescanGroups = 0L
+    // star-join dims are PINNED: the incremental fold joins each dim at
+    // the version CREATE (or the last FULL) saw, so a dim that advanced
+    // refuses — folding new fact rows against the old dim while the user
+    // believes the dim changed would serve silently stale attributes,
+    // and folding them against the NEW dim would mix dim epochs inside
+    // one state table. FULL re-pins and rebuilds. Checked BEFORE the
+    // fact-fresh early return: a dim-only change must refuse loudly, not
+    // no-op while the view keeps serving the old dim's attributes.
+    d.dims.foreach { dim =>
+      val dimCur = new LakeTable(spark, dim.root).latestVersion
+      if (dimCur != dim.version) throw new IllegalStateException(
+        s"REFRESH MATERIALIZED VIEW $name: dimension table " +
+          s"'${dim.name}' is at version $dimCur but the view pins " +
+          s"v${dim.version} — the incremental fold joins the pinned dim " +
+          "snapshot, so a changed dim cannot fold incrementally; repair " +
+          s"with REFRESH MATERIALIZED VIEW $name FULL (rebuilds against " +
+          "the dims' current versions and re-pins)")
+    }
     if (cur <= last) return (last, cur, 0L)
-    val feed0 = bt.changes(last, cur)
-    val feed = withGroupKeys(
-      d.whereSql.map(w => feed0.filter(expr(w))).getOrElse(feed0), d)
+    // base-schema-evolution guard: the base supports metadata-only
+    // rename/drop/widen (ALTER TABLE), so the interval being folded may
+    // have changed the very columns this view's definition references —
+    // validate BEFORE any fold work, refusing with repair guidance
+    // instead of dying mid-fold with a raw resolution error (or worse,
+    // mis-typing state through the rescan path)
+    validateAgainstBase(spark, name, d, bt, cur, st)
+    val feed = prepared(spark, bt.changes(last, cur), d)
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val csAlias = d.countStarAlias
@@ -480,11 +625,16 @@ object LakeMv {
       .agg(deltaCols.head, deltaCols.tail: _*)
       .withColumn("_mv_key", mvKey(d.groupCols))
       .localCheckpoint() // three consumers: semi-probe, join, merge source
-    // O(changed groups): the state scans ONCE through a broadcast
-    // semi-join on the delta's keys; everything after is delta-sized
+    // the broadcast gate's probe: the delta is materialized above, so
+    // this count is an in-memory scan, not a plan re-execution
+    val small = delta.count() <= mvBroadcastMaxRows(spark)
+    // O(changed groups): the state scans ONCE through a (size-gated)
+    // broadcast semi-join on the delta's keys; after that every relation
+    // is delta-sized
     val valueCols = stateCols(d).drop(1 + d.groupCols.size)
     val oldSlice = st.read()
-      .join(broadcast(delta.select("_mv_key")), Seq("_mv_key"), "left_semi")
+      .join(hintIfSmall(delta.select("_mv_key"), small), Seq("_mv_key"),
+        "left_semi")
       .select(col("_mv_key") +: (
         d.groupCols.map(g => col(g).as(s"_oldg_$g")) ++
           valueCols.map(c => col(c).as(s"_old_$c"))): _*)
@@ -503,7 +653,10 @@ object LakeMv {
             .cast(typed(c)).as(c)
       }
     }
-    val joined = delta.join(broadcast(oldSlice), Seq("_mv_key"), "left")
+    // oldSlice is at most delta-sized (a semi-join of state on the
+    // delta's keys), so the delta's own gate covers it
+    val joined = delta.join(hintIfSmall(oldSlice, small), Seq("_mv_key"),
+        "left")
       .withColumn("_had_state", col(s"_old_$csAlias").isNotNull)
       .localCheckpoint() // collision check + merge source, one compute
     // a hash-key hit whose stored GROUP VALUES differ from the delta's
@@ -547,7 +700,8 @@ object LakeMv {
       .drop("_had_state")
     val src =
       if (d.minMaxAggs.isEmpty) src0.select(stateCols(d).map(col): _*)
-      else rescanMinMax(spark, d, bt, cur, src0, typed)
+      else rescanMinMax(spark, d, bt, cur, src0, typed,
+        mvBroadcastMaxRows(spark))
     val srcCd =
       if (d.countDistinctAggs.isEmpty) src
       else {
@@ -555,16 +709,18 @@ object LakeMv {
         // crash retries — then ABSOLUTE per-group recounts scoped to
         // exactly the changed groups override the placeholders
         val overrides = d.countDistinctAggs.map { a =>
-          foldCdAux(spark, d, a, feed, sgn, app, last, cur)
+          foldCdAux(spark, d, a, bt, sgn, app, last, cur)
           val aux = new LakeTable(spark, d.auxRoot(a.alias))
           a.alias -> aux.read()
-            .join(broadcast(delta.select("_mv_key")), Seq("_mv_key"),
-              "left_semi")
+            .join(hintIfSmall(delta.select("_mv_key"), small),
+              Seq("_mv_key"), "left_semi")
             .groupBy("_mv_key")
             .agg(count(lit(1)).cast(LongType).as(s"_rs_cd_${a.alias}"))
         }
+        // each recount has at most one row per changed group, so the
+        // delta's gate covers these too
         overrides.foldLeft(src) { case (acc, (alias, rc)) =>
-          acc.join(broadcast(rc), Seq("_mv_key"), "left")
+          acc.join(hintIfSmall(rc, small), Seq("_mv_key"), "left")
             .withColumn(alias,
               coalesce(col(s"_rs_cd_$alias"), lit(0L)).cast(typed(alias)))
             .drop(s"_rs_cd_$alias")
@@ -581,6 +737,73 @@ object LakeMv {
     (last, cur, touched)
   }
 
+  /** Base-schema-evolution guard, run at the top of every incremental
+    * refresh: (1) the view's group keys, WHERE predicate, and aggregate
+    * arguments must still ANALYZE against the base's current schema — a
+    * referenced column renamed or dropped by ALTER TABLE refuses loudly
+    * (neither the fold nor REFRESH … FULL can repair a definition that
+    * references a column that no longer exists: DROP and re-CREATE
+    * against the new schema); (2) every group key's and min/max
+    * aggregate's CURRENT result type must still match the type the state
+    * table stores — a widened base column (metadata-only type widening)
+    * would otherwise feed wider values through a narrowing cast into the
+    * CREATE-time state type, so it refuses naming REFRESH … FULL, which
+    * rebuilds the state in the new type (the definition still analyzes,
+    * so FULL genuinely repairs this one). sum/avg fold in DECIMAL(28,10)
+    * and counts in BIGINT regardless of the argument's width, so only
+    * keys and extrema carry the type check. A rename-and-replace swap
+    * (old name dropped, a DIFFERENT column renamed onto it) analyzes
+    * clean and is indistinguishable by name — that is a semantic change
+    * the owner made deliberately, and the fold follows the name, as
+    * documented. */
+  private def validateAgainstBase(spark: SparkSession, name: String,
+                                  d: MvDef, bt: LakeTable, cur: Int,
+                                  st: LakeTable): Unit = {
+    val base = joinDims(spark, bt.snapshot(cur), d)
+    val probe =
+      try {
+        val p = d.whereSql.map(w => base.filter(expr(w))).getOrElse(base)
+          .select(d.groupItems.map(g => expr(g.exprText).as(g.alias)) ++
+            d.aggs.filter(_.kind != "count_star")
+              .map(a => expr(a.arg).as(s"_t_${a.alias}")): _*)
+        p.queryExecution.assertAnalyzed()
+        p
+      } catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"REFRESH MATERIALIZED VIEW $name: the view's definition no " +
+              s"longer analyzes against base '${d.baseName}' (was a " +
+              "column the view's GROUP BY / WHERE / aggregates reference " +
+              "renamed or dropped by ALTER TABLE?) — an incremental fold " +
+              "cannot proceed, and REFRESH … FULL cannot repair a " +
+              "definition referencing a missing column: DROP the view " +
+              "and re-CREATE it against the new schema. Analyzer said: " +
+              e.getMessage, e)
+      }
+    val stSchema = st.read().schema
+    def refuseWiden(what: String, alias: String,
+                    now: org.apache.spark.sql.types.DataType,
+                    stored: org.apache.spark.sql.types.DataType): Nothing =
+      throw new IllegalStateException(
+        s"REFRESH MATERIALIZED VIEW $name: $what '$alias' now types as " +
+          s"${now.sql} against base '${d.baseName}' but the state table " +
+          s"stores ${stored.sql} — the base column's type changed " +
+          "(ALTER TABLE widening) after the view was built; repair with " +
+          s"REFRESH MATERIALIZED VIEW $name FULL, which rebuilds the " +
+          "state in the new type")
+    d.groupItems.foreach { g =>
+      val now = probe.schema(g.alias).dataType
+      val stored = stSchema(g.alias).dataType
+      if (now != stored) refuseWiden("GROUP BY key", g.alias, now, stored)
+    }
+    d.minMaxAggs.foreach { a =>
+      val now = probe.schema(s"_t_${a.alias}").dataType
+      val stored = stSchema(a.alias).dataType
+      if (now != stored)
+        refuseWiden(s"${a.kind}() aggregate", a.alias, now, stored)
+    }
+  }
+
   /** The delete-tied-the-extremum path: re-aggregate min/max for EXACTLY
     * the flagged live groups against the base's fold-target snapshot.
     * Scoping is a broadcast semi-join on the affected GROUP VALUES
@@ -594,8 +817,8 @@ object LakeMv {
     * enters here at all. */
   private def rescanMinMax(spark: SparkSession, d: MvDef, bt: LakeTable,
                            cur: Int, src0: DataFrame,
-                           typed: String => org.apache.spark.sql.types.DataType)
-      : DataFrame = {
+                           typed: String => org.apache.spark.sql.types.DataType,
+                           broadcastMaxRows: Long): DataFrame = {
     val csAlias = d.countStarAlias
     val s0 = src0.localCheckpoint() // aff scope + final merge, one compute
     val aff = s0.filter(col("_mm_rescan") && col(csAlias) > 0L)
@@ -605,9 +828,13 @@ object LakeMv {
     lastRescanGroups = nAff
     if (nAff == 0L)
       return s0.drop("_mm_rescan").select(stateCols(d).map(col): _*)
-    val baseCur = bt.snapshot(cur) // the SAME snapshot the fold targets
-    val filtered = withGroupKeys(
-      d.whereSql.map(w => baseCur.filter(expr(w))).getOrElse(baseCur), d)
+    // the affected set (and the rescan aggregate, ≤ one row per affected
+    // group) ride the same size gate as the fold's delta relations: the
+    // count above is the probe, so a backfill-sized rescan degrades to
+    // shuffle joins instead of OOMing on a welded hint
+    val smallAff = nAff <= broadcastMaxRows
+    // the SAME snapshot (and pinned dim joins) the fold targets
+    val filtered = prepared(spark, bt.snapshot(cur), d)
     val lead = d.groupItems.head
     val pre =
       if (lead.isBare && nAff <= 1000L) {
@@ -623,7 +850,7 @@ object LakeMv {
         filtered.filter(p)
       } else filtered
     val affR = aff.select(d.groupCols.map(g => col(g).as(s"_aff_$g")): _*)
-    val scoped = pre.join(broadcast(affR),
+    val scoped = pre.join(hintIfSmall(affR, smallAff),
       d.groupCols.map(g => col(g) <=> col(s"_aff_$g")).reduce(_ && _),
       "left_semi")
     val rescanAgg = scoped.groupBy(d.groupCols.map(col): _*)
@@ -634,7 +861,8 @@ object LakeMv {
       .withColumn("_mv_key", mvKey(d.groupCols))
       .select(("_mv_key" +: "_rs_present" +:
         d.minMaxAggs.map(a => s"_rs_${a.alias}")).map(col): _*)
-    val merged = s0.join(broadcast(rescanAgg), Seq("_mv_key"), "left")
+    val merged = s0.join(hintIfSmall(rescanAgg, smallAff), Seq("_mv_key"),
+      "left")
     // forensic: a flagged LIVE group with zero base rows means the state
     // and the base have drifted — writing a NULL extremum over a
     // positive count would corrupt silently; refuse instead
@@ -684,27 +912,38 @@ object LakeMv {
     * present per group" IS the distinct count), with its OWN epoch
     * chain: a refresh that crashed between this commit and the main
     * merge retries by SKIPPING the already-applied side fold (epoch ≥
-    * fold target) and recomputing the absolute recounts from the folded
-    * rows — idempotent by construction. Collision and negative-
-    * multiplicity forensics mirror the main fold's. */
+    * fold target), and when base commits LANDED between the crash and
+    * the retry (side at e with last < e < cur) by folding only the
+    * still-missing `(e, cur]` slice of the change feed — so the retry
+    * converges whether or not the base advanced in the meantime. The
+    * absolute recounts are then recomputed from the folded rows either
+    * way — idempotent by construction. A side epoch BEHIND the main
+    * state (e < last) is genuine drift (only out-of-band writes can
+    * produce it) and refuses loudly. Collision and negative-multiplicity
+    * forensics mirror the main fold's. */
   private def foldCdAux(spark: SparkSession, d: MvDef, a: AggItem,
-                        feed: DataFrame, sgn: Column, app: String,
+                        bt: LakeTable, sgn: Column, app: String,
                         last: Int, cur: Int): Unit = {
     val aux = new LakeTable(spark, d.auxRoot(a.alias))
-    aux.latestEpoch(app).map(_.toInt) match {
+    val from = aux.latestEpoch(app).map(_.toInt) match {
       case Some(e) if e >= cur => return // crash retry: already folded
-      case Some(e) if e == last => // the normal lockstep case
+      case Some(e) if e >= last => e // == last: lockstep; > last: crash
+        // retry with intervening base commits — fold the missing slice
       case Some(e) => throw new IllegalStateException(
         s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
-          s"table is folded to base version $e but the view state to " +
-          s"$last — side-state drift (was either table written outside " +
-          "REFRESH?); repair with REFRESH MATERIALIZED VIEW … FULL")
-      case None => if (last != d.initVersion) throw new IllegalStateException(
-        s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
-          "table has no epoch tag but the view has refreshed past its " +
-          "init version — side bookkeeping is unrecoverable (vacuumed " +
-          "out-of-band?); repair with REFRESH MATERIALIZED VIEW … FULL")
+          s"table is folded to base version $e, BEHIND the view state " +
+          s"at $last — side-state drift (was either table written " +
+          "outside REFRESH?); repair with REFRESH MATERIALIZED VIEW " +
+          "… FULL")
+      case None =>
+        if (last != d.initVersion) throw new IllegalStateException(
+          s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
+            "table has no epoch tag but the view has refreshed past its " +
+            "init version — side bookkeeping is unrecoverable (vacuumed " +
+            "out-of-band?); repair with REFRESH MATERIALIZED VIEW … FULL")
+        last
     }
+    val feed = prepared(spark, bt.changes(from, cur), d)
     val arg = expr(a.arg)
     val deltaV = feed.filter(arg.isNotNull)
       .withColumn("_cd_val", arg.cast("string"))
@@ -713,11 +952,17 @@ object LakeMv {
       .select(mvKey(d.groupCols :+ "_cd_val").as("_cd_key"),
         mvKey(d.groupCols).as("_mv_key"), col("_cd_val"), col("_d_mult"))
       .localCheckpoint() // semi-probe + join, one compute
+    // same size gate as the main fold's delta (the side delta can be
+    // larger — one row per changed (group, value) pair — so it carries
+    // its own probe); the count scans the checkpoint, not the plan
+    val smallV = deltaV.count() <= mvBroadcastMaxRows(spark)
     val slice = aux.read()
-      .join(broadcast(deltaV.select("_cd_key")), Seq("_cd_key"), "left_semi")
+      .join(hintIfSmall(deltaV.select("_cd_key"), smallV), Seq("_cd_key"),
+        "left_semi")
       .select(col("_cd_key"), col("_mv_key").as("_old_mk"),
         col("_cd_val").as("_old_v"), col("_cd_mult").as("_old_m"))
-    val joined = deltaV.join(broadcast(slice), Seq("_cd_key"), "left")
+    val joined = deltaV.join(hintIfSmall(slice, smallV), Seq("_cd_key"),
+        "left")
       .localCheckpoint() // collision + negative checks + merge source
     val collisions = joined.filter(col("_old_m").isNotNull &&
       !(col("_mv_key") <=> col("_old_mk") &&
@@ -769,7 +1014,7 @@ object LakeMv {
     LakeCatalog.unregister(spark, name)
     val (newStateRoot, vTag) =
       try create(spark, name, d.baseName, d.items, d.whereSql, d.queryText,
-        d.havingSql)
+        d.havingSql, d.dims.map(x => (x.name, x.onSql))) // re-pins dims
       catch {
         case e: Throwable =>
           // restore the old binding so a failed repair loses nothing
@@ -824,10 +1069,17 @@ object LakeMv {
       .getOrElse(d.initVersion)
     val cur = new LakeTable(spark, d.baseRoot).latestVersion
     val groups = st.manifest(st.latestVersion).files.map(_.rows).sum
+    // star-join staleness: how many pinned dims have since advanced
+    // (any > 0 means the next incremental REFRESH will refuse and name
+    // REFRESH … FULL)
+    val dimsStale = d.dims.count(x =>
+      new LakeTable(spark, x.root).latestVersion != x.version)
     Seq((name.toLowerCase, d.baseName, d.baseRoot, d.stateRoot,
-      d.initVersion, last, cur, math.max(0, cur - last), groups))
+      d.initVersion, last, cur, math.max(0, cur - last), groups,
+      d.dims.size, dimsStale))
       .toDF("name", "base_name", "base_root", "state_root", "init_version",
-        "folded_to_version", "base_latest_version", "behind_by", "n_groups")
+        "folded_to_version", "base_latest_version", "behind_by", "n_groups",
+        "n_dims", "n_dims_stale")
   }
 
   // ---- READ -----------------------------------------------------------

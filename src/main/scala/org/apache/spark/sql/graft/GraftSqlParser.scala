@@ -676,12 +676,16 @@ object GraftSqlParser {
     }
   }
 
-  /** `CREATE MATERIALIZED VIEW <name> AS SELECT <items> FROM <base>
-    * [WHERE <pred>] GROUP BY <keys> [HAVING <pred>]` — cursor sits right
-    * after `MATERIALIZED`. The shape is OUR grammar exclusively (Spark
-    * has no MATERIALIZED VIEW), so parse errors are loud, never
-    * delegated. GROUP BY entries match select-list group items by alias
-    * or by (whitespace-normalized, case-folded) expression text. */
+  /** `CREATE MATERIALIZED VIEW <name> AS SELECT <items> FROM <fact>
+    * [JOIN <dim> ON <cond> …] [WHERE <pred>] GROUP BY <keys>
+    * [HAVING <pred>]` — cursor sits right after `MATERIALIZED`. The
+    * shape is OUR grammar exclusively (Spark has no MATERIALIZED VIEW),
+    * so parse errors are loud, never delegated. GROUP BY entries match
+    * select-list group items by alias or by (whitespace-normalized,
+    * case-folded) expression text. JOINed tables are DIMENSIONS, pinned
+    * at their CREATE-time version (see [[graft.sources.LakeMv.DimSpec]]);
+    * the first FROM table is the FACT whose change feed the refresh
+    * folds. */
   private def parseCreateMv(sc: Scan, sqlText: String): Option[LogicalPlan] = {
     sc.expect("VIEW")
     val name = sc.ident()
@@ -694,6 +698,19 @@ object GraftSqlParser {
     val selectText = sc.until(Seq("FROM"))
     sc.expect("FROM")
     val base = sc.ident()
+    val dims = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (sc.keyword("JOIN")) {
+      val dn = sc.ident()
+      if (dn.contains(".") || !graft.sources.LakeCatalog.isValidName(dn))
+        fail(s"CREATE MATERIALIZED VIEW $name: '$dn' is not a valid " +
+          "single-part JOIN table name")
+      sc.expect("ON")
+      val on = sc.until(Seq("JOIN", "WHERE", "GROUP"))
+      if (on.trim.isEmpty)
+        fail(s"CREATE MATERIALIZED VIEW $name: JOIN $dn needs an ON " +
+          "condition")
+      dims += ((dn, on))
+    }
     val whereSql = if (sc.keyword("WHERE")) Some(sc.until(Seq("GROUP")))
       else None
     sc.expect("GROUP")
@@ -724,7 +741,7 @@ object GraftSqlParser {
         "GROUP BY entries match by alias or by the same expression " +
         "text; the state table is keyed on them")
     Some(LakeCreateMvCommand(name, base, items, whereSql, havingSql,
-      sqlText.trim.stripSuffix(";").trim))
+      sqlText.trim.stripSuffix(";").trim, dims.toSeq))
   }
 
   private[graft] def tryParseDml(sqlText: String,
@@ -1616,7 +1633,8 @@ case class LakeCreateMvCommand(name: String,
                                items: Seq[graft.sources.LakeMv.MvItem],
                                whereSql: Option[String],
                                havingSql: Option[String],
-                               queryText: String)
+                               queryText: String,
+                               dims: Seq[(String, String)] = Seq.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("name", org.apache.spark.sql.types.StringType,
@@ -1625,7 +1643,7 @@ case class LakeCreateMvCommand(name: String,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     graft.sources.LakeMv.create(spark, name, baseName, items, whereSql,
-      queryText, havingSql)
+      queryText, havingSql, dims)
     Seq(Row(name, queryText))
   }
 }

@@ -2130,4 +2130,381 @@ class LakeSqlDmlSpec extends SparkTestBase {
       }.getMessage should include("no materialized view")
     }
   }
+
+  /** Collect every executed plan of `body`'s Spark actions on session
+    * `s` (the listener bus is async, so the capture waits for quiesce). */
+  private def capturedPlans(s: SparkSession)(body: => Unit): Seq[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    s.listenerManager.register(listener)
+    try {
+      body
+      var size = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (stable < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val n = plans.size()
+        if (n == size) stable += 1 else { stable = 0; size = n }
+      }
+    } finally s.listenerManager.unregister(listener)
+    import scala.jdk.CollectionConverters._
+    plans.asScala.toSeq
+  }
+
+  test("materialized views: refresh broadcast hints are size-gated — budget 0 folds via shuffle, bit-identical state") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 60L).map(k => (k, s"g${k % 3}", k.toDouble, s"u${k % 7}"))
+        .toDF("k", "grp", "v", "u").createOrReplaceTempView("mvbg_src")
+      s.sql("CREATE TABLE mvbg_base KEY k FILES 3 AS SELECT * FROM mvbg_src")
+        .collect()
+      // min + count(DISTINCT) + sum: every gated join site participates
+      // (delta slice, old-state slice, rescan scope + aggregate, side
+      // delta, side slice, recount override)
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvbg AS
+          |SELECT grp, count(*) AS n, sum(v) AS sv, min(v) AS lo,
+          |       count(DISTINCT u) AS nu
+          |FROM mvbg_base GROUP BY grp""".stripMargin).collect()
+      def mv() = s.sql(
+        "SELECT grp, n, CAST(sv AS DECIMAL(28,10)) AS sv, lo, nu FROM mvbg " +
+          "ORDER BY grp").collect().toSeq
+      def scratch() = s.sql(
+        """SELECT grp, count(*) AS n,
+          |CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv,
+          |min(v) AS lo, count(DISTINCT u) AS nu
+          |FROM mvbg_base GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      // an extremum-tying delete (min of g0 is v=3) plus distinct-value
+      // deaths: the fold, the rescan, AND the side fold all run
+      s.sql("DELETE FROM mvbg_base WHERE k = 3").collect()
+      s.sql("DELETE FROM mvbg_base WHERE u = 'u2'").collect()
+      // budget 0 withholds every refresh hint; the auto-broadcast
+      // thresholds go to -1 too — at this scale Spark's own size
+      // estimate would still broadcast the tiny delta, masking whether a
+      // hint is welded in. With BOTH off, any remaining
+      // BroadcastHashJoin in the fold IS a welded hint. (The manifest
+      // file-pruning range join stays a hinted BroadcastNestedLoopJoin —
+      // it is metadata-sized by construction, built FROM the driver-held
+      // manifest, so it is not a scale cliff and not under this gate.)
+      s.conf.set("spark.graft.mv.broadcastMaxRows", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val shuffled =
+        try capturedPlans(s) {
+          s.sql("REFRESH MATERIALIZED VIEW mvbg").collect()
+        } finally {
+          s.conf.unset("spark.graft.mv.broadcastMaxRows")
+          s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+          s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      shuffled should not be empty
+      withClue("welded broadcast hint survived budget 0:\n" +
+          shuffled.filter(_.contains("BroadcastHashJoin")).mkString("\n")) {
+        shuffled.exists(_.contains("BroadcastHashJoin")) shouldBe false
+      }
+      graft.sources.LakeMv.lastRescanGroups should be > 0L // rescan ran un-hinted
+      mv() shouldBe scratch() // the shuffle fold lands the same state
+      // control at the DEFAULT budget: the same machinery broadcasts
+      // (delta-sized relations at refresh cadence — the right plan), so
+      // the capture really sees the fold's joins
+      s.sql("DELETE FROM mvbg_base WHERE u = 'u3'").collect()
+      val hinted = capturedPlans(s) {
+        s.sql("REFRESH MATERIALIZED VIEW mvbg").collect()
+      }
+      hinted.exists(_.contains("BroadcastHashJoin")) shouldBe true
+      mv() shouldBe scratch()
+    }
+  }
+
+  test("materialized views: crash retry converges even when base commits land in between") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 30L).map(k => (k, s"g${k % 3}", s"u${k % 5}"))
+        .toDF("k", "grp", "u").createOrReplaceTempView("mvx3_src")
+      s.sql("CREATE TABLE mvx3_base KEY k AS SELECT * FROM mvx3_src")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvx3 AS
+          |SELECT grp, count(*) AS n, count(DISTINCT u) AS nu
+          |FROM mvx3_base GROUP BY grp""".stripMargin).collect()
+      def mv() = s.sql("SELECT grp, n, nu FROM mvx3 ORDER BY grp")
+        .collect().toSeq
+      def scratch() = s.sql(
+        """SELECT grp, count(*) AS n, count(DISTINCT u) AS nu
+          |FROM mvx3_base GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      // crash AFTER the side-table commit, BEFORE the main merge …
+      s.sql("DELETE FROM mvx3_base WHERE u = 'u2'").collect()
+      graft.sources.LakeMv.failBeforeMainMerge = true
+      try {
+        intercept[RuntimeException] {
+          s.sql("REFRESH MATERIALIZED VIEW mvx3").collect()
+        }.getMessage should include("injected crash")
+      } finally graft.sources.LakeMv.failBeforeMainMerge = false
+      // … and then MORE base commits land before anyone retries — the
+      // production crash-recovery shape (writers do not wait for a dead
+      // refresher). The side table sits at epoch e with last < e < cur;
+      // the retry must fold the side's still-missing (e, cur] slice and
+      // the main fold's full (last, cur] interval, and converge — not
+      // refuse with a drift diagnosis (which would misname the cause and
+      // force an O(base) FULL rebuild).
+      s.sql("DELETE FROM mvx3_base WHERE u = 'u4'").collect()
+      s.sql("INSERT INTO mvx3_base SELECT k + 100 AS k, 'g9' AS grp, " +
+        "'u7' AS u FROM mvx3_src WHERE k <= 4").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvx3").collect()
+      mv() shouldBe scratch()
+      // chains back in lockstep: the next interval folds clean
+      s.sql("DELETE FROM mvx3_base WHERE k = 7").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvx3").collect()
+      mv() shouldBe scratch()
+    }
+  }
+
+  test("materialized views: alias collisions are case-insensitive, like resolution") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 10L).map(k => (k, s"g${k % 2}", s"u${k % 3}"))
+        .toDF("k", "grp", "u").createOrReplaceTempView("mvci_src")
+      s.sql("CREATE TABLE mvci_base KEY k AS SELECT * FROM mvci_src")
+        .collect()
+      // `AS A` + `AS a` would resolve ambiguously AND derive the same
+      // count(DISTINCT) side-table root (auxRoot lowercases) — refused
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW mci AS SELECT grp, count(*) AS n, " +
+          "count(DISTINCT u) AS A, count(DISTINCT k) AS a " +
+          "FROM mvci_base GROUP BY grp").collect()
+      }.getMessage should include("duplicate aggregate aliases")
+      // a group key and an alias differing only by case collide too
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW mci AS SELECT grp, count(*) AS GRP " +
+          "FROM mvci_base GROUP BY grp").collect()
+      }.getMessage should include("collides with a GROUP BY key")
+      // neither failed CREATE leaked a binding
+      s.sql("SELECT count(*) FROM graft_catalog()").collect()(0)
+        .getLong(0) shouldBe 1L
+    }
+  }
+
+  test("materialized views: SHOW CREATE after RENAME emits a statement that recreates the NEW name") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 12L).map(k => (k, s"g${k % 3}")).toDF("k", "grp")
+        .createOrReplaceTempView("mvsc_src")
+      s.sql("CREATE TABLE mvsc_base KEY k AS SELECT * FROM mvsc_src")
+        .collect()
+      s.sql("CREATE MATERIALIZED VIEW mvsc AS SELECT grp, count(*) AS n " +
+        "FROM mvsc_base GROUP BY grp").collect()
+      s.sql("ALTER MATERIALIZED VIEW mvsc RENAME TO mvsc2").collect()
+      val stmt = s.sql("SHOW CREATE TABLE mvsc2").collect()(0).getString(1)
+      stmt should include("MATERIALIZED VIEW mvsc2 ")
+      stmt should not include "VIEW mvsc "
+      // the emitted statement really recreates the binding being shown
+      s.sql("DROP MATERIALIZED VIEW mvsc2").collect()
+      s.sql(stmt).collect()
+      s.sql("SELECT count(*) FROM mvsc2").collect()(0).getLong(0) shouldBe 3L
+      // and the rename still pins the refresh bookkeeping (incremental,
+      // not a from-init refold)
+      s.sql("DELETE FROM mvsc_base WHERE k = 1").collect()
+      val r = s.sql("REFRESH MATERIALIZED VIEW mvsc2").collect()(0)
+      r.getInt(2) - r.getInt(1) shouldBe 1
+    }
+  }
+
+  test("materialized views × base schema evolution: unreferenced changes fold; referenced ones refuse with repair guidance") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 30L).map(k => (k, s"g${k % 3}", k.toDouble, s"x$k"))
+        .toDF("k", "grp", "v", "extra").createOrReplaceTempView("mvse_src")
+      s.sql("CREATE TABLE mvse_base KEY k AS SELECT * FROM mvse_src")
+        .collect()
+      val root = graft.sources.LakeCatalog.lookup(s, "mvse_base").get
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvse AS
+          |SELECT grp, count(*) AS n, sum(v) AS sv, max(v) AS hi
+          |FROM mvse_base GROUP BY grp""".stripMargin).collect()
+      def mv() = s.sql(
+        "SELECT grp, n, CAST(sv AS DECIMAL(28,10)) AS sv, hi FROM mvse " +
+          "ORDER BY grp").collect().toSeq
+      def scratch() = s.sql(
+        """SELECT grp, count(*) AS n,
+          |CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv,
+          |max(v) AS hi FROM mvse_base GROUP BY grp ORDER BY grp"""
+          .stripMargin).collect().toSeq
+      // rename + drop of UNREFERENCED columns between refreshes: the
+      // fold follows the view's own references and lands from-scratch
+      s.sql(s"ALTER TABLE graft_lake('$root') RENAME COLUMN extra TO extra2")
+        .collect()
+      s.sql("DELETE FROM mvse_base WHERE k = 1").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvse").collect()
+      mv() shouldBe scratch()
+      s.sql(s"ALTER TABLE graft_lake('$root') DROP COLUMN extra2").collect()
+      s.sql("DELETE FROM mvse_base WHERE k = 2").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvse").collect()
+      mv() shouldBe scratch()
+      // rename of a REFERENCED column: the definition no longer
+      // analyzes — refuse BEFORE any fold work, with re-CREATE guidance
+      // (FULL cannot repair a definition naming a missing column)
+      s.sql(s"ALTER TABLE graft_lake('$root') RENAME COLUMN v TO v2")
+        .collect()
+      s.sql("DELETE FROM mvse_base WHERE k = 3").collect()
+      val eRename = intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvse").collect()
+      }.getMessage
+      eRename should include("no longer analyzes")
+      eRename should include("re-CREATE")
+      // FULL refuses too (the rebuild's CREATE-probe fails the same
+      // way) and loses nothing: the old binding is restored
+      intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvse FULL").collect()
+      }
+      graft.sources.LakeCatalog.kindOf(s, "mvse") shouldBe "materialized_view"
+      // renaming BACK repairs in place — the fold resumes and catches up
+      // on everything that happened while the name was broken
+      s.sql(s"ALTER TABLE graft_lake('$root') RENAME COLUMN v2 TO v")
+        .collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvse").collect()
+      mv() shouldBe scratch()
+      // drop of a REFERENCED column: same refusal family
+      s.sql(s"ALTER TABLE graft_lake('$root') DROP COLUMN v").collect()
+      intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvse").collect()
+      }.getMessage should include("no longer analyzes")
+      s.sql("DROP MATERIALIZED VIEW mvse").collect()
+    }
+  }
+
+  test("materialized views over a STAR JOIN: fact-feed fold, dim pinning, FULL re-pin") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 60L).map(k => (k, 1L + k % 5, k * 10.0))
+        .toDF("ok", "ck", "price").createOrReplaceTempView("mvj_osrc")
+      (1L to 5L).map(c => (c, s"seg${c % 2}"))
+        .toDF("c_id", "seg").createOrReplaceTempView("mvj_csrc")
+      s.sql("CREATE TABLE mvjt_fact KEY ok AS SELECT * FROM mvj_osrc")
+        .collect()
+      s.sql("CREATE TABLE mvjt_dim KEY c_id AS SELECT * FROM mvj_csrc")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvjt AS
+          |SELECT seg, count(*) AS n, sum(price) AS rev, max(price) AS hi,
+          |       count(DISTINCT ck) AS nc
+          |FROM mvjt_fact JOIN mvjt_dim ON ck = c_id
+          |GROUP BY seg""".stripMargin).collect()
+      def mv() = s.sql(
+        "SELECT seg, n, CAST(rev AS DECIMAL(28,10)) AS rev, hi, nc " +
+          "FROM mvjt ORDER BY seg").collect().toSeq
+      def scratch() = s.sql(
+        """SELECT seg, count(*) AS n,
+          |CAST(sum(CAST(price AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS rev,
+          |max(price) AS hi, count(DISTINCT ck) AS nc
+          |FROM mvjt_fact JOIN mvjt_dim ON ck = c_id
+          |GROUP BY seg ORDER BY seg""".stripMargin).collect().toSeq
+      mv() shouldBe scratch()
+      // fact-side DML: insert (new groups via the dim lookup), customer
+      // MOVE (the group change is visible only THROUGH the join), and an
+      // extremum-tying delete (rescan over the joined shape)
+      s.sql("INSERT INTO mvjt_fact SELECT ok + 100 AS ok, 3L AS ck, " +
+        "2000.0D AS price FROM mvj_osrc WHERE ok <= 4").collect()
+      s.sql("UPDATE mvjt_fact SET ck = 1 + (ck % 5) WHERE ok % 10 = 7")
+        .collect()
+      s.sql("DELETE FROM mvjt_fact WHERE price >= 590.0").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()
+      graft.sources.LakeMv.lastRescanGroups should be > 0L
+      mv() shouldBe scratch()
+      val r2 = s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()(0)
+      r2.getInt(1) shouldBe r2.getInt(2) // already fresh: no-op
+      // detail surfaces the star shape: 1 dim, currently un-stale
+      s.sql("SELECT n_dims, n_dims_stale FROM graft_mv_detail('mvjt')")
+        .collect()(0).toSeq shouldBe Seq(1, 0)
+      // a DIM write refuses the incremental fold (mixed dim epochs are
+      // the silent-corruption alternative) and names the repair
+      s.sql("UPDATE mvjt_dim SET seg = 'seg9' WHERE c_id = 3").collect()
+      s.sql("SELECT n_dims_stale FROM graft_mv_detail('mvjt')")
+        .collect()(0).getInt(0) shouldBe 1
+      s.sql("DELETE FROM mvjt_fact WHERE ok = 2").collect()
+      val e = intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()
+      }.getMessage
+      e should include("dimension table")
+      e should include("REFRESH MATERIALIZED VIEW mvjt FULL")
+      // FULL re-pins the dim and lands the new join result; incremental
+      // refresh then resumes against the re-pinned dim
+      s.sql("REFRESH MATERIALIZED VIEW mvjt FULL").collect()
+      mv() shouldBe scratch()
+      mv().map(_.getString(0)) should contain("seg9")
+      s.sql("DELETE FROM mvjt_fact WHERE ok = 4").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()
+      mv() shouldBe scratch()
+      // SHOW CREATE round-trips the join grammar
+      val stmt = s.sql("SHOW CREATE TABLE mvjt").collect()(0).getString(1)
+      stmt should include("JOIN mvjt_dim ON ck = c_id")
+      // refusals: a dim that is not a lake table; duplicate rel names
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW mvjt2 AS SELECT seg, count(*) AS n " +
+          "FROM mvjt_fact JOIN nowhere ON ck = c_id GROUP BY seg").collect()
+      }.getMessage should include("JOIN dimension")
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW mvjt2 AS SELECT ck, count(*) AS n " +
+          "FROM mvjt_fact JOIN mvjt_fact ON ck = c_id GROUP BY ck").collect()
+      }.getMessage should include("pairwise distinct")
+    }
+  }
+
+  test("materialized views × type widening: refuse the narrowing fold; REFRESH FULL rebuilds in the new type") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 24L).map(k => (k, s"g${k % 3}", (k * 10).toInt))
+        .toDF("k", "grp", "v").createOrReplaceTempView("mvw_src")
+      s.sql("CREATE TABLE mvw_base KEY k AS " +
+        "SELECT k, grp, CAST(v AS INT) AS v FROM mvw_src").collect()
+      val root = graft.sources.LakeCatalog.lookup(s, "mvw_base").get
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvw AS
+          |SELECT grp, count(*) AS n, max(v) AS hi
+          |FROM mvw_base GROUP BY grp""".stripMargin).collect()
+      def mv() = s.sql("SELECT grp, n, hi FROM mvw ORDER BY grp")
+        .collect().toSeq
+      def scratch() = s.sql(
+        """SELECT grp, count(*) AS n, max(v) AS hi FROM mvw_base
+          |GROUP BY grp ORDER BY grp""".stripMargin).collect().toSeq
+      // widen the max() argument INT → BIGINT: the state stores the
+      // CREATE-time INT extremum, so an incremental fold would narrow
+      // new values through a lossy cast — refuse, naming the repair that
+      // genuinely works here (FULL rebuilds the state in the new type)
+      s.sql(s"ALTER TABLE graft_lake('$root') ALTER COLUMN v TYPE BIGINT")
+        .collect()
+      s.sql("INSERT INTO mvw_base SELECT 100L AS k, 'g0' AS grp, " +
+        "CAST(5000000000 AS BIGINT) AS v").collect() // > Int.MaxValue
+      val e = intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvw").collect()
+      }.getMessage
+      e should include("type changed")
+      e should include("REFRESH MATERIALIZED VIEW mvw FULL")
+      s.sql("REFRESH MATERIALIZED VIEW mvw FULL").collect()
+      mv() shouldBe scratch()
+      mv().find(_.getString(0) == "g0").get.getLong(2) shouldBe 5000000000L
+      // incremental refresh resumes in the new type — including the
+      // extremum-tying-delete rescan path
+      s.sql("DELETE FROM mvw_base WHERE k = 100").collect() // ties g0's max
+      s.sql("REFRESH MATERIALIZED VIEW mvw").collect()
+      graft.sources.LakeMv.lastRescanGroups should be > 0L
+      mv() shouldBe scratch()
+    }
+  }
 }
