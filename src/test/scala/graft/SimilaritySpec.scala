@@ -128,6 +128,39 @@ class SimilaritySpec extends SparkTestBase {
     rL should be > ens
   }
 
+  test("staged IVF→int8→exact: sub-linear exact mass (≤ 0.2) at recall@5 ≥ 0.8, both scales") {
+    // the SUB-LINEAR high-recall point: the hi-res probe's candidates
+    // are scored on int8 codes (integer dot — no float vector touched),
+    // and only the quantized top-ScreenFrac survive to the exact
+    // rerank — so the float budget per query is ceil(n · 0.15), under
+    // the ≤ 0.2 contract BY CONSTRUCTION, while int8's ~1/254-per-dim
+    // error keeps the true neighbors inside the screen. (A 4×50 PQ
+    // screen was measured at 0.68 here — this corpus's near-random
+    // geometry defeats coarse codebooks.) The measured recalls ARE the
+    // floors (deterministic pipeline).
+    val sfL = "/root/testdata/sf0.1"
+    def measure(dir: String): (Double, Double) = {
+      val exact = pairs(Similarity.simTopkBruteforce(spark, dir))
+      val staged = pairs(Similarity.simTopkIvfQ8(spark, dir))
+      val n = graft.sources.Tables.embeddings(spark, dir).count()
+      val exactMass = math.ceil(n * Similarity.ScreenFrac) / n
+      ((exact & staged).size.toDouble / exact.size, exactMass)
+    }
+    val (rS, mS) = measure(sf)
+    val (rL, mL) = measure(sfL)
+    info(f"staged IVF-int8 recall@5: sf0.01=$rS%.3f sf0.1=$rL%.3f; " +
+      f"exact mass: $mS%.3f / $mL%.3f")
+    withClue(s"recall sf0.01=$rS sf0.1=$rL mass=$mS/$mL: ") {
+      mS should be <= 0.2 // the sub-linear contract
+      mL should be <= 0.2
+      // measured at pin time — matching the hi-res point's recall
+      // (0.88/0.90) at ~1/4 of its float-scored mass: the int8 screen
+      // loses nothing on this corpus
+      rS should be >= 0.88
+      rL should be >= 0.90
+    }
+  }
+
   test("recall does not decay with corpus growth: sf0.1 within band of sf0.01") {
     // the codebook pipeline (stride seeds + one Lloyd step) is
     // corpus-size-independent by construction; this pins that its QUALITY
