@@ -4658,6 +4658,28 @@ class LakeTable(spark: SparkSession, val root: String) {
     None
   }
 
+  /** The newest epoch-tagged commit (this table's version, its epoch id)
+    * whose epoch id is ≤ `maxEpoch` — the [[latestEpoch]] walk with an
+    * upper bound, for pinned reads through an epoch-keyed consumer (the
+    * MV `VERSION AS OF <base version>` read resolves its state snapshot
+    * here). Same retained-chain caveat as [[latestEpoch]]: a vacuumed
+    * stretch ends the walk at the newest surviving tags. */
+  def versionAtEpoch(appId: String, maxEpoch: Long): Option[(Int, Long)] = {
+    val prefix = if (appId.isEmpty) "merge-epoch-" else s"merge-epoch-$appId-"
+    var v = latestVersion
+    while (v >= 0) {
+      if (hasVersion(v)) {
+        val op = readDelta(v).operation
+        if (op.startsWith(prefix)) {
+          val id = op.stripPrefix(prefix).toLongOption
+          id.filter(_ <= maxEpoch).foreach(e => return Some((v, e)))
+        }
+      }
+      v -= 1
+    }
+    None
+  }
+
   /** [[mergeInto]] tagged with a streaming epoch — the conditional-clause
     * twin of [[mergeEpoch]], same at-most-once contract per (appId,
     * epoch). The MV refresh commits its fold through this: epoch id =

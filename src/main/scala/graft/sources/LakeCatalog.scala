@@ -64,12 +64,24 @@ object LakeCatalog {
     * list, predicate, original query text). */
   private val MvMarker = "graft-mv:\n"
 
-  /** Names are plain SQL identifiers (letter/underscore head, then
+  /** Name PARTS are plain SQL identifiers (letter/underscore head, then
     * letters/digits/underscores), compared case-insensitively — stored
     * lowercase, like Spark's default session catalog. */
   def isValidName(name: String): Boolean =
     name.nonEmpty && (name.head.isLetter || name.head == '_') &&
       name.forall(c => c.isLetterOrDigit || c == '_')
+
+  /** A catalog-addressable name: one part (`sales`) or two
+    * (`ns.sales` — the namespaced form real deployments use). The
+    * namespace is part of the binding key, encoded straight into the
+    * entry-file name (`ns.sales.tbl` — a single-part name can never
+    * contain a dot, so the spellings cannot alias); there is no
+    * namespace object to create or drop. Three or more parts are never
+    * ours (`spark_catalog.db.t` belongs to Spark). */
+  def isValidQualified(name: String): Boolean = {
+    val parts = name.split("\\.", -1)
+    parts.nonEmpty && parts.length <= 2 && parts.forall(isValidName)
+  }
 
   def catalogDir(spark: SparkSession): Path = new Path(
     spark.conf.get("spark.graft.catalog.dir",
@@ -106,9 +118,10 @@ object LakeCatalog {
     * in `LakeSqlDmlSpec`). Genuine filesystem failures propagate as
     * themselves — only the lost race reports "already bound". */
   def register(spark: SparkSession, name: String, root: String): Unit = {
-    require(isValidName(name),
-      s"'$name' is not a valid table name (letters, digits, underscores; " +
-        "must not start with a digit)")
+    require(isValidQualified(name),
+      s"'$name' is not a valid table name (one or two dot-separated " +
+        "identifier parts: letters, digits, underscores; no part may " +
+        "start with a digit)")
     val p = entryPath(spark, name)
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
@@ -157,9 +170,10 @@ object LakeCatalog {
     * orphan the table's data from SQL reach. */
   def registerView(spark: SparkSession, name: String, sql: String,
                    orReplace: Boolean = false): Unit = {
-    require(isValidName(name),
-      s"'$name' is not a valid view name (letters, digits, underscores; " +
-        "must not start with a digit)")
+    require(isValidQualified(name),
+      s"'$name' is not a valid view name (one or two dot-separated " +
+        "identifier parts: letters, digits, underscores; no part may " +
+        "start with a digit)")
     require(sql.trim.nonEmpty, s"CREATE VIEW $name: empty view query")
     val p = entryPath(spark, name)
     val f = fs(spark, p)
@@ -197,7 +211,7 @@ object LakeCatalog {
     * the same precedence as the SQL surfaces, and spelled paths are
     * always available to disambiguate. */
   def resolvePathOrName(spark: SparkSession, p: String): String =
-    if (!p.contains('/') && !p.contains('\\') && isValidName(p))
+    if (!p.contains('/') && !p.contains('\\') && isValidQualified(p))
       lookup(spark, p).getOrElse {
         // a view has no storage — "reading the path" of one is always a
         // mistake, and falling through to a file-not-found would bury it
@@ -218,7 +232,7 @@ object LakeCatalog {
     * design — one stat + one short read of a tiny file; called at parse/
     * analysis time only. */
   private def lookupEntry(spark: SparkSession, name: String): Option[String] = {
-    if (!isValidName(name)) return None
+    if (!isValidQualified(name)) return None
     val p = entryPath(spark, name)
     val f = fs(spark, p)
     if (!f.exists(p)) None
@@ -254,9 +268,10 @@ object LakeCatalog {
     * one-namespace claim as tables and views; no replace form — an MV
     * carries STATE, so redefinition is DROP + CREATE by design. */
   def registerMv(spark: SparkSession, name: String, serialized: String): Unit = {
-    require(isValidName(name),
-      s"'$name' is not a valid materialized view name (letters, digits, " +
-        "underscores; must not start with a digit)")
+    require(isValidQualified(name),
+      s"'$name' is not a valid materialized view name (one or two " +
+        "dot-separated identifier parts: letters, digits, underscores; " +
+        "no part may start with a digit)")
     val p = entryPath(spark, name)
     val f = fs(spark, p)
     f.mkdirs(p.getParent)
@@ -277,9 +292,10 @@ object LakeCatalog {
     * Refuses cross-kind with the right verb. */
   def renameEntry(spark: SparkSession, name: String, newName: String,
                   wantedKind: String): String = {
-    require(isValidName(newName),
-      s"'$newName' is not a valid name (letters, digits, underscores; " +
-        "must not start with a digit)")
+    require(isValidQualified(newName),
+      s"'$newName' is not a valid name (one or two dot-separated " +
+        "identifier parts: letters, digits, underscores; no part may " +
+        "start with a digit)")
     val kind = kindOf(spark, name)
     val verb = wantedKind match {
       case "view" => "ALTER VIEW"
@@ -423,30 +439,32 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
     // one catalog lookup per distinct name per rule application — the
     // guard and the rewrite body share the memo, so a resolved relation
     // costs one stat+read and an unresolvable name one stat, per pass
+    // one- or TWO-part names resolve (`sales`, `ns.sales` — the
+    // namespace is part of the binding key); three or more parts are
+    // never ours. Spark's own resolution still runs first, so a real
+    // database named `ns` keeps shadowing the graft namespace.
+    def nameOf(u: UnresolvedRelation): Option[String] =
+      if (u.multipartIdentifier.length <= 2 && !u.isStreaming)
+        Some(u.multipartIdentifier.mkString("."))
+      else None
     val memo = scala.collection.mutable.HashMap.empty[String, Option[String]]
     def rootOf(p: LogicalPlan): Option[String] = p match {
-      case u: UnresolvedRelation
-          if u.multipartIdentifier.length == 1 && !u.isStreaming =>
-        val n = u.multipartIdentifier.head
-        memo.getOrElseUpdate(n.toLowerCase, LakeCatalog.lookup(spark, n))
+      case u: UnresolvedRelation => nameOf(u).flatMap(n =>
+        memo.getOrElseUpdate(n.toLowerCase, LakeCatalog.lookup(spark, n)))
       case _ => None
     }
     val viewMemo = scala.collection.mutable.HashMap.empty[String, Option[String]]
     def viewOf(p: LogicalPlan): Option[(String, String)] = p match {
-      case u: UnresolvedRelation
-          if u.multipartIdentifier.length == 1 && !u.isStreaming =>
-        val n = u.multipartIdentifier.head
+      case u: UnresolvedRelation => nameOf(u).flatMap(n =>
         viewMemo.getOrElseUpdate(n.toLowerCase,
-          LakeCatalog.lookupView(spark, n)).map(n -> _)
+          LakeCatalog.lookupView(spark, n)).map(n -> _))
       case _ => None
     }
     val mvMemo = scala.collection.mutable.HashMap.empty[String, Option[String]]
     def mvOf(p: LogicalPlan): Option[(String, String)] = p match {
-      case u: UnresolvedRelation
-          if u.multipartIdentifier.length == 1 && !u.isStreaming =>
-        val n = u.multipartIdentifier.head
+      case u: UnresolvedRelation => nameOf(u).flatMap(n =>
         mvMemo.getOrElseUpdate(n.toLowerCase,
-          LakeCatalog.lookupMv(spark, n)).map(n -> _)
+          LakeCatalog.lookupMv(spark, n)).map(n -> _))
       case _ => None
     }
     // refusal pre-pass, BEFORE the bottom-up rewrite (which would expand
@@ -475,7 +493,7 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
           if rootOf(i.table).isDefined =>
         throw new IllegalArgumentException(
-          s"'${(i.table: @unchecked) match { case u: UnresolvedRelation => u.multipartIdentifier.head }}' " +
+          s"'${(i.table: @unchecked) match { case u: UnresolvedRelation => u.multipartIdentifier.mkString(".") }}' " +
             "is a graft lake table — this INSERT form is not supported " +
             "on it. Use INSERT INTO <name> <query> (the lake append), " +
             "MERGE INTO for upserts, or DELETE + INSERT / RESTORE in " +
@@ -483,21 +501,19 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
       case RelationTimeTravel(rel, _, _) if viewOf(rel).isDefined =>
         throw new IllegalArgumentException(
           s"'${viewOf(rel).get._1}' is a graft catalog VIEW — time travel " +
-            "pins a TABLE snapshot; pin the view's base tables instead")
-      case RelationTimeTravel(rel, _, _) if mvOf(rel).isDefined =>
-        throw new IllegalArgumentException(
-          s"'${mvOf(rel).get._1}' is a graft catalog MATERIALIZED VIEW — " +
-            "time travel pins a TABLE snapshot; pin the base table, or " +
-            "the MV's state table root, instead")
+            "pins a snapshot, and a plain view materializes nothing to " +
+            "pin; pin the view's base tables instead")
       case _ =>
     }
     // every resolution wraps in SubqueryAlias(<name>, …): the spliced
     // body's attributes are unqualified (parquet scans), and without the
     // alias `SELECT sales.k FROM sales` / `… ON v.k = t.k` would fail to
     // resolve — the same wrapping Spark's own view/table resolution does
+    // a two-part name aliases as its LAST part, like Spark's own
+    // db.table resolution (`SELECT t.c FROM ns.t` resolves)
     def aliased(name: String, p: LogicalPlan): LogicalPlan =
       org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
-        name.toLowerCase, p)
+        name.toLowerCase.split("\\.").last, p)
     plan.resolveOperatorsUp {
       case u: UnresolvedRelation if viewOf(u).isDefined =>
         val (name, sql) = viewOf(u).get
@@ -506,6 +522,29 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
         val (name, raw) = mvOf(u).get
         aliased(name,
           LakeMv.readDf(spark, LakeMv.parseDef(raw)).queryExecution.analyzed)
+      // MV pinned reads: VERSION AS OF pins a BASE version (the newest
+      // refresh folded to ≤ it — what readers saw while the base stood
+      // there); TIMESTAMP AS OF pins the state chain's wall clock
+      case RelationTimeTravel(rel, ts, ver) if mvOf(rel).isDefined =>
+        val (name, raw) = mvOf(rel).get
+        val d = LakeMv.parseDef(raw)
+        val df = ver match {
+          case Some(s) => LakeMv.readAtDf(spark, name, d,
+            s.toIntOption.getOrElse(throw new IllegalArgumentException(
+              "VERSION AS OF on a materialized view pins a BASE table " +
+                s"version and needs an integer, got: $s")))
+          case None => ts match {
+            case Some(Literal(u: UTF8String, StringType)) =>
+              LakeMv.readAtTsDf(spark, name, d,
+                Lake.parseTsMillis(u.toString))
+            case Some(e) if e.foldable =>
+              LakeMv.readAtTsDf(spark, name, d,
+                Lake.parseTsMillis(String.valueOf(e.eval())))
+            case other => throw new IllegalArgumentException(
+              "TIMESTAMP AS OF needs a literal timestamp, got: " + other)
+          }
+        }
+        aliased(name, df.queryExecution.analyzed)
       case tt @ RelationTimeTravel(rel, ts, ver) if rootOf(rel).isDefined =>
         val t = new LakeTable(spark, rootOf(rel).get)
         val v = ver match {
@@ -523,10 +562,10 @@ class LakeNameResolution(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         }
         aliased(rel.asInstanceOf[UnresolvedRelation]
-            .multipartIdentifier.head,
+            .multipartIdentifier.mkString("."),
           t.snapshot(v).queryExecution.analyzed)
       case u: UnresolvedRelation if rootOf(u).isDefined =>
-        aliased(u.multipartIdentifier.head,
+        aliased(u.multipartIdentifier.mkString("."),
           new LakeTable(spark, rootOf(u).get).read().queryExecution.analyzed)
     }
   }

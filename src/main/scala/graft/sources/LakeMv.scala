@@ -1112,4 +1112,47 @@ object LakeMv {
     val p = readProjection(new LakeTable(spark, d.stateRoot).read(), d)
     d.havingSql.map(h => p.filter(expr(h))).getOrElse(p)
   }
+
+  /** `SELECT … FROM <mv> VERSION AS OF <baseV>` — the PINNED read: the
+    * view's content as of BASE version `baseV`, i.e. the state snapshot
+    * of the NEWEST refresh whose fold target is ≤ baseV (between
+    * refreshes the view serves its last fold — that staleness IS the MV
+    * contract, so the pinned read reproduces exactly what a reader saw
+    * while the base stood at baseV). Resolution walks the state table's
+    * own epoch tags ([[LakeTable.versionAtEpoch]]); a baseV at or past
+    * the pinned init version with no tagged refresh yet serves the
+    * CREATE build (state v0). Before the init version there is nothing
+    * to serve — the view never reflected that base — and a `REFRESH …
+    * FULL` swap starts a fresh state chain, so pins older than the
+    * rebuild refuse the same way (the old chain stays addressable at its
+    * root for forensics). HAVING applies over the pinned projection, as
+    * at the live read. */
+  def readAtDf(spark: SparkSession, name: String, d: MvDef,
+               baseV: Int): DataFrame = {
+    val st = new LakeTable(spark, d.stateRoot)
+    val app = d.appId.getOrElse(appIdOf(name))
+    val stateV = st.versionAtEpoch(app, baseV.toLong) match {
+      case Some((sv, _)) => sv
+      case None if baseV >= d.initVersion => 0 // the CREATE build
+      case None => throw new IllegalArgumentException(
+        s"SELECT … FROM $name VERSION AS OF $baseV: the view has no " +
+          s"state for base version $baseV — it was built at base " +
+          s"v${d.initVersion} (an earlier pin may also predate a " +
+          "REFRESH … FULL rebuild, whose previous state chain stays " +
+          "addressable at its old root for forensics)")
+    }
+    val p = readProjection(st.snapshot(stateV), d)
+    d.havingSql.map(h => p.filter(expr(h))).getOrElse(p)
+  }
+
+  /** `SELECT … FROM <mv> TIMESTAMP AS OF '<ts>'` — what the view SERVED
+    * at wall-clock `millis`: plain time travel on the state table's own
+    * commit chain (the projection shape is today's — the definition is
+    * immutable between CREATEs). */
+  def readAtTsDf(spark: SparkSession, name: String, d: MvDef,
+                 millis: Long): DataFrame = {
+    val st = new LakeTable(spark, d.stateRoot)
+    val p = readProjection(st.snapshot(st.versionAt(millis)), d)
+    d.havingSql.map(h => p.filter(expr(h))).getOrElse(p)
+  }
 }

@@ -452,8 +452,8 @@ object GraftSqlParser {
     lakeTargetPath(sc).orElse {
       val mark = sc.pos
       sc.identOpt() match {
-        case Some(name) if !name.contains(".") &&
-            graft.sources.LakeCatalog.isValidName(name) =>
+        case Some(name)
+            if graft.sources.LakeCatalog.isValidQualified(name) =>
           val hit = graft.sources.LakeCatalog.lookup(SparkSession.active, name)
           if (hit.isEmpty) {
             // a VIEW / MATERIALIZED VIEW name under a storage verb is a
@@ -534,8 +534,7 @@ object GraftSqlParser {
       } else false
     }
     val name = sc.identOpt().getOrElse(return None)
-    if (name.contains(".") ||
-        !graft.sources.LakeCatalog.isValidName(name)) return None
+    if (!graft.sources.LakeCatalog.isValidQualified(name)) return None
     if (ifNotExists &&
         graft.sources.LakeCatalog
           .lookup(SparkSession.active, name).isDefined) {
@@ -598,8 +597,7 @@ object GraftSqlParser {
       fail("CREATE OR REPLACE VIEW cannot combine with IF NOT EXISTS — " +
         "pick one: replace the binding, or keep it")
     val name = sc.identOpt().getOrElse(return None)
-    if (name.contains(".") ||
-        !graft.sources.LakeCatalog.isValidName(name)) return None
+    if (!graft.sources.LakeCatalog.isValidQualified(name)) return None
     if (!sc.keyword("AS")) return None // column lists etc. = Spark's DDL
     val body = sc.restStmt()
     if (body.isEmpty) fail(s"CREATE VIEW $name AS needs a query")
@@ -689,10 +687,9 @@ object GraftSqlParser {
   private def parseCreateMv(sc: Scan, sqlText: String): Option[LogicalPlan] = {
     sc.expect("VIEW")
     val name = sc.ident()
-    if (name.contains(".") ||
-        !graft.sources.LakeCatalog.isValidName(name))
-      fail(s"CREATE MATERIALIZED VIEW: '$name' is not a valid single-part " +
-        "name")
+    if (!graft.sources.LakeCatalog.isValidQualified(name))
+      fail(s"CREATE MATERIALIZED VIEW: '$name' is not a valid one- or " +
+        "two-part name")
     sc.expect("AS")
     sc.expect("SELECT")
     val selectText = sc.until(Seq("FROM"))
@@ -701,9 +698,9 @@ object GraftSqlParser {
     val dims = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     while (sc.keyword("JOIN")) {
       val dn = sc.ident()
-      if (dn.contains(".") || !graft.sources.LakeCatalog.isValidName(dn))
+      if (!graft.sources.LakeCatalog.isValidQualified(dn))
         fail(s"CREATE MATERIALIZED VIEW $name: '$dn' is not a valid " +
-          "single-part JOIN table name")
+          "one- or two-part JOIN table name")
       sc.expect("ON")
       val on = sc.until(Seq("JOIN", "WHERE", "GROUP"))
       if (on.trim.isEmpty)
@@ -786,8 +783,9 @@ object GraftSqlParser {
         val ifExists = sawIf && sc.keyword("EXISTS")
         if (sawIf && !ifExists) None
         else sc.identOpt() match {
-          case Some(name) if !name.contains(".") &&
-              graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() =>
+          case Some(name)
+              if graft.sources.LakeCatalog.isValidQualified(name) &&
+                sc.atEnd() =>
             val kind = graft.sources.LakeCatalog
               .kindOf(SparkSession.active, name)
             val wanted =
@@ -879,8 +877,8 @@ object GraftSqlParser {
         // anything else (Spark's ALTER VIEW AS / SET TBLPROPERTIES, or
         // an unbound/multipart name) delegates untouched
         sc.identOpt() match {
-          case Some(name) if !name.contains(".") &&
-              graft.sources.LakeCatalog.isValidName(name) &&
+          case Some(name)
+              if graft.sources.LakeCatalog.isValidQualified(name) &&
               sc.keyword("RENAME") &&
               graft.sources.LakeCatalog
                 .kindOf(SparkSession.active, name) != "unbound" =>
@@ -897,8 +895,8 @@ object GraftSqlParser {
       // itself, which needs the name, not the root). If lakeTarget
       // resolved a bare identifier, the catalog bound it by construction.
       val mark = sc.pos
-      val targetIdent = sc.identOpt().filter(n => !n.contains(".") &&
-        graft.sources.LakeCatalog.isValidName(n))
+      val targetIdent = sc.identOpt()
+        .filter(graft.sources.LakeCatalog.isValidQualified)
       sc.seek(mark)
       lakeTarget(sc).map { root =>
         if (sc.keyword("RENAME")) {
@@ -1030,19 +1028,36 @@ object GraftSqlParser {
       }
     } else if (sc.keyword("SHOW")) {
       // bare SHOW TABLES = the graft catalog listing (name, kind,
-      // target) — the statement form of graft_catalog(). SHOW CREATE
-      // TABLE <bound name> = the recreating statement (view/MV bodies
-      // verbatim; tables as the LOCATION-adopting CREATE, since the
-      // binding is a pointer and the data lives at the root). Any other
-      // form (IN <db>, LIKE …, SHOW VIEWS, unbound names) delegates.
-      if (sc.keyword("TABLES") && sc.atEnd()) Some(LakeShowTablesCommand())
+      // target) — the statement form of graft_catalog(). SHOW TABLES IN
+      // <ns> = the listing scoped to one graft NAMESPACE — captured only
+      // when the namespace actually holds graft bindings, so Spark's own
+      // SHOW TABLES IN <database> surface stays untouched for its
+      // databases. SHOW CREATE TABLE <bound name> = the recreating
+      // statement (view/MV bodies verbatim; tables as the
+      // LOCATION-adopting CREATE, since the binding is a pointer and the
+      // data lives at the root). Any other form (LIKE …, SHOW VIEWS,
+      // unbound names/namespaces) delegates.
+      if (sc.keyword("TABLES")) {
+        if (sc.atEnd()) Some(LakeShowTablesCommand())
+        else if (sc.keyword("IN")) sc.identOpt() match {
+          case Some(ns) if graft.sources.LakeCatalog.isValidName(ns) &&
+              sc.atEnd() &&
+              graft.sources.LakeCatalog
+                .list(SparkSession.active)
+                .exists(_._1.startsWith(ns.toLowerCase + ".")) =>
+            Some(LakeShowTablesCommand(Some(ns)))
+          case _ => None // Spark's SHOW TABLES IN <database>
+        }
+        else None
+      }
       else if (sc.keyword("CREATE")) {
         if (!sc.keyword("TABLE")) None
         else sc.identOpt() match {
-          case Some(name) if !name.contains(".") &&
-              graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&
-              graft.sources.LakeCatalog
-                .kindOf(SparkSession.active, name) != "unbound" =>
+          case Some(name)
+              if graft.sources.LakeCatalog.isValidQualified(name) &&
+                sc.atEnd() &&
+                graft.sources.LakeCatalog
+                  .kindOf(SparkSession.active, name) != "unbound" =>
             Some(LakeShowCreateCommand(name))
           case _ => None
         }
@@ -1063,10 +1078,11 @@ object GraftSqlParser {
       } else {
         sc.keyword("TABLE") // optional, as in Spark's grammar
         sc.identOpt() match {
-          case Some(name) if !name.contains(".") &&
-              graft.sources.LakeCatalog.isValidName(name) && sc.atEnd() &&
-              graft.sources.LakeCatalog
-                .kindOf(SparkSession.active, name) != "unbound" =>
+          case Some(name)
+              if graft.sources.LakeCatalog.isValidQualified(name) &&
+                sc.atEnd() &&
+                graft.sources.LakeCatalog
+                  .kindOf(SparkSession.active, name) != "unbound" =>
             Some(LakeDescribeCommand(name))
           case _ => None
         }
@@ -1735,10 +1751,14 @@ case class LakeRenameViewCommand(name: String, newName: String,
   }
 }
 
-/** Bare `SHOW TABLES` — the graft catalog listing as rows, the statement
-  * spelling of the `graft_catalog()` table function: (name, kind ∈
-  * table|view|materialized_view, target = root path or query text). */
-case class LakeShowTablesCommand() extends LeafRunnableCommand {
+/** `SHOW TABLES [IN <ns>]` — the graft catalog listing as rows, the
+  * statement spelling of the `graft_catalog()` table function: (name,
+  * kind ∈ table|view|materialized_view, target = root path or query
+  * text). With `IN <ns>`, only the bindings under that graft namespace
+  * (names spelled `ns.x`); the parser captures the IN form only when
+  * the namespace holds graft bindings, so Spark's databases delegate. */
+case class LakeShowTablesCommand(ns: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("name", org.apache.spark.sql.types.StringType,
       nullable = false)(),
@@ -1747,9 +1767,9 @@ case class LakeShowTablesCommand() extends LeafRunnableCommand {
     AttributeReference("target", org.apache.spark.sql.types.StringType,
       nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    graft.sources.LakeCatalog.list(spark).map {
-      case (n, k, t) => Row(n, k, t)
-    }
+    graft.sources.LakeCatalog.list(spark)
+      .filter(e => ns.forall(n => e._1.startsWith(n.toLowerCase + ".")))
+      .map { case (n, k, t) => Row(n, k, t) }
 }
 
 /** `SHOW CREATE TABLE <bound name>` — the statement that recreates the

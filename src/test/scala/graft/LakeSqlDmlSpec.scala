@@ -1468,12 +1468,17 @@ class LakeSqlDmlSpec extends SparkTestBase {
       intercept[Exception] {
         s.sql("SELECT * FROM vwr_late").collect()
       }.getMessage should include("stale")
-      // TEMP VIEW DDL and multipart names delegate untouched
+      // TEMP VIEW DDL delegates untouched
       s.sql("CREATE TEMPORARY VIEW vwr_tmp AS SELECT 1 AS one")
       s.sql("SELECT one FROM vwr_tmp").collect()(0).getInt(0) shouldBe 1
       s.sql("DROP VIEW vwr_tmp") // Spark's own temp view, Spark's own DROP
+      // a TWO-part name is a graft NAMESPACE binding (round 17); THREE
+      // or more parts are never ours and delegate untouched
+      s.sql("CREATE VIEW db.vwr_m AS SELECT 1 AS one").collect()
+      s.sql("SELECT one FROM db.vwr_m").collect()(0).getInt(0) shouldBe 1
+      s.sql("DROP VIEW db.vwr_m").collect()
       val multi = intercept[Exception] {
-        s.sql("CREATE VIEW db.vwr_m AS SELECT 1 AS one").collect()
+        s.sql("CREATE VIEW cat.db.vwr_m AS SELECT 1 AS one").collect()
       }
       multi.getMessage.toLowerCase should not include "graft"
       // a TEMP VIEW sharing a graft view's name shadows it on reads
@@ -2096,9 +2101,9 @@ class LakeSqlDmlSpec extends SparkTestBase {
       intercept[Exception] {
         s.sql("OPTIMIZE m_ok BINPACK 10").collect()
       }.getMessage should include("MATERIALIZED VIEW")
-      intercept[Exception] {
-        s.sql("SELECT * FROM m_ok VERSION AS OF 0").collect()
-      }.getMessage should include("time travel")
+      // VERSION AS OF on an MV is a supported pinned read since round 17
+      // (covered by its own test — here just that it is no refusal)
+      s.sql("SELECT * FROM m_ok VERSION AS OF 0").collect().length shouldBe 3
       intercept[Exception] {
         s.sql("SELECT * FROM graft_lake_history('m_ok')").collect()
       }.getMessage should include("MATERIALIZED VIEW")
@@ -2384,6 +2389,136 @@ class LakeSqlDmlSpec extends SparkTestBase {
         s.sql("REFRESH MATERIALIZED VIEW mvse").collect()
       }.getMessage should include("no longer analyzes")
       s.sql("DROP MATERIALIZED VIEW mvse").collect()
+    }
+  }
+
+  test("namespaced names: ns.table lifecycle, scoping, shadowing, delegation") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 30L).map(k => (k, s"g${k % 3}", k * 2.0))
+        .toDF("k", "grp", "v").createOrReplaceTempView("nsq_src")
+      // full lifecycle under a two-part name
+      s.sql("CREATE TABLE sales.orders KEY k AS SELECT * FROM nsq_src")
+        .collect()
+      s.sql("SELECT count(*) FROM sales.orders").collect()(0)
+        .getLong(0) shouldBe 30L
+      // the relation aliases as its LAST part, like Spark's db.table
+      s.sql("SELECT orders.k FROM sales.orders WHERE orders.k = 3")
+        .collect()(0).getLong(0) shouldBe 3L
+      s.sql("UPDATE sales.orders SET v = 0.0 WHERE k = 1").collect()
+      s.sql("INSERT INTO sales.orders SELECT k + 100 AS k, 'g9' AS grp, " +
+        "1.0D AS v FROM nsq_src WHERE k <= 2").collect()
+      s.sql("DELETE FROM sales.orders WHERE k = 2").collect()
+      s.sql("SELECT count(*) FROM sales.orders").collect()(0)
+        .getLong(0) shouldBe 31L
+      // the SAME bare name is a DIFFERENT binding — no cross-shadowing
+      s.sql("CREATE TABLE orders KEY k AS SELECT * FROM nsq_src WHERE k <= 5")
+        .collect()
+      s.sql("SELECT count(*) FROM orders").collect()(0).getLong(0) shouldBe 5L
+      s.sql("SELECT count(*) FROM sales.orders").collect()(0)
+        .getLong(0) shouldBe 31L
+      // views and MVs namespace the same way
+      s.sql("CREATE VIEW sales.big AS SELECT * FROM sales.orders " +
+        "WHERE v >= 40.0").collect()
+      s.sql("SELECT count(*) FROM sales.big").collect()(0).getLong(0) should be > 0L
+      s.sql("CREATE MATERIALIZED VIEW sales.by_grp AS " +
+        "SELECT grp, count(*) AS n FROM sales.orders GROUP BY grp").collect()
+      s.sql("DELETE FROM sales.orders WHERE k = 3").collect()
+      s.sql("REFRESH MATERIALIZED VIEW sales.by_grp").collect()
+      s.sql("SELECT grp, n FROM sales.by_grp ORDER BY grp").collect().toSeq shouldBe
+        s.sql("SELECT grp, count(*) AS n FROM sales.orders GROUP BY grp " +
+          "ORDER BY grp").collect().toSeq
+      // catalog statements speak the namespace
+      s.sql("SHOW TABLES IN sales").collect().map(_.getString(0)).toSeq
+        .sorted shouldBe Seq("sales.big", "sales.by_grp", "sales.orders")
+      s.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq should
+        contain("orders")
+      s.sql("DESCRIBE sales.orders").collect().map(_.getString(0)) should
+        contain("root")
+      s.sql("SHOW CREATE TABLE sales.orders").collect()(0).getString(1) should
+        include("CREATE TABLE sales.orders")
+      // rename moves bindings ACROSS namespaces (metadata-only)
+      s.sql("ALTER TABLE sales.orders RENAME TO archive.orders").collect()
+      s.sql("SELECT count(*) FROM archive.orders").collect()(0)
+        .getLong(0) shouldBe 30L
+      intercept[Exception] {
+        s.sql("SELECT * FROM sales.orders").collect()
+      }
+      // the MV keeps working through ITS name (it pins the base ROOT,
+      // not the name — renames never orphan it)
+      s.sql("DELETE FROM archive.orders WHERE k = 4").collect()
+      s.sql("REFRESH MATERIALIZED VIEW sales.by_grp").collect()
+      s.sql("SELECT sum(n) FROM sales.by_grp").collect()(0)
+        .getLong(0) shouldBe 29L
+      // delegation: unbound namespaces stay Spark's — both SHOW and read
+      intercept[Exception] {
+        s.sql("SHOW TABLES IN no_such_ns").collect()
+      }.getMessage.toLowerCase should include("schema")
+      intercept[Exception] {
+        s.sql("SELECT * FROM no_such_ns.t").collect()
+      }.getMessage should include("TABLE_OR_VIEW_NOT_FOUND")
+      // three-part names are never ours
+      intercept[Exception] {
+        s.sql("SELECT * FROM cat.db.t").collect()
+      }
+      // DROP by qualified name
+      s.sql("DROP MATERIALIZED VIEW sales.by_grp").collect()
+      s.sql("DROP VIEW sales.big").collect()
+      s.sql("DROP TABLE archive.orders").collect()
+      s.sql("SHOW TABLES").collect().map(_.getString(0)).toSeq shouldBe
+        Seq("orders")
+    }
+  }
+
+  test("materialized views: VERSION AS OF pins a base version, TIMESTAMP AS OF the wall clock") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 20L).map(k => (k, s"g${k % 2}")).toDF("k", "grp")
+        .createOrReplaceTempView("mvtt_src")
+      s.sql("CREATE TABLE mvtt_base KEY k AS SELECT * FROM mvtt_src")
+        .collect() // base v0
+      s.sql("DELETE FROM mvtt_base WHERE k = 20").collect() // base v1
+      // the MV pins init at base v1 — so v0 predates the view entirely
+      s.sql("CREATE MATERIALIZED VIEW mvtt AS SELECT grp, count(*) AS n " +
+        "FROM mvtt_base GROUP BY grp").collect()
+      def at(v: Int) = s.sql(
+        s"SELECT grp, n FROM mvtt VERSION AS OF $v ORDER BY grp")
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      val atBuild = Seq(("g0", 9L), ("g1", 10L))
+      s.sql("DELETE FROM mvtt_base WHERE k = 2").collect() // base v2
+      s.sql("REFRESH MATERIALIZED VIEW mvtt").collect() // folded to 2
+      Thread.sleep(5)
+      // ISO-8601 instant: castable by Spark's own time-travel validation
+      // (which runs before the graft rule) AND parseable by the lake
+      val tsAfterFirst =
+        java.time.Instant.ofEpochMilli(System.currentTimeMillis()).toString
+      Thread.sleep(5)
+      s.sql("DELETE FROM mvtt_base WHERE k = 4").collect() // base v3
+      s.sql("REFRESH MATERIALIZED VIEW mvtt").collect() // folded to 3
+      s.sql("DELETE FROM mvtt_base WHERE k = 6").collect() // base v4, UNFOLDED
+      // each pin serves what a reader saw while the base stood there
+      at(1) shouldBe atBuild
+      at(2) shouldBe Seq(("g0", 8L), ("g1", 10L))
+      at(3) shouldBe Seq(("g0", 7L), ("g1", 10L))
+      // between refreshes the view serves its last fold — the pin at the
+      // unfolded base version reproduces that staleness contract
+      at(4) shouldBe at(3)
+      s.sql("SELECT grp, n FROM mvtt ORDER BY grp").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1))) shouldBe at(3)
+      // wall-clock pin: the state the view SERVED at that instant
+      s.sql(s"SELECT grp, n FROM mvtt TIMESTAMP AS OF '$tsAfterFirst' " +
+        "ORDER BY grp").collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1))) shouldBe at(2)
+      // before the build there is nothing to serve
+      intercept[Exception] {
+        s.sql("SELECT * FROM mvtt VERSION AS OF 0").collect()
+      }.getMessage should include("no state for base version")
+      // catch-up refresh after the pins: pinned reads are stable history
+      s.sql("REFRESH MATERIALIZED VIEW mvtt").collect() // folded to 4
+      at(3) shouldBe Seq(("g0", 7L), ("g1", 10L))
+      at(4) shouldBe Seq(("g0", 6L), ("g1", 10L))
     }
   }
 
