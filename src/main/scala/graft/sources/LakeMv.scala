@@ -180,10 +180,17 @@ object LakeMv {
     d.groupItems.filterNot(_.isBare).foldLeft(df)((acc, g) =>
       acc.withColumn(g.alias, expr(g.exprText)))
 
+  /** A relation's qualification alias: the LAST part of its catalog
+    * name — `ns.orders` qualifies as `orders`, matching how Spark's own
+    * db.table resolution aliases. */
+  private[sources] def relAlias(name: String): String =
+    name.toLowerCase.split("\\.").last
+
   /** A fact-side relation (snapshot or change feed) inner-joined to
     * every dim's PINNED snapshot, in declaration order. Each side is
-    * subquery-aliased under its catalog name so ON conditions and view
-    * expressions may qualify. The dim side rides a SIZE-GATED broadcast
+    * subquery-aliased under the LAST part of its catalog name
+    * ([[relAlias]]) so ON conditions and view expressions may qualify
+    * (`orders.k = cust.k`). The dim side rides a SIZE-GATED broadcast
     * hint whose probe is the pinned manifest's row count — metadata the
     * driver already holds, zero extra jobs; a dim over the budget plans
     * a shuffle join instead (the fact feed shuffles on the join key —
@@ -191,10 +198,10 @@ object LakeMv {
   private def joinDims(spark: SparkSession, fact: DataFrame,
                        d: MvDef): DataFrame =
     if (d.dims.isEmpty) fact
-    else d.dims.foldLeft(fact.as(d.baseName)) { (acc, dim) =>
+    else d.dims.foldLeft(fact.as(relAlias(d.baseName))) { (acc, dim) =>
       val dt = new LakeTable(spark, dim.root)
       val nRows = dt.manifest(dim.version).files.map(_.rows).sum
-      acc.join(hintIfSmall(dt.snapshot(dim.version).as(dim.name),
+      acc.join(hintIfSmall(dt.snapshot(dim.version).as(relAlias(dim.name)),
         nRows <= mvBroadcastMaxRows(spark)), expr(dim.onSql), "inner")
     }
 
@@ -357,13 +364,14 @@ object LakeMv {
       }
     val baseRoot = resolveLake(baseName, "base")
     // star-join dims: resolve + PIN each dim's current version; the
-    // relation aliases (fact name + dim names) must be pairwise distinct
-    // or qualified references would be ambiguous
+    // relation ALIASES (last name part of the fact + each dim) must be
+    // pairwise distinct or qualified references would be ambiguous —
+    // `ns.orders` and `orders` alias identically, so they refuse too
     val relNames = baseName +: dimsIn.map(_._1)
-    require(relNames.map(_.toLowerCase).distinct.size == relNames.size,
-      s"CREATE MATERIALIZED VIEW $name: the FROM/JOIN table names must " +
-        "be pairwise distinct — qualified column references resolve by " +
-        "table name")
+    require(relNames.map(relAlias).distinct.size == relNames.size,
+      s"CREATE MATERIALIZED VIEW $name: the FROM/JOIN tables must have " +
+        "pairwise-distinct aliases — qualified column references " +
+        "resolve by the LAST part of each table name")
     val dims = dimsIn.map { case (dn, on) =>
       val r = resolveLake(dn, "JOIN dimension")
       DimSpec(dn, r, new LakeTable(spark, r).latestVersion, on)

@@ -1272,7 +1272,8 @@ class LakeSqlDmlSpec extends SparkTestBase {
         s.sql("DROP TABLE never_registered").collect()
       }
       unkDrop.getMessage.toLowerCase should not include "graft"
-      // multipart names always delegate — the catalog is single-part
+      // an UNBOUND two-part name delegates (bound_t lives at the bare
+      // name; the db.* spelling is a different, unbound binding key)
       val multi = intercept[Exception] {
         s.sql("DELETE FROM db.bound_t WHERE k = 1").collect()
       }
@@ -2588,6 +2589,13 @@ class LakeSqlDmlSpec extends SparkTestBase {
       // SHOW CREATE round-trips the join grammar
       val stmt = s.sql("SHOW CREATE TABLE mvjt").collect()(0).getString(1)
       stmt should include("JOIN mvjt_dim ON ck = c_id")
+      // namespaced relations qualify by their LAST name part
+      s.sql("CREATE TABLE dims.cust2 KEY c_id AS SELECT * FROM mvj_csrc")
+        .collect()
+      s.sql("CREATE MATERIALIZED VIEW mvjt_ns AS SELECT seg, count(*) AS n " +
+        "FROM mvjt_fact JOIN dims.cust2 ON mvjt_fact.ck = cust2.c_id " +
+        "GROUP BY seg").collect()
+      s.sql("SELECT sum(n) FROM mvjt_ns").collect()(0).getLong(0) should be > 0L
       // refusals: a dim that is not a lake table; duplicate rel names
       intercept[Exception] {
         s.sql("CREATE MATERIALIZED VIEW mvjt2 AS SELECT seg, count(*) AS n " +
@@ -2596,7 +2604,7 @@ class LakeSqlDmlSpec extends SparkTestBase {
       intercept[Exception] {
         s.sql("CREATE MATERIALIZED VIEW mvjt2 AS SELECT ck, count(*) AS n " +
           "FROM mvjt_fact JOIN mvjt_fact ON ck = c_id GROUP BY ck").collect()
-      }.getMessage should include("pairwise distinct")
+      }.getMessage should include("pairwise-distinct")
     }
   }
 
