@@ -993,6 +993,60 @@ object Lake {
         |FROM mv_seg_rev ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Gated lane: MATERIALIZED VIEW over a (single-table) VIEW — the
+    * round-17 fold-through composition: the view's projection (a
+    * computed `gross` column) and WHERE filter apply to the fact's
+    * snapshot and signed feed alike, with the body PINNED at CREATE.
+    * The mutations drive the view-specific hazard: the UPDATE moves
+    * rows ACROSS the view's WHERE boundary in both directions (preimage
+    * in-view → postimage out, and vice versa), which only a fold of the
+    * view's multiset diff gets right; the DELETE removes top-gross rows
+    * (extremum ties → the rescan runs through the same view stage). One
+    * REFRESH folds all commits; a second must no-op; the oracle
+    * recomputes the post-mutation aggregate through the same view
+    * transformation raw. */
+  def lakeSqlMvView(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("lake_sql_mvw_src")
+    spark.sql(
+      """CREATE TABLE mvw_orders KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_mvw_src""".stripMargin).collect()
+    spark.sql(
+      """CREATE VIEW mvw_small AS
+        |SELECT o_orderkey, o_orderpriority, o_custkey,
+        |       o_totalprice * 2 AS gross
+        |FROM mvw_orders WHERE o_totalprice < 300000.0""".stripMargin)
+      .collect()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mv_gross AS
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       max(gross) AS hi_gross,
+        |       sum(gross) AS revenue
+        |FROM mvw_small WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderpriority""".stripMargin).collect()
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderpriority", lit("9-INSERTED"))
+      .createOrReplaceTempView("lake_sql_mvw_ins")
+    spark.sql(
+      "INSERT INTO mvw_orders SELECT * FROM lake_sql_mvw_ins").collect()
+    spark.sql( // moves rows ACROSS the view's WHERE boundary, both ways
+      """UPDATE mvw_orders SET o_totalprice =
+        |  CASE WHEN o_totalprice < 150000.0 THEN o_totalprice + 280000.0
+        |       ELSE o_totalprice - 150000.0 END
+        |WHERE o_orderkey % 10 = 3""".stripMargin).collect()
+    spark.sql( // removes top-gross rows → max rescan through the view
+      "DELETE FROM mvw_orders WHERE o_totalprice >= 290000.0").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_gross").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_gross").collect() // no-op
+    spark.sql(
+      """SELECT o_orderpriority, n_orders, n_custs, hi_gross,
+        |       CAST(round(revenue, 2) AS DOUBLE) AS revenue
+        |FROM mv_gross ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Gated lane: STRING merge keys — the document-id-shaped key every
     * real corpus has. The table keys on `ok = 'ord-' || lpad(key, 12)`
     * (order-preserving re-spelling of the integer key, so the oracle can
@@ -1444,6 +1498,7 @@ object Lake {
     "lake_sql_mv_minmax" -> (lakeSqlMvMinMax _),
     "lake_sql_mv_distinct" -> (lakeSqlMvDistinct _),
     "lake_sql_mv_join" -> (lakeSqlMvJoin _),
+    "lake_sql_mv_view" -> (lakeSqlMvView _),
     "lake_string_key" -> (lakeStringKey _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
@@ -1746,6 +1801,38 @@ object Lake {
         |            AS DOUBLE) AS revenue
         |FROM fin JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_mv_view" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |         '9-INSERTED' AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), all0 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |  FROM orders
+        |  UNION ALL SELECT * FROM ins
+        |), upd AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |         CASE WHEN o_orderkey % 10 = 3 THEN
+        |                CASE WHEN o_totalprice < 150000.0
+        |                     THEN o_totalprice + 280000.0
+        |                     ELSE o_totalprice - 150000.0 END
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM all0
+        |), fin AS (
+        |  SELECT * FROM upd WHERE o_totalprice < 290000.0
+        |), v AS (
+        |  SELECT o_orderkey, o_orderpriority, o_custkey,
+        |         o_totalprice * 2 AS gross
+        |  FROM fin WHERE o_totalprice < 300000.0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       max(gross) AS hi_gross,
+        |       CAST(round(sum(CAST(gross AS DECIMAL(28,10))), 2)
+        |            AS DOUBLE) AS revenue
+        |FROM v WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_mv_minmax" ->

@@ -113,11 +113,20 @@ object LakeMv {
     * double-counting every applied interval. Entries written before the
     * field existed leave it None and fall back to the current name
     * (those were never renamed, so the names agree). */
+  /** `preItems`/`preWhere`/`viewText` carry a PINNED single-table VIEW
+    * the MV folds THROUGH (`FROM <view>`): the view's projection items
+    * and WHERE text apply to the fact relation (snapshot or feed) BEFORE
+    * dims/WHERE/grouping, and `viewText` is the body as pinned at
+    * CREATE — a redefined view refuses the incremental fold (REFRESH …
+    * FULL re-reads and re-pins). Empty/None for table-based MVs. */
   case class MvDef(baseRoot: String, baseName: String, initVersion: Int,
                    stateRoot: String, items: Seq[MvItem],
                    whereSql: Option[String], havingSql: Option[String],
                    queryText: String, appId: Option[String] = None,
-                   dims: Seq[DimSpec] = Seq.empty) {
+                   dims: Seq[DimSpec] = Seq.empty,
+                   preItems: Seq[String] = Seq.empty,
+                   preWhere: Option[String] = None,
+                   viewText: Option[String] = None) {
     def groupItems: Seq[GroupItem] = items.collect { case g: GroupItem => g }
     def groupCols: Seq[String] = groupItems.map(_.alias)
     def aggs: Seq[AggItem] = items.collect { case a: AggItem => a }
@@ -205,12 +214,27 @@ object LakeMv {
         nRows <= mvBroadcastMaxRows(spark)), expr(dim.onSql), "inner")
     }
 
-  /** The relation every fold and rescan aggregates: fact ⋈ pinned dims,
-    * then the WHERE filter (it may reference dim columns — post-join by
-    * construction), then the computed expression group keys. */
+  /** The pinned VIEW stage over the fact relation (no-op for table-based
+    * MVs): the view's WHERE filters base rows, then its projection items
+    * re-shape them — `_change_type` is carried through when present, so
+    * the signed fold sees the view's multiset diff exactly (a row
+    * UPDATED across the view's WHERE boundary contributes its preimage
+    * or postimage side only, which IS the view's content change). */
+  private def applyPre(fact: DataFrame, d: MvDef): DataFrame = {
+    val f = d.preWhere.map(w => fact.filter(expr(w))).getOrElse(fact)
+    if (d.preItems.isEmpty) f
+    else f.selectExpr(d.preItems ++
+      Seq("_change_type").filter(f.columns.contains): _*)
+  }
+
+  /** The relation every fold and rescan aggregates: fact (through the
+    * pinned view stage, if any) ⋈ pinned dims, then the WHERE filter (it
+    * may reference view-output and dim columns — post-projection,
+    * post-join by construction), then the computed expression group
+    * keys. */
   private def prepared(spark: SparkSession, fact: DataFrame,
                        d: MvDef): DataFrame = {
-    val j = joinDims(spark, fact, d)
+    val j = joinDims(spark, applyPre(fact, d), d)
     withGroupKeys(d.whereSql.map(w => j.filter(expr(w))).getOrElse(j), d)
   }
 
@@ -249,6 +273,12 @@ object LakeMv {
         else d.dims.map(x =>
           s"${x.name}:${x.version}:${b64(x.root)}:${b64(x.onSql)}")
           .mkString(";")}",
+      // the pinned fold-through view (FROM <view>): projection items,
+      // WHERE text, and the body text the pin compares against
+      s"preitems=${if (d.preItems.isEmpty) "-"
+        else d.preItems.map(b64).mkString(";")}",
+      s"prewhere=${d.preWhere.map(b64).getOrElse("-")}",
+      s"viewtext=${d.viewText.map(b64).getOrElse("-")}",
       s"query=${b64(d.queryText)}").mkString("\n")
   }
 
@@ -281,7 +311,12 @@ object LakeMv {
           case _ => throw new IllegalArgumentException(
             s"malformed materialized-view dim entry: $x")
         }
-      }).getOrElse(Seq.empty))
+      }).getOrElse(Seq.empty),
+      // entries written before fold-through views existed lack the lines
+      kv.get("preitems").filter(_ != "-")
+        .map(_.split(";").toSeq.map(unb64)).getOrElse(Seq.empty),
+      kv.get("prewhere").filter(_ != "-").map(unb64),
+      kv.get("viewtext").filter(_ != "-").map(unb64))
   }
 
   /** The stored original statement text — `graft_catalog()`'s target
@@ -362,7 +397,39 @@ object LakeMv {
               "— it must be a lake TABLE (only tables have the " +
               "change feed / pinnable snapshots the refresh uses)")
       }
-    val baseRoot = resolveLake(baseName, "base")
+    // FROM <view>: a single-table projection/filter view FOLDS THROUGH —
+    // its stages apply to the fact snapshot and feed alike (per-row
+    // linear, so the signed fold stays exact) — with the body PINNED so
+    // a later redefinition refuses instead of silently diverging.
+    // Anything richer refuses with the reason: joins/grouping/DISTINCT
+    // change row multiplicity, and a view over a view hides the change
+    // feed another level down.
+    val viewBody = LakeCatalog.lookupView(spark, baseName)
+    val (baseRoot, preItems, preWhere) = viewBody match {
+      case Some(body) =>
+        val (vItems, vFrom, vWhere) =
+          org.apache.spark.sql.graft.GraftSqlParser.parseSimpleViewBody(body)
+            .getOrElse(throw new IllegalArgumentException(
+              s"CREATE MATERIALIZED VIEW $name: base '$baseName' is a " +
+                "view whose body is not a single-table " +
+                "SELECT … FROM <table> [WHERE …] — an incremental fold " +
+                "composes only through per-row projection/filter views " +
+                "(no DISTINCT, joins, grouping, ordering, limits, or " +
+                "set ops); materialize over the view's base tables " +
+                "instead"))
+        val r = LakeCatalog.lookup(spark, vFrom).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE MATERIALIZED VIEW $name: view '$baseName' reads " +
+              s"'$vFrom', which is not a lake TABLE in the graft " +
+              "catalog (kind: " +
+              s"${LakeCatalog.kindOf(spark, vFrom)}) — the fold needs " +
+              "the table's change feed one level down, so views over " +
+              "views do not compose here; flatten onto the table"))
+        (r, if (vItems == Seq("*")) Seq.empty[String] else vItems,
+          vWhere)
+      case None => (resolveLake(baseName, "base"), Seq.empty[String],
+        Option.empty[String])
+    }
     // star-join dims: resolve + PIN each dim's current version; the
     // relation ALIASES (last name part of the fact + each dim) must be
     // pairwise distinct or qualified references would be ambiguous —
@@ -421,11 +488,12 @@ object LakeMv {
     val base = bt.snapshot(initV) // the PINNED snapshot the state reflects
     val stateRoot = LakeCatalog.managedRoot(spark, name + "_state")
     val d = MvDef(baseRoot, baseName, initV, stateRoot, items, whereSql,
-      havingSql, queryText, Some(appIdOf(name)), dims)
+      havingSql, queryText, Some(appIdOf(name)), dims, preItems, preWhere,
+      viewBody)
     // an EXPRESSION key's alias must not shadow a base (or joined-dim)
     // column: the fold computes the expression over the feed under that
     // alias, and a same-named column would make the stored key ambiguous
-    val joined0 = joinDims(spark, base, d)
+    val joined0 = joinDims(spark, applyPre(base, d), d)
     val baseColsLc = joined0.columns.map(_.toLowerCase).toSet
     groupItems.filterNot(_.isBare).foreach(g =>
       require(!baseColsLc.contains(g.alias.toLowerCase),
@@ -446,6 +514,35 @@ object LakeMv {
         case p => p.expressions
       }.flatten.forall(_.deterministic),
       s"CREATE MATERIALIZED VIEW $name: expressions must be deterministic")
+    // fold-ability: the relation under the MV's aggregate must be LINEAR
+    // per input row — a pre-aggregation or window (smuggled through a
+    // view item or an aggregate argument) folds wrongly, and a SUBQUERY
+    // predicate would re-evaluate against a DIFFERENT snapshot at every
+    // refresh, silently diverging from the build
+    probe.queryExecution.analyzed.foreach {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: the relation under the " +
+            "aggregates PRE-AGGREGATES (an aggregate inside a view item " +
+            "or aggregate argument) — a signed fold is exact only over " +
+            "per-row relations; move the aggregation into the MV's own " +
+            "select list")
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: the relation under the " +
+            "aggregates carries a WINDOW function — window values depend " +
+            "on other rows, so a per-row signed fold cannot maintain " +
+            "them incrementally")
+      case p if p.expressions.exists(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression])) =>
+        throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: a WHERE/view predicate " +
+            "contains a SUBQUERY — it would re-evaluate against a " +
+            "different snapshot at every refresh, so the fold could " +
+            "diverge silently; materialize the subquery's result as a " +
+            "JOIN dimension instead")
+      case _ =>
+    }
     LakeCatalog.registerMv(spark, name, serialize(d)) // claim FIRST
     try {
       val filtered = prepared(spark, base, d)
@@ -564,6 +661,28 @@ object LakeMv {
     }
     val cur = bt.latestVersion
     lastRescanGroups = 0L
+    // a fold-through VIEW is PINNED by body text: a redefinition means
+    // reads of the view and the fold's stages no longer agree, so refuse
+    // (FULL re-reads the current body and re-pins); a dropped/replaced
+    // binding has nothing to re-pin and names the real repair. Checked
+    // before the fact-fresh early return, like the dim pins.
+    d.viewText.foreach { vt =>
+      LakeCatalog.lookupView(spark, d.baseName) match {
+        case Some(curBody) if curBody == vt => // pin intact
+        case Some(_) => throw new IllegalStateException(
+          s"REFRESH MATERIALIZED VIEW $name: view '${d.baseName}' was " +
+            "REDEFINED after this materialized view pinned its body — " +
+            "folding through the old shape would silently diverge from " +
+            "reads of the new view; repair with REFRESH MATERIALIZED " +
+            s"VIEW $name FULL (re-reads the view's current body and " +
+            "re-pins)")
+        case None => throw new IllegalStateException(
+          s"REFRESH MATERIALIZED VIEW $name: view '${d.baseName}' is no " +
+            "longer bound as a view in the graft catalog — re-CREATE " +
+            "the view (then REFRESH … FULL), or DROP this materialized " +
+            "view")
+      }
+    }
     // star-join dims are PINNED: the incremental fold joins each dim at
     // the version CREATE (or the last FULL) saw, so a dim that advanced
     // refuses — folding new fact rows against the old dim while the user
@@ -767,7 +886,7 @@ object LakeMv {
   private def validateAgainstBase(spark: SparkSession, name: String,
                                   d: MvDef, bt: LakeTable, cur: Int,
                                   st: LakeTable): Unit = {
-    val base = joinDims(spark, bt.snapshot(cur), d)
+    val base = joinDims(spark, applyPre(bt.snapshot(cur), d), d)
     val probe =
       try {
         val p = d.whereSql.map(w => base.filter(expr(w))).getOrElse(base)

@@ -146,6 +146,38 @@ object GraftSqlParser {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"graft lake SQL: $msg")
 
+  /** Parse a view BODY of the restricted shape `SELECT <items> FROM
+    * <one-or-two-part name> [WHERE <pred>]` — the single-table
+    * projection/filter views a materialized view can fold THROUGH
+    * ([[graft.sources.LakeMv]]). Returns (select items split at top
+    * level, FROM name, WHERE text); None for anything richer (DISTINCT,
+    * joins, GROUP BY / HAVING / ORDER / LIMIT, set ops, subquery FROM) —
+    * per-row linearity is what makes a signed feed fold exact, so the
+    * gate is structural, not best-effort. (An aggregate or window hiding
+    * INSIDE a select item still parses here; LakeMv refuses those on the
+    * ANALYZED plan.) */
+  def parseSimpleViewBody(body: String)
+      : Option[(Seq[String], String, Option[String])] =
+    try {
+      val sc = new Scan(body)
+      if (!sc.keyword("SELECT")) return None
+      if (sc.keyword("DISTINCT")) return None
+      val itemsText = sc.until(Seq("FROM"))
+      if (itemsText.isEmpty) return None
+      sc.expect("FROM")
+      val from = sc.identOpt().getOrElse(return None)
+      if (!graft.sources.LakeCatalog.isValidQualified(from)) return None
+      val tailStops = Seq("GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+        "INTERSECT", "EXCEPT", "JOIN", "CROSS", "LEFT", "RIGHT", "FULL")
+      val where =
+        if (sc.keyword("WHERE")) {
+          val w = sc.until(tailStops)
+          if (!sc.atEnd()) return None
+          Some(w).filter(_.nonEmpty)
+        } else { if (!sc.atEnd()) return None; None }
+      Some((sc.topLevelSplit(itemsText), from, where))
+    } catch { case _: IllegalArgumentException => None }
+
   /** Index just past a string literal (`'…'` or `"…"` — Spark SQL treats
     * BOTH quote forms as strings) or a comment (`-- …` to end-of-line,
     * bracketed `/* … */`) starting at `at`; `at` itself when neither

@@ -2073,11 +2073,15 @@ class LakeSqlDmlSpec extends SparkTestBase {
         s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
           "FROM mvr_base GROUP BY grp HAVING no_such_col > 1").collect()
       }
-      // base must be a lake TABLE, not a view or an unknown name
+      // a SIMPLE view folds through since r17 — but a view whose body is
+      // richer than single-table SELECT/WHERE refuses with the reason
+      s.sql("CREATE VIEW mvr_agg_view AS SELECT grp, count(*) AS c " +
+        "FROM mvr_base GROUP BY grp").collect()
       intercept[Exception] {
         s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
-          "FROM mvr_view GROUP BY grp").collect()
-      }.getMessage should include("must be a lake TABLE")
+          "FROM mvr_agg_view GROUP BY grp").collect()
+      }.getMessage should include("per-row projection/filter views")
+      s.sql("DROP VIEW mvr_agg_view").collect()
       intercept[Exception] {
         s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
           "FROM nowhere GROUP BY grp").collect()
@@ -2520,6 +2524,103 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("REFRESH MATERIALIZED VIEW mvtt").collect() // folded to 4
       at(3) shouldBe Seq(("g0", 7L), ("g1", 10L))
       at(4) shouldBe Seq(("g0", 6L), ("g1", 10L))
+    }
+  }
+
+  test("materialized views over a VIEW: fold-through stages, body pinning, refusals") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 40L).map(k => (k, s"g${k % 3}", k * 10.0, s"u${k % 7}"))
+        .toDF("k", "grp", "v", "u").createOrReplaceTempView("mvvw_src")
+      s.sql("CREATE TABLE mvvw_base KEY k AS SELECT * FROM mvvw_src")
+        .collect()
+      // projection (computed column) + filter view; the MV folds THROUGH
+      s.sql(
+        """CREATE VIEW mvvw_small AS
+          |SELECT k, grp, u, v * 2 AS vv FROM mvvw_base
+          |WHERE v < 300.0""".stripMargin).collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvvw AS
+          |SELECT grp, count(*) AS n, sum(vv) AS sv, max(vv) AS hi,
+          |       count(DISTINCT u) AS nu
+          |FROM mvvw_small GROUP BY grp""".stripMargin).collect()
+      def mv() = s.sql(
+        "SELECT grp, n, CAST(sv AS DECIMAL(28,10)) AS sv, hi, nu " +
+          "FROM mvvw ORDER BY grp").collect().toSeq
+      def scratch() = s.sql(
+        """SELECT grp, count(*) AS n,
+          |CAST(sum(CAST(vv AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv,
+          |max(vv) AS hi, count(DISTINCT u) AS nu
+          |FROM mvvw_small GROUP BY grp ORDER BY grp""".stripMargin)
+        .collect().toSeq
+      mv() shouldBe scratch()
+      // rows cross the view's WHERE boundary in BOTH directions (exit:
+      // +300, entry: -150), plus an extremum-tying delete through the
+      // view's computed column
+      s.sql("UPDATE mvvw_base SET v = v + 300.0 WHERE k % 10 = 1").collect()
+      s.sql("UPDATE mvvw_base SET v = v - 150.0 WHERE k >= 31").collect()
+      s.sql("DELETE FROM mvvw_base WHERE v >= 280.0 AND v < 300.0")
+        .collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvvw").collect()
+      mv() shouldBe scratch()
+      val r2 = s.sql("REFRESH MATERIALIZED VIEW mvvw").collect()(0)
+      r2.getInt(1) shouldBe r2.getInt(2) // no-op
+      // REDEFINING the pinned view refuses the incremental fold …
+      s.sql("CREATE OR REPLACE VIEW mvvw_small AS " +
+        "SELECT k, grp, u, v * 3 AS vv FROM mvvw_base WHERE v < 200.0")
+        .collect()
+      s.sql("DELETE FROM mvvw_base WHERE k = 2").collect()
+      val e = intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvvw").collect()
+      }.getMessage
+      e should include("REDEFINED")
+      e should include("REFRESH MATERIALIZED VIEW mvvw FULL")
+      // … and FULL re-reads the CURRENT body, re-pins, and the
+      // incremental fold resumes under the new shape
+      s.sql("REFRESH MATERIALIZED VIEW mvvw FULL").collect()
+      mv() shouldBe scratch()
+      s.sql("DELETE FROM mvvw_base WHERE k = 3").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvvw").collect()
+      mv() shouldBe scratch()
+      // a DROPPED view refuses with re-CREATE guidance
+      s.sql("DROP VIEW mvvw_small").collect()
+      s.sql("DELETE FROM mvvw_base WHERE k = 4").collect()
+      intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvvw").collect()
+      }.getMessage should include("no longer bound as a view")
+      s.sql("DROP MATERIALIZED VIEW mvvw").collect()
+      // refusals: view-over-view, pre-aggregated view item, window item,
+      // subquery WHERE — each with its mechanism named
+      s.sql("CREATE VIEW mvvw_v1 AS SELECT k, grp, v FROM mvvw_base")
+        .collect()
+      s.sql("CREATE VIEW mvvw_v2 AS SELECT k, grp, v FROM mvvw_v1")
+        .collect()
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m2 AS SELECT grp, count(*) AS n " +
+          "FROM mvvw_v2 GROUP BY grp").collect()
+      }.getMessage should include("views over views")
+      s.sql("CREATE VIEW mvvw_v3 AS SELECT max(v) AS mx FROM mvvw_base")
+        .collect()
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m2 AS SELECT mx, count(*) AS n " +
+          "FROM mvvw_v3 GROUP BY mx").collect()
+      }.getMessage should include("PRE-AGGREGATES")
+      s.sql("CREATE VIEW mvvw_v4 AS SELECT k, grp, " +
+        "row_number() OVER (PARTITION BY grp ORDER BY k) AS rn " +
+        "FROM mvvw_base").collect()
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m2 AS SELECT grp, count(*) AS n " +
+          "FROM mvvw_v4 GROUP BY grp").collect()
+      }.getMessage should include("WINDOW")
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW m2 AS SELECT grp, count(*) AS n " +
+          "FROM mvvw_base WHERE k IN (SELECT k FROM mvvw_v1) GROUP BY grp")
+          .collect()
+      }.getMessage should include("SUBQUERY")
+      // none of the failed CREATEs leaked a binding (base + 4 views)
+      s.sql("SELECT count(*) FROM graft_catalog()").collect()(0)
+        .getLong(0) shouldBe 5L
     }
   }
 
