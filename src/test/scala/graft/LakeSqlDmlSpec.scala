@@ -2624,6 +2624,63 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("materialized views: a fold-through VIEW composes with star-join dims") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 50L).map(k => (k, 1L + k % 4, k * 10.0))
+        .toDF("k", "ck", "v").createOrReplaceTempView("mvvd_fsrc")
+      (1L to 4L).map(c => (c, s"seg${c % 2}"))
+        .toDF("c_id", "seg").createOrReplaceTempView("mvvd_dsrc")
+      s.sql("CREATE TABLE mvvd_fact KEY k AS SELECT * FROM mvvd_fsrc")
+        .collect()
+      s.sql("CREATE TABLE mvvd_dim KEY c_id AS SELECT * FROM mvvd_dsrc")
+        .collect()
+      s.sql("CREATE VIEW mvvd_small AS SELECT k, ck, v * 2 AS vv " +
+        "FROM mvvd_fact WHERE v < 400.0").collect()
+      // view stage FIRST (projection + filter), then the pinned dim join
+      // ON a view-output column, then the MV's own WHERE over both
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvvd AS
+          |SELECT seg, count(*) AS n, sum(vv) AS sv
+          |FROM mvvd_small JOIN mvvd_dim ON ck = c_id
+          |WHERE k % 2 = 0
+          |GROUP BY seg""".stripMargin).collect()
+      def mv() = s.sql(
+        "SELECT seg, n, CAST(sv AS DECIMAL(28,10)) AS sv FROM mvvd " +
+          "ORDER BY seg").collect().toSeq
+      def scratch() = s.sql(
+        """SELECT seg, count(*) AS n,
+          |CAST(sum(CAST(vv AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv
+          |FROM mvvd_small JOIN mvvd_dim ON ck = c_id
+          |WHERE k % 2 = 0 GROUP BY seg ORDER BY seg""".stripMargin)
+        .collect().toSeq
+      mv() shouldBe scratch()
+      // fact DML crossing the view boundary AND moving dim membership
+      s.sql("UPDATE mvvd_fact SET v = v + 300.0 WHERE k % 5 = 0").collect()
+      s.sql("UPDATE mvvd_fact SET ck = 1 + (ck % 4) WHERE k % 7 = 0")
+        .collect()
+      s.sql("DELETE FROM mvvd_fact WHERE k = 8").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvvd").collect()
+      mv() shouldBe scratch()
+      // both pins guard: a dim write refuses; so does a view redefinition
+      s.sql("UPDATE mvvd_dim SET seg = 'seg9' WHERE c_id = 2").collect()
+      intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvvd").collect()
+      }.getMessage should include("dimension table")
+      s.sql("REFRESH MATERIALIZED VIEW mvvd FULL").collect()
+      mv() shouldBe scratch()
+      s.sql("CREATE OR REPLACE VIEW mvvd_small AS SELECT k, ck, v AS vv " +
+        "FROM mvvd_fact").collect()
+      s.sql("DELETE FROM mvvd_fact WHERE k = 9").collect()
+      intercept[Exception] {
+        s.sql("REFRESH MATERIALIZED VIEW mvvd").collect()
+      }.getMessage should include("REDEFINED")
+      s.sql("REFRESH MATERIALIZED VIEW mvvd FULL").collect()
+      mv() shouldBe scratch() // new body + re-pinned dim, one repair verb
+    }
+  }
+
   test("materialized views over a STAR JOIN: fact-feed fold, dim pinning, FULL re-pin") {
     withExtendedSession { s =>
       import s.implicits._
