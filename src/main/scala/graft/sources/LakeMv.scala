@@ -1201,12 +1201,17 @@ object LakeMv {
     // REFRESH … FULL)
     val dimsStale = d.dims.count(x =>
       new LakeTable(spark, x.root).latestVersion != x.version)
+    // fold-through view pin: stale when the view's current body no
+    // longer matches the pinned text (redefined OR dropped) — the same
+    // will-refuse-next-refresh alert as n_dims_stale, for the view pin
+    val viewStale = d.viewText.exists(vt =>
+      !LakeCatalog.lookupView(spark, d.baseName).contains(vt))
     Seq((name.toLowerCase, d.baseName, d.baseRoot, d.stateRoot,
       d.initVersion, last, cur, math.max(0, cur - last), groups,
-      d.dims.size, dimsStale))
+      d.dims.size, dimsStale, viewStale))
       .toDF("name", "base_name", "base_root", "state_root", "init_version",
         "folded_to_version", "base_latest_version", "behind_by", "n_groups",
-        "n_dims", "n_dims_stale")
+        "n_dims", "n_dims_stale", "view_pin_stale")
   }
 
   // ---- READ -----------------------------------------------------------

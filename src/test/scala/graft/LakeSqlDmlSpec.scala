@@ -2566,10 +2566,17 @@ class LakeSqlDmlSpec extends SparkTestBase {
       mv() shouldBe scratch()
       val r2 = s.sql("REFRESH MATERIALIZED VIEW mvvw").collect()(0)
       r2.getInt(1) shouldBe r2.getInt(2) // no-op
+      // the detail surface reports the view pin healthy …
+      s.sql("SELECT view_pin_stale FROM graft_mv_detail('mvvw')")
+        .collect()(0).getBoolean(0) shouldBe false
       // REDEFINING the pinned view refuses the incremental fold …
       s.sql("CREATE OR REPLACE VIEW mvvw_small AS " +
         "SELECT k, grp, u, v * 3 AS vv FROM mvvw_base WHERE v < 200.0")
         .collect()
+      // … and the detail flips to stale BEFORE anyone refreshes (the
+      // alert to wire, like n_dims_stale)
+      s.sql("SELECT view_pin_stale FROM graft_mv_detail('mvvw')")
+        .collect()(0).getBoolean(0) shouldBe true
       s.sql("DELETE FROM mvvw_base WHERE k = 2").collect()
       val e = intercept[Exception] {
         s.sql("REFRESH MATERIALIZED VIEW mvvw").collect()
