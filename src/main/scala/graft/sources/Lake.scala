@@ -985,6 +985,10 @@ object Lake {
         |WHERE o_orderkey % 100 = 50""".stripMargin).collect()
     spark.sql( // removes the stored maxima → max rescan over the join
       "DELETE FROM mvj_orders WHERE o_totalprice >= 400000.0").collect()
+    spark.sql( // the DIM itself mutates: every joined order's group flips
+      // — folded incrementally as the dim's own bilinear phase (r17)
+      """UPDATE mvj_cust SET c_mktsegment = 'SEG-MOVED'
+        |WHERE c_custkey % 10 = 7""".stripMargin).collect()
     spark.sql("REFRESH MATERIALIZED VIEW mv_seg_rev").collect()
     spark.sql("REFRESH MATERIALIZED VIEW mv_seg_rev").collect() // no-op
     spark.sql(
@@ -1793,13 +1797,18 @@ object Lake {
         |  FROM all0
         |), fin AS (
         |  SELECT * FROM upd WHERE o_totalprice < 400000.0
+        |), cust2 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 7 THEN 'SEG-MOVED'
+        |              ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
         |)
         |SELECT c_mktsegment, count(*) AS n_orders,
         |       count(DISTINCT o_custkey) AS n_custs,
         |       max(o_totalprice) AS hi_price,
         |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,10))), 2)
         |            AS DOUBLE) AS revenue
-        |FROM fin JOIN customer ON o_custkey = c_custkey
+        |FROM fin JOIN cust2 ON o_custkey = c_custkey
         |WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -14,16 +14,24 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * work, and the state table is aggregate-sized however large the base
   * grows.
   *
-  * STAR JOINS: JOINed tables are slowly-changing DIMENSIONS, pinned at
-  * their CREATE-time (or last `REFRESH … FULL`) version. The fold joins
-  * the fact's signed feed to each pinned dim snapshot — an inner join
-  * is LINEAR in the fact side, so signed counts/sums/avgs fold exactly
-  * through it, and the min/max rescan and count(DISTINCT) recounts run
-  * over the same joined shape. A dim that advanced since pinning
-  * refuses the incremental refresh (the alternative is serving mixed
-  * dim epochs silently); `REFRESH … FULL` re-pins. Dim snapshots ride a
-  * size-gated broadcast hint probed from manifest row counts — zero
-  * extra jobs, and an over-budget dim degrades to a shuffle join.
+  * STAR JOINS: JOINed tables are DIMENSIONS, each with its own
+  * folded-to version riding the state table's manifest chain (per-dim
+  * epoch app ids — the entry's DimSpec.version is only the initial
+  * pin). A refresh folds the BILINEAR decomposition, one phase per
+  * advanced relation: for each changed dim, the dim's signed feed
+  * joined to the fact at its OLD fold version (dims left of it at NEW
+  * versions, right of it at not-yet-folded versions), then the fact's
+  * signed feed against all-NEW dims — inner joins are LINEAR in each
+  * side, so every phase folds exactly through the same signed
+  * machinery, min/max rescans and count(DISTINCT) recounts included
+  * (each against its phase's consistent fold-target bracket). Refresh
+  * cost is O(changed fact rows) + Σ O(changed dim rows ⋈ fact) — a dim
+  * attribute flip touches exactly the fact rows that join it, never the
+  * base wholesale. A dim RESTOREd below its folded-to version refuses
+  * (an applied interval cannot un-happen); `REFRESH … FULL` rebuilds
+  * and re-pins. Dim snapshots ride a size-gated broadcast hint probed
+  * from manifest row counts — zero extra jobs — and an over-budget dim
+  * degrades to a shuffle join.
   *
   * Self-maintainability shapes the fold: count(*)/count(c)/sum(e) fold
   * exactly under inserts AND deletes from the signed feed
@@ -94,14 +102,14 @@ object LakeMv {
   case class AggItem(kind: String, alias: String, arg: String) extends MvItem
 
   /** One DIMENSION side of a star-join MV (`FROM fact JOIN dim ON …`):
-    * a lake table joined at the PINNED version — the snapshot CREATE (or
-    * the last REFRESH … FULL) saw. Pinning is what keeps the incremental
-    * fold exact: the view is fact@cur ⋈ dim@pinned throughout, every
-    * feed row joins the same dim rows its base rows did, and a dim that
-    * has since advanced refuses the fold (REFRESH … FULL re-pins) rather
-    * than silently mixing dim epochs. `onSql` is the raw ON text; the
-    * fact and each dim are subquery-aliased under their CATALOG names,
-    * so conditions and view expressions may qualify (`fact.k = dim.k`). */
+    * a lake table whose folded-to version rides the state table's
+    * manifest chain under a per-dim epoch app id; `version` is only the
+    * INITIAL pin (CREATE / last REFRESH … FULL time). Dim changes fold
+    * incrementally as their own phase of the bilinear decomposition
+    * (see [[refresh]]). `onSql` is the raw ON text; the fact and each
+    * dim are subquery-aliased under the last part of their catalog
+    * names, so conditions and view expressions may qualify
+    * (`orders.k = cust.k`). */
   case class DimSpec(name: String, root: String, version: Int,
                      onSql: String)
 
@@ -196,21 +204,22 @@ object LakeMv {
     name.toLowerCase.split("\\.").last
 
   /** A fact-side relation (snapshot or change feed) inner-joined to
-    * every dim's PINNED snapshot, in declaration order. Each side is
-    * subquery-aliased under the LAST part of its catalog name
-    * ([[relAlias]]) so ON conditions and view expressions may qualify
-    * (`orders.k = cust.k`). The dim side rides a SIZE-GATED broadcast
-    * hint whose probe is the pinned manifest's row count — metadata the
-    * driver already holds, zero extra jobs; a dim over the budget plans
-    * a shuffle join instead (the fact feed shuffles on the join key —
-    * the degrade, not an executor OOM). */
-  private def joinDims(spark: SparkSession, fact: DataFrame,
-                       d: MvDef): DataFrame =
+    * every dim's snapshot at the version `at` resolves, in declaration
+    * order. Each side is subquery-aliased under the LAST part of its
+    * catalog name ([[relAlias]]) so ON conditions and view expressions
+    * may qualify (`orders.k = cust.k`). The dim side rides a SIZE-GATED
+    * broadcast hint whose probe is the manifest's row count — metadata
+    * the driver already holds, zero extra jobs; a dim over the budget
+    * plans a shuffle join instead (the fact feed shuffles on the join
+    * key — the degrade, not an executor OOM). */
+  private def joinDims(spark: SparkSession, fact: DataFrame, d: MvDef,
+                       at: DimSpec => Int): DataFrame =
     if (d.dims.isEmpty) fact
     else d.dims.foldLeft(fact.as(relAlias(d.baseName))) { (acc, dim) =>
       val dt = new LakeTable(spark, dim.root)
-      val nRows = dt.manifest(dim.version).files.map(_.rows).sum
-      acc.join(hintIfSmall(dt.snapshot(dim.version).as(relAlias(dim.name)),
+      val v = at(dim)
+      val nRows = dt.manifest(v).files.map(_.rows).sum
+      acc.join(hintIfSmall(dt.snapshot(v).as(relAlias(dim.name)),
         nRows <= mvBroadcastMaxRows(spark)), expr(dim.onSql), "inner")
     }
 
@@ -228,14 +237,47 @@ object LakeMv {
   }
 
   /** The relation every fold and rescan aggregates: fact (through the
-    * pinned view stage, if any) ⋈ pinned dims, then the WHERE filter (it
-    * may reference view-output and dim columns — post-projection,
-    * post-join by construction), then the computed expression group
-    * keys. */
-  private def prepared(spark: SparkSession, fact: DataFrame,
-                       d: MvDef): DataFrame = {
-    val j = joinDims(spark, applyPre(fact, d), d)
+    * pinned view stage, if any) ⋈ dims at `at`'s versions, then the
+    * WHERE filter (it may reference view-output and dim columns —
+    * post-projection, post-join by construction), then the computed
+    * expression group keys. */
+  private def prepared(spark: SparkSession, fact: DataFrame, d: MvDef,
+                       at: DimSpec => Int): DataFrame = {
+    val j = joinDims(spark, applyPre(fact, d), d, at)
     withGroupKeys(d.whereSql.map(w => j.filter(expr(w))).getOrElse(j), d)
+  }
+
+  /** A DIM-DELTA phase's feed: dim `dimI`'s signed change feed
+    * `(from, to]` in place of its snapshot, joined to the FACT snapshot
+    * at `factV` (through the view stage) and to every other dim at
+    * `at`'s versions — the `F⋈ΔD` term of the bilinear decomposition
+    * (see [[refresh]]). The `_change_type` column arrives from the dim
+    * side, so the same signed fold machinery applies unchanged; the dim
+    * feed (delta-sized) carries the size-gated broadcast hint, probed by
+    * a count of its localCheckpoint — the fact snapshot is the big side
+    * and never broadcasts. */
+  private def preparedDimFeed(spark: SparkSession, d: MvDef, dimI: DimSpec,
+                              from: Int, to: Int, factV: Int,
+                              at: DimSpec => Int): DataFrame = {
+    val factSnap = applyPre(
+      new LakeTable(spark, d.baseRoot).snapshot(factV), d)
+    val joined = d.dims.foldLeft(factSnap.as(relAlias(d.baseName))) {
+      (acc, dim) =>
+        val dt = new LakeTable(spark, dim.root)
+        if (dim.name.equalsIgnoreCase(dimI.name)) {
+          val feed = dt.changes(from, to).localCheckpoint()
+          acc.join(hintIfSmall(feed.as(relAlias(dim.name)),
+              feed.count() <= mvBroadcastMaxRows(spark)),
+            expr(dim.onSql), "inner")
+        } else {
+          val v = at(dim)
+          val nRows = dt.manifest(v).files.map(_.rows).sum
+          acc.join(hintIfSmall(dt.snapshot(v).as(relAlias(dim.name)),
+            nRows <= mvBroadcastMaxRows(spark)), expr(dim.onSql), "inner")
+        }
+    }
+    withGroupKeys(
+      d.whereSql.map(w => joined.filter(expr(w))).getOrElse(joined), d)
   }
 
   // ---- catalog-entry (de)serialization -------------------------------
@@ -493,7 +535,7 @@ object LakeMv {
     // an EXPRESSION key's alias must not shadow a base (or joined-dim)
     // column: the fold computes the expression over the feed under that
     // alias, and a same-named column would make the stored key ambiguous
-    val joined0 = joinDims(spark, applyPre(base, d), d)
+    val joined0 = joinDims(spark, applyPre(base, d), d, _.version)
     val baseColsLc = joined0.columns.map(_.toLowerCase).toSet
     groupItems.filterNot(_.isBare).foreach(g =>
       require(!baseColsLc.contains(g.alias.toLowerCase),
@@ -545,7 +587,7 @@ object LakeMv {
     }
     LakeCatalog.registerMv(spark, name, serialize(d)) // claim FIRST
     try {
-      val filtered = prepared(spark, base, d)
+      val filtered = prepared(spark, base, d, _.version)
       val aggCols = aggs.flatMap {
         case AggItem("count_star", a, _) =>
           Seq(count(lit(1)).cast(LongType).as(a))
@@ -625,14 +667,16 @@ object LakeMv {
     if (a.kind == "min") least(col(s"_old_${a.alias}"), col(s"_d_ins_${a.alias}"))
     else greatest(col(s"_old_${a.alias}"), col(s"_d_ins_${a.alias}"))
 
-  /** Fold the base's change feed (lastFolded, current] into the state
-    * table as ONE epoch-tagged conditional merge: changed groups get
-    * their new ABSOLUTE values (update or insert), groups whose count
-    * folds to zero are deleted, groups the interval never touched are
-    * never read or written. min/max groups whose stored extremum a
-    * delete tied are re-aggregated against the fold-target snapshot,
-    * scoped to exactly those groups. Returns (fromVersion, toVersion,
-    * groupsTouched). */
+  /** Fold every advanced relation's change feed into the state table —
+    * one [[foldPhase]] per changed dim (bilinear decomposition, see the
+    * object doc), then the fact's (lastFolded, current] interval — each
+    * as ONE epoch-tagged conditional merge on its own chain: changed
+    * groups get their new ABSOLUTE values (update or insert), groups
+    * whose count folds to zero are deleted, groups a phase never touched
+    * are never read or written. min/max groups whose stored extremum a
+    * delete tied are re-aggregated against the phase's fold-target
+    * bracket, scoped to exactly those groups. Returns (factFromVersion,
+    * factToVersion, groupsTouched across all phases). */
   def refresh(spark: SparkSession, name: String): (Int, Int, Long) = {
     val d = parseDef(LakeCatalog.lookupMv(spark, name).getOrElse(
       throw new IllegalArgumentException(
@@ -683,33 +727,99 @@ object LakeMv {
             "view")
       }
     }
-    // star-join dims are PINNED: the incremental fold joins each dim at
-    // the version CREATE (or the last FULL) saw, so a dim that advanced
-    // refuses — folding new fact rows against the old dim while the user
-    // believes the dim changed would serve silently stale attributes,
-    // and folding them against the NEW dim would mix dim epochs inside
-    // one state table. FULL re-pins and rebuilds. Checked BEFORE the
-    // fact-fresh early return: a dim-only change must refuse loudly, not
-    // no-op while the view keeps serving the old dim's attributes.
-    d.dims.foreach { dim =>
-      val dimCur = new LakeTable(spark, dim.root).latestVersion
-      if (dimCur != dim.version) throw new IllegalStateException(
-        s"REFRESH MATERIALIZED VIEW $name: dimension table " +
-          s"'${dim.name}' is at version $dimCur but the view pins " +
-          s"v${dim.version} — the incremental fold joins the pinned dim " +
-          "snapshot, so a changed dim cannot fold incrementally; repair " +
-          s"with REFRESH MATERIALIZED VIEW $name FULL (rebuilds against " +
-          "the dims' current versions and re-pins)")
+    // star-join dims fold INCREMENTALLY through the bilinear
+    // decomposition (declaration order; Δ = the signed change feed):
+    //   F₁⋈D₁⋈E₁ − F₀⋈D₀⋈E₀ =
+    //     F₀⋈ΔD⋈E₀  +  F₀⋈D₁⋈ΔE  +  ΔF⋈D₁⋈E₁
+    // — one PHASE per advanced dim (the fact at its OLD fold version,
+    // dims left of it at NEW versions, dims right of it at their not-
+    // yet-folded versions), then the fact phase against all-NEW dims.
+    // Each dim's folded-to version rides the state table's OWN manifest
+    // chain under a per-dim app id ([[dimPhaseApp]]) — the same
+    // bookkeeping as the fact chain, so there is no catalog-entry
+    // rewrite to desync and a crashed refresh retries per phase: chains
+    // already at their targets skip, the rest fold their remaining
+    // slice. The entry's DimSpec.version is only the INITIAL pin.
+    val dimLatest = d.dims.map(x =>
+      x.name -> new LakeTable(spark, x.root).latestVersion).toMap
+    def dimFolded(x: DimSpec): Int =
+      st.latestEpoch(dimPhaseApp(app, x)).map(_.toInt).getOrElse(x.version)
+    // a dim RESTORED below its folded-to version cannot fold forward —
+    // the applied interval would have to un-happen; only a rebuild can
+    d.dims.foreach { x =>
+      if (dimLatest(x.name) < dimFolded(x)) throw new IllegalStateException(
+        s"REFRESH MATERIALIZED VIEW $name: dimension table '${x.name}' " +
+          s"is at version ${dimLatest(x.name)}, BEHIND the view's " +
+          s"folded-to v${dimFolded(x)} (was the dim RESTOREd?) — an " +
+          "applied interval cannot fold backward; repair with REFRESH " +
+          s"MATERIALIZED VIEW $name FULL")
     }
-    if (cur <= last) return (last, cur, 0L)
+    if (cur <= last && d.dims.forall(x => dimLatest(x.name) <= dimFolded(x)))
+      return (last, cur, 0L)
     // base-schema-evolution guard: the base supports metadata-only
     // rename/drop/widen (ALTER TABLE), so the interval being folded may
     // have changed the very columns this view's definition references —
     // validate BEFORE any fold work, refusing with repair guidance
     // instead of dying mid-fold with a raw resolution error (or worse,
     // mis-typing state through the rescan path)
-    validateAgainstBase(spark, name, d, bt, cur, st)
-    val feed = prepared(spark, bt.changes(last, cur), d)
+    validateAgainstBase(spark, name, d, bt, cur, st,
+      x => dimLatest(x.name))
+    var touched = 0L
+    // dim phases, declaration order (the decomposition's bracketing:
+    // each phase joins the fact at the OLD fold version, already-folded
+    // dims at NEW versions, not-yet-folded dims at their current
+    // folded-to versions — self-healing across crash retries because
+    // "folded-to" is read from the chains, not assumed)
+    d.dims.zipWithIndex.foreach { case (x, i) =>
+      val dTo = dimLatest(x.name)
+      val dFrom = dimFolded(x)
+      if (dTo > dFrom) {
+        def at(dim: DimSpec): Int = {
+          val j = d.dims.indexWhere(_.name.equalsIgnoreCase(dim.name))
+          if (j < i) dimLatest(dim.name)
+          else if (j == i) dTo
+          else dimFolded(dim)
+        }
+        touched += foldPhase(spark, name, d, st,
+          v => preparedDimFeed(spark, d, x, v, dTo, last, at),
+          dFrom, dTo,
+          prepared(spark, bt.snapshot(last), d, at),
+          dimPhaseApp(app, x), x.version)
+      }
+    }
+    if (cur > last)
+      touched += foldPhase(spark, name, d, st,
+        v => prepared(spark, bt.changes(v, cur), d, x => dimLatest(x.name)),
+        last, cur,
+        prepared(spark, bt.snapshot(cur), d, x => dimLatest(x.name)),
+        app, d.initVersion)
+    (last, cur, touched)
+  }
+
+  /** The per-dim epoch app id: dim fold progress rides the state table's
+    * manifest chain under this tag, exactly like the fact chain under
+    * the MV's own app id — recoverable, crash-convergent, rename-proof
+    * (derived from the PINNED app id, never the current name). */
+  private def dimPhaseApp(app: String, x: DimSpec): String =
+    s"$app-dim-${x.name.toLowerCase}"
+
+  /** One fold PHASE: apply the signed multiset diff `feedFrom(from)` to
+    * the state table (and every count(DISTINCT) side table) as ONE
+    * epoch-tagged conditional merge under `epochApp`/`to` — changed
+    * groups get their new ABSOLUTE values, groups whose count folds to
+    * zero are deleted, untouched groups are never read or written.
+    * min/max groups whose stored extremum a delete tied re-aggregate
+    * against `foldTarget` (the phase's consistent fold-target relation),
+    * scoped to exactly those groups. `feedFrom` rebuilds the feed from
+    * an arbitrary lower bound — the count(DISTINCT) side tables' crash-
+    * retry slice; `initialEpoch` is the chain value meaning "never
+    * folded" (the MV's init version for the fact chain, the dim's entry
+    * pin for a dim chain). Returns groups touched. */
+  private def foldPhase(spark: SparkSession, name: String, d: MvDef,
+                        st: LakeTable, feedFrom: Int => DataFrame,
+                        from: Int, to: Int, foldTarget: => DataFrame,
+                        epochApp: String, initialEpoch: Int): Long = {
+    val feed = feedFrom(from)
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
     val csAlias = d.countStarAlias
@@ -827,7 +937,7 @@ object LakeMv {
       .drop("_had_state")
     val src =
       if (d.minMaxAggs.isEmpty) src0.select(stateCols(d).map(col): _*)
-      else rescanMinMax(spark, d, bt, cur, src0, typed,
+      else rescanMinMax(spark, d, foldTarget, src0, typed,
         mvBroadcastMaxRows(spark))
     val srcCd =
       if (d.countDistinctAggs.isEmpty) src
@@ -836,7 +946,8 @@ object LakeMv {
         // crash retries — then ABSOLUTE per-group recounts scoped to
         // exactly the changed groups override the placeholders
         val overrides = d.countDistinctAggs.map { a =>
-          foldCdAux(spark, d, a, bt, sgn, app, last, cur)
+          foldCdAux(spark, d, a, feedFrom, sgn, epochApp, from, to,
+            initialEpoch)
           val aux = new LakeTable(spark, d.auxRoot(a.alias))
           a.alias -> aux.read()
             .join(hintIfSmall(delta.select("_mv_key"), small),
@@ -857,11 +968,11 @@ object LakeMv {
     val touched = srcM.count()
     if (failBeforeMainMerge) throw new RuntimeException(
       "injected crash between side-table and main-state commits")
-    st.mergeIntoEpoch(srcM, cur.toLong, app,
+    st.mergeIntoEpoch(srcM, to.toLong, epochApp,
       whenMatchedDeleteIf = Some(col(s"source.$csAlias") === 0L),
       whenMatchedUpdateIf = Some(lit(true)),
       whenNotMatchedInsert = true)
-    (last, cur, touched)
+    touched
   }
 
   /** Base-schema-evolution guard, run at the top of every incremental
@@ -885,8 +996,9 @@ object LakeMv {
     * documented. */
   private def validateAgainstBase(spark: SparkSession, name: String,
                                   d: MvDef, bt: LakeTable, cur: Int,
-                                  st: LakeTable): Unit = {
-    val base = joinDims(spark, applyPre(bt.snapshot(cur), d), d)
+                                  st: LakeTable,
+                                  at: DimSpec => Int): Unit = {
+    val base = joinDims(spark, applyPre(bt.snapshot(cur), d), d, at)
     val probe =
       try {
         val p = d.whereSql.map(w => base.filter(expr(w))).getOrElse(base)
@@ -942,8 +1054,8 @@ object LakeMv {
     * Compute after the scan is O(affected groups' rows), never O(base)
     * aggregate work; the common refresh (no extremum deleted) never
     * enters here at all. */
-  private def rescanMinMax(spark: SparkSession, d: MvDef, bt: LakeTable,
-                           cur: Int, src0: DataFrame,
+  private def rescanMinMax(spark: SparkSession, d: MvDef,
+                           foldTarget: => DataFrame, src0: DataFrame,
                            typed: String => org.apache.spark.sql.types.DataType,
                            broadcastMaxRows: Long): DataFrame = {
     val csAlias = d.countStarAlias
@@ -960,8 +1072,9 @@ object LakeMv {
     // count above is the probe, so a backfill-sized rescan degrades to
     // shuffle joins instead of OOMing on a welded hint
     val smallAff = nAff <= broadcastMaxRows
-    // the SAME snapshot (and pinned dim joins) the fold targets
-    val filtered = prepared(spark, bt.snapshot(cur), d)
+    // the SAME prepared relation the phase's fold targets (fact + view
+    // stage + the phase's dim-version bracket)
+    val filtered = foldTarget
     val lead = d.groupItems.head
     val pre =
       if (lead.isBare && nAff <= 1000L) {
@@ -1049,8 +1162,9 @@ object LakeMv {
     * produce it) and refuses loudly. Collision and negative-multiplicity
     * forensics mirror the main fold's. */
   private def foldCdAux(spark: SparkSession, d: MvDef, a: AggItem,
-                        bt: LakeTable, sgn: Column, app: String,
-                        last: Int, cur: Int): Unit = {
+                        feedFrom: Int => DataFrame, sgn: Column,
+                        app: String, last: Int, cur: Int,
+                        initialEpoch: Int): Unit = {
     val aux = new LakeTable(spark, d.auxRoot(a.alias))
     val from = aux.latestEpoch(app).map(_.toInt) match {
       case Some(e) if e >= cur => return // crash retry: already folded
@@ -1058,19 +1172,20 @@ object LakeMv {
         // retry with intervening base commits — fold the missing slice
       case Some(e) => throw new IllegalStateException(
         s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
-          s"table is folded to base version $e, BEHIND the view state " +
-          s"at $last — side-state drift (was either table written " +
-          "outside REFRESH?); repair with REFRESH MATERIALIZED VIEW " +
-          "… FULL")
+          s"table is folded to version $e, BEHIND the view state " +
+          s"at $last on chain '$app' — side-state drift (was either " +
+          "table written outside REFRESH?); repair with REFRESH " +
+          "MATERIALIZED VIEW … FULL")
       case None =>
-        if (last != d.initVersion) throw new IllegalStateException(
+        if (last != initialEpoch) throw new IllegalStateException(
           s"REFRESH MATERIALIZED VIEW: count(DISTINCT ${a.arg}) side " +
-            "table has no epoch tag but the view has refreshed past its " +
-            "init version — side bookkeeping is unrecoverable (vacuumed " +
-            "out-of-band?); repair with REFRESH MATERIALIZED VIEW … FULL")
+            s"table has no '$app' epoch tag but the view has folded " +
+            "past that chain's initial pin — side bookkeeping is " +
+            "unrecoverable (vacuumed out-of-band?); repair with REFRESH " +
+            "MATERIALIZED VIEW … FULL")
         last
     }
-    val feed = prepared(spark, bt.changes(from, cur), d)
+    val feed = feedFrom(from)
     val arg = expr(a.arg)
     val deltaV = feed.filter(arg.isNotNull)
       .withColumn("_cd_val", arg.cast("string"))
@@ -1196,11 +1311,15 @@ object LakeMv {
       .getOrElse(d.initVersion)
     val cur = new LakeTable(spark, d.baseRoot).latestVersion
     val groups = st.manifest(st.latestVersion).files.map(_.rows).sum
-    // star-join staleness: how many pinned dims have since advanced
-    // (any > 0 means the next incremental REFRESH will refuse and name
-    // REFRESH … FULL)
-    val dimsStale = d.dims.count(x =>
-      new LakeTable(spark, x.root).latestVersion != x.version)
+    // star-join staleness: how many dims carry deltas the state has not
+    // folded yet (folded-to = the dim's chain tag, or the entry pin) —
+    // the next incremental REFRESH folds these as their own phases
+    val dimsStale = d.dims.count { x =>
+      val folded = st.latestEpoch(
+        s"${d.appId.getOrElse(appIdOf(name))}-dim-${x.name.toLowerCase}")
+        .map(_.toInt).getOrElse(x.version)
+      new LakeTable(spark, x.root).latestVersion != folded
+    }
     // fold-through view pin: stale when the view's current body no
     // longer matches the pinned text (redefined OR dropped) — the same
     // will-refuse-next-refresh alert as n_dims_stale, for the view pin

@@ -2670,12 +2670,10 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("DELETE FROM mvvd_fact WHERE k = 8").collect()
       s.sql("REFRESH MATERIALIZED VIEW mvvd").collect()
       mv() shouldBe scratch()
-      // both pins guard: a dim write refuses; so does a view redefinition
+      // a dim write folds incrementally THROUGH the view stage too (the
+      // dim phase joins the view-projected fact snapshot)
       s.sql("UPDATE mvvd_dim SET seg = 'seg9' WHERE c_id = 2").collect()
-      intercept[Exception] {
-        s.sql("REFRESH MATERIALIZED VIEW mvvd").collect()
-      }.getMessage should include("dimension table")
-      s.sql("REFRESH MATERIALIZED VIEW mvvd FULL").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvvd").collect()
       mv() shouldBe scratch()
       s.sql("CREATE OR REPLACE VIEW mvvd_small AS SELECT k, ck, v AS vv " +
         "FROM mvvd_fact").collect()
@@ -2685,6 +2683,82 @@ class LakeSqlDmlSpec extends SparkTestBase {
       }.getMessage should include("REDEFINED")
       s.sql("REFRESH MATERIALIZED VIEW mvvd FULL").collect()
       mv() shouldBe scratch() // new body + re-pinned dim, one repair verb
+    }
+  }
+
+  test("star-join MVs: dim deltas fold as bilinear phases, crash retries converge per chain") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 60L).map(k => (k, 1L + k % 5, 1L + k % 3, k * 10.0))
+        .toDF("k", "ck", "pk", "v").createOrReplaceTempView("mvbl_fsrc")
+      (1L to 5L).map(c => (c, s"seg${c % 2}"))
+        .toDF("c_id", "seg").createOrReplaceTempView("mvbl_csrc")
+      (1L to 3L).map(p => (p, s"cat${p % 2}"))
+        .toDF("p_id", "cat").createOrReplaceTempView("mvbl_psrc")
+      s.sql("CREATE TABLE mvbl_fact KEY k AS SELECT * FROM mvbl_fsrc")
+        .collect()
+      s.sql("CREATE TABLE mvbl_c KEY c_id AS SELECT * FROM mvbl_csrc")
+        .collect()
+      s.sql("CREATE TABLE mvbl_p KEY p_id AS SELECT * FROM mvbl_psrc")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvbl AS
+          |SELECT seg, cat, count(*) AS n, sum(v) AS sv, max(v) AS hi,
+          |       count(DISTINCT ck) AS nc
+          |FROM mvbl_fact JOIN mvbl_c ON ck = c_id JOIN mvbl_p ON pk = p_id
+          |GROUP BY seg, cat""".stripMargin).collect()
+      def mv() = s.sql(
+        "SELECT seg, cat, n, CAST(sv AS DECIMAL(28,10)) AS sv, hi, nc " +
+          "FROM mvbl ORDER BY seg, cat").collect().toSeq
+      def scratch() = s.sql(
+        """SELECT seg, cat, count(*) AS n,
+          |CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv,
+          |max(v) AS hi, count(DISTINCT ck) AS nc
+          |FROM mvbl_fact JOIN mvbl_c ON ck = c_id JOIN mvbl_p ON pk = p_id
+          |GROUP BY seg, cat ORDER BY seg, cat""".stripMargin)
+        .collect().toSeq
+      mv() shouldBe scratch()
+      // a MIXED interval — fact commits interleaved with BOTH dims
+      // changing — folds in one refresh: per-dim phases bracket the fact
+      // at its old version, the fact phase sees all-new dims
+      s.sql("INSERT INTO mvbl_fact SELECT k + 100 AS k, 2L AS ck, " +
+        "3L AS pk, 1500.0D AS v FROM mvbl_fsrc WHERE k <= 3").collect()
+      s.sql("UPDATE mvbl_c SET seg = 'seg9' WHERE c_id = 4").collect()
+      s.sql("UPDATE mvbl_p SET cat = 'cat9' WHERE p_id = 2").collect()
+      s.sql("DELETE FROM mvbl_fact WHERE k % 11 = 0").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvbl").collect()
+      mv() shouldBe scratch()
+      mv().map(_.getString(0)) should contain("seg9")
+      mv().map(_.getString(1)) should contain("cat9")
+      // a dim phase whose attribute flip REMOVES a group's max-holders
+      // rescans within that phase (the delete side of the dim feed ties
+      // the stored extremum)
+      graft.sources.LakeMv.lastRescanGroups // (observability only)
+      s.sql("UPDATE mvbl_c SET seg = 'seg0' WHERE seg = 'seg9'").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvbl").collect()
+      mv() shouldBe scratch()
+      // CRASH inside the first dim phase (after its side-table commits,
+      // before its main merge), then MORE commits on the fact and BOTH
+      // dims before the retry — each chain resumes from where it truly
+      // is and the retry converges
+      s.sql("UPDATE mvbl_c SET seg = 'seg1' WHERE c_id = 5").collect()
+      graft.sources.LakeMv.failBeforeMainMerge = true
+      try {
+        intercept[RuntimeException] {
+          s.sql("REFRESH MATERIALIZED VIEW mvbl").collect()
+        }.getMessage should include("injected crash")
+      } finally graft.sources.LakeMv.failBeforeMainMerge = false
+      s.sql("UPDATE mvbl_c SET seg = 'seg2' WHERE c_id = 1").collect()
+      s.sql("UPDATE mvbl_p SET cat = 'cat0' WHERE p_id = 2").collect()
+      s.sql("DELETE FROM mvbl_fact WHERE k = 5").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvbl").collect()
+      mv() shouldBe scratch()
+      // chains in lockstep again: the next mixed interval folds clean
+      s.sql("UPDATE mvbl_c SET seg = 'seg3' WHERE c_id = 2").collect()
+      s.sql("DELETE FROM mvbl_fact WHERE k = 7").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvbl").collect()
+      mv() shouldBe scratch()
     }
   }
 
@@ -2729,26 +2803,38 @@ class LakeSqlDmlSpec extends SparkTestBase {
       mv() shouldBe scratch()
       val r2 = s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()(0)
       r2.getInt(1) shouldBe r2.getInt(2) // already fresh: no-op
-      // detail surfaces the star shape: 1 dim, currently un-stale
+      // detail surfaces the star shape: 1 dim, no pending deltas
       s.sql("SELECT n_dims, n_dims_stale FROM graft_mv_detail('mvjt')")
         .collect()(0).toSeq shouldBe Seq(1, 0)
-      // a DIM write refuses the incremental fold (mixed dim epochs are
-      // the silent-corruption alternative) and names the repair
+      // a DIM write folds INCREMENTALLY as its own bilinear phase — the
+      // attribute flip moves every joined fact row between groups, and
+      // the fold sees exactly that multiset diff
       s.sql("UPDATE mvjt_dim SET seg = 'seg9' WHERE c_id = 3").collect()
       s.sql("SELECT n_dims_stale FROM graft_mv_detail('mvjt')")
         .collect()(0).getInt(0) shouldBe 1
       s.sql("DELETE FROM mvjt_fact WHERE ok = 2").collect()
-      val e = intercept[Exception] {
-        s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()
-      }.getMessage
-      e should include("dimension table")
-      e should include("REFRESH MATERIALIZED VIEW mvjt FULL")
-      // FULL re-pins the dim and lands the new join result; incremental
-      // refresh then resumes against the re-pinned dim
-      s.sql("REFRESH MATERIALIZED VIEW mvjt FULL").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()
       mv() shouldBe scratch()
       mv().map(_.getString(0)) should contain("seg9")
+      s.sql("SELECT n_dims_stale FROM graft_mv_detail('mvjt')")
+        .collect()(0).getInt(0) shouldBe 0
+      // a dim-ONLY change folds too: fact span is a no-op but groups
+      // still move (the old silent-no-op hazard, now a real fold)
+      s.sql("UPDATE mvjt_dim SET seg = 'seg8' WHERE c_id = 1").collect()
+      val r3 = s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()(0)
+      r3.getInt(1) shouldBe r3.getInt(2) // fact did not advance
+      r3.getLong(3) should be > 0L // but the dim phase touched groups
+      mv() shouldBe scratch()
+      // RESTORE of a dim is just another commit: the next refresh folds
+      // the rollback's diff like any other interval
+      s.sql("RESTORE TABLE mvjt_dim TO VERSION AS OF 0").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()
+      mv() shouldBe scratch()
+      // FULL still rebuilds+re-pins, and incrementals resume after it
+      s.sql("REFRESH MATERIALIZED VIEW mvjt FULL").collect()
+      mv() shouldBe scratch()
       s.sql("DELETE FROM mvjt_fact WHERE ok = 4").collect()
+      s.sql("UPDATE mvjt_dim SET seg = 'seg7' WHERE c_id = 5").collect()
       s.sql("REFRESH MATERIALIZED VIEW mvjt").collect()
       mv() shouldBe scratch()
       // SHOW CREATE round-trips the join grammar
