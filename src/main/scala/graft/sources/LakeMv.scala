@@ -1316,7 +1316,7 @@ object LakeMv {
     // the next incremental REFRESH folds these as their own phases
     val dimsStale = d.dims.count { x =>
       val folded = st.latestEpoch(
-        s"${d.appId.getOrElse(appIdOf(name))}-dim-${x.name.toLowerCase}")
+          dimPhaseApp(d.appId.getOrElse(appIdOf(name)), x))
         .map(_.toInt).getOrElse(x.version)
       new LakeTable(spark, x.root).latestVersion != folded
     }

@@ -369,7 +369,11 @@ object StreamingOps {
     * the same state; even the checkpoint is only a politeness (a fresh
     * one merely re-triggers no-op refreshes). The streamed-epoch
     * discipline of `lake_mv_incremental`, productized for the catalog
-    * MV verb. */
+    * MV verb. Star-join note: the trigger tails the FACT's chain only —
+    * a dim-only interval folds on the NEXT fact-triggered refresh (the
+    * refresh always folds every pending dim phase first); tail a hot
+    * dim's manifest dir with a second query against the same refresh if
+    * dim-latency matters. */
   def standingMvRefresh(spark: org.apache.spark.sql.SparkSession,
                         name: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
