@@ -177,6 +177,18 @@ object LakeMv {
   private def hintIfSmall(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df
 
+  /** Key budget for the `isin` FACT pre-filters (the dim-delta phase's
+    * join-key pushdown and the min/max rescan's dim-lead resolution) —
+    * `spark.graft.mv.isinPrefilterMaxKeys`, default 1000: an IN list is
+    * a literal predicate the parquet row-group stats and
+    * [[LakeManifestPrune]] can push (REAL file pruning on a fact
+    * clustered by the key), but it is also driver-collected and
+    * plan-embedded, so it must stay small. Over budget the pre-filter is
+    * simply withheld — the join itself stays correct, only unpruned. */
+  private def isinPrefilterMaxKeys(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.mv.isinPrefilterMaxKeys")
+      .map(_.toLong).getOrElse(1000L)
+
   /** Ops/test seam: how many groups the LAST refresh on this JVM flagged
     * for a min/max rescan (0 = pure fold — the steady state; the specs
     * pin that insert-only and non-extremum-delete intervals never
@@ -188,6 +200,83 @@ object LakeMv {
     * merge — the exact window whose retry convergence the side tables'
     * own epoch chains exist to guarantee (spec-pinned). */
   @volatile private[graft] var failBeforeMainMerge: Boolean = false
+
+  /** Ops/test seams for the fact-scan pre-filters: when
+    * [[captureFactScan]] is set, every dim-delta phase and min/max
+    * rescan records how many of the FACT's data files its executed plan
+    * actually scans ([[lastFactScanFiles]]) — the pruning assertion's
+    * probe — and [[lastPrefilterKeys]] records the `isin` key count the
+    * pre-filter embedded (-1 = no pre-filter applied). Observability
+    * only; never read by the fold. */
+  @volatile private[graft] var captureFactScan: Boolean = false
+  @volatile private[graft] var lastFactScanFiles: Long = -1L
+  @volatile private[graft] var lastPrefilterKeys: Long = -1L
+
+  private def recordFactScan(df: DataFrame, baseRoot: String): Unit =
+    if (captureFactScan) {
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val dataPrefix = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(baseRoot), "data").toUri.getPath + "/"
+      def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.inputPlan)
+      }.flatten
+      lastFactScanFiles = scans(df.queryExecution.executedPlan)
+        .flatMap(_.relation.location.inputFiles)
+        .count(f => new org.apache.hadoop.fs.Path(f).toUri.getPath
+          .startsWith(dataPrefix))
+    }
+
+  /** The ONE equi-join pair `(fact column, dim column)` of `dim.onSql`'s
+    * top-level conjuncts, when one exists — the handle both fact
+    * pre-filters push through. Extraction is structural and
+    * conservative: only top-level `AND`-chained `=` conjuncts are
+    * considered (an `=` under `OR` does not bound the join), each side
+    * must be a bare attribute that resolves to exactly one relation —
+    * by its qualifier ([[relAlias]]) or, unqualified, by EXCLUSIVE
+    * column-set membership — and anything else yields None (the join
+    * stays correct, only unpruned). */
+  private[sources] def equiJoinKeyPair(
+      d: MvDef, dim: DimSpec, factColsLc: Set[String],
+      dimColsLc: Set[String]): Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val factA = relAlias(d.baseName)
+    val dimA = relAlias(dim.name)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // Left = fact-side column, Right = dim-side column, None = unusable
+    def side(e: Expression): Option[Either[String, String]] = e match {
+      case UnresolvedAttribute(parts) if parts.length == 2 =>
+        val q = parts.head.toLowerCase
+        if (q == factA) Some(Left(parts(1)))
+        else if (q == dimA) Some(Right(parts(1)))
+        else None
+      case UnresolvedAttribute(parts) if parts.length == 1 =>
+        val lc = parts.head.toLowerCase
+        (factColsLc.contains(lc), dimColsLc.contains(lc)) match {
+          case (true, false) => Some(Left(parts.head))
+          case (false, true) => Some(Right(parts.head))
+          case _ => None
+        }
+      case _ => None
+    }
+    val cond =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(dim.onSql)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    conjuncts(cond).iterator.map {
+      case EqualTo(l, r) => (side(l), side(r)) match {
+        case (Some(Left(f)), Some(Right(dc))) => Some((f, dc))
+        case (Some(Right(dc)), Some(Left(f))) => Some((f, dc))
+        case _ => None
+      }
+      case _ => None
+    }.collectFirst { case Some(p) => p }
+  }
 
   /** Project a base/feed relation to carry every EXPRESSION group key as
     * a computed column under its alias (bare keys already exist; their
@@ -240,10 +329,17 @@ object LakeMv {
     * pinned view stage, if any) ⋈ dims at `at`'s versions, then the
     * WHERE filter (it may reference view-output and dim columns —
     * post-projection, post-join by construction), then the computed
-    * expression group keys. */
+    * expression group keys. `factFilter` is an optional LITERAL
+    * pre-filter on the fact side (post-view-stage, pre-join) — the
+    * rescan's dim-lead `isin` pushdown — always a superset of the rows
+    * the join keeps, so applying it never changes the result, only the
+    * I/O. */
   private def prepared(spark: SparkSession, fact: DataFrame, d: MvDef,
-                       at: DimSpec => Int): DataFrame = {
-    val j = joinDims(spark, applyPre(fact, d), d, at)
+                       at: DimSpec => Int,
+                       factFilter: Option[Column] = None): DataFrame = {
+    val f0 = applyPre(fact, d)
+    val f = factFilter.map(f0.filter).getOrElse(f0)
+    val j = joinDims(spark, f, d, at)
     withGroupKeys(d.whereSql.map(w => j.filter(expr(w))).getOrElse(j), d)
   }
 
@@ -259,25 +355,57 @@ object LakeMv {
   private def preparedDimFeed(spark: SparkSession, d: MvDef, dimI: DimSpec,
                               from: Int, to: Int, factV: Int,
                               at: DimSpec => Int): DataFrame = {
-    val factSnap = applyPre(
+    val feed = new LakeTable(spark, dimI.root).changes(from, to)
+      .localCheckpoint()
+    val feedSmall = feed.count() <= mvBroadcastMaxRows(spark)
+    val factPre = applyPre(
       new LakeTable(spark, d.baseRoot).snapshot(factV), d)
-    val joined = d.dims.foldLeft(factSnap.as(relAlias(d.baseName))) {
+    // JOIN-KEY PUSHDOWN — the 100 TB shape: the feed is delta-sized, so
+    // when its distinct join-key set fits the isin budget, the keys ride
+    // the fact scan as a LITERAL pre-filter (parquet row-group stats +
+    // [[LakeManifestPrune]] — a fact clustered on the join key prunes to
+    // the affected files instead of paying a full pass per dim flip).
+    // Exact, not just a superset: the inner equi-conjunct only keeps
+    // fact rows whose key equals some (non-null) feed key, and the
+    // collect enumerated ALL of them or withheld the filter.
+    lastPrefilterKeys = -1L
+    val factFiltered = {
+      val maxKeys = isinPrefilterMaxKeys(spark)
+      val factColsLc = factPre.columns.map(_.toLowerCase).toSet
+      val feedColsLc = feed.columns.map(_.toLowerCase).toSet
+      equiJoinKeyPair(d, dimI, factColsLc, feedColsLc) match {
+        case Some((factCol, dimCol)) =>
+          val keys = feed.select(col(dimCol)).na.drop().distinct()
+            .limit(maxKeys.toInt + 1).collect().map(_.get(0)).toSeq
+          if (keys.nonEmpty && keys.length <= maxKeys) {
+            lastPrefilterKeys = keys.length.toLong
+            factPre.filter(col(factCol).isin(keys: _*))
+          } else if (keys.isEmpty) {
+            // a feed with no non-null join key joins nothing: the phase
+            // is provably empty, so the fact need not be read at all
+            lastPrefilterKeys = 0L
+            factPre.filter(lit(false))
+          } else factPre
+        case None => factPre
+      }
+    }
+    val joined = d.dims.foldLeft(factFiltered.as(relAlias(d.baseName))) {
       (acc, dim) =>
-        val dt = new LakeTable(spark, dim.root)
-        if (dim.name.equalsIgnoreCase(dimI.name)) {
-          val feed = dt.changes(from, to).localCheckpoint()
-          acc.join(hintIfSmall(feed.as(relAlias(dim.name)),
-              feed.count() <= mvBroadcastMaxRows(spark)),
+        if (dim.name.equalsIgnoreCase(dimI.name))
+          acc.join(hintIfSmall(feed.as(relAlias(dim.name)), feedSmall),
             expr(dim.onSql), "inner")
-        } else {
+        else {
+          val dt = new LakeTable(spark, dim.root)
           val v = at(dim)
           val nRows = dt.manifest(v).files.map(_.rows).sum
           acc.join(hintIfSmall(dt.snapshot(v).as(relAlias(dim.name)),
             nRows <= mvBroadcastMaxRows(spark)), expr(dim.onSql), "inner")
         }
     }
-    withGroupKeys(
+    val out = withGroupKeys(
       d.whereSql.map(w => joined.filter(expr(w))).getOrElse(joined), d)
+    recordFactScan(out, d.baseRoot)
+    out
   }
 
   // ---- catalog-entry (de)serialization -------------------------------
@@ -765,6 +893,51 @@ object LakeMv {
     validateAgainstBase(spark, name, d, bt, cur, st,
       x => dimLatest(x.name))
     var touched = 0L
+    // the min/max rescan's DIM-LEAD pushdown closure: when the leading
+    // group key is a bare DIM column (the `GROUP BY c_mktsegment` star
+    // shape), the rescan's post-join `isin` on it prunes only the DIM
+    // scan — the fact still pays a full pass. This closure resolves the
+    // affected lead values → the dim's join keys (one delta-sized dim
+    // read) → a LITERAL `isin` pre-filter the FACT scan can push to
+    // parquet stats + [[LakeManifestPrune]]. A fact-column lead returns
+    // None (the post-join filter already pushes onto the fact by
+    // itself); any shape the extractor cannot prove returns None too —
+    // the rescan stays correct, only unpruned.
+    def dimPrefilterFor(at: DimSpec => Int,
+                        factV: Int): Seq[Any] => Option[Column] = {
+      val leadOpt = d.groupItems.headOption.filter(_.isBare)
+      vals => leadOpt.flatMap { lead =>
+        val leadLc = lead.alias.toLowerCase
+        val factColsLc = applyPre(bt.snapshot(factV), d)
+          .columns.map(_.toLowerCase).toSet
+        if (factColsLc.contains(leadLc)) None
+        else d.dims.find(x =>
+            new LakeTable(spark, x.root).snapshot(at(x))
+              .columns.map(_.toLowerCase).contains(leadLc))
+          .flatMap { x =>
+            val snap = new LakeTable(spark, x.root).snapshot(at(x))
+            val dimColsLc = snap.columns.map(_.toLowerCase).toSet
+            equiJoinKeyPair(d, x, factColsLc, dimColsLc).flatMap {
+              case (factCol, dimCol) =>
+                val maxKeys = isinPrefilterMaxKeys(spark)
+                val nn = vals.filter(_ != null)
+                val lp =
+                  if (nn.isEmpty) col(lead.alias).isNull
+                  else if (nn.length == vals.length)
+                    col(lead.alias).isin(nn: _*)
+                  else col(lead.alias).isNull ||
+                    col(lead.alias).isin(nn: _*)
+                val keys = snap.filter(lp).select(col(dimCol)).na.drop()
+                  .distinct().limit(maxKeys.toInt + 1).collect()
+                  .map(_.get(0)).toSeq
+                if (keys.nonEmpty && keys.length <= maxKeys) {
+                  lastPrefilterKeys = keys.length.toLong
+                  Some(col(factCol).isin(keys: _*))
+                } else None
+            }
+          }
+      }
+    }
     // dim phases, declaration order (the decomposition's bracketing:
     // each phase joins the fact at the OLD fold version, already-folded
     // dims at NEW versions, not-yet-folded dims at their current
@@ -783,7 +956,8 @@ object LakeMv {
         touched += foldPhase(spark, name, d, st,
           v => preparedDimFeed(spark, d, x, v, dTo, last, at),
           dFrom, dTo,
-          prepared(spark, bt.snapshot(last), d, at),
+          pf => prepared(spark, bt.snapshot(last), d, at, pf),
+          dimPrefilterFor(at, last),
           dimPhaseApp(app, x), x.version)
       }
     }
@@ -791,7 +965,9 @@ object LakeMv {
       touched += foldPhase(spark, name, d, st,
         v => prepared(spark, bt.changes(v, cur), d, x => dimLatest(x.name)),
         last, cur,
-        prepared(spark, bt.snapshot(cur), d, x => dimLatest(x.name)),
+        pf => prepared(spark, bt.snapshot(cur), d,
+          x => dimLatest(x.name), pf),
+        dimPrefilterFor(x => dimLatest(x.name), cur),
         app, d.initVersion)
     (last, cur, touched)
   }
@@ -809,15 +985,19 @@ object LakeMv {
     * groups get their new ABSOLUTE values, groups whose count folds to
     * zero are deleted, untouched groups are never read or written.
     * min/max groups whose stored extremum a delete tied re-aggregate
-    * against `foldTarget` (the phase's consistent fold-target relation),
-    * scoped to exactly those groups. `feedFrom` rebuilds the feed from
+    * against `foldTarget` (the phase's consistent fold-target relation,
+    * built with an optional fact-side `isin` pre-filter — see
+    * [[rescanMinMax]]/`dimPrefilter`), scoped to exactly those groups.
+    * `feedFrom` rebuilds the feed from
     * an arbitrary lower bound — the count(DISTINCT) side tables' crash-
     * retry slice; `initialEpoch` is the chain value meaning "never
     * folded" (the MV's init version for the fact chain, the dim's entry
     * pin for a dim chain). Returns groups touched. */
   private def foldPhase(spark: SparkSession, name: String, d: MvDef,
                         st: LakeTable, feedFrom: Int => DataFrame,
-                        from: Int, to: Int, foldTarget: => DataFrame,
+                        from: Int, to: Int,
+                        foldTarget: Option[Column] => DataFrame,
+                        dimPrefilter: Seq[Any] => Option[Column],
                         epochApp: String, initialEpoch: Int): Long = {
     val feed = feedFrom(from)
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
@@ -937,7 +1117,7 @@ object LakeMv {
       .drop("_had_state")
     val src =
       if (d.minMaxAggs.isEmpty) src0.select(stateCols(d).map(col): _*)
-      else rescanMinMax(spark, d, foldTarget, src0, typed,
+      else rescanMinMax(spark, d, foldTarget, dimPrefilter, src0, typed,
         mvBroadcastMaxRows(spark))
     val srcCd =
       if (d.countDistinctAggs.isEmpty) src
@@ -946,7 +1126,7 @@ object LakeMv {
         // crash retries — then ABSOLUTE per-group recounts scoped to
         // exactly the changed groups override the placeholders
         val overrides = d.countDistinctAggs.map { a =>
-          foldCdAux(spark, d, a, feedFrom, sgn, epochApp, from, to,
+          foldCdAux(spark, d, a, feed, feedFrom, sgn, epochApp, from, to,
             initialEpoch)
           val aux = new LakeTable(spark, d.auxRoot(a.alias))
           a.alias -> aux.read()
@@ -1047,15 +1227,21 @@ object LakeMv {
     * the flagged live groups against the base's fold-target snapshot.
     * Scoping is a broadcast semi-join on the affected GROUP VALUES
     * (exact — no hash-collision exposure), fronted by an `isin`
-    * pre-filter on the leading group key when it is a bare base column
-    * and the affected set is small: a literal predicate reaches the
-    * parquet row-group stats and the manifest prune rule, so a base
+    * pre-filter on the leading group key when it is a bare column and
+    * the affected set fits the isin budget: a literal predicate reaches
+    * the parquet row-group stats and the manifest prune rule, so a base
     * clustered or partitioned on that key prunes to the affected files.
-    * Compute after the scan is O(affected groups' rows), never O(base)
-    * aggregate work; the common refresh (no extremum deleted) never
-    * enters here at all. */
+    * A FACT-column lead pushes directly; a DIM-column lead (the star
+    * `GROUP BY c_mktsegment` shape) additionally resolves through
+    * `dimPrefilter` — affected lead values → dim join keys → an `isin`
+    * on the FACT's join key — so the fact scan prunes too, not just the
+    * dim's. Compute after the scan is O(affected groups' rows), never
+    * O(base) aggregate work; the common refresh (no extremum deleted)
+    * never enters here at all. */
   private def rescanMinMax(spark: SparkSession, d: MvDef,
-                           foldTarget: => DataFrame, src0: DataFrame,
+                           foldTarget: Option[Column] => DataFrame,
+                           dimPrefilter: Seq[Any] => Option[Column],
+                           src0: DataFrame,
                            typed: String => org.apache.spark.sql.types.DataType,
                            broadcastMaxRows: Long): DataFrame = {
     val csAlias = d.countStarAlias
@@ -1072,27 +1258,28 @@ object LakeMv {
     // count above is the probe, so a backfill-sized rescan degrades to
     // shuffle joins instead of OOMing on a welded hint
     val smallAff = nAff <= broadcastMaxRows
-    // the SAME prepared relation the phase's fold targets (fact + view
-    // stage + the phase's dim-version bracket)
-    val filtered = foldTarget
     val lead = d.groupItems.head
     val pre =
-      if (lead.isBare && nAff <= 1000L) {
+      if (lead.isBare && nAff <= isinPrefilterMaxKeys(spark)) {
         // pushable literal pre-filter on the leading bare group key —
         // this is what turns the rescan into a PRUNED scan on a base
-        // laid out by that key (isin reaches parquet stats + manifest)
+        // laid out by that key (isin reaches parquet stats + manifest);
+        // a dim-column lead also pushes the resolved fact-key isin into
+        // the fold target's fact side (dimPrefilter)
         val vals = aff.select(lead.alias).distinct().collect().map(_.get(0))
+        val filtered = foldTarget(dimPrefilter(vals.toSeq))
         val nn = vals.filter(_ != null)
         val p =
           if (nn.isEmpty) col(lead.alias).isNull
           else if (nn.length == vals.length) col(lead.alias).isin(nn.toSeq: _*)
           else col(lead.alias).isNull || col(lead.alias).isin(nn.toSeq: _*)
         filtered.filter(p)
-      } else filtered
+      } else foldTarget(None)
     val affR = aff.select(d.groupCols.map(g => col(g).as(s"_aff_$g")): _*)
     val scoped = pre.join(hintIfSmall(affR, smallAff),
       d.groupCols.map(g => col(g) <=> col(s"_aff_$g")).reduce(_ && _),
       "left_semi")
+    recordFactScan(scoped, d.baseRoot)
     val rescanAgg = scoped.groupBy(d.groupCols.map(col): _*)
       .agg(count(lit(1)).as("_rs_present"),
         d.minMaxAggs.map(a =>
@@ -1162,8 +1349,8 @@ object LakeMv {
     * produce it) and refuses loudly. Collision and negative-multiplicity
     * forensics mirror the main fold's. */
   private def foldCdAux(spark: SparkSession, d: MvDef, a: AggItem,
-                        feedFrom: Int => DataFrame, sgn: Column,
-                        app: String, last: Int, cur: Int,
+                        phaseFeed: DataFrame, feedFrom: Int => DataFrame,
+                        sgn: Column, app: String, last: Int, cur: Int,
                         initialEpoch: Int): Unit = {
     val aux = new LakeTable(spark, d.auxRoot(a.alias))
     val from = aux.latestEpoch(app).map(_.toInt) match {
@@ -1185,7 +1372,12 @@ object LakeMv {
             "MATERIALIZED VIEW … FULL")
         last
     }
-    val feed = feedFrom(from)
+    // the common no-crash case folds the SAME interval as the main
+    // phase: reuse its already-constructed feed (whose dim-phase form
+    // localCheckpoint-materializes and counts internally — rebuilding it
+    // per count(DISTINCT) aggregate paid that K+1 times); only the rare
+    // gap-slice crash retry (from != last) rebuilds from its own bound
+    val feed = if (from == last) phaseFeed else feedFrom(from)
     val arg = expr(a.arg)
     val deltaV = feed.filter(arg.isNotNull)
       .withColumn("_cd_val", arg.cast("string"))

@@ -2762,6 +2762,69 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("star-join MV refresh PRUNES the fact scan: join-key isin pushdown on a key-clustered fact") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      // 120 fact rows, join key ck monotone in the table key (12 rows per
+      // ck) — after OPTIMIZE … SORT BY (ck) each of the 10 files holds
+      // exactly one ck value with tight manifest stats
+      (1L to 120L).map(k => (k, (k - 1) / 12 + 1, k * 10.0))
+        .toDF("k", "ck", "v").createOrReplaceTempView("mvpr_fsrc")
+      (1L to 10L).map(c => (c, s"seg${c % 3}"))
+        .toDF("c_id", "seg").createOrReplaceTempView("mvpr_csrc")
+      s.sql("CREATE TABLE mvpr_fact KEY k STATS (ck) AS " +
+        "SELECT * FROM mvpr_fsrc").collect()
+      s.sql("CREATE TABLE mvpr_c KEY c_id AS SELECT * FROM mvpr_csrc")
+        .collect()
+      s.sql("OPTIMIZE mvpr_fact FILES 10 SORT BY (ck)").collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvpr AS
+          |SELECT seg, count(*) AS n, sum(v) AS sv, max(v) AS hi
+          |FROM mvpr_fact JOIN mvpr_c ON ck = c_id
+          |GROUP BY seg""".stripMargin).collect()
+      def mv() = s.sql(
+        "SELECT seg, n, CAST(sv AS DECIMAL(28,10)) AS sv, hi FROM mvpr " +
+          "ORDER BY seg").collect().toSeq
+      def scratch() = s.sql(
+        """SELECT seg, count(*) AS n,
+          |CAST(sum(CAST(v AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sv,
+          |max(v) AS hi
+          |FROM mvpr_fact JOIN mvpr_c ON ck = c_id
+          |GROUP BY seg ORDER BY seg""".stripMargin).collect().toSeq
+      mv() shouldBe scratch()
+      def scanFiles(q: String): Long = s.sql(q)
+        .queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.flatMap(_.relation.location.inputFiles).length.toLong
+      val total = scanFiles("SELECT * FROM mvpr_fact")
+      total shouldBe 10L
+      graft.sources.LakeMv.captureFactScan = true
+      try {
+        // dim-only commit, NO extremum tied: the dim phase's fact scan
+        // carries isin(ck ∈ {3}) — the manifest prune rule drops every
+        // file whose ck range misses it (strictly fewer than a full pass)
+        s.sql("UPDATE mvpr_c SET seg = 'segX' WHERE c_id = 3").collect()
+        s.sql("REFRESH MATERIALIZED VIEW mvpr").collect()
+        graft.sources.LakeMv.lastRescanGroups shouldBe 0L
+        graft.sources.LakeMv.lastPrefilterKeys shouldBe 1L
+        graft.sources.LakeMv.lastFactScanFiles should be >= 1L
+        graft.sources.LakeMv.lastFactScanFiles should be < total
+        mv() shouldBe scratch()
+        // dim flip that REMOVES seg1's max holder (c_id=10 carries the
+        // highest-v fact rows): the min/max rescan fires for seg1, and
+        // the DIM-LEAD pushdown resolves seg1 → dim keys {1,4,7} → an
+        // isin on the FACT's ck — the rescan's fact scan prunes too
+        s.sql("UPDATE mvpr_c SET seg = 'seg9' WHERE c_id = 10").collect()
+        s.sql("REFRESH MATERIALIZED VIEW mvpr").collect()
+        graft.sources.LakeMv.lastRescanGroups shouldBe 1L
+        graft.sources.LakeMv.lastFactScanFiles should be >= 1L
+        graft.sources.LakeMv.lastFactScanFiles should be < total
+        mv() shouldBe scratch()
+      } finally graft.sources.LakeMv.captureFactScan = false
+    }
+  }
+
   test("materialized views over a STAR JOIN: fact-feed fold, dim pinning, FULL re-pin") {
     withExtendedSession { s =>
       import s.implicits._
