@@ -100,7 +100,8 @@ object Plans {
       "lake_sql_view", "lake_sql_mv", "lake_string_key",
       "text_lm_stupid_backoff",
       "lake_sql_mv_minmax", "sim_topk_ivf_hires", "lake_sql_mv_distinct",
-      "lake_sql_mv_join", "sim_topk_ivf_q8", "lake_sql_mv_view")
+      "lake_sql_mv_join", "sim_topk_ivf_q8", "lake_sql_mv_view",
+      "lake_sql_mv_starview")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `runMain graft.Plans`)\n\n")

@@ -1051,6 +1051,71 @@ object Lake {
         |FROM mv_gross ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Gated lane: MATERIALIZED VIEW over a STAR-JOIN VIEW — the round-18
+    * semantic-layer composition: the view IS the star (fact ⋈ dim with a
+    * computed column and a WHERE), pinned at CREATE and compiled onto
+    * the MV's own dimension machinery — the view body's joins become
+    * fold dims, its WHERE + projection the post-join stage. The
+    * lifecycle drives BOTH bilinear directions through the view: the
+    * fact INSERT adds groups through the dim lookup, the fact UPDATE
+    * moves rows across the view's WHERE boundary in both directions,
+    * the fact DELETE removes the top-value rows (extremum ties → the
+    * rescan runs through the view's post-join projection), and the DIM
+    * mutation flips joined orders' groups — folded incrementally as the
+    * dim's own phase THROUGH the same view stage. One REFRESH folds all
+    * four commits; a second must no-op. The oracle recomputes the
+    * post-mutation aggregate through the same view transformation raw. */
+  def lakeSqlMvStarView(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    Tables.customer(spark, dir).createOrReplaceTempView("lake_sql_mvsv_csrc")
+    o.createOrReplaceTempView("lake_sql_mvsv_osrc")
+    spark.sql(
+      """CREATE TABLE mvsv_orders KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_mvsv_osrc""".stripMargin).collect()
+    spark.sql(
+      """CREATE TABLE mvsv_cust KEY c_custkey FILES 4
+        |AS SELECT * FROM lake_sql_mvsv_csrc""".stripMargin).collect()
+    spark.sql( // the semantic layer: a star-join view with a computed
+      // column and its own row filter (INNER JOIN spelling on purpose)
+      """CREATE VIEW mvsv_sales AS
+        |SELECT c_mktsegment, o_orderkey, o_custkey,
+        |       o_totalprice * 2 AS net
+        |FROM mvsv_orders INNER JOIN mvsv_cust ON o_custkey = c_custkey
+        |WHERE o_totalprice < 400000.0""".stripMargin).collect()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mv_seg_net AS
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       max(net) AS hi_net,
+        |       sum(net) AS net_rev
+        |FROM mvsv_sales WHERE o_orderkey % 2 = 0
+        |GROUP BY c_mktsegment""".stripMargin).collect()
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(70000.0))
+      .createOrReplaceTempView("lake_sql_mvsv_ins")
+    spark.sql(
+      "INSERT INTO mvsv_orders SELECT * FROM lake_sql_mvsv_ins").collect()
+    spark.sql( // moves rows ACROSS the view's WHERE boundary, both ways
+      """UPDATE mvsv_orders SET o_totalprice =
+        |  CASE WHEN o_totalprice < 100000.0 THEN o_totalprice + 350000.0
+        |       ELSE o_totalprice - 50000.0 END
+        |WHERE o_orderkey % 10 = 3""".stripMargin).collect()
+    spark.sql( // removes top-net rows → max rescan through the view
+      "DELETE FROM mvsv_orders WHERE o_totalprice >= 390000.0").collect()
+    spark.sql( // the DIM mutates: joined orders' groups flip — the dim's
+      // own bilinear phase folds THROUGH the view's post-join stage
+      """UPDATE mvsv_cust SET c_mktsegment = 'SEG-MOVED'
+        |WHERE c_custkey % 10 = 7""".stripMargin).collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_seg_net").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_seg_net").collect() // no-op
+    spark.sql(
+      """SELECT c_mktsegment, n_orders, n_custs, hi_net,
+        |       CAST(round(net_rev, 2) AS DOUBLE) AS net_rev
+        |FROM mv_seg_net ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Gated lane: STRING merge keys — the document-id-shaped key every
     * real corpus has. The table keys on `ok = 'ord-' || lpad(key, 12)`
     * (order-preserving re-spelling of the integer key, so the oracle can
@@ -1503,6 +1568,7 @@ object Lake {
     "lake_sql_mv_distinct" -> (lakeSqlMvDistinct _),
     "lake_sql_mv_join" -> (lakeSqlMvJoin _),
     "lake_sql_mv_view" -> (lakeSqlMvView _),
+    "lake_sql_mv_starview" -> (lakeSqlMvStarView _),
     "lake_string_key" -> (lakeStringKey _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
@@ -1841,6 +1907,43 @@ object Lake {
         |       max(gross) AS hi_gross,
         |       CAST(round(sum(CAST(gross AS DECIMAL(28,10))), 2)
         |            AS DOUBLE) AS revenue
+        |FROM v WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_mv_starview" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |         o_totalprice + 70000.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), all0 AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  UNION ALL SELECT * FROM ins
+        |), upd AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 10 = 3 THEN
+        |                CASE WHEN o_totalprice < 100000.0
+        |                     THEN o_totalprice + 350000.0
+        |                     ELSE o_totalprice - 50000.0 END
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM all0
+        |), fin AS (
+        |  SELECT * FROM upd WHERE o_totalprice < 390000.0
+        |), cust2 AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 10 = 7 THEN 'SEG-MOVED'
+        |              ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer
+        |), v AS (
+        |  SELECT c_mktsegment, o_orderkey, o_custkey,
+        |         o_totalprice * 2 AS net
+        |  FROM fin JOIN cust2 ON o_custkey = c_custkey
+        |  WHERE o_totalprice < 400000.0
+        |)
+        |SELECT c_mktsegment, count(*) AS n_orders,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       max(net) AS hi_net,
+        |       CAST(round(sum(CAST(net AS DECIMAL(28,10))), 2)
+        |            AS DOUBLE) AS net_rev
         |FROM v WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

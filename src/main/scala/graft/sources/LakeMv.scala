@@ -126,7 +126,17 @@ object LakeMv {
     * and WHERE text apply to the fact relation (snapshot or feed) BEFORE
     * dims/WHERE/grouping, and `viewText` is the body as pinned at
     * CREATE — a redefined view refuses the incremental fold (REFRESH …
-    * FULL re-reads and re-pins). Empty/None for table-based MVs. */
+    * FULL re-reads and re-pins). Empty/None for table-based MVs.
+    *
+    * A STAR-JOIN view (`FROM <view>` whose pinned body is `SELECT …
+    * FROM fact JOIN dim ON … [WHERE …]`) compiles onto the SAME dim
+    * machinery instead: the body's joins become `dims`, its WHERE
+    * becomes `postWhere` and its projection `postItems` — both applied
+    * AFTER the joins (the items may reference dim columns), before the
+    * MV's own WHERE/grouping — and `factRel` records the body's fact
+    * TABLE name (the relation alias ON conditions qualify by; the MV's
+    * `baseName` stays the VIEW name for the pin check). Per-row linear
+    * throughout, so the signed fold is exact over the composed shape. */
   case class MvDef(baseRoot: String, baseName: String, initVersion: Int,
                    stateRoot: String, items: Seq[MvItem],
                    whereSql: Option[String], havingSql: Option[String],
@@ -134,7 +144,13 @@ object LakeMv {
                    dims: Seq[DimSpec] = Seq.empty,
                    preItems: Seq[String] = Seq.empty,
                    preWhere: Option[String] = None,
-                   viewText: Option[String] = None) {
+                   viewText: Option[String] = None,
+                   postItems: Seq[String] = Seq.empty,
+                   postWhere: Option[String] = None,
+                   factRel: Option[String] = None) {
+    /** The FACT relation's qualification name: the star-join view's
+      * fact table when folding through one, else the base itself. */
+    def factRelName: String = factRel.getOrElse(baseName)
     def groupItems: Seq[GroupItem] = items.collect { case g: GroupItem => g }
     def groupCols: Seq[String] = groupItems.map(_.alias)
     def aggs: Seq[AggItem] = items.collect { case a: AggItem => a }
@@ -242,7 +258,7 @@ object LakeMv {
       dimColsLc: Set[String]): Option[(String, String)] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    val factA = relAlias(d.baseName)
+    val factA = relAlias(d.factRelName)
     val dimA = relAlias(dim.name)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -304,7 +320,7 @@ object LakeMv {
   private def joinDims(spark: SparkSession, fact: DataFrame, d: MvDef,
                        at: DimSpec => Int): DataFrame =
     if (d.dims.isEmpty) fact
-    else d.dims.foldLeft(fact.as(relAlias(d.baseName))) { (acc, dim) =>
+    else d.dims.foldLeft(fact.as(relAlias(d.factRelName))) { (acc, dim) =>
       val dt = new LakeTable(spark, dim.root)
       val v = at(dim)
       val nRows = dt.manifest(v).files.map(_.rows).sum
@@ -325,6 +341,32 @@ object LakeMv {
       Seq("_change_type").filter(f.columns.contains): _*)
   }
 
+  /** Whether the star-view post projection passes column `leadLc`
+    * through UNDER ITS OWN NAME (`c`, `q.c`, or either `AS c` with the
+    * bare same-named source) — the precondition for mapping a
+    * view-output lead column back onto a dim's STORED column in the
+    * rescan pushdown. A projected rename (`x AS c`) fails it, so the
+    * pushdown can never prune on the wrong column; trivially true with
+    * no post projection. */
+  private def postPassthrough(d: MvDef, leadLc: String): Boolean =
+    d.postItems.isEmpty || d.postItems.exists { it =>
+      val t = it.trim.toLowerCase.replaceAll("\\s+", " ")
+      val q = java.util.regex.Pattern.quote(leadLc)
+      t.matches(s"([a-z_][a-z0-9_]*\\.)?$q( as $q)?")
+    }
+
+  /** The pinned STAR-JOIN view's post-join stage (no-op otherwise): the
+    * body's WHERE filters the joined rows, then its projection re-shapes
+    * them — `_change_type` carried through when present, exactly like
+    * [[applyPre]], so whichever side supplied the signed feed keeps its
+    * sign through the view's multiset diff. */
+  private def applyPost(joined: DataFrame, d: MvDef): DataFrame = {
+    val f = d.postWhere.map(w => joined.filter(expr(w))).getOrElse(joined)
+    if (d.postItems.isEmpty) f
+    else f.selectExpr(d.postItems ++
+      Seq("_change_type").filter(f.columns.contains): _*)
+  }
+
   /** The relation every fold and rescan aggregates: fact (through the
     * pinned view stage, if any) ⋈ dims at `at`'s versions, then the
     * WHERE filter (it may reference view-output and dim columns —
@@ -339,7 +381,7 @@ object LakeMv {
                        factFilter: Option[Column] = None): DataFrame = {
     val f0 = applyPre(fact, d)
     val f = factFilter.map(f0.filter).getOrElse(f0)
-    val j = joinDims(spark, f, d, at)
+    val j = applyPost(joinDims(spark, f, d, at), d)
     withGroupKeys(d.whereSql.map(w => j.filter(expr(w))).getOrElse(j), d)
   }
 
@@ -389,7 +431,7 @@ object LakeMv {
         case None => factPre
       }
     }
-    val joined = d.dims.foldLeft(factFiltered.as(relAlias(d.baseName))) {
+    val joined = d.dims.foldLeft(factFiltered.as(relAlias(d.factRelName))) {
       (acc, dim) =>
         if (dim.name.equalsIgnoreCase(dimI.name))
           acc.join(hintIfSmall(feed.as(relAlias(dim.name)), feedSmall),
@@ -402,8 +444,9 @@ object LakeMv {
             nRows <= mvBroadcastMaxRows(spark)), expr(dim.onSql), "inner")
         }
     }
+    val staged = applyPost(joined, d)
     val out = withGroupKeys(
-      d.whereSql.map(w => joined.filter(expr(w))).getOrElse(joined), d)
+      d.whereSql.map(w => staged.filter(expr(w))).getOrElse(staged), d)
     recordFactScan(out, d.baseRoot)
     out
   }
@@ -449,6 +492,12 @@ object LakeMv {
         else d.preItems.map(b64).mkString(";")}",
       s"prewhere=${d.preWhere.map(b64).getOrElse("-")}",
       s"viewtext=${d.viewText.map(b64).getOrElse("-")}",
+      // the star-join view stage: post-join projection + WHERE, and the
+      // body's fact table name (the join-qualification alias)
+      s"postitems=${if (d.postItems.isEmpty) "-"
+        else d.postItems.map(b64).mkString(";")}",
+      s"postwhere=${d.postWhere.map(b64).getOrElse("-")}",
+      s"factrel=${d.factRel.getOrElse("-")}",
       s"query=${b64(d.queryText)}").mkString("\n")
   }
 
@@ -486,7 +535,12 @@ object LakeMv {
       kv.get("preitems").filter(_ != "-")
         .map(_.split(";").toSeq.map(unb64)).getOrElse(Seq.empty),
       kv.get("prewhere").filter(_ != "-").map(unb64),
-      kv.get("viewtext").filter(_ != "-").map(unb64))
+      kv.get("viewtext").filter(_ != "-").map(unb64),
+      // entries written before star-join views existed lack the lines
+      kv.get("postitems").filter(_ != "-")
+        .map(_.split(";").toSeq.map(unb64)).getOrElse(Seq.empty),
+      kv.get("postwhere").filter(_ != "-").map(unb64),
+      kv.get("factrel").filter(_ != "-"))
   }
 
   /** The stored original statement text — `graft_catalog()`'s target
@@ -567,49 +621,77 @@ object LakeMv {
               "— it must be a lake TABLE (only tables have the " +
               "change feed / pinnable snapshots the refresh uses)")
       }
-    // FROM <view>: a single-table projection/filter view FOLDS THROUGH —
-    // its stages apply to the fact snapshot and feed alike (per-row
-    // linear, so the signed fold stays exact) — with the body PINNED so
-    // a later redefinition refuses instead of silently diverging.
-    // Anything richer refuses with the reason: joins/grouping/DISTINCT
-    // change row multiplicity, and a view over a view hides the change
-    // feed another level down.
+    // FROM <view>: a PER-ROW view FOLDS THROUGH, with the body PINNED so
+    // a later redefinition refuses instead of silently diverging. Two
+    // composable shapes: a single-table projection/filter view becomes
+    // the PRE stage (applies to the fact snapshot and feed alike), and a
+    // STAR-JOIN view (`FROM fact JOIN dim ON … [WHERE …]`) compiles onto
+    // the dim machinery itself — its joins become this MV's dims, its
+    // WHERE/projection the POST stage after them. Both are per-row
+    // linear, so the signed fold stays exact. Anything richer refuses
+    // with the reason: grouping/DISTINCT/window/outer joins change row
+    // multiplicity, and a view over a view hides the change feed another
+    // level down.
+    def resolveViewFact(vFrom: String): String =
+      LakeCatalog.lookup(spark, vFrom).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW $name: view '$baseName' reads " +
+            s"'$vFrom', which is not a lake TABLE in the graft " +
+            "catalog (kind: " +
+            s"${LakeCatalog.kindOf(spark, vFrom)}) — the fold needs " +
+            "the table's change feed one level down, so views over " +
+            "views do not compose here; flatten onto the table"))
     val viewBody = LakeCatalog.lookupView(spark, baseName)
-    val (baseRoot, preItems, preWhere) = viewBody match {
+    val (baseRoot, preItems, preWhere, postItems, postWhere, factRel,
+         viewDims) = viewBody match {
       case Some(body) =>
-        val (vItems, vFrom, vWhere) =
-          org.apache.spark.sql.graft.GraftSqlParser.parseSimpleViewBody(body)
-            .getOrElse(throw new IllegalArgumentException(
+        import org.apache.spark.sql.graft.GraftSqlParser
+        GraftSqlParser.parseSimpleViewBody(body) match {
+          case Some((vItems, vFrom, vWhere)) =>
+            (resolveViewFact(vFrom),
+              if (vItems == Seq("*")) Seq.empty[String] else vItems,
+              vWhere, Seq.empty[String], Option.empty[String],
+              Option.empty[String], Seq.empty[(String, String)])
+          case None => GraftSqlParser.parseJoinViewBody(body) match {
+            case Some((vItems, vFrom, vJoins, vWhere)) =>
+              require(dimsIn.isEmpty,
+                s"CREATE MATERIALIZED VIEW $name: view '$baseName' " +
+                  "already provides a star join — JOIN clauses on the " +
+                  "MATERIALIZED VIEW itself cannot compose with it; put " +
+                  "every join inside the view, or materialize over the " +
+                  "tables directly")
+              (resolveViewFact(vFrom), Seq.empty[String],
+                Option.empty[String],
+                if (vItems == Seq("*")) Seq.empty[String] else vItems,
+                vWhere, Some(vFrom), vJoins)
+            case None => throw new IllegalArgumentException(
               s"CREATE MATERIALIZED VIEW $name: base '$baseName' is a " +
-                "view whose body is not a single-table " +
-                "SELECT … FROM <table> [WHERE …] — an incremental fold " +
-                "composes only through per-row projection/filter views " +
-                "(no DISTINCT, joins, grouping, ordering, limits, or " +
-                "set ops); materialize over the view's base tables " +
-                "instead"))
-        val r = LakeCatalog.lookup(spark, vFrom).getOrElse(
-          throw new IllegalArgumentException(
-            s"CREATE MATERIALIZED VIEW $name: view '$baseName' reads " +
-              s"'$vFrom', which is not a lake TABLE in the graft " +
-              "catalog (kind: " +
-              s"${LakeCatalog.kindOf(spark, vFrom)}) — the fold needs " +
-              "the table's change feed one level down, so views over " +
-              "views do not compose here; flatten onto the table"))
-        (r, if (vItems == Seq("*")) Seq.empty[String] else vItems,
-          vWhere)
+                "view whose body is neither a single-table " +
+                "SELECT … FROM <table> [WHERE …] nor a star join " +
+                "SELECT … FROM <fact> JOIN <dim> ON … [WHERE …] — an " +
+                "incremental fold composes only through per-row views " +
+                "(no DISTINCT, grouping, ordering, limits, set ops, or " +
+                "outer joins); materialize over the view's base tables " +
+                "instead")
+          }
+        }
       case None => (resolveLake(baseName, "base"), Seq.empty[String],
-        Option.empty[String])
+        Option.empty[String], Seq.empty[String], Option.empty[String],
+        Option.empty[String], Seq.empty[(String, String)])
     }
-    // star-join dims: resolve + PIN each dim's current version; the
-    // relation ALIASES (last name part of the fact + each dim) must be
-    // pairwise distinct or qualified references would be ambiguous —
-    // `ns.orders` and `orders` alias identically, so they refuse too
-    val relNames = baseName +: dimsIn.map(_._1)
+    // star-join dims — the view's own, or the MV-level JOIN clauses
+    // (exclusive by the require above): resolve + PIN each dim's current
+    // version; the relation ALIASES (last name part of the fact + each
+    // dim) must be pairwise distinct or qualified references would be
+    // ambiguous — `ns.orders` and `orders` alias identically, so they
+    // refuse too
+    val dimsAll = viewDims ++ dimsIn
+    val relNames = factRel.getOrElse(baseName) +: dimsAll.map(_._1)
     require(relNames.map(relAlias).distinct.size == relNames.size,
       s"CREATE MATERIALIZED VIEW $name: the FROM/JOIN tables must have " +
         "pairwise-distinct aliases — qualified column references " +
         "resolve by the LAST part of each table name")
-    val dims = dimsIn.map { case (dn, on) =>
+    val dims = dimsAll.map { case (dn, on) =>
       val r = resolveLake(dn, "JOIN dimension")
       DimSpec(dn, r, new LakeTable(spark, r).latestVersion, on)
     }
@@ -659,11 +741,13 @@ object LakeMv {
     val stateRoot = LakeCatalog.managedRoot(spark, name + "_state")
     val d = MvDef(baseRoot, baseName, initV, stateRoot, items, whereSql,
       havingSql, queryText, Some(appIdOf(name)), dims, preItems, preWhere,
-      viewBody)
-    // an EXPRESSION key's alias must not shadow a base (or joined-dim)
-    // column: the fold computes the expression over the feed under that
-    // alias, and a same-named column would make the stored key ambiguous
-    val joined0 = joinDims(spark, applyPre(base, d), d, _.version)
+      viewBody, postItems, postWhere, factRel)
+    // an EXPRESSION key's alias must not shadow a base (or joined-dim,
+    // or star-view-output) column: the fold computes the expression over
+    // the feed under that alias, and a same-named column would make the
+    // stored key ambiguous
+    val joined0 = applyPost(joinDims(spark, applyPre(base, d), d,
+      _.version), d)
     val baseColsLc = joined0.columns.map(_.toLowerCase).toSet
     groupItems.filterNot(_.isBare).foreach(g =>
       require(!baseColsLc.contains(g.alias.toLowerCase),
@@ -910,7 +994,11 @@ object LakeMv {
         val leadLc = lead.alias.toLowerCase
         val factColsLc = applyPre(bt.snapshot(factV), d)
           .columns.map(_.toLowerCase).toSet
-        if (factColsLc.contains(leadLc)) None
+        // a star-view post projection must pass the lead through under
+        // its own name, or the view-output column cannot be mapped back
+        // onto the dim's stored column
+        if (!postPassthrough(d, leadLc)) None
+        else if (factColsLc.contains(leadLc)) None
         else d.dims.find(x =>
             new LakeTable(spark, x.root).snapshot(at(x))
               .columns.map(_.toLowerCase).contains(leadLc))
@@ -1178,7 +1266,8 @@ object LakeMv {
                                   d: MvDef, bt: LakeTable, cur: Int,
                                   st: LakeTable,
                                   at: DimSpec => Int): Unit = {
-    val base = joinDims(spark, applyPre(bt.snapshot(cur), d), d, at)
+    val base = applyPost(
+      joinDims(spark, applyPre(bt.snapshot(cur), d), d, at), d)
     val probe =
       try {
         val p = d.whereSql.map(w => base.filter(expr(w))).getOrElse(base)
@@ -1447,8 +1536,12 @@ object LakeMv {
         .map(_.toInt).getOrElse(d.initVersion)).getOrElse(d.initVersion)
     LakeCatalog.unregister(spark, name)
     val (newStateRoot, vTag) =
+      // re-pins dims; a star-join VIEW's dims come back out of its
+      // (re-read) body, so only MV-level JOIN clauses pass through here
       try create(spark, name, d.baseName, d.items, d.whereSql, d.queryText,
-        d.havingSql, d.dims.map(x => (x.name, x.onSql))) // re-pins dims
+        d.havingSql,
+        if (d.factRel.isDefined) Seq.empty
+        else d.dims.map(x => (x.name, x.onSql)))
       catch {
         case e: Throwable =>
           // restore the old binding so a failed repair loses nothing

@@ -358,22 +358,27 @@ object StreamingOps {
   }
 
   /** STANDING materialized-view maintenance — [[graft.sources.LakeMv]]'s
-    * refresh as a continuous query: tail the BASE table's manifest chain
-    * (each committed manifest is one immutable rename-published file, so
-    * the file source observes exactly the commit sequence) and run the
-    * incremental refresh after every batch of new commits. The trigger
+    * refresh as a continuous query: tail EVERY participating relation's
+    * manifest chain — the fact's AND each star-join dimension's (one
+    * file-stream source per `_manifests` dir, unioned; each committed
+    * manifest is one immutable rename-published file, so the union
+    * observes exactly the combined commit sequence) — and run the
+    * incremental refresh after every batch of new commits. A dim-only
+    * update therefore triggers the dim-phase fold it makes pending,
+    * instead of waiting for the next fact commit (a dashboard over a
+    * slow fact with churning dims stays fresh). The trigger
     * carries no payload — the refresh reads the change feed itself and
     * is idempotent end to end (epoch-tagged fold, absolute group
     * values), so a replayed trigger batch, a missed-then-coalesced run
     * of commits, or a restart from the same checkpoint all converge to
     * the same state; even the checkpoint is only a politeness (a fresh
-    * one merely re-triggers no-op refreshes). The streamed-epoch
+    * one merely re-triggers no-op refreshes; each unioned source keeps
+    * its own per-file offset log under it). The streamed-epoch
     * discipline of `lake_mv_incremental`, productized for the catalog
-    * MV verb. Star-join note: the trigger tails the FACT's chain only —
-    * a dim-only interval folds on the NEXT fact-triggered refresh (the
-    * refresh always folds every pending dim phase first); tail a hot
-    * dim's manifest dir with a second query against the same refresh if
-    * dim-latency matters. */
+    * MV verb. The dim set is pinned when the query STARTS (from the
+    * MV's definition — which is itself immutable between CREATEs, so
+    * the only drift is a REFRESH … FULL swap, after which restart the
+    * standing query too). */
   def standingMvRefresh(spark: org.apache.spark.sql.SparkSession,
                         name: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -382,10 +387,12 @@ object StreamingOps {
         throw new IllegalArgumentException(
           s"standingMvRefresh: no materialized view '$name' in the graft " +
             s"catalog (kind: ${graft.sources.LakeCatalog.kindOf(spark, name)})")))
-    spark.readStream
-      .format("text")
-      .load(new org.apache.hadoop.fs.Path(d.baseRoot, "_manifests").toString
-        + "/v*.json")
+    (d.baseRoot +: d.dims.map(_.root)).distinct
+      .map(r => spark.readStream
+        .format("text")
+        .load(new org.apache.hadoop.fs.Path(r, "_manifests").toString
+          + "/v*.json"))
+      .reduce(_ union _)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())

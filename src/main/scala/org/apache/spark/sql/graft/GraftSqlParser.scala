@@ -178,6 +178,89 @@ object GraftSqlParser {
       Some((sc.topLevelSplit(itemsText), from, where))
     } catch { case _: IllegalArgumentException => None }
 
+  /** The JOIN-form words that may precede `JOIN`. Plain and `INNER JOIN`
+    * fold incrementally (they are the same join); the rest refuse at the
+    * call sites — an outer join is not linear in its null-extending
+    * side, so a signed fold cannot maintain it. */
+  private val JoinForms = Seq("INNER", "LEFT", "RIGHT", "FULL", "CROSS")
+
+  /** An ON-condition's text up to the next STRUCTURAL stop, treating the
+    * join-form words as stops ONLY when `JOIN` follows — `left(s, 3)`
+    * the string function inside a condition must not truncate the scan.
+    * The cursor lands on the structural stop (or the join-form word when
+    * one starts the next clause). */
+  private def onConditionText(sc: Scan, structuralStops: Seq[String]): String = {
+    val sb = new StringBuilder
+    var done = false
+    while (!done) {
+      val piece = sc.until(structuralStops ++ JoinForms)
+      if (sb.nonEmpty && piece.nonEmpty) sb.append(' ')
+      sb.append(piece)
+      val mark = sc.pos
+      JoinForms.find(sc.keyword) match {
+        case Some(k) =>
+          val after = sc.pos
+          if (sc.keyword("JOIN")) { sc.seek(mark); done = true }
+          else { // a column/function merely spelling the word: fold it
+            // back into the condition text and keep scanning
+            sc.seek(after)
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(k.toLowerCase)
+          }
+        case None => done = true // structural stop or end of text
+      }
+    }
+    sb.toString.trim
+  }
+
+  /** Parse a view BODY of the STAR-JOIN shape `SELECT <items> FROM
+    * <fact> [INNER] JOIN <dim> ON <cond> … [WHERE <pred>]` — the join
+    * views a materialized view compiles onto its own dimension machinery
+    * ([[graft.sources.LakeMv]]). Returns (select items, fact name,
+    * (dim, ON text) pairs in order, WHERE text); None for anything else
+    * (outer/cross joins, DISTINCT, grouping, ordering, set ops —
+    * per-row linearity over an inner star is what makes the signed fold
+    * exact, so the gate is structural). */
+  def parseJoinViewBody(body: String)
+      : Option[(Seq[String], String, Seq[(String, String)], Option[String])] =
+    try {
+      val sc = new Scan(body)
+      if (!sc.keyword("SELECT")) return None
+      if (sc.keyword("DISTINCT")) return None
+      val itemsText = sc.until(Seq("FROM"))
+      if (itemsText.isEmpty) return None
+      sc.expect("FROM")
+      val from = sc.identOpt().getOrElse(return None)
+      if (!graft.sources.LakeCatalog.isValidQualified(from)) return None
+      val joins = Seq.newBuilder[(String, String)]
+      var n = 0
+      var more = true
+      while (more) {
+        val mark = sc.pos
+        val inner = sc.keyword("INNER") // INNER JOIN ≡ JOIN
+        if (sc.keyword("JOIN")) {
+          val dn = sc.identOpt().getOrElse(return None)
+          if (!graft.sources.LakeCatalog.isValidQualified(dn)) return None
+          if (!sc.keyword("ON")) return None
+          val on = onConditionText(sc, Seq("JOIN", "WHERE", "GROUP",
+            "ORDER", "LIMIT", "HAVING", "UNION", "INTERSECT", "EXCEPT"))
+          if (on.isEmpty) return None
+          joins += ((dn, on))
+          n += 1
+        } else { sc.seek(mark); if (inner) return None; more = false }
+      }
+      if (n == 0) return None // single-table: parseSimpleViewBody's shape
+      val tailStops = Seq("GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
+        "INTERSECT", "EXCEPT", "JOIN", "CROSS", "LEFT", "RIGHT", "FULL")
+      val where =
+        if (sc.keyword("WHERE")) {
+          val w = sc.until(tailStops)
+          if (!sc.atEnd()) return None
+          Some(w).filter(_.nonEmpty)
+        } else { if (!sc.atEnd()) return None; None }
+      Some((sc.topLevelSplit(itemsText), from, joins.result(), where))
+    } catch { case _: IllegalArgumentException => None }
+
   /** Index just past a string literal (`'…'` or `"…"` — Spark SQL treats
     * BOTH quote forms as strings) or a comment (`-- …` to end-of-line,
     * bracketed `/* … */`) starting at `at`; `at` itself when neither
@@ -728,17 +811,45 @@ object GraftSqlParser {
     sc.expect("FROM")
     val base = sc.ident()
     val dims = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    while (sc.keyword("JOIN")) {
-      val dn = sc.ident()
-      if (!graft.sources.LakeCatalog.isValidQualified(dn))
-        fail(s"CREATE MATERIALIZED VIEW $name: '$dn' is not a valid " +
-          "one- or two-part JOIN table name")
-      sc.expect("ON")
-      val on = sc.until(Seq("JOIN", "WHERE", "GROUP"))
-      if (on.trim.isEmpty)
-        fail(s"CREATE MATERIALIZED VIEW $name: JOIN $dn needs an ON " +
-          "condition")
-      dims += ((dn, on))
+    // `INNER JOIN` is accepted as a spelling of JOIN (it IS the inner
+    // join the fold maintains); LEFT/RIGHT/FULL/CROSS refuse HERE with
+    // the reason, instead of falling through to a misleading
+    // 'expected GROUP' — an outer join is not linear in its
+    // null-extending side, so no signed fold can maintain it
+    var more = true
+    while (more) {
+      val mark = sc.pos
+      val inner = sc.keyword("INNER")
+      if (sc.keyword("JOIN")) {
+        val dn = sc.ident()
+        if (!graft.sources.LakeCatalog.isValidQualified(dn))
+          fail(s"CREATE MATERIALIZED VIEW $name: '$dn' is not a valid " +
+            "one- or two-part JOIN table name")
+        sc.expect("ON")
+        val on = onConditionText(sc, Seq("JOIN", "WHERE", "GROUP"))
+        if (on.isEmpty)
+          fail(s"CREATE MATERIALIZED VIEW $name: JOIN $dn needs an ON " +
+            "condition")
+        dims += ((dn, on))
+      } else {
+        sc.seek(mark)
+        Seq("LEFT", "RIGHT", "FULL", "CROSS").foreach { k =>
+          val m = sc.pos
+          val hit = sc.keyword(k) && sc.keyword("JOIN")
+          sc.seek(m)
+          if (hit)
+            fail(s"CREATE MATERIALIZED VIEW $name: only inner " +
+              s"'JOIN <dim> ON <cond>' is supported for star-join " +
+              s"materialized views — a $k JOIN is not linear in its " +
+              "null-extending/cartesian side, so the incremental fold " +
+              "cannot maintain it; restate the view over inner joins " +
+              "or materialize a pre-joined table")
+        }
+        if (inner)
+          fail(s"CREATE MATERIALIZED VIEW $name: INNER must be " +
+            "followed by JOIN")
+        more = false
+      }
     }
     val whereSql = if (sc.keyword("WHERE")) Some(sc.until(Seq("GROUP")))
       else None

@@ -2080,7 +2080,7 @@ class LakeSqlDmlSpec extends SparkTestBase {
       intercept[Exception] {
         s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
           "FROM mvr_agg_view GROUP BY grp").collect()
-      }.getMessage should include("per-row projection/filter views")
+      }.getMessage should include("composes only through per-row views")
       s.sql("DROP VIEW mvr_agg_view").collect()
       intercept[Exception] {
         s.sql("CREATE MATERIALIZED VIEW m1 AS SELECT grp, count(*) AS n " +
@@ -2759,6 +2759,96 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("DELETE FROM mvbl_fact WHERE k = 7").collect()
       s.sql("REFRESH MATERIALIZED VIEW mvbl").collect()
       mv() shouldBe scratch()
+    }
+  }
+
+  test("materialized views over a STAR-JOIN VIEW: body compiles to dims, both fold directions, refusals") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 60L).map(k => (k, 1L + k % 5, k * 10.0))
+        .toDF("k", "ck", "v").createOrReplaceTempView("mvsj_fsrc")
+      (1L to 5L).map(c => (c, s"seg${c % 2}", c * 100))
+        .toDF("c_id", "seg", "quota").createOrReplaceTempView("mvsj_csrc")
+      s.sql("CREATE TABLE mvsj_fact KEY k AS SELECT * FROM mvsj_fsrc")
+        .collect()
+      s.sql("CREATE TABLE mvsj_c KEY c_id AS SELECT * FROM mvsj_csrc")
+        .collect()
+      // the view IS the star: computed column + WHERE + INNER spelling
+      s.sql(
+        """CREATE VIEW mvsj_sales AS
+          |SELECT seg, k, ck, v * 2 AS net
+          |FROM mvsj_fact INNER JOIN mvsj_c ON ck = c_id
+          |WHERE v < 550.0""".stripMargin).collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvsj AS
+          |SELECT seg, count(*) AS n, sum(net) AS sn, max(net) AS hi
+          |FROM mvsj_sales GROUP BY seg""".stripMargin).collect()
+      def mv() = s.sql(
+        "SELECT seg, n, CAST(sn AS DECIMAL(28,10)) AS sn, hi FROM mvsj " +
+          "ORDER BY seg").collect().toSeq
+      def scratch() = s.sql(
+        """SELECT seg, count(*) AS n,
+          |CAST(sum(CAST(net AS DECIMAL(28,10))) AS DECIMAL(28,10)) AS sn,
+          |max(net) AS hi
+          |FROM mvsj_sales GROUP BY seg ORDER BY seg""".stripMargin)
+        .collect().toSeq
+      mv() shouldBe scratch()
+      // FACT phase: insert new groups through the dim, cross the view's
+      // WHERE boundary both ways, delete the stored maxima (rescan runs
+      // through the view's post-join projection)
+      s.sql("INSERT INTO mvsj_fact SELECT k + 100 AS k, 3L AS ck, " +
+        "500.0D AS v FROM mvsj_fsrc WHERE k <= 4").collect()
+      s.sql("UPDATE mvsj_fact SET v = CASE WHEN v < 100.0 THEN v + 500.0 " +
+        "ELSE v - 100.0 END WHERE k % 7 = 3").collect()
+      s.sql("DELETE FROM mvsj_fact WHERE v >= 520.0").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvsj").collect()
+      mv() shouldBe scratch()
+      // DIM phase: a segment flip folds THROUGH the view's post stage
+      s.sql("UPDATE mvsj_c SET seg = 'seg9' WHERE c_id = 2").collect()
+      s.sql("SELECT n_dims, n_dims_stale FROM graft_mv_detail('mvsj')")
+        .collect()(0).toSeq shouldBe Seq(1, 1)
+      s.sql("REFRESH MATERIALIZED VIEW mvsj").collect()
+      mv() shouldBe scratch()
+      mv().map(_.getString(0)) should contain("seg9")
+      // REDEFINITION refuses the incremental fold; FULL re-reads + re-pins
+      s.sql(
+        """CREATE OR REPLACE VIEW mvsj_sales AS
+          |SELECT seg, k, ck, v * 3 AS net
+          |FROM mvsj_fact INNER JOIN mvsj_c ON ck = c_id
+          |WHERE v < 550.0""".stripMargin).collect()
+      s.sql("DELETE FROM mvsj_fact WHERE k = 9").collect()
+      intercept[IllegalStateException] {
+        s.sql("REFRESH MATERIALIZED VIEW mvsj").collect()
+      }.getMessage should include("REDEFINED")
+      s.sql("REFRESH MATERIALIZED VIEW mvsj FULL").collect()
+      mv() shouldBe scratch() // new body (v*3), re-compiled dims
+      // and the fold keeps working after the re-pin, both directions
+      s.sql("UPDATE mvsj_c SET seg = 'seg0' WHERE c_id = 4").collect()
+      s.sql("DELETE FROM mvsj_fact WHERE k = 11").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvsj").collect()
+      mv() shouldBe scratch()
+      // refusal surface: outer joins refuse EXPLICITLY — in the MV
+      // grammar itself, and through a view body
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW mvsj_bad AS SELECT seg, " +
+          "count(*) AS n FROM mvsj_fact LEFT JOIN mvsj_c ON ck = c_id " +
+          "GROUP BY seg").collect()
+      }.getMessage should include("only inner")
+      s.sql(
+        """CREATE VIEW mvsj_outer AS
+          |SELECT seg, v FROM mvsj_fact LEFT JOIN mvsj_c ON ck = c_id
+          |""".stripMargin).collect()
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW mvsj_bad2 AS SELECT seg, " +
+          "count(*) AS n FROM mvsj_outer GROUP BY seg").collect()
+      }.getMessage should include("outer joins")
+      // a star view + MV-level JOIN clauses cannot compose
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW mvsj_bad3 AS SELECT seg, " +
+          "count(*) AS n FROM mvsj_sales JOIN mvsj_c ON ck = c_id " +
+          "GROUP BY seg").collect()
+      }.getMessage should include("already provides a star join")
     }
   }
 

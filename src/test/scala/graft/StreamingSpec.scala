@@ -1671,6 +1671,56 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("standing MV refresh fires on DIM-ONLY commits: the star stays fresh without a fact commit") {
+    import graft.sources.{Lake, LakeCatalog, LakeMv}
+    spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+    val fact = Lake.create(spark, Lake.freshRoot(),
+      (1L to 40L).map(k => (k, 1L + k % 4, k.toDouble))
+        .toDF("k", "ck", "v"), "k", 2)
+    val dim = Lake.create(spark, Lake.freshRoot(),
+      (1L to 4L).map(c => (c, s"seg${c % 2}")).toDF("c_id", "seg"),
+      "c_id", 1)
+    LakeCatalog.register(spark, "sdim_fact", fact.root)
+    LakeCatalog.register(spark, "sdim_c", dim.root)
+    LakeMv.create(spark, "sdim", "sdim_fact",
+      Seq(LakeMv.GroupItem("seg"),
+        LakeMv.AggItem("count_star", "n", ""),
+        LakeMv.AggItem("sum", "sv", "v")),
+      None, "CREATE MATERIALIZED VIEW sdim AS …",
+      dimsIn = Seq(("sdim_c", "ck = c_id")))
+    val d = LakeMv.parseDef(LakeCatalog.lookupMv(spark, "sdim").get)
+    def mv() = LakeMv.readDf(spark, d)
+      .select(col("seg"), col("n"), col("sv").cast("decimal(28,10)"))
+      .orderBy("seg").collect().toSeq
+    def scratch() = fact.read().join(dim.read(), col("ck") === col("c_id"))
+      .groupBy("seg").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,10)")).cast("decimal(28,10)").as("sv"))
+      .orderBy("seg").collect().toSeq
+    def dimsStale() = LakeMv.detailDf(spark, "sdim")
+      .select("n_dims_stale").collect()(0).getAs[Int](0)
+    val factVersionBefore = fact.latestVersion
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-sdim-ckpt").toString
+    val q = StreamingOps.standingMvRefresh(spark, "sdim", ckpt)
+    try {
+      q.processAllAvailable()
+      mv() shouldBe scratch()
+      // a DIM-ONLY commit — no fact write anywhere — must trigger the
+      // refresh by itself: the standing query tails every relation's
+      // manifest dir, so the dim phase folds and staleness returns to 0
+      dim.merge(Seq((3L, "segX")).toDF("c_id", "seg"))
+      q.processAllAvailable()
+      dimsStale() shouldBe 0
+      mv() shouldBe scratch()
+      mv().map(_.getString(0)) should contain("segX")
+      fact.latestVersion shouldBe factVersionBefore // truly dim-only
+      // and a fact commit still triggers as before
+      fact.merge(Seq((41L, 3L, 500.0)).toDF("k", "ck", "v"))
+      q.processAllAvailable()
+      mv() shouldBe scratch()
+    } finally q.stop()
+  }
+
   test("standing MV refresh: base commits advance the MV; restart resumes") {
     import graft.sources.{Lake, LakeCatalog, LakeMv, LakeTable}
     spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
