@@ -1399,15 +1399,34 @@ object TextAnalysis {
       .map(_.toLong).getOrElse(2000000L)
 
   /** The hint, applied conditionally (see [[lmBroadcastMaxTypes]]).
-    * NOTE: collecting the probe scalars makes [[textBigramLogprob]] and
-    * [[textLmStupidBackoff]] run one Spark job at DataFrame-CONSTRUCTION
-    * time (they were fully lazy before the gate) — acceptable for a
-    * scoring pipeline whose relation is always executed, but callers
-    * composing plans they may never run should construct these last. */
+    * The probe scalars are COLLECTED to make the gate decision, which
+    * would run a Spark job at DataFrame-construction time — so both LM
+    * builders defer their whole body behind
+    * [[org.apache.spark.sql.graft.Deferred.df]]: construction is
+    * side-effect-free again (zero jobs, spec-pinned), and the probe +
+    * gate run once at the FIRST ACTION, when the plan is actually
+    * wanted. */
   private def hintIfSmall(df: DataFrame, small: Boolean): DataFrame =
     if (small) broadcast(df) else df
 
-  def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+  /** Declared output schemas for the deferred LM builders — analysis
+    * sees these with zero jobs; the expansion rule checks them against
+    * the built body loudly. */
+  private val lmScoreSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_bigrams",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("avg_logprob",
+      org.apache.spark.sql.types.DoubleType)))
+
+  def textBigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.graft.Deferred.df(spark, lmScoreSchema) {
+      textBigramLogprobEager(spark, dir)
+    }
+
+  private def textBigramLogprobEager(spark: SparkSession,
+                                     dir: String): DataFrame = {
     val bi = withToksDf(spark, dir)
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1467,7 +1486,20 @@ object TextAnalysis {
     * degrades). Per-trigram-type terms round at 9 and fold
     * SEQUENTIALLY in (w₁,w₂,w₃) order (the libm/summation-order parity
     * discipline of every float lane here), the mean rounds at 6. */
-  def textLmStupidBackoff(spark: SparkSession, dir: String): DataFrame = {
+  def textLmStupidBackoff(spark: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.graft.Deferred.df(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_trigrams",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("avg_logprob",
+          org.apache.spark.sql.types.DoubleType)))) {
+      textLmStupidBackoffEager(spark, dir)
+    }
+
+  private def textLmStupidBackoffEager(spark: SparkSession,
+                                       dir: String): DataFrame = {
     // five consumers of the tokenized relation — materialize it once
     val docs = withToksDf(spark, dir)
       .select(col("doc_id"), col("toks"),

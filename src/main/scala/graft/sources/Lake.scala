@@ -4879,6 +4879,29 @@ class LakeTable(spark: SparkSession, val root: String) {
     None
   }
 
+  /** The OLDEST epoch-tagged commit whose epoch id EXCEEDS `minEpoch`
+    * (ascending walk over retained manifests) — the upper bracket for
+    * pinned reads through an epoch-keyed consumer: every version of this
+    * table strictly BELOW it reflects epochs ≤ minEpoch on the chain,
+    * including untagged commits in between (dim-phase folds, OPTIMIZE
+    * rewrites). None = no fold past `minEpoch` has happened yet. */
+  def firstVersionAboveEpoch(appId: String, minEpoch: Long): Option[Int] = {
+    val prefix = if (appId.isEmpty) "merge-epoch-" else s"merge-epoch-$appId-"
+    val latest = latestVersion
+    var v = 0
+    while (v <= latest) {
+      if (hasVersion(v)) {
+        val op = readDelta(v).operation
+        if (op.startsWith(prefix)) {
+          val id = op.stripPrefix(prefix).toLongOption
+          if (id.exists(_ > minEpoch)) return Some(v)
+        }
+      }
+      v += 1
+    }
+    None
+  }
+
   /** [[mergeInto]] tagged with a streaming epoch — the conditional-clause
     * twin of [[mergeEpoch]], same at-most-once contract per (appId,
     * epoch). The MV refresh commits its fold through this: epoch id =
@@ -5801,6 +5824,49 @@ class LakeTable(spark: SparkSession, val root: String) {
   def vacuum(retainVersions: Int): (Int, Int) =
     vacuumImpl(retainVersions, dryRun = false)
 
+  // ---- retention pins ---------------------------------------------------
+
+  /** RETENTION PINS — named floors [[vacuum]] refuses to sweep past: a
+    * pin file `_pins/<name>` holding a version number declares that the
+    * snapshot at that version (its manifest and every file it references)
+    * must stay reachable. The MV pinned-read layer declares one per
+    * `ALTER MATERIALIZED VIEW … PIN VERSION AS OF`, so a scheduled
+    * VACUUM fails LOUDLY naming the pin instead of silently breaking a
+    * report's pinned read — the warning-at-pin-time the read alone could
+    * never give. Dropping the pin releases the floor. */
+  private def pinsDir: Path = new Path(rootPath, "_pins")
+
+  def addRetentionPin(name: String, minVersion: Int): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"invalid retention pin name '$name' (letters, digits, -, _, .)")
+    require(minVersion >= 0 && hasVersion(minVersion),
+      s"retention pin '$name' names version $minVersion, which is not a " +
+        "retained version of this table")
+    fs.mkdirs(pinsDir)
+    val out = fs.create(new Path(pinsDir, name), true)
+    try out.write(minVersion.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def dropRetentionPin(name: String): Boolean =
+    try fs.delete(new Path(pinsDir, name), false)
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** Every declared (pin name, pinned version), name-sorted. */
+  def retentionPins: Seq[(String, Int)] =
+    if (!fs.exists(pinsDir)) Nil
+    else fs.listStatus(pinsDir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+        txt.toIntOption.map(v => s.getPath.getName -> v)
+      }.sortBy(_._1)
+
   /** What [[vacuum]] WOULD remove — same walk, zero mutation (no
     * horizon checkpoint either): the safety valve before an irreversible
     * retention sweep. Returns (manifests, data files) that would drop. */
@@ -5825,6 +5891,18 @@ class LakeTable(spark: SparkSession, val root: String) {
     val latest = latestVersion
     val horizon = math.max(0, latest - retainVersions + 1)
     if (horizon == 0) return (0, 0)
+    // retention-pin floor: a declared pin below the horizon refuses the
+    // WHOLE sweep (dry run included — it reports what the real run does)
+    // naming the pin, so a scheduled VACUUM cannot silently break a
+    // pinned read; drop the pin or retain more versions
+    retentionPins.filter(_._2 < horizon).sortBy(_._2).headOption
+      .foreach { case (pn, pv) =>
+        throw new IllegalStateException(
+          s"VACUUM: retention pin '$pn' holds version $pv, below the " +
+            s"sweep horizon v$horizon — the pinned snapshot would become " +
+            s"unreachable; drop the pin, or retain at least " +
+            s"${latest - pv + 1} versions")
+      }
     if (!dryRun && !readDelta(horizon).full && !hasCkpt(horizon)) {
       val (hf, ht) = resolveState(horizon)
       writeCheckpoint(horizon, hf, ht)

@@ -348,6 +348,29 @@ object LakeCatalog {
     fs(spark, p).delete(p, false)
   }
 
+  /** Whether ANY binding lives under namespace `ns` (names spelled
+    * `ns.x`): one glob against the catalog directory — no marker-file
+    * reads, no full listing — cheap enough for the parser's
+    * SHOW TABLES IN capture probe, which runs at parse time for every
+    * `SHOW TABLES IN <x>` statement. NOTE the documented shadowing: once
+    * any graft `ns.*` binding exists, `SHOW TABLES IN ns` serves the
+    * GRAFT listing and a same-named Spark DATABASE's tables are shadowed
+    * for that statement form (reach them through
+    * `spark.catalog.listTables("ns")` or by dropping the graft
+    * namespace's bindings). */
+  def namespaceExists(spark: SparkSession, ns: String): Boolean = {
+    if (!isValidName(ns)) return false
+    val dir = catalogDir(spark)
+    try {
+      val f = fs(spark, dir)
+      f.globStatus(new Path(dir, ns.toLowerCase + ".*" + Suffix)) match {
+        case null => false
+        case hits => hits.exists(s => s.isFile &&
+          !s.getPath.getName.startsWith("."))
+      }
+    } catch { case _: java.io.FileNotFoundException => false }
+  }
+
   /** Every (name, kind, target) binding — the `graft_catalog()` table
     * function. `target` is the root path for a table, the SELECT text
     * for a view (`SHOW CREATE` for free). */

@@ -1649,35 +1649,93 @@ object LakeMv {
     d.havingSql.map(h => p.filter(expr(h))).getOrElse(p)
   }
 
+  /** Resolve base version `baseV` to the STATE version serving it: the
+    * newest state commit BEFORE the first fact fold PAST baseV — which
+    * includes dim-only refreshes (they advance the state with no fact
+    * tag; a reader at a standing base version served each of them in
+    * turn, so the pin follows the NEWEST such state, exactly what the
+    * live view showed last while the base stood at baseV). No fold past
+    * baseV yet means the live tip itself. When VACUUM swept the exact
+    * version, the nearest RETAINED one at or below it answers
+    * (conservative — older content, never newer); a retention pin
+    * declared through [[pin]] prevents that sweep in the first place. */
+  private def resolveStateVersion(spark: SparkSession, name: String,
+                                  d: MvDef, baseV: Int): Int = {
+    if (baseV < d.initVersion) throw new IllegalArgumentException(
+      s"SELECT … FROM $name VERSION AS OF $baseV: the view has no " +
+        s"state for base version $baseV — it was built at base " +
+        s"v${d.initVersion} (an earlier pin may also predate a " +
+        "REFRESH … FULL rebuild, whose previous state chain stays " +
+        "addressable at its old root for forensics)")
+    val st = new LakeTable(spark, d.stateRoot)
+    val app = d.appId.getOrElse(appIdOf(name))
+    val upper = st.firstVersionAboveEpoch(app, baseV.toLong)
+      .map(_ - 1).getOrElse(st.latestVersion)
+    (upper to 0 by -1).find(st.hasVersion).getOrElse(
+      throw new IllegalStateException(
+        s"SELECT … FROM $name VERSION AS OF $baseV: every state version " +
+          "at or below the pin was vacuumed away — declare the pin " +
+          s"first (ALTER MATERIALIZED VIEW $name PIN VERSION AS OF " +
+          s"$baseV) so VACUUM refuses instead of sweeping history a " +
+          "report still reads"))
+  }
+
+  /** Declare/drop a RETENTION pin for `VERSION AS OF baseV` reads:
+    * resolves the serving state version NOW and records a named floor
+    * that VACUUM on the state root refuses to sweep past
+    * ([[LakeTable.addRetentionPin]]) — the warning-at-pin-time a
+    * scheduled retention job could never otherwise give. Returns the
+    * pinned state version. */
+  def pin(spark: SparkSession, name: String, baseV: Int): (String, Int) = {
+    val d = parseDef(LakeCatalog.lookupMv(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER MATERIALIZED VIEW PIN: no materialized view '$name' in " +
+          s"the graft catalog (kind: ${LakeCatalog.kindOf(spark, name)})")))
+    val sv = resolveStateVersion(spark, name, d, baseV)
+    val pn = s"mv-${name.toLowerCase}-base-v$baseV"
+    new LakeTable(spark, d.stateRoot).addRetentionPin(pn, sv)
+    (pn, sv)
+  }
+
+  /** Drop the pin [[pin]] declared for `baseV`; refuses if absent (a
+    * typo'd DROP PIN must not silently succeed while the real pin keeps
+    * blocking VACUUM). Returns the dropped pin's name. */
+  def unpin(spark: SparkSession, name: String, baseV: Int): String = {
+    val d = parseDef(LakeCatalog.lookupMv(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER MATERIALIZED VIEW DROP PIN: no materialized view " +
+          s"'$name' in the graft catalog (kind: " +
+          s"${LakeCatalog.kindOf(spark, name)})")))
+    val pn = s"mv-${name.toLowerCase}-base-v$baseV"
+    if (!new LakeTable(spark, d.stateRoot).dropRetentionPin(pn))
+      throw new IllegalArgumentException(
+        s"ALTER MATERIALIZED VIEW $name DROP PIN VERSION AS OF $baseV: " +
+          s"no retention pin '$pn' on the state root — nothing to drop")
+    pn
+  }
+
   /** `SELECT … FROM <mv> VERSION AS OF <baseV>` — the PINNED read: the
-    * view's content as of BASE version `baseV`, i.e. the state snapshot
-    * of the NEWEST refresh whose fold target is ≤ baseV (between
-    * refreshes the view serves its last fold — that staleness IS the MV
-    * contract, so the pinned read reproduces exactly what a reader saw
-    * while the base stood at baseV). Resolution walks the state table's
-    * own epoch tags ([[LakeTable.versionAtEpoch]]); a baseV at or past
-    * the pinned init version with no tagged refresh yet serves the
-    * CREATE build (state v0). Before the init version there is nothing
-    * to serve — the view never reflected that base — and a `REFRESH …
-    * FULL` swap starts a fresh state chain, so pins older than the
-    * rebuild refuse the same way (the old chain stays addressable at its
-    * root for forensics). HAVING applies over the pinned projection, as
-    * at the live read. */
+    * view's content as LAST SERVED while the base stood at `baseV`, i.e.
+    * the state snapshot of the newest refresh before the first fact fold
+    * past baseV — dim-only refreshes INCLUDED (a dim phase advances the
+    * served content at an unchanged base version, and the pin follows
+    * what a reader actually saw). Between refreshes the view serves its
+    * last fold — that staleness IS the MV contract. Resolution walks the
+    * state table's own epoch tags ([[LakeTable.firstVersionAboveEpoch]]);
+    * a baseV at or past the pinned init version with no fact fold past
+    * it yet serves the newest state (CREATE build included). Before the
+    * init version there is nothing to serve — the view never reflected
+    * that base — and a `REFRESH … FULL` swap starts a fresh state chain,
+    * so pins older than the rebuild refuse the same way (the old chain
+    * stays addressable at its root for forensics). Durability: declare
+    * `ALTER MATERIALIZED VIEW … PIN VERSION AS OF <v>` and VACUUM on the
+    * state root refuses to sweep the pin away ([[pin]]). HAVING applies
+    * over the pinned projection, as at the live read. */
   def readAtDf(spark: SparkSession, name: String, d: MvDef,
                baseV: Int): DataFrame = {
     val st = new LakeTable(spark, d.stateRoot)
-    val app = d.appId.getOrElse(appIdOf(name))
-    val stateV = st.versionAtEpoch(app, baseV.toLong) match {
-      case Some((sv, _)) => sv
-      case None if baseV >= d.initVersion => 0 // the CREATE build
-      case None => throw new IllegalArgumentException(
-        s"SELECT … FROM $name VERSION AS OF $baseV: the view has no " +
-          s"state for base version $baseV — it was built at base " +
-          s"v${d.initVersion} (an earlier pin may also predate a " +
-          "REFRESH … FULL rebuild, whose previous state chain stays " +
-          "addressable at its old root for forensics)")
-    }
-    val p = readProjection(st.snapshot(stateV), d)
+    val p = readProjection(
+      st.snapshot(resolveStateVersion(spark, name, d, baseV)), d)
     d.havingSql.map(h => p.filter(expr(h))).getOrElse(p)
   }
 

@@ -1009,12 +1009,27 @@ object GraftSqlParser {
         // ALTER MATERIALIZED VIEW is ours alone — loud, never delegated
         sc.expect("VIEW")
         val name = sc.ident()
-        if (!sc.keyword("RENAME"))
-          fail("ALTER MATERIALIZED VIEW supports RENAME TO <newName>")
-        sc.expect("TO")
-        val newName = sc.ident()
-        sc.assertEnd()
-        Some(LakeRenameViewCommand(name, newName, "materialized_view"))
+        if (sc.keyword("RENAME")) {
+          sc.expect("TO")
+          val newName = sc.ident()
+          sc.assertEnd()
+          Some(LakeRenameViewCommand(name, newName, "materialized_view"))
+        } else if (sc.keyword("PIN")) {
+          // retention pin for a pinned read: VACUUM on the state root
+          // refuses to sweep past it, naming the pin
+          sc.expect("VERSION"); sc.expect("AS"); sc.expect("OF")
+          val v = sc.int()
+          sc.assertEnd()
+          Some(LakeMvPinCommand(name, v, drop = false))
+        } else if (sc.keyword("DROP")) {
+          sc.expect("PIN")
+          sc.expect("VERSION"); sc.expect("AS"); sc.expect("OF")
+          val v = sc.int()
+          sc.assertEnd()
+          Some(LakeMvPinCommand(name, v, drop = true))
+        } else fail("ALTER MATERIALIZED VIEW supports RENAME TO " +
+          "<newName>, PIN VERSION AS OF <n>, and DROP PIN VERSION AS " +
+          "OF <n>")
       } else if (sc.keyword("VIEW")) {
         // ALTER VIEW <name> RENAME TO <new> for a graft-bound name;
         // anything else (Spark's ALTER VIEW AS / SET TBLPROPERTIES, or
@@ -1173,9 +1188,13 @@ object GraftSqlParser {
       // bare SHOW TABLES = the graft catalog listing (name, kind,
       // target) — the statement form of graft_catalog(). SHOW TABLES IN
       // <ns> = the listing scoped to one graft NAMESPACE — captured only
-      // when the namespace actually holds graft bindings, so Spark's own
-      // SHOW TABLES IN <database> surface stays untouched for its
-      // databases. SHOW CREATE TABLE <bound name> = the recreating
+      // when the namespace actually holds graft bindings (one cheap
+      // glob probe, no per-binding reads), so Spark's own SHOW TABLES
+      // IN <database> surface stays untouched for its databases; once a
+      // graft ns.* binding EXISTS, it shadows a same-named database for
+      // this statement form (documented on namespaceExists — reach the
+      // database through spark.catalog). SHOW CREATE TABLE <bound
+      // name> = the recreating
       // statement (view/MV bodies verbatim; tables as the
       // LOCATION-adopting CREATE, since the binding is a pointer and the
       // data lives at the root). Any other form (LIKE …, SHOW VIEWS,
@@ -1186,8 +1205,7 @@ object GraftSqlParser {
           case Some(ns) if graft.sources.LakeCatalog.isValidName(ns) &&
               sc.atEnd() &&
               graft.sources.LakeCatalog
-                .list(SparkSession.active)
-                .exists(_._1.startsWith(ns.toLowerCase + ".")) =>
+                .namespaceExists(SparkSession.active, ns) =>
             Some(LakeShowTablesCommand(Some(ns)))
           case _ => None // Spark's SHOW TABLES IN <database>
         }
@@ -1892,6 +1910,26 @@ case class LakeRenameViewCommand(name: String, newName: String,
     graft.sources.LakeCatalog.renameEntry(spark, name, newName, wantedKind)
     Seq(Row(newName, wantedKind))
   }
+}
+
+/** `ALTER MATERIALIZED VIEW <name> [DROP] PIN VERSION AS OF <n>` —
+  * declare/release a RETENTION pin for the pinned read at base version
+  * n: the serving STATE version resolves now and lands as a named floor
+  * (`_pins/…` on the state root) that VACUUM refuses to sweep past —
+  * so a scheduled retention job fails loudly naming the pin instead of
+  * silently breaking a report's `VERSION AS OF`. */
+case class LakeMvPinCommand(name: String, baseV: Int, drop: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("pin", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("state_version", IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    if (drop) Seq(Row(graft.sources.LakeMv.unpin(spark, name, baseV), -1))
+    else {
+      val (pn, sv) = graft.sources.LakeMv.pin(spark, name, baseV)
+      Seq(Row(pn, sv))
+    }
 }
 
 /** `SHOW TABLES [IN <ns>]` — the graft catalog listing as rows, the

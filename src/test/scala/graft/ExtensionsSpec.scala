@@ -39,6 +39,30 @@ class ExtensionsSpec extends SparkTestBase {
     for ((doc, _, lp) <- out) withClue(s"$doc: ") { lp should be < 0.0 }
   }
 
+  test("LM builders are lazy: construction runs ZERO jobs, the first action computes") {
+    import graft.extensions.TextAnalysis
+    val sf = "/root/testdata/sf0.001"
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val bg = TextAnalysis.textBigramLogprob(spark, sf)
+      val lm = TextAnalysis.textLmStupidBackoff(spark, sf)
+      bg.schema.fieldNames.toSeq shouldBe
+        Seq("doc_id", "n_bigrams", "avg_logprob")
+      lm.schema.fieldNames.toSeq shouldBe
+        Seq("doc_id", "n_trigrams", "avg_logprob")
+      Thread.sleep(500) // let any stray job-start event reach the bus
+      jobs shouldBe 0 // the size-gate probe did NOT run at construction
+      bg.limit(1).collect() // first action: probe + gate + scoring run now
+      jobs should be > 0
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("LM broadcast hints are size-gated: over-budget models shuffle, same result") {
     import graft.extensions.TextAnalysis
     val sf = "/root/testdata/sf0.001"

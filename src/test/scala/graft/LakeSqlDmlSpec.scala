@@ -2527,6 +2527,71 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("MV pinned reads follow dim-only refreshes; retention pins make VACUUM refuse") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 30L).map(k => (k, 1L + k % 3, k * 1.0)).toDF("k", "ck", "v")
+        .createOrReplaceTempView("mvpn_fsrc")
+      (1L to 3L).map(c => (c, s"seg${c % 2}")).toDF("c_id", "seg")
+        .createOrReplaceTempView("mvpn_csrc")
+      s.sql("CREATE TABLE mvpn_fact KEY k AS SELECT * FROM mvpn_fsrc")
+        .collect() // fact v0 — the base version every pin below reads
+      s.sql("CREATE TABLE mvpn_c KEY c_id AS SELECT * FROM mvpn_csrc")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvpn AS
+          |SELECT seg, count(*) AS n
+          |FROM mvpn_fact JOIN mvpn_c ON ck = c_id
+          |GROUP BY seg""".stripMargin).collect()
+      def at() = s.sql(
+        "SELECT seg, n FROM mvpn VERSION AS OF 0 ORDER BY seg")
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      def live() = s.sql("SELECT seg, n FROM mvpn ORDER BY seg")
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      at() shouldBe live()
+      // DIM-ONLY refresh: the base STANDS at v0 while the served content
+      // changes — the pin follows what a reader actually saw, so it must
+      // serve the newest dim-refreshed state, not the pre-dim one
+      s.sql("UPDATE mvpn_c SET seg = 'segX' WHERE c_id = 2").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvpn").collect()
+      at() shouldBe live()
+      at().map(_._1) should contain("segX")
+      // a fact fold PAST v0 brackets the pin: it keeps serving the
+      // dim-refreshed content, never the newer fact fold
+      val pinnedThen = at()
+      s.sql("DELETE FROM mvpn_fact WHERE k <= 3").collect() // fact v1
+      s.sql("REFRESH MATERIALIZED VIEW mvpn").collect()
+      at() shouldBe pinnedThen
+      live() should not be pinnedThen
+      // RETENTION PIN: resolve + declare the floor, then a sweep that
+      // would pass it refuses LOUDLY, naming the pin
+      s.sql("ALTER MATERIALIZED VIEW mvpn PIN VERSION AS OF 0").collect()
+      val stateRoot = s.sql(
+        "SELECT state_root FROM graft_mv_detail('mvpn')")
+        .collect()(0).getString(0)
+      s.sql("DELETE FROM mvpn_fact WHERE k = 10").collect() // fact v2
+      s.sql("REFRESH MATERIALIZED VIEW mvpn").collect() // more state history
+      val err = intercept[Exception] {
+        s.sql(s"VACUUM graft_lake('$stateRoot') RETAIN 1 VERSIONS")
+          .collect()
+      }
+      err.getMessage should include("retention pin")
+      err.getMessage should include("mv-mvpn-base-v0")
+      at() shouldBe pinnedThen // the refusal kept the pin servable
+      // DROP PIN releases the floor; the same sweep proceeds
+      s.sql("ALTER MATERIALIZED VIEW mvpn DROP PIN VERSION AS OF 0")
+        .collect()
+      s.sql(s"VACUUM graft_lake('$stateRoot') RETAIN 1 VERSIONS").collect()
+      live().map(_._1) should contain("segX") // live reads unharmed
+      // a double DROP refuses — a typo'd drop must not silently succeed
+      intercept[Exception] {
+        s.sql("ALTER MATERIALIZED VIEW mvpn DROP PIN VERSION AS OF 0")
+          .collect()
+      }.getMessage should include("nothing to drop")
+    }
+  }
+
   test("materialized views over a VIEW: fold-through stages, body pinning, refusals") {
     withExtendedSession { s =>
       import s.implicits._
