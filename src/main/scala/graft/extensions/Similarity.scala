@@ -45,14 +45,45 @@ object Similarity {
   /** Exact brute-force cosine top-k for each query vector (vec_id < 10),
     * ranked on the ROUNDED similarity with vec_id tiebreak (cross-engine
     * determinism). */
-  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir)
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
+    simTopkBruteforceFrom(vectors(spark, dir))
+
+  /** [[simTopkBruteforce]] over an ARBITRARY (vec_id, v, nrm) relation —
+    * the fixture-facing form (see [[clusteredVectors]]). */
+  private[graft] def simTopkBruteforceFrom(vs: DataFrame): DataFrame = {
     val q = vs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = broadcast(q).join(vs, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Portable.cosine6(col("qv"), col("v"), col("qn"), col("nrm")).as("cos_sim"))
     topK(scored)
+  }
+
+  /** Deterministic PLANTED-CLUSTER embeddings fixture — the clusterable
+    * geometry real embedding spaces (sentence/image encoders over
+    * topical corpora) actually have, which the driver's near-random
+    * `embeddings` table deliberately lacks. No RNG anywhere: cluster
+    * `c`'s center has hash-derived components in [-1, 1)
+    * ([[planeComponent]] under a disjoint namespace), and vector `vec_id`
+    * = its cluster's center + `spread` × a per-(vector, dim) hash offset
+    * — |offset| ≤ spread ≪ inter-center distance, so nearest neighbors
+    * are same-cluster BY CONSTRUCTION. Clusters are CONTIGUOUS vec_id
+    * blocks (block size n/clusters), so [[strideSeeds]]' stride sampling
+    * lands exactly one seed per planted cluster — the fixture measures
+    * the retrieval pipeline, not seed luck. Same (vec_id, v, nrm) shape
+    * as [[vectors]]. */
+  private[graft] def clusteredVectors(spark: SparkSession, n: Long,
+                                      dim: Int, clusters: Int,
+                                      spread: Double): DataFrame = {
+    val block = n / clusters
+    val base = spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("cl", (col("vec_id") / block).cast("int"))
+    val comps = (1 to dim).map { i =>
+      planeComponent(col("cl") + lit(1000000), lit(i)) +
+        lit(spread) * planeComponent(col("vec_id") + lit(2000000), lit(i))
+    }
+    base.select(col("vec_id"), array(comps: _*).as("v"))
+      .withColumn("nrm", Portable.l2norm(col("v")))
   }
 
   /** Pseudo-random hyperplane component for (plane j, dim i) in [-1, 1):
@@ -609,15 +640,27 @@ object Similarity {
     * never per candidate. Deterministic end-to-end (stride seeds, 6-dp
     * rounded means/scores, integer dot, id tiebreaks), so the DuckDB
     * oracle replays the identical staged pipeline. */
-  def simTopkIvfQ8(spark: SparkSession, dir: String): DataFrame = {
-    val vs = vectors(spark, dir).localCheckpoint()
-    var cents = strideSeeds(vs, HiResCentroids)
-    for (_ <- 1 to HiResLloydSteps)
+  def simTopkIvfQ8(spark: SparkSession, dir: String): DataFrame =
+    simTopkIvfQ8From(vectors(spark, dir).localCheckpoint(),
+      HiResCentroids, HiResLloydSteps, HiResNProbe, ScreenFrac)
+
+  /** [[simTopkIvfQ8]] generalized over the tuning surface AND the input
+    * relation — the cost-curve form: the clusterable-fixture spec pins
+    * `recall@5 ≥ 0.9 at probed mass ≤ 0.05` (nprobe/centroids ≈ 0.04)
+    * on [[clusteredVectors]], the production claim the near-random
+    * driver corpus cannot exhibit (its weak structure caps ANY
+    * sub-linear candidate generator — `Similarity` doc). `vs` should be
+    * materialized by the caller (many consumers). */
+  private[graft] def simTopkIvfQ8From(vs: DataFrame, centroids: Int,
+                                      lloydSteps: Int, nprobe: Int,
+                                      screenFrac: Double): DataFrame = {
+    var cents = strideSeeds(vs, centroids)
+    for (_ <- 1 to lloydSteps)
       cents = refineCentroids(vs, cents).localCheckpoint()
     val members = rankCentroids(vs, cents).filter(col("rk") === 1)
       .select("vec_id", "cent_id")
     val probes = rankCentroids(vs.filter(col("vec_id") < NumQueries), cents)
-      .filter(col("rk") <= HiResNProbe)
+      .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("query_id"), col("cent_id").as("qc"))
     val cand = broadcast(probes)
       .join(members, col("cent_id") === col("qc") &&
@@ -649,7 +692,7 @@ object Similarity {
     // the per-query float budget, derived as a broadcast scalar (no
     // driver action; the oracle replays the same scalar subquery)
     val cmax = vs.agg(
-      ceil(count(lit(1)) * ScreenFrac).cast("long").as("cmax"))
+      ceil(count(lit(1)) * screenFrac).cast("long").as("cmax"))
     val survivors = screen.crossJoin(broadcast(cmax))
       .withColumn("srk", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("q_cos").desc, col("neighbor_id").asc)))

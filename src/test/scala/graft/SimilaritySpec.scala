@@ -99,6 +99,34 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("clusterable fixture: staged q8 holds recall@5 ≥ 0.9 at probed mass ≤ 0.05, both scales") {
+    // the PRODUCTION cost-curve point the near-random driver corpus
+    // cannot exhibit: on a planted-cluster geometry (25 hash-derived
+    // centers, tight per-vector offsets — deterministic, no RNG; the
+    // shape real sentence/image embedding spaces have) the SAME staged
+    // IVF→int8→exact pipeline probes ONE list of 25 (probed mass
+    // 1/25 = 0.04 ≤ 0.05) and still clears recall@5 ≥ 0.9 — i.e. the
+    // 62 %-probe cost of the gated hi-res point is a property of the
+    // weak fixture, not of the pipeline; a clustered corpus rides the
+    // same plan far left on the curve. Both corpus sizes mirror the sf
+    // points (500 and 5000 vectors).
+    def recallAt(n: Long): Double = {
+      val vs = Similarity.clusteredVectors(spark, n, dim = 64,
+        clusters = 25, spread = 0.1).localCheckpoint()
+      val exact = pairs(Similarity.simTopkBruteforceFrom(vs))
+      val staged = pairs(Similarity.simTopkIvfQ8From(vs, centroids = 25,
+        lloydSteps = 2, nprobe = 1, screenFrac = Similarity.ScreenFrac))
+      (exact & staged).size.toDouble / exact.size
+    }
+    val (rS, rL) = (recallAt(500L), recallAt(5000L))
+    info(f"clustered-fixture staged recall@5 at mass 0.04: " +
+      f"n=500 $rS%.3f, n=5000 $rL%.3f")
+    withClue(s"n=500: $rS, n=5000: $rL: ") {
+      rS should be >= 0.9
+      rL should be >= 0.9
+    }
+  }
+
   test("high-recall IVF configuration: recall@5 ≥ 0.8 at BOTH scales, measured cost") {
     // the GATED production point (13-list codebook, 2 Lloyd steps,
     // nprobe=8 — tuned over k ∈ {13,32,45} × steps × nprobe; finer
