@@ -4859,9 +4859,10 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   /** The newest epoch-tagged commit (this table's version, its epoch id)
     * whose epoch id is ≤ `maxEpoch` — the [[latestEpoch]] walk with an
-    * upper bound, for pinned reads through an epoch-keyed consumer (the
-    * MV `VERSION AS OF <base version>` read resolves its state snapshot
-    * here). Same retained-chain caveat as [[latestEpoch]]: a vacuumed
+    * upper bound. (The MV `VERSION AS OF` read used to resolve here;
+    * since r18 it brackets through [[firstVersionAboveEpoch]] instead so
+    * dim-only refreshes — untagged on the fact chain — are included.)
+    * Same retained-chain caveat as [[latestEpoch]]: a vacuumed
     * stretch ends the walk at the newest surviving tags. */
   def versionAtEpoch(appId: String, maxEpoch: Long): Option[(Int, Long)] = {
     val prefix = if (appId.isEmpty) "merge-epoch-" else s"merge-epoch-$appId-"
@@ -4879,27 +4880,35 @@ class LakeTable(spark: SparkSession, val root: String) {
     None
   }
 
-  /** The OLDEST epoch-tagged commit whose epoch id EXCEEDS `minEpoch`
-    * (ascending walk over retained manifests) — the upper bracket for
-    * pinned reads through an epoch-keyed consumer: every version of this
-    * table strictly BELOW it reflects epochs ≤ minEpoch on the chain,
-    * including untagged commits in between (dim-phase folds, OPTIMIZE
-    * rewrites). None = no fold past `minEpoch` has happened yet. */
-  def firstVersionAboveEpoch(appId: String, minEpoch: Long): Option[Int] = {
+  /** Version `v`'s epoch tag on chain `appId`, if that commit carries
+    * one (None for untagged commits and for other chains' tags). */
+  def epochTagAt(v: Int, appId: String): Option[Long] = {
     val prefix = if (appId.isEmpty) "merge-epoch-" else s"merge-epoch-$appId-"
-    val latest = latestVersion
-    var v = 0
-    while (v <= latest) {
-      if (hasVersion(v)) {
-        val op = readDelta(v).operation
-        if (op.startsWith(prefix)) {
-          val id = op.stripPrefix(prefix).toLongOption
-          if (id.exists(_ > minEpoch)) return Some(v)
-        }
+    val op = readDelta(v).operation
+    if (op.startsWith(prefix)) op.stripPrefix(prefix).toLongOption else None
+  }
+
+  /** The OLDEST retained epoch-tagged commit whose epoch id EXCEEDS
+    * `minEpoch` — the upper bracket for pinned reads through an
+    * epoch-keyed consumer: every version of this table strictly BELOW it
+    * reflects epochs ≤ minEpoch on the chain, including untagged commits
+    * in between (dim-phase folds, OPTIMIZE rewrites). None = no retained
+    * fold past `minEpoch`. The walk is TIP-ANCHORED (descending,
+    * stopping at the first tag ≤ minEpoch — tags are monotone along the
+    * chain), so a pin near the tip pays O(commits since the bracket),
+    * not O(chain), matching [[latestEpoch]]'s cost discipline. */
+  def firstVersionAboveEpoch(appId: String, minEpoch: Long): Option[Int] = {
+    var v = latestVersion
+    var candidate: Option[Int] = None
+    while (v >= 0) {
+      if (hasVersion(v)) epochTagAt(v, appId) match {
+        case Some(e) if e > minEpoch => candidate = Some(v)
+        case Some(_) => return candidate // first tag ≤ minEpoch: done
+        case None => ()
       }
-      v += 1
+      v -= 1
     }
-    None
+    candidate
   }
 
   /** [[mergeInto]] tagged with a streaming epoch — the conditional-clause
@@ -5854,17 +5863,26 @@ class LakeTable(spark: SparkSession, val root: String) {
     try fs.delete(new Path(pinsDir, name), false)
     catch { case _: java.io.FileNotFoundException => false }
 
-  /** Every declared (pin name, pinned version), name-sorted. */
+  /** Every declared (pin name, pinned version), name-sorted. An
+    * UNPARSABLE pin file refuses loudly instead of silently dropping
+    * out of the listing — a truncated pin that stopped protecting its
+    * snapshot without a word would defeat the feature's whole point
+    * (the VACUUM floor check calls this). */
   def retentionPins: Seq[(String, Int)] =
     if (!fs.exists(pinsDir)) Nil
     else fs.listStatus(pinsDir).toSeq
       .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .flatMap { s =>
+      .map { s =>
         val in = fs.open(s.getPath)
         val txt = try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
-        txt.toIntOption.map(v => s.getPath.getName -> v)
+        s.getPath.getName -> txt.toIntOption.getOrElse(
+          throw new IllegalStateException(
+            s"retention pin file ${s.getPath} does not hold a version " +
+              s"number (content: '${txt.take(40)}') — repair or delete " +
+              "the file; refusing rather than silently unprotecting " +
+              "the pinned snapshot"))
       }.sortBy(_._1)
 
   /** What [[vacuum]] WOULD remove — same walk, zero mutation (no

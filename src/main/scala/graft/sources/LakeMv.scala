@@ -342,17 +342,20 @@ object LakeMv {
   }
 
   /** Whether the star-view post projection passes column `leadLc`
-    * through UNDER ITS OWN NAME (`c`, `q.c`, or either `AS c` with the
-    * bare same-named source) — the precondition for mapping a
-    * view-output lead column back onto a dim's STORED column in the
-    * rescan pushdown. A projected rename (`x AS c`) fails it, so the
-    * pushdown can never prune on the wrong column; trivially true with
-    * no post projection. */
-  private def postPassthrough(d: MvDef, leadLc: String): Boolean =
+    * through UNDER ITS OWN NAME — bare (`c`), qualified by the OWNING
+    * relation (`<ownerAlias>.c`), or either with a same-named alias —
+    * the precondition for mapping a view-output lead column back onto a
+    * dim's STORED column in the rescan pushdown. A projected rename
+    * (`x AS c`) or a qualification by a DIFFERENT relation fails it, so
+    * the pushdown can never prune on the wrong column or the wrong dim;
+    * trivially true with no post projection. */
+  private def postPassthrough(d: MvDef, leadLc: String,
+                              ownerAlias: String): Boolean =
     d.postItems.isEmpty || d.postItems.exists { it =>
       val t = it.trim.toLowerCase.replaceAll("\\s+", " ")
       val q = java.util.regex.Pattern.quote(leadLc)
-      t.matches(s"([a-z_][a-z0-9_]*\\.)?$q( as $q)?")
+      val o = java.util.regex.Pattern.quote(ownerAlias.toLowerCase)
+      t.matches(s"($o\\.)?$q( as $q)?")
     }
 
   /** The pinned STAR-JOIN view's post-join stage (no-op otherwise): the
@@ -994,14 +997,24 @@ object LakeMv {
         val leadLc = lead.alias.toLowerCase
         val factColsLc = applyPre(bt.snapshot(factV), d)
           .columns.map(_.toLowerCase).toSet
-        // a star-view post projection must pass the lead through under
-        // its own name, or the view-output column cannot be mapped back
-        // onto the dim's stored column
-        if (!postPassthrough(d, leadLc)) None
-        else if (factColsLc.contains(leadLc)) None
-        else d.dims.find(x =>
-            new LakeTable(spark, x.root).snapshot(at(x))
-              .columns.map(_.toLowerCase).contains(leadLc))
+        // ownership must be UNAMBIGUOUS: exactly one relation may carry
+        // the lead column. Two dims sharing it (reachable through a
+        // star view that projects one qualified copy) would let this
+        // closure resolve through the WRONG dim and under-include the
+        // rescan — so any ambiguity declines the pushdown outright.
+        val owningDims = d.dims.filter(x =>
+          new LakeTable(spark, x.root).snapshot(at(x))
+            .columns.map(_.toLowerCase).contains(leadLc))
+        if (factColsLc.contains(leadLc)) None // fact lead: the post-join
+          // isin already pushes onto the fact scan by itself (and a dim
+          // sharing the name would make ownership ambiguous anyway)
+        else if (owningDims.size != 1) None
+        else owningDims.headOption.filter(x =>
+            // a star-view post projection must pass the lead through
+            // under its own name, unqualified or qualified by the
+            // OWNING dim — else the view-output column cannot be mapped
+            // back onto the dim's stored column
+            postPassthrough(d, leadLc, relAlias(x.name)))
           .flatMap { x =>
             val snap = new LakeTable(spark, x.root).snapshot(at(x))
             val dimColsLc = snap.columns.map(_.toLowerCase).toSet
@@ -1669,15 +1682,33 @@ object LakeMv {
         "addressable at its old root for forensics)")
     val st = new LakeTable(spark, d.stateRoot)
     val app = d.appId.getOrElse(appIdOf(name))
+    def vacuumedRefusal: Nothing = throw new IllegalStateException(
+      s"SELECT … FROM $name VERSION AS OF $baseV: the state history " +
+        "serving that base version was vacuumed away — declare the pin " +
+        s"first (ALTER MATERIALIZED VIEW $name PIN VERSION AS OF " +
+        s"$baseV) so VACUUM refuses instead of sweeping history a " +
+        "report still reads")
     val upper = st.firstVersionAboveEpoch(app, baseV.toLong)
       .map(_ - 1).getOrElse(st.latestVersion)
-    (upper to 0 by -1).find(st.hasVersion).getOrElse(
-      throw new IllegalStateException(
-        s"SELECT … FROM $name VERSION AS OF $baseV: every state version " +
-          "at or below the pin was vacuumed away — declare the pin " +
-          s"first (ALTER MATERIALIZED VIEW $name PIN VERSION AS OF " +
-          s"$baseV) so VACUUM refuses instead of sweeping history a " +
-          "report still reads"))
+    val serving = (upper to 0 by -1).find(st.hasVersion)
+      .getOrElse(vacuumedRefusal)
+    // PROVE the serving state reflects fact epochs ≤ baseV before
+    // handing it out: VACUUM sweeps a version PREFIX, so a fold tag
+    // past baseV could have been swept from below `upper` while newer
+    // untagged commits survive — serving those would silently return
+    // content NEWER than the pin. The newest retained fact tag at or
+    // below `serving` is the witness (tags below the first-above tag
+    // are ≤ baseV by construction); no tag at all proves innocence only
+    // when the chain is complete to v0 (no fold ever happened).
+    val witness = (serving to 0 by -1).iterator.filter(st.hasVersion)
+      .map(v => st.epochTagAt(v, app)).collectFirst { case Some(e) => e }
+    witness match {
+      case Some(e) if e <= baseV => serving
+      case Some(_) => vacuumedRefusal // unreachable given firstAbove's
+        // minimality over retained tags; kept as a loud guard
+      case None if (0 to serving).forall(st.hasVersion) => serving
+      case None => vacuumedRefusal // pre-horizon fold history unknown
+    }
   }
 
   /** Declare/drop a RETENTION pin for `VERSION AS OF baseV` reads:

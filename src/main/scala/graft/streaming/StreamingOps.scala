@@ -378,7 +378,14 @@ object StreamingOps {
     * MV verb. The dim set is pinned when the query STARTS (from the
     * MV's definition — which is itself immutable between CREATEs, so
     * the only drift is a REFRESH … FULL swap, after which restart the
-    * standing query too). */
+    * standing query too). CHECKPOINT MIGRATION caveat: the number of
+    * unioned sources is part of a streaming checkpoint's identity, so a
+    * checkpoint written by the older fact-only form (or before a FULL
+    * changed the dim count) refuses at restart with Spark's
+    * source-count error — start the query with a FRESH checkpoint dir
+    * then; nothing is lost, because the refresh is idempotent and reads
+    * the change feeds itself (a fresh checkpoint merely re-triggers
+    * no-op refreshes). */
   def standingMvRefresh(spark: org.apache.spark.sql.SparkSession,
                         name: String, checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {

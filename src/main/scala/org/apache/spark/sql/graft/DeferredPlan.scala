@@ -23,16 +23,30 @@ import org.apache.spark.sql.types.StructType
   * body's optimized plan in its place, and re-aliases the body's output
   * onto the holder's attribute ids so references above stay bound. AQE
   * and physical planning see an ordinary plan. The thunk fires at most
-  * once per Dataset (QueryExecution caches its optimized plan).
+  * once per HOLDER (memoized below) — derived Datasets (filter, orderBy,
+  * join over the same frame) share the holder instance inside their
+  * plans, so re-composition never re-pays the probe or the body's
+  * localCheckpoints.
   *
   * The declared schema must match the thunk's output positionally (name
   * and type per column) — checked loudly at expansion. */
 case class DeferredPlanHolder(output: Seq[Attribute],
-                              thunk: () => DataFrame) extends LeafNode {
+                              thunk: () => DataFrame)
+    extends LeafNode
+    with org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation {
   // unknown until expanded: never let a size estimate of the
   // still-unbuilt body justify broadcasting it
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = BigInt(Long.MaxValue))
+  // self-join/self-union legs get fresh attribute ids (the analyzer's
+  // DeduplicateRelations calls this); the memo is shared via `thunk`'s
+  // closure only when instances share a body — each new instance
+  // carries its own expansion memo keyed off this holder
+  override def newInstance(): DeferredPlanHolder =
+    copy(output = output.map(_.newInstance()))
+  /** The body, built ONCE per holder at first request. */
+  @transient lazy val expanded: LogicalPlan =
+    thunk().queryExecution.optimizedPlan
 }
 
 /** Expansion rule — self-installed by [[Deferred.df]] through
@@ -41,7 +55,7 @@ case class DeferredPlanHolder(output: Seq[Attribute],
 object ExpandDeferredPlans extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case d: DeferredPlanHolder =>
-      val inner = d.thunk().queryExecution.optimizedPlan
+      val inner = d.expanded
       require(inner.output.length == d.output.length &&
           d.output.zip(inner.output).forall { case (o, i) =>
             o.name == i.name && o.dataType == i.dataType },

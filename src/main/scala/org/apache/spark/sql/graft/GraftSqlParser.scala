@@ -167,11 +167,13 @@ object GraftSqlParser {
       sc.expect("FROM")
       val from = sc.identOpt().getOrElse(return None)
       if (!graft.sources.LakeCatalog.isValidQualified(from)) return None
-      val tailStops = Seq("GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
-        "INTERSECT", "EXCEPT", "JOIN", "CROSS", "LEFT", "RIGHT", "FULL")
+      // WHERE tails scan through onConditionText too: a predicate using
+      // the left()/right() string functions must not be mistaken for an
+      // outer-join clause and falsely refuse the view
       val where =
         if (sc.keyword("WHERE")) {
-          val w = sc.until(tailStops)
+          val w = onConditionText(sc, Seq("GROUP", "ORDER", "LIMIT",
+            "HAVING", "UNION", "INTERSECT", "EXCEPT", "JOIN"))
           if (!sc.atEnd()) return None
           Some(w).filter(_.nonEmpty)
         } else { if (!sc.atEnd()) return None; None }
@@ -250,11 +252,13 @@ object GraftSqlParser {
         } else { sc.seek(mark); if (inner) return None; more = false }
       }
       if (n == 0) return None // single-table: parseSimpleViewBody's shape
-      val tailStops = Seq("GROUP", "ORDER", "LIMIT", "HAVING", "UNION",
-        "INTERSECT", "EXCEPT", "JOIN", "CROSS", "LEFT", "RIGHT", "FULL")
+      // WHERE tails scan through onConditionText too: a predicate using
+      // the left()/right() string functions must not be mistaken for an
+      // outer-join clause and falsely refuse the view
       val where =
         if (sc.keyword("WHERE")) {
-          val w = sc.until(tailStops)
+          val w = onConditionText(sc, Seq("GROUP", "ORDER", "LIMIT",
+            "HAVING", "UNION", "INTERSECT", "EXCEPT", "JOIN"))
           if (!sc.atEnd()) return None
           Some(w).filter(_.nonEmpty)
         } else { if (!sc.atEnd()) return None; None }
@@ -835,7 +839,9 @@ object GraftSqlParser {
         sc.seek(mark)
         Seq("LEFT", "RIGHT", "FULL", "CROSS").foreach { k =>
           val m = sc.pos
-          val hit = sc.keyword(k) && sc.keyword("JOIN")
+          // `LEFT [OUTER] JOIN` and friends — both spellings refuse
+          val hit = sc.keyword(k) &&
+            { sc.keyword("OUTER"); sc.keyword("JOIN") }
           sc.seek(m)
           if (hit)
             fail(s"CREATE MATERIALIZED VIEW $name: only inner " +

@@ -2589,6 +2589,13 @@ class LakeSqlDmlSpec extends SparkTestBase {
         s.sql("ALTER MATERIALIZED VIEW mvpn DROP PIN VERSION AS OF 0")
           .collect()
       }.getMessage should include("nothing to drop")
+      // and the now-unpinned read REFUSES after the sweep instead of
+      // silently serving state NEWER than the pinned base version (the
+      // fold bracket below the horizon can no longer be proven)
+      intercept[Exception] {
+        s.sql("SELECT seg, n FROM mvpn VERSION AS OF 0 ORDER BY seg")
+          .collect()
+      }.getMessage should include("vacuumed")
     }
   }
 
@@ -2914,6 +2921,22 @@ class LakeSqlDmlSpec extends SparkTestBase {
           "count(*) AS n FROM mvsj_sales JOIN mvsj_c ON ck = c_id " +
           "GROUP BY seg").collect()
       }.getMessage should include("already provides a star join")
+      // the OUTER spellings refuse with the same explicit message
+      intercept[Exception] {
+        s.sql("CREATE MATERIALIZED VIEW mvsj_bad4 AS SELECT seg, " +
+          "count(*) AS n FROM mvsj_fact LEFT OUTER JOIN mvsj_c " +
+          "ON ck = c_id GROUP BY seg").collect()
+      }.getMessage should include("only inner")
+      // left()/right() inside a star view's WHERE are string functions,
+      // not join forms — the body still compiles onto the star machinery
+      s.sql(
+        """CREATE VIEW mvsj_lr AS
+          |SELECT seg, k, ck, v FROM mvsj_fact JOIN mvsj_c ON ck = c_id
+          |WHERE left(seg, 3) = 'seg'""".stripMargin).collect()
+      s.sql("CREATE MATERIALIZED VIEW mvsj_lrm AS SELECT seg, " +
+        "count(*) AS n FROM mvsj_lr GROUP BY seg").collect()
+      s.sql("SELECT sum(n) FROM mvsj_lrm").collect()(0).getLong(0) should
+        be > 0L
     }
   }
 
