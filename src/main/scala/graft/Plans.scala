@@ -101,7 +101,7 @@ object Plans {
       "text_lm_stupid_backoff",
       "lake_sql_mv_minmax", "sim_topk_ivf_hires", "lake_sql_mv_distinct",
       "lake_sql_mv_join", "sim_topk_ivf_q8", "lake_sql_mv_view",
-      "lake_sql_mv_starview")
+      "lake_sql_mv_starview", "lake_sql_mv_cascade")
 
     val sb = new StringBuilder
     sb.append("# Physical plans (generated by `runMain graft.Plans`)\n\n")

@@ -1116,6 +1116,60 @@ object Lake {
         |FROM mv_seg_net ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Gated lane: CASCADING MATERIALIZED VIEWS — the round-18 rollup
+    * chain every warehouse ships (daily → monthly, per-key → per-group):
+    * level 1 aggregates the base per (priority, customer) with a HAVING;
+    * level 2 aggregates LEVEL 1's SERVED relation per priority —
+    * `FROM <mv>` compiles the upstream's read projection as the
+    * downstream's pre stage over the upstream's STATE table (itself a
+    * lake table with a change feed), the upstream's HAVING as a row
+    * filter, and pins the upstream's normalized definition. The DML
+    * moves groups across the HAVING boundary in both directions, kills
+    * level-1 extrema (level-2's max rescan runs over the projected
+    * feed), and exercises count(DISTINCT) over level-1 group keys.
+    * Refresh runs UPSTREAM then DOWNSTREAM (the staleness contract
+    * composes level by level); one extra downstream refresh must no-op. */
+  def lakeSqlMvCascade(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.graft.catalog.dir", freshRoot() + "/catalog")
+    val o = Tables.orders(spark, dir)
+    o.createOrReplaceTempView("lake_sql_mvcc_src")
+    spark.sql(
+      """CREATE TABLE mvcc_orders KEY o_orderkey FILES 8
+        |AS SELECT * FROM lake_sql_mvcc_src""".stripMargin).collect()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mv_cust_rev AS
+        |SELECT o_orderpriority, o_custkey, count(*) AS n1,
+        |       sum(o_totalprice) AS rev
+        |FROM mvcc_orders GROUP BY o_orderpriority, o_custkey
+        |HAVING n1 >= 2""".stripMargin).collect()
+    spark.sql(
+      """CREATE MATERIALIZED VIEW mv_prio_rollup AS
+        |SELECT o_orderpriority, count(*) AS n_groups,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       sum(rev) AS total, max(rev) AS hi
+        |FROM mv_cust_rev GROUP BY o_orderpriority""".stripMargin)
+      .collect()
+    o.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderpriority", lit("9-INSERTED"))
+      .createOrReplaceTempView("lake_sql_mvcc_ins")
+    spark.sql(
+      "INSERT INTO mvcc_orders SELECT * FROM lake_sql_mvcc_ins").collect()
+    spark.sql( // kills top-rev customers → level-2 max rescan over the
+      // projected level-1 feed; singleton groups cross the HAVING gate
+      "DELETE FROM mvcc_orders WHERE o_totalprice >= 420000.0").collect()
+    spark.sql( // group MOVE across priorities: level-1 groups die/appear
+      """UPDATE mvcc_orders SET o_orderpriority = '7-MOVED'
+        |WHERE o_orderkey % 100 = 50""".stripMargin).collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_cust_rev").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_prio_rollup").collect()
+    spark.sql("REFRESH MATERIALIZED VIEW mv_prio_rollup").collect() // no-op
+    spark.sql(
+      """SELECT o_orderpriority, n_groups, n_custs,
+        |       CAST(round(total, 2) AS DOUBLE) AS total, hi
+        |FROM mv_prio_rollup ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Gated lane: STRING merge keys — the document-id-shaped key every
     * real corpus has. The table keys on `ok = 'ord-' || lpad(key, 12)`
     * (order-preserving re-spelling of the integer key, so the oracle can
@@ -1569,6 +1623,7 @@ object Lake {
     "lake_sql_mv_join" -> (lakeSqlMvJoin _),
     "lake_sql_mv_view" -> (lakeSqlMvView _),
     "lake_sql_mv_starview" -> (lakeSqlMvStarView _),
+    "lake_sql_mv_cascade" -> (lakeSqlMvCascade _),
     "lake_string_key" -> (lakeStringKey _),
     "lake_binpack" -> (lakeBinpack _),
     "lake_sql_insert" -> (lakeSqlInsert _),
@@ -1909,6 +1964,34 @@ object Lake {
         |            AS DOUBLE) AS revenue
         |FROM v WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "lake_sql_mv_cascade" ->
+      """WITH ins AS (
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+        |         '9-INSERTED' AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), all0 AS (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |  FROM orders
+        |  UNION ALL SELECT * FROM ins
+        |), del AS (
+        |  SELECT * FROM all0 WHERE o_totalprice < 420000.0
+        |), fin AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 100 = 50 THEN '7-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_totalprice
+        |  FROM del
+        |), m1 AS (
+        |  SELECT o_orderpriority, o_custkey, count(*) AS n1,
+        |         sum(CAST(o_totalprice AS DECIMAL(28,10))) AS rev
+        |  FROM fin GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT o_orderpriority, count(*) AS n_groups,
+        |       count(DISTINCT o_custkey) AS n_custs,
+        |       CAST(round(sum(rev), 2) AS DOUBLE) AS total,
+        |       max(rev) AS hi
+        |FROM m1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "lake_sql_mv_starview" ->
       """WITH ins AS (

@@ -137,6 +137,16 @@ object LakeMv {
     * TABLE name (the relation alias ON conditions qualify by; the MV's
     * `baseName` stays the VIEW name for the pin check). Per-row linear
     * throughout, so the signed fold is exact over the composed shape. */
+  /** `mvPin` carries a CASCADING MV's pinned upstream (`FROM <mv>`): the
+    * upstream's NORMALIZED serialized definition ([[normalizedMv]] —
+    * queryText/appId stripped, so a plain RENAME does not spuriously
+    * break the pin while any content or state-root change does). The
+    * downstream's base is the upstream's STATE table (a lake table with
+    * its own change feed), `preItems` its generated read projection and
+    * the upstream's HAVING a conjunct of `whereSql` — per-row linear
+    * end to end, so the signed fold is exact over the upstream's SERVED
+    * relation. A redefined/rebuilt/dropped upstream refuses the
+    * incremental fold; `REFRESH … FULL` re-reads and re-pins. */
   case class MvDef(baseRoot: String, baseName: String, initVersion: Int,
                    stateRoot: String, items: Seq[MvItem],
                    whereSql: Option[String], havingSql: Option[String],
@@ -147,7 +157,8 @@ object LakeMv {
                    viewText: Option[String] = None,
                    postItems: Seq[String] = Seq.empty,
                    postWhere: Option[String] = None,
-                   factRel: Option[String] = None) {
+                   factRel: Option[String] = None,
+                   mvPin: Option[String] = None) {
     /** The FACT relation's qualification name: the star-join view's
       * fact table when folding through one, else the base itself. */
     def factRelName: String = factRel.getOrElse(baseName)
@@ -501,8 +512,18 @@ object LakeMv {
         else d.postItems.map(b64).mkString(";")}",
       s"postwhere=${d.postWhere.map(b64).getOrElse("-")}",
       s"factrel=${d.factRel.getOrElse("-")}",
+      // the pinned upstream of a cascading MV (FROM <mv>)
+      s"mvpin=${d.mvPin.map(b64).getOrElse("-")}",
       s"query=${b64(d.queryText)}").mkString("\n")
   }
+
+  /** The content identity an MV-over-MV pin compares: the upstream's
+    * serialized definition with its statement text and epoch app id
+    * stripped — a plain RENAME (which rewrites both) must not break
+    * downstream pins, while any change to items/predicates/state root
+    * (redefinition, REFRESH … FULL's state swap) must. */
+  def normalizedMv(raw: String): String =
+    serialize(parseDef(raw).copy(queryText = "", appId = None))
 
   def parseDef(s: String): MvDef = {
     val kv = s.linesIterator.map(_.trim).filter(_.nonEmpty)
@@ -543,7 +564,8 @@ object LakeMv {
       kv.get("postitems").filter(_ != "-")
         .map(_.split(";").toSeq.map(unb64)).getOrElse(Seq.empty),
       kv.get("postwhere").filter(_ != "-").map(unb64),
-      kv.get("factrel").filter(_ != "-"))
+      kv.get("factrel").filter(_ != "-"),
+      kv.get("mvpin").filter(_ != "-").map(unb64))
   }
 
   /** The stored original statement text — `graft_catalog()`'s target
@@ -598,6 +620,25 @@ object LakeMv {
       case AggItem(_, a, _) => Seq(a)
     }
 
+  /** The upstream MV's READ projection as selectExpr items over its raw
+    * STATE table — [[readProjection]] re-expressed as SQL text so a
+    * cascading MV can apply it as its PRE stage to the state snapshot
+    * AND change feed alike (sums NULL when their non-null counter is
+    * zero, avgs reconstructed from exact state, declared order, the
+    * synthetic key dropped). Per-row by construction — which is exactly
+    * what keeps the downstream's signed fold exact. */
+  private def upstreamProjection(u: MvDef): Seq[String] =
+    u.items.map {
+      case g: GroupItem => g.alias
+      case AggItem("sum", a, _) =>
+        s"CASE WHEN ${nnAlias(a)} > 0 THEN $a ELSE NULL END AS $a"
+      case AggItem("avg", a, _) =>
+        s"CASE WHEN ${nnAlias(a)} > 0 THEN " +
+          s"CAST(${sumAlias(a)} AS DOUBLE) / ${nnAlias(a)} " +
+          s"ELSE NULL END AS $a"
+      case AggItem(_, a, _) => a
+    }
+
   // ---- CREATE ---------------------------------------------------------
 
   /** Validate + build: pins the base's CURRENT version, aggregates that
@@ -645,8 +686,32 @@ object LakeMv {
             "the table's change feed one level down, so views over " +
             "views do not compose here; flatten onto the table"))
     val viewBody = LakeCatalog.lookupView(spark, baseName)
+    // FROM <mv>: a CASCADING materialized view — the upstream's STATE
+    // table is itself a lake table with a change feed, and its read
+    // projection is per-row, so the downstream folds the upstream's
+    // SERVED relation exactly: base = the upstream's state root, the
+    // generated read projection is the PRE stage, and the upstream's
+    // HAVING joins this MV's WHERE as a conjunct (it filters upstream
+    // groups before this aggregation, exactly as a read would). The
+    // upstream's NORMALIZED definition is PINNED (rename-proof,
+    // content/state-root-sensitive): a redefined, rebuilt (FULL), or
+    // dropped upstream refuses the fold; REFRESH … FULL re-pins.
+    // Staleness composes: this MV folds what the upstream has FOLDED —
+    // refresh upstream first for end-to-end freshness.
+    val upstreamRaw = LakeCatalog.lookupMv(spark, baseName)
     val (baseRoot, preItems, preWhere, postItems, postWhere, factRel,
-         viewDims) = viewBody match {
+         viewDims, mvPin) = upstreamRaw match {
+      case Some(raw) =>
+        val u = parseDef(raw)
+        // the upstream's HAVING rides postWhere: it filters upstream
+        // groups (rows of the projected pre-stage) before this MV's own
+        // WHERE/aggregation, exactly as a read of the upstream would —
+        // and REFRESH … FULL re-derives it from the CURRENT upstream
+        // instead of baking it into this MV's stored WHERE
+        (u.stateRoot, upstreamProjection(u), Option.empty[String],
+          Seq.empty[String], u.havingSql, Option.empty[String],
+          Seq.empty[(String, String)], Some(normalizedMv(raw)))
+      case None => viewBody match {
       case Some(body) =>
         import org.apache.spark.sql.graft.GraftSqlParser
         GraftSqlParser.parseSimpleViewBody(body) match {
@@ -654,7 +719,8 @@ object LakeMv {
             (resolveViewFact(vFrom),
               if (vItems == Seq("*")) Seq.empty[String] else vItems,
               vWhere, Seq.empty[String], Option.empty[String],
-              Option.empty[String], Seq.empty[(String, String)])
+              Option.empty[String], Seq.empty[(String, String)],
+              Option.empty[String])
           case None => GraftSqlParser.parseJoinViewBody(body) match {
             case Some((vItems, vFrom, vJoins, vWhere)) =>
               require(dimsIn.isEmpty,
@@ -666,7 +732,8 @@ object LakeMv {
               (resolveViewFact(vFrom), Seq.empty[String],
                 Option.empty[String],
                 if (vItems == Seq("*")) Seq.empty[String] else vItems,
-                vWhere, Some(vFrom), vJoins)
+                vWhere, Some(vFrom), vJoins,
+                Option.empty[String])
             case None => throw new IllegalArgumentException(
               s"CREATE MATERIALIZED VIEW $name: base '$baseName' is a " +
                 "view whose body is neither a single-table " +
@@ -680,8 +747,9 @@ object LakeMv {
         }
       case None => (resolveLake(baseName, "base"), Seq.empty[String],
         Option.empty[String], Seq.empty[String], Option.empty[String],
-        Option.empty[String], Seq.empty[(String, String)])
-    }
+        Option.empty[String], Seq.empty[(String, String)],
+        Option.empty[String])
+    } }
     // star-join dims — the view's own, or the MV-level JOIN clauses
     // (exclusive by the require above): resolve + PIN each dim's current
     // version; the relation ALIASES (last name part of the fact + each
@@ -744,7 +812,7 @@ object LakeMv {
     val stateRoot = LakeCatalog.managedRoot(spark, name + "_state")
     val d = MvDef(baseRoot, baseName, initV, stateRoot, items, whereSql,
       havingSql, queryText, Some(appIdOf(name)), dims, preItems, preWhere,
-      viewBody, postItems, postWhere, factRel)
+      viewBody, postItems, postWhere, factRel, mvPin)
     // an EXPRESSION key's alias must not shadow a base (or joined-dim,
     // or star-view-output) column: the fold computes the expression over
     // the feed under that alias, and a same-named column would make the
@@ -940,6 +1008,30 @@ object LakeMv {
             "longer bound as a view in the graft catalog — re-CREATE " +
             "the view (then REFRESH … FULL), or DROP this materialized " +
             "view")
+      }
+    }
+    // a CASCADING MV pins its upstream's NORMALIZED definition: a
+    // redefined upstream (DROP + re-CREATE) or a rebuilt one (REFRESH …
+    // FULL swaps the state root this MV's base points at) refuses —
+    // folding the old chain would silently diverge from reads of the
+    // upstream; FULL re-reads the current upstream and re-pins. A
+    // dropped or renamed upstream has nothing to re-pin and says so.
+    d.mvPin.foreach { pinTxt =>
+      LakeCatalog.lookupMv(spark, d.baseName) match {
+        case Some(raw) if normalizedMv(raw) == pinTxt => // pin intact
+        case Some(_) => throw new IllegalStateException(
+          s"REFRESH MATERIALIZED VIEW $name: upstream materialized " +
+            s"view '${d.baseName}' was REDEFINED or REBUILT (REFRESH " +
+            "… FULL swaps its state chain) after this view pinned it — " +
+            "folding the old shape would silently diverge from reads " +
+            s"of the upstream; repair with REFRESH MATERIALIZED VIEW " +
+            s"$name FULL (re-reads the upstream's current definition " +
+            "and re-pins)")
+        case None => throw new IllegalStateException(
+          s"REFRESH MATERIALIZED VIEW $name: upstream '${d.baseName}' " +
+            "is no longer bound as a materialized view (dropped, or " +
+            "renamed — the name is the link) — re-CREATE or rename it " +
+            "back (then REFRESH … FULL), or DROP this materialized view")
       }
     }
     // star-join dims fold INCREMENTALLY through the bilinear
@@ -1618,11 +1710,13 @@ object LakeMv {
         .map(_.toInt).getOrElse(x.version)
       new LakeTable(spark, x.root).latestVersion != folded
     }
-    // fold-through view pin: stale when the view's current body no
-    // longer matches the pinned text (redefined OR dropped) — the same
-    // will-refuse-next-refresh alert as n_dims_stale, for the view pin
+    // fold-through pin: stale when the pinned view body or upstream MV
+    // definition no longer matches (redefined, rebuilt, OR dropped) —
+    // the same will-refuse-next-refresh alert as n_dims_stale
     val viewStale = d.viewText.exists(vt =>
-      !LakeCatalog.lookupView(spark, d.baseName).contains(vt))
+      !LakeCatalog.lookupView(spark, d.baseName).contains(vt)) ||
+      d.mvPin.exists(pt => !LakeCatalog.lookupMv(spark, d.baseName)
+        .map(normalizedMv).contains(pt))
     Seq((name.toLowerCase, d.baseName, d.baseRoot, d.stateRoot,
       d.initVersion, last, cur, math.max(0, cur - last), groups,
       d.dims.size, dimsStale, viewStale))

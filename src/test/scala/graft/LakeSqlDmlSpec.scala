@@ -2940,6 +2940,98 @@ class LakeSqlDmlSpec extends SparkTestBase {
     }
   }
 
+  test("CASCADING materialized views: an MV over an MV folds the upstream's state feed") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 80L).map(k => (k, s"p${k % 4}", 1L + k % 10, k * 10.0))
+        .toDF("k", "prio", "ck", "v").createOrReplaceTempView("mvcc_src")
+      s.sql("CREATE TABLE mvcc_base KEY k AS SELECT * FROM mvcc_src")
+        .collect()
+      // LEVEL 1: per (prio, ck) — sum/avg/count, with a HAVING the
+      // downstream must see as a row filter
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvcc_1 AS
+          |SELECT prio, ck, count(*) AS n1, sum(v) AS rev, avg(v) AS av
+          |FROM mvcc_base GROUP BY prio, ck
+          |HAVING n1 >= 2""".stripMargin).collect()
+      // LEVEL 2: per prio over LEVEL 1's SERVED relation
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvcc_2 AS
+          |SELECT prio, count(*) AS n_groups, sum(rev) AS total,
+          |       max(rev) AS hi, avg(av) AS aav
+          |FROM mvcc_1 GROUP BY prio""".stripMargin).collect()
+      def mv2() = s.sql(
+        "SELECT prio, n_groups, CAST(total AS DECIMAL(28,10)) AS total, " +
+          "hi, CAST(round(aav, 6) AS DOUBLE) AS aav FROM mvcc_2 " +
+          "ORDER BY prio").collect().toSeq
+      def scratch() = s.sql(
+        """WITH m1 AS (
+          |  SELECT prio, ck, count(*) AS n1,
+          |         sum(CAST(v AS DECIMAL(28,10))) AS rev,
+          |         CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
+          |           / count(v) AS av
+          |  FROM mvcc_base GROUP BY prio, ck HAVING count(*) >= 2)
+          |SELECT prio, count(*) AS n_groups,
+          |  CAST(sum(CAST(rev AS DECIMAL(28,10))) AS DECIMAL(28,10))
+          |    AS total,
+          |  max(rev) AS hi,
+          |  CAST(round(CAST(sum(CAST(av AS DECIMAL(28,10))) AS DOUBLE)
+          |    / count(av), 6) AS DOUBLE) AS aav
+          |FROM m1 GROUP BY prio ORDER BY prio""".stripMargin)
+        .collect().toSeq
+      mv2() shouldBe scratch()
+      // base DML → refresh UPSTREAM then DOWNSTREAM: the level-2 fold
+      // consumes level-1's state commits (groups move across the HAVING
+      // boundary, extrema die → the rescan runs over the projected feed)
+      s.sql("INSERT INTO mvcc_base SELECT k + 100 AS k, 'p9' AS prio, " +
+        "3L AS ck, 500.0D AS v FROM mvcc_src WHERE k <= 3").collect()
+      s.sql("DELETE FROM mvcc_base WHERE v >= 700.0").collect()
+      s.sql("UPDATE mvcc_base SET v = v + 5.0 WHERE k % 7 = 1").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_1").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
+      mv2() shouldBe scratch()
+      // refreshing the DOWNSTREAM alone is a no-op while the upstream
+      // stands still — the staleness contract composes level by level
+      s.sql("DELETE FROM mvcc_base WHERE k = 50").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
+      val beforeUp = mv2()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_1").collect()
+      mv2() shouldBe beforeUp // still the old level-1 content
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
+      mv2() shouldBe scratch()
+      // detail surfaces the composed staleness alert on a rebuilt
+      // upstream, and the fold refuses until FULL re-pins
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_1 FULL").collect()
+      s.sql("SELECT view_pin_stale FROM graft_mv_detail('mvcc_2')")
+        .collect()(0).getBoolean(0) shouldBe true
+      s.sql("DELETE FROM mvcc_base WHERE k = 51").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_1").collect()
+      intercept[IllegalStateException] {
+        s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
+      }.getMessage should include("REDEFINED or REBUILT")
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_2 FULL").collect()
+      mv2() shouldBe scratch()
+      // and the re-pinned chain keeps folding incrementally
+      s.sql("DELETE FROM mvcc_base WHERE k = 52").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_1").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
+      mv2() shouldBe scratch()
+      // a RENAAMED upstream severs the name link: refuse with guidance
+      s.sql("ALTER MATERIALIZED VIEW mvcc_1 RENAME TO mvcc_1b").collect()
+      s.sql("DELETE FROM mvcc_base WHERE k = 53").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_1b").collect()
+      intercept[IllegalStateException] {
+        s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
+      }.getMessage should include("no longer bound")
+      // rename BACK: the pin is rename-proof (normalized compare strips
+      // the statement text and app id), so the fold resumes untouched
+      s.sql("ALTER MATERIALIZED VIEW mvcc_1b RENAME TO mvcc_1").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
+      mv2() shouldBe scratch()
+    }
+  }
+
   test("star-join MV refresh PRUNES the fact scan: join-key isin pushdown on a key-clustered fact") {
     withExtendedSession { s =>
       import s.implicits._
