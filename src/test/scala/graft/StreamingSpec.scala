@@ -1721,6 +1721,58 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("standing refresh composes with CASCADING MVs: upstream refreshes trigger the downstream") {
+    import graft.sources.{Lake, LakeCatalog, LakeMv}
+    spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+    val base = Lake.create(spark, Lake.freshRoot(),
+      (1L to 40L).map(k => (k, s"g${k % 4}", 1L + k % 5, k.toDouble))
+        .toDF("k", "grp", "ck", "v"), "k", 2)
+    LakeCatalog.register(spark, "scc_base", base.root)
+    LakeMv.create(spark, "scc_1", "scc_base",
+      Seq(LakeMv.GroupItem("grp"), LakeMv.GroupItem("ck"),
+        LakeMv.AggItem("count_star", "n1", ""),
+        LakeMv.AggItem("sum", "rev", "v")),
+      None, "CREATE MATERIALIZED VIEW scc_1 AS …")
+    LakeMv.create(spark, "scc_2", "scc_1",
+      Seq(LakeMv.GroupItem("grp"),
+        LakeMv.AggItem("count_star", "ng", ""),
+        LakeMv.AggItem("sum", "total", "rev")),
+      None, "CREATE MATERIALIZED VIEW scc_2 AS …")
+    val d2 = LakeMv.parseDef(LakeCatalog.lookupMv(spark, "scc_2").get)
+    def mv2() = LakeMv.readDf(spark, d2)
+      .select(col("grp"), col("ng"), col("total").cast("decimal(28,10)"))
+      .orderBy("grp").collect().toSeq
+    def scratch() = base.read()
+      .groupBy("grp", "ck")
+      .agg(sum(col("v").cast("decimal(28,10)")).as("rev"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("rev").cast("decimal(28,10)")).cast("decimal(28,10)")
+          .as("total"))
+      .orderBy("grp").collect().toSeq
+    // the DOWNSTREAM's standing query tails the UPSTREAM's state root's
+    // manifest dir (its base), so an upstream refresh — manual or its
+    // own standing query — triggers the downstream fold with no wiring
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scc-ckpt").toString
+    val q = StreamingOps.standingMvRefresh(spark, "scc_2", ckpt)
+    try {
+      q.processAllAvailable()
+      mv2() shouldBe scratch()
+      base.merge((41L to 52L).map(k => (k, "g9", 2L, 100.0 + k))
+        .toDF("k", "grp", "ck", "v"))
+      LakeMv.refresh(spark, "scc_1") // upstream advances → state commit
+      q.processAllAvailable()        // → downstream standing fold fires
+      mv2() shouldBe scratch()
+      mv2().map(_.getString(0)) should contain("g9")
+      base.delete((41L to 52L).map(Tuple1(_)).toDF("k")) // g9 dies
+      LakeMv.refresh(spark, "scc_1")
+      q.processAllAvailable()
+      mv2() shouldBe scratch()
+      mv2().map(_.getString(0)) should not contain "g9"
+    } finally q.stop()
+  }
+
   test("standing MV refresh: base commits advance the MV; restart resumes") {
     import graft.sources.{Lake, LakeCatalog, LakeMv, LakeTable}
     spark.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
