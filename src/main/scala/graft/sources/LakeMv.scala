@@ -1269,22 +1269,26 @@ object LakeMv {
         "left")
       .withColumn("_had_state", col(s"_old_$csAlias").isNotNull)
       .localCheckpoint() // collision check + merge source, one compute
-    // a hash-key hit whose stored GROUP VALUES differ from the delta's
-    // is a 60-bit collision (or corrupted state) — merging would mix two
-    // groups, so refuse loudly; delta-sized check
-    val collisions = joined.filter(col("_had_state") &&
-      !d.groupCols.map(g => col(g) <=> col(s"_oldg_$g")).reduce(_ && _))
-      .count()
+    // forensics in ONE job over the checkpointed join (refreshes run
+    // dozens of small actions per lifecycle — merging these two scans
+    // halves the check dispatch cost per phase):
+    // (a) a hash-key hit whose stored GROUP VALUES differ from the
+    // delta's is a 60-bit collision (or corrupted state) — merging
+    // would mix two groups; (b) a group folding below zero rows means
+    // the state and the feed drifted (impossible under correct
+    // bookkeeping) — writing the negative row would corrupt silently.
+    // Both refuse loudly; delta-sized check.
+    val checksRow = joined.agg(
+      count(when(col("_had_state") &&
+        !d.groupCols.map(g => col(g) <=> col(s"_oldg_$g")).reduce(_ && _),
+        lit(1))).as("_collisions"),
+      count(when((coalesce(col(s"_old_$csAlias"), lit(0L)) +
+        col(s"_d_$csAlias")) < 0L, lit(1))).as("_negative")).collect()(0)
+    val (collisions, negative) = (checksRow.getLong(0), checksRow.getLong(1))
     require(collisions == 0L,
       s"REFRESH MATERIALIZED VIEW $name: the 60-bit group-key hash " +
         s"collided on $collisions group(s) — recreate the MV with a " +
         "disambiguating group column")
-    // a group folding below zero rows means the state and the feed have
-    // drifted (an impossible fold under correct bookkeeping) — writing
-    // the negative row would silently corrupt; refuse with forensics
-    val negative = joined.filter(
-      (coalesce(col(s"_old_$csAlias"), lit(0L)) + col(s"_d_$csAlias")) < 0L)
-      .count()
     require(negative == 0L,
       s"REFRESH MATERIALIZED VIEW $name: $negative group(s) folded to a " +
         "negative row count — state/feed drift (was the state table " +
@@ -1592,15 +1596,18 @@ object LakeMv {
     val joined = deltaV.join(hintIfSmall(slice, smallV), Seq("_cd_key"),
         "left")
       .localCheckpoint() // collision + negative checks + merge source
-    val collisions = joined.filter(col("_old_m").isNotNull &&
-      !(col("_mv_key") <=> col("_old_mk") &&
-        col("_cd_val") <=> col("_old_v"))).count()
+    // same one-job forensics discipline as the main fold's
+    val checksRow = joined.agg(
+      count(when(col("_old_m").isNotNull &&
+        !(col("_mv_key") <=> col("_old_mk") &&
+          col("_cd_val") <=> col("_old_v")), lit(1))).as("_collisions"),
+      count(when((coalesce(col("_old_m"), lit(0L)) + col("_d_mult")) < 0L,
+        lit(1))).as("_negative")).collect()(0)
+    val (collisions, negative) = (checksRow.getLong(0), checksRow.getLong(1))
     require(collisions == 0L,
       s"REFRESH MATERIALIZED VIEW: the 60-bit (group, value) hash for " +
         s"count(DISTINCT ${a.arg}) collided on $collisions pair(s) — " +
         "recreate the view with a narrower group/value domain")
-    val negative = joined.filter(
-      (coalesce(col("_old_m"), lit(0L)) + col("_d_mult")) < 0L).count()
     require(negative == 0L,
       s"REFRESH MATERIALIZED VIEW: $negative (group, value) pair(s) of " +
         s"count(DISTINCT ${a.arg}) folded to a negative multiplicity — " +
