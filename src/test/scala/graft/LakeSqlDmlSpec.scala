@@ -3029,6 +3029,59 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("ALTER MATERIALIZED VIEW mvcc_1b RENAME TO mvcc_1").collect()
       s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
       mv2() shouldBe scratch()
+      // OPTIMIZE of the upstream compacts its state — a rewrite-only
+      // commit whose content diff is EMPTY: the downstream folds it as
+      // a clean no-op, never a phantom delta
+      s.sql("OPTIMIZE MATERIALIZED VIEW mvcc_1 FILES 2").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
+      mv2() shouldBe scratch()
+    }
+  }
+
+  test("CASCADING over a STAR upstream: the chain composes with join MVs") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 60L).map(k => (k, 1L + k % 5, k * 10.0))
+        .toDF("k", "ck", "v").createOrReplaceTempView("mvcs_fsrc")
+      (1L to 5L).map(c => (c, s"seg${c % 2}", s"r${c % 3}"))
+        .toDF("c_id", "seg", "region").createOrReplaceTempView("mvcs_csrc")
+      s.sql("CREATE TABLE mvcs_fact KEY k AS SELECT * FROM mvcs_fsrc")
+        .collect()
+      s.sql("CREATE TABLE mvcs_c KEY c_id AS SELECT * FROM mvcs_csrc")
+        .collect()
+      // level 1 IS a star join; level 2 rolls its groups up further
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvcs_1 AS
+          |SELECT region, seg, count(*) AS n1, sum(v) AS rev
+          |FROM mvcs_fact JOIN mvcs_c ON ck = c_id
+          |GROUP BY region, seg""".stripMargin).collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvcs_2 AS
+          |SELECT region, count(*) AS nseg, sum(rev) AS total
+          |FROM mvcs_1 GROUP BY region""".stripMargin).collect()
+      def mv2() = s.sql(
+        "SELECT region, nseg, CAST(total AS DECIMAL(28,10)) AS total " +
+          "FROM mvcs_2 ORDER BY region").collect().toSeq
+      def scratch() = s.sql(
+        """WITH m1 AS (
+          |  SELECT region, seg, sum(CAST(v AS DECIMAL(28,10))) AS rev
+          |  FROM mvcs_fact JOIN mvcs_c ON ck = c_id GROUP BY 1, 2)
+          |SELECT region, count(*) AS nseg,
+          |  CAST(sum(CAST(rev AS DECIMAL(28,10))) AS DECIMAL(28,10))
+          |    AS total
+          |FROM m1 GROUP BY 1 ORDER BY 1""".stripMargin).collect().toSeq
+      mv2() shouldBe scratch()
+      // BOTH bilinear directions upstream propagate down the chain:
+      // a fact write and a DIM flip (which moves level-1 groups across
+      // (region, seg) pairs) each fold level 1 then level 2
+      s.sql("DELETE FROM mvcs_fact WHERE k % 9 = 0").collect()
+      s.sql("UPDATE mvcs_c SET seg = 'segX', region = 'rX' " +
+        "WHERE c_id = 3").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcs_1").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcs_2").collect()
+      mv2() shouldBe scratch()
+      mv2().map(_.getString(0)) should contain("rX")
     }
   }
 
