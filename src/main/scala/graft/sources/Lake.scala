@@ -1126,7 +1126,9 @@ object Lake {
     * filter, and pins the upstream's normalized definition. The DML
     * moves groups across the HAVING boundary in both directions, kills
     * level-1 extrema (level-2's max rescan runs over the projected
-    * feed), and exercises count(DISTINCT) over level-1 group keys.
+    * feed), and exercises count(DISTINCT) over a level-1 AGGREGATE
+    * value (n1 repeats across groups, so the multiplicity side table
+    * carries real duplicates and value deaths).
     * Refresh runs UPSTREAM then DOWNSTREAM (the staleness contract
     * composes level by level); one extra downstream refresh must no-op. */
   def lakeSqlMvCascade(spark: SparkSession, dir: String): DataFrame = {
@@ -1145,7 +1147,7 @@ object Lake {
     spark.sql(
       """CREATE MATERIALIZED VIEW mv_prio_rollup AS
         |SELECT o_orderpriority, count(*) AS n_groups,
-        |       count(DISTINCT o_custkey) AS n_custs,
+        |       count(DISTINCT n1) AS n_sizes,
         |       sum(rev) AS total, max(rev) AS hi
         |FROM mv_cust_rev GROUP BY o_orderpriority""".stripMargin)
       .collect()
@@ -1165,7 +1167,7 @@ object Lake {
     spark.sql("REFRESH MATERIALIZED VIEW mv_prio_rollup").collect()
     spark.sql("REFRESH MATERIALIZED VIEW mv_prio_rollup").collect() // no-op
     spark.sql(
-      """SELECT o_orderpriority, n_groups, n_custs,
+      """SELECT o_orderpriority, n_groups, n_sizes,
         |       CAST(round(total, 2) AS DOUBLE) AS total, hi
         |FROM mv_prio_rollup ORDER BY o_orderpriority""".stripMargin)
   }
@@ -1988,7 +1990,7 @@ object Lake {
         |  FROM fin GROUP BY 1, 2 HAVING count(*) >= 2
         |)
         |SELECT o_orderpriority, count(*) AS n_groups,
-        |       count(DISTINCT o_custkey) AS n_custs,
+        |       count(DISTINCT n1) AS n_sizes,
         |       CAST(round(sum(rev), 2) AS DOUBLE) AS total,
         |       max(rev) AS hi
         |FROM m1 GROUP BY 1 ORDER BY 1""".stripMargin,

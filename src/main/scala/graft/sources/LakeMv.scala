@@ -525,6 +525,19 @@ object LakeMv {
   def normalizedMv(raw: String): String =
     serialize(parseDef(raw).copy(queryText = "", appId = None))
 
+  /** Pin comparison is STRUCTURAL (both sides parsed, then case-class
+    * equality on the normalized [[MvDef]]), never text-vs-text: the
+    * serialization format grows a line most rounds, and a pin written
+    * by an older build must keep matching an unchanged upstream after
+    * an upgrade (parseDef's back-compat defaults make the two parses
+    * agree) — only a REAL content/state-root change may break it. An
+    * unparsable pin compares unequal (refuse, loudly, at the caller). */
+  private[sources] def mvPinMatches(pinTxt: String,
+                                    currentRaw: String): Boolean =
+    scala.util.Try(parseDef(pinTxt) ==
+      parseDef(currentRaw).copy(queryText = "", appId = None))
+      .getOrElse(false)
+
   def parseDef(s: String): MvDef = {
     val kv = s.linesIterator.map(_.trim).filter(_.nonEmpty)
       .map { l =>
@@ -1018,7 +1031,7 @@ object LakeMv {
     // dropped or renamed upstream has nothing to re-pin and says so.
     d.mvPin.foreach { pinTxt =>
       LakeCatalog.lookupMv(spark, d.baseName) match {
-        case Some(raw) if normalizedMv(raw) == pinTxt => // pin intact
+        case Some(raw) if mvPinMatches(pinTxt, raw) => // pin intact
         case Some(_) => throw new IllegalStateException(
           s"REFRESH MATERIALIZED VIEW $name: upstream materialized " +
             s"view '${d.baseName}' was REDEFINED or REBUILT (REFRESH " +
@@ -1723,7 +1736,7 @@ object LakeMv {
     val viewStale = d.viewText.exists(vt =>
       !LakeCatalog.lookupView(spark, d.baseName).contains(vt)) ||
       d.mvPin.exists(pt => !LakeCatalog.lookupMv(spark, d.baseName)
-        .map(normalizedMv).contains(pt))
+        .exists(raw => mvPinMatches(pt, raw)))
     Seq((name.toLowerCase, d.baseName, d.baseRoot, d.stateRoot,
       d.initVersion, last, cur, math.max(0, cur - last), groups,
       d.dims.size, dimsStale, viewStale))
@@ -1736,22 +1749,15 @@ object LakeMv {
 
   /** Project a state relation back to the DECLARED select shape (sums
     * NULL when their non-null counter is zero — SQL sum semantics — avgs
-    * reconstructed from exact state, the synthetic key dropped). Shared
-    * by the read path and CREATE's HAVING validation. */
+    * reconstructed as the EXACT decimal dividend cast to double once
+    * then one IEEE division: deterministic and refresh-count-independent
+    * because the stored sum is bit-equal to from-scratch however many
+    * folds built it, spec-pinned; the synthetic key dropped). Shared by
+    * the read path, CREATE's HAVING validation, AND the cascading fold's
+    * pre stage — defined ONCE as [[upstreamProjection]]'s SQL items, so
+    * what a downstream MV folds and what a reader sees can never drift. */
   private def readProjection(state: DataFrame, d: MvDef): DataFrame =
-    state.select(d.items.map {
-      case g: GroupItem => col(g.alias)
-      case AggItem("sum", a, _) =>
-        when(col(nnAlias(a)) > 0L, col(a)).otherwise(lit(null)).as(a)
-      case AggItem("avg", a, _) => // the EXACT decimal dividend casts to
-        // double once, then one IEEE division — deterministic and
-        // refresh-count-independent, because the stored sum is bit-equal
-        // to from-scratch however many folds built it (spec-pinned)
-        when(col(nnAlias(a)) > 0L,
-            col(sumAlias(a)).cast("double") / col(nnAlias(a)))
-          .otherwise(lit(null)).as(a)
-      case AggItem(_, a, _) => col(a)
-    }: _*)
+    state.selectExpr(upstreamProjection(d): _*)
 
   /** The MV's read relation: the state table projected back to the
     * declared select shape, then the HAVING filter (post-aggregate by

@@ -2956,13 +2956,15 @@ class LakeSqlDmlSpec extends SparkTestBase {
           |FROM mvcc_base GROUP BY prio, ck
           |HAVING n1 >= 2""".stripMargin).collect()
       // LEVEL 2: per prio over LEVEL 1's SERVED relation
-      s.sql(
+      s.sql( // count(DISTINCT n1): n1 repeats across level-1 groups, so
+        // the side table carries REAL multiplicities and value deaths
         """CREATE MATERIALIZED VIEW mvcc_2 AS
-          |SELECT prio, count(*) AS n_groups, sum(rev) AS total,
-          |       max(rev) AS hi, avg(av) AS aav
+          |SELECT prio, count(*) AS n_groups, count(DISTINCT n1) AS ns,
+          |       sum(rev) AS total, max(rev) AS hi, avg(av) AS aav
           |FROM mvcc_1 GROUP BY prio""".stripMargin).collect()
       def mv2() = s.sql(
-        "SELECT prio, n_groups, CAST(total AS DECIMAL(28,10)) AS total, " +
+        "SELECT prio, n_groups, ns, " +
+          "CAST(total AS DECIMAL(28,10)) AS total, " +
           "hi, CAST(round(aav, 6) AS DOUBLE) AS aav FROM mvcc_2 " +
           "ORDER BY prio").collect().toSeq
       def scratch() = s.sql(
@@ -2972,7 +2974,7 @@ class LakeSqlDmlSpec extends SparkTestBase {
           |         CAST(sum(CAST(v AS DECIMAL(28,10))) AS DOUBLE)
           |           / count(v) AS av
           |  FROM mvcc_base GROUP BY prio, ck HAVING count(*) >= 2)
-          |SELECT prio, count(*) AS n_groups,
+          |SELECT prio, count(*) AS n_groups, count(DISTINCT n1) AS ns,
           |  CAST(sum(CAST(rev AS DECIMAL(28,10))) AS DECIMAL(28,10))
           |    AS total,
           |  max(rev) AS hi,
@@ -3035,6 +3037,58 @@ class LakeSqlDmlSpec extends SparkTestBase {
       s.sql("OPTIMIZE MATERIALIZED VIEW mvcc_1 FILES 2").collect()
       s.sql("REFRESH MATERIALIZED VIEW mvcc_2").collect()
       mv2() shouldBe scratch()
+    }
+  }
+
+  test("CASCADING MV with its own JOIN dims: the rollup joins a dimension over the projected feed") {
+    withExtendedSession { s =>
+      import s.implicits._
+      s.conf.set("spark.graft.catalog.dir", Lake.freshRoot() + "/cat")
+      (1L to 60L).map(k => (k, 1L + k % 6, k * 10.0))
+        .toDF("k", "ck", "v").createOrReplaceTempView("mvcd_src")
+      (1L to 6L).map(c => (c, s"tier${c % 2}"))
+        .toDF("c_id", "tier").createOrReplaceTempView("mvcd_dsrc")
+      s.sql("CREATE TABLE mvcd_base KEY k AS SELECT * FROM mvcd_src")
+        .collect()
+      s.sql("CREATE TABLE mvcd_dim KEY c_id AS SELECT * FROM mvcd_dsrc")
+        .collect()
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvcd_1 AS
+          |SELECT ck, count(*) AS n1, sum(v) AS rev, max(v) AS hi1
+          |FROM mvcd_base GROUP BY ck""".stripMargin).collect()
+      // the downstream JOINS a dim onto the upstream's served relation:
+      // the dim phase folds over the PROJECTED state feed, and the
+      // rescan's dim-lead pushdown machinery sees the cascade pre stage
+      s.sql(
+        """CREATE MATERIALIZED VIEW mvcd_2 AS
+          |SELECT tier, count(*) AS ng, sum(rev) AS total,
+          |       max(hi1) AS hi
+          |FROM mvcd_1 JOIN mvcd_dim ON ck = c_id
+          |GROUP BY tier""".stripMargin).collect()
+      def mv2() = s.sql(
+        "SELECT tier, ng, CAST(total AS DECIMAL(28,10)) AS total, hi " +
+          "FROM mvcd_2 ORDER BY tier").collect().toSeq
+      def scratch() = s.sql(
+        """WITH m1 AS (
+          |  SELECT ck, sum(CAST(v AS DECIMAL(28,10))) AS rev,
+          |         max(v) AS hi1
+          |  FROM mvcd_base GROUP BY ck)
+          |SELECT tier, count(*) AS ng,
+          |  CAST(sum(CAST(rev AS DECIMAL(28,10))) AS DECIMAL(28,10))
+          |    AS total, max(hi1) AS hi
+          |FROM m1 JOIN mvcd_dim ON ck = c_id
+          |GROUP BY tier ORDER BY tier""".stripMargin).collect().toSeq
+      mv2() shouldBe scratch()
+      // base DML folds up the chain; a DIM flip (group move) and an
+      // extremum death each fold as their own phases downstream
+      s.sql("DELETE FROM mvcd_base WHERE v >= 550.0").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd_1").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd_2").collect()
+      mv2() shouldBe scratch()
+      s.sql("UPDATE mvcd_dim SET tier = 'tierX' WHERE c_id = 2").collect()
+      s.sql("REFRESH MATERIALIZED VIEW mvcd_2").collect()
+      mv2() shouldBe scratch()
+      mv2().map(_.getString(0)) should contain("tierX")
     }
   }
 
