@@ -1737,12 +1737,16 @@ object LakeMv {
       !LakeCatalog.lookupView(spark, d.baseName).contains(vt)) ||
       d.mvPin.exists(pt => !LakeCatalog.lookupMv(spark, d.baseName)
         .exists(raw => mvPinMatches(pt, raw)))
+    // declared retention pins on the state root ([[pin]]): each blocks
+    // VACUUM below its floor — surfaced so a retention-job owner can see
+    // what holds history before a sweep refuses
+    val nPins = st.retentionPins.size
     Seq((name.toLowerCase, d.baseName, d.baseRoot, d.stateRoot,
       d.initVersion, last, cur, math.max(0, cur - last), groups,
-      d.dims.size, dimsStale, viewStale))
+      d.dims.size, dimsStale, viewStale, nPins))
       .toDF("name", "base_name", "base_root", "state_root", "init_version",
         "folded_to_version", "base_latest_version", "behind_by", "n_groups",
-        "n_dims", "n_dims_stale", "view_pin_stale")
+        "n_dims", "n_dims_stale", "view_pin_stale", "n_pins")
   }
 
   // ---- READ -----------------------------------------------------------

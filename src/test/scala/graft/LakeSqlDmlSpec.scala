@@ -2567,9 +2567,11 @@ class LakeSqlDmlSpec extends SparkTestBase {
       // RETENTION PIN: resolve + declare the floor, then a sweep that
       // would pass it refuses LOUDLY, naming the pin
       s.sql("ALTER MATERIALIZED VIEW mvpn PIN VERSION AS OF 0").collect()
-      val stateRoot = s.sql(
-        "SELECT state_root FROM graft_mv_detail('mvpn')")
-        .collect()(0).getString(0)
+      val detail0 = s.sql(
+        "SELECT state_root, n_pins FROM graft_mv_detail('mvpn')")
+        .collect()(0)
+      val stateRoot = detail0.getString(0)
+      detail0.getInt(1) shouldBe 1 // the declared pin is ops-visible
       s.sql("DELETE FROM mvpn_fact WHERE k = 10").collect() // fact v2
       s.sql("REFRESH MATERIALIZED VIEW mvpn").collect() // more state history
       val err = intercept[Exception] {
@@ -2582,6 +2584,8 @@ class LakeSqlDmlSpec extends SparkTestBase {
       // DROP PIN releases the floor; the same sweep proceeds
       s.sql("ALTER MATERIALIZED VIEW mvpn DROP PIN VERSION AS OF 0")
         .collect()
+      s.sql("SELECT n_pins FROM graft_mv_detail('mvpn')")
+        .collect()(0).getInt(0) shouldBe 0
       s.sql(s"VACUUM graft_lake('$stateRoot') RETAIN 1 VERSIONS").collect()
       live().map(_._1) should contain("segX") // live reads unharmed
       // a double DROP refuses — a typo'd drop must not silently succeed
