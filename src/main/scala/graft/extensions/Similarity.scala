@@ -915,7 +915,9 @@ object Similarity {
     t.delete(raw.filter(col("vec_id") % 37 === 0).select("vec_id"))
     // fold the feed: departures leave; arrivals assign against the
     // FROZEN broadcast codebook — the only per-refresh vector work
-    val feed = t.changes(0, t.latestVersion).localCheckpoint()
+    // lazy: the final aggregate is the only action — its first branch
+    // materializes the feed, the second reads the cached blocks
+    val feed = t.changes(0, t.latestVersion).localCheckpoint(false)
     val departed = feed
       .filter(col("_change_type").isin("delete", "update_preimage"))
       .select("vec_id")

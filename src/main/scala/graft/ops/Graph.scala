@@ -87,9 +87,11 @@ object Graph {
     while (!converged && !bail && it < maxIter) {
       val prop = sym.join(labels, sym("n") === labels("node"))
         .select(col("m").as("node"), col("component"))
+      // LAZY checkpoint: the frontier count below is the materializing
+      // action, so each round costs ONE execution instead of two
       val next = labels.unionByName(prop)
         .groupBy("node").agg(min("component").as("component"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // exact frontier: labels only ever decrease, so "improved this
       // round" counts the active frontier and 0 IS the fixpoint
       val changed = next
@@ -167,13 +169,20 @@ object Graph {
     }
     var e = sym.filter(col("n") < col("m"))
       .select(col("n").as("a"), col("m").as("b")).distinct().localCheckpoint()
+    var eCount = e.count()
     var it = 0
     var converged = false
     while (!converged && it < StarMaxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // LAZY checkpoint fused with the cardinality probe (one execution
+      // per round), and the PREVIOUS round's count is remembered instead
+      // of recounted — the star rounds only ever rewrite the edge set,
+      // so e's count is exactly last round's next.count()
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val nextCount = next.count()
       // exact set equality: equal cardinality + empty difference
-      converged = next.count() == e.count() && next.except(e).isEmpty
+      converged = nextCount == eCount && next.except(e).isEmpty
       e = next
+      eCount = nextCount
       it += 1
     }
     if (!converged) throw new IllegalStateException(
@@ -251,10 +260,12 @@ object Graph {
     var converged = false
     while (it < rounds && !converged) {
       val keep = degrees(und).filter(col("dg") >= k).select("n")
+      // lazy: the convergence count below (skipped only on the final
+      // round, whose consumer then materializes) is the one execution
       val next = und
         .join(keep.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(false)
       it += 1
       if (it < rounds) { // final round's fixpoint answer is never consumed
         val cur = next.count()

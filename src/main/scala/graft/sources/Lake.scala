@@ -3852,6 +3852,173 @@ class LakeTable(spark: SparkSession, val root: String) {
     finally fs.delete(scratch, true)
   }
 
+  /** Statistics for just-written parquet files read from their FOOTERS —
+    * rows, key bounds (in the [[Lake.statLong]] normalized domain), the
+    * numeric/string stats-column bounds, and per-column null counts —
+    * instead of a second full scan of the bytes the write just produced.
+    * At 100 TB the scan-based path reads back everything it writes, so a
+    * commit costs write(W) + read(W); footers are O(files) metadata.
+    *
+    * Exactness contract: every bound this path emits must equal what the
+    * scan-based aggregation would compute, because file pruning trusts
+    * them. That holds per type because each [[Lake.statLong]] normalizer
+    * is monotone non-decreasing, so min/max commute with it:
+    *  - integral/date/timestamp(micros): the footer value IS the stat
+    *  - strings: parquet orders binary stats by unsigned bytes, the same
+    *    order Spark's UTF8String min/max uses; the 8-byte-prefix key
+    *    embedding and the ASCII-gated truncated bounds are monotone
+    *  - anything else (float/double NaN asymmetries, decimals, INT96) →
+    *    return None and let the caller take the scan path unchanged.
+    * Any missing/odd footer detail (stats dropped for oversized values,
+    * unknown null counts) also returns None — the fallback is always the
+    * old exact pass, never a guessed bound. Kill switch:
+    * `spark.graft.lake.footerStats=false`. */
+  private def footerStats(moved: Seq[(Path, String)],
+                          schema: org.apache.spark.sql.types.StructType,
+                          keyCol: String, statsCols: Seq[String])
+      : Option[Map[String, (Long, Long, Long,
+        Map[String, (Long, Long)], Map[String, (String, String)],
+        Map[String, Long])]] = {
+    import org.apache.spark.sql.types._
+    if (!spark.conf.get("spark.graft.lake.footerStats", "true").toBoolean)
+      return None
+    val keyIsString = keyCol.nonEmpty &&
+      schema(keyCol).dataType == StringType
+    val allStats = (statsCols ++ (if (keyIsString) Seq(keyCol) else Nil))
+      .distinct
+    val needed = ((if (keyCol.isEmpty) Nil else Seq(keyCol)) ++ allStats)
+      .distinct
+    def supported(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | StringType => true
+      case _ => false
+    }
+    if (!needed.forall(c => schema.fieldNames.contains(c) &&
+        supported(schema(c).dataType))) return None
+    // the unsigned-BE 8-byte-prefix string embedding, driver-side twin of
+    // [[Lake.statLong]]'s StringType branch (monotone in unsigned byte
+    // order, so footer min/max map through it exactly)
+    def embed(s: String): Long = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
+      v ^ Long.MinValue // unsigned → signed order-preserving shift
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    try {
+      val out = moved.map { case (p, _) =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        val (rows, perCol) =
+          try {
+            import scala.jdk.CollectionConverters._
+            val blocks = rd.getFooter.getBlocks.asScala.toSeq
+            val rows = blocks.map(_.getRowCount).sum
+            // per needed column: (nonNullMin, nonNullMax as Any, numNulls)
+            val perCol = needed.map { c =>
+              var nulls = 0L
+              var mn: Any = null
+              var mx: Any = null
+              blocks.foreach { b =>
+                val cc = b.getColumns.asScala.find(ch =>
+                  ch.getPath.size() == 1 && ch.getPath.toDotString == c)
+                  .getOrElse(throw FooterBail)
+                val st = cc.getStatistics
+                if (st == null || st.isNumNullsSet == false ||
+                    st.getNumNulls < 0) throw FooterBail
+                nulls += st.getNumNulls
+                if (st.getNumNulls < b.getRowCount) {
+                  // group holds non-null values: bounds must be present
+                  if (!st.hasNonNullValue) throw FooterBail
+                  val (lo, hi): (Any, Any) = schema(c).dataType match {
+                    case StringType =>
+                      val bs = st.asInstanceOf[org.apache.parquet.column
+                        .statistics.BinaryStatistics]
+                      (bs.genericGetMin.toStringUsingUTF8,
+                        bs.genericGetMax.toStringUsingUTF8)
+                    case ByteType | ShortType | IntegerType | DateType =>
+                      st match {
+                        case is: org.apache.parquet.column.statistics
+                          .IntStatistics =>
+                          (is.getMin.toLong, is.getMax.toLong)
+                        case _ => throw FooterBail
+                      }
+                    case LongType | TimestampType | TimestampNTZType =>
+                      st match {
+                        case ls: org.apache.parquet.column.statistics
+                          .LongStatistics => (ls.getMin, ls.getMax)
+                        case _ => throw FooterBail
+                      }
+                    case _ => throw FooterBail
+                  }
+                  def lt(a: Any, b: Any): Boolean = (a, b) match {
+                    case (x: Long, y: Long) => x < y
+                    case (x: String, y: String) =>
+                      // unsigned byte order — the order parquet minned in
+                      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+                        .compareTo(org.apache.spark.unsafe.types.UTF8String
+                          .fromString(y)) < 0
+                    case _ => throw FooterBail
+                  }
+                  if (mn == null || lt(lo, mn)) mn = lo
+                  if (mx == null || lt(mx, hi)) mx = hi
+                }
+              }
+              c -> ((mn, mx, nulls))
+            }.toMap
+            (rows, perCol)
+          } finally rd.close()
+        if (rows == 0L) {
+          (p.getName, (0L, 0L, 0L, Map.empty[String, (Long, Long)],
+            Map.empty[String, (String, String)], Map.empty[String, Long]))
+        } else {
+          val (mnK, mxK) =
+            if (keyCol.isEmpty) (0L, 0L)
+            else perCol(keyCol) match {
+              case (mn, mx, _) if mn != null && mx != null =>
+                schema(keyCol).dataType match {
+                  case StringType =>
+                    (embed(mn.asInstanceOf[String]),
+                      embed(mx.asInstanceOf[String]))
+                  case _ => (mn.asInstanceOf[Long], mx.asInstanceOf[Long])
+                }
+              case _ => throw FooterBail // all-null key: scan path decides
+            }
+          val (strStats, numStats) = allStats.partition(c =>
+            schema(c).dataType == StringType)
+          val cols = numStats.flatMap { c =>
+            perCol(c) match {
+              case (mn, mx, _) if mn != null && mx != null =>
+                Some(c -> ((mn.asInstanceOf[Long], mx.asInstanceOf[Long])))
+              case _ => None // all-null column: no bounds, like the scan
+            }
+          }.toMap
+          val scols = strStats.flatMap { c =>
+            perCol(c) match {
+              case (mn, mx, _) if mn != null && mx != null =>
+                val (lo, hi) = (mn.asInstanceOf[String], mx.asInstanceOf[String])
+                if (!Lake.isAscii(lo) || !Lake.isAscii(hi)) None
+                else Lake.strUpper(hi).map(up => c -> ((Lake.strLower(lo), up)))
+              case _ => None
+            }
+          }.toMap
+          val nulls = perCol.map { case (c, (_, _, n)) => c -> n }
+          (p.getName, (rows, mnK, mxK, cols, scols, nulls))
+        }
+      }.toMap
+      Some(out)
+    } catch {
+      case FooterBail => None
+      case scala.util.control.NonFatal(_) => None // any reader surprise:
+        // fall back to the exact scan, never guess a bound
+    }
+  }
+
+  private object FooterBail extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
   private def writeDataFilesInto(scratch: Path, df: DataFrame,
                                  keyCol: String, numFiles: Int,
                                  statsCols: Seq[String],
@@ -3922,7 +4089,41 @@ class LakeTable(spark: SparkSession, val root: String) {
       (dest, sub)
     }
     fs.delete(scratch, true)
-    if (moved.isEmpty) Seq.empty
+    // degenerate STRING-key bounds warn AT WRITE (creation and full
+    // compacts are where a bad key scheme should surface) — shared by
+    // the footer and scan stats paths
+    def warnDegenerateStringKey(entries: Seq[FileEntry]): Unit =
+      if (keyCol.nonEmpty &&
+          df.schema(keyCol).dataType == org.apache.spark.sql.types.StringType &&
+          entries.size > 1 &&
+          entries.map(_.minKey).min == entries.map(_.maxKey).max)
+        org.slf4j.LoggerFactory.getLogger(classOf[LakeTable]).warn(
+          s"lake table $root: all ${entries.size} files written by this " +
+            "commit share ONE 8-byte key prefix — the embedding bounds " +
+            "cannot discriminate them (key probes will intersect every " +
+            "file); hash-bucket or reverse-host the key scheme, or " +
+            "declare a discriminating stats column")
+    // FOOTER fast path (metadata-only, zero Spark jobs): flat layouts
+    // with no bloom maintenance, when every needed column's stats are
+    // exactly derivable — else the original scan pass below, unchanged
+    val footerEntries =
+      if (moved.isEmpty || partitionCols.nonEmpty ||
+          LakeBloom.readConfig(fs, rootPath).nonEmpty) None
+      else footerStats(moved, clustered.schema, keyCol, statsCols)
+        .map { stats =>
+          moved.flatMap { case (p, sub) =>
+            stats.get(p.getName) match {
+              case Some((rows, mn, mx, cols, scols, nulls)) if rows > 0L =>
+                val rel = if (sub.isEmpty) s"data/${p.getName}"
+                          else s"data/$sub/${p.getName}"
+                Some(FileEntry(rel, rows, mn, mx, cols, scols, nulls))
+              case _ => fs.delete(p, false); None // zero-row part file
+            }
+          }
+        }
+    footerEntries.foreach(warnDegenerateStringKey)
+    if (footerEntries.isDefined) footerEntries.get
+    else if (moved.isEmpty) Seq.empty
     else {
       // key bounds + every extra stats column, ONE metadata-cheap pass;
       // STRING columns keep raw min/max here and truncate to the
@@ -4497,6 +4698,12 @@ class LakeTable(spark: SparkSession, val root: String) {
       updateSet, whenNotMatchedInsertIf, whenNotMatchedBySourceDeleteIf,
       whenNotMatchedBySourceUpdateIf, whenNotMatchedBySourceUpdateSet)
 
+  /** `sourceRowsHint` ≥ 0 attests the caller ALREADY proved the source
+    * key discipline this verb otherwise verifies with one aggregate pass
+    * (no null keys, one row per key) and knows the exact source row
+    * count: internal callers whose source is literally the output of a
+    * groupBy on the merge key (the MV refresh fold) skip the redundant
+    * job. External surfaces always pass -1 and keep the checks. */
   private def mergeIntoTagged(updates0: DataFrame, operation: String,
                 whenMatchedDeleteIf: Option[org.apache.spark.sql.Column],
                 whenMatchedUpdateIf: Option[org.apache.spark.sql.Column],
@@ -4506,7 +4713,8 @@ class LakeTable(spark: SparkSession, val root: String) {
                 whenNotMatchedInsertIf: Option[org.apache.spark.sql.Column] = None,
                 whenNotMatchedBySourceDeleteIf: Option[org.apache.spark.sql.Column] = None,
                 whenNotMatchedBySourceUpdateIf: Option[org.apache.spark.sql.Column] = None,
-                whenNotMatchedBySourceUpdateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+                whenNotMatchedBySourceUpdateSet: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+                sourceRowsHint: Long = -1L)
       : MergeStats = {
     val v = latestVersion
     val m = manifest(v)
@@ -4516,8 +4724,10 @@ class LakeTable(spark: SparkSession, val root: String) {
     // (file-hit probe, key checks, clause join, insert anti-join), and an
     // expensive — or worse, non-deterministic — source must present the
     // SAME rows to every consumer (Delta materializes MERGE sources for
-    // exactly this reason)
-    val updates = updates0.localCheckpoint()
+    // exactly this reason). LAZY: the first consumer (the file-hit probe)
+    // is the materializing action — an eager checkpoint would pay a
+    // separate job for the same pass
+    val updates = updates0.localCheckpoint(false)
     // the conditional merge is LOGICAL-named end to end (clause
     // predicates reference the reader-visible names through the
     // target/source structs); only the file probe and the final write
@@ -4558,16 +4768,22 @@ class LakeTable(spark: SparkSession, val root: String) {
     // one aggregate pass for all three checks — total rows, null keys
     // (count_distinct IGNORES nulls: null-key rows would sail through a
     // distinct-vs-total compare, match nothing, and insert as null-key
-    // rows), and per-key uniqueness
-    val cnts = updates.agg(count(lit(1)), count(col(lk)),
-      count_distinct(col(lk))).collect()(0)
-    val updateRows = cnts.getLong(0)
-    require(cnts.getLong(1) == updateRows,
-      s"conditional merge source carries ${updateRows - cnts.getLong(1)} " +
-        "null merge keys: a null key can never match a target row")
-    require(cnts.getLong(2) == updateRows,
-      "conditional merge requires one source row per key " +
-        "(multiple matches make the result order-dependent)")
+    // rows), and per-key uniqueness. Skipped when the caller attested
+    // the discipline by construction (sourceRowsHint ≥ 0, see doc).
+    val updateRows =
+      if (sourceRowsHint >= 0L) sourceRowsHint
+      else {
+        val cnts = updates.agg(count(lit(1)), count(col(lk)),
+          count_distinct(col(lk))).collect()(0)
+        val n = cnts.getLong(0)
+        require(cnts.getLong(1) == n,
+          s"conditional merge source carries ${n - cnts.getLong(1)} " +
+            "null merge keys: a null key can never match a target row")
+        require(cnts.getLong(2) == n,
+          "conditional merge requires one source row per key " +
+            "(multiple matches make the result order-dependent)")
+        n
+      }
     // outstanding deferred deletes fold physically into the rewrite AND
     // make tombstoned target rows read as ABSENT for clause matching — a
     // tombstoned source key is NOT MATCHED (its row is deleted) and
@@ -4784,9 +5000,25 @@ class LakeTable(spark: SparkSession, val root: String) {
         s"UPDATE of unknown column '$c' — adding columns is schema " +
           "evolution (use MERGE)")) -> e
     }
-    val (hit, kept) = hitKeptFiles(m, condition)
+    // keyed path: ONE predicate scan serves both the row count and the
+    // file-hit probe (the matching keys are checkpointed lazily, the
+    // count materializes them, and the probe reads the cached blocks) —
+    // the previous shape scanned the snapshot twice, which at 100 TB is
+    // a full extra table pass per UPDATE
+    val (hit, kept, updateRows) =
+      if (keyCol.nonEmpty) {
+        val probeColsL = (keyCol +: m.partitionCols).map(logicalName(m, _))
+        val keys = toPhysical(m, snap.filter(condition)
+          .select(probeColsL.map(col): _*)).localCheckpoint(false)
+        val n = keys.count()
+        val hitIdx = hitFileIndexes(m, keys)
+        val (h, k) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
+        (h.map(_._1), k.map(_._1), n)
+      } else {
+        val (h, k) = hitKeptFiles(m, condition)
+        (h, k, if (h.isEmpty) 0L else snap.filter(condition).count())
+      }
     if (hit.isEmpty) return MergeStats(v, m.files.size, 0, 0, 0L)
-    val updateRows = snap.filter(condition).count()
     val hitDf0 = toLogical(m, readFiles(m, hit))
     val hitDf = tombstoneKeys(m).fold(hitDf0)(tk =>
       hitDf0.join(tk.select(col(keyCol).as(lk)), Seq(lk), "left_anti"))
@@ -4825,8 +5057,12 @@ class LakeTable(spark: SparkSession, val root: String) {
   def deleteWhere(condition: org.apache.spark.sql.Column): MergeStats = {
     val m = manifest(latestVersion)
     if (m.keyCol.nonEmpty)
+      // lazily checkpointed: the file-hit probe inside delete() is the
+      // materializing scan, and the survivors anti-join then reads the
+      // cached keys instead of re-scanning the table for the predicate
       delete(read().filter(condition)
-        .select(logicalName(m, m.keyCol)), allowRebase = false)
+        .select(logicalName(m, m.keyCol)).localCheckpoint(false),
+        allowRebase = false)
     else deleteWhereKeyless(m, condition)
   }
 
@@ -5004,10 +5240,12 @@ class LakeTable(spark: SparkSession, val root: String) {
   def mergeIntoEpoch(updates: DataFrame, epochId: Long, appId: String,
                      whenMatchedDeleteIf: Option[org.apache.spark.sql.Column] = None,
                      whenMatchedUpdateIf: Option[org.apache.spark.sql.Column] = None,
-                     whenNotMatchedInsert: Boolean = true): Option[MergeStats] =
+                     whenNotMatchedInsert: Boolean = true,
+                     sourceRowsHint: Long = -1L): Option[MergeStats] =
     if (hasEpoch(epochId, appId)) None
     else Some(mergeIntoTagged(updates, epochTag(epochId, appId),
-      whenMatchedDeleteIf, whenMatchedUpdateIf, whenNotMatchedInsert))
+      whenMatchedDeleteIf, whenMatchedUpdateIf, whenNotMatchedInsert,
+      sourceRowsHint = sourceRowsHint))
 
   /** [[merge]] tagged with a streaming epoch — committed at most once per
     * (appId, epoch id); a replay after a restart-between-write-and-offset-
@@ -5063,7 +5301,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     m.partitionCols.foreach(p => require(rowsP.columns.contains(p),
       s"insert into a table partitioned by " +
         s"'${logicalName(m, p)}' must carry that column"))
-    val rows = rowsP.localCheckpoint()
+    val rows = rowsP.localCheckpoint(false) // lazy: the count/key probe
+    // below is the materializing action
     val tableSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructType
         .fromDDL(m.schemaDdl.getOrElse(rows.schema.toDDL))

@@ -411,8 +411,11 @@ object LakeMv {
   private def preparedDimFeed(spark: SparkSession, d: MvDef, dimI: DimSpec,
                               from: Int, to: Int, factV: Int,
                               at: DimSpec => Int): DataFrame = {
+    // LAZY checkpoint + count: the count is the materializing action, so
+    // the feed costs ONE execution (eager would pay a checkpoint job AND
+    // a count job over the same delta-sized rows)
     val feed = new LakeTable(spark, dimI.root).changes(from, to)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val feedSmall = feed.count() <= mvBroadcastMaxRows(spark)
     val factPre = applyPre(
       new LakeTable(spark, d.baseRoot).snapshot(factV), d)
@@ -908,7 +911,8 @@ object LakeMv {
       val full = filtered.groupBy(groups.map(col): _*).agg(
           aggCols.head, aggCols.tail: _*)
         .select((mvKey(groups).as("_mv_key") +: stateCols(d).tail.map(col)): _*)
-        .localCheckpoint() // consumed by the collision check AND the write
+        .localCheckpoint(false) // lazy: the collision check below is the
+        // materializing action; the write then reads the cached blocks
       // HAVING validates against the DECLARED read shape (aliases, not
       // state columns) — same fail-at-CREATE contract as the body
       havingSql.foreach { h =>
@@ -933,7 +937,7 @@ object LakeMv {
       // aggregate, (group, value) → live row count, same collision
       // discipline as the main key
       aggs.filter(_.kind == "count_distinct").foreach { a =>
-        val aux = cdAuxRows(filtered, d, a).localCheckpoint()
+        val aux = cdAuxRows(filtered, d, a).localCheckpoint(false)
         val (nR, nK) = {
           val r = aux.agg(count(lit(1)), count_distinct(col("_cd_key")))
             .collect()(0)
@@ -1247,9 +1251,9 @@ object LakeMv {
     val delta = feed.groupBy(d.groupCols.map(col): _*)
       .agg(deltaCols.head, deltaCols.tail: _*)
       .withColumn("_mv_key", mvKey(d.groupCols))
-      .localCheckpoint() // three consumers: semi-probe, join, merge source
-    // the broadcast gate's probe: the delta is materialized above, so
-    // this count is an in-memory scan, not a plan re-execution
+      .localCheckpoint(false) // three consumers: semi-probe, join, merge
+    // source — LAZY, so the gate's count below is the one materializing
+    // execution and every later consumer reads the cached blocks
     val small = delta.count() <= mvBroadcastMaxRows(spark)
     // O(changed groups): the state scans ONCE through a (size-gated)
     // broadcast semi-join on the delta's keys; after that every relation
@@ -1281,27 +1285,41 @@ object LakeMv {
     val joined = delta.join(hintIfSmall(oldSlice, small), Seq("_mv_key"),
         "left")
       .withColumn("_had_state", col(s"_old_$csAlias").isNotNull)
-      .localCheckpoint() // collision check + merge source, one compute
+      .localCheckpoint(false) // lazy: the forensics agg just below is the
+      // materializing action; the merge source then reads cached blocks
     // forensics in ONE job over the checkpointed join (refreshes run
-    // dozens of small actions per lifecycle — merging these two scans
-    // halves the check dispatch cost per phase):
+    // dozens of small actions per lifecycle — merging these scans
+    // cuts the check dispatch cost per phase):
     // (a) a hash-key hit whose stored GROUP VALUES differ from the
     // delta's is a 60-bit collision (or corrupted state) — merging
     // would mix two groups; (b) a group folding below zero rows means
     // the state and the feed drifted (impossible under correct
     // bookkeeping) — writing the negative row would corrupt silently.
-    // Both refuse loudly; delta-sized check.
+    // Both refuse loudly; delta-sized check. (c) the TOUCHED-GROUPS
+    // count rides the same pass: it equals the merge source's row count
+    // by construction (the rescan and count-distinct overrides below are
+    // row-preserving), so the fold never pays a separate count job.
+    // (d) INTRA-DELTA key uniqueness rides it too (two NEW groups of one
+    // interval hash-colliding is the case the state comparison in (a)
+    // cannot see) — proving it here is what lets the state merge skip
+    // its own source-discipline aggregate (`sourceRowsHint`).
     val checksRow = joined.agg(
       count(when(col("_had_state") &&
         !d.groupCols.map(g => col(g) <=> col(s"_oldg_$g")).reduce(_ && _),
         lit(1))).as("_collisions"),
       count(when((coalesce(col(s"_old_$csAlias"), lit(0L)) +
-        col(s"_d_$csAlias")) < 0L, lit(1))).as("_negative")).collect()(0)
+        col(s"_d_$csAlias")) < 0L, lit(1))).as("_negative"),
+      count(when((coalesce(col(s"_old_$csAlias"), lit(0L)) +
+        col(s"_d_$csAlias")) > 0L || col("_had_state"), lit(1)))
+        .as("_touched"),
+      count(lit(1)).as("_rows"),
+      count_distinct(col("_mv_key")).as("_keys")).collect()(0)
     val (collisions, negative) = (checksRow.getLong(0), checksRow.getLong(1))
-    require(collisions == 0L,
+    require(collisions == 0L && checksRow.getLong(4) == checksRow.getLong(3),
       s"REFRESH MATERIALIZED VIEW $name: the 60-bit group-key hash " +
-        s"collided on $collisions group(s) — recreate the MV with a " +
-        "disambiguating group column")
+        s"collided on ${math.max(collisions,
+          checksRow.getLong(3) - checksRow.getLong(4))} group(s) — " +
+        "recreate the MV with a disambiguating group column")
     require(negative == 0L,
       s"REFRESH MATERIALIZED VIEW $name: $negative group(s) folded to a " +
         "negative row count — state/feed drift (was the state table " +
@@ -1354,14 +1372,21 @@ object LakeMv {
             .drop(s"_rs_cd_$alias")
         }.select(stateCols(d).map(col): _*)
       }
-    val srcM = srcCd.localCheckpoint()
-    val touched = srcM.count()
+    // touched comes from the forensics agg above (same value as a count
+    // of this relation — the rescan/recount stages are row-preserving);
+    // the merge's own internal materialization is the only remaining
+    // action over the source
+    val srcM = srcCd
+    val touched = checksRow.getLong(2)
     if (failBeforeMainMerge) throw new RuntimeException(
       "injected crash between side-table and main-state commits")
     st.mergeIntoEpoch(srcM, to.toLong, epochApp,
       whenMatchedDeleteIf = Some(col(s"source.$csAlias") === 0L),
       whenMatchedUpdateIf = Some(lit(true)),
-      whenNotMatchedInsert = true)
+      whenNotMatchedInsert = true,
+      // key discipline proven in the forensics agg above (one row per
+      // non-null _mv_key), so the merge skips its source-check job
+      sourceRowsHint = touched)
     touched
   }
 
@@ -1456,10 +1481,13 @@ object LakeMv {
                            typed: String => org.apache.spark.sql.types.DataType,
                            broadcastMaxRows: Long): DataFrame = {
     val csAlias = d.countStarAlias
-    val s0 = src0.localCheckpoint() // aff scope + final merge, one compute
+    // both checkpoints LAZY: the one count below materializes aff AND s0
+    // in a single execution (aff's job computes through s0's marked rdd,
+    // so both block sets persist); every later consumer reads the cache
+    val s0 = src0.localCheckpoint(false) // aff scope + final merge
     val aff = s0.filter(col("_mm_rescan") && col(csAlias) > 0L)
       .select(d.groupCols.map(col): _*)
-      .localCheckpoint() // delta-bounded: flagged groups only
+      .localCheckpoint(false) // delta-bounded: flagged groups only
     val nAff = aff.count()
     lastRescanGroups = nAff
     if (nAff == 0L)
@@ -1596,10 +1624,11 @@ object LakeMv {
       .agg(coalesce(sum(sgn), lit(0L)).as("_d_mult"))
       .select(mvKey(d.groupCols :+ "_cd_val").as("_cd_key"),
         mvKey(d.groupCols).as("_mv_key"), col("_cd_val"), col("_d_mult"))
-      .localCheckpoint() // semi-probe + join, one compute
+      .localCheckpoint(false) // semi-probe + join — lazy, the gate count
+    // below materializes it in one execution
     // same size gate as the main fold's delta (the side delta can be
     // larger — one row per changed (group, value) pair — so it carries
-    // its own probe); the count scans the checkpoint, not the plan
+    // its own probe)
     val smallV = deltaV.count() <= mvBroadcastMaxRows(spark)
     val slice = aux.read()
       .join(hintIfSmall(deltaV.select("_cd_key"), smallV), Seq("_cd_key"),
@@ -1608,18 +1637,26 @@ object LakeMv {
         col("_cd_val").as("_old_v"), col("_cd_mult").as("_old_m"))
     val joined = deltaV.join(hintIfSmall(slice, smallV), Seq("_cd_key"),
         "left")
-      .localCheckpoint() // collision + negative checks + merge source
-    // same one-job forensics discipline as the main fold's
+      .localCheckpoint(false) // lazy: the checks agg materializes it;
+      // the merge source then reads cached blocks
+    // same one-job forensics discipline as the main fold's — including
+    // the touched-pair count and intra-delta key uniqueness, which let
+    // the side merge below skip its own source-check aggregate
     val checksRow = joined.agg(
       count(when(col("_old_m").isNotNull &&
         !(col("_mv_key") <=> col("_old_mk") &&
           col("_cd_val") <=> col("_old_v")), lit(1))).as("_collisions"),
       count(when((coalesce(col("_old_m"), lit(0L)) + col("_d_mult")) < 0L,
-        lit(1))).as("_negative")).collect()(0)
+        lit(1))).as("_negative"),
+      count(when((coalesce(col("_old_m"), lit(0L)) + col("_d_mult")) > 0L ||
+        col("_old_m").isNotNull, lit(1))).as("_touched"),
+      count(lit(1)).as("_rows"),
+      count_distinct(col("_cd_key")).as("_keys")).collect()(0)
     val (collisions, negative) = (checksRow.getLong(0), checksRow.getLong(1))
-    require(collisions == 0L,
+    require(collisions == 0L && checksRow.getLong(4) == checksRow.getLong(3),
       s"REFRESH MATERIALIZED VIEW: the 60-bit (group, value) hash for " +
-        s"count(DISTINCT ${a.arg}) collided on $collisions pair(s) — " +
+        s"count(DISTINCT ${a.arg}) collided on ${math.max(collisions,
+          checksRow.getLong(3) - checksRow.getLong(4))} pair(s) — " +
         "recreate the view with a narrower group/value domain")
     require(negative == 0L,
       s"REFRESH MATERIALIZED VIEW: $negative (group, value) pair(s) of " +
@@ -1630,10 +1667,14 @@ object LakeMv {
         col("_old_m").isNotNull.as("_had"))
       .filter(col("_cd_mult") > 0L || col("_had")) // net-zero new pair: no-op
       .drop("_had")
-    aux.mergeIntoEpoch(src.localCheckpoint(), cur.toLong, app,
+    // no pre-checkpoint: mergeIntoEpoch materializes its source once
+    // internally — a checkpoint here would pay the same pass twice
+    aux.mergeIntoEpoch(src, cur.toLong, app,
       whenMatchedDeleteIf = Some(col("source._cd_mult") === 0L),
       whenMatchedUpdateIf = Some(lit(true)),
-      whenNotMatchedInsert = true)
+      whenNotMatchedInsert = true,
+      // pair discipline proven in the forensics agg above
+      sourceRowsHint = checksRow.getLong(2))
   }
 
   /** `REFRESH MATERIALIZED VIEW <name> FULL` — the REPAIR form: rebuild

@@ -24,8 +24,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema cache keyed by file path: without an explicit schema, EVERY
+    * `spark.read.parquet` runs a footer-inference job before the query
+    * even plans — hundreds of such jobs across the registry for the same
+    * handful of immutable source files. The first read per path infers
+    * and remembers; later reads hand Spark the schema and skip the job.
+    * Metadata only (never rows), bounded by the source-table count. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** Round-robin fan-out to full parallelism — placed between a narrow
     * source projection and CPU-heavy per-row work (regex chains, window
