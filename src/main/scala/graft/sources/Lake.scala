@@ -2532,12 +2532,12 @@ object Lake {
     * manifest skipping and Spark's own partition pruning compose. */
   def create(spark: SparkSession, root: String, df: DataFrame, keyCol: String,
              numFiles: Int, statsCols: Seq[String] = Nil,
-             partitionBy: Seq[String] = Nil): LakeTable = {
+             partitionBy: Seq[String] = Nil, estRows: Long = -1L): LakeTable = {
     require(keyCol.nonEmpty,
       "create needs a merge key column — for a table with no natural " +
         "unique key (event logs, corpus shards) use createAppendLog")
     val t = new LakeTable(spark, root)
-    t.init(df, keyCol, numFiles, statsCols, partitionBy)
+    t.init(df, keyCol, numFiles, statsCols, partitionBy, estRows)
     t
   }
 
@@ -3839,7 +3839,8 @@ class LakeTable(spark: SparkSession, val root: String) {
   private def writeDataFiles(df: DataFrame, keyCol: String, numFiles: Int,
                              statsCols: Seq[String] = Nil,
                              clusterBy: Option[org.apache.spark.sql.Column] = None,
-                             partitionCols: Seq[String] = Nil)
+                             partitionCols: Seq[String] = Nil,
+                             estRows: Long = -1L)
       : Seq[FileEntry] = {
     val scratch = new Path(rootPath, s"_scratch-${UUID.randomUUID()}")
     // a write job that dies mid-flight (a CHECK constraint aborting on
@@ -3848,7 +3849,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     // success path hasn't already renamed away (idempotent — the happy
     // path deleted it before reaching here)
     try writeDataFilesInto(scratch, df, keyCol, numFiles, statsCols,
-      clusterBy, partitionCols)
+      clusterBy, partitionCols, estRows)
     finally fs.delete(scratch, true)
   }
 
@@ -4023,8 +4024,39 @@ class LakeTable(spark: SparkSession, val root: String) {
                                  keyCol: String, numFiles: Int,
                                  statsCols: Seq[String],
                                  clusterBy: Option[org.apache.spark.sql.Column],
-                                 partitionCols: Seq[String])
+                                 partitionCols: Seq[String],
+                                 estRows: Long = -1L)
       : Seq[FileEntry] = {
+    // SMALL-WRITE fast path: a rewrite whose proven row-count upper bound
+    // is far below one target file gains nothing from a cluster-wide
+    // range exchange — the sample pass + shuffle exist to split data that
+    // no single task should hold. One task sorting by the cluster key and
+    // emitting files sequentially produces the SAME disjoint per-file key
+    // ranges (a sorted stream cut into consecutive pieces), so pruning
+    // quality is identical; `maxRecordsPerFile` performs the cut. Gated
+    // to unpartitioned, un-clusterBy'd writes where the exact-file-count
+    // identity holds (numFiles == 1, or estRows ≥ 64·numFiles so
+    // ceil-splitting cannot under-produce files); bound configurable via
+    // `spark.graft.lake.smallWriteMaxRows` (rows, default 1M ≈ a quarter
+    // of the target file size — scale-adaptive: production rewrites above
+    // it keep the exchange).
+    val smallMax = spark.conf.get("spark.graft.lake.smallWriteMaxRows",
+      (Lake.DefaultTargetFileRows / 4).toString).toLong
+    val smallPath = estRows >= 0L && estRows <= smallMax &&
+      partitionCols.isEmpty && clusterBy.isEmpty &&
+      (numFiles == 1 || estRows >= numFiles.toLong * 64)
+    if (smallPath) {
+      val sortCol =
+        if (keyCol.nonEmpty) Some(keyCol) else statsCols.headOption
+      val one = df.coalesce(1)
+      val sorted = sortCol.map(c => one.sortWithinPartitions(c)).getOrElse(one)
+      var writer = sorted.write.mode("overwrite")
+      if (numFiles > 1)
+        writer = writer.option("maxRecordsPerFile",
+          ((estRows + numFiles - 1) / numFiles).toString)
+      writer.parquet(scratch.toString)
+      return publishScratch(scratch, df, keyCol, statsCols, partitionCols)
+    }
     val clustered = (clusterBy, partitionCols) match {
       case (Some(c), ps) if ps.nonEmpty =>
         // per-partition clustering: each task holds ONE partition tuple's
@@ -4069,6 +4101,17 @@ class LakeTable(spark: SparkSession, val root: String) {
     val writer = clustered.write.mode("overwrite")
     (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
       .parquet(scratch.toString)
+    publishScratch(scratch, df, keyCol, statsCols, partitionCols)
+  }
+
+  /** Move the scratch write's part files under `data/`, derive their
+    * manifest statistics (footer fast path, scan fallback), and return
+    * the [[FileEntry]] list — shared by the range-exchange and
+    * small-write paths of [[writeDataFilesInto]]. */
+  private def publishScratch(scratch: Path, df: DataFrame, keyCol: String,
+                             statsCols: Seq[String],
+                             partitionCols: Seq[String])
+      : Seq[FileEntry] = {
     fs.mkdirs(dataDir)
     // (part file, hive subpath or "") pairs — nested `<c>=<v>/` levels
     // accumulate into one relative subpath
@@ -4109,7 +4152,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     val footerEntries =
       if (moved.isEmpty || partitionCols.nonEmpty ||
           LakeBloom.readConfig(fs, rootPath).nonEmpty) None
-      else footerStats(moved, clustered.schema, keyCol, statsCols)
+      else footerStats(moved, df.schema, keyCol, statsCols)
         .map { stats =>
           moved.flatMap { case (p, sub) =>
             stats.get(p.getName) match {
@@ -4274,11 +4317,12 @@ class LakeTable(spark: SparkSession, val root: String) {
 
   private[sources] def init(df: DataFrame, keyCol: String, numFiles: Int,
                             statsCols: Seq[String] = Nil,
-                            partitionBy: Seq[String] = Nil): Unit = {
+                            partitionBy: Seq[String] = Nil,
+                            estRows: Long = -1L): Unit = {
     partitionBy.foreach(p => require(p != keyCol,
       "partition column cannot be the merge key"))
     val files = writeDataFiles(df, keyCol, numFiles, statsCols,
-      partitionCols = partitionBy)
+      partitionCols = partitionBy, estRows = estRows)
     // stored in READ order: data columns first, partition columns LAST
     // (hive recovery appends them) — every later read uses this schema
     val readSchema = org.apache.spark.sql.types.StructType(
@@ -4375,7 +4419,10 @@ class LakeTable(spark: SparkSession, val root: String) {
       val probeColsL = (m.keyCol +: m.partitionCols).map(logicalName(m, _))
       val keys = toPhysical(m,
         read().filter(condition).select(probeColsL.map(col): _*))
-      val hitIdx = hitFileIndexes(m, keys)
+      val hitIdx = fusedProbe(m, keys, m.keyCol, Seq.empty) match {
+        case Some((hitF, _)) => hitF
+        case None => hitFileIndexes(m, keys)
+      }
       val (h, k) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
       (h.map(_._1), k.map(_._1))
     } else {
@@ -4467,6 +4514,40 @@ class LakeTable(spark: SparkSession, val root: String) {
         hit ++ candidates.filter(i =>
           present.contains(new Path(m.files(i).path).getName))
       }
+    }
+  }
+
+  /** File count past which the fused probe declines: each manifested
+    * file adds one conditional-max aggregate column, and past a couple
+    * hundred the single generated aggregate stops being the cheap path
+    * (the broadcast range join in [[hitFileIndexes]] scales instead). */
+  private val FusedProbeMaxFiles = 128
+
+  /** FUSED file-hit probe for UNPARTITIONED keyed relations: ONE
+    * aggregate pass over the probe relation computes a per-file hit flag
+    * (`max(when(key between [min,max], 1))` — exactly [[hitFileIndexes]]'s
+    * range test, which for unpartitioned tables is the whole test) plus
+    * any caller-supplied aggregate columns (source-discipline checks, row
+    * counts, rebase envelopes) — replacing a distinct + broadcast-join +
+    * collect execution AND the caller's separate aggregate execution with
+    * one job. Returns None (caller takes the general path) for
+    * partitioned or empty tables and past [[FusedProbeMaxFiles]]; the
+    * partition-constrained probe keeps its verification machinery in
+    * [[hitFileIndexes]] untouched. */
+  private def fusedProbe(m: Manifest, probe: DataFrame, keyColName: String,
+                         extra: Seq[org.apache.spark.sql.Column])
+      : Option[(Set[Int], org.apache.spark.sql.Row)] = {
+    if (m.partitionCols.nonEmpty || m.files.isEmpty ||
+        m.files.size > FusedProbeMaxFiles) None
+    else {
+      val k = Lake.statLong(probe, keyColName)
+      val hitAggs = m.files.zipWithIndex.map { case (f, i) =>
+        max(when(k >= f.minKey && k <= f.maxKey, lit(1))).as(s"_hit_$i") }
+      val aggs = extra ++ hitAggs
+      val row = probe.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val base = extra.size
+      val hit = m.files.indices.filter(i => !row.isNullAt(base + i)).toSet
+      Some((hit, row))
     }
   }
 
@@ -4597,9 +4678,15 @@ class LakeTable(spark: SparkSession, val root: String) {
       s"merge updates into a table partitioned by " +
         s"'${logicalName(m, p)}' must carry that column"))
     val probeCols = keyCol +: m.partitionCols
-    val hitIdx = hitFileIndexes(m, updates.select(probeCols.map(col): _*))
+    val probe = updates.select(probeCols.map(col): _*)
+    // one pass for the file-hit probe AND the row count (general path:
+    // the broadcast range join + a separate count)
+    val (hitIdx, updateRows) =
+      fusedProbe(m, probe, keyCol, Seq(count(lit(1)))) match {
+        case Some((hit, row)) => (hit, row.getLong(0))
+        case None => (hitFileIndexes(m, probe), updates.count())
+      }
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
-    val updateRows = updates.count()
     // schema evolution: widen existing columns against the batch, append
     // its new ones — recorded in the commit so every read (this version
     // on) uses the evolved shape while older snapshots keep theirs
@@ -4631,7 +4718,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val hint = if (newFileCountHint > 0) newFileCountHint
       else sizedFileCount(hit.size, hit.map(_._1.rows).sum + updateRows)
     val newFiles = writeDataFiles(rewritten, keyCol, hint, m.statsCols,
-      partitionCols = m.partitionCols)
+      partitionCols = m.partitionCols,
+      estRows = hit.map(_._1.rows).sum + updateRows)
     // merged keys must leave the tombstone set — their fresh rows would
     // otherwise be erased by the read-time anti-join
     val (tAdds, tRemoves, tombs) =
@@ -4738,8 +4826,42 @@ class LakeTable(spark: SparkSession, val root: String) {
         s"merge updates into a table partitioned by " +
           s"'${logicalName(m, p)}' must carry that column"))
     val probeColsL = (keyCol +: m.partitionCols).map(logicalName(m, _))
-    val keyHitIdx = hitFileIndexes(m,
-      toPhysical(m, updates.select(probeColsL.map(col): _*)))
+    val probeP = toPhysical(m, updates.select(probeColsL.map(col): _*))
+    // one pass for the file-hit probe AND the source-discipline checks /
+    // row count (materializing the lazily-checkpointed source as it
+    // goes); the general path keeps the broadcast range join plus a
+    // separate check aggregate. With sourceRowsHint the caller already
+    // proved the discipline, so only the hit flags are computed.
+    val checkAggs: Seq[org.apache.spark.sql.Column] =
+      if (sourceRowsHint >= 0L) Seq.empty
+      else Seq(count(lit(1)), count(col(keyCol)), count_distinct(col(keyCol)))
+    def requireDiscipline(total: Long, nonNull: Long, distinct: Long): Long = {
+      require(nonNull == total,
+        s"conditional merge source carries ${total - nonNull} " +
+          "null merge keys: a null key can never match a target row")
+      require(distinct == total,
+        "conditional merge requires one source row per key " +
+          "(multiple matches make the result order-dependent)")
+      total
+    }
+    val (keyHitIdx, updateRows) =
+      fusedProbe(m, probeP, keyCol, checkAggs) match {
+        case Some((hit, row)) =>
+          (hit, if (sourceRowsHint >= 0L) sourceRowsHint
+            else requireDiscipline(row.getLong(0), row.getLong(1),
+              row.getLong(2)))
+        case None =>
+          val hit = hitFileIndexes(m, probeP)
+          val n =
+            if (sourceRowsHint >= 0L) sourceRowsHint
+            else {
+              val cnts = updates.agg(count(lit(1)), count(col(lk)),
+                count_distinct(col(lk))).collect()(0)
+              requireDiscipline(cnts.getLong(0), cnts.getLong(1),
+                cnts.getLong(2))
+            }
+          (hit, n)
+      }
     // a NOT MATCHED BY SOURCE clause can fire on ANY target row — but
     // only rows actually satisfying its condition (and matching no
     // source key) need their files rewritten. One column-pruned scan of
@@ -4765,25 +4887,8 @@ class LakeTable(spark: SparkSession, val root: String) {
         keyHitIdx ++ hitFileIndexes(m, affected)
       }
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
-    // one aggregate pass for all three checks — total rows, null keys
-    // (count_distinct IGNORES nulls: null-key rows would sail through a
-    // distinct-vs-total compare, match nothing, and insert as null-key
-    // rows), and per-key uniqueness. Skipped when the caller attested
-    // the discipline by construction (sourceRowsHint ≥ 0, see doc).
-    val updateRows =
-      if (sourceRowsHint >= 0L) sourceRowsHint
-      else {
-        val cnts = updates.agg(count(lit(1)), count(col(lk)),
-          count_distinct(col(lk))).collect()(0)
-        val n = cnts.getLong(0)
-        require(cnts.getLong(1) == n,
-          s"conditional merge source carries ${n - cnts.getLong(1)} " +
-            "null merge keys: a null key can never match a target row")
-        require(cnts.getLong(2) == n,
-          "conditional merge requires one source row per key " +
-            "(multiple matches make the result order-dependent)")
-        n
-      }
+    // (source-discipline checks and updateRows computed in the fused
+    // probe pass above)
     // outstanding deferred deletes fold physically into the rewrite AND
     // make tombstoned target rows read as ABSENT for clause matching — a
     // tombstoned source key is NOT MATCHED (its row is deleted) and
@@ -4917,7 +5022,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val hint = if (newFileCountHint > 0) newFileCountHint
       else sizedFileCount(hit.size, hit.map(_._1.rows).sum + updateRows)
     val newFiles = writeDataFiles(toPhysical(m, rewritten), keyCol, hint,
-      m.statsCols, partitionCols = m.partitionCols)
+      m.statsCols, partitionCols = m.partitionCols,
+      estRows = hit.map(_._1.rows).sum + updateRows)
     // source keys leave the tombstone set: matched-updated and inserted
     // keys get fresh rows; delete-claused and no-insert keys have had
     // their physical rows dropped by the rewrite either way
@@ -5010,8 +5116,12 @@ class LakeTable(spark: SparkSession, val root: String) {
         val probeColsL = (keyCol +: m.partitionCols).map(logicalName(m, _))
         val keys = toPhysical(m, snap.filter(condition)
           .select(probeColsL.map(col): _*)).localCheckpoint(false)
-        val n = keys.count()
-        val hitIdx = hitFileIndexes(m, keys)
+        // fused: hit flags + matched-row count in the one predicate scan
+        val (hitIdx, n) =
+          fusedProbe(m, keys, keyCol, Seq(count(lit(1)))) match {
+            case Some((hitF, row)) => (hitF, row.getLong(0))
+            case None => (hitFileIndexes(m, keys), keys.count())
+          }
         val (h, k) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
         (h.map(_._1), k.map(_._1), n)
       } else {
@@ -5034,7 +5144,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       }.toMap)
     val newFiles = writeDataFiles(toPhysical(m, withConstraintChecks(m, rewritten, "UPDATE")), keyCol,
       sizedFileCount(hit.size, hit.map(_.rows).sum), m.statsCols,
-      partitionCols = m.partitionCols)
+      partitionCols = m.partitionCols, estRows = hit.map(_.rows).sum)
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
     commitAndIndex(Delta(v + 1, v, "update", keyCol, m.statsCols,
       m.partitionCols, full = false, adds = newFiles,
@@ -5082,7 +5192,7 @@ class LakeTable(spark: SparkSession, val root: String) {
       .filter(!coalesce(condition, lit(false)))
     val newFiles = writeDataFiles(toPhysical(m, survivors), "",
       sizedFileCount(1, hit.map(_.rows).sum), m.statsCols,
-      partitionCols = m.partitionCols)
+      partitionCols = m.partitionCols, estRows = hit.map(_.rows).sum)
     val cv = commitAndIndex(Delta(v + 1, v, "delete-where", "",
       m.statsCols, m.partitionCols, full = false, adds = newFiles,
       removes = hit.map(_.path), tombstoneAdds = Nil,
@@ -5329,8 +5439,17 @@ class LakeTable(spark: SparkSession, val root: String) {
     val nRows =
       if (keyCol.isEmpty) rows.count()
       else {
-        val cnts = rows.agg(count(lit(1)), count(col(keyCol)),
-          count_distinct(col(keyCol))).collect()(0)
+        // one pass: key-discipline checks + the PK-conflict file probe
+        // (general path: the checks aggregate + the broadcast range join)
+        val checkCols = Seq(count(lit(1)), count(col(keyCol)),
+          count_distinct(col(keyCol)))
+        val (hitIdx, cnts) =
+          fusedProbe(m, rows.select(keyCol), keyCol, checkCols) match {
+            case Some((hitF, row)) => (hitF, row)
+            case None =>
+              (hitFileIndexes(m, rows.select(keyCol)),
+                rows.agg(checkCols.head, checkCols.tail: _*).collect()(0))
+          }
         require(cnts.getLong(1) == cnts.getLong(0),
           "insert rows carry null keys")
         require(cnts.getLong(2) == cnts.getLong(0),
@@ -5340,7 +5459,6 @@ class LakeTable(spark: SparkSession, val root: String) {
         // rewrites nothing, so clearing their tombstone would resurrect the
         // old physical row next to the new one — reviving belongs to MERGE,
         // whose rewrite folds the dead row out
-        val hitIdx = hitFileIndexes(m, rows.select(keyCol))
         if (hitIdx.nonEmpty) {
           val candidates = readFiles(m, hitIdx.toSeq.sorted.map(m.files))
             .select(col(keyCol))
@@ -5357,7 +5475,7 @@ class LakeTable(spark: SparkSession, val root: String) {
     // a placeholder — a huge no-hit append must NOT land as one file)
     val newFiles = writeDataFiles(rows, keyCol,
       sizedFileCount(1, nRows), m.statsCols,
-      partitionCols = m.partitionCols)
+      partitionCols = m.partitionCols, estRows = nRows)
     // inserted keys were proven ABSENT (live and tombstoned): the
     // tombstone set carries unchanged
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
@@ -5396,7 +5514,16 @@ class LakeTable(spark: SparkSession, val root: String) {
     val m = manifest(v)
     requireKeyed(m, "DELETE by keys")
     val keyCol = m.keyCol
-    val hitIdx = hitFileIndexes(m, keys)
+    // one pass for the file-hit probe AND the rebase envelope's key
+    // bounds (previously a second aggregate, evaluated on a race)
+    val kc = keys.columns.head
+    val (hitIdx, envBounds) = fusedProbe(m, keys, kc,
+        Seq(min(Lake.statLong(keys, kc)), max(Lake.statLong(keys, kc)))) match {
+      case Some((hit, row)) =>
+        (hit, Some(if (row.isNullAt(0)) None
+                   else Some((row.getLong(0), row.getLong(1)))))
+      case None => (hitFileIndexes(m, keys), None)
+    }
     val (hit, kept) = m.files.zipWithIndex.partition { case (_, i) => hitIdx(i) }
     val tombKeys = tombstoneKeys(m)
     val newFiles =
@@ -5411,7 +5538,8 @@ class LakeTable(spark: SparkSession, val root: String) {
           keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")
         writeDataFiles(survivors, keyCol,
           sizedFileCount(hit.size, hit.map(_._1.rows).sum), m.statsCols,
-          partitionCols = m.partitionCols)
+          partitionCols = m.partitionCols,
+          estRows = hit.map(_._1.rows).sum)
       }
     // a pure delete re-introduces nothing: tombstones carry unchanged
     val (tAdds, tRemoves, tombs) = foldTombstones(m, None)
@@ -5424,14 +5552,20 @@ class LakeTable(spark: SparkSession, val root: String) {
     val envelope =
       if (!allowRebase) None
       else Some(() => {
-        val r = keys
-          .agg(min(Lake.statLong(keys, keys.columns.head)),
-            max(Lake.statLong(keys, keys.columns.head))).collect()(0)
-        if (r.isNullAt(0)) (0L, -1L)
-        else {
-          val (hLo, hHi) = rangeEnvelope(hit.map(_._1))
-          (math.min(r.getLong(0), if (hLo > hHi) Long.MaxValue else hLo),
-            math.max(r.getLong(1), if (hLo > hHi) Long.MinValue else hHi))
+        // bounds from the fused probe pass when it ran, else the
+        // original on-race aggregate
+        val bounds = envBounds.getOrElse {
+          val r = keys
+            .agg(min(Lake.statLong(keys, kc)),
+              max(Lake.statLong(keys, kc))).collect()(0)
+          if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+        }
+        bounds match {
+          case None => (0L, -1L)
+          case Some((kLo, kHi)) =>
+            val (hLo, hHi) = rangeEnvelope(hit.map(_._1))
+            (math.min(kLo, if (hLo > hHi) Long.MaxValue else hLo),
+              math.max(kHi, if (hLo > hHi) Long.MinValue else hHi))
         }
       })
     val cv = commitAndIndex(Delta(v + 1, v, "delete", keyCol, m.statsCols,
@@ -5864,7 +5998,8 @@ class LakeTable(spark: SparkSession, val root: String) {
     val v = latestVersion
     val m = manifest(v)
     val newFiles = writeDataFiles(snapshotPhysical(v), m.keyCol, numFiles,
-      m.statsCols, partitionCols = m.partitionCols)
+      m.statsCols, partitionCols = m.partitionCols,
+      estRows = m.files.map(_.rows).sum)
     commitAndIndex(Delta(v + 1, v, "compact", m.keyCol, m.statsCols,
       m.partitionCols, full = true, adds = newFiles, removes = Nil,
       tombstoneAdds = Nil, tombstoneRemoves = Nil,

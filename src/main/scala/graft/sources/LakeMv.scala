@@ -932,7 +932,10 @@ object LakeMv {
         s"CREATE MATERIALIZED VIEW $name: the 60-bit group-key hash " +
           s"collided (${nGroups} groups, ${nKeys} distinct keys) — " +
           "reduce the group domain or add a disambiguating group column")
-      Lake.create(spark, stateRoot, full, "_mv_key", 4)
+      // the collision check already counted the groups: hand the write
+      // the exact row count so a small state build takes the one-task
+      // write path
+      Lake.create(spark, stateRoot, full, "_mv_key", 4, estRows = nGroups)
       // count(DISTINCT) side state: one keyed multiplicity table per
       // aggregate, (group, value) → live row count, same collision
       // discipline as the main key
@@ -947,7 +950,8 @@ object LakeMv {
           s"CREATE MATERIALIZED VIEW $name: the 60-bit (group, value) " +
             s"hash for count(DISTINCT ${a.arg}) collided ($nR pairs, " +
             s"$nK distinct keys) — narrow the group/value domain")
-        Lake.create(spark, d.auxRoot(a.alias), aux, "_cd_key", 4)
+        Lake.create(spark, d.auxRoot(a.alias), aux, "_cd_key", 4,
+          estRows = nR)
       }
       (stateRoot, s"v$initV")
     } catch {
@@ -1527,8 +1531,12 @@ object LakeMv {
       .withColumn("_mv_key", mvKey(d.groupCols))
       .select(("_mv_key" +: "_rs_present" +:
         d.minMaxAggs.map(a => s"_rs_${a.alias}")).map(col): _*)
+    // LAZY checkpoint: the ghost-forensic count below materializes the
+    // rescan join — including the scoped BASE SCAN inside rescanAgg — so
+    // the final merge source reads cached blocks instead of re-running
+    // the rescan (which previously paid the base scan twice per refresh)
     val merged = s0.join(hintIfSmall(rescanAgg, smallAff), Seq("_mv_key"),
-      "left")
+      "left").localCheckpoint(false)
     // forensic: a flagged LIVE group with zero base rows means the state
     // and the base have drifted — writing a NULL extremum over a
     // positive count would corrupt silently; refuse instead
